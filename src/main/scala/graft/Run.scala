@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point — the analogue of the reference's `wvlet run`
+  * (runner/WvletScriptRunner.scala): execute a flow-style query from a file
+  * or inline `-e` text against a directory of parquet tables.
+  *
+  * Usage:
+  *   runMain graft.Run -e "from lineitem count" [--dir /root/testdata/sf0.001] [--explain]
+  *   runMain graft.Run query.wv [--dir DIR] [--json|--csv] [--limit N]
+  */
+object Run {
+  def main(args: Array[String]): Unit = {
+    var queryText: Option[String] = None
+    var file: Option[String] = None
+    var dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    var limit = 20
+    var explain = false
+    var format = "table"
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-e" => queryText = Some(args(i + 1)); i += 2
+        case "--dir" => dir = args(i + 1); i += 2
+        case "--limit" => limit = args(i + 1).toInt; i += 2
+        case "--explain" => explain = true; i += 1
+        case "--json" => format = "json"; i += 1
+        case "--csv" => format = "csv"; i += 1
+        case f => file = Some(f); i += 1
+      }
+    }
+    val text = queryText.orElse(file.map(f =>
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))))).getOrElse {
+      System.err.println("usage: graft.Run (-e QUERY | FILE.wv) [--dir DIR] [--limit N] [--explain] [--json|--csv]")
+      sys.exit(2)
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-run")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val df = Graft.run(spark, text, Tables.resolver(spark, dir), basePath = dir)
+      if (explain) df.explain("formatted")
+      format match {
+        case "json" => df.limit(limit).toJSON.collect().foreach(println)
+        case "csv" =>
+          println(df.columns.mkString(","))
+          df.limit(limit).collect().foreach(r => println(r.toSeq.mkString(",")))
+        case _ => df.show(limit, truncate = false)
+      }
+    } catch {
+      case e: graft.lang.ParseException =>
+        System.err.println(s"[parse error] ${e.getMessage}"); sys.exit(1)
+      case e: graft.lang.LoweringException =>
+        System.err.println(s"[plan error] ${e.getMessage}"); sys.exit(1)
+    } finally spark.stop()
+  }
+}

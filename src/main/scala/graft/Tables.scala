@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/** Resolver for the driver-generated TPC-H-ish testdata directory
+  * (TESTDATA.md): `region nation customer supplier part orders lineitem
+  * events documents embeddings`, one parquet per table.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** SparkSession configs needed to read the testdata (events.parquet uses
+    * nanosecond timestamps, which Spark only reads as long). */
+  def sessionConfigs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.parquet.filterPushdown" -> "true"
+  )
+
+  /** Read a table from `dir`, normalizing types (nanos → microsecond
+    * timestamp, matching DuckDB's microsecond truncation of the same files). */
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" || df.schema.exists(f => f.name == "ts" && f.dataType.typeName == "long")) {
+      df.schema.find(_.name == "ts") match {
+        case Some(f) if f.dataType.typeName == "long" =>
+          df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        case _ => df
+      }
+    } else df
+  }
+
+  def resolver(spark: SparkSession, dir: String): String => DataFrame =
+    name => read(spark, dir, name)
+}

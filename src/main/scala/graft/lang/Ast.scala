@@ -1,0 +1,228 @@
+package graft.lang
+
+/** AST for the Graft flow-style query language.
+  *
+  * The node inventory mirrors the reference language's relational operators
+  * (see /root/reference/wvlet-lang/src/main/scala/wvlet/lang/model/plan/relation.scala
+  * and model/expr/exprs.scala), but the tree is designed to lower directly onto
+  * `org.apache.spark.sql.DataFrame` / `Column` — schemas are resolved lazily at
+  * lowering time from the DataFrame itself, so no separate static typer pass is
+  * required for column-level operators.
+  */
+sealed trait Node extends Product with Serializable
+
+// ---------------------------------------------------------------------------
+// Expressions
+// ---------------------------------------------------------------------------
+sealed trait Expr extends Node
+
+/** Unqualified identifier (column reference or bare function name). */
+final case class Ident(name: String) extends Expr
+/** `_` — the context input (the whole row set / group in agg context). */
+case object Underscore extends Expr
+/** `a.b` — qualified column ref or zero-arg method (resolved at lowering). */
+final case class DotRef(qualifier: Expr, name: String) extends Expr
+/** `expr.method(args)` — stdlib method chain / dot-aggregation. */
+final case class MethodCall(target: Expr, name: String, args: List[Expr]) extends Expr
+/** `f(args)` with optional DISTINCT and aggregate FILTER clause. */
+final case class FunctionCall(
+    name: String,
+    args: List[Expr],
+    isDistinct: Boolean = false,
+    filter: Option[Expr] = None
+) extends Expr
+/** `fn over (partition by ... order by ... rows[a,b])` */
+final case class WindowApply(fn: Expr, spec: WindowSpec) extends Expr
+final case class WindowSpec(
+    partitionBy: List[Expr],
+    orderBy: List[SortItem],
+    frame: Option[WindowFrame]
+)
+/** frame bounds: None = unbounded on that side; values are row/range offsets */
+final case class WindowFrame(isRows: Boolean, start: Option[Long], end: Option[Long])
+
+sealed trait Literal extends Expr { def value: Any }
+final case class NullLit() extends Literal { def value: Any = null }
+final case class BoolLit(value: Boolean) extends Literal
+final case class LongLit(value: Long) extends Literal
+final case class DoubleLit(value: Double) extends Literal
+final case class DecimalLit(value: BigDecimal) extends Literal
+final case class StringLit(value: String) extends Literal
+
+final case class ArrayLit(items: List[Expr]) extends Expr
+final case class MapLit(entries: List[(Expr, Expr)]) extends Expr
+final case class StructLit(fields: List[(String, Expr)]) extends Expr
+/** `arr[i]` */
+final case class Subscript(target: Expr, index: Expr) extends Expr
+/** `x -> body` lambda for higher-order functions */
+final case class LambdaExpr(params: List[String], body: Expr) extends Expr
+/** `*` or `t.*` */
+final case class Star(qualifier: Option[String]) extends Expr
+
+final case class BinaryOp(op: String, left: Expr, right: Expr) extends Expr
+final case class UnaryOp(op: String, operand: Expr) extends Expr
+final case class Not(operand: Expr) extends Expr
+final case class IsNull(operand: Expr, negated: Boolean) extends Expr
+final case class Between(operand: Expr, lower: Expr, upper: Expr, negated: Boolean) extends Expr
+final case class InList(operand: Expr, items: List[Expr], negated: Boolean) extends Expr
+final case class InSubquery(operand: Expr, query: Relation, negated: Boolean) extends Expr
+final case class ExistsExpr(query: Relation) extends Expr
+final case class ScalarSubquery(query: Relation) extends Expr
+final case class LikeOp(operand: Expr, pattern: Expr, negated: Boolean) extends Expr
+final case class RLikeOp(operand: Expr, pattern: Expr, negated: Boolean) extends Expr
+final case class Cast(operand: Expr, dataType: String, isTry: Boolean) extends Expr
+final case class CaseWhen(
+    target: Option[Expr],
+    branches: List[(Expr, Expr)],
+    otherwise: Option[Expr]
+) extends Expr
+/** `if(cond, then [, else])` — normalized to else=null when absent */
+final case class IfExpr(cond: Expr, thenE: Expr, elseE: Option[Expr]) extends Expr
+/** s"..." interpolation — lowered to concat(cast(...)) */
+final case class Interpolation(parts: List[String], args: List[Expr]) extends Expr
+/** extract(field from x) */
+final case class Extract(field: String, from: Expr) extends Expr
+
+final case class SortItem(expr: Expr, descending: Boolean, nullsFirst: Option[Boolean]) extends Node
+
+// ---------------------------------------------------------------------------
+// Relations (pipe operators)
+// ---------------------------------------------------------------------------
+sealed trait Relation extends Node
+sealed trait UnaryRelation extends Relation { def child: Relation }
+
+/** Named table (resolved through the session catalog / table resolver). */
+final case class TableRef(name: String) extends Relation
+/** `from 'path.parquet'` — format chosen by extension. */
+final case class FileScan(path: String) extends Relation
+/** `from [[...],...] as t(c1,c2)` literal rows. */
+final case class Values(rows: List[List[Expr]], alias: Option[String], columns: List[String])
+    extends Relation
+/** Inline raw Spark SQL escape hatch: `from sql"..."`. */
+final case class RawSql(sql: String) extends Relation
+/** `from unnest([...]) as t(c)` (standalone table function). */
+final case class UnnestRel(
+    expr: Expr,
+    alias: Option[String],
+    columns: List[String],
+    withOrdinality: Boolean
+) extends Relation
+/** zero-row relation */
+case object EmptyRelation extends Relation
+
+final case class AliasedRelation(child: Relation, alias: String, columns: List[String])
+    extends UnaryRelation
+final case class BracedRelation(child: Relation) extends UnaryRelation
+
+final case class SelectItem(expr: Expr, alias: Option[String]) extends Node
+
+final case class Filter(child: Relation, condition: Expr) extends UnaryRelation
+final case class Project(child: Relation, items: List[SelectItem], distinct: Boolean)
+    extends UnaryRelation
+final case class GroupBy(child: Relation, keys: List[SelectItem]) extends UnaryRelation
+/** `agg a = expr, ...` — must follow group by (or aggregates globally). */
+final case class Agg(child: Relation, items: List[SelectItem]) extends UnaryRelation
+/** `add` / `prepend` new computed columns. */
+final case class AddColumns(child: Relation, items: List[SelectItem], prepend: Boolean)
+    extends UnaryRelation
+/** `transform c = expr` — replace a subset of columns in place. */
+final case class TransformColumns(child: Relation, items: List[SelectItem]) extends UnaryRelation
+final case class ExcludeColumns(child: Relation, columns: List[String]) extends UnaryRelation
+final case class RenameColumns(child: Relation, renames: List[(String, String)])
+    extends UnaryRelation
+final case class ShiftColumns(child: Relation, columns: List[String], toLeft: Boolean)
+    extends UnaryRelation
+
+final case class Sort(child: Relation, items: List[SortItem]) extends UnaryRelation
+final case class Limit(child: Relation, n: Long) extends UnaryRelation
+final case class Offset(child: Relation, n: Long) extends UnaryRelation
+final case class CountRel(child: Relation) extends UnaryRelation
+final case class DedupRel(child: Relation) extends UnaryRelation
+/** `sample 10` / `sample 50%` / `sample reservoir(100)` / system / bernoulli */
+final case class SampleRel(
+    child: Relation,
+    method: Option[String], // reservoir | system | bernoulli
+    isPercent: Boolean,
+    size: Double
+) extends UnaryRelation
+
+sealed abstract class JoinKind(val sparkName: String)
+object JoinKind {
+  case object Inner extends JoinKind("inner")
+  case object Left extends JoinKind("left_outer")
+  case object Right extends JoinKind("right_outer")
+  case object Full extends JoinKind("full_outer")
+  case object Cross extends JoinKind("cross")
+  case object Semi extends JoinKind("left_semi")
+  case object Anti extends JoinKind("left_anti")
+}
+final case class Join(
+    left: Relation,
+    right: Relation,
+    kind: JoinKind,
+    on: Option[Expr],
+    usingColumns: List[String],
+    asof: Boolean
+) extends Relation
+
+sealed trait SetOpKind
+object SetOpKind {
+  case object Concat extends SetOpKind // UNION ALL
+  case object Union extends SetOpKind // UNION DISTINCT
+  case object Intersect extends SetOpKind
+  case object Except extends SetOpKind
+}
+final case class SetOp(kind: SetOpKind, left: Relation, right: Relation, distinct: Boolean)
+    extends Relation
+
+/** `pivot on col [in (v1, ...)] [using agg]`; groups by all other columns. */
+final case class Pivot(
+    child: Relation,
+    pivotColumn: String,
+    values: List[Expr],
+    agg: Option[SelectItem]
+) extends UnaryRelation
+/** `unpivot valueCol for varCol in (c1, c2, ...)` */
+final case class Unpivot(
+    child: Relation,
+    valueColumn: String,
+    varColumn: String,
+    columns: List[String]
+) extends UnaryRelation
+/** `cross join unnest(arr) as t(c)` becomes LateralUnnest */
+final case class LateralUnnest(
+    child: Relation,
+    expr: Expr,
+    alias: Option[String],
+    columns: List[String],
+    withOrdinality: Boolean
+) extends UnaryRelation
+
+final case class DescribeRel(child: Relation) extends UnaryRelation
+/** in-query assertion — pass-through for the main query, evaluated by TestRunner */
+final case class TestRel(child: Relation, assertion: Expr) extends UnaryRelation
+/** side-channel debug sub-pipeline — pass-through in the main flow */
+final case class DebugRel(child: Relation, body: Relation => Relation) extends UnaryRelation
+
+// grouping sets / rollup / cube over group by
+sealed trait GroupingStyle
+object GroupingStyle {
+  case object Plain extends GroupingStyle
+  case object Rollup extends GroupingStyle
+  case object Cube extends GroupingStyle
+}
+final case class GroupByStyled(child: Relation, keys: List[SelectItem], style: GroupingStyle)
+    extends UnaryRelation
+
+// ---------------------------------------------------------------------------
+// Statements (top level)
+// ---------------------------------------------------------------------------
+sealed trait Statement extends Node
+final case class QueryStatement(relation: Relation) extends Statement
+/** `model name(params) = { query }` — compile-time expanded, CTE-like. */
+final case class ModelDef(name: String, params: List[(String, Option[Expr])], body: Relation)
+    extends Statement
+/** `val name = expr` — driver-side constant. */
+final case class ValDef(name: String, expr: Expr) extends Statement
+/** `save to target` / `append to target` */
+final case class SaveTo(relation: Relation, target: String, append: Boolean) extends Statement

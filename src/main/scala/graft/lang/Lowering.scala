@@ -1,0 +1,957 @@
+package graft.lang
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+
+final class LoweringException(msg: String) extends Exception(msg)
+
+/** Lowers a Graft AST onto `DataFrame`/`Column` trees.
+  *
+  * Design notes (SURVEY.md §7 decision (b)): we build declarative DataFrame
+  * plans and let Catalyst do predicate pushdown, column pruning, join
+  * selection and AQE. Schema-aware operators (exclude/rename/shift, the
+  * bare-`group by` "grouped columns" semantics, dot-aggregation) are resolved
+  * here against the child DataFrame's schema — playing the role of the
+  * reference's typer (reference: analyzer/AggregationResolver.scala,
+  * typer/Typer.scala) without a separate static pass.
+  */
+object Lowering {
+
+  final case class Context(
+      spark: SparkSession,
+      tableResolver: String => DataFrame,
+      basePath: String = "",
+      models: mutable.Map[String, ModelDef] = mutable.Map.empty,
+      vals: mutable.Map[String, Expr] = mutable.Map.empty,
+      tests: mutable.ListBuffer[(DataFrame, Expr)] = mutable.ListBuffer.empty
+  )
+
+  /** Lowering result: either a plain DataFrame or a "grouped" relation —
+    * the state after a bare `group by`, where subsequent `where` clauses are
+    * HAVING predicates and projections happen in aggregation mode
+    * (reference semantics: AggregationType, DataType.scala:298-317). */
+  private sealed trait LRes
+  private final case class Plain(df: DataFrame) extends LRes
+  private final case class Grouped(
+      df: DataFrame,
+      keys: List[SelectItem],
+      havings: List[Expr],
+      style: GroupingStyle
+  ) extends LRes
+
+  def lowerStatements(stmts: List[Statement], ctx: Context): Option[DataFrame] = {
+    var last: Option[DataFrame] = None
+    stmts.foreach {
+      case m: ModelDef => ctx.models(m.name) = m
+      case ValDef(name, e) => ctx.vals(name) = e
+      case QueryStatement(rel) => last = Some(lower(rel, ctx))
+      case SaveTo(rel, target, append) =>
+        val df = lower(rel, ctx)
+        val mode = if (append) "append" else "overwrite"
+        if (target.contains("/") || target.contains(".parquet") || target.contains(".csv")) {
+          if (target.endsWith(".csv")) df.write.mode(mode).option("header", "true").csv(target)
+          else df.write.mode(mode).parquet(target)
+        } else df.write.mode(mode).saveAsTable(target)
+        last = Some(df)
+    }
+    last
+  }
+
+  def lower(rel: Relation, ctx: Context): DataFrame =
+    materialize(lowerRel(rel, ctx), ctx)
+
+  /** Bare `group by` at the end of a pipeline renders keys + arbitrary() of
+    * every remaining column (reference: SqlGenerator.scala:487). */
+  private def materialize(res: LRes, ctx: Context): DataFrame = res match {
+    case Plain(df) => df
+    case g @ Grouped(df, keys, _, _) =>
+      val keyNames = keys.zipWithIndex.map { case (k, i) => itemName(k, i) }
+      val others = df.columns.filterNot(c => keyNames.exists(_.equalsIgnoreCase(c)))
+      val aggs = others.map(c => F.any_value(F.col(c)).as(c))
+      aggregate(g, aggs.toList, Nil, ctx)
+  }
+
+  /** groupBy/rollup/cube + agg + having filters. */
+  private def aggregate(
+      g: Grouped,
+      aggCols: List[Column],
+      postSelect: List[Column],
+      ctx: Context
+  ): DataFrame = {
+    val ectx = ExprCtx(ctx, aggMode = false)
+    val keyCols = g.keys.zipWithIndex.map { case (k, i) => expr(k.expr, ectx).as(itemName(k, i)) }
+    val havingCols = g.havings.zipWithIndex.map { case (h, i) =>
+      expr(h, ectx.copy(aggMode = true)).as(s"__having_$i")
+    }
+    val allAggs = aggCols ++ havingCols
+    val grouped = g.style match {
+      case GroupingStyle.Plain => g.df.groupBy(keyCols: _*)
+      case GroupingStyle.Rollup => g.df.rollup(keyCols: _*)
+      case GroupingStyle.Cube => g.df.cube(keyCols: _*)
+    }
+    var out =
+      if (allAggs.isEmpty) g.df.select(keyCols: _*).distinct()
+      else grouped.agg(allAggs.head, allAggs.tail: _*)
+    g.havings.indices.foreach { i => out = out.filter(F.col(s"__having_$i")) }
+    if (g.havings.nonEmpty) out = out.drop(g.havings.indices.map(i => s"__having_$i"): _*)
+    if (postSelect.nonEmpty) out = out.select(postSelect: _*)
+    out
+  }
+
+  private def itemName(item: SelectItem, idx: Int): String =
+    item.alias.getOrElse(exprName(item.expr, idx))
+
+  private def exprName(e: Expr, idx: Int): String = e match {
+    case Ident(n) => n
+    case DotRef(Ident(_), n) if !Stdlib.isAggMethod(n) && !Stdlib.scalarMethods.contains(n) => n
+    case DotRef(_, n) => n
+    case MethodCall(_, n, _) => n
+    case FunctionCall(n, _, _, _) => n
+    case Cast(inner, _, _) => exprName(inner, idx)
+    case _ => s"_c$idx"
+  }
+
+  // ---------------------------------------------------------------------------
+  // Relation lowering
+  // ---------------------------------------------------------------------------
+  private def lowerRel(rel: Relation, ctx: Context): LRes = rel match {
+    case TableRef(name) =>
+      ctx.models.get(name) match {
+        case Some(m) => lowerRel(m.body, ctx)
+        case None =>
+          // auto-alias by table name so `on a.x = b.y` qualifiers resolve
+          val shortName = name.split('.').last
+          Plain(resolveTable(name, ctx).alias(shortName))
+      }
+    case FileScan(path) =>
+      val base = readFile(path, ctx)
+      // alias by file basename (sans extension) for qualified refs
+      val baseName = path.split('/').last.takeWhile(_ != '.')
+      Plain(if (baseName.nonEmpty && baseName.head.isLetter) base.alias(baseName) else base)
+    case RawSql(sql) => Plain(ctx.spark.sql(sql))
+    case EmptyRelation => Plain(ctx.spark.range(1).toDF("__dummy"))
+    case v: Values => Plain(lowerValues(v, ctx))
+    case u: UnnestRel => Plain(lowerUnnest(u, ctx))
+
+    case AliasedRelation(child, alias, cols) =>
+      val df = lower(child, ctx)
+      val renamed = if (cols.nonEmpty) df.toDF(cols: _*) else df
+      Plain(renamed.alias(alias))
+    case BracedRelation(child) => lowerRel(child, ctx)
+
+    case Filter(child, cond) =>
+      lowerRel(child, ctx) match {
+        case g: Grouped => g.copy(havings = g.havings :+ cond)
+        case Plain(df) => Plain(lowerFilter(df, cond, ctx))
+      }
+
+    case GroupBy(child, keys) =>
+      Grouped(lower(child, ctx), keys, Nil, GroupingStyle.Plain)
+    case GroupByStyled(child, keys, style) =>
+      Grouped(lower(child, ctx), keys, Nil, style)
+
+    case Agg(child, items) =>
+      lowerRel(child, ctx) match {
+        case g: Grouped =>
+          val aggs = items.zipWithIndex.map { case (it, i) =>
+            expr(it.expr, ExprCtx(ctx, aggMode = true)).as(itemName(it, i))
+          }
+          Plain(aggregate(g, aggs, Nil, ctx))
+        case Plain(df) =>
+          val aggs = items.zipWithIndex.map { case (it, i) =>
+            expr(it.expr, ExprCtx(ctx, aggMode = true)).as(itemName(it, i))
+          }
+          Plain(df.agg(aggs.head, aggs.tail: _*))
+      }
+
+    case Project(child, items, distinct) =>
+      val out = lowerRel(child, ctx) match {
+        case g: Grouped =>
+          // projection over a grouped relation: agg items + key refs
+          val ectx = ExprCtx(ctx, aggMode = false)
+          val keyNames = g.keys.zipWithIndex.map { case (k, i) => itemName(k, i) }
+          val aggItems = items.zipWithIndex.filter { case (it, _) => hasAgg(it.expr) }
+          val aggs = aggItems.map { case (it, i) =>
+            expr(it.expr, ectx.copy(aggMode = true)).as(itemName(it, i))
+          }
+          val post = items.zipWithIndex.map { case (it, i) =>
+            if (hasAgg(it.expr)) F.col(itemName(it, i))
+            else expr(it.expr, ectx).as(itemName(it, i))
+          }
+          aggregate(g, aggs.toList, post.toList, ctx)
+        case Plain(df) =>
+          if (items.exists(it => hasAgg(it.expr))) {
+            // global aggregation: select count(*), _.count, …
+            val aggs = items.zipWithIndex.map { case (it, i) =>
+              expr(it.expr, ExprCtx(ctx, aggMode = true)).as(itemName(it, i))
+            }
+            df.agg(aggs.head, aggs.tail: _*)
+          } else {
+            val ectx = ExprCtx(ctx, aggMode = false, dfOpt = Some(df))
+            df.select(items.zipWithIndex.map { case (it, i) =>
+              it.expr match {
+                case Star(None) => F.col("*")
+                case Star(Some(q)) => F.col(s"$q.*")
+                case e => expr(e, ectx).as(itemName(it, i))
+              }
+            }: _*)
+          }
+      }
+      Plain(if (distinct) out.distinct() else out)
+
+    case AddColumns(child, items, prepend) =>
+      val df = lower(child, ctx)
+      val ectx = ExprCtx(ctx, aggMode = false, dfOpt = Some(df))
+      val newCols = items.zipWithIndex.map { case (it, i) =>
+        expr(it.expr, ectx).as(itemName(it, i))
+      }
+      val existing = df.columns.map(F.col).toList
+      Plain(
+        if (prepend) df.select(newCols ++ existing: _*)
+        else df.select(existing ++ newCols: _*)
+      )
+
+    case TransformColumns(child, items) =>
+      var df = lower(child, ctx)
+      val ectx = ExprCtx(ctx, aggMode = false, dfOpt = Some(df))
+      items.zipWithIndex.foreach { case (it, i) =>
+        df = df.withColumn(itemName(it, i), expr(it.expr, ectx))
+      }
+      Plain(df)
+
+    case ExcludeColumns(child, cols) =>
+      Plain(lower(child, ctx).drop(cols: _*))
+
+    case RenameColumns(child, renames) =>
+      Plain(lower(child, ctx).withColumnsRenamed(renames.toMap))
+
+    case ShiftColumns(child, cols, toLeft) =>
+      val df = lower(child, ctx)
+      val shifted = cols.map(c => df.columns.find(_.equalsIgnoreCase(c)).getOrElse(c))
+      val rest = df.columns.filterNot(c => shifted.exists(_.equalsIgnoreCase(c))).toList
+      val order = if (toLeft) shifted ++ rest else rest ++ shifted
+      Plain(df.select(order.map(F.col): _*))
+
+    case Sort(child, items) =>
+      val df = lower(child, ctx)
+      Plain(df.orderBy(items.map(si => sortCol(si, df, ctx)): _*))
+
+    case Limit(child, n) => Plain(lower(child, ctx).limit(n.toInt))
+    case Offset(child, n) => Plain(lower(child, ctx).offset(n.toInt))
+
+    case CountRel(child) =>
+      lowerRel(child, ctx) match {
+        case g: Grouped =>
+          // count the number of groups
+          val keysDf = aggregate(g.copy(havings = Nil), Nil, Nil, ctx)
+          Plain(keysDf.agg(F.count(F.lit(1)).as("count")))
+        case Plain(df) => Plain(df.agg(F.count(F.lit(1)).as("count")))
+      }
+
+    case DedupRel(child) => Plain(lower(child, ctx).dropDuplicates())
+
+    case SampleRel(child, method, isPercent, size) =>
+      val df = lower(child, ctx)
+      Plain {
+        if (isPercent) df.sample(withReplacement = false, size / 100.0, seed = 42L)
+        else {
+          // fixed-size sample: top-k by random key — Catalyst plans
+          // TakeOrderedAndProject (per-partition heaps, no full sort)
+          val n = size.toInt
+          method match {
+            case Some("reservoir") | None => df.orderBy(F.rand(42L)).limit(n)
+            case _ => df.orderBy(F.rand(42L)).limit(n)
+          }
+        }
+      }
+
+    case j: Join => Plain(lowerJoin(j, ctx))
+
+    case SetOp(kind, left, right, distinct) =>
+      val l = lower(left, ctx)
+      val r = lower(right, ctx)
+      Plain(kind match {
+        case SetOpKind.Concat => l.union(r)
+        case SetOpKind.Union => l.union(r).distinct()
+        case SetOpKind.Intersect => if (distinct) l.intersect(r) else l.intersectAll(r)
+        case SetOpKind.Except => if (distinct) l.except(r) else l.exceptAll(r)
+      })
+
+    case Pivot(child, pivotCol, values, agg) =>
+      val df = lower(child, ctx)
+      val aggCol = agg match {
+        case Some(it) => expr(it.expr, ExprCtx(ctx, aggMode = true)).as(it.alias.getOrElse("value"))
+        case None => F.count(F.lit(1)).as("count")
+      }
+      val aggSourceCols: Seq[String] = agg.toList.flatMap(it => columnRefs(it.expr))
+      val groupCols = df.columns.filterNot(c =>
+        c.equalsIgnoreCase(pivotCol) || aggSourceCols.exists(_.equalsIgnoreCase(c)))
+      val gb = df.groupBy(groupCols.map(F.col): _*)
+      val pv =
+        if (values.nonEmpty)
+          gb.pivot(pivotCol, values.map(v => constValue(v).getOrElse(
+            throw new LoweringException("pivot values must be literals"))))
+        else gb.pivot(pivotCol)
+      var out = pv.agg(aggCol)
+      if (agg.isEmpty) {
+        // count pivot: absent combinations are 0, not null (DuckDB PIVOT parity)
+        val pivoted = out.columns.filterNot(c => groupCols.exists(_.equalsIgnoreCase(c)))
+        out = out.na.fill(0L, pivoted)
+      }
+      Plain(out)
+
+    case Unpivot(child, valueCol, varCol, cols) =>
+      val df = lower(child, ctx)
+      val ids = df.columns.filterNot(c => cols.exists(_.equalsIgnoreCase(c)))
+      Plain(df.unpivot(ids.map(F.col), cols.map(F.col).toArray, varCol, valueCol))
+
+    case LateralUnnest(child, e, alias, cols, withOrd) =>
+      val df = lower(child, ctx)
+      val ectx = ExprCtx(ctx, aggMode = false, dfOpt = Some(df))
+      val arr = expr(e, ectx)
+      val outName = cols.headOption.orElse(alias).getOrElse(exprName(e, 0))
+      Plain(
+        if (withOrd) {
+          val pe = F.posexplode(arr)
+          df.select(F.col("*"), pe).withColumnRenamed("pos", s"${outName}_ordinal")
+            .withColumnRenamed("col", outName)
+        } else df.select(F.col("*"), F.explode(arr).as(outName))
+      )
+
+    case DescribeRel(child) =>
+      val df = lower(child, ctx)
+      val rows = df.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq
+      import ctx.spark.implicits._
+      Plain(rows.toDF("column_name", "column_type"))
+
+    case TestRel(child, assertion) =>
+      val df = lower(child, ctx)
+      ctx.tests += ((df, assertion))
+      Plain(df)
+
+    case DebugRel(child, _) => lowerRel(child, ctx)
+  }
+
+  private def resolveTable(name: String, ctx: Context): DataFrame =
+    if (name.startsWith("__show_")) lowerShow(name.stripPrefix("__show_"), ctx)
+    else ctx.tableResolver(name)
+
+  private def lowerShow(what: String, ctx: Context): DataFrame = {
+    import ctx.spark.implicits._
+    what.toLowerCase match {
+      case "tables" =>
+        ctx.spark.catalog.listTables().select("name", "catalog", "namespace", "tableType")
+          .withColumnRenamed("name", "table_name")
+      case "schemas" | "databases" =>
+        ctx.spark.catalog.listDatabases().select("name").withColumnRenamed("name", "schema_name")
+      case "catalogs" =>
+        ctx.spark.catalog.listCatalogs().select("name").withColumnRenamed("name", "catalog_name")
+      case "models" =>
+        ctx.models.keys.toSeq.sorted.toDF("model_name")
+      case other => throw new LoweringException(s"unsupported show target: $other")
+    }
+  }
+
+  private def readFile(path: String, ctx: Context): DataFrame = {
+    val resolved =
+      if (path.startsWith("/") || ctx.basePath.isEmpty) path
+      else s"${ctx.basePath.stripSuffix("/")}/$path"
+    val spark = ctx.spark
+    val lower = resolved.toLowerCase
+    if (lower.endsWith(".parquet")) spark.read.parquet(resolved)
+    else if (lower.endsWith(".csv"))
+      spark.read.option("header", "true").option("inferSchema", "true").csv(resolved)
+    else if (lower.endsWith(".json") || lower.endsWith(".json.gz"))
+      spark.read.option("multiLine", "true").json(resolved)
+    else if (lower.endsWith(".wv")) {
+      val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(resolved)))
+      lower2(src, ctx)
+    } else spark.read.parquet(resolved)
+  }
+
+  private def lower2(src: String, ctx: Context): DataFrame = {
+    val stmts = Parser.parseStatements(src)
+    lowerStatements(stmts, ctx).getOrElse(
+      throw new LoweringException("included file has no query"))
+  }
+
+  private def lowerValues(v: Values, ctx: Context): DataFrame = {
+    val nCols = v.rows.map(_.length).maxOption.getOrElse(0)
+    val colNames =
+      if (v.columns.nonEmpty) v.columns
+      else (1 to nCols).map(i => s"c$i").toList
+    // evaluate each literal cell
+    val cells: List[List[Any]] = v.rows.map(_.map(e =>
+      constValue(e).getOrElse(throw new LoweringException(s"values cell must be constant: $e"))))
+    // per-column type inference with numeric widening
+    val types: Seq[DataType] = (0 until nCols).map { i =>
+      val vs = cells.flatMap(row => row.lift(i)).filter(_ != null)
+      if (vs.isEmpty) StringType
+      else if (vs.forall(_.isInstanceOf[Long]))
+        LongType
+      else if (vs.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Double]))
+        DoubleType
+      else if (vs.forall(_.isInstanceOf[Boolean])) BooleanType
+      else StringType
+    }
+    val schema = StructType(colNames.zip(types).map { case (n, t) => StructField(n, t, true) })
+    val rows = cells.map { row =>
+      org.apache.spark.sql.Row.fromSeq((0 until nCols).map { i =>
+        val raw = row.lift(i).orNull
+        (raw, types(i)) match {
+          case (null, _) => null
+          case (v: Long, DoubleType) => v.toDouble
+          case (v, StringType) if !v.isInstanceOf[String] => v.toString
+          case (v, _) => v
+        }
+      })
+    }
+    val df = ctx.spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+    v.alias.map(a => df.alias(a)).getOrElse(df)
+  }
+
+  private def lowerUnnest(u: UnnestRel, ctx: Context): DataFrame = {
+    val spark = ctx.spark
+    val name = u.columns.headOption.orElse(u.alias).getOrElse("value")
+    u.expr match {
+      case NullLit() | ArrayLit(Nil) =>
+        spark.range(0).select(F.lit(null).cast("int").as(name))
+      case e =>
+        val arr = expr(e, ExprCtx(ctx, aggMode = false))
+        val base = spark.range(1)
+        if (u.withOrdinality)
+          base.select(F.posexplode(arr)).toDF(s"${name}_ordinal", name)
+            .select(F.col(name), F.col(s"${name}_ordinal") + 1)
+        else base.select(F.explode(arr).as(name))
+    }
+  }
+
+  // --- joins -----------------------------------------------------------------
+  private def lowerJoin(j: Join, ctx: Context): DataFrame = {
+    val l = lower(j.left, ctx)
+    val r = lower(j.right, ctx)
+    if (j.asof) return lowerAsofJoin(l, r, j, ctx)
+    val ectx = ExprCtx(ctx, aggMode = false)
+    j.kind match {
+      case JoinKind.Cross if j.on.isEmpty && j.usingColumns.isEmpty => l.crossJoin(r)
+      case k =>
+        if (j.usingColumns.nonEmpty) l.join(r, j.usingColumns, k.sparkName)
+        else
+          j.on match {
+            case Some(cond) => l.join(r, expr(cond, ectx), k.sparkName)
+            case None => l.crossJoin(r)
+          }
+    }
+  }
+
+  /** asof join (reference: relation.scala:817-880, spec/basic/join-asof.wv):
+    * for each left row, pick the single right row with the greatest (for `<=`)
+    * inequality-key not exceeding the left key among equal equi-keys.
+    * Delegates to the scalable union+window implementation in
+    * [[graft.operators.AsOfJoin]] — one shuffle, no row explosion.
+    */
+  private def lowerAsofJoin(l: DataFrame, r: DataFrame, j: Join, ctx: Context): DataFrame = {
+    val cond = j.on.getOrElse(throw new LoweringException("asof join requires on-condition"))
+    val conjuncts = splitConjuncts(cond)
+    var eqKeys = List.empty[(String, String)] // (leftCol, rightCol)
+    var ineq: Option[(String, String, String)] = None // (leftCol, op, rightCol)
+
+    def sideOf(e: Expr): Option[(String, String)] = e match {
+      case DotRef(Ident(q), c) => Some((q, c))
+      case Ident(c) => Some(("", c))
+      case _ => None
+    }
+    // determine which qualifier belongs to the left plan by probing its columns
+    def isLeftCol(q: String, c: String): Boolean =
+      try { l(s"${if (q.nonEmpty) q + "." else ""}$c"); true }
+      catch { case _: Throwable => false }
+
+    conjuncts.foreach {
+      case BinaryOp(op, a, b) =>
+        (sideOf(a), sideOf(b)) match {
+          case (Some((qa, ca)), Some((qb, cb))) =>
+            val aLeft = isLeftCol(qa, ca)
+            op match {
+              case "=" =>
+                if (aLeft) eqKeys :+= ((ca, cb)) else eqKeys :+= ((cb, ca))
+              case "<=" | "<" | ">=" | ">" =>
+                // normalize to right-side op left-side: e.g. r.date <= l.date
+                if (aLeft) ineq = Some((ca, flipOp(op), cb))
+                else ineq = Some((cb, op, ca))
+              case other => throw new LoweringException(s"unsupported asof condition op: $other")
+            }
+          case _ => throw new LoweringException("asof join conditions must be column comparisons")
+        }
+      case other => throw new LoweringException(s"unsupported asof condition: $other")
+    }
+    val (lKey, op, rKey) =
+      ineq.getOrElse(throw new LoweringException("asof join needs an inequality condition"))
+    graft.operators.AsOfJoin.asofJoin(l, r, eqKeys, lKey, rKey, op)
+  }
+
+  private def flipOp(op: String): String = op match {
+    case "<=" => ">="
+    case "<" => ">"
+    case ">=" => "<="
+    case ">" => "<"
+    case o => o
+  }
+
+  private def splitConjuncts(e: Expr): List[Expr] = e match {
+    case BinaryOp("and", l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => List(other)
+  }
+
+  /** where-clause lowering with semi/anti-join extraction for subquery
+    * predicates (reference: InRelation/Exists exprs.scala:424-450, 522;
+    * Spark lowering per SURVEY §2.D: left_semi / left_anti joins). */
+  private def lowerFilter(df: DataFrame, cond: Expr, ctx: Context): DataFrame = {
+    val conjuncts = splitConjuncts(cond)
+    var out = df
+    val plain = List.newBuilder[Expr]
+    conjuncts.foreach {
+      case InSubquery(e, q, negated) =>
+        val sub = lower(q, ctx)
+        val subCol = sub.columns.head
+        val probe = expr(e, ExprCtx(ctx, aggMode = false))
+        val renamed = sub.select(F.col(subCol).as("__in_key"))
+        out = out.join(renamed, probe === F.col("__in_key"), if (negated) "left_anti" else "left_semi")
+      case ExistsExpr(q) =>
+        val sub = lower(q, ctx).limit(1)
+        out = out.join(sub, F.lit(true), "left_semi")
+      case Not(ExistsExpr(q)) =>
+        val sub = lower(q, ctx).limit(1)
+        out = out.join(sub, F.lit(true), "left_anti")
+      case other => plain += other
+    }
+    val rest = plain.result()
+    if (rest.isEmpty) out
+    else out.filter(rest.map(e => expr(e, ExprCtx(ctx, aggMode = false, dfOpt = Some(df)))).reduce(_ && _))
+  }
+
+  private def sortCol(si: SortItem, df: DataFrame, ctx: Context): Column = {
+    val base = si.expr match {
+      case LongLit(n) => F.col(df.columns((n - 1).toInt)) // ordinal: order by 1
+      case e => expr(e, ExprCtx(ctx, aggMode = false, dfOpt = Some(df)))
+    }
+    (si.descending, si.nullsFirst) match {
+      case (false, None) => base.asc
+      case (true, None) => base.desc
+      case (false, Some(true)) => base.asc_nulls_first
+      case (false, Some(false)) => base.asc_nulls_last
+      case (true, Some(true)) => base.desc_nulls_first
+      case (true, Some(false)) => base.desc_nulls_last
+    }
+  }
+
+  // ---------------------------------------------------------------------------
+  // Expression lowering
+  // ---------------------------------------------------------------------------
+  final case class ExprCtx(
+      ctx: Context,
+      aggMode: Boolean,
+      env: Map[String, Column] = Map.empty,
+      dfOpt: Option[DataFrame] = None
+  )
+
+  def expr(e: Expr, ec: ExprCtx): Column = e match {
+    case NullLit() => F.lit(null)
+    case BoolLit(b) => F.lit(b)
+    case LongLit(v) => F.lit(v)
+    case DoubleLit(v) => F.lit(v)
+    case DecimalLit(v) => F.lit(v)
+    case StringLit(s) => F.lit(s)
+    case ArrayLit(items) => F.array(items.map(expr(_, ec)): _*)
+    case MapLit(entries) =>
+      F.map(entries.flatMap { case (k, v) => List(expr(k, ec), expr(v, ec)) }: _*)
+    case StructLit(fields) =>
+      F.struct(fields.map { case (n, v) => expr(v, ec).as(n) }: _*)
+    case Star(None) => F.col("*")
+    case Star(Some(q)) => F.col(s"$q.*")
+
+    case Ident(name) =>
+      ec.env.get(name)
+        .orElse(ec.ctx.vals.get(name).map(v => expr(v, ec)))
+        .getOrElse(F.col(name))
+
+    case Underscore =>
+      if (ec.aggMode) F.lit(1) // _.count → count(1); other agg methods special-cased
+      else ec.env.getOrElse("_", F.col("*"))
+
+    case DotRef(target, name) =>
+      val lname = name.toLowerCase
+      if (ec.aggMode && Stdlib.isAggMethod(lname)) {
+        val t = target match {
+          case Underscore => F.lit(1)
+          case other => expr(other, ec.copy(aggMode = false))
+        }
+        Stdlib.aggMethods(lname)(t, Nil)
+      } else if (Stdlib.scalarMethods.contains(lname) && !isQualifier(target)) {
+        Stdlib.scalarMethods(lname)(expr(target, ec), Nil)
+      } else
+        target match {
+          case Ident(q) if ec.env.contains(q) => ec.env(q).getField(name)
+          case Ident(q) =>
+            // qualified column `q.c`: after joins the qualifier may be gone
+            // from the output — probe the DataFrame and fall back to the
+            // bare column name (reference merges join columns similarly)
+            ec.dfOpt match {
+              case Some(df) =>
+                try { df(s"$q.$name") }
+                catch {
+                  case _: Throwable =>
+                    if (df.columns.exists(_.equalsIgnoreCase(name))) F.col(name)
+                    else F.col(s"$q.$name")
+                }
+              case None => F.col(s"$q.$name")
+            }
+          case other => expr(other, ec).getField(name)
+        }
+
+    case MethodCall(target, name, args) =>
+      val lname = name.toLowerCase
+      if (ec.aggMode && Stdlib.isAggMethod(lname)) {
+        val t = target match {
+          case Underscore => F.lit(1)
+          case other => expr(other, ec.copy(aggMode = false))
+        }
+        Stdlib.aggMethods(lname)(t, args.map(expr(_, ec.copy(aggMode = false))))
+      } else if (lname == "in") {
+        expr(target, ec).isin(args.map(a => constValue(a).getOrElse(expr(a, ec))): _*)
+      } else if (lname == "not_in") {
+        !expr(target, ec).isin(args.map(a => constValue(a).getOrElse(expr(a, ec))): _*)
+      } else if (lname == "between") {
+        expr(target, ec).between(expr(args.head, ec), expr(args(1), ec))
+      } else if (Stdlib.scalarMethods.contains(lname)) {
+        Stdlib.scalarMethods(lname)(expr(target, ec), args.map(expr(_, ec)))
+      } else if (higherOrder.contains(lname)) {
+        lowerHigherOrder(lname, target, args, ec)
+      } else {
+        // fall back to function-call form: x.f(a) == f(x, a)
+        F.call_function(name, (target :: args).map(expr(_, ec)): _*)
+      }
+
+    case fc: FunctionCall => lowerFunction(fc, ec)
+
+    case WindowApply(fn, spec) => lowerWindow(fn, spec, ec)
+
+    case BinaryOp(op, l, r) =>
+      val (lc, rc) = (expr(l, ec), expr(r, ec))
+      op match {
+        case "and" => lc && rc
+        case "or" => lc || rc
+        case "=" => lc === rc
+        case "!=" | "<>" => lc =!= rc
+        case "<=>" => lc <=> rc
+        case "<" => lc < rc
+        case "<=" => lc <= rc
+        case ">" => lc > rc
+        case ">=" => lc >= rc
+        case "+" =>
+          if (isStringy(l, ec) || isStringy(r, ec)) F.concat(lc.cast("string"), rc.cast("string"))
+          else lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        case "/" => lc / rc
+        case "//" => F.floor(lc / rc).cast("bigint")
+        case "%" => lc % rc
+        case "||" => F.concat(lc.cast("string"), rc.cast("string"))
+        case other => throw new LoweringException(s"unsupported operator: $other")
+      }
+
+    case UnaryOp("-", operand) => -expr(operand, ec)
+    case UnaryOp(op, _) => throw new LoweringException(s"unsupported unary op: $op")
+    case Not(operand) => !expr(operand, ec)
+    case IsNull(operand, negated) =>
+      if (negated) expr(operand, ec).isNotNull else expr(operand, ec).isNull
+    case Between(operand, lo, hi, negated) =>
+      val b = expr(operand, ec).between(expr(lo, ec), expr(hi, ec))
+      if (negated) !b else b
+    case InList(operand, items, negated) =>
+      val in = expr(operand, ec).isin(items.map(i => constValue(i).getOrElse(expr(i, ec))): _*)
+      if (negated) !in else in
+    case LikeOp(operand, pattern, negated) =>
+      val lk = F.call_function("like", expr(operand, ec), expr(pattern, ec))
+      if (negated) !lk else lk
+    case RLikeOp(operand, pattern, negated) =>
+      val rl = F.call_function("rlike", expr(operand, ec), expr(pattern, ec))
+      if (negated) !rl else rl
+    case Cast(operand, tpe, isTry) =>
+      val c = expr(operand, ec)
+      val sparkType = mapTypeName(tpe)
+      if (isTry) c.try_cast(sparkType) else c.cast(sparkType)
+    case CaseWhen(target, branches, otherwise) =>
+      val whens = target match {
+        case Some(t) =>
+          val tc = expr(t, ec)
+          branches.map { case (c, v) => (tc === expr(c, ec), expr(v, ec)) }
+        case None => branches.map { case (c, v) => (expr(c, ec), expr(v, ec)) }
+      }
+      val first = F.when(whens.head._1, whens.head._2)
+      val chained = whens.tail.foldLeft(first) { case (acc, (c, v)) => acc.when(c, v) }
+      otherwise.map(o => chained.otherwise(expr(o, ec))).getOrElse(chained)
+    case IfExpr(cond, t, f) =>
+      F.when(expr(cond, ec), expr(t, ec)).otherwise(f.map(expr(_, ec)).getOrElse(F.lit(null)))
+    case Interpolation(parts, args) =>
+      val pieces = List.newBuilder[Column]
+      parts.zipWithIndex.foreach { case (p, i) =>
+        if (p.nonEmpty) pieces += F.lit(p)
+        if (i < args.length) pieces += expr(args(i), ec).cast("string")
+      }
+      F.concat(pieces.result(): _*)
+    case Extract(field, from) => F.date_part(F.lit(field), expr(from, ec))
+    case Subscript(target, index) => F.element_at(expr(target, ec), expr(index, ec))
+    case LambdaExpr(_, _) =>
+      throw new LoweringException("lambda outside higher-order function context")
+    case ScalarSubquery(q) =>
+      // driver-evaluated scalar constant (documented limitation: used for
+      // constant-folding patterns like `where x > (from t agg avg(v))`)
+      val row = lower(q, ec.ctx).limit(2).collect()
+      if (row.length != 1 || row.head.length != 1)
+        throw new LoweringException("scalar subquery must return a single value")
+      F.lit(row.head.get(0))
+    case InSubquery(_, _, _) | ExistsExpr(_) =>
+      throw new LoweringException("subquery predicate outside where-clause context")
+    case Underscore => F.lit(1)
+    case other => throw new LoweringException(s"cannot lower expression: $other")
+  }
+
+  private def isQualifier(e: Expr): Boolean = false
+
+  private def isStringy(e: Expr, ec: ExprCtx): Boolean = e match {
+    case StringLit(_) | Interpolation(_, _) => true
+    case BinaryOp("+", l, r) => isStringy(l, ec) || isStringy(r, ec)
+    case _ => false
+  }
+
+  // Higher-order array functions: arr.filter(x -> …), arr.transform, …
+  private val higherOrder = Set("filter", "transform", "map_each", "exists", "all_match", "reduce", "aggregate", "zip_with")
+
+  private def lowerHigherOrder(name: String, target: Expr, args: List[Expr], ec: ExprCtx): Column = {
+    val t = expr(target, ec)
+    def fn1(l: Expr): Column => Column = l match {
+      case LambdaExpr(p :: Nil, body) => (x: Column) => expr(body, ec.copy(env = ec.env + (p -> x)))
+      case other => throw new LoweringException(s"expected 1-arg lambda, got $other")
+    }
+    def fn2(l: Expr): (Column, Column) => Column = l match {
+      case LambdaExpr(p1 :: p2 :: Nil, body) =>
+        (a: Column, b: Column) => expr(body, ec.copy(env = ec.env + (p1 -> a) + (p2 -> b)))
+      case other => throw new LoweringException(s"expected 2-arg lambda, got $other")
+    }
+    name match {
+      case "filter" => F.filter(t, fn1(args.head))
+      case "transform" | "map_each" => F.transform(t, fn1(args.head))
+      case "exists" => F.exists(t, fn1(args.head))
+      case "all_match" => F.forall(t, fn1(args.head))
+      case "reduce" | "aggregate" =>
+        F.aggregate(t, expr(args.head, ec), fn2(args(1)))
+      case "zip_with" => F.zip_with(t, expr(args.head, ec), fn2(args(1)))
+      case other => throw new LoweringException(s"unsupported higher-order fn: $other")
+    }
+  }
+
+  private def lowerFunction(fc: FunctionCall, ec: ExprCtx): Column = {
+    val name = fc.name.toLowerCase
+    // strip parser-internal order-by args
+    val (orderArgs, plainArgs) = fc.args.partition {
+      case FunctionCall("__orderby", _, _, _) => true
+      case _ => false
+    }
+    val args = plainArgs
+
+    def a(i: Int): Column = expr(args(i), ec)
+    def all: List[Column] = args.map(expr(_, ec))
+
+    val base: Column = name match {
+      case "count" if args.isEmpty || args.headOption.contains(Star(None)) =>
+        if (fc.isDistinct) throw new LoweringException("count(distinct *) unsupported")
+        F.count(F.lit(1))
+      case "count" if fc.isDistinct => F.countDistinct(all.head, all.tail: _*)
+      case "count_distinct" => F.countDistinct(all.head, all.tail: _*)
+      case "count" => F.count(a(0))
+      case "sum" if fc.isDistinct => F.sum_distinct(a(0))
+      case "if" =>
+        F.when(a(0), a(1)).otherwise(if (args.length > 2) a(2) else F.lit(null))
+      case "coalesce" | "or_else" => F.coalesce(all: _*)
+      case "unnest" | "explode" => F.explode(a(0))
+      case "concat" => F.concat(all: _*)
+      case "string_agg" | "listagg" =>
+        // deterministic rendering: sorted collect_list joined
+        val sep = if (args.length > 1) a(1) else F.lit(",")
+        F.call_function("array_join", F.sort_array(F.collect_list(a(0).cast("string"))), sep)
+      case "row_number" => F.row_number()
+      case "rank" => F.rank()
+      case "dense_rank" => F.dense_rank()
+      case "percent_rank" => F.percent_rank()
+      case "cume_dist" => F.cume_dist()
+      case "ntile" =>
+        constValue(args.head) match {
+          case Some(n: Long) => F.ntile(n.toInt)
+          case _ => throw new LoweringException("ntile requires integer literal")
+        }
+      case "lag" | "lead" =>
+        val offset = if (args.length > 1) constValue(args(1)).map(_.toString.toInt).getOrElse(1) else 1
+        val default: Any = if (args.length > 2) constValue(args(2)).orNull else null
+        if (name == "lag") F.lag(a(0), offset, default) else F.lead(a(0), offset, default)
+      case "first_value" => F.first(a(0))
+      case "last_value" => F.last(a(0))
+      case "arbitrary" | "any_value" => F.any_value(a(0))
+      case "median" => F.median(a(0))
+      case "approx_quantile" | "percentile_approx" =>
+        F.percentile_approx(a(0), a(1), F.lit(10000))
+      case "__interval" =>
+        args.head match {
+          case StringLit(s) => F.expr(s"interval '$s'")
+          case _ => throw new LoweringException("bad interval literal")
+        }
+      case "__should_be" | "__should_not_be" | "__should_contain" | "__should_not_contain" =>
+        throw new LoweringException("test assertion cannot be lowered as a column")
+      case "current_date" => F.current_date()
+      case "current_timestamp" | "now" => F.current_timestamp()
+      case _ =>
+        val fnArgs = if (fc.isDistinct) all else all
+        F.call_function(fc.name, fnArgs: _*)
+    }
+    val _ = orderArgs
+    fc.filter match {
+      case Some(f) =>
+        // aggregate FILTER (WHERE cond) — rewrite as agg(when(cond, x))
+        // only valid for single-arg aggregates
+        name match {
+          case "count" => F.count(F.when(expr(f, ec), F.lit(1)))
+          case "sum" => F.sum(F.when(expr(f, ec), a(0)))
+          case "avg" => F.avg(F.when(expr(f, ec), a(0)))
+          case "min" => F.min(F.when(expr(f, ec), a(0)))
+          case "max" => F.max(F.when(expr(f, ec), a(0)))
+          case _ => base
+        }
+      case None => base
+    }
+  }
+
+  private def lowerWindow(fn: Expr, spec: WindowSpec, ec: ExprCtx): Column = {
+    import org.apache.spark.sql.expressions.Window
+    val fnCol = expr(fn, ec.copy(aggMode = true))
+    var w = Window.partitionBy(spec.partitionBy.map(expr(_, ec)): _*)
+    if (spec.orderBy.nonEmpty)
+      w = w.orderBy(spec.orderBy.map { si =>
+        val c = expr(si.expr, ec)
+        (si.descending, si.nullsFirst) match {
+          case (false, None) => c.asc
+          case (true, None) => c.desc
+          case (false, Some(true)) => c.asc_nulls_first
+          case (false, Some(false)) => c.asc_nulls_last
+          case (true, Some(true)) => c.desc_nulls_first
+          case (true, Some(false)) => c.desc_nulls_last
+        }
+      }: _*)
+    spec.frame.foreach { fr =>
+      val start = fr.start.getOrElse(Window.unboundedPreceding)
+      val end = fr.end.getOrElse(Window.unboundedFollowing)
+      w = if (fr.isRows) w.rowsBetween(start, end) else w.rangeBetween(start, end)
+    }
+    fnCol.over(w)
+  }
+
+  // --- helpers ---------------------------------------------------------------
+
+  /** Does the expression contain an aggregate (dot-agg method or aggregate
+    * function call) not wrapped in a window? */
+  def hasAgg(e: Expr): Boolean = e match {
+    case DotRef(t, n) => Stdlib.isAggMethod(n) || hasAgg(t)
+    case MethodCall(t, n, args) =>
+      Stdlib.isAggMethod(n) || hasAgg(t) || args.exists(hasAgg)
+    case FunctionCall(n, args, _, _) =>
+      Stdlib.aggFunctionNames.contains(n.toLowerCase) || args.exists(hasAgg)
+    case WindowApply(_, _) => false
+    case BinaryOp(_, l, r) => hasAgg(l) || hasAgg(r)
+    case UnaryOp(_, x) => hasAgg(x)
+    case Not(x) => hasAgg(x)
+    case IsNull(x, _) => hasAgg(x)
+    case Between(x, lo, hi, _) => hasAgg(x) || hasAgg(lo) || hasAgg(hi)
+    case InList(x, items, _) => hasAgg(x) || items.exists(hasAgg)
+    case Cast(x, _, _) => hasAgg(x)
+    case CaseWhen(t, bs, o) =>
+      t.exists(hasAgg) || bs.exists { case (c, v) => hasAgg(c) || hasAgg(v) } || o.exists(hasAgg)
+    case IfExpr(c, t, f) => hasAgg(c) || hasAgg(t) || f.exists(hasAgg)
+    case Interpolation(_, args) => args.exists(hasAgg)
+    case Subscript(t, i) => hasAgg(t) || hasAgg(i)
+    case _ => false
+  }
+
+  /** Column names referenced by an expression (for pivot group-key inference). */
+  private def columnRefs(e: Expr): List[String] = e match {
+    case Ident(n) => List(n)
+    case DotRef(t, _) => columnRefs(t)
+    case MethodCall(t, _, args) => columnRefs(t) ++ args.flatMap(columnRefs)
+    case FunctionCall(_, args, _, _) => args.flatMap(columnRefs)
+    case BinaryOp(_, l, r) => columnRefs(l) ++ columnRefs(r)
+    case UnaryOp(_, x) => columnRefs(x)
+    case Cast(x, _, _) => columnRefs(x)
+    case _ => Nil
+  }
+
+  /** Constant-fold literal expressions (used for Values cells, pivot values,
+    * isin lists; reference: transform/ExpressionEvaluator.scala). */
+  def constValue(e: Expr): Option[Any] = e match {
+    case NullLit() => Some(null)
+    case BoolLit(b) => Some(b)
+    case LongLit(v) => Some(v)
+    case DoubleLit(v) => Some(v)
+    case DecimalLit(v) => Some(v)
+    case StringLit(s) => Some(s)
+    case UnaryOp("-", x) =>
+      constValue(x).map {
+        case v: Long => -v
+        case v: Double => -v
+        case v: BigDecimal => -v
+        case other => return None
+      }
+    case BinaryOp(op, l, r) =>
+      for {
+        lv <- constValue(l)
+        rv <- constValue(r)
+        result <- (lv, rv) match {
+          case (a: Long, b: Long) =>
+            op match {
+              case "+" => Some(a + b)
+              case "-" => Some(a - b)
+              case "*" => Some(a * b)
+              case "/" => Some(a.toDouble / b)
+              case _ => None
+            }
+          case (a: String, b: String) if op == "+" || op == "||" => Some(a + b)
+          case _ => None
+        }
+      } yield result
+    case _ => None
+  }
+
+  /** Graft type name → Spark SQL DDL type string (SURVEY §1.2 mapping). */
+  def mapTypeName(t: String): String = {
+    val base = t.toLowerCase
+    base match {
+      case "int" | "integer" => "int"
+      case "long" | "bigint" => "bigint"
+      case "short" | "smallint" => "smallint"
+      case "byte" | "tinyint" => "tinyint"
+      case "float" | "real" => "float"
+      case "double" => "double"
+      case "string" | "varchar" | "text" | "json" => "string"
+      case "boolean" | "bool" => "boolean"
+      case "date" => "date"
+      case "time" => "timestamp_ntz"
+      case "timestamp" => "timestamp"
+      case "binary" => "binary"
+      case other if other.startsWith("decimal") => other
+      case other if other.startsWith("varchar") || other.startsWith("char") => "string"
+      case other if other.startsWith("array") || other.startsWith("map") ||
+        other.startsWith("struct") => other
+      case other => other
+    }
+  }
+}

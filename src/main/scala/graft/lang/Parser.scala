@@ -1,0 +1,903 @@
+package graft.lang
+
+final class ParseException(msg: String) extends Exception(msg)
+
+/** Recursive-descent parser for the Graft flow-style query language.
+  *
+  * Grammar follows the reference language's pipe-operator design (dispatcher at
+  * /root/reference/wvlet-lang/.../parser/WvletParser.scala:1782-1893): a query is a
+  * source relation followed by a chain of pipe operators, each starting with a
+  * keyword. Keywords are context-sensitive — any keyword is also usable as a
+  * column name in expression position.
+  */
+object Parser {
+  def parseQuery(src: String): Relation = {
+    val p = new Parser(Scanner.tokenize(src))
+    val stmts = p.parseStatements()
+    stmts.reverseIterator.collectFirst { case QueryStatement(r) => r } match {
+      case Some(r) => r
+      case None => throw new ParseException("no query statement found")
+    }
+  }
+
+  def parseStatements(src: String): List[Statement] =
+    new Parser(Scanner.tokenize(src)).parseStatements()
+}
+
+final class Parser(tokens: Vector[Token]) {
+  private var pos = 0
+
+  private def peek: Token = tokens(pos)
+  private def peek2: Token = tokens(math.min(pos + 1, tokens.length - 1))
+  private def advance(): Token = { val t = tokens(pos); if (pos < tokens.length - 1) pos += 1; t }
+  private def expectOp(op: String): Unit = {
+    if (!(peek.kind == TokenKind.Op && peek.text == op))
+      fail(s"expected '$op'")
+    advance()
+  }
+  private def expectKw(kw: String): Unit = {
+    if (!peek.is(kw)) fail(s"expected '$kw'")
+    advance()
+  }
+  private def accept(s: String): Boolean =
+    if (peek.is(s)) { advance(); true } else false
+  private def fail(msg: String): Nothing =
+    throw new ParseException(s"$msg, got '${peek.text}' at offset ${peek.pos}")
+
+  private def isKw(t: Token, kw: String): Boolean = t.is(kw)
+
+  private def identName(): String = peek.kind match {
+    case TokenKind.Ident | TokenKind.BackquotedIdent => advance().text
+    case _ => fail("expected identifier")
+  }
+
+  // -------------------------------------------------------------------------
+  // Statements
+  // -------------------------------------------------------------------------
+  def parseStatements(): List[Statement] = {
+    val out = List.newBuilder[Statement]
+    while (!peek.isEOF) {
+      while (accept(";")) ()
+      if (!peek.isEOF) out += parseStatement()
+    }
+    out.result()
+  }
+
+  private def parseStatement(): Statement = {
+    if (peek.is("model")) parseModelDef()
+    else if (peek.is("val") && peek2.kind == TokenKind.Ident) parseValDef()
+    else {
+      val rel = parseRelation()
+      if (accept("save")) { expectKw("to"); SaveTo(rel, stringOrIdent(), append = false) }
+      else if (accept("append")) { expectKw("to"); SaveTo(rel, stringOrIdent(), append = true) }
+      else QueryStatement(rel)
+    }
+  }
+
+  private def stringOrIdent(): String = peek.kind match {
+    case TokenKind.StringLit => advance().text
+    case _ => identName()
+  }
+
+  private def parseModelDef(): Statement = {
+    expectKw("model")
+    val name = identName()
+    val params = List.newBuilder[(String, Option[Expr])]
+    if (accept("(")) {
+      var more = !peek.is(")")
+      while (more) {
+        val pname = identName()
+        // optional `: type` annotation — parsed and ignored (types resolved at lowering)
+        if (accept(":")) identName()
+        val default = if (accept("=")) Some(expression()) else None
+        params += ((pname, default))
+        more = accept(",")
+      }
+      expectOp(")")
+    }
+    expectOp("=")
+    val body =
+      if (accept("{")) { val r = parseRelation(); expectOp("}"); r }
+      else parseRelation()
+    ModelDef(name, params.result(), body)
+  }
+
+  private def parseValDef(): Statement = {
+    expectKw("val")
+    val name = identName()
+    expectOp("=")
+    ValDef(name, expression())
+  }
+
+  // -------------------------------------------------------------------------
+  // Relations: source + pipe-operator chain
+  // -------------------------------------------------------------------------
+  def parseRelation(): Relation = {
+    var rel = parseSource()
+    var continue = true
+    while (continue) {
+      // optional leading `|` pipe
+      if (peek.kind == TokenKind.Op && peek.text == "|") advance()
+      rel = parsePipeOp(rel) match {
+        case Some(r) => r
+        case None => continue = false; rel
+      }
+    }
+    rel
+  }
+
+  /** A source relation: `from ...`, `select ...` (front-select), `{ query }`. */
+  private def parseSource(): Relation = {
+    if (accept("from")) {
+      var rel = parseFromItem()
+      // implicit join: `from a, b`
+      while (accept(",")) {
+        val right = parseFromItem()
+        rel = Join(rel, right, JoinKind.Cross, None, Nil, asof = false)
+      }
+      rel
+    } else if (peek.is("select")) {
+      // select without from: select over a single-row relation
+      parseSelectOp(EmptyRelation)
+    } else if (peek.is("{")) {
+      advance()
+      val r = parseRelation()
+      expectOp("}")
+      maybeAlias(BracedRelation(r))
+    } else if (peek.is("show")) {
+      advance()
+      val what = identName()
+      TableRef(s"__show_$what") // handled by lowering as a catalog query
+    } else fail("expected 'from', 'select' or '{'")
+  }
+
+  private def parseFromItem(): Relation = {
+    val rel: Relation = peek.kind match {
+      case TokenKind.StringLit => FileScan(advance().text)
+      case TokenKind.Op if peek.text == "[" => parseValues()
+      case TokenKind.Op if peek.text == "{" =>
+        advance(); val r = parseRelation(); expectOp("}"); BracedRelation(r)
+      case TokenKind.Ident if peek.is("sql") && peek2.kind == TokenKind.StringLit =>
+        advance(); RawSql(advance().text)
+      case TokenKind.Ident if peek.is("unnest") && peek2.is("(") =>
+        advance(); expectOp("(")
+        val e = expression()
+        expectOp(")")
+        val withOrd = if (accept("with")) { expectKw("ordinality"); true } else false
+        UnnestRel(e, None, Nil, withOrd)
+      case TokenKind.Ident | TokenKind.BackquotedIdent =>
+        var name = advance().text
+        while (accept(".")) name = name + "." + identName()
+        TableRef(name)
+      case _ => fail("expected table, file path, values, or subquery")
+    }
+    maybeAlias(rel)
+  }
+
+  private def maybeAlias(rel: Relation): Relation = {
+    if (accept("as")) {
+      val alias = identName()
+      val cols =
+        if (accept("(")) {
+          val cs = List.newBuilder[String]
+          cs += identName()
+          while (accept(",")) cs += identName()
+          expectOp(")")
+          cs.result()
+        } else Nil
+      rel match {
+        case UnnestRel(e, _, _, ord) => UnnestRel(e, Some(alias), cols, ord)
+        case Values(rows, _, _) => Values(rows, Some(alias), cols)
+        case other => AliasedRelation(other, alias, cols)
+      }
+    } else rel
+  }
+
+  private def parseValues(): Relation = {
+    expectOp("[")
+    val rows = List.newBuilder[List[Expr]]
+    if (!peek.is("]")) {
+      var more = true
+      while (more) {
+        if (peek.is("[")) {
+          advance()
+          val row = List.newBuilder[Expr]
+          if (!peek.is("]")) {
+            row += expression()
+            while (accept(",")) row += expression()
+          }
+          expectOp("]")
+          rows += row.result()
+        } else {
+          // single-column values: from [1, 2, 3]
+          rows += List(expression())
+        }
+        more = accept(",")
+        if (peek.is("]")) more = false
+      }
+    }
+    expectOp("]")
+    Values(rows.result(), None, Nil)
+  }
+
+  /** Dispatch one pipe operator; None = end of chain. */
+  private def parsePipeOp(rel: Relation): Option[Relation] = {
+    val t = peek
+    if (t.kind != TokenKind.Ident) return None
+    t.text.toLowerCase match {
+      case "where" => advance(); Some(Filter(rel, expression()))
+      case "select" => Some(parseSelectOp(rel))
+      case "group" =>
+        advance(); expectKw("by")
+        val style =
+          if (accept("rollup")) GroupingStyle.Rollup
+          else if (accept("cube")) GroupingStyle.Cube
+          else GroupingStyle.Plain
+        val keys = parseSelectItems()
+        Some(
+          if (style == GroupingStyle.Plain) GroupBy(rel, keys)
+          else GroupByStyled(rel, keys, style)
+        )
+      case "agg" => advance(); Some(Agg(rel, parseSelectItems()))
+      case "order" =>
+        advance(); expectKw("by"); Some(Sort(rel, parseSortItems()))
+      case "limit" =>
+        advance()
+        Some(Limit(rel, advance().text.toLong))
+      case "offset" =>
+        advance()
+        Some(Offset(rel, advance().text.toLong))
+      case "count" => advance(); Some(CountRel(rel))
+      case "dedup" => advance(); Some(DedupRel(rel))
+      case "distinct" => advance(); Some(Project(rel, List(SelectItem(Star(None), None)), distinct = true))
+      case "sample" => advance(); Some(parseSample(rel))
+      case "add" => advance(); Some(AddColumns(rel, parseSelectItems(), prepend = false))
+      case "prepend" => advance(); Some(AddColumns(rel, parseSelectItems(), prepend = true))
+      case "transform" => advance(); Some(TransformColumns(rel, parseSelectItems()))
+      case "exclude" =>
+        advance()
+        val cols = List.newBuilder[String]
+        cols += identName()
+        while (accept(",")) cols += identName()
+        Some(ExcludeColumns(rel, cols.result()))
+      case "rename" =>
+        advance()
+        val renames = List.newBuilder[(String, String)]
+        var more = true
+        while (more) {
+          val from = identName()
+          expectKw("as")
+          renames += ((from, identName()))
+          more = accept(",")
+        }
+        Some(RenameColumns(rel, renames.result()))
+      case "shift" =>
+        advance()
+        var toLeft = true
+        if (accept("to")) {
+          if (accept("right")) toLeft = false else expectKw("left")
+        }
+        val cols = List.newBuilder[String]
+        cols += identName()
+        while (accept(",")) cols += identName()
+        Some(ShiftColumns(rel, cols.result(), toLeft))
+      case "join" | "inner" | "left" | "right" | "full" | "cross" | "asof" =>
+        Some(parseJoin(rel))
+      case "concat" =>
+        advance()
+        Some(SetOp(SetOpKind.Concat, rel, parseSetOperand(), distinct = false))
+      case "union" =>
+        advance()
+        val all = accept("all")
+        Some(SetOp(if (all) SetOpKind.Concat else SetOpKind.Union, rel, parseSetOperand(), !all))
+      case "intersect" =>
+        advance()
+        val all = accept("all")
+        Some(SetOp(SetOpKind.Intersect, rel, parseSetOperand(), !all))
+      case "except" =>
+        advance()
+        val all = accept("all")
+        Some(SetOp(SetOpKind.Except, rel, parseSetOperand(), !all))
+      case "pivot" =>
+        advance(); expectKw("on")
+        val col = identName()
+        val values =
+          if (accept("in")) {
+            expectOp("(")
+            val vs = List.newBuilder[Expr]
+            vs += expression()
+            while (accept(",")) vs += expression()
+            expectOp(")")
+            vs.result()
+          } else Nil
+        val agg =
+          if (accept("using")) Some(parseSelectItem())
+          else None
+        Some(Pivot(rel, col, values, agg))
+      case "unpivot" =>
+        advance()
+        val valueCol = if (peek.is("for")) "value" else identName()
+        expectKw("for")
+        val varCol = identName()
+        expectKw("in")
+        expectOp("(")
+        val cols = List.newBuilder[String]
+        cols += identName()
+        while (accept(",")) cols += identName()
+        expectOp(")")
+        Some(Unpivot(rel, valueCol, varCol, cols.result()))
+      case "unnest" =>
+        // lateral unnest: from t unnest(arr) as u(x)
+        advance(); expectOp("(")
+        val e = expression()
+        expectOp(")")
+        var alias: Option[String] = None
+        var cols: List[String] = Nil
+        if (accept("as")) {
+          alias = Some(identName())
+          if (accept("(")) {
+            val cs = List.newBuilder[String]
+            cs += identName()
+            while (accept(",")) cs += identName()
+            expectOp(")")
+            cols = cs.result()
+          }
+        }
+        Some(LateralUnnest(rel, e, alias, cols, withOrdinality = false))
+      case "describe" => advance(); Some(DescribeRel(rel))
+      case "test" =>
+        advance()
+        Some(TestRel(rel, parseTestAssertion()))
+      case "debug" =>
+        advance()
+        // debug { <pipe ops over _> } — parse and discard body (pass-through)
+        if (accept("{")) {
+          var depth = 1
+          while (depth > 0 && !peek.isEOF) {
+            if (peek.is("{")) depth += 1
+            else if (peek.is("}")) depth -= 1
+            if (depth > 0) advance() else advance()
+          }
+        }
+        Some(DebugRel(rel, identity))
+      case _ => None
+    }
+  }
+
+  private def parseSetOperand(): Relation = {
+    if (peek.is("{")) {
+      advance(); val r = parseRelation(); expectOp("}"); r
+    } else if (peek.is("from") || peek.is("select")) parseRelation()
+    else fail("expected '{' or 'from' after set operator")
+  }
+
+  private def parseSelectOp(rel: Relation): Relation = {
+    expectKw("select")
+    if (accept("distinct")) Project(rel, parseSelectItems(), distinct = true)
+    else if (accept("as")) AliasedRelation(rel, identName(), Nil)
+    else if (peek.is("*") && (peek2.is("exclude"))) {
+      advance(); advance()
+      val withParen = accept("(")
+      val cols = List.newBuilder[String]
+      cols += identName()
+      while (accept(",")) cols += identName()
+      if (withParen) expectOp(")")
+      ExcludeColumns(rel, cols.result())
+    } else Project(rel, parseSelectItems(), distinct = false)
+  }
+
+  private def parseSelectItems(): List[SelectItem] = {
+    val items = List.newBuilder[SelectItem]
+    items += parseSelectItem()
+    while (accept(",")) {
+      // trailing comma before a pipe op (`select 1, | count`)
+      if (peek.kind == TokenKind.Op && peek.text == "|") { /* stop */ }
+      else items += parseSelectItem()
+    }
+    items.result()
+  }
+
+  private def parseSelectItem(): SelectItem = {
+    // `name = expr` binding form
+    if ((peek.kind == TokenKind.Ident || peek.kind == TokenKind.BackquotedIdent) &&
+      peek2.kind == TokenKind.Op && peek2.text == "=" &&
+      !(tokens.lift(pos + 2).exists(t => t.kind == TokenKind.Op && t.text == "="))) {
+      val name = advance().text
+      advance() // =
+      SelectItem(expression(), Some(name))
+    } else {
+      val e = expression()
+      if (accept("as")) SelectItem(e, Some(identName()))
+      else SelectItem(e, None)
+    }
+  }
+
+  private def parseSortItems(): List[SortItem] = {
+    val items = List.newBuilder[SortItem]
+    items += parseSortItem()
+    while (accept(",")) items += parseSortItem()
+    items.result()
+  }
+
+  private def parseSortItem(): SortItem = {
+    val e = expression()
+    val desc = if (accept("desc")) true else { accept("asc"); false }
+    val nulls =
+      if (accept("nulls")) {
+        if (accept("first")) Some(true)
+        else { expectKw("last"); Some(false) }
+      } else None
+    SortItem(e, desc, nulls)
+  }
+
+  private def parseSample(rel: Relation): Relation = {
+    // sample 10 | sample 50% | sample reservoir(2) | sample reservoir(50%) |
+    // sample system(50%) | sample bernoulli(50%)
+    def sizeAndPercent(): (Double, Boolean) = {
+      val v = advance().text.toDouble
+      val pct = accept("%")
+      (v, pct)
+    }
+    if (peek.kind == TokenKind.LongLit || peek.kind == TokenKind.DoubleLit) {
+      val (v, pct) = sizeAndPercent()
+      SampleRel(rel, None, pct, v)
+    } else {
+      val method = identName().toLowerCase
+      expectOp("(")
+      val (v, pct) = sizeAndPercent()
+      expectOp(")")
+      SampleRel(rel, Some(method), pct, v)
+    }
+  }
+
+  private def parseJoin(rel: Relation): Relation = {
+    var asof = false
+    var kind: JoinKind = JoinKind.Inner
+    if (accept("asof")) asof = true
+    if (accept("inner")) kind = JoinKind.Inner
+    else if (accept("left")) { accept("outer"); kind = JoinKind.Left }
+    else if (accept("right")) { accept("outer"); kind = JoinKind.Right }
+    else if (accept("full")) { accept("outer"); kind = JoinKind.Full }
+    else if (accept("cross")) kind = JoinKind.Cross
+    if (!accept("join")) fail("expected 'join'")
+    // lateral unnest via cross join unnest(...)
+    if (kind == JoinKind.Cross && peek.is("unnest") && peek2.is("(")) {
+      advance(); expectOp("(")
+      val e = expression()
+      expectOp(")")
+      var alias: Option[String] = None
+      var cols: List[String] = Nil
+      if (accept("as")) {
+        alias = Some(identName())
+        if (accept("(")) {
+          val cs = List.newBuilder[String]
+          cs += identName()
+          while (accept(",")) cs += identName()
+          expectOp(")")
+          cols = cs.result()
+        }
+      }
+      return LateralUnnest(rel, e, alias, cols, withOrdinality = false)
+    }
+    val right = parseFromItem()
+    var on: Option[Expr] = None
+    var using: List[String] = Nil
+    if (accept("on")) on = Some(expression())
+    else if (accept("using")) {
+      val withParen = accept("(")
+      val cols = List.newBuilder[String]
+      cols += identName()
+      while (accept(",")) cols += identName()
+      if (withParen) expectOp(")")
+      using = cols.result()
+    }
+    if (kind == JoinKind.Cross) Join(rel, right, kind, None, Nil, asof = false)
+    else Join(rel, right, kind, on, using, asof)
+  }
+
+  private def parseTestAssertion(): Expr = {
+    // test <expr> should be <expr> | should not be | should contain | = <expr>
+    val target = expression()
+    if (accept("should")) {
+      val negated = accept("not")
+      val op =
+        if (accept("be")) "be"
+        else if (accept("contain")) "contain"
+        else fail("expected 'be' or 'contain' in test assertion")
+      val expected = expression()
+      FunctionCall(s"__should_${if (negated) "not_" else ""}$op", List(target, expected))
+    } else if (accept("=")) {
+      FunctionCall("__should_be", List(target, expression()))
+    } else fail("expected 'should' or '=' in test assertion")
+  }
+
+  // -------------------------------------------------------------------------
+  // Expressions (precedence climbing)
+  // -------------------------------------------------------------------------
+  def expression(): Expr = orExpr()
+
+  private def orExpr(): Expr = {
+    var e = andExpr()
+    while (peek.is("or")) { advance(); e = BinaryOp("or", e, andExpr()) }
+    e
+  }
+
+  private def andExpr(): Expr = {
+    var e = notExpr()
+    while (peek.is("and")) { advance(); e = BinaryOp("and", e, notExpr()) }
+    e
+  }
+
+  private def notExpr(): Expr =
+    if (accept("not")) Not(notExpr()) else comparison()
+
+  private def comparison(): Expr = {
+    var e = additive()
+    var continue = true
+    while (continue) {
+      if (peek.kind == TokenKind.Op && Set("=", "==", "!=", "<>", "<", "<=", ">", ">=", "<=>")(peek.text)) {
+        val op = advance().text
+        e = BinaryOp(if (op == "==") "=" else op, e, additive())
+      } else if (peek.is("is")) {
+        advance()
+        val negated = accept("not")
+        if (accept("null")) e = IsNull(e, negated)
+        else if (accept("distinct")) { expectKw("from"); val r = additive()
+          val eq = BinaryOp("<=>", e, r)
+          e = if (negated) eq else Not(eq)
+        } else fail("expected 'null' or 'distinct from' after 'is'")
+      } else if (peek.is("between") || (peek.is("not") && peek2.is("between"))) {
+        val negated = accept("not")
+        expectKw("between")
+        val lo = additive()
+        expectKw("and")
+        val hi = additive()
+        e = Between(e, lo, hi, negated)
+      } else if (peek.is("in") || (peek.is("not") && peek2.is("in"))) {
+        val negated = accept("not")
+        expectKw("in")
+        if (accept("{")) {
+          val q = parseRelation()
+          expectOp("}")
+          e = InSubquery(e, q, negated)
+        } else if (peek.is("(") && (peek2.is("from") || peek2.is("select"))) {
+          advance()
+          val q = parseRelation()
+          expectOp(")")
+          e = InSubquery(e, q, negated)
+        } else {
+          expectOp("(")
+          val items = List.newBuilder[Expr]
+          items += expression()
+          while (accept(",")) items += expression()
+          expectOp(")")
+          e = InList(e, items.result(), negated)
+        }
+      } else if (peek.is("like") || (peek.is("not") && peek2.is("like"))) {
+        val negated = accept("not")
+        expectKw("like")
+        e = LikeOp(e, additive(), negated)
+      } else if (peek.is("rlike") || (peek.is("not") && peek2.is("rlike"))) {
+        val negated = accept("not")
+        expectKw("rlike")
+        e = RLikeOp(e, additive(), negated)
+      } else if (peek.is("contains")) {
+        advance()
+        e = FunctionCall("contains", List(e, additive()))
+      } else continue = false
+    }
+    e
+  }
+
+  private def additive(): Expr = {
+    var e = multiplicative()
+    var continue = true
+    while (continue) {
+      if (peek.kind == TokenKind.Op && (peek.text == "+" || peek.text == "-" || peek.text == "||")) {
+        val op = advance().text
+        e = BinaryOp(op, e, multiplicative())
+      } else continue = false
+    }
+    e
+  }
+
+  private def multiplicative(): Expr = {
+    var e = unary()
+    var continue = true
+    while (continue) {
+      if (peek.kind == TokenKind.Op && Set("*", "/", "//", "%")(peek.text)) {
+        val op = advance().text
+        e = BinaryOp(op, e, unary())
+      } else continue = false
+    }
+    e
+  }
+
+  private def unary(): Expr =
+    if (peek.kind == TokenKind.Op && peek.text == "-") { advance(); UnaryOp("-", unary()) }
+    else if (peek.kind == TokenKind.Op && peek.text == "+") { advance(); unary() }
+    else postfix()
+
+  private def postfix(): Expr = {
+    var e = primary()
+    var continue = true
+    while (continue) {
+      if (peek.kind == TokenKind.Op && peek.text == ".") {
+        advance()
+        val name = identName()
+        if (accept("(")) {
+          val args = List.newBuilder[Expr]
+          if (!peek.is(")")) {
+            args += expression()
+            while (accept(",")) args += expression()
+          }
+          expectOp(")")
+          e = MethodCall(e, name, args.result())
+        } else e = DotRef(e, name)
+      } else if (peek.kind == TokenKind.Op && peek.text == "[") {
+        advance()
+        val idx = expression()
+        expectOp("]")
+        e = Subscript(e, idx)
+      } else if (peek.kind == TokenKind.Op && peek.text == "::") {
+        advance()
+        e = Cast(e, parseTypeName(), isTry = false)
+      } else if (peek.is("over")) {
+        advance()
+        e = WindowApply(e, parseWindowSpec())
+      } else continue = false
+    }
+    e
+  }
+
+  private def parseTypeName(): String = {
+    var name = identName()
+    if (accept("(")) {
+      val params = List.newBuilder[String]
+      params += advance().text
+      while (accept(",")) params += advance().text
+      expectOp(")")
+      name = s"$name(${params.result().mkString(",")})"
+    }
+    name
+  }
+
+  private def parseWindowSpec(): WindowSpec = {
+    expectOp("(")
+    var partitionBy: List[Expr] = Nil
+    var orderBy: List[SortItem] = Nil
+    var frame: Option[WindowFrame] = None
+    if (accept("partition")) {
+      expectKw("by")
+      val es = List.newBuilder[Expr]
+      es += expression()
+      while (accept(",")) es += expression()
+      partitionBy = es.result()
+    }
+    if (accept("order")) {
+      expectKw("by")
+      orderBy = parseSortItems()
+    }
+    if (peek.is("rows") || peek.is("range")) {
+      val isRows = advance().text.equalsIgnoreCase("rows")
+      if (accept("[")) {
+        // compact notation rows[-2, 0], rows[, 0]
+        val start: Option[Long] =
+          if (peek.is(",")) None
+          else Some(signedLong())
+        expectOp(",")
+        val end: Option[Long] =
+          if (peek.is("]")) None
+          else Some(signedLong())
+        expectOp("]")
+        frame = Some(WindowFrame(isRows, start, end))
+      } else {
+        // SQL notation: BETWEEN x PRECEDING AND y FOLLOWING
+        accept("between")
+        val start = parseFrameBound()
+        accept("and")
+        val end = parseFrameBound()
+        frame = Some(WindowFrame(isRows, start, end))
+      }
+    }
+    expectOp(")")
+    WindowSpec(partitionBy, orderBy, frame)
+  }
+
+  private def signedLong(): Long = {
+    val neg = accept("-")
+    val v = advance().text.toLong
+    if (neg) -v else v
+  }
+
+  private def parseFrameBound(): Option[Long] = {
+    if (accept("unbounded")) { advance(); None } // preceding/following
+    else if (accept("current")) { expectKw("row"); Some(0L) }
+    else {
+      val v = signedLong()
+      if (accept("preceding")) Some(-v)
+      else { expectKw("following"); Some(v) }
+    }
+  }
+
+  private def primary(): Expr = {
+    val t = peek
+    t.kind match {
+      case TokenKind.LongLit => advance(); LongLit(t.text.toLong)
+      case TokenKind.DoubleLit => advance(); DoubleLit(t.text.toDouble)
+      case TokenKind.StringLit => advance(); StringLit(t.text)
+      case TokenKind.BackquotedIdent => advance(); Ident(t.text)
+      case TokenKind.Op if t.text == "(" =>
+        advance()
+        if (peek.is("from") || peek.is("select")) {
+          val q = parseRelation()
+          expectOp(")")
+          ScalarSubquery(q)
+        } else {
+          val e = expression()
+          // lambda with tuple params: (x, y) -> body
+          if (peek.is(",") && e.isInstanceOf[Ident]) {
+            val params = List.newBuilder[String]
+            params += e.asInstanceOf[Ident].name
+            while (accept(",")) params += identName()
+            expectOp(")")
+            expectOp("->")
+            LambdaExpr(params.result(), expression())
+          } else {
+            expectOp(")")
+            e
+          }
+        }
+      case TokenKind.Op if t.text == "[" =>
+        advance()
+        val items = List.newBuilder[Expr]
+        if (!peek.is("]")) {
+          items += expression()
+          var more = accept(",")
+          while (more && !peek.is("]")) {
+            items += expression()
+            more = accept(",")
+          }
+        }
+        expectOp("]")
+        ArrayLit(items.result())
+      case TokenKind.Op if t.text == "{" =>
+        advance()
+        val entries = List.newBuilder[(Expr, Expr)]
+        if (!peek.is("}")) {
+          def entry(): Unit = {
+            val k = expression()
+            expectOp(":")
+            entries += ((k, expression()))
+          }
+          entry()
+          while (accept(",")) entry()
+        }
+        expectOp("}")
+        MapLit(entries.result())
+      case TokenKind.Op if t.text == "*" =>
+        advance(); Star(None)
+      case TokenKind.Ident =>
+        primaryIdent()
+      case _ => fail("expected expression")
+    }
+  }
+
+  private def primaryIdent(): Expr = {
+    val t = advance()
+    val lower = t.text.toLowerCase
+    lower match {
+      case "null" => NullLit()
+      case "true" => BoolLit(true)
+      case "false" => BoolLit(false)
+      case "_" => Underscore
+      case "s" if peek.kind == TokenKind.StringLit =>
+        parseInterpolation(advance().text)
+      case "case" => parseCase()
+      case "if" if peek.is("(") =>
+        advance()
+        val cond = expression()
+        expectOp(",")
+        val thenE = expression()
+        val elseE = if (accept(",")) Some(expression()) else None
+        expectOp(")")
+        IfExpr(cond, thenE, elseE)
+      case "cast" | "try_cast" if peek.is("(") =>
+        advance()
+        val e = expression()
+        expectKw("as")
+        val tpe = parseTypeName()
+        expectOp(")")
+        Cast(e, tpe, isTry = lower == "try_cast")
+      case "extract" if peek.is("(") =>
+        advance()
+        val field = identName()
+        expectKw("from")
+        val e = expression()
+        expectOp(")")
+        Extract(field, e)
+      case "exists" if peek.is("{") || peek.is("(") =>
+        val open = advance().text
+        val q = parseRelation()
+        expectOp(if (open == "{") "}" else ")")
+        ExistsExpr(q)
+      case "interval" if peek.kind == TokenKind.StringLit || peek.kind == TokenKind.LongLit =>
+        val amount = advance().text
+        val unit = identName()
+        FunctionCall("__interval", List(StringLit(s"$amount $unit")))
+      case _ if peek.is("(") =>
+        advance()
+        var distinct = false
+        val args = List.newBuilder[Expr]
+        if (!peek.is(")")) {
+          if (accept("distinct")) distinct = true
+          args += expression()
+          while (accept(",")) args += expression()
+          // `order by` inside agg call (e.g. string_agg(x order by y)) — captured as sort arg
+          if (accept("order")) {
+            expectKw("by")
+            val sorts = parseSortItems()
+            sorts.foreach { s =>
+              args += FunctionCall("__orderby", List(s.expr, BoolLit(s.descending)))
+            }
+          }
+        }
+        expectOp(")")
+        var filter: Option[Expr] = None
+        if (peek.is("filter")) {
+          advance()
+          expectOp("(")
+          expectKw("where")
+          filter = Some(expression())
+          expectOp(")")
+        }
+        FunctionCall(t.text, args.result(), distinct, filter)
+      case _ if peek.kind == TokenKind.Op && peek.text == "->" =>
+        advance()
+        LambdaExpr(List(t.text), expression())
+      case _ => Ident(t.text)
+    }
+  }
+
+  private def parseCase(): Expr = {
+    val target =
+      if (peek.is("when")) None
+      else Some(expression())
+    val branches = List.newBuilder[(Expr, Expr)]
+    while (accept("when")) {
+      val cond = expression()
+      expectKw("then")
+      branches += ((cond, expression()))
+    }
+    val otherwise = if (accept("else")) Some(expression()) else None
+    accept("end")
+    CaseWhen(target, branches.result(), otherwise)
+  }
+
+  /** s"hello ${name} x" → Interpolation(parts, args) */
+  private def parseInterpolation(raw: String): Expr = {
+    val parts = List.newBuilder[String]
+    val args = List.newBuilder[Expr]
+    val sb = new StringBuilder
+    var i = 0
+    while (i < raw.length) {
+      if (raw.charAt(i) == '$' && i + 1 < raw.length && raw.charAt(i + 1) == '{') {
+        parts += sb.toString; sb.clear()
+        val end = raw.indexOf('}', i + 2)
+        if (end < 0) throw new ParseException("unterminated ${} in interpolation")
+        val inner = raw.substring(i + 2, end)
+        args += new Parser(Scanner.tokenize(inner)).expression()
+        i = end + 1
+      } else if (raw.charAt(i) == '$' && i + 1 < raw.length &&
+        (raw.charAt(i + 1).isLetter || raw.charAt(i + 1) == '_')) {
+        parts += sb.toString; sb.clear()
+        var j = i + 1
+        while (j < raw.length && (raw.charAt(j).isLetterOrDigit || raw.charAt(j) == '_')) j += 1
+        args += Ident(raw.substring(i + 1, j))
+        i = j
+      } else { sb += raw.charAt(i); i += 1 }
+    }
+    parts += sb.toString
+    Interpolation(parts.result(), args.result())
+  }
+}

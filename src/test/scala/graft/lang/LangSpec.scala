@@ -1,0 +1,356 @@
+package graft.lang
+
+import graft.SparkTestBase
+
+/** End-to-end language specs mirroring the reference's self-verifying corpus
+  * (spec/basic, spec/benchmark) — each query embeds its own `test` assertions,
+  * evaluated by TestRunner via Graft.run.
+  */
+class LangSpec extends SparkTestBase {
+
+  test("benchmark q1: filter + group by + agg + having + order by") {
+    wv("""
+      from [
+        [1, 'C001', 'active',  500],
+        [2, 'C001', 'active',  800],
+        [3, 'C002', 'active',  300],
+        [4, 'C002', 'active',  900],
+        [5, 'C003', 'active',  200],
+        [6, 'C003', 'cancelled', 400],
+        [7, 'C001', 'active', 1200],
+        [8, 'C004', 'active',  100]
+      ] as orders(order_id, customer_id, status, amount)
+      where status = 'active'
+      group by customer_id
+      agg
+        order_count = _.count,
+        total_spend = amount.sum
+      where total_spend > 1000
+      order by total_spend desc
+
+      test _.columns should be ['customer_id', 'order_count', 'total_spend']
+      test _.size should be 2
+      test _.rows should be [['C001', 3, 2500], ['C002', 2, 1200]]
+    """)
+  }
+
+  test("count variants") {
+    wv("""
+      from [[1, 'a'], [2, 'b'], [3, 'c']] as t(id, name)
+      count
+      test _.rows should be [[3]]
+    """)
+    wv("""
+      from [[1, 'a'], [2, 'b'], [3, 'c']] as t(id, name)
+      select _.count
+      test _.rows should be [[3]]
+    """)
+    wv("""
+      from [[1, 'a'], [2, 'b'], [3, 'c']] as t(id, name)
+      select count(*)
+      test _.rows should be [[3]]
+    """)
+    wv("""
+      from [[1, 'a'], [1, 'b'], [2, 'c']] as t(id, name)
+      group by id
+      count
+      test _.rows should be [[2]]
+    """)
+  }
+
+  test("bare group by + having via where + select") {
+    wv("""
+      from [[1, 'x'], [2, 'x'], [3, 'y']] as t(id, tag)
+      group by tag
+      where _.count >= 2
+      select tag
+      test _.rows should be [['x']]
+    """)
+  }
+
+  test("join with subquery and on-condition") {
+    wv("""
+      from [[1, "apple", 50], [2, "banana", 10], [3, "cherry", 70]]
+        as fruit(id, name, price)
+      join {
+        from [["o1", 1, 10], ["o2", 2, 5]]
+        as fruit_order(order_id, fruit_id, qty)
+      } as fruit_order
+      on fruit.id = fruit_order.fruit_id
+      select name, qty
+      order by name
+      test _.rows should be [['apple', 10], ['banana', 5]]
+    """)
+  }
+
+  test("asof join (spec/basic/join-asof.wv)") {
+    wv("""
+      from [
+        ['AAPL', '2024-11-07', 1.0],
+        ['AAPL', '2024-11-08', 2.0],
+        ['AAPL', '2024-11-09', 3.0],
+        ['AAPL', '2024-11-10', 4.0],
+      ] as holding(symbol, date, shares)
+      asof join {
+      from [
+        ['AAPL', '2024-11-07', 10],
+        ['AAPL', '2024-11-08', 50],
+        ['AAPL', '2024-11-09', 100],
+      ] as stock(symbol, date, price)
+      } as stock
+      on
+        stock.symbol = holding.symbol
+        and stock.date <= holding.date
+      add stock.price * holding.shares as holding_value
+      select symbol, date, shares, price, holding_value
+      order by date
+
+      test _.rows should be [
+        ['AAPL', '2024-11-07', 1.0, 10, 10.0],
+        ['AAPL', '2024-11-08', 2.0, 50, 100.0],
+        ['AAPL', '2024-11-09', 3.0, 100, 300.0],
+        ['AAPL', '2024-11-10', 4.0, 100, 400.0],
+      ]
+    """)
+  }
+
+  test("set operations: concat + dedup") {
+    wv("""
+      from [[1, 2, 3], [4, 5, 6]]
+      concat {
+        from [[1, 2, 3], [4, 5, 6], [7, 8, 9]]
+      }
+      dedup
+      order by 1
+      test _.rows should be [[1, 2, 3], [4, 5, 6], [7, 8, 9]]
+    """)
+  }
+
+  test("except and intersect") {
+    wv("""
+      from [[1], [2], [3]]
+      except {
+        from [[2]]
+      }
+      order by 1
+      test _.rows should be [[1], [3]]
+    """)
+    wv("""
+      from [[1], [2], [3]]
+      intersect {
+        from [[2], [3], [4]]
+      }
+      order by 1
+      test _.rows should be [[2], [3]]
+    """)
+  }
+
+  test("window functions: rank and running sum with frame") {
+    wv("""
+      from [[1, 'a', 10], [2, 'a', 20], [3, 'b', 30], [4, 'b', 5]]
+        as t(id, grp, v)
+      select
+        id, grp, v,
+        rank() over (partition by grp order by v desc) as rnk,
+        sum(v) over (partition by grp order by id rows[,0]) as running
+      order by id
+      test _.rows should be [
+        [1, 'a', 10, 2, 10],
+        [2, 'a', 20, 1, 30],
+        [3, 'b', 30, 1, 30],
+        [4, 'b', 5, 2, 35]
+      ]
+    """)
+  }
+
+  test("lag/lead") {
+    wv("""
+      from [[1, 10], [2, 20], [3, 30]] as t(id, v)
+      select id, lag(v) over (order by id) as prev, lead(v) over (order by id) as next
+      order by id
+      test _.rows should be [[1, null, 20], [2, 10, 30], [3, 20, null]]
+    """)
+  }
+
+  test("column ops: add, exclude, rename, shift, prepend") {
+    wv("""
+      from [[1, 'x', 10]] as t(id, name, v)
+      add doubled = v * 2
+      exclude name
+      rename v as value
+      shift doubled
+      test _.columns should be ['doubled', 'id', 'value']
+      test _.rows should be [[20, 1, 10]]
+    """)
+    wv("""
+      from [[1, 'x']] as t(id, name)
+      prepend tag = 'p'
+      test _.columns should be ['tag', 'id', 'name']
+    """)
+  }
+
+  test("unpivot") {
+    wv("""
+      from [
+       [1, 'electronics', 1, 2, 3],
+       [2, 'clothes', 10, 20, 30]
+      ] as sales(id, dept, jan, feb, mar)
+      unpivot
+        sales for month in (jan, feb, mar)
+      order by id, month
+      test _.columns should be ['id', 'dept', 'month', 'sales']
+      test _.size should be 6
+    """)
+  }
+
+  test("unnest") {
+    wv("""
+      from unnest([1, 2, 3]) as t(number)
+      test _.columns should be ['number']
+      test _.rows should be [[1], [2], [3]]
+    """)
+    wv("""
+      from [[1, 'a b'], [2, 'c']] as t(id, words)
+      cross join unnest(words.split(' ')) as w(word)
+      select id, word
+      order by id, word
+      test _.rows should be [[1, 'a'], [1, 'b'], [2, 'c']]
+    """)
+  }
+
+  test("case/if/cast/between/in/like expressions") {
+    wv("""
+      from [[1, 'apple'], [2, 'banana'], [3, 'cherry']] as t(id, name)
+      select
+        id,
+        case when id = 1 then 'one' when id = 2 then 'two' else 'many' end as word,
+        if(id > 1, 'big', 'small') as sized,
+        (id * 1.5)::int as casted,
+        id between 2 and 3 as in_range,
+        name in ('apple', 'cherry') as fav,
+        name like 'b%' as b_name
+      order by id
+      test _.rows should be [
+        [1, 'one', 'small', 1, false, true, false],
+        [2, 'two', 'big', 3, true, false, true],
+        [3, 'many', 'big', 4, true, true, false]
+      ]
+    """)
+  }
+
+  test("scalar method chains") {
+    wv("""
+      from [[17, ' Hello ']] as t(age, greeting)
+      select
+        (age / 5).to_int * 5 as age_group,
+        greeting.trim.lower as cleaned,
+        greeting.trim.length as len
+      test _.rows should be [[15, 'hello', 5]]
+    """)
+  }
+
+  test("distinct and select distinct") {
+    wv("""
+      from [[1, 'a'], [1, 'a'], [2, 'b']] as t(id, tag)
+      select distinct id, tag
+      order by id
+      test _.rows should be [[1, 'a'], [2, 'b']]
+    """)
+  }
+
+  test("limit and offset") {
+    wv("""
+      from [[1], [2], [3], [4]] as t(id)
+      order by id
+      limit 2
+      test _.rows should be [[1], [2]]
+    """)
+  }
+
+  test("in-subquery becomes semi join; not in becomes anti join") {
+    wv("""
+      from [[1, 'a'], [2, 'b'], [3, 'c']] as t(id, name)
+      where id in { from [[1], [3]] as s(sid) }
+      select name
+      order by name
+      test _.rows should be [['a'], ['c']]
+    """)
+    wv("""
+      from [[1, 'a'], [2, 'b'], [3, 'c']] as t(id, name)
+      where id not in { from [[1], [3]] as s(sid) }
+      select name
+      test _.rows should be [['b']]
+    """)
+  }
+
+  test("models and vals") {
+    wv("""
+      val min_id = 2
+
+      model big_rows = {
+        from [[1, 'a'], [2, 'b'], [3, 'c']] as t(id, name)
+        where id >= min_id
+      }
+
+      from big_rows
+      select name
+      order by name
+      test _.rows should be [['b'], ['c']]
+    """)
+  }
+
+  test("pivot with explicit values") {
+    wv("""
+      from [[2023, 'a'], [2023, 'b'], [2024, 'a']] as t(year, tag)
+      pivot on year in (2023, 2024)
+      order by tag
+      test _.columns should be ['tag', '2023', '2024']
+      test _.rows should be [['a', 1, 1], ['b', 1, 0]]
+    """)
+  }
+
+  test("group by rollup") {
+    wv("""
+      from [[1, 'x', 10], [2, 'x', 20], [3, 'y', 5]] as t(id, tag, v)
+      group by rollup tag
+      agg total = v.sum
+      order by tag nulls first
+      test _.rows should be [[null, 35], ['x', 30], ['y', 5]]
+    """)
+  }
+
+  test("string interpolation and concat") {
+    wv("""
+      from [[1, 'alice']] as t(id, name)
+      select s"user-${name}-${id}" as tag, name + '!' as excited
+      test _.rows should be [['user-alice-1', 'alice!']]
+    """)
+  }
+
+  test("sample returns requested row count") {
+    val df = wv("""
+      from [[1], [2], [3], [4], [5], [6], [7], [8]] as t(id)
+      sample 3
+    """)
+    assert(df.count() == 3)
+  }
+
+  test("describe") {
+    val df = wv("""
+      from [[1, 'a']] as t(id, name)
+      describe
+    """)
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).toList
+    assert(rows == List(("id", "bigint"), ("name", "string")))
+  }
+
+  test("agg over tpch-ish parquet: events tumbling window") {
+    val df = wv("""
+      from events
+      group by bucket = ts.date_trunc('hour')
+      agg n = _.count, total = value.sum
+      order by bucket
+    """)
+    assert(df.count() > 0)
+  }
+}
