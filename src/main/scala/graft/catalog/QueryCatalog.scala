@@ -1,0 +1,1147 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import graft.{Graft, Tables}
+import graft.operators.{Dedup, Similarity, Multimodal}
+import graft.functions.TextFunctions
+
+/** The operator-inventory query catalog: one named query per implemented
+  * operator family from SURVEY.md §2, each paired with equivalent ANSI SQL
+  * for the DuckDB oracle (driver contract, BASELINE.json).
+  *
+  * Conventions that make Spark and DuckDB hash-comparable:
+  *   - every query has a total ORDER BY (unique key tiebreak)
+  *   - double aggregates are round()ed (2–6 dp) on BOTH sides: the engines
+  *     sum in different orders, agreeing only to ~1e-10 relative
+  *   - integral aggregates are cast to BIGINT on the DuckDB side (DuckDB
+  *     sums int32 into HUGEINT, which pandas would render as float)
+  *   - event timestamps are emitted as epoch milliseconds (BIGINT): the
+  *     source parquet is nanosecond-precision, which Spark reads as long
+  *     (nanosAsLong) and DuckDB as timestamp_ns — raw timestamp outputs
+  *     would differ in physical type
+  */
+object QueryCatalog {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Build a query entry from flow-language text. */
+  private def wv(text: String): Q =
+    (spark, dir) => Graft.query(spark, text, Tables.resolver(spark, dir), basePath = dir)
+
+  // ===========================================================================
+  // A. Scans / filters / projections / ordering / limiting  (SURVEY §2.A–C)
+  // ===========================================================================
+
+  val relationalQueries: Seq[(String, Q, Option[String])] = Seq(
+    (
+      "q_scan_filter_project",
+      wv("""
+        from lineitem
+        where l_quantity > 45 and l_discount between 0.05 and 0.07
+        select l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        order by l_orderkey, l_linenumber
+      """),
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_quantity > 45 AND l_discount BETWEEN 0.05 AND 0.07
+        ORDER BY l_orderkey, l_linenumber
+      """)
+    ),
+    (
+      "q_agg_pricing_summary", // TPC-H Q1 shape: filter → group → agg → order
+      wv("""
+        from lineitem
+        where l_shipdate <= '1998-09-01'
+        group by l_returnflag, l_linestatus
+        agg
+          count_order = _.count,
+          sum_qty = l_quantity.sum.round(2),
+          sum_base_price = l_extendedprice.sum.round(2),
+          sum_disc_price = (l_extendedprice * (1 - l_discount)).sum.round(2),
+          avg_qty = l_quantity.avg.round(4),
+          avg_price = l_extendedprice.avg.round(4),
+          avg_disc = l_discount.avg.round(6)
+        order by l_returnflag, l_linestatus
+      """),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+          count(*) AS count_order,
+          round(sum(l_quantity), 2) AS sum_qty,
+          round(sum(l_extendedprice), 2) AS sum_base_price,
+          round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+          round(avg(l_quantity), 4) AS avg_qty,
+          round(avg(l_extendedprice), 4) AS avg_price,
+          round(avg(l_discount), 6) AS avg_disc
+        FROM lineitem
+        WHERE l_shipdate <= '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+      """)
+    ),
+    (
+      "q_having", // post-agg filter = HAVING
+      wv("""
+        from lineitem
+        group by l_orderkey
+        agg n = _.count, total = l_extendedprice.sum.round(2)
+        where n >= 6
+        order by l_orderkey
+      """),
+      Some("""
+        SELECT l_orderkey, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING count(*) >= 6
+        ORDER BY l_orderkey
+      """)
+    ),
+    (
+      "q_bare_group_by_having", // reference's AggregationType semantics
+      wv("""
+        from orders
+        group by o_custkey
+        where _.count >= 4
+        select o_custkey
+        order by o_custkey
+      """),
+      Some("""
+        SELECT o_custkey FROM orders
+        GROUP BY o_custkey HAVING count(*) >= 4
+        ORDER BY o_custkey
+      """)
+    ),
+    (
+      "q_count",
+      wv("from lineitem count"),
+      Some("SELECT count(*) AS count FROM lineitem")
+    ),
+    (
+      "q_distinct",
+      wv("""
+        from lineitem
+        select distinct l_returnflag, l_linestatus
+        order by l_returnflag, l_linestatus
+      """),
+      Some("""
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        ORDER BY l_returnflag, l_linestatus
+      """)
+    ),
+    (
+      "q_dedup",
+      wv("""
+        from orders
+        select o_orderstatus, o_orderpriority
+        dedup
+        order by o_orderstatus, o_orderpriority
+      """),
+      Some("""
+        SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        ORDER BY o_orderstatus, o_orderpriority
+      """)
+    ),
+    (
+      "q_limit_offset",
+      wv("""
+        from orders
+        select o_orderkey, o_totalprice
+        order by o_orderkey
+        limit 20
+        offset 10
+      """),
+      Some("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_orderkey LIMIT 20 OFFSET 10
+      """)
+    ),
+    (
+      "q_top_k", // order by … limit k → TakeOrderedAndProject
+      wv("""
+        from orders
+        select o_orderkey, o_totalprice
+        order by o_totalprice desc, o_orderkey
+        limit 15
+      """),
+      Some("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+      """)
+    ),
+    (
+      "q_values_inline",
+      wv("""
+        from [
+          [1, 'widget', 10.5],
+          [2, 'gadget', 20.0],
+          [3, 'gizmo', 5.25]
+        ] as products(id, name, price)
+        where price > 6.0
+        select id, name, price
+        order by id
+      """),
+      Some("""
+        SELECT id, name, price
+        FROM (VALUES (1, 'widget', 10.5), (2, 'gadget', 20.0), (3, 'gizmo', 5.25))
+          AS products(id, name, price)
+        WHERE price > 6.0
+        ORDER BY id
+      """)
+    ),
+    (
+      "q_column_ops", // add / rename / exclude / shift (schema-aware ops)
+      wv("""
+        from region
+        add name_len = r_name.length
+        rename r_name as region_name
+        shift name_len
+        order by r_regionkey
+      """),
+      Some("""
+        SELECT length(r_name)::INTEGER AS name_len, r_regionkey, r_name AS region_name
+        FROM region ORDER BY r_regionkey
+      """)
+    ),
+
+    // =========================================================================
+    // D. Joins (SURVEY §2.D)
+    // =========================================================================
+    (
+      "q_join_inner",
+      wv("""
+        from orders
+        join customer on orders.o_custkey = customer.c_custkey
+        group by c_mktsegment
+        agg n = _.count, revenue = o_totalprice.sum.round(2)
+        order by c_mktsegment
+      """),
+      Some("""
+        SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON orders.o_custkey = customer.c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+      """)
+    ),
+    (
+      "q_join_multi", // 5-way star join, TPC-H Q5 shape
+      wv("""
+        from lineitem
+        join orders on lineitem.l_orderkey = orders.o_orderkey
+        join customer on orders.o_custkey = customer.c_custkey
+        join nation on customer.c_nationkey = nation.n_nationkey
+        join region on nation.n_regionkey = region.r_regionkey
+        where o_orderstatus = 'F'
+        group by r_name, n_name
+        agg revenue = (l_extendedprice * (1 - l_discount)).sum.round(2)
+        order by r_name, n_name
+      """),
+      Some("""
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON lineitem.l_orderkey = orders.o_orderkey
+        JOIN customer ON orders.o_custkey = customer.c_custkey
+        JOIN nation ON customer.c_nationkey = nation.n_nationkey
+        JOIN region ON nation.n_regionkey = region.r_regionkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY r_name, n_name ORDER BY r_name, n_name
+      """)
+    ),
+    (
+      "q_join_left",
+      wv("""
+        from nation
+        left join customer on nation.n_nationkey = customer.c_nationkey
+        group by n_name
+        agg n_customers = c_custkey.count
+        order by n_name
+      """),
+      Some("""
+        SELECT n_name, count(c_custkey) AS n_customers
+        FROM nation LEFT JOIN customer ON nation.n_nationkey = customer.c_nationkey
+        GROUP BY n_name ORDER BY n_name
+      """)
+    ),
+    (
+      "q_join_implicit", // from a, b where … (implicit join)
+      wv("""
+        from supplier, nation
+        where s_nationkey = n_nationkey
+        group by n_name
+        agg n_suppliers = _.count, total_acctbal = s_acctbal.sum.round(2)
+        order by n_name
+      """),
+      Some("""
+        SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_acctbal
+        FROM supplier, nation WHERE s_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+      """)
+    ),
+    (
+      "q_join_semi", // in-subquery → left_semi
+      wv("""
+        from customer
+        where c_custkey in {
+          from orders
+          where o_totalprice > 400000
+          select o_custkey
+        }
+        select c_custkey, c_name
+        order by c_custkey
+      """),
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        ORDER BY c_custkey
+      """)
+    ),
+    (
+      "q_join_anti", // not-in-subquery → left_anti
+      wv("""
+        from customer
+        where c_custkey not in {
+          from orders
+          select o_custkey
+        }
+        select c_custkey, c_name
+        order by c_custkey
+      """),
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        ORDER BY c_custkey
+      """)
+    ),
+    (
+      "q_join_cross",
+      wv("""
+        from region
+        cross join nation
+        count
+      """),
+      Some("SELECT count(*) AS count FROM region CROSS JOIN nation")
+    ),
+    (
+      "q_join_using",
+      wv("""
+        from {
+          from nation
+          rename n_regionkey as r_regionkey
+        } as n
+        join region using r_regionkey
+        select n_nationkey, n_name, r_name
+        order by n_nationkey
+      """),
+      Some("""
+        SELECT n_nationkey, n_name, r_name
+        FROM (SELECT n_nationkey, n_name, n_regionkey AS r_regionkey FROM nation) n
+        JOIN region USING (r_regionkey)
+        ORDER BY n_nationkey
+      """)
+    ),
+    (
+      "q_asof_join", // purchases matched to latest prior view per user
+      wv("""
+        from {
+          from events
+          where event_type = 'purchase'
+          select event_id, user_id, ts
+        } as p
+        asof join {
+          from events
+          where event_type = 'view'
+          select user_id, view_ts = ts, view_value = value
+        } as v
+        on v.user_id = p.user_id and v.view_ts <= p.ts
+        select
+          event_id,
+          user_id,
+          ts_ms = unix_micros(ts) // 1000,
+          view_ts_ms = unix_micros(view_ts) // 1000,
+          view_value = view_value.round(4)
+        order by event_id
+      """),
+      Some("""
+        SELECT p.event_id AS event_id, p.user_id AS user_id,
+               epoch_ms(p.ts)::BIGINT AS ts_ms,
+               epoch_ms(v.view_ts)::BIGINT AS view_ts_ms,
+               round(v.view_value, 4) AS view_value
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN
+             (SELECT user_id, ts AS view_ts, value AS view_value
+              FROM events WHERE event_type = 'view') v
+        ON v.user_id = p.user_id AND v.view_ts <= p.ts
+        ORDER BY event_id
+      """)
+    ),
+
+    // =========================================================================
+    // E. Aggregation extras (SURVEY §2.E)
+    // =========================================================================
+    (
+      "q_count_distinct",
+      wv("""
+        from orders
+        group by o_orderstatus
+        agg n_customers = o_custkey.count_distinct, n = _.count
+        order by o_orderstatus
+      """),
+      Some("""
+        SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers, count(*) AS n
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+      """)
+    ),
+    (
+      "q_minmax_by",
+      wv("""
+        from orders
+        group by o_orderstatus
+        agg
+          biggest_order = o_orderkey.max_by(o_totalprice),
+          smallest_order = o_orderkey.min_by(o_totalprice),
+          max_price = o_totalprice.max.round(2),
+          min_price = o_totalprice.min.round(2)
+        order by o_orderstatus
+      """),
+      Some("""
+        SELECT o_orderstatus,
+          max_by(o_orderkey, o_totalprice) AS biggest_order,
+          min_by(o_orderkey, o_totalprice) AS smallest_order,
+          round(max(o_totalprice), 2) AS max_price,
+          round(min(o_totalprice), 2) AS min_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+      """)
+    ),
+    (
+      "q_stats_agg", // median / stddev / variance
+      wv("""
+        from orders
+        group by o_orderstatus
+        agg
+          med = o_totalprice.median.round(4),
+          sd = o_totalprice.stddev.round(4),
+          avg_price = o_totalprice.avg.round(4)
+        order by o_orderstatus
+      """),
+      Some("""
+        SELECT o_orderstatus,
+          round(median(o_totalprice), 4) AS med,
+          round(stddev_samp(o_totalprice), 4) AS sd,
+          round(avg(o_totalprice), 4) AS avg_price
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+      """)
+    ),
+    (
+      "q_string_agg",
+      wv("""
+        from nation
+        join region on nation.n_regionkey = region.r_regionkey
+        group by r_name
+        agg nations = n_name.string_agg(',')
+        order by r_name
+      """),
+      Some("""
+        SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation JOIN region ON nation.n_regionkey = region.r_regionkey
+        GROUP BY r_name ORDER BY r_name
+      """)
+    ),
+    (
+      "q_agg_filter_clause", // FILTER (WHERE …) on aggregates
+      wv("""
+        from lineitem
+        group by l_returnflag
+        agg
+          n = _.count,
+          n_big = count(l_orderkey) filter (where l_quantity > 40),
+          sum_small = sum(l_extendedprice) filter (where l_quantity <= 10)
+        select l_returnflag, n, n_big, sum_small = sum_small.round(2)
+        order by l_returnflag
+      """),
+      Some("""
+        SELECT l_returnflag, count(*) AS n,
+          count(l_orderkey) FILTER (WHERE l_quantity > 40) AS n_big,
+          round(sum(l_extendedprice) FILTER (WHERE l_quantity <= 10), 2) AS sum_small
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+      """)
+    ),
+    (
+      "q_rollup",
+      wv("""
+        from lineitem
+        group by rollup l_returnflag, l_linestatus
+        agg n = _.count, sum_qty = l_quantity.sum.round(2)
+        order by l_returnflag nulls first, l_linestatus nulls first
+      """),
+      Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+      """)
+    ),
+    (
+      "q_cube",
+      wv("""
+        from orders
+        group by cube o_orderstatus, o_orderpriority
+        agg n = _.count
+        order by o_orderstatus nulls first, o_orderpriority nulls first
+      """),
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+      """)
+    ),
+    (
+      "q_pivot",
+      wv("""
+        from {
+          from orders
+          select o_orderpriority, o_orderstatus
+        } as t
+        pivot on o_orderstatus in ('O', 'F', 'P')
+        order by o_orderpriority
+      """),
+      Some("""
+        SELECT o_orderpriority, "O", "F", "P"
+        FROM (
+          PIVOT (SELECT o_orderpriority, o_orderstatus FROM orders)
+          ON o_orderstatus IN ('O', 'F', 'P') USING count(*)
+        )
+        ORDER BY o_orderpriority
+      """)
+    ),
+    (
+      "q_unpivot",
+      wv("""
+        from {
+          from region
+          select r_regionkey,
+            key_plus = r_regionkey + 100,
+            key_times = r_regionkey * 10
+        } as t
+        unpivot metric_value for metric in (key_plus, key_times)
+        order by r_regionkey, metric
+      """),
+      Some("""
+        SELECT r_regionkey, metric, metric_value
+        FROM (SELECT r_regionkey, r_regionkey + 100 AS key_plus, r_regionkey * 10 AS key_times
+              FROM region)
+        UNPIVOT (metric_value FOR metric IN (key_plus, key_times))
+        ORDER BY r_regionkey, metric
+      """)
+    ),
+
+    // =========================================================================
+    // F. Window functions (SURVEY §2.F)
+    // =========================================================================
+    (
+      "q_window_rank",
+      wv("""
+        from orders
+        where o_totalprice > 450000
+        select o_custkey, o_orderkey, o_totalprice,
+          rnk = rank() over (partition by o_orderstatus order by o_totalprice desc, o_orderkey),
+          rn = row_number() over (partition by o_orderstatus order by o_totalprice desc, o_orderkey)
+        order by o_orderkey
+      """),
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+          row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders WHERE o_totalprice > 450000
+        ORDER BY o_orderkey
+      """)
+    ),
+    (
+      "q_window_running_frame", // rows[,0] compact frame syntax
+      wv("""
+        from {
+          from events
+          where event_type = 'purchase' and user_id < 100
+          select event_id, user_id, value
+        } as t
+        select event_id, user_id,
+          running_total = sum(value) over (partition by user_id order by event_id rows[,0]).round(4),
+          cnt_last3 = count(event_id) over (partition by user_id order by event_id rows[-2,0])
+        order by user_id, event_id
+      """),
+      Some("""
+        SELECT event_id, user_id,
+          round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
+          count(event_id) OVER (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cnt_last3
+        FROM events WHERE event_type = 'purchase' AND user_id < 100
+        ORDER BY user_id, event_id
+      """)
+    ),
+    (
+      "q_window_lag_lead",
+      wv("""
+        from {
+          from orders
+          where o_custkey < 50
+          select o_orderkey, o_custkey, o_totalprice
+        } as t
+        select o_orderkey, o_custkey,
+          prev_price = lag(o_totalprice) over (partition by o_custkey order by o_orderkey).round(2),
+          next_price = lead(o_totalprice) over (partition by o_custkey order by o_orderkey).round(2)
+        order by o_custkey, o_orderkey
+      """),
+      Some("""
+        SELECT o_orderkey, o_custkey,
+          round(lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS prev_price,
+          round(lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS next_price
+        FROM orders WHERE o_custkey < 50
+        ORDER BY o_custkey, o_orderkey
+      """)
+    ),
+    (
+      "q_window_ntile",
+      wv("""
+        from customer
+        select c_custkey,
+          quartile = ntile(4) over (order by c_acctbal, c_custkey)
+        order by c_custkey
+      """),
+      Some("""
+        SELECT c_custkey, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+        FROM customer ORDER BY c_custkey
+      """)
+    ),
+
+    // =========================================================================
+    // G. Set operations (SURVEY §2.G)
+    // =========================================================================
+    (
+      "q_union_distinct",
+      wv("""
+        from customer
+        select nationkey = c_nationkey
+        union {
+          from supplier
+          select nationkey = s_nationkey
+        }
+        order by nationkey
+      """),
+      Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION SELECT s_nationkey FROM supplier
+        ORDER BY nationkey
+      """)
+    ),
+    (
+      "q_concat_union_all",
+      wv("""
+        from {
+          from orders
+          where o_orderstatus = 'F'
+          select o_orderkey
+        }
+        concat {
+          from orders
+          where o_orderstatus = 'O'
+          select o_orderkey
+        }
+        count
+      """),
+      Some("""
+        SELECT count(*) AS count FROM (
+          SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+          UNION ALL SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O')
+      """)
+    ),
+    (
+      "q_except",
+      wv("""
+        from nation
+        select n_nationkey
+        except {
+          from customer
+          select nationkey = c_nationkey
+        }
+        order by n_nationkey
+      """),
+      Some("""
+        SELECT n_nationkey FROM nation
+        EXCEPT SELECT c_nationkey FROM customer
+        ORDER BY n_nationkey
+      """)
+    ),
+    (
+      "q_intersect",
+      wv("""
+        from customer
+        select nationkey = c_nationkey
+        intersect {
+          from supplier
+          select nationkey = s_nationkey
+        }
+        order by nationkey
+      """),
+      Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT SELECT s_nationkey FROM supplier
+        ORDER BY nationkey
+      """)
+    ),
+
+    // =========================================================================
+    // H. Unnest / lateral (SURVEY §2.H)
+    // =========================================================================
+    (
+      "q_unnest_lateral",
+      wv("""
+        from {
+          from documents
+          where doc_id < 20
+          select doc_id, text
+        } as d
+        cross join unnest(text.split(' ')) as w(word)
+        where word != ''
+        group by doc_id
+        agg n_words = _.count, n_distinct_words = word.count_distinct
+        order by doc_id
+      """),
+      Some("""
+        SELECT doc_id, count(*) AS n_words, count(DISTINCT word) AS n_distinct_words
+        FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents WHERE doc_id < 20)
+        WHERE word != ''
+        GROUP BY doc_id ORDER BY doc_id
+      """)
+    ),
+    (
+      "q_unnest_values",
+      wv("""
+        from unnest([10, 20, 30, 40]) as t(n)
+        where n > 15
+        select n, doubled = n * 2
+        order by n
+      """),
+      Some("""
+        SELECT n, n * 2 AS doubled
+        FROM (SELECT unnest([10, 20, 30, 40]) AS n)
+        WHERE n > 15 ORDER BY n
+      """)
+    ),
+
+    // =========================================================================
+    // I. Scalar expression surface (SURVEY §2.I)
+    // =========================================================================
+    (
+      "q_case_cast_if",
+      wv("""
+        from orders
+        select o_orderkey,
+          status_word = case o_orderstatus
+            when 'O' then 'open'
+            when 'F' then 'finished'
+            else 'partial'
+          end,
+          is_big = if(o_totalprice > 200000, 1, 0),
+          price_int = o_totalprice.floor::long,
+          order_year = extract(year from o_orderdate)::long
+        order by o_orderkey
+        limit 500
+      """),
+      Some("""
+        SELECT o_orderkey,
+          CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+            ELSE 'partial' END AS status_word,
+          CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END AS is_big,
+          CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+          CAST(extract(year FROM o_orderdate) AS BIGINT) AS order_year
+        FROM orders ORDER BY o_orderkey LIMIT 500
+      """)
+    ),
+    (
+      "q_string_funcs",
+      wv("""
+        from customer
+        where c_custkey <= 200
+        select c_custkey,
+          up = c_name.upper,
+          low = c_name.lower,
+          name_len = c_name.length::long,
+          piece = c_name.substring(1, 8),
+          replaced = c_name.replace('Customer', 'C'),
+          combined = c_mktsegment + '-' + c_custkey.to_string,
+          seg3 = c_mktsegment.substring(1, 3).lower
+        order by c_custkey
+      """),
+      Some("""
+        SELECT c_custkey,
+          upper(c_name) AS up,
+          lower(c_name) AS low,
+          length(c_name)::BIGINT AS name_len,
+          substring(c_name, 1, 8) AS piece,
+          replace(c_name, 'Customer', 'C') AS replaced,
+          c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS combined,
+          lower(substring(c_mktsegment, 1, 3)) AS seg3
+        FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey
+      """)
+    ),
+    (
+      "q_scalar_subquery",
+      wv("""
+        from customer
+        where c_custkey > (from customer agg m = c_custkey.max) - 50
+        select c_custkey, c_name
+        order by c_custkey
+      """),
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey > (SELECT max(c_custkey) FROM customer) - 50
+        ORDER BY c_custkey
+      """)
+    ),
+    (
+      "q_date_ops",
+      wv("""
+        from orders
+        group by order_month = o_orderdate.date_trunc('month')
+        agg n = _.count, revenue = o_totalprice.sum.round(2)
+        select month_str = order_month.date_format('yyyy-MM'), n, revenue
+        order by month_str
+      """),
+      Some("""
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month_str,
+               count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1 ORDER BY month_str
+      """)
+    ),
+
+    // =========================================================================
+    // J/K. Models (named parameterized queries), events windows
+    // =========================================================================
+    (
+      "q_model_reuse",
+      wv("""
+        model big_orders = {
+          from orders
+          where o_totalprice > 300000
+        }
+
+        from big_orders
+        join customer on big_orders.o_custkey = customer.c_custkey
+        group by c_mktsegment
+        agg n = _.count
+        order by c_mktsegment
+      """),
+      Some("""
+        WITH big_orders AS (SELECT * FROM orders WHERE o_totalprice > 300000)
+        SELECT c_mktsegment, count(*) AS n
+        FROM big_orders JOIN customer ON big_orders.o_custkey = customer.c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+      """)
+    ),
+    (
+      "q_events_tumbling_window", // streaming-shaped: tumbling 1h buckets
+      wv("""
+        from events
+        group by bucket_ms = unix_micros(ts.date_trunc('hour')) // 1000, event_type
+        agg n = _.count, total_value = value.sum.round(4)
+        order by bucket_ms, event_type
+      """),
+      Some("""
+        SELECT epoch_ms(date_trunc('hour', ts))::BIGINT AS bucket_ms, event_type,
+               count(*) AS n, round(sum(value), 4) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type
+      """)
+    ),
+    (
+      "q_events_sessionize", // gap-based sessionization via window + agg
+      wv("""
+        from events
+        add prev_ms = unix_micros(lag(ts) over (partition by user_id order by ts, event_id)) // 1000
+        add ts_ms = unix_micros(ts) // 1000
+        add is_new = if(prev_ms is null or ts_ms - prev_ms > 1800000, 1, 0)
+        group by user_id
+        agg n_events = _.count, n_sessions = is_new.sum
+        order by user_id
+      """),
+      Some("""
+        WITH w AS (
+          SELECT user_id, event_id,
+                 epoch_ms(ts)::BIGINT AS ts_ms,
+                 epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT AS prev_ms
+          FROM events)
+        SELECT user_id, count(*) AS n_events,
+               sum(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END)::BIGINT AS n_sessions
+        FROM w GROUP BY user_id ORDER BY user_id
+      """)
+    ),
+    (
+      "q_sample", // nondeterministic across engines → rows-only check
+      wv("""
+        from lineitem
+        sample reservoir(100)
+        count
+      """),
+      None
+    )
+  )
+
+  // ===========================================================================
+  // LLM-pipeline operators (BASELINE.json north star)
+  // ===========================================================================
+
+  val pipelineQueries: Seq[(String, Q, Option[String])] = Seq(
+    (
+      "q_text_stats",
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        docs.select(
+          F.col("doc_id"),
+          TextFunctions.tokenCount(F.col("text")).cast("bigint").as("n_tokens"),
+          TextFunctions.subwordCountEstimate(F.col("text")).as("n_subwords"),
+          F.round(TextFunctions.alphaRatio(F.col("text")), 4).as("alpha_ratio"),
+          F.round(TextFunctions.stopwordRatio(F.col("text")), 4).as("stopword_ratio"),
+          TextFunctions.fingerprint(F.col("text")).as("fingerprint")
+        ).orderBy("doc_id")
+      },
+      Some(s"""
+        SELECT doc_id,
+          len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))::BIGINT AS n_tokens,
+          list_sum(list_transform(
+            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0),
+            w -> 1 + ((len(w) - 1) // 4)))::BIGINT AS n_subwords,
+          round(CASE WHEN length(text) = 0 THEN 0.0
+            ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) END, 4) AS alpha_ratio,
+          round(CASE WHEN len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) = 0 THEN 0.0
+            ELSE len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> list_contains(${sqlList(TextFunctions.enStopwords)}, x)))::DOUBLE
+                 / len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) END, 4) AS stopword_ratio,
+          md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents ORDER BY doc_id
+      """)
+    ),
+    (
+      "q_text_langid",
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        docs.select(
+          F.col("doc_id"),
+          TextFunctions.langId(F.col("text")).as("lang_guess")
+        ).orderBy("doc_id")
+      },
+      Some {
+        def score(words: Seq[String]) =
+          s"len(list_filter(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0), x -> list_contains(${sqlList(words)}, x)))"
+        s"""
+        WITH scored AS (
+          SELECT doc_id,
+            ${score(TextFunctions.enStopwords)} AS s_en,
+            ${score(TextFunctions.deStopwords)} AS s_de,
+            ${score(TextFunctions.frStopwords)} AS s_fr,
+            ${score(TextFunctions.esStopwords)} AS s_es,
+            len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS n_toks
+          FROM documents)
+        SELECT doc_id,
+          CASE WHEN n_toks = 0 THEN 'und'
+               WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+               WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+               WHEN s_en >= s_de THEN 'en'
+               ELSE 'de' END AS lang_guess
+        FROM scored ORDER BY doc_id
+      """
+      }
+    ),
+    (
+      "q_text_quality",
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        docs.select(
+          F.col("doc_id"),
+          TextFunctions.qualityScore(F.col("text")).as("quality")
+        ).orderBy("doc_id")
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id, text,
+            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+            least(length(text)::DOUBLE / 500.0, 1.0) AS length_score,
+            CASE WHEN length(text) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) END AS alpha,
+            least(CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE len(list_filter(toks, x -> list_contains(${sqlList(TextFunctions.enStopwords)}, x)))::DOUBLE / len(toks) END * 4.0, 1.0) AS stop,
+            CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE list_sum(list_transform(toks, w -> len(w)))::DOUBLE / len(toks) END AS mwl
+          FROM t)
+        SELECT doc_id,
+          round(length_score * 0.3 + alpha * 0.3 + stop * 0.2 +
+                (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 4) AS quality
+        FROM m ORDER BY doc_id
+      """)
+    ),
+    (
+      "q_dedup_exact",
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        Dedup.exactGroups(docs, "doc_id", "text").orderBy("keep_id")
+      },
+      Some("""
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+               min(doc_id) AS keep_id, count(*) AS dup_count
+        FROM documents GROUP BY 1 ORDER BY keep_id
+      """)
+    ),
+    (
+      "q_dedup_ngram_jaccard",
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.12)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH sh AS (
+          SELECT doc_id AS id,
+            list_distinct(list_transform(
+              range(1, greatest(len(toks) - 1, 0) + 1),
+              i -> toks[i] || ' ' || toks[i + 1])) AS shingles
+          FROM (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+                FROM documents)
+          WHERE len(toks) >= 2),
+        post AS (SELECT id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh)
+        SELECT a.id AS id_a, b.id AS id_b,
+          round(count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)), 6) AS jaccard
+        FROM post a JOIN post b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+        HAVING round(count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)), 6) >= 0.12
+        ORDER BY id_a, id_b
+      """)
+    ),
+    (
+      "q_dedup_minhash_lsh", // approximate (engine-specific hashing) → rows-only
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.12,
+          numHashes = 64, bands = 16, shingleSize = 2)
+          .orderBy("id_a", "id_b")
+      },
+      None
+    ),
+    (
+      "q_dedup_simhash", // approximate (engine-specific hashing) → rows-only
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+          .orderBy("id_a", "id_b")
+      },
+      None
+    ),
+    (
+      "q_dedup_embedding_cosine",
+      (spark, dir) => {
+        val embs = Tables.read(spark, dir, "embeddings")
+        Dedup.embeddingCosinePairs(embs, "vec_id", "embedding",
+          threshold = 0.35, bruteForce = true)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          round(
+            list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+            (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+             sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(
+            list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+            (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+             sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) >= 0.35
+        ORDER BY id_a, id_b
+      """)
+    ),
+    (
+      "q_similarity_topk_bruteforce",
+      (spark, dir) => {
+        val embs = Tables.read(spark, dir, "embeddings")
+        val queries = embs.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+        Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""
+        WITH sims AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+            round(
+              list_sum(list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) /
+              (sqrt(list_sum(list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) *
+               sqrt(list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))), 6) AS cos_sim
+          FROM embeddings c CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+          WHERE c.vec_id != q.vec_id),
+        ranked AS (
+          SELECT query_id, corpus_id, cos_sim,
+            row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS rank
+          FROM sims)
+        SELECT query_id, corpus_id, cos_sim, rank::INTEGER AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+      """)
+    ),
+    (
+      "q_similarity_topk_lsh", // approximate → rows-only
+      (spark, dir) => {
+        val embs = Tables.read(spark, dir, "embeddings")
+        val queries = embs.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+        Similarity.lshTopK(embs, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, planes = 8, tables = 6)
+          .orderBy("query_id", "rank")
+      },
+      None
+    ),
+    (
+      "q_multimodal_media",
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        docs
+          .withColumn("payload", F.col("text").cast("binary"))
+          .withColumn("meta", Multimodal.asMediaColumn(F.col("payload"), "text/plain"))
+          .select(
+            F.col("doc_id"),
+            F.col("meta.media_type").as("media_type"),
+            F.col("meta.n_bytes").as("n_bytes"),
+            F.col("meta.sha").as("sha")
+          )
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, 'text/plain' AS media_type,
+               octet_length(text::BLOB)::BIGINT AS n_bytes,
+               sha256(text) AS sha
+        FROM documents ORDER BY doc_id
+      """)
+    ),
+    (
+      "q_multimodal_frames", // explode plan for frame sampling (stub decode)
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+          .withColumn("payload", F.col("text").cast("binary"))
+        Multimodal.sampleFrames(docs.select("doc_id", "payload"), "payload",
+          stride = 1, maxFrames = 4)
+          .groupBy("doc_id")
+          .agg(F.count(F.lit(1)).as("n_frames"))
+          .orderBy("doc_id")
+      },
+      None // stubbed frame-count heuristic is engine-internal → rows-only
+    )
+  )
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val all: Seq[(String, Q, Option[String])] = relationalQueries ++ pipelineQueries
+
+  def queries: Map[String, Q] =
+    all.map { case (n, q, _) => n -> q }.toMap
+
+  def oracleSql: Map[String, String] =
+    all.collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
+}

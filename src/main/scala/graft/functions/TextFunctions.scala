@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{functions => F}
+
+/** Text-analysis column functions for large-scale training-data pipelines.
+  *
+  * Everything here is a pure `Column` expression (no UDFs): whole-stage
+  * codegen applies, predicates stay pushable, and the functions compose
+  * with any DataFrame plan at 100 TB scale. Where a function must be
+  * reproducible in ANSI SQL (for the DuckDB correctness oracle), the
+  * building blocks are deliberately restricted to portable primitives
+  * (split / md5 / length / regexp).
+  */
+object TextFunctions {
+
+  /** Lowercased alphanumeric word tokens. */
+  def tokens(text: Column): Column =
+    F.filter(F.split(F.lower(text), "[^a-z0-9]+"), t => F.length(t) > 0)
+
+  /** Whitespace token count (portable definition: split on runs of spaces). */
+  def tokenCount(text: Column): Column = F.size(tokens(text))
+
+  /** BPE-ish subword count estimate: words + extra tokens for long words
+    * (every 4 chars beyond the first 4 adds one), a standard cheap proxy. */
+  def subwordCountEstimate(text: Column): Column =
+    F.aggregate(
+      tokens(text),
+      F.lit(0L),
+      (acc, w) => acc + F.lit(1L) + F.floor((F.length(w) - 1) / 4).cast("long")
+    )
+
+  /** Document fingerprint: md5 of normalized text (lowercase, collapsed
+    * whitespace). Portable across engines — DuckDB md5() agrees. */
+  def fingerprint(text: Column): Column =
+    F.md5(F.trim(F.regexp_replace(F.lower(text), "\\s+", " ")).cast("binary"))
+
+  /** 64-bit rolling (polynomial) hash over characters — a fast non-crypto
+    * fingerprint for shingles; stays in codegen via xxhash64. */
+  def rollingHash(text: Column): Column = F.xxhash64(text)
+
+  // --- quality scoring -------------------------------------------------------
+
+  /** Ratio of alphabetic characters. */
+  def alphaRatio(text: Column): Column = {
+    val len = F.length(text)
+    F.when(len === 0, 0.0)
+      .otherwise(F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double") / len)
+  }
+
+  /** Ratio of punctuation characters. */
+  def punctRatio(text: Column): Column = {
+    val len = F.length(text)
+    val punct = len - F.length(F.regexp_replace(text, "[.,;:!?'\"()\\[\\]-]", ""))
+    F.when(len === 0, 0.0).otherwise(punct.cast("double") / len)
+  }
+
+  /** English stopwords used for stopword-ratio and language ID. Fixed,
+    * deterministic list — must match the SQL oracle verbatim. */
+  val enStopwords: Seq[String] =
+    Seq("the", "and", "of", "to", "in", "is", "it", "a", "that", "for", "on", "with", "as")
+  val deStopwords: Seq[String] =
+    Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit", "von", "auf")
+  val frStopwords: Seq[String] =
+    Seq("le", "la", "les", "et", "est", "un", "une", "de", "du", "pour", "dans", "que")
+  val esStopwords: Seq[String] =
+    Seq("el", "la", "los", "las", "y", "es", "un", "una", "de", "del", "para", "en")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val n = F.size(toks)
+    F.when(n === 0, 0.0).otherwise(
+      F.size(F.filter(toks, t => t.isin(enStopwords: _*))).cast("double") / n)
+  }
+
+  /** Mean token length. */
+  def meanWordLength(text: Column): Column = {
+    val toks = tokens(text)
+    val n = F.size(toks)
+    F.when(n === 0, 0.0).otherwise(
+      F.aggregate(toks, F.lit(0L), (acc, w) => acc + F.length(w)).cast("double") / n)
+  }
+
+  /** Composite quality score in [0,1] — weighted blend of length,
+    * alpha-ratio, stopword presence and word-length sanity. Deterministic
+    * and SQL-replicable. */
+  def qualityScore(text: Column): Column = {
+    val lengthScore = F.least(F.length(text).cast("double") / 500.0, F.lit(1.0))
+    val alpha = alphaRatio(text)
+    val stop = F.least(stopwordRatio(text) * 4.0, F.lit(1.0))
+    val mwl = meanWordLength(text)
+    val wordLenScore =
+      F.when(mwl.between(3.0, 10.0), 1.0).otherwise(0.5)
+    F.round(lengthScore * 0.3 + alpha * 0.3 + stop * 0.2 + wordLenScore * 0.2, 4)
+  }
+
+  // --- language identification ----------------------------------------------
+
+  /** Stopword-overlap language ID over {en, de, fr, es}; deterministic
+    * tiebreak by score then language code. Returns the language code. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    def score(words: Seq[String]): Column =
+      F.size(F.filter(toks, t => t.isin(words: _*)))
+    val scored = F.array(
+      F.struct(score(enStopwords).as("score"), F.lit("en").as("lang")),
+      F.struct(score(deStopwords).as("score"), F.lit("de").as("lang")),
+      F.struct(score(frStopwords).as("score"), F.lit("fr").as("lang")),
+      F.struct(score(esStopwords).as("score"), F.lit("es").as("lang"))
+    )
+    // max by (score, lang) — struct ordering is lexicographic; ties broken by
+    // the lang code itself so the result is total and deterministic
+    F.when(F.size(toks) === 0, F.lit("und"))
+      .otherwise(F.array_max(scored).getField("lang"))
+  }
+
+  // --- shingles (for dedup) ---------------------------------------------------
+
+  /** Word n-gram shingles as strings: n consecutive tokens joined by a space.
+    * Distinct set — dedup semantics use set Jaccard. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    F.array_distinct(
+      F.when(F.size(toks) < n, F.array())
+        .otherwise(
+          F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            i => F.concat_ws(" ", F.slice(toks, i, F.lit(n)))
+          )
+        )
+    )
+  }
+
+  /** Character n-gram shingles over normalized text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
+    F.array_distinct(
+      F.when(F.length(norm) < n, F.array())
+        .otherwise(
+          F.transform(
+            F.sequence(F.lit(1), F.length(norm) - (n - 1)),
+            i => F.call_function("substring", norm, i, F.lit(n))
+          )
+        )
+    )
+  }
+
+  /** 64-bit hashes of shingles (xxhash64 — codegen'd, uniform). */
+  def shingleHashes(text: Column, n: Int): Column =
+    F.transform(wordShingles(text, n), s => F.xxhash64(s))
+}

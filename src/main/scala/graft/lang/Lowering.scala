@@ -119,7 +119,7 @@ object Lowering {
   private def lowerRel(rel: Relation, ctx: Context): LRes = rel match {
     case TableRef(name) =>
       ctx.models.get(name) match {
-        case Some(m) => lowerRel(m.body, ctx)
+        case Some(m) => Plain(lower(m.body, ctx).alias(name))
         case None =>
           // auto-alias by table name so `on a.x = b.y` qualifiers resolve
           val shortName = name.split('.').last
@@ -239,7 +239,14 @@ object Lowering {
       Plain(df.orderBy(items.map(si => sortCol(si, df, ctx)): _*))
 
     case Limit(child, n) => Plain(lower(child, ctx).limit(n.toInt))
-    case Offset(child, n) => Plain(lower(child, ctx).offset(n.toInt))
+    case Offset(child, n) =>
+      child match {
+        // SQL semantics (reference SqlGenerator.scala:431-433): OFFSET applies
+        // before LIMIT regardless of pipe order — `limit 20 offset 10` means
+        // skip 10, take 20.
+        case Limit(inner, ln) => Plain(lower(inner, ctx).offset(n.toInt).limit(ln.toInt))
+        case _ => Plain(lower(child, ctx).offset(n.toInt))
+      }
 
     case CountRel(child) =>
       lowerRel(child, ctx) match {

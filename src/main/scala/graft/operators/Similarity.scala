@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), per the training-data-pipeline surface in
+  * BASELINE.json's north star.
+  *
+  * Two paths:
+  *   - `bruteForceTopK`: exact cosine top-k — broadcast the (small) query
+  *     set against the corpus, rank with a per-query window. The correctness
+  *     baseline; cost O(|corpus|·|queries|) but fully distributed and
+  *     shuffle-light (queries are broadcast, ranking is a window over the
+  *     query id partition).
+  *   - `lshTopK`: random-hyperplane LSH buckets (signature of `planes` sign
+  *     bits, `tables` independent hash tables for recall). The 100 TB path:
+  *     candidates come only from matching buckets; per-table shuffle is a
+  *     hash join on the bucket key.
+  *
+  * Hyperplanes are generated from a fixed seed → results are deterministic.
+  */
+object Similarity {
+
+  /** Deterministic random hyperplanes: `planes` × dim, seed fixed. */
+  private def hyperplanes(dim: Int, planes: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit signature of a vector against `planes` seeded hyperplanes,
+    * packed into a long. Columnar: dot products via zip_with over a literal
+    * plane matrix. Requires the vector dimension up front (the plane array
+    * is a literal; dimension mismatch yields null dot → bit 0). */
+  def hyperplaneSignature(vec: Column, planes: Int, dim: Int = 64, seed: Long = 7L): Column = {
+    val hp = hyperplanes(dim, planes, seed)
+    val bits: Seq[Column] = hp.toSeq.map { plane =>
+      val planeCol = F.array(plane.map(F.lit(_)).toSeq: _*)
+      val dot = F.aggregate(
+        F.zip_with(vec, planeCol, (x, w) => x.cast("double") * w),
+        F.lit(0.0), (acc, v) => acc + v)
+      F.when(dot > 0, F.lit(1L)).otherwise(F.lit(0L))
+    }
+    bits.zipWithIndex.map { case (b, i) => F.shiftleft(b, i) }
+      .reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Exact brute-force cosine top-k.
+    *
+    * @param corpus  (id, vec) relation — the searchable set
+    * @param queries (id, vec) relation — small; gets broadcast
+    * @return one row per (query_id, rank): query_id, corpus_id, cos_sim, rank
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int = 10,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val c = corpus.select(F.col(corpusId).as("corpus_id"), F.col(corpusVec).as("__cv"))
+    val q = queries.select(F.col(queryId).as("query_id"), F.col(queryVec).as("__qv"))
+    var joined = c.crossJoin(F.broadcast(q))
+    if (excludeSelf) joined = joined.filter(F.col("corpus_id") =!= F.col("query_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("cos_sim").desc, F.col("corpus_id").asc)
+    joined
+      .withColumn("cos_sim", F.round(Dedup.cosine(F.col("__cv"), F.col("__qv")), 6))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "corpus_id", "cos_sim", "rank")
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share a bucket in at least
+    * one of `tables` hash tables; exact cosine ranks the candidates.
+    * Recall grows with tables; cost stays ~O(candidates). */
+  def lshTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int = 10,
+      planes: Int = 10,
+      tables: Int = 4,
+      dim: Int = 64,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val c = corpus.select(F.col(corpusId).as("corpus_id"), F.col(corpusVec).as("__cv"))
+    val q = queries.select(F.col(queryId).as("query_id"), F.col(queryVec).as("__qv"))
+
+    def withBuckets(df: DataFrame, vec: String): DataFrame =
+      df.select(
+        df.columns.map(F.col) :+
+          F.explode(F.array(
+            (0 until tables).map(t =>
+              F.concat(F.lit(t.toString + ":"),
+                hyperplaneSignature(F.col(vec), planes, dim, seed = 7L + t))): _*
+          )).as("bucket"): _*
+      )
+
+    val cb = withBuckets(c, "__cv")
+    val qb = withBuckets(q, "__qv")
+    var cand = cb.join(qb, Seq("bucket"))
+      .drop("bucket")
+      .dropDuplicates("query_id", "corpus_id")
+    if (excludeSelf) cand = cand.filter(F.col("corpus_id") =!= F.col("query_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("cos_sim").desc, F.col("corpus_id").asc)
+    cand
+      .withColumn("cos_sim", F.round(Dedup.cosine(F.col("__cv"), F.col("__qv")), 6))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "corpus_id", "cos_sim", "rank")
+  }
+}

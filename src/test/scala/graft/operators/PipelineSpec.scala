@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{functions => F}
+
+class PipelineSpec extends SparkTestBase {
+
+  lazy val docs = table("documents")
+  lazy val embs = table("embeddings")
+
+  test("text functions: tokens, quality, langid, fingerprint are total") {
+    val out = docs.select(
+      F.col("doc_id"),
+      TextFunctions.tokenCount(F.col("text")).as("n_tokens"),
+      TextFunctions.qualityScore(F.col("text")).as("quality"),
+      TextFunctions.langId(F.col("text")).as("lang_guess"),
+      TextFunctions.fingerprint(F.col("text")).as("fp")
+    ).collect()
+    assert(out.length == docs.count())
+    assert(out.forall(r => r.getInt(1) > 0))
+    assert(out.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    assert(out.forall(r => Set("en", "de", "fr", "es", "und").contains(r.getString(3))))
+    assert(out.forall(r => r.getString(4).length == 32))
+  }
+
+  test("exact dedup: duplicated text collapses") {
+    val withDup = docs.limit(10).union(docs.limit(3)) // 3 exact dups
+    val groups = Dedup.exactGroups(withDup, "doc_id", "text")
+    assert(groups.count() == 10)
+    assert(groups.filter(F.col("dup_count") === 2).count() == 3)
+  }
+
+  test("minhash LSH finds a planted near-duplicate") {
+    import spark.implicits._
+    val base = docs.limit(20).select("doc_id", "text")
+    // plant a near-dup of doc 0: append two words
+    val planted = base.filter($"doc_id" === 0)
+      .select(F.lit(9999L).as("doc_id"), F.concat($"text", F.lit(" extra word")).as("text"))
+    val pairs = Dedup.minhashLshPairs(base.union(planted), "doc_id", "text", threshold = 0.7)
+      .collect()
+    assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 9999L),
+      s"expected (0, 9999) pair, got ${pairs.mkString(", ")}")
+  }
+
+  test("simhash: hamming 0 for identical docs, pairs found") {
+    import spark.implicits._
+    val base = docs.limit(10).select("doc_id", "text")
+    val dup = base.filter($"doc_id" === 1)
+      .select(F.lit(8888L).as("doc_id"), $"text")
+    val pairs = Dedup.simhashPairs(base.union(dup), "doc_id", "text", maxHamming = 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 8888L && r.getInt(2) == 0))
+  }
+
+  test("ngram jaccard: identical doc has jaccard 1.0") {
+    import spark.implicits._
+    val base = docs.limit(10).select("doc_id", "text")
+    val dup = base.filter($"doc_id" === 2)
+      .select(F.lit(7777L).as("doc_id"), $"text")
+    val pairs = Dedup.ngramJaccardPairs(base.union(dup), "doc_id", "text", n = 2, threshold = 0.9)
+      .collect()
+    assert(pairs.exists(r => r.getLong(0) == 2L && r.getLong(1) == 7777L && r.getDouble(2) == 1.0))
+  }
+
+  test("embedding cosine: self-duplicate found at threshold ~1") {
+    import spark.implicits._
+    val base = embs.limit(50).select("vec_id", "embedding")
+    val dup = base.filter($"vec_id" === 3)
+      .select(F.lit(6666L).as("vec_id"), $"embedding")
+    val pairs = Dedup.embeddingCosinePairs(
+      base.union(dup), "vec_id", "embedding", threshold = 0.999, bruteForce = true).collect()
+    assert(pairs.exists(r => r.getLong(0) == 3L && r.getLong(1) == 6666L))
+  }
+
+  test("brute-force topk: rank 1 is the most similar, k respected") {
+    val queries = embs.filter(F.col("vec_id") < 3).select("vec_id", "embedding")
+    val res = Similarity.bruteForceTopK(
+      embs, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)
+    val rows = res.collect()
+    assert(rows.length == 15) // 3 queries × 5
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getDouble(2)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
+  test("LSH topk returns subset consistent with brute force at rank 1") {
+    val queries = embs.filter(F.col("vec_id") < 2).select("vec_id", "embedding")
+    val approx = Similarity.lshTopK(
+      embs, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 3, planes = 6, tables = 8).collect()
+    // recall sanity, not exactness: every query returns ≥1 candidate
+    assert(approx.map(_.getLong(0)).distinct.length == 2)
+  }
+
+  test("multimodal: media struct + stub decode + frame sampling") {
+    val media = docs.limit(5).select(
+      F.col("doc_id"),
+      F.col("text").cast("binary").as("payload"))
+      .withColumn("meta", Multimodal.asMediaColumn(F.col("payload"), "text/plain"))
+      .withColumn("features", Multimodal.decodeImageStub(F.col("payload")))
+    val rows = media.collect()
+    assert(rows.forall(_.getAs[org.apache.spark.sql.Row]("meta").getAs[Long]("n_bytes") > 0))
+    assert(rows.forall(_.getSeq[Double](3).length == 8))
+    val frames = Multimodal.sampleFrames(media.select("doc_id", "payload"), "payload")
+    assert(frames.count() >= 5)
+    assert(frames.columns.contains("frame_idx"))
+  }
+}
