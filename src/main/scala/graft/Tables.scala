@@ -27,7 +27,9 @@ object Tables {
     if (name == "events" || df.schema.exists(f => f.name == "ts" && f.dataType.typeName == "long")) {
       df.schema.find(_.name == "ts") match {
         case Some(f) if f.dataType.typeName == "long" =>
-          df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+          // integral div: `/` would promote to double, and ns epoch values
+          // (~1.7e18) exceed double's 2^53 exact range — off-by-1µs vs DuckDB
+          df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         case _ => df
       }
     } else df

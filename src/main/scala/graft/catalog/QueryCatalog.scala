@@ -347,7 +347,7 @@ object QueryCatalog {
           where event_type = 'purchase'
           select event_id, user_id, ts
         } as p
-        asof join {
+        asof left join {
           from events
           where event_type = 'view'
           select user_id, view_ts = ts, view_value = value
@@ -368,6 +368,39 @@ object QueryCatalog {
                round(v.view_value, 4) AS view_value
         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         ASOF LEFT JOIN
+             (SELECT user_id, ts AS view_ts, value AS view_value
+              FROM events WHERE event_type = 'view') v
+        ON v.user_id = p.user_id AND v.view_ts <= p.ts
+        ORDER BY event_id
+      """)
+    ),
+    (
+      "q_asof_join_inner", // inner asof: purchases with no prior view dropped
+      wv("""
+        from {
+          from events
+          where event_type = 'purchase'
+          select event_id, user_id, ts
+        } as p
+        asof join {
+          from events
+          where event_type = 'view'
+          select user_id, view_ts = ts, view_value = value
+        } as v
+        on v.user_id = p.user_id and v.view_ts <= p.ts
+        select
+          event_id,
+          user_id,
+          view_ts_ms = unix_micros(view_ts) // 1000,
+          view_value = view_value.round(4)
+        order by event_id
+      """),
+      Some("""
+        SELECT p.event_id AS event_id, p.user_id AS user_id,
+               epoch_ms(v.view_ts)::BIGINT AS view_ts_ms,
+               round(v.view_value, 4) AS view_value
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN
              (SELECT user_id, ts AS view_ts, value AS view_value
               FROM events WHERE event_type = 'view') v
         ON v.user_id = p.user_id AND v.view_ts <= p.ts

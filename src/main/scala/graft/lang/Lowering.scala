@@ -497,7 +497,14 @@ object Lowering {
     }
     val (lKey, op, rKey) =
       ineq.getOrElse(throw new LoweringException("asof join needs an inequality condition"))
-    graft.operators.AsOfJoin.asofJoin(l, r, eqKeys, lKey, rKey, op)
+    // `asof join` is inner (DuckDB ASOF JOIN drops unmatched left rows);
+    // `asof left join` keeps them with nulls.
+    val keepUnmatched = j.kind match {
+      case JoinKind.Inner => false
+      case JoinKind.Left => true
+      case other => throw new LoweringException(s"unsupported asof join kind: $other")
+    }
+    graft.operators.AsOfJoin.asofJoin(l, r, eqKeys, lKey, rKey, op, keepUnmatched)
   }
 
   private def flipOp(op: String): String = op match {
@@ -761,35 +768,103 @@ object Lowering {
     }
   }
 
+  /** Aggregates that take a single value argument — eligible for the generic
+    * FILTER (WHERE …) rewrite `agg(when(cond, x))` (nulls are ignored by all
+    * of them) and for `__orderby`-aware collection. */
+  private val singleArgAggs: Set[String] = Set(
+    "sum", "avg", "min", "max", "median", "any_value", "arbitrary",
+    "stddev", "stddev_samp", "stddev_pop", "variance", "var_samp", "var_pop",
+    "skewness", "kurtosis", "collect_list", "array_agg", "collect_set",
+    "approx_count_distinct", "count_if", "bool_and", "bool_or", "mode",
+    "bit_and", "bit_or", "bit_xor", "product")
+
   private def lowerFunction(fc: FunctionCall, ec: ExprCtx): Column = {
     val name = fc.name.toLowerCase
-    // strip parser-internal order-by args
-    val (orderArgs, plainArgs) = fc.args.partition {
+    // strip parser-internal order-by args (string_agg(x order by y) etc.)
+    val (orderArgsRaw, plainArgs) = fc.args.partition {
       case FunctionCall("__orderby", _, _, _) => true
       case _ => false
     }
+    val orderArgs: List[(Expr, Boolean)] = orderArgsRaw.map {
+      case FunctionCall("__orderby", List(e, BoolLit(desc)), _, _) => (e, desc)
+      case other => throw new LoweringException(s"malformed order-by arg: $other")
+    }
     val args = plainArgs
+
+    // aggregate FILTER (WHERE cond): rewritten as agg(when(cond, x)) — valid
+    // for any null-ignoring single-value aggregate; count(*) counts when(cond,1)
+    val filt: Option[Column] = fc.filter.map(f0 => expr(f0, ec))
+    def ag(c: Column): Column = filt.fold(c)(p => F.when(p, c))
+    val isKnownAgg = Stdlib.aggFunctionNames.contains(name) || singleArgAggs.contains(name)
+    if (filt.isDefined && !isKnownAgg)
+      throw new LoweringException(s"FILTER (WHERE …) not supported for function: ${fc.name}")
+    if (orderArgs.nonEmpty && name != "string_agg" && name != "listagg" &&
+        name != "array_agg" && name != "collect_list")
+      throw new LoweringException(s"ORDER BY inside ${fc.name}(…) is not supported")
 
     def a(i: Int): Column = expr(args(i), ec)
     def all: List[Column] = args.map(expr(_, ec))
 
+    /** collect values in the user-specified `order by` (default: by value),
+      * as an array — shared by string_agg / array_agg with order. */
+    def orderedCollect(value: Column): Column = {
+      if (orderArgs.isEmpty) F.sort_array(F.collect_list(ag(value)))
+      else {
+        val sortCols = orderArgs.zipWithIndex.map { case ((e, _), i) =>
+          expr(e, ec).as(s"__s$i")
+        }
+        val st = F.struct(sortCols :+ value.as("__v"): _*)
+        val arr = F.collect_list(ag(st))
+        // array_sort comparator honoring per-key direction; ties broken by
+        // the value itself for deterministic output
+        val sorted = F.array_sort(arr, (x: Column, y: Column) => {
+          val valCmp = F.when(x.getField("__v") < y.getField("__v"), F.lit(-1))
+            .when(x.getField("__v") > y.getField("__v"), F.lit(1))
+            .otherwise(F.lit(0))
+          orderArgs.zipWithIndex.foldRight(valCmp: Column) { case (((_, desc), i), acc) =>
+            val (xa, ya) = (x.getField(s"__s$i"), y.getField(s"__s$i"))
+            val lt = if (desc) 1 else -1
+            F.when(xa.isNull && ya.isNull, acc)
+              .when(xa.isNull, F.lit(-lt))   // nulls last on asc (SQL default)
+              .when(ya.isNull, F.lit(lt))
+              .when(xa < ya, F.lit(lt))
+              .when(xa > ya, F.lit(-lt))
+              .otherwise(acc)
+          }
+        })
+        F.transform(sorted, x => x.getField("__v"))
+      }
+    }
+
     val base: Column = name match {
       case "count" if args.isEmpty || args.headOption.contains(Star(None)) =>
         if (fc.isDistinct) throw new LoweringException("count(distinct *) unsupported")
-        F.count(F.lit(1))
-      case "count" if fc.isDistinct => F.countDistinct(all.head, all.tail: _*)
-      case "count_distinct" => F.countDistinct(all.head, all.tail: _*)
-      case "count" => F.count(a(0))
-      case "sum" if fc.isDistinct => F.sum_distinct(a(0))
+        F.count(ag(F.lit(1)))
+      case "count" if fc.isDistinct => F.countDistinct(ag(all.head), all.tail.map(ag): _*)
+      case "count_distinct" => F.countDistinct(ag(all.head), all.tail.map(ag): _*)
+      case "count" => F.count(ag(a(0)))
+      case "sum" if fc.isDistinct => F.sum_distinct(ag(a(0)))
+      case "avg" if fc.isDistinct =>
+        // avg(distinct x) = sum(distinct x) / count(distinct x)
+        F.sum_distinct(ag(a(0))).cast("double") / F.countDistinct(ag(a(0)))
+      case "collect_list" | "array_agg" if fc.isDistinct => F.collect_set(ag(a(0)))
+      case _ if fc.isDistinct && !Set("string_agg", "listagg").contains(name) =>
+        throw new LoweringException(s"DISTINCT not supported for function: ${fc.name}")
       case "if" =>
         F.when(a(0), a(1)).otherwise(if (args.length > 2) a(2) else F.lit(null))
       case "coalesce" | "or_else" => F.coalesce(all: _*)
       case "unnest" | "explode" => F.explode(a(0))
       case "concat" => F.concat(all: _*)
+      case "collect_list" | "array_agg" if orderArgs.nonEmpty => orderedCollect(a(0))
       case "string_agg" | "listagg" =>
-        // deterministic rendering: sorted collect_list joined
         val sep = if (args.length > 1) a(1) else F.lit(",")
-        F.call_function("array_join", F.sort_array(F.collect_list(a(0).cast("string"))), sep)
+        val arr0 = orderedCollect(a(0).cast("string"))
+        val arr = if (fc.isDistinct) {
+          if (orderArgs.nonEmpty)
+            throw new LoweringException("string_agg(distinct … order by …) unsupported")
+          F.array_distinct(arr0)
+        } else arr0
+        F.call_function("array_join", arr, sep)
       case "row_number" => F.row_number()
       case "rank" => F.rank()
       case "dense_rank" => F.dense_rank()
@@ -806,10 +881,10 @@ object Lowering {
         if (name == "lag") F.lag(a(0), offset, default) else F.lead(a(0), offset, default)
       case "first_value" => F.first(a(0))
       case "last_value" => F.last(a(0))
-      case "arbitrary" | "any_value" => F.any_value(a(0))
-      case "median" => F.median(a(0))
+      case "arbitrary" | "any_value" => F.any_value(ag(a(0)))
+      case "median" => F.median(ag(a(0)))
       case "approx_quantile" | "percentile_approx" =>
-        F.percentile_approx(a(0), a(1), F.lit(10000))
+        F.percentile_approx(ag(a(0)), a(1), F.lit(10000))
       case "__interval" =>
         args.head match {
           case StringLit(s) => F.expr(s"interval '$s'")
@@ -819,25 +894,14 @@ object Lowering {
         throw new LoweringException("test assertion cannot be lowered as a column")
       case "current_date" => F.current_date()
       case "current_timestamp" | "now" => F.current_timestamp()
+      case n if singleArgAggs.contains(n) && args.length == 1 =>
+        F.call_function(fc.name, ag(a(0)))
       case _ =>
-        val fnArgs = if (fc.isDistinct) all else all
-        F.call_function(fc.name, fnArgs: _*)
+        if (filt.isDefined)
+          throw new LoweringException(s"FILTER (WHERE …) not supported for function: ${fc.name}")
+        F.call_function(fc.name, all: _*)
     }
-    val _ = orderArgs
-    fc.filter match {
-      case Some(f) =>
-        // aggregate FILTER (WHERE cond) — rewrite as agg(when(cond, x))
-        // only valid for single-arg aggregates
-        name match {
-          case "count" => F.count(F.when(expr(f, ec), F.lit(1)))
-          case "sum" => F.sum(F.when(expr(f, ec), a(0)))
-          case "avg" => F.avg(F.when(expr(f, ec), a(0)))
-          case "min" => F.min(F.when(expr(f, ec), a(0)))
-          case "max" => F.max(F.when(expr(f, ec), a(0)))
-          case _ => base
-        }
-      case None => base
-    }
+    base
   }
 
   private def lowerWindow(fn: Expr, spec: WindowSpec, ec: ExprCtx): Column = {

@@ -29,6 +29,9 @@ object AsOfJoin {
     * @param rightKey right-side ordering column name
     * @param op       inequality with right on the LHS: "<=", "<", ">=", ">"
     *                 ("<=" = standard backward as-of: latest right ≤ left)
+    * @param keepUnmatched left-outer semantics (keep left rows with no match,
+    *                 nulls carried). `false` = inner, the DuckDB `ASOF JOIN`
+    *                 default (reference SG:543-586 gates asof on DuckDB).
     */
   def asofJoin(
       left: DataFrame,
@@ -36,7 +39,8 @@ object AsOfJoin {
       eqKeys: List[(String, String)],
       leftKey: String,
       rightKey: String,
-      op: String = "<="
+      op: String = "<=",
+      keepUnmatched: Boolean = true
   ): DataFrame = {
     val backward = op == "<=" || op == "<"
     val strict = op == "<" || op == ">"
@@ -85,9 +89,11 @@ object AsOfJoin {
       .orderBy(ordCol, tieCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    unioned
+    val carried = unioned
       .withColumn("__c", F.last(F.col("__r"), ignoreNulls = true).over(w))
       .filter(F.col("__is_left") === 1)
+    val matched = if (keepUnmatched) carried else carried.filter(F.col("__c").isNotNull)
+    matched
       .select(
         lCols.map(c => F.col("__l." + c).as(c)) ++
           rValueCols.zip(outNames).map { case (rc, out) => F.col("__c." + rc).as(out) }: _*

@@ -353,4 +353,71 @@ class LangSpec extends SparkTestBase {
     """)
     assert(df.count() > 0)
   }
+
+  test("string_agg honors order by (asc and desc)") {
+    val asc = wv("""
+      from [[1, 'b', 2], [1, 'a', 3], [1, 'c', 1]] as t(k, s, ord)
+      group by k
+      agg joined = string_agg(s order by ord)
+    """).collect()
+    assert(asc.head.getString(1) == "c,b,a")
+    val desc = wv("""
+      from [[1, 'b', 2], [1, 'a', 3], [1, 'c', 1]] as t(k, s, ord)
+      group by k
+      agg joined = string_agg(s, '|' order by ord desc)
+    """).collect()
+    assert(desc.head.getString(1) == "a|b|c")
+  }
+
+  test("avg(distinct) and collect distinct") {
+    val df = wv("""
+      from [[1, 10], [1, 10], [1, 20]] as t(k, v)
+      group by k
+      agg d_avg = avg(distinct v), d_sum = sum(distinct v), d_cnt = count(distinct v)
+    """).collect()
+    assert(df.head.getDouble(1) == 15.0)
+    assert(df.head.getLong(2) == 30L)
+    assert(df.head.getLong(3) == 2L)
+  }
+
+  test("unsupported distinct aggregate throws instead of silently dropping") {
+    intercept[LoweringException] {
+      wv("""
+        from [[1, 10]] as t(k, v)
+        group by k
+        agg m = median(distinct v)
+      """).collect()
+    }
+  }
+
+  test("filter (where …) clause on any single-arg aggregate") {
+    val df = wv("""
+      from [[1, 10], [1, 20], [1, 30]] as t(k, v)
+      group by k
+      agg
+        med = median(v) filter (where v < 30),
+        sd = stddev(v) filter (where v >= 20),
+        n = count(*) filter (where v > 10)
+    """).collect()
+    assert(df.head.getDouble(1) == 15.0)
+    assert(df.head.getLong(3) == 2L)
+  }
+
+  test("asof join: inner drops unmatched, left keeps them") {
+    val q =
+      """
+      from [[1, 100], [2, 50]] as l(id, t)
+      asof %s {
+        from [[1, 90, 'x'], [1, 95, 'y'], [2, 60, 'z']] as r(rid, rt, tag)
+      } on rid = id and rt <= t
+      select id, t, tag
+      order by id
+      """
+    val inner = wv(q.format("join")).collect()
+    assert(inner.map(_.getLong(0)).toList == List(1L))
+    assert(inner.head.getString(2) == "y")
+    val left = wv(q.format("left join")).collect()
+    assert(left.map(_.getLong(0)).toList == List(1L, 2L))
+    assert(left(1).isNullAt(2))
+  }
 }
