@@ -60,7 +60,12 @@ object Dedup {
   private val MersennePrime = (1L << 31) - 1
 
   /** MinHash signature column: array of k minimums over the shingle hash set.
-    * Entirely columnar — k × array_min(transform(...)) under one projection. */
+    * Entirely columnar — k × array_min(transform(...)) under one projection.
+    *
+    * NOTE: higher-order functions are interpreted per element in Spark —
+    * fine for a handful of rows, but for table-scale signatures use
+    * [[minhashSignatures]] (explode + codegen'd wide min-aggregate), which
+    * is ~100× faster and shuffle-bounded. */
   def minhashSignature(text: Column, numHashes: Int = 128, shingleSize: Int = 3): Column = {
     val hashes = TextFunctions.shingleHashes(text, shingleSize)
     val sigs = minhashParams(numHashes).map { case (a, b) =>
@@ -68,6 +73,27 @@ object Dedup {
         F.pmod(F.pmod(x, F.lit(MersennePrime)) * a + b, F.lit(MersennePrime))))
     }
     F.when(F.size(hashes) === 0, F.lit(null)).otherwise(F.array(sigs: _*))
+  }
+
+  /** Table-scale minhash signatures: (id, __m0 … __m{k-1}), one row per doc
+    * with ≥1 shingle. Relational formulation: explode shingle hashes, then a
+    * single hash-aggregate with k `min` columns — whole-stage codegen'd with
+    * map-side partial aggregation, one shuffle on the doc id. */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      shingleSize: Int
+  ): DataFrame = {
+    val exploded = df.select(
+      F.col(idCol),
+      F.explode(TextFunctions.shingleHashes(F.col(textCol), shingleSize)).as("__h0"))
+      .select(F.col(idCol), F.pmod(F.col("__h0"), F.lit(MersennePrime)).as("__h"))
+    val mins = minhashParams(numHashes).zipWithIndex.map { case ((a, b), j) =>
+      F.min(F.pmod(F.col("__h") * a + b, F.lit(MersennePrime))).as(s"__m$j")
+    }
+    exploded.groupBy(F.col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
   /** Candidate near-dup pairs via banded LSH over minhash signatures.
@@ -93,24 +119,18 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
-    val withSig = df
-      .select(F.col(idCol), F.col(textCol))
-      .withColumn("__sig", minhashSignature(F.col(textCol), numHashes, shingleSize))
-      .filter(F.col("__sig").isNotNull)
-      .withColumn("__shingles", TextFunctions.wordShingles(F.col(textCol), shingleSize))
-      .drop(textCol)
+    val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
 
-    val postings = withSig
-      .select(
-        F.col(idCol),
-        F.col("__shingles"),
-        F.posexplode(
-          F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            b => F.xxhash64(F.slice(F.col("__sig"), b * r + 1, F.lit(r)))
-          )
-        ).as(Seq("band_idx", "band_hash"))
-      )
+    // band hash = xxhash64 over the band's r signature columns (variadic —
+    // no intermediate array); postings carry ONLY (id, band_idx, band_hash),
+    // not the shingle arrays: at 100 TB, shipping each doc's shingle set
+    // through b=32 posting rows would multiply the shuffle by ~b×doc_size.
+    val bandHashes = (0 until bands).map { bi =>
+      F.xxhash64((bi * r until (bi + 1) * r).map(j => F.col(s"__m$j")): _*)
+    }
+    val postings = sig.select(
+      F.col(idCol),
+      F.posexplode(F.array(bandHashes: _*)).as(Seq("band_idx", "band_hash")))
 
     // bucket-size guard: drop pathologically hot buckets (boilerplate storms)
     val bucketed = postings
@@ -123,22 +143,27 @@ object Dedup {
       .drop("__bucket_n")
 
     val left = bucketed.select(
-      F.col("band_idx"), F.col("band_hash"),
-      F.col(idCol).as("id_a"), F.col("__shingles").as("__sh_a"))
+      F.col("band_idx"), F.col("band_hash"), F.col(idCol).as("id_a"))
     val right = bucketed.select(
-      F.col("band_idx"), F.col("band_hash"),
-      F.col(idCol).as("id_b"), F.col("__shingles").as("__sh_b"))
+      F.col("band_idx"), F.col("band_hash"), F.col(idCol).as("id_b"))
 
     val candidates = left
       .join(right, Seq("band_idx", "band_hash"))
       .filter(F.col("id_a") < F.col("id_b"))
-      .select("id_a", "id_b", "__sh_a", "__sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    // verify candidates with exact Jaccard on the shingle sets
+    // verify candidates with exact Jaccard: re-join the shingle sets by id
+    // (two equi-joins on the candidate ids — far smaller than the postings)
+    val shingleSets = df.select(
+      F.col(idCol).as("__id"),
+      TextFunctions.wordShingles(F.col(textCol), shingleSize).as("__sh"))
+    val withSets = candidates
+      .join(shingleSets.select(F.col("__id").as("id_a"), F.col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(shingleSets.select(F.col("__id").as("id_b"), F.col("__sh").as("__sh_b")), Seq("id_b"))
     val common = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
     val union = F.size(F.col("__sh_a")) + F.size(F.col("__sh_b")) - common
-    candidates
+    withSets
       .withColumn("jaccard", F.round(common.cast("double") / union, 6))
       .filter(F.col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -169,7 +194,10 @@ object Dedup {
   /** 64-bit SimHash over token hashes: per bit position, sum +1/-1 votes
     * across token hashes, take the sign. Columnar via nested
     * transform+aggregate (bit extraction through the SQL `shiftright`, which
-    * accepts a column shift amount). */
+    * accepts a column shift amount).
+    *
+    * NOTE: 64 interpreted higher-order `aggregate` passes per row — use only
+    * on small/constant inputs. Table-scale: [[simhashTable]]. */
   def simhash(text: Column): Column = {
     val hashes = TextFunctions.shingleHashes(text, 1) // unigram token hashes
     val bits = F.transform(
@@ -189,23 +217,51 @@ object Dedup {
     F.aggregate(F.reverse(bits), F.lit(0L), (acc, b) => F.shiftleft(acc, 1).bitwiseOR(b))
   }
 
-  /** SimHash near-dup pairs: block on 4 × 16-bit chunks (two docs within
-    * hamming distance ≤ 3 of a 64-bit hash must share at least one of 4
-    * chunks — pigeonhole), then verify exact hamming distance. */
+  /** Table-scale simhash: (id, simhash) with one row per doc that has ≥1
+    * token (token-less docs are dropped — an all-zero simhash would spuriously
+    * pair every empty doc). Relational formulation: explode token hashes,
+    * one hash-aggregate with 64 conditional-sum vote columns (whole-stage
+    * codegen, map-side partial agg, one shuffle on id), then fold the vote
+    * signs into a single 64-bit long in a projection. */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(
+      F.col(idCol),
+      F.explode(TextFunctions.shingleHashes(F.col(textCol), 1)).as("__h"))
+    val votes = (0 until 64).map { i =>
+      F.sum(
+        F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"__b$i")
+    }
+    val agg = exploded.groupBy(F.col(idCol)).agg(votes.head, votes.tail: _*)
+    val sim = (0 until 64)
+      .map(i => F.when(F.col(s"__b$i") > 0, F.lit(1L << i)).otherwise(F.lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    agg.select(F.col(idCol), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on `maxHamming + 1` disjoint bit chunks —
+    * two hashes within hamming distance ≤ maxHamming must agree on at least
+    * one chunk (pigeonhole) — then verify exact hamming distance. The chunk
+    * count adapts to maxHamming so blocking recall is exact, not best-effort. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3
   ): DataFrame = {
-    val withSim = df.select(F.col(idCol), simhash(F.col(textCol)).as("simhash"))
+    val numChunks = math.min(maxHamming + 1, 16) // ≥4-bit chunks
+    val bounds = (0 to numChunks).map(i => i * 64 / numChunks)
+    val chunkCols = (0 until numChunks).map { i =>
+      val width = bounds(i + 1) - bounds(i)
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      F.shiftrightunsigned(F.col("simhash"), bounds(i)).bitwiseAND(F.lit(mask))
+    }
+    val withSim = simhashTable(df, idCol, textCol)
+    // repartition on the blocking key — see ngramJaccardPairs
     val chunks = withSim.select(
       F.col(idCol), F.col("simhash"),
-      F.posexplode(F.array(
-        (0 until 4).map(i =>
-          F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFFL))): _*
-      )).as(Seq("chunk_idx", "chunk"))
-    )
+      F.posexplode(F.array(chunkCols: _*)).as(Seq("chunk_idx", "chunk"))
+    ).repartition(F.col("chunk_idx"), F.col("chunk"))
     val l = chunks.select(F.col("chunk_idx"), F.col("chunk"),
       F.col(idCol).as("id_a"), F.col("simhash").as("sim_a"))
     val r = chunks.select(F.col("chunk_idx"), F.col("chunk"),
@@ -240,13 +296,31 @@ object Dedup {
       TextFunctions.wordShingles(F.col(textCol), n).as("__sh"))
       .withColumn("__n", F.size(F.col("__sh")))
       .filter(F.col("__n") > 0)
-    val postings = sh.select(F.col("id"), F.col("__n"), F.explode(F.col("__sh")).as("shingle"))
-    val a = postings.select(F.col("shingle"), F.col("id").as("id_a"), F.col("__n").as("n_a"))
-    val b = postings.select(F.col("shingle"), F.col("id").as("id_b"), F.col("__n").as("n_b"))
+    // postings carry (xxhash64(shingle), id) only — an 8-byte join key and
+    // no doc-size payload: the posting self-join is the quadratic part
+    // (Σ df(s)² rows), so every byte per row multiplies; doc sizes are
+    // re-attached AFTER the pair aggregation via two joins against the
+    // tiny per-doc size table. 64-bit hashing cannot (p ≈ |vocab|²/2⁶⁵)
+    // merge two shingles, so counts match the exact-string oracle.
+    // repartition on the join key: the posting table often derives from a
+    // narrow scan (one small file → one partition), which would serialize
+    // the quadratic self-join into a single task. Hash-partitioning on
+    // `shingle` both parallelizes it and already satisfies the join's
+    // distribution requirement, so no further shuffle is added.
+    val postings = sh.select(F.col("id"), F.explode(F.col("__sh")).as("__s"))
+      .select(F.col("id"), F.xxhash64(F.col("__s")).as("shingle"))
+      .repartition(F.col("shingle"))
+    val sizes = sh.select(F.col("id"), F.col("__n"))
+    val a = postings.select(F.col("shingle"), F.col("id").as("id_a"))
+    val b = postings.select(F.col("shingle"), F.col("id").as("id_b"))
     a.join(b, Seq("shingle"))
       .filter(F.col("id_a") < F.col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .groupBy("id_a", "id_b")
       .agg(F.count(F.lit(1)).as("common"))
+      // no broadcast hint: the size table scales with the corpus; AQE
+      // converts these to broadcast joins at runtime when it is small
+      .join(sizes.select(F.col("id").as("id_a"), F.col("__n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(F.col("id").as("id_b"), F.col("__n").as("n_b")), Seq("id_b"))
       .withColumn(
         "jaccard",
         F.round(F.col("common").cast("double") /
@@ -260,15 +334,12 @@ object Dedup {
   // ---------------------------------------------------------------------------
 
   /** Cosine similarity of two float-array columns, computed in double.
-    * Sequential fold in index order — bit-for-bit reproducible. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = F.aggregate(
-      F.zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      F.lit(0.0), (acc, v) => acc + v)
-    val na = F.sqrt(F.aggregate(a, F.lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = F.sqrt(F.aggregate(b, F.lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (na * nb)
-  }
+    * Sequential fold in index order — bit-for-bit reproducible. Backed by
+    * the native codegen'd [[graft.functions.VectorExpressions]] expression
+    * (the HOF zip_with/aggregate formulation is interpreted per element and
+    * dominated the similarity joins). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosineSimilarity(a, b)
 
   /** Embedding near-dup pairs above a cosine threshold.
     *

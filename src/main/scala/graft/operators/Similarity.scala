@@ -37,9 +37,7 @@ object Similarity {
     val hp = hyperplanes(dim, planes, seed)
     val bits: Seq[Column] = hp.toSeq.map { plane =>
       val planeCol = F.array(plane.map(F.lit(_)).toSeq: _*)
-      val dot = F.aggregate(
-        F.zip_with(vec, planeCol, (x, w) => x.cast("double") * w),
-        F.lit(0.0), (acc, v) => acc + v)
+      val dot = graft.functions.VectorExpressions.dotProduct(vec, planeCol)
       F.when(dot > 0, F.lit(1L)).otherwise(F.lit(0L))
     }
     bits.zipWithIndex.map { case (b, i) => F.shiftleft(b, i) }
