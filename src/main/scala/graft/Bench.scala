@@ -15,9 +15,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(n.contains) }
+    var failures = 0
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failures += 1
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-32s $sec%8.2f s")
       name -> sec
@@ -25,7 +30,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+    if (failures > 0) System.err.println(s"[bench] $failures queries FAILED")
     spark.stop()
   }
 }

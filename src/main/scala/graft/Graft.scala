@@ -29,9 +29,18 @@ object Graft {
   ): DataFrame = {
     val ctx = Lowering.Context(spark, tableResolver, basePath)
     val stmts = Parser.parseStatements(text)
-    Lowering.lowerStatements(stmts, ctx)
-      .getOrElse(throw new LoweringException("no query statement in input"))
+    val out = Lowering.lowerStatements(stmts, ctx)
+    runDebugs(ctx)
+    out.getOrElse(throw new LoweringException("no query statement in input"))
   }
+
+  /** Execute `debug { … }` side branches eagerly, printing a bounded sample
+    * to stderr (the reference runs the branch as a side task —
+    * ExecutionPlanner.scala:39-41; a silent no-op would hide user errors). */
+  private def runDebugs(ctx: Lowering.Context): Unit =
+    ctx.debugs.foreach { df =>
+      df.limit(20).collect().foreach(r => System.err.println(s"[debug] $r"))
+    }
 
   /** Like `query` but resolves table names through the session catalog. */
   def query(spark: SparkSession, text: String): DataFrame =
@@ -49,6 +58,7 @@ object Graft {
     val ctx = Lowering.Context(spark, tableResolver, basePath)
     val stmts = Parser.parseStatements(text)
     val out = Lowering.lowerStatements(stmts, ctx)
+    runDebugs(ctx)
     ctx.tests.foreach { case (df, assertion) => TestRunner.check(df, assertion) }
     out.getOrElse(throw new LoweringException("no query statement in input"))
   }

@@ -15,9 +15,11 @@ import org.apache.spark.sql.types._
   * These expressions evaluate in a tight loop and participate in whole-stage
   * codegen (`doGenCode`), keeping similarity joins inside one codegen stage.
   *
-  * Semantics match the fold-left HOF exactly (index-order double summation,
-  * null/absent elements treated as 0), so results are bit-identical to the
-  * previous formulation and to the DuckDB oracle's list_sum/list_transform.
+  * Semantics: index-order double summation; null elements count as 0, and on
+  * length mismatch the longer array's tail still contributes to its own norm
+  * (cosine) — matching DuckDB's list_sum over list_transform, which also
+  * zero-fills nulls. (The older zip_with/aggregate HOF propagated null
+  * elements to a null result; these expressions improve on that.)
   */
 object VectorExpressions {
 
@@ -55,9 +57,9 @@ private[graft] trait VectorBinaryExpr extends BinaryExpression {
     }
   }
 
-  /** Java source reading element i of `arr` as double (no null-element check:
-    * generated only when containsNull is false; else the interpreted path
-    * with isNullAt handles it). */
+  /** Java source reading element i of `arr` as double. Callers emit their own
+    * `isNullAt` guard around this (null elements → 0.0), in both the
+    * interpreted and generated paths. */
   protected def readElem(arr: String, i: String, t: DataType): String = t match {
     case FloatType => s"(double) $arr.getFloat($i)"
     case DoubleType => s"$arr.getDouble($i)"

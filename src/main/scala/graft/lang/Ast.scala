@@ -201,8 +201,10 @@ final case class LateralUnnest(
 final case class DescribeRel(child: Relation) extends UnaryRelation
 /** in-query assertion — pass-through for the main query, evaluated by TestRunner */
 final case class TestRel(child: Relation, assertion: Expr) extends UnaryRelation
-/** side-channel debug sub-pipeline — pass-through in the main flow */
-final case class DebugRel(child: Relation, body: Relation => Relation) extends UnaryRelation
+/** side-channel debug sub-pipeline — pass-through in the main flow; `body` is
+  * the debug chain already applied to the child, executed eagerly as a side
+  * task (reference: ExecutionPlanner.scala:39-41). */
+final case class DebugRel(child: Relation, body: Relation) extends UnaryRelation
 
 // grouping sets / rollup / cube over group by
 sealed trait GroupingStyle

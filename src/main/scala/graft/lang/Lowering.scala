@@ -25,7 +25,8 @@ object Lowering {
       basePath: String = "",
       models: mutable.Map[String, ModelDef] = mutable.Map.empty,
       vals: mutable.Map[String, Expr] = mutable.Map.empty,
-      tests: mutable.ListBuffer[(DataFrame, Expr)] = mutable.ListBuffer.empty
+      tests: mutable.ListBuffer[(DataFrame, Expr)] = mutable.ListBuffer.empty,
+      debugs: mutable.ListBuffer[DataFrame] = mutable.ListBuffer.empty
   )
 
   /** Lowering result: either a plain DataFrame or a "grouped" relation —
@@ -189,9 +190,10 @@ object Lowering {
             }
             df.agg(aggs.head, aggs.tail: _*)
           } else {
-            val ectx = ExprCtx(ctx, aggMode = false, dfOpt = Some(df))
-            df.select(items.zipWithIndex.map { case (it, i) =>
-              it.expr match {
+            val (joined, rewritten, _) = bindScalarSubqueries(df, items.map(_.expr), ctx)
+            val ectx = ExprCtx(ctx, aggMode = false, dfOpt = Some(joined))
+            joined.select(items.zip(rewritten).zipWithIndex.map { case ((it, re), i) =>
+              re match {
                 case Star(None) => F.col("*")
                 case Star(Some(q)) => F.col(s"$q.*")
                 case e => expr(e, ectx).as(itemName(it, i))
@@ -202,12 +204,13 @@ object Lowering {
       Plain(if (distinct) out.distinct() else out)
 
     case AddColumns(child, items, prepend) =>
-      val df = lower(child, ctx)
+      val df0 = lower(child, ctx)
+      val (df, rewritten, _) = bindScalarSubqueries(df0, items.map(_.expr), ctx)
       val ectx = ExprCtx(ctx, aggMode = false, dfOpt = Some(df))
-      val newCols = items.zipWithIndex.map { case (it, i) =>
-        expr(it.expr, ectx).as(itemName(it, i))
+      val newCols = items.zip(rewritten).zipWithIndex.map { case ((it, re), i) =>
+        expr(re, ectx).as(itemName(it, i))
       }
-      val existing = df.columns.map(F.col).toList
+      val existing = df0.columns.map(F.col).toList
       Plain(
         if (prepend) df.select(newCols ++ existing: _*)
         else df.select(existing ++ newCols: _*)
@@ -338,7 +341,12 @@ object Lowering {
       ctx.tests += ((df, assertion))
       Plain(df)
 
-    case DebugRel(child, _) => lowerRel(child, ctx)
+    case DebugRel(child, body) =>
+      // execute the debug branch eagerly as a side task, printing a bounded
+      // sample to stderr (honest semantics: the reference runs the branch)
+      val bdf = lower(body, ctx)
+      ctx.debugs += bdf
+      lowerRel(child, ctx)
   }
 
   private def resolveTable(name: String, ctx: Context): DataFrame =
@@ -520,6 +528,80 @@ object Lowering {
     case other => List(other)
   }
 
+  /** Bottom-up expression rewrite: applies `f` where defined, recursing into
+    * children first (shared by scalar-subquery binding, model-parameter
+    * substitution and user-def inlining). */
+  def transformExpr(e: Expr)(f: PartialFunction[Expr, Expr]): Expr = {
+    def go(x: Expr): Expr = {
+      val rebuilt: Expr = x match {
+        case DotRef(t, n) => DotRef(go(t), n)
+        case MethodCall(t, n, args) => MethodCall(go(t), n, args.map(go))
+        case FunctionCall(n, args, d, filt) => FunctionCall(n, args.map(go), d, filt.map(go))
+        case WindowApply(fn, spec) =>
+          WindowApply(go(fn), WindowSpec(
+            spec.partitionBy.map(go),
+            spec.orderBy.map(s => s.copy(expr = go(s.expr))),
+            spec.frame))
+        case ArrayLit(items) => ArrayLit(items.map(go))
+        case MapLit(es) => MapLit(es.map { case (k, v) => (go(k), go(v)) })
+        case StructLit(fs) => StructLit(fs.map { case (n, v) => (n, go(v)) })
+        case Subscript(t, ix) => Subscript(go(t), go(ix))
+        case LambdaExpr(ps, b) => LambdaExpr(ps, go(b))
+        case BinaryOp(op, l, r) => BinaryOp(op, go(l), go(r))
+        case UnaryOp(op, v) => UnaryOp(op, go(v))
+        case Not(v) => Not(go(v))
+        case IsNull(v, n) => IsNull(go(v), n)
+        case Between(v, lo, hi, n) => Between(go(v), go(lo), go(hi), n)
+        case InList(v, items, n) => InList(go(v), items.map(go), n)
+        case LikeOp(v, p, n) => LikeOp(go(v), go(p), n)
+        case RLikeOp(v, p, n) => RLikeOp(go(v), go(p), n)
+        case Cast(v, t, tr) => Cast(go(v), t, tr)
+        case CaseWhen(t, bs, o) =>
+          CaseWhen(t.map(go), bs.map { case (c, v) => (go(c), go(v)) }, o.map(go))
+        case IfExpr(c, t, fo) => IfExpr(go(c), go(t), fo.map(go))
+        case Interpolation(parts, args) => Interpolation(parts, args.map(go))
+        case Extract(fi, v) => Extract(fi, go(v))
+        case other => other
+      }
+      if (f.isDefinedAt(rebuilt)) f(rebuilt) else rebuilt
+    }
+    go(e)
+  }
+
+  /** Replace each uncorrelated ScalarSubquery with a reference to a column
+    * cross-joined from the 1-row aggregate (Catalyst broadcasts it) — the
+    * plan stays lazy; no driver-side collect (reference semantics:
+    * exprs.scala ScalarSubquery; a >1-row subquery is a user error, surfaced
+    * by the multiplied row count). Returns (joined df, rewritten exprs,
+    * bound temp column names to drop afterwards). */
+  private def bindScalarSubqueries(
+      df0: DataFrame,
+      exprs: List[Expr],
+      ctx: Context
+  ): (DataFrame, List[Expr], List[String]) = {
+    if (!exprs.exists(containsScalarSubquery)) return (df0, exprs, Nil)
+    var df = df0
+    var i = 0
+    val names = List.newBuilder[String]
+    val rewritten = exprs.map(transformExpr(_) {
+      case ScalarSubquery(q) =>
+        val sub = lower(q, ctx)
+        if (sub.columns.length != 1)
+          throw new LoweringException("scalar subquery must return a single column")
+        val name = s"__scalar_$i"; i += 1
+        df = df.crossJoin(F.broadcast(sub.select(F.col(sub.columns.head).as(name))))
+        names += name
+        Ident(name)
+    })
+    (df, rewritten, names.result())
+  }
+
+  private def containsScalarSubquery(e: Expr): Boolean = {
+    var found = false
+    transformExpr(e) { case s: ScalarSubquery => found = true; s }
+    found
+  }
+
   /** where-clause lowering with semi/anti-join extraction for subquery
     * predicates (reference: InRelation/Exists exprs.scala:424-450, 522;
     * Spark lowering per SURVEY §2.D: left_semi / left_anti joins). */
@@ -542,9 +624,14 @@ object Lowering {
         out = out.join(sub, F.lit(true), "left_anti")
       case other => plain += other
     }
-    val rest = plain.result()
-    if (rest.isEmpty) out
-    else out.filter(rest.map(e => expr(e, ExprCtx(ctx, aggMode = false, dfOpt = Some(df)))).reduce(_ && _))
+    val rest0 = plain.result()
+    if (rest0.isEmpty) out
+    else {
+      val (joined, rest, bound) = bindScalarSubqueries(out, rest0, ctx)
+      val filtered = joined.filter(
+        rest.map(e => expr(e, ExprCtx(ctx, aggMode = false, dfOpt = Some(joined)))).reduce(_ && _))
+      if (bound.isEmpty) filtered else filtered.drop(bound: _*)
+    }
   }
 
   private def sortCol(si: SortItem, df: DataFrame, ctx: Context): Column = {
@@ -604,7 +691,7 @@ object Lowering {
           case other => expr(other, ec.copy(aggMode = false))
         }
         Stdlib.aggMethods(lname)(t, Nil)
-      } else if (Stdlib.scalarMethods.contains(lname) && !isQualifier(target)) {
+      } else if (Stdlib.scalarMethods.contains(lname) && !resolvesAsColumn(target, name, ec)) {
         Stdlib.scalarMethods(lname)(expr(target, ec), Nil)
       } else
         target match {
@@ -722,8 +809,9 @@ object Lowering {
     case LambdaExpr(_, _) =>
       throw new LoweringException("lambda outside higher-order function context")
     case ScalarSubquery(q) =>
-      // driver-evaluated scalar constant (documented limitation: used for
-      // constant-folding patterns like `where x > (from t agg avg(v))`)
+      // Fallback for contexts without a bindable DataFrame (join conditions,
+      // agg items). The main paths (where / select / add) bind scalar
+      // subqueries lazily via bindScalarSubqueries — no driver collect.
       val row = lower(q, ec.ctx).limit(2).collect()
       if (row.length != 1 || row.head.length != 1)
         throw new LoweringException("scalar subquery must return a single value")
@@ -734,7 +822,17 @@ object Lowering {
     case other => throw new LoweringException(s"cannot lower expression: $other")
   }
 
-  private def isQualifier(e: Expr): Boolean = false
+  /** True when `target.name` resolves as a qualified column of the current
+    * DataFrame — a column named like a scalar method (e.g. `t.length`) then
+    * wins over the method interpretation. */
+  private def resolvesAsColumn(target: Expr, name: String, ec: ExprCtx): Boolean = target match {
+    case Ident(q) =>
+      ec.dfOpt.exists { df =>
+        try { df(s"$q.$name"); true }
+        catch { case _: Throwable => false }
+      }
+    case _ => false
+  }
 
   private def isStringy(e: Expr, ec: ExprCtx): Boolean = e match {
     case StringLit(_) | Interpolation(_, _) => true
@@ -847,7 +945,11 @@ object Lowering {
       case "avg" if fc.isDistinct =>
         // avg(distinct x) = sum(distinct x) / count(distinct x)
         F.sum_distinct(ag(a(0))).cast("double") / F.countDistinct(ag(a(0)))
-      case "collect_list" | "array_agg" if fc.isDistinct => F.collect_set(ag(a(0)))
+      case "collect_list" | "array_agg" if fc.isDistinct =>
+        // ordered-distinct: dedup after the ordered collect (array_distinct
+        // keeps the first occurrence, preserving the order-by position)
+        if (orderArgs.nonEmpty) F.array_distinct(orderedCollect(a(0)))
+        else F.collect_set(ag(a(0)))
       case _ if fc.isDistinct && !Set("string_agg", "listagg").contains(name) =>
         throw new LoweringException(s"DISTINCT not supported for function: ${fc.name}")
       case "if" =>
@@ -879,8 +981,13 @@ object Lowering {
         val offset = if (args.length > 1) constValue(args(1)).map(_.toString.toInt).getOrElse(1) else 1
         val default: Any = if (args.length > 2) constValue(args(2)).orNull else null
         if (name == "lag") F.lag(a(0), offset, default) else F.lead(a(0), offset, default)
-      case "first_value" => F.first(a(0))
-      case "last_value" => F.last(a(0))
+      // FILTER (WHERE c): first non-null of when(c, x) — ignoreNulls makes the
+      // rewrite honor the filter (plain first/last keep default null handling)
+      case "first_value" | "first" =>
+        if (filt.isDefined) F.first(ag(a(0)), ignoreNulls = true) else F.first(a(0))
+      case "last_value" | "last" =>
+        if (filt.isDefined) F.last(ag(a(0)), ignoreNulls = true) else F.last(a(0))
+      case "product" => F.product(ag(a(0)))
       case "arbitrary" | "any_value" => F.any_value(ag(a(0)))
       case "median" => F.median(ag(a(0)))
       case "approx_quantile" | "percentile_approx" =>

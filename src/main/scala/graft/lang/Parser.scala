@@ -350,16 +350,21 @@ final class Parser(tokens: Vector[Token]) {
         Some(TestRel(rel, parseTestAssertion()))
       case "debug" =>
         advance()
-        // debug { <pipe ops over _> } — parse and discard body (pass-through)
+        // debug { <pipe ops> } — the body chain applies to the incoming
+        // relation and is executed as a side task; main flow passes through
         if (accept("{")) {
-          var depth = 1
-          while (depth > 0 && !peek.isEOF) {
-            if (peek.is("{")) depth += 1
-            else if (peek.is("}")) depth -= 1
-            if (depth > 0) advance() else advance()
+          var body = rel
+          var continue = true
+          while (continue && !peek.is("}") && !peek.isEOF) {
+            if (peek.kind == TokenKind.Op && peek.text == "|") advance()
+            parsePipeOp(body) match {
+              case Some(r2) => body = r2
+              case None => continue = false
+            }
           }
-        }
-        Some(DebugRel(rel, identity))
+          expectOp("}")
+          Some(DebugRel(rel, body))
+        } else Some(DebugRel(rel, rel))
       case _ => None
     }
   }

@@ -29,9 +29,13 @@ object TestRunner {
           }
         case "__should_not_contain" =>
           actual match {
-            case rows: List[_] if rows.exists(r => valueEq(r, expectedV)) =>
-              throw new TestFailure(s"$actual contains $expectedV")
-            case _ => ()
+            case rows: List[_] =>
+              if (rows.exists(r => valueEq(r, expectedV)))
+                throw new TestFailure(s"$actual contains $expectedV")
+            case other =>
+              // a non-list target can never "not contain" meaningfully —
+              // silent pass would hide a typo'd target
+              throw new TestFailure(s"contain assertion requires a list target, got $other")
           }
         case other => throw new TestFailure(s"unknown assertion op $other")
       }

@@ -420,4 +420,76 @@ class LangSpec extends SparkTestBase {
     assert(left.map(_.getLong(0)).toList == List(1L, 2L))
     assert(left(1).isNullAt(2))
   }
+
+  test("scalar subquery in where is lazy (no driver collect) and correct") {
+    val df = wv("""
+      from [[1, 10], [2, 20], [3, 30]] as t(id, v)
+      where v > (from [[1, 10], [2, 20], [3, 30]] as s(sid, sv) agg avg(sv))
+      select id
+      order by id
+      test _.rows should be [[3]]
+    """)
+    // the bound subquery must appear as a join in the plan, not a folded literal
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.toLowerCase.contains("join"), s"expected a join in:\n$plan")
+  }
+
+  test("scalar subquery in select and add") {
+    wv("""
+      from [[1], [2]] as t(id)
+      select id, mx = (from [[5], [9]] as s(v) agg max(v))
+      order by id
+      test _.rows should be [[1, 9], [2, 9]]
+    """)
+    wv("""
+      from [[1], [2]] as t(id)
+      add total = (from [[5], [9]] as s(v) agg sum(v))
+      order by id
+      test _.rows should be [[1, 14], [2, 14]]
+    """)
+  }
+
+  test("first_value / last_value honor FILTER (WHERE …)") {
+    wv("""
+      from [[1, 'a'], [2, 'b'], [3, 'c'], [4, 'd']] as t(id, s)
+      agg
+        f = first_value(s) filter (where id >= 2),
+        l = last_value(s) filter (where id <= 3)
+      test _.rows should be [['b', 'c']]
+    """)
+  }
+
+  test("array_agg(distinct … order by …) is ordered-distinct") {
+    val df = wv("""
+      from [[1, 'b'], [2, 'a'], [3, 'b'], [4, 'c']] as t(id, s)
+      agg xs = array_agg(distinct s order by id desc)
+    """).collect()
+    assert(df.head.getSeq[String](0).toList == List("c", "b", "a"))
+  }
+
+  test("product aggregate") {
+    wv("""
+      from [[2], [3], [4]] as t(v)
+      agg p = product(v), pf = product(v) filter (where v != 3)
+      test _.rows should be [[24.0, 8.0]]
+    """)
+  }
+
+  test("debug executes its body (honest, not a silent no-op)") {
+    // a failing test INSIDE debug must surface — proves the branch runs
+    intercept[TestFailure] {
+      wv("""
+        from [[1], [2]] as t(v)
+        debug { count test _.rows should be [[99]] }
+        select v
+      """)
+    }
+    // and a passing debug is a pass-through for the main flow
+    wv("""
+      from [[1], [2]] as t(v)
+      debug { count }
+      count
+      test _.rows should be [[2]]
+    """)
+  }
 }
