@@ -14,12 +14,26 @@ import graft.functions.TextFunctions
   *   - exact: hash groupBy on a normalized fingerprint
   *   - minhashLsh: shingle → minhash signature → banded LSH buckets →
   *     candidate pairs → exact-Jaccard verify
-  *   - simhash: 64-bit simhash → 16-bit band blocking → hamming verify
-  *   - ngramJaccard: exact set-similarity via token-posting join
-  *     (SQL-expressible — used as the DuckDB-oracle-checkable variant)
+  *   - simhash: 64-bit simhash → chunk-pair pigeonhole blocking → hamming verify
+  *   - ngramJaccard: exact set-similarity via df-capped posting join +
+  *     exact verify (SQL-expressible — the DuckDB-oracle-checkable variant)
   *   - embeddingCosine: cosine near-dup over an embedding column
   */
 object Dedup {
+
+  /** Spread a narrow input across the cluster before CPU-HEAVY per-row text
+    * work (shingling HOFs — NOT for cheap maps like md5, where the extra
+    * stage costs more than it saves). A small parquet file arrives as ONE
+    * scan partition, serializing the shingling stage onto a single core
+    * (measured: 17 s of an 18 s ngram run at sf0.1); at 100 TB inputs are
+    * naturally multi-file but a filtered/coalesced upstream can still
+    * collapse parallelism. ×2 the core count balances variable doc lengths
+    * without paying for excess tiny tasks (each extra shuffle stage has
+    * ~1 s fixed overhead in local mode). */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism * 2
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   // ---------------------------------------------------------------------------
   // Exact dedup
@@ -39,7 +53,8 @@ object Dedup {
 
   /** Exact-dup groups only (fingerprint, kept id, count) — cheap audit view. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(F.col(idCol), TextFunctions.fingerprint(F.col(textCol)).as("fingerprint"))
+    df
+      .select(F.col(idCol), TextFunctions.fingerprint(F.col(textCol)).as("fingerprint"))
       .groupBy("fingerprint")
       .agg(F.min(F.col(idCol)).as("keep_id"), F.count(F.lit(1)).as("dup_count"))
 
@@ -86,9 +101,9 @@ object Dedup {
       numHashes: Int,
       shingleSize: Int
   ): DataFrame = {
-    val exploded = df.select(
+    val exploded = spread(df).select(
       F.col(idCol),
-      F.explode(TextFunctions.shingleHashes(F.col(textCol), shingleSize)).as("__h0"))
+      F.explode(graft.functions.TextHashExpressions.shingleHashes64(F.col(textCol), shingleSize)).as("__h0"))
       .select(F.col(idCol), F.pmod(F.col("__h0"), F.lit(MersennePrime)).as("__h"))
     val mins = minhashParams(numHashes).zipWithIndex.map { case ((a, b), j) =>
       F.min(F.pmod(F.col("__h") * a + b, F.lit(MersennePrime))).as(s"__m$j")
@@ -128,19 +143,28 @@ object Dedup {
     val bandHashes = (0 until bands).map { bi =>
       F.xxhash64((bi * r until (bi + 1) * r).map(j => F.col(s"__m$j")): _*)
     }
+    val parts = df.sparkSession.sparkContext.defaultParallelism
     val postings = sig.select(
       F.col(idCol),
       F.posexplode(F.array(bandHashes: _*)).as(Seq("band_idx", "band_hash")))
+      // explicit numbered repartition: parallelizes the quadratic stage AND
+      // pins the partition count — AQE would coalesce the tiny posting
+      // shuffle (a few MB) into one partition and serialize the self-join
+      .repartition(parts, F.col("band_idx"), F.col("band_hash"))
 
-    // bucket-size guard: drop pathologically hot buckets (boilerplate storms)
-    val bucketed = postings
-      .withColumn(
-        "__bucket_n",
-        F.count(F.lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_hash"))
-      )
-      .filter(F.col("__bucket_n") <= maxBucketSize)
-      .drop("__bucket_n")
+    // bucket-size guard: drop pathologically hot buckets (boilerplate
+    // storms) via a window count over the SAME hash distribution the join
+    // needs — no side job, no extra shuffle of the postings (a
+    // groupBy+broadcast-anti-join formulation costs an extra job and ~1 s of
+    // fixed stage overhead per query in local mode).
+    val bucketed =
+      if (maxBucketSize > 0) {
+        postings
+          .withColumn("__bn", F.count(F.lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_hash")))
+          .filter(F.col("__bn") <= maxBucketSize)
+          .drop("__bn")
+      } else postings
 
     val left = bucketed.select(
       F.col("band_idx"), F.col("band_hash"), F.col(idCol).as("id_a"))
@@ -155,9 +179,9 @@ object Dedup {
 
     // verify candidates with exact Jaccard: re-join the shingle sets by id
     // (two equi-joins on the candidate ids — far smaller than the postings)
-    val shingleSets = df.select(
+    val shingleSets = spread(df).select(
       F.col(idCol).as("__id"),
-      TextFunctions.wordShingles(F.col(textCol), shingleSize).as("__sh"))
+      graft.functions.TextHashExpressions.shingleHashes64(F.col(textCol), shingleSize).as("__sh"))
     val withSets = candidates
       .join(shingleSets.select(F.col("__id").as("id_a"), F.col("__sh").as("__sh_a")), Seq("id_a"))
       .join(shingleSets.select(F.col("__id").as("id_b"), F.col("__sh").as("__sh_b")), Seq("id_b"))
@@ -224,9 +248,9 @@ object Dedup {
     * codegen, map-side partial agg, one shuffle on id), then fold the vote
     * signs into a single 64-bit long in a projection. */
   def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = df.select(
+    val exploded = spread(df).select(
       F.col(idCol),
-      F.explode(TextFunctions.shingleHashes(F.col(textCol), 1)).as("__h"))
+      F.explode(graft.functions.TextHashExpressions.shingleHashes64(F.col(textCol), 1)).as("__h"))
     val votes = (0 until 64).map { i =>
       F.sum(
         F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1L)) === 1L, 1L)
@@ -239,38 +263,85 @@ object Dedup {
     agg.select(F.col(idCol), sim.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: block on `maxHamming + 1` disjoint bit chunks —
-    * two hashes within hamming distance ≤ maxHamming must agree on at least
-    * one chunk (pigeonhole) — then verify exact hamming distance. The chunk
-    * count adapts to maxHamming so blocking recall is exact, not best-effort. */
+  /** SimHash near-dup pairs with chunk-PAIR blocking: split the 64-bit hash
+    * into `maxHamming + 2` disjoint chunks; if two hashes differ in at most
+    * `maxHamming` bits, the differing bits occupy ≤ maxHamming chunks, so at
+    * least TWO chunks agree — hence at least one of the C(numChunks, 2)
+    * chunk pairs agrees on both members (pigeonhole, exact recall). Blocking
+    * keys carry ~2·64/numChunks bits of entropy vs ~64/numChunks for
+    * single-chunk blocking — at maxHamming=8 that is ~12.8 vs ~7.1 bits,
+    * shrinking expected in-bucket pair counts by ~2⁶ per block at the cost of
+    * C(h+2,2)/(h+1) ≈ 5× more posting rows (linear, not quadratic — the
+    * right trade at scale). A `maxBucketSize` cap (as in minhashLshPairs)
+    * drops pathological buckets (boilerplate storms) via a broadcast
+    * anti-join on the tiny hot-bucket list. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000
   ): DataFrame = {
-    val numChunks = math.min(maxHamming + 1, 16) // ≥4-bit chunks
+    require(maxHamming <= 14,
+      "chunk-pair blocking needs numChunks = maxHamming + 2 <= 16 (>=4-bit chunks); " +
+        "beyond hamming 14 the pigeonhole guarantee breaks")
+    val numChunks = maxHamming + 2
     val bounds = (0 to numChunks).map(i => i * 64 / numChunks)
     val chunkCols = (0 until numChunks).map { i =>
       val width = bounds(i + 1) - bounds(i)
       val mask = if (width == 64) -1L else (1L << width) - 1
       F.shiftrightunsigned(F.col("simhash"), bounds(i)).bitwiseAND(F.lit(mask))
     }
+    // one blocking key per chunk pair (i, j): combo index + both chunk values
+    // packed into a single long (chunks are < 2^(64/numChunks) ≤ 2^32 wide
+    // for numChunks ≥ 2, so k·2^52 + ca·2^26 + cb is collision-free for
+    // numChunks ≥ 3, i.e. maxHamming ≥ 1)
+    require(maxHamming >= 1, "maxHamming must be >= 1")
+    val pairKeys = for { i <- 0 until numChunks; j <- i + 1 until numChunks } yield (i, j)
+    val keyCols = pairKeys.zipWithIndex.map { case ((i, j), k) =>
+      F.lit(k.toLong) * F.lit(1L << 52) +
+        chunkCols(i) * F.lit(1L << 26) + chunkCols(j)
+    }
     val withSim = simhashTable(df, idCol, textCol)
-    // repartition on the blocking key — see ngramJaccardPairs
-    val chunks = withSim.select(
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val posts = withSim.select(
       F.col(idCol), F.col("simhash"),
-      F.posexplode(F.array(chunkCols: _*)).as(Seq("chunk_idx", "chunk"))
-    ).repartition(F.col("chunk_idx"), F.col("chunk"))
-    val l = chunks.select(F.col("chunk_idx"), F.col("chunk"),
-      F.col(idCol).as("id_a"), F.col("simhash").as("sim_a"))
-    val r = chunks.select(F.col("chunk_idx"), F.col("chunk"),
-      F.col(idCol).as("id_b"), F.col("simhash").as("sim_b"))
-    l.join(r, Seq("chunk_idx", "chunk"))
+      F.explode(F.array(keyCols: _*)).as("bucket")
+      // explicit numbered repartition — see ngramJaccardPairs
+    ).repartition(parts, F.col("bucket"))
+    // bucket cap via window count over the join's own distribution (no side
+    // job — see ngramJaccardPairs)
+    val capped =
+      if (maxBucketSize > 0) {
+        posts
+          .withColumn("__bn", F.count(F.lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+          .filter(F.col("__bn") <= maxBucketSize)
+          .drop("__bn")
+      } else posts
+    val l = capped.select(F.col("bucket"), F.col(idCol).as("id_a"), F.col("simhash").as("sim_a"))
+    val r = capped.select(F.col("bucket"), F.col(idCol).as("id_b"), F.col("simhash").as("sim_b"))
+    // canonical-witness dedup: a qualifying pair collides in EVERY combo whose
+    // two chunks are clean, so instead of a dropDuplicates shuffle over the
+    // join output, emit the pair only from its first agreeing combo — fully
+    // computable from sim_a XOR sim_b, a columnar filter with zero shuffle.
+    // (If the first agreeing combo's bucket was cap-dropped, the pair is lost
+    // even if a later bucket kept it — folded into the cap's recall trade.)
+    val xorc = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    val chunkClean = (0 until numChunks).map { i =>
+      val width = bounds(i + 1) - bounds(i)
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      F.shiftrightunsigned(xorc, bounds(i)).bitwiseAND(F.lit(mask)) === 0L
+    }
+    val firstCombo = pairKeys.zipWithIndex.tail.foldLeft(
+      F.when(chunkClean(pairKeys.head._1) && chunkClean(pairKeys.head._2), F.lit(0L))) {
+      case (acc, ((i, j), k)) => acc.when(chunkClean(i) && chunkClean(j), F.lit(k.toLong))
+    }
+    l.join(r, Seq("bucket"))
       .filter(F.col("id_a") < F.col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+      .withColumn("hamming", F.bit_count(xorc))
       .filter(F.col("hamming") <= maxHamming)
+      .filter(F.shiftrightunsigned(F.col("bucket"), 52) === firstCombo)
       .select("id_a", "id_b", "hamming")
   }
 
@@ -279,40 +350,64 @@ object Dedup {
   // ---------------------------------------------------------------------------
 
   /** Exact word-n-gram Jaccard similarity pairs via posting-list join:
-    * explode distinct shingles, join on shingle, count common, compute
-    * |A∩B| / (|A|+|B|-|A∩B|). Exact (no hashing) — reproducible in ANSI SQL
-    * for the DuckDB oracle. Shuffle: one explode + one groupBy(pair).
-    * At 100 TB add prefix filtering (only k rarest shingles per doc);
-    * exposed via `maxPostings`. */
+    * explode shingles, self-join on shingle, count common per pair, compute
+    * |A∩B| / (|A|+|B|-|A∩B|). Exact below the df-cap (64-bit xxhash cannot
+    * merge two shingles, p ≈ |vocab|²/2⁶⁵) and reproducible in ANSI SQL for
+    * the DuckDB oracle when the cap is inactive.
+    *
+    * Scale anatomy:
+    *   - postings carry (xxhash64(shingle), id) only — 8-byte join key, no
+    *     doc-size payload; the self-join is the quadratic part (Σ df(s)²) so
+    *     every byte per row multiplies; doc sizes re-attach after the pair
+    *     aggregation via two joins against the tiny per-doc size table
+    *   - `maxPostings` df-cap bounds the self-join to ≤ maxPostings·|postings|
+    *     rows — linear at fixed cap
+    *   - the explicit wide repartition on `shingle` both parallelizes the
+    *     quadratic stage (a one-file scan would serialize it) and already
+    *     satisfies the join's distribution requirement
+    */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 2,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      maxPostings: Int = 10000
   ): DataFrame = {
-    val sh = df.select(
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    // NOTE: no eager `size(...) > 0` filter here — Catalyst substitutes the
+    // alias and pushes such a filter (with the whole shingling expression)
+    // below the spread repartition into the narrow scan, serializing the
+    // expensive HOF evaluation onto one core (measured: 7 s of a 20 s run).
+    // explode() drops empty arrays on its own, which is all the filter did.
+    val sh = spread(df).select(
       F.col(idCol).as("id"),
-      TextFunctions.wordShingles(F.col(textCol), n).as("__sh"))
-      .withColumn("__n", F.size(F.col("__sh")))
-      .filter(F.col("__n") > 0)
-    // postings carry (xxhash64(shingle), id) only — an 8-byte join key and
-    // no doc-size payload: the posting self-join is the quadratic part
-    // (Σ df(s)² rows), so every byte per row multiplies; doc sizes are
-    // re-attached AFTER the pair aggregation via two joins against the
-    // tiny per-doc size table. 64-bit hashing cannot (p ≈ |vocab|²/2⁶⁵)
-    // merge two shingles, so counts match the exact-string oracle.
-    // repartition on the join key: the posting table often derives from a
-    // narrow scan (one small file → one partition), which would serialize
-    // the quadratic self-join into a single task. Hash-partitioning on
-    // `shingle` both parallelizes it and already satisfies the join's
-    // distribution requirement, so no further shuffle is added.
-    val postings = sh.select(F.col("id"), F.explode(F.col("__sh")).as("__s"))
-      .select(F.col("id"), F.xxhash64(F.col("__s")).as("shingle"))
-      .repartition(F.col("shingle"))
-    val sizes = sh.select(F.col("id"), F.col("__n"))
-    val a = postings.select(F.col("shingle"), F.col("id").as("id_a"))
-    val b = postings.select(F.col("shingle"), F.col("id").as("id_b"))
+      graft.functions.TextHashExpressions.shingleHashes64(F.col(textCol), n).as("__sh"))
+    val postings = sh.select(F.col("id"), F.explode(F.col("__sh")).as("shingle"))
+      // explicit numbered repartition: parallelizes the quadratic stage AND
+      // pins the partition count (AQE would coalesce the tiny posting
+      // shuffle into one partition and serialize the self-join); also
+      // already satisfies the join's distribution requirement
+      .repartition(parts, F.col("shingle"))
+    // df-cap (rare-shingle prefix filter, the maxBucketSize analogue): drop
+    // postings of shingles hotter than maxPostings before the quadratic
+    // self-join — one boilerplate shingle shared by 100k docs would
+    // contribute 10¹⁰ pairs under a single join key. Implemented as a window
+    // count over the join's own hash distribution: no side job, no extra
+    // shuffle. Pairs whose overlap is exclusively capped-hot shingles are
+    // missed and `common` excludes capped shingles — the standard recall
+    // trade, same as the LSH bucket cap.
+    val capped =
+      if (maxPostings > 0) {
+        postings
+          .withColumn("__df", F.count(F.lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+          .filter(F.col("__df") <= maxPostings)
+          .drop("__df")
+      } else postings
+    val sizes = sh.select(F.col("id"), F.size(F.col("__sh")).as("__n"))
+    val a = capped.select(F.col("shingle"), F.col("id").as("id_a"))
+    val b = capped.select(F.col("shingle"), F.col("id").as("id_b"))
     a.join(b, Seq("shingle"))
       .filter(F.col("id_a") < F.col("id_b"))
       .groupBy("id_a", "id_b")
