@@ -873,6 +873,63 @@ object QueryCatalog {
       """)
     ),
     (
+      "q_model_params", // parameterized model, expanded at lowering
+      wv("""
+        model orders_by(status, min_total = 0) = {
+          from orders
+          where o_orderstatus = status and o_totalprice >= min_total
+        }
+
+        from orders_by('F', 250000)
+        group by o_orderpriority
+        agg n = _.count, total = o_totalprice.sum.round(2)
+        order by o_orderpriority
+      """),
+      Some("""
+        WITH orders_by AS (
+          SELECT * FROM orders WHERE o_orderstatus = 'F' AND o_totalprice >= 250000)
+        SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders_by GROUP BY o_orderpriority ORDER BY o_orderpriority
+      """)
+    ),
+    (
+      "q_user_def", // scalar user defs inlined to column expressions
+      wv("""
+        def disc_price(p, d) = p * (1 - d)
+        def charged(p, d, t) = disc_price(p, d) * (1 + t)
+        from lineitem
+        where l_linenumber = 1
+        select
+          l_orderkey,
+          dp = disc_price(l_extendedprice, l_discount).round(4),
+          total = charged(l_extendedprice, l_discount, l_tax).round(6)
+        order by l_orderkey
+      """),
+      Some("""
+        SELECT l_orderkey,
+          round(l_extendedprice * (1 - l_discount), 4) AS dp,
+          round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS total
+        FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey
+      """)
+    ),
+    (
+      "q_partial_query", // partial-query defs applied in pipe position
+      wv("""
+        def fulfilled = where o_orderstatus = 'F'
+        def by_priority = group by o_orderpriority
+          agg n = _.count, avg_total = o_totalprice.avg.round(4)
+        from orders
+        fulfilled
+        by_priority
+        order by o_orderpriority
+      """),
+      Some("""
+        SELECT o_orderpriority, count(*) AS n, round(avg(o_totalprice), 4) AS avg_total
+        FROM orders WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+      """)
+    ),
+    (
       "q_events_tumbling_window", // streaming-shaped: tumbling 1h buckets
       wv("""
         from events

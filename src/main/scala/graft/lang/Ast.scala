@@ -93,6 +93,15 @@ sealed trait UnaryRelation extends Relation { def child: Relation }
 
 /** Named table (resolved through the session catalog / table resolver). */
 final case class TableRef(name: String) extends Relation
+/** `from m(arg, ...)` — parameterized model invocation, expanded at lowering
+  * (reference: ModelScan, relation.scala:1106-1119). */
+final case class ModelRef(name: String, args: List[Expr]) extends Relation
+/** Placeholder leaf for the input of a partial-query def (`def f = where …`);
+  * replaced by the piped-in relation at application time
+  * (reference: PartialQueryDef/Apply, plan.scala:154-155, relation.scala:405-418). */
+case object PipeInput extends Relation
+/** Application of a named partial-query def as a pipe operator. */
+final case class PartialApply(child: Relation, name: String) extends UnaryRelation
 /** `from 'path.parquet'` — format chosen by extension. */
 final case class FileScan(path: String) extends Relation
 /** `from [[...],...] as t(c1,c2)` literal rows. */
@@ -226,5 +235,12 @@ final case class ModelDef(name: String, params: List[(String, Option[Expr])], bo
     extends Statement
 /** `val name = expr` — driver-side constant. */
 final case class ValDef(name: String, expr: Expr) extends Statement
+/** `def f(x, y) = expr` — scalar function, inlined at call sites by
+  * substitution (reference: FunctionDef, plan.scala:62-117 +
+  * FunctionInliner.scala). Callable as `f(a, b)` or method-style `a.f(b)`. */
+final case class FuncDef(name: String, params: List[String], body: Expr) extends Statement
+/** `def f = where …` — partial query: a pipe-operator chain over [[PipeInput]],
+  * applied by naming it in pipe position. */
+final case class PartialDef(name: String, body: Relation) extends Statement
 /** `save to target` / `append to target` */
 final case class SaveTo(relation: Relation, target: String, append: Boolean) extends Statement

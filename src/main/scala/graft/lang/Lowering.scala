@@ -26,7 +26,9 @@ object Lowering {
       models: mutable.Map[String, ModelDef] = mutable.Map.empty,
       vals: mutable.Map[String, Expr] = mutable.Map.empty,
       tests: mutable.ListBuffer[(DataFrame, Expr)] = mutable.ListBuffer.empty,
-      debugs: mutable.ListBuffer[DataFrame] = mutable.ListBuffer.empty
+      debugs: mutable.ListBuffer[DataFrame] = mutable.ListBuffer.empty,
+      funcs: mutable.Map[String, FuncDef] = mutable.Map.empty,
+      partials: mutable.Map[String, Relation] = mutable.Map.empty
   )
 
   /** Lowering result: either a plain DataFrame or a "grouped" relation —
@@ -47,6 +49,8 @@ object Lowering {
     stmts.foreach {
       case m: ModelDef => ctx.models(m.name) = m
       case ValDef(name, e) => ctx.vals(name) = e
+      case f: FuncDef => ctx.funcs(f.name.toLowerCase) = f
+      case PartialDef(name, body) => ctx.partials(name.toLowerCase) = body
       case QueryStatement(rel) => last = Some(lower(rel, ctx))
       case SaveTo(rel, target, append) =>
         val df = lower(rel, ctx)
@@ -120,11 +124,43 @@ object Lowering {
   private def lowerRel(rel: Relation, ctx: Context): LRes = rel match {
     case TableRef(name) =>
       ctx.models.get(name) match {
-        case Some(m) => Plain(lower(m.body, ctx).alias(name))
+        case Some(m) => lowerRel(ModelRef(name, Nil), ctx)
         case None =>
           // auto-alias by table name so `on a.x = b.y` qualifiers resolve
           val shortName = name.split('.').last
           Plain(resolveTable(name, ctx).alias(shortName))
+      }
+
+    case ModelRef(name, args) =>
+      val m = ctx.models.getOrElse(name,
+        throw new LoweringException(s"unknown model: $name"))
+      if (args.length > m.params.length)
+        throw new LoweringException(
+          s"model $name takes ${m.params.length} parameter(s), got ${args.length} argument(s)")
+      // bind arguments (or declared defaults) as vals — Ident resolution
+      // substitutes them anywhere in the body, the reference's compile-time
+      // model expansion (SqlGenerator.scala:1101 `expand`)
+      val bindings = m.params.zipWithIndex.map { case ((pname, default), i) =>
+        val v =
+          if (i < args.length) args(i)
+          else default.getOrElse(throw new LoweringException(
+            s"model $name: missing argument for parameter '$pname'"))
+        pname -> v
+      }
+      val ctx2 =
+        if (bindings.isEmpty) ctx
+        else ctx.copy(vals = ctx.vals.clone() ++= bindings)
+      Plain(lower(m.body, ctx2).alias(name))
+
+    case PipeInput =>
+      throw new LoweringException(
+        "partial-query input placeholder outside an application context")
+
+    case PartialApply(child, name) =>
+      ctx.partials.get(name.toLowerCase) match {
+        case Some(body) => lowerRel(substPipeInput(body, child), ctx)
+        case None =>
+          throw new LoweringException(s"unknown pipe operator or partial query: $name")
       }
     case FileScan(path) =>
       val base = readFile(path, ctx)
@@ -528,6 +564,43 @@ object Lowering {
     case other => List(other)
   }
 
+  /** Replace the [[PipeInput]] leaf of a partial-query body with the piped-in
+    * relation (reference: PartialQueryApply, relation.scala:405-418). */
+  private def substPipeInput(r: Relation, input: Relation): Relation = {
+    def go(x: Relation): Relation = x match {
+      case PipeInput => input
+      case u: AliasedRelation => u.copy(child = go(u.child))
+      case u: BracedRelation => u.copy(child = go(u.child))
+      case u: Filter => u.copy(child = go(u.child))
+      case u: Project => u.copy(child = go(u.child))
+      case u: GroupBy => u.copy(child = go(u.child))
+      case u: GroupByStyled => u.copy(child = go(u.child))
+      case u: Agg => u.copy(child = go(u.child))
+      case u: AddColumns => u.copy(child = go(u.child))
+      case u: TransformColumns => u.copy(child = go(u.child))
+      case u: ExcludeColumns => u.copy(child = go(u.child))
+      case u: RenameColumns => u.copy(child = go(u.child))
+      case u: ShiftColumns => u.copy(child = go(u.child))
+      case u: Sort => u.copy(child = go(u.child))
+      case u: Limit => u.copy(child = go(u.child))
+      case u: Offset => u.copy(child = go(u.child))
+      case u: CountRel => u.copy(child = go(u.child))
+      case u: DedupRel => u.copy(child = go(u.child))
+      case u: SampleRel => u.copy(child = go(u.child))
+      case u: Pivot => u.copy(child = go(u.child))
+      case u: Unpivot => u.copy(child = go(u.child))
+      case u: LateralUnnest => u.copy(child = go(u.child))
+      case u: DescribeRel => u.copy(child = go(u.child))
+      case u: TestRel => u.copy(child = go(u.child))
+      case u: DebugRel => u.copy(child = go(u.child), body = go(u.body))
+      case u: PartialApply => u.copy(child = go(u.child))
+      case j: Join => j.copy(left = go(j.left), right = go(j.right))
+      case s: SetOp => s.copy(left = go(s.left), right = go(s.right))
+      case leaf => leaf
+    }
+    go(r)
+  }
+
   /** Bottom-up expression rewrite: applies `f` where defined, recursing into
     * children first (shared by scalar-subquery binding, model-parameter
     * substitution and user-def inlining). */
@@ -656,8 +729,27 @@ object Lowering {
       ctx: Context,
       aggMode: Boolean,
       env: Map[String, Column] = Map.empty,
-      dfOpt: Option[DataFrame] = None
+      dfOpt: Option[DataFrame] = None,
+      inlineDepth: Int = 0
   )
+
+  /** Inline a user `def` by argument substitution (reference:
+    * FunctionInliner.scala:43+ — sql-template expansion; here the template is
+    * the AST and the result is a Column tree). */
+  private def inlineUserFunc(name: String, args: List[Expr], ec: ExprCtx): Column = {
+    val fd = ec.ctx.funcs(name)
+    if (args.length != fd.params.length)
+      throw new LoweringException(
+        s"function ${fd.name} expects ${fd.params.length} argument(s), got ${args.length}")
+    if (ec.inlineDepth > 20)
+      throw new LoweringException(
+        s"user function inlining exceeded depth 20 — is '${fd.name}' recursive?")
+    val bound = fd.params.zip(args).toMap
+    val body2 = transformExpr(fd.body) {
+      case Ident(p) if bound.contains(p) => bound(p)
+    }
+    expr(body2, ec.copy(inlineDepth = ec.inlineDepth + 1))
+  }
 
   def expr(e: Expr, ec: ExprCtx): Column = e match {
     case NullLit() => F.lit(null)
@@ -677,6 +769,8 @@ object Lowering {
     case Ident(name) =>
       ec.env.get(name)
         .orElse(ec.ctx.vals.get(name).map(v => expr(v, ec)))
+        .orElse(ec.ctx.funcs.get(name.toLowerCase).filter(_.params.isEmpty)
+          .map(_ => inlineUserFunc(name.toLowerCase, Nil, ec)))
         .getOrElse(F.col(name))
 
     case Underscore =>
@@ -693,6 +787,10 @@ object Lowering {
         Stdlib.aggMethods(lname)(t, Nil)
       } else if (Stdlib.scalarMethods.contains(lname) && !resolvesAsColumn(target, name, ec)) {
         Stdlib.scalarMethods(lname)(expr(target, ec), Nil)
+      } else if (ec.ctx.funcs.get(lname).exists(_.params.length == 1) &&
+          !resolvesAsColumn(target, name, ec)) {
+        // zero-paren method-style user def: x.f == f(x)
+        inlineUserFunc(lname, List(target), ec)
       } else
         target match {
           case Ident(q) if ec.env.contains(q) => ec.env(q).getField(name)
@@ -731,6 +829,9 @@ object Lowering {
         Stdlib.scalarMethods(lname)(expr(target, ec), args.map(expr(_, ec)))
       } else if (higherOrder.contains(lname)) {
         lowerHigherOrder(lname, target, args, ec)
+      } else if (ec.ctx.funcs.contains(lname)) {
+        // method-style user-def call: x.f(a) == f(x, a)
+        inlineUserFunc(lname, target :: args, ec)
       } else {
         // fall back to function-call form: x.f(a) == f(x, a)
         F.call_function(name, (target :: args).map(expr(_, ec)): _*)
@@ -1003,6 +1104,11 @@ object Lowering {
       case "current_timestamp" | "now" => F.current_timestamp()
       case n if singleArgAggs.contains(n) && args.length == 1 =>
         F.call_function(fc.name, ag(a(0)))
+      case _ if ec.ctx.funcs.contains(name) =>
+        if (filt.isDefined || fc.isDistinct)
+          throw new LoweringException(
+            s"DISTINCT / FILTER not applicable to user function: ${fc.name}")
+        inlineUserFunc(name, args, ec)
       case _ =>
         if (filt.isDefined)
           throw new LoweringException(s"FILTER (WHERE …) not supported for function: ${fc.name}")

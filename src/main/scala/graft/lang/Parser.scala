@@ -66,6 +66,7 @@ final class Parser(tokens: Vector[Token]) {
   private def parseStatement(): Statement = {
     if (peek.is("model")) parseModelDef()
     else if (peek.is("val") && peek2.kind == TokenKind.Ident) parseValDef()
+    else if (peek.is("def") && peek2.kind == TokenKind.Ident) parseDef()
     else {
       val rel = parseRelation()
       if (accept("save")) { expectKw("to"); SaveTo(rel, stringOrIdent(), append = false) }
@@ -107,6 +108,55 @@ final class Parser(tokens: Vector[Token]) {
     val name = identName()
     expectOp("=")
     ValDef(name, expression())
+  }
+
+  /** Pipe-operator keywords that begin a partial-query body (vs a scalar
+    * expression body) after `def name =`. */
+  private val pipeOpKeywords = Set(
+    "where", "select", "group", "agg", "order", "limit", "offset", "count",
+    "dedup", "distinct", "sample", "add", "prepend", "transform", "exclude",
+    "rename", "shift", "join", "inner", "left", "right", "full", "cross",
+    "asof", "concat", "union", "intersect", "except", "pivot", "unpivot",
+    "unnest", "describe", "test", "debug")
+
+  /** `def f(x, y) = expr` (scalar, inlined) or `def f = where …` (partial
+    * query over the piped-in relation). */
+  private def parseDef(): Statement = {
+    expectKw("def")
+    val name = identName()
+    if (accept("(")) {
+      val params = List.newBuilder[String]
+      if (!peek.is(")")) {
+        def param(): Unit = {
+          params += identName()
+          if (accept(":")) parseTypeName() // annotation parsed and ignored
+        }
+        param()
+        while (accept(",")) param()
+      }
+      expectOp(")")
+      if (accept(":")) parseTypeName() // return-type annotation
+      expectOp("=")
+      FuncDef(name, params.result(), expression())
+    } else {
+      if (accept(":")) parseTypeName()
+      expectOp("=")
+      val startsPipe = peek.kind == TokenKind.Ident &&
+        pipeOpKeywords.contains(peek.text.toLowerCase) &&
+        !(peek.is("count") && peek2.is("(")) // count(x) is an expression
+      if (startsPipe) {
+        var body: Relation = PipeInput
+        var continue = true
+        while (continue) {
+          if (peek.kind == TokenKind.Op && peek.text == "|") advance()
+          parsePipeOp(body) match {
+            case Some(r) => body = r
+            case None => continue = false
+          }
+        }
+        PartialDef(name, body)
+      } else FuncDef(name, Nil, expression())
+    }
   }
 
   // -------------------------------------------------------------------------
@@ -167,8 +217,20 @@ final class Parser(tokens: Vector[Token]) {
         UnnestRel(e, None, Nil, withOrd)
       case TokenKind.Ident | TokenKind.BackquotedIdent =>
         var name = advance().text
-        while (accept(".")) name = name + "." + identName()
-        TableRef(name)
+        if (peek.kind == TokenKind.Op && peek.text == "(" && !name.contains(".")) {
+          // parameterized model invocation: from m(arg, ...)
+          advance()
+          val args = List.newBuilder[Expr]
+          if (!peek.is(")")) {
+            args += expression()
+            while (accept(",")) args += expression()
+          }
+          expectOp(")")
+          ModelRef(name, args.result())
+        } else {
+          while (accept(".")) name = name + "." + identName()
+          TableRef(name)
+        }
       case _ => fail("expected table, file path, values, or subquery")
     }
     maybeAlias(rel)
@@ -365,7 +427,12 @@ final class Parser(tokens: Vector[Token]) {
           expectOp("}")
           Some(DebugRel(rel, body))
         } else Some(DebugRel(rel, rel))
-      case _ => None
+      // statement starters / post-relation keywords end the pipe chain
+      case "save" | "append" | "model" | "val" | "def" | "from" | "show" => None
+      case _ =>
+        // any other bare identifier in pipe position applies a partial-query
+        // def (`from t | active`); resolution happens at lowering
+        advance(); Some(PartialApply(rel, t.text))
     }
   }
 

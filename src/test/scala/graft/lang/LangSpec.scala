@@ -475,6 +475,93 @@ class LangSpec extends SparkTestBase {
     """)
   }
 
+  test("parameterized models: args, defaults, arity errors") {
+    wv("""
+      model big_orders(min_total, status = 'O') = {
+        from [[1, 'O', 100], [2, 'O', 500], [3, 'F', 900], [4, 'O', 800]]
+          as orders(id, st, total)
+        where st = status and total >= min_total
+      }
+      from big_orders(400)
+      select id
+      order by id
+      test _.rows should be [[2], [4]]
+    """)
+    wv("""
+      model big_orders(min_total, status = 'O') = {
+        from [[1, 'O', 100], [2, 'O', 500], [3, 'F', 900], [4, 'O', 800]]
+          as orders(id, st, total)
+        where st = status and total >= min_total
+      }
+      from big_orders(400, 'F')
+      select id
+      test _.rows should be [[3]]
+    """)
+    // zero-arg call of a model with a required param must throw, not
+    // silently run unbound
+    intercept[LoweringException] {
+      wv("""
+        model m(x) = { from [[1]] as t(a) where a = x }
+        from m
+      """)
+    }
+    intercept[LoweringException] {
+      wv("""
+        model m(x) = { from [[1]] as t(a) where a = x }
+        from m(1, 2)
+      """)
+    }
+  }
+
+  test("user def functions: call, method style, zero-arg, recursion guard") {
+    wv("""
+      def discounted(p, d) = p * (1 - d)
+      def half(x) = x / 2
+      def answer = 42
+      from [[100.0, 0.25], [200.0, 0.5]] as t(price, disc)
+      select
+        a = discounted(price, disc),
+        b = price.half,
+        c = half(price),
+        d = answer
+      order by a
+      test _.rows should be [[75.0, 50.0, 50.0, 42], [100.0, 100.0, 100.0, 42]]
+    """)
+    intercept[LoweringException] {
+      wv("""
+        def loop(x) = loop(x) + 1
+        from [[1]] as t(a)
+        select loop(a)
+      """)
+    }
+  }
+
+  test("partial query defs applied in pipe position") {
+    wv("""
+      def active = where st = 'a'
+      def brief = select id, total
+      from [[1, 'a', 10], [2, 'b', 20], [3, 'a', 30]] as t(id, st, total)
+      active
+      brief
+      order by id
+      test _.rows should be [[1, 10], [3, 30]]
+    """)
+    // partial with multiple ops, applied with explicit pipe
+    wv("""
+      def top1 = order by total desc limit 1
+      from [[1, 10], [2, 30], [3, 20]] as t(id, total)
+      | top1
+      select id
+      test _.rows should be [[2]]
+    """)
+    intercept[LoweringException] {
+      wv("""
+        from [[1]] as t(a)
+        nonexistent_op
+      """)
+    }
+  }
+
   test("debug executes its body (honest, not a silent no-op)") {
     // a failing test INSIDE debug must surface — proves the branch runs
     intercept[TestFailure] {
