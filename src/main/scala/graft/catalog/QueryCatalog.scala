@@ -527,6 +527,22 @@ object QueryCatalog {
       """)
     ),
     (
+      "q_grouping_sets",
+      wv("""
+        from orders
+        group by grouping sets ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        agg n = _.count, total = o_totalprice.sum.round(2)
+        order by o_orderstatus nulls first, o_orderpriority nulls first
+      """),
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+      """)
+    ),
+    (
       "q_pivot",
       wv("""
         from {

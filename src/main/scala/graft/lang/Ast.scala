@@ -221,6 +221,8 @@ object GroupingStyle {
   case object Plain extends GroupingStyle
   case object Rollup extends GroupingStyle
   case object Cube extends GroupingStyle
+  /** `group by grouping sets ((a,b),(a),())` — each inner list is one set. */
+  final case class Sets(sets: List[List[Expr]]) extends GroupingStyle
 }
 final case class GroupByStyled(child: Relation, keys: List[SelectItem], style: GroupingStyle)
     extends UnaryRelation

@@ -95,10 +95,22 @@ object Lowering {
       case GroupingStyle.Plain => g.df.groupBy(keyCols: _*)
       case GroupingStyle.Rollup => g.df.rollup(keyCols: _*)
       case GroupingStyle.Cube => g.df.cube(keyCols: _*)
+      case GroupingStyle.Sets(sets) =>
+        // Spark 4 native grouping sets (SURVEY §2.E; reference
+        // exprs.scala:1004-1032). Set members are matched to the grouping
+        // columns BY EXPRESSION — an alias on the grouping column breaks the
+        // match (keys silently all-null), so group unaliased and rename the
+        // key columns positionally after the aggregate.
+        val plainKeys = g.keys.map(k => expr(k.expr, ectx))
+        g.df.groupingSets(sets.map(_.map(e => expr(e, ectx))), plainKeys: _*)
     }
     var out =
       if (allAggs.isEmpty) g.df.select(keyCols: _*).distinct()
       else grouped.agg(allAggs.head, allAggs.tail: _*)
+    if (g.style.isInstanceOf[GroupingStyle.Sets] && allAggs.nonEmpty) {
+      val keyNames = g.keys.zipWithIndex.map { case (k, i) => itemName(k, i) }
+      out = out.toDF(keyNames ++ out.columns.drop(keyNames.length): _*)
+    }
     g.havings.indices.foreach { i => out = out.filter(F.col(s"__having_$i")) }
     if (g.havings.nonEmpty) out = out.drop(g.havings.indices.map(i => s"__having_$i"): _*)
     if (postSelect.nonEmpty) out = out.select(postSelect: _*)

@@ -291,15 +291,38 @@ final class Parser(tokens: Vector[Token]) {
       case "select" => Some(parseSelectOp(rel))
       case "group" =>
         advance(); expectKw("by")
-        val style =
-          if (accept("rollup")) GroupingStyle.Rollup
-          else if (accept("cube")) GroupingStyle.Cube
-          else GroupingStyle.Plain
-        val keys = parseSelectItems()
-        Some(
-          if (style == GroupingStyle.Plain) GroupBy(rel, keys)
-          else GroupByStyled(rel, keys, style)
-        )
+        if (peek.is("grouping") && peek2.is("sets")) {
+          advance(); advance()
+          expectOp("(")
+          def oneSet(): List[Expr] = {
+            expectOp("(")
+            val es = List.newBuilder[Expr]
+            if (!peek.is(")")) {
+              es += expression()
+              while (accept(",")) es += expression()
+            }
+            expectOp(")")
+            es.result()
+          }
+          val sets = List.newBuilder[List[Expr]]
+          sets += oneSet()
+          while (accept(",")) sets += oneSet()
+          expectOp(")")
+          val allSets = sets.result()
+          // grouping keys = union of set members, in order of first appearance
+          val keys = allSets.flatten.distinct.map(e => SelectItem(e, None))
+          Some(GroupByStyled(rel, keys, GroupingStyle.Sets(allSets)))
+        } else {
+          val style =
+            if (accept("rollup")) GroupingStyle.Rollup
+            else if (accept("cube")) GroupingStyle.Cube
+            else GroupingStyle.Plain
+          val keys = parseSelectItems()
+          Some(
+            if (style == GroupingStyle.Plain) GroupBy(rel, keys)
+            else GroupByStyled(rel, keys, style)
+          )
+        }
       case "agg" => advance(); Some(Agg(rel, parseSelectItems()))
       case "order" =>
         advance(); expectKw("by"); Some(Sort(rel, parseSortItems()))

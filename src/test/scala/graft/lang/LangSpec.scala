@@ -309,6 +309,26 @@ class LangSpec extends SparkTestBase {
     """)
   }
 
+  test("group by grouping sets") {
+    wv("""
+      from [[1, 'a', 'x'], [2, 'a', 'y'], [3, 'b', 'x']] as t(id, g1, g2)
+      group by grouping sets ((g1, g2), (g1), ())
+      agg n = _.count
+      order by g1 nulls first, g2 nulls first
+      test _.size should be 6
+    """)
+    // total row (both keys null) aggregates everything; per-set rows keep keys
+    val df = wv("""
+      from [[1, 'a', 'x'], [2, 'a', 'y'], [3, 'b', 'x']] as t(id, g1, g2)
+      group by grouping sets ((g1, g2), ())
+      agg n = _.count
+      order by g1 nulls first, g2 nulls first
+    """).collect()
+    assert(df.head.isNullAt(0) && df.head.getLong(2) == 3L)
+    assert(df.last.getString(0) == "b" && df.last.getString(1) == "x" && df.last.getLong(2) == 1L)
+    assert(df.length == 4)
+  }
+
   test("group by rollup") {
     wv("""
       from [[1, 'x', 10], [2, 'x', 20], [3, 'y', 5]] as t(id, tag, v)
