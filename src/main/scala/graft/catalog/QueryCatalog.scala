@@ -982,6 +982,48 @@ object QueryCatalog {
       """)
     ),
     (
+      "q_save_roundtrip", // write path: save to parquet, re-read, must be identity
+      (spark, dir) => {
+        val tmp = System.getProperty("java.io.tmpdir").stripSuffix("/") +
+          "/graft_q_save_roundtrip.parquet"
+        Graft.query(spark, s"""
+          from orders
+          where o_orderstatus = 'F'
+          select o_orderkey, o_custkey, o_totalprice
+          save to '$tmp'
+          ;
+          from '$tmp'
+          order by o_orderkey
+        """, Tables.resolver(spark, dir), basePath = dir)
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderstatus = 'F' ORDER BY o_orderkey
+      """)
+    ),
+    (
+      "q_dml_delete", // delete-where on a written copy, then read survivors
+      (spark, dir) => {
+        val tmp = System.getProperty("java.io.tmpdir").stripSuffix("/") +
+          "/graft_q_dml_delete.parquet"
+        Graft.query(spark, s"""
+          from orders
+          select o_orderkey, o_orderstatus, o_totalprice
+          save to '$tmp'
+          ;
+          delete from '$tmp' where o_orderstatus = 'F' or o_totalprice < 100000
+          ;
+          from '$tmp'
+          order by o_orderkey
+        """, Tables.resolver(spark, dir), basePath = dir)
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE NOT (o_orderstatus = 'F' OR o_totalprice < 100000)
+        ORDER BY o_orderkey
+      """)
+    ),
+    (
       "q_sample", // nondeterministic across engines → rows-only check
       wv("""
         from lineitem

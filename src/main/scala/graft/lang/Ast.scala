@@ -244,5 +244,24 @@ final case class FuncDef(name: String, params: List[String], body: Expr) extends
 /** `def f = where …` — partial query: a pipe-operator chain over [[PipeInput]],
   * applied by naming it in pipe position. */
 final case class PartialDef(name: String, body: Relation) extends Statement
-/** `save to target` / `append to target` */
-final case class SaveTo(relation: Relation, target: String, append: Boolean) extends Statement
+/** `save to target [partition by c1, c2]` / `append to target` /
+  * `insert into target` (reference: update.scala:37-94). */
+final case class SaveTo(
+    relation: Relation,
+    target: String,
+    append: Boolean,
+    partitionBy: List[String] = Nil
+) extends Statement
+/** `delete from target where cond` — rows matching cond are removed in place
+  * (reference: Delete, update.scala:57). */
+final case class DeleteStmt(target: String, cond: Expr) extends Statement
+/** `truncate [table] target` (reference: Truncate, update.scala:59). */
+final case class TruncateStmt(target: String) extends Statement
+/** `create [or replace] table name [partitioned by (c1,…)] as <query>`
+  * (reference: CreateTableAs, update.scala:63-78, relation.scala:283-303). */
+final case class CreateTableAs(
+    name: String,
+    relation: Relation,
+    orReplace: Boolean,
+    partitionBy: List[String]
+) extends Statement

@@ -52,16 +52,63 @@ object Lowering {
       case f: FuncDef => ctx.funcs(f.name.toLowerCase) = f
       case PartialDef(name, body) => ctx.partials(name.toLowerCase) = body
       case QueryStatement(rel) => last = Some(lower(rel, ctx))
-      case SaveTo(rel, target, append) =>
+      case SaveTo(rel, target, append, parts) =>
         val df = lower(rel, ctx)
         val mode = if (append) "append" else "overwrite"
-        if (target.contains("/") || target.contains(".parquet") || target.contains(".csv")) {
-          if (target.endsWith(".csv")) df.write.mode(mode).option("header", "true").csv(target)
-          else df.write.mode(mode).parquet(target)
-        } else df.write.mode(mode).saveAsTable(target)
+        val w0 = df.write.mode(mode)
+        val w = if (parts.nonEmpty) w0.partitionBy(parts: _*) else w0
+        if (isPathTarget(target)) {
+          val path = resolveTargetPath(target, ctx)
+          if (target.endsWith(".csv")) w.option("header", "true").csv(path)
+          else w.parquet(path)
+        } else w.saveAsTable(target)
+        last = Some(df)
+      case DeleteStmt(target, cond) =>
+        // DELETE WHERE cond: keep rows where cond is false or null (SQL
+        // semantics). Plain parquet has no copy-on-write layer (that is
+        // Delta/Iceberg territory at 100 TB) — materialize the survivors via
+        // localCheckpoint to break lineage from the files being overwritten,
+        // then rewrite in place (reference Delete, update.scala:57, delegates
+        // to the target engine the same way).
+        val df = readTarget(target, ctx)
+        val condCol = expr(cond, ExprCtx(ctx, aggMode = false, dfOpt = Some(df)))
+        val keep = df.filter(!F.coalesce(condCol, F.lit(false)))
+        overwriteTarget(target, keep, ctx)
+      case TruncateStmt(target) =>
+        val df = readTarget(target, ctx)
+        overwriteTarget(target, df.limit(0), ctx)
+      case CreateTableAs(name, rel, orReplace, parts) =>
+        val df = lower(rel, ctx)
+        val mode = if (orReplace) "overwrite" else "errorifexists"
+        val w0 = df.write.mode(mode)
+        val w = if (parts.nonEmpty) w0.partitionBy(parts: _*) else w0
+        w.saveAsTable(name)
         last = Some(df)
     }
     last
+  }
+
+  private def isPathTarget(target: String): Boolean =
+    target.contains("/") || target.contains(".parquet") || target.contains(".csv")
+
+  private def resolveTargetPath(target: String, ctx: Context): String =
+    if (target.startsWith("/") || ctx.basePath.isEmpty) target
+    else s"${ctx.basePath.stripSuffix("/")}/$target"
+
+  private def readTarget(target: String, ctx: Context): DataFrame =
+    if (isPathTarget(target)) readFile(target, ctx)
+    else ctx.spark.table(target)
+
+  private def overwriteTarget(target: String, df: DataFrame, ctx: Context): Unit = {
+    // break lineage from the source files/table so the overwrite does not
+    // read from what it is replacing
+    val materialized = df.localCheckpoint(true)
+    if (isPathTarget(target)) {
+      val path = resolveTargetPath(target, ctx)
+      if (target.endsWith(".csv"))
+        materialized.write.mode("overwrite").option("header", "true").csv(path)
+      else materialized.write.mode("overwrite").parquet(path)
+    } else materialized.write.mode("overwrite").saveAsTable(target)
   }
 
   def lower(rel: Relation, ctx: Context): DataFrame =

@@ -67,10 +67,53 @@ final class Parser(tokens: Vector[Token]) {
     if (peek.is("model")) parseModelDef()
     else if (peek.is("val") && peek2.kind == TokenKind.Ident) parseValDef()
     else if (peek.is("def") && peek2.kind == TokenKind.Ident) parseDef()
-    else {
+    else if (peek.is("delete") && peek2.is("from")) {
+      advance(); advance()
+      val target = stringOrIdent()
+      expectKw("where")
+      DeleteStmt(target, expression())
+    } else if (peek.is("truncate")) {
+      advance(); accept("table")
+      TruncateStmt(stringOrIdent())
+    } else if (peek.is("create") && (peek2.is("table") || peek2.is("or"))) {
+      advance()
+      val orReplace = accept("or")
+      if (orReplace) expectKw("replace")
+      expectKw("table")
+      val name = identName()
+      val parts = List.newBuilder[String]
+      if (accept("partitioned") || accept("partition")) {
+        expectKw("by")
+        val withParen = accept("(")
+        parts += identName()
+        while (accept(",")) parts += identName()
+        if (withParen) expectOp(")")
+      }
+      expectKw("as")
+      val rel =
+        if (accept("{")) { val r = parseRelation(); expectOp("}"); r }
+        else parseRelation()
+      CreateTableAs(name, rel, orReplace, parts.result())
+    } else if (peek.is("insert") && peek2.is("into")) {
+      advance(); advance()
+      val target = stringOrIdent()
+      val rel =
+        if (accept("{")) { val r = parseRelation(); expectOp("}"); r }
+        else parseRelation()
+      SaveTo(rel, target, append = true)
+    } else {
       val rel = parseRelation()
-      if (accept("save")) { expectKw("to"); SaveTo(rel, stringOrIdent(), append = false) }
-      else if (accept("append")) { expectKw("to"); SaveTo(rel, stringOrIdent(), append = true) }
+      if (accept("save")) {
+        expectKw("to")
+        val target = stringOrIdent()
+        val parts = List.newBuilder[String]
+        if (accept("partition")) {
+          expectKw("by")
+          parts += identName()
+          while (accept(",")) parts += identName()
+        }
+        SaveTo(rel, target, append = false, parts.result())
+      } else if (accept("append")) { expectKw("to"); SaveTo(rel, stringOrIdent(), append = true) }
       else QueryStatement(rel)
     }
   }
@@ -451,7 +494,8 @@ final class Parser(tokens: Vector[Token]) {
           Some(DebugRel(rel, body))
         } else Some(DebugRel(rel, rel))
       // statement starters / post-relation keywords end the pipe chain
-      case "save" | "append" | "model" | "val" | "def" | "from" | "show" => None
+      case "save" | "append" | "model" | "val" | "def" | "from" | "show"
+          | "delete" | "truncate" | "insert" | "create" => None
       case _ =>
         // any other bare identifier in pipe position applies a partial-query
         // def (`from t | active`); resolution happens at lowering

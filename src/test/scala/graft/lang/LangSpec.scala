@@ -582,6 +582,55 @@ class LangSpec extends SparkTestBase {
     }
   }
 
+  test("save / delete / truncate roundtrip on a parquet path") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dml").toString
+    val rows = wv(s"""
+      from [[1, 'a'], [2, 'b'], [3, 'a']] as t(id, tag)
+      save to '$tmp/t.parquet'
+      ;
+      delete from '$tmp/t.parquet' where tag = 'a'
+      ;
+      from '$tmp/t.parquet'
+      order by id
+    """).collect()
+    assert(rows.map(_.getLong(0)).toList == List(2L))
+    val after = wv(s"""
+      truncate '$tmp/t.parquet'
+      ;
+      from '$tmp/t.parquet'
+      count
+    """).collect()
+    assert(after.head.getLong(0) == 0L)
+  }
+
+  test("create table as, insert into, partitioned save") {
+    val out = wv("""
+      create or replace table graft_ctas_test as { from [[1], [2]] as t(v) }
+      ;
+      insert into graft_ctas_test { from [[3]] as t(v) }
+      ;
+      from sql"select * from graft_ctas_test"
+      order by v
+    """).collect()
+    assert(out.map(_.getLong(0)).toList == List(1L, 2L, 3L))
+    // plain create table on an existing table must fail (no silent overwrite)
+    intercept[Exception] {
+      wv("create table graft_ctas_test as { from [[9]] as t(v) }")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    wv(s"""
+      from [[1, 'x'], [2, 'y'], [3, 'x']] as t(id, part)
+      save to '$tmp/p.parquet' partition by part
+      ;
+      from '$tmp/p.parquet'
+      where part = 'x'
+      count
+      test _.rows should be [[2]]
+    """)
+    // partition pruning: the physical dir layout is part=<value>
+    assert(new java.io.File(s"$tmp/p.parquet/part=x").exists())
+  }
+
   test("debug executes its body (honest, not a silent no-op)") {
     // a failing test INSIDE debug must surface — proves the branch runs
     intercept[TestFailure] {
