@@ -313,6 +313,25 @@ object QueryCatalog {
       """)
     ),
     (
+      "q_join_semi_correlated", // correlated exists → decorrelated semi join
+      wv("""
+        from customer
+        where exists {
+          from orders
+          where orders.o_custkey = customer.c_custkey and o_totalprice > 400000
+        }
+        select c_custkey, c_mktsegment
+        order by c_custkey
+      """),
+      Some("""
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE orders.o_custkey = customer.c_custkey
+                        AND o_totalprice > 400000)
+        ORDER BY c_custkey
+      """)
+    ),
+    (
       "q_join_cross",
       wv("""
         from region

@@ -743,17 +743,11 @@ object Lowering {
     val plain = List.newBuilder[Expr]
     conjuncts.foreach {
       case InSubquery(e, q, negated) =>
-        val sub = lower(q, ctx)
-        val subCol = sub.columns.head
-        val probe = expr(e, ExprCtx(ctx, aggMode = false))
-        val renamed = sub.select(F.col(subCol).as("__in_key"))
-        out = out.join(renamed, probe === F.col("__in_key"), if (negated) "left_anti" else "left_semi")
+        out = subqueryJoin(out, Some(e), q, if (negated) "left_anti" else "left_semi", ctx)
       case ExistsExpr(q) =>
-        val sub = lower(q, ctx).limit(1)
-        out = out.join(sub, F.lit(true), "left_semi")
+        out = subqueryJoin(out, None, q, "left_semi", ctx)
       case Not(ExistsExpr(q)) =>
-        val sub = lower(q, ctx).limit(1)
-        out = out.join(sub, F.lit(true), "left_anti")
+        out = subqueryJoin(out, None, q, "left_anti", ctx)
       case other => plain += other
     }
     val rest0 = plain.result()
@@ -764,6 +758,82 @@ object Lowering {
         rest.map(e => expr(e, ExprCtx(ctx, aggMode = false, dfOpt = Some(joined)))).reduce(_ && _))
       if (bound.isEmpty) filtered else filtered.drop(bound: _*)
     }
+  }
+
+  /** Lower an in/exists subquery predicate as a semi/anti join. Uncorrelated
+    * subqueries lower directly; if analysis fails on unresolved columns, the
+    * subquery is decorrelated: correlated filter conjuncts become join
+    * conditions (reference: Lateral / InRelation, relation.scala:1046-1051,
+    * exprs.scala:424-450; Spark plans a semi/anti hash join either way). */
+  private def subqueryJoin(
+      out: DataFrame,
+      probeExpr: Option[Expr],
+      q: Relation,
+      joinType: String,
+      ctx: Context
+  ): DataFrame = {
+    def uncorrelated(): DataFrame = {
+      val sub = lower(q, ctx)
+      probeExpr match {
+        case Some(e) =>
+          val probe = expr(e, ExprCtx(ctx, aggMode = false, dfOpt = Some(out)))
+          val renamed = sub.select(F.col(sub.columns.head).as("__in_key"))
+          out.join(renamed, probe === F.col("__in_key"), joinType)
+        case None =>
+          out.join(sub.limit(1), F.lit(true), joinType)
+      }
+    }
+    try uncorrelated()
+    catch {
+      case ae: org.apache.spark.sql.AnalysisException =>
+        decorrelated(out, probeExpr, q, joinType, ctx).getOrElse(throw ae)
+    }
+  }
+
+  /** Decorrelate a Project/Filter-chain subquery: local conjuncts filter the
+    * core, conjuncts that do not resolve against it become join conditions. */
+  private def decorrelated(
+      out: DataFrame,
+      probeExpr: Option[Expr],
+      q: Relation,
+      joinType: String,
+      ctx: Context
+  ): Option[DataFrame] = {
+    var rel = q
+    var projItems: List[SelectItem] = Nil
+    rel match {
+      case Project(c, items, _) => projItems = items; rel = c
+      case _ =>
+    }
+    val filterConjuncts = mutable.ListBuffer.empty[Expr]
+    var unwrapping = true
+    while (unwrapping) rel match {
+      case Filter(c, fcond) => filterConjuncts ++= splitConjuncts(fcond); rel = c
+      case _ => unwrapping = false
+    }
+    if (filterConjuncts.isEmpty) return None
+    val core = try lower(rel, ctx) catch { case _: Throwable => return None }
+    var coreDf = core
+    val corr = mutable.ListBuffer.empty[Expr]
+    filterConjuncts.foreach { cj =>
+      try coreDf = coreDf.filter(expr(cj, ExprCtx(ctx, aggMode = false, dfOpt = Some(coreDf))))
+      catch { case _: org.apache.spark.sql.AnalysisException => corr += cj }
+    }
+    if (corr.isEmpty) return None
+    // correlated conjuncts lower unbound — the join resolves their qualified
+    // refs against both children (outer keeps its alias, core keeps its own)
+    val ecJoin = ExprCtx(ctx, aggMode = false)
+    val corrCond = corr.toList.map(expr(_, ecJoin)).reduce(_ && _)
+    val cond = probeExpr match {
+      case Some(pe) =>
+        val probe = expr(pe, ExprCtx(ctx, aggMode = false, dfOpt = Some(out)))
+        val subCol = projItems.headOption
+          .map(it => expr(it.expr, ExprCtx(ctx, aggMode = false, dfOpt = Some(coreDf))))
+          .getOrElse(coreDf(coreDf.columns.head))
+        corrCond && (probe === subCol)
+      case None => corrCond
+    }
+    Some(out.join(coreDf, cond, joinType))
   }
 
   private def sortCol(si: SortItem, df: DataFrame, ctx: Context): Column = {

@@ -582,6 +582,33 @@ class LangSpec extends SparkTestBase {
     }
   }
 
+  test("correlated exists / not exists / in subqueries decorrelate to joins") {
+    wv("""
+      from [[1], [2], [3]] as c(cid)
+      where exists { from [[1, 10], [1, 20], [3, 5]] as o(ocid, amt)
+                     where o.ocid = c.cid and amt >= 10 }
+      select cid
+      order by cid
+      test _.rows should be [[1]]
+    """)
+    wv("""
+      from [[1], [2], [3]] as c(cid)
+      where not exists { from [[1, 10], [3, 5]] as o(ocid, amt)
+                         where o.ocid = c.cid }
+      select cid
+      test _.rows should be [[2]]
+    """)
+    wv("""
+      from [[1, 'x'], [2, 'y'], [3, 'x']] as c(cid, tag)
+      where cid in { from [[1, 'x'], [2, 'x'], [3, 'z']] as o(ocid, otag)
+                     where o.otag = c.tag
+                     select ocid }
+      select cid
+      order by cid
+      test _.rows should be [[1]]
+    """)
+  }
+
   test("save / delete / truncate roundtrip on a parquet path") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dml").toString
     val rows = wv(s"""
@@ -604,6 +631,14 @@ class LangSpec extends SparkTestBase {
   }
 
   test("create table as, insert into, partitioned save") {
+    spark.sql("DROP TABLE IF EXISTS graft_ctas_test")
+    // the metastore dies with the JVM but the warehouse dir survives —
+    // remove the stale location or CTAS errors with LOCATION_ALREADY_EXISTS
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    rmrf(new java.io.File("spark-warehouse/graft_ctas_test"))
     val out = wv("""
       create or replace table graft_ctas_test as { from [[1], [2]] as t(v) }
       ;
