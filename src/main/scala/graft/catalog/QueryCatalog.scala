@@ -1001,6 +1001,22 @@ object QueryCatalog {
       """)
     ),
     (
+      "q_show_columns", // info-schema: column listing of a resolved table
+      wv("""
+        show columns from orders
+        select column_name, column_type
+        order by column_name
+      """),
+      Some("""
+        SELECT * FROM (VALUES
+          ('o_custkey', 'bigint'), ('o_orderdate', 'timestamp_ntz'),
+          ('o_orderkey', 'bigint'), ('o_orderpriority', 'string'),
+          ('o_orderstatus', 'string'), ('o_totalprice', 'double'))
+          AS t(column_name, column_type)
+        ORDER BY column_name
+      """)
+    ),
+    (
       "q_save_roundtrip", // write path: save to parquet, re-read, must be identity
       (spark, dir) => {
         val tmp = System.getProperty("java.io.tmpdir").stripSuffix("/") +

@@ -454,12 +454,31 @@ object Lowering {
       case "tables" =>
         ctx.spark.catalog.listTables().select("name", "catalog", "namespace", "tableType")
           .withColumnRenamed("name", "table_name")
+      case t if t.startsWith("tables:") =>
+        ctx.spark.catalog.listTables(t.stripPrefix("tables:"))
+          .select("name", "catalog", "namespace", "tableType")
+          .withColumnRenamed("name", "table_name")
+      case c if c.startsWith("columns:") =>
+        val table = c.stripPrefix("columns:")
+        val df = resolveTable(table, ctx)
+        df.schema.fields.toSeq
+          .map(f => (f.name, f.dataType.simpleString, f.nullable))
+          .toDF("column_name", "column_type", "is_nullable")
       case "schemas" | "databases" =>
         ctx.spark.catalog.listDatabases().select("name").withColumnRenamed("name", "schema_name")
       case "catalogs" =>
         ctx.spark.catalog.listCatalogs().select("name").withColumnRenamed("name", "catalog_name")
       case "models" =>
         ctx.models.keys.toSeq.sorted.toDF("model_name")
+      case "functions" =>
+        // registry builtins + user defs + models (info-schema style;
+        // reference SG:718-1080 synthesizes the same union)
+        val builtin = ctx.spark.catalog.listFunctions()
+          .select(F.col("name"), F.lit("builtin").as("function_type"))
+        val user = (ctx.funcs.keys.map((_, "def")).toSeq ++
+          ctx.partials.keys.map((_, "partial")).toSeq).sortBy(_._1)
+          .toDF("name", "function_type")
+        builtin.union(user)
       case other => throw new LoweringException(s"unsupported show target: $other")
     }
   }

@@ -239,8 +239,20 @@ final class Parser(tokens: Vector[Token]) {
       maybeAlias(BracedRelation(r))
     } else if (peek.is("show")) {
       advance()
-      val what = identName()
-      TableRef(s"__show_$what") // handled by lowering as a catalog query
+      val what = identName().toLowerCase
+      // handled by lowering as catalog queries (reference: 18 Show variants,
+      // relation.scala:1207-1296; info-schema synthesis SG:718-1080)
+      what match {
+        case "columns" =>
+          if (!accept("from")) expectKw("in")
+          var t = identName()
+          while (accept(".")) t = t + "." + identName()
+          TableRef(s"__show_columns:$t")
+        case "tables" if peek.is("in") || peek.is("from") =>
+          advance()
+          TableRef(s"__show_tables:${identName()}")
+        case other => TableRef(s"__show_$other")
+      }
     } else fail("expected 'from', 'select' or '{'")
   }
 

@@ -355,6 +355,33 @@ class LangSpec extends SparkTestBase {
     assert(df.count() == 3)
   }
 
+  test("show columns / functions / models") {
+    val cols = wv("""
+      show columns from region
+      select column_name
+      order by column_name
+    """).collect().map(_.getString(0)).toList
+    assert(cols == List("r_name", "r_regionkey"))
+    val fns = wv("""
+      show functions
+      where name in ('abs', 'concat')
+      order by name
+    """).collect().map(_.getString(0)).toList
+    assert(fns == List("abs", "concat"))
+    wv("""
+      def my_fn(x) = x + 1
+      show functions
+      where function_type = 'def'
+      count
+      test _.rows should be [[1]]
+    """)
+    wv("""
+      model m1 = { from [[1]] as t(a) }
+      show models
+      test _.rows should be [['m1']]
+    """)
+  }
+
   test("describe") {
     val df = wv("""
       from [[1, 'a']] as t(id, name)
