@@ -979,6 +979,23 @@ object QueryCatalog {
       """)
     ),
     (
+      "q_subscribe_batch_equiv", // subscribe's shared tumbling builder, batch mode
+      (spark, dir) => {
+        val ev = Tables.read(spark, dir, "events")
+        graft.streaming.Subscribe.tumbling(
+          ev, "ts", "1 hour", Seq("event_type"),
+          Seq(F.count(F.lit(1)).as("n"), F.round(F.sum("value"), 4).as("total_value")))
+          .orderBy("window_start_ms", "event_type")
+      },
+      Some("""
+        SELECT event_type, count(*) AS n, round(sum(value), 4) AS total_value,
+               epoch_ms(date_trunc('hour', ts))::BIGINT AS window_start_ms,
+               epoch_ms(date_trunc('hour', ts) + INTERVAL 1 HOUR)::BIGINT AS window_end_ms
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ORDER BY window_start_ms, event_type
+      """)
+    ),
+    (
       "q_events_sessionize", // gap-based sessionization via window + agg
       wv("""
         from events

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Subscribe / incrementalize: continuous (or repeatedly-triggered) tumbling
+  * window aggregation over an append-only stream, the reference's
+  * subscription model (Subscribe relation.scala:1121-1141, rewritten by
+  * Incrementalize.scala:27-107 + ExecutionPlanRewriter.scala:37-82 into a
+  * watermark + window + staged-append plan).
+  *
+  * Spark-native mapping:
+  *   - the subscription source is a Structured Streaming `readStream`
+  *   - the incremental window state is Spark's watermark-bounded stateful
+  *     aggregation (no hand-rolled state store)
+  *   - the staged append is the parquet sink in append output mode: a window
+  *     is written exactly once, when the watermark passes its end
+  *   - re-running with `Trigger.AvailableNow` and the same checkpoint gives
+  *     the reference's batch-triggered incremental refresh: each run
+  *     processes only new files and appends only newly-finalized windows
+  *
+  * The same aggregation builder ([[tumbling]]) serves the batch path, so
+  * batch/stream equivalence is by construction.
+  */
+object Subscribe {
+
+  /** Tumbling-window aggregation, shared by batch and streaming plans.
+    * Emits window_start_ms/window_end_ms epoch columns (portable output). */
+  def tumbling(
+      df: DataFrame,
+      tsCol: String,
+      windowDuration: String,
+      keys: Seq[String],
+      aggs: Seq[Column]
+  ): DataFrame = {
+    require(aggs.nonEmpty, "at least one aggregate required")
+    val grouped = df.groupBy(
+      (F.window(F.col(tsCol), windowDuration).as("__w") +: keys.map(F.col)): _*)
+    grouped
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start_ms", F.unix_millis(F.col("__w.start")))
+      .withColumn("window_end_ms", F.unix_millis(F.col("__w.end")))
+      .drop("__w")
+  }
+
+  /** Incrementalized subscription plan: watermark-bounded tumbling windows
+    * over a streaming DataFrame. Append output emits each window exactly
+    * once, `watermarkDelay` after it closes. */
+  def subscribe(
+      stream: DataFrame,
+      tsCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      keys: Seq[String],
+      aggs: Seq[Column]
+  ): DataFrame = {
+    require(stream.isStreaming, "subscribe requires a streaming DataFrame (readStream)")
+    tumbling(stream.withWatermark(tsCol, watermarkDelay), tsCol, windowDuration, keys, aggs)
+  }
+
+  /** Stage finalized windows into an append-only parquet directory. With
+    * `Trigger.AvailableNow` the query drains available input and terminates —
+    * invoke repeatedly with the same checkpoint for batch-triggered
+    * incremental refresh (only new input is read, only newly-closed windows
+    * are appended). */
+  def stageAppend(
+      subscription: DataFrame,
+      outPath: String,
+      checkpointPath: String,
+      availableNow: Boolean = true
+  ): StreamingQuery = {
+    val w = subscription.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("checkpointLocation", checkpointPath)
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start(outPath)
+  }
+}
