@@ -25,9 +25,10 @@ object Graft {
       spark: SparkSession,
       text: String,
       tableResolver: String => DataFrame,
-      basePath: String = ""
+      basePath: String = "",
+      params: Seq[Any] = Nil
   ): DataFrame = {
-    val ctx = Lowering.Context(spark, tableResolver, basePath)
+    val ctx = Lowering.Context(spark, tableResolver, basePath, params = params)
     val stmts = Parser.parseStatements(text)
     val out = Lowering.lowerStatements(stmts, ctx)
     runDebugs(ctx)

@@ -50,6 +50,12 @@ final case class DecimalLit(value: BigDecimal) extends Literal
 final case class StringLit(value: String) extends Literal
 
 final case class ArrayLit(items: List[Expr]) extends Expr
+/** `(a, b)` row-value tuple — used with tuple-IN (`(a,b) in ((1,2),(3,4))`). */
+final case class TupleLit(items: List[Expr]) extends Expr
+/** `?` prepared-statement placeholder, bound positionally from query params. */
+final case class ParamRef(index: Int) extends Expr
+/** `ts at time zone 'Asia/Tokyo'` (reference: exprs.scala:494-499). */
+final case class AtTimeZone(operand: Expr, tz: Expr) extends Expr
 final case class MapLit(entries: List[(Expr, Expr)]) extends Expr
 final case class StructLit(fields: List[(String, Expr)]) extends Expr
 /** `arr[i]` */
@@ -171,7 +177,8 @@ final case class Join(
     kind: JoinKind,
     on: Option[Expr],
     usingColumns: List[String],
-    asof: Boolean
+    asof: Boolean,
+    natural: Boolean = false
 ) extends Relation
 
 sealed trait SetOpKind

@@ -28,7 +28,8 @@ object Lowering {
       tests: mutable.ListBuffer[(DataFrame, Expr)] = mutable.ListBuffer.empty,
       debugs: mutable.ListBuffer[DataFrame] = mutable.ListBuffer.empty,
       funcs: mutable.Map[String, FuncDef] = mutable.Map.empty,
-      partials: mutable.Map[String, Relation] = mutable.Map.empty
+      partials: mutable.Map[String, Relation] = mutable.Map.empty,
+      params: Seq[Any] = Nil
   )
 
   /** Lowering result: either a plain DataFrame or a "grouped" relation —
@@ -568,7 +569,15 @@ object Lowering {
     j.kind match {
       case JoinKind.Cross if j.on.isEmpty && j.usingColumns.isEmpty => l.crossJoin(r)
       case k =>
-        if (j.usingColumns.nonEmpty) l.join(r, j.usingColumns, k.sparkName)
+        if (j.natural) {
+          // natural join: implicit USING over the commonly-named columns
+          // (reference: exprs.scala:222-254)
+          val rCols = r.columns.map(_.toLowerCase).toSet
+          val common = l.columns.filter(c => rCols.contains(c.toLowerCase)).toList
+          if (common.isEmpty)
+            throw new LoweringException("natural join: no common column names")
+          l.join(r, common, k.sparkName)
+        } else if (j.usingColumns.nonEmpty) l.join(r, j.usingColumns, k.sparkName)
         else
           j.on match {
             case Some(cond) => l.join(r, expr(cond, ectx), k.sparkName)
@@ -712,6 +721,8 @@ object Lowering {
         case IfExpr(c, t, fo) => IfExpr(go(c), go(t), fo.map(go))
         case Interpolation(parts, args) => Interpolation(parts, args.map(go))
         case Extract(fi, v) => Extract(fi, go(v))
+        case TupleLit(items) => TupleLit(items.map(go))
+        case AtTimeZone(v, tz) => AtTimeZone(go(v), go(tz))
         case other => other
       }
       if (f.isDefinedAt(rebuilt)) f(rebuilt) else rebuilt
@@ -1021,9 +1032,33 @@ object Lowering {
     case Between(operand, lo, hi, negated) =>
       val b = expr(operand, ec).between(expr(lo, ec), expr(hi, ec))
       if (negated) !b else b
+    case InList(TupleLit(fields), items, negated) =>
+      // tuple-IN (reference exprs.scala:430-450): expand to a disjunction of
+      // conjunctive equalities — stays inside codegen, no struct allocation
+      val lhs = fields.map(expr(_, ec))
+      val in = items.map {
+        case TupleLit(rhs) =>
+          if (rhs.length != fields.length)
+            throw new LoweringException(
+              s"tuple IN arity mismatch: ${fields.length} vs ${rhs.length}")
+          lhs.zip(rhs.map(expr(_, ec))).map { case (l, r) => l === r }.reduce(_ && _)
+        case other =>
+          throw new LoweringException(s"tuple IN requires tuple items, got $other")
+      }.reduce(_ || _)
+      if (negated) !in else in
     case InList(operand, items, negated) =>
       val in = expr(operand, ec).isin(items.map(i => constValue(i).getOrElse(expr(i, ec))): _*)
       if (negated) !in else in
+    case TupleLit(items) => F.struct(items.map(expr(_, ec)): _*)
+    case ParamRef(i) =>
+      if (i >= ec.ctx.params.length)
+        throw new LoweringException(
+          s"prepared parameter ?${i + 1} has no bound value (${ec.ctx.params.length} provided)")
+      F.lit(ec.ctx.params(i))
+    case AtTimeZone(operand, tz) =>
+      // interpret/convert instant to the target zone's local wall time
+      // (timestamp_ntz result, like engines render TIMESTAMP AT TIME ZONE)
+      F.convert_timezone(expr(tz, ec), expr(operand, ec))
     case LikeOp(operand, pattern, negated) =>
       val lk = F.call_function("like", expr(operand, ec), expr(pattern, ec))
       if (negated) !lk else lk

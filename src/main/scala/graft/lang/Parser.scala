@@ -26,6 +26,7 @@ object Parser {
 
 final class Parser(tokens: Vector[Token]) {
   private var pos = 0
+  private var paramCounter = 0 // positional `?` placeholders seen so far
 
   private def peek: Token = tokens(pos)
   private def peek2: Token = tokens(math.min(pos + 1, tokens.length - 1))
@@ -421,7 +422,7 @@ final class Parser(tokens: Vector[Token]) {
         cols += identName()
         while (accept(",")) cols += identName()
         Some(ShiftColumns(rel, cols.result(), toLeft))
-      case "join" | "inner" | "left" | "right" | "full" | "cross" | "asof" =>
+      case "join" | "inner" | "left" | "right" | "full" | "cross" | "asof" | "natural" =>
         Some(parseJoin(rel))
       case "concat" =>
         advance()
@@ -603,8 +604,10 @@ final class Parser(tokens: Vector[Token]) {
 
   private def parseJoin(rel: Relation): Relation = {
     var asof = false
+    var natural = false
     var kind: JoinKind = JoinKind.Inner
     if (accept("asof")) asof = true
+    if (accept("natural")) natural = true
     if (accept("inner")) kind = JoinKind.Inner
     else if (accept("left")) { accept("outer"); kind = JoinKind.Left }
     else if (accept("right")) { accept("outer"); kind = JoinKind.Right }
@@ -643,7 +646,7 @@ final class Parser(tokens: Vector[Token]) {
       using = cols.result()
     }
     if (kind == JoinKind.Cross) Join(rel, right, kind, None, Nil, asof = false)
-    else Join(rel, right, kind, on, using, asof)
+    else Join(rel, right, kind, on, using, asof, natural)
   }
 
   private def parseTestAssertion(): Expr = {
@@ -796,6 +799,9 @@ final class Parser(tokens: Vector[Token]) {
       } else if (peek.is("over")) {
         advance()
         e = WindowApply(e, parseWindowSpec())
+      } else if (peek.is("at") && peek2.is("time")) {
+        advance(); advance(); expectKw("zone")
+        e = AtTimeZone(e, primary())
       } else continue = false
     }
     e
@@ -886,14 +892,19 @@ final class Parser(tokens: Vector[Token]) {
           ScalarSubquery(q)
         } else {
           val e = expression()
-          // lambda with tuple params: (x, y) -> body
-          if (peek.is(",") && e.isInstanceOf[Ident]) {
-            val params = List.newBuilder[String]
-            params += e.asInstanceOf[Ident].name
-            while (accept(",")) params += identName()
+          if (peek.is(",")) {
+            // `(a, b, …)` — lambda params when followed by `->`, else a
+            // row-value tuple (for tuple-IN)
+            val items = List.newBuilder[Expr]
+            items += e
+            while (accept(",")) items += expression()
             expectOp(")")
-            expectOp("->")
-            LambdaExpr(params.result(), expression())
+            val all = items.result()
+            if (peek.kind == TokenKind.Op && peek.text == "->" &&
+              all.forall(_.isInstanceOf[Ident])) {
+              advance()
+              LambdaExpr(all.map(_.asInstanceOf[Ident].name), expression())
+            } else TupleLit(all)
           } else {
             expectOp(")")
             e
@@ -928,6 +939,10 @@ final class Parser(tokens: Vector[Token]) {
         MapLit(entries.result())
       case TokenKind.Op if t.text == "*" =>
         advance(); Star(None)
+      case TokenKind.Op if t.text == "?" =>
+        advance()
+        paramCounter += 1
+        ParamRef(paramCounter - 1)
       case TokenKind.Ident =>
         primaryIdent()
       case _ => fail("expected expression")

@@ -609,6 +609,37 @@ class LangSpec extends SparkTestBase {
     }
   }
 
+  test("tuple-in, natural join, at time zone, prepared params") {
+    wv("""
+      from [[1, 'a'], [2, 'b'], [3, 'c'], [4, 'a']] as t(id, tag)
+      where (id, tag) in ((1, 'a'), (3, 'c'), (4, 'z'))
+      select id
+      order by id
+      test _.rows should be [[1], [3]]
+    """)
+    wv("""
+      from [[1, 'x'], [2, 'y']] as l(id, lv)
+      natural join { from [[1, 'p'], [3, 'q']] as r(id, rv) } as r
+      select id, lv, rv
+      test _.rows should be [[1, 'x', 'p']]
+    """)
+    val tzRow = wv("""
+      from [['2024-06-01 12:00:00']] as t(s)
+      select local = s.to_timestamp at time zone 'Asia/Tokyo'
+    """).collect()
+    // session tz is UTC; noon UTC = 21:00 Tokyo wall time
+    assert(tzRow.head.get(0).toString.contains("21:00"))
+    val bound = graft.Graft.query(spark,
+      """
+      from [[1, 10], [2, 20], [3, 30]] as t(id, v)
+      where v > ? and id != ?
+      select id
+      order by id
+      """,
+      name => table(name), params = Seq(15, 3))
+    assert(bound.collect().map(_.getLong(0)).toList == List(2L))
+  }
+
   test("correlated exists / not exists / in subqueries decorrelate to joins") {
     wv("""
       from [[1], [2], [3]] as c(cid)
