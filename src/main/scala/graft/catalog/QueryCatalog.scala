@@ -1076,6 +1076,40 @@ object QueryCatalog {
       """)
     ),
     (
+      "q_dml_merge", // merge-into upsert on a written copy
+      (spark, dir) => {
+        val tmp = System.getProperty("java.io.tmpdir").stripSuffix("/") +
+          "/graft_q_dml_merge.parquet"
+        Graft.query(spark, s"""
+          from orders
+          select o_orderkey, o_orderstatus, o_totalprice
+          save to '$tmp'
+          ;
+          merge into '$tmp' using {
+            from orders
+            where o_orderkey <= 100
+            select o_orderkey, o_orderstatus, o_totalprice = 0.0
+            concat {
+              from [[9000001, 'ZZ', 1.5]] as x(o_orderkey, o_orderstatus, o_totalprice)
+            }
+          } on o_orderkey
+          when matched then update
+          when not matched then insert
+          ;
+          from '$tmp'
+          order by o_orderkey
+        """, Tables.resolver(spark, dir), basePath = dir)
+      },
+      Some("""
+        SELECT o_orderkey,
+               o_orderstatus,
+               CASE WHEN o_orderkey <= 100 THEN 0.0 ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        UNION ALL SELECT 9000001, 'ZZ', 1.5
+        ORDER BY o_orderkey
+      """)
+    ),
+    (
       "q_sample", // nondeterministic across engines → rows-only check
       wv("""
         from lineitem

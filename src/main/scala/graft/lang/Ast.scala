@@ -264,6 +264,15 @@ final case class SaveTo(
 final case class DeleteStmt(target: String, cond: Expr) extends Statement
 /** `truncate [table] target` (reference: Truncate, update.scala:59). */
 final case class TruncateStmt(target: String) extends Statement
+/** `merge into target using <source> on k1, k2 [when matched then
+  * update|delete] [when not matched then insert]` — upsert by key columns
+  * (reference: Merge/Upsert, update.scala:80-94, sqlPlan.scala:55-65). */
+final case class MergeInto(
+    target: String,
+    source: Relation,
+    keys: List[String],
+    whenMatchedDelete: Boolean
+) extends Statement
 /** `create [or replace] table name [partitioned by (c1,…)] as <query>`
   * (reference: CreateTableAs, update.scala:63-78, relation.scala:283-303). */
 final case class CreateTableAs(

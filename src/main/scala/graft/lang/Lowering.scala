@@ -78,6 +78,24 @@ object Lowering {
       case TruncateStmt(target) =>
         val df = readTarget(target, ctx)
         overwriteTarget(target, df.limit(0), ctx)
+      case MergeInto(target, srcRel, keys, matchedDelete) =>
+        // upsert as a join rewrite (no copy-on-write table format available):
+        //   update-or-insert: (target anti-join source on keys) ∪ source
+        //   matched-delete:   (target anti-join source) ∪ (source anti-join target)
+        // One shuffle per anti-join on the merge keys; the union is free.
+        val t = readTarget(target, ctx)
+        val s0 = lower(srcRel, ctx)
+        val missing = t.columns.filterNot(c => s0.columns.exists(_.equalsIgnoreCase(c)))
+        if (missing.nonEmpty)
+          throw new LoweringException(
+            s"merge source is missing target columns: ${missing.mkString(", ")}")
+        val s = s0.select(t.columns.map(F.col).toSeq: _*)
+        val untouched = t.join(s.select(keys.map(F.col): _*).distinct(), keys, "left_anti")
+        val merged =
+          if (matchedDelete)
+            untouched.unionByName(s.join(t.select(keys.map(F.col): _*).distinct(), keys, "left_anti"))
+          else untouched.unionByName(s)
+        overwriteTarget(target, merged, ctx)
       case CreateTableAs(name, rel, orReplace, parts) =>
         val df = lower(rel, ctx)
         val mode = if (orReplace) "overwrite" else "errorifexists"

@@ -95,6 +95,27 @@ final class Parser(tokens: Vector[Token]) {
         if (accept("{")) { val r = parseRelation(); expectOp("}"); r }
         else parseRelation()
       CreateTableAs(name, rel, orReplace, parts.result())
+    } else if (peek.is("merge") && peek2.is("into")) {
+      advance(); advance()
+      val target = stringOrIdent()
+      expectKw("using")
+      val src =
+        if (accept("{")) { val r = parseRelation(); expectOp("}"); r }
+        else parseRelation()
+      expectKw("on")
+      val keys = List.newBuilder[String]
+      keys += identName()
+      while (accept(",")) keys += identName()
+      var matchedDelete = false
+      while (accept("when")) {
+        if (accept("matched")) {
+          expectKw("then")
+          if (accept("delete")) matchedDelete = true else expectKw("update")
+        } else {
+          expectKw("not"); expectKw("matched"); expectKw("then"); expectKw("insert")
+        }
+      }
+      MergeInto(target, src, keys.result(), matchedDelete)
     } else if (peek.is("insert") && peek2.is("into")) {
       advance(); advance()
       val target = stringOrIdent()
@@ -508,7 +529,7 @@ final class Parser(tokens: Vector[Token]) {
         } else Some(DebugRel(rel, rel))
       // statement starters / post-relation keywords end the pipe chain
       case "save" | "append" | "model" | "val" | "def" | "from" | "show"
-          | "delete" | "truncate" | "insert" | "create" => None
+          | "delete" | "truncate" | "insert" | "create" | "merge" => None
       case _ =>
         // any other bare identifier in pipe position applies a partial-query
         // def (`from t | active`); resolution happens at lowering

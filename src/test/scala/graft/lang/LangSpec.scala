@@ -688,6 +688,36 @@ class LangSpec extends SparkTestBase {
     assert(after.head.getLong(0) == 0L)
   }
 
+  test("merge into: upsert and matched-delete") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    val rows = wv(s"""
+      from [[1, 'old1'], [2, 'old2'], [3, 'old3']] as t(id, v)
+      save to '$tmp/m.parquet'
+      ;
+      merge into '$tmp/m.parquet' using {
+        from [[2, 'new2'], [4, 'new4']] as s(id, v)
+      } on id
+      when matched then update
+      when not matched then insert
+      ;
+      from '$tmp/m.parquet'
+      order by id
+    """).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toList ==
+      List((1L, "old1"), (2L, "new2"), (3L, "old3"), (4L, "new4")))
+    val deleted = wv(s"""
+      merge into '$tmp/m.parquet' using {
+        from [[2, 'x'], [9, 'nine']] as s(id, v)
+      } on id
+      when matched then delete
+      ;
+      from '$tmp/m.parquet'
+      order by id
+    """).collect()
+    assert(deleted.map(r => (r.getLong(0), r.getString(1))).toList ==
+      List((1L, "old1"), (3L, "old3"), (4L, "new4"), (9L, "nine")))
+  }
+
   test("create table as, insert into, partitioned save") {
     spark.sql("DROP TABLE IF EXISTS graft_ctas_test")
     // the metastore dies with the JVM but the warehouse dir survives —
