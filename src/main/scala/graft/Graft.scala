@@ -67,6 +67,47 @@ object Graft {
   /** Raw Spark SQL escape hatch (the reference's RawSQL node). */
   def sql(spark: SparkSession, text: String): DataFrame = spark.sql(text)
 
+  /** SQL front-end: execute a multi-statement `.sql` script (the reference
+    * compiles .sql units through the same plan — SqlParser.scala; here
+    * Spark's own SQL parser plays that role, sharing Catalyst with the flow
+    * language). Tables from `dir` are registered as temp views so the SQL
+    * and flow front-ends see the same catalog. Returns the last statement's
+    * result. */
+  def sqlScript(spark: SparkSession, text: String, dir: Option[String] = None): DataFrame = {
+    dir.foreach { d =>
+      Tables.names.foreach { n =>
+        try Tables.read(spark, d, n).createOrReplaceTempView(n)
+        catch { case _: Throwable => () } // tolerate missing tables in dir
+      }
+    }
+    val statements = splitSqlStatements(text)
+    if (statements.isEmpty)
+      throw new graft.lang.LoweringException("empty SQL script")
+    statements.map(spark.sql).last
+  }
+
+  /** Split on top-level `;` (quote- and comment-aware). */
+  private[graft] def splitSqlStatements(text: String): List[String] = {
+    val out = List.newBuilder[String]
+    val sb = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (quote != 0) {
+        sb += c
+        if (c == quote) quote = 0
+        i += 1
+      } else if (c == '\'' || c == '"') { quote = c; sb += c; i += 1 }
+      else if (c == '-' && i + 1 < text.length && text.charAt(i + 1) == '-') {
+        while (i < text.length && text.charAt(i) != '\n') { sb += text.charAt(i); i += 1 }
+      } else if (c == ';') { out += sb.toString; sb.clear(); i += 1 }
+      else { sb += c; i += 1 }
+    }
+    out += sb.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Parse only — returns statements for inspection / tooling. */
   def parse(text: String): List[Statement] = Parser.parseStatements(text)
 }

@@ -45,7 +45,9 @@ object Run {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val df = Graft.run(spark, text, Tables.resolver(spark, dir), basePath = dir)
+      val df =
+        if (file.exists(_.endsWith(".sql"))) Graft.sqlScript(spark, text, Some(dir))
+        else Graft.run(spark, text, Tables.resolver(spark, dir), basePath = dir)
       if (explain) df.explain("formatted")
       format match {
         case "json" => df.limit(limit).toJSON.collect().foreach(println)

@@ -29,6 +29,12 @@ object QueryCatalog {
   private def wv(text: String): Q =
     (spark, dir) => Graft.query(spark, text, Tables.resolver(spark, dir), basePath = dir)
 
+  /** Build a query entry from SQL text, run through the SQL front-end
+    * (Spark SQL with the testdata registered as views). The oracle is the
+    * same statement — the SQL subset used is engine-portable. */
+  private def sqlEntry(name: String, text: String): (String, Q, Option[String]) =
+    (name, (spark, dir) => Graft.sqlScript(spark, text, Some(dir)), Some(text))
+
   // ===========================================================================
   // A. Scans / filters / projections / ordering / limiting  (SURVEY §2.A–C)
   // ===========================================================================
@@ -1017,6 +1023,46 @@ object QueryCatalog {
         FROM w GROUP BY user_id ORDER BY user_id
       """)
     ),
+    // -------------------------------------------------------------------------
+    // SQL front-end (the reference's .sql units; Spark SQL shares Catalyst
+    // with the flow language, so both front-ends hit the same operators)
+    // -------------------------------------------------------------------------
+    sqlEntry(
+      "q_sql_frontend", // TPC-H Q3 shape through the SQL front-end
+      """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+        GROUP BY l_orderkey, o_orderpriority
+        HAVING sum(l_extendedprice * (1 - l_discount)) > 100000
+        ORDER BY l_orderkey
+      """),
+    sqlEntry(
+      "q_sql_recursive_cte", // WITH RECURSIVE through both engines
+      """
+        WITH RECURSIVE seq(n) AS (
+          SELECT 1
+          UNION ALL
+          SELECT n + 1 FROM seq WHERE n < 7
+        )
+        SELECT s.n, count(*) AS cnt
+        FROM seq s JOIN lineitem ON l_linenumber = s.n
+        GROUP BY s.n ORDER BY s.n
+      """),
+    sqlEntry(
+      "q_sql_window", // SQL window functions through the SQL front-end
+      """
+        SELECT o_custkey, o_orderkey,
+               cast(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 2) AS cust_total
+        FROM orders
+        WHERE o_custkey <= 200
+        ORDER BY o_custkey, rk
+      """),
     (
       "q_show_columns", // info-schema: column listing of a resolved table
       wv("""

@@ -609,6 +609,20 @@ class LangSpec extends SparkTestBase {
     }
   }
 
+  test("sql front-end: multi-statement script, quote-aware splitting") {
+    val df = graft.Graft.sqlScript(spark,
+      """
+      CREATE OR REPLACE TEMP VIEW sql_fe_t AS
+        SELECT * FROM VALUES (1, 'a;b'), (2, 'c') AS t(id, s);
+      -- a comment; with a semicolon
+      SELECT id, s FROM sql_fe_t WHERE s != 'x;y' ORDER BY id
+      """)
+    val rows = df.collect()
+    assert(rows.map(_.getInt(0)).toList == List(1, 2))
+    assert(rows.head.getString(1) == "a;b")
+    assert(graft.Graft.splitSqlStatements("select 1; ; select 2").length == 2)
+  }
+
   test("tuple-in, natural join, at time zone, prepared params") {
     wv("""
       from [[1, 'a'], [2, 'b'], [3, 'c'], [4, 'a']] as t(id, tag)
