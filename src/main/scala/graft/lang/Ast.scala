@@ -115,6 +115,8 @@ final case class Values(rows: List[List[Expr]], alias: Option[String], columns: 
     extends Relation
 /** Inline raw Spark SQL escape hatch: `from sql"..."`. */
 final case class RawSql(sql: String) extends Relation
+/** Inline JSON rows: `from json"[{...}, ...]"` (reference: RawJSON). */
+final case class RawJson(json: String) extends Relation
 /** `from unnest([...]) as t(c)` (standalone table function). */
 final case class UnnestRel(
     expr: Expr,
@@ -178,7 +180,8 @@ final case class Join(
     on: Option[Expr],
     usingColumns: List[String],
     asof: Boolean,
-    natural: Boolean = false
+    natural: Boolean = false,
+    lateral: Boolean = false
 ) extends Relation
 
 sealed trait SetOpKind

@@ -209,6 +209,21 @@ object Lowering {
           Plain(resolveTable(name, ctx).alias(shortName))
       }
 
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "range" =>
+      // builtin table function: range(n) / range(start, end[, step]) → id
+      val vals = args.map(a => constValue(a) match {
+        case Some(v: Long) => v
+        case _ => throw new LoweringException("range() arguments must be integer literals")
+      })
+      val df = vals match {
+        case List(n) => ctx.spark.range(n)
+        case List(s, e) => ctx.spark.range(s, e)
+        case List(s, e, st) => ctx.spark.range(s, e, st)
+        case _ => throw new LoweringException("range() takes 1-3 arguments")
+      }
+      Plain(df.toDF("id"))
+
     case ModelRef(name, args) =>
       val m = ctx.models.getOrElse(name,
         throw new LoweringException(s"unknown model: $name"))
@@ -246,6 +261,9 @@ object Lowering {
       val baseName = path.split('/').last.takeWhile(_ != '.')
       Plain(if (baseName.nonEmpty && baseName.head.isLetter) base.alias(baseName) else base)
     case RawSql(sql) => Plain(ctx.spark.sql(sql))
+    case RawJson(json) =>
+      import ctx.spark.implicits._
+      Plain(ctx.spark.read.json(ctx.spark.createDataset(Seq(json))))
     case EmptyRelation => Plain(ctx.spark.range(1).toDF("__dummy"))
     case v: Values => Plain(lowerValues(v, ctx))
     case u: UnnestRel => Plain(lowerUnnest(u, ctx))
@@ -581,6 +599,7 @@ object Lowering {
   // --- joins -----------------------------------------------------------------
   private def lowerJoin(j: Join, ctx: Context): DataFrame = {
     val l = lower(j.left, ctx)
+    if (j.lateral) return lowerLateralJoin(l, j, ctx)
     val r = lower(j.right, ctx)
     if (j.asof) return lowerAsofJoin(l, r, j, ctx)
     val ectx = ExprCtx(ctx, aggMode = false)
@@ -601,6 +620,48 @@ object Lowering {
             case Some(cond) => l.join(r, expr(cond, ectx), k.sparkName)
             case None => l.crossJoin(r)
           }
+    }
+  }
+
+  /** Correlated lateral subquery join (reference: Lateral,
+    * relation.scala:1046-1051): the subquery's filter conjuncts that
+    * reference the outer row decorrelate into join conditions; local
+    * conjuncts filter the subquery core; a trailing projection applies after
+    * the join (outer columns stay visible, lateral semantics). */
+  private def lowerLateralJoin(l: DataFrame, j: Join, ctx: Context): DataFrame = {
+    var rel = j.right match {
+      case BracedRelation(c) => c
+      case other => other
+    }
+    var projItems: List[SelectItem] = Nil
+    rel match {
+      case Project(c, items, false) => projItems = items; rel = c
+      case _ =>
+    }
+    val filterConjuncts = mutable.ListBuffer.empty[Expr]
+    var unwrapping = true
+    while (unwrapping) rel match {
+      case Filter(c, fcond) => filterConjuncts ++= splitConjuncts(fcond); rel = c
+      case _ => unwrapping = false
+    }
+    var coreDf = lower(rel, ctx)
+    val corr = mutable.ListBuffer.empty[Expr]
+    filterConjuncts.foreach { cj =>
+      try coreDf = coreDf.filter(expr(cj, ExprCtx(ctx, aggMode = false, dfOpt = Some(coreDf))))
+      catch { case _: org.apache.spark.sql.AnalysisException => corr += cj }
+    }
+    val ecJoin = ExprCtx(ctx, aggMode = false)
+    val conds = corr.toList.map(expr(_, ecJoin)) ++ j.on.map(expr(_, ecJoin)).toList
+    val joined =
+      if (conds.isEmpty) l.crossJoin(coreDf)
+      else l.join(coreDf, conds.reduce(_ && _), j.kind.sparkName)
+    if (projItems.isEmpty) joined
+    else {
+      val leftCols = l.columns.toSeq.map(c => l(c))
+      val ectx = ExprCtx(ctx, aggMode = false, dfOpt = Some(joined))
+      joined.select(leftCols ++ projItems.zipWithIndex.map { case (it, i) =>
+        expr(it.expr, ectx).as(itemName(it, i))
+      }: _*)
     }
   }
 
@@ -1303,6 +1364,7 @@ object Lowering {
         throw new LoweringException("test assertion cannot be lowered as a column")
       case "current_date" => F.current_date()
       case "current_timestamp" | "now" => F.current_timestamp()
+      case "ulid" | "ulid_string" => graft.functions.UlidExpression.ulidString()
       case n if singleArgAggs.contains(n) && args.length == 1 =>
         F.call_function(fc.name, ag(a(0)))
       case _ if ec.ctx.funcs.contains(name) =>

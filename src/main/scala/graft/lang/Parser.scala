@@ -286,6 +286,8 @@ final class Parser(tokens: Vector[Token]) {
         advance(); val r = parseRelation(); expectOp("}"); BracedRelation(r)
       case TokenKind.Ident if peek.is("sql") && peek2.kind == TokenKind.StringLit =>
         advance(); RawSql(advance().text)
+      case TokenKind.Ident if peek.is("json") && peek2.kind == TokenKind.StringLit =>
+        advance(); RawJson(advance().text)
       case TokenKind.Ident if peek.is("unnest") && peek2.is("(") =>
         advance(); expectOp("(")
         val e = expression()
@@ -635,6 +637,16 @@ final class Parser(tokens: Vector[Token]) {
     else if (accept("full")) { accept("outer"); kind = JoinKind.Full }
     else if (accept("cross")) kind = JoinKind.Cross
     if (!accept("join")) fail("expected 'join'")
+    // correlated lateral subquery: [cross|inner|left] join lateral { ... }
+    if (accept("lateral")) {
+      val sub =
+        if (accept("{")) { val r = parseRelation(); expectOp("}"); r }
+        else fail("expected '{' after 'lateral'")
+      val k = if (kind == JoinKind.Cross) JoinKind.Inner else kind
+      var on: Option[Expr] = None
+      if (accept("on")) on = Some(expression())
+      return Join(rel, sub, k, on, Nil, asof = false, natural = false, lateral = true)
+    }
     // lateral unnest via cross join unnest(...)
     if (kind == JoinKind.Cross && peek.is("unnest") && peek2.is("(")) {
       advance(); expectOp("(")

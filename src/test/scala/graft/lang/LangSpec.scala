@@ -609,6 +609,42 @@ class LangSpec extends SparkTestBase {
     }
   }
 
+  test("json inline rows, range table function, lateral join, ulid") {
+    wv("""
+      from json"[{\"id\": 1, \"name\": \"a\"}, {\"id\": 2, \"name\": \"b\"}]"
+      where id > 1
+      select name
+      test _.rows should be [['b']]
+    """)
+    wv("""
+      from range(3)
+      select id
+      order by id
+      test _.rows should be [[0], [1], [2]]
+    """)
+    wv("""
+      from range(2, 8, 2) count
+      test _.rows should be [[3]]
+    """)
+    wv("""
+      from [[1], [2], [3]] as t(k)
+      join lateral {
+        from [[1, 'x'], [1, 'y'], [3, 'z']] as u(uk, v)
+        where u.uk = t.k
+        select v
+      }
+      select k, v
+      order by k, v
+      test _.rows should be [[1, 'x'], [1, 'y'], [3, 'z']]
+    """)
+    val ulids = wv("""
+      from range(100)
+      select u = ulid_string()
+    """).collect().map(_.getString(0))
+    assert(ulids.distinct.length == 100)
+    assert(ulids.forall(u => u.length == 26 && u.matches("[0-9A-HJKMNP-TV-Z]{26}")))
+  }
+
   test("sql front-end: multi-statement script, quote-aware splitting") {
     val df = graft.Graft.sqlScript(spark,
       """
