@@ -37,7 +37,12 @@ final case class StageDef(
     run: Map[String, DataFrame] => DataFrame,
     dependsOn: Seq[String] = Nil,
     retry: RetryPolicy = RetryPolicy(),
-    materialize: Boolean = false
+    materialize: Boolean = false,
+    /** Stages whose terminal STATE (not data) this stage waits on. */
+    gateDeps: Seq[String] = Nil,
+    /** Evaluated over the results once deps + gateDeps are terminal; false →
+      * the stage is skipped (reference: `stage fallback if broken.failed`). */
+    gate: Option[Map[String, StageResult] => Boolean] = None
 )
 
 final case class FlowDef(name: String, stages: Seq[StageDef]) {
@@ -84,13 +89,20 @@ object FlowExecutor {
       })
 
     def ready(s: StageDef): Boolean =
-      s.dependsOn.forall(d => results.containsKey(d))
+      (s.dependsOn ++ s.gateDeps).forall(d => results.containsKey(d))
+
+    def gateHolds(s: StageDef): Boolean =
+      s.gate.forall(g => g(results.asScala.toMap))
 
     def schedule(): Unit = lock.synchronized {
       val launchable = remaining.values().asScala.toSeq.filter(ready)
       launchable.foreach { s =>
         remaining.remove(s.name)
-        failedDep(s) match {
+        if (!gateHolds(s)) {
+          results.put(s.name, StageSkipped("condition not met"))
+          done.countDown()
+          schedule()
+        } else failedDep(s) match {
           case Some(dep) =>
             results.put(s.name, StageSkipped(dep))
             done.countDown()
@@ -146,15 +158,16 @@ object FlowExecutor {
       s"duplicate stage names in flow ${flow.name}")
     val nameSet = names.toSet
     flow.stages.foreach { s =>
-      s.dependsOn.foreach { d =>
+      (s.dependsOn ++ s.gateDeps).foreach { d =>
         require(nameSet.contains(d), s"stage ${s.name} depends on unknown stage $d")
         require(d != s.name, s"stage ${s.name} depends on itself")
       }
     }
     // cycle check: Kahn's algorithm must consume every stage
-    val indeg = mutable.Map(flow.stages.map(s => s.name -> s.dependsOn.size): _*)
+    val indeg = mutable.Map(
+      flow.stages.map(s => s.name -> (s.dependsOn ++ s.gateDeps).distinct.size): _*)
     val dependents = flow.stages
-      .flatMap(s => s.dependsOn.map(_ -> s.name))
+      .flatMap(s => (s.dependsOn ++ s.gateDeps).distinct.map(_ -> s.name))
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val queue = mutable.Queue(names.filter(indeg(_) == 0): _*)
     var seen = 0

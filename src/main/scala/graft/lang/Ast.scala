@@ -237,6 +237,19 @@ object GroupingStyle {
 final case class GroupByStyled(child: Relation, keys: List[SelectItem], style: GroupingStyle)
     extends UnaryRelation
 
+/** `route { case cond -> target ... else -> target }` — pass-through for the
+  * routing stage itself; consuming flow stages read it filtered by their case
+  * (reference: flow routing, FlowExecutor.scala). `None` cond = else branch. */
+final case class RouteRel(child: Relation, cases: List[(Option[Expr], String)])
+    extends UnaryRelation
+/** Orchestration pipe ops inside flows: wait('10 ms') / activate('email', …)
+  * / end() — identity on the data, side effects at execution. */
+final case class OrchOp(child: Relation, kind: String, args: List[Expr])
+    extends UnaryRelation
+/** `run flow Name(args)` — executes the flow DAG, yields the run summary
+  * relation (stage, state, attempts, error). */
+final case class RunFlow(name: String, args: List[(Option[String], Expr)]) extends Relation
+
 // ---------------------------------------------------------------------------
 // Statements (top level)
 // ---------------------------------------------------------------------------
@@ -254,6 +267,23 @@ final case class FuncDef(name: String, params: List[String], body: Expr) extends
 /** `def f = where …` — partial query: a pipe-operator chain over [[PipeInput]],
   * applied by naming it in pipe position. */
 final case class PartialDef(name: String, body: Relation) extends Statement
+
+/** One flow stage: `stage n [with {retries: 2, retry_delay: 10ms}]
+  * [if other.failed] = <relation | merge a, b>`. Gate conjuncts are
+  * (stageName, state) pairs with state ∈ failed|done|success. */
+final case class StageSpec(
+    name: String,
+    body: Either[List[String], Relation], // Left = merge fan-in, Right = relation
+    retries: Int,
+    retryDelayMs: Long,
+    gate: List[(String, String)]
+)
+/** `flow Name(params) = { stage* }` (reference: flow.scala FlowDef). */
+final case class FlowDefStmt(
+    name: String,
+    params: List[(String, Option[Expr])],
+    stages: List[StageSpec]
+) extends Statement
 /** `save to target [partition by c1, c2]` / `append to target` /
   * `insert into target` (reference: update.scala:37-94). */
 final case class SaveTo(

@@ -1,0 +1,151 @@
+package graft.lang
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import graft.flow._
+
+/** Executes language-level flow definitions (`flow F = { stage … }`) on the
+  * [[graft.flow.FlowExecutor]] DAG engine, and renders the `run flow F(args)`
+  * summary relation (stage, state, attempts, error) in declaration order —
+  * pipeable like any other relation (reference: FlowExecutor.scala:52-134;
+  * spec/basic/flow-run.wv).
+  *
+  * Semantics wired up here:
+  *   - data deps: stage names referenced by `from`/joins in a stage body
+  *   - `merge a, b` fan-in stages union their inputs by name
+  *   - `stage f if other.failed` gates on terminal STATE (failed|done|success)
+  *   - `route { case cond -> target … else -> t }` is a pass-through for the
+  *     routing stage; consuming stages read it filtered by their case
+  *   - `with { retries: n, retry_delay: d }` maps onto RetryPolicy
+  *   - flow params bind positionally or by name, with declared defaults
+  */
+object FlowRunner {
+
+  def run(
+      fd: FlowDefStmt,
+      args: List[(Option[String], Expr)],
+      ctx: Lowering.Context
+  ): DataFrame = {
+    val bound = bindArgs(fd, args)
+    val ctx2 =
+      if (bound.isEmpty) ctx
+      else ctx.copy(vals = ctx.vals.clone() ++= bound)
+    val stageNames = fd.stages.map(_.name).toSet
+    val specByName = fd.stages.map(s => s.name -> s).toMap
+
+    def routeFilter(provider: String, consumer: String, df: DataFrame): DataFrame =
+      specByName(provider).body match {
+        case Right(rel) =>
+          topRoute(rel) match {
+            case Some(cases) =>
+              val ec = Lowering.ExprCtx(ctx2, aggMode = false, dfOpt = Some(df))
+              def cond(e: Expr) = Lowering.expr(rewriteUnderscore(e), ec)
+              cases.find(_._2 == consumer) match {
+                case Some((Some(c), _)) => df.filter(cond(c))
+                case Some((None, _)) =>
+                  // else branch: rows matching no explicit case
+                  val explicit = cases.collect { case (Some(c), _) => cond(c) }
+                  if (explicit.isEmpty) df else df.filter(!explicit.reduce(_ || _))
+                case None => df
+              }
+            case None => df
+          }
+        case Left(_) => df
+      }
+
+    val defs = fd.stages.map { sp =>
+      val dataDeps = sp.body match {
+        case Left(merges) => merges
+        case Right(rel) => collectStageRefs(rel, stageNames).toList.sorted
+      }
+      StageDef(
+        name = sp.name,
+        run = inputs => {
+          val resolver: String => DataFrame = name =>
+            inputs.get(name) match {
+              case Some(df) => routeFilter(name, sp.name, df)
+              case None => ctx2.tableResolver(name)
+            }
+          val sctx = ctx2.copy(tableResolver = resolver)
+          sp.body match {
+            case Left(merges) =>
+              merges.map(m => inputs(m)).reduce(_ unionByName _)
+            case Right(rel) => Lowering.lower(rel, sctx)
+          }
+        },
+        dependsOn = dataDeps,
+        retry = RetryPolicy(
+          maxAttempts = sp.retries + 1,
+          initialBackoffMs = math.max(1L, sp.retryDelayMs)),
+        gateDeps = sp.gate.map(_._1).distinct,
+        gate =
+          if (sp.gate.isEmpty) None
+          else Some(results => sp.gate.forall { case (n, want) =>
+            results(n) match {
+              case _: StageSucceeded => want == "success" || want == "done"
+              case _: StageFailed => want == "failed" || want == "done"
+              case _: StageSkipped => want == "done"
+            }
+          })
+      )
+    }
+
+    val result = FlowExecutor.run(FlowDef(fd.name, defs))
+    val schema = StructType(Seq(
+      StructField("stage", StringType, nullable = false),
+      StructField("state", StringType, nullable = false),
+      StructField("attempts", IntegerType, nullable = false),
+      StructField("error", StringType, nullable = true)))
+    val rows = fd.stages.map { sp =>
+      result.stages(sp.name) match {
+        case StageSucceeded(_, n) => Row(sp.name, "success", n, null)
+        case StageFailed(e, n) => Row(sp.name, "failed", n, String.valueOf(e.getMessage))
+        case s: StageSkipped => Row(sp.name, "skipped", 0, s.failedDependency)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    ctx.spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** The route node terminating a stage's pipe chain, if any. */
+  private def topRoute(r: Relation): Option[List[(Option[Expr], String)]] = r match {
+    case RouteRel(_, cases) => Some(cases)
+    case _ => None
+  }
+
+  private def rewriteUnderscore(e: Expr): Expr =
+    Lowering.transformExpr(e) { case DotRef(Underscore, n) => Ident(n) }
+
+  /** Stage names referenced anywhere in a stage body's relation tree. */
+  private def collectStageRefs(r: Relation, names: Set[String]): Set[String] = r match {
+    case TableRef(n) if names.contains(n) => Set(n)
+    case u: UnaryRelation => collectStageRefs(u.child, names)
+    case Join(l, rr, _, _, _, _, _, _) =>
+      collectStageRefs(l, names) ++ collectStageRefs(rr, names)
+    case SetOp(_, l, rr, _) => collectStageRefs(l, names) ++ collectStageRefs(rr, names)
+    case _ => Set.empty
+  }
+
+  private def bindArgs(
+      fd: FlowDefStmt,
+      args: List[(Option[String], Expr)]
+  ): Map[String, Expr] = {
+    val (named, positional) = args.partition(_._1.isDefined)
+    if (positional.length > fd.params.length)
+      throw new LoweringException(
+        s"flow ${fd.name} takes ${fd.params.length} parameter(s), got ${args.length}")
+    val byName = named.map { case (n, e) => n.get -> e }.toMap
+    val unknown = byName.keySet -- fd.params.map(_._1).toSet
+    if (unknown.nonEmpty)
+      throw new LoweringException(
+        s"flow ${fd.name}: unknown parameter(s) ${unknown.mkString(", ")}")
+    fd.params.zipWithIndex.map { case ((pname, default), i) =>
+      val v = byName.get(pname)
+        .orElse(positional.lift(i).map(_._2))
+        .orElse(default)
+        .getOrElse(throw new LoweringException(
+          s"flow ${fd.name}: missing argument for parameter '$pname'"))
+      pname -> v
+    }.toMap
+  }
+}

@@ -29,7 +29,8 @@ object Lowering {
       debugs: mutable.ListBuffer[DataFrame] = mutable.ListBuffer.empty,
       funcs: mutable.Map[String, FuncDef] = mutable.Map.empty,
       partials: mutable.Map[String, Relation] = mutable.Map.empty,
-      params: Seq[Any] = Nil
+      params: Seq[Any] = Nil,
+      flows: mutable.Map[String, FlowDefStmt] = mutable.Map.empty
   )
 
   /** Lowering result: either a plain DataFrame or a "grouped" relation —
@@ -52,6 +53,7 @@ object Lowering {
       case ValDef(name, e) => ctx.vals(name) = e
       case f: FuncDef => ctx.funcs(f.name.toLowerCase) = f
       case PartialDef(name, body) => ctx.partials(name.toLowerCase) = body
+      case fl: FlowDefStmt => ctx.flows(fl.name) = fl // declaration only
       case QueryStatement(rel) => last = Some(lower(rel, ctx))
       case SaveTo(rel, target, append, parts) =>
         val df = lower(rel, ctx)
@@ -105,6 +107,23 @@ object Lowering {
         last = Some(df)
     }
     last
+  }
+
+  /** '10 ms' / '2 s' / '7 days' → milliseconds (wait() argument). */
+  private def parseDurationMs(s: String): Long = {
+    val parts = s.trim.split("\\s+")
+    val v = parts(0).toLong
+    val unit = (if (parts.length > 1) parts(1) else "ms").toLowerCase
+    val mult =
+      if (unit == "ms" || unit.startsWith("milli")) 1L
+      else unit.stripSuffix("s") match {
+        case "" | "sec" | "second" => 1000L
+        case "m" | "min" | "minute" => 60000L
+        case "h" | "hr" | "hour" => 3600000L
+        case "d" | "day" => 86400000L
+        case _ => 1L
+      }
+    v * mult
   }
 
   private def isPathTarget(target: String): Boolean =
@@ -473,6 +492,35 @@ object Lowering {
       ctx.tests += ((df, assertion))
       Plain(df)
 
+    case RunFlow(name, args) =>
+      val fd = ctx.flows.getOrElse(name,
+        throw new LoweringException(s"unknown flow: $name"))
+      Plain(FlowRunner.run(fd, args, ctx))
+
+    case RouteRel(child, _) =>
+      // pass-through for the routing stage itself; consumers get the filtered
+      // view (FlowRunner.routeFilter)
+      lowerRel(child, ctx)
+
+    case OrchOp(child, kind, args) =>
+      kind match {
+        case "wait" =>
+          // orchestration delay, honored at plan time (flow stages lower
+          // inside their executor task, so the wait delays the stage)
+          val ms = args.headOption.flatMap(constValue) match {
+            case Some(s: String) => parseDurationMs(s)
+            case Some(n: Long) => n
+            case _ => 0L
+          }
+          if (ms > 0) Thread.sleep(ms)
+          lowerRel(child, ctx)
+        case "activate" =>
+          val channel = args.headOption.flatMap(constValue).getOrElse("?")
+          System.err.println(s"[flow] activate($channel)")
+          lowerRel(child, ctx)
+        case _ => lowerRel(child, ctx) // end(): terminal marker
+      }
+
     case DebugRel(child, body) =>
       // execute the debug branch eagerly as a side task, printing a bounded
       // sample to stderr (honest semantics: the reference runs the branch)
@@ -760,6 +808,8 @@ object Lowering {
       case u: TestRel => u.copy(child = go(u.child))
       case u: DebugRel => u.copy(child = go(u.child), body = go(u.body))
       case u: PartialApply => u.copy(child = go(u.child))
+      case u: RouteRel => u.copy(child = go(u.child))
+      case u: OrchOp => u.copy(child = go(u.child))
       case j: Join => j.copy(left = go(j.left), right = go(j.right))
       case s: SetOp => s.copy(left = go(s.left), right = go(s.right))
       case leaf => leaf

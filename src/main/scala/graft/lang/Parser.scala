@@ -68,6 +68,7 @@ final class Parser(tokens: Vector[Token]) {
     if (peek.is("model")) parseModelDef()
     else if (peek.is("val") && peek2.kind == TokenKind.Ident) parseValDef()
     else if (peek.is("def") && peek2.kind == TokenKind.Ident) parseDef()
+    else if (peek.is("flow") && peek2.kind == TokenKind.Ident) parseFlowDef()
     else if (peek.is("delete") && peek2.is("from")) {
       advance(); advance()
       val target = stringOrIdent()
@@ -175,6 +176,99 @@ final class Parser(tokens: Vector[Token]) {
     ValDef(name, expression())
   }
 
+  /** `flow Name(params) = { stage n [with {...}] [if gate] = body ... }` */
+  private def parseFlowDef(): Statement = {
+    expectKw("flow")
+    val name = identName()
+    val params = List.newBuilder[(String, Option[Expr])]
+    if (accept("(")) {
+      var more = !peek.is(")")
+      while (more) {
+        val pname = identName()
+        if (accept(":")) parseTypeName()
+        val default = if (accept("=")) Some(expression()) else None
+        params += ((pname, default))
+        more = accept(",")
+      }
+      expectOp(")")
+    }
+    expectOp("=")
+    expectOp("{")
+    val stages = List.newBuilder[StageSpec]
+    while (accept("stage")) {
+      val sname = identName()
+      var retries = 0
+      var retryDelayMs = 50L
+      if (accept("with")) {
+        expectOp("{")
+        while (!peek.is("}")) {
+          val key = identName()
+          expectOp(":")
+          key.toLowerCase match {
+            case "retries" => retries = advance().text.toInt
+            case "retry_delay" => retryDelayMs = parseDurationMs()
+            case _ => // unknown config (e.g. backoff strategy): value parsed, ignored
+              if (peek.kind == TokenKind.StringLit || peek.kind == TokenKind.LongLit ||
+                peek.kind == TokenKind.DoubleLit) advance()
+              else { identName(); () }
+          }
+          accept(",")
+        }
+        expectOp("}")
+      }
+      val gate = List.newBuilder[(String, String)]
+      if (accept("if")) {
+        def gateTerm(): Unit = {
+          val st = identName()
+          expectOp(".")
+          val state = identName().toLowerCase
+          if (!Set("failed", "done", "success").contains(state))
+            fail(s"unknown stage state '$state' (failed|done|success)")
+          gate += ((st, state))
+        }
+        gateTerm()
+        while (accept("and")) gateTerm()
+      }
+      expectOp("=")
+      val body: Either[List[String], Relation] =
+        if (peek.is("merge") && peek2.kind == TokenKind.Ident && !peek2.is("into")) {
+          advance()
+          val names = List.newBuilder[String]
+          names += identName()
+          while (accept(",")) names += identName()
+          Left(names.result())
+        } else Right(parseRelation())
+      stages += StageSpec(sname, body, retries, retryDelayMs, gate.result())
+    }
+    expectOp("}")
+    FlowDefStmt(name, params.result(), stages.result())
+  }
+
+  /** `10ms` / `2s` / `'7 days'` → milliseconds. */
+  private def parseDurationMs(): Long = {
+    if (peek.kind == TokenKind.StringLit) {
+      val parts = advance().text.trim.split("\\s+")
+      val v = parts(0).toLong
+      v * unitMs(if (parts.length > 1) parts(1) else "ms")
+    } else {
+      val v = advance().text.toLong
+      val unit = if (peek.kind == TokenKind.Ident) advance().text else "ms"
+      v * unitMs(unit)
+    }
+  }
+
+  private def unitMs(u0: String): Long = {
+    val u = u0.toLowerCase
+    if (u == "ms" || u.startsWith("milli")) 1L
+    else u.stripSuffix("s") match {
+      case "" | "sec" | "second" => 1000L
+      case "m" | "min" | "minute" => 60000L
+      case "h" | "hr" | "hour" => 3600000L
+      case "d" | "day" => 86400000L
+      case _ => 1L
+    }
+  }
+
   /** Pipe-operator keywords that begin a partial-query body (vs a scalar
     * expression body) after `def name =`. */
   private val pipeOpKeywords = Set(
@@ -259,6 +353,24 @@ final class Parser(tokens: Vector[Token]) {
       val r = parseRelation()
       expectOp("}")
       maybeAlias(BracedRelation(r))
+    } else if (peek.is("run") && peek2.is("flow")) {
+      advance(); advance()
+      val name = identName()
+      val args = List.newBuilder[(Option[String], Expr)]
+      if (accept("(")) {
+        var more = !peek.is(")")
+        while (more) {
+          // named (`p = v`) or positional argument
+          if (peek.kind == TokenKind.Ident && peek2.kind == TokenKind.Op &&
+            peek2.text == "=") {
+            val pname = identName(); advance()
+            args += ((Some(pname), expression()))
+          } else args += ((None, expression()))
+          more = accept(",")
+        }
+        expectOp(")")
+      }
+      RunFlow(name, args.result())
     } else if (peek.is("show")) {
       advance()
       val what = identName().toLowerCase
@@ -508,6 +620,43 @@ final class Parser(tokens: Vector[Token]) {
           }
         }
         Some(LateralUnnest(rel, e, alias, cols, withOrdinality = false))
+      case "route" =>
+        advance()
+        expectOp("{")
+        val cases = List.newBuilder[(Option[Expr], String)]
+        var going = true
+        while (going) {
+          if (accept("case")) {
+            val cond = expression()
+            expectOp("->")
+            cases += ((Some(cond), identName()))
+          } else if (accept("else")) {
+            expectOp("->")
+            cases += ((None, identName()))
+          } else going = false
+        }
+        expectOp("}")
+        Some(RouteRel(rel, cases.result()))
+      case "wait" | "activate" if peek2.is("(") =>
+        val kind = advance().text.toLowerCase
+        advance()
+        val args = List.newBuilder[Expr]
+        if (!peek.is(")")) {
+          def arg(): Unit = {
+            // named arg (template: 'x') — name kept only for display
+            if (peek.kind == TokenKind.Ident && peek2.kind == TokenKind.Op && peek2.text == ":") {
+              advance(); advance()
+            }
+            args += expression()
+          }
+          arg()
+          while (accept(",")) arg()
+        }
+        expectOp(")")
+        Some(OrchOp(rel, kind, args.result()))
+      case "end" if peek2.is("(") =>
+        advance(); advance(); expectOp(")")
+        Some(OrchOp(rel, "end", Nil))
       case "describe" => advance(); Some(DescribeRel(rel))
       case "test" =>
         advance()
@@ -531,7 +680,8 @@ final class Parser(tokens: Vector[Token]) {
         } else Some(DebugRel(rel, rel))
       // statement starters / post-relation keywords end the pipe chain
       case "save" | "append" | "model" | "val" | "def" | "from" | "show"
-          | "delete" | "truncate" | "insert" | "create" | "merge" => None
+          | "delete" | "truncate" | "insert" | "create" | "merge"
+          | "flow" | "stage" | "run" => None
       case _ =>
         // any other bare identifier in pipe position applies a partial-query
         // def (`from t | active`); resolution happens at lowering
