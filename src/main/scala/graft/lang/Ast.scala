@@ -297,6 +297,23 @@ final case class SaveTo(
 final case class DeleteStmt(target: String, cond: Expr) extends Statement
 /** `truncate [table] target` (reference: Truncate, update.scala:59). */
 final case class TruncateStmt(target: String) extends Statement
+/** `execute sql"…"` — run a side-effecting SQL statement (DDL etc.). */
+final case class ExecuteStmt(sql: String) extends Statement
+/** `update target set c = expr, … where cond` (reference: UpdateRows). */
+final case class UpdateStmt(
+    target: String,
+    sets: List[(String, Expr)],
+    cond: Option[Expr]
+) extends Statement
+/** `type name [in catalog.schema] = { field: type, … }` — schema-bound table
+  * type (reference: TypeDef plan.scala:62-117; spec/basic/type-table-binding.wv).
+  * Fields are declarative here (schemas resolve lazily from data); the
+  * binding lets qualified/bare references resolve to the bound table. */
+final case class TypeDefStmt(
+    name: String,
+    location: Option[String],
+    fields: List[(String, String)]
+) extends Statement
 /** `merge into target using <source> on k1, k2 [when matched then
   * update|delete] [when not matched then insert]` — upsert by key columns
   * (reference: Merge/Upsert, update.scala:80-94, sqlPlan.scala:55-65). */

@@ -30,7 +30,9 @@ object Lowering {
       funcs: mutable.Map[String, FuncDef] = mutable.Map.empty,
       partials: mutable.Map[String, Relation] = mutable.Map.empty,
       params: Seq[Any] = Nil,
-      flows: mutable.Map[String, FlowDefStmt] = mutable.Map.empty
+      flows: mutable.Map[String, FlowDefStmt] = mutable.Map.empty,
+      /** name-as-written → canonical table identifier (type bindings). */
+      typeBindings: mutable.Map[String, String] = mutable.Map.empty
   )
 
   /** Lowering result: either a plain DataFrame or a "grouped" relation —
@@ -80,6 +82,35 @@ object Lowering {
       case TruncateStmt(target) =>
         val df = readTarget(target, ctx)
         overwriteTarget(target, df.limit(0), ctx)
+      case ExecuteStmt(sql) => ctx.spark.sql(sql).collect()
+      case UpdateStmt(target, sets, cond) =>
+        // UPDATE SET as read-modify-write: each set column becomes
+        // when(cond, newExpr).otherwise(old); rows not matching keep values
+        val df = readTarget(target, ctx)
+        val ec = ExprCtx(ctx, aggMode = false, dfOpt = Some(df))
+        val condCol = cond.map(c => F.coalesce(expr(c, ec), F.lit(false)))
+        var out = df
+        sets.foreach { case (c, e) =>
+          val nv = expr(e, ec)
+          out = out.withColumn(c, condCol match {
+            case Some(p) => F.when(p, nv).otherwise(F.col(c))
+            case None => nv
+          })
+        }
+        overwriteTarget(target, out, ctx)
+      case TypeDefStmt(name, location, _) =>
+        // schema-bound table type: remap bare/qualified references onto the
+        // bound table identifier (fields are declarative — schemas resolve
+        // lazily from the data itself)
+        location.foreach { loc =>
+          val parts = loc.split('.')
+          val schema = parts.last
+          val canonical =
+            if (schema == "main" || schema == "default") name else s"$schema.$name"
+          ctx.typeBindings(name) = canonical
+          ctx.typeBindings(s"$loc.$name") = canonical
+          ctx.typeBindings(s"$schema.$name") = canonical
+        }
       case MergeInto(target, srcRel, keys, matchedDelete) =>
         // upsert as a join rewrite (no copy-on-write table format available):
         //   update-or-insert: (target anti-join source on keys) ∪ source
@@ -531,7 +562,16 @@ object Lowering {
 
   private def resolveTable(name: String, ctx: Context): DataFrame =
     if (name.startsWith("__show_")) lowerShow(name.stripPrefix("__show_"), ctx)
-    else ctx.tableResolver(name)
+    else {
+      val resolved = ctx.typeBindings.getOrElse(name, name)
+      try ctx.tableResolver(resolved)
+      catch {
+        case e: Throwable =>
+          // fall back to the session catalog (saved tables, temp views)
+          try ctx.spark.table(resolved)
+          catch { case _: Throwable => throw e }
+      }
+    }
 
   private def lowerShow(what: String, ctx: Context): DataFrame = {
     import ctx.spark.implicits._

@@ -96,6 +96,41 @@ final class Parser(tokens: Vector[Token]) {
         if (accept("{")) { val r = parseRelation(); expectOp("}"); r }
         else parseRelation()
       CreateTableAs(name, rel, orReplace, parts.result())
+    } else if (peek.is("execute") && peek2.is("sql")) {
+      advance(); advance()
+      if (peek.kind != TokenKind.StringLit) fail("expected sql string after 'execute sql'")
+      ExecuteStmt(advance().text)
+    } else if (peek.is("update") && peek2.kind != TokenKind.EOF &&
+        !peek2.is("(")) {
+      advance()
+      val target = stringOrIdent()
+      expectKw("set")
+      val sets = List.newBuilder[(String, Expr)]
+      def one(): Unit = { val c = identName(); expectOp("="); sets += ((c, expression())) }
+      one()
+      while (accept(",")) one()
+      val cond = if (accept("where")) Some(expression()) else None
+      UpdateStmt(target, sets.result(), cond)
+    } else if (peek.is("type") && peek2.kind == TokenKind.Ident) {
+      advance()
+      val name = identName()
+      val location =
+        if (accept("in")) {
+          var loc = identName()
+          while (accept(".")) loc = loc + "." + identName()
+          Some(loc)
+        } else None
+      expectOp("=")
+      expectOp("{")
+      val fields = List.newBuilder[(String, String)]
+      while (!peek.is("}")) {
+        val fname = identName()
+        expectOp(":")
+        fields += ((fname, parseTypeName()))
+        accept(",")
+      }
+      expectOp("}")
+      TypeDefStmt(name, location, fields.result())
     } else if (peek.is("merge") && peek2.is("into")) {
       advance(); advance()
       val target = stringOrIdent()
@@ -143,7 +178,10 @@ final class Parser(tokens: Vector[Token]) {
 
   private def stringOrIdent(): String = peek.kind match {
     case TokenKind.StringLit => advance().text
-    case _ => identName()
+    case _ =>
+      var n = identName()
+      while (accept(".")) n = n + "." + identName()
+      n
   }
 
   private def parseModelDef(): Statement = {
@@ -681,7 +719,7 @@ final class Parser(tokens: Vector[Token]) {
       // statement starters / post-relation keywords end the pipe chain
       case "save" | "append" | "model" | "val" | "def" | "from" | "show"
           | "delete" | "truncate" | "insert" | "create" | "merge"
-          | "flow" | "stage" | "run" => None
+          | "flow" | "stage" | "run" | "update" | "type" | "execute" => None
       case _ =>
         // any other bare identifier in pipe position applies a partial-query
         // def (`from t | active`); resolution happens at lowering

@@ -738,6 +738,39 @@ class LangSpec extends SparkTestBase {
     assert(after.head.getLong(0) == 0L)
   }
 
+  test("update set where, and schema-bound type resolution") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upd").toString
+    val rows = wv(s"""
+      from [[1, 10.0], [2, 20.0], [3, 30.0]] as t(id, v)
+      save to '$tmp/u.parquet'
+      ;
+      update '$tmp/u.parquet' set v = v * 2, id = id + 100 where v >= 20.0
+      ;
+      from '$tmp/u.parquet'
+      order by id
+    """).collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toList ==
+      List((1L, 10.0), (102L, 40.0), (103L, 60.0)))
+    // type-bound table resolution through the session catalog
+    wv("""
+      execute sql"create schema if not exists graft_binding_test"
+      from [[1, 'apple'], [2, 'banana']] as t(id, name)
+      save to graft_binding_test.bound_orders
+      ;
+      type bound_orders in memory.graft_binding_test = {
+        id: int
+        name: string
+      }
+      from graft_binding_test.bound_orders
+      test _.size should be 2
+      ;
+      from bound_orders
+      where id = 1
+      test _.size should be 1
+    """)
+    spark.sql("DROP TABLE IF EXISTS graft_binding_test.bound_orders")
+  }
+
   test("merge into: upsert and matched-delete") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_merge").toString
     val rows = wv(s"""
