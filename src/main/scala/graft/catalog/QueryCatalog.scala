@@ -1378,6 +1378,17 @@ object QueryCatalog {
       None
     ),
     (
+      "q_similarity_topk_ivf", // IVF coarse-quantizer ANN (approximate → rows-only)
+      (spark, dir) => {
+        val embs = Tables.read(spark, dir, "embeddings")
+        val queries = embs.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+        Similarity.ivfTopK(embs, "vec_id", "embedding", queries, "vec_id", "embedding",
+          k = 5, nlist = 32, nprobe = 4)
+          .orderBy("query_id", "rank")
+      },
+      None
+    ),
+    (
       "q_multimodal_media",
       (spark, dir) => {
         val docs = Tables.read(spark, dir, "documents")

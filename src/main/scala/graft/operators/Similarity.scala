@@ -116,4 +116,62 @@ object Similarity {
       .filter(F.col("rank") <= k)
       .select("query_id", "corpus_id", "cos_sim", "rank")
   }
+
+  /** IVF (inverted-file) approximate top-k — the classic ANN scale path:
+    * a KMeans coarse quantizer partitions the corpus into `nlist` cells;
+    * each query probes its `nprobe` nearest cells and ranks only those
+    * candidates with exact cosine.
+    *
+    * Scale anatomy: the index build (KMeans fit, an offline step at 100 TB)
+    * samples the corpus; cell assignment is one model.transform pass; the
+    * probe is a broadcast join of (query × nprobe) cell ids against the
+    * cell-partitioned corpus — candidates ≈ |corpus|·nprobe/nlist per query
+    * instead of |corpus|. Fixed seed → deterministic for a fixed corpus
+    * partitioning. */
+  def ivfTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int = 10,
+      nlist: Int = 64,
+      nprobe: Int = 8,
+      seed: Long = 7L,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val c = corpus.select(F.col(corpusId).as("corpus_id"), F.col(corpusVec).as("__cv"))
+      .withColumn("features", array_to_vector(F.col("__cv")))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("features")
+      .fit(c)
+    val assigned = model.transform(c)
+      .select(F.col("corpus_id"), F.col("__cv"), F.col("prediction").as("bucket"))
+    // centroid table is tiny (nlist rows) → broadcast probe-assignment join
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v.toArray) }
+      .toDF("bucket", "__centroid")
+    val q = queries.select(F.col(queryId).as("query_id"), F.col(queryVec).as("__qv"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(F.col("__csim").desc, F.col("bucket").asc)
+    val probes = q.crossJoin(F.broadcast(centroids))
+      .withColumn("__csim", Dedup.cosine(F.col("__qv"), F.col("__centroid")))
+      .withColumn("__pr", F.row_number().over(probeW))
+      .filter(F.col("__pr") <= nprobe)
+      .select("query_id", "__qv", "bucket")
+    var cand = assigned.join(F.broadcast(probes), Seq("bucket")).drop("bucket")
+    if (excludeSelf) cand = cand.filter(F.col("corpus_id") =!= F.col("query_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("cos_sim").desc, F.col("corpus_id").asc)
+    cand
+      .withColumn("cos_sim", F.round(Dedup.cosine(F.col("__cv"), F.col("__qv")), 6))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "corpus_id", "cos_sim", "rank")
+  }
 }

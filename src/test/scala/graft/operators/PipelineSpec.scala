@@ -94,6 +94,23 @@ class PipelineSpec extends SparkTestBase {
     assert(approx.map(_.getLong(0)).distinct.length == 2)
   }
 
+  test("IVF topk: recall vs brute force at rank 1 with generous nprobe") {
+    val queries = embs.filter(F.col("vec_id") < 3).select("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(
+      embs, "vec_id", "embedding", queries, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(
+      embs, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 1, nlist = 8, nprobe = 8) // nprobe = nlist → exhaustive → exact
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ivf == exact)
+    // narrow probe still returns k results per query
+    val narrow = Similarity.ivfTopK(
+      embs, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 2).collect()
+    assert(narrow.map(_.getLong(0)).distinct.length == 3)
+  }
+
   test("multimodal: media struct + stub decode + frame sampling") {
     val media = docs.limit(5).select(
       F.col("doc_id"),
