@@ -32,7 +32,8 @@ object Graft {
     val stmts = Parser.parseStatements(text)
     val out = Lowering.lowerStatements(stmts, ctx)
     runDebugs(ctx)
-    out.getOrElse(throw new LoweringException("no query statement in input"))
+    // declaration-only programs (model/flow/type defs) are valid units
+    out.getOrElse(spark.emptyDataFrame)
   }
 
   /** Execute `debug { … }` side branches eagerly, printing a bounded sample
@@ -61,7 +62,7 @@ object Graft {
     val out = Lowering.lowerStatements(stmts, ctx)
     runDebugs(ctx)
     ctx.tests.foreach { case (df, assertion) => TestRunner.check(df, assertion) }
-    out.getOrElse(throw new LoweringException("no query statement in input"))
+    out.getOrElse(spark.emptyDataFrame)
   }
 
   /** Raw Spark SQL escape hatch (the reference's RawSQL node). */

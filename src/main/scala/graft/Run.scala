@@ -31,7 +31,8 @@ object Run {
       }
     }
     val text = queryText.orElse(file.map(f =>
-      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))))).getOrElse {
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)),
+        java.nio.charset.StandardCharsets.UTF_8))).getOrElse {
       System.err.println("usage: graft.Run (-e QUERY | FILE.wv) [--dir DIR] [--limit N] [--explain] [--json|--csv]")
       sys.exit(2)
     }

@@ -17,7 +17,11 @@ object Tables {
   def sessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.parquet.filterPushdown" -> "true"
+    "spark.sql.parquet.filterPushdown" -> "true",
+    // ANSI double-quoted identifiers in raw SQL ("id" = identifier, not
+    // string) — the flow language has its own scanner, this only affects
+    // the sql"…" escape hatch and the SQL front-end
+    "spark.sql.ansi.doubleQuotedIdentifiers" -> "true"
   )
 
   /** Read a table from `dir`, normalizing types (nanos → microsecond

@@ -1067,7 +1067,7 @@ object QueryCatalog {
       "q_show_columns", // info-schema: column listing of a resolved table
       wv("""
         show columns from orders
-        select column_name, column_type
+        select column_name, data_type
         order by column_name
       """),
       Some("""
@@ -1075,7 +1075,7 @@ object QueryCatalog {
           ('o_custkey', 'bigint'), ('o_orderdate', 'timestamp_ntz'),
           ('o_orderkey', 'bigint'), ('o_orderpriority', 'string'),
           ('o_orderstatus', 'string'), ('o_totalprice', 'double'))
-          AS t(column_name, column_type)
+          AS t(column_name, data_type)
         ORDER BY column_name
       """)
     ),

@@ -107,7 +107,12 @@ final case class ModelRef(name: String, args: List[Expr]) extends Relation
   * (reference: PartialQueryDef/Apply, plan.scala:154-155, relation.scala:405-418). */
 case object PipeInput extends Relation
 /** Application of a named partial-query def as a pipe operator. */
-final case class PartialApply(child: Relation, name: String) extends UnaryRelation
+final case class PartialApply(child: Relation, name: String, args: List[Expr] = Nil)
+    extends UnaryRelation
+/** `save to target` appearing INSIDE a sub-pipeline (debug blocks): writes
+  * eagerly at lowering, passes the child through. */
+final case class SaveRel(child: Relation, target: String, append: Boolean)
+    extends UnaryRelation
 /** `from 'path.parquet'` — format chosen by extension. */
 final case class FileScan(path: String) extends Relation
 /** `from [[...],...] as t(c1,c2)` literal rows. */
@@ -129,6 +134,9 @@ case object EmptyRelation extends Relation
 
 final case class AliasedRelation(child: Relation, alias: String, columns: List[String])
     extends UnaryRelation
+/** `select as name` — names the intermediate result; later `from name`
+  * re-derives it (reference: SelectAsAlias, relation.scala:89-92). */
+final case class SelectAsNamed(child: Relation, name: String) extends UnaryRelation
 final case class BracedRelation(child: Relation) extends UnaryRelation
 
 final case class SelectItem(expr: Expr, alias: Option[String]) extends Node
@@ -218,6 +226,9 @@ final case class LateralUnnest(
 ) extends UnaryRelation
 
 final case class DescribeRel(child: Relation) extends UnaryRelation
+/** `explain <query>` / `explain sql"…"` — one row with the optimized +
+  * physical plan text. */
+final case class ExplainRel(child: Relation) extends UnaryRelation
 /** in-query assertion — pass-through for the main query, evaluated by TestRunner */
 final case class TestRel(child: Relation, assertion: Expr) extends UnaryRelation
 /** side-channel debug sub-pipeline — pass-through in the main flow; `body` is
@@ -240,7 +251,14 @@ final case class GroupByStyled(child: Relation, keys: List[SelectItem], style: G
 /** `route { case cond -> target ... else -> target }` — pass-through for the
   * routing stage itself; consuming flow stages read it filtered by their case
   * (reference: flow routing, FlowExecutor.scala). `None` cond = else branch. */
-final case class RouteRel(child: Relation, cases: List[(Option[Expr], String)])
+final case class RouteRel(
+    child: Relation,
+    cases: List[(Option[Expr], String)],
+    by: Option[Expr] = None // `route by hash(uid) { case 50 -> a … }` weights
+) extends UnaryRelation
+/** `fork { stage a = … stage b = … }` — parallel side branches (declarative;
+  * reference flow-syntax.wv is parse-only: "execution support to be added"). */
+final case class ForkRel(child: Relation, branches: List[(String, Relation)])
     extends UnaryRelation
 /** Orchestration pipe ops inside flows: wait('10 ms') / activate('email', …)
   * / end() — identity on the data, side effects at execution. */
@@ -264,25 +282,38 @@ final case class ValDef(name: String, expr: Expr) extends Statement
   * substitution (reference: FunctionDef, plan.scala:62-117 +
   * FunctionInliner.scala). Callable as `f(a, b)` or method-style `a.f(b)`. */
 final case class FuncDef(name: String, params: List[String], body: Expr) extends Statement
-/** `def f = where …` — partial query: a pipe-operator chain over [[PipeInput]],
-  * applied by naming it in pipe position. */
-final case class PartialDef(name: String, body: Relation) extends Statement
+/** `def f[(params)] = where …` — partial query: a pipe-operator chain over
+  * [[PipeInput]], applied by naming it in pipe position (args bind as vals). */
+final case class PartialDef(name: String, params: List[String], body: Relation)
+    extends Statement
+
+/** Boolean condition over other stages' terminal states
+  * (`a.failed or (b.done and c.done)`); state ∈ failed|done|success. */
+sealed trait GateExpr
+final case class GateAtom(stage: String, state: String) extends GateExpr
+final case class GateAnd(l: GateExpr, r: GateExpr) extends GateExpr
+final case class GateOr(l: GateExpr, r: GateExpr) extends GateExpr
 
 /** One flow stage: `stage n [with {retries: 2, retry_delay: 10ms}]
-  * [if other.failed] = <relation | merge a, b>`. Gate conjuncts are
-  * (stageName, state) pairs with state ∈ failed|done|success. */
+  * [if <gate>] = <relation | merge a, b>`. */
 final case class StageSpec(
     name: String,
     body: Either[List[String], Relation], // Left = merge fan-in, Right = relation
     retries: Int,
     retryDelayMs: Long,
-    gate: List[(String, String)]
+    gate: Option[GateExpr]
 )
-/** `flow Name(params) = { stage* }` (reference: flow.scala FlowDef). */
+/** `flow Name(params) [with {schedule: cron('…'), …}] [depends on Other]
+  * [if Other.failed] = { stage* }` (reference: flow.scala FlowDef). Schedule
+  * config / flow-level deps are declarative metadata — the scheduling engine
+  * itself is out of scope (parse-only in the reference's specs too). */
 final case class FlowDefStmt(
     name: String,
     params: List[(String, Option[Expr])],
-    stages: List[StageSpec]
+    stages: List[StageSpec],
+    config: List[(String, Expr)] = Nil,
+    dependsOnFlow: Option[String] = None,
+    flowGate: Option[(String, String)] = None
 ) extends Statement
 /** `save to target [partition by c1, c2]` / `append to target` /
   * `insert into target` (reference: update.scala:37-94). */
@@ -299,6 +330,8 @@ final case class DeleteStmt(target: String, cond: Expr) extends Statement
 final case class TruncateStmt(target: String) extends Statement
 /** `execute sql"…"` — run a side-effecting SQL statement (DDL etc.). */
 final case class ExecuteStmt(sql: String) extends Statement
+/** `use catalog.schema` — switch the default schema (best-effort). */
+final case class UseStmt(name: String) extends Statement
 /** `update target set c = expr, … where cond` (reference: UpdateRows). */
 final case class UpdateStmt(
     target: String,

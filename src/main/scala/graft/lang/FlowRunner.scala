@@ -77,16 +77,8 @@ object FlowRunner {
         retry = RetryPolicy(
           maxAttempts = sp.retries + 1,
           initialBackoffMs = math.max(1L, sp.retryDelayMs)),
-        gateDeps = sp.gate.map(_._1).distinct,
-        gate =
-          if (sp.gate.isEmpty) None
-          else Some(results => sp.gate.forall { case (n, want) =>
-            results(n) match {
-              case _: StageSucceeded => want == "success" || want == "done"
-              case _: StageFailed => want == "failed" || want == "done"
-              case _: StageSkipped => want == "done"
-            }
-          })
+        gateDeps = sp.gate.map(gateAtoms).getOrElse(Nil).distinct,
+        gate = sp.gate.map(g => (results: Map[String, StageResult]) => evalGate(g, results))
       )
     }
 
@@ -107,9 +99,26 @@ object FlowRunner {
     ctx.spark.createDataFrame(rows.asJava, schema)
   }
 
+  private def gateAtoms(g: GateExpr): List[String] = g match {
+    case GateAtom(s, _) => List(s)
+    case GateAnd(l, r) => gateAtoms(l) ++ gateAtoms(r)
+    case GateOr(l, r) => gateAtoms(l) ++ gateAtoms(r)
+  }
+
+  private def evalGate(g: GateExpr, results: Map[String, StageResult]): Boolean = g match {
+    case GateAtom(s, want) =>
+      results(s) match {
+        case _: StageSucceeded => want == "success" || want == "done"
+        case _: StageFailed => want == "failed" || want == "done"
+        case _: StageSkipped => want == "done"
+      }
+    case GateAnd(l, r) => evalGate(l, results) && evalGate(r, results)
+    case GateOr(l, r) => evalGate(l, results) || evalGate(r, results)
+  }
+
   /** The route node terminating a stage's pipe chain, if any. */
   private def topRoute(r: Relation): Option[List[(Option[Expr], String)]] = r match {
-    case RouteRel(_, cases) => Some(cases)
+    case RouteRel(_, cases, _) => Some(cases)
     case _ => None
   }
 

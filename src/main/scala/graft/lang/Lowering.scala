@@ -28,7 +28,7 @@ object Lowering {
       tests: mutable.ListBuffer[(DataFrame, Expr)] = mutable.ListBuffer.empty,
       debugs: mutable.ListBuffer[DataFrame] = mutable.ListBuffer.empty,
       funcs: mutable.Map[String, FuncDef] = mutable.Map.empty,
-      partials: mutable.Map[String, Relation] = mutable.Map.empty,
+      partials: mutable.Map[String, PartialDef] = mutable.Map.empty,
       params: Seq[Any] = Nil,
       flows: mutable.Map[String, FlowDefStmt] = mutable.Map.empty,
       /** name-as-written → canonical table identifier (type bindings). */
@@ -52,9 +52,29 @@ object Lowering {
     var last: Option[DataFrame] = None
     stmts.foreach {
       case m: ModelDef => ctx.models(m.name) = m
-      case ValDef(name, e) => ctx.vals(name) = e
+      case ValDef(name, e) =>
+        // vals evaluate ONCE at declaration (reference semantics: a val of
+        // ulid_string is one id, not one per reference). Constants fold;
+        // anything else is evaluated driver-side over a 1-row plan.
+        ctx.vals(name) =
+          if (constValue(e).isDefined) e
+          else
+            try {
+              val v = ctx.spark.range(1)
+                .select(expr(e, ExprCtx(ctx, aggMode = false)).as("v"))
+                .collect().head.get(0)
+              v match {
+                case null => NullLit()
+                case b: Boolean => BoolLit(b)
+                case n: Long => LongLit(n)
+                case i: Int => LongLit(i.toLong)
+                case d: Double => DoubleLit(d)
+                case s: String => StringLit(s)
+                case other => StringLit(other.toString)
+              }
+            } catch { case _: Throwable => e } // fall back to substitution
       case f: FuncDef => ctx.funcs(f.name.toLowerCase) = f
-      case PartialDef(name, body) => ctx.partials(name.toLowerCase) = body
+      case p: PartialDef => ctx.partials(p.name.toLowerCase) = p
       case fl: FlowDefStmt => ctx.flows(fl.name) = fl // declaration only
       case QueryStatement(rel) => last = Some(lower(rel, ctx))
       case SaveTo(rel, target, append, parts) =>
@@ -66,7 +86,7 @@ object Lowering {
           val path = resolveTargetPath(target, ctx)
           if (target.endsWith(".csv")) w.option("header", "true").csv(path)
           else w.parquet(path)
-        } else w.saveAsTable(target)
+        } else saveAsTableResilient(w, target, append, ctx)
         last = Some(df)
       case DeleteStmt(target, cond) =>
         // DELETE WHERE cond: keep rows where cond is false or null (SQL
@@ -83,6 +103,10 @@ object Lowering {
         val df = readTarget(target, ctx)
         overwriteTarget(target, df.limit(0), ctx)
       case ExecuteStmt(sql) => ctx.spark.sql(sql).collect()
+      case UseStmt(name) =>
+        // best-effort schema switch: our resolution is file/session based
+        try ctx.spark.sql(s"USE ${name.split('.').last}").collect()
+        catch { case _: Throwable => () }
       case UpdateStmt(target, sets, cond) =>
         // UPDATE SET as read-modify-write: each set column becomes
         // when(cond, newExpr).otherwise(old); rows not matching keep values
@@ -157,6 +181,34 @@ object Lowering {
     v * mult
   }
 
+  /** saveAsTable in overwrite mode errors with LOCATION_ALREADY_EXISTS when
+    * the metastore forgot the table (fresh session) but its warehouse dir
+    * survived. For overwrite semantics, drop the stale state and retry. */
+  private def saveAsTableResilient(
+      w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      target: String,
+      append: Boolean,
+      ctx: Context
+  ): Unit =
+    try w.saveAsTable(target)
+    catch {
+      case e: Throwable
+          if !append && String.valueOf(e.getMessage).contains("LOCATION_ALREADY_EXISTS") =>
+        ctx.spark.sql(s"DROP TABLE IF EXISTS $target").collect()
+        val warehouse = ctx.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+          .stripPrefix("file:")
+        val parts = target.split('.')
+        val loc = new java.io.File(
+          if (parts.length == 2) s"$warehouse/${parts(0)}.db/${parts(1)}"
+          else s"$warehouse/$target")
+        def rmrf(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+          f.delete()
+        }
+        rmrf(loc)
+        w.saveAsTable(target)
+    }
+
   private def isPathTarget(target: String): Boolean =
     target.contains("/") || target.contains(".parquet") || target.contains(".csv")
 
@@ -190,7 +242,8 @@ object Lowering {
     case g @ Grouped(df, keys, _, _) =>
       val keyNames = keys.zipWithIndex.map { case (k, i) => itemName(k, i) }
       val others = df.columns.filterNot(c => keyNames.exists(_.equalsIgnoreCase(c)))
-      val aggs = others.map(c => F.any_value(F.col(c)).as(c))
+      // reference naming: non-key columns surface as arbitrary(col)
+      val aggs = others.map(c => F.any_value(F.col(c)).as(s"arbitrary($c)"))
       aggregate(g, aggs.toList, Nil, ctx)
   }
 
@@ -239,6 +292,9 @@ object Lowering {
   private def exprName(e: Expr, idx: Int): String = e match {
     case Ident(n) => n
     case DotRef(Ident(_), n) if !Stdlib.isAggMethod(n) && !Stdlib.scalarMethods.contains(n) => n
+    // reference auto-naming for dot-aggregations: age.max → max(age)
+    case DotRef(Ident(c), n) if Stdlib.isAggMethod(n) => s"$n($c)"
+    case MethodCall(Ident(c), n, Nil) if Stdlib.isAggMethod(n) => s"$n($c)"
     case DotRef(_, n) => n
     case MethodCall(_, n, _) => n
     case FunctionCall(n, _, _, _) => n
@@ -299,9 +355,16 @@ object Lowering {
       throw new LoweringException(
         "partial-query input placeholder outside an application context")
 
-    case PartialApply(child, name) =>
+    case PartialApply(child, name, args) =>
       ctx.partials.get(name.toLowerCase) match {
-        case Some(body) => lowerRel(substPipeInput(body, child), ctx)
+        case Some(p) =>
+          if (args.length != p.params.length)
+            throw new LoweringException(
+              s"partial query $name expects ${p.params.length} argument(s), got ${args.length}")
+          val ctx2 =
+            if (args.isEmpty) ctx
+            else ctx.copy(vals = ctx.vals.clone() ++= p.params.zip(args))
+          lowerRel(substPipeInput(p.body, child), ctx2)
         case None =>
           throw new LoweringException(s"unknown pipe operator or partial query: $name")
       }
@@ -324,6 +387,12 @@ object Lowering {
       Plain(renamed.alias(alias))
     case BracedRelation(child) => lowerRel(child, ctx)
 
+    case SelectAsNamed(child, name) =>
+      // name the intermediate result: later `from name` re-derives the same
+      // relation (registered like a zero-arg model)
+      ctx.models(name) = ModelDef(name, Nil, child)
+      Plain(lower(child, ctx).alias(name))
+
     case Filter(child, cond) =>
       lowerRel(child, ctx) match {
         case g: Grouped => g.copy(havings = g.havings :+ cond)
@@ -338,9 +407,10 @@ object Lowering {
     case Agg(child, items) =>
       lowerRel(child, ctx) match {
         case g: Grouped =>
-          val aggs = items.zipWithIndex.map { case (it, i) =>
-            expr(it.expr, ExprCtx(ctx, aggMode = true)).as(itemName(it, i))
-          }
+          val aggs = items.map(it => it.copy(expr = bindPositionalKeys(it.expr, g.keys)))
+            .zipWithIndex.map { case (it, i) =>
+              expr(it.expr, ExprCtx(ctx, aggMode = true)).as(itemName(it, i))
+            }
           Plain(aggregate(g, aggs, Nil, ctx))
         case Plain(df) =>
           val aggs = items.zipWithIndex.map { case (it, i) =>
@@ -349,10 +419,12 @@ object Lowering {
           Plain(df.agg(aggs.head, aggs.tail: _*))
       }
 
-    case Project(child, items, distinct) =>
+    case Project(child, items0, distinct) =>
       val out = lowerRel(child, ctx) match {
         case g: Grouped =>
-          // projection over a grouped relation: agg items + key refs
+          // projection over a grouped relation: agg items + key refs;
+          // `_1`/`_2` reference grouping keys positionally
+          val items = items0.map(it => it.copy(expr = bindPositionalKeys(it.expr, g.keys)))
           val ectx = ExprCtx(ctx, aggMode = false)
           val keyNames = g.keys.zipWithIndex.map { case (k, i) => itemName(k, i) }
           val aggItems = items.zipWithIndex.filter { case (it, _) => hasAgg(it.expr) }
@@ -365,6 +437,7 @@ object Lowering {
           }
           aggregate(g, aggs.toList, post.toList, ctx)
         case Plain(df) =>
+          val items = items0
           if (items.exists(it => hasAgg(it.expr))) {
             // global aggregation: select count(*), _.count, …
             val aggs = items.zipWithIndex.map { case (it, i) =>
@@ -512,9 +585,15 @@ object Lowering {
         } else df.select(F.col("*"), F.explode(arr).as(outName))
       )
 
+    case ExplainRel(child) =>
+      val df = lower(child, ctx)
+      import ctx.spark.implicits._
+      Plain(Seq(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExtendedMode)).toDF("plan"))
+
     case DescribeRel(child) =>
       val df = lower(child, ctx)
-      val rows = df.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq
+      val rows = df.schema.fields.map(f => (f.name, wvTypeName(f.dataType))).toSeq
       import ctx.spark.implicits._
       Plain(rows.toDF("column_name", "column_type"))
 
@@ -528,9 +607,14 @@ object Lowering {
         throw new LoweringException(s"unknown flow: $name"))
       Plain(FlowRunner.run(fd, args, ctx))
 
-    case RouteRel(child, _) =>
+    case RouteRel(child, _, _) =>
       // pass-through for the routing stage itself; consumers get the filtered
       // view (FlowRunner.routeFilter)
+      lowerRel(child, ctx)
+
+    case ForkRel(child, _) =>
+      // declarative fork marker — branches are side tasks (parse-level
+      // parity; the reference's flow-syntax spec is itself design-only)
       lowerRel(child, ctx)
 
     case OrchOp(child, kind, args) =>
@@ -551,6 +635,16 @@ object Lowering {
           lowerRel(child, ctx)
         case _ => lowerRel(child, ctx) // end(): terminal marker
       }
+
+    case SaveRel(child, target, append) =>
+      val df = lower(child, ctx)
+      val w = df.write.mode(if (append) "append" else "overwrite")
+      if (isPathTarget(target)) {
+        val path = resolveTargetPath(target, ctx)
+        if (target.endsWith(".csv")) w.option("header", "true").csv(path)
+        else w.parquet(path)
+      } else saveAsTableResilient(w, target, append, ctx)
+      Plain(df)
 
     case DebugRel(child, body) =>
       // execute the debug branch eagerly as a side task, printing a bounded
@@ -575,28 +669,39 @@ object Lowering {
 
   private def lowerShow(what: String, ctx: Context): DataFrame = {
     import ctx.spark.implicits._
+    // column shapes follow the reference's Show relation types
+    // (relation.scala:1228-1296)
     what.toLowerCase match {
       case "tables" =>
-        ctx.spark.catalog.listTables().select("name", "catalog", "namespace", "tableType")
-          .withColumnRenamed("name", "table_name")
+        ctx.spark.catalog.listTables().select("name")
       case t if t.startsWith("tables:") =>
-        ctx.spark.catalog.listTables(t.stripPrefix("tables:"))
-          .select("name", "catalog", "namespace", "tableType")
-          .withColumnRenamed("name", "table_name")
+        val schema = t.stripPrefix("tables:").split('.').last
+        try ctx.spark.catalog.listTables(schema).select("name")
+        catch { case _: Throwable => Seq.empty[String].toDF("name") }
       case c if c.startsWith("columns:") =>
         val table = c.stripPrefix("columns:")
         val df = resolveTable(table, ctx)
         df.schema.fields.toSeq
-          .map(f => (f.name, f.dataType.simpleString, f.nullable))
-          .toDF("column_name", "column_type", "is_nullable")
+          .map(f => (f.name, f.dataType.simpleString, f.nullable, null: String))
+          .toDF("column_name", "data_type", "is_nullable", "column_default")
+      case q if q.startsWith("query:") =>
+        val name = q.stripPrefix("query:")
+        val m = ctx.models.getOrElse(name,
+          throw new LoweringException(s"unknown model: $name"))
+        Seq((name, m.body.toString)).toDF("name", "query")
       case "schemas" | "databases" =>
-        ctx.spark.catalog.listDatabases().select("name").withColumnRenamed("name", "schema_name")
+        ctx.spark.catalog.listDatabases()
+          .select(F.col("catalog"), F.col("name"))
       case "catalogs" =>
-        ctx.spark.catalog.listCatalogs().select("name").withColumnRenamed("name", "catalog_name")
+        ctx.spark.catalog.listCatalogs().select("name")
       case "models" =>
-        ctx.models.keys.toSeq.sorted.toDF("model_name")
+        ctx.models.toSeq.sortBy(_._1)
+          .map { case (n, m) =>
+            (n, m.params.map(_._1).mkString(", "), null: String, null: String)
+          }
+          .toDF("name", "args", "description", "package_name")
       case "functions" =>
-        // registry builtins + user defs + models (info-schema style;
+        // registry builtins + user defs + partials (info-schema style;
         // reference SG:718-1080 synthesizes the same union)
         val builtin = ctx.spark.catalog.listFunctions()
           .select(F.col("name"), F.lit("builtin").as("function_type"))
@@ -618,12 +723,47 @@ object Lowering {
     else if (lower.endsWith(".csv"))
       spark.read.option("header", "true").option("inferSchema", "true").csv(resolved)
     else if (lower.endsWith(".json") || lower.endsWith(".json.gz"))
-      spark.read.option("multiLine", "true").json(resolved)
+      reorderJsonColumns(
+        spark.read.option("multiLine", "true").json(resolved), resolved)
     else if (lower.endsWith(".wv")) {
-      val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(resolved)))
+      val src = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(resolved)),
+        java.nio.charset.StandardCharsets.UTF_8)
       lower2(src, ctx)
     } else spark.read.parquet(resolved)
   }
+
+  /** Spark's JSON schema inference SORTS field names; engines that stream
+    * JSON (DuckDB, the reference) preserve the file's field order. Recover
+    * the order of the first object's keys (Jackson streaming over the first
+    * bytes) and reorder the columns to match. */
+  private def reorderJsonColumns(df: DataFrame, path: String): DataFrame =
+    try {
+      val raw = new java.io.FileInputStream(path)
+      val in =
+        if (path.toLowerCase.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
+        else raw
+      try {
+        val parser = new com.fasterxml.jackson.core.JsonFactory().createParser(in)
+        import com.fasterxml.jackson.core.JsonToken._
+        val names = List.newBuilder[String]
+        var depth = 0
+        var done = false
+        while (!done) {
+          val t = parser.nextToken()
+          if (t == null) done = true
+          else t match {
+            case START_OBJECT => depth += 1
+            case END_OBJECT => depth -= 1; if (depth == 0) done = true
+            case FIELD_NAME if depth == 1 => names += parser.currentName()
+            case _ => ()
+          }
+        }
+        val order = names.result().filter(n => df.columns.contains(n))
+        val rest = df.columns.filterNot(order.contains).toList
+        if (order.isEmpty) df else df.select((order ++ rest).map(F.col): _*)
+      } finally in.close()
+    } catch { case _: Throwable => df }
 
   private def lower2(src: String, ctx: Context): DataFrame = {
     val stmts = Parser.parseStatements(src)
@@ -632,7 +772,8 @@ object Lowering {
   }
 
   private def lowerValues(v: Values, ctx: Context): DataFrame = {
-    val nCols = v.rows.map(_.length).maxOption.getOrElse(0)
+    // zero-row values with declared columns still carry the schema
+    val nCols = math.max(v.rows.map(_.length).maxOption.getOrElse(0), v.columns.length)
     val colNames =
       if (v.columns.nonEmpty) v.columns
       else (1 to nCols).map(i => s"c$i").toList
@@ -648,7 +789,15 @@ object Lowering {
       else if (vs.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Double]))
         DoubleType
       else if (vs.forall(_.isInstanceOf[Boolean])) BooleanType
-      else StringType
+      else if (vs.forall(_.isInstanceOf[Seq[_]])) {
+        val elems = vs.flatMap(_.asInstanceOf[Seq[Any]]).filter(_ != null)
+        val et =
+          if (elems.nonEmpty && elems.forall(_.isInstanceOf[Long])) LongType
+          else if (elems.nonEmpty &&
+            elems.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Double])) DoubleType
+          else StringType
+        ArrayType(et, containsNull = true)
+      } else StringType
     }
     val schema = StructType(colNames.zip(types).map { case (n, t) => StructField(n, t, true) })
     val rows = cells.map { row =>
@@ -658,6 +807,10 @@ object Lowering {
           case (null, _) => null
           case (v: Long, DoubleType) => v.toDouble
           case (v, StringType) if !v.isInstanceOf[String] => v.toString
+          case (v: Seq[_], ArrayType(DoubleType, _)) =>
+            v.map { case x: Long => x.toDouble; case x: Double => x; case x => x }
+          case (v: Seq[_], ArrayType(StringType, _)) =>
+            v.map(x => if (x == null) null else x.toString)
           case (v, _) => v
         }
       })
@@ -845,10 +998,14 @@ object Lowering {
       case u: Unpivot => u.copy(child = go(u.child))
       case u: LateralUnnest => u.copy(child = go(u.child))
       case u: DescribeRel => u.copy(child = go(u.child))
+      case u: ExplainRel => u.copy(child = go(u.child))
       case u: TestRel => u.copy(child = go(u.child))
       case u: DebugRel => u.copy(child = go(u.child), body = go(u.body))
       case u: PartialApply => u.copy(child = go(u.child))
+      case u: SaveRel => u.copy(child = go(u.child))
+      case u: SelectAsNamed => u.copy(child = go(u.child))
       case u: RouteRel => u.copy(child = go(u.child))
+      case u: ForkRel => u.copy(child = go(u.child))
       case u: OrchOp => u.copy(child = go(u.child))
       case j: Join => j.copy(left = go(j.left), right = go(j.right))
       case s: SetOp => s.copy(left = go(s.left), right = go(s.right))
@@ -974,6 +1131,20 @@ object Lowering {
     def uncorrelated(): DataFrame = {
       val sub = lower(q, ctx)
       probeExpr match {
+        case Some(TupleLit(fields)) =>
+          // tuple-IN over a multi-column subquery: compare positional structs
+          // (field names forced to _c0… so struct equality resolves)
+          if (fields.length != sub.columns.length)
+            throw new LoweringException(
+              s"tuple IN arity mismatch: ${fields.length} vs subquery's ${sub.columns.length} columns")
+          val ec = ExprCtx(ctx, aggMode = false, dfOpt = Some(out))
+          val probe = F.struct(fields.zipWithIndex.map { case (f, i) =>
+            expr(f, ec).as(s"_c$i")
+          }: _*)
+          val renamed = sub.select(F.struct(sub.columns.zipWithIndex.map { case (c, i) =>
+            F.col(c).as(s"_c$i")
+          }: _*).as("__in_key"))
+          out.join(renamed, probe === F.col("__in_key"), joinType)
         case Some(e) =>
           val probe = expr(e, ExprCtx(ctx, aggMode = false, dfOpt = Some(out)))
           val renamed = sub.select(F.col(sub.columns.head).as("__in_key"))
@@ -1099,6 +1270,15 @@ object Lowering {
         .orElse(ec.ctx.vals.get(name).map(v => expr(v, ec)))
         .orElse(ec.ctx.funcs.get(name.toLowerCase).filter(_.params.isEmpty)
           .map(_ => inlineUserFunc(name.toLowerCase, Nil, ec)))
+        .orElse {
+          // zero-arg builtins usable without parens (ulid_string, now, …) —
+          // a real column of the same name wins
+          val lower = name.toLowerCase
+          if (zeroArgBuiltins.contains(lower) &&
+            !ec.dfOpt.exists(_.columns.exists(_.equalsIgnoreCase(name))))
+            Some(expr(FunctionCall(lower, Nil), ec))
+          else None
+        }
         .getOrElse(F.col(name))
 
     case Underscore =>
@@ -1258,7 +1438,14 @@ object Lowering {
       }
       F.concat(pieces.result(): _*)
     case Extract(field, from) => F.date_part(F.lit(field), expr(from, ec))
-    case Subscript(target, index) => F.element_at(expr(target, ec), expr(index, ec))
+    case Subscript(target, index) =>
+      index match {
+        // string subscript: struct field / map key access via getItem
+        case StringLit(s) => expr(target, ec).getItem(s)
+        // element_at requires an INT ordinal for arrays
+        case LongLit(v) => F.element_at(expr(target, ec), F.lit(v.toInt))
+        case _ => F.element_at(expr(target, ec), expr(index, ec))
+      }
     case LambdaExpr(_, _) =>
       throw new LoweringException("lambda outside higher-order function context")
     case ScalarSubquery(q) =>
@@ -1292,6 +1479,20 @@ object Lowering {
     case BinaryOp("+", l, r) => isStringy(l, ec) || isStringy(r, ec)
     case _ => false
   }
+
+  /** `_1`, `_2`, … reference grouping keys positionally in agg/select items
+    * over a grouped relation (reference: agg_tpe_resolve.wv). */
+  private def bindPositionalKeys(e: Expr, keys: List[SelectItem]): Expr =
+    transformExpr(e) {
+      case Ident(n)
+          if n.length > 1 && n.head == '_' && n.tail.forall(_.isDigit) &&
+            n.tail.toInt >= 1 && n.tail.toInt <= keys.length =>
+        keys(n.tail.toInt - 1).expr
+    }
+
+  /** Zero-argument builtins callable as bare identifiers. */
+  private val zeroArgBuiltins: Set[String] =
+    Set("ulid", "ulid_string", "uuid", "current_date", "current_timestamp", "now")
 
   // Higher-order array functions: arr.filter(x -> …), arr.transform, …
   private val higherOrder = Set("filter", "transform", "map_each", "exists", "all_match", "reduce", "aggregate", "zip_with")
@@ -1408,7 +1609,14 @@ object Lowering {
       case "if" =>
         F.when(a(0), a(1)).otherwise(if (args.length > 2) a(2) else F.lit(null))
       case "coalesce" | "or_else" => F.coalesce(all: _*)
-      case "unnest" | "explode" => F.explode(a(0))
+      case "unnest" | "explode" =>
+        args.headOption match {
+          // unnest(null) / unnest([]) → zero rows, typed (explode(NULL) is
+          // an analysis error)
+          case Some(NullLit()) | Some(ArrayLit(Nil)) =>
+            F.explode(F.typedLit(Array.empty[Int]))
+          case _ => F.explode(a(0))
+        }
       case "concat" => F.concat(all: _*)
       case "collect_list" | "array_agg" if orderArgs.nonEmpty => orderedCollect(a(0))
       case "string_agg" | "listagg" =>
@@ -1445,6 +1653,22 @@ object Lowering {
       case "median" => F.median(ag(a(0)))
       case "approx_quantile" | "percentile_approx" =>
         F.percentile_approx(ag(a(0)), a(1), F.lit(10000))
+      // DuckDB-style list HOFs in function-call position
+      case "list_transform" | "array_transform" if args.length == 2 =>
+        lowerHigherOrder("transform", args.head, args.tail, ec)
+      case "list_filter" | "array_filter" if args.length == 2 =>
+        lowerHigherOrder("filter", args.head, args.tail, ec)
+      case "list_reduce" if args.length == 2 =>
+        // DuckDB list_reduce: first element is the initial accumulator
+        val arr = a(0)
+        val fn2 = args(1) match {
+          case LambdaExpr(p1 :: p2 :: Nil, body) =>
+            (x: Column, y: Column) => expr(body, ec.copy(env = ec.env + (p1 -> x) + (p2 -> y)))
+          case other => throw new LoweringException(s"expected 2-arg lambda, got $other")
+        }
+        F.aggregate(
+          F.slice(arr, F.lit(2), F.greatest(F.size(arr) - 1, F.lit(0))),
+          F.element_at(arr, 1), fn2)
       case "__interval" =>
         args.head match {
           case StringLit(s) => F.expr(s"interval '$s'")
@@ -1452,6 +1676,12 @@ object Lowering {
         }
       case "__should_be" | "__should_not_be" | "__should_contain" | "__should_not_contain" =>
         throw new LoweringException("test assertion cannot be lowered as a column")
+      case "regexp_extract" if args.length == 2 =>
+        // DuckDB 2-arg form returns the whole match (group 0)
+        F.regexp_extract(a(0), args(1) match {
+          case StringLit(p) => p
+          case _ => throw new LoweringException("regexp_extract pattern must be a literal")
+        }, 0)
       case "current_date" => F.current_date()
       case "current_timestamp" | "now" => F.current_timestamp()
       case "ulid" | "ulid_string" => graft.functions.UlidExpression.ulidString()
@@ -1535,6 +1765,9 @@ object Lowering {
   /** Constant-fold literal expressions (used for Values cells, pivot values,
     * isin lists; reference: transform/ExpressionEvaluator.scala). */
   def constValue(e: Expr): Option[Any] = e match {
+    case ArrayLit(items) =>
+      val vs = items.map(constValue)
+      if (vs.forall(_.isDefined)) Some(vs.map(_.get)) else None
     case NullLit() => Some(null)
     case BoolLit(b) => Some(b)
     case LongLit(v) => Some(v)
@@ -1566,6 +1799,19 @@ object Lowering {
         }
       } yield result
     case _ => None
+  }
+
+  /** Spark type → language-level type display name (reference: long not
+    * bigint, etc. — describe.wv output shape). */
+  private def wvTypeName(dt: DataType): String = dt match {
+    case LongType => "long"
+    case IntegerType => "int"
+    case ShortType => "short"
+    case ByteType => "byte"
+    case FloatType => "float"
+    case ArrayType(et, _) => s"array(${wvTypeName(et)})"
+    case MapType(k, v, _) => s"map(${wvTypeName(k)},${wvTypeName(v)})"
+    case other => other.simpleString
   }
 
   /** Graft type name → Spark SQL DDL type string (SURVEY §1.2 mapping). */

@@ -59,7 +59,43 @@ final class Parser(tokens: Vector[Token]) {
     val out = List.newBuilder[Statement]
     while (!peek.isEOF) {
       while (accept(";")) ()
-      if (!peek.isEOF) out += parseStatement()
+      // package/import declarations: parsed and ignored (single-unit compile)
+      if (peek.is("package") || peek.is("import")) {
+        advance()
+        identName()
+        while (accept(".")) {
+          if (peek.is("*")) advance() else identName()
+        }
+        if (accept("as")) identName()
+      } else if (peek.is("with") && peek2.kind == TokenKind.Ident) {
+        // CTE prefix: `with n[(cols)] as { q } [, m as [values]] <query>` —
+        // each binding registers like a zero-arg model; the main query follows
+        advance()
+        var more = true
+        while (more) {
+          val n = identName()
+          val cols = List.newBuilder[String]
+          if (accept("(")) {
+            cols += identName()
+            while (accept(",")) cols += identName()
+            expectOp(")")
+          }
+          expectKw("as")
+          val r =
+            if (accept("{")) { val q = parseRelation(); expectOp("}"); q }
+            else if (peek.is("[")) parseValues()
+            else parseRelation()
+          val cs = cols.result()
+          val body =
+            if (cs.isEmpty) r
+            else r match {
+              case Values(rows, _, _) => Values(rows, Some(n), cs)
+              case other => AliasedRelation(other, n, cs)
+            }
+          out += ModelDef(n, Nil, body)
+          more = accept(",")
+        }
+      } else if (!peek.isEOF) out += parseStatement()
     }
     out.result()
   }
@@ -96,6 +132,12 @@ final class Parser(tokens: Vector[Token]) {
         if (accept("{")) { val r = parseRelation(); expectOp("}"); r }
         else parseRelation()
       CreateTableAs(name, rel, orReplace, parts.result())
+    } else if (peek.is("use") && peek2.kind == TokenKind.Ident) {
+      advance()
+      if (peek.is("schema") || peek.is("connector") || peek.is("catalog")) advance()
+      var n = identName()
+      while (accept(".")) n = n + "." + identName()
+      UseStmt(n)
     } else if (peek.is("execute") && peek2.is("sql")) {
       advance(); advance()
       if (peek.kind != TokenKind.StringLit) fail("expected sql string after 'execute sql'")
@@ -210,8 +252,26 @@ final class Parser(tokens: Vector[Token]) {
   private def parseValDef(): Statement = {
     expectKw("val")
     val name = identName()
-    expectOp("=")
-    ValDef(name, expression())
+    if (accept("(")) {
+      // table value constant: val t(c1[: type], c2) = [[…], …]
+      val cols = List.newBuilder[String]
+      def col(): Unit = {
+        cols += identName()
+        if (accept(":")) parseTypeName() // annotation parsed, types inferred
+      }
+      col()
+      while (accept(",")) col()
+      expectOp(")")
+      expectOp("=")
+      val rows = parseValues() match {
+        case Values(r, _, _) => r
+        case _ => fail("expected row values after table-value val")
+      }
+      ModelDef(name, Nil, Values(rows, Some(name), cols.result()))
+    } else {
+      expectOp("=")
+      ValDef(name, expression())
+    }
   }
 
   /** `flow Name(params) = { stage n [with {...}] [if gate] = body ... }` */
@@ -230,6 +290,24 @@ final class Parser(tokens: Vector[Token]) {
       }
       expectOp(")")
     }
+    // flow-level schedule/trigger metadata (declarative)
+    val config = List.newBuilder[(String, Expr)]
+    if (accept("with")) {
+      expectOp("{")
+      while (!peek.is("}")) {
+        val key = identName()
+        expectOp(":")
+        config += ((key, expression()))
+        accept(",")
+      }
+      expectOp("}")
+    }
+    var dependsOnFlow: Option[String] = None
+    if (accept("depends")) { expectKw("on"); dependsOnFlow = Some(identName()) }
+    var flowGate: Option[(String, String)] = None
+    if (accept("if")) {
+      val f = identName(); expectOp("."); flowGate = Some((f, identName().toLowerCase))
+    }
     expectOp("=")
     expectOp("{")
     val stages = List.newBuilder[StageSpec]
@@ -245,28 +323,19 @@ final class Parser(tokens: Vector[Token]) {
           key.toLowerCase match {
             case "retries" => retries = advance().text.toInt
             case "retry_delay" => retryDelayMs = parseDurationMs()
-            case _ => // unknown config (e.g. backoff strategy): value parsed, ignored
-              if (peek.kind == TokenKind.StringLit || peek.kind == TokenKind.LongLit ||
-                peek.kind == TokenKind.DoubleLit) advance()
-              else { identName(); () }
+            case _ => // unknown config (backoff, poll_interval, timeout…):
+              // value (number [unit] | string | expr) parsed, ignored
+              if (peek.kind == TokenKind.LongLit || peek.kind == TokenKind.DoubleLit) {
+                advance()
+                if (peek.kind == TokenKind.Ident && !peek2.is(":")) advance() // unit
+              } else if (peek.kind == TokenKind.StringLit) advance()
+              else { expression(); () }
           }
           accept(",")
         }
         expectOp("}")
       }
-      val gate = List.newBuilder[(String, String)]
-      if (accept("if")) {
-        def gateTerm(): Unit = {
-          val st = identName()
-          expectOp(".")
-          val state = identName().toLowerCase
-          if (!Set("failed", "done", "success").contains(state))
-            fail(s"unknown stage state '$state' (failed|done|success)")
-          gate += ((st, state))
-        }
-        gateTerm()
-        while (accept("and")) gateTerm()
-      }
+      val gate: Option[GateExpr] = if (accept("if")) Some(parseGateExpr()) else None
       expectOp("=")
       val body: Either[List[String], Relation] =
         if (peek.is("merge") && peek2.kind == TokenKind.Ident && !peek2.is("into")) {
@@ -276,11 +345,34 @@ final class Parser(tokens: Vector[Token]) {
           while (accept(",")) names += identName()
           Left(names.result())
         } else Right(parseRelation())
-      stages += StageSpec(sname, body, retries, retryDelayMs, gate.result())
+      stages += StageSpec(sname, body, retries, retryDelayMs, gate)
     }
     expectOp("}")
-    FlowDefStmt(name, params.result(), stages.result())
+    FlowDefStmt(name, params.result(), stages.result(),
+      config.result(), dependsOnFlow, flowGate)
   }
+
+  /** Gate condition grammar: or < and < atom | (expr). */
+  private def parseGateExpr(): GateExpr = {
+    var e = parseGateAnd()
+    while (accept("or")) e = GateOr(e, parseGateAnd())
+    e
+  }
+  private def parseGateAnd(): GateExpr = {
+    var e = parseGateAtom()
+    while (accept("and")) e = GateAnd(e, parseGateAtom())
+    e
+  }
+  private def parseGateAtom(): GateExpr =
+    if (accept("(")) { val e = parseGateExpr(); expectOp(")"); e }
+    else {
+      val st = identName()
+      expectOp(".")
+      val state = identName().toLowerCase
+      if (!Set("failed", "done", "success").contains(state))
+        fail(s"unknown stage state '$state' (failed|done|success)")
+      GateAtom(st, state)
+    }
 
   /** `10ms` / `2s` / `'7 days'` → milliseconds. */
   private def parseDurationMs(): Long = {
@@ -316,13 +408,17 @@ final class Parser(tokens: Vector[Token]) {
     "asof", "concat", "union", "intersect", "except", "pivot", "unpivot",
     "unnest", "describe", "test", "debug")
 
-  /** `def f(x, y) = expr` (scalar, inlined) or `def f = where …` (partial
-    * query over the piped-in relation). */
+  /** `def f(x, y) = expr` (scalar, inlined), `def f[(params)] = where …`
+    * (partial query over the piped-in relation), or
+    * `def f(a: t) in <engine>: t = native` (engine-native function —
+    * resolves through the engine's own registry, i.e. Spark's). */
   private def parseDef(): Statement = {
     expectKw("def")
     val name = identName()
+    val params = List.newBuilder[String]
+    var hasParens = false
     if (accept("(")) {
-      val params = List.newBuilder[String]
+      hasParens = true
       if (!peek.is(")")) {
         def param(): Unit = {
           params += identName()
@@ -332,28 +428,32 @@ final class Parser(tokens: Vector[Token]) {
         while (accept(",")) param()
       }
       expectOp(")")
-      if (accept(":")) parseTypeName() // return-type annotation
-      expectOp("=")
-      FuncDef(name, params.result(), expression())
-    } else {
-      if (accept(":")) parseTypeName()
-      expectOp("=")
-      val startsPipe = peek.kind == TokenKind.Ident &&
-        pipeOpKeywords.contains(peek.text.toLowerCase) &&
-        !(peek.is("count") && peek2.is("(")) // count(x) is an expression
-      if (startsPipe) {
-        var body: Relation = PipeInput
-        var continue = true
-        while (continue) {
-          if (peek.kind == TokenKind.Op && peek.text == "|") advance()
-          parsePipeOp(body) match {
-            case Some(r) => body = r
-            case None => continue = false
-          }
-        }
-        PartialDef(name, body)
-      } else FuncDef(name, Nil, expression())
     }
+    val native = accept("in") && { identName(); true } // engine qualifier
+    if (accept(":")) parseTypeName() // return-type annotation
+    expectOp("=")
+    if (native || peek.is("native")) {
+      // `= native`: no inline body — calls fall through to the engine's own
+      // function registry (Spark's), which is exactly call_function
+      if (peek.is("native")) advance()
+      return FuncDef(s"__native_$name", params.result(), NullLit())
+    }
+    val startsPipe = peek.kind == TokenKind.Ident &&
+      pipeOpKeywords.contains(peek.text.toLowerCase) &&
+      !(peek.is("count") && peek2.is("(")) // count(x) is an expression
+    if (startsPipe) {
+      var body: Relation = PipeInput
+      var continue = true
+      while (continue) {
+        if (peek.kind == TokenKind.Op && peek.text == "|") advance()
+        parsePipeOp(body) match {
+          case Some(r) => body = r
+          case None => continue = false
+        }
+      }
+      PartialDef(name, params.result(), body)
+    } else if (hasParens) FuncDef(name, params.result(), expression())
+    else FuncDef(name, Nil, expression())
   }
 
   // -------------------------------------------------------------------------
@@ -391,6 +491,16 @@ final class Parser(tokens: Vector[Token]) {
       val r = parseRelation()
       expectOp("}")
       maybeAlias(BracedRelation(r))
+    } else if (peek.is("describe")) {
+      advance()
+      DescribeRel(parseFromItem())
+    } else if (peek.is("explain")) {
+      advance()
+      val inner =
+        if (peek.is("sql") && peek2.kind == TokenKind.StringLit) {
+          advance(); RawSql(advance().text)
+        } else parseRelation()
+      ExplainRel(inner)
     } else if (peek.is("run") && peek2.is("flow")) {
       advance(); advance()
       val name = identName()
@@ -422,7 +532,11 @@ final class Parser(tokens: Vector[Token]) {
           TableRef(s"__show_columns:$t")
         case "tables" if peek.is("in") || peek.is("from") =>
           advance()
-          TableRef(s"__show_tables:${identName()}")
+          var s = identName()
+          while (accept(".")) s = s + "." + identName()
+          TableRef(s"__show_tables:$s")
+        case "query" =>
+          TableRef(s"__show_query:${identName()}")
         case other => TableRef(s"__show_$other")
       }
     } else fail("expected 'from', 'select' or '{'")
@@ -495,7 +609,7 @@ final class Parser(tokens: Vector[Token]) {
           val row = List.newBuilder[Expr]
           if (!peek.is("]")) {
             row += expression()
-            while (accept(",")) row += expression()
+            while (accept(",") && !peek.is("]")) row += expression()
           }
           expectOp("]")
           rows += row.result()
@@ -514,6 +628,11 @@ final class Parser(tokens: Vector[Token]) {
   /** Dispatch one pipe operator; None = end of chain. */
   private def parsePipeOp(rel: Relation): Option[Relation] = {
     val t = peek
+    if (t.kind == TokenKind.Op && t.text == "->") {
+      // `| -> OtherFlow` jump marker (declarative orchestration)
+      advance()
+      return Some(OrchOp(rel, "jump", List(StringLit(identName()))))
+    }
     if (t.kind != TokenKind.Ident) return None
     t.text.toLowerCase match {
       case "where" => advance(); Some(Filter(rel, expression()))
@@ -658,8 +777,20 @@ final class Parser(tokens: Vector[Token]) {
           }
         }
         Some(LateralUnnest(rel, e, alias, cols, withOrdinality = false))
+      case "fork" if peek2.is("{") =>
+        // parallel side branches (declarative; execution = reference parity)
+        advance(); advance()
+        val branches = List.newBuilder[(String, Relation)]
+        while (accept("stage")) {
+          val n = identName()
+          expectOp("=")
+          branches += ((n, parseRelation()))
+        }
+        expectOp("}")
+        Some(ForkRel(rel, branches.result()))
       case "route" =>
         advance()
+        val by = if (accept("by")) Some(expression()) else None
         expectOp("{")
         val cases = List.newBuilder[(Option[Expr], String)]
         var going = true
@@ -674,7 +805,11 @@ final class Parser(tokens: Vector[Token]) {
           } else going = false
         }
         expectOp("}")
-        Some(RouteRel(rel, cases.result()))
+        Some(RouteRel(rel, cases.result(), by))
+      case "wait" if peek2.is("until") =>
+        // `wait until <cond>` — orchestration polling marker
+        advance(); advance()
+        Some(OrchOp(rel, "wait_until", List(expression())))
       case "wait" | "activate" if peek2.is("(") =>
         val kind = advance().text.toLowerCase
         advance()
@@ -713,17 +848,30 @@ final class Parser(tokens: Vector[Token]) {
               case None => continue = false
             }
           }
+          // a debug branch may end in its own sink (reference debug-save.wv)
+          if (accept("save")) { expectKw("to"); body = SaveRel(body, stringOrIdent(), append = false) }
+          else if (accept("append")) { expectKw("to"); body = SaveRel(body, stringOrIdent(), append = true) }
           expectOp("}")
           Some(DebugRel(rel, body))
         } else Some(DebugRel(rel, rel))
       // statement starters / post-relation keywords end the pipe chain
       case "save" | "append" | "model" | "val" | "def" | "from" | "show"
           | "delete" | "truncate" | "insert" | "create" | "merge"
-          | "flow" | "stage" | "run" | "update" | "type" | "execute" => None
+          | "flow" | "stage" | "run" | "update" | "type" | "execute"
+          | "explain" | "package" | "import" | "use" | "with" => None
       case _ =>
         // any other bare identifier in pipe position applies a partial-query
-        // def (`from t | active`); resolution happens at lowering
-        advance(); Some(PartialApply(rel, t.text))
+        // def (`from t | active` / `| older_than(20)`); resolution at lowering
+        advance()
+        val args = List.newBuilder[Expr]
+        if (accept("(")) {
+          if (!peek.is(")")) {
+            args += expression()
+            while (accept(",")) args += expression()
+          }
+          expectOp(")")
+        }
+        Some(PartialApply(rel, t.text, args.result()))
     }
   }
 
@@ -737,7 +885,7 @@ final class Parser(tokens: Vector[Token]) {
   private def parseSelectOp(rel: Relation): Relation = {
     expectKw("select")
     if (accept("distinct")) Project(rel, parseSelectItems(), distinct = true)
-    else if (accept("as")) AliasedRelation(rel, identName(), Nil)
+    else if (accept("as")) SelectAsNamed(rel, identName())
     else if (peek.is("*") && (peek2.is("exclude"))) {
       advance(); advance()
       val withParen = accept("(")
@@ -749,12 +897,22 @@ final class Parser(tokens: Vector[Token]) {
     } else Project(rel, parseSelectItems(), distinct = false)
   }
 
+  /** Keywords that cannot start a select item — a comma before one of these
+    * is a trailing comma (allowed, reference WP trailing-comma handling). */
+  private val selectItemStoppers: Set[String] = pipeOpKeywords ++ Set(
+    "test", "save", "append", "from", "model", "val", "def", "flow", "show",
+    "run", "delete", "truncate", "insert", "create", "merge", "update",
+    "type", "execute", "stage")
+
   private def parseSelectItems(): List[SelectItem] = {
     val items = List.newBuilder[SelectItem]
     items += parseSelectItem()
     while (accept(",")) {
-      // trailing comma before a pipe op (`select 1, | count`)
-      if (peek.kind == TokenKind.Op && peek.text == "|") { /* stop */ }
+      if (peek.kind == TokenKind.Op && peek.text == "|") { /* trailing comma */ }
+      else if (peek.isEOF || peek.is("}") || peek.is(")") ||
+        (peek.kind == TokenKind.Ident && selectItemStoppers.contains(peek.text.toLowerCase) &&
+          !peek2.is("("))) // `count(x)` etc. is still an item
+        { /* trailing comma */ }
       else items += parseSelectItem()
     }
     items.result()
@@ -857,7 +1015,17 @@ final class Parser(tokens: Vector[Token]) {
     val right = parseFromItem()
     var on: Option[Expr] = None
     var using: List[String] = Nil
-    if (accept("on")) on = Some(expression())
+    if (accept("on")) {
+      expression() match {
+        // `on id` / `on k1, k2…` single-identifier shorthand = USING
+        case Ident(n) =>
+          val cols = List.newBuilder[String]
+          cols += n
+          while (accept(",")) cols += identName()
+          using = cols.result()
+        case cond => on = Some(cond)
+      }
+    }
     else if (accept("using")) {
       val withParen = accept("(")
       val cols = List.newBuilder[String]
@@ -871,7 +1039,8 @@ final class Parser(tokens: Vector[Token]) {
   }
 
   private def parseTestAssertion(): Expr = {
-    // test <expr> should be <expr> | should not be | should contain | = <expr>
+    // test <expr> should [not] be|contain <expr>
+    // test <boolean-expr>            (e.g. `test _.size = 3`, `test 1 < 2`)
     val target = expression()
     if (accept("should")) {
       val negated = accept("not")
@@ -881,9 +1050,13 @@ final class Parser(tokens: Vector[Token]) {
         else fail("expected 'be' or 'contain' in test assertion")
       val expected = expression()
       FunctionCall(s"__should_${if (negated) "not_" else ""}$op", List(target, expected))
-    } else if (accept("=")) {
-      FunctionCall("__should_be", List(target, expression()))
-    } else fail("expected 'should' or '=' in test assertion")
+    } else target match {
+      case BinaryOp("=", l, r) => FunctionCall("__should_be", List(l, r))
+      case BinaryOp("!=" | "<>", l, r) => FunctionCall("__should_not_be", List(l, r))
+      case e @ (BinaryOp(_, _, _) | Not(_) | IsNull(_, _)) =>
+        FunctionCall("__assert", List(e))
+      case _ => fail("expected 'should', a comparison, or '=' in test assertion")
+    }
   }
 
   // -------------------------------------------------------------------------
@@ -920,7 +1093,11 @@ final class Parser(tokens: Vector[Token]) {
         else if (accept("distinct")) { expectKw("from"); val r = additive()
           val eq = BinaryOp("<=>", e, r)
           e = if (negated) eq else Not(eq)
-        } else fail("expected 'null' or 'distinct from' after 'is'")
+        } else {
+          // `x is v` / `x is not v` — equality sugar (reference exprs)
+          val r = additive()
+          e = BinaryOp(if (negated) "!=" else "=", e, r)
+        }
       } else if (peek.is("between") || (peek.is("not") && peek2.is("between"))) {
         val negated = accept("not")
         expectKw("between")
@@ -1104,7 +1281,19 @@ final class Parser(tokens: Vector[Token]) {
       case TokenKind.LongLit => advance(); LongLit(t.text.toLong)
       case TokenKind.DoubleLit => advance(); DoubleLit(t.text.toDouble)
       case TokenKind.StringLit => advance(); StringLit(t.text)
-      case TokenKind.BackquotedIdent => advance(); Ident(t.text)
+      case TokenKind.BackquotedIdent =>
+        advance()
+        if (peek.kind == TokenKind.Op && peek.text == "(") {
+          // backquoted function call: `sum`(1)
+          advance()
+          val args = List.newBuilder[Expr]
+          if (!peek.is(")")) {
+            args += expression()
+            while (accept(",")) args += expression()
+          }
+          expectOp(")")
+          FunctionCall(t.text, args.result())
+        } else Ident(t.text)
       case TokenKind.Op if t.text == "(" =>
         advance()
         if (peek.is("from") || peek.is("select")) {
@@ -1157,7 +1346,18 @@ final class Parser(tokens: Vector[Token]) {
           while (accept(",")) entry()
         }
         expectOp("}")
-        MapLit(entries.result())
+        val es = entries.result()
+        // bare `{k: v}` is a STRUCT (field access via .k / ['k']); keys may
+        // be identifiers or string literals; the explicit `map {…}` form
+        // yields a map (reference struct.wv / map.wv semantics)
+        val fieldNames = es.map {
+          case (Ident(n), _) => Some(n)
+          case (StringLit(s), _) => Some(s)
+          case _ => None
+        }
+        if (es.nonEmpty && fieldNames.forall(_.isDefined))
+          StructLit(fieldNames.map(_.get).zip(es.map(_._2)))
+        else MapLit(es)
       case TokenKind.Op if t.text == "*" =>
         advance(); Star(None)
       case TokenKind.Op if t.text == "?" =>
@@ -1181,6 +1381,20 @@ final class Parser(tokens: Vector[Token]) {
       case "s" if peek.kind == TokenKind.StringLit =>
         parseInterpolation(advance().text)
       case "case" => parseCase()
+      case "map" if peek.is("{") =>
+        advance()
+        val entries = List.newBuilder[(Expr, Expr)]
+        if (!peek.is("}")) {
+          def entry(): Unit = {
+            val k = expression()
+            expectOp(":")
+            entries += ((k, expression()))
+          }
+          entry()
+          while (accept(",")) entry()
+        }
+        expectOp("}")
+        MapLit(entries.result())
       case "if" if peek.is("(") =>
         advance()
         val cond = expression()
@@ -1189,6 +1403,19 @@ final class Parser(tokens: Vector[Token]) {
         val elseE = if (accept(",")) Some(expression()) else None
         expectOp(")")
         IfExpr(cond, thenE, elseE)
+      case "if" =>
+        // if <cond> then <v> [else if … ] [else <v>] expression form
+        def ifChain(): Expr = {
+          val cond = expression()
+          expectKw("then")
+          val thenE = expression()
+          val elseE =
+            if (accept("else")) {
+              if (accept("if")) Some(ifChain()) else Some(expression())
+            } else None
+          IfExpr(cond, thenE, elseE)
+        }
+        ifChain()
       case "cast" | "try_cast" if peek.is("(") =>
         advance()
         val e = expression()

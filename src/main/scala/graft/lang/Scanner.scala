@@ -37,8 +37,24 @@ object Scanner {
     while (i < n) {
       val c = src.charAt(i)
       if (c.isWhitespace) i += 1
-      else if (c == '-' && i + 1 < n && src.charAt(i + 1) == '-') {
+      else if (src.startsWith("---", i)) {
+        // `---` opens a block comment closed by the next `---`
+        val end = src.indexOf("---", i + 3)
+        i = if (end < 0) n else end + 3
+      } else if (c == '-' && i + 1 < n && src.charAt(i + 1) == '-') {
         while (i < n && src.charAt(i) != '\n') i += 1
+      } else if (src.startsWith("/*", i)) {
+        val end = src.indexOf("*/", i + 2)
+        i = if (end < 0) n else end + 2
+      } else if (c == '"' && src.startsWith("\"\"\"", i)) {
+        // triple-quoted raw string (multi-line, no escape processing); a run
+        // of >3 closing quotes keeps the extras in the content (Scala rule),
+        // so sql"""select 1 as "id"""" parses with a trailing inner quote
+        var end = src.indexOf("\"\"\"", i + 3)
+        if (end < 0) throw new ScannerException(s"unterminated triple-quoted string at $i")
+        while (end + 3 < n && src.charAt(end + 3) == '"') end += 1
+        out += Token(TokenKind.StringLit, src.substring(i + 3, end), i)
+        i = end + 3
       } else if (c == '\'' || c == '"') {
         val (s, next) = scanString(src, i, c)
         out += Token(TokenKind.StringLit, s, i)
@@ -56,8 +72,16 @@ object Scanner {
         var j = i + 1
         while (j < n && (src.charAt(j).isLetterOrDigit || src.charAt(j) == '_')) j += 1
         val word = src.substring(i, j)
-        // s"..." string interpolation
+        // s"..." / sql"""...""" string interpolation
         if ((word == "s" || word == "sql" || word == "json") && j < n &&
+          src.startsWith("\"\"\"", j)) {
+          var end = src.indexOf("\"\"\"", j + 3)
+          if (end < 0) throw new ScannerException(s"unterminated triple-quoted string at $j")
+          while (end + 3 < n && src.charAt(end + 3) == '"') end += 1
+          out += Token(TokenKind.Ident, word, i)
+          out += Token(TokenKind.StringLit, src.substring(j + 3, end), j)
+          i = end + 3
+        } else if ((word == "s" || word == "sql" || word == "json") && j < n &&
           (src.charAt(j) == '"' || src.charAt(j) == '\'')) {
           val q = src.charAt(j)
           val (s, next) = scanString(src, j, q)
@@ -129,6 +153,12 @@ object Scanner {
       }
     }
     val text = src.substring(start, i)
+    // float/double literal suffix (1.23f) — consumed, value kept as double
+    if (i < n && (src.charAt(i) == 'f' || src.charAt(i) == 'F' ||
+        src.charAt(i) == 'd' || src.charAt(i) == 'D') &&
+      (i + 1 >= n || !(src.charAt(i + 1).isLetterOrDigit || src.charAt(i + 1) == '_'))) {
+      return (Token(TokenKind.DoubleLit, text, start), i + 1)
+    }
     val kind = if (isDouble) TokenKind.DoubleLit else TokenKind.LongLit
     (Token(kind, text, start), i)
   }

@@ -378,6 +378,7 @@ class LangSpec extends SparkTestBase {
     wv("""
       model m1 = { from [[1]] as t(a) }
       show models
+      select name
       test _.rows should be [['m1']]
     """)
   }
@@ -388,7 +389,7 @@ class LangSpec extends SparkTestBase {
       describe
     """)
     val rows = df.collect().map(r => (r.getString(0), r.getString(1))).toList
-    assert(rows == List(("id", "bigint"), ("name", "string")))
+    assert(rows == List(("id", "long"), ("name", "string")))
   }
 
   test("agg over tpch-ish parquet: events tumbling window") {
@@ -643,6 +644,22 @@ class LangSpec extends SparkTestBase {
     """).collect().map(_.getString(0))
     assert(ulids.distinct.length == 100)
     assert(ulids.forall(u => u.length == 26 && u.matches("[0-9A-HJKMNP-TV-Z]{26}")))
+  }
+
+  test("_.output structural comparison against a rendered box table") {
+    val box =
+      "\n┌──────┬───────┬─────┐" +
+      "\n│  id  │ name  │ age │" +
+      "\n│ long │ string│ long│" +
+      "\n├──────┼───────┼─────┤" +
+      "\n│    1 │ alice │  10 │" +
+      "\n├──────┴───────┴─────┤" +
+      "\n│ 1 rows             │" +
+      "\n└────────────────────┘\n"
+    wv(s"""
+      from [[1, 'alice', 10]] as t(id, name, age)
+      test _.output should be \"\"\"$box\"\"\"
+    """)
   }
 
   test("sql front-end: multi-statement script, quote-aware splitting") {
