@@ -95,28 +95,34 @@ object FlowExecutor {
       s.gate.forall(g => g(results.asScala.toMap))
 
     def schedule(): Unit = lock.synchronized {
-      val launchable = remaining.values().asScala.toSeq.filter(ready)
-      launchable.foreach { s =>
-        remaining.remove(s.name)
-        if (!gateHolds(s)) {
-          results.put(s.name, StageSkipped("condition not met"))
-          done.countDown()
-          schedule()
-        } else failedDep(s) match {
-          case Some(dep) =>
-            results.put(s.name, StageSkipped(dep))
-            done.countDown()
-            // a skip can make dependents schedulable (as skips) immediately;
-            // the lock is reentrant so direct recursion is safe
-            schedule()
-          case None =>
-            pool.submit(new Runnable {
-              def run(): Unit = {
-                results.put(s.name, runStage(s))
+      // Loop to a fixpoint instead of recursing: a skip recorded in this pass
+      // can make dependents schedulable (as skips) in the next pass. Each
+      // stage is claimed via remove()'s return value so a stage observed in
+      // an earlier snapshot can never be submitted twice.
+      var progressed = true
+      while (progressed) {
+        progressed = false
+        remaining.values().asScala.toSeq.filter(ready).foreach { s =>
+          if (remaining.remove(s.name) != null) {
+            if (!gateHolds(s)) {
+              results.put(s.name, StageSkipped("condition not met"))
+              done.countDown()
+              progressed = true
+            } else failedDep(s) match {
+              case Some(dep) =>
+                results.put(s.name, StageSkipped(dep))
                 done.countDown()
-                schedule()
-              }
-            })
+                progressed = true
+              case None =>
+                pool.submit(new Runnable {
+                  def run(): Unit = {
+                    results.put(s.name, runStage(s))
+                    done.countDown()
+                    schedule()
+                  }
+                })
+            }
+          }
         }
       }
     }

@@ -354,7 +354,8 @@ final case class MergeInto(
     target: String,
     source: Relation,
     keys: List[String],
-    whenMatchedDelete: Boolean
+    whenMatchedDelete: Boolean,
+    notMatchedInsert: Boolean
 ) extends Statement
 /** `create [or replace] table name [partitioned by (c1,…)] as <query>`
   * (reference: CreateTableAs, update.scala:63-78, relation.scala:283-303). */

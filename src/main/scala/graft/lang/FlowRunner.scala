@@ -2,6 +2,7 @@ package graft.lang
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.{functions => F}
 import graft.flow._
 
 /** Executes language-level flow definitions (`flow F = { stage … }`) on the
@@ -26,6 +27,30 @@ object FlowRunner {
       args: List[(Option[String], Expr)],
       ctx: Lowering.Context
   ): DataFrame = {
+    val result = FlowExecutor.run(toFlowDef(fd, args, ctx))
+    val schema = StructType(Seq(
+      StructField("stage", StringType, nullable = false),
+      StructField("state", StringType, nullable = false),
+      StructField("attempts", IntegerType, nullable = false),
+      StructField("error", StringType, nullable = true)))
+    val rows = fd.stages.map { sp =>
+      result.stages(sp.name) match {
+        case StageSucceeded(_, n) => Row(sp.name, "success", n, null)
+        case StageFailed(e, n) => Row(sp.name, "failed", n, String.valueOf(e.getMessage))
+        case s: StageSkipped => Row(sp.name, "skipped", 0, s.failedDependency)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    ctx.spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** Build the executable stage DAG for a flow (exposed so callers can run
+    * it via FlowExecutor and inspect per-stage result DataFrames). */
+  def toFlowDef(
+      fd: FlowDefStmt,
+      args: List[(Option[String], Expr)],
+      ctx: Lowering.Context
+  ): FlowDef = {
     val bound = bindArgs(fd, args)
     val ctx2 =
       if (bound.isEmpty) ctx
@@ -43,8 +68,12 @@ object FlowRunner {
               cases.find(_._2 == consumer) match {
                 case Some((Some(c), _)) => df.filter(cond(c))
                 case Some((None, _)) =>
-                  // else branch: rows matching no explicit case
-                  val explicit = cases.collect { case (Some(c), _) => cond(c) }
+                  // else branch: rows matching no explicit case. NULL case
+                  // conditions must fall through to else, so coalesce each to
+                  // false before negating (NOT NULL would drop the row).
+                  val explicit = cases.collect { case (Some(c), _) =>
+                    F.coalesce(cond(c), F.lit(false))
+                  }
                   if (explicit.isEmpty) df else df.filter(!explicit.reduce(_ || _))
                 case None => df
               }
@@ -82,21 +111,7 @@ object FlowRunner {
       )
     }
 
-    val result = FlowExecutor.run(FlowDef(fd.name, defs))
-    val schema = StructType(Seq(
-      StructField("stage", StringType, nullable = false),
-      StructField("state", StringType, nullable = false),
-      StructField("attempts", IntegerType, nullable = false),
-      StructField("error", StringType, nullable = true)))
-    val rows = fd.stages.map { sp =>
-      result.stages(sp.name) match {
-        case StageSucceeded(_, n) => Row(sp.name, "success", n, null)
-        case StageFailed(e, n) => Row(sp.name, "failed", n, String.valueOf(e.getMessage))
-        case s: StageSkipped => Row(sp.name, "skipped", 0, s.failedDependency)
-      }
-    }
-    import scala.jdk.CollectionConverters._
-    ctx.spark.createDataFrame(rows.asJava, schema)
+    FlowDef(fd.name, defs)
   }
 
   private def gateAtoms(g: GateExpr): List[String] = g match {
@@ -125,14 +140,22 @@ object FlowRunner {
   private def rewriteUnderscore(e: Expr): Expr =
     Lowering.transformExpr(e) { case DotRef(Underscore, n) => Ident(n) }
 
-  /** Stage names referenced anywhere in a stage body's relation tree. */
-  private def collectStageRefs(r: Relation, names: Set[String]): Set[String] = r match {
-    case TableRef(n) if names.contains(n) => Set(n)
-    case u: UnaryRelation => collectStageRefs(u.child, names)
-    case Join(l, rr, _, _, _, _, _, _) =>
-      collectStageRefs(l, names) ++ collectStageRefs(rr, names)
-    case SetOp(_, l, rr, _) => collectStageRefs(l, names) ++ collectStageRefs(rr, names)
-    case _ => Set.empty
+  /** Stage names referenced anywhere in a stage body's relation tree,
+    * INCLUDING relations inside expression subqueries (`where x in (from
+    * other_stage …)`) — missing those would silently drop a DAG edge and
+    * read a stale table instead. Generic product walk: every AST node is a
+    * case class, so descending productIterator reaches TableRefs wherever
+    * they nest (join sides, set-ops, In/Exists/scalar subquery bodies). */
+  private def collectStageRefs(r: Relation, names: Set[String]): Set[String] = {
+    val acc = Set.newBuilder[String]
+    def walk(x: Any): Unit = x match {
+      case TableRef(n) => if (names.contains(n)) acc += n
+      case p: Product => p.productIterator.foreach(walk)
+      case it: Iterable[_] => it.foreach(walk)
+      case _ => ()
+    }
+    walk(r)
+    acc.result()
   }
 
   private def bindArgs(

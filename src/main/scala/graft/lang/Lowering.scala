@@ -135,11 +135,12 @@ object Lowering {
           ctx.typeBindings(s"$loc.$name") = canonical
           ctx.typeBindings(s"$schema.$name") = canonical
         }
-      case MergeInto(target, srcRel, keys, matchedDelete) =>
+      case MergeInto(target, srcRel, keys, matchedDelete, notMatchedInsert) =>
         // upsert as a join rewrite (no copy-on-write table format available):
         //   update-or-insert: (target anti-join source on keys) ∪ source
         //   matched-delete:   (target anti-join source) ∪ (source anti-join target)
-        // One shuffle per anti-join on the merge keys; the union is free.
+        //   update-only (no insert clause): (target anti source) ∪ (source semi target)
+        // One shuffle per anti/semi-join on the merge keys; the union is free.
         val t = readTarget(target, ctx)
         val s0 = lower(srcRel, ctx)
         val missing = t.columns.filterNot(c => s0.columns.exists(_.equalsIgnoreCase(c)))
@@ -147,11 +148,20 @@ object Lowering {
           throw new LoweringException(
             s"merge source is missing target columns: ${missing.mkString(", ")}")
         val s = s0.select(t.columns.map(F.col).toSeq: _*)
+        val tKeys = t.select(keys.map(F.col): _*).distinct()
         val untouched = t.join(s.select(keys.map(F.col): _*).distinct(), keys, "left_anti")
         val merged =
-          if (matchedDelete)
-            untouched.unionByName(s.join(t.select(keys.map(F.col): _*).distinct(), keys, "left_anti"))
-          else untouched.unionByName(s)
+          if (!matchedDelete && notMatchedInsert)
+            untouched.unionByName(s) // plain upsert: every source row survives
+          else {
+            // matched target rows: deleted, or replaced by their source row
+            val matchedPart =
+              if (matchedDelete) None else Some(s.join(tKeys, keys, "left_semi"))
+            // unmatched source rows: inserted only with an insert clause
+            val insertPart =
+              if (notMatchedInsert) Some(s.join(tKeys, keys, "left_anti")) else None
+            (matchedPart.toSeq ++ insertPart).foldLeft(untouched)(_ unionByName _)
+          }
         overwriteTarget(target, merged, ctx)
       case CreateTableAs(name, rel, orReplace, parts) =>
         val df = lower(rel, ctx)
@@ -447,11 +457,13 @@ object Lowering {
           } else {
             val (joined, rewritten, _) = bindScalarSubqueries(df, items.map(_.expr), ctx)
             val ectx = ExprCtx(ctx, aggMode = false, dfOpt = Some(joined))
-            joined.select(items.zip(rewritten).zipWithIndex.map { case ((it, re), i) =>
+            joined.select(items.zip(rewritten).zipWithIndex.flatMap { case ((it, re), i) =>
               re match {
-                case Star(None) => F.col("*")
-                case Star(Some(q)) => F.col(s"$q.*")
-                case e => expr(e, ectx).as(itemName(it, i))
+                // expand * from the PRE-join columns so bound __scalar_N
+                // helper columns never leak into the output
+                case Star(None) => df.columns.toSeq.map(F.col)
+                case Star(Some(q)) => Seq(F.col(s"$q.*"))
+                case e => Seq(expr(e, ectx).as(itemName(it, i)))
               }
             }: _*)
           }

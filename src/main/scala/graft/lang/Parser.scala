@@ -185,15 +185,21 @@ final class Parser(tokens: Vector[Token]) {
       keys += identName()
       while (accept(",")) keys += identName()
       var matchedDelete = false
+      var notMatchedInsert = false
+      var sawClause = false
       while (accept("when")) {
+        sawClause = true
         if (accept("matched")) {
           expectKw("then")
           if (accept("delete")) matchedDelete = true else expectKw("update")
         } else {
           expectKw("not"); expectKw("matched"); expectKw("then"); expectKw("insert")
+          notMatchedInsert = true
         }
       }
-      MergeInto(target, src, keys.result(), matchedDelete)
+      // bare `merge into … on k` (no when-clauses) defaults to full upsert
+      MergeInto(target, src, keys.result(), matchedDelete,
+        notMatchedInsert || !sawClause)
     } else if (peek.is("insert") && peek2.is("into")) {
       advance(); advance()
       val target = stringOrIdent()

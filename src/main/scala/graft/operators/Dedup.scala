@@ -272,9 +272,9 @@ object Dedup {
     * single-chunk blocking — at maxHamming=8 that is ~12.8 vs ~7.1 bits,
     * shrinking expected in-bucket pair counts by ~2⁶ per block at the cost of
     * C(h+2,2)/(h+1) ≈ 5× more posting rows (linear, not quadratic — the
-    * right trade at scale). A `maxBucketSize` cap (as in minhashLshPairs)
-    * drops pathological buckets (boilerplate storms) via a broadcast
-    * anti-join on the tiny hot-bucket list. */
+    * right trade at scale). A `maxBucketSize` cap (as in ngramJaccardPairs)
+    * drops pathological buckets (boilerplate storms) via a window count over
+    * the join's own hash distribution — no side job, no extra shuffle. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
@@ -282,9 +282,11 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000
   ): DataFrame = {
+    require(maxHamming >= 0, "maxHamming must be >= 0")
     require(maxHamming <= 14,
       "chunk-pair blocking needs numChunks = maxHamming + 2 <= 16 (>=4-bit chunks); " +
         "beyond hamming 14 the pigeonhole guarantee breaks")
+    if (maxHamming == 0) return simhashExactPairs(df, idCol, textCol, maxBucketSize)
     val numChunks = maxHamming + 2
     val bounds = (0 to numChunks).map(i => i * 64 / numChunks)
     val chunkCols = (0 until numChunks).map { i =>
@@ -295,8 +297,8 @@ object Dedup {
     // one blocking key per chunk pair (i, j): combo index + both chunk values
     // packed into a single long (chunks are < 2^(64/numChunks) ≤ 2^32 wide
     // for numChunks ≥ 2, so k·2^52 + ca·2^26 + cb is collision-free for
-    // numChunks ≥ 3, i.e. maxHamming ≥ 1)
-    require(maxHamming >= 1, "maxHamming must be >= 1")
+    // numChunks ≥ 3, i.e. maxHamming ≥ 1; maxHamming = 0 takes the
+    // equality-blocking path above)
     val pairKeys = for { i <- 0 until numChunks; j <- i + 1 until numChunks } yield (i, j)
     val keyCols = pairKeys.zipWithIndex.map { case ((i, j), k) =>
       F.lit(k.toLong) * F.lit(1L << 52) +
@@ -342,6 +344,35 @@ object Dedup {
       .withColumn("hamming", F.bit_count(xorc))
       .filter(F.col("hamming") <= maxHamming)
       .filter(F.shiftrightunsigned(F.col("bucket"), 52) === firstCombo)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** maxHamming = 0 degenerates to exact-duplicate detection on the full
+    * 64-bit simhash: block on the fingerprint itself (one shuffle, uniform
+    * 8-byte keys), no chunking or witness logic needed. */
+  private def simhashExactPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxBucketSize: Int
+  ): DataFrame = {
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val posts = simhashTable(df, idCol, textCol)
+      .select(F.col(idCol), F.col("simhash"))
+      .repartition(parts, F.col("simhash"))
+    val capped =
+      if (maxBucketSize > 0)
+        posts
+          .withColumn("__bn", F.count(F.lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("simhash")))
+          .filter(F.col("__bn") <= maxBucketSize)
+          .drop("__bn")
+      else posts
+    val l = capped.select(F.col("simhash"), F.col(idCol).as("id_a"))
+    val r = capped.select(F.col("simhash"), F.col(idCol).as("id_b"))
+    l.join(r, Seq("simhash"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .withColumn("hamming", F.lit(0))
       .select("id_a", "id_b", "hamming")
   }
 

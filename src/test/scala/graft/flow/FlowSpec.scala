@@ -53,6 +53,26 @@ class FlowSpec extends SparkTestBase {
     intercept[IllegalStateException] { result("child_of_bad") }
   }
 
+  test("a gate-skip alongside launchable siblings never double-submits a stage") {
+    import spark.implicits._
+    // Regression: schedule() used to recurse inside the foreach over a stale
+    // snapshot, so a skip occurring while siblings were launchable submitted
+    // those siblings twice (duplicate execution + early latch release).
+    val runs = Map("a" -> new AtomicInteger(0), "b" -> new AtomicInteger(0),
+      "c" -> new AtomicInteger(0))
+    val flow = FlowDef("skip_race", Seq(
+      StageDef("skipped", _ => Seq(1).toDF("v"), gate = Some(_ => false)),
+      StageDef("a", _ => { runs("a").incrementAndGet(); Seq(1).toDF("v") }),
+      StageDef("b", _ => { runs("b").incrementAndGet(); Seq(2).toDF("v") }),
+      StageDef("c", in => { runs("c").incrementAndGet(); in("a").union(in("b")) },
+        dependsOn = Seq("a", "b"))
+    ))
+    val result = FlowExecutor.run(flow, parallelism = 4)
+    assert(result.stages("skipped").isInstanceOf[StageSkipped])
+    assert(result("c").collect().map(_.getInt(0)).sorted.toList == List(1, 2))
+    runs.foreach { case (n, cnt) => assert(cnt.get() == 1, s"stage $n ran ${cnt.get()} times") }
+  }
+
   test("diamond dependencies merge both parents' results") {
     import spark.implicits._
     val flow = FlowDef("diamond", Seq(

@@ -124,6 +124,27 @@ class FlowLangSpec extends SparkTestBase {
     assert(summary.filter("state = 'success'").count() == 4)
   }
 
+  test("route: rows with NULL case conditions fall through to else") {
+    // age NULL → `_.age >= 18` is NULL → must reach the else target, not vanish
+    val flowText = """
+      flow RNull = {
+        stage src = from [[1, 25], [2, null], [3, 10]] as t(id, age)
+        stage gate = from src | route {
+          case _.age >= 18 -> adult
+          else -> minor
+        }
+        stage adult = from gate | count
+        stage minor = from gate | count
+      }
+      run flow RNull
+    """
+    val ctx = Lowering.Context(spark, name => table(name))
+    Lowering.lowerStatements(Parser.parseStatements(flowText), ctx)
+    val res = graft.flow.FlowExecutor.run(FlowRunner.toFlowDef(ctx.flows("RNull"), Nil, ctx))
+    assert(res("adult").collect().head.getLong(0) == 1L)
+    assert(res("minor").collect().head.getLong(0) == 2L, "NULL-age row must land in else")
+  }
+
   test("wait / activate / end are executable orchestration steps") {
     wv("""
       flow JourneyPipeline = {

@@ -497,6 +497,18 @@ class LangSpec extends SparkTestBase {
     """)
   }
 
+  test("select * alongside a scalar subquery does not leak helper columns") {
+    val df = wv("""
+      from [[1, 'x'], [2, 'y']] as t(id, s)
+      select *, mx = (from [[5], [9]] as q(v) agg max(v))
+      order by id
+    """)
+    assert(df.columns.toList == List("id", "s", "mx"),
+      s"unexpected columns: ${df.columns.mkString(", ")}")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList ==
+      List((1L, "x", 9L), (2L, "y", 9L)))
+  }
+
   test("first_value / last_value honor FILTER (WHERE …)") {
     wv("""
       from [[1, 'a'], [2, 'b'], [3, 'c'], [4, 'd']] as t(id, s)
@@ -810,12 +822,32 @@ class LangSpec extends SparkTestBase {
         from [[2, 'x'], [9, 'nine']] as s(id, v)
       } on id
       when matched then delete
+      when not matched then insert
       ;
       from '$tmp/m.parquet'
       order by id
     """).collect()
     assert(deleted.map(r => (r.getLong(0), r.getString(1))).toList ==
       List((1L, "old1"), (3L, "old3"), (4L, "new4"), (9L, "nine")))
+  }
+
+  test("merge into: update-only (no insert clause) leaves unmatched source out") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_merge_uo").toString
+    val rows = wv(s"""
+      from [[1, 'a'], [2, 'b']] as t(id, v)
+      save to '$tmp/m.parquet'
+      ;
+      merge into '$tmp/m.parquet' using {
+        from [[2, 'B'], [7, 'seven']] as s(id, v)
+      } on id
+      when matched then update
+      ;
+      from '$tmp/m.parquet'
+      order by id
+    """).collect()
+    // id=7 has no match and there is no `when not matched then insert`
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toList ==
+      List((1L, "a"), (2L, "B")))
   }
 
   test("create table as, insert into, partitioned save") {

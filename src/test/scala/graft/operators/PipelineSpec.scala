@@ -52,6 +52,15 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 8888L && r.getInt(2) == 0))
   }
 
+  test("simhash: maxHamming = 0 finds exact-fingerprint duplicates") {
+    import spark.implicits._
+    val base = docs.limit(10).select("doc_id", "text")
+    val dup = base.filter($"doc_id" === 1)
+      .select(F.lit(8887L).as("doc_id"), $"text")
+    val pairs = Dedup.simhashPairs(base.union(dup), "doc_id", "text", maxHamming = 0).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 8887L && r.getInt(2) == 0))
+  }
+
   test("ngram jaccard: identical doc has jaccard 1.0") {
     import spark.implicits._
     val base = docs.limit(10).select("doc_id", "text")
