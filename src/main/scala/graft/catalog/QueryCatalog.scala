@@ -1428,7 +1428,8 @@ object QueryCatalog {
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
-  val all: Seq[(String, Q, Option[String])] = relationalQueries ++ pipelineQueries
+  val all: Seq[(String, Q, Option[String])] =
+    relationalQueries ++ pipelineQueries ++ TpchCatalog.all
 
   def queries: Map[String, Q] =
     all.map { case (n, q, _) => n -> q }.toMap

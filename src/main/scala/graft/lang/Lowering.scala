@@ -296,6 +296,33 @@ object Lowering {
     out
   }
 
+  /** Resolve group keys that name a forward select alias (q15 shape:
+    * `group by supplier_no select supplier_no = l_suppkey`): the key takes
+    * the aliased expression; the matching select item is rewritten to
+    * reference the key output column. */
+  private def resolveForwardKeys(
+      g: Grouped,
+      items: List[SelectItem]
+  ): (Grouped, List[SelectItem]) = {
+    var newItems = items
+    val keys = g.keys.map { k =>
+      k.expr match {
+        case Ident(n) if !g.df.columns.exists(_.equalsIgnoreCase(n)) =>
+          items.zipWithIndex.collectFirst {
+            case (it, i) if itemName(it, i).equalsIgnoreCase(n) && !hasAgg(it.expr) => it
+          } match {
+            case Some(it) =>
+              newItems = newItems.map(x =>
+                if (x eq it) SelectItem(Ident(n), Some(n)) else x)
+              SelectItem(it.expr, Some(n))
+            case None => k
+          }
+        case _ => k
+      }
+    }
+    (g.copy(keys = keys), newItems)
+  }
+
   private def itemName(item: SelectItem, idx: Int): String =
     item.alias.getOrElse(exprName(item.expr, idx))
 
@@ -431,10 +458,15 @@ object Lowering {
 
     case Project(child, items0, distinct) =>
       val out = lowerRel(child, ctx) match {
-        case g: Grouped =>
+        case g0: Grouped =>
+          // `group by supplier_no select supplier_no = l_suppkey`: a group
+          // key may name a FORWARD select alias (reference typer resolves
+          // grouping keys against the projection); substitute the aliased
+          // expression into the key and make the item reference the key name
+          val (g, items1) = resolveForwardKeys(g0, items0)
           // projection over a grouped relation: agg items + key refs;
           // `_1`/`_2` reference grouping keys positionally
-          val items = items0.map(it => it.copy(expr = bindPositionalKeys(it.expr, g.keys)))
+          val items = items1.map(it => it.copy(expr = bindPositionalKeys(it.expr, g.keys)))
           val ectx = ExprCtx(ctx, aggMode = false)
           val keyNames = g.keys.zipWithIndex.map { case (k, i) => itemName(k, i) }
           val aggItems = items.zipWithIndex.filter { case (it, _) => hasAgg(it.expr) }
@@ -898,10 +930,13 @@ object Lowering {
       case _ => unwrapping = false
     }
     var coreDf = lower(rel, ctx)
+    val scope = relationScopeNames(rel)
     val corr = mutable.ListBuffer.empty[Expr]
     filterConjuncts.foreach { cj =>
-      try coreDf = coreDf.filter(expr(cj, ExprCtx(ctx, aggMode = false, dfOpt = Some(coreDf))))
-      catch { case _: org.apache.spark.sql.AnalysisException => corr += cj }
+      if (hasForeignQualifier(cj, scope, coreDf.columns)) corr += cj
+      else
+        try coreDf = coreDf.filter(expr(cj, ExprCtx(ctx, aggMode = false, dfOpt = Some(coreDf))))
+        catch { case _: org.apache.spark.sql.AnalysisException => corr += cj }
     }
     val ecJoin = ExprCtx(ctx, aggMode = false)
     val conds = corr.toList.map(expr(_, ecJoin)) ++ j.on.map(expr(_, ecJoin)).toList
@@ -1085,15 +1120,89 @@ object Lowering {
     val names = List.newBuilder[String]
     val rewritten = exprs.map(transformExpr(_) {
       case ScalarSubquery(q) =>
-        val sub = lower(q, ctx)
-        if (sub.columns.length != 1)
-          throw new LoweringException("scalar subquery must return a single column")
         val name = s"__scalar_$i"; i += 1
-        df = df.crossJoin(F.broadcast(sub.select(F.col(sub.columns.head).as(name))))
         names += name
+        def correlated(orElse: Throwable): Unit =
+          df = correlatedScalarJoin(df, q, name, i, ctx).getOrElse(throw orElse)
+        val scope = relationScopeNames(q)
+        if (collectFilterConds(q).exists(c => hasForeignQualifier(c, scope, Nil)))
+          correlated(new LoweringException("cannot decorrelate scalar subquery"))
+        else
+          try {
+            val sub = lower(q, ctx)
+            if (sub.columns.length != 1)
+              throw new LoweringException("scalar subquery must return a single column")
+            df = df.crossJoin(F.broadcast(sub.select(F.col(sub.columns.head).as(name))))
+          } catch {
+            case ae: org.apache.spark.sql.AnalysisException => correlated(ae)
+          }
         Ident(name)
     })
     (df, rewritten, names.result())
+  }
+
+  /** Decorrelate `… cmp { from t where t.k = outer.k select <agg> }`: group
+    * the inner by its correlation keys and LEFT-join the 1-row-per-key
+    * aggregate onto the outer frame (reference semantics: a correlated
+    * scalar subquery evaluates per outer row; SQL returns NULL over an empty
+    * group, which the left join reproduces — note count-style aggregates
+    * would need a 0-coalesce, fine for the min/avg/sum shapes this serves).
+    * One shuffle on the correlation keys; the join output stays lazy. */
+  private def correlatedScalarJoin(
+      outer: DataFrame,
+      q0: Relation,
+      name: String,
+      serial: Int,
+      ctx: Context
+  ): Option[DataFrame] = {
+    var rel = q0 match { case BracedRelation(c) => c; case r => r }
+    val items = rel match {
+      case Project(c, its, false) if its.length == 1 => rel = c; its
+      case _ => return None
+    }
+    val filterConjuncts = mutable.ListBuffer.empty[Expr]
+    var unwrapping = true
+    while (unwrapping) rel match {
+      case Filter(c, fcond) => filterConjuncts ++= splitConjuncts(fcond); rel = c
+      case _ => unwrapping = false
+    }
+    if (filterConjuncts.isEmpty) return None
+    var coreDf = try lower(rel, ctx) catch { case _: Throwable => return None }
+    val scope = relationScopeNames(rel)
+    val corr = mutable.ListBuffer.empty[Expr]
+    filterConjuncts.foreach { cj =>
+      if (hasForeignQualifier(cj, scope, coreDf.columns)) corr += cj
+      else
+        try coreDf = coreDf.filter(expr(cj, ExprCtx(ctx, aggMode = false, dfOpt = Some(coreDf))))
+        catch { case _: org.apache.spark.sql.AnalysisException => corr += cj }
+    }
+    if (corr.isEmpty) return None
+    // every correlated conjunct must be an equality with exactly one side
+    // resolvable on the inner frame — those sides become the grouping keys
+    val ecCore = ExprCtx(ctx, aggMode = false, dfOpt = Some(coreDf))
+    def innerSide(e: Expr): Option[Column] =
+      if (hasForeignQualifier(e, scope, coreDf.columns)) None
+      else
+        try { val c = expr(e, ecCore); coreDf.select(c); Some(c) }
+        catch { case _: Throwable => None }
+    val pairs = corr.toList.zipWithIndex.map {
+      case (BinaryOp("=", a, b), j) =>
+        val keyName = s"__ck_${serial}_$j"
+        (innerSide(a), innerSide(b)) match {
+          case (Some(ia), None) => (keyName, ia, b)
+          case (None, Some(ib)) => (keyName, ib, a)
+          case _ => return None
+        }
+      case _ => return None
+    }
+    val aggCol = expr(items.head.expr, ExprCtx(ctx, aggMode = true, dfOpt = Some(coreDf)))
+    val grouped = coreDf
+      .groupBy(pairs.map { case (kn, ic, _) => ic.as(kn) }: _*)
+      .agg(aggCol.as(name))
+    val ecOuter = ExprCtx(ctx, aggMode = false, dfOpt = Some(outer))
+    val cond = pairs.map { case (kn, _, oe) => grouped(kn) === expr(oe, ecOuter) }
+      .reduce(_ && _)
+    Some(outer.join(grouped, cond, "left").drop(pairs.map(_._1): _*))
   }
 
   private def containsScalarSubquery(e: Expr): Boolean = {
@@ -1128,10 +1237,58 @@ object Lowering {
     }
   }
 
+  /** Table names and aliases visible inside a relation tree (lowercased) —
+    * the name scope a subquery's own qualified refs may legally use. */
+  private def relationScopeNames(r: Relation): Set[String] = {
+    val acc = Set.newBuilder[String]
+    def walk(x: Any): Unit = x match {
+      case TableRef(n) => acc += n.toLowerCase
+      case AliasedRelation(c, alias, _) => acc += alias.toLowerCase; walk(c)
+      case p: Product => p.productIterator.foreach(walk)
+      case it: Iterable[_] => it.foreach(walk)
+      case _ => ()
+    }
+    walk(r)
+    acc.result()
+  }
+
+  /** Does `e` contain a qualified column ref `q.c` whose qualifier names
+    * neither a relation in `scope` nor a column of `cols`? Such a ref can
+    * only come from an OUTER query — the expression is correlated. This must
+    * be checked structurally: resolving it against the inner frame would
+    * silently drop the foreign qualifier to the bare column (the post-join
+    * fallback in expr's DotRef case), turning `l2.k = l1.k` into the
+    * always-true `k = k`. */
+  private def hasForeignQualifier(e: Expr, scope: Set[String], cols: Seq[String]): Boolean = {
+    var found = false
+    transformExpr(e) {
+      case d @ DotRef(Ident(q), member)
+        if !Stdlib.isAggMethod(member) && !Stdlib.scalarMethods.contains(member.toLowerCase) &&
+          !scope.contains(q.toLowerCase) && !cols.exists(_.equalsIgnoreCase(q)) =>
+        found = true; d
+    }
+    found
+  }
+
+  /** All Filter conditions anywhere in a relation tree (for structural
+    * correlation detection of whole subqueries). */
+  private def collectFilterConds(r: Relation): List[Expr] = {
+    val acc = List.newBuilder[Expr]
+    def walk(x: Any): Unit = x match {
+      case Filter(c, cond) => acc += cond; walk(c)
+      case p: Product => p.productIterator.foreach(walk)
+      case it: Iterable[_] => it.foreach(walk)
+      case _ => ()
+    }
+    walk(r)
+    acc.result()
+  }
+
   /** Lower an in/exists subquery predicate as a semi/anti join. Uncorrelated
-    * subqueries lower directly; if analysis fails on unresolved columns, the
-    * subquery is decorrelated: correlated filter conjuncts become join
-    * conditions (reference: Lateral / InRelation, relation.scala:1046-1051,
+    * subqueries lower directly; subqueries whose filters use foreign
+    * qualifiers (or whose lowering fails on unresolved columns) are
+    * decorrelated: correlated filter conjuncts become join conditions
+    * (reference: Lateral / InRelation, relation.scala:1046-1051,
     * exprs.scala:424-450; Spark plans a semi/anti hash join either way). */
   private def subqueryJoin(
       out: DataFrame,
@@ -1140,6 +1297,12 @@ object Lowering {
       joinType: String,
       ctx: Context
   ): DataFrame = {
+    // structurally-correlated subqueries must NOT take the uncorrelated path:
+    // their foreign quals would silently mis-resolve against the inner frame
+    val scope = relationScopeNames(q)
+    if (collectFilterConds(q).exists(c => hasForeignQualifier(c, scope, Nil)))
+      return decorrelated(out, probeExpr, q, joinType, ctx).getOrElse(
+        throw new LoweringException("cannot decorrelate subquery predicate"))
     def uncorrelated(): DataFrame = {
       val sub = lower(q, ctx)
       probeExpr match {
@@ -1196,10 +1359,15 @@ object Lowering {
     if (filterConjuncts.isEmpty) return None
     val core = try lower(rel, ctx) catch { case _: Throwable => return None }
     var coreDf = core
+    val scope = relationScopeNames(rel)
     val corr = mutable.ListBuffer.empty[Expr]
     filterConjuncts.foreach { cj =>
-      try coreDf = coreDf.filter(expr(cj, ExprCtx(ctx, aggMode = false, dfOpt = Some(coreDf))))
-      catch { case _: org.apache.spark.sql.AnalysisException => corr += cj }
+      // structural check first: a foreign qualifier would silently resolve to
+      // the bare inner column (always-true/false condition), not throw
+      if (hasForeignQualifier(cj, scope, coreDf.columns)) corr += cj
+      else
+        try coreDf = coreDf.filter(expr(cj, ExprCtx(ctx, aggMode = false, dfOpt = Some(coreDf))))
+        catch { case _: org.apache.spark.sql.AnalysisException => corr += cj }
     }
     if (corr.isEmpty) return None
     // correlated conjuncts lower unbound — the join resolves their qualified

@@ -1174,6 +1174,7 @@ final class Parser(tokens: Vector[Token]) {
   private def unary(): Expr =
     if (peek.kind == TokenKind.Op && peek.text == "-") { advance(); UnaryOp("-", unary()) }
     else if (peek.kind == TokenKind.Op && peek.text == "+") { advance(); unary() }
+    else if (peek.kind == TokenKind.Op && peek.text == "!") { advance(); Not(unary()) }
     else postfix()
 
   private def postfix(): Expr = {
@@ -1184,13 +1185,21 @@ final class Parser(tokens: Vector[Token]) {
         advance()
         val name = identName()
         if (accept("(")) {
-          val args = List.newBuilder[Expr]
-          if (!peek.is(")")) {
-            args += expression()
-            while (accept(",")) args += expression()
+          // method-style subquery membership: x.in(from t …) / x.not_in(from t …)
+          if ((name.equalsIgnoreCase("in") || name.equalsIgnoreCase("not_in")) &&
+            (peek.is("from") || peek.is("select"))) {
+            val q = parseRelation()
+            expectOp(")")
+            e = InSubquery(e, q, negated = name.equalsIgnoreCase("not_in"))
+          } else {
+            val args = List.newBuilder[Expr]
+            if (!peek.is(")")) {
+              args += expression()
+              while (accept(",")) args += expression()
+            }
+            expectOp(")")
+            e = MethodCall(e, name, args.result())
           }
-          expectOp(")")
-          e = MethodCall(e, name, args.result())
         } else e = DotRef(e, name)
       } else if (peek.kind == TokenKind.Op && peek.text == "[") {
         advance()
@@ -1341,6 +1350,14 @@ final class Parser(tokens: Vector[Token]) {
         ArrayLit(items.result())
       case TokenKind.Op if t.text == "{" =>
         advance()
+        // `{ from … }` in expression position is a scalar subquery block
+        // (reference: WvletParser queryBlock-as-expression); `{k: v}` stays a
+        // struct/map literal
+        if (peek.is("from") || peek.is("select")) {
+          val q = parseRelation()
+          expectOp("}")
+          return ScalarSubquery(q)
+        }
         val entries = List.newBuilder[(Expr, Expr)]
         if (!peek.is("}")) {
           def entry(): Unit = {
