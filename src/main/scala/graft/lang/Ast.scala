@@ -120,6 +120,17 @@ final case class Values(rows: List[List[Expr]], alias: Option[String], columns: 
     extends Relation
 /** Inline raw Spark SQL escape hatch: `from sql"..."`. */
 final case class RawSql(sql: String) extends Relation
+/** `tbl.subscribe(watermark_column = 'c', window_size = '1h')` — a
+  * subscription over the child relation (reference: Subscribe,
+  * relation.scala:1121-1141). Batch lowering is a full refresh of the child
+  * (the reference's non-incremental fallback); the recorded metadata drives
+  * the Structured-Streaming incremental path (streaming/Subscribe.scala). */
+final case class SubscribeRel(child: Relation, params: List[(String, String)])
+    extends UnaryRelation
+/** `sql"…"` in EXPRESSION position — a SQL fragment template (reference:
+  * sql-template member defs, cdp_types.wv). `${ident}` placeholders are
+  * substituted at inline time. */
+final case class RawSqlExpr(sql: String) extends Expr
 /** Inline JSON rows: `from json"[{...}, ...]"` (reference: RawJSON). */
 final case class RawJson(json: String) extends Relation
 /** `from unnest([...]) as t(c)` (standalone table function). */
@@ -345,8 +356,17 @@ final case class UpdateStmt(
 final case class TypeDefStmt(
     name: String,
     location: Option[String],
-    fields: List[(String, String)]
+    fields: List[(String, String)],
+    /** member `def name = expr` bodies (reference: sql-template methods in
+      * `type … in <dialect> extends string` blocks, cdp_types.wv shape). */
+    defs: List[(String, Expr)] = Nil,
+    parent: Option[String] = None
 ) extends Statement
+/** `package a.b` — namespace declaration; recorded, no execution effect. */
+final case class PackageDecl(name: String) extends Statement
+/** `import x.y` — type/module import; the repo resolves names lazily so the
+  * statement is recorded only (reference: compilation-unit scoping). */
+final case class ImportStmt(name: String) extends Statement
 /** `merge into target using <source> on k1, k2 [when matched then
   * update|delete] [when not matched then insert]` — upsert by key columns
   * (reference: Merge/Upsert, update.scala:80-94, sqlPlan.scala:55-65). */

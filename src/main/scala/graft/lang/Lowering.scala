@@ -32,7 +32,16 @@ object Lowering {
       params: Seq[Any] = Nil,
       flows: mutable.Map[String, FlowDefStmt] = mutable.Map.empty,
       /** name-as-written → canonical table identifier (type bindings). */
-      typeBindings: mutable.Map[String, String] = mutable.Map.empty
+      typeBindings: mutable.Map[String, String] = mutable.Map.empty,
+      /** type member-def name → (body, dialect) — sql-template methods from
+        * `type … in <dialect>` blocks; portable dialects win (see
+        * registerTypeMembers). */
+      typeMemberDefs: mutable.Map[String, (Expr, String)] = mutable.Map.empty,
+      /** subscribe() sites seen while lowering: (watermark column,
+        * raw params) — metadata for an incremental runner
+        * (streaming/Subscribe.scala drives the actual streaming plan). */
+      subscriptions: mutable.ListBuffer[(Option[String], Map[String, String])] =
+        mutable.ListBuffer.empty
   )
 
   /** Lowering result: either a plain DataFrame or a "grouped" relation —
@@ -122,11 +131,15 @@ object Lowering {
           })
         }
         overwriteTarget(target, out, ctx)
-      case TypeDefStmt(name, location, _) =>
+      case PackageDecl(_) | ImportStmt(_) => () // scoping is lazy here
+      case TypeDefStmt(name, location, _, defs, _) =>
         // schema-bound table type: remap bare/qualified references onto the
         // bound table identifier (fields are declarative — schemas resolve
-        // lazily from the data itself)
-        location.foreach { loc =>
+        // lazily from the data itself). Dialect variants (`in trino`,
+        // `in duckdb`) carry member defs, not a catalog binding.
+        val dialect = location.getOrElse("")
+        val isDialect = dialect == "trino" || dialect == "duckdb" || dialect == "hive"
+        if (!isDialect) location.foreach { loc =>
           val parts = loc.split('.')
           val schema = parts.last
           val canonical =
@@ -134,6 +147,20 @@ object Lowering {
           ctx.typeBindings(name) = canonical
           ctx.typeBindings(s"$loc.$name") = canonical
           ctx.typeBindings(s"$schema.$name") = canonical
+        }
+        // member defs: portable bodies win over engine-specific ones —
+        // Spark cannot run trino's td_* UDF templates, duckdb variants are
+        // the deliberate portable stubs (reference cdp_types.wv pattern)
+        def rank(d: String): Int = d match {
+          case "" | "duckdb" => 2
+          case _ => 1
+        }
+        defs.foreach { case (dn, body) =>
+          val key = dn.toLowerCase
+          val keep = ctx.typeMemberDefs.get(key).forall { case (_, d) =>
+            rank(dialect) >= rank(d)
+          }
+          if (keep) ctx.typeMemberDefs(key) = (body, dialect)
         }
       case MergeInto(target, srcRel, keys, matchedDelete, notMatchedInsert) =>
         // upsert as a join rewrite (no copy-on-write table format available):
@@ -422,6 +449,27 @@ object Lowering {
       val df = lower(child, ctx)
       val renamed = if (cols.nonEmpty) df.toDF(cols: _*) else df
       Plain(renamed.alias(alias))
+
+    case SubscribeRel(child, params) =>
+      // Batch lowering = full refresh of the child (the reference's
+      // non-incremental fallback for Subscribe). Parameters are validated
+      // against the child schema and recorded: the incremental execution
+      // path is streaming/Subscribe.scala (readStream + watermark + window
+      // + AvailableNow checkpoint re-runs), proven by SubscribeSpec.
+      val df = lower(child, ctx)
+      val pmap = params.toMap
+      val wm = pmap.get("watermark_column")
+      wm.foreach { c =>
+        if (!df.columns.exists(_.equalsIgnoreCase(c)))
+          throw new LoweringException(
+            s"subscribe: watermark column '$c' is not a column of the subscribed relation")
+      }
+      pmap.get("window_size").foreach { w =>
+        if (!w.trim.matches("""\d+\s*(ms|s|sec|second|seconds|m|min|minute|minutes|h|hour|hours|d|day|days)"""))
+          throw new LoweringException(s"subscribe: unrecognized window_size '$w'")
+      }
+      ctx.subscriptions += ((wm, pmap))
+      Plain(df)
     case BracedRelation(child) => lowerRel(child, ctx)
 
     case SelectAsNamed(child, name) =>
@@ -1430,6 +1478,27 @@ object Lowering {
     expr(body2, ec.copy(inlineDepth = ec.inlineDepth + 1))
   }
 
+  /** Inline a type member def (`type t = { def m = … }`): bind `this` (and
+    * `${this}` inside sql templates) to the target expression, then lower the
+    * body. Row-level members (`_.m`) reference columns directly. */
+  private def inlineTypeMember(name: String, target: Expr, ec: ExprCtx): Column = {
+    if (ec.inlineDepth > 20)
+      throw new LoweringException(
+        s"type member inlining exceeded depth 20 — is '$name' recursive?")
+    val targetSqlName: Option[String] = target match {
+      case Ident(c) => Some(c)
+      case DotRef(Ident(q), c) => Some(s"$q.$c")
+      case _ => None
+    }
+    val body = ec.ctx.typeMemberDefs(name)._1
+    val substituted = transformExpr(body) {
+      case Ident("this") => target
+      case RawSqlExpr(s) if targetSqlName.isDefined =>
+        RawSqlExpr(s.replace("${this}", targetSqlName.get))
+    }
+    expr(substituted, ec.copy(inlineDepth = ec.inlineDepth + 1))
+  }
+
   def expr(e: Expr, ec: ExprCtx): Column = e match {
     case NullLit() => F.lit(null)
     case BoolLit(b) => F.lit(b)
@@ -1444,6 +1513,11 @@ object Lowering {
       F.struct(fields.map { case (n, v) => expr(v, ec).as(n) }: _*)
     case Star(None) => F.col("*")
     case Star(Some(q)) => F.col(s"$q.*")
+
+    case RawSqlExpr(s) =>
+      // sql"…" fragment: remaining `${x}` placeholders degrade to bare
+      // identifiers (engine-side references), then Spark parses the fragment
+      F.expr(s.replaceAll("""\$\{([A-Za-z_][A-Za-z0-9_.]*)\}""", "$1"))
 
     case Ident(name) =>
       ec.env.get(name)
@@ -1479,6 +1553,12 @@ object Lowering {
           !resolvesAsColumn(target, name, ec)) {
         // zero-paren method-style user def: x.f == f(x)
         inlineUserFunc(lname, List(target), ec)
+      } else if (ec.ctx.typeMemberDefs.contains(lname) &&
+          !resolvesAsColumn(target, name, ec)) {
+        // type member def: `_.is_valid_behavior`, `td_user_agent.category`
+        // (reference: sql-template methods on `type` blocks) — inline the
+        // member body with `this`/placeholders bound to the target
+        inlineTypeMember(lname, target, ec)
       } else
         target match {
           case Ident(q) if ec.env.contains(q) => ec.env(q).getField(name)

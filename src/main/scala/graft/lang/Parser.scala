@@ -101,7 +101,17 @@ final class Parser(tokens: Vector[Token]) {
   }
 
   private def parseStatement(): Statement = {
-    if (peek.is("model")) parseModelDef()
+    if (peek.is("package") && peek2.kind == TokenKind.Ident) {
+      advance()
+      var n = identName()
+      while (accept(".")) n = n + "." + identName()
+      PackageDecl(n)
+    } else if (peek.is("import") && peek2.kind == TokenKind.Ident) {
+      advance()
+      var n = identName()
+      while (accept(".")) n = n + "." + identName()
+      ImportStmt(n)
+    } else if (peek.is("model")) parseModelDef()
     else if (peek.is("val") && peek2.kind == TokenKind.Ident) parseValDef()
     else if (peek.is("def") && peek2.kind == TokenKind.Ident) parseDef()
     else if (peek.is("flow") && peek2.kind == TokenKind.Ident) parseFlowDef()
@@ -162,17 +172,29 @@ final class Parser(tokens: Vector[Token]) {
           while (accept(".")) loc = loc + "." + identName()
           Some(loc)
         } else None
+      val parent = if (accept("extends")) Some(parseTypeName()) else None
       expectOp("=")
       expectOp("{")
       val fields = List.newBuilder[(String, String)]
+      val defs = List.newBuilder[(String, Expr)]
       while (!peek.is("}")) {
-        val fname = identName()
-        expectOp(":")
-        fields += ((fname, parseTypeName()))
+        if (peek.is("def")) {
+          // member method: `def name[: type] = <expr>` (sql-template or
+          // plain expression body, reference cdp_types.wv)
+          advance()
+          val dname = identName()
+          if (accept(":")) parseTypeName()
+          expectOp("=")
+          defs += ((dname, expression()))
+        } else {
+          val fname = identName()
+          expectOp(":")
+          fields += ((fname, parseTypeName()))
+        }
         accept(",")
       }
       expectOp("}")
-      TypeDefStmt(name, location, fields.result())
+      TypeDefStmt(name, location, fields.result(), defs.result(), parent)
     } else if (peek.is("merge") && peek2.is("into")) {
       advance(); advance()
       val target = stringOrIdent()
@@ -248,6 +270,9 @@ final class Parser(tokens: Vector[Token]) {
       }
       expectOp(")")
     }
+    // optional schema-type annotation: `model weblogs: td_sdk_log = {…}` —
+    // parsed and ignored (schemas resolve from the data at lowering)
+    if (accept(":")) parseTypeName()
     expectOp("=")
     val body =
       if (accept("{")) { val r = parseRelation(); expectOp("}"); r }
@@ -577,12 +602,38 @@ final class Parser(tokens: Vector[Token]) {
           expectOp(")")
           ModelRef(name, args.result())
         } else {
-          while (accept(".")) name = name + "." + identName()
-          TableRef(name)
+          var sub: Relation = null
+          while (sub == null && accept(".")) {
+            val seg = identName()
+            // `tbl.subscribe(watermark_column = 'c', window_size = '1h')`
+            if (seg.equalsIgnoreCase("subscribe") && peek.is("("))
+              sub = parseSubscribe(TableRef(name))
+            else name = name + "." + seg
+          }
+          if (sub != null) sub else TableRef(name)
         }
       case _ => fail("expected table, file path, values, or subquery")
     }
     maybeAlias(rel)
+  }
+
+  /** `(name = 'value', …)` / `(name: 'value', …)` subscription parameters
+    * (reference: SubscribeParam, relation.scala:1140). */
+  private def parseSubscribe(child: Relation): Relation = {
+    expectOp("(")
+    val params = List.newBuilder[(String, String)]
+    if (!peek.is(")")) {
+      def one(): Unit = {
+        val pname = identName()
+        if (!accept("=")) expectOp(":")
+        if (peek.kind != TokenKind.StringLit) fail("expected string subscribe parameter value")
+        params += ((pname.toLowerCase, advance().text))
+      }
+      one()
+      while (accept(",")) one()
+    }
+    expectOp(")")
+    SubscribeRel(child, params.result())
   }
 
   private def maybeAlias(rel: Relation): Relation = {
@@ -1403,6 +1454,10 @@ final class Parser(tokens: Vector[Token]) {
       case "_" => Underscore
       case "s" if peek.kind == TokenKind.StringLit =>
         parseInterpolation(advance().text)
+      case "sql" if peek.kind == TokenKind.StringLit =>
+        // sql"…" fragment template in expression position (cdp_types.wv
+        // member defs); placeholders substituted at inline time
+        RawSqlExpr(advance().text)
       case "case" => parseCase()
       case "map" if peek.is("{") =>
         advance()
