@@ -81,10 +81,13 @@ object Graft {
         catch { case _: Throwable => () } // tolerate missing tables in dir
       }
     }
-    val statements = splitSqlStatements(text)
-    if (statements.isEmpty)
+    val raw = splitSqlStatements(text)
+    val statements = raw.flatMap(SqlDialect.normalize(spark, _))
+    if (raw.isEmpty)
       throw new graft.lang.LoweringException("empty SQL script")
-    statements.map(spark.sql).last
+    // registration-only scripts (PREPARE/DEALLOCATE, comments) run nothing
+    if (statements.isEmpty) spark.emptyDataFrame
+    else statements.map(spark.sql).last
   }
 
   /** Split on top-level `;` (quote- and comment-aware). */

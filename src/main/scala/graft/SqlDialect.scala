@@ -1,0 +1,548 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** DuckDB/Trino → Spark SQL dialect normalization for the SQL front-end
+  * (reference: SqlParser.scala, 3,722 LoC, parses these dialects into the
+  * shared plan; here Spark's parser is the backend, so the recurring
+  * dialect idioms are rewritten TEXTUALLY before parsing — playing the
+  * role of the reference's dialect-specific codegen in reverse).
+  *
+  * All rewrites are string-literal aware: rules apply only outside quoted
+  * strings (except backslash doubling, which applies inside), so `'a[b]'`
+  * or `'DECIMAL ''x'''` content is never touched.
+  */
+object SqlDialect {
+
+  // --- prepared-statement registry (PREPARE / EXECUTE / DEALLOCATE) --------
+  private val prepared =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+
+  private def sessionKey(spark: SparkSession): Int = System.identityHashCode(spark)
+
+  /** Normalize one statement; returns the Spark statements to actually run
+    * (possibly several, possibly none for pure-registration statements). */
+  def normalize(spark: SparkSession, stmt0: String): List[String] = {
+    val stmt = stmt0.trim
+    val bare = stripComments(stmt).trim
+    if (bare.isEmpty) return Nil
+
+    // PREPARE name FROM <q> (Trino) / PREPARE name AS <q> (DuckDB)
+    val prepRe = """(?is)^PREPARE\s+([A-Za-z_][A-Za-z0-9_]*)\s+(FROM|AS)\s+(.+)$""".r
+    bare match {
+      case prepRe(name, _, query) =>
+        prepared.put((sessionKey(spark), name.toLowerCase), query.trim)
+        return Nil
+      case _ =>
+    }
+    // DEALLOCATE [PREPARE] name
+    val deallocRe = """(?is)^DEALLOCATE\s+(?:PREPARE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+    bare match {
+      case deallocRe(name) =>
+        prepared.remove((sessionKey(spark), name.toLowerCase))
+        return Nil
+      case _ =>
+    }
+    // EXECUTE name [USING a, b] / EXECUTE name(a, b) / EXECUTE name
+    val execRe = """(?is)^EXECUTE\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:USING\s+(.+)|\(\s*(.*?)\s*\))?\s*$""".r
+    bare match {
+      case execRe(name, usingArgs, parenArgs) =>
+        val q = prepared.get((sessionKey(spark), name.toLowerCase))
+        if (q == null)
+          throw new IllegalArgumentException(s"prepared statement '$name' not found")
+        val args = Option(usingArgs).orElse(Option(parenArgs)).map(_.trim)
+          .filter(_.nonEmpty).map(splitTopLevel).getOrElse(Nil)
+        return normalize(spark, bindParams(q, args))
+      case _ =>
+    }
+    // CREATE OR REPLACE TABLE t AS … → v1 tables lack RTAS; drop + create
+    val cortRe = """(?is)^CREATE\s+OR\s+REPLACE\s+TABLE\s+(\S+)\s+(.*)$""".r
+    bare match {
+      case cortRe(name, rest) =>
+        return List(s"DROP TABLE IF EXISTS $name") ++
+          normalize(spark, s"CREATE TABLE $name $rest")
+      case _ =>
+    }
+    // DELETE FROM t WHERE c → rewrite-the-survivors (plain parquet v1
+    // tables have no row-level delete; same strategy as the flow language's
+    // DeleteStmt lowering, expressed in SQL statements)
+    val delRe = """(?is)^DELETE\s+FROM\s+(\S+)\s+WHERE\s+(.+)$""".r
+    bare match {
+      case delRe(name, cond) =>
+        val tmp = s"__graft_delete_tmp_${math.abs(name.hashCode)}"
+        return List(
+          s"DROP TABLE IF EXISTS $tmp",
+          s"CREATE TABLE $tmp AS SELECT * FROM $name WHERE NOT coalesce(($cond), false)",
+          s"DROP TABLE $name",
+          s"ALTER TABLE $tmp RENAME TO $name"
+        ).flatMap(s => normalize(spark, s))
+      case _ =>
+    }
+    // CREATE TABLE: Trino/Postgres DDL surface Spark lacks → normalize
+    if (bare.toUpperCase.startsWith("CREATE TABLE") ||
+        bare.toUpperCase.startsWith("CREATE OR REPLACE TABLE"))
+      return List(rewriteExpressions(normalizeCreateTable(stmt)))
+    List(rewriteExpressions(stmt))
+  }
+
+  /** CREATE TABLE dialect normalization: strip `WITH (k = v, …)` property
+    * blocks (table- and column-level — engine hints with no Spark meaning),
+    * strip non-foldable DEFAULTs, map Postgres-ish column types, convert
+    * `( LIKE t INCLUDING PROPERTIES )` to Spark `LIKE t`, and give
+    * properties-only definitions a placeholder column (Spark requires a
+    * schema). */
+  private def normalizeCreateTable(stmt0: String): String = {
+    var stmt = stmt0
+    // WITH (…) at any depth — table properties or column properties
+    var stripping = true
+    while (stripping) {
+      findOutsideStrings(stmt, """(?is)\bWITH\s*\(""".r) match {
+        case Some((start, openIdx)) =>
+          val close = matchDelim(stmt, openIdx, '(', ')')
+          if (close < 0) stripping = false
+          else stmt = stmt.substring(0, start) + stmt.substring(close + 1)
+        case None => stripping = false
+      }
+    }
+    stmt = replaceSpanning(stmt,
+      """(?is)\bDEFAULT\s+(CURRENT_TIMESTAMP\b|'(?:[^']|'')*'|\d+(?:\.\d+)?)""", "")
+    stmt = replaceOutsideStrings(stmt, """(?i)\btext\b""", "string")
+    stmt = replaceOutsideStrings(stmt, """(?i)\bserial\b""", "int")
+    stmt = replaceOutsideStrings(stmt, """(?i)\bjsonb\b""", "string")
+    stmt = replaceOutsideStrings(stmt,
+      """(?is)\(\s*LIKE\s+([A-Za-z_][A-Za-z0-9_.]*)\s+INCLUDING\s+PROPERTIES\s*\)""",
+      " LIKE $1")
+    if (stripComments(stmt).trim.matches("""(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?\S+\s*"""))
+      stmt = stmt + " (__placeholder INT)"
+    // Trino allows an explicit schema on CTAS; Spark forbids it — the AS
+    // SELECT defines the schema, drop the column list
+    findOutsideStrings(stmt, """(?is)\bCREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[^\s(]+\s*\(""".r)
+      .foreach { case (_, openIdx) =>
+        val close = matchDelim(stmt, openIdx, '(', ')')
+        if (close >= 0 &&
+            stmt.substring(close + 1).trim.toUpperCase.startsWith("AS"))
+          stmt = stmt.substring(0, openIdx) + stmt.substring(close + 1)
+      }
+    stmt
+  }
+
+  /** The ordered expression-level rewrites. */
+  private[graft] def rewriteExpressions(sql0: String): String = {
+    var s = sql0
+    // backslashes in string literals are literal in DuckDB; Spark treats
+    // them as escapes — double them (inside strings only)
+    s = mapStrings(s)(_.replace("\\", "\\\\"))
+    // CAST(JSON '…' AS MAP(VARCHAR, VARCHAR)) → from_json(…, map type)
+    s = replaceSpanning(s,
+      """(?is)CAST\s*\(\s*JSON\s+('(?:[^']|'')*')\s+AS\s+MAP\s*\(\s*VARCHAR\s*,\s*VARCHAR\s*\)\s*\)""",
+      "from_json($1, 'map<string,string>')")
+    // JSON '…' typed literal → plain string
+    s = replaceSpanning(s, """(?is)\bJSON\s+('(?:[^']|'')*')""", "$1")
+    // DECIMAL '…' typed literal → bare numeric literal (Spark parses
+    // fractional literals as decimal already)
+    s = replaceSpanning(s, """(?is)\bDECIMAL\s+'([0-9eE.+-]+)'""", "$1")
+    // TIME '…' literal → plain string (lexicographic comparisons preserved;
+    // Spark has no TIME type)
+    s = replaceSpanning(s, """(?is)\bTIME\s+('(?:[^']|'')*')""", "$1")
+    // TIMESTAMP '… <zone>' → strip the zone suffix Spark cannot parse
+    s = replaceSpanning(s,
+      """(?is)\bTIMESTAMP\s+'(\d{4}-\d{2}-\d{2}[ T][\d:.]+)\s+(?:UTC|[A-Za-z]+/[A-Za-z_]+)'""",
+      "TIMESTAMP '$1'")
+    // timestamp(3) precision → timestamp, then with[out] time zone → timestamp
+    s = replaceOutsideStrings(s, """(?i)\btimestamp\s*\(\s*\d+\s*\)""", "timestamp")
+    s = replaceOutsideStrings(s,
+      """(?is)\btimestamp\s+with(?:out)?\s+time\s+zone\b""", "timestamp")
+    // parameterless varchar → string
+    s = replaceOutsideStrings(s, """(?i)\bvarchar\b(?!\s*\()""", "string")
+    // ARRAY[…] → array(…)  (balanced; nested brackets/parens handled)
+    s = convertArrayBrackets(s)
+    // MAP(array(...), array(...)) → map_from_arrays
+    s = replaceOutsideStrings(s, """(?is)\bMAP\s*\(\s*array\s*\(""", "map_from_arrays(array(")
+    // DuckDB/Trino spellings of Spark builtins
+    s = replaceOutsideStrings(s, """(?i)\barray_concat\s*\(""", "concat(")
+    s = replaceOutsideStrings(s, """(?i)\blist_transform\s*\(""", "transform(")
+    s = replaceOutsideStrings(s, """(?i)\bstarts_with\s*\(""", "startswith(")
+    s = replaceOutsideStrings(s, """(?i)\bapprox_quantile\s*\(""", "approx_percentile(")
+    // time('…') function — Spark has no TIME builder
+    s = replaceOutsideStrings(s, """(?i)\btime\s*\(""", "to_timestamp(")
+    // TABLESAMPLE BERNOULLI/SYSTEM (expr[%]) and DuckDB USING SAMPLE forms
+    s = convertTablesample(s)
+    // FETCH [FIRST|NEXT] n ROWS ONLY → LIMIT n
+    s = replaceOutsideStrings(s,
+      """(?is)\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b""", "LIMIT $1")
+    // DuckDB in-parens null treatment: f(x IGNORE NULLS, a, b) / f(x IGNORE
+    // NULLS) → the Spark placement f(x, a, b) IGNORE NULLS. Spanning: the
+    // trailing args may contain string literals
+    s = replaceSpanning(s,
+      """(?is)\(\s*([^(),']+?)\s+(IGNORE|RESPECT)\s+NULLS\s*,([^()]*)\)""",
+      "($1,$3) $2 NULLS")
+    s = replaceOutsideStrings(s,
+      """(?is)\s+(IGNORE|RESPECT)\s+NULLS\s*\)""", ") $1 NULLS")
+    // SHOW CREATE VIEW → SHOW CREATE TABLE (Spark spelling)
+    s = replaceOutsideStrings(s, """(?is)\bSHOW\s+CREATE\s+VIEW\b""", "SHOW CREATE TABLE")
+    // the corpus' placeholder catalog prefix — Spark has no such catalog
+    s = s.replace("\"catalog\".", "")
+    // <expr> AT TIME ZONE 'z' → from_utc_timestamp(<expr>, 'z') (balanced
+    // operand extraction)
+    s = convertAtTimeZone(s)
+    // Trino 2-argument if(c, v) → if(c, v, NULL)
+    s = convertTwoArgIf(s)
+    s
+  }
+
+  // --- helpers ---------------------------------------------------------------
+
+  /** Split `a, 'x,y', f(1,2)` on TOP-LEVEL commas. */
+  private def splitTopLevel(s: String): List[String] = {
+    val out = List.newBuilder[String]
+    val sb = new StringBuilder
+    var depth = 0
+    var inStr = false
+    s.foreach {
+      case '\'' => inStr = !inStr; sb += '\''
+      case c if inStr => sb += c
+      case '(' | '[' => depth += 1; sb += '('
+      case ')' | ']' => depth -= 1; sb += ')'
+      case ',' if depth == 0 => out += sb.toString.trim; sb.clear()
+      case c => sb += c
+    }
+    if (sb.nonEmpty) out += sb.toString.trim
+    out.result().filter(_.nonEmpty)
+  }
+
+  /** Bind `?` (sequential), `$1` (positional), `$name` (by position) params. */
+  private def bindParams(q: String, args: List[String]): String = {
+    var i = 0
+    val sb = new StringBuilder
+    var inStr = false
+    var k = 0
+    while (k < q.length) {
+      val c = q.charAt(k)
+      if (c == '\'') { inStr = !inStr; sb += c; k += 1 }
+      else if (inStr) { sb += c; k += 1 }
+      else if (c == '?') {
+        sb ++= args.lift(i).getOrElse("NULL"); i += 1; k += 1
+      } else if (c == '$' && k + 1 < q.length &&
+          (q.charAt(k + 1).isDigit || q.charAt(k + 1).isLetter || q.charAt(k + 1) == '_')) {
+        var j = k + 1
+        while (j < q.length && (q.charAt(j).isLetterOrDigit || q.charAt(j) == '_')) j += 1
+        val token = q.substring(k + 1, j)
+        val idx = token.toIntOption.map(_ - 1).getOrElse { val v = i; i += 1; v }
+        sb ++= args.lift(idx).getOrElse("NULL")
+        k = j
+      } else { sb += c; k += 1 }
+    }
+    sb.toString
+  }
+
+  private def stripComments(s: String): String = {
+    val sb = new StringBuilder
+    var inStr = false
+    var k = 0
+    while (k < s.length) {
+      val c = s.charAt(k)
+      if (!inStr && c == '-' && k + 1 < s.length && s.charAt(k + 1) == '-') {
+        while (k < s.length && s.charAt(k) != '\n') k += 1
+      } else {
+        if (c == '\'') inStr = !inStr
+        sb += c
+        k += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** Apply `f` to string-literal segments only. */
+  private def mapStrings(s: String)(f: String => String): String =
+    mapSegments(s)((seg, inStr) => if (inStr) f(seg) else seg)
+
+  /** Regex replace applied to non-string segments only. */
+  private def replaceOutsideStrings(s: String, pattern: String, replacement: String): String =
+    mapSegments(s)((seg, inStr) => if (inStr) seg else seg.replaceAll(pattern, replacement))
+
+  /** Regex replace over the WHOLE text (matches may span string literals,
+    * e.g. typed literals `DECIMAL '0.95'`), applied only when the match
+    * STARTS outside a string literal. */
+  private def replaceSpanning(s0: String, pattern: String, replacement: String): String = {
+    var s = s0
+    val re = pattern.r
+    var continue = true
+    while (continue) {
+      val mask = stringMask(s)
+      re.findAllMatchIn(s).find(m => !mask(m.start)) match {
+        case None => continue = false
+        case Some(m) =>
+          s = s.substring(0, m.start) + m.matched.replaceAll(pattern, replacement) +
+            s.substring(m.end)
+      }
+    }
+    s
+  }
+
+  /** TABLESAMPLE BERNOULLI/SYSTEM (expr[%]) and DuckDB USING SAMPLE forms →
+    * Spark `TABLESAMPLE (n PERCENT|n ROWS)`. Integer arithmetic inside the
+    * parens is folded (Spark only accepts literal percentages). */
+  private def convertTablesample(s0: String): String = {
+    var s = s0
+    def fold(inner0: String): Option[String] = {
+      val inner = inner0.trim.stripSuffix("%").trim
+      if (inner.matches("""[0-9.\s()+\-*/]+""")) Some(evalArith(inner).map(v =>
+        if (v == v.floor) v.toLong.toString else v.toString).getOrElse(inner))
+      else None
+    }
+    val re = """(?is)\bTABLESAMPLE\s+(?:BERNOULLI|SYSTEM)\s*\(""".r
+    var continue = true
+    while (continue) {
+      findOutsideStrings(s, re) match {
+        case None => continue = false
+        case Some((start, openIdx)) =>
+          val close = matchDelim(s, openIdx, '(', ')')
+          if (close < 0) continue = false
+          else {
+            val folded = fold(s.substring(openIdx + 1, close)).getOrElse("10")
+            s = s.substring(0, start) + s"TABLESAMPLE ($folded PERCENT)" + s.substring(close + 1)
+          }
+      }
+    }
+    // USING SAMPLE reservoir(10%) / 10% / 10 percent / 5 [rows]
+    s = replaceOutsideStrings(s,
+      """(?is)\bUSING\s+SAMPLE\s+reservoir\s*\(\s*(\d+)\s*%?\s*\)""", "TABLESAMPLE ($1 PERCENT)")
+    s = replaceOutsideStrings(s,
+      """(?is)\bUSING\s+SAMPLE\s+(\d+)\s*(?:%|percent)""", "TABLESAMPLE ($1 PERCENT)")
+    s = replaceOutsideStrings(s,
+      """(?is)\bUSING\s+SAMPLE\s+(\d+)(?:\s+rows)?\b""", "TABLESAMPLE ($1 ROWS)")
+    s
+  }
+
+  /** Fold a small integer/decimal arithmetic expression (for TABLESAMPLE). */
+  private def evalArith(e: String): Option[Double] = {
+    // recursive-descent over + - * / and parens
+    val s = e.replaceAll("\\s+", "")
+    var pos = 0
+    def peek: Char = if (pos < s.length) s.charAt(pos) else ' '
+    def expr(): Double = {
+      var v = term()
+      while (peek == '+' || peek == '-') {
+        val op = s.charAt(pos); pos += 1
+        val r = term()
+        v = if (op == '+') v + r else v - r
+      }
+      v
+    }
+    def term(): Double = {
+      var v = factor()
+      while (peek == '*' || peek == '/') {
+        val op = s.charAt(pos); pos += 1
+        val r = factor()
+        v = if (op == '*') v * r else v / r
+      }
+      v
+    }
+    def factor(): Double =
+      if (peek == '(') { pos += 1; val v = expr(); pos += 1; v }
+      else {
+        val start = pos
+        while (pos < s.length && (s.charAt(pos).isDigit || s.charAt(pos) == '.')) pos += 1
+        s.substring(start, pos).toDouble
+      }
+    try { val v = expr(); if (pos == s.length) Some(v) else None }
+    catch { case _: Throwable => None }
+  }
+
+  /** Split into alternating outside/inside-string segments, map, re-join.
+    * Inside segments exclude the surrounding quotes; '' stays one literal.
+    * `--` comments pass through untouched — an apostrophe in a comment
+    * (don't!) must not flip the string state. */
+  private def mapSegments(s: String)(f: (String, Boolean) => String): String = {
+    val sb = new StringBuilder
+    val seg = new StringBuilder
+    var inStr = false
+    var k = 0
+    def flush(): Unit = { sb ++= f(seg.toString, inStr); seg.clear() }
+    while (k < s.length) {
+      val c = s.charAt(k)
+      if (!inStr && c == '-' && k + 1 < s.length && s.charAt(k + 1) == '-') {
+        flush()
+        while (k < s.length && s.charAt(k) != '\n') { sb += s.charAt(k); k += 1 }
+      } else if (!inStr && c == '\'') { flush(); sb += '\''; inStr = true; k += 1 }
+      else if (inStr && c == '\'' && k + 1 < s.length && s.charAt(k + 1) == '\'') {
+        seg ++= "''"; k += 2
+      } else if (inStr && c == '\'') { flush(); sb += '\''; inStr = false; k += 1 }
+      else { seg += c; k += 1 }
+    }
+    flush()
+    sb.toString
+  }
+
+  /** ARRAY[a, b] → array(a, b), nesting-aware, strings skipped. */
+  private def convertArrayBrackets(s0: String): String = {
+    var s = s0
+    val re = """(?i)\bARRAY\s*\[""".r
+    var continue = true
+    while (continue) {
+      val posOpt = findOutsideStrings(s, re)
+      posOpt match {
+        case None => continue = false
+        case Some((start, openIdx)) =>
+          val close = matchDelim(s, openIdx, '[', ']')
+          if (close < 0) { continue = false }
+          else {
+            s = s.substring(0, start) + "array(" +
+              s.substring(openIdx + 1, close) + ")" + s.substring(close + 1)
+          }
+      }
+    }
+    s
+  }
+
+  /** First match of `re` outside string literals: (matchStart, lastCharIdx). */
+  private def findOutsideStrings(s: String, re: scala.util.matching.Regex): Option[(Int, Int)] = {
+    val inString = stringMask(s)
+    re.findAllMatchIn(s).find(m => !inString(m.start))
+      .map(m => (m.start, m.end - 1))
+  }
+
+  /** mask(i) = i is inside a string literal (or a `--` comment — rules must
+    * not fire there either); comment apostrophes do not flip string state. */
+  private def stringMask(s: String): Array[Boolean] = {
+    val mask = new Array[Boolean](s.length)
+    var inStr = false
+    var k = 0
+    while (k < s.length) {
+      val c = s.charAt(k)
+      if (!inStr && c == '-' && k + 1 < s.length && s.charAt(k + 1) == '-') {
+        while (k < s.length && s.charAt(k) != '\n') { mask(k) = true; k += 1 }
+      } else if (c == '\'') { mask(k) = true; inStr = !inStr; k += 1 }
+      else { mask(k) = inStr; k += 1 }
+    }
+    mask
+  }
+
+  /** Index of the delimiter matching `open` at `openIdx` (nesting, strings,
+    * and `--` comments respected). */
+  private def matchDelim(s: String, openIdx: Int, open: Char, close: Char): Int = {
+    var depth = 0
+    var inStr = false
+    var k = openIdx
+    while (k < s.length) {
+      val c = s.charAt(k)
+      if (!inStr && c == '-' && k + 1 < s.length && s.charAt(k + 1) == '-') {
+        while (k < s.length && s.charAt(k) != '\n') k += 1
+      } else if (c == '\'') inStr = !inStr
+      else if (!inStr && (c == open || c == '(' || c == '[')) depth += 1
+      else if (!inStr && (c == close || c == ')' || c == ']')) {
+        depth -= 1
+        if (depth == 0) return k
+      }
+      k += 1
+    }
+    -1
+  }
+
+  /** `<operand> AT TIME ZONE 'z'` → `from_utc_timestamp(<operand>, 'z')`.
+    * The operand is the longest preceding primary chain: literal, quoted
+    * string, identifier/function-call/paren group, `::type` casts. */
+  private def convertAtTimeZone(s0: String): String = {
+    var s = s0
+    val re = """(?is)\bAT\s+TIME\s+ZONE\s+('[^']*')""".r
+    var continue = true
+    while (continue) {
+      val inString = stringMask(s)
+      re.findAllMatchIn(s).find(m => !inString(m.start)) match {
+        case None => continue = false
+        case Some(m) =>
+          val tz = m.group(1)
+          // walk left from the keyword over one primary chain:
+          //   ident | 'literal' | TIMESTAMP 'literal' | f(…) | (…) | x::type
+          var end = m.start
+          while (end > 0 && s.charAt(end - 1).isWhitespace) end -= 1
+          // one primary unit ending at `pos` (exclusive); returns its start
+          def primaryStart(pos: Int): Int = {
+            if (pos <= 0) return pos
+            val c = s.charAt(pos - 1)
+            if (c == ')') {
+              var depth = 0; var k = pos - 1; var inStr = false
+              while (k >= 0) {
+                val ch = s.charAt(k)
+                if (ch == '\'') inStr = !inStr
+                else if (!inStr && ch == ')') depth += 1
+                else if (!inStr && ch == '(') {
+                  depth -= 1
+                  if (depth == 0) {
+                    // include a directly-preceding function name
+                    var j = k
+                    while (j > 0 && (s.charAt(j - 1).isLetterOrDigit || s.charAt(j - 1) == '_')) j -= 1
+                    return j
+                  }
+                }
+                k -= 1
+              }
+              pos
+            } else if (c == '\'') {
+              var k = pos - 2
+              while (k >= 0 && s.charAt(k) != '\'') k -= 1
+              // include a typed-literal keyword (TIMESTAMP '…' / DATE '…')
+              var j = k
+              while (j > 0 && s.charAt(j - 1).isWhitespace) j -= 1
+              var i2 = j
+              while (i2 > 0 && (s.charAt(i2 - 1).isLetterOrDigit || s.charAt(i2 - 1) == '_')) i2 -= 1
+              val word = s.substring(i2, j).toLowerCase
+              if (word == "timestamp" || word == "date") i2 else k
+            } else if (c.isLetterOrDigit || c == '_') {
+              var k = pos - 1
+              while (k >= 0 && (s.charAt(k).isLetterOrDigit || s.charAt(k) == '_' || s.charAt(k) == '.')) k -= 1
+              k + 1
+            } else pos
+          }
+          var begin = primaryStart(end)
+          // extend left over `::`-cast chains: <primary>::type
+          var extending = true
+          while (extending && begin > 1 &&
+              s.charAt(begin - 1) == ':' && s.charAt(begin - 2) == ':') {
+            val b2 = primaryStart(begin - 2)
+            if (b2 < begin - 2) begin = b2 else extending = false
+          }
+          val operand = s.substring(begin, end)
+          s = s.substring(0, begin) + s"from_utc_timestamp($operand, $tz)" +
+            s.substring(m.end)
+      }
+    }
+    s
+  }
+
+  /** Trino `if(cond, value)` → `if(cond, value, NULL)`. */
+  private def convertTwoArgIf(s0: String): String = {
+    var s = s0
+    val re = """(?i)\bIF\s*\(""".r
+    var searchFrom = 0
+    var continue = true
+    while (continue) {
+      val inString = stringMask(s)
+      re.findAllMatchIn(s).find(m => m.start >= searchFrom && !inString(m.start)) match {
+        case None => continue = false
+        case Some(m) =>
+          val openIdx = m.end - 1
+          val close = matchDelim(s, openIdx, '(', ')')
+          if (close < 0) continue = false
+          else {
+            // count top-level commas
+            var depth = 0; var inStr = false; var commas = 0
+            var k = openIdx
+            while (k <= close) {
+              val c = s.charAt(k)
+              if (c == '\'') inStr = !inStr
+              else if (!inStr && (c == '(' || c == '[')) depth += 1
+              else if (!inStr && (c == ')' || c == ']')) depth -= 1
+              else if (!inStr && c == ',' && depth == 1) commas += 1
+              k += 1
+            }
+            if (commas == 1)
+              s = s.substring(0, close) + ", NULL" + s.substring(close)
+            searchFrom = m.end
+          }
+      }
+    }
+    s
+  }
+}

@@ -1,0 +1,112 @@
+package graft.lang
+
+import graft.SparkTestBase
+
+/** Executes the reference's spec/sql/basic corpus (69 files; the reference
+  * itself parse-tests them via ParserSpecSqlBasic) through the SQL
+  * front-end: every statement of every included file must EXECUTE on Spark
+  * after the dialect shim (graft.SqlDialect) normalizes the DuckDB/Trino
+  * idioms the corpus uses. Excluded files carry reasons. */
+class RefSqlSpec extends SparkTestBase {
+
+  private val sqlDir = "/root/reference/spec/sql/basic"
+
+  /** files we do not run, with reasons */
+  private val excluded: Map[String, String] = Map(
+    "alter-table.sql" ->
+      "Trino/DuckDB ALTER surface (SET AUTHORIZATION, EXECUTE optimize, ALTER TYPE USING) beyond Spark v1 DDL",
+    "non-reserved-keywords.sql" ->
+      "uses ALL/SET/UPDATE/OFFSET as bare identifiers — reserved in Spark's parser; identifier flexibility is a parser property, not translatable",
+    "at-alias.sql" ->
+      "statements are not ';'-separated (reference SqlParser splits by grammar); also AT as alias is reserved-adjacent in Spark",
+    "row-map-types.sql" ->
+      "Trino ROW(...)-type algebra and DuckDB MAP{...} literals need a type-level translator, out of scope for the textual shim",
+    "array-agg-order-by.sql" ->
+      "ordered-aggregate syntax inside the call; Spark lacks it in SQL — the flow front-end supports array_agg(distinct ... order by ...) natively",
+    "json-object.sql" ->
+      "Trino JSON_OBJECT('k':v) constructor semantics (json type) have no Spark equivalent expressible textually",
+    "lambda-expressions.sql" ->
+      "first statement uses integer truthiness as a filter predicate (x -> x) — DuckDB semantics Spark's typed lambdas reject",
+    "lambda-underscore.sql" ->
+      "underscore lambda parameters need scope-aware renaming, not a textual rule",
+    "map-alias.sql" ->
+      "double table alias `AS users(id, name) map` is a Trino parser quirk Spark's grammar rejects",
+    "prepared-statements.sql" ->
+      "corpus EXECUTEs statements it already DEALLOCATEd (parse-only corpus, state-inconsistent); PREPARE/EXECUTE/DEALLOCATE are implemented and execution-tested in SqlPrepareSpec",
+    "date-time-function-calls.sql" ->
+      "the file itself documents 'execution ignored since DuckDB lacks these functions' — date() over an epoch string is invalid input on every engine"
+  )
+
+  /** tiny fixture tables/views several corpus files reference (the corpus
+    * assumes Trino-style catalogs: information_schema, a `schema` schema,
+    * unprefixed-column tpch tables, ad-hoc names) */
+  private def fixtures(): Unit = {
+    // the derby metastore dies with each JVM but spark-warehouse survives —
+    // remove stale table locations the corpus files create and drop
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    val wh = new java.io.File("spark-warehouse")
+    if (wh.isDirectory) wh.listFiles().foreach { d =>
+      if (d.getName.startsWith("test_") || d.getName.startsWith("tmp_table") ||
+          d.getName.startsWith("__graft_delete_tmp") ||
+          d.getName.startsWith("information_schema") ||
+          d.getName.startsWith("schema.db") || d.getName.startsWith("main.db") ||
+          d.getName.startsWith("simple_table")) rmrf(d)
+    }
+    spark.sql("DROP TABLE IF EXISTS test_delete_table")
+    Seq("test_ctas_basic", "test_ctas_ifnotexists", "test_ctas_replace",
+      "test_table", "tmp_table", "test_comment_basic").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW person AS
+         SELECT * FROM VALUES ('Alice', 30, 'Tokyo', 1000.0), ('Bob', 45, 'Osaka', 2000.0)
+         AS t(name, age, city, salary)""")
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW nation AS
+         SELECT * FROM VALUES (1, 1, 'JAPAN', 'c1'), (2, 2, 'FRANCE', 'c2')
+         AS t(nationkey, regionkey, name, comment)""")
+    spark.sql("CREATE DATABASE IF NOT EXISTS information_schema")
+    spark.sql(
+      """CREATE TABLE IF NOT EXISTS information_schema.tables
+         USING parquet AS SELECT 'person' AS table_name, 'default' AS table_schema""")
+    spark.sql(
+      """CREATE TABLE IF NOT EXISTS information_schema.columns
+         USING parquet AS SELECT 'person' AS table_name, 'name' AS column_name""")
+    spark.sql("CREATE DATABASE IF NOT EXISTS schema")
+    spark.sql(
+      "CREATE TABLE IF NOT EXISTS schema.table USING parquet AS SELECT 1 AS id")
+    spark.sql(
+      "CREATE TABLE IF NOT EXISTS schema.table_name USING parquet AS SELECT 1 AS id")
+    spark.sql("CREATE DATABASE IF NOT EXISTS main")
+    spark.sql("CREATE TABLE IF NOT EXISTS simple_table USING parquet AS SELECT 1 AS id")
+    // permanent view: SHOW CREATE TABLE rejects temp views
+    spark.sql("CREATE OR REPLACE VIEW test_view AS SELECT 1 AS v")
+  }
+
+  test("sql/basic corpus: included files execute statement-by-statement") {
+    fixtures()
+    val files = new java.io.File(sqlDir).listFiles()
+      .filter(_.getName.endsWith(".sql")).map(_.getName).sorted
+    val failures = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    var ran = 0
+    files.foreach { f =>
+      if (!excluded.contains(f)) {
+        val text = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$sqlDir/$f")))
+        try {
+          graft.Graft.sqlScript(spark, text, None).collect()
+          ran += 1
+        } catch {
+          case e: Throwable =>
+            failures += f -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(200)}"
+        }
+      }
+    }
+    info(s"$ran/${files.length} files executed green, ${excluded.size} excluded")
+    failures.foreach { case (f, m) => info(s"FAIL $f: $m") }
+    assert(ran >= 50, s"expected >=50 green files, got $ran; failures: ${failures.map(_._1).mkString(", ")}")
+    assert(failures.isEmpty, s"${failures.size} files failed")
+  }
+}
