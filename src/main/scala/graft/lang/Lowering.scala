@@ -284,13 +284,53 @@ object Lowering {
       aggregate(g, aggs.toList, Nil, ctx)
   }
 
+  /** Lazily bind scalar subqueries appearing in aggregation-mode
+    * expressions: cross-join the (broadcast) 1-row aggregate onto the INPUT
+    * frame and reference it through any_value() — constant per group, plan
+    * stays lazy, no driver-side collect (closes the eager fallback the
+    * expr() ScalarSubquery case used to take for agg arguments). */
+  private def bindScalarsForAgg(
+      g: Grouped,
+      items: List[SelectItem],
+      ctx: Context
+  ): (Grouped, List[SelectItem]) = {
+    if (!items.exists(it => containsScalarSubquery(it.expr))) return (g, items)
+    val (df2, rewritten, bound) = bindScalarSubqueries(g.df, items.map(_.expr), ctx)
+    val names = bound.toSet
+    val wrapped = items.zip(rewritten).map { case (it, re) =>
+      it.copy(expr = transformExpr(re) {
+        case Ident(n) if names.contains(n) => MethodCall(Ident(n), "any_value", Nil)
+      })
+    }
+    (g.copy(df = df2), wrapped)
+  }
+
+  private def bindScalarsForAggPlain(
+      df0: DataFrame,
+      items: List[SelectItem],
+      ctx: Context
+  ): (DataFrame, List[SelectItem]) = {
+    val g2 = Grouped(df0, Nil, Nil, GroupingStyle.Plain)
+    val (gb, wrapped) = bindScalarsForAgg(g2, items, ctx)
+    (gb.df, wrapped)
+  }
+
   /** groupBy/rollup/cube + agg + having filters. */
   private def aggregate(
-      g: Grouped,
+      g0: Grouped,
       aggCols: List[Column],
       postSelect: List[Column],
       ctx: Context
   ): DataFrame = {
+    // scalar subqueries in HAVING bind lazily the same way (TPC-H q11 shape)
+    val g =
+      if (g0.havings.exists(containsScalarSubquery)) {
+        val (df2, rewritten, bound) = bindScalarSubqueries(g0.df, g0.havings, ctx)
+        val names = bound.toSet
+        g0.copy(df = df2, havings = rewritten.map(transformExpr(_) {
+          case Ident(n) if names.contains(n) => MethodCall(Ident(n), "any_value", Nil)
+        }))
+      } else g0
     val ectx = ExprCtx(ctx, aggMode = false)
     val keyCols = g.keys.zipWithIndex.map { case (k, i) => expr(k.expr, ectx).as(itemName(k, i)) }
     val havingCols = g.havings.zipWithIndex.map { case (h, i) =>
@@ -489,15 +529,17 @@ object Lowering {
     case GroupByStyled(child, keys, style) =>
       Grouped(lower(child, ctx), keys, Nil, style)
 
-    case Agg(child, items) =>
+    case Agg(child, items0) =>
       lowerRel(child, ctx) match {
-        case g: Grouped =>
-          val aggs = items.map(it => it.copy(expr = bindPositionalKeys(it.expr, g.keys)))
-            .zipWithIndex.map { case (it, i) =>
-              expr(it.expr, ExprCtx(ctx, aggMode = true)).as(itemName(it, i))
-            }
+        case g0: Grouped =>
+          val (g, items) = bindScalarsForAgg(g0,
+            items0.map(it => it.copy(expr = bindPositionalKeys(it.expr, g0.keys))), ctx)
+          val aggs = items.zipWithIndex.map { case (it, i) =>
+            expr(it.expr, ExprCtx(ctx, aggMode = true)).as(itemName(it, i))
+          }
           Plain(aggregate(g, aggs, Nil, ctx))
-        case Plain(df) =>
+        case Plain(df0) =>
+          val (df, items) = bindScalarsForAggPlain(df0, items0, ctx)
           val aggs = items.zipWithIndex.map { case (it, i) =>
             expr(it.expr, ExprCtx(ctx, aggMode = true)).as(itemName(it, i))
           }
@@ -511,10 +553,11 @@ object Lowering {
           // key may name a FORWARD select alias (reference typer resolves
           // grouping keys against the projection); substitute the aliased
           // expression into the key and make the item reference the key name
-          val (g, items1) = resolveForwardKeys(g0, items0)
+          val (g1, items1) = resolveForwardKeys(g0, items0)
           // projection over a grouped relation: agg items + key refs;
           // `_1`/`_2` reference grouping keys positionally
-          val items = items1.map(it => it.copy(expr = bindPositionalKeys(it.expr, g.keys)))
+          val (g, items) = bindScalarsForAgg(g1,
+            items1.map(it => it.copy(expr = bindPositionalKeys(it.expr, g1.keys))), ctx)
           val ectx = ExprCtx(ctx, aggMode = false)
           val keyNames = g.keys.zipWithIndex.map { case (k, i) => itemName(k, i) }
           val aggItems = items.zipWithIndex.filter { case (it, _) => hasAgg(it.expr) }
@@ -530,10 +573,11 @@ object Lowering {
           val items = items0
           if (items.exists(it => hasAgg(it.expr))) {
             // global aggregation: select count(*), _.count, …
-            val aggs = items.zipWithIndex.map { case (it, i) =>
+            val (df2, items2) = bindScalarsForAggPlain(df, items, ctx)
+            val aggs = items2.zipWithIndex.map { case (it, i) =>
               expr(it.expr, ExprCtx(ctx, aggMode = true)).as(itemName(it, i))
             }
-            df.agg(aggs.head, aggs.tail: _*)
+            df2.agg(aggs.head, aggs.tail: _*)
           } else {
             val (joined, rewritten, _) = bindScalarSubqueries(df, items.map(_.expr), ctx)
             val ectx = ExprCtx(ctx, aggMode = false, dfOpt = Some(joined))
@@ -950,6 +994,11 @@ object Lowering {
         } else if (j.usingColumns.nonEmpty) l.join(r, j.usingColumns, k.sparkName)
         else
           j.on match {
+            case Some(cond) if containsScalarSubquery(cond) =>
+              // scalar subquery in a join condition: bind lazily against the
+              // left side (broadcast cross join), drop the helper after
+              val (l2, rewritten, bound) = bindScalarSubqueries(l, List(cond), ctx)
+              l2.join(r, expr(rewritten.head, ectx), k.sparkName).drop(bound: _*)
             case Some(cond) => l.join(r, expr(cond, ectx), k.sparkName)
             case None => l.crossJoin(r)
           }
@@ -1708,14 +1757,14 @@ object Lowering {
       }
     case LambdaExpr(_, _) =>
       throw new LoweringException("lambda outside higher-order function context")
-    case ScalarSubquery(q) =>
-      // Fallback for contexts without a bindable DataFrame (join conditions,
-      // agg items). The main paths (where / select / add) bind scalar
-      // subqueries lazily via bindScalarSubqueries — no driver collect.
-      val row = lower(q, ec.ctx).limit(2).collect()
-      if (row.length != 1 || row.head.length != 1)
-        throw new LoweringException("scalar subquery must return a single value")
-      F.lit(row.head.get(0))
+    case ScalarSubquery(_) =>
+      // Every supported position (where / select / add / agg / having /
+      // join-on) binds scalar subqueries LAZILY via bindScalarSubqueries —
+      // reaching this case means an unsupported position (e.g. a sort key).
+      // Throw instead of silently running an eager driver-side job.
+      throw new LoweringException(
+        "scalar subquery is not supported in this position; supported: " +
+          "where, select, add, agg, having, join conditions")
     case InSubquery(_, _, _) | ExistsExpr(_) =>
       throw new LoweringException("subquery predicate outside where-clause context")
     case Underscore => F.lit(1)

@@ -497,6 +497,39 @@ class LangSpec extends SparkTestBase {
     """)
   }
 
+  test("scalar subquery in agg and join positions binds lazily and correctly") {
+    // a side-effecting probe UDF detects any eager evaluation at lowering
+    val evals = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.udf.register("graft_probe", (x: Long) => { evals.incrementAndGet(); x })
+    val agg = graft.Graft.query(spark, """
+      from [[1, 10], [1, 5], [2, 20]] as t(id, v)
+      group by id
+      agg m = v.sum + (from [[7]] as s(k) where graft_probe(k) > 0 agg max(k))
+      order by id
+    """, name => table(name))
+    assert(evals.get() == 0, "lowering must not execute the subquery eagerly")
+    assert(agg.collect().map(r => (r.getLong(0), r.getLong(1))).toList ==
+      List((1L, 22L), (2L, 27L)))
+    assert(evals.get() > 0, "the probe should run at action time")
+
+    val joined = wv("""
+      from [[1, 10], [2, 20]] as a(id, v)
+      join [[1, 100], [2, 200]] as b(id, w)
+        on a.id = b.id and b.w > (from [[150]] as s(x) agg max(x))
+      select a.id as id, b.w as w
+      order by id
+      test _.rows should be [[2, 200]]
+    """)
+
+    // unsupported position (sort key) throws instead of collecting
+    intercept[LoweringException] {
+      wv("""
+        from [[1], [2]] as t(id)
+        order by (from [[1]] as s(x) agg max(x))
+      """)
+    }
+  }
+
   test("select * alongside a scalar subquery does not leak helper columns") {
     val df = wv("""
       from [[1, 'x'], [2, 'y']] as t(id, s)
