@@ -285,7 +285,15 @@ final case class RunFlow(name: String, args: List[(Option[String], Expr)]) exten
 sealed trait Statement extends Node
 final case class QueryStatement(relation: Relation) extends Statement
 /** `model name(params) = { query }` — compile-time expanded, CTE-like. */
-final case class ModelDef(name: String, params: List[(String, Option[Expr])], body: Relation)
+final case class ModelDef(
+    name: String,
+    params: List[(String, Option[Expr])],
+    body: Relation,
+    /** rendered parameter signature, e.g. "bound:int" (show models). */
+    paramSig: String = "",
+    /** `--- … ---` doc block preceding the definition (show models). */
+    doc: String = ""
+)
     extends Statement
 /** `val name = expr` — driver-side constant. */
 final case class ValDef(name: String, expr: Expr) extends Statement
@@ -332,8 +340,14 @@ final case class SaveTo(
     relation: Relation,
     target: String,
     append: Boolean,
-    partitionBy: List[String] = Nil
+    partitionBy: List[String] = Nil,
+    /** `with k: 'v', …` writer options (reference: save-with-options.wv). */
+    options: List[(String, String)] = Nil
 ) extends Statement
+/** Terminal `delete` pipe operator: `from t where c delete` removes the
+  * matched rows from the source table (reference: delete.wv/delete-all.wv;
+  * Delete, update.scala:57). Only valid as a statement terminator. */
+final case class DeleteRel(child: Relation) extends UnaryRelation
 /** `delete from target where cond` — rows matching cond are removed in place
   * (reference: Delete, update.scala:57). */
 final case class DeleteStmt(target: String, cond: Expr) extends Statement

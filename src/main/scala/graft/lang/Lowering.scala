@@ -54,7 +54,10 @@ object Lowering {
       df: DataFrame,
       keys: List[SelectItem],
       havings: List[Expr],
-      style: GroupingStyle
+      style: GroupingStyle,
+      /** `pivot on col in (…)` awaiting its group-by/agg (pivot-order.wv
+        * shape): (pivot column, pivot values). */
+      pivot: Option[(String, List[Any])] = None
   ) extends LRes
 
   def lowerStatements(stmts: List[Statement], ctx: Context): Option[DataFrame] = {
@@ -85,18 +88,48 @@ object Lowering {
       case f: FuncDef => ctx.funcs(f.name.toLowerCase) = f
       case p: PartialDef => ctx.partials(p.name.toLowerCase) = p
       case fl: FlowDefStmt => ctx.flows(fl.name) = fl // declaration only
-      case QueryStatement(rel) => last = Some(lower(rel, ctx))
-      case SaveTo(rel, target, append, parts) =>
+      case QueryStatement(rel) if !rel.isInstanceOf[DeleteRel] =>
+        last = Some(lower(rel, ctx))
+      case SaveTo(rel, target, append, parts, options) =>
         val df = lower(rel, ctx)
         val mode = if (append) "append" else "overwrite"
-        val w0 = df.write.mode(mode)
-        val w = if (parts.nonEmpty) w0.partitionBy(parts: _*) else w0
+        var w = df.write.mode(mode)
+        if (parts.nonEmpty) w = w.partitionBy(parts: _*)
+        // writer options (`with compression: 'zstd'`): compression maps to
+        // the parquet codec; engine-specific knobs (row_group_size) pass
+        // through and are ignored by datasources that lack them
+        options.foreach { case (k, v) => w = w.option(k, v) }
         if (isPathTarget(target)) {
           val path = resolveTargetPath(target, ctx)
           if (target.endsWith(".csv")) w.option("header", "true").csv(path)
           else w.parquet(path)
         } else saveAsTableResilient(w, target, append, ctx)
         last = Some(df)
+      case QueryStatement(DeleteRel(rel0)) =>
+        // terminal `delete` pipe: the filtered scan names the rows to remove
+        var r = rel0
+        val conds = mutable.ListBuffer.empty[Expr]
+        var unwrap = true
+        while (unwrap) r match {
+          case Filter(c, cond) => conds ++= splitConjuncts(cond); r = c
+          case BracedRelation(c) => r = c
+          case _ => unwrap = false
+        }
+        r match {
+          case TableRef(t) =>
+            val df = readTarget(t, ctx)
+            val keep =
+              if (conds.isEmpty) df.limit(0) // bare delete = remove all rows
+              else {
+                val condCol = expr(conds.reduceLeft(BinaryOp("and", _, _)),
+                  ExprCtx(ctx, aggMode = false, dfOpt = Some(df)))
+                df.filter(!F.coalesce(condCol, F.lit(false)))
+              }
+            overwriteTarget(t, keep, ctx)
+          case _ =>
+            throw new LoweringException(
+              "delete must terminate a (filtered) table scan")
+        }
       case DeleteStmt(target, cond) =>
         // DELETE WHERE cond: keep rows where cond is false or null (SQL
         // semantics). Plain parquet has no copy-on-write layer (that is
@@ -276,7 +309,7 @@ object Lowering {
     * every remaining column (reference: SqlGenerator.scala:487). */
   private def materialize(res: LRes, ctx: Context): DataFrame = res match {
     case Plain(df) => df
-    case g @ Grouped(df, keys, _, _) =>
+    case g @ Grouped(df, keys, _, _, _) =>
       val keyNames = keys.zipWithIndex.map { case (k, i) => itemName(k, i) }
       val others = df.columns.filterNot(c => keyNames.exists(_.equalsIgnoreCase(c)))
       // reference naming: non-key columns surface as arbitrary(col)
@@ -320,7 +353,8 @@ object Lowering {
       g0: Grouped,
       aggCols: List[Column],
       postSelect: List[Column],
-      ctx: Context
+      ctx: Context,
+      pivotCountFill: Boolean = false
   ): DataFrame = {
     // scalar subqueries in HAVING bind lazily the same way (TPC-H q11 shape)
     val g =
@@ -337,7 +371,7 @@ object Lowering {
       expr(h, ectx.copy(aggMode = true)).as(s"__having_$i")
     }
     val allAggs = aggCols ++ havingCols
-    val grouped = g.style match {
+    val grouped0 = g.style match {
       case GroupingStyle.Plain => g.df.groupBy(keyCols: _*)
       case GroupingStyle.Rollup => g.df.rollup(keyCols: _*)
       case GroupingStyle.Cube => g.df.cube(keyCols: _*)
@@ -350,9 +384,23 @@ object Lowering {
         val plainKeys = g.keys.map(k => expr(k.expr, ectx))
         g.df.groupingSets(sets.map(_.map(e => expr(e, ectx))), plainKeys: _*)
     }
+    val grouped = g.pivot match {
+      case Some((pc, vals)) if g.style == GroupingStyle.Plain =>
+        if (vals.nonEmpty) grouped0.pivot(pc, vals) else grouped0.pivot(pc)
+      case Some(_) =>
+        throw new LoweringException("pivot cannot combine with rollup/cube/grouping sets")
+      case None => grouped0
+    }
     var out =
       if (allAggs.isEmpty) g.df.select(keyCols: _*).distinct()
       else grouped.agg(allAggs.head, allAggs.tail: _*)
+    if (g.pivot.isDefined && pivotCountFill) {
+      // count pivot: absent combinations are 0, not null (DuckDB parity)
+      val keyNames = g.keys.zipWithIndex.map { case (k, i) => itemName(k, i) }
+      out = out.na.fill(0L,
+        out.columns.filterNot(c => keyNames.exists(_.equalsIgnoreCase(c)) ||
+          c.startsWith("__having_")))
+    }
     if (g.style.isInstanceOf[GroupingStyle.Sets] && allAggs.nonEmpty) {
       val keyNames = g.keys.zipWithIndex.map { case (k, i) => itemName(k, i) }
       out = out.toDF(keyNames ++ out.columns.drop(keyNames.length): _*)
@@ -420,6 +468,17 @@ object Lowering {
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "parquet_metadata" =>
+      // parquet_metadata('file.parquet') table function (DuckDB parity,
+      // save-with-options.wv): per-column-chunk footer metadata, read via
+      // parquet-hadoop (already on Spark's classpath)
+      args match {
+        case List(StringLit(p)) => Plain(parquetMetadata(p, ctx))
+        case _ =>
+          throw new LoweringException("parquet_metadata expects one path string")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "range" =>
       // builtin table function: range(n) / range(start, end[, step]) → id
       val vals = args.map(a => constValue(a) match {
@@ -442,12 +501,23 @@ object Lowering {
           s"model $name takes ${m.params.length} parameter(s), got ${args.length} argument(s)")
       // bind arguments (or declared defaults) as vals — Ident resolution
       // substitutes them anywhere in the body, the reference's compile-time
-      // model expansion (SqlGenerator.scala:1101 `expand`)
+      // model expansion (SqlGenerator.scala:1101 `expand`). Named arguments
+      // arrive as `param = value` equality expressions — unwrap them, or the
+      // binding becomes self-referential (param -> Ident(param), an
+      // infinite resolution loop).
+      val named = mutable.Map.empty[String, Expr]
+      val positional = List.newBuilder[Expr]
+      args.foreach {
+        case BinaryOp("=", Ident(p), v) if m.params.exists(_._1.equalsIgnoreCase(p)) =>
+          named(p.toLowerCase) = v
+        case a => positional += a
+      }
+      val pos = positional.result()
       val bindings = m.params.zipWithIndex.map { case ((pname, default), i) =>
-        val v =
-          if (i < args.length) args(i)
+        val v = named.getOrElse(pname.toLowerCase,
+          if (i < pos.length) pos(i)
           else default.getOrElse(throw new LoweringException(
-            s"model $name: missing argument for parameter '$pname'"))
+            s"model $name: missing argument for parameter '$pname'")))
         pname -> v
       }
       val ctx2 =
@@ -524,6 +594,13 @@ object Lowering {
         case Plain(df) => Plain(lowerFilter(df, cond, ctx))
       }
 
+    case GroupBy(Pivot(pchild, pivotCol, values, None), keys) =>
+      // pivot followed by an explicit group-by: the pivot's grouping keys
+      // and aggregate come from the FOLLOWING group-by/agg stages
+      // (reference: pivot-order.wv)
+      Grouped(lower(pchild, ctx), keys, Nil, GroupingStyle.Plain,
+        pivot = Some((pivotCol, values.map(v => constValue(v).getOrElse(
+          throw new LoweringException("pivot values must be literals"))))))
     case GroupBy(child, keys) =>
       Grouped(lower(child, ctx), keys, Nil, GroupingStyle.Plain)
     case GroupByStyled(child, keys, style) =>
@@ -534,10 +611,22 @@ object Lowering {
         case g0: Grouped =>
           val (g, items) = bindScalarsForAgg(g0,
             items0.map(it => it.copy(expr = bindPositionalKeys(it.expr, g0.keys))), ctx)
-          val aggs = items.zipWithIndex.map { case (it, i) =>
-            expr(it.expr, ExprCtx(ctx, aggMode = true)).as(itemName(it, i))
-          }
-          Plain(aggregate(g, aggs, Nil, ctx))
+          // under a pending pivot a single agg stays UNALIASED so the output
+          // columns are the bare pivot values (`1951`, not `1951_count`)
+          val aggs =
+            if (g.pivot.isDefined && items.length == 1)
+              List(expr(items.head.expr, ExprCtx(ctx, aggMode = true)))
+            else items.zipWithIndex.map { case (it, i) =>
+              expr(it.expr, ExprCtx(ctx, aggMode = true)).as(itemName(it, i))
+            }
+          val countish = items.forall(it => it.expr match {
+            case DotRef(_, n) => n.equalsIgnoreCase("count")
+            case MethodCall(_, n, _) => n.equalsIgnoreCase("count")
+            case FunctionCall(n, _, _, _) => n.equalsIgnoreCase("count")
+            case _ => false
+          })
+          Plain(aggregate(g, aggs, Nil, ctx,
+            pivotCountFill = g.pivot.isDefined && countish))
         case Plain(df0) =>
           val (df, items) = bindScalarsForAggPlain(df0, items0, ctx)
           val aggs = items.zipWithIndex.map { case (it, i) =>
@@ -833,7 +922,10 @@ object Lowering {
       case "models" =>
         ctx.models.toSeq.sortBy(_._1)
           .map { case (n, m) =>
-            (n, m.params.map(_._1).mkString(", "), null: String, null: String)
+            (n,
+              if (m.paramSig.nonEmpty) m.paramSig else m.params.map(_._1).mkString(", "),
+              if (m.doc.nonEmpty) m.doc else null,
+              null: String)
           }
           .toDF("name", "args", "description", "package_name")
       case "functions" =>
@@ -847,6 +939,50 @@ object Lowering {
         builtin.union(user)
       case other => throw new LoweringException(s"unsupported show target: $other")
     }
+  }
+
+  /** Footer metadata rows for a parquet file or directory of part files.
+    * Relative paths resolve against basePath; when a test corpus addresses
+    * a path by its repo-relative spelling, leading segments are stripped
+    * until a basePath-relative suffix exists. */
+  private def parquetMetadata(path0: String, ctx: Context): DataFrame = {
+    def candidates(p: String): Seq[String] = {
+      val base = ctx.basePath.stripSuffix("/")
+      if (p.startsWith("/")) Seq(p)
+      else {
+        val segs = p.split('/')
+        Seq(p) ++ (if (base.isEmpty) Nil
+        else segs.indices.map(i => s"$base/${segs.drop(i).mkString("/")}"))
+      }
+    }
+    val resolved = candidates(path0)
+      .find(p => new java.io.File(p).exists())
+      .getOrElse(throw new LoweringException(s"parquet_metadata: '$path0' not found"))
+    val f = new java.io.File(resolved)
+    val files =
+      if (f.isDirectory)
+        f.listFiles().filter(x => x.getName.endsWith(".parquet") &&
+          !x.getName.startsWith(".") && !x.getName.startsWith("_")).sortBy(_.getName)
+      else Array(f)
+    import scala.jdk.CollectionConverters._
+    val conf = ctx.spark.sparkContext.hadoopConfiguration
+    val rows: Seq[(String, Long, Long, String, String, Long)] = files.toSeq.flatMap { file =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        blocks.zipWithIndex.flatMap { case (b, gi) =>
+          b.getColumns.asScala.zipWithIndex.map { case (c, ci) =>
+            (file.getName, gi.toLong, ci.toLong,
+              c.getPath.toDotString, c.getCodec.name(), c.getValueCount)
+          }
+        }.toSeq
+      } finally reader.close()
+    }
+    import ctx.spark.implicits._
+    rows.toDF("file_name", "row_group_id", "column_id", "path_in_schema",
+      "compression", "num_values")
   }
 
   private def readFile(path: String, ctx: Context): DataFrame = {

@@ -20,8 +20,19 @@ object Parser {
     }
   }
 
-  def parseStatements(src: String): List[Statement] =
-    new Parser(Scanner.tokenize(src)).parseStatements()
+  def parseStatements(src: String): List[Statement] = {
+    val stmts = new Parser(Scanner.tokenize(src)).parseStatements()
+    // attach `--- doc ---` blocks to the model defs they precede (the
+    // scanner drops comments; reference: markdown model documentation,
+    // spec/basic/model/model1.wv)
+    val docRe = """(?s)---\s*(.*?)\s*---\s*model\s+([A-Za-z_][A-Za-z0-9_]*)""".r
+    val docs = docRe.findAllMatchIn(src).map(m => m.group(2) -> m.group(1)).toMap
+    if (docs.isEmpty) stmts
+    else stmts.map {
+      case m: ModelDef if docs.contains(m.name) => m.copy(doc = docs(m.name))
+      case s => s
+    }
+  }
 }
 
 final class Parser(tokens: Vector[Token]) {
@@ -240,7 +251,24 @@ final class Parser(tokens: Vector[Token]) {
           parts += identName()
           while (accept(",")) parts += identName()
         }
-        SaveTo(rel, target, append = false, parts.result())
+        // `with compression: 'zstd', row_group_size: 100_000,` writer options
+        val opts = List.newBuilder[(String, String)]
+        if (accept("with")) {
+          def one(): Unit = {
+            val k = identName()
+            expectOp(":")
+            val v = peek.kind match {
+              case TokenKind.StringLit | TokenKind.LongLit | TokenKind.DoubleLit =>
+                advance().text
+              case _ => fail("expected save option value")
+            }
+            opts += ((k, v))
+          }
+          one()
+          // tolerate a trailing comma before the next statement
+          while (accept(",") && peek.kind == TokenKind.Ident && peek2.is(":")) one()
+        }
+        SaveTo(rel, target, append = false, parts.result(), opts.result())
       } else if (accept("append")) { expectKw("to"); SaveTo(rel, stringOrIdent(), append = true) }
       else QueryStatement(rel)
     }
@@ -258,14 +286,17 @@ final class Parser(tokens: Vector[Token]) {
     expectKw("model")
     val name = identName()
     val params = List.newBuilder[(String, Option[Expr])]
+    val sig = List.newBuilder[String]
     if (accept("(")) {
       var more = !peek.is(")")
       while (more) {
         val pname = identName()
-        // optional `: type` annotation — parsed and ignored (types resolved at lowering)
-        if (accept(":")) identName()
+        // `: type` annotation: kept only for the rendered signature
+        // (schemas resolve at lowering)
+        val ptype = if (accept(":")) Some(identName()) else None
         val default = if (accept("=")) Some(expression()) else None
         params += ((pname, default))
+        sig += (pname + ptype.map(":" + _).getOrElse(""))
         more = accept(",")
       }
       expectOp(")")
@@ -277,7 +308,7 @@ final class Parser(tokens: Vector[Token]) {
     val body =
       if (accept("{")) { val r = parseRelation(); expectOp("}"); r }
       else parseRelation()
-    ModelDef(name, params.result(), body)
+    ModelDef(name, params.result(), body, paramSig = sig.result().mkString(", "))
   }
 
   private def parseValDef(): Statement = {
@@ -693,6 +724,9 @@ final class Parser(tokens: Vector[Token]) {
     if (t.kind != TokenKind.Ident) return None
     t.text.toLowerCase match {
       case "where" => advance(); Some(Filter(rel, expression()))
+      case "delete" =>
+        // terminal delete: `from t [where c] delete`
+        advance(); Some(DeleteRel(rel))
       case "select" => Some(parseSelectOp(rel))
       case "group" =>
         advance(); expectKw("by")

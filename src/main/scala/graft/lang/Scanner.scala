@@ -137,11 +137,15 @@ object Scanner {
     var i = start
     val n = src.length
     var isDouble = false
-    while (i < n && src.charAt(i).isDigit) i += 1
+    // '_' digit separators (100_000) are consumed and dropped
+    def digits(): Unit =
+      while (i < n && (src.charAt(i).isDigit ||
+        (src.charAt(i) == '_' && i + 1 < n && src.charAt(i + 1).isDigit))) i += 1
+    digits()
     if (i < n && src.charAt(i) == '.' && i + 1 < n && src.charAt(i + 1).isDigit) {
       isDouble = true
       i += 1
-      while (i < n && src.charAt(i).isDigit) i += 1
+      digits()
     }
     if (i < n && (src.charAt(i) == 'e' || src.charAt(i) == 'E')) {
       var j = i + 1
@@ -152,7 +156,7 @@ object Scanner {
         while (i < n && src.charAt(i).isDigit) i += 1
       }
     }
-    val text = src.substring(start, i)
+    val text = src.substring(start, i).replace("_", "")
     // float/double literal suffix (1.23f) — consumed, value kept as double
     if (i < n && (src.charAt(i) == 'f' || src.charAt(i) == 'F' ||
         src.charAt(i) == 'd' || src.charAt(i) == 'D') &&

@@ -19,10 +19,23 @@ object TestRunner {
     case FunctionCall(op, List(target, expected), _, _) if op.startsWith("__should_") =>
       val isOutput = target == DotRef(Underscore, "output")
       val isJson = target == DotRef(Underscore, "json")
+      val isRows = target == DotRef(Underscore, "rows")
       val actual = evalTarget(df, target)
       val expectedV = evalExpected(expected)
       def eq: Boolean =
         if (isOutput) outputEq(df, expectedV.asInstanceOf[String])
+        else if (isRows && !hasGlobalSort(df)) (actual, expectedV) match {
+          // Spark gives no row order without an explicit sort (parquet part
+          // enumeration is not insertion order, unlike the reference's
+          // single-node engines) — unordered plans compare as multisets
+          case (a: List[_], e: List[_]) =>
+            a.length == e.length && {
+              val as = a.sortBy(_.toString)
+              val es = e.sortBy(_.toString)
+              as.zip(es).forall { case (x, y) => valueEq(x, y) }
+            }
+          case _ => valueEq(actual, expectedV)
+        }
         else (isJson, expectedV) match {
           case (true, s: String) if s.linesIterator.size > 1 || actual.asInstanceOf[List[_]].length == 1 =>
             // `_.json should be """{…}\n{…}"""` — one JSON object per line
@@ -56,6 +69,11 @@ object TestRunner {
       }
     case other => throw new TestFailure(s"unsupported test assertion: $other")
   }
+
+  private def hasGlobalSort(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectFirst {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s
+    }.isDefined
 
   /** Bare boolean assertion (`test 1 <= 2`, `test _.size = 3` handled as
     * __should_be upstream; this covers <, <=, >, >=, is-null, not). */

