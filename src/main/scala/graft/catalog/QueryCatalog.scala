@@ -1122,6 +1122,58 @@ object QueryCatalog {
       """)
     ),
     (
+      "q_dml_insert_overwrite", // insert overwrite replaces target contents
+      (spark, dir) => {
+        val tmp = System.getProperty("java.io.tmpdir").stripSuffix("/") +
+          "/graft_q_dml_insover.parquet"
+        Graft.query(spark, s"""
+          from orders
+          select o_orderkey, o_orderstatus
+          save to '$tmp'
+          ;
+          insert overwrite '$tmp' {
+            from orders
+            where o_orderstatus = 'O'
+            select o_orderkey, o_orderstatus
+          }
+          ;
+          from '$tmp'
+          order by o_orderkey
+        """, Tables.resolver(spark, dir), basePath = dir)
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderstatus = 'O'
+        ORDER BY o_orderkey
+      """)
+    ),
+    (
+      "q_dml_update_pruned", // partition-pruned update: only one partition rewritten
+      (spark, dir) => {
+        val tmp = System.getProperty("java.io.tmpdir").stripSuffix("/") +
+          "/graft_q_dml_upd_pruned.parquet"
+        Graft.query(spark, s"""
+          from orders
+          select o_orderkey, o_orderstatus, o_totalprice
+          save to '$tmp' partition by o_orderstatus
+          ;
+          update '$tmp' set o_totalprice = o_totalprice * 2
+          where o_orderstatus = 'F' and o_totalprice > 200000
+          ;
+          from '$tmp'
+          select o_orderkey, o_orderstatus, o_totalprice.round(2) as o_totalprice
+          order by o_orderkey
+        """, Tables.resolver(spark, dir), basePath = dir)
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus,
+          round(CASE WHEN o_orderstatus = 'F' AND o_totalprice > 200000
+                THEN o_totalprice * 2 ELSE o_totalprice END, 2) AS o_totalprice
+        FROM orders
+        ORDER BY o_orderkey
+      """)
+    ),
+    (
       "q_dml_merge", // merge-into upsert on a written copy
       (spark, dir) => {
         val tmp = System.getProperty("java.io.tmpdir").stripSuffix("/") +

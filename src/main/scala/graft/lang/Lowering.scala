@@ -137,10 +137,13 @@ object Lowering {
         // localCheckpoint to break lineage from the files being overwritten,
         // then rewrite in place (reference Delete, update.scala:57, delegates
         // to the target engine the same way).
-        val df = readTarget(target, ctx)
-        val condCol = expr(cond, ExprCtx(ctx, aggMode = false, dfOpt = Some(df)))
-        val keep = df.filter(!F.coalesce(condCol, F.lit(false)))
-        overwriteTarget(target, keep, ctx)
+        if (!prunedRewrite(target, cond, ctx,
+            (df, c) => df.filter(!F.coalesce(c, F.lit(false))))) {
+          val df = readTarget(target, ctx)
+          val condCol = expr(cond, ExprCtx(ctx, aggMode = false, dfOpt = Some(df)))
+          val keep = df.filter(!F.coalesce(condCol, F.lit(false)))
+          overwriteTarget(target, keep, ctx)
+        }
       case TruncateStmt(target) =>
         val df = readTarget(target, ctx)
         overwriteTarget(target, df.limit(0), ctx)
@@ -152,18 +155,27 @@ object Lowering {
       case UpdateStmt(target, sets, cond) =>
         // UPDATE SET as read-modify-write: each set column becomes
         // when(cond, newExpr).otherwise(old); rows not matching keep values
-        val df = readTarget(target, ctx)
-        val ec = ExprCtx(ctx, aggMode = false, dfOpt = Some(df))
-        val condCol = cond.map(c => F.coalesce(expr(c, ec), F.lit(false)))
-        var out = df
-        sets.foreach { case (c, e) =>
-          val nv = expr(e, ec)
-          out = out.withColumn(c, condCol match {
-            case Some(p) => F.when(p, nv).otherwise(F.col(c))
-            case None => nv
-          })
+        def applySets(df: DataFrame, condCol: Option[Column]): DataFrame = {
+          val ec = ExprCtx(ctx, aggMode = false, dfOpt = Some(df))
+          var out = df
+          sets.foreach { case (c, e) =>
+            val nv = expr(e, ec)
+            out = out.withColumn(c, condCol match {
+              case Some(p) => F.when(p, nv).otherwise(F.col(c))
+              case None => nv
+            })
+          }
+          out
         }
-        overwriteTarget(target, out, ctx)
+        val pruned = cond.exists(c0 => prunedRewrite(target, c0, ctx,
+          (df, c) => applySets(df, Some(F.coalesce(c, F.lit(false)))),
+          mutatedCols = sets.map(_._1).toSet))
+        if (!pruned) {
+          val df = readTarget(target, ctx)
+          val condCol = cond.map(c =>
+            F.coalesce(expr(c, ExprCtx(ctx, aggMode = false, dfOpt = Some(df))), F.lit(false)))
+          overwriteTarget(target, applySets(df, condCol), ctx)
+        }
       case PackageDecl(_) | ImportStmt(_) => () // scoping is lazy here
       case TypeDefStmt(name, location, _, defs, _) =>
         // schema-bound table type: remap bare/qualified references onto the
@@ -289,6 +301,54 @@ object Lowering {
   private def readTarget(target: String, ctx: Context): DataFrame =
     if (isPathTarget(target)) readFile(target, ctx)
     else ctx.spark.table(target)
+
+  /** Partition-pruned in-place DML: when the target is a hive-partitioned
+    * parquet path and the predicate pins the partition column to a literal,
+    * rewrite ONLY the affected partition directories — at 100 TB a
+    * one-partition delete must not rewrite the table (the unpartitioned /
+    * unpinned cases still take the full read-overwrite path, which is
+    * inherent to plain parquet without a copy-on-write table format).
+    * Returns true when the rewrite was handled here. */
+  private def prunedRewrite(
+      target: String,
+      cond: Expr,
+      ctx: Context,
+      transform: (DataFrame, Column) => DataFrame,
+      mutatedCols: Set[String] = Set.empty
+  ): Boolean = {
+    if (!isPathTarget(target)) return false
+    val root = new java.io.File(resolveTargetPath(target, ctx))
+    if (!root.isDirectory) return false
+    val partDirs = root.listFiles().filter(f => f.isDirectory && f.getName.contains("="))
+    if (partDirs.isEmpty) return false
+    val pcol = partDirs.head.getName.takeWhile(_ != '=')
+    if (!partDirs.forall(_.getName.startsWith(pcol + "="))) return false
+    // mutating the partition column would strand rows in the wrong directory
+    if (mutatedCols.exists(_.equalsIgnoreCase(pcol))) return false
+    val eqVal: Option[Any] = splitConjuncts(cond).collectFirst {
+      case BinaryOp("=", Ident(c), v)
+        if c.equalsIgnoreCase(pcol) && constValue(v).isDefined => constValue(v).get
+      case BinaryOp("=", v, Ident(c))
+        if c.equalsIgnoreCase(pcol) && constValue(v).isDefined => constValue(v).get
+    }
+    eqVal match {
+      case None => false
+      case Some(v) =>
+        val want = String.valueOf(v)
+        val affected = partDirs.filter { d =>
+          java.net.URLDecoder.decode(d.getName.drop(pcol.length + 1), "UTF-8") == want
+        }
+        affected.foreach { d =>
+          // the partition column lives in the directory name — bind it as a
+          // literal so the predicate (and update expressions) see it
+          val df = ctx.spark.read.parquet(d.getAbsolutePath).withColumn(pcol, F.lit(v))
+          val condCol = expr(cond, ExprCtx(ctx, aggMode = false, dfOpt = Some(df)))
+          val out = transform(df, condCol).drop(pcol)
+          out.localCheckpoint(true).write.mode("overwrite").parquet(d.getAbsolutePath)
+        }
+        true
+    }
+  }
 
   private def overwriteTarget(target: String, df: DataFrame, ctx: Context): Unit = {
     // break lineage from the source files/table so the overwrite does not
@@ -892,11 +952,28 @@ object Lowering {
       }
     }
 
-  private def lowerShow(what: String, ctx: Context): DataFrame = {
+  private def lowerShow(what0: String, ctx: Context): DataFrame = {
+    // optional `like 'pattern'` filter over the listing's name column
+    // (reference: Show.likePattern, relation.scala:1227)
+    val (what, likePat) = what0.split("\\?like=", 2) match {
+      case Array(w, p) => (w, Some(p))
+      case _ => (what0, None)
+    }
+    def likeFilter(df: DataFrame, col: String = "name"): DataFrame =
+      likePat.map(p => df.filter(F.col(col).like(p))).getOrElse(df)
+    likeFilter(lowerShowBase(what, ctx))
+  }
+
+  private def lowerShowBase(what: String, ctx: Context): DataFrame = {
     import ctx.spark.implicits._
     // column shapes follow the reference's Show relation types
     // (relation.scala:1228-1296)
     what.toLowerCase match {
+      case cv if cv.startsWith("create:") =>
+        // show create view/table → Spark's SHOW CREATE TABLE text
+        val name = cv.stripPrefix("create:")
+        ctx.spark.sql(s"SHOW CREATE TABLE $name")
+          .toDF("create_statement")
       case "tables" =>
         ctx.spark.catalog.listTables().select("name")
       case t if t.startsWith("tables:") =>

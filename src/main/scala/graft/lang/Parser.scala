@@ -240,6 +240,16 @@ final class Parser(tokens: Vector[Token]) {
         if (accept("{")) { val r = parseRelation(); expectOp("}"); r }
         else parseRelation()
       SaveTo(rel, target, append = true)
+    } else if (peek.is("insert") && peek2.is("overwrite")) {
+      // `insert overwrite [into] target { query }` — replace the target's
+      // contents (reference: InsertOverwrite, update.scala:89-94)
+      advance(); advance()
+      accept("into")
+      val target = stringOrIdent()
+      val rel =
+        if (accept("{")) { val r = parseRelation(); expectOp("}"); r }
+        else parseRelation()
+      SaveTo(rel, target, append = false)
     } else {
       val rel = parseRelation()
       if (accept("save")) {
@@ -586,20 +596,31 @@ final class Parser(tokens: Vector[Token]) {
       val what = identName().toLowerCase
       // handled by lowering as catalog queries (reference: 18 Show variants,
       // relation.scala:1207-1296; info-schema synthesis SG:718-1080)
+      def likeSuffix(): String =
+        if (accept("like")) {
+          if (peek.kind != TokenKind.StringLit) fail("expected like pattern string")
+          s"?like=${advance().text}"
+        } else ""
       what match {
         case "columns" =>
           if (!accept("from")) expectKw("in")
           var t = identName()
           while (accept(".")) t = t + "." + identName()
           TableRef(s"__show_columns:$t")
+        case "create" =>
+          // show create view <name> / show create table <name>
+          if (!accept("view")) expectKw("table")
+          var t = identName()
+          while (accept(".")) t = t + "." + identName()
+          TableRef(s"__show_create:$t")
         case "tables" if peek.is("in") || peek.is("from") =>
           advance()
           var s = identName()
           while (accept(".")) s = s + "." + identName()
-          TableRef(s"__show_tables:$s")
+          TableRef(s"__show_tables:$s" + likeSuffix())
         case "query" =>
           TableRef(s"__show_query:${identName()}")
-        case other => TableRef(s"__show_$other")
+        case other => TableRef(s"__show_$other" + likeSuffix())
       }
     } else fail("expected 'from', 'select' or '{'")
   }

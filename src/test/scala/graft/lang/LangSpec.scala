@@ -864,6 +864,56 @@ class LangSpec extends SparkTestBase {
       List((1L, "old1"), (3L, "old3"), (4L, "new4"), (9L, "nine")))
   }
 
+  test("show ... like patterns, show create view, insert overwrite") {
+    spark.sql("CREATE OR REPLACE TEMP VIEW graft_like_probe AS SELECT 1 AS x")
+    val t = wv("show tables like 'graft_like%'").collect()
+    assert(t.map(_.getString(0)).toList == List("graft_like_probe"))
+    assert(wv("show tables like 'zzz_none%'").count() == 0)
+
+    spark.sql("CREATE OR REPLACE VIEW graft_cv_probe AS SELECT 2 AS y")
+    val cv = wv("show create view graft_cv_probe").collect()
+    assert(cv.head.getString(0).toUpperCase.contains("CREATE VIEW"))
+    spark.sql("DROP VIEW graft_cv_probe")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_insover").toString
+    val rows = wv(s"""
+      from [[1, 'a'], [2, 'b'], [3, 'c']] as t(id, v)
+      save to '$tmp/t.parquet'
+      ;
+      insert overwrite '$tmp/t.parquet' { from [[9, 'z']] as t(id, v) }
+      ;
+      from '$tmp/t.parquet'
+    """).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toList == List((9L, "z")))
+  }
+
+  test("partition-pruned DML rewrites only the affected partition directory") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pruned").toString
+    wv(s"""
+      from [[1, 'A', 10], [2, 'A', 99], [3, 'B', 20], [4, 'C', 30]] as t(id, region, v)
+      save to '$tmp/t.parquet' partition by region
+    """)
+    def files(dir: String): Map[String, Long] = {
+      val d = new java.io.File(s"$tmp/t.parquet/$dir")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val bBefore = files("region=B")
+    val cBefore = files("region=C")
+    Thread.sleep(1100) // mtime granularity
+    wv(s"delete from '$tmp/t.parquet' where region = 'A' and v > 50")
+    // untouched partitions keep the SAME files with the SAME mtimes
+    assert(files("region=B") == bBefore, "region=B must not be rewritten")
+    assert(files("region=C") == cBefore, "region=C must not be rewritten")
+    val rows = wv(s"from '$tmp/t.parquet' order by id").collect()
+    assert(rows.map(_.getLong(0)).toList == List(1L, 3L, 4L))
+
+    wv(s"update '$tmp/t.parquet' set v = v + 1 where region = 'A'")
+    assert(files("region=B") == bBefore, "update must not rewrite region=B")
+    val after = wv(s"from '$tmp/t.parquet' where id = 1 select v").collect()
+    assert(after.head.getLong(0) == 11L)
+  }
+
   test("merge into: update-only (no insert clause) leaves unmatched source out") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_merge_uo").toString
     val rows = wv(s"""
