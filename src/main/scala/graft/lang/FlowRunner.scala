@@ -114,6 +114,23 @@ object FlowRunner {
     FlowDef(fd.name, defs)
   }
 
+  /** Register every flow carrying `with {schedule: cron('…')}` metadata on
+    * the scheduler; each due fire runs the flow through [[run]]. Returns
+    * the registered flow names. */
+  def scheduleFlows(
+      scheduler: FlowScheduler,
+      ctx: Lowering.Context
+  ): List[String] =
+    ctx.flows.values.toList.sortBy(_.name).flatMap { fd =>
+      fd.config.collectFirst {
+        case ("schedule", FunctionCall("cron", List(StringLit(e)), _, _)) => e
+        case ("schedule", StringLit(e)) => e
+      }.map { cronExpr =>
+        scheduler.register(fd.name, cronExpr, () => { run(fd, Nil, ctx); () })
+        fd.name
+      }
+    }
+
   private def gateAtoms(g: GateExpr): List[String] = g match {
     case GateAtom(s, _) => List(s)
     case GateAnd(l, r) => gateAtoms(l) ++ gateAtoms(r)

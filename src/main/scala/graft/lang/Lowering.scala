@@ -918,6 +918,34 @@ object Lowering {
           val channel = args.headOption.flatMap(constValue).getOrElse("?")
           System.err.println(s"[flow] activate($channel)")
           lowerRel(child, ctx)
+        case "wait_until" =>
+          // sensor: poll the condition until true or timeout (reference:
+          // FlowScheduler wait-until sensors — driver-side control flow by
+          // design, like the reference's poll loop). The condition is a
+          // scalar boolean; uncorrelated scalar subqueries bind lazily so
+          // `wait until (from t agg _.count) > 0` polls live state.
+          val cond = args.headOption.getOrElse(
+            throw new LoweringException("wait until requires a condition"))
+          val timeoutMs = args.lift(1).flatMap(constValue) match {
+            case Some(s: String) => parseDurationMs(s)
+            case Some(n: Long) => n
+            case _ => 60000L
+          }
+          val pollMs = math.max(10L, math.min(1000L, timeoutMs / 20))
+          val deadline = System.currentTimeMillis() + timeoutMs
+          var ok = false
+          while (!ok && System.currentTimeMillis() < deadline) {
+            val base = ctx.spark.range(1).toDF("__one")
+            val (df, rewritten, _) = bindScalarSubqueries(base, List(cond), ctx)
+            val v = df.select(
+              expr(rewritten.head, ExprCtx(ctx, aggMode = false, dfOpt = Some(df)))
+                .cast("boolean").as("__c")).collect().head
+            ok = !v.isNullAt(0) && v.getBoolean(0)
+            if (!ok) Thread.sleep(pollMs)
+          }
+          if (!ok)
+            throw new LoweringException(s"wait until: condition not met within ${timeoutMs}ms")
+          lowerRel(child, ctx)
         case _ => lowerRel(child, ctx) // end(): terminal marker
       }
 

@@ -919,9 +919,12 @@ final class Parser(tokens: Vector[Token]) {
         expectOp("}")
         Some(RouteRel(rel, cases.result(), by))
       case "wait" if peek2.is("until") =>
-        // `wait until <cond>` — orchestration polling marker
+        // `wait until <cond> [for '<timeout>']` — orchestration poll
         advance(); advance()
-        Some(OrchOp(rel, "wait_until", List(expression())))
+        val cond = expression()
+        val timeout =
+          if (accept("for")) List(expression()) else Nil
+        Some(OrchOp(rel, "wait_until", cond :: timeout))
       case "wait" | "activate" if peek2.is("(") =>
         val kind = advance().text.toLowerCase
         advance()

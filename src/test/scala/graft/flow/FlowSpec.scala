@@ -86,6 +86,86 @@ class FlowSpec extends SparkTestBase {
     assert(result("merge").agg(F.sum("v")).collect().head.getLong(0) == (20 + 40 + 11 + 21))
   }
 
+  test("cron schedule: parse, matches, nextAfter") {
+    import java.time.{ZonedDateTime, ZoneId}
+    val utc = ZoneId.of("UTC")
+    def at(s: String) = ZonedDateTime.parse(s + "[UTC]")
+    val daily = CronSchedule.parse("30 9 * * *")
+    assert(daily.matches(at("2026-08-12T09:30:00Z")))
+    assert(!daily.matches(at("2026-08-12T09:31:00Z")))
+    assert(daily.nextAfter(at("2026-08-12T09:30:00Z")) == at("2026-08-13T09:30:00Z"))
+    val steps = CronSchedule.parse("*/15 0-6/2 1,15 * *")
+    assert(steps.matches(at("2026-08-15T04:45:00Z")))
+    assert(!steps.matches(at("2026-08-14T04:45:00Z")))
+    // dom/dow either-match when both restricted; 7 == Sunday == 0
+    val either = CronSchedule.parse("0 0 13 * 7")
+    assert(either.matches(at("2026-08-13T00:00:00Z"))) // 13th (a Thursday)
+    assert(either.matches(at("2026-08-16T00:00:00Z"))) // a Sunday
+    assert(!either.matches(at("2026-08-14T00:00:00Z")))
+    intercept[IllegalArgumentException] { CronSchedule.parse("* * *") }
+    intercept[IllegalArgumentException] { CronSchedule.parse("61 * * * *") }
+  }
+
+  test("scheduler fires a due flow under a fake clock") {
+    import java.time.Instant
+    var now = Instant.parse("2026-08-12T08:59:00Z")
+    val sched = new FlowScheduler(clock = () => now)
+    val fired = new AtomicInteger(0)
+    sched.register("nightly", "0 9 * * *", () => { fired.incrementAndGet(); () })
+    assert(sched.tick() == Nil) // 08:59 — not due
+    now = Instant.parse("2026-08-12T09:00:10Z")
+    assert(sched.tick() == List("nightly"))
+    assert(fired.get() == 1)
+    assert(sched.tick() == Nil) // same minute: already fired, next is tomorrow
+    now = Instant.parse("2026-08-13T09:00:00Z")
+    assert(sched.tick() == List("nightly"))
+    assert(fired.get() == 2)
+  }
+
+  test("language flows with schedule metadata register and run on fire") {
+    import graft.lang.{Lowering, Parser, FlowRunner}
+    import java.time.Instant
+    val text = """
+      flow Nightly with { schedule: cron('0 3 * * *') } = {
+        stage src = from [[1], [2]] as t(v)
+        stage agg = from src | count
+      }
+    """
+    val ctx = Lowering.Context(spark, n => fail(s"unexpected table $n"))
+    Lowering.lowerStatements(Parser.parseStatements(text), ctx)
+    var now = Instant.parse("2026-08-12T03:00:00Z")
+    val sched = new FlowScheduler(clock = () => now)
+    assert(FlowRunner.scheduleFlows(sched, ctx) == List("Nightly"))
+    assert(sched.tick() == List("Nightly")) // runs the flow via FlowRunner
+  }
+
+  test("wait until polls a live condition") {
+    import graft.lang.{Lowering, Parser, LoweringException}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wait").toString
+    // condition initially false; a writer thread satisfies it mid-poll
+    import spark.implicits._
+    Seq.empty[Int].toDF("v").write.parquet(s"$tmp/sensor.parquet")
+    val writer = new Thread(() => {
+      Thread.sleep(400)
+      // append (not overwrite): a sensor source is append-only, and an
+      // overwrite would race the poll's file listing
+      Seq(1).toDF("v").write.mode("append").parquet(s"$tmp/sensor.parquet")
+    })
+    writer.start()
+    val df = graft.Graft.query(spark, s"""
+      from [[1]] as t(x)
+      | wait until (from '$tmp/sensor.parquet' agg _.count) > 0 for '10 s'
+    """, n => fail(s"unexpected table $n"))
+    writer.join()
+    assert(df.count() == 1)
+    intercept[LoweringException] {
+      graft.Graft.query(spark, s"""
+        from [[1]] as t(x)
+        | wait until 1 > 2 for '200 ms'
+      """, n => fail(s"unexpected table $n"))
+    }
+  }
+
   test("flow validation: cycles, unknown deps, duplicates") {
     import spark.implicits._
     def s(n: String, deps: String*) = StageDef(n, _ => Seq(1).toDF("v"), dependsOn = deps)
