@@ -481,6 +481,11 @@ object Dedup {
       planes: Int = 12,
       bruteForce: Boolean = false
   ): DataFrame = {
+    // NOTE on a rejected "optimization": precomputing per-row norms and
+    // reducing the pair kernel to dot/(na*nb) measures NO faster here — the
+    // fused one-pass CosineSimilarityExpr already reads each vector exactly
+    // once per pair, so the kernel is memory-bound and the extra norm FLOPs
+    // are free. Keep the simpler fused form.
     val base = df.select(F.col(idCol).as("id"), F.col(vecCol).as("vec"))
     val pairs =
       if (bruteForce) {
