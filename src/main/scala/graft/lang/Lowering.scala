@@ -41,7 +41,11 @@ object Lowering {
         * raw params) — metadata for an incremental runner
         * (streaming/Subscribe.scala drives the actual streaming plan). */
       subscriptions: mutable.ListBuffer[(Option[String], Map[String, String])] =
-        mutable.ListBuffer.empty
+        mutable.ListBuffer.empty,
+      /** `use <schema>` state: unqualified table names retry with this
+        * prefix (reference: lazy catalog — validation happens at table
+        * resolution, not at the use statement). */
+      currentSchema: mutable.Map[String, String] = mutable.Map.empty
   )
 
   /** Lowering result: either a plain DataFrame or a "grouped" relation —
@@ -87,7 +91,24 @@ object Lowering {
             } catch { case _: Throwable => e } // fall back to substitution
       case f: FuncDef => ctx.funcs(f.name.toLowerCase) = f
       case p: PartialDef => ctx.partials(p.name.toLowerCase) = p
-      case fl: FlowDefStmt => ctx.flows(fl.name) = fl // declaration only
+      case fl: FlowDefStmt =>
+        // definition-time validation: merge fan-ins and state gates must
+        // reference defined stages (reference: spec/neg
+        // flow-merge-undefined-stage.wv, flow-trigger-undefined-stage.wv)
+        val stageNames = fl.stages.map(_.name).toSet
+        def gateNames(g: GateExpr): List[String] = g match {
+          case GateAtom(s, _) => List(s)
+          case GateAnd(l, r) => gateNames(l) ++ gateNames(r)
+          case GateOr(l, r) => gateNames(l) ++ gateNames(r)
+        }
+        fl.stages.foreach { sp =>
+          val refs = sp.body.left.getOrElse(Nil) ++ sp.gate.toList.flatMap(gateNames)
+          refs.filterNot(stageNames.contains).foreach { missing =>
+            throw new LoweringException(
+              s"flow ${fl.name}: stage ${sp.name} references undefined stage '$missing'")
+          }
+        }
+        ctx.flows(fl.name) = fl // declaration only
       case QueryStatement(rel) if !rel.isInstanceOf[DeleteRel] =>
         last = Some(lower(rel, ctx))
       case SaveTo(rel, target, append, parts, options) =>
@@ -149,7 +170,11 @@ object Lowering {
         overwriteTarget(target, df.limit(0), ctx)
       case ExecuteStmt(sql) => ctx.spark.sql(sql).collect()
       case UseStmt(name) =>
-        // best-effort schema switch: our resolution is file/session based
+        // schema switch: recorded for table resolution (unqualified names
+        // retry with this prefix); validation is lazy like the reference's
+        // LazyCatalog — spec/basic/use-schema.wv uses schemas that only
+        // exist at query time. Known Spark databases also switch for real.
+        ctx.currentSchema("schema") = name.split('.').last
         try ctx.spark.sql(s"USE ${name.split('.').last}").collect()
         catch { case _: Throwable => () }
       case UpdateStmt(target, sets, cond) =>
@@ -220,6 +245,17 @@ object Lowering {
           throw new LoweringException(
             s"merge source is missing target columns: ${missing.mkString(", ")}")
         val s = s0.select(t.columns.map(F.col).toSeq: _*)
+        // SQL MERGE semantics: multiple source rows matching one target row
+        // is an error — a cheap count-vs-distinct guard catches it up front
+        // instead of silently multiplying rows (one extra agg job over the
+        // source's keys only)
+        val keyCounts = s.select(keys.map(F.col): _*)
+          .agg(F.count(F.lit(1)).as("n"), F.count_distinct(F.struct(keys.map(F.col): _*)).as("d"))
+          .collect().head
+        if (keyCounts.getLong(0) != keyCounts.getLong(1))
+          throw new LoweringException(
+            s"merge source has duplicate rows per key (${keys.mkString(", ")}): " +
+              s"${keyCounts.getLong(0)} rows, ${keyCounts.getLong(1)} distinct keys")
         val tKeys = t.select(keys.map(F.col): _*).distinct()
         val untouched = t.join(s.select(keys.map(F.col): _*).distinct(), keys, "left_anti")
         val merged =
@@ -556,6 +592,7 @@ object Lowering {
     case ModelRef(name, args) =>
       val m = ctx.models.getOrElse(name,
         throw new LoweringException(s"unknown model: $name"))
+      assertNoCycle(name, ctx.models.view.mapValues(_.body).toMap, "model")
       if (args.length > m.params.length)
         throw new LoweringException(
           s"model $name takes ${m.params.length} parameter(s), got ${args.length} argument(s)")
@@ -595,6 +632,8 @@ object Lowering {
           if (args.length != p.params.length)
             throw new LoweringException(
               s"partial query $name expects ${p.params.length} argument(s), got ${args.length}")
+          assertNoCycle(name.toLowerCase,
+            ctx.partials.view.mapValues(_.body).toMap, "partial query")
           val ctx2 =
             if (args.isEmpty) ctx
             else ctx.copy(vals = ctx.vals.clone() ++= p.params.zip(args))
@@ -974,9 +1013,19 @@ object Lowering {
       try ctx.tableResolver(resolved)
       catch {
         case e: Throwable =>
-          // fall back to the session catalog (saved tables, temp views)
+          // fall back to the session catalog (saved tables, temp views),
+          // then to the `use`d schema prefix for unqualified names
           try ctx.spark.table(resolved)
-          catch { case _: Throwable => throw e }
+          catch {
+            case _: Throwable =>
+              ctx.currentSchema.get("schema")
+                .filter(_ => !resolved.contains("."))
+                .flatMap { s =>
+                  try Some(ctx.spark.table(s"$s.$resolved"))
+                  catch { case _: Throwable => None }
+                }
+                .getOrElse(throw e)
+          }
       }
     }
 
@@ -1573,6 +1622,49 @@ object Lowering {
         rest.map(e => expr(e, ExprCtx(ctx, aggMode = false, dfOpt = Some(joined)))).reduce(_ && _))
       if (bound.isEmpty) filtered else filtered.drop(bound: _*)
     }
+  }
+
+  /** Reject (mutually) recursive model / partial-query definitions BEFORE
+    * expansion: a cycle would otherwise recurse without bound (reference:
+    * spec/neg recursive-model.wv, recursive-partial-query.wv — a user
+    * error, not a StackOverflowError). Static DFS over the definition
+    * graph; references collected by product walk so nested subqueries and
+    * pipe chains are covered. */
+  private def assertNoCycle(
+      start: String,
+      defs: Map[String, Relation],
+      what: String
+  ): Unit = {
+    def refs(r: Relation): Set[String] = {
+      val acc = Set.newBuilder[String]
+      def walk(x: Any): Unit = x match {
+        case TableRef(n) if defs.contains(n) => acc += n
+        case m @ ModelRef(n, _) =>
+          if (defs.contains(n)) acc += n
+          m.productIterator.foreach(walk)
+        case p @ PartialApply(_, n, _) =>
+          if (defs.contains(n.toLowerCase)) acc += n.toLowerCase
+          p.productIterator.foreach(walk)
+        case p: Product => p.productIterator.foreach(walk)
+        case it: Iterable[_] => it.foreach(walk)
+        case _ => ()
+      }
+      walk(r)
+      acc.result()
+    }
+    val visiting = mutable.Set.empty[String]
+    val done = mutable.Set.empty[String]
+    def dfs(n: String, path: List[String]): Unit = {
+      if (visiting.contains(n))
+        throw new LoweringException(
+          s"recursive $what reference: ${(path :+ n).mkString(" -> ")}")
+      if (done.contains(n)) return
+      visiting += n
+      defs.get(n).foreach(body => refs(body).foreach(dfs(_, path :+ n)))
+      visiting -= n
+      done += n
+    }
+    dfs(start, Nil)
   }
 
   /** Table names and aliases visible inside a relation tree (lowercased) —

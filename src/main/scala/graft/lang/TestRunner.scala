@@ -145,14 +145,21 @@ object TestRunner {
     * are extracted from the box drawing and compared as display strings —
     * robust to box-art width/alignment differences between engines. */
   private def outputEq(df: DataFrame, expected: String): Boolean = {
-    val cellLines = expected.linesIterator
+    val allLines = expected.linesIterator
       .map(_.trim)
       .filter(l => l.startsWith("│") || l.startsWith("|"))
       .map(_.split("[│|]").map(_.trim).filter(_.nonEmpty).toList)
       .filter(_.nonEmpty)
       .toList
-      // drop the "N rows" footer
+    // the "N rows" footer asserts the total row count (reference:
+    // spec/neg/test-failure.wv — a count mismatch must be detected)
+    val footerCount = allLines.collectFirst {
+      case cells if cells.length == 1 && cells.head.matches("\\d+ rows?.*") =>
+        cells.head.takeWhile(_.isDigit).toLong
+    }
+    val cellLines = allLines
       .filterNot(cells => cells.length == 1 && cells.head.matches("\\d+ rows?.*"))
+    if (footerCount.exists(_ != df.count())) return false
     if (cellLines.isEmpty) return df.count() == 0
     val header = cellLines.head
     // the reference renderer prints a type row under the header
