@@ -2445,7 +2445,7 @@ object Lowering {
 
   /** Spark type → language-level type display name (reference: long not
     * bigint, etc. — describe.wv output shape). */
-  private def wvTypeName(dt: DataType): String = dt match {
+  def wvTypeName(dt: DataType): String = dt match {
     case LongType => "long"
     case IntegerType => "int"
     case ShortType => "short"

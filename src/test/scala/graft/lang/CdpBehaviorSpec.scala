@@ -46,6 +46,19 @@ class CdpBehaviorSpec extends SparkTestBase {
     assert(out.filter(F.col("time").isNull || F.col("td_client_id").isNull).count() == 0)
   }
 
+  test("cdp_simple suite: behavior model with member-def filter executes") {
+    val dir = "/root/reference/spec/cdp_simple"
+    def read(f: String) = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/$f")))
+    val text = read("cdp_types_duckdb.wv") + "\n" + read("behavior.wv") +
+      "\n;\nfrom behavior_weblogs"
+    val ctx = Lowering.Context(spark, noTables, basePath = dir)
+    val out = Lowering.lowerStatements(Parser.parseStatements(text), ctx).get
+    val total = spark.read.parquet(s"$dir/data/weblogs").count()
+    val kept = out.count()
+    assert(kept > 0 && kept <= total, s"kept=$kept total=$total")
+  }
+
   test("customer.wv and cdp_types.wv parse (compile surface, reference parity)") {
     // the reference's own test for this suite is compile-only — match it for
     // the files behavior.wv does not execute
