@@ -99,6 +99,13 @@ sealed trait UnaryRelation extends Relation { def child: Relation }
 
 /** Named table (resolved through the session catalog / table resolver). */
 final case class TableRef(name: String) extends Relation
+/** s`name_${i}` interpolated identifier in FROM position — the name
+  * resolves at lowering from constant-foldable arguments (reference:
+  * backquote-interpolation.wv macro identifiers). */
+final case class TableRefDyn(interp: Interpolation) extends Relation
+/** `select as s`name_${i}`` — interpolated intermediate-result name. */
+final case class SelectAsNamedDyn(child: Relation, interp: Interpolation)
+    extends UnaryRelation
 /** `from m(arg, ...)` — parameterized model invocation, expanded at lowering
   * (reference: ModelScan, relation.scala:1106-1119). */
 final case class ModelRef(name: String, args: List[Expr]) extends Relation

@@ -547,7 +547,30 @@ object Lowering {
     case MethodCall(_, n, _) => n
     case FunctionCall(n, _, _, _) => n
     case Cast(inner, _, _) => exprName(inner, idx)
+    // reference auto-naming of unaliased string concatenation: the rendered
+    // SQL text, right-nested (spec/basic/string-concat.wv:
+    // `'a' + 'b' + 'c'` → `concat('a', concat('b', 'c'))`)
+    case b @ BinaryOp("+", _, _) if concatTerms(b).exists(_.isInstanceOf[StringLit]) =>
+      def nest(ts: List[String]): String = ts match {
+        case t :: Nil => t
+        case t :: rest => s"concat($t, ${nest(rest)})"
+        case Nil => ""
+      }
+      nest(concatTerms(b).map(sqlLitText))
     case _ => s"_c$idx"
+  }
+
+  private def concatTerms(e: Expr): List[Expr] = e match {
+    case BinaryOp("+", l, r) => concatTerms(l) ++ concatTerms(r)
+    case other => List(other)
+  }
+
+  private def sqlLitText(e: Expr): String = e match {
+    case StringLit(s) => "'" + s.replace("'", "''") + "'"
+    case LongLit(v) => v.toString
+    case DoubleLit(v) => v.toString
+    case Ident(n) => n
+    case other => other.toString
   }
 
   // ---------------------------------------------------------------------------
@@ -686,6 +709,11 @@ object Lowering {
       // relation (registered like a zero-arg model)
       ctx.models(name) = ModelDef(name, Nil, child)
       Plain(lower(child, ctx).alias(name))
+
+    case SelectAsNamedDyn(child, interp) =>
+      lowerRel(SelectAsNamed(child, resolveInterpName(interp, ctx)), ctx)
+    case TableRefDyn(interp) =>
+      lowerRel(TableRef(resolveInterpName(interp, ctx)), ctx)
 
     case Filter(child, cond) =>
       lowerRel(child, ctx) match {
@@ -909,7 +937,14 @@ object Lowering {
         } else df.select(F.col("*"), F.explode(arr).as(outName))
       )
 
-    case ExplainRel(child) =>
+    case ExplainRel(child0) =>
+      // `''` inside a triple-quoted sql""" block is the reference's escape
+      // for a literal quote (spec/basic/explain-sql.wv embeds
+      // `like ''%x%''`); unescape before handing the text to Spark's parser
+      val child = child0 match {
+        case RawSql(sql) if !sql.contains("'''") => RawSql(sql.replace("''", "'"))
+        case other => other
+      }
       val df = lower(child, ctx)
       import ctx.spark.implicits._
       Plain(Seq(df.queryExecution.explainString(
@@ -1622,6 +1657,30 @@ object Lowering {
         rest.map(e => expr(e, ExprCtx(ctx, aggMode = false, dfOpt = Some(joined)))).reduce(_ && _))
       if (bound.isEmpty) filtered else filtered.drop(bound: _*)
     }
+  }
+
+  /** Resolve an interpolated identifier s`name_${i}` to a concrete name:
+    * every argument must fold to a constant after val substitution
+    * (reference: backquote-interpolation.wv — model args and vals resolve
+    * in the caller's context before the interpolation evaluates). */
+  private def resolveInterpName(interp: Interpolation, ctx: Context): String = {
+    def fold(e0: Expr): Any = {
+      var e = e0
+      var i = 0
+      while (i < 10 && constValue(e).isEmpty) {
+        e = transformExpr(e) { case Ident(n) if ctx.vals.contains(n) => ctx.vals(n) }
+        i += 1
+      }
+      constValue(e).getOrElse(throw new LoweringException(
+        s"interpolated identifier requires constant arguments, got: $e0"))
+    }
+    val vals = interp.args.map(fold)
+    val sb = new StringBuilder
+    interp.parts.zipWithIndex.foreach { case (p, i) =>
+      sb ++= p
+      if (i < vals.length) sb ++= String.valueOf(vals(i))
+    }
+    sb.toString
   }
 
   /** Reject (mutually) recursive model / partial-query definitions BEFORE

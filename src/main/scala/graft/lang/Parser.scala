@@ -633,6 +633,13 @@ final class Parser(tokens: Vector[Token]) {
         advance(); val r = parseRelation(); expectOp("}"); BracedRelation(r)
       case TokenKind.Ident if peek.is("sql") && peek2.kind == TokenKind.StringLit =>
         advance(); RawSql(advance().text)
+      case TokenKind.Ident if peek.is("s") && peek2.kind == TokenKind.BackquotedIdent =>
+        // from s`name_${i}` — interpolated table identifier
+        advance()
+        parseInterpolation(advance().text) match {
+          case it: Interpolation => TableRefDyn(it)
+          case _ => fail("expected interpolated identifier")
+        }
       case TokenKind.Ident if peek.is("json") && peek2.kind == TokenKind.StringLit =>
         advance(); RawJson(advance().text)
       case TokenKind.Ident if peek.is("unnest") && peek2.is("(") =>
@@ -1000,7 +1007,15 @@ final class Parser(tokens: Vector[Token]) {
   private def parseSelectOp(rel: Relation): Relation = {
     expectKw("select")
     if (accept("distinct")) Project(rel, parseSelectItems(), distinct = true)
-    else if (accept("as")) SelectAsNamed(rel, identName())
+    else if (accept("as")) {
+      if (peek.is("s") && peek2.kind == TokenKind.BackquotedIdent) {
+        advance()
+        parseInterpolation(advance().text) match {
+          case it: Interpolation => SelectAsNamedDyn(rel, it)
+          case _ => fail("expected interpolated identifier")
+        }
+      } else SelectAsNamed(rel, identName())
+    }
     else if (peek.is("*") && (peek2.is("exclude"))) {
       advance(); advance()
       val withParen = accept("(")

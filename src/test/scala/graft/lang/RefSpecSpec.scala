@@ -21,13 +21,7 @@ import scala.jdk.CollectionConverters._
   * siblings are pre-registered before each file runs.
   *
   * Excluded (with reasons — revisit as coverage widens):
-  *   - backquote-interpolation.wv: macro-style interpolated identifiers
-  *     (s`name_${i}`)
-  *   - explain-sql.wv: references TPC-H columns (o_comment) absent from the
-  *     synthetic testdata tables
   *   - q5.wv: reads a remote package path (no egress)
-  *   - string-concat.wv: expects reference SQL-text auto-naming of unaliased
-  *     expressions (concat('hello', ' wvlet!'))
   *   - catalog/information_schema.wv: DuckDB information_schema emulation
   *     (wv_tables model over duckdb system tables)
   *   - the duckdb/ files: raw DuckDB SQL and duckdb_functions() surface —
@@ -37,8 +31,7 @@ class RefSpecSpec extends SparkTestBase {
 
   private val specDir = "/root/reference/spec/basic"
   private val excluded = Set(
-    "backquote-interpolation.wv", "explain-sql.wv",
-    "q5.wv", "string-concat.wv",
+    "q5.wv",
     "information_schema.wv",
     "array_value.wv", "execute.wv", "from_table_function.wv",
     "map_value.wv", "raw_sql.wv")
@@ -73,10 +66,17 @@ class RefSpecSpec extends SparkTestBase {
 
   test("reference spec corpus: every included file passes its own assertions") {
     assume(specFiles.nonEmpty, "reference spec corpus not present")
-    // raw-SQL specs reference TPC-H-ish tables by bare name
+    // raw-SQL specs reference TPC-H tables by bare name; the reference's
+    // own dbgen data has the FULL schema (o_comment etc., explain-sql.wv),
+    // testdata fills in the tables tpch lacks (events/documents/embeddings)
     graft.Tables.names.foreach { n =>
-      try graft.Tables.read(spark, "/root/testdata/sf0.001", n).createOrReplaceTempView(n)
-      catch { case _: Throwable => () }
+      try {
+        val tpch = s"/root/reference/spec/tpch/data/$n.parquet"
+        val df =
+          if (new java.io.File(tpch).exists()) spark.read.parquet(tpch)
+          else graft.Tables.read(spark, "/root/testdata/sf0.001", n)
+        df.createOrReplaceTempView(n)
+      } catch { case _: Throwable => () }
     }
     // stale managed tables + warehouse dirs from previous JVMs
     def rmrf(x: java.io.File): Unit = {
