@@ -85,6 +85,17 @@ class RefSqlSpec extends SparkTestBase {
     spark.sql("CREATE OR REPLACE VIEW test_view AS SELECT 1 AS v")
   }
 
+  test("sql/benchmark corpus: every query executes") {
+    val dir = "/root/reference/spec/sql/benchmark"
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".sql"))
+      .sortBy(_.getName).foreach { f =>
+        val text = new String(java.nio.file.Files.readAllBytes(f.toPath))
+        val n = graft.Graft.sqlScript(spark, text, None).count()
+        info(s"${f.getName} -> $n rows")
+        assert(n > 0, s"${f.getName} returned no rows")
+      }
+  }
+
   test("sql/basic corpus: included files execute statement-by-statement") {
     fixtures()
     val files = new java.io.File(sqlDir).listFiles()
