@@ -1463,6 +1463,34 @@ object QueryCatalog {
       """)
     ),
     (
+      "q_chunk_documents", // overlapping word-window chunking (explode plan)
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        graft.operators.Chunking.chunkDocuments(docs, "doc_id", "text",
+          chunkWords = 40, overlapWords = 8)
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""
+        WITH words AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents
+        ),
+        counted AS (
+          SELECT doc_id, w,
+                 greatest(CAST(ceil((len(w) - 8) / 32.0) AS INT), 1) AS n
+          FROM words
+        ),
+        expanded AS (
+          SELECT doc_id, w, unnest(range(0, n)) AS i FROM counted
+        )
+        SELECT doc_id, i AS chunk_id,
+               array_to_string(w[i*32+1 : i*32+40], ' ') AS chunk_text,
+               len(w[i*32+1 : i*32+40])::BIGINT AS n_words
+        FROM expanded
+        ORDER BY doc_id, chunk_id
+      """)
+    ),
+    (
       "q_multimodal_frames", // explode plan for frame sampling (stub decode)
       (spark, dir) => {
         val docs = Tables.read(spark, dir, "documents")

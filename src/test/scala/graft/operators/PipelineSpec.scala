@@ -61,6 +61,28 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 8887L && r.getInt(2) == 0))
   }
 
+  test("chunking: overlapping word windows cover every word, empty doc = 1 chunk") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 words
+      (2L, "only three words"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val chunks = Chunking.chunkDocuments(docs, "doc_id", "text",
+      chunkWords = 40, overlapWords = 10).collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    // 100 words, stride 30: ceil((100-10)/30) = 3 chunks
+    assert(byDoc(1L).length == 3)
+    // overlap: chunk 1 starts at word 31 — words 31..40 shared with chunk 0
+    val c0 = byDoc(1L).find(_.getInt(1) == 0).get.getString(2).split(" ")
+    val c1 = byDoc(1L).find(_.getInt(1) == 1).get.getString(2).split(" ")
+    assert(c0.takeRight(10).toList == c1.take(10).toList)
+    // full coverage: union of all chunk words = all 100 words
+    assert(byDoc(1L).flatMap(_.getString(2).split(" ")).toSet.size == 100)
+    assert(byDoc(2L).length == 1 && byDoc(2L).head.getInt(3) == 3)
+    assert(byDoc(3L).length == 1)
+  }
+
   test("ngram jaccard: identical doc has jaccard 1.0") {
     import spark.implicits._
     val base = docs.limit(10).select("doc_id", "text")
