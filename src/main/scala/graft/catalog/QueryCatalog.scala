@@ -210,6 +210,60 @@ object QueryCatalog {
       """)
     ),
 
+    (
+      "q_column_transform", // transform (in-place column rewrite) + prepend
+      wv("""
+        from region
+        transform r_name = r_name.lower
+        prepend tag = 'r' + r_regionkey
+        order by r_regionkey
+      """),
+      Some("""
+        SELECT 'r' || r_regionkey AS tag, r_regionkey, lower(r_name) AS r_name
+        FROM region ORDER BY r_regionkey
+      """)
+    ),
+    (
+      "q_select_as_alias", // select-as names the intermediate; from re-derives it
+      wv("""
+        from region
+        where r_regionkey < 3
+        select as small_regions
+        from small_regions
+        select r_regionkey, r_name
+        order by r_regionkey
+      """),
+      Some("""
+        SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 3
+        ORDER BY r_regionkey
+      """)
+    ),
+    (
+      "q_raw_json", // inline JSON rows (RawJSON relation)
+      wv("""
+        from json"[{\"id\": 1, \"name\": \"a\"}, {\"id\": 2, \"name\": \"b\"}]"
+        order by id
+      """),
+      Some("""
+        SELECT id::BIGINT AS id, name
+        FROM (VALUES (1, 'a'), (2, 'b')) AS t(id, name) ORDER BY id
+      """)
+    ),
+    (
+      "q_at_time_zone", // AT TIME ZONE conversion over event timestamps
+      wv("""
+        from events
+        select event_id, hr = (ts at time zone 'Asia/Tokyo').hour
+        order by event_id
+        limit 500
+      """),
+      Some("""
+        SELECT event_id,
+               CAST(extract(hour FROM timezone('Asia/Tokyo', ts::TIMESTAMPTZ)) AS INT) AS hr
+        FROM events ORDER BY event_id LIMIT 500
+      """)
+    ),
+
     // =========================================================================
     // D. Joins (SURVEY §2.D)
     // =========================================================================
@@ -1120,6 +1174,49 @@ object QueryCatalog {
         WHERE NOT (o_orderstatus = 'F' OR o_totalprice < 100000)
         ORDER BY o_orderkey
       """)
+    ),
+    (
+      "q_dml_append", // append-to accumulates; read back the union
+      (spark, dir) => {
+        val tmp = System.getProperty("java.io.tmpdir").stripSuffix("/") +
+          "/graft_q_dml_append.parquet"
+        Graft.query(spark, s"""
+          from nation
+          select n_nationkey = n_nationkey::long, n_name
+          save to '$tmp'
+          ;
+          from region
+          select n_nationkey = r_regionkey::long + 1000, n_name = r_name
+          append to '$tmp'
+          ;
+          from '$tmp'
+          order by n_nationkey
+        """, Tables.resolver(spark, dir), basePath = dir)
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT n_nationkey::BIGINT AS n_nationkey, n_name FROM nation
+          UNION ALL
+          SELECT r_regionkey::BIGINT + 1000, r_name FROM region
+        ) ORDER BY n_nationkey
+      """)
+    ),
+    (
+      "q_dml_truncate", // truncate empties in place; count survivors
+      (spark, dir) => {
+        val tmp = System.getProperty("java.io.tmpdir").stripSuffix("/") +
+          "/graft_q_dml_trunc.parquet"
+        Graft.query(spark, s"""
+          from region
+          save to '$tmp'
+          ;
+          truncate '$tmp'
+          ;
+          from '$tmp'
+          count
+        """, Tables.resolver(spark, dir), basePath = dir)
+      },
+      Some("SELECT 0::BIGINT AS \"count\"")
     ),
     (
       "q_dml_insert_overwrite", // insert overwrite replaces target contents
