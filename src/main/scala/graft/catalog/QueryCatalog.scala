@@ -1560,6 +1560,58 @@ object QueryCatalog {
       """)
     ),
     (
+      "q_text_redact_pii", // deterministic PII scrub (emails/phones/IPv4)
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        docs.select(
+          F.col("doc_id"),
+          TextFunctions.redactPii(F.concat(
+            F.lit("contact user"), F.col("doc_id"), F.lit("@example.com or +1-555-123-4567 at 10.0.0."),
+            (F.col("doc_id") % 255).cast("string"), F.lit(" re: "),
+            F.substring(F.col("text"), 1, 80))).as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                'contact user' || doc_id || '@example.com or +1-555-123-4567 at 10.0.0.' ||
+                  CAST(doc_id % 255 AS VARCHAR) || ' re: ' || substring(text, 1, 80),
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+            '\+?\d{1,3}[-. ]?\(?\d{2,4}\)?[-. ]?\d{3,4}[-. ]?\d{3,4}', '<PHONE>', 'g')
+            AS redacted
+        FROM documents ORDER BY doc_id
+      """)
+    ),
+    (
+      "q_text_strip_html", // web-scrape markup removal (regex cleaning pass)
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        docs.select(
+          F.col("doc_id"),
+          TextFunctions.stripHtml(F.concat(
+            F.lit("<p>Intro <b>bold</b> &amp; entity</p><script>var x = 1;</script>"),
+            F.substring(F.col("text"), 1, 60))).as("cleaned"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+          trim(regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  '<p>Intro <b>bold</b> &amp; entity</p><script>var x = 1;</script>' ||
+                    substring(text, 1, 60),
+                  '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+                '<[^>]+>', ' ', 'g'),
+              '&(amp|lt|gt|quot|nbsp|#\d+);', ' ', 'g'),
+            '\s+', ' ', 'g')) AS cleaned
+        FROM documents ORDER BY doc_id
+      """)
+    ),
+    (
       "q_chunk_documents", // overlapping word-window chunking (explode plan)
       (spark, dir) => {
         val docs = Tables.read(spark, dir, "documents")

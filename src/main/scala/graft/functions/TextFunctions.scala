@@ -95,6 +95,39 @@ object TextFunctions {
     F.round(lengthScore * 0.3 + alpha * 0.3 + stop * 0.2 + wordLenScore * 0.2, 4)
   }
 
+  // --- corpus cleaning -------------------------------------------------------
+
+  /** PII patterns shared with the SQL oracle VERBATIM — deterministic regex
+    * redaction of emails, international-ish phone numbers, and IPv4
+    * addresses (the standard pre-training scrub; engine-portable, no UDF). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+?\\d{1,3}[-. ]?\\(?\\d{2,4}\\)?[-. ]?\\d{3,4}[-. ]?\\d{3,4}"
+  val ipv4Pattern = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** Redact emails/phones/IPv4s with typed placeholders. Order matters:
+    * emails first (their local part can look like a phone run), then IPs
+    * (dotted digits would otherwise half-match the phone pattern), then
+    * phones. */
+  def redactPii(text: Column): Column = {
+    val noEmail = F.regexp_replace(text, emailPattern, "<EMAIL>")
+    val noIp = F.regexp_replace(noEmail, ipv4Pattern, "<IP>")
+    F.regexp_replace(noIp, phonePattern, "<PHONE>")
+  }
+
+  /** Strip HTML/XML markup: script and style blocks wholesale, then tags,
+    * then common entities, then whitespace collapse. A regex approximation
+    * by design — real DOM parsing needs a decode kernel; this is the
+    * deterministic, SQL-replicable cleaning pass that covers web-scrape
+    * boilerplate. */
+  def stripHtml(text: Column): Column = {
+    val noBlocks = F.regexp_replace(text,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = F.regexp_replace(noBlocks, "<[^>]+>", " ")
+    val noEntities = F.regexp_replace(noTags,
+      "&(amp|lt|gt|quot|nbsp|#\\d+);", " ")
+    F.trim(F.regexp_replace(noEntities, "\\s+", " "))
+  }
+
   // --- language identification ----------------------------------------------
 
   /** Stopword-overlap language ID over {en, de, fr, es}; deterministic

@@ -61,6 +61,25 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 8887L && r.getInt(2) == 0))
   }
 
+  test("pii redaction and html stripping are total and deterministic") {
+    import spark.implicits._
+    val rows = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "call +44 20 7946 0958 or 555-123-4567",
+      "server at 192.168.1.254 is up",
+      "<div class='x'>Hi <b>there</b></div><style>p{}</style> &amp; bye",
+      ""
+    ).toDF("t").select(
+      graft.functions.TextFunctions.redactPii($"t").as("r"),
+      graft.functions.TextFunctions.stripHtml($"t").as("h"))
+      .collect()
+    assert(rows(0).getString(0) == "mail <EMAIL> now")
+    assert(rows(1).getString(0) == "call <PHONE> or <PHONE>")
+    assert(rows(2).getString(0) == "server at <IP> is up")
+    assert(rows(3).getString(1) == "Hi there bye")
+    assert(rows(4).getString(0) == "" && rows(4).getString(1) == "")
+  }
+
   test("chunking: overlapping word windows cover every word, empty doc = 1 chunk") {
     import spark.implicits._
     val docs = Seq(
