@@ -188,7 +188,88 @@ object SqlDialect {
     s = convertAtTimeZone(s)
     // Trino 2-argument if(c, v) → if(c, v, NULL)
     s = convertTwoArgIf(s)
+    // DuckDB MAP {'k': v, …} struct-ish literal → map('k', v, …)
+    s = convertMapBraces(s)
     s
+  }
+
+  /** Normalize a raw `sql"…"` fragment that Spark's parser rejected: the
+    * full expression rewrite plus DuckDB-only literal forms that are too
+    * ambiguous to apply to whole scripts — bare `[1, 2, 3]` array literals
+    * (distinguished from subscripts `a[1]` by the preceding token). */
+  private[graft] def normalizeRawFragment(sql0: String): String =
+    convertBareArrayBrackets(rewriteExpressions(sql0))
+
+  /** DuckDB `MAP {'k1': v1, 'k2': v2}` → `map('k1', v1, 'k2', v2)`. */
+  private def convertMapBraces(s0: String): String = {
+    var s = s0
+    val re = """(?i)\bMAP\s*\{""".r
+    var continue = true
+    while (continue) {
+      findOutsideStrings(s, re) match {
+        case None => continue = false
+        case Some((start, openIdx)) =>
+          val close = matchDelim(s, openIdx, '{', '}')
+          if (close < 0) continue = false
+          else {
+            val inner = s.substring(openIdx + 1, close)
+            val pairs = splitTopLevel(inner).flatMap { kv =>
+              // split on the FIRST top-level colon (values may nest maps)
+              val mask = stringMask(kv)
+              var depth = 0; var cut = -1; var i = 0
+              while (i < kv.length && cut < 0) {
+                val c = kv.charAt(i)
+                if (!mask(i)) {
+                  if (c == '(' || c == '[' || c == '{') depth += 1
+                  else if (c == ')' || c == ']' || c == '}') depth -= 1
+                  else if (c == ':' && depth == 0) cut = i
+                }
+                i += 1
+              }
+              if (cut < 0) List(kv.trim)
+              else List(kv.substring(0, cut).trim, kv.substring(cut + 1).trim)
+            }
+            s = s.substring(0, start) + "map(" + pairs.mkString(", ") + ")" +
+              s.substring(close + 1)
+          }
+      }
+    }
+    s
+  }
+
+  /** DuckDB bare array literals `[e1, e2]` → `array(e1, e2)`, leaving
+    * subscripts `a[1]` / `f(x)[2]` alone: a `[` is a literal only when the
+    * preceding non-space character cannot END an operand (start of input,
+    * `(`, `[`, `{`, `,` or an operator/colon). */
+  private def convertBareArrayBrackets(s0: String): String = {
+    val mask = stringMask(s0)
+    def isLiteralStart(idx: Int): Boolean = {
+      var j = idx - 1
+      while (j >= 0 && Character.isWhitespace(s0.charAt(j))) j -= 1
+      if (j < 0) true
+      else "([{,=<>+-*/%:&|!".indexOf(s0.charAt(j)) >= 0 ||
+        // a preceding KEYWORD (select, where, then, and, …) also opens an
+        // operand position; identifiers/`)`/`]`/quotes close one (subscript)
+        {
+          var k = j
+          while (k >= 0 && (Character.isLetterOrDigit(s0.charAt(k)) || s0.charAt(k) == '_')) k -= 1
+          val word = s0.substring(k + 1, j + 1).toLowerCase
+          Set("select", "where", "when", "then", "else", "and", "or", "not",
+            "in", "values", "on", "having", "by", "as", "return", "union",
+            "all", "distinct", "case").contains(word)
+        }
+    }
+    val openIdx = s0.indices.find(i => !mask(i) && s0.charAt(i) == '[' && isLiteralStart(i))
+    openIdx match {
+      case None => s0
+      case Some(i) =>
+        val close = matchDelim(s0, i, '[', ']')
+        if (close < 0) s0
+        else convertBareArrayBrackets(
+          s0.substring(0, i) + "array(" +
+            convertBareArrayBrackets(s0.substring(i + 1, close)) + ")" +
+            s0.substring(close + 1))
+    }
   }
 
   // --- helpers ---------------------------------------------------------------

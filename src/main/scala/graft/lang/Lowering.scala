@@ -116,10 +116,26 @@ object Lowering {
         val mode = if (append) "append" else "overwrite"
         var w = df.write.mode(mode)
         if (parts.nonEmpty) w = w.partitionBy(parts: _*)
+        // bucketed_on/bucket_count (reference td-trino/create-table-with.wv)
+        // → Spark bucketBy: hash-bucketed managed tables let later equi-joins
+        // and aggregations on the bucket key skip the shuffle entirely
+        val bucketCols = options.collectFirst {
+          case ("bucketed_on", v) => v.split(',').map(_.trim).filter(_.nonEmpty)
+        }.getOrElse(Array.empty[String])
+        val bucketCount = options.collectFirst {
+          case ("bucket_count", v) => v.replace("_", "").toInt
+        }.getOrElse(8)
+        // (bucketBy is a table-catalog feature; Spark's path writer rejects
+        // it, so a bucketed save to a raw path ignores the bucketing spec)
+        if (bucketCols.nonEmpty && !isPathTarget(target))
+          w = w.bucketBy(bucketCount, bucketCols.head, bucketCols.tail: _*)
         // writer options (`with compression: 'zstd'`): compression maps to
         // the parquet codec; engine-specific knobs (row_group_size) pass
         // through and are ignored by datasources that lack them
-        options.foreach { case (k, v) => w = w.option(k, v) }
+        options.foreach {
+          case ("bucketed_on", _) | ("bucket_count", _) => ()
+          case (k, v) => w = w.option(k, v)
+        }
         if (isPathTarget(target)) {
           val path = resolveTargetPath(target, ctx)
           if (target.endsWith(".csv")) w.option("header", "true").csv(path)
@@ -406,10 +422,10 @@ object Lowering {
   private def materialize(res: LRes, ctx: Context): DataFrame = res match {
     case Plain(df) => df
     case g @ Grouped(df, keys, _, _, _) =>
-      val keyNames = keys.zipWithIndex.map { case (k, i) => itemName(k, i) }
-      val others = df.columns.filterNot(c => keyNames.exists(_.equalsIgnoreCase(c)))
-      // reference naming: non-key columns surface as arbitrary(col)
-      val aggs = others.map(c => F.any_value(F.col(c)).as(s"arbitrary($c)"))
+      // reference naming: EVERY input column (the grouping keys included)
+      // surfaces as arbitrary(col) after the keys — SqlGenerator.scala:1252
+      // `keys ++ defaultAggExprs` maps over all inputRelationType.fields
+      val aggs = df.columns.map(c => F.any_value(F.col(c)).as(s"arbitrary($c)"))
       aggregate(g, aggs.toList, Nil, ctx)
   }
 
@@ -597,6 +613,47 @@ object Lowering {
           throw new LoweringException("parquet_metadata expects one path string")
       }
 
+    case ModelRef(name, Nil) if !ctx.models.contains(name) &&
+        name.toLowerCase == "wv_tables" =>
+      // stdlib catalog model (reference wvlet-stdlib/module/standard/
+      // catalog.wv: information_schema.tables projected to 4 columns). The
+      // reference's in-memory engine names its default catalog memory.main;
+      // the in-memory session catalog here presents the same logical names
+      // so catalog queries are portable across the two engines.
+      import ctx.spark.implicits._
+      val rows = ctx.spark.catalog.listTables().collect().toSeq.map { t =>
+        val schema = t.database match {
+          case null | "" | "default" => "main"
+          case d => d
+        }
+        val tpe =
+          if (t.tableType == "TEMPORARY" || t.tableType == "VIEW") "VIEW"
+          else "BASE TABLE"
+        ("memory", schema, t.name, tpe)
+      }.sortBy(r => (r._2, r._3))
+      Plain(rows.toDF("catalog", "schema", "name", "table_type"))
+
+    case ModelRef(name, Nil) if !ctx.models.contains(name) &&
+        name.toLowerCase == "wv_schemas" =>
+      import ctx.spark.implicits._
+      val rows = ctx.spark.catalog.listDatabases().collect().toSeq
+        .map(d => ("memory", if (d.name == "default") "main" else d.name))
+        .sortBy(_._2)
+      Plain(rows.toDF("catalog", "name"))
+
+    case ModelRef(name, Nil) if !ctx.models.contains(name) &&
+        name.toLowerCase == "duckdb_functions" =>
+      // engine-registry table function (reference spec/basic/duckdb/
+      // from_table_function.wv): DuckDB-shaped columns over THIS engine's
+      // function registry — same surface, engine-native contents
+      import ctx.spark.implicits._
+      val builtin = ctx.spark.catalog.listFunctions().collect().toSeq
+        .map(f => (f.name, "scalar", null: String))
+      val user = (ctx.funcs.keys.map((_, "macro", null: String)).toSeq ++
+        ctx.partials.keys.map((_, "table_macro", null: String)).toSeq)
+      Plain((builtin ++ user).sortBy(_._1)
+        .toDF("function_name", "function_type", "return_type"))
+
     case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "range" =>
       // builtin table function: range(n) / range(start, end[, step]) → id
@@ -669,7 +726,18 @@ object Lowering {
       // alias by file basename (sans extension) for qualified refs
       val baseName = path.split('/').last.takeWhile(_ != '.')
       Plain(if (baseName.nonEmpty && baseName.head.isLetter) base.alias(baseName) else base)
-    case RawSql(sql) => Plain(ctx.spark.sql(sql))
+    case RawSql(sql) =>
+      // sql"…" is Spark SQL first; if Spark's parser rejects the fragment,
+      // retry once through the dialect shim (DuckDB bare-bracket arrays,
+      // MAP{…} literals, typed literals — duckdb/array_value.wv etc.)
+      Plain(
+        try ctx.spark.sql(sql)
+        catch {
+          case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+            val translated = graft.SqlDialect.normalizeRawFragment(sql)
+            if (translated == sql) throw e
+            else ctx.spark.sql(translated)
+        })
     case RawJson(json) =>
       import ctx.spark.implicits._
       Plain(ctx.spark.read.json(ctx.spark.createDataset(Seq(json))))

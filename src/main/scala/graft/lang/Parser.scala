@@ -270,6 +270,17 @@ final class Parser(tokens: Vector[Token]) {
             val v = peek.kind match {
               case TokenKind.StringLit | TokenKind.LongLit | TokenKind.DoubleLit =>
                 advance().text
+              case _ if peek.is("[") =>
+                // array option value (reference td-trino/create-table-with.wv:
+                // `bucketed_on: ['id']`) — serialized as a comma-joined list
+                advance()
+                val items = List.newBuilder[String]
+                if (!peek.is("]")) {
+                  items += advance().text
+                  while (accept(",")) if (!peek.is("]")) items += advance().text
+                }
+                expectOp("]")
+                items.result().mkString(",")
               case _ => fail("expected save option value")
             }
             opts += ((k, v))

@@ -20,28 +20,28 @@ import scala.jdk.CollectionConverters._
   * sibling files — declaration statements (models/vals/defs/types) from
   * siblings are pre-registered before each file runs.
   *
-  * Excluded (with reasons — revisit as coverage widens):
+  * Excluded (path-suffix matched, with reasons — revisit as coverage
+  * widens):
   *   - q5.wv: reads a remote package path (no egress)
-  *   - catalog/information_schema.wv: DuckDB information_schema emulation
-  *     (wv_tables model over duckdb system tables)
-  *   - the duckdb/ files: raw DuckDB SQL and duckdb_functions() surface —
+  *   - duckdb/execute.wv: `install inet` loads a DuckDB native extension —
   *     engine-specific by the directory's own design
+  * (The other duckdb/ files and catalog/information_schema.wv now run:
+  * raw-SQL fragments retry through the dialect shim, and wv_tables()/
+  * wv_schemas()/duckdb_functions() are native table functions.)
   */
 class RefSpecSpec extends SparkTestBase {
 
   private val specDir = "/root/reference/spec/basic"
   private val excluded = Set(
     "q5.wv",
-    "information_schema.wv",
-    "array_value.wv", "execute.wv", "from_table_function.wv",
-    "map_value.wv", "raw_sql.wv")
+    "duckdb/execute.wv")
 
   private lazy val specFiles: Seq[Path] = {
     val dir = Paths.get(specDir)
     if (!Files.isDirectory(dir)) Seq.empty
     else Files.walk(dir).iterator().asScala // recursive: model/, update/ too
       .filter(_.toString.endsWith(".wv"))
-      .filterNot(p => excluded.contains(p.getFileName.toString))
+      .filterNot(p => excluded.exists(e => p.toString.endsWith("/" + e)))
       .toSeq.sortBy(_.toString)
   }
 
