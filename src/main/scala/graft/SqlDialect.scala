@@ -190,7 +190,80 @@ object SqlDialect {
     s = convertTwoArgIf(s)
     // DuckDB MAP {'k': v, …} struct-ish literal → map('k', v, …)
     s = convertMapBraces(s)
+    // array_agg(expr ORDER BY …) → struct-sort rewrite (Spark SQL has no
+    // ordered-aggregate syntax; the flow front-end supports it natively)
+    s = convertOrderedArrayAgg(s)
+    // `_` as a lambda parameter (reference issue #1243) — Spark reserves
+    // `_`-leading names in lambdas; rename the standalone token
+    if (replaceOutsideStrings(s, """\(?\s*_\s*\)?\s*->""", "").length != s.length)
+      s = replaceOutsideStrings(s, """(?<![A-Za-z0-9_])_(?![A-Za-z0-9_])""", "__lv")
+    // Trino ROW(...)-type CAST algebra → Spark struct types, then ROW value
+    // constructors → struct(...)
+    s = convertRowTypes(s)
+    // single-parameter parenthesized lambda `(x) -> …` → `x -> …` (Spark's
+    // grammar only parenthesizes multi-parameter lambdas)
+    s = replaceOutsideStrings(s,
+      """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*->""", "$1 ->")
+    // `VALUES (struct(…))` single-struct rows: Spark's inline-table rule
+    // expands a lone struct row into its fields, breaking 1-column aliases —
+    // rewrite to a SELECT chain that keeps the struct value intact
+    s = convertStructValuesRows(s)
     s
+  }
+
+  /** `(VALUES (struct(…))[, (struct(…))]*) AS t(x)` → `(SELECT struct(…) AS
+    * x [UNION ALL SELECT …]) t`. Only engages when every row is a single
+    * top-level struct(...) expression and the alias names exactly one
+    * column (the Trino ROW-value inline-table idiom). */
+  private def convertStructValuesRows(s0: String): String = {
+    val re = """(?i)\(\s*VALUES\s*\(""".r
+    findOutsideStrings(s0, re) match {
+      case None => s0
+      case Some((start, firstOpen)) =>
+        // collect the parenthesized rows
+        var rows = List.newBuilder[String]
+        var open = firstOpen
+        var ok = true
+        var end = -1
+        var continue = true
+        while (continue) {
+          val close = matchDelim(s0, open, '(', ')')
+          if (close < 0) { ok = false; continue = false }
+          else {
+            rows += s0.substring(open + 1, close)
+            // next non-space: ',' → another row; ')' → end of VALUES
+            var j = close + 1
+            while (j < s0.length && Character.isWhitespace(s0.charAt(j))) j += 1
+            if (j < s0.length && s0.charAt(j) == ',') {
+              var k = j + 1
+              while (k < s0.length && Character.isWhitespace(s0.charAt(k))) k += 1
+              if (k < s0.length && s0.charAt(k) == '(') { open = k }
+              else { ok = false; continue = false }
+            } else if (j < s0.length && s0.charAt(j) == ')') {
+              end = j; continue = false
+            } else { ok = false; continue = false }
+          }
+        }
+        val aliasRe = """(?is)^\s*(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
+        val after = if (end >= 0) s0.substring(end + 1) else ""
+        val rowList = rows.result()
+        val allStruct = rowList.nonEmpty && rowList.forall { r =>
+          r.trim.toLowerCase.startsWith("struct(") &&
+            splitTopLevel(r).lengthCompare(1) == 0
+        }
+        aliasRe.findFirstMatchIn(after) match {
+          case Some(m) if ok && allStruct =>
+            val (tbl, col) = (m.group(1), m.group(2))
+            val sel = rowList.map(r => s"SELECT ${r.trim} AS $col").mkString(" UNION ALL ")
+            val rebuilt = s"($sel) $tbl" + after.substring(m.end)
+            convertStructValuesRows(s0.substring(0, start) + rebuilt)
+          case _ =>
+            // leave untouched; avoid rescanning the same site by translating
+            // only the remainder after this VALUES keyword
+            val head = s0.substring(0, firstOpen + 1)
+            head + convertStructValuesRows(s0.substring(firstOpen + 1))
+        }
+      }
   }
 
   /** Normalize a raw `sql"…"` fragment that Spark's parser rejected: the
@@ -199,6 +272,187 @@ object SqlDialect {
     * (distinguished from subscripts `a[1]` by the preceding token). */
   private[graft] def normalizeRawFragment(sql0: String): String =
     convertBareArrayBrackets(rewriteExpressions(sql0))
+
+  /** `array_agg([DISTINCT] expr ORDER BY k1 [ASC|DESC] [NULLS F|L], …)` →
+    * `transform(array_sort(array_agg([DISTINCT] struct(expr AS __v, k1 AS
+    * __k1, …)), (l, r) -> CASE…), s -> s.__v)`. The struct agg keeps rows
+    * whose ORDER keys are null (the comparator places them per the NULLS
+    * clause; default asc→last, desc→first, the Trino/DuckDB default). */
+  private def convertOrderedArrayAgg(s0: String): String = {
+    var s = s0
+    val re = """(?i)\barray_agg\s*\(""".r
+    var searchFrom = 0
+    var continue = true
+    while (continue) {
+      val sub = s.substring(searchFrom)
+      findOutsideStrings(sub, re) match {
+        case None => continue = false
+        case Some((start0, openIdx0)) =>
+          val start = searchFrom + start0
+          val openIdx = searchFrom + openIdx0
+          val close = matchDelim(s, openIdx, '(', ')')
+          if (close < 0) continue = false
+          else {
+            val inner = s.substring(openIdx + 1, close)
+            // top-level ORDER BY split (outside strings, depth 0)
+            val mask = stringMask(inner)
+            val obRe = """(?i)\bORDER\s+BY\b""".r
+            val obAt = obRe.findAllMatchIn(inner).find { m =>
+              !mask(m.start) && {
+                var depth = 0
+                var i = 0
+                var top = true
+                while (i < m.start) {
+                  val c = inner.charAt(i)
+                  if (!mask(i)) {
+                    if (c == '(' || c == '[') depth += 1
+                    else if (c == ')' || c == ']') depth -= 1
+                  }
+                  i += 1
+                }
+                top && depth == 0
+              }
+            }
+            obAt match {
+              case None => searchFrom = close + 1
+              case Some(m) =>
+                var exprPart = inner.substring(0, m.start).trim
+                val distinct = """(?i)^DISTINCT\b""".r.findFirstIn(exprPart).isDefined
+                if (distinct) exprPart = exprPart.substring("DISTINCT".length).trim
+                val keys = splitTopLevel(inner.substring(m.end)).map { k0 =>
+                  var k = k0.trim
+                  var desc = false
+                  var nullsFirst: Option[Boolean] = None
+                  val nf = """(?i)\s+NULLS\s+(FIRST|LAST)\s*$""".r
+                  nf.findFirstMatchIn(k).foreach { mm =>
+                    nullsFirst = Some(mm.group(1).equalsIgnoreCase("FIRST"))
+                    k = k.substring(0, mm.start).trim
+                  }
+                  val ad = """(?i)\s+(ASC|DESC)\s*$""".r
+                  ad.findFirstMatchIn(k).foreach { mm =>
+                    desc = mm.group(1).equalsIgnoreCase("DESC")
+                    k = k.substring(0, mm.start).trim
+                  }
+                  (k, desc, nullsFirst.getOrElse(desc)) // default: asc→nulls last, desc→nulls first
+                }
+                val fields = (s"($exprPart) AS __v" ::
+                  keys.zipWithIndex.map { case ((k, _, _), i) => s"($k) AS __k$i" }).mkString(", ")
+                val cmp = keys.zipWithIndex.flatMap { case ((_, desc, nFirst), i) =>
+                  val (lt, gt) = if (desc) ("1", "-1") else ("-1", "1")
+                  val (nl, nr) = if (nFirst) ("-1", "1") else ("1", "-1")
+                  List(
+                    s"WHEN l.__k$i IS NULL AND r.__k$i IS NOT NULL THEN $nl",
+                    s"WHEN r.__k$i IS NULL AND l.__k$i IS NOT NULL THEN $nr",
+                    s"WHEN l.__k$i < r.__k$i THEN $lt",
+                    s"WHEN l.__k$i > r.__k$i THEN $gt")
+                }.mkString(" ")
+                val distinctKw = if (distinct) "DISTINCT " else ""
+                val repl =
+                  s"transform(array_sort(array_agg(${distinctKw}struct($fields)), " +
+                    s"(l, r) -> CASE $cmp ELSE 0 END), s -> s.__v)"
+                s = s.substring(0, start) + repl + s.substring(close + 1)
+                searchFrom = start + repl.length
+            }
+          }
+      }
+    }
+    s
+  }
+
+  /** Trino/DuckDB ROW-type algebra: the AS-operand of a CAST translated to
+    * Spark type syntax — `ROW(id bigint, name varchar)` → `struct<id:
+    * bigint, name: string>`, `array(T)`/`map(K,V)` → `array<T>`/`map<K,V>`
+    * — then remaining `ROW(…)` VALUE constructors → `struct(…)`. Spark
+    * casts struct→struct positionally, which is exactly Trino's ROW cast. */
+  private def convertRowTypes(s0: String): String = {
+    var s = s0
+    // only engage when a ROW( appears (keeps the common path untouched)
+    if ("""(?i)\bROW\s*\(""".r.findFirstIn(s).isEmpty) return s
+    // 1. translate CAST type operands
+    val castRe = """(?i)\bCAST\s*\(""".r
+    var from = 0
+    var continue = true
+    while (continue) {
+      val sub = s.substring(from)
+      findOutsideStrings(sub, castRe) match {
+        case None => continue = false
+        case Some((cs0, open0)) =>
+          val open = from + open0
+          val close = matchDelim(s, open, '(', ')')
+          if (close < 0) continue = false
+          else {
+            val inner = s.substring(open + 1, close)
+            val mask = stringMask(inner)
+            // last top-level ` AS ` splits value from type
+            val asRe = """(?i)\sAS\s""".r
+            val splits = asRe.findAllMatchIn(inner).filter { m =>
+              !mask(m.start) && {
+                var depth = 0; var i = 0
+                while (i < m.start) {
+                  val c = inner.charAt(i)
+                  if (!mask(i)) {
+                    if (c == '(' || c == '[') depth += 1
+                    else if (c == ')' || c == ']') depth -= 1
+                  }
+                  i += 1
+                }
+                depth == 0
+              }
+            }.toList
+            if (splits.isEmpty) { from = close + 1 }
+            else {
+              val m = splits.last
+              val valuePart = inner.substring(0, m.start)
+              val typePart = inner.substring(m.end).trim
+              val newType = translateTypeExpr(typePart)
+              val rebuilt = s"CAST($valuePart AS $newType)"
+              s = s.substring(0, from + cs0) + rebuilt + s.substring(close + 1)
+              from = from + cs0 + rebuilt.length
+            }
+          }
+      }
+    }
+    // 2. remaining ROW( are value constructors
+    replaceOutsideStrings(s, """(?i)\bROW\s*\(""", "struct(")
+  }
+
+  /** Recursive type-expression translation (Trino/DuckDB → Spark DDL). */
+  private def translateTypeExpr(t0: String): String = {
+    val t = t0.trim
+    val paren = t.indexOf('(')
+    if (paren < 0) {
+      t.toLowerCase match {
+        case "varchar" | "text" => "string"
+        case "integer" => "int"
+        case other => other
+      }
+    } else {
+      val head = t.substring(0, paren).trim.toLowerCase
+      val close = matchDelim(t, paren, '(', ')')
+      if (close < 0) return t
+      val inner = t.substring(paren + 1, close)
+      head match {
+        case "row" =>
+          val fields = splitTopLevel(inner).map { f0 =>
+            val f = f0.trim
+            val sp = f.indexOf(' ')
+            if (sp < 0) f
+            else {
+              val fname = f.substring(0, sp).trim
+              val ftype = translateTypeExpr(f.substring(sp + 1))
+              s"$fname: $ftype"
+            }
+          }
+          s"struct<${fields.mkString(", ")}>"
+        case "array" => s"array<${translateTypeExpr(inner)}>"
+        case "map" =>
+          val parts = splitTopLevel(inner).map(translateTypeExpr)
+          s"map<${parts.mkString(", ")}>"
+        case "decimal" | "numeric" | "char" => t // parameterized scalars pass through
+        case _ => t
+      }
+    }
+  }
 
   /** DuckDB `MAP {'k1': v1, 'k2': v2}` → `map('k1', v1, 'k2', v2)`. */
   private def convertMapBraces(s0: String): String = {

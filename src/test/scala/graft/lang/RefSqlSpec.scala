@@ -19,16 +19,10 @@ class RefSqlSpec extends SparkTestBase {
       "uses ALL/SET/UPDATE/OFFSET as bare identifiers — reserved in Spark's parser; identifier flexibility is a parser property, not translatable",
     "at-alias.sql" ->
       "statements are not ';'-separated (reference SqlParser splits by grammar); also AT as alias is reserved-adjacent in Spark",
-    "row-map-types.sql" ->
-      "Trino ROW(...)-type algebra and DuckDB MAP{...} literals need a type-level translator, out of scope for the textual shim",
-    "array-agg-order-by.sql" ->
-      "ordered-aggregate syntax inside the call; Spark lacks it in SQL — the flow front-end supports array_agg(distinct ... order by ...) natively",
     "json-object.sql" ->
       "Trino JSON_OBJECT('k':v) constructor semantics (json type) have no Spark equivalent expressible textually",
     "lambda-expressions.sql" ->
       "first statement uses integer truthiness as a filter predicate (x -> x) — DuckDB semantics Spark's typed lambdas reject",
-    "lambda-underscore.sql" ->
-      "underscore lambda parameters need scope-aware renaming, not a textual rule",
     "map-alias.sql" ->
       "double table alias `AS users(id, name) map` is a Trino parser quirk Spark's grammar rejects",
     "prepared-statements.sql" ->
