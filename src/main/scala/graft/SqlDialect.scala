@@ -200,6 +200,10 @@ object SqlDialect {
     // Trino ROW(...)-type CAST algebra → Spark struct types, then ROW value
     // constructors → struct(...)
     s = convertRowTypes(s)
+    // JSON_OBJECT('k', v, …) / JSON_OBJECT(KEY 'k' VALUE v, … [modifiers])
+    // → to_json(named_struct('k', v, …)) — Spark has no json type; the
+    // serialized-string form is the engine-portable reading
+    s = convertJsonObject(s)
     // single-parameter parenthesized lambda `(x) -> …` → `x -> …` (Spark's
     // grammar only parenthesizes multi-parameter lambdas)
     s = replaceOutsideStrings(s,
@@ -452,6 +456,44 @@ object SqlDialect {
         case _ => t
       }
     }
+  }
+
+  /** `JSON_OBJECT('k', v, …)` and the standard-SQL `JSON_OBJECT(KEY 'k'
+    * VALUE v, … [NULL|ABSENT ON NULL] [WITH|WITHOUT UNIQUE KEYS])` →
+    * `to_json(named_struct('k', v, …))`; modifiers are serialization hints
+    * dropped with the json type itself. */
+  private def convertJsonObject(s0: String): String = {
+    var s = s0
+    val re = """(?i)\bJSON_OBJECT\s*\(""".r
+    var continue = true
+    while (continue) {
+      findOutsideStrings(s, re) match {
+        case None => continue = false
+        case Some((start, openIdx)) =>
+          val close = matchDelim(s, openIdx, '(', ')')
+          if (close < 0) continue = false
+          else {
+            var inner = s.substring(openIdx + 1, close)
+            // strip trailing modifiers (they follow the final pair)
+            inner = inner.replaceAll(
+              """(?is)\s+(NULL|ABSENT)\s+ON\s+NULL(\s+WITH(OUT)?\s+UNIQUE\s+KEYS)?\s*$""", "")
+            inner = inner.replaceAll(
+              """(?is)\s+WITH(OUT)?\s+UNIQUE\s+KEYS\s*$""", "")
+            val items = splitTopLevel(inner).map(_.trim).filter(_.nonEmpty)
+            val kvRe = """(?is)^KEY\s+(.+?)\s+VALUE\s+(.+)$""".r
+            val pairs: List[String] =
+              if (items.forall(kvRe.pattern.matcher(_).matches()))
+                items.flatMap { it =>
+                  val m = kvRe.findFirstMatchIn(it).get
+                  List(m.group(1).trim, m.group(2).trim)
+                }
+              else items // DuckDB alternating style is already k, v, k, v
+            val repl = s"to_json(named_struct(${pairs.mkString(", ")}))"
+            s = s.substring(0, start) + repl + s.substring(close + 1)
+          }
+      }
+    }
+    s
   }
 
   /** DuckDB `MAP {'k1': v1, 'k2': v2}` → `map('k1', v1, 'k2', v2)`. */

@@ -18,9 +18,7 @@ class RefSqlSpec extends SparkTestBase {
     "non-reserved-keywords.sql" ->
       "uses ALL/SET/UPDATE/OFFSET as bare identifiers — reserved in Spark's parser; identifier flexibility is a parser property, not translatable",
     "at-alias.sql" ->
-      "statements are not ';'-separated (reference SqlParser splits by grammar); also AT as alias is reserved-adjacent in Spark",
-    "json-object.sql" ->
-      "Trino JSON_OBJECT('k':v) constructor semantics (json type) have no Spark equivalent expressible textually",
+      "parse-only in the reference: references AT.id on an anonymous VALUES relation (columns col1/col2) — executing would require inventing column names; the no-semicolon statement splitting it also needs IS now supported",
     "lambda-expressions.sql" ->
       "first statement uses integer truthiness as a filter predicate (x -> x) — DuckDB semantics Spark's typed lambdas reject",
     "map-alias.sql" ->
