@@ -90,6 +90,27 @@ object Graft {
     else statements.map(spark.sql).last
   }
 
+  /** Markdown literate queries (the reference's .md front-end): execute the
+    * fenced `wv` and `sql` code blocks of a document in order — other
+    * languages and prose are skipped — returning the last result. Blocks
+    * share one session (a `wv` block's models/vals are NOT visible to a
+    * later block; each block is its own compilation unit, matching the
+    * reference's per-block statement units). */
+  def markdownScript(
+      spark: SparkSession,
+      text: String,
+      tableResolver: String => DataFrame,
+      basePath: String = "."
+  ): DataFrame = {
+    val blocks = graft.lang.Markdown.queryBlocks(text)
+    if (blocks.isEmpty)
+      throw new graft.lang.LoweringException("no wv/sql code blocks in document")
+    blocks.map {
+      case ("sql", _, code) => sqlScript(spark, code, None)
+      case (_, _, code) => run(spark, code, tableResolver, basePath)
+    }.last
+  }
+
   /** Split on top-level `;` (quote- and comment-aware). */
   private[graft] def splitSqlStatements(text: String): List[String] = {
     val out = List.newBuilder[String]

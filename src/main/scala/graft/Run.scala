@@ -48,6 +48,8 @@ object Run {
     try {
       val df =
         if (file.exists(_.endsWith(".sql"))) Graft.sqlScript(spark, text, Some(dir))
+        else if (file.exists(_.endsWith(".md")))
+          Graft.markdownScript(spark, text, Tables.resolver(spark, dir), basePath = dir)
         else Graft.run(spark, text, Tables.resolver(spark, dir), basePath = dir)
       if (explain) df.explain("formatted")
       format match {
