@@ -1107,6 +1107,26 @@ object QueryCatalog {
         FROM seq s JOIN lineitem ON l_linenumber = s.n
         GROUP BY s.n ORDER BY s.n
       """),
+    (
+      "q_sql_ordered_array_agg", // ordered-aggregate syntax via the dialect
+      // shim (array_agg(e ORDER BY k) → struct array_sort rewrite); DuckDB
+      // runs its native ordered aggregate as the oracle. array_join vs
+      // array_to_string spellings differ per engine, hence split texts.
+      (spark, dir) => Graft.sqlScript(spark, """
+        SELECT o_orderstatus,
+               array_join(array_agg(o_orderpriority ORDER BY o_totalprice DESC, o_orderkey), ',') AS prios_by_price
+        FROM (SELECT * FROM orders WHERE o_custkey <= 50) t
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+      """, Some(dir)),
+      Some("""
+        SELECT o_orderstatus,
+               array_to_string(array_agg(o_orderpriority ORDER BY o_totalprice DESC, o_orderkey), ',') AS prios_by_price
+        FROM (SELECT * FROM orders WHERE o_custkey <= 50) t
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+      """)
+    ),
     sqlEntry(
       "q_sql_window", // SQL window functions through the SQL front-end
       """

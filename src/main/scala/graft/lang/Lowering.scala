@@ -1157,7 +1157,12 @@ object Lowering {
       case "tables" =>
         ctx.spark.catalog.listTables().select("name")
       case t if t.startsWith("tables:") =>
-        val schema = t.stripPrefix("tables:").split('.').last
+        // memory.main is the reference's in-memory default catalog.schema;
+        // it aliases to the session default database here (see wv_tables)
+        val schema = t.stripPrefix("tables:").split('.').last match {
+          case "main" => "default"
+          case s => s
+        }
         try ctx.spark.catalog.listTables(schema).select("name")
         catch { case _: Throwable => Seq.empty[String].toDF("name") }
       case c if c.startsWith("columns:") =>

@@ -90,4 +90,44 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("* Project"),
       s"vector expr fell out of codegen:\n$plan")
   }
+
+  test("bucketed saves let equi-joins on the bucket key skip the shuffle") {
+    // `save to t with bucketed_on: […], bucket_count: n` is the language's
+    // co-located-join primitive: at 100 TB, pre-bucketing fact tables on
+    // the join key replaces a full shuffle of both sides per query with a
+    // one-time layout cost at write time
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    graft.Graft.run(spark,
+      """
+        from orders
+        save to bkt_orders
+        with bucketed_on: ['o_orderkey'], bucket_count: 8
+      """, name => table(name))
+    graft.Graft.run(spark,
+      """
+        from lineitem
+        save to bkt_lineitem
+        with bucketed_on: ['l_orderkey'], bucket_count: 8
+      """, name => table(name))
+    // sf0.001 tables broadcast below the default threshold; disable it so
+    // the plan shows what a 100 TB fact-fact join would do
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        """SELECT o.o_orderkey, count(*) AS n
+          |FROM bkt_orders o JOIN bkt_lineitem l ON o.o_orderkey = l.l_orderkey
+          |GROUP BY o.o_orderkey""".stripMargin)
+      val plan = planOf(joined)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a co-located join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    assert(spark.sql("DESCRIBE EXTENDED bkt_orders").collect()
+      .exists(r => r.getString(0).contains("Bucket") || r.mkString.contains("bucket")),
+      "table metadata does not record bucketing")
+  }
 }
