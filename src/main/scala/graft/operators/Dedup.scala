@@ -506,4 +506,70 @@ object Dedup {
       .filter(F.col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }
+
+  // ---------------------------------------------------------------------------
+  // Cluster resolution: pairs → connected components
+  // ---------------------------------------------------------------------------
+
+  /** Resolve a near-duplicate PAIR list into duplicate CLUSTERS: connected
+    * components by iterative min-label propagation. Every pair generator
+    * above emits (id_a, id_b) edges; dedup-by-cluster then keeps one
+    * representative per component (chains a~b, b~c collapse into one
+    * cluster even when a~c was never emitted as a pair).
+    *
+    * Scale shape: each iteration is one shuffle (edges ⋈ labels, groupBy
+    * min) — the standard large-graph pattern (HashToMin, Vassilvitskii et
+    * al.); convergence needs O(diameter) rounds and near-dup graphs have
+    * tiny diameters (clusters are quasi-cliques). Labels localCheckpoint
+    * every few rounds to keep the growing lineage from re-executing the
+    * pair join, and the convergence test is a metadata-cheap count of
+    * changed labels, not a collect of the frame.
+    *
+    * Returns (id, cluster) sorted-input-stable: cluster = min member id.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxIter: Int = 20
+  ): DataFrame = {
+    // undirected edge list, both directions (src -> dst)
+    val fwd = pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
+    val edges = fwd.union(fwd.select(F.col("dst").as("src"), F.col("src").as("dst")))
+      .distinct()
+    var labels = edges.select(F.col("src").as("id")).distinct()
+      .withColumn("lbl", F.col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node adopts min(own label, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(F.col("dst").as("id"))
+        .agg(F.min("lbl").as("nlbl"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(F.col("id"),
+          F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).as("lbl"))
+        .localCheckpoint(true) // cut lineage; also materializes for the test
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(F.col("lbl") =!= F.col("old")).limit(1).count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    labels.select(F.col("id"), F.col("lbl").as("cluster"))
+  }
+
+  /** One representative (min id) per duplicate cluster, unioned with all
+    * never-paired rows: the end-to-end "drop near-duplicates" operator. */
+  def dropDuplicateClusters(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame
+  ): DataFrame = {
+    val clusters = connectedComponents(pairs)
+    val losers = clusters.filter(F.col("id") =!= F.col("cluster"))
+      .select(F.col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

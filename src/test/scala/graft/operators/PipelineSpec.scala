@@ -102,6 +102,35 @@ class PipelineSpec extends SparkTestBase {
     assert(byDoc(3L).length == 1)
   }
 
+  test("connected components: chains collapse into one cluster") {
+    import spark.implicits._
+    // a-b, b-c, c-d is one component even though a-d was never a pair;
+    // e-f is separate; g is an isolated pair-less node (absent from output)
+    val pairs = Seq(("b", "a"), ("b", "c"), ("c", "d"), ("e", "f"))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "e" -> "e", "f" -> "e"))
+  }
+
+  test("connected components: long path converges within iteration budget") {
+    import spark.implicits._
+    val pairs = (0 until 12).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+    assert(cc.agg(F.count_distinct(F.col("cluster"))).head.getLong(0) == 1L)
+    assert(cc.count() == 13)
+  }
+
+  test("dropDuplicateClusters keeps one representative per cluster") {
+    import spark.implicits._
+    val df = Seq(("a", "x"), ("b", "x"), ("c", "x"), ("d", "y")).toDF("id", "text")
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("id_a", "id_b")
+    val kept = Dedup.dropDuplicateClusters(df, "id", pairs)
+      .select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(kept == Seq("a", "d"))
+  }
+
   test("ngram jaccard: identical doc has jaccard 1.0") {
     import spark.implicits._
     val base = docs.limit(10).select("doc_id", "text")
