@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 import graft.{Graft, Tables}
-import graft.operators.{Dedup, Similarity, Multimodal}
+import graft.operators.{Dedup, Similarity, Multimodal, Sampling}
 import graft.functions.TextFunctions
 
 /** The operator-inventory query catalog: one named query per implemented
@@ -1340,6 +1340,86 @@ object QueryCatalog {
   // ===========================================================================
 
   val pipelineQueries: Seq[(String, Q, Option[String])] = Seq(
+    (
+      "q_sample_stratified", // deterministic k-per-class (md5 hash order)
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        Sampling.stratifiedTopK(docs, "lang", "doc_id", k = 20)
+          .select("doc_id", "lang", "source")
+          .orderBy("lang", "doc_id")
+      },
+      Some("""
+        SELECT doc_id, lang, source FROM (
+          SELECT doc_id, lang, source,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents) t
+        WHERE rk <= 20
+        ORDER BY lang, doc_id
+      """)
+    ),
+    (
+      "q_split_train_test", // stateless deterministic hash split
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        Sampling.trainTestSplit(docs, "doc_id", trainFraction = 0.8)
+          .groupBy("split").agg(F.count(F.lit(1)).as("n"))
+          .orderBy("split")
+      },
+      Some("""
+        SELECT split, count(*)::BIGINT AS n FROM (
+          SELECT CASE WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+                      THEN 'train' ELSE 'test' END AS split
+          FROM documents) t
+        GROUP BY split ORDER BY split
+      """)
+    ),
+    (
+      "q_corpus_shuffle", // deterministic global shuffle (one ranged sort)
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        Sampling.deterministicShuffle(docs, "doc_id")
+          .select("doc_id").limit(100)
+      },
+      Some("""
+        SELECT doc_id FROM documents
+        ORDER BY md5('graft' || CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT 100
+      """)
+    ),
+    (
+      "q_text_repetition", // Gopher/MassiveText repetition quality rules
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        docs.select(
+          F.col("doc_id"),
+          F.round(TextFunctions.duplicateLineFraction(F.col("text")), 6).as("dup_line_frac"),
+          F.round(TextFunctions.duplicateLineCharFraction(F.col("text")), 6).as("dup_char_frac"),
+          F.round(TextFunctions.topTokenFraction(F.col("text")), 6).as("top_token_frac")
+        ).orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                        l -> len(l) > 0) AS ls,
+            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+          FROM documents)
+        SELECT doc_id,
+          round(CASE WHEN len(ls) = 0 THEN 0.0
+            ELSE (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls) END, 6) AS dup_line_frac,
+          round(CASE WHEN list_sum(list_transform(ls, l -> len(l))) IS NULL
+                       OR list_sum(list_transform(ls, l -> len(l))) = 0 THEN 0.0
+            ELSE (list_sum(list_transform(ls, l -> len(l)))
+                  - list_sum(list_transform(list_distinct(ls), l -> len(l))))::DOUBLE
+                 / list_sum(list_transform(ls, l -> len(l))) END, 6) AS dup_char_frac,
+          round(CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE list_aggregate(list_transform(list_distinct(toks),
+                   t2 -> len(list_filter(toks, x -> x = t2))), 'max')::DOUBLE
+                 / len(toks) END, 6) AS top_token_frac
+        FROM t ORDER BY doc_id
+      """)
+    ),
     (
       "q_text_stats",
       (spark, dir) => {

@@ -128,6 +128,47 @@ object TextFunctions {
     F.trim(F.regexp_replace(noEntities, "\\s+", " "))
   }
 
+  // --- repetition filters (Gopher-style quality rules) ----------------------
+
+  /** Non-empty trimmed lines of a document. */
+  def lines(text: Column): Column =
+    F.filter(F.transform(F.split(text, "\n"), l => F.trim(l)),
+      l => F.length(l) > 0)
+
+  /** Fraction of lines that are duplicates of an earlier line
+    * (Gopher/MassiveText `duplicate line fraction`; high values mark
+    * boilerplate-heavy scrapes). 0.0 for documents with no lines. */
+  def duplicateLineFraction(text: Column): Column = {
+    val ls = lines(text)
+    val n = F.size(ls)
+    F.when(n === 0, F.lit(0.0))
+      .otherwise((n - F.size(F.array_distinct(ls))).cast("double") / n)
+  }
+
+  /** Fraction of CHARACTERS inside repeated lines (the companion
+    * MassiveText rule: long duplicated paragraphs weigh more than short
+    * duplicated separators). Characters of every occurrence beyond the
+    * first count as duplicated. */
+  def duplicateLineCharFraction(text: Column): Column = {
+    val ls = lines(text)
+    val total = F.aggregate(ls, F.lit(0L), (acc, l) => acc + F.length(l))
+    val distinctChars = F.aggregate(F.array_distinct(ls), F.lit(0L),
+      (acc, l) => acc + F.length(l))
+    F.when(total === 0, F.lit(0.0))
+      .otherwise((total - distinctChars).cast("double") / total)
+  }
+
+  /** Fraction of tokens inside the single most-frequent token (Gopher's
+    * `top 1-gram fraction`): prose scores low, keyword-stuffed or
+    * generator-degenerate text scores high. */
+  def topTokenFraction(text: Column): Column = {
+    val toks = tokens(text)
+    val n = F.size(toks)
+    val topCount = F.array_max(F.transform(F.array_distinct(toks),
+      t => F.size(F.filter(toks, x => x === t))))
+    F.when(n === 0, F.lit(0.0)).otherwise(topCount.cast("double") / n)
+  }
+
   // --- language identification ----------------------------------------------
 
   /** Stopword-overlap language ID over {en, de, fr, es}; deterministic

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic sampling/splitting for training-data pipelines. All three
+  * operators key on md5 of a seed-prefixed id, which makes them
+  * (a) reproducible across runs AND engines (md5 is bit-identical
+  * everywhere, unlike rand(seed) which is engine-private), and
+  * (b) shuffle-bounded: stratified sampling is one window per class
+  * partition, splitting is a stateless filter, shuffling is one global
+  * sort — each the plan shape that survives 100 TB.
+  *
+  * (The reference's `sample` operator — reservoir/system/bernoulli,
+  * relation.scala Sample — covers RANDOM sampling; these are its
+  * deterministic pipeline-grade complements.)
+  */
+object Sampling {
+
+  private def key(seed: String, id: Column): Column =
+    F.md5(F.concat(F.lit(seed), id.cast("string")))
+
+  /** Exactly min(k, |class|) rows per class, chosen by hash order: a
+    * deterministic stratified sample for class rebalancing. One shuffle
+    * (the window partition); the md5 tiebreak makes the choice uniform
+    * and independent of input order. */
+  def stratifiedTopK(
+      df: DataFrame,
+      classCol: String,
+      idCol: String,
+      k: Int,
+      seed: String = "graft"
+  ): DataFrame = {
+    val w = Window.partitionBy(F.col(classCol))
+      .orderBy(key(seed, F.col(idCol)), F.col(idCol))
+    df.withColumn("__rk", F.row_number().over(w))
+      .filter(F.col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Deterministic train/test split: a row lands in train iff the leading
+    * byte pair of md5(seed||id) sorts below the threshold derived from
+    * `trainFraction` (resolution 1/65536). Stateless — no shuffle, no
+    * state, any worker can recompute membership; split fractions are exact
+    * in expectation and fixed forever for a given (seed, id). */
+  def trainTestSplit(
+      df: DataFrame,
+      idCol: String,
+      trainFraction: Double,
+      seed: String = "graft"
+  ): DataFrame = {
+    require(trainFraction > 0 && trainFraction < 1, "trainFraction in (0,1)")
+    val threshold = f"${math.round(trainFraction * 65536).toInt}%04x"
+    df.withColumn("split",
+      F.when(F.substring(key(seed, F.col(idCol)), 1, 4) < F.lit(threshold), "train")
+        .otherwise("test"))
+  }
+
+  /** Deterministic global shuffle: total order by the hash key. At scale
+    * this is exactly one range-partitioned sort — the standard "shuffle the
+    * corpus once before sharding to trainers" step, reproducible across
+    * engines and runs. */
+  def deterministicShuffle(
+      df: DataFrame,
+      idCol: String,
+      seed: String = "graft"
+  ): DataFrame =
+    df.orderBy(key(seed, F.col(idCol)), F.col(idCol))
+}

@@ -102,6 +102,65 @@ class PipelineSpec extends SparkTestBase {
     assert(byDoc(3L).length == 1)
   }
 
+  test("stratified sampling: exactly k per class, deterministic") {
+    val s1 = Sampling.stratifiedTopK(docs, "lang", "doc_id", k = 5)
+    val counts = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ <= 5))
+    val s2 = Sampling.stratifiedTopK(docs, "lang", "doc_id", k = 5)
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      s2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // a different seed selects a different sample
+    val s3 = Sampling.stratifiedTopK(docs, "lang", "doc_id", k = 5, seed = "other")
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq !=
+      s3.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("train/test split: stateless, complete, roughly proportional") {
+    val split = Sampling.trainTestSplit(docs, "doc_id", 0.8)
+    val n = docs.count()
+    val byKind = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKind.values.sum == n, "split must partition the input")
+    val trainFrac = byKind.getOrElse("train", 0L).toDouble / n
+    assert(trainFrac > 0.6 && trainFrac < 0.95, s"train fraction $trainFrac far from 0.8")
+    // membership is a pure function of (seed, id): re-running flips nothing
+    val again = Sampling.trainTestSplit(docs, "doc_id", 0.8)
+    assert(split.select("doc_id", "split").except(
+      again.select("doc_id", "split")).count() == 0)
+  }
+
+  test("deterministic shuffle: stable order, differs from input order") {
+    val ids1 = Sampling.deterministicShuffle(docs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val ids2 = Sampling.deterministicShuffle(docs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids1 == ids2)
+    assert(ids1 != ids1.sorted, "hash order should not be id order")
+    assert(ids1.sorted == docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("repetition rules: duplicate lines and degenerate tokens score high") {
+    import spark.implicits._
+    val rows = Seq(
+      ("clean", "the quick brown fox\njumps over the lazy dog"),
+      ("dupline", "same line here\nsame line here\nsame line here\nunique tail"),
+      ("degen", "buy buy buy buy buy now"),
+      ("empty", "")
+    ).toDF("id", "text")
+    val out = rows.select(
+      F.col("id"),
+      TextFunctions.duplicateLineFraction(F.col("text")).as("dlf"),
+      TextFunctions.duplicateLineCharFraction(F.col("text")).as("dcf"),
+      TextFunctions.topTokenFraction(F.col("text")).as("ttf")
+    ).collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("clean")._1 == 0.0 && out("clean")._3 < 0.3)
+    assert(out("dupline")._1 == 0.5) // 2 of 4 lines are re-occurrences
+    assert(out("dupline")._2 > 0.4) // duplicated chars dominate
+    assert(out("degen")._3 > 0.8) // 5 of 6 tokens are `buy`
+    assert(out("empty") == ((0.0, 0.0, 0.0)))
+  }
+
   test("connected components: chains collapse into one cluster") {
     import spark.implicits._
     // a-b, b-c, c-d is one component even though a-d was never a pair;
