@@ -208,6 +208,11 @@ object SqlDialect {
     // grammar only parenthesizes multi-parameter lambdas)
     s = replaceOutsideStrings(s,
       """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*->""", "$1 ->")
+    // DuckDB numeric truthiness in an identity lambda predicate (`x -> x`):
+    // truthy = non-null and non-zero; Spark lambdas are typed boolean
+    s = replaceOutsideStrings(s,
+      """\b([A-Za-z_][A-Za-z0-9_]*)\s*->\s*\1\s*([,)])""",
+      "$1 -> coalesce($1, 0) <> 0$2")
     // `VALUES (struct(…))` single-struct rows: Spark's inline-table rule
     // expands a lone struct row into its fields, breaking 1-column aliases —
     // rewrite to a SELECT chain that keeps the struct value intact

@@ -19,8 +19,6 @@ class RefSqlSpec extends SparkTestBase {
       "uses ALL/SET/UPDATE/OFFSET as bare identifiers — reserved in Spark's parser; identifier flexibility is a parser property, not translatable",
     "at-alias.sql" ->
       "parse-only in the reference: references AT.id on an anonymous VALUES relation (columns col1/col2) — executing would require inventing column names; the no-semicolon statement splitting it also needs IS now supported",
-    "lambda-expressions.sql" ->
-      "first statement uses integer truthiness as a filter predicate (x -> x) — DuckDB semantics Spark's typed lambdas reject",
     "map-alias.sql" ->
       "double table alias `AS users(id, name) map` is a Trino parser quirk Spark's grammar rejects",
     "prepared-statements.sql" ->
