@@ -158,6 +158,27 @@ object Stdlib {
     "array_contains" -> ((t, args) => F.call_function("array_contains", t, args.head)),
     "array_join" -> ((t, args) => F.call_function("array_join", t, args.head)),
     "array_sort" -> ((t, _) => F.sort_array(t)),
-    "flatten" -> ((t, _) => F.flatten(t))
+    "flatten" -> ((t, _) => F.flatten(t)),
+    // text-pipeline methods (graft.functions.TextFunctions — the LLM-data
+    // operators exposed as first-class language methods, e.g.
+    // `from documents where text.quality_score > 0.5`)
+    "token_count" -> ((t, _) => graft.functions.TextFunctions.tokenCount(t)),
+    "subword_count" -> ((t, _) => graft.functions.TextFunctions.subwordCountEstimate(t)),
+    "quality_score" -> ((t, _) => graft.functions.TextFunctions.qualityScore(t)),
+    "lang_id" -> ((t, _) => graft.functions.TextFunctions.langId(t)),
+    "fingerprint" -> ((t, _) => graft.functions.TextFunctions.fingerprint(t)),
+    "redact_pii" -> ((t, _) => graft.functions.TextFunctions.redactPii(t)),
+    "strip_html" -> ((t, _) => graft.functions.TextFunctions.stripHtml(t)),
+    "stopword_ratio" -> ((t, _) => graft.functions.TextFunctions.stopwordRatio(t)),
+    "alpha_ratio" -> ((t, _) => graft.functions.TextFunctions.alphaRatio(t)),
+    "dup_line_fraction" -> ((t, _) => graft.functions.TextFunctions.duplicateLineFraction(t)),
+    "dup_char_fraction" -> ((t, _) => graft.functions.TextFunctions.duplicateLineCharFraction(t)),
+    "top_token_fraction" -> ((t, _) => graft.functions.TextFunctions.topTokenFraction(t)),
+    "simhash64" -> ((t, _) => graft.operators.Dedup.simhash(t)),
+    // vector methods over Array[Float]/Array[Double] embedding columns
+    "cosine_similarity" -> ((t, args) =>
+      graft.functions.VectorExpressions.cosineSimilarity(t, args.head)),
+    "dot_product" -> ((t, args) =>
+      graft.functions.VectorExpressions.dotProduct(t, args.head))
   )
 }

@@ -986,4 +986,32 @@ class LangSpec extends SparkTestBase {
       test _.rows should be [[2]]
     """)
   }
+
+  test("text-pipeline methods are first-class language methods") {
+    wv("""
+      from [['the quick brown fox jumps over the lazy dog and then rests']] as t(text)
+      select
+        n = text.token_count,
+        lang = text.lang_id,
+        clean = 'mail me@x.com now'.redact_pii,
+        plain = '<b>bold</b> move'.strip_html
+      test _.rows should be [[12, 'en', 'mail <EMAIL> now', 'bold move']]
+    """)
+    val scored = wv("""
+      from [['the quick brown fox jumps over the lazy dog and then rests']] as t(text)
+      select q = text.quality_score, fp = text.fingerprint
+    """).collect()(0)
+    assert(scored.getDouble(0) > 0.0 && scored.getDouble(0) <= 1.0)
+    assert(scored.getString(1).length == 32)
+    // repetition rules + simhash as filter predicates
+    val out = wv("""
+      from [
+        ['aaa bbb ccc ddd eee fff'],
+        ['spam spam spam spam spam ham']
+      ] as t(text)
+      where text.top_token_fraction > 0.5
+      select text, h = text.simhash64
+    """).collect()
+    assert(out.length == 1 && out(0).getString(0).startsWith("spam"))
+  }
 }
