@@ -414,7 +414,15 @@ object Dedup {
     val sh = spread(df).select(
       F.col(idCol).as("id"),
       graft.functions.TextHashExpressions.shingleHashes64(F.col(textCol), n).as("__sh"))
-    val postings = sh.select(F.col("id"), F.explode(F.col("__sh")).as("shingle"))
+    // the per-doc shingle count rides ON the posting rows (8 bytes each):
+    // attaching it here costs one long per posting through the shuffle but
+    // removes a SECOND evaluation of the shingling expression (the
+    // dominant CPU cost) and the two post-aggregation size joins the
+    // previous `sizes` side-table needed
+    val postings = sh.select(
+      F.col("id"),
+      F.size(F.col("__sh")).as("n"),
+      F.explode(F.col("__sh")).as("shingle"))
       // explicit numbered repartition: parallelizes the quadratic stage AND
       // pins the partition count (AQE would coalesce the tiny posting
       // shuffle into one partition and serialize the self-join); also
@@ -436,17 +444,17 @@ object Dedup {
           .filter(F.col("__df") <= maxPostings)
           .drop("__df")
       } else postings
-    val sizes = sh.select(F.col("id"), F.size(F.col("__sh")).as("__n"))
-    val a = capped.select(F.col("shingle"), F.col("id").as("id_a"))
-    val b = capped.select(F.col("shingle"), F.col("id").as("id_b"))
+    val a = capped.select(F.col("shingle"),
+      F.col("id").as("id_a"), F.col("n").as("n_a"))
+    val b = capped.select(F.col("shingle"),
+      F.col("id").as("id_b"), F.col("n").as("n_b"))
     a.join(b, Seq("shingle"))
       .filter(F.col("id_a") < F.col("id_b"))
       .groupBy("id_a", "id_b")
-      .agg(F.count(F.lit(1)).as("common"))
-      // no broadcast hint: the size table scales with the corpus; AQE
-      // converts these to broadcast joins at runtime when it is small
-      .join(sizes.select(F.col("id").as("id_a"), F.col("__n").as("n_a")), Seq("id_a"))
-      .join(sizes.select(F.col("id").as("id_b"), F.col("__n").as("n_b")), Seq("id_b"))
+      // n_a/n_b are grouped-constant (functionally determined by the key)
+      .agg(F.count(F.lit(1)).as("common"),
+        F.any_value(F.col("n_a")).as("n_a"),
+        F.any_value(F.col("n_b")).as("n_b"))
       .withColumn(
         "jaccard",
         F.round(F.col("common").cast("double") /
