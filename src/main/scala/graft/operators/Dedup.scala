@@ -176,10 +176,21 @@ object Dedup {
       .filter(F.col("id_a") < F.col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+      // materialize the (cap-bounded, small) pair list once: it feeds three
+      // consumers below (the verify join and both sides of the id-prune
+      // union) and would otherwise re-run the posting self-join per use
+      .localCheckpoint(true)
 
     // verify candidates with exact Jaccard: re-join the shingle sets by id
-    // (two equi-joins on the candidate ids — far smaller than the postings)
-    val shingleSets = spread(df).select(
+    // (two equi-joins on the candidate ids — far smaller than the postings).
+    // The shingle re-evaluation is PRUNED to docs that appear in some
+    // candidate pair — verify CPU scales with the candidate set, not the
+    // corpus (at 100 TB candidates are orders of magnitude smaller).
+    val candIds = candidates.select(F.col("id_a").as("__cid"))
+      .union(candidates.select(F.col("id_b").as("__cid")))
+      .distinct()
+    val prunedDocs = df.join(candIds, F.col(idCol) === F.col("__cid"), "left_semi")
+    val shingleSets = spread(prunedDocs).select(
       F.col(idCol).as("__id"),
       graft.functions.TextHashExpressions.shingleHashes64(F.col(textCol), shingleSize).as("__sh"))
     val withSets = candidates
