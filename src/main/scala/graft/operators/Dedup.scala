@@ -552,10 +552,13 @@ object Dedup {
       bCol: String = "id_b",
       maxIter: Int = 20
   ): DataFrame = {
-    // undirected edge list, both directions (src -> dst)
+    // undirected edge list, both directions (src -> dst) — materialized
+    // ONCE: the loop reads it 2× per iteration, and the upstream pair
+    // generator (a posting self-join) must not re-execute per round
     val fwd = pairs.select(F.col(aCol).as("src"), F.col(bCol).as("dst"))
     val edges = fwd.union(fwd.select(F.col("dst").as("src"), F.col("src").as("dst")))
       .distinct()
+      .localCheckpoint(true)
     var labels = edges.select(F.col("src").as("id")).distinct()
       .withColumn("lbl", F.col("id"))
     var iter = 0
@@ -566,14 +569,15 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(F.col("dst").as("id"))
         .agg(F.min("lbl").as("nlbl"))
+      // fold the changed-flag into the checkpointed frame: the convergence
+      // test is then a filter over materialized data, not a join job
+      val newLbl = F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl")))
       val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(F.col("id"),
-          F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).as("lbl"))
-        .localCheckpoint(true) // cut lineage; also materializes for the test
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(F.col("lbl") =!= F.col("old")).limit(1).count()
-      converged = changed == 0
-      labels = next
+        .select(F.col("id"), newLbl.as("lbl"),
+          (newLbl =!= F.col("lbl")).as("__chg"))
+        .localCheckpoint(true) // cut lineage; also materializes per round
+      converged = next.filter(F.col("__chg")).limit(1).count() == 0
+      labels = next.drop("__chg")
       iter += 1
     }
     labels.select(F.col("id"), F.col("lbl").as("cluster"))
