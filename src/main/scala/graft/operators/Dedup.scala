@@ -569,12 +569,21 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(F.col("dst").as("id"))
         .agg(F.min("lbl").as("nlbl"))
-      // fold the changed-flag into the checkpointed frame: the convergence
-      // test is then a filter over materialized data, not a join job
       val newLbl = F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl")))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(F.col("id"), newLbl.as("lbl"),
-          (newLbl =!= F.col("lbl")).as("__chg"))
+      val stepped = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(F.col("id"), F.col("lbl").as("__old"), newLbl.as("lbl"))
+      // pointer jumping (path halving): each node also adopts the label OF
+      // its label — labels are monotone decreasing and label(x) <= x, so
+      // label(label(x)) is in the same component and no larger. Converges
+      // in O(log diameter) rounds instead of O(diameter); at scale every
+      // round is a full shuffle, so halving rounds halves the query.
+      // The changed-flag folds into the checkpointed frame: the convergence
+      // test is a filter over materialized data, not a join job.
+      val ptr = stepped.select(F.col("id").as("lbl"), F.col("lbl").as("__lbl2"))
+      val next = stepped.join(ptr, Seq("lbl"), "left")
+        .select(F.col("id"),
+          F.coalesce(F.col("__lbl2"), F.col("lbl")).as("lbl"),
+          (F.coalesce(F.col("__lbl2"), F.col("lbl")) =!= F.col("__old")).as("__chg"))
         .localCheckpoint(true) // cut lineage; also materializes per round
       converged = next.filter(F.col("__chg")).limit(1).count() == 0
       labels = next.drop("__chg")
