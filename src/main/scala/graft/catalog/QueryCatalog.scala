@@ -1582,6 +1582,44 @@ object QueryCatalog {
       """)
     ),
     (
+      "q_dedup_drop_clusters", // end-to-end near-dup drop: one rep/cluster
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.12)
+        Dedup.dropDuplicateClusters(docs, "doc_id", pairs)
+          .select("doc_id", "lang", "source").orderBy("doc_id")
+      },
+      Some("""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id AS id,
+            list_distinct(list_transform(
+              range(1, greatest(len(toks) - 1, 0) + 1),
+              i -> toks[i] || ' ' || toks[i + 1])) AS shingles
+          FROM (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+                FROM documents)
+          WHERE len(toks) >= 2),
+        post AS (SELECT id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM post a JOIN post b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY a.id, b.id
+          HAVING round(count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)), 6) >= 0.12),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(id, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        losers AS (
+          SELECT id FROM reach GROUP BY id HAVING id <> min(lbl))
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM losers)
+        ORDER BY doc_id
+      """)
+    ),
+    (
       "q_dedup_minhash_lsh", // approximate (engine-specific hashing) → rows-only
       (spark, dir) => {
         val docs = Tables.read(spark, dir, "documents")
