@@ -360,6 +360,20 @@ final case class DeleteRel(child: Relation) extends UnaryRelation
 final case class DeleteStmt(target: String, cond: Expr) extends Statement
 /** `truncate [table] target` (reference: Truncate, update.scala:59). */
 final case class TruncateStmt(target: String) extends Statement
+/** First-class `alter table` (reference: AlterTable + AlterTableOps,
+  * ddl.scala:68-121). Catalog-level ops map onto Spark DDL; column-shape
+  * ops on plain parquet are read-transform-overwrite rewrites, the same
+  * policy as delete/update. */
+final case class AlterTableStmt(table: String, ifExists: Boolean, op: AlterOp)
+    extends Statement
+sealed trait AlterOp
+final case class RenameTableTo(newName: String) extends AlterOp
+final case class AddColumnOp(name: String, dataType: String, ifNotExists: Boolean)
+    extends AlterOp
+final case class DropColumnOp(name: String, ifExists: Boolean) extends AlterOp
+final case class RenameColumnOp(oldName: String, newName: String) extends AlterOp
+final case class SetColumnTypeOp(name: String, dataType: String) extends AlterOp
+final case class SetPropertiesOp(props: List[(String, String)]) extends AlterOp
 /** `execute sql"…"` — run a side-effecting SQL statement (DDL etc.). */
 final case class ExecuteStmt(sql: String) extends Statement
 /** `use catalog.schema` — switch the default schema (best-effort). */

@@ -167,6 +167,42 @@ object Lowering {
             throw new LoweringException(
               "delete must terminate a (filtered) table scan")
         }
+      case AlterTableStmt(table, ifExists, op) =>
+        val isPath = isPathTarget(table)
+        val exists =
+          if (isPath) new java.io.File(resolveTargetPath(table, ctx)).exists()
+          else ctx.spark.catalog.tableExists(table)
+        if (!exists && ifExists) () // `if exists` on a missing target: no-op
+        else op match {
+          // catalog-level operations → Spark DDL verbatim
+          case RenameTableTo(n) =>
+            ctx.spark.sql(s"ALTER TABLE $table RENAME TO $n").collect()
+          case SetPropertiesOp(props) =>
+            val kv = props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
+            ctx.spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($kv)").collect()
+          case AddColumnOp(c, t, ifNotExists) =>
+            val df = readTarget(table, ctx)
+            if (!(ifNotExists && df.columns.exists(_.equalsIgnoreCase(c)))) {
+              if (isPath)
+                // a parquet path has no catalog — materialize the column
+                overwriteTarget(table, df.withColumn(c, F.lit(null).cast(t)), ctx)
+              else ctx.spark.sql(s"ALTER TABLE $table ADD COLUMNS ($c $t)").collect()
+            }
+          // column-shape operations on plain parquet are read-transform-
+          // overwrite rewrites (same policy and caveats as delete/update:
+          // inherent to a format without a copy-on-write metadata layer)
+          case DropColumnOp(c, ie) =>
+            val df = readTarget(table, ctx)
+            if (df.columns.exists(_.equalsIgnoreCase(c)))
+              overwriteTarget(table, df.drop(c), ctx)
+            else if (!ie)
+              throw new LoweringException(s"column $c does not exist in $table")
+          case RenameColumnOp(o, n) =>
+            overwriteTarget(table, readTarget(table, ctx).withColumnRenamed(o, n), ctx)
+          case SetColumnTypeOp(c, t) =>
+            val df = readTarget(table, ctx)
+            overwriteTarget(table, df.withColumn(c, F.col(c).cast(t)), ctx)
+        }
       case DeleteStmt(target, cond) =>
         // DELETE WHERE cond: keep rows where cond is false or null (SQL
         // semantics). Plain parquet has no copy-on-write layer (that is

@@ -131,6 +131,51 @@ final class Parser(tokens: Vector[Token]) {
       val target = stringOrIdent()
       expectKw("where")
       DeleteStmt(target, expression())
+    } else if (peek.is("alter") && peek2.is("table")) {
+      advance(); advance()
+      val ifExists = if (accept("if")) { expectKw("exists"); true } else false
+      val table = stringOrIdent()
+      def typeName(): String = {
+        var t = identName()
+        if (accept("(")) {
+          val ps = List.newBuilder[String]
+          ps += advance().text
+          while (accept(",")) ps += advance().text
+          expectOp(")")
+          t = s"$t(${ps.result().mkString(",")})"
+        }
+        t
+      }
+      val op: AlterOp =
+        if (accept("rename")) {
+          if (accept("column")) {
+            val o = identName(); expectKw("to"); RenameColumnOp(o, identName())
+          } else { expectKw("to"); RenameTableTo(identName()) }
+        } else if (accept("add")) {
+          expectKw("column")
+          val ine = if (accept("if")) { expectKw("not"); expectKw("exists"); true } else false
+          val c = identName()
+          AddColumnOp(c, typeName(), ine)
+        } else if (accept("drop")) {
+          expectKw("column")
+          val ie = if (accept("if")) { expectKw("exists"); true } else false
+          DropColumnOp(identName(), ie)
+        } else if (accept("alter")) {
+          expectKw("column"); val c = identName()
+          expectKw("set"); expectKw("data"); expectKw("type")
+          SetColumnTypeOp(c, typeName())
+        } else if (accept("set")) {
+          expectKw("properties")
+          val props = List.newBuilder[(String, String)]
+          def one(): Unit = {
+            val k = identName()
+            if (!accept("=")) expectOp(":")
+            props += ((k, advance().text))
+          }
+          one(); while (accept(",")) one()
+          SetPropertiesOp(props.result())
+        } else fail("unsupported alter table operation")
+      AlterTableStmt(table, ifExists, op)
     } else if (peek.is("truncate")) {
       advance(); accept("table")
       TruncateStmt(stringOrIdent())
@@ -989,7 +1034,7 @@ final class Parser(tokens: Vector[Token]) {
         } else Some(DebugRel(rel, rel))
       // statement starters / post-relation keywords end the pipe chain
       case "save" | "append" | "model" | "val" | "def" | "from" | "show"
-          | "delete" | "truncate" | "insert" | "create" | "merge"
+          | "delete" | "truncate" | "insert" | "create" | "merge" | "alter"
           | "flow" | "stage" | "run" | "update" | "type" | "execute"
           | "explain" | "package" | "import" | "use" | "with" => None
       case _ =>
@@ -1042,7 +1087,7 @@ final class Parser(tokens: Vector[Token]) {
     * is a trailing comma (allowed, reference WP trailing-comma handling). */
   private val selectItemStoppers: Set[String] = pipeOpKeywords ++ Set(
     "test", "save", "append", "from", "model", "val", "def", "flow", "show",
-    "run", "delete", "truncate", "insert", "create", "merge", "update",
+    "run", "delete", "truncate", "insert", "create", "merge", "update", "alter",
     "type", "execute", "stage")
 
   private def parseSelectItems(): List[SelectItem] = {

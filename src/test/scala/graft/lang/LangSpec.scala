@@ -987,6 +987,37 @@ class LangSpec extends SparkTestBase {
     """)
   }
 
+  test("alter table: rename/add/drop/retype columns, properties, if-exists") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_alter").toString
+    val t = s"$dir/people.parquet"
+    wv(s"""
+      from [[1, 'ann'], [2, 'bo']] as p(id, name)
+      save to '$t'
+    """)
+    // add column (materialized on the parquet path), then retype and rename
+    wv(s"alter table '$t' add column score int")
+    wv(s"alter table '$t' alter column score set data type double")
+    wv(s"alter table '$t' rename column name to full_name")
+    val df = spark.read.parquet(t)
+    assert(df.columns.toSet == Set("id", "full_name", "score"))
+    assert(df.schema("score").dataType.typeName == "double")
+    // drop column; dropping again without `if exists` is a user error
+    wv(s"alter table '$t' drop column score")
+    assert(spark.read.parquet(t).columns.toSet == Set("id", "full_name"))
+    intercept[LoweringException] { wv(s"alter table '$t' drop column score") }
+    wv(s"alter table '$t' drop column if exists score") // no-op
+    // `if exists` on a missing table is a no-op; without it Spark errors
+    wv(s"alter table if exists '$dir/nope.parquet' drop column x")
+    // catalog table: rename + properties via Spark DDL
+    spark.sql("DROP TABLE IF EXISTS alter_src")
+    spark.sql("DROP TABLE IF EXISTS alter_dst")
+    spark.sql("CREATE TABLE alter_src USING parquet AS SELECT 1 AS id")
+    wv("alter table alter_src set properties note = 'kept'")
+    wv("alter table alter_src rename to alter_dst")
+    assert(spark.table("alter_dst").count() == 1)
+    spark.sql("DROP TABLE IF EXISTS alter_dst")
+  }
+
   test("text-pipeline methods are first-class language methods") {
     wv("""
       from [['the quick brown fox jumps over the lazy dog and then rests']] as t(text)
