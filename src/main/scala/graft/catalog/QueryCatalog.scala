@@ -1325,6 +1325,28 @@ object QueryCatalog {
       """)
     ),
     (
+      "q_join_lateral", // correlated-subquery lateral join (decorrelated)
+      wv("""
+        from nation
+        join lateral {
+          from customer
+          where customer.c_nationkey = nation.n_nationkey
+          select c_custkey, c_acctbal
+        }
+        where n_nationkey <= 5
+        select n_name, c_custkey, c_acctbal
+        order by n_name, c_custkey
+      """),
+      Some("""
+        SELECT n_name, c_custkey, c_acctbal
+        FROM nation JOIN LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer
+          WHERE customer.c_nationkey = nation.n_nationkey) t ON TRUE
+        WHERE n_nationkey <= 5
+        ORDER BY n_name, c_custkey
+      """)
+    ),
+    (
       "q_sample", // nondeterministic across engines → rows-only check
       wv("""
         from lineitem
