@@ -87,23 +87,32 @@ object Similarity {
       planes: Int = 10,
       tables: Int = 4,
       dim: Int = 64,
-      excludeSelf: Boolean = true
+      excludeSelf: Boolean = true,
+      multiProbe: Boolean = true
   ): DataFrame = {
     val c = corpus.select(F.col(corpusId).as("corpus_id"), F.col(corpusVec).as("__cv"))
     val q = queries.select(F.col(queryId).as("query_id"), F.col(queryVec).as("__qv"))
 
-    def withBuckets(df: DataFrame, vec: String): DataFrame =
+    // multi-probe (query side only): also probe every bucket at Hamming
+    // distance 1 from the query signature — planes+1 probes per table.
+    // A true neighbor differing in one sign bit is found without adding
+    // tables; the corpus index and its size are untouched, candidates grow
+    // to ~tables·(planes+1)·n/2^planes per query (still a vanishing corpus
+    // fraction at scale).
+    def withBuckets(df: DataFrame, vec: String, probe: Boolean): DataFrame = {
+      val buckets = (0 until tables).flatMap { t =>
+        val sig = hyperplaneSignature(F.col(vec), planes, dim, seed = 7L + t)
+        val sigs =
+          if (probe) sig +: (0 until planes).map(i => sig.bitwiseXOR(F.lit(1L << i)))
+          else Seq(sig)
+        sigs.map(s => F.concat(F.lit(t.toString + ":"), s))
+      }
       df.select(
-        df.columns.map(F.col) :+
-          F.explode(F.array(
-            (0 until tables).map(t =>
-              F.concat(F.lit(t.toString + ":"),
-                hyperplaneSignature(F.col(vec), planes, dim, seed = 7L + t))): _*
-          )).as("bucket"): _*
-      )
+        df.columns.map(F.col) :+ F.explode(F.array(buckets: _*)).as("bucket"): _*)
+    }
 
-    val cb = withBuckets(c, "__cv")
-    val qb = withBuckets(q, "__qv")
+    val cb = withBuckets(c, "__cv", probe = false)
+    val qb = withBuckets(q, "__qv", probe = multiProbe)
     var cand = cb.join(qb, Seq("bucket"))
       .drop("bucket")
       .dropDuplicates("query_id", "corpus_id")

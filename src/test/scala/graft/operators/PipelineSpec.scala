@@ -249,6 +249,32 @@ class PipelineSpec extends SparkTestBase {
     assert(narrow.map(_.getLong(0)).distinct.length == 3)
   }
 
+  test("ANN recall@10: narrow-probe IVF and LSH against brute-force truth") {
+    val k = 10
+    val queries = embs.filter(F.col("vec_id") < 20).select("vec_id", "embedding")
+    def topSets(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val truth = topSets(Similarity.bruteForceTopK(
+      embs, "vec_id", "embedding", queries, "vec_id", "embedding", k = k).collect())
+    def recallOf(approx: Map[Long, Set[Long]]): Double = {
+      val per = truth.map { case (q, t) =>
+        approx.get(q).map(a => (a & t).size.toDouble / t.size).getOrElse(0.0)
+      }
+      per.sum / per.size
+    }
+    val ivfRecall = recallOf(topSets(Similarity.ivfTopK(
+      embs, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = k, nlist = 8, nprobe = 3).collect()))
+    val lshRecall = recallOf(topSets(Similarity.lshTopK(
+      embs, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = k, planes = 6, tables = 8).collect()))
+    info(f"recall@$k: ivf(nprobe=3/8) = $ivfRecall%.3f, lsh(6 planes x 8 tables) = $lshRecall%.3f")
+    // quality floors: an index that misses most of the true neighbors is
+    // misconfigured, not merely approximate
+    assert(ivfRecall >= 0.5, f"IVF recall@$k too low: $ivfRecall%.3f")
+    assert(lshRecall >= 0.4, f"LSH recall@$k too low: $lshRecall%.3f")
+  }
+
   test("multimodal: media struct + stub decode + frame sampling") {
     val media = docs.limit(5).select(
       F.col("doc_id"),
