@@ -249,6 +249,31 @@ class PipelineSpec extends SparkTestBase {
     assert(narrow.map(_.getLong(0)).distinct.length == 3)
   }
 
+  test("embedding-cosine dedup: LSH candidate path recall vs brute force") {
+    // plant near-duplicates: a slightly perturbed copy of each of 60 vectors
+    // (id + 100000) — cosine to the original stays near 1, mutual cosines of
+    // unrelated vectors stay low, so ground truth ≈ the planted pairs
+    val base = embs.filter(F.col("vec_id") < 60).select("vec_id", "embedding")
+    val perturbed = base.select(
+      (F.col("vec_id") + 100000L).as("vec_id"),
+      F.transform(F.col("embedding"),
+        (x, i) => (x + (i % 3 - 1).cast("float") * F.lit(0.02f)).cast("float"))
+        .as("embedding"))
+    val corpus = base.union(perturbed)
+    val thr = 0.95
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairSet(Dedup.embeddingCosinePairs(
+      corpus, "vec_id", "embedding", threshold = thr, bruteForce = true))
+    assume(truth.nonEmpty, "no near-dup pairs at this threshold")
+    val lsh = pairSet(Dedup.embeddingCosinePairs(
+      corpus, "vec_id", "embedding", threshold = thr, bruteForce = false))
+    val recall = (lsh & truth).size.toDouble / truth.size
+    info(f"cosine-pair LSH recall at >=$thr: $recall%.3f (${truth.size} true pairs)")
+    assert((lsh -- truth).isEmpty, "LSH path must verify pairs exactly (no false positives)")
+    assert(recall >= 0.8, f"candidate recall too low: $recall%.3f")
+  }
+
   test("ANN recall@10: narrow-probe IVF and LSH against brute-force truth") {
     val k = 10
     val queries = embs.filter(F.col("vec_id") < 20).select("vec_id", "embedding")
