@@ -18,17 +18,31 @@ object Bench {
     catch { case _: Throwable => () }
     // substring filter for local iteration: SPARK_GRAFT_ONLY=ngram sbt 'runMain graft.Bench'
     val only = sys.env.get("SPARK_GRAFT_ONLY")
+    // Timed runs per query after one untimed warm run; the reported value is the
+    // median, so a transient background-load spike on this shared machine cannot
+    // poison a query's official number (single cold runs did exactly that in r4).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(n.contains) }
     var failures = 0
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          failures += 1
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      def once(): Option[Double] = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            None
+        }
       }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val warm = once()
+      val sec =
+        if (warm.isEmpty) { failures += 1; 0.0 }
+        else {
+          val timed = (1 to runs).flatMap(_ => once())
+          if (timed.isEmpty) { failures += 1; warm.get }
+          else timed.sorted.apply(timed.size / 2) // median (upper for even n)
+        }
       System.err.println(f"[bench] $name%-32s $sec%8.2f s")
       name -> sec
     }

@@ -519,10 +519,12 @@ object Dedup {
         // tables a pair collides somewhere with 1-(1-p)^t (t=6 → ~0.93
         // measured); candidates stay ~t·n·E[bucket]/2, and the exact-cosine
         // verify keeps the output exact (no false positives by construction)
+        // bucket key = table id packed into the high bits of the signature:
+        // an 8-byte long shuffle key instead of a ~20-byte UTF8 concat
         val withSig = base.withColumn("bucket", F.explode(F.array(
           (0 until tables).map(t =>
-            F.concat(F.lit(t.toString + ":"),
-              Similarity.hyperplaneSignature(F.col("vec"), planes, seed = 11L + t))): _*)))
+            Similarity.hyperplaneSignature(F.col("vec"), planes, seed = 11L + t)
+              .bitwiseOR(F.lit(t.toLong << planes))): _*)))
         val a = withSig.select(F.col("bucket"),
           F.col("id").as("id_a"), F.col("vec").as("vec_a"))
         val b = withSig.select(F.col("bucket"),

@@ -105,7 +105,9 @@ object Similarity {
         val sigs =
           if (probe) sig +: (0 until planes).map(i => sig.bitwiseXOR(F.lit(1L << i)))
           else Seq(sig)
-        sigs.map(s => F.concat(F.lit(t.toString + ":"), s))
+        // table id packed into the high bits keeps the bucket key an 8-byte
+        // long (vs a ~20-byte UTF8 concat) through the candidate shuffle
+        sigs.map(s => s.bitwiseOR(F.lit(t.toLong << planes)))
       }
       df.select(
         df.columns.map(F.col) :+ F.explode(F.array(buckets: _*)).as("bucket"): _*)
@@ -132,11 +134,14 @@ object Similarity {
     * candidates with exact cosine.
     *
     * Scale anatomy: the index build (KMeans fit, an offline step at 100 TB)
-    * samples the corpus; cell assignment is one model.transform pass; the
-    * probe is a broadcast join of (query × nprobe) cell ids against the
-    * cell-partitioned corpus — candidates ≈ |corpus|·nprobe/nlist per query
-    * instead of |corpus|. Fixed seed → deterministic for a fixed corpus
-    * partitioning. */
+    * trains on a bounded sample of the corpus — `fitSamplePerCell`×nlist
+    * rows (the standard IVF sizing; quantizer quality plateaus long before
+    * that), so the 10 Lloyd iterations scan a few-thousand-row checkpointed
+    * sample instead of the corpus 10×. Cell assignment is one
+    * model.transform pass; the probe is a broadcast join of (query × nprobe)
+    * cell ids against the cell-partitioned corpus — candidates ≈
+    * |corpus|·nprobe/nlist per query instead of |corpus|. Fixed seed →
+    * deterministic for a fixed corpus partitioning. */
   def ivfTopK(
       corpus: DataFrame,
       corpusId: String,
@@ -148,16 +153,28 @@ object Similarity {
       nlist: Int = 64,
       nprobe: Int = 8,
       seed: Long = 7L,
-      excludeSelf: Boolean = true
+      excludeSelf: Boolean = true,
+      fitSamplePerCell: Int = 100
   ): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     val c = corpus.select(F.col(corpusId).as("corpus_id"), F.col(corpusVec).as("__cv"))
       .withColumn("features", array_to_vector(F.col("__cv")))
+    // bound the quantizer training set: one cheap count, one sampling pass,
+    // then localCheckpoint so Lloyd iterations re-scan ~fitTarget rows only
+    val fitTarget = fitSamplePerCell.toLong * nlist
+    val corpusN = c.count()
+    val fitSet =
+      if (corpusN <= fitTarget) c
+      else c.sample(withReplacement = false,
+        // 1.2× headroom: Bernoulli sampling undershoots; KMeans only needs
+        // "about" fitTarget points, an exact cut would cost a sort
+        fraction = math.min(1.0, 1.2 * fitTarget.toDouble / corpusN),
+        seed = seed).localCheckpoint(eager = false)
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("features")
-      .fit(c)
+      .fit(fitSet)
     val assigned = model.transform(c)
       .select(F.col("corpus_id"), F.col("__cv"), F.col("prediction").as("bucket"))
     // centroid table is tiny (nlist rows) → broadcast probe-assignment join
