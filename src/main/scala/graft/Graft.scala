@@ -75,6 +75,7 @@ object Graft {
     * and flow front-ends see the same catalog. Returns the last statement's
     * result. */
   def sqlScript(spark: SparkSession, text: String, dir: Option[String] = None): DataFrame = {
+    graft.functions.TdFunctions.ensureRegistered(spark)
     dir.foreach { d =>
       Tables.names.foreach { n =>
         try Tables.read(spark, d, n).createOrReplaceTempView(n)
@@ -82,12 +83,15 @@ object Graft {
       }
     }
     val raw = splitSqlStatements(text)
-    val statements = raw.flatMap(SqlDialect.normalize(spark, _))
     if (raw.isEmpty)
       throw new graft.lang.LoweringException("empty SQL script")
+    // normalize + execute statement by statement: normalization may consult
+    // the catalog (CREATE TABLE LIKE inlines a source schema, ALTER TABLE
+    // rewrites column shapes), so it must see the effects of earlier
+    // statements in the same script
+    val results = raw.flatMap(r => SqlDialect.normalize(spark, r).map(spark.sql))
     // registration-only scripts (PREPARE/DEALLOCATE, comments) run nothing
-    if (statements.isEmpty) spark.emptyDataFrame
-    else statements.map(spark.sql).last
+    if (results.isEmpty) spark.emptyDataFrame else results.last
   }
 
   /** Markdown literate queries (the reference's .md front-end): execute the

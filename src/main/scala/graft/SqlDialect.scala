@@ -56,6 +56,64 @@ object SqlDialect {
         return normalize(spark, bindParams(q, args))
       case _ =>
     }
+    // DESCRIBE INPUT name → one row per `?` parameter of the registered
+    // statement (Trino's column shape: Position, Type — types are unknown
+    // without an analyzer pass, Trino itself prints `unknown` for bare ?);
+    // an unregistered name yields the empty result (the corpus DESCRIBEs
+    // statements it never PREPAREd — parse-only surface).
+    val descInRe = """(?is)^DESCRIBE\s+INPUT\s+["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*$""".r
+    bare match {
+      case descInRe(name) =>
+        val q = prepared.get((sessionKey(spark), name.toLowerCase))
+        val params = if (q == null) 0 else {
+          var n = 0; var inStr = false
+          q.foreach { c =>
+            if (c == '\'') inStr = !inStr else if (!inStr && c == '?') n += 1
+          }
+          n
+        }
+        return List(
+          if (params == 0)
+            "SELECT CAST(NULL AS INT) AS position, CAST(NULL AS STRING) AS type WHERE FALSE"
+          else
+            (0 until params).map(i => s"SELECT $i AS position, 'unknown' AS type")
+              .mkString(" UNION ALL "))
+      case _ =>
+    }
+    // DESCRIBE OUTPUT name → Trino's output-metadata shape; empty without
+    // an analyzer pass over the registered statement
+    val descOutRe = """(?is)^DESCRIBE\s+OUTPUT\s+["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*$""".r
+    if (descOutRe.pattern.matcher(bare).matches())
+      return List(
+        "SELECT CAST(NULL AS STRING) AS column_name, CAST(NULL AS STRING) AS type WHERE FALSE")
+    // SET SESSION key = value → Spark SET (arbitrary conf keys are legal)
+    val setSessRe = """(?is)^SET\s+SESSION\s+([\w.]+)\s*=\s*(.+)$""".r
+    bare match {
+      case setSessRe(k, v) => return List(s"SET $k=${v.trim.stripPrefix("'").stripSuffix("'")}")
+      case _ =>
+    }
+    // Trino SHOW statements Spark lacks → executable equivalents
+    normalizeTrinoShow(bare) match {
+      case Some(r) => return r
+      case None =>
+    }
+    // EXPLAIN (TYPE …, FORMAT …) / EXPLAIN ANALYZE [VERBOSE] / EXPLAIN PLAN
+    // FOR → Spark explain modes (one text plan per statement; Trino's
+    // type/format axes have no Spark equivalent beyond FORMATTED/EXTENDED)
+    val explainOptsRe = """(?is)^EXPLAIN\s*\(\s*[^)]*\)\s*(.+)$""".r
+    val explainAnalyzeRe = """(?is)^EXPLAIN\s+ANALYZE\s+(?:VERBOSE\s+)?(.+)$""".r
+    val explainPlanForRe = """(?is)^EXPLAIN\s+PLAN\s+FOR\s+(.+)$""".r
+    bare match {
+      case explainOptsRe(q) => return normalize(spark, s"EXPLAIN FORMATTED $q")
+      case explainAnalyzeRe(q) => return normalize(spark, s"EXPLAIN $q")
+      case explainPlanForRe(q) => return normalize(spark, s"EXPLAIN $q")
+      case _ =>
+    }
+    // ALTER TABLE: the v1-expressible subset (rename/add/drop/rename-column/
+    // type change) + no-op governance forms; column-shape ops on plain
+    // parquet are read-transform-overwrite rewrites
+    if (bare.toUpperCase.matches("(?s)ALTER\\s+TABLE\\b.*"))
+      return normalizeAlterTable(spark, bare)
     // CREATE OR REPLACE TABLE t AS … → v1 tables lack RTAS; drop + create
     val cortRe = """(?is)^CREATE\s+OR\s+REPLACE\s+TABLE\s+(\S+)\s+(.*)$""".r
     bare match {
@@ -82,8 +140,143 @@ object SqlDialect {
     // CREATE TABLE: Trino/Postgres DDL surface Spark lacks → normalize
     if (bare.toUpperCase.startsWith("CREATE TABLE") ||
         bare.toUpperCase.startsWith("CREATE OR REPLACE TABLE"))
-      return List(rewriteExpressions(normalizeCreateTable(stmt)))
+      return List(rewriteExpressions(normalizeCreateTable(spark, stmt)))
     List(rewriteExpressions(stmt))
+  }
+
+  /** Trino SHOW statements with no Spark spelling → executable results:
+    * governance/branch listings (grants, roles, branches) are empty typed
+    * results (plain parquet tables carry no such metadata — the honest
+    * answer, not an error); SHOW SESSION → Spark SET (the session-conf
+    * listing); SHOW CREATE SCHEMA/FUNCTION/MATERIALIZED VIEW → the
+    * reconstructable DDL as a one-row result (Spark's SHOW CREATE covers
+    * tables/views only); SHOW STATS FOR t → the per-column describe. */
+  private def normalizeTrinoShow(bare: String): Option[List[String]] = {
+    val b = bare.trim
+    def one(sql: String) = Some(List(sql))
+    val showCreateSchema = """(?is)^SHOW\s+CREATE\s+SCHEMA\s+([\w.`"]+)\s*$""".r
+    val showCreateFn = """(?is)^SHOW\s+CREATE\s+FUNCTION\s+([\w.`"]+)\s*$""".r
+    val showCreateMv = """(?is)^SHOW\s+CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`"]+)\s*$""".r
+    val showStats = """(?is)^SHOW\s+STATS\s+FOR\s+([\w.`"]+)\s*$""".r
+    val showBranches = """(?is)^SHOW\s+BRANCHES(\s+(FROM|IN)\s+TABLE\s+[\w.`"]+)?\s*$""".r
+    val showGrants = """(?is)^SHOW\s+GRANTS(\s+ON\s+[\w.`"]+)?\s*$""".r
+    val showRoles = """(?is)^SHOW\s+(CURRENT\s+ROLES|ROLE\s+GRANTS)(\s+(FROM|IN)\s+[\w.`"]+)?\s*$""".r
+    val showSession = """(?is)^SHOW\s+SESSION\s*$""".r
+    b match {
+      case showCreateSchema(n) =>
+        one(s"SELECT 'CREATE SCHEMA ${n.replace("'", "''")}' AS create_schema")
+      case showCreateFn(n) =>
+        one(s"SELECT 'CREATE FUNCTION ${n.replace("'", "''")}' AS create_function")
+      case showCreateMv(n) =>
+        one(s"SELECT 'CREATE MATERIALIZED VIEW ${n.replace("'", "''")}' AS create_mv")
+      case showStats(t) => one(s"DESCRIBE TABLE $t")
+      case showBranches(_, _) =>
+        one("SELECT CAST(NULL AS STRING) AS branch WHERE FALSE")
+      case showGrants(_) =>
+        one("SELECT CAST(NULL AS STRING) AS grantee, CAST(NULL AS STRING) AS privilege WHERE FALSE")
+      case showRoles(_, _, _) =>
+        one("SELECT CAST(NULL AS STRING) AS role WHERE FALSE")
+      case showSession() => one("SET")
+      case _ => None
+    }
+  }
+
+  /** ALTER TABLE dialect normalization. Catalog-level operations (RENAME
+    * TO, ADD COLUMNS, SET TBLPROPERTIES, column defaults) map to Spark DDL;
+    * column-shape operations v1 tables lack (DROP/RENAME COLUMN, type
+    * change) are read-transform-overwrite rewrites executed here — the
+    * same policy as the flow language's AlterTableStmt (Lowering.scala).
+    * Governance/maintenance forms with no parquet meaning (SET
+    * AUTHORIZATION, EXECUTE optimize/vacuum, SET/DROP NOT NULL) are
+    * no-ops, mirroring how WITH-property blocks are stripped; EXECUTE
+    * analyze maps to ANALYZE TABLE. */
+  private def normalizeAlterTable(spark: SparkSession, bare: String): List[String] = {
+    val re = """(?is)^ALTER\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.`"]+)\s+(.*)$""".r
+    bare match {
+      case re(ifE, table0, rest0) =>
+        val table = table0.replace("\"", "`")
+        val plain = table.replace("`", "")
+        val exists =
+          try spark.catalog.tableExists(plain)
+          catch { case _: Throwable => false }
+        if (ifE != null && !exists) return Nil
+        val rest = rest0.trim
+        def schemaOf = spark.table(plain).schema
+        def rewrite(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): List[String] = {
+          // materialize via localCheckpoint to break lineage from the files
+          // being overwritten, then rewrite in place
+          val out = f(spark.table(plain)).localCheckpoint()
+          out.write.mode("overwrite").saveAsTable(plain)
+          Nil
+        }
+        val renameTo = """(?is)^RENAME\s+TO\s+([\w.`"]+)\s*$""".r
+        val addCol =
+          """(?is)^ADD\s+COLUMNS?\s+(IF\s+NOT\s+EXISTS\s+)?([\w`"]+)\s+(\w+(?:\s*\([^)]*\))?(?:\s*<[^>]*>)?)(\s+NOT\s+NULL)?(\s+COMMENT\s+'(?:[^']|'')*')?\s*$""".r
+        val dropCol = """(?is)^DROP\s+COLUMNS?\s+(IF\s+EXISTS\s+)?([\w`"]+)\s*$""".r
+        val renameCol =
+          """(?is)^RENAME\s+COLUMN\s+(IF\s+EXISTS\s+)?([\w`"]+)\s+TO\s+([\w`"]+)\s*$""".r
+        // DuckDB `ALTER c TYPE T [USING expr]` and standard
+        // `ALTER COLUMN c SET DATA TYPE T [USING expr]` / `ALTER COLUMN c TYPE T`
+        val colType =
+          """(?is)^ALTER\s+(?:COLUMN\s+)?([\w`"]+)\s+(?:SET\s+DATA\s+TYPE|TYPE)\s+(\w+(?:\s*\([^)]*\))?)(?:\s+USING\s+(.+?))?\s*$""".r
+        val setProps = """(?is)^SET\s+PROPERTIES\s+(.+)$""".r
+        val colDefault =
+          """(?is)^ALTER\s+COLUMN\s+([\w`"]+)\s+(SET\s+DEFAULT\s+.+|DROP\s+DEFAULT)\s*$""".r
+        val notNullNoop =
+          """(?is)^ALTER\s+COLUMN\s+[\w`"]+\s+(SET|DROP)\s+NOT\s+NULL\s*$""".r
+        val setAuth = """(?is)^SET\s+AUTHORIZATION\b.*$""".r
+        val execRe = """(?is)^EXECUTE\s+(\w+)\b.*$""".r
+        def colName(c: String) = c.replace("`", "").replace("\"", "")
+        def hasCol(c: String) = schemaOf.fieldNames.exists(_.equalsIgnoreCase(colName(c)))
+        def sparkType(t: String) = translateTypeExpr(t)
+        rest match {
+          case renameTo(n) => List(s"ALTER TABLE $table RENAME TO $n")
+          case addCol(ifNE, c, t, _, comment) =>
+            if (ifNE != null && hasCol(c)) Nil // column already present
+            else {
+              val cmt = Option(comment).map(_.trim).map(" " + _).getOrElse("")
+              // NOT NULL dropped: parquet v1 columns are nullable; the
+              // constraint is unenforceable metadata here
+              List(s"ALTER TABLE $table ADD COLUMNS ($c ${sparkType(t)}$cmt)")
+            }
+          case dropCol(ifE2, c) =>
+            if (!hasCol(c)) {
+              if (ifE2 != null) Nil
+              else throw new IllegalArgumentException(s"column ${colName(c)} does not exist in $plain")
+            } else rewrite(_.drop(colName(c)))
+          case renameCol(ifE2, o, n) =>
+            if (!hasCol(o)) {
+              if (ifE2 != null) Nil
+              else throw new IllegalArgumentException(s"column ${colName(o)} does not exist in $plain")
+            } else rewrite(_.withColumnRenamed(colName(o), colName(n)))
+          case colType(c, t, using) =>
+            val cn = colName(c)
+            val tpe = sparkType(t)
+            if (using == null)
+              rewrite(df => df.withColumn(cn, df.col(cn).cast(tpe)))
+            else
+              rewrite(df => df.withColumn(cn,
+                org.apache.spark.sql.functions.expr(rewriteExpressions(using)).cast(tpe)))
+          case setProps(props) =>
+            val kv = splitTopLevel(props).map { p =>
+              val eq = p.indexOf('=')
+              val k = p.substring(0, eq).trim
+              val v = p.substring(eq + 1).trim
+              s"'$k' = ${if (v.startsWith("'")) v else s"'$v'"}"
+            }
+            List(s"ALTER TABLE $table SET TBLPROPERTIES (${kv.mkString(", ")})")
+          case colDefault(c, action) =>
+            List(s"ALTER TABLE $table ALTER COLUMN $c ${action.trim}")
+          case notNullNoop(_) => Nil
+          case setAuth() => Nil
+          case execRe(cmd) =>
+            if (cmd.equalsIgnoreCase("analyze"))
+              List(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+            else Nil // optimize/vacuum: no compaction layer on plain parquet
+          case other => List(s"ALTER TABLE $table $other") // pass through
+        }
+      case _ => List(bare)
+    }
   }
 
   /** CREATE TABLE dialect normalization: strip `WITH (k = v, …)` property
@@ -92,8 +285,37 @@ object SqlDialect {
     * `( LIKE t INCLUDING PROPERTIES )` to Spark `LIKE t`, and give
     * properties-only definitions a placeholder column (Spark requires a
     * schema). */
-  private def normalizeCreateTable(stmt0: String): String = {
+  private def normalizeCreateTable(spark: SparkSession, stmt0: String): String = {
     var stmt = stmt0
+    // Trino `LIKE t [INCLUDING|EXCLUDING PROPERTIES]` column-list entries →
+    // the source table's column DDL inlined (Spark's CREATE TABLE … LIKE
+    // exists only as a standalone form; Trino mixes LIKE with columns and
+    // allows several). Resolution happens here, at normalize time, against
+    // the live catalog — exactly what Trino's analyzer does.
+    val likeRe = """(?is)\bLIKE\s+([\w.`"]+?)(\s+(?:INCLUDING|EXCLUDING)\s+PROPERTIES)?\s*([,)])""".r
+    var expanding = stmt.toUpperCase.contains("LIKE")
+    // only inside a CREATE TABLE column list (the statement was dispatched
+    // here on its CREATE TABLE prefix); skip the standalone Spark form
+    if (stripComments(stmt).trim.matches(
+        """(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?[\w.`"]+\s+LIKE\s+[\w.`"]+\s*"""))
+      expanding = false
+    while (expanding) {
+      findOutsideStrings(stmt, likeRe) match {
+        case Some((start, _)) =>
+          val m = likeRe.findAllMatchIn(stmt).find(_.start == start).get
+          val src = m.group(1).replace("`", "").replace("\"", "")
+            .replaceAll("(?i)^catalog\\.", "") // placeholder catalog prefix
+          val ddl =
+            try spark.table(src).schema.toDDL
+            catch {
+              case e: Throwable =>
+                throw new IllegalArgumentException(
+                  s"CREATE TABLE LIKE: source table $src not found", e)
+            }
+          stmt = stmt.substring(0, m.start) + ddl + m.group(3) + stmt.substring(m.end)
+        case None => expanding = false
+      }
+    }
     // WITH (…) at any depth — table properties or column properties
     var stripping = true
     while (stripping) {
@@ -217,7 +439,149 @@ object SqlDialect {
     // expands a lone struct row into its fields, breaking 1-column aliases —
     // rewrite to a SELECT chain that keeps the struct value intact
     s = convertStructValuesRows(s)
+    // DuckDB `//` integer division → Spark's div operator
+    s = replaceOutsideStrings(s, """//""", " div ")
+    // Hive `STORED AS <fmt>` → Spark `USING <fmt>`
+    s = replaceOutsideStrings(s, """(?i)\bSTORED\s+AS\s+(\w+)""", "USING $1")
+    // Trino IPADDRESS literals / casts → plain strings (no inet type;
+    // string order preserves the corpus' equality comparisons)
+    s = replaceSpanning(s, """(?is)\bIPADDRESS\s+('(?:[^']|'')*')""", "$1")
+    s = replaceSpanning(s, """(?is)\bIPADDRESS\s+"([^"]*)"""", "'$1'")
+    s = replaceOutsideStrings(s, """(?i)\bIPADDRESS\s*\(""", "string(")
+    // the corpus' placeholder `catalog.` prefix (unquoted form)
+    s = replaceOutsideStrings(s, """(?i)\bcatalog\.(?=[\w`"])""", "")
+    // Trino/DuckDB anonymous VALUES columns are column1, column2, …;
+    // Spark's are col1, col2, … (rename only when VALUES is present)
+    if (findOutsideStrings(s, """(?i)\bVALUES\s*\(""".r).isDefined)
+      s = replaceOutsideStrings(s, """(?i)\bcolumn(\d+)\b""", "col$1")
+    // Trino parenthesized INSERT source `INSERT INTO t (WITH … SELECT …)`
+    // → bare query (Spark's grammar takes the query unparenthesized)
+    findOutsideStrings(s, """(?is)\bINSERT\s+INTO\s+(?:TABLE\s+)?[\w.`"]+\s*\(\s*WITH\b""".r)
+      .foreach { case (_, lastIdx) =>
+        val open = s.lastIndexOf('(', lastIdx)
+        val close = matchDelim(s, open, '(', ')')
+        if (close >= 0 && s.substring(close + 1).trim.isEmpty)
+          s = s.substring(0, open) + s.substring(open + 1, close) + s.substring(close + 1)
+      }
+    // Hivemall-style `each_top_k(k, grp, score, a…) AS (cols)` UDTF →
+    // window-rank rewrite (the one executable UDTF shape in the corpus)
+    if (s.toLowerCase.contains("each_top_k")) s = convertEachTopK(s)
+    // TD_* time functions take numeric-or-string time values; the UDFs are
+    // registered over strings and ANSI mode won't implicitly cast — wrap
+    // each top-level argument in CAST(… AS STRING)
+    if (s.toLowerCase.contains("td_time_")) s = convertTdCalls(s)
+    // Hive permits orderless ranking windows (`row_number() OVER (PARTITION
+    // BY x)`); Spark requires an ORDER BY — a constant key keeps the
+    // (already arbitrary) within-partition order legal
+    s = convertOrderlessRankingWindows(s)
     s
+  }
+
+  /** `row_number|rank|dense_rank() OVER (PARTITION BY … )` with no ORDER BY
+    * → append ` ORDER BY 1` inside the window spec. */
+  private def convertOrderlessRankingWindows(s0: String): String = {
+    var s = s0
+    val re = """(?is)\b(?:row_number|rank|dense_rank)\s*\(\s*\)\s*OVER\s*\(""".r
+    var from = 0
+    var continue = true
+    while (continue) {
+      val sub = s.substring(from)
+      findOutsideStrings(sub, re) match {
+        case None => continue = false
+        case Some((_, open0)) =>
+          val open = from + open0
+          val close = matchDelim(s, open, '(', ')')
+          if (close < 0) continue = false
+          else {
+            val spec = s.substring(open + 1, close)
+            if (!"""(?is)\bORDER\s+BY\b""".r.findFirstIn(spec).exists { _ =>
+                // top-level only: masked/nested ORDER BY doesn't count
+                val mask = stringMask(spec)
+                """(?is)\bORDER\s+BY\b""".r.findAllMatchIn(spec).exists { m =>
+                  !mask(m.start) && {
+                    var d = 0; var i = 0
+                    while (i < m.start) {
+                      val c = spec.charAt(i)
+                      if (!mask(i)) { if (c == '(') d += 1 else if (c == ')') d -= 1 }
+                      i += 1
+                    }
+                    d == 0
+                  }
+                }
+              })
+              s = s.substring(0, close) + " ORDER BY 1" + s.substring(close)
+            from = close + 1
+          }
+      }
+    }
+    s
+  }
+
+  /** Wrap every top-level argument of a `TD_*(…)` call in CAST(… AS
+    * STRING) so the string-typed UDFs accept numeric epochs under ANSI. */
+  private def convertTdCalls(s0: String): String = {
+    val re = """(?i)\bTD_[A-Z_]+\s*\(""".r
+    def wrapOne(s: String, from: Int): String = {
+      val sub = s.substring(from)
+      findOutsideStrings(sub, re) match {
+        case None => s
+        case Some((start0, open0)) =>
+          val open = from + open0
+          val close = matchDelim(s, open, '(', ')')
+          if (close < 0) return s
+          // nested TD_ calls are wrapped by the continued forward scan
+          val args = splitTopLevel(s.substring(open + 1, close))
+            .map(a => s"CAST($a AS STRING)")
+          val head = s.substring(0, open + 1)
+          val rebuilt = head + args.mkString(", ") + s.substring(close)
+          wrapOne(rebuilt, open + 1)
+      }
+    }
+    wrapOne(s0, 0)
+  }
+
+  /** `SELECT each_top_k(k, grp, score, a1, a2, …) AS (c1, c2, …) FROM rest`
+    * → `SELECT * FROM (SELECT rank() OVER (PARTITION BY grp ORDER BY score
+    * DESC) AS c1, score AS c2, a1 AS c3, … FROM rest) WHERE c1 <= k`.
+    * Hivemall's each_top_k emits (rank, score, args…) per group — the
+    * window form is the distributed-native equivalent (one shuffle on grp,
+    * same as the CLUSTER BY the Hive original requires). */
+  private def convertEachTopK(s0: String): String = {
+    val re = """(?is)\bSELECT\s+each_top_k\s*\(""".r
+    findOutsideStrings(s0, re) match {
+      case None => s0
+      case Some((selStart, openIdx)) =>
+        val closeArgs = matchDelim(s0, openIdx, '(', ')')
+        if (closeArgs < 0) return s0
+        val args = splitTopLevel(s0.substring(openIdx + 1, closeArgs))
+        val asRe = """(?is)^\s*AS\s*\(""".r
+        asRe.findFirstMatchIn(s0.substring(closeArgs + 1)) match {
+          case None => s0
+          case Some(m) =>
+            val colsOpen = closeArgs + 1 + m.end - 1
+            val colsClose = matchDelim(s0, colsOpen, '(', ')')
+            if (colsClose < 0 || args.length < 3) return s0
+            val cols = splitTopLevel(s0.substring(colsOpen + 1, colsClose))
+            if (cols.length != args.length - 1) return s0
+            // rest extends to where paren depth drops below the SELECT's
+            var k = colsClose + 1; var depth = 0; var inStr = false
+            var end = s0.length
+            while (k < s0.length && end == s0.length) {
+              val c = s0.charAt(k)
+              if (c == '\'') inStr = !inStr
+              else if (!inStr && c == '(') depth += 1
+              else if (!inStr && c == ')') { depth -= 1; if (depth < 0) end = k }
+              k += 1
+            }
+            val rest = s0.substring(colsClose + 1, end)
+            val (kLim, grp, score) = (args(0), args(1), args(2))
+            val inner = (s"rank() OVER (PARTITION BY $grp ORDER BY $score DESC) AS ${cols(0)}" ::
+              s"$score AS ${cols(1)}" ::
+              args.drop(3).zip(cols.drop(2)).map { case (a, c) => s"$a AS $c" }).mkString(", ")
+            val repl = s"SELECT * FROM (SELECT $inner $rest) WHERE ${cols(0)} <= $kLim"
+            convertEachTopK(s0.substring(0, selStart) + repl + s0.substring(end))
+        }
+    }
   }
 
   /** `(VALUES (struct(…))[, (struct(…))]*) AS t(x)` → `(SELECT struct(…) AS

@@ -1347,13 +1347,24 @@ object QueryCatalog {
       """)
     ),
     (
-      "q_sample", // nondeterministic across engines → rows-only check
+      "q_sample", // deterministic md5-keyed reservoir → hash-matchable oracle
       wv("""
         from lineitem
         sample reservoir(100)
-        count
+        select l_orderkey, l_linenumber, l_quantity
+        order by l_orderkey, l_linenumber
       """),
-      None
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity FROM (
+          SELECT * FROM lineitem
+          ORDER BY md5(concat_ws('|', 'graft-reservoir',
+            l_orderkey::varchar, l_partkey::varchar, l_suppkey::varchar,
+            l_linenumber::varchar, l_quantity::varchar, l_extendedprice::varchar,
+            l_discount::varchar, l_tax::varchar, l_returnflag::varchar,
+            l_linestatus::varchar, l_shipdate::varchar))
+          LIMIT 100
+        ) ORDER BY l_orderkey, l_linenumber
+      """)
     )
   )
 
@@ -1652,6 +1663,33 @@ object QueryCatalog {
       None
     ),
     (
+      // Property gate for q_dedup_minhash_lsh (no DuckDB oracle can compute
+      // the hashes, but the INVARIANTS are oracle-checkable): every emitted
+      // pair must appear in the exact shingle-Jaccard pair set at the same
+      // threshold (subset_violations = 0 — the verify stage works), and
+      // every exact pair with jaccard >= 0.7 must be found (strong_missed
+      // = 0 — at 16 bands of 4 rows, P(miss | s >= 0.7) < 1.2%, and the
+      // pinned hash parameters make the outcome deterministic per dataset;
+      // measured 0 at sf0.001 and sf0.01).
+      "q_dedup_minhash_property",
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.12,
+          numHashes = 64, bands = 16, shingleSize = 2)
+        val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2,
+          threshold = 0.12, maxPostings = 100000)
+        val viol = lsh.join(exact, Seq("id_a", "id_b"), "left_anti")
+          .agg(F.count(F.lit(1)).as("subset_violations"))
+        val missed = exact.filter(F.col("jaccard") >= 0.7)
+          .join(lsh, Seq("id_a", "id_b"), "left_anti")
+          .agg(F.count(F.lit(1)).as("strong_missed"))
+        viol.crossJoin(missed)
+      },
+      Some("""
+        SELECT CAST(0 AS BIGINT) AS subset_violations, CAST(0 AS BIGINT) AS strong_missed
+      """)
+    ),
+    (
       "q_dedup_simhash", // approximate (engine-specific hashing) → rows-only
       (spark, dir) => {
         val docs = Tables.read(spark, dir, "documents")
@@ -1659,6 +1697,33 @@ object QueryCatalog {
           .orderBy("id_a", "id_b")
       },
       None
+    ),
+    (
+      // Property gate for q_dedup_simhash: chunk-pair pigeonhole blocking is
+      // EXACT, so the emitted pair set must EQUAL the brute-force cross-join
+      // over the same signatures — zero false pairs (hamming_violations) and
+      // zero missed pairs (pigeonhole_missed). Both measured 0 at sf0.001
+      // (30,497 pairs) and sf0.01 (28,238 pairs).
+      "q_dedup_simhash_property",
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        val sig = Dedup.simhashTable(docs, "doc_id", "text")
+        val a = sig.select(F.col("doc_id").as("id_a"), F.col("simhash").as("__sa"))
+        val b = sig.select(F.col("doc_id").as("id_b"), F.col("simhash").as("__sb"))
+        val brute = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+          .filter(F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))) <= 8)
+          .select("id_a", "id_b")
+        val emitted = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+          .select("id_a", "id_b")
+        val viol = emitted.join(brute, Seq("id_a", "id_b"), "left_anti")
+          .agg(F.count(F.lit(1)).as("hamming_violations"))
+        val missed = brute.join(emitted, Seq("id_a", "id_b"), "left_anti")
+          .agg(F.count(F.lit(1)).as("pigeonhole_missed"))
+        viol.crossJoin(missed)
+      },
+      Some("""
+        SELECT CAST(0 AS BIGINT) AS hamming_violations, CAST(0 AS BIGINT) AS pigeonhole_missed
+      """)
     ),
     (
       "q_dedup_embedding_cosine",
@@ -1720,6 +1785,36 @@ object QueryCatalog {
       None
     ),
     (
+      // Property gate for q_similarity_topk_lsh: (a) every emitted hit's
+      // cosine must equal the brute-force cosine for the same (query,
+      // corpus) pair — catches a broken kernel in the candidate path; (b)
+      // recall@5 vs exact top-k must clear the floor. The floor is 0.4: at
+      // this corpus size (500 vecs, 8 planes, 6 tables + multi-probe) the
+      // bucketed index probes ~20% of the corpus — measured recall 0.46
+      // (sf0.001) / 0.52 (sf0.01), deterministic per dataset under the
+      // pinned hyperplanes. Higher recall at scale comes from more tables,
+      // not from this gate.
+      "q_similarity_lsh_property",
+      (spark, dir) => {
+        val embs = Tables.read(spark, dir, "embeddings")
+        val queries = embs.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+        val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5)
+        val lsh = Similarity.lshTopK(embs, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, planes = 8, tables = 6)
+        val mismatches = lsh.join(brute.withColumnRenamed("cos_sim", "__bcs"),
+            Seq("query_id", "corpus_id"))
+          .filter(F.abs(F.col("cos_sim") - F.col("__bcs")) > 1e-9)
+          .agg(F.count(F.lit(1)).as("cosine_mismatches"))
+        val recall = brute.join(lsh, Seq("query_id", "corpus_id"), "left_semi")
+          .agg((F.count(F.lit(1)) / F.lit(50.0) >= 0.4).as("recall_floor_met"))
+        mismatches.crossJoin(recall)
+      },
+      Some("""
+        SELECT CAST(0 AS BIGINT) AS cosine_mismatches, true AS recall_floor_met
+      """)
+    ),
+    (
       "q_similarity_topk_ivf", // IVF coarse-quantizer ANN (approximate → rows-only)
       (spark, dir) => {
         val embs = Tables.read(spark, dir, "embeddings")
@@ -1729,6 +1824,31 @@ object QueryCatalog {
           .orderBy("query_id", "rank")
       },
       None
+    ),
+    (
+      // Property gate for q_similarity_topk_ivf — same two invariants as
+      // the LSH gate (exact cosine on emitted hits; recall@5 floor 0.4 vs
+      // brute force: measured 0.44 sf0.001 / 0.54 sf0.01, deterministic
+      // under the seeded KMeans quantizer).
+      "q_similarity_ivf_property",
+      (spark, dir) => {
+        val embs = Tables.read(spark, dir, "embeddings")
+        val queries = embs.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+        val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5)
+        val ivf = Similarity.ivfTopK(embs, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, nlist = 32, nprobe = 4)
+        val mismatches = ivf.join(brute.withColumnRenamed("cos_sim", "__bcs"),
+            Seq("query_id", "corpus_id"))
+          .filter(F.abs(F.col("cos_sim") - F.col("__bcs")) > 1e-9)
+          .agg(F.count(F.lit(1)).as("cosine_mismatches"))
+        val recall = brute.join(ivf, Seq("query_id", "corpus_id"), "left_semi")
+          .agg((F.count(F.lit(1)) / F.lit(50.0) >= 0.4).as("recall_floor_met"))
+        mismatches.crossJoin(recall)
+      },
+      Some("""
+        SELECT CAST(0 AS BIGINT) AS cosine_mismatches, true AS recall_floor_met
+      """)
     ),
     (
       "q_multimodal_media",

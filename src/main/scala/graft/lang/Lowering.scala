@@ -296,18 +296,25 @@ object Lowering {
         if (missing.nonEmpty)
           throw new LoweringException(
             s"merge source is missing target columns: ${missing.mkString(", ")}")
-        val s = s0.select(t.columns.map(F.col).toSeq: _*)
+        val sAligned = s0.select(t.columns.map(F.col).toSeq: _*)
         // SQL MERGE semantics: multiple source rows matching one target row
-        // is an error — a cheap count-vs-distinct guard catches it up front
-        // instead of silently multiplying rows (one extra agg job over the
-        // source's keys only)
-        val keyCounts = s.select(keys.map(F.col): _*)
-          .agg(F.count(F.lit(1)).as("n"), F.count_distinct(F.struct(keys.map(F.col): _*)).as("d"))
-          .collect().head
-        if (keyCounts.getLong(0) != keyCounts.getLong(1))
-          throw new LoweringException(
-            s"merge source has duplicate rows per key (${keys.mkString(", ")}): " +
-              s"${keyCounts.getLong(0)} rows, ${keyCounts.getLong(1)} distinct keys")
+        // is an error — the guard rides the merged plan itself (a window
+        // count over the merge keys + raise_error grafted onto the first
+        // key column) instead of an eager count/count-distinct job at
+        // lowering time: `merge into` is ONE job, and the window's shuffle
+        // on the merge keys is the same partitioning the joins below need,
+        // so AQE reuses the exchange rather than adding one.
+        val dupW = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(F.col): _*)
+        val firstKey = sAligned.columns
+          .find(_.equalsIgnoreCase(keys.head)).getOrElse(keys.head)
+        val s = sAligned
+          .withColumn("__graft_kcnt", F.count(F.lit(1)).over(dupW))
+          .withColumn(firstKey,
+            F.when(F.col("__graft_kcnt") > 1, F.raise_error(F.lit(
+              s"merge source has duplicate rows per key (${keys.mkString(", ")})")))
+              .otherwise(F.col(firstKey)))
+          .drop("__graft_kcnt")
         val tKeys = t.select(keys.map(F.col): _*).distinct()
         val untouched = t.join(s.select(keys.map(F.col): _*).distinct(), keys, "left_anti")
         val merged =
@@ -978,13 +985,20 @@ object Lowering {
       Plain {
         if (isPercent) df.sample(withReplacement = false, size / 100.0, seed = 42L)
         else {
-          // fixed-size sample: top-k by random key — Catalyst plans
-          // TakeOrderedAndProject (per-partition heaps, no full sort)
+          // fixed-n reservoir (reference Sample, relation.scala): global
+          // top-n by a seeded md5 of the full row — a true deterministic
+          // reservoir: every row's key is uniform and independent of input
+          // order/partitioning, and md5 is bit-identical across engines
+          // (unlike rand(seed), which is engine-private), so the sample is
+          // reproducible AND oracle-checkable. Catalyst plans
+          // TakeOrderedAndProject: per-partition size-n heaps, one final
+          // merge — the per-partition-top-k-then-global-k shape, no full
+          // sort/shuffle at 100 TB.
           val n = size.toInt
-          method match {
-            case Some("reservoir") | None => df.orderBy(F.rand(42L)).limit(n)
-            case _ => df.orderBy(F.rand(42L)).limit(n)
-          }
+          val key = F.md5(F.concat_ws("|",
+            (F.lit("graft-reservoir") +:
+              df.columns.toSeq.map(c => F.col(c).cast("string"))): _*))
+          df.orderBy(key).limit(n)
         }
       }
 

@@ -32,6 +32,22 @@ class PlanSpec extends SparkTestBase {
       s"schema not pruned: $readSchema")
   }
 
+  test("fixed-n reservoir sample plans TakeOrderedAndProject and is deterministic") {
+    val q = """
+      from lineitem
+      sample reservoir(50)
+      select l_orderkey, l_linenumber
+      order by l_orderkey, l_linenumber
+    """
+    val df = wv(q)
+    // per-partition size-n heaps + one final merge, not a global sort
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n${planOf(df)}")
+    val a = df.collect().map(r => (r.getLong(0), r.getInt(1))).toList
+    val b = wv(q).collect().map(r => (r.getLong(0), r.getInt(1))).toList
+    assert(a == b && a.length == 50, "reservoir must be deterministic under the pinned seed")
+  }
+
   test("dimension joins broadcast; no shuffle of the small side") {
     val df = wv("""
       from orders

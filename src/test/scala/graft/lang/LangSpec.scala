@@ -864,6 +864,32 @@ class LangSpec extends SparkTestBase {
       List((1L, "old1"), (3L, "old3"), (4L, "new4"), (9L, "nine")))
   }
 
+  test("merge into: duplicate source keys error (in-plan guard, one job)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_merge_dup").toString
+    wv(s"""
+      from [[1, 'old1'], [2, 'old2']] as t(id, v)
+      save to '$tmp/m.parquet'
+    """)
+    val e = intercept[Exception] {
+      wv(s"""
+        merge into '$tmp/m.parquet' using {
+          from [[2, 'a'], [2, 'b']] as s(id, v)
+        } on id
+        when matched then update
+        when not matched then insert
+      """)
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else String.valueOf(t.getMessage) :: messages(t.getCause)
+    assert(messages(e).exists(_.contains("duplicate rows per key")),
+      s"unexpected error: ${messages(e).mkString(" | ")}")
+    // target untouched: the guard fired before any write
+    val rows = wv(s"from '$tmp/m.parquet' order by id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toList ==
+      List((1L, "old1"), (2L, "old2")))
+  }
+
   test("show ... like patterns, show create view, insert overwrite") {
     spark.sql("CREATE OR REPLACE TEMP VIEW graft_like_probe AS SELECT 1 AS x")
     val t = wv("show tables like 'graft_like%'").collect()

@@ -11,10 +11,11 @@ class RefSqlSpec extends SparkTestBase {
 
   private val sqlDir = "/root/reference/spec/sql/basic"
 
-  /** files we do not run, with reasons */
+  /** files we do not run in the sequential loop, with reasons */
   private val excluded: Map[String, String] = Map(
     "alter-table.sql" ->
-      "Trino/DuckDB ALTER surface (SET AUTHORIZATION, EXECUTE optimize, ALTER TYPE USING) beyond Spark v1 DDL",
+      ("state-inconsistent as a sequence on ANY engine (adds `description` twice without IF NOT " +
+        "EXISTS) — executed per-statement with a fresh fixture in the dedicated test below"),
     "non-reserved-keywords.sql" ->
       "uses ALL/SET/UPDATE/OFFSET as bare identifiers — reserved in Spark's parser; identifier flexibility is a parser property, not translatable",
     "at-alias.sql" ->
@@ -109,5 +110,63 @@ class RefSqlSpec extends SparkTestBase {
     failures.foreach { case (f, m) => info(s"FAIL $f: $m") }
     assert(ran >= 50, s"expected >=50 green files, got $ran; failures: ${failures.map(_._1).mkString(", ")}")
     assert(failures.isEmpty, s"${failures.size} files failed")
+  }
+
+  test("alter-table.sql: every statement executes against a fresh fixture") {
+    // The corpus is parse-only and state-inconsistent as a sequence (it
+    // ADDs `description` twice without IF NOT EXISTS — no engine can run
+    // it start-to-finish), so each statement gets a satisfiable
+    // precondition: the pre-ADD schema for ADD COLUMN statements, the
+    // post-ADD schema for everything else. The ALTER translations
+    // themselves are engine code (SqlDialect.normalizeAlterTable):
+    // RENAME TO/ADD COLUMNS/SET TBLPROPERTIES/column defaults are native
+    // DDL; DROP/RENAME COLUMN and type changes are read-transform-
+    // overwrite rewrites (plain parquet has no copy-on-write layer);
+    // SET AUTHORIZATION / EXECUTE optimize|vacuum / SET|DROP NOT NULL are
+    // no-ops (governance and maintenance markers with no parquet meaning);
+    // EXECUTE analyze maps to ANALYZE TABLE.
+    def rmrfW(n: String): Unit = {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(s"spark-warehouse/$n"))
+    }
+    def reset(forAdd: Boolean): Unit = {
+      Seq("users", "customers").foreach { t =>
+        spark.catalog.dropTempView(t)
+        spark.sql(s"DROP TABLE IF EXISTS $t"); rmrfW(t)
+      }
+      val extra = if (forAdd) "" else ", email STRING, description STRING"
+      spark.sql(s"CREATE TABLE users (age INT, old_name STRING, i STRING, j STRING$extra) USING parquet")
+      spark.sql("INSERT INTO users VALUES (30, 'o', 'a', 'b'" +
+        (if (forAdd) ")" else ", 'e', 'd')"))
+    }
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$sqlDir/alter-table.sql")))
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    var ran = 0
+    graft.Graft.splitSqlStatements(text).foreach { stmt =>
+      reset(forAdd = """(?is).*\bADD\s+COLUMN\b.*""".r.pattern.matcher(stmt).matches())
+      try {
+        graft.Graft.sqlScript(spark, stmt, None).collect()
+        ran += 1
+      } catch {
+        case e: Throwable =>
+          failures += s"${stmt.linesIterator.toList.lastOption.getOrElse("")} -> ${String.valueOf(e.getMessage).take(160)}"
+      }
+    }
+    info(s"$ran statements executed green")
+    failures.foreach(f => info(s"FAIL $f"))
+    assert(failures.isEmpty, s"${failures.size} ALTER statements failed:\n${failures.mkString("\n")}")
+    // the rewrites really happen: DROP COLUMN via table rewrite
+    reset(forAdd = false)
+    graft.Graft.sqlScript(spark, "ALTER TABLE users DROP COLUMN email", None)
+    assert(!spark.table("users").columns.contains("email"))
+    // type change via rewrite with USING expression
+    reset(forAdd = false)
+    graft.Graft.sqlScript(spark,
+      "ALTER TABLE users ALTER COLUMN i SET DATA TYPE VARCHAR USING concat(i, '_', j)", None)
+    assert(spark.table("users").select("i").collect().head.getString(0) == "a_b")
   }
 }
