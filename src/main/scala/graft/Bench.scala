@@ -24,6 +24,10 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(n.contains) }
+      // *_property companions are correctness gates that re-run their
+      // underlying operator plus a brute-force comparator — no perf signal
+      // beyond the operator queries already timed here
+      .filterNot { case (n, _) => n.endsWith("_property") }
     var failures = 0
     val results = selected.map { case (name, fn) =>
       def once(): Option[Double] = {

@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 import graft.{Graft, Tables}
-import graft.operators.{Dedup, Similarity, Multimodal, Sampling}
+import graft.operators.{Dedup, Similarity, Multimodal, Sampling, Decontamination}
 import graft.functions.TextFunctions
 
 /** The operator-inventory query catalog: one named query per implemented
@@ -1922,6 +1922,62 @@ object QueryCatalog {
               '&(amp|lt|gt|quot|nbsp|#\d+);', ' ', 'g'),
             '\s+', ' ', 'g')) AS cleaned
         FROM documents ORDER BY doc_id
+      """)
+    ),
+    (
+      // Benchmark decontamination: docs sharing an exact word n-gram with
+      // the eval set (here: docs 0-2 as a stand-in benchmark; n=4 because
+      // the synthetic corpus is short templated text — production default
+      // is 13). The DuckDB oracle recomputes the overlap from STRING
+      // n-grams, independently of the engine's hash kernel, so this also
+      // pins the kernel's tokenization (maximal [a-z0-9]+ runs, lowercased).
+      "q_decontaminate_flag",
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        val eval = docs.filter(F.col("doc_id") < 3).select("text")
+        Decontamination.contaminatedDocs(docs, "doc_id", "text", eval, "text", n = 4)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+          FROM documents
+        ),
+        ngr AS (
+          SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS g
+          FROM tok, LATERAL (SELECT unnest(range(1, len(w) - 2)) AS i) r
+        ),
+        evalg AS (SELECT DISTINCT g FROM ngr WHERE doc_id < 3)
+        SELECT n.doc_id, count(DISTINCT n.g) AS contaminated_ngrams
+        FROM ngr n JOIN evalg USING (g)
+        GROUP BY n.doc_id
+        ORDER BY n.doc_id
+      """)
+    ),
+    (
+      // The drop side: corpus minus contaminated docs (broadcast anti-join).
+      "q_decontaminate_drop",
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        val eval = docs.filter(F.col("doc_id") < 3).select("text")
+        Decontamination.decontaminate(docs, "doc_id", "text", eval, "text", n = 4)
+          .select("doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+          FROM documents
+        ),
+        ngr AS (
+          SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS g
+          FROM tok, LATERAL (SELECT unnest(range(1, len(w) - 2)) AS i) r
+        ),
+        evalg AS (SELECT DISTINCT g FROM ngr WHERE doc_id < 3)
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (
+          SELECT n.doc_id FROM ngr n JOIN evalg USING (g))
+        ORDER BY doc_id
       """)
     ),
     (

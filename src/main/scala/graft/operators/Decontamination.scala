@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+
+/** Benchmark decontamination: find (and drop) corpus documents that share
+  * an exact word n-gram with an evaluation/benchmark corpus — the standard
+  * guard against test-set leakage in a training-data pipeline (the usual
+  * published recipe is 13-gram overlap).
+  *
+  * 100 TB anatomy: the two sides are wildly asymmetric — benchmarks are
+  * megabytes while the corpus is the 100 TB side — so the eval n-gram set
+  * is exploded, deduped and BROADCAST; the corpus side streams through one
+  * shingling scan (the one-pass native kernel,
+  * functions/TextHashExpressions.scala) and a broadcast semi/equi-join.
+  * The corpus is never shuffled; per-doc aggregation of hit counts groups
+  * on doc id only for the (tiny) contaminated subset.
+  *
+  * Hash semantics: both sides shingle with the same kernel, so only hash
+  * EQUALITY matters; 64-bit collisions (~1e-10 at benchmark scale) can at
+  * worst over-flag a document — the conservative direction for
+  * decontamination.
+  *
+  * (The reference has no decontamination operator; this extends its text
+  * toolchain the same way Dedup/Similarity do, reference wvlet-lang's
+  * text functions being scalar-only.)
+  */
+object Decontamination {
+
+  /** Documents sharing ≥1 word n-gram with the eval corpus:
+    * (idCol, contaminated_ngrams = distinct shared n-grams). */
+  def contaminatedDocs(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusText: String,
+      eval: DataFrame,
+      evalText: String,
+      n: Int = 13
+  ): DataFrame = {
+    val evalGrams = eval
+      .select(F.explode(
+        graft.functions.TextHashExpressions.shingleHashes64(F.col(evalText), n)).as("__g"))
+      .distinct()
+    val corpusGrams = corpus.select(
+      F.col(corpusId),
+      // shingleHashes64 returns the sorted-DISTINCT shingle set per doc,
+      // so the count below is "distinct shared n-grams" with no extra dedup
+      F.explode(
+        graft.functions.TextHashExpressions.shingleHashes64(F.col(corpusText), n)).as("__g"))
+    corpusGrams
+      .join(F.broadcast(evalGrams), Seq("__g"))
+      .groupBy(F.col(corpusId))
+      .agg(F.count(F.lit(1)).as("contaminated_ngrams"))
+  }
+
+  /** The corpus minus contaminated documents (broadcast anti-join of the
+    * flagged-id set — the flagged set is benchmark-sized, not corpus-sized). */
+  def decontaminate(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusText: String,
+      eval: DataFrame,
+      evalText: String,
+      n: Int = 13
+  ): DataFrame = {
+    val flagged = contaminatedDocs(corpus, corpusId, corpusText, eval, evalText, n)
+      .select(corpusId)
+    corpus.join(F.broadcast(flagged), Seq(corpusId), "left_anti")
+  }
+}

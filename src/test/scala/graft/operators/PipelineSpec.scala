@@ -61,6 +61,31 @@ class PipelineSpec extends SparkTestBase {
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 8887L && r.getInt(2) == 0))
   }
 
+  test("decontamination: planted eval n-gram flags exactly the leaky doc") {
+    import spark.implicits._
+    val eval = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val corpus = Seq(
+      (1L, "intro text then the quick brown fox appears verbatim here"), // shares 4-gram
+      (2L, "completely unrelated content about spark shuffles and joins"),
+      (3L, "quick brown fox jumps straight out of the benchmark")        // shares 4-gram
+    ).toDF("doc_id", "text")
+    val flagged = Decontamination
+      .contaminatedDocs(corpus, "doc_id", "text", eval, "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet == Set(1L, 3L), s"flagged: $flagged")
+    assert(flagged(1L) == 1L) // "the quick brown fox"
+    assert(flagged(3L) == 1L) // "quick brown fox jumps"
+    val clean = Decontamination
+      .decontaminate(corpus, "doc_id", "text", eval, "text", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L))
+    // the eval side is broadcast: the corpus is never shuffled
+    val plan = Decontamination
+      .contaminatedDocs(corpus, "doc_id", "text", eval, "text", n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$plan")
+  }
+
   test("pii redaction and html stripping are total and deterministic") {
     import spark.implicits._
     val rows = Seq(
