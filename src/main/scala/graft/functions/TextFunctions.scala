@@ -169,6 +169,40 @@ object TextFunctions {
     F.when(n === 0, F.lit(0.0)).otherwise(topCount.cast("double") / n)
   }
 
+  // --- C4-style cleaning rules (Raffel et al. 2020, §2.2) --------------------
+
+  /** Sentence count: non-empty spans between terminal punctuation. */
+  def sentenceCount(text: Column): Column =
+    F.size(F.filter(F.split(text, "[.!?]"), s => F.length(F.trim(s)) > 0))
+
+  /** Fraction of lines ending in terminal punctuation (C4 keeps only such
+    * lines; the fraction is the per-doc diagnostic). 0.0 for empty docs. */
+  def terminalPunctLineFraction(text: Column): Column = {
+    val ls = lines(text)
+    val n = F.size(ls)
+    F.when(n === 0, F.lit(0.0)).otherwise(
+      F.size(F.filter(ls, l => l.rlike("[.!?\"']$"))).cast("double") / n)
+  }
+
+  /** C4 line cleaning: keep lines that end in terminal punctuation, have at
+    * least `minWords` words, and carry no javascript/cookie/policy
+    * boilerplate; surviving lines re-join with newlines. Pure column
+    * expressions — applies in the scan projection, no UDF, no shuffle. */
+  def c4CleanLines(text: Column, minWords: Int = 5): Column =
+    F.array_join(
+      F.filter(lines(text), l =>
+        l.rlike("[.!?\"']$") &&
+          F.size(F.split(l, "\\s+")) >= minWords &&
+          !F.lower(l).rlike("javascript|cookie policy|privacy policy|terms of use|uses cookies")),
+      "\n")
+
+  /** C4 page filter: at least 3 sentences, no "lorem ipsum", no curly brace
+    * (code markers). Returns a boolean keep flag. */
+  def c4PageKeep(text: Column): Column =
+    sentenceCount(text) >= 3 &&
+      !F.lower(text).contains("lorem ipsum") &&
+      !text.contains("{")
+
   // --- language identification ----------------------------------------------
 
   /** Stopword-overlap language ID over {en, de, fr, es}; deterministic

@@ -59,6 +59,27 @@ object Subscribe {
     tumbling(stream.withWatermark(tsCol, watermarkDelay), tsCol, windowDuration, keys, aggs)
   }
 
+  /** Streaming exact dedup on ingest: emit each key set (e.g. a content
+    * fingerprint — `TextFunctions.fingerprint`) at most once within the
+    * watermark horizon, the guard against re-crawled / re-queued documents
+    * entering the corpus twice. State is BOUNDED: Spark's
+    * dropDuplicatesWithinWatermark evicts keys once the watermark passes
+    * them, which is what keeps this viable on an unbounded ingest stream —
+    * global-history dedup stays the batch operator's job (Dedup.scala)
+    * downstream. Emitted rows are unchanged (append mode safe). */
+  def dedupStream(
+      stream: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      keyCols: Seq[String]
+  ): DataFrame = {
+    require(stream.isStreaming, "dedupStream requires a streaming DataFrame (readStream)")
+    require(keyCols.nonEmpty, "at least one dedup key required")
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
+
   /** Stage finalized windows into an append-only parquet directory. With
     * `Trigger.AvailableNow` the query drains available input and terminates —
     * invoke repeatedly with the same checkpoint for batch-triggered

@@ -86,6 +86,41 @@ class PipelineSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$plan")
   }
 
+  test("C4 rules: line cleaning, page filter, sentence count on planted docs") {
+    import spark.implicits._
+    val page =
+      """This sentence survives because it is long enough and ends well.
+        |short line.
+        |This line has plenty of words but no terminal punctuation
+        |Enable javascript and cookies to continue browsing this page.
+        |Please review our cookie policy before you continue reading here.
+        |Another perfectly fine sentence stays in the cleaned output too!""".stripMargin
+    val df = Seq(
+      (1L, page),
+      (2L, "Lorem ipsum dolor sit amet, consectetur adipiscing elit sed."),
+      (3L, "function f() { return 1; } This page. Mixes code. And prose."),
+      (4L, "One good sentence here. And a second one follows. Then a third arrives.")
+    ).toDF("doc_id", "text")
+    val out = df.select(
+      F.col("doc_id"),
+      TextFunctions.c4CleanLines(F.col("text")).as("cleaned"),
+      TextFunctions.c4PageKeep(F.col("text")).as("keep"),
+      TextFunctions.sentenceCount(F.col("text")).as("sentences"),
+      TextFunctions.terminalPunctLineFraction(F.col("text")).as("tp_frac")
+    ).collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: short line (< 5 words), unterminated line, javascript line and
+    // cookie-policy line all drop; the two real sentences survive
+    val cleaned = out(1L).getString(1).split("\n")
+    assert(cleaned.toList == List(
+      "This sentence survives because it is long enough and ends well.",
+      "Another perfectly fine sentence stays in the cleaned output too!"))
+    assert(out(1L).getDouble(4) == 5.0 / 6.0) // 5 of 6 lines end terminally
+    // page filter: lorem ipsum and curly-brace pages drop, 3-sentence page keeps
+    assert(!out(2L).getBoolean(2))
+    assert(!out(3L).getBoolean(2))
+    assert(out(4L).getBoolean(2) && out(4L).getInt(3) == 3)
+  }
+
   test("pii redaction and html stripping are total and deterministic") {
     import spark.implicits._
     val rows = Seq(

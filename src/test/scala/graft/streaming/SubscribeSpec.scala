@@ -83,4 +83,45 @@ class SubscribeSpec extends SparkTestBase {
     assert(batch.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList ==
       staged.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList)
   }
+
+  test("dedupStream: duplicate keys within the watermark emit once, state evicts") {
+    val in = Files.createTempDirectory("dds_in").toString
+    val out = Files.createTempDirectory("dds_out").toString
+    val ck = Files.createTempDirectory("dds_ck").toString
+    // event_type doubles as the content fingerprint here
+    writeBatch(in, "b1", Seq(
+      ("2024-01-01 00:10:00", "fp1", 1.0),
+      ("2024-01-01 00:11:00", "fp1", 2.0), // same-batch duplicate
+      ("2024-01-01 00:12:00", "fp2", 3.0)))
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$in/*")
+      val deduped = Subscribe.dedupStream(stream, "ts", "10 minutes", Seq("event_type"))
+      val q = deduped.writeStream.outputMode("append").format("parquet")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+      q.awaitTermination()
+    }
+
+    runOnce()
+    // batch 2: fp1 again while its key is still inside the watermark state
+    // (watermark = 00:12 - 10min = 00:02), plus a fresh key far ahead that
+    // evicts everything
+    writeBatch(in, "b2", Seq(
+      ("2024-01-01 00:13:00", "fp1", 4.0),
+      ("2024-01-01 06:00:00", "fp3", 9.0)))
+    runOnce()
+    // batch 3: fp1 re-appears AFTER eviction (watermark now 05:50) — by
+    // design it emits again; bounded state trades global history for an
+    // unbounded stream (global dedup is the batch operator downstream)
+    writeBatch(in, "b3", Seq(("2024-01-01 06:01:00", "fp1", 7.0)))
+    runOnce()
+
+    val got = spark.read.parquet(out)
+      .orderBy("ts").collect()
+      .map(r => (r.getString(1), r.getDouble(2))).toList
+    assert(got == List(("fp1", 1.0), ("fp2", 3.0), ("fp3", 9.0), ("fp1", 7.0)),
+      s"got $got")
+  }
 }
