@@ -174,6 +174,11 @@ object Stdlib {
     "dup_line_fraction" -> ((t, _) => graft.functions.TextFunctions.duplicateLineFraction(t)),
     "dup_char_fraction" -> ((t, _) => graft.functions.TextFunctions.duplicateLineCharFraction(t)),
     "top_token_fraction" -> ((t, _) => graft.functions.TextFunctions.topTokenFraction(t)),
+    "sentence_count" -> ((t, _) => graft.functions.TextFunctions.sentenceCount(t)),
+    "terminal_punct_line_fraction" ->
+      ((t, _) => graft.functions.TextFunctions.terminalPunctLineFraction(t)),
+    "c4_clean" -> ((t, _) => graft.functions.TextFunctions.c4CleanLines(t)),
+    "c4_keep" -> ((t, _) => graft.functions.TextFunctions.c4PageKeep(t)),
     "simhash64" -> ((t, _) => graft.operators.Dedup.simhash(t)),
     // vector methods over Array[Float]/Array[Double] embedding columns
     "cosine_similarity" -> ((t, args) =>

@@ -1070,5 +1070,21 @@ class LangSpec extends SparkTestBase {
       select text, h = text.simhash64
     """).collect()
     assert(out.length == 1 && out(0).getString(0).startsWith("spam"))
+    // C4 rules as language methods: page filter + line cleaning
+    wv("""
+      from [
+        ['One good sentence here. A second one follows. Then a third arrives.'],
+        ['Lorem ipsum dolor sit amet and more filler text.'],
+        ['code page { return 1; } with. three. sentences.']
+      ] as t(text)
+      where text.c4_keep
+      select n = text.sentence_count
+      test _.rows should be [[3]]
+    """)
+    val c4 = wv("""
+      from [['Good long sentence survives the filter here.\nshort one.\nEnable javascript now to continue please.']] as t(text)
+      select cleaned = text.c4_clean
+    """).collect()(0).getString(0)
+    assert(c4 == "Good long sentence survives the filter here.")
   }
 }
