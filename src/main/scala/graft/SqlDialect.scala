@@ -441,8 +441,10 @@ object SqlDialect {
     s = convertStructValuesRows(s)
     // DuckDB `//` integer division → Spark's div operator
     s = replaceOutsideStrings(s, """//""", " div ")
-    // Hive `STORED AS <fmt>` → Spark `USING <fmt>`
-    s = replaceOutsideStrings(s, """(?i)\bSTORED\s+AS\s+(\w+)""", "USING $1")
+    // Hive `STORED AS <fmt>` → Spark `USING <fmt>` (DDL only — `stored`
+    // is a legal column alias in queries; leading comment lines skipped)
+    if (s.matches("""(?is)\s*(--[^\n]*\n\s*)*CREATE\b.*"""))
+      s = replaceOutsideStrings(s, """(?i)\bSTORED\s+AS\s+(\w+)""", "USING $1")
     // Trino IPADDRESS literals / casts → plain strings (no inet type;
     // string order preserves the corpus' equality comparisons)
     s = replaceSpanning(s, """(?is)\bIPADDRESS\s+('(?:[^']|'')*')""", "$1")
