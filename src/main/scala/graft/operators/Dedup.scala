@@ -571,8 +571,11 @@ object Dedup {
     val edges = fwd.union(fwd.select(F.col("dst").as("src"), F.col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(F.col("src").as("id")).distinct()
-      .withColumn("lbl", F.col("id"))
+    // seed labels with min(id, min neighbor) — one groupBy over the
+    // materialized edges, equivalent to running the first neighbor-min
+    // round before the loop starts (one fewer full round)
+    var labels = edges.groupBy(F.col("src").as("id"))
+      .agg(F.least(F.col("id"), F.min("dst")).as("lbl"))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -584,18 +587,26 @@ object Dedup {
       val newLbl = F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl")))
       val stepped = labels.join(viaNeighbors, Seq("id"), "left")
         .select(F.col("id"), F.col("lbl").as("__old"), newLbl.as("lbl"))
-      // pointer jumping (path halving): each node also adopts the label OF
-      // its label — labels are monotone decreasing and label(x) <= x, so
-      // label(label(x)) is in the same component and no larger. Converges
-      // in O(log diameter) rounds instead of O(diameter); at scale every
-      // round is a full shuffle, so halving rounds halves the query.
+      // pointer jumping, applied twice per round: each node adopts the
+      // label OF its label — labels are monotone decreasing and
+      // label(x) <= x, so label(label(x)) is in the same component and no
+      // larger. Two applications compress up to 4 hops per round, so
+      // convergence takes O(log diameter / 2) rounds; at scale every round
+      // is a full shuffle, so fewer rounds beat the extra (cheap,
+      // same-keyed) join inside the round.
       // The changed-flag folds into the checkpointed frame: the convergence
       // test is a filter over materialized data, not a join job.
-      val ptr = stepped.select(F.col("id").as("lbl"), F.col("lbl").as("__lbl2"))
-      val next = stepped.join(ptr, Seq("lbl"), "left")
-        .select(F.col("id"),
-          F.coalesce(F.col("__lbl2"), F.col("lbl")).as("lbl"),
-          (F.coalesce(F.col("__lbl2"), F.col("lbl")) =!= F.col("__old")).as("__chg"))
+      def jump(df: DataFrame): DataFrame = {
+        val ptr = df.select(F.col("id").as("lbl"), F.col("lbl").as("__lbl2"))
+        df.join(ptr, Seq("lbl"), "left")
+          .select(F.col("id"),
+            F.coalesce(F.col("__lbl2"), F.col("lbl")).as("lbl"),
+            F.col("__old"))
+      }
+      val jumped = jump(jump(stepped))
+      val next = jumped
+        .select(F.col("id"), F.col("lbl"),
+          (F.col("lbl") =!= F.col("__old")).as("__chg"))
         .localCheckpoint(true) // cut lineage; also materializes per round
       converged = next.filter(F.col("__chg")).limit(1).count() == 0
       labels = next.drop("__chg")
