@@ -698,6 +698,32 @@ object Lowering {
         .toDF("function_name", "function_type", "return_type"))
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
+        (name.toLowerCase == "contaminated_docs" || name.toLowerCase == "decontaminate") =>
+      // decontamination table functions (operators/Decontamination.scala):
+      //   contaminated_docs('corpus', 'eval', 'id_col', 'text_col', n)
+      //   decontaminate('corpus', 'eval', 'id_col', 'text_col', n)
+      // corpus/eval are relation names resolved through the same rules as
+      // `from <name>` — tables, files, and in-scope models all work, so
+      // `model evalset = { … }` composes directly.
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(eval: String), Some(idCol: String),
+            Some(textCol: String), Some(n: Long)) =>
+          val c = lower(TableRef(corpus), ctx)
+          val e = lower(TableRef(eval), ctx)
+          Plain(
+            if (name.toLowerCase == "contaminated_docs")
+              graft.operators.Decontamination
+                .contaminatedDocs(c, idCol, textCol, e, textCol, n.toInt)
+            else
+              graft.operators.Decontamination
+                .decontaminate(c, idCol, textCol, e, textCol, n.toInt))
+        case _ =>
+          throw new LoweringException(
+            s"$name expects (corpus, eval, id_col, text_col, n) literals, e.g. " +
+              s"$name('documents', 'evalset', 'doc_id', 'text', 13)")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "range" =>
       // builtin table function: range(n) / range(start, end[, step]) → id
       val vals = args.map(a => constValue(a) match {

@@ -1087,4 +1087,34 @@ class LangSpec extends SparkTestBase {
     """).collect()(0).getString(0)
     assert(c4 == "Good long sentence survives the filter here.")
   }
+
+  test("decontaminate/contaminated_docs are table functions over named relations") {
+    // eval set defined as an in-scope model; both relations resolve through
+    // the normal `from <name>` rules
+    val flagged = wv("""
+      model evalset = {
+        from documents
+        where doc_id < 3
+        select doc_id, text
+      }
+      ;
+      from contaminated_docs('documents', 'evalset', 'doc_id', 'text', 4)
+      order by doc_id
+    """).collect()
+    // the eval docs flag themselves at minimum
+    assert(flagged.map(_.getLong(0)).take(3).toList == List(0L, 1L, 2L))
+    assert(flagged.forall(_.getLong(1) >= 1L))
+    val total = wv("from documents count").collect()(0).getLong(0)
+    val clean = wv("""
+      model evalset = {
+        from documents
+        where doc_id < 3
+        select doc_id, text
+      }
+      ;
+      from decontaminate('documents', 'evalset', 'doc_id', 'text', 4)
+      count
+    """).collect()(0).getLong(0)
+    assert(clean == total - flagged.length)
+  }
 }
