@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 import graft.{Graft, Tables}
-import graft.operators.{Dedup, Similarity, Multimodal, Sampling, Decontamination}
+import graft.operators.{Dedup, Similarity, Multimodal, Sampling, Decontamination, Packing, CorpusStats}
 import graft.functions.TextFunctions
 
 /** The operator-inventory query catalog: one named query per implemented
@@ -1978,6 +1978,66 @@ object QueryCatalog {
         WHERE doc_id NOT IN (
           SELECT n.doc_id FROM ngr n JOIN evalg USING (g))
         ORDER BY doc_id
+      """)
+    ),
+    (
+      // GPT-style sequence packing metadata: deterministic md5-hex shard →
+      // per-shard token cumsum → pack coordinates. All-integer until the
+      // floor division, so the DuckDB oracle reproduces it exactly.
+      "q_pack_sequences",
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        Packing.packSequences(docs, "doc_id", "text", budget = 512, shards = 8)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            CAST((strpos('0123456789abcdef',
+              substring(md5('graft-pack' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8 AS INT) AS shard,
+            md5('graft-pack' || CAST(doc_id AS VARCHAR)) AS key,
+            len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))::BIGINT AS n_tokens
+          FROM documents
+        ),
+        o AS (
+          SELECT doc_id, shard, n_tokens,
+            CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY key, doc_id) - n_tokens AS BIGINT) AS "offset"
+          FROM t
+        )
+        SELECT doc_id, shard, n_tokens, "offset",
+          "offset" // 512 AS pack_first,
+          ("offset" + greatest(n_tokens, 1) - 1) // 512 AS pack_last,
+          "offset" % 512 AS pack_offset
+        FROM o ORDER BY doc_id
+      """)
+    ),
+    (
+      // Corpus-statistics quality features: per-doc aggregates over global
+      // token document frequencies (hapax = tokens unique to the doc). The
+      // engine works on the one-pass kernel's token hashes; the oracle
+      // recomputes from string tokens — integer-exact until the final
+      // division.
+      "q_corpus_token_stats",
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        CorpusStats.tokenDocFrequencyFeatures(docs, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_distinct(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0))) AS t
+          FROM documents
+        ),
+        dfreq AS (SELECT t, count(*) AS df FROM tok GROUP BY t)
+        SELECT tok.doc_id,
+          CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+          CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_tokens,
+          CAST(sum(df) AS BIGINT) AS sum_df,
+          CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_token_fraction
+        FROM tok JOIN dfreq USING (t)
+        GROUP BY tok.doc_id
+        ORDER BY tok.doc_id
       """)
     ),
     (

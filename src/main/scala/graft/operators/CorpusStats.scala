@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+
+/** Corpus-statistics quality features: per-document aggregates over global
+  * token DOCUMENT frequencies — the cheap relational stand-in for an LM
+  * quality filter (rare-token density correlates with noise/garble, high
+  * mean document frequency with boilerplate).
+  *
+  * Plan shape (2 shuffles, both on uniform keys):
+  *   1. explode per-doc DISTINCT token hashes (the one-pass kernel,
+  *      functions/TextHashExpressions.scala — distinct per doc makes the
+  *      count a document frequency), groupBy token → df;
+  *   2. join postings back to the df table (token-keyed, uniform) and
+  *      re-aggregate per doc.
+  * All features stay INTEGER until the final division, so the values are
+  * bit-identical across engines (IEEE division is exactly rounded) — the
+  * DuckDB oracle recomputes them from string tokens.
+  */
+object CorpusStats {
+
+  /** (id, n_distinct_tokens, hapax_tokens, sum_df, rare_token_fraction):
+    * hapax = tokens appearing in no other document. */
+  def tokenDocFrequencyFeatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val tok = df.select(
+      F.col(idCol),
+      F.explode(
+        graft.functions.TextHashExpressions.shingleHashes64(F.col(textCol), 1)).as("__t"))
+    val dfreq = tok.groupBy(F.col("__t")).agg(F.count(F.lit(1)).as("__df"))
+    tok.join(dfreq, Seq("__t"))
+      .groupBy(F.col(idCol))
+      .agg(
+        F.count(F.lit(1)).as("n_distinct_tokens"),
+        F.sum(F.when(F.col("__df") === 1, 1L).otherwise(0L)).as("hapax_tokens"),
+        F.sum(F.col("__df")).as("sum_df"))
+      .withColumn("rare_token_fraction",
+        F.col("hapax_tokens").cast("double") / F.col("n_distinct_tokens"))
+  }
+}

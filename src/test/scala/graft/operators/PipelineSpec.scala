@@ -162,6 +162,42 @@ class PipelineSpec extends SparkTestBase {
     assert(byDoc(3L).length == 1)
   }
 
+  test("sequence packing: contiguous per-shard offsets, coordinates within budget") {
+    val out = Packing.packSequences(docs, "doc_id", "text", budget = 128, shards = 4)
+      .collect()
+    assert(out.length == docs.count())
+    out.foreach { r =>
+      val (shard, n, off) = (r.getInt(1), r.getLong(2), r.getLong(3))
+      val (first, last, pOff) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(shard >= 0 && shard < 4)
+      assert(pOff == off % 128 && first == off / 128 && first <= last)
+      assert(last == (off + math.max(n, 1) - 1) / 128)
+    }
+    // offsets are contiguous within each shard: sorted offsets of a shard
+    // are exactly the running sum of token counts
+    out.groupBy(_.getInt(1)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(3))
+      sorted.foldLeft(0L) { (expect, r) =>
+        assert(r.getLong(3) == expect, s"offset gap in shard ${r.getInt(1)}")
+        expect + r.getLong(2)
+      }
+    }
+    // deterministic
+    val again = Packing.packSequences(docs, "doc_id", "text", budget = 128, shards = 4)
+      .collect().map(_.toSeq).toSet
+    assert(again == out.map(_.toSeq).toSet)
+  }
+
+  test("corpus token stats: hapax and df features are consistent") {
+    val out = CorpusStats.tokenDocFrequencyFeatures(docs, "doc_id", "text").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, hapax, sumDf) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(hapax <= n && sumDf >= n) // every token's df >= 1
+      assert(math.abs(r.getDouble(4) - hapax.toDouble / n) < 1e-12)
+    }
+  }
+
   test("stratified sampling: exactly k per class, deterministic") {
     val s1 = Sampling.stratifiedTopK(docs, "lang", "doc_id", k = 5)
     val counts = s1.groupBy("lang").count().collect()
