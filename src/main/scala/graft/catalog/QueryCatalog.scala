@@ -1981,6 +1981,72 @@ object QueryCatalog {
       """)
     ),
     (
+      // CAPSTONE: the full curation pipeline in one oracle-checked query —
+      // decontaminate (vs an eval set) → quality floor (rounded score, so
+      // the threshold compare is ulp-stable across engines) → exact dedup
+      // (keep min id per fingerprint) → deterministic train/test split →
+      // per-split doc and token totals. Every stage composes the already-
+      // oracled operators; the DuckDB oracle recomposes the same algebra.
+      "q_curation_pipeline",
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        val eval = docs.filter(F.col("doc_id") < 3).select("text")
+        val decon = Decontamination.decontaminate(docs, "doc_id", "text", eval, "text", n = 4)
+        val qual = decon.filter(
+          F.round(TextFunctions.qualityScore(F.col("text")), 4) >= 0.6)
+        val keepIds = Dedup.exactGroups(qual, "doc_id", "text")
+          .select(F.col("keep_id").as("doc_id"))
+        val deduped = qual.join(F.broadcast(keepIds), Seq("doc_id"), "left_semi")
+        Sampling.trainTestSplit(deduped, "doc_id", 0.8)
+          .groupBy("split")
+          .agg(F.count(F.lit(1)).as("n_docs"),
+            F.sum(TextFunctions.tokenCount(F.col("text")).cast("long")).as("n_tokens"))
+          .orderBy("split")
+      },
+      Some(s"""
+        WITH tok0 AS (
+          SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+          FROM documents
+        ),
+        ngr AS (
+          SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS g
+          FROM tok0, LATERAL (SELECT unnest(range(1, len(w) - 2)) AS i) r
+        ),
+        evalg AS (SELECT DISTINCT g FROM ngr WHERE doc_id < 3),
+        clean AS (
+          SELECT doc_id, text, w AS toks FROM tok0
+          WHERE doc_id NOT IN (SELECT n.doc_id FROM ngr n JOIN evalg USING (g))
+        ),
+        m AS (
+          SELECT doc_id, text,
+            least(length(text)::DOUBLE / 500.0, 1.0) AS length_score,
+            CASE WHEN length(text) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) END AS alpha,
+            least(CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE len(list_filter(toks, x -> list_contains(${sqlList(TextFunctions.enStopwords)}, x)))::DOUBLE / len(toks) END * 4.0, 1.0) AS stop,
+            CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE list_sum(list_transform(toks, w -> len(w)))::DOUBLE / len(toks) END AS mwl
+          FROM clean),
+        q AS (
+          SELECT doc_id, text FROM m
+          WHERE round(length_score * 0.3 + alpha * 0.3 + stop * 0.2 +
+                (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.2, 4) >= 0.6
+        ),
+        keep AS (
+          SELECT min(doc_id) AS doc_id
+          FROM q GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        )
+        SELECT split, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM (
+          SELECT CASE WHEN substr(md5('graft' || CAST(q.doc_id AS VARCHAR)), 1, 4) < 'cccd'
+                      THEN 'train' ELSE 'test' END AS split,
+            len(list_filter(string_split_regex(lower(q.text), '[^a-z0-9]+'), x -> len(x) > 0))::BIGINT AS n_tokens
+          FROM q JOIN keep USING (doc_id)
+        ) s
+        GROUP BY split ORDER BY split
+      """)
+    ),
+    (
       // GPT-style sequence packing metadata: deterministic md5-hex shard →
       // per-shard token cumsum → pack coordinates. All-integer until the
       // floor division, so the DuckDB oracle reproduces it exactly.
