@@ -724,6 +724,37 @@ object Lowering {
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "pack_sequences" =>
+      // pack_sequences('corpus', 'id_col', 'text_col', budget[, shards])
+      // — GPT-style packing coordinates (operators/Packing.scala)
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
+            Some(budget: Long)) =>
+          Plain(graft.operators.Packing.packSequences(
+            lower(TableRef(corpus), ctx), idCol, textCol, budget.toInt))
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
+            Some(budget: Long), Some(shards: Long)) =>
+          Plain(graft.operators.Packing.packSequences(
+            lower(TableRef(corpus), ctx), idCol, textCol, budget.toInt, shards.toInt))
+        case _ =>
+          throw new LoweringException(
+            "pack_sequences expects (corpus, id_col, text_col, budget[, shards]) literals")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "token_stats" =>
+      // token_stats('corpus', 'id_col', 'text_col') — per-doc corpus
+      // token-frequency features (operators/CorpusStats.scala)
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String)) =>
+          Plain(graft.operators.CorpusStats.tokenDocFrequencyFeatures(
+            lower(TableRef(corpus), ctx), idCol, textCol))
+        case _ =>
+          throw new LoweringException(
+            "token_stats expects (corpus, id_col, text_col) literals")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "range" =>
       // builtin table function: range(n) / range(start, end[, step]) → id
       val vals = args.map(a => constValue(a) match {

@@ -1116,5 +1116,18 @@ class LangSpec extends SparkTestBase {
       count
     """).collect()(0).getLong(0)
     assert(clean == total - flagged.length)
+    // packing + token stats as table functions, filterable in the language
+    val packed = wv("""
+      from pack_sequences('documents', 'doc_id', 'text', 128, 4)
+      where pack_offset < 128 and pack_first <= pack_last
+      count
+    """).collect()(0).getLong(0)
+    assert(packed == total)
+    val rare = wv("""
+      from token_stats('documents', 'doc_id', 'text')
+      where rare_token_fraction >= 0
+      count
+    """).collect()(0).getLong(0)
+    assert(rare == total)
   }
 }
