@@ -1,9 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1/5/15-min load from /proc/loadavg — recorded with every bench run so
+    * a loaded machine can't silently corrupt a round's numbers (r6's 2-5x
+    * "regression" on byte-identical code was exactly that). */
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split("\\s+").take(3).mkString(",")
+    catch { case _: Throwable => "unavailable" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val loadBefore = loadavg()
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,20 +49,38 @@ object Bench {
         }
       }
       val warm = once()
-      val sec =
-        if (warm.isEmpty) { failures += 1; 0.0 }
+      val timed: Seq[Double] =
+        if (warm.isEmpty) { failures += 1; Nil }
         else {
-          val timed = (1 to runs).flatMap(_ => once())
-          if (timed.isEmpty) { failures += 1; warm.get }
-          else timed.sorted.apply(timed.size / 2) // median (upper for even n)
+          val t = (1 to runs).flatMap(_ => once())
+          if (t.isEmpty) failures += 1
+          t
         }
+      val sec =
+        if (timed.nonEmpty) timed.sorted.apply(timed.size / 2) // median (upper for even n)
+        else warm.getOrElse(0.0)
       System.err.println(f"[bench] $name%-32s $sec%8.2f s")
-      name -> sec
+      (name, sec, timed)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val loadAfter = loadavg()
+    // stdout contract: ONE short JSON line (the driver tail-captures stdout,
+    // so the line is kept small — 3-decimal seconds); the complete artifact
+    // with per-run times and load stamps goes to BENCH_DETAIL.json.
+    def s3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val detail = {
+      val rows = results.map { case (k, v, t) =>
+        s""""$k":{"median":${s3(v)},"runs":[${t.map(s3).mkString(",")}]}"""
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","sf":"$sfDir","cpus":"$cpus",""" +
+        s""""runs_per_query":$runs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
+        s""""failures":$failures,"queries":$rows}"""
+    }
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"), detail)
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir","load":"$loadBefore;$loadAfter"}""")
     if (failures > 0) System.err.println(s"[bench] $failures queries FAILED")
     spark.stop()
   }

@@ -204,9 +204,31 @@ object SqlDialect {
         def schemaOf = spark.table(plain).schema
         def rewrite(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): List[String] = {
           // materialize via localCheckpoint to break lineage from the files
-          // being overwritten, then rewrite in place
+          // being overwritten, then rewrite in place — re-applying the
+          // table's partitioning/bucketing layout, which saveAsTable would
+          // otherwise silently drop. A layout column removed or renamed by
+          // the transform itself can't be re-applied; it is dropped from
+          // the layout (the surviving columns keep theirs).
+          val meta =
+            try Some(spark.sessionState.catalog.getTableMetadata(
+              spark.sessionState.sqlParser.parseTableIdentifier(plain)))
+            catch { case _: Throwable => None }
           val out = f(spark.table(plain)).localCheckpoint()
-          out.write.mode("overwrite").saveAsTable(plain)
+          val outCols = out.columns.map(_.toLowerCase).toSet
+          var w = out.write.mode("overwrite")
+          meta.foreach { m =>
+            val parts = m.partitionColumnNames.filter(c => outCols(c.toLowerCase))
+            if (parts.nonEmpty) w = w.partitionBy(parts: _*)
+            m.bucketSpec.foreach { b =>
+              val bCols = b.bucketColumnNames.filter(c => outCols(c.toLowerCase))
+              if (bCols.nonEmpty) {
+                w = w.bucketBy(b.numBuckets, bCols.head, bCols.tail: _*)
+                val sCols = b.sortColumnNames.filter(c => outCols(c.toLowerCase))
+                if (sCols.nonEmpty) w = w.sortBy(sCols.head, sCols.tail: _*)
+              }
+            }
+          }
+          w.saveAsTable(plain)
           Nil
         }
         val renameTo = """(?is)^RENAME\s+TO\s+([\w.`"]+)\s*$""".r
@@ -451,7 +473,10 @@ object SqlDialect {
     s = replaceSpanning(s, """(?is)\bIPADDRESS\s+"([^"]*)"""", "'$1'")
     s = replaceOutsideStrings(s, """(?i)\bIPADDRESS\s*\(""", "string(")
     // the corpus' placeholder `catalog.` prefix (unquoted form)
-    s = replaceOutsideStrings(s, """(?i)\bcatalog\.(?=[\w`"])""", "")
+    // (\z: a following double-quoted identifier is now its own masked
+    // segment, so `catalog."t"` shows up here as a segment ending in
+    // `catalog.`)
+    s = replaceOutsideStrings(s, """(?i)\bcatalog\.(?=[\w`"]|\z)""", "")
     // Trino/DuckDB anonymous VALUES columns are column1, column2, …;
     // Spark's are col1, col2, … (rename only when VALUES is present)
     if (findOutsideStrings(s, """(?i)\bVALUES\s*\(""".r).isDefined)
@@ -987,13 +1012,15 @@ object SqlDialect {
   private def stripComments(s: String): String = {
     val sb = new StringBuilder
     var inStr = false
+    var inDq = false
     var k = 0
     while (k < s.length) {
       val c = s.charAt(k)
-      if (!inStr && c == '-' && k + 1 < s.length && s.charAt(k + 1) == '-') {
+      if (!inStr && !inDq && c == '-' && k + 1 < s.length && s.charAt(k + 1) == '-') {
         while (k < s.length && s.charAt(k) != '\n') k += 1
       } else {
-        if (c == '\'') inStr = !inStr
+        if (!inStr && c == '"') inDq = !inDq
+        else if (!inDq && c == '\'') inStr = !inStr
         sb += c
         k += 1
       }
@@ -1101,7 +1128,11 @@ object SqlDialect {
   /** Split into alternating outside/inside-string segments, map, re-join.
     * Inside segments exclude the surrounding quotes; '' stays one literal.
     * `--` comments pass through untouched — an apostrophe in a comment
-    * (don't!) must not flip the string state. */
+    * (don't!) must not flip the string state. Double-quoted IDENTIFIERS
+    * (`"offset"`, `"a//b"` — double quotes are identifiers in this
+    * front-end) pass through verbatim, never handed to `f`: they are
+    * neither rewritable SQL text nor string literals, and a textual rule
+    * firing inside one would corrupt the identifier. */
   private def mapSegments(s: String)(f: (String, Boolean) => String): String = {
     val sb = new StringBuilder
     val seg = new StringBuilder
@@ -1113,6 +1144,17 @@ object SqlDialect {
       if (!inStr && c == '-' && k + 1 < s.length && s.charAt(k + 1) == '-') {
         flush()
         while (k < s.length && s.charAt(k) != '\n') { sb += s.charAt(k); k += 1 }
+      } else if (!inStr && c == '"') {
+        // double-quoted identifier: copy through untouched ("" stays escaped)
+        flush()
+        sb += '"'; k += 1
+        var closed = false
+        while (k < s.length && !closed) {
+          if (s.charAt(k) == '"' && k + 1 < s.length && s.charAt(k + 1) == '"') {
+            sb ++= "\"\""; k += 2
+          } else if (s.charAt(k) == '"') { sb += '"'; k += 1; closed = true }
+          else { sb += s.charAt(k); k += 1 }
+        }
       } else if (!inStr && c == '\'') { flush(); sb += '\''; inStr = true; k += 1 }
       else if (inStr && c == '\'' && k + 1 < s.length && s.charAt(k + 1) == '\'') {
         seg ++= "''"; k += 2
@@ -1151,18 +1193,21 @@ object SqlDialect {
       .map(m => (m.start, m.end - 1))
   }
 
-  /** mask(i) = i is inside a string literal (or a `--` comment — rules must
-    * not fire there either); comment apostrophes do not flip string state. */
+  /** mask(i) = i is inside a string literal, a double-quoted identifier, or
+    * a `--` comment — rules must not fire in any of them; comment
+    * apostrophes do not flip string state. */
   private def stringMask(s: String): Array[Boolean] = {
     val mask = new Array[Boolean](s.length)
     var inStr = false
+    var inDq = false
     var k = 0
     while (k < s.length) {
       val c = s.charAt(k)
-      if (!inStr && c == '-' && k + 1 < s.length && s.charAt(k + 1) == '-') {
+      if (!inStr && !inDq && c == '-' && k + 1 < s.length && s.charAt(k + 1) == '-') {
         while (k < s.length && s.charAt(k) != '\n') { mask(k) = true; k += 1 }
-      } else if (c == '\'') { mask(k) = true; inStr = !inStr; k += 1 }
-      else { mask(k) = inStr; k += 1 }
+      } else if (!inStr && c == '"') { mask(k) = true; inDq = !inDq; k += 1 }
+      else if (!inDq && c == '\'') { mask(k) = true; inStr = !inStr; k += 1 }
+      else { mask(k) = inStr || inDq; k += 1 }
     }
     mask
   }
@@ -1172,14 +1217,16 @@ object SqlDialect {
   private def matchDelim(s: String, openIdx: Int, open: Char, close: Char): Int = {
     var depth = 0
     var inStr = false
+    var inDq = false
     var k = openIdx
     while (k < s.length) {
       val c = s.charAt(k)
-      if (!inStr && c == '-' && k + 1 < s.length && s.charAt(k + 1) == '-') {
+      if (!inStr && !inDq && c == '-' && k + 1 < s.length && s.charAt(k + 1) == '-') {
         while (k < s.length && s.charAt(k) != '\n') k += 1
-      } else if (c == '\'') inStr = !inStr
-      else if (!inStr && (c == open || c == '(' || c == '[')) depth += 1
-      else if (!inStr && (c == close || c == ')' || c == ']')) {
+      } else if (!inStr && c == '"') inDq = !inDq
+      else if (!inDq && c == '\'') inStr = !inStr
+      else if (!inStr && !inDq && (c == open || c == '(' || c == '[')) depth += 1
+      else if (!inStr && !inDq && (c == close || c == ')' || c == ']')) {
         depth -= 1
         if (depth == 0) return k
       }

@@ -1955,7 +1955,8 @@ object QueryCatalog {
       """)
     ),
     (
-      // The drop side: corpus minus contaminated docs (broadcast anti-join).
+      // The drop side: corpus minus contaminated docs (unhinted anti-join —
+      // AQE broadcasts the flagged side at runtime iff it fits).
       "q_decontaminate_drop",
       (spark, dir) => {
         val docs = Tables.read(spark, dir, "documents")
@@ -1994,9 +1995,13 @@ object QueryCatalog {
         val decon = Decontamination.decontaminate(docs, "doc_id", "text", eval, "text", n = 4)
         val qual = decon.filter(
           F.round(TextFunctions.qualityScore(F.col("text")), 4) >= 0.6)
+        // no broadcast hint: keepIds is one row per distinct document — a
+        // corpus-sized set that cannot transit the driver at 100 TB. The
+        // semi-join shuffles on uniform doc_id keys; AQE still picks a
+        // broadcast at runtime whenever the side actually fits.
         val keepIds = Dedup.exactGroups(qual, "doc_id", "text")
           .select(F.col("keep_id").as("doc_id"))
-        val deduped = qual.join(F.broadcast(keepIds), Seq("doc_id"), "left_semi")
+        val deduped = qual.join(keepIds, Seq("doc_id"), "left_semi")
         Sampling.trainTestSplit(deduped, "doc_id", 0.8)
           .groupBy("split")
           .agg(F.count(F.lit(1)).as("n_docs"),
@@ -2067,7 +2072,8 @@ object QueryCatalog {
         ),
         o AS (
           SELECT doc_id, shard, n_tokens,
-            CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY key, doc_id) - n_tokens AS BIGINT) AS "offset"
+            CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY key, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS "offset"
           FROM t
         )
         SELECT doc_id, shard, n_tokens, "offset",
@@ -2145,7 +2151,15 @@ object QueryCatalog {
           .agg(F.count(F.lit(1)).as("n_frames"))
           .orderBy("doc_id")
       },
-      None // stubbed frame-count heuristic is engine-internal → rows-only
+      // The stub frame count is deterministic arithmetic over payload size:
+      // frameCount = least(bytes // 1024 + 1, maxFrames * stride); with
+      // stride = 1 the sampled frame rows per doc equal frameCount — so the
+      // oracle recomputes it from octet_length.
+      Some("""
+        SELECT doc_id,
+          CAST(least(octet_length(text::BLOB) // 1024 + 1, 4) AS BIGINT) AS n_frames
+        FROM documents ORDER BY doc_id
+      """)
     )
   )
 

@@ -299,21 +299,27 @@ object Lowering {
         val sAligned = s0.select(t.columns.map(F.col).toSeq: _*)
         // SQL MERGE semantics: multiple source rows matching one target row
         // is an error — the guard rides the merged plan itself (a window
-        // count over the merge keys + raise_error grafted onto the first
-        // key column) instead of an eager count/count-distinct job at
+        // count over the merge keys + raise_error grafted onto EVERY key
+        // column) instead of an eager count/count-distinct job at
         // lowering time: `merge into` is ONE job, and the window's shuffle
         // on the merge keys is the same partitioning the joins below need,
-        // so AQE reuses the exchange rather than adding one.
+        // so AQE reuses the exchange rather than adding one. All key
+        // columns are wrapped because the guard only fires when a wrapped
+        // column is actually evaluated downstream — the joins below
+        // evaluate the keys, but pruning must not be able to drop the one
+        // guarded column.
         val dupW = org.apache.spark.sql.expressions.Window
           .partitionBy(keys.map(F.col): _*)
-        val firstKey = sAligned.columns
-          .find(_.equalsIgnoreCase(keys.head)).getOrElse(keys.head)
-        val s = sAligned
-          .withColumn("__graft_kcnt", F.count(F.lit(1)).over(dupW))
-          .withColumn(firstKey,
-            F.when(F.col("__graft_kcnt") > 1, F.raise_error(F.lit(
-              s"merge source has duplicate rows per key (${keys.mkString(", ")})")))
-              .otherwise(F.col(firstKey)))
+        val keyCols = keys.map(k =>
+          sAligned.columns.find(_.equalsIgnoreCase(k)).getOrElse(k))
+        val s = keyCols.foldLeft(
+            sAligned.withColumn("__graft_kcnt", F.count(F.lit(1)).over(dupW))) {
+            (acc, kc) =>
+              acc.withColumn(kc,
+                F.when(F.col("__graft_kcnt") > 1, F.raise_error(F.lit(
+                  s"merge source has duplicate rows per key (${keys.mkString(", ")})")))
+                  .otherwise(F.col(kc)))
+          }
           .drop("__graft_kcnt")
         val tKeys = t.select(keys.map(F.col): _*).distinct()
         val untouched = t.join(s.select(keys.map(F.col): _*).distinct(), keys, "left_anti")

@@ -17,6 +17,14 @@ import org.apache.spark.sql.{functions => F}
   * All features stay INTEGER until the final division, so the values are
   * bit-identical across engines (IEEE division is exactly rounded) — the
   * DuckDB oracle recomputes them from string tokens.
+  *
+  * Collision caveat: tokens are 64-bit hashes, so two distinct tokens can
+  * collide (birthday bound ~ v²/2⁶⁵ for v distinct tokens — ~3e-7 at 100 M
+  * vocab). A collision MERGES the two tokens' document frequencies: df is
+  * biased UP, so hapax_tokens / rare_token_fraction are biased DOWN — a
+  * quality filter keyed on rare-token density gets strictly more
+  * conservative, never more aggressive. The direction is bounded; the
+  * magnitude at realistic vocabularies is negligible.
   */
 object CorpusStats {
 

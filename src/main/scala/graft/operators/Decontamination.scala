@@ -53,8 +53,13 @@ object Decontamination {
       .agg(F.count(F.lit(1)).as("contaminated_ngrams"))
   }
 
-  /** The corpus minus contaminated documents (broadcast anti-join of the
-    * flagged-id set — the flagged set is benchmark-sized, not corpus-sized). */
+  /** The corpus minus contaminated documents (anti-join of the flagged-id
+    * set). The flagged set is EXPECTED benchmark-sized, but its true bound
+    * is "every corpus doc sharing one n-gram with the benchmark" — with a
+    * boilerplate-heavy benchmark or a tiny n that can approach corpus
+    * size, so no broadcast hint is forced here: the anti-join shuffles on
+    * uniform ids and AQE broadcasts at runtime iff the flagged side
+    * actually fits. */
   def decontaminate(
       corpus: DataFrame,
       corpusId: String,
@@ -65,6 +70,6 @@ object Decontamination {
   ): DataFrame = {
     val flagged = contaminatedDocs(corpus, corpusId, corpusText, eval, evalText, n)
       .select(corpusId)
-    corpus.join(F.broadcast(flagged), Seq(corpusId), "left_anti")
+    corpus.join(flagged, Seq(corpusId), "left_anti")
   }
 }

@@ -15,8 +15,10 @@ import org.apache.spark.sql.expressions.Window
   * `shards` deterministic groups (an md5-hex-prefix bucket —
   * engine-portable, reproducible, independent of input partitioning) and
   * packed WITHIN each shard: one shuffle (the shard window), per-shard
-  * sequential semantics, shard count = write parallelism. Token counts use
-  * the whitespace tokenizer (TextFunctions.tokenCount) — swap in a real
+  * sequential semantics, shard count = write parallelism — up to 4096
+  * shards (three md5 hex digits read as a radix-16 number, so every shard
+  * count in 1..4096 gets its own window task). Token counts use the
+  * whitespace tokenizer (TextFunctions.tokenCount) — swap in a real
   * tokenizer count column upstream when available.
   */
 object Packing {
@@ -31,15 +33,25 @@ object Packing {
       shards: Int = 16,
       seed: String = "graft-pack"
   ): DataFrame = {
-    require(budget > 0 && shards > 0 && shards <= 16,
-      "budget > 0; shards in 1..16 (hex-prefix sharding)")
+    require(budget > 0 && shards > 0 && shards <= 4096,
+      "budget > 0; shards in 1..4096 (md5-hex-prefix sharding)")
     val key = F.md5(F.concat(F.lit(seed), F.col(idCol).cast("string")))
-    // hex-prefix shard in [0, shards): locate over the md5 alphabet — no
-    // engine-private hash, so the assignment is oracle-reproducible
-    val shard = (F.call_function("locate",
-      F.substring(key, 1, 1), F.lit("0123456789abcdef")) - 1) % shards
+    // shard in [0, shards): read the smallest md5 hex prefix that covers
+    // `shards` buckets as a radix-16 number — no engine-private hash, so
+    // the assignment is oracle-reproducible. (When shards doesn't divide
+    // 16^k the % leaves a <1/16 uniformity skew across buckets —
+    // irrelevant for write parallelism.)
+    val hexDigits = { var k = 1; var cap = 16L; while (cap < shards) { k += 1; cap *= 16 }; k }
+    def hexDigit(i: Int) = F.call_function("locate",
+      F.substring(key, i, 1), F.lit("0123456789abcdef")) - 1
+    val shard = (1 to hexDigits).map(hexDigit)
+      .reduceLeft((acc, d) => acc * 16 + d) % shards
     val toks = graft.functions.TextFunctions.tokenCount(F.col(textCol)).cast("long")
+    // explicit ROWS frame: the default RANGE frame would collapse the
+    // cumulative sum for rows tied on (__key, id); ROWS keeps one offset
+    // per row regardless (ids are expected unique, but don't depend on it)
     val w = Window.partitionBy(F.col("shard")).orderBy(F.col("__key"), F.col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(
         F.col(idCol),
         shard.cast("int").as("shard"),

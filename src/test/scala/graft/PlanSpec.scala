@@ -146,4 +146,25 @@ class PlanSpec extends SparkTestBase {
       .exists(r => r.getString(0).contains("Bucket") || r.mkString.contains("bucket")),
       "table metadata does not record bucketing")
   }
+
+  test("curation capstone carries no broadcast hint on the corpus-sized side") {
+    // The keep-id set of the dedup semi-join is one row per distinct
+    // document — corpus-sized. A planner HINT would force it through the
+    // driver at any scale; the plan must leave the choice to AQE (which
+    // still broadcasts at runtime when the side genuinely fits).
+    // (the benchmark-sized eval side of decontaminate is broadcast by
+    // design — only the dedup keep-id LEFT SEMI join must stay unhinted)
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = graft.catalog.QueryCatalog.queries("q_curation_pipeline")(spark, sfDir)
+    val semis = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftSemi => j
+    }
+    assert(semis.nonEmpty, "expected the keep-id semi join in the capstone plan")
+    semis.foreach { j =>
+      assert(j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty,
+        s"keep-id semi join carries a planner hint: $j")
+    }
+    assert(df.count() > 0)
+  }
 }

@@ -80,6 +80,23 @@ class SqlDialectInvarianceSpec extends AnyFunSuite {
     }
   }
 
+  test("dialect-looking text inside double-quoted identifiers is never touched") {
+    // double quotes are IDENTIFIERS in this front-end
+    // (spark.sql.ansi.doubleQuotedIdentifiers=true) — a rewrite firing
+    // inside one corrupts the column reference
+    val cases = Seq(
+      """SELECT "a//b" FROM t""",
+      """SELECT "text" FROM t""",           // `text` type rewrite must not fire
+      """SELECT "x -> y", v FROM t""",
+      """SELECT "weird -- name" FROM t""",  // not a comment
+      """SELECT "O""Neil col" FROM t""",    // "" escape stays intact
+      """SELECT "ARRAY[1]" FROM t"""
+    )
+    cases.foreach { s =>
+      assert(SqlDialect.rewriteExpressions(s) == s, s"identifier touched: $s")
+    }
+  }
+
   test("aggregates without ORDER BY are untouched") {
     val cases = Seq(
       "SELECT array_agg(x) FROM t",

@@ -188,6 +188,34 @@ class PipelineSpec extends SparkTestBase {
     assert(again == out.map(_.toSeq).toSet)
   }
 
+  test("sequence packing: shard counts beyond 16 (multi-hex-digit radix)") {
+    // 256 shards needs two md5 hex digits; the radix assignment must use
+    // the full range and offsets must still be per-shard prefix sums
+    val out = Packing.packSequences(docs, "doc_id", "text", budget = 64, shards = 256)
+      .collect()
+    assert(out.length == docs.count())
+    assert(out.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 256))
+    // a single hex digit can only produce 16 distinct buckets — with the
+    // radix read, small corpora must exceed that
+    assert(out.map(_.getInt(1)).distinct.length > 16)
+    out.groupBy(_.getInt(1)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(3))
+      sorted.foldLeft(0L) { (expect, r) =>
+        assert(r.getLong(3) == expect, s"offset gap in shard ${r.getInt(1)}")
+        expect + r.getLong(2)
+      }
+    }
+    // a 2-digit prefix assignment must agree with an independent Scala-side
+    // recompute of the same radix arithmetic over the same md5 key
+    val md = java.security.MessageDigest.getInstance("MD5")
+    out.foreach { r =>
+      val hex = md.digest(("graft-pack" + r.getLong(0)).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val expect = Integer.parseInt(hex.substring(0, 2), 16) % 256
+      assert(r.getInt(1) == expect, s"shard mismatch for id ${r.getLong(0)}")
+    }
+  }
+
   test("corpus token stats: hapax and df features are consistent") {
     val out = CorpusStats.tokenDocFrequencyFeatures(docs, "doc_id", "text").collect()
     assert(out.nonEmpty)
