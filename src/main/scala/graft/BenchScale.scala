@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{functions => F}
+
+/** Scale-proof bench: times the heavy operator family at the base SF and at
+  * a ~Nx replicated corpus, and records the per-query scaling exponent
+  * (log time-ratio / log row-ratio). The 100 TB claims in the operator
+  * scaladocs are extrapolations from sf0.1 — this is the empirical check
+  * that each heavy plan is ~linear in rows (exponent ≈ 1), not quadratic.
+  *
+  * Replication strategy: each of the N replicas remaps doc ids into a
+  * disjoint range AND prefixes every token with a replica tag. Disjoint
+  * token spaces mean zero cross-replica n-gram/shingle overlap, so the
+  * near-duplicate pair structure of the base corpus is replicated N times
+  * (organic linear growth) instead of turning every document into an
+  * N-way cross-replica near-dup clique (artificial quadratic growth that
+  * no real corpus has).
+  *
+  * Usage: `sbt 'runMain graft.BenchScale [baseDir] [replicas] [workDir]'`
+  * → writes BENCH_SCALE.json. Single timed run per query per scale (the
+  * heavy family runs minutes at the scaled SF; load stamps are recorded
+  * so a loaded machine is visible in the artifact).
+  */
+object BenchScale {
+
+  private val heavy = Seq(
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_dedup_clusters",
+    "q_dedup_drop_clusters",
+    "q_pack_sequences",
+    "q_corpus_token_stats",
+    "q_curation_pipeline")
+
+  private def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split("\\s+").take(3).mkString(",")
+    catch { case _: Throwable => "unavailable" }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val replicas = args.lift(1).map(_.toInt).getOrElse(10)
+    val workDir = args.lift(2).getOrElse("/tmp/graft_benchscale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val loadBefore = loadavg()
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- materialize the scaled corpus (untimed) ----
+    val base = Tables.read(spark, baseDir, "documents")
+    val baseRows = base.count()
+    val span = base.agg(F.max("doc_id")).head.getLong(0) + 1
+    val scaled = (0 until replicas).map { i =>
+      base.select(
+        (F.col("doc_id") + F.lit(i.toLong * span)).as("doc_id"),
+        // replica-tagged tokens: an alnum prefix FUSED onto every word
+        // (the tokenizer reads maximal [a-z0-9]+ runs — a separator like
+        // '_' would split the tag off and leave the base token shared)
+        (if (i == 0) F.col("text")
+         else F.regexp_replace(F.col("text"), "(\\w+)", s"zz${i}$$1")).as("text"))
+    }.reduce(_ unionByName _)
+    scaled.write.mode("overwrite").parquet(s"$workDir/documents.parquet")
+    val bigRows = spark.read.parquet(s"$workDir/documents.parquet").count()
+    System.err.println(s"[scale] base=$baseRows rows, scaled=$bigRows rows ($replicas replicas)")
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = heavy.map { name =>
+      val tSmall = time(name, baseDir)
+      val tBig = time(name, workDir)
+      val exp = math.log(tBig / tSmall) / math.log(bigRows.toDouble / baseRows)
+      System.err.println(f"[scale] $name%-28s ${tSmall}%7.2f s -> ${tBig}%8.2f s  exponent ${exp}%5.2f")
+      (name, tSmall, tBig, exp)
+    }
+    val loadAfter = loadavg()
+    def s3(v: Double) = f"$v%.3f"
+    val rows = results.map { case (n, a, b, e) =>
+      s""""$n":{"sec_base":${s3(a)},"sec_scaled":${s3(b)},"exponent":${s3(e)}}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"base_dir":"$baseDir","base_rows":$baseRows,"scaled_rows":$bigRows,""" +
+        s""""replicas":$replicas,"cpus":"$cpus","loadavg_before":"$loadBefore",""" +
+        s""""loadavg_after":"$loadAfter","queries":$rows}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SCALE.json"), json)
+    println(json)
+    spark.stop()
+  }
+}

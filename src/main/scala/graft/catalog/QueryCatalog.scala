@@ -1056,6 +1056,26 @@ object QueryCatalog {
       """)
     ),
     (
+      // Hivemall-style each_top_k as a language table function (the one
+      // executable UDTF pattern in the reference's hive corpus): top-k rows
+      // per group by score, rank() keeping boundary ties — same algebra as
+      // the SQL shim's window-rank rewrite.
+      "q_each_top_k",
+      wv("""
+        from each_top_k('events', 3, 'event_type', 'value')
+        select event_id, event_type, value, rank
+        order by event_type, rank, event_id
+      """),
+      Some("""
+        SELECT event_id, event_type, value, rank FROM (
+          SELECT event_id, event_type, value,
+            rank() OVER (PARTITION BY event_type ORDER BY value DESC) AS rank
+          FROM events) t
+        WHERE rank <= 3
+        ORDER BY event_type, rank, event_id
+      """)
+    ),
+    (
       "q_events_sessionize", // gap-based sessionization via window + agg
       wv("""
         from events

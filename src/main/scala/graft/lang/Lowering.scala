@@ -748,6 +748,27 @@ object Lowering {
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "each_top_k" =>
+      // each_top_k('relation', k, 'group_col', 'score_col') — the Hivemall
+      // UDTF pattern (top-k rows per group by score) as a first-class table
+      // function: all child columns + `rank`, rank <= k. Same semantics as
+      // the SQL shim's window-rank rewrite (SqlDialect.convertEachTopK):
+      // rank() keeps boundary ties, matching the SQL form.
+      args.map(constValue) match {
+        case List(Some(rel: String), Some(k: Long), Some(grp: String), Some(score: String)) =>
+          val df = lower(TableRef(rel), ctx)
+          def resolve(c: String) = df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+            throw new LoweringException(s"each_top_k: '$c' is not a column of $rel"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(F.col(resolve(grp))).orderBy(F.col(resolve(score)).desc)
+          Plain(df.withColumn("rank", F.rank().over(w)).filter(F.col("rank") <= k))
+        case _ =>
+          throw new LoweringException(
+            "each_top_k expects (relation, k, group_col, score_col) literals, e.g. " +
+              "each_top_k('events', 3, 'event_type', 'value')")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "token_stats" =>
       // token_stats('corpus', 'id_col', 'text_col') — per-doc corpus
       // token-frequency features (operators/CorpusStats.scala)
@@ -874,8 +895,19 @@ object Lowering {
         if (!w.trim.matches("""\d+\s*(ms|s|sec|second|seconds|m|min|minute|minutes|h|hour|hours|d|day|days)"""))
           throw new LoweringException(s"subscribe: unrecognized window_size '$w'")
       }
+      // dedup_keys: [...] — dedup-on-ingest. Batch full-refresh keeps one
+      // representative row per key set (streaming keeps the first row seen
+      // within the watermark horizon — streaming/Subscribe.dedupStream,
+      // driven from this same recorded metadata).
+      val dedupKeys = pmap.get("dedup_keys")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      val resolvedKeys = dedupKeys.map { c =>
+        df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+          throw new LoweringException(
+            s"subscribe: dedup key '$c' is not a column of the subscribed relation"))
+      }
       ctx.subscriptions += ((wm, pmap))
-      Plain(df)
+      Plain(if (resolvedKeys.nonEmpty) df.dropDuplicates(resolvedKeys) else df)
     case BracedRelation(child) => lowerRel(child, ctx)
 
     case SelectAsNamed(child, name) =>

@@ -741,8 +741,22 @@ final class Parser(tokens: Vector[Token]) {
       def one(): Unit = {
         val pname = identName()
         if (!accept("=")) expectOp(":")
-        if (peek.kind != TokenKind.StringLit) fail("expected string subscribe parameter value")
-        params += ((pname.toLowerCase, advance().text))
+        if (accept("[")) {
+          // list-valued parameter, e.g. dedup_keys: ['fp', 'url'] —
+          // recorded comma-joined (subscription metadata stays string→string)
+          val vs = List.newBuilder[String]
+          def oneVal(): Unit = {
+            if (peek.kind != TokenKind.StringLit)
+              fail("expected string in subscribe list parameter")
+            vs += advance().text
+          }
+          if (!peek.is("]")) { oneVal(); while (accept(",")) oneVal() }
+          expectOp("]")
+          params += ((pname.toLowerCase, vs.result().mkString(",")))
+        } else {
+          if (peek.kind != TokenKind.StringLit) fail("expected string subscribe parameter value")
+          params += ((pname.toLowerCase, advance().text))
+        }
       }
       one()
       while (accept(",")) one()

@@ -80,6 +80,20 @@ object Subscribe {
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
   }
 
+  /** The streaming side of a recorded `tbl.subscribe(dedup_keys: […])`
+    * site: apply dedup-on-ingest from the subscription metadata the
+    * language front-end records (Lowering ctx.subscriptions — param names
+    * watermark_column / watermark_delay / dedup_keys, dedup_keys
+    * comma-joined by the parser). */
+  def dedupFromParams(stream: DataFrame, params: Map[String, String]): DataFrame = {
+    val ts = params.getOrElse("watermark_column",
+      throw new IllegalArgumentException("subscribe: dedup_keys requires watermark_column"))
+    val delay = params.getOrElse("watermark_delay", "10 minutes")
+    val keys = params.get("dedup_keys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    dedupStream(stream, ts, delay, keys)
+  }
+
   /** Stage finalized windows into an append-only parquet directory. With
     * `Trigger.AvailableNow` the query drains available input and terminates —
     * invoke repeatedly with the same checkpoint for batch-triggered

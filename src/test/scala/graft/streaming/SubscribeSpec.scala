@@ -124,4 +124,42 @@ class SubscribeSpec extends SparkTestBase {
     assert(got == List(("fp1", 1.0), ("fp2", 3.0), ("fp3", 9.0), ("fp1", 7.0)),
       s"got $got")
   }
+
+  test("language subscribe(dedup_keys) records metadata and drives dedup-on-ingest") {
+    import graft.lang.{Lowering, Parser}
+    val in = Files.createTempDirectory("lds_in").toString
+    val out = Files.createTempDirectory("lds_out").toString
+    val ck = Files.createTempDirectory("lds_ck").toString
+    writeBatch(in, "b1", Seq(
+      ("2024-01-01 00:10:00", "fp1", 1.0),
+      ("2024-01-01 00:11:00", "fp1", 2.0), // duplicate fingerprint
+      ("2024-01-01 00:12:00", "fp2", 3.0)))
+    val batchDf = spark.read.schema(schema).parquet(s"$in/*")
+    // batch lowering: full refresh keeps one representative row per key
+    val ctx = Lowering.Context(spark, _ => batchDf)
+    val lowered = Lowering.lowerStatements(Parser.parseStatements(
+      "from ingest.subscribe(watermark_column: 'ts', watermark_delay: '10 minutes', " +
+        "dedup_keys: ['event_type'])"), ctx).get
+    assert(lowered.count() == 2, "batch dedup semantics: one row per key")
+    val (wmCol, params) = ctx.subscriptions.head
+    assert(wmCol.contains("ts") && params("dedup_keys") == "event_type")
+    // the SAME recorded metadata drives the incremental (streaming) plan
+    val stream = spark.readStream.schema(schema).parquet(s"$in/*")
+    val q = Subscribe.dedupFromParams(stream, params)
+      .writeStream.outputMode("append").format("parquet")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(out)
+    q.awaitTermination()
+    val staged = spark.read.parquet(out).collect()
+      .map(r => (r.getString(1), r.getDouble(2))).sortBy(_._1).toList
+    assert(staged == List(("fp1", 1.0), ("fp2", 3.0)), s"got $staged")
+    // unknown dedup key fails at lowering, not at runtime
+    val bad = intercept[Exception] {
+      Lowering.lowerStatements(Parser.parseStatements(
+        "from ingest.subscribe(watermark_column: 'ts', dedup_keys: ['nope'])"),
+        Lowering.Context(spark, _ => batchDf)).get
+    }
+    assert(bad.getMessage.contains("dedup key"))
+  }
 }
