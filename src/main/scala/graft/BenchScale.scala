@@ -57,28 +57,40 @@ object BenchScale {
     val base = Tables.read(spark, baseDir, "documents")
     val baseRows = base.count()
     val span = base.agg(F.max("doc_id")).head.getLong(0) + 1
+    val rest = base.columns.filterNot(c => c == "doc_id" || c == "text")
     val scaled = (0 until replicas).map { i =>
       base.select(
-        (F.col("doc_id") + F.lit(i.toLong * span)).as("doc_id"),
-        // replica-tagged tokens: an alnum prefix FUSED onto every word
-        // (the tokenizer reads maximal [a-z0-9]+ runs — a separator like
-        // '_' would split the tag off and leave the base token shared)
-        (if (i == 0) F.col("text")
-         else F.regexp_replace(F.col("text"), "(\\w+)", s"zz${i}$$1")).as("text"))
+        ((F.col("doc_id") + F.lit(i.toLong * span)).as("doc_id") +:
+          // replica-tagged tokens: an alnum prefix FUSED onto every word
+          // (the tokenizer reads maximal [a-z0-9]+ runs — a separator like
+          // '_' would split the tag off and leave the base token shared)
+          (if (i == 0) F.col("text")
+           else F.regexp_replace(F.col("text"), "(\\w+)", s"zz${i}$$1")).as("text") +:
+          rest.map(F.col).toSeq): _*)
     }.reduce(_ unionByName _)
     scaled.write.mode("overwrite").parquet(s"$workDir/documents.parquet")
     val bigRows = spark.read.parquet(s"$workDir/documents.parquet").count()
     System.err.println(s"[scale] base=$baseRows rows, scaled=$bigRows rows ($replicas replicas)")
 
-    def time(name: String, dir: String): Double = {
+    def time(name: String, dir: String, partitions: Int): Double = {
+      // partitions scale with the corpus — the 100 TB sizing policy
+      // (shuffle partitions sized so each fits executor memory); pinning
+      // them while data grows 10x measures spill, not the plan. AQE
+      // coalesces the small ones back, so the extra partitions at scale
+      // cost task overhead only.
+      spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+      // one untimed warm run first: codegen/JIT/broadcast setup must not
+      // land in the base-vs-scaled comparison (a cold base run vs a warm
+      // scaled run produced nonsense sub-zero exponents)
+      SparkEntry.queries(name)(spark, dir).count()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
       (System.nanoTime() - t0) / 1e9
     }
 
     val results = heavy.map { name =>
-      val tSmall = time(name, baseDir)
-      val tBig = time(name, workDir)
+      val tSmall = time(name, baseDir, cpus.toInt)
+      val tBig = time(name, workDir, cpus.toInt * replicas)
       val exp = math.log(tBig / tSmall) / math.log(bigRows.toDouble / baseRows)
       System.err.println(f"[scale] $name%-28s ${tSmall}%7.2f s -> ${tBig}%8.2f s  exponent ${exp}%5.2f")
       (name, tSmall, tBig, exp)

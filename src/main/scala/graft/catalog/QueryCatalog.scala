@@ -1076,6 +1076,23 @@ object QueryCatalog {
       """)
     ),
     (
+      // dedup-on-ingest through the language surface: batch full-refresh
+      // semantics keep ONE row per dedup key (which row survives is
+      // engine-arbitrary, so the oracle checks the deterministic part —
+      // exactly one row per key).
+      "q_subscribe_dedup_ingest",
+      wv("""
+        from events.subscribe(watermark_column: 'ts', dedup_keys: ['event_type'])
+        group by event_type
+        agg n = _.count
+        order by event_type
+      """),
+      Some("""
+        SELECT DISTINCT event_type, CAST(1 AS BIGINT) AS n
+        FROM events ORDER BY event_type
+      """)
+    ),
+    (
       "q_events_sessionize", // gap-based sessionization via window + agg
       wv("""
         from events

@@ -18,6 +18,16 @@ import org.apache.spark.sql.{functions => F}
   * bit-identical across engines (IEEE division is exactly rounded) — the
   * DuckDB oracle recomputes them from string tokens.
   *
+  * Skew caveat: token document frequencies are Zipfian — stopword-class
+  * tokens appear in nearly every document, so the token-keyed groupBy and
+  * the postings-back join both carry hot keys. The groupBy is safe (partial
+  * aggregation collapses each hot token to one row per map task before the
+  * shuffle); the join's hot keys fan out one df row to ~corpus-size
+  * postings, which AQE's skew-join splitting handles at runtime
+  * (OptimizeSkewedJoin) — worst case is a handful of oversized but
+  * splittable partitions, not a single straggler, because the posting side
+  * is uniformly distributed by (token, doc) pairs.
+  *
   * Collision caveat: tokens are 64-bit hashes, so two distinct tokens can
   * collide (birthday bound ~ v²/2⁶⁵ for v distinct tokens — ~3e-7 at 100 M
   * vocab). A collision MERGES the two tokens' document frequencies: df is

@@ -80,6 +80,23 @@ object Subscribe {
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
   }
 
+  /** Normalize a language duration spec ('1h', '30 min', '10 minutes') to
+    * Spark's interval wording — the language accepts short units, Spark's
+    * watermark/window parsers want the long form. */
+  def duration(spec: String): String = {
+    val m = """(\d+)\s*([a-zA-Z]+)""".r.findFirstMatchIn(spec.trim).getOrElse(
+      throw new IllegalArgumentException(s"unrecognized duration '$spec'"))
+    val unit = m.group(2).toLowerCase match {
+      case "ms" => "milliseconds"
+      case "s" | "sec" | "second" | "seconds" => "seconds"
+      case "m" | "min" | "minute" | "minutes" => "minutes"
+      case "h" | "hour" | "hours" => "hours"
+      case "d" | "day" | "days" => "days"
+      case u => throw new IllegalArgumentException(s"unrecognized duration unit '$u'")
+    }
+    s"${m.group(1)} $unit"
+  }
+
   /** The streaming side of a recorded `tbl.subscribe(dedup_keys: […])`
     * site: apply dedup-on-ingest from the subscription metadata the
     * language front-end records (Lowering ctx.subscriptions — param names
@@ -88,10 +105,34 @@ object Subscribe {
   def dedupFromParams(stream: DataFrame, params: Map[String, String]): DataFrame = {
     val ts = params.getOrElse("watermark_column",
       throw new IllegalArgumentException("subscribe: dedup_keys requires watermark_column"))
-    val delay = params.getOrElse("watermark_delay", "10 minutes")
+    val delay = duration(params.getOrElse("watermark_delay", "10 minutes"))
     val keys = params.get("dedup_keys")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     dedupStream(stream, ts, delay, keys)
+  }
+
+  /** The FULL incremental plan from recorded subscription metadata:
+    * optional dedup-on-ingest (dedup_keys), then watermark-bounded tumbling
+    * windows when window_size is present — so one recorded `subscribe()`
+    * site drives the whole streaming pipeline. */
+  def subscribeFromParams(
+      stream: DataFrame,
+      params: Map[String, String],
+      keys: Seq[String],
+      aggs: Seq[Column]
+  ): DataFrame = {
+    val ts = params.getOrElse("watermark_column",
+      throw new IllegalArgumentException("subscribe requires watermark_column"))
+    val delay = duration(params.getOrElse("watermark_delay", "10 minutes"))
+    val hasDedup = params.get("dedup_keys").exists(_.trim.nonEmpty)
+    val base = if (hasDedup) dedupFromParams(stream, params)
+               else stream.withWatermark(ts, delay)
+    params.get("window_size") match {
+      case Some(w) =>
+        // dedupFromParams already set the watermark; tumbling reuses it
+        tumbling(base, ts, duration(w), keys, aggs)
+      case None => base
+    }
   }
 
   /** Stage finalized windows into an append-only parquet directory. With

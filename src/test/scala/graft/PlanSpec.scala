@@ -147,6 +147,18 @@ class PlanSpec extends SparkTestBase {
       "table metadata does not record bucketing")
   }
 
+  test("packing cumsum window is shard-partitioned, never global") {
+    // a window without PARTITION BY serializes the whole corpus onto one
+    // task — the exact failure mode the md5-prefix shard exists to prevent
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = graft.operators.Packing.packSequences(
+      table("documents"), "doc_id", "text", budget = 512, shards = 64)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected a window in the packing plan")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "packing window lost its shard partitioning"))
+  }
+
   test("curation capstone carries no broadcast hint on the corpus-sized side") {
     // The keep-id set of the dedup semi-join is one row per distinct
     // document — corpus-sized. A planner HINT would force it through the

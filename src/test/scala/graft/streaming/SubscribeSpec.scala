@@ -162,4 +162,34 @@ class SubscribeSpec extends SparkTestBase {
     }
     assert(bad.getMessage.contains("dedup key"))
   }
+
+  test("subscribeFromParams: one metadata map drives dedup + windowed agg") {
+    import graft.lang.{Lowering, Parser}
+    val in = Files.createTempDirectory("sfp_in").toString
+    val out = Files.createTempDirectory("sfp_out").toString
+    val ck = Files.createTempDirectory("sfp_ck").toString
+    writeBatch(in, "b1", Seq(
+      ("2024-01-01 00:10:00", "fp1", 1.0),
+      ("2024-01-01 00:20:00", "fp1", 2.0), // dup key — dropped on ingest
+      ("2024-01-01 00:30:00", "fp2", 3.0),
+      ("2024-01-01 03:00:00", "fp9", 9.0))) // advances watermark past hour 00
+    val batchDf = spark.read.schema(schema).parquet(s"$in/*")
+    // record the subscription site from language text (short units: 1h/10m)
+    val ctx = Lowering.Context(spark, _ => batchDf)
+    Lowering.lowerStatements(Parser.parseStatements(
+      "from ingest.subscribe(watermark_column: 'ts', watermark_delay: '10m', " +
+        "window_size: '1h', dedup_keys: ['event_type'])"), ctx).get
+    val params = ctx.subscriptions.head._2
+    val stream = spark.readStream.schema(schema).parquet(s"$in/*")
+    val sub = Subscribe.subscribeFromParams(stream, params,
+      Seq.empty, Seq(F.count(F.lit(1)).as("n")))
+    val q = Subscribe.stageAppend(sub, out, ck)
+    q.awaitTermination()
+    // hour-00 window finalized; the duplicate fp1 was deduped on ingest
+    // BEFORE the window count, so n = 2 (fp1 once + fp2), not 3
+    val staged = spark.read.parquet(out).collect()
+    assert(staged.length == 1, s"expected one finalized window, got ${staged.length}")
+    assert(staged.head.getAs[Long]("n") == 2L,
+      s"dedup-on-ingest must precede the window agg: ${staged.head}")
+  }
 }
