@@ -1114,6 +1114,34 @@ object QueryCatalog {
         FROM w GROUP BY user_id ORDER BY user_id
       """)
     ),
+    (
+      // gap sessionization through the subscribe() language surface: batch
+      // full refresh runs Sessionize.sessionizeBatch (lag → running-sum sid
+      // → one agg, single shuffle); the same recorded metadata drives the
+      // streaming flatMapGroupsWithState plan (SessionizeSpec equivalence)
+      "q_events_session_rows",
+      wv("""
+        from events.subscribe(watermark_column: 'ts', session_gap: '30m', session_keys: ['user_id'])
+        order by user_id, session_start_ms
+      """),
+      Some("""
+        WITH w AS (
+          SELECT user_id, epoch_ms(ts)::BIGINT AS ts_ms FROM events),
+        l AS (
+          SELECT user_id, ts_ms,
+                 lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS prev_ms
+          FROM w),
+        s AS (
+          SELECT user_id, ts_ms,
+                 sum(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts_ms ROWS UNBOUNDED PRECEDING) AS sid
+          FROM l)
+        SELECT user_id, min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
+               count(*)::BIGINT AS n_events
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, session_start_ms
+      """)
+    ),
     // -------------------------------------------------------------------------
     // SQL front-end (the reference's .sql units; Spark SQL shares Catalyst
     // with the flow language, so both front-ends hit the same operators)

@@ -907,7 +907,33 @@ object Lowering {
             s"subscribe: dedup key '$c' is not a column of the subscribed relation"))
       }
       ctx.subscriptions += ((wm, pmap))
-      Plain(if (resolvedKeys.nonEmpty) df.dropDuplicates(resolvedKeys) else df)
+      val deduped = if (resolvedKeys.nonEmpty) df.dropDuplicates(resolvedKeys) else df
+      // session_gap + session_keys — gap sessionization. Batch full refresh
+      // runs the declarative window plan; the recorded metadata drives the
+      // streaming flatMapGroupsWithState plan (Subscribe.subscribeFromParams).
+      Plain(pmap.get("session_gap") match {
+        case Some(g) =>
+          if (pmap.contains("window_size"))
+            throw new LoweringException(
+              "subscribe: window_size and session_gap are mutually exclusive")
+          if (!g.trim.matches("""\d+\s*(ms|s|sec|second|seconds|m|min|minute|minutes|h|hour|hours|d|day|days)"""))
+            throw new LoweringException(s"subscribe: unrecognized session_gap '$g'")
+          val tsC = wm.flatMap(c => df.columns.find(_.equalsIgnoreCase(c)))
+            .getOrElse(throw new LoweringException(
+              "subscribe: session_gap requires watermark_column"))
+          val sKeys = pmap.get("session_keys")
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+          val resolvedS = sKeys.map { c =>
+            df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+              throw new LoweringException(
+                s"subscribe: session key '$c' is not a column of the subscribed relation"))
+          }
+          if (resolvedS.isEmpty)
+            throw new LoweringException("subscribe: session_gap requires session_keys")
+          graft.streaming.Sessionize.sessionizeBatch(
+            deduped, tsC, resolvedS, graft.streaming.Subscribe.durationMs(g))
+        case None => deduped
+      })
     case BracedRelation(child) => lowerRel(child, ctx)
 
     case SelectAsNamed(child, name) =>

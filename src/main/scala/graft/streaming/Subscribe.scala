@@ -97,6 +97,18 @@ object Subscribe {
     s"${m.group(1)} $unit"
   }
 
+  /** A language duration spec as epoch milliseconds. */
+  def durationMs(spec: String): Long = {
+    val Array(n, unit) = duration(spec).split(" ")
+    n.toLong * (unit match {
+      case "milliseconds" => 1L
+      case "seconds" => 1000L
+      case "minutes" => 60000L
+      case "hours" => 3600000L
+      case "days" => 86400000L
+    })
+  }
+
   /** The streaming side of a recorded `tbl.subscribe(dedup_keys: […])`
     * site: apply dedup-on-ingest from the subscription metadata the
     * language front-end records (Lowering ctx.subscriptions — param names
@@ -113,8 +125,9 @@ object Subscribe {
 
   /** The FULL incremental plan from recorded subscription metadata:
     * optional dedup-on-ingest (dedup_keys), then watermark-bounded tumbling
-    * windows when window_size is present — so one recorded `subscribe()`
-    * site drives the whole streaming pipeline. */
+    * windows (window_size) or gap sessionization (session_gap +
+    * session_keys, Sessionize.sessionizeStream custom state) — so one
+    * recorded `subscribe()` site drives the whole streaming pipeline. */
   def subscribeFromParams(
       stream: DataFrame,
       params: Map[String, String],
@@ -127,11 +140,18 @@ object Subscribe {
     val hasDedup = params.get("dedup_keys").exists(_.trim.nonEmpty)
     val base = if (hasDedup) dedupFromParams(stream, params)
                else stream.withWatermark(ts, delay)
-    params.get("window_size") match {
-      case Some(w) =>
+    (params.get("window_size"), params.get("session_gap")) match {
+      case (Some(_), Some(_)) =>
+        throw new IllegalArgumentException(
+          "subscribe: window_size and session_gap are mutually exclusive")
+      case (Some(w), None) =>
         // dedupFromParams already set the watermark; tumbling reuses it
         tumbling(base, ts, duration(w), keys, aggs)
-      case None => base
+      case (None, Some(g)) =>
+        val sKeys = params.get("session_keys")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        Sessionize.sessionizeStream(base, ts, delay, sKeys, durationMs(g)).toDF()
+      case (None, None) => base
     }
   }
 

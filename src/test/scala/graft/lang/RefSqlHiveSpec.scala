@@ -20,12 +20,10 @@ class RefSqlHiveSpec extends SparkTestBase {
   private val hiveDir = "/root/reference/spec/sql/hive"
   private val parseableDir = "/root/reference/spec/sql/hive-parseable"
 
-  private val excluded: Map[String, String] = Map(
-    "hive-udtf.sql" ->
-      ("generic undefined-UDTF (`func_name(…) AS (cols)`) is parse-only surface — there is " +
-        "no function body to execute; the corpus' real UDTF (each_top_k) executes via the " +
-        "window rewrite, exercised by with-insert.sql and the each_top_k statement here")
-  )
+  // no file-level exclusions: hive-udtf.sql's each_top_k statement executes
+  // via the window rewrite; only its generic undefined-UDTF statement is
+  // tolerated below (per-statement), matching the reference's own treatment
+  private val excluded: Map[String, String] = Map.empty
 
   // --- fixture helpers -------------------------------------------------------
 
@@ -176,6 +174,10 @@ class RefSqlHiveSpec extends SparkTestBase {
       fresh("cdp_tmp_word_tagging_behavior_behv_orders_customers_tags",
         "cdp_customer_id STRING, tag STRING")
     }),
+    "hive-udtf.sql" -> (() =>
+      view("cdp_tmp_word_tagging_behavior_behv_orders",
+        "SELECT 'c1' AS cdp_customer_id, 't1' AS tag, 0.9 AS tag_score " +
+          "UNION ALL SELECT 'c1', 't2', 0.5")),
     // hive-parseable
     "basic-queries.sql" -> (() => {
       view("employees",
@@ -196,6 +198,10 @@ class RefSqlHiveSpec extends SparkTestBase {
 
   /** statements allowed to fail, with reasons (matched by substring) */
   private val tolerated: Map[String, Map[String, String]] = Map(
+    "hive-udtf.sql" -> Map(
+      "func_name(arg1, arg2, arg3)" ->
+        ("generic undefined-UDTF (`func_name(…) AS (cols)`) — no function body exists " +
+          "to execute; parse-only surface in the reference too")),
     "hive-data-types.sql" -> Map(
       "named_struct('name', 'John', 'age', 30)" ->
         ("heterogeneous struct array — MAP values mixing struct<name,age> and " +
