@@ -147,6 +147,22 @@ class PlanSpec extends SparkTestBase {
       "table metadata does not record bucketing")
   }
 
+  test("sessionize batch plan: one shuffle, session-id agg reuses the window partitioning") {
+    // the (key, sid) aggregation must reuse the lag window's hash
+    // partitioning on the key (sid is derived within a key partition, and
+    // partitioning on a subset of the grouping keys satisfies the
+    // clustered distribution) — a second Exchange would re-shuffle the
+    // whole corpus for nothing
+    val df = graft.streaming.Sessionize.sessionizeBatch(
+      table("events"), "ts", Seq("user_id"), 30L * 60 * 1000)
+    // count from the formatted plan — AQE wraps the physical plan, so a
+    // node collect over executedPlan misses the exchanges inside it
+    val exchanges = planOf(df).linesIterator
+      .count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges == 1,
+      s"expected exactly one shuffle in the sessionize plan, got $exchanges:\n${planOf(df)}")
+  }
+
   test("packing cumsum window is shard-partitioned, never global") {
     // a window without PARTITION BY serializes the whole corpus onto one
     // task — the exact failure mode the md5-prefix shard exists to prevent
