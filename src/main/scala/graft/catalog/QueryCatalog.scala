@@ -1473,6 +1473,34 @@ object QueryCatalog {
       """)
     ),
     (
+      // domain-weighted corpus mixing: en upsampled 1.5x, de thinned to
+      // 0.75, fr to 0.25, es/zh dropped — floor(w) copies plus one more
+      // below the per-domain md5 hex threshold (deterministic, engine-
+      // portable; thresholds are round(frac*65536) as %04x)
+      "q_mix_weighted",
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        Sampling.weightedMix(docs, "lang", "doc_id",
+            Map("en" -> 1.5, "de" -> 0.75, "fr" -> 0.25))
+          .select("doc_id", "lang", "copy")
+          .orderBy("doc_id", "copy")
+      },
+      Some("""
+        WITH w(lang, wt_floor, thr) AS (VALUES
+          ('en', 1, printf('%04x', 32768)),
+          ('de', 0, printf('%04x', 49152)),
+          ('fr', 0, printf('%04x', 16384))),
+        c AS (
+          SELECT d.doc_id, d.lang,
+                 w.wt_floor + CASE WHEN substring(md5('graft-mix' || CAST(d.doc_id AS VARCHAR)), 1, 4) < w.thr
+                                   THEN 1 ELSE 0 END AS copies
+          FROM documents d JOIN w USING (lang))
+        SELECT c.doc_id, c.lang, gs.copy::INT AS copy
+        FROM c, LATERAL (SELECT unnest(generate_series(1, c.copies)) AS copy) gs
+        ORDER BY doc_id, copy
+      """)
+    ),
+    (
       "q_corpus_shuffle", // deterministic global shuffle (one ranged sort)
       (spark, dir) => {
         val docs = Tables.read(spark, dir, "documents")

@@ -67,4 +67,42 @@ object Sampling {
       seed: String = "graft"
   ): DataFrame =
     df.orderBy(key(seed, F.col(idCol)), F.col(idCol))
+
+  /** Deterministic domain-weighted corpus mixing — the static-reweighting
+    * step of a training mixture (downsample over-represented domains,
+    * upsample scarce ones). A row with domain weight w is emitted
+    * floor(w) times, plus once more iff its md5 fraction sorts below
+    * frac(w) (the trainTestSplit hex-threshold trick, resolution 1/65536)
+    * — so per-domain token counts hit w·|domain| exactly in expectation,
+    * deterministically, with no engine-private randomness. Domains absent
+    * from `weights` are dropped (an explicit mixture).
+    *
+    * Stateless and shuffle-free: membership and copy counts are computed
+    * per row from (seed, id), so the plan is filter + explode over the
+    * scan — any worker recomputes the same mixture at 100 TB. The emitted
+    * `copy` column (1-based replica index) keeps upsampled duplicates
+    * distinguishable downstream (e.g. for a later global shuffle). */
+  def weightedMix(
+      df: DataFrame,
+      domainCol: String,
+      idCol: String,
+      weights: Map[String, Double],
+      seed: String = "graft-mix"
+  ): DataFrame = {
+    require(weights.nonEmpty, "at least one domain weight required")
+    require(weights.values.forall(w => w >= 0 && w.isFinite), "weights must be >= 0")
+    val floorW = weights.foldLeft(F.lit(null).cast("int")) { case (acc, (d, w)) =>
+      F.when(F.col(domainCol) === d, F.lit(math.floor(w).toInt)).otherwise(acc)
+    }
+    val thr = weights.foldLeft(F.lit(null).cast("string")) { case (acc, (d, w)) =>
+      val frac = math.round((w - math.floor(w)) * 65536).toInt
+      F.when(F.col(domainCol) === d, F.lit(f"$frac%04x")).otherwise(acc)
+    }
+    df.withColumn("__copies",
+        floorW + F.when(
+          F.substring(key(seed, F.col(idCol)), 1, 4) < thr, 1).otherwise(0))
+      .filter(F.col("__copies") > 0) // also drops unlisted domains (null copies)
+      .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("__copies"))))
+      .drop("__copies")
+  }
 }

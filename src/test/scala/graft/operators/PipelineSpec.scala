@@ -254,6 +254,34 @@ class PipelineSpec extends SparkTestBase {
       again.select("doc_id", "split")).count() == 0)
   }
 
+  test("weighted mix: copies match the hex rule, unlisted domains dropped") {
+    val weights = Map("en" -> 1.5, "de" -> 0.75, "fr" -> 0.25)
+    val mixed = Sampling.weightedMix(docs, "lang", "doc_id", weights)
+    val perDoc = mixed.groupBy("doc_id", "lang")
+      .agg(F.count(F.lit(1)).as("n"), F.max("copy").as("maxc")).collect()
+    // copy indexes are 1..n per doc
+    assert(perDoc.forall(r => r.getLong(2) == r.getInt(3).toLong))
+    // per-row copy count equals an independent Scala-side recompute of the
+    // md5 hex-threshold rule
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def copiesOf(id: Long, w: Double): Int = {
+      val hex = md.digest(s"graft-mix$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      val thr = f"${math.round((w - math.floor(w)) * 65536).toInt}%04x"
+      math.floor(w).toInt + (if (hex < thr) 1 else 0)
+    }
+    perDoc.foreach { r =>
+      val expect = copiesOf(r.getLong(0), weights(r.getString(1)))
+      assert(r.getLong(2) == expect, s"doc ${r.getLong(0)}: ${r.getLong(2)} != $expect")
+    }
+    // unlisted domains (es, zh) and zero-copy rows are absent
+    assert(mixed.filter(F.col("lang").isin("es", "zh")).count() == 0)
+    // expectation: per-domain rate tracks its weight
+    val n = docs.filter(F.col("lang") === "en").count()
+    val m = mixed.filter(F.col("lang") === "en").count()
+    assert(math.abs(m.toDouble / n - 1.5) < 0.2, s"en rate ${m.toDouble / n} far from 1.5")
+  }
+
   test("deterministic shuffle: stable order, differs from input order") {
     val ids1 = Sampling.deterministicShuffle(docs, "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).toSeq
