@@ -1478,13 +1478,11 @@ object QueryCatalog {
       // below the per-domain md5 hex threshold (deterministic, engine-
       // portable; thresholds are round(frac*65536) as %04x)
       "q_mix_weighted",
-      (spark, dir) => {
-        val docs = Tables.read(spark, dir, "documents")
-        Sampling.weightedMix(docs, "lang", "doc_id",
-            Map("en" -> 1.5, "de" -> 0.75, "fr" -> 0.25))
-          .select("doc_id", "lang", "copy")
-          .orderBy("doc_id", "copy")
-      },
+      wv("""
+        from weighted_mix('documents', 'lang', 'doc_id', 'en:1.5,de:0.75,fr:0.25')
+        select doc_id, lang, copy
+        order by doc_id, copy
+      """),
       Some("""
         WITH w(lang, wt_floor, thr) AS (VALUES
           ('en', 1, printf('%04x', 32768)),

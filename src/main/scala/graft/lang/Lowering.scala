@@ -730,6 +730,30 @@ object Lowering {
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "weighted_mix" =>
+      // weighted_mix('corpus', 'domain_col', 'id_col', 'en:1.5,de:0.75')
+      // — deterministic domain-weighted corpus mixing
+      // (operators/Sampling.weightedMix); weights are a 'domain:w' list
+      // (table-function args are scalar literals)
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(domainCol: String),
+            Some(idCol: String), Some(spec: String)) =>
+          val weights = spec.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+            kv.split(":") match {
+              case Array(d, w) => d.trim -> w.trim.toDouble
+              case _ => throw new LoweringException(
+                s"weighted_mix: bad weight entry '$kv' (expected domain:weight)")
+            }
+          }.toMap
+          Plain(graft.operators.Sampling.weightedMix(
+            lower(TableRef(corpus), ctx), domainCol, idCol, weights))
+        case _ =>
+          throw new LoweringException(
+            "weighted_mix expects (corpus, domain_col, id_col, weights) literals, e.g. " +
+              "weighted_mix('documents', 'lang', 'doc_id', 'en:1.5,de:0.75')")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "pack_sequences" =>
       // pack_sequences('corpus', 'id_col', 'text_col', budget[, shards])
       // — GPT-style packing coordinates (operators/Packing.scala)
