@@ -163,6 +163,15 @@ class PlanSpec extends SparkTestBase {
       s"expected exactly one shuffle in the sessionize plan, got $exchanges:\n${planOf(df)}")
   }
 
+  test("weighted mix plans shuffle-free: filter + explode over the scan") {
+    val df = graft.operators.Sampling.weightedMix(
+      table("documents"), "lang", "doc_id", Map("en" -> 1.5, "de" -> 0.5))
+    val exchanges = planOf(df).linesIterator
+      .count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges == 0,
+      s"mixing must be stateless per-row work, found a shuffle:\n${planOf(df)}")
+  }
+
   test("packing cumsum window is shard-partitioned, never global") {
     // a window without PARTITION BY serializes the whole corpus onto one
     // task — the exact failure mode the md5-prefix shard exists to prevent

@@ -136,4 +136,29 @@ class SessionizeSpec extends SparkTestBase {
     assert(staged.length == 2, s"expected both sessions closed, got ${staged.toSeq}")
     assert(staged.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 1L), s"${staged.toSeq}")
   }
+
+  test("dedup_keys + session_gap compose: dedup on ingest precedes sessionization") {
+    val in = Files.createTempDirectory("sessd_in").toString
+    val out = Files.createTempDirectory("sessd_out").toString
+    val ck = Files.createTempDirectory("sessd_ck").toString
+    // two rows share the dedup key 'a' inside one session window — dedup
+    // keeps one, so the closed session counts 1 event, not 2
+    writeBatch(in, "b1", Seq(
+      ("2024-01-01 00:00:00", "a", 1.0),
+      ("2024-01-01 00:05:00", "a", 2.0), // dup key, dropped on ingest
+      ("2024-01-01 09:00:00", "zz", 0.0))) // advances the watermark
+    val params = Map(
+      "watermark_column" -> "ts", "watermark_delay" -> "10m",
+      "dedup_keys" -> "event_type", "session_gap" -> "30m",
+      "session_keys" -> "event_type")
+    val stream = spark.readStream.schema(schema).parquet(s"$in/*")
+    val sub = Subscribe.subscribeFromParams(stream, params, Seq.empty, Seq.empty)
+    val q = Subscribe.stageAppend(sub, out, ck)
+    q.awaitTermination()
+    val staged = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("session_key") === "a").collect()
+    assert(staged.length == 1, s"expected one closed session, got ${staged.toSeq}")
+    assert(staged.head.getAs[Long]("n_events") == 1L,
+      s"dedup-on-ingest must precede sessionization: ${staged.head}")
+  }
 }
