@@ -1025,6 +1025,81 @@ object QueryCatalog {
       """)
     ),
     (
+      "q_val_reuse", // val binds once, then folds into expressions by name
+      wv("""
+        val cutoff = 45
+        val tag = 'deep'
+        from lineitem
+        where l_quantity > cutoff
+        group by l_returnflag
+        agg n = _.count, max_qty = l_quantity.max
+        select l_returnflag, n, max_qty, label = s"${tag}-cut${cutoff}"
+        order by l_returnflag
+      """),
+      Some("""
+        SELECT l_returnflag, count(*) AS n, max(l_quantity) AS max_qty,
+               'deep-cut45' AS label
+        FROM lineitem WHERE l_quantity > 45
+        GROUP BY l_returnflag ORDER BY l_returnflag
+      """)
+    ),
+    (
+      "q_test_assertion", // in-query test gates ride the pipe, pass rows through
+      wv("""
+        from region
+        select r_regionkey, r_name
+        test _.size should be 5
+        test _.columns should be ['r_regionkey', 'r_name']
+        order by r_regionkey
+      """),
+      Some("""
+        SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey
+      """)
+    ),
+    (
+      "q_debug_branch", // debug side branch runs for real; main pipe unaffected
+      wv("""
+        from nation
+        debug {
+          group by n_regionkey
+          agg n = _.count
+          test _.size should be 5
+        }
+        where n_regionkey = 1
+        select n_nationkey, n_name
+        order by n_nationkey
+      """),
+      Some("""
+        SELECT n_nationkey, n_name FROM nation
+        WHERE n_regionkey = 1 ORDER BY n_nationkey
+      """)
+    ),
+    (
+      "q_type_member_def", // schema-bound type with a member def as row predicate
+      wv("""
+        type ev_t = {
+          event_id: long
+          ts: timestamp
+          user_id: long
+          event_type: string
+          value: double
+          props: string
+          def is_big: boolean = value > 10.0
+        }
+        model big_events: ev_t = { from events }
+        from big_events
+        where _.is_big
+        group by event_type
+        agg n = _.count, avg_val = value.avg.round(4)
+        order by event_type
+      """),
+      Some("""
+        SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_val
+        FROM events WHERE value > 10.0
+        GROUP BY event_type ORDER BY event_type
+      """)
+    ),
+    (
       "q_events_tumbling_window", // streaming-shaped: tumbling 1h buckets
       wv("""
         from events
@@ -1258,6 +1333,48 @@ object QueryCatalog {
         SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         WHERE NOT (o_orderstatus = 'F' OR o_totalprice < 100000)
         ORDER BY o_orderkey
+      """)
+    ),
+    (
+      "q_ctas_roundtrip", // create table as in the language; re-read is identity
+      (spark, dir) => {
+        // the derby metastore dies per JVM but spark-warehouse/ survives —
+        // clear both layers or CTAS fails with LOCATION_ALREADY_EXISTS
+        spark.sql("DROP TABLE IF EXISTS graft_q_ctas")
+        def rmrf(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmrf)
+          f.delete()
+        }
+        rmrf(new java.io.File("spark-warehouse/graft_q_ctas"))
+        Graft.query(spark, """
+          create or replace table graft_q_ctas as {
+            from nation
+            where n_regionkey = 2
+            select n_nationkey, n_name, n_regionkey
+          }
+          ;
+          from graft_q_ctas
+          order by n_nationkey
+        """, Tables.resolver(spark, dir), basePath = dir)
+      },
+      Some("""
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+        WHERE n_regionkey = 2 ORDER BY n_nationkey
+      """)
+    ),
+    (
+      "q_sql_prepared", // PREPARE / EXECUTE USING through the SQL front-end
+      (spark, dir) => Graft.sqlScript(spark, """
+        PREPARE graft_q_prep AS
+          SELECT n_nationkey, n_name FROM nation
+          WHERE n_regionkey = ? AND n_nationkey > ?
+          ORDER BY n_nationkey;
+        EXECUTE graft_q_prep USING 2, 8
+      """, Some(dir)),
+      Some("""
+        SELECT n_nationkey, n_name FROM nation
+        WHERE n_regionkey = 2 AND n_nationkey > 8
+        ORDER BY n_nationkey
       """)
     ),
     (
