@@ -1057,6 +1057,33 @@ object QueryCatalog {
       """)
     ),
     (
+      "q_select_no_from", // from-less select lowers over the empty relation
+      wv("""
+        select one = 1, tag = 'x', total = 2 + 3
+      """),
+      Some("""
+        SELECT CAST(1 AS BIGINT) AS one, 'x' AS tag, CAST(5 AS BIGINT) AS total
+      """)
+    ),
+    (
+      "q_flow_summary", // healthy flow: deterministic pipeable summary relation
+      wv("""
+        flow SummaryDemo = {
+          stage src = from nation | where n_regionkey = 1
+          stage nums = from src | group by n_regionkey agg n = _.count
+        }
+        run flow SummaryDemo
+        select stage, state, attempts
+        order by stage
+      """),
+      Some("""
+        SELECT * FROM (VALUES
+          ('nums', 'success', CAST(1 AS INT)),
+          ('src', 'success', CAST(1 AS INT))) AS t(stage, state, attempts)
+        ORDER BY stage
+      """)
+    ),
+    (
       "q_debug_branch", // debug side branch runs for real; main pipe unaffected
       wv("""
         from nation
