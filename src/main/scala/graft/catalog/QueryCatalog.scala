@@ -1195,6 +1195,33 @@ object QueryCatalog {
       """)
     ),
     (
+      // hopping windows: 1h windows sliding every 30min — each event lands
+      // in exactly window/slide = 2 overlapping windows, epoch-aligned on
+      // the slide in both engines
+      "q_events_hopping_window",
+      (spark, dir) => {
+        val events = Tables.read(spark, dir, "events")
+        graft.streaming.Subscribe.tumbling(
+            events, "ts", "1 hour", Seq("event_type"),
+            Seq(F.count(F.lit(1)).as("n")), slide = Some("30 minutes"))
+          .select("event_type", "window_start_ms", "window_end_ms", "n")
+          .orderBy("window_start_ms", "event_type")
+      },
+      Some("""
+        WITH e AS (SELECT event_type, epoch_ms(ts)::BIGINT AS ts_ms FROM events),
+        w AS (
+          SELECT event_type, ts_ms, gs.ws
+          FROM e, LATERAL (SELECT unnest(generate_series(
+              (e.ts_ms // 1800000) * 1800000 - 1800000,
+              (e.ts_ms // 1800000) * 1800000,
+              1800000)) AS ws) gs)
+        SELECT event_type, ws AS window_start_ms, ws + 3600000 AS window_end_ms,
+               count(*)::BIGINT AS n
+        FROM w GROUP BY event_type, ws
+        ORDER BY window_start_ms, event_type
+      """)
+    ),
+    (
       "q_events_sessionize", // gap-based sessionization via window + agg
       wv("""
         from events

@@ -915,9 +915,11 @@ object Lowering {
           throw new LoweringException(
             s"subscribe: watermark column '$c' is not a column of the subscribed relation")
       }
-      pmap.get("window_size").foreach { w =>
-        if (!w.trim.matches("""\d+\s*(ms|s|sec|second|seconds|m|min|minute|minutes|h|hour|hours|d|day|days)"""))
-          throw new LoweringException(s"subscribe: unrecognized window_size '$w'")
+      Seq("window_size", "window_slide").foreach { p =>
+        pmap.get(p).foreach { w =>
+          if (!w.trim.matches("""\d+\s*(ms|s|sec|second|seconds|m|min|minute|minutes|h|hour|hours|d|day|days)"""))
+            throw new LoweringException(s"subscribe: unrecognized $p '$w'")
+        }
       }
       // dedup_keys: [...] — dedup-on-ingest. Batch full-refresh keeps one
       // representative row per key set (streaming keeps the first row seen

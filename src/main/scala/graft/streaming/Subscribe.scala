@@ -26,17 +26,24 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object Subscribe {
 
   /** Tumbling-window aggregation, shared by batch and streaming plans.
-    * Emits window_start_ms/window_end_ms epoch columns (portable output). */
+    * Emits window_start_ms/window_end_ms epoch columns (portable output).
+    * With `slide` set (a divisor of the window), windows hop: each event
+    * lands in window/slide overlapping windows — Spark's window() with a
+    * slideDuration, the standard smoothed-rate shape. */
   def tumbling(
       df: DataFrame,
       tsCol: String,
       windowDuration: String,
       keys: Seq[String],
-      aggs: Seq[Column]
+      aggs: Seq[Column],
+      slide: Option[String] = None
   ): DataFrame = {
     require(aggs.nonEmpty, "at least one aggregate required")
-    val grouped = df.groupBy(
-      (F.window(F.col(tsCol), windowDuration).as("__w") +: keys.map(F.col)): _*)
+    val win = slide match {
+      case Some(s) => F.window(F.col(tsCol), windowDuration, s)
+      case None => F.window(F.col(tsCol), windowDuration)
+    }
+    val grouped = df.groupBy((win.as("__w") +: keys.map(F.col)): _*)
     grouped
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("window_start_ms", F.unix_millis(F.col("__w.start")))
@@ -146,7 +153,8 @@ object Subscribe {
           "subscribe: window_size and session_gap are mutually exclusive")
       case (Some(w), None) =>
         // dedupFromParams already set the watermark; tumbling reuses it
-        tumbling(base, ts, duration(w), keys, aggs)
+        tumbling(base, ts, duration(w), keys, aggs,
+          params.get("window_slide").map(duration))
       case (None, Some(g)) =>
         val sKeys = params.get("session_keys")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)

@@ -163,6 +163,33 @@ class SubscribeSpec extends SparkTestBase {
     assert(bad.getMessage.contains("dedup key"))
   }
 
+  test("hopping windows via window_slide: one event finalizes in two windows") {
+    val in = Files.createTempDirectory("hop_in").toString
+    val out = Files.createTempDirectory("hop_out").toString
+    val ck = Files.createTempDirectory("hop_ck").toString
+    writeBatch(in, "b1", Seq(
+      ("2024-01-01 00:40:00", "a", 1.0),
+      ("2024-01-01 05:00:00", "zz", 0.0))) // advances watermark to 04:50
+    val params = Map(
+      "watermark_column" -> "ts", "watermark_delay" -> "10m",
+      "window_size" -> "1h", "window_slide" -> "30m")
+    val stream = spark.readStream.schema(schema).parquet(s"$in/*")
+    val sub = Subscribe.subscribeFromParams(stream, params,
+      Seq("event_type"), Seq(F.count(F.lit(1)).as("n")))
+    val q = Subscribe.stageAppend(sub, out, ck)
+    q.awaitTermination()
+    val a = spark.read.parquet(out)
+      .filter(F.col("event_type") === "a")
+      .orderBy("window_start_ms").collect()
+    // 00:40 lands in [00:00,01:00) and [00:30,01:30); both closed at 04:50
+    assert(a.length == 2, s"expected the event in two hopping windows: ${a.toSeq}")
+    val hh = a.map(r => (r.getAs[Long]("window_end_ms") -
+      r.getAs[Long]("window_start_ms"), r.getAs[Long]("n"))).toSeq
+    assert(hh == Seq((3600000L, 1L), (3600000L, 1L)), s"$hh")
+    assert(a(1).getAs[Long]("window_start_ms") -
+      a(0).getAs[Long]("window_start_ms") == 1800000L, "starts must differ by the slide")
+  }
+
   test("subscribeFromParams: one metadata map drives dedup + windowed agg") {
     import graft.lang.{Lowering, Parser}
     val in = Files.createTempDirectory("sfp_in").toString
