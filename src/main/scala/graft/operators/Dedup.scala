@@ -459,6 +459,9 @@ object Dedup {
       F.col("id").as("id_a"), F.col("n").as("n_a"))
     val b = capped.select(F.col("shingle"),
       F.col("id").as("id_b"), F.col("n").as("n_b"))
+    // NOT hinted shuffle_hash: it measures ~15% faster at sf0.1 (skips the
+    // SMJ sorts) but builds a corpus-scale per-partition hash map that
+    // cannot spill — an OOM bet at 100 TB that sort-merge never makes
     a.join(b, Seq("shingle"))
       .filter(F.col("id_a") < F.col("id_b"))
       .groupBy("id_a", "id_b")
