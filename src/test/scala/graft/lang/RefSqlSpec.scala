@@ -19,7 +19,9 @@ class RefSqlSpec extends SparkTestBase {
     "non-reserved-keywords.sql" ->
       "uses ALL/SET/UPDATE/OFFSET as bare identifiers — reserved in Spark's parser; identifier flexibility is a parser property, not translatable",
     "at-alias.sql" ->
-      "parse-only in the reference: references AT.id on an anonymous VALUES relation (columns col1/col2) — executing would require inventing column names; the no-semicolon statement splitting it also needs IS now supported",
+      ("executed per-statement in the dedicated test below: the 5 well-formed statements run " +
+        "green; the 6 that reference AT.id on an anonymous VALUES relation (columns col1/col2 " +
+        "on every engine) are unresolvable by construction and tolerated with that reason"),
     "map-alias.sql" ->
       "double table alias `AS users(id, name) map` is a Trino parser quirk Spark's grammar rejects",
     "prepared-statements.sql" ->
@@ -142,6 +144,35 @@ class RefSqlSpec extends SparkTestBase {
     info(s"$ran statements executed green, $tol tolerated (documented)")
     assert(failures.isEmpty, failures.mkString("\n"))
     assert(ran == 18 && tol == 2, s"ran=$ran tolerated=$tol")
+  }
+
+  test("at-alias.sql: well-formed statements execute; anonymous-VALUES refs tolerated") {
+    // AT is not a Spark keyword, so `VALUES … at (cols)` aliases just work.
+    // Six statements reference at.id on a bare `VALUES (…) AT` — an
+    // anonymous inline table whose columns are col1/col2 (Trino: _col0…),
+    // so the reference is unresolvable on EVERY engine; the reference
+    // itself only parse-tests this file.
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$sqlDir/at-alias.sql")))
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    var ran = 0
+    var tol = 0
+    graft.Graft.splitSqlStatements(text).foreach { stmt =>
+      try {
+        graft.Graft.sqlScript(spark, stmt, None).collect()
+        ran += 1
+      } catch {
+        case e: Throwable =>
+          val unresolvableAtRef =
+            String.valueOf(e.getMessage).contains("UNRESOLVED_COLUMN") &&
+              stmt.matches("(?is).*\\bat\\s*\\.\\s*(id|name)\\b.*")
+          if (unresolvableAtRef) tol += 1
+          else failures += s"$stmt -> ${String.valueOf(e.getMessage).take(160)}"
+      }
+    }
+    info(s"$ran statements executed green, $tol tolerated (anonymous-VALUES at.id refs)")
+    assert(failures.isEmpty, failures.mkString("\n"))
+    assert(ran == 5 && tol == 6, s"ran=$ran tolerated=$tol")
   }
 
   test("alter-table.sql: every statement executes against a fresh fixture") {
