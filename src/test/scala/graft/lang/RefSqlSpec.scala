@@ -23,7 +23,9 @@ class RefSqlSpec extends SparkTestBase {
         "green; the 6 that reference AT.id on an anonymous VALUES relation (columns col1/col2 " +
         "on every engine) are unresolvable by construction and tolerated with that reason"),
     "map-alias.sql" ->
-      "double table alias `AS users(id, name) map` is a Trino parser quirk Spark's grammar rejects",
+      ("executed per-statement in the dedicated test below: the 8 statements using map as a " +
+        "normal alias run green; the 4 double-alias forms (`AS users(id, name) map`) are a " +
+        "Trino parser-property test — invalid SQL on other engines — and tolerated"),
     "prepared-statements.sql" ->
       ("two statements are state-inconsistent (EXECUTE after DEALLOCATE / without PREPARE) — " +
         "executed per-statement with those tolerated in the dedicated test below; " +
@@ -173,6 +175,35 @@ class RefSqlSpec extends SparkTestBase {
     info(s"$ran statements executed green, $tol tolerated (anonymous-VALUES at.id refs)")
     assert(failures.isEmpty, failures.mkString("\n"))
     assert(ran == 5 && tol == 6, s"ran=$ran tolerated=$tol")
+  }
+
+  test("map-alias.sql: map-as-alias statements execute; double-alias forms tolerated") {
+    // `map` is an ordinary identifier in Spark's grammar, so single-alias
+    // uses (JOIN … AS map(cols), subquery ) map, field access map.x) run
+    // as-is. The four `AS users(id, name) map` double-alias statements are
+    // the file's parser-property probe — not valid SQL on engines other
+    // than the reference's own forked parser.
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$sqlDir/map-alias.sql")))
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    var ran = 0
+    var tol = 0
+    graft.Graft.splitSqlStatements(text).foreach { stmt =>
+      try {
+        graft.Graft.sqlScript(spark, stmt, None).collect()
+        ran += 1
+      } catch {
+        case e: Throwable =>
+          val doubleAlias =
+            String.valueOf(e.getMessage).contains("PARSE_SYNTAX_ERROR") &&
+              stmt.matches("(?is).*\\)\\s*AS\\s+\\w+\\s*\\([^)]*\\)\\s+(AS\\s+)?\\w+\\s*(;.*|)")
+          if (doubleAlias) tol += 1
+          else failures += s"$stmt -> ${String.valueOf(e.getMessage).take(160)}"
+      }
+    }
+    info(s"$ran statements executed green, $tol tolerated (double-alias parser probes)")
+    assert(failures.isEmpty, failures.mkString("\n"))
+    assert(ran == 8 && tol == 4, s"ran=$ran tolerated=$tol")
   }
 
   test("alter-table.sql: every statement executes against a fresh fixture") {
