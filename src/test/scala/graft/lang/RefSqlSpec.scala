@@ -17,7 +17,9 @@ class RefSqlSpec extends SparkTestBase {
       ("state-inconsistent as a sequence on ANY engine (adds `description` twice without IF NOT " +
         "EXISTS) — executed per-statement with a fresh fixture in the dedicated test below"),
     "non-reserved-keywords.sql" ->
-      "uses ALL/SET/UPDATE/OFFSET as bare identifiers — reserved in Spark's parser; identifier flexibility is a parser property, not translatable",
+      ("executed per-statement in the dedicated test below: 35 of 36 statements run green " +
+        "(Spark's default parser keeps these keywords non-reserved too); only `SELECT all AS …` " +
+        "is tolerated — ALL immediately after SELECT is the set quantifier in every ANSI grammar"),
     "at-alias.sql" ->
       ("executed per-statement in the dedicated test below: the 5 well-formed statements run " +
         "green; the 6 that reference AT.id on an anonymous VALUES relation (columns col1/col2 " +
@@ -31,7 +33,10 @@ class RefSqlSpec extends SparkTestBase {
         "executed per-statement with those tolerated in the dedicated test below; " +
         "PREPARE/EXECUTE/DEALLOCATE execution semantics are additionally covered in SqlPrepareSpec"),
     "date-time-function-calls.sql" ->
-      "the file itself documents 'execution ignored since DuckDB lacks these functions' — date() over an epoch string is invalid input on every engine"
+      ("executed per-statement in the dedicated test below: 4 of 5 statements run green " +
+        "(date()/time()/timestamp() calls and typed literals); only date() over an " +
+        "epoch-seconds string is tolerated — invalid input on every engine, and the file " +
+        "itself documents execution-ignored")
   )
 
   /** tiny fixture tables/views several corpus files reference (the corpus
@@ -204,6 +209,57 @@ class RefSqlSpec extends SparkTestBase {
     info(s"$ran statements executed green, $tol tolerated (double-alias parser probes)")
     assert(failures.isEmpty, failures.mkString("\n"))
     assert(ran == 8 && tol == 4, s"ran=$ran tolerated=$tol")
+  }
+
+  test("non-reserved-keywords.sql: keyword identifiers execute; SELECT-ALL probe tolerated") {
+    // Spark's default parser (enforceReservedKeywords=false) keeps these
+    // keywords usable as identifiers, so the corpus runs as-is. The one
+    // exception: `SELECT all AS …` — ALL immediately after SELECT is the
+    // set quantifier in every ANSI-derived grammar (Trino included); only
+    // the reference's forked parser re-reads it as an identifier.
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$sqlDir/non-reserved-keywords.sql")))
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    var ran = 0
+    var tol = 0
+    graft.Graft.splitSqlStatements(text).foreach { stmt =>
+      try {
+        graft.Graft.sqlScript(spark, stmt, None).collect()
+        ran += 1
+      } catch {
+        case e: Throwable =>
+          if (stmt.matches("(?is).*SELECT\\s+all\\s+AS\\s.*")) tol += 1
+          else failures += s"$stmt -> ${String.valueOf(e.getMessage).take(160)}"
+      }
+    }
+    info(s"$ran statements executed green, $tol tolerated (SELECT-ALL quantifier probe)")
+    assert(failures.isEmpty, failures.mkString("\n"))
+    assert(ran == 35 && tol == 1, s"ran=$ran tolerated=$tol")
+  }
+
+  test("date-time-function-calls.sql: calls and literals execute; epoch-string cast tolerated") {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$sqlDir/date-time-function-calls.sql")))
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    var ran = 0
+    var tol = 0
+    graft.Graft.splitSqlStatements(text).foreach { stmt =>
+      try {
+        graft.Graft.sqlScript(spark, stmt, None).collect()
+        ran += 1
+      } catch {
+        case e: Throwable =>
+          // date(cast(1755446400 as varchar)): an epoch-seconds STRING is
+          // not a date literal on any engine; the file marks execution
+          // ignored for exactly this reason
+          if (String.valueOf(e.getMessage).contains("CAST_INVALID_INPUT") &&
+              stmt.contains("1755446400")) tol += 1
+          else failures += s"$stmt -> ${String.valueOf(e.getMessage).take(160)}"
+      }
+    }
+    info(s"$ran statements executed green, $tol tolerated (epoch-string date cast)")
+    assert(failures.isEmpty, failures.mkString("\n"))
+    assert(ran == 4 && tol == 1, s"ran=$ran tolerated=$tol")
   }
 
   test("alter-table.sql: every statement executes against a fresh fixture") {
