@@ -65,6 +65,24 @@ object Graft {
     out.getOrElse(spark.emptyDataFrame)
   }
 
+  /** Like [[run]] but against a caller-held Context, so definitions (models,
+    * vals, defs, types, flows) persist across invocations — the REPL
+    * contract (reference: WvletScriptRunner keeps one compiler session).
+    * Embedded tests and debug branches run for THIS input only: the
+    * context's accumulators are drained afterwards so the next input
+    * doesn't re-run them. */
+  def runWith(ctx: Lowering.Context, text: String): DataFrame = {
+    val out = Lowering.lowerStatements(Parser.parseStatements(text), ctx)
+    try {
+      runDebugs(ctx)
+      ctx.tests.foreach { case (df, assertion) => TestRunner.check(df, assertion) }
+    } finally {
+      ctx.debugs.clear()
+      ctx.tests.clear()
+    }
+    out.getOrElse(ctx.spark.emptyDataFrame)
+  }
+
   /** Raw Spark SQL escape hatch (the reference's RawSQL node). */
   def sql(spark: SparkSession, text: String): DataFrame = spark.sql(text)
 

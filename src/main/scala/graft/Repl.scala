@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Interactive REPL — the analogue of the reference's `wvlet` interactive
+  * shell (runner/WvletScriptRunner.scala + ui/shell): read a flow-style
+  * query, execute, print, repeat, with one persistent compiler session so
+  * `model`/`val`/`def`/`type`/`flow` declarations accumulate across inputs.
+  *
+  * Protocol: statements may span lines; an empty line (or a line that is
+  * just `;`) executes the buffer. Meta commands start with `:`:
+  *   :help            this text
+  *   :tables          list resolvable tables
+  *   :explain         toggle printing the formatted physical plan
+  *   :limit N         rows to show (default 20)
+  *   :quit / :q       exit (EOF / ctrl-D also works)
+  *
+  * Usage: runMain graft.Repl [--dir DIR] [--limit N]
+  */
+object Repl {
+
+  def main(args: Array[String]): Unit = {
+    var dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    var limit = 20
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--dir" => dir = args(i + 1); i += 2
+        case "--limit" => limit = args(i + 1).toInt; i += 2
+        case other =>
+          System.err.println(s"unknown argument: $other"); sys.exit(2)
+      }
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-repl")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
+    println(s"graft interactive — tables from $dir; empty line executes, :help for commands")
+    loop(spark, dir, in, System.out, limit)
+  }
+
+  /** The REPL loop, separated from main for testability: reads from `in`,
+    * prints to `out`, returns on EOF or :quit. */
+  def loop(
+      spark: SparkSession,
+      dir: String,
+      in: java.io.BufferedReader,
+      out: java.io.PrintStream,
+      limit0: Int = 20
+  ): Unit = {
+    val ctx = graft.lang.Lowering.Context(spark, Tables.resolver(spark, dir), basePath = dir)
+    var limit = limit0
+    var explain = false
+    val buf = new StringBuilder
+
+    def execute(): Unit = {
+      val text = buf.toString
+      buf.clear()
+      if (text.trim.isEmpty) return
+      try {
+        val df = Graft.runWith(ctx, text)
+        if (df.columns.nonEmpty) {
+          if (explain) out.println(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+          // show() prints via Scala's println — route Console.out at `out`
+          Console.withOut(out) { df.show(limit, truncate = false) }
+        } else out.println("ok")
+      } catch {
+        case e: graft.lang.ParseException => out.println(s"[parse error] ${e.getMessage}")
+        case e: graft.lang.LoweringException => out.println(s"[plan error] ${e.getMessage}")
+        case e: graft.lang.TestFailure => out.println(s"[test failed] ${e.getMessage}")
+        case e: Throwable =>
+          out.println(s"[error] ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.take(3).mkString(" ")}")
+      }
+    }
+
+    var line = in.readLine()
+    while (line != null) {
+      line.trim match {
+        case ":quit" | ":q" => execute(); return
+        case ":help" =>
+          out.println(":tables :explain :limit N :quit — empty line executes the buffer")
+        case ":tables" =>
+          out.println(Tables.names.mkString(", "))
+        case ":explain" =>
+          explain = !explain; out.println(s"explain ${if (explain) "on" else "off"}")
+        case l if l.startsWith(":limit") =>
+          limit = l.stripPrefix(":limit").trim.toInt; out.println(s"limit $limit")
+        case "" | ";" => execute()
+        case _ => buf.append(line).append('\n')
+      }
+      line = in.readLine()
+    }
+    execute() // EOF flushes any pending input
+  }
+}
