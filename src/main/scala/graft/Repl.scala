@@ -42,7 +42,7 @@ object Repl {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
-    println(s"graft interactive — tables from $dir; empty line executes, :help for commands")
+    println(s"graft interactive -- tables from $dir; empty line executes, :help for commands")
     loop(spark, dir, in, System.out, limit)
   }
 
@@ -86,7 +86,7 @@ object Repl {
       line.trim match {
         case ":quit" | ":q" => execute(); return
         case ":help" =>
-          out.println(":tables :explain :limit N :quit — empty line executes the buffer")
+          out.println(":tables :explain :limit N :quit -- empty line executes the buffer")
         case ":tables" =>
           out.println(Tables.names.mkString(", "))
         case ":explain" =>
