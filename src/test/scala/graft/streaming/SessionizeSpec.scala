@@ -48,6 +48,36 @@ class SessionizeSpec extends SparkTestBase {
     assert(merge(Nil, Seq(30L, 0L, 5L), gap) == merge(Nil, Seq(0L, 5L, 30L), gap))
   }
 
+  test("merge kernel property: any micro-batch split yields the batch sessions") {
+    // the streaming guarantee reduces to this: folding events through merge
+    // in ANY batch order/partitioning produces exactly the sessions a
+    // single sorted scan produces. 300 randomized trials, fixed seed.
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 300) {
+      val gap = 1L + rnd.nextInt(20)
+      val events = Seq.fill(1 + rnd.nextInt(40))(rnd.nextInt(200).toLong)
+      // reference: sorted scan, split on > gap
+      val sorted = events.sorted
+      val ref = sorted.tail.foldLeft(List(Sess(sorted.head, sorted.head, 1L))) {
+        (acc, t) =>
+          if (t - acc.head.end_ms <= gap)
+            Sess(acc.head.start_ms, t, acc.head.n + 1) :: acc.tail
+          else Sess(t, t, 1L) :: acc
+      }.reverse
+      // fold the events through merge in random batches of random order
+      val shuffled = rnd.shuffle(events)
+      var open = Seq.empty[Sess]
+      var rest = shuffled
+      while (rest.nonEmpty) {
+        val k = 1 + rnd.nextInt(rest.length)
+        open = merge(open, rest.take(k), gap)
+        rest = rest.drop(k)
+      }
+      assert(open == ref,
+        s"gap=$gap events=$events\n  incremental=$open\n  reference=$ref")
+    }
+  }
+
   test("stream equals batch; late event bridges two open sessions") {
     val in = Files.createTempDirectory("sess_in").toString
     val out = Files.createTempDirectory("sess_out").toString
