@@ -1399,7 +1399,10 @@ object QueryCatalog {
           if (f.isDirectory) f.listFiles().foreach(rmrf)
           f.delete()
         }
-        rmrf(new java.io.File("spark-warehouse/graft_q_ctas"))
+        // resolve the warehouse from the session (cwd-independent)
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:").stripSuffix("/")
+        rmrf(new java.io.File(s"$wh/graft_q_ctas"))
         Graft.query(spark, """
           create or replace table graft_q_ctas as {
             from nation
