@@ -1141,6 +1141,28 @@ object QueryCatalog {
       """)
     ),
     (
+      // language-level incrementalization: group-by over a windowed
+      // subscription grows the tumbling bucket keys automatically — the
+      // batch full refresh recomputes the windowed rows the streaming
+      // runner appends
+      "q_subscribe_windowed_agg",
+      wv("""
+        from events.subscribe(watermark_column: 'ts', window_size: '1h')
+        group by event_type
+        agg n = _.count, total_value = value.sum.round(4)
+        order by window_start_ms, event_type
+      """),
+      Some("""
+        WITH e AS (SELECT event_type, value, epoch_ms(ts)::BIGINT AS ts_ms FROM events)
+        SELECT event_type,
+               ts_ms - ts_ms % 3600000 AS window_start_ms,
+               ts_ms - ts_ms % 3600000 + 3600000 AS window_end_ms,
+               count(*) AS n, round(sum(value), 4) AS total_value
+        FROM e GROUP BY 1, 2, 3
+        ORDER BY window_start_ms, event_type
+      """)
+    ),
+    (
       "q_subscribe_batch_equiv", // subscribe's shared tumbling builder, batch mode
       (spark, dir) => {
         val ev = Tables.read(spark, dir, "events")

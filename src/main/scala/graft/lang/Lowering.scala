@@ -986,6 +986,30 @@ object Lowering {
       Grouped(lower(pchild, ctx), keys, Nil, GroupingStyle.Plain,
         pivot = Some((pivotCol, values.map(v => constValue(v).getOrElse(
           throw new LoweringException("pivot values must be literals"))))))
+    case GroupBy(sub: SubscribeRel, keys)
+        if sub.params.exists(_._1 == "window_size") =>
+      // Incrementalize semantics (reference Incrementalize.scala:27-107):
+      // aggregating a windowed subscription groups by the tumbling bucket
+      // too, so the batch full refresh recomputes exactly the windowed rows
+      // the incremental runner appends (streaming/Subscribe.tumbling; the
+      // epoch-aligned ms arithmetic below equals F.window's default
+      // origin). Expressed as ordinary language arithmetic so the injected
+      // keys lower through the normal expression path and reproduce
+      // identically in SQL oracles.
+      val pmap = sub.params.toMap
+      val ts = pmap.getOrElse("watermark_column", throw new LoweringException(
+        "subscribe: window_size requires watermark_column"))
+      val durMs =
+        try graft.streaming.Subscribe.durationMs(pmap("window_size"))
+        catch { case e: IllegalArgumentException => throw new LoweringException(e.getMessage) }
+      val tsMs = BinaryOp("//",
+        FunctionCall("unix_micros", List(Ident(ts))), LongLit(1000L))
+      val start = BinaryOp("-", tsMs, BinaryOp("%", tsMs, LongLit(durMs)))
+      val winKeys = List(
+        SelectItem(start, Some("window_start_ms")),
+        SelectItem(BinaryOp("+", start, LongLit(durMs)), Some("window_end_ms")))
+      Grouped(lower(sub, ctx), keys ++ winKeys, Nil, GroupingStyle.Plain)
+
     case GroupBy(child, keys) =>
       Grouped(lower(child, ctx), keys, Nil, GroupingStyle.Plain)
     case GroupByStyled(child, keys, style) =>

@@ -163,6 +163,23 @@ class SubscribeSpec extends SparkTestBase {
     assert(bad.getMessage.contains("dedup key"))
   }
 
+  test("language windowed aggregation equals the tumbling builder exactly") {
+    // the injected epoch-arithmetic bucket keys must align with F.window's
+    // default origin — row-for-row equality against the streaming-shared
+    // builder proves the batch refresh recomputes what streaming appends
+    val viaLang = wv("""
+      from events.subscribe(watermark_column: 'ts', window_size: '1h')
+      group by event_type
+      agg n = _.count
+    """).select("event_type", "window_start_ms", "window_end_ms", "n")
+    val viaBuilder = Subscribe.tumbling(table("events"), "ts", "1 hour",
+        Seq("event_type"), Seq(F.count(F.lit(1)).as("n")))
+      .select("event_type", "window_start_ms", "window_end_ms", "n")
+    assert(viaLang.exceptAll(viaBuilder).count() == 0 &&
+      viaBuilder.exceptAll(viaLang).count() == 0,
+      "language bucket arithmetic diverged from F.window alignment")
+  }
+
   test("hopping windows via window_slide: one event finalizes in two windows") {
     val in = Files.createTempDirectory("hop_in").toString
     val out = Files.createTempDirectory("hop_out").toString
