@@ -1163,6 +1163,30 @@ object QueryCatalog {
       """)
     ),
     (
+      // hopping windows through the language: window_slide explodes the
+      // slide-aligned starts at the subscription; group-by injects them
+      "q_subscribe_hopping_agg",
+      wv("""
+        from events.subscribe(watermark_column: 'ts', window_size: '1h', window_slide: '30m')
+        group by event_type
+        agg n = _.count
+        order by window_start_ms, event_type
+      """),
+      Some("""
+        WITH e AS (SELECT event_type, epoch_ms(ts)::BIGINT AS ts_ms FROM events),
+        w AS (
+          SELECT event_type, gs.ws
+          FROM e, LATERAL (SELECT unnest(generate_series(
+              (e.ts_ms // 1800000) * 1800000 - 1800000,
+              (e.ts_ms // 1800000) * 1800000,
+              1800000)) AS ws) gs)
+        SELECT event_type, ws AS window_start_ms, ws + 3600000 AS window_end_ms,
+               count(*) AS n
+        FROM w GROUP BY event_type, ws
+        ORDER BY window_start_ms, event_type
+      """)
+    ),
+    (
       "q_subscribe_batch_equiv", // subscribe's shared tumbling builder, batch mode
       (spark, dir) => {
         val ev = Tables.read(spark, dir, "events")

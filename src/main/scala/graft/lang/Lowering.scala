@@ -958,7 +958,33 @@ object Lowering {
             throw new LoweringException("subscribe: session_gap requires session_keys")
           graft.streaming.Sessionize.sessionizeBatch(
             deduped, tsC, resolvedS, graft.streaming.Subscribe.durationMs(g))
-        case None => deduped
+        case None =>
+          // window_slide: hopping subscription — each event belongs to
+          // window/slide overlapping windows, so the batch relation
+          // materializes one row per containing window with the
+          // epoch-aligned `window_start_ms` (the slide-aligned starts,
+          // exactly F.window(ts, size, slide)'s buckets — the streaming
+          // side of this same metadata). A following group-by picks the
+          // column up as an injected key.
+          pmap.get("window_slide") match {
+            case Some(sl) =>
+              val durMs = graft.streaming.Subscribe.durationMs(
+                pmap.getOrElse("window_size", throw new LoweringException(
+                  "subscribe: window_slide requires window_size")))
+              val slMs = graft.streaming.Subscribe.durationMs(sl)
+              if (slMs <= 0 || durMs % slMs != 0)
+                throw new LoweringException(
+                  s"subscribe: window_slide must divide window_size (got $sl)")
+              val tsC = wm.flatMap(c => df.columns.find(_.equalsIgnoreCase(c)))
+                .getOrElse(throw new LoweringException(
+                  "subscribe: window_slide requires watermark_column"))
+              val tsMs = F.floor(F.unix_micros(F.col(tsC)) / F.lit(1000)).cast("long")
+              val aligned = tsMs - (tsMs % F.lit(slMs))
+              deduped.withColumn("window_start_ms",
+                F.explode(F.sequence(
+                  aligned - F.lit(durMs - slMs), aligned, F.lit(slMs))))
+            case None => deduped
+          }
       })
     case BracedRelation(child) => lowerRel(child, ctx)
 
@@ -1002,12 +1028,23 @@ object Lowering {
       val durMs =
         try graft.streaming.Subscribe.durationMs(pmap("window_size"))
         catch { case e: IllegalArgumentException => throw new LoweringException(e.getMessage) }
-      val tsMs = BinaryOp("//",
-        FunctionCall("unix_micros", List(Ident(ts))), LongLit(1000L))
-      val start = BinaryOp("-", tsMs, BinaryOp("%", tsMs, LongLit(durMs)))
-      val winKeys = List(
-        SelectItem(start, Some("window_start_ms")),
-        SelectItem(BinaryOp("+", start, LongLit(durMs)), Some("window_end_ms")))
+      val winKeys = pmap.get("window_slide") match {
+        case Some(_) =>
+          // hopping: the subscription lowering already exploded the
+          // slide-aligned starts into a window_start_ms column — group on
+          // it and derive the end
+          List(
+            SelectItem(Ident("window_start_ms"), Some("window_start_ms")),
+            SelectItem(BinaryOp("+", Ident("window_start_ms"), LongLit(durMs)),
+              Some("window_end_ms")))
+        case None =>
+          val tsMs = BinaryOp("//",
+            FunctionCall("unix_micros", List(Ident(ts))), LongLit(1000L))
+          val start = BinaryOp("-", tsMs, BinaryOp("%", tsMs, LongLit(durMs)))
+          List(
+            SelectItem(start, Some("window_start_ms")),
+            SelectItem(BinaryOp("+", start, LongLit(durMs)), Some("window_end_ms")))
+      }
       Grouped(lower(sub, ctx), keys ++ winKeys, Nil, GroupingStyle.Plain)
 
     case GroupBy(child, keys) =>

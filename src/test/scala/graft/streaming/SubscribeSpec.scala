@@ -180,6 +180,20 @@ class SubscribeSpec extends SparkTestBase {
       "language bucket arithmetic diverged from F.window alignment")
   }
 
+  test("language hopping aggregation equals the sliding tumbling builder exactly") {
+    val viaLang = wv("""
+      from events.subscribe(watermark_column: 'ts', window_size: '1h', window_slide: '30m')
+      group by event_type
+      agg n = _.count
+    """).select("event_type", "window_start_ms", "window_end_ms", "n")
+    val viaBuilder = Subscribe.tumbling(table("events"), "ts", "1 hour",
+        Seq("event_type"), Seq(F.count(F.lit(1)).as("n")), slide = Some("30 minutes"))
+      .select("event_type", "window_start_ms", "window_end_ms", "n")
+    assert(viaLang.exceptAll(viaBuilder).count() == 0 &&
+      viaBuilder.exceptAll(viaLang).count() == 0,
+      "language hopping arithmetic diverged from F.window slide alignment")
+  }
+
   test("hopping windows via window_slide: one event finalizes in two windows") {
     val in = Files.createTempDirectory("hop_in").toString
     val out = Files.createTempDirectory("hop_out").toString
