@@ -92,7 +92,12 @@ object Repl {
         case ":explain" =>
           explain = !explain; out.println(s"explain ${if (explain) "on" else "off"}")
         case l if l.startsWith(":limit") =>
-          limit = l.stripPrefix(":limit").trim.toInt; out.println(s"limit $limit")
+          try {
+            limit = l.stripPrefix(":limit").trim.toInt
+            out.println(s"limit $limit")
+          } catch {
+            case _: NumberFormatException => out.println("usage: :limit N")
+          }
         case "" | ";" => execute()
         case _ => buf.append(line).append('\n')
       }
