@@ -1155,8 +1155,8 @@ object QueryCatalog {
       Some("""
         WITH e AS (SELECT event_type, value, epoch_ms(ts)::BIGINT AS ts_ms FROM events)
         SELECT event_type,
-               ts_ms - ts_ms % 3600000 AS window_start_ms,
-               ts_ms - ts_ms % 3600000 + 3600000 AS window_end_ms,
+               (ts_ms // 3600000) * 3600000 AS window_start_ms,
+               (ts_ms // 3600000) * 3600000 + 3600000 AS window_end_ms,
                count(*) AS n, round(sum(value), 4) AS total_value
         FROM e GROUP BY 1, 2, 3
         ORDER BY window_start_ms, event_type

@@ -641,6 +641,33 @@ object Lowering {
   // ---------------------------------------------------------------------------
   // Relation lowering
   // ---------------------------------------------------------------------------
+  /** The windowed subscription feeding a group-by, seen through operators
+    * that pass columns along (where/select/add/rename/sort/limit/…). A
+    * `subscribe(window_size: …)` must hand its window keys to the next
+    * aggregation even when operators sit in between — finding it here (and
+    * validating column survival at the group-by) is what keeps the batch
+    * refresh and the streaming tumbling plan in lockstep. Aggregations,
+    * joins, and set-ops stop the search: past one of those, the window
+    * metadata has been consumed or the provenance is ambiguous. */
+  private def windowedSubscription(r: Relation): Option[SubscribeRel] = r match {
+    case s: SubscribeRel => Some(s).filter(_.params.exists(_._1 == "window_size"))
+    case Filter(c, _) => windowedSubscription(c)
+    case BracedRelation(c) => windowedSubscription(c)
+    case AliasedRelation(c, _, _) => windowedSubscription(c)
+    case SelectAsNamed(c, _) => windowedSubscription(c)
+    case Sort(c, _) => windowedSubscription(c)
+    case Limit(c, _) => windowedSubscription(c)
+    case Offset(c, _) => windowedSubscription(c)
+    case DedupRel(c) => windowedSubscription(c)
+    case Project(c, _, _) => windowedSubscription(c)
+    case TransformColumns(c, _) => windowedSubscription(c)
+    case AddColumns(c, _, _) => windowedSubscription(c)
+    case ExcludeColumns(c, _) => windowedSubscription(c)
+    case RenameColumns(c, _) => windowedSubscription(c)
+    case ShiftColumns(c, _, _) => windowedSubscription(c)
+    case _ => None
+  }
+
   private def lowerRel(rel: Relation, ctx: Context): LRes = rel match {
     case TableRef(name) =>
       ctx.models.get(name) match {
@@ -740,7 +767,12 @@ object Lowering {
             Some(idCol: String), Some(spec: String)) =>
           val weights = spec.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
             kv.split(":") match {
-              case Array(d, w) => d.trim -> w.trim.toDouble
+              case Array(d, w) =>
+                d.trim -> (try w.trim.toDouble
+                catch {
+                  case _: NumberFormatException => throw new LoweringException(
+                    s"weighted_mix: bad weight '${w.trim}' in entry '$kv' (expected a number)")
+                })
               case _ => throw new LoweringException(
                 s"weighted_mix: bad weight entry '$kv' (expected domain:weight)")
             }
@@ -979,7 +1011,9 @@ object Lowering {
                 .getOrElse(throw new LoweringException(
                   "subscribe: window_slide requires watermark_column"))
               val tsMs = F.floor(F.unix_micros(F.col(tsC)) / F.lit(1000)).cast("long")
-              val aligned = tsMs - (tsMs % F.lit(slMs))
+              // pmod, not %: floor-aligned buckets for pre-1970 timestamps
+              // too, matching F.window's origin and the oracle's `//`
+              val aligned = tsMs - F.pmod(tsMs, F.lit(slMs))
               deduped.withColumn("window_start_ms",
                 F.explode(F.sequence(
                   aligned - F.lit(durMs - slMs), aligned, F.lit(slMs))))
@@ -1012,8 +1046,7 @@ object Lowering {
       Grouped(lower(pchild, ctx), keys, Nil, GroupingStyle.Plain,
         pivot = Some((pivotCol, values.map(v => constValue(v).getOrElse(
           throw new LoweringException("pivot values must be literals"))))))
-    case GroupBy(sub: SubscribeRel, keys)
-        if sub.params.exists(_._1 == "window_size") =>
+    case GroupBy(child, keys) if windowedSubscription(child).isDefined =>
       // Incrementalize semantics (reference Incrementalize.scala:27-107):
       // aggregating a windowed subscription groups by the tumbling bucket
       // too, so the batch full refresh recomputes exactly the windowed rows
@@ -1021,31 +1054,50 @@ object Lowering {
       // epoch-aligned ms arithmetic below equals F.window's default
       // origin). Expressed as ordinary language arithmetic so the injected
       // keys lower through the normal expression path and reproduce
-      // identically in SQL oracles.
+      // identically in SQL oracles. The subscription is found through any
+      // column-pass-through operators between it and the group-by
+      // (windowedSubscription) so an intervening where/select cannot
+      // silently drop the window keys and diverge from the streaming plan.
+      val sub = windowedSubscription(child).get
       val pmap = sub.params.toMap
       val ts = pmap.getOrElse("watermark_column", throw new LoweringException(
         "subscribe: window_size requires watermark_column"))
       val durMs =
         try graft.streaming.Subscribe.durationMs(pmap("window_size"))
         catch { case e: IllegalArgumentException => throw new LoweringException(e.getMessage) }
+      val lowered = lower(child, ctx)
       val winKeys = pmap.get("window_slide") match {
         case Some(_) =>
           // hopping: the subscription lowering already exploded the
           // slide-aligned starts into a window_start_ms column — group on
           // it and derive the end
+          if (!lowered.columns.exists(_.equalsIgnoreCase("window_start_ms")))
+            throw new LoweringException(
+              "group by over a hopping subscription: the window_start_ms column " +
+                "injected by subscribe(window_slide: …) was dropped by an " +
+                "intervening operator — keep it in the projection so the " +
+                "aggregation can group by window")
           List(
             SelectItem(Ident("window_start_ms"), Some("window_start_ms")),
             SelectItem(BinaryOp("+", Ident("window_start_ms"), LongLit(durMs)),
               Some("window_end_ms")))
         case None =>
+          if (!lowered.columns.exists(_.equalsIgnoreCase(ts)))
+            throw new LoweringException(
+              s"group by over a windowed subscription: watermark column '$ts' " +
+                "was dropped by an intervening operator — the tumbling window " +
+                "keys are derived from it, keep it in the projection")
+          // floor-aligned bucket (`//` lowers to floor division in both
+          // engines) so pre-1970 timestamps agree with F.window and DuckDB
           val tsMs = BinaryOp("//",
             FunctionCall("unix_micros", List(Ident(ts))), LongLit(1000L))
-          val start = BinaryOp("-", tsMs, BinaryOp("%", tsMs, LongLit(durMs)))
+          val start = BinaryOp("*",
+            BinaryOp("//", tsMs, LongLit(durMs)), LongLit(durMs))
           List(
             SelectItem(start, Some("window_start_ms")),
             SelectItem(BinaryOp("+", start, LongLit(durMs)), Some("window_end_ms")))
       }
-      Grouped(lower(sub, ctx), keys ++ winKeys, Nil, GroupingStyle.Plain)
+      Grouped(lowered, keys ++ winKeys, Nil, GroupingStyle.Plain)
 
     case GroupBy(child, keys) =>
       Grouped(lower(child, ctx), keys, Nil, GroupingStyle.Plain)

@@ -95,7 +95,10 @@ object Sampling {
       F.when(F.col(domainCol) === d, F.lit(math.floor(w).toInt)).otherwise(acc)
     }
     val thr = weights.foldLeft(F.lit(null).cast("string")) { case (acc, (d, w)) =>
-      val frac = math.round((w - math.floor(w)) * 65536).toInt
+      // clamp to 0xffff: a fractional part rounding to 65536 would render
+      // as the 5-char "10000" and the 4-char prefix compare would
+      // under-sample (~6%) instead of taking (almost) every row
+      val frac = math.min(0xffff, math.round((w - math.floor(w)) * 65536).toInt)
       F.when(F.col(domainCol) === d, F.lit(f"$frac%04x")).otherwise(acc)
     }
     df.withColumn("__copies",

@@ -113,7 +113,13 @@ object Sessionize {
       if (hasWatermark) stream else stream.withWatermark(tsCol, watermarkDelay)
     val keyed = wmStream
       .select(
-        F.concat_ws("\u0001", keyCols.map(c => F.col(c).cast("string")): _*).as("__key"),
+        // coalesce each key to a NULL sentinel first: concat_ws skips
+        // NULLs, which would collapse distinct tuples like ('a', NULL) and
+        // (NULL, 'a') into one state-store key — the batch plan keeps them
+        // distinct, so the stream must too
+        F.concat_ws("\u0001",
+          keyCols.map(c => F.coalesce(F.col(c).cast("string"), F.lit("\u0000N"))): _*)
+          .as("__key"),
         tsMs(F.col(tsCol)).as("__ts_ms"),
         // the watermarked column itself must survive the projection —
         // Spark's event-time-timeout check requires the event-time

@@ -135,6 +135,37 @@ class SessionizeSpec extends SparkTestBase {
       s"stream/batch mismatch: batch=${batch.toSeq} stream=${aRows.toSeq}")
   }
 
+  test("NULL multi-key tuples stay distinct in streaming state keys") {
+    // concat_ws skips NULLs, so without a sentinel ('a', NULL) and
+    // (NULL, 'a') would share the state-store key "a" and sessionize
+    // together — the batch plan keeps them distinct (ADVICE r7)
+    val schema2 = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("k1", StringType),
+      StructField("k2", StringType)))
+    val in = Files.createTempDirectory("sessn_in").toString
+    val out = Files.createTempDirectory("sessn_out").toString
+    val ck = Files.createTempDirectory("sessn_ck").toString
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(
+      ("2024-01-01 00:00:00", "a", null),
+      ("2024-01-01 00:05:00", null, "a"),
+      ("2024-01-01 06:00:00", "zz", "zz")) // advances the watermark
+      .map { case (ts, a, b) => org.apache.spark.sql.Row(Timestamp.valueOf(ts), a, b) }
+    spark.createDataFrame(rows.asJava, schema2)
+      .coalesce(1).write.mode("append").parquet(s"$in/b1")
+    val stream = spark.readStream.schema(schema2).parquet(s"$in/*")
+    val sess = Sessionize.sessionizeStream(
+      stream, "ts", "1 hour", Seq("k1", "k2"), 30L * 60 * 1000)
+    Subscribe.stageAppend(sess.toDF(), out, ck).awaitTermination()
+    val staged = spark.read.parquet(out)
+      .filter(!org.apache.spark.sql.functions.col("session_key").contains("zz"))
+      .collect()
+    assert(staged.length == 2,
+      s"('a', NULL) and (NULL, 'a') must sessionize separately, got ${staged.toSeq}")
+    assert(staged.forall(_.getAs[Long]("n_events") == 1L), staged.toSeq.toString)
+  }
+
   test("language surface: subscribe(session_gap) drives batch and stream plans") {
     import graft.lang.{Lowering, Parser}
     val in = Files.createTempDirectory("sessl_in").toString

@@ -180,6 +180,63 @@ class SubscribeSpec extends SparkTestBase {
       "language bucket arithmetic diverged from F.window alignment")
   }
 
+  test("window keys survive an intervening where between subscribe and group by") {
+    // the incrementalization must see the subscription through
+    // column-pass-through operators — silently dropping the window keys
+    // would diverge from the streaming tumbling plan (ADVICE r7)
+    val viaLang = wv("""
+      from events.subscribe(watermark_column: 'ts', window_size: '1h')
+      where value > 50
+      group by event_type
+      agg n = _.count
+    """).select("event_type", "window_start_ms", "window_end_ms", "n")
+    val viaBuilder = Subscribe.tumbling(
+        table("events").filter(F.col("value") > 50), "ts", "1 hour",
+        Seq("event_type"), Seq(F.count(F.lit(1)).as("n")))
+      .select("event_type", "window_start_ms", "window_end_ms", "n")
+    assert(viaLang.exceptAll(viaBuilder).count() == 0 &&
+      viaBuilder.exceptAll(viaLang).count() == 0,
+      "filtered windowed subscription diverged from the filtered tumbling builder")
+  }
+
+  test("hopping window keys survive an intervening where") {
+    val viaLang = wv("""
+      from events.subscribe(watermark_column: 'ts', window_size: '1h', window_slide: '30m')
+      where value > 50
+      group by event_type
+      agg n = _.count
+    """).select("event_type", "window_start_ms", "window_end_ms", "n")
+    val viaBuilder = Subscribe.tumbling(
+        table("events").filter(F.col("value") > 50), "ts", "1 hour",
+        Seq("event_type"), Seq(F.count(F.lit(1)).as("n")), slide = Some("30 minutes"))
+      .select("event_type", "window_start_ms", "window_end_ms", "n")
+    assert(viaLang.exceptAll(viaBuilder).count() == 0 &&
+      viaBuilder.exceptAll(viaLang).count() == 0,
+      "filtered hopping subscription diverged from the sliding tumbling builder")
+  }
+
+  test("dropping the watermark column before the group-by is a lowering error") {
+    import graft.lang.LoweringException
+    val bad = intercept[LoweringException] {
+      wv("""
+        from events.subscribe(watermark_column: 'ts', window_size: '1h')
+        select event_type, value
+        group by event_type
+        agg n = _.count
+      """).collect()
+    }
+    assert(bad.getMessage.contains("watermark column"), bad.getMessage)
+    val badHop = intercept[LoweringException] {
+      wv("""
+        from events.subscribe(watermark_column: 'ts', window_size: '1h', window_slide: '30m')
+        select event_type, value
+        group by event_type
+        agg n = _.count
+      """).collect()
+    }
+    assert(badHop.getMessage.contains("window_start_ms"), badHop.getMessage)
+  }
+
   test("language hopping aggregation equals the sliding tumbling builder exactly") {
     val viaLang = wv("""
       from events.subscribe(watermark_column: 'ts', window_size: '1h', window_slide: '30m')
