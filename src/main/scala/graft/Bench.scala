@@ -4,14 +4,15 @@ object Bench {
   /** 1/5/15-min load from /proc/loadavg — recorded with every bench run so
     * a loaded machine can't silently corrupt a round's numbers (r6's 2-5x
     * "regression" on byte-identical code was exactly that). */
-  private def loadavg(): String =
-    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-      .split("\\s+").take(3).mkString(",")
-    catch { case _: Throwable => "unavailable" }
+  private def loadavg(): String = BenchGuard.loadavg()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // wait (bounded) for the machine to go quiet BEFORE any timing —
+    // recording loadavg alone let three consecutive rounds ship
+    // load-poisoned headline numbers
+    val (waitedSec, gaveUp) = BenchGuard.waitUntilQuiet()
     val loadBefore = loadavg()
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -76,11 +77,12 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","sf":"$sfDir","cpus":"$cpus",""" +
         s""""runs_per_query":$runs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
+        s""""quiet_wait_sec":$waitedSec,"quiet_gave_up":$gaveUp,""" +
         s""""failures":$failures,"queries":$rows}"""
     }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"), detail)
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir","load":"$loadBefore;$loadAfter"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir","load":"$loadBefore;$loadAfter","quiet_wait":"$waitedSec;$gaveUp"}""")
     if (failures > 0) System.err.println(s"[bench] $failures queries FAILED")
     spark.stop()
   }

@@ -7,6 +7,9 @@ object BenchOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val (waited, gaveUp) = BenchGuard.waitUntilQuiet()
+    if (waited > 0)
+      println(s"[benchone] waited ${waited}s for quiet machine (gave_up=$gaveUp)")
     val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -32,18 +32,17 @@ object BenchScale {
     "q_dedup_drop_clusters",
     "q_pack_sequences",
     "q_corpus_token_stats",
-    "q_curation_pipeline")
+    "q_curation_pipeline",
+    "q_events_session_rows")
 
-  private def loadavg(): String =
-    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-      .split("\\s+").take(3).mkString(",")
-    catch { case _: Throwable => "unavailable" }
+  private def loadavg(): String = BenchGuard.loadavg()
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val replicas = args.lift(1).map(_.toInt).getOrElse(10)
     val workDir = args.lift(2).getOrElse("/tmp/graft_benchscale")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val (waitedSec, gaveUp) = BenchGuard.waitUntilQuiet()
     val loadBefore = loadavg()
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -71,6 +70,22 @@ object BenchScale {
     scaled.write.mode("overwrite").parquet(s"$workDir/documents.parquet")
     val bigRows = spark.read.parquet(s"$workDir/documents.parquet").count()
     System.err.println(s"[scale] base=$baseRows rows, scaled=$bigRows rows ($replicas replicas)")
+
+    // events for the sessionization path: replicas remap user_id/event_id
+    // into disjoint ranges (timestamps unchanged), so each replica carries
+    // its own users and the session structure grows linearly — exactly how
+    // a real activity stream scales (more users, same per-user cadence)
+    val evBase = Tables.read(spark, baseDir, "events")
+    val evSpan = evBase.agg(F.max("user_id")).head.getLong(0) + 1
+    val evIdSpan = evBase.agg(F.max("event_id")).head.getLong(0) + 1
+    val evRest = evBase.columns.filterNot(c => c == "user_id" || c == "event_id")
+    (0 until replicas).map { i =>
+      evBase.select(
+        ((F.col("user_id") + F.lit(i.toLong * evSpan)).as("user_id") +:
+          (F.col("event_id") + F.lit(i.toLong * evIdSpan)).as("event_id") +:
+          evRest.map(F.col).toSeq): _*)
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$workDir/events.parquet")
 
     def time(name: String, dir: String, partitions: Int): Double = {
       // partitions scale with the corpus — the 100 TB sizing policy
@@ -103,7 +118,8 @@ object BenchScale {
     val json =
       s"""{"base_dir":"$baseDir","base_rows":$baseRows,"scaled_rows":$bigRows,""" +
         s""""replicas":$replicas,"cpus":"$cpus","loadavg_before":"$loadBefore",""" +
-        s""""loadavg_after":"$loadAfter","queries":$rows}"""
+        s""""loadavg_after":"$loadAfter","quiet_wait_sec":$waitedSec,""" +
+        s""""quiet_gave_up":$gaveUp,"queries":$rows}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SCALE.json"), json)
     println(json)
     spark.stop()
