@@ -45,7 +45,13 @@ object Lowering {
       /** `use <schema>` state: unqualified table names retry with this
         * prefix (reference: lazy catalog — validation happens at table
         * resolution, not at the use statement). */
-      currentSchema: mutable.Map[String, String] = mutable.Map.empty
+      currentSchema: mutable.Map[String, String] = mutable.Map.empty,
+      /** Streaming substitution: when set, a SubscribeRel lowers to THIS
+        * (already watermarked/deduped) streaming DataFrame instead of the
+        * batch full-refresh plan — the hook [[lowerStreamingAgg]] uses to
+        * re-lower a subscription query's own operators onto a readStream
+        * source. */
+      streamingSub: Option[DataFrame] = None
   )
 
   /** Lowering result: either a plain DataFrame or a "grouped" relation —
@@ -465,6 +471,89 @@ object Lowering {
 
   def lower(rel: Relation, ctx: Context): DataFrame =
     materialize(lowerRel(rel, ctx), ctx)
+
+  /** STREAMING execution of a windowed-subscription aggregation: the same
+    * language statements whose batch lowering injects the epoch-aligned
+    * bucket keys (GroupBy over subscribe(window_size: …)) are executed
+    * against a streaming source instead — readStream → (dedup-on-ingest) →
+    * watermark → operators between subscribe and group-by → F.window
+    * aggregation with the query's OWN keys and aggregate columns → append.
+    * This is the slice the reference's Incrementalize rewrite targets
+    * (Incrementalize.scala:27-107): the aggregation itself runs inside the
+    * incremental plan, not just in the batch refresh. Output columns and
+    * their order match the batch lowering exactly (keys…, window_start_ms,
+    * window_end_ms, aggs…) so staged appends compare row-for-row against a
+    * full refresh. Trailing order/limit stages are presentation-only and
+    * skipped — a streaming append sink has no global order.
+    */
+  def lowerStreamingAgg(
+      stmts: List[Statement],
+      stream: DataFrame,
+      ctx: Context
+  ): DataFrame = {
+    require(stream.isStreaming, "lowerStreamingAgg requires a streaming DataFrame (readStream)")
+    // register defs (models/vals/funcs) without executing anything
+    stmts.foreach {
+      case m: ModelDef => ctx.models(m.name) = m
+      case f: FuncDef => ctx.funcs(f.name.toLowerCase) = f
+      case p: PartialDef => ctx.partials(p.name.toLowerCase) = p
+      case v: ValDef => ctx.vals(v.name) = v.expr
+      case _ => ()
+    }
+    val rel0 = stmts.reverse.collectFirst { case QueryStatement(r) => r }.getOrElse(
+      throw new LoweringException("lowerStreamingAgg: no query statement"))
+    def strip(r: Relation): Relation = r match {
+      case Sort(c, _) => strip(c)
+      case Limit(c, _) => strip(c)
+      case Offset(c, _) => strip(c)
+      case other => other
+    }
+    strip(rel0) match {
+      case Agg(gb: GroupBy, items) if windowedSubscription(gb.child).isDefined =>
+        val sub = windowedSubscription(gb.child).get
+        val pmap = sub.params.toMap
+        val ts = pmap.getOrElse("watermark_column", throw new LoweringException(
+          "subscribe: window_size requires watermark_column"))
+        val delay = graft.streaming.Subscribe.duration(
+          pmap.getOrElse("watermark_delay", "10 minutes"))
+        val size = graft.streaming.Subscribe.duration(pmap("window_size"))
+        val slide = pmap.get("window_slide").map(graft.streaming.Subscribe.duration)
+        val base =
+          if (pmap.get("dedup_keys").exists(_.trim.nonEmpty))
+            graft.streaming.Subscribe.dedupFromParams(stream, pmap)
+          else stream.withWatermark(ts, delay)
+        val ctx2 = ctx.copy(streamingSub = Some(base))
+        val child = lower(gb.child, ctx2)
+        val ectx = ExprCtx(ctx2, aggMode = false)
+        val keyCols = gb.keys.zipWithIndex.map { case (k, i) =>
+          expr(k.expr, ectx).as(itemName(k, i))
+        }
+        val aggCols = items.zipWithIndex.map { case (it, i) =>
+          expr(it.expr, ExprCtx(ctx2, aggMode = true)).as(itemName(it, i))
+        }
+        val win = slide match {
+          case Some(s) => F.window(F.col(ts), size, s)
+          case None => F.window(F.col(ts), size)
+        }
+        val agged = child
+          .groupBy(win.as("__w") +: keyCols: _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+          .withColumn("window_start_ms", F.unix_millis(F.col("__w.start")))
+          .withColumn("window_end_ms", F.unix_millis(F.col("__w.end")))
+          .drop("__w")
+        // batch refresh column order: keys…, window keys, aggs…
+        val ordered =
+          gb.keys.zipWithIndex.map { case (k, i) => itemName(k, i) } ++
+            Seq("window_start_ms", "window_end_ms") ++
+            items.zipWithIndex.map { case (it, i) => itemName(it, i) }
+        agged.select(ordered.map(F.col): _*)
+      case other =>
+        throw new LoweringException(
+          "streaming aggregation expects `from <t>.subscribe(window_size: …) " +
+            "… group by … agg …` (optional where/select in between); got " +
+            other.getClass.getSimpleName)
+    }
+  }
 
   /** Bare `group by` at the end of a pipeline renders keys + arbitrary() of
     * every remaining column (reference: SqlGenerator.scala:487). */
@@ -932,6 +1021,13 @@ object Lowering {
       val df = lower(child, ctx)
       val renamed = if (cols.nonEmpty) df.toDF(cols: _*) else df
       Plain(renamed.alias(alias))
+
+    case SubscribeRel(child, params) if ctx.streamingSub.isDefined =>
+      // streaming re-lowering (lowerStreamingAgg): the subscription IS the
+      // prepared readStream source — dedup/watermark were applied there,
+      // and windowing happens in the downstream F.window aggregation (no
+      // batch explode; F.window's slide covers hopping)
+      Plain(ctx.streamingSub.get)
 
     case SubscribeRel(child, params) =>
       // Batch lowering = full refresh of the child (the reference's
