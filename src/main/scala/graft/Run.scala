@@ -18,6 +18,7 @@ object Run {
     var limit = 20
     var explain = false
     var format = "table"
+    var transpile = false
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -27,6 +28,7 @@ object Run {
         case "--explain" => explain = true; i += 1
         case "--json" => format = "json"; i += 1
         case "--csv" => format = "csv"; i += 1
+        case "--transpile" => transpile = true; i += 1
         case f => file = Some(f); i += 1
       }
     }
@@ -46,6 +48,23 @@ object Run {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
+      if (transpile) {
+        // SQL→wv migration surface (the reference's `wvlet transpile`):
+        // each query statement prints as wvlet text; non-query statements
+        // are passed over with a marker
+        Graft.splitSqlStatements(text).foreach { stmt =>
+          val normalized = graft.SqlDialect.normalize(spark, stmt)
+          normalized.foreach { s =>
+            try println(graft.lang.SqlToWvlet.transpile(s, spark) + "\n")
+            catch {
+              case e: graft.lang.SqlToWvlet.Unsupported =>
+                System.err.println(s"-- skipped (${e.getMessage}): ${s.linesIterator.next().take(80)}")
+            }
+          }
+        }
+        spark.stop()
+        return
+      }
       val df =
         if (file.exists(_.endsWith(".sql"))) Graft.sqlScript(spark, text, Some(dir))
         else if (file.exists(_.endsWith(".md")))

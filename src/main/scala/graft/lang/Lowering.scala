@@ -1236,7 +1236,20 @@ object Lowering {
           // key may name a FORWARD select alias (reference typer resolves
           // grouping keys against the projection); substitute the aliased
           // expression into the key and make the item reference the key name
-          val (g1, items1) = resolveForwardKeys(g0, items0)
+          val (g1, items1a) = resolveForwardKeys(g0, items0)
+          // a select item whose expression structurally equals a grouping
+          // key (SQL shape: GROUP BY extract(year FROM d) … SELECT
+          // extract(year FROM d)) references the key's OUTPUT column — the
+          // source columns are gone after aggregation
+          val keyOut: Map[Expr, String] = g1.keys.zipWithIndex
+            .map { case (k, i) => (k.expr, itemName(k, i)) }.toMap
+          val items1 = items1a.map { it =>
+            keyOut.get(it.expr) match {
+              case Some(kn) if !hasAgg(it.expr) && !it.expr.isInstanceOf[Ident] =>
+                it.copy(expr = Ident(kn))
+              case _ => it
+            }
+          }
           // projection over a grouped relation: agg items + key refs;
           // `_1`/`_2` reference grouping keys positionally
           val (g, items) = bindScalarsForAgg(g1,
@@ -1267,7 +1280,11 @@ object Lowering {
             joined.select(items.zip(rewritten).zipWithIndex.flatMap { case ((it, re), i) =>
               re match {
                 // expand * from the PRE-join columns so bound __scalar_N
-                // helper columns never leak into the output
+                // helper columns never leak into the output; when no scalar
+                // binding happened, pass * through — per-name expansion
+                // breaks on duplicate post-join column names (using-join
+                // sides sharing a non-key column)
+                case Star(None) if joined eq df => Seq(F.col("*"))
                 case Star(None) => df.columns.toSeq.map(F.col)
                 case Star(Some(q)) => Seq(F.col(s"$q.*"))
                 case e => Seq(expr(e, ectx).as(itemName(it, i)))
@@ -1717,9 +1734,18 @@ object Lowering {
     val colNames =
       if (v.columns.nonEmpty) v.columns
       else (1 to nCols).map(i => s"c$i").toList
-    // evaluate each literal cell
+    // evaluate each literal cell; a deterministic column-free expression
+    // (cast('2023-01-01' as date), typed decimal…) folds driver-side over a
+    // 1-row plan — values literals are small by construction
+    def evalCell(e: Expr): Any =
+      try ctx.spark.range(1)
+        .select(expr(e, ExprCtx(ctx, aggMode = false)).as("v")).collect().head.get(0)
+      catch {
+        case _: Throwable =>
+          throw new LoweringException(s"values cell must be constant: $e")
+      }
     val cells: List[List[Any]] = v.rows.map(_.map(e =>
-      constValue(e).getOrElse(throw new LoweringException(s"values cell must be constant: $e"))))
+      constValue(e).getOrElse(evalCell(e))))
     // per-column type inference with numeric widening
     val types: Seq[DataType] = (0 until nCols).map { i =>
       val vs = cells.flatMap(row => row.lift(i)).filter(_ != null)
@@ -1729,6 +1755,14 @@ object Lowering {
       else if (vs.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Double]))
         DoubleType
       else if (vs.forall(_.isInstanceOf[Boolean])) BooleanType
+      else if (vs.forall(_.isInstanceOf[java.sql.Date])) DateType
+      else if (vs.forall(_.isInstanceOf[java.sql.Timestamp])) TimestampType
+      else if (vs.forall(_.isInstanceOf[java.math.BigDecimal])) {
+        val ds = vs.map(_.asInstanceOf[java.math.BigDecimal])
+        val scale = ds.map(_.scale).max
+        val prec = ds.map(d => d.precision - d.scale).max + scale
+        DecimalType(math.min(38, math.max(prec, 1)), scale)
+      }
       else if (vs.forall(_.isInstanceOf[Seq[_]])) {
         val elems = vs.flatMap(_.asInstanceOf[Seq[Any]]).filter(_ != null)
         val et =
@@ -1746,6 +1780,7 @@ object Lowering {
         (raw, types(i)) match {
           case (null, _) => null
           case (v: Long, DoubleType) => v.toDouble
+          case (v: java.math.BigDecimal, t: DecimalType) => v.setScale(t.scale)
           case (v, StringType) if !v.isInstanceOf[String] => v.toString
           case (v: Seq[_], ArrayType(DoubleType, _)) =>
             v.map { case x: Long => x.toDouble; case x: Double => x; case x => x }
@@ -2675,7 +2710,8 @@ object Lowering {
     Set("ulid", "ulid_string", "uuid", "current_date", "current_timestamp", "now")
 
   // Higher-order array functions: arr.filter(x -> …), arr.transform, …
-  private val higherOrder = Set("filter", "transform", "map_each", "exists", "all_match", "reduce", "aggregate", "zip_with")
+  private val higherOrder = Set("filter", "transform", "map_each", "exists",
+    "all_match", "reduce", "aggregate", "zip_with", "array_sort")
 
   private def lowerHigherOrder(name: String, target: Expr, args: List[Expr], ec: ExprCtx): Column = {
     val t = expr(target, ec)
@@ -2696,6 +2732,11 @@ object Lowering {
       case "reduce" | "aggregate" =>
         F.aggregate(t, expr(args.head, ec), fn2(args(1)))
       case "zip_with" => F.zip_with(t, expr(args.head, ec), fn2(args(1)))
+      case "array_sort" =>
+        // the comparator contract is an INT return; wv integer literals are
+        // longs, so coerce the comparator result
+        val cmp = fn2(args.head)
+        F.array_sort(t, (a, b) => cmp(a, b).cast("int"))
       case other => throw new LoweringException(s"unsupported higher-order fn: $other")
     }
   }
@@ -2733,6 +2774,12 @@ object Lowering {
     if (orderArgs.nonEmpty && name != "string_agg" && name != "listagg" &&
         name != "array_agg" && name != "collect_list")
       throw new LoweringException(s"ORDER BY inside ${fc.name}(…) is not supported")
+
+    // SQL-style higher-order calls — filter(arr, x -> …) — route through
+    // the same dispatch as the method form arr.filter(x -> …)
+    if (higherOrder.contains(name) && args.length >= 2 &&
+        args.tail.exists(_.isInstanceOf[LambdaExpr]))
+      return lowerHigherOrder(name, args.head, args.tail, ec)
 
     def a(i: Int): Column = expr(args(i), ec)
     def all: List[Column] = args.map(expr(_, ec))

@@ -1377,6 +1377,15 @@ final class Parser(tokens: Vector[Token]) {
     while (continue) {
       if (peek.kind == TokenKind.Op && peek.text == ".") {
         advance()
+        // qualified star: t.* (valid only in select items; lowering of a
+        // Star with a qualifier rejects other positions)
+        if (peek.kind == TokenKind.Op && peek.text == "*") {
+          advance()
+          e match {
+            case Ident(q) => return Star(Some(q))
+            case _ => fail("expected identifier before .*")
+          }
+        }
         val name = identName()
         if (accept("(")) {
           // method-style subquery membership: x.in(from t …) / x.not_in(from t …)
