@@ -1224,6 +1224,20 @@ object QueryCatalog {
       """)
     ),
     (
+      // CallTool (reference relation.scala:1182-1205): a registered
+      // driver-side tool invoked as a 1-row relation, composable with
+      // query operators — the last §2 operator surface
+      "q_call_tool",
+      wv("""
+        call local.echo(message: 'hello from graft')
+        select connector, tool, status, content
+      """),
+      Some("""
+        SELECT 'local' AS connector, 'echo' AS tool,
+               'success' AS status, 'hello from graft' AS content
+      """)
+    ),
+    (
       // dedup-on-ingest through the language surface: batch full-refresh
       // semantics keep ONE row per dedup key (which row survives is
       // engine-arbitrary, so the oracle checks the deterministic part —

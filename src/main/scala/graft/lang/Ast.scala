@@ -140,6 +140,15 @@ final case class SubscribeRel(child: Relation, params: List[(String, String)])
 final case class RawSqlExpr(sql: String) extends Expr
 /** Inline JSON rows: `from json"[{...}, ...]"` (reference: RawJSON). */
 final case class RawJson(json: String) extends Relation
+
+/** `call connector.tool(name: value, …)` — a driver-side tool invocation
+  * as a 1-row relation (connector, tool, status, content); reference
+  * relation.scala:1182-1205. */
+final case class CallToolRel(
+    connector: String,
+    tool: String,
+    args: List[(String, Expr)]
+) extends Relation
 /** `from unnest([...]) as t(c)` (standalone table function). */
 final case class UnnestRel(
     expr: Expr,

@@ -1116,6 +1116,26 @@ object Lowering {
             case None => deduped
           }
       })
+    case CallToolRel(connector, tool, args) =>
+      // 1-row invocation summary (reference relation.scala:1182-1205):
+      // the tool runs ONCE on the driver at lowering time; the result is a
+      // literal-backed single-row plan, so downstream operators compose
+      // without distributing the invocation
+      val argMap = args.map { case (n, e) =>
+        n -> constValue(e).getOrElse(
+          try ctx.spark.range(1)
+            .select(expr(e, ExprCtx(ctx, aggMode = false)).as("v")).collect().head.get(0)
+          catch {
+            case _: Throwable =>
+              throw new LoweringException(
+                s"call $connector.$tool: argument '$n' must be a constant expression")
+          })
+      }.toMap
+      val (status, content) = graft.tools.ToolRegistry.invoke(connector, tool, argMap)
+      Plain(ctx.spark.range(1).select(
+        F.lit(connector).as("connector"), F.lit(tool).as("tool"),
+        F.lit(status).as("status"), F.lit(content).as("content")))
+
     case BracedRelation(child) => lowerRel(child, ctx)
 
     case SelectAsNamed(child, name) =>

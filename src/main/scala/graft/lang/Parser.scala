@@ -619,6 +619,27 @@ final class Parser(tokens: Vector[Token]) {
       val r = parseRelation()
       expectOp("}")
       maybeAlias(BracedRelation(r))
+    } else if (peek.is("call") && peek2.kind == TokenKind.Ident) {
+      // `call connector.tool(name: value, …)` — 1-row invocation summary,
+      // composable with pipe operators (reference WvletParser
+      // callToolStatement)
+      advance()
+      val connector = identName()
+      if (!accept(".")) fail("expected '.' after call connector name")
+      val tool = identName()
+      expectOp("(")
+      val args = List.newBuilder[(String, Expr)]
+      if (!peek.is(")")) {
+        def one(): Unit = {
+          val n = identName()
+          if (!accept("=")) expectOp(":")
+          args += ((n, expression()))
+        }
+        one()
+        while (accept(",")) one()
+      }
+      expectOp(")")
+      CallToolRel(connector, tool, args.result())
     } else if (peek.is("describe")) {
       advance()
       DescribeRel(parseFromItem())

@@ -1130,4 +1130,31 @@ class LangSpec extends SparkTestBase {
     """).collect()(0).getLong(0)
     assert(rare == total)
   }
+
+  test("call tool: 1-row invocation summary, composable and test-able") {
+    // built-in echo tool
+    val r = wv("call local.echo(message: 'hi there')").collect()
+    assert(r.length == 1)
+    assert(r.head.toSeq == Seq("local", "echo", "success", "hi there"), r.head.toSeq)
+    // pipe operators compose over the summary relation
+    val up = wv("""
+      call local.upper(message: 'shout')
+      where status = 'success'
+      select content
+    """).collect()
+    assert(up.map(_.getString(0)).toSeq == Seq("SHOUT"))
+    // an unknown tool is an error ROW (pipeable), not a query failure
+    val missing = wv("call local.nope() select status, content").collect()
+    assert(missing.head.getString(0) == "error" &&
+      missing.head.getString(1).contains("not found"), missing.head.toSeq)
+    // a registered custom tool resolves; a throwing tool reports error
+    graft.tools.ToolRegistry.register("crm", "lookup") { args =>
+      val id = String.valueOf(args.getOrElse("id", ""))
+      if (id == "42") "Alice" else sys.error(s"no such id: $id")
+    }
+    assert(wv("call crm.lookup(id: '42') select content")
+      .collect().head.getString(0) == "Alice")
+    val err = wv("call crm.lookup(id: '7') select status, content").collect().head
+    assert(err.getString(0) == "error" && err.getString(1).contains("no such id"))
+  }
 }
