@@ -27,6 +27,7 @@ object FlowRunner {
       args: List[(Option[String], Expr)],
       ctx: Lowering.Context
   ): DataFrame = {
+    val startedAt = System.currentTimeMillis()
     val result = FlowExecutor.run(toFlowDef(fd, args, ctx))
     val schema = StructType(Seq(
       StructField("stage", StringType, nullable = false),
@@ -39,6 +40,24 @@ object FlowRunner {
         case StageFailed(e, n) => Row(sp.name, "failed", n, String.valueOf(e.getMessage))
         case s: StageSkipped => Row(sp.name, "skipped", 0, s.failedDependency)
       }
+    }
+    // persist the attempt history (reference FlowRunStore): the record
+    // survives a driver restart; `show flow_runs` reads it back. Optional
+    // retention cap via the graft.flow.keepRuns session conf.
+    try {
+      val store = FlowRunStore.forSession(ctx.spark)
+      val runId = f"${startedAt}%013d-${java.util.UUID.randomUUID().toString.take(8)}"
+      store.save(FlowRunRecord(
+        runId, fd.name,
+        if (result.succeeded) "success" else "failed",
+        startedAt, Some(System.currentTimeMillis()),
+        rows.toList.map(r => StageRunRecord(
+          r.getString(0), r.getString(1), r.getInt(2), Option(r.getString(3))))))
+      ctx.spark.conf.getOption("graft.flow.keepRuns")
+        .flatMap(_.toIntOption).foreach(store.retain)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[flow] run record not persisted: ${e.getMessage}")
     }
     import scala.jdk.CollectionConverters._
     ctx.spark.createDataFrame(rows.asJava, schema)

@@ -1619,6 +1619,17 @@ object Lowering {
         val m = ctx.models.getOrElse(name,
           throw new LoweringException(s"unknown model: $name"))
         Seq((name, m.body.toString)).toDF("name", "query")
+      case "flow_runs" =>
+        // persisted attempt history (flow/FlowRunStore — survives driver
+        // restarts), newest first, stage results flattened to one summary
+        // string per run
+        graft.flow.FlowRunStore.forSession(ctx.spark).list()
+          .map { r =>
+            (r.runId, r.flowName, r.state, r.startedAtMillis,
+              r.runTimeMillis.getOrElse(-1L),
+              r.stages.map(s => s"${s.name}:${s.status}:${s.attempts}").mkString(","))
+          }
+          .toDF("run_id", "flow", "state", "started_at_ms", "run_time_ms", "stages")
       case "schemas" | "databases" =>
         ctx.spark.catalog.listDatabases()
           .select(F.col("catalog"), F.col("name"))

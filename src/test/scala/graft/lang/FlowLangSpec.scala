@@ -24,6 +24,62 @@ class FlowLangSpec extends SparkTestBase {
     """)
   }
 
+  test("flow runs persist across a store restart; retention caps history") {
+    val dir = java.nio.file.Files.createTempDirectory("flow_runs").toString
+    spark.conf.set("graft.flow.runStoreDir", dir)
+    try {
+      wv("""
+        flow Persisted = {
+          stage src = from [[1], [2]] as t(id)
+          stage out = from src | count
+        }
+        run flow Persisted
+      """).collect()
+      // "restart": a NEW store instance over the same directory reads the
+      // persisted attempt history
+      val store = new graft.flow.FlowRunStore(java.nio.file.Paths.get(dir))
+      val rec = store.latestRunOf("Persisted").get
+      assert(rec.state == "success" && rec.stages.map(_.name) == List("src", "out"),
+        rec.toString)
+      assert(rec.stages.forall(s => s.status == "success" && s.attempts == 1))
+      assert(rec.finishedAtMillis.exists(_ >= rec.startedAtMillis))
+      // the language surface reads the same records
+      val shown = wv("show flow_runs").collect()
+      assert(shown.length == 1 && shown.head.getAs[String]("flow") == "Persisted",
+        shown.toSeq.toString)
+      assert(shown.head.getAs[String]("stages") == "src:success:1,out:success:1")
+      // retention: cap at 2 — running the flow 3 more times leaves 2 records
+      spark.conf.set("graft.flow.keepRuns", "2")
+      (1 to 3).foreach { _ =>
+        wv("""
+          flow Persisted = {
+            stage src = from [[1], [2]] as t(id)
+            stage out = from src | count
+          }
+          run flow Persisted
+        """).collect()
+      }
+      val after = new graft.flow.FlowRunStore(java.nio.file.Paths.get(dir)).list()
+      assert(after.length == 2, s"retention should keep 2 runs, got ${after.length}")
+      assert(after.forall(_.flowName == "Persisted"))
+      // a failed run records its stage errors
+      spark.conf.unset("graft.flow.keepRuns")
+      wv("""
+        flow PersistedFail = {
+          stage bad = from [[1]] as t(id) | where missing_col > 0
+        }
+        run flow PersistedFail
+      """).collect()
+      val failed = new graft.flow.FlowRunStore(java.nio.file.Paths.get(dir))
+        .latestRunOf("PersistedFail").get
+      assert(failed.state == "failed" && failed.stages.head.error.isDefined,
+        failed.toString)
+    } finally {
+      spark.conf.unset("graft.flow.runStoreDir")
+      spark.conf.unset("graft.flow.keepRuns")
+    }
+  }
+
   test("failing stage triggers its fallback and skips downstream") {
     val rows = wv("""
       flow FallbackPipeline = {
