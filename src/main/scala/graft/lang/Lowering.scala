@@ -894,23 +894,39 @@ object Lowering {
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "each_top_k" =>
-      // each_top_k('relation', k, 'group_col', 'score_col') — the Hivemall
-      // UDTF pattern (top-k rows per group by score) as a first-class table
+      // each_top_k(relation, k, group_col, score_col) — the Hivemall UDTF
+      // pattern (top-k rows per group by score) as a first-class table
       // function: all child columns + `rank`, rank <= k. Same semantics as
       // the SQL shim's window-rank rewrite (SqlDialect.convertEachTopK):
-      // rank() keeps boundary ties, matching the SQL form.
-      args.map(constValue) match {
-        case List(Some(rel: String), Some(k: Long), Some(grp: String), Some(score: String)) =>
-          val df = lower(TableRef(rel), ctx)
-          def resolve(c: String) = df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
-            throw new LoweringException(s"each_top_k: '$c' is not a column of $rel"))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(F.col(resolve(grp))).orderBy(F.col(resolve(score)).desc)
-          Plain(df.withColumn("rank", F.rank().over(w)).filter(F.col("rank") <= k))
+      // rank() keeps boundary ties, matching the SQL form. Relation and
+      // column arguments take bare identifiers or string literals; the
+      // relation resolves through the same rules as `from <name>`, so
+      // tables, files, and in-scope models (subqueries via
+      // `model m = { … }`) all work.
+      def nameArg(e: Expr): Option[String] = e match {
+        case StringLit(s) => Some(s)
+        case Ident(n) => Some(n)
+        case _ => None
+      }
+      args match {
+        case List(relE, kE, grpE, scoreE) =>
+          (nameArg(relE), constValue(kE), nameArg(grpE), nameArg(scoreE)) match {
+            case (Some(rel), Some(k: Long), Some(grp), Some(score)) =>
+              val df = lower(TableRef(rel), ctx)
+              def resolve(c: String) = df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+                throw new LoweringException(s"each_top_k: '$c' is not a column of $rel"))
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(F.col(resolve(grp))).orderBy(F.col(resolve(score)).desc)
+              Plain(df.withColumn("rank", F.rank().over(w)).filter(F.col("rank") <= k))
+            case _ =>
+              throw new LoweringException(
+                "each_top_k expects (relation, k, group_col, score_col), e.g. " +
+                  "each_top_k(events, 3, event_type, value)")
+          }
         case _ =>
           throw new LoweringException(
-            "each_top_k expects (relation, k, group_col, score_col) literals, e.g. " +
-              "each_top_k('events', 3, 'event_type', 'value')")
+            "each_top_k expects (relation, k, group_col, score_col), e.g. " +
+              "each_top_k(events, 3, event_type, value)")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

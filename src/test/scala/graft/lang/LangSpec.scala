@@ -1131,6 +1131,32 @@ class LangSpec extends SparkTestBase {
     assert(rare == total)
   }
 
+  test("each_top_k: bare identifiers and model relations") {
+    // unquoted column refs (idiomatic wvlet) — same result as the quoted form
+    val bare = wv("""
+      from each_top_k(events, 2, event_type, value)
+      select event_id, event_type, rank
+      order by event_type, rank, event_id
+    """).collect()
+    val quoted = wv("""
+      from each_top_k('events', 2, 'event_type', 'value')
+      select event_id, event_type, rank
+      order by event_type, rank, event_id
+    """).collect()
+    assert(bare.nonEmpty && bare.map(_.toSeq).toSeq == quoted.map(_.toSeq).toSeq)
+    // a model (subquery) as the relation argument
+    val overModel = wv("""
+      model recent = {
+        from events
+        where value > 10
+      }
+      from each_top_k(recent, 3, event_type, value)
+      where rank <= 3
+      count
+    """).collect().head.getLong(0)
+    assert(overModel > 0)
+  }
+
   test("call tool: 1-row invocation summary, composable and test-able") {
     // built-in echo tool
     val r = wv("call local.echo(message: 'hi there')").collect()
