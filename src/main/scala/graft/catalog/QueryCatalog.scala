@@ -1448,6 +1448,41 @@ object QueryCatalog {
         HAVING sum(l_extendedprice * (1 - l_discount)) > 100000
         ORDER BY l_orderkey
       """),
+    (
+      // SQL→wvlet transpiler inside the correctness gate: the SQL text is
+      // transpiled to wv (lang/SqlToWvlet, reference parity:
+      // codegen/WvletGenerator.scala) and EXECUTED through the language
+      // front-end; DuckDB runs the same SQL as the oracle. A transpiler
+      // regression (wrong operator order, lost alias, broken predicate)
+      // breaks the hash, not just an sbt spec.
+      "q_sql_roundtrip", {
+        val sql = """SELECT n_name,
+                            count(*) AS n_customers,
+                            round(avg(c_acctbal), 4) AS avg_bal
+                     FROM customer
+                     JOIN nation ON c_nationkey = n_nationkey
+                     WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+                     GROUP BY n_name
+                     HAVING count(*) > 5
+                     ORDER BY n_name"""
+        val q: Q = (spark, dir) => {
+          val wvText = graft.lang.SqlToWvlet.transpile(sql, spark)
+          Graft.query(spark, wvText, Tables.resolver(spark, dir), basePath = dir)
+        }
+        q
+      },
+      Some("""
+        SELECT n_name,
+               count(*) AS n_customers,
+               round(avg(c_acctbal), 4) AS avg_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY n_name
+        HAVING count(*) > 5
+        ORDER BY n_name
+      """)
+    ),
     sqlEntry(
       "q_sql_recursive_cte", // WITH RECURSIVE through both engines
       """

@@ -2208,6 +2208,10 @@ object Lowering {
         out = subqueryJoin(out, None, q, "left_semi", ctx)
       case Not(ExistsExpr(q)) =>
         out = subqueryJoin(out, None, q, "left_anti", ctx)
+      // `not (x in {subq})` — same predicate with the negation outside the
+      // IN (the SQL→wv transpiler emits this shape for NOT IN)
+      case Not(InSubquery(e, q, negated)) =>
+        out = subqueryJoin(out, Some(e), q, if (negated) "left_semi" else "left_anti", ctx)
       case other => plain += other
     }
     val rest0 = plain.result()

@@ -150,12 +150,13 @@ object SqlToWvlet {
       havingText: Option[String]): String = {
     val child = rel(agg.child, ctes)
     // GROUP BY 1 ordinals: substitute the referenced select item expression
+    def keyAt(n: Int): Expression = agg.aggregateExpressions(n - 1) match {
+      case Alias(e, _) => e
+      case e => e
+    }
     val keys = agg.groupingExpressions.map {
-      case Literal(n: Int, _) if n >= 1 && n <= agg.aggregateExpressions.length =>
-        agg.aggregateExpressions(n - 1) match {
-          case Alias(e, _) => e
-          case e => e
-        }
+      case Literal(n: Int, _) if n >= 1 && n <= agg.aggregateExpressions.length => keyAt(n)
+      case UnresolvedOrdinal(n) if n >= 1 && n <= agg.aggregateExpressions.length => keyAt(n)
       case e => e
     }
     val sb = new StringBuilder(child)
@@ -270,7 +271,12 @@ object SqlToWvlet {
       case (Descending, NullsFirst) => " nulls first"
       case _ => "" // engine default for the direction
     }
-    s"${ex(s.child)}$dir$nulls"
+    // ORDER BY 1 — wv sort supports ordinals directly
+    val key = s.child match {
+      case UnresolvedOrdinal(n) => n.toString
+      case c => ex(c)
+    }
+    s"$key$dir$nulls"
   }
 
   private def ex(e: Expression): String = e match {

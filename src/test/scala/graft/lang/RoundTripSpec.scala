@@ -165,4 +165,85 @@ class RoundTripSpec extends SparkTestBase {
     assert(green.map(_._2).sum >= 230,
       s"expected >=230 queries to round-trip, got ${green.map(_._2).sum}")
   }
+
+  test("sql/tpc-h: queries transpile to wv and match the SQL results on dbgen data") {
+    // reference parity: RoundTripSpecSqlTPCH (parse→print→parse only);
+    // this executes BOTH sides on the reference-shipped dbgen parquet
+    val dataDir = "/root/reference/spec/tpch/data"
+    Seq("customer", "lineitem", "nation", "orders", "part", "partsupp",
+      "region", "supplier").foreach { t =>
+      spark.read.parquet(s"$dataDir/$t.parquet").createOrReplaceTempView(t)
+    }
+    val tpchDir = "/root/reference/spec/sql/tpc-h"
+    val files = new java.io.File(tpchDir).listFiles()
+      .filter(_.getName.endsWith(".sql")).map(_.getName)
+      .sortBy(f => f.stripPrefix("q").stripSuffix(".sql").toInt)
+    val results = files.map { f =>
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$tpchDir/$f")))
+      f -> (try {
+        val sqlResult = rows(graft.Graft.sqlScript(spark, text, None))
+        val normalized = graft.SqlDialect.normalize(spark, text) match {
+          case List(one) => one
+          case other => throw new IllegalStateException(
+            s"shim produced ${other.length} statements")
+        }
+        val wv = SqlToWvlet.transpile(normalized, spark)
+        val wvResult =
+          try rows(graft.Graft.query(spark, wv))
+          catch { case e: Throwable =>
+            throw new IllegalStateException(s"wv exec: ${short(e)}\n--- wv ---\n$wv") }
+        if (sqlResult != wvResult)
+          Left(s"MISMATCH (${sqlResult._2.length} sql rows vs ${wvResult._2.length} wv rows)\n--- wv ---\n$wv")
+        else Right(sqlResult._2.length)
+      } catch {
+        case e: IllegalStateException => Left(e.getMessage)
+        case e: Throwable => Left(s"transpile: ${short(e)}")
+      })
+    }
+    val green = results.collect { case (f, Right(n)) => f -> n }
+    val red = results.collect { case (f, Left(why)) => f -> why }
+    green.foreach { case (f, n) => info(s"OK   $f ($n rows)") }
+    red.foreach { case (f, why) => info(s"FAIL $f: ${why.linesIterator.next()}") }
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/roundtrip_tpch_fail.txt"),
+      red.map { case (f, w) => s"===== $f\n$w" }.mkString("\n\n"))
+    catch { case _: Throwable => () }
+    assert(green.length == files.length,
+      s"expected all ${files.length} tpc-h files to round-trip, got ${green.length}:\n" +
+        red.map { case (f, w) => s"$f: ${w.linesIterator.next()}" }.mkString("\n"))
+  }
+
+  test("sql/tpc-ds: queries transpile to wv that re-parses (reference parse-level parity)") {
+    // reference parity: RoundTripSpecSqlTPCD — parse→print→parse. No
+    // TPC-DS data ships with the reference, so execution is out of scope;
+    // the transpiled text must at least be valid wvlet (parser-accepted).
+    val dsDir = "/root/reference/spec/sql/tpc-ds"
+    val files = new java.io.File(dsDir).listFiles()
+      .filter(_.getName.endsWith(".sql")).map(_.getName).sorted
+    var transpiled = 0
+    val red = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    files.foreach { f =>
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dsDir/$f")))
+      for (stmt <- graft.Graft.splitSqlStatements(text)) {
+        try {
+          // the dialect shim first — same pipeline as execution
+          graft.SqlDialect.normalize(spark, stmt).foreach { normalized =>
+            val wv = SqlToWvlet.transpile(normalized, spark)
+            Parser.parseStatements(wv) // must be valid wvlet
+            transpiled += 1
+          }
+        } catch {
+          case e: SqlToWvlet.Unsupported => red += f -> s"unsupported: ${e.what}"
+          case e: Throwable => red += f -> short(e)
+        }
+      }
+    }
+    red.foreach { case (f, why) => info(s"SKIP $f: $why") }
+    info(s"$transpiled tpc-ds statements transpile and re-parse; ${red.size} skipped")
+    assert(transpiled >= 99,
+      s"expected >=99 tpc-ds statements to transpile+re-parse, got $transpiled:\n" +
+        red.take(20).map { case (f, w) => s"$f: $w" }.mkString("\n"))
+  }
 }
