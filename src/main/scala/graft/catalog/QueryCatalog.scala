@@ -1430,6 +1430,37 @@ object QueryCatalog {
         ORDER BY user_id, session_start_ms
       """)
     ),
+    (
+      // per-session aggregation of ARBITRARY event columns: `group by
+      // <session_keys> agg …` over a sessionized subscription aggregates
+      // the raw rows per session (bounds injected as group keys AFTER the
+      // filter, so batch and the streaming session_window plan sessionize
+      // the same rows — Lowering GroupBy-over-session + lowerStreamingAgg)
+      "q_subscribe_session_agg",
+      wv("""
+        from events.subscribe(watermark_column: 'ts', session_gap: '6h', session_keys: ['user_id'])
+        where value > 0
+        group by user_id
+        agg n = _.count, total = round(value.sum, 4)
+        order by user_id, session_start_ms
+      """),
+      Some("""
+        WITH f AS (
+          SELECT user_id, epoch_ms(ts)::BIGINT AS ts_ms, value
+          FROM events WHERE value > 0),
+        l AS (
+          SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS prev_ms
+          FROM f),
+        s AS (
+          SELECT *, sum(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 21600000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_ms ROWS UNBOUNDED PRECEDING) AS sid
+          FROM l)
+        SELECT user_id, min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms,
+               count(*)::BIGINT AS n, round(sum(value), 4) AS total
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, session_start_ms
+      """)
+    ),
     // -------------------------------------------------------------------------
     // SQL front-end (the reference's .sql units; Spark SQL shares Catalyst
     // with the flow language, so both front-ends hit the same operators)

@@ -51,7 +51,14 @@ object Lowering {
         * batch full-refresh plan — the hook [[lowerStreamingAgg]] uses to
         * re-lower a subscription query's own operators onto a readStream
         * source. */
-      streamingSub: Option[DataFrame] = None
+      streamingSub: Option[DataFrame] = None,
+      /** Raw-rows mode for a sessionized subscription: set by the
+        * group-by-over-session lowering so the SubscribeRel keeps the raw
+        * subscribed rows (dedup applied, NO session collapse) — session
+        * bounds are then injected at the aggregation site, AFTER any
+        * intervening filters, matching the streaming session-window plan
+        * which also sessionizes the filtered stream. */
+      sessionRaw: Boolean = false
   )
 
   /** Lowering result: either a plain DataFrame or a "grouped" relation —
@@ -547,6 +554,66 @@ object Lowering {
             Seq("window_start_ms", "window_end_ms") ++
             items.zipWithIndex.map { case (it, i) => itemName(it, i) }
         agged.select(ordered.map(F.col): _*)
+
+      case Agg(gb: GroupBy, items) if sessionizedSubscription(gb.child).isDefined =>
+        // Per-session aggregation executed INSIDE the stream: Spark's
+        // native session_window (watermark-bounded merging state, append
+        // emits each session once when the watermark passes its end).
+        // Parity with the batch kernel (Sessionize.annotateSessions):
+        //   - event time is floored to ms FIRST (batch works on ms-floored
+        //     epoch values; session_window would otherwise split on sub-ms)
+        //   - gap is (gapMs + 1) ms: session_window merges an event only
+        //     when t < last + gap (exclusive), the batch kernel when
+        //     t - last <= gap (inclusive) — +1 ms makes them equal on
+        //     ms-floored integers
+        //   - session_end_ms = end - (gapMs + 1) = last event's ms, the
+        //     batch max(ts_ms)
+        val sub = sessionizedSubscription(gb.child).get
+        val pmap = sub.params.toMap
+        val ts = pmap.getOrElse("watermark_column", throw new LoweringException(
+          "subscribe: session_gap requires watermark_column"))
+        val delay = graft.streaming.Subscribe.duration(
+          pmap.getOrElse("watermark_delay", "10 minutes"))
+        val gapMs = graft.streaming.Subscribe.durationMs(pmap("session_gap"))
+        // same contract as the batch lowering: group keys == session_keys
+        val sessKeys = pmap.get("session_keys")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        val bareKeys = gb.keys.map(_.expr match {
+          case Ident(n) => n.toLowerCase
+          case other => throw new LoweringException(
+            s"group by over a sessionized subscription supports bare session-key columns, got $other")
+        })
+        if (bareKeys.toSet != sessKeys.map(_.toLowerCase).toSet)
+          throw new LoweringException(
+            s"group by over a sessionized subscription must group by exactly its " +
+              s"session_keys (${sessKeys.mkString(", ")}); got (${bareKeys.mkString(", ")})")
+        val floored = stream.withColumn(ts,
+          F.timestamp_millis(F.floor(F.unix_micros(F.col(ts)) / F.lit(1000)).cast("long")))
+        val base =
+          if (pmap.get("dedup_keys").exists(_.trim.nonEmpty))
+            graft.streaming.Subscribe.dedupFromParams(floored, pmap)
+          else floored.withWatermark(ts, delay)
+        val ctx2 = ctx.copy(streamingSub = Some(base))
+        val child = lower(gb.child, ctx2)
+        val ectx = ExprCtx(ctx2, aggMode = false)
+        val keyCols = gb.keys.zipWithIndex.map { case (k, i) =>
+          expr(k.expr, ectx).as(itemName(k, i))
+        }
+        val aggCols = items.zipWithIndex.map { case (it, i) =>
+          expr(it.expr, ExprCtx(ctx2, aggMode = true)).as(itemName(it, i))
+        }
+        val agged = child
+          .groupBy(F.session_window(F.col(ts), s"${gapMs + 1} milliseconds").as("__w") +: keyCols: _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+          .withColumn("session_start_ms", F.unix_millis(F.col("__w.start")))
+          .withColumn("session_end_ms",
+            F.unix_millis(F.col("__w.end")) - F.lit(gapMs + 1))
+          .drop("__w")
+        val ordered =
+          gb.keys.zipWithIndex.map { case (k, i) => itemName(k, i) } ++
+            Seq("session_start_ms", "session_end_ms") ++
+            items.zipWithIndex.map { case (it, i) => itemName(it, i) }
+        agged.select(ordered.map(F.col): _*)
       case other =>
         throw new LoweringException(
           "streaming aggregation expects `from <t>.subscribe(window_size: …) " +
@@ -738,22 +805,30 @@ object Lowering {
     * refresh and the streaming tumbling plan in lockstep. Aggregations,
     * joins, and set-ops stop the search: past one of those, the window
     * metadata has been consumed or the provenance is ambiguous. */
-  private def windowedSubscription(r: Relation): Option[SubscribeRel] = r match {
-    case s: SubscribeRel => Some(s).filter(_.params.exists(_._1 == "window_size"))
-    case Filter(c, _) => windowedSubscription(c)
-    case BracedRelation(c) => windowedSubscription(c)
-    case AliasedRelation(c, _, _) => windowedSubscription(c)
-    case SelectAsNamed(c, _) => windowedSubscription(c)
-    case Sort(c, _) => windowedSubscription(c)
-    case Limit(c, _) => windowedSubscription(c)
-    case Offset(c, _) => windowedSubscription(c)
-    case DedupRel(c) => windowedSubscription(c)
-    case Project(c, _, _) => windowedSubscription(c)
-    case TransformColumns(c, _) => windowedSubscription(c)
-    case AddColumns(c, _, _) => windowedSubscription(c)
-    case ExcludeColumns(c, _) => windowedSubscription(c)
-    case RenameColumns(c, _) => windowedSubscription(c)
-    case ShiftColumns(c, _, _) => windowedSubscription(c)
+  private def windowedSubscription(r: Relation): Option[SubscribeRel] =
+    subscriptionThrough(r, "window_size")
+
+  /** The sessionized subscription feeding a group-by — same pass-through
+    * walk as [[windowedSubscription]], keyed on session_gap. */
+  private def sessionizedSubscription(r: Relation): Option[SubscribeRel] =
+    subscriptionThrough(r, "session_gap")
+
+  private def subscriptionThrough(r: Relation, param: String): Option[SubscribeRel] = r match {
+    case s: SubscribeRel => Some(s).filter(_.params.exists(_._1 == param))
+    case Filter(c, _) => subscriptionThrough(c, param)
+    case BracedRelation(c) => subscriptionThrough(c, param)
+    case AliasedRelation(c, _, _) => subscriptionThrough(c, param)
+    case SelectAsNamed(c, _) => subscriptionThrough(c, param)
+    case Sort(c, _) => subscriptionThrough(c, param)
+    case Limit(c, _) => subscriptionThrough(c, param)
+    case Offset(c, _) => subscriptionThrough(c, param)
+    case DedupRel(c) => subscriptionThrough(c, param)
+    case Project(c, _, _) => subscriptionThrough(c, param)
+    case TransformColumns(c, _) => subscriptionThrough(c, param)
+    case AddColumns(c, _, _) => subscriptionThrough(c, param)
+    case ExcludeColumns(c, _) => subscriptionThrough(c, param)
+    case RenameColumns(c, _) => subscriptionThrough(c, param)
+    case ShiftColumns(c, _, _) => subscriptionThrough(c, param)
     case _ => None
   }
 
@@ -1100,7 +1175,11 @@ object Lowering {
           }
           if (resolvedS.isEmpty)
             throw new LoweringException("subscribe: session_gap requires session_keys")
-          graft.streaming.Sessionize.sessionizeBatch(
+          // raw mode (group-by-over-session): keep raw rows — the
+          // aggregation site sessionizes AFTER intervening filters, in
+          // lockstep with the streaming session-window plan
+          if (ctx.sessionRaw) deduped
+          else graft.streaming.Sessionize.sessionizeBatch(
             deduped, tsC, resolvedS, graft.streaming.Subscribe.durationMs(g))
         case None =>
           // window_slide: hopping subscription — each event belongs to
@@ -1178,6 +1257,50 @@ object Lowering {
       Grouped(lower(pchild, ctx), keys, Nil, GroupingStyle.Plain,
         pivot = Some((pivotCol, values.map(v => constValue(v).getOrElse(
           throw new LoweringException("pivot values must be literals"))))))
+    case GroupBy(child, keys) if sessionizedSubscription(child).isDefined =>
+      // Per-session aggregation: `group by <session_keys> agg …` over a
+      // sessionized subscription aggregates the RAW subscribed rows per
+      // session, with the session bounds injected as extra group keys
+      // (the session analogue of the tumbling-window incrementalization
+      // above — streaming side: lowerStreamingAgg's native session_window
+      // plan). Bounds are computed AFTER intervening filters so batch and
+      // stream sessionize the same rows.
+      val ssub = sessionizedSubscription(child).get
+      val spmap = ssub.params.toMap
+      val sts = spmap.getOrElse("watermark_column", throw new LoweringException(
+        "subscribe: session_gap requires watermark_column"))
+      val sgapMs =
+        try graft.streaming.Subscribe.durationMs(spmap("session_gap"))
+        catch { case e: IllegalArgumentException => throw new LoweringException(e.getMessage) }
+      val sessKeys = spmap.get("session_keys")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      // the group keys must be exactly the session keys: a coarser set
+      // would merge distinct keys' sessions, a finer one would split them —
+      // both silently diverge from the per-key session definition
+      val bare = keys.map(_.expr match {
+        case Ident(n) => n.toLowerCase
+        case other => throw new LoweringException(
+          s"group by over a sessionized subscription supports bare session-key columns, got $other")
+      })
+      if (bare.toSet != sessKeys.map(_.toLowerCase).toSet)
+        throw new LoweringException(
+          s"group by over a sessionized subscription must group by exactly its " +
+            s"session_keys (${sessKeys.mkString(", ")}); got (${bare.mkString(", ")})")
+      val rawRows = lower(child, ctx.copy(sessionRaw = true))
+      (Seq(sts) ++ sessKeys).foreach { c =>
+        if (!rawRows.columns.exists(_.equalsIgnoreCase(c)))
+          throw new LoweringException(
+            s"group by over a sessionized subscription: column '$c' was dropped " +
+              "by an intervening operator — session assignment needs it")
+      }
+      val tsResolved = rawRows.columns.find(_.equalsIgnoreCase(sts)).get
+      val keysResolved = sessKeys.map(c => rawRows.columns.find(_.equalsIgnoreCase(c)).get)
+      val annotated = graft.streaming.Sessionize.annotateSessions(
+        rawRows, tsResolved, keysResolved, sgapMs)
+      Grouped(annotated, keys ++ List(
+        SelectItem(Ident("session_start_ms"), Some("session_start_ms")),
+        SelectItem(Ident("session_end_ms"), Some("session_end_ms"))), Nil, GroupingStyle.Plain)
+
     case GroupBy(child, keys) if windowedSubscription(child).isDefined =>
       // Incrementalize semantics (reference Incrementalize.scala:27-107):
       // aggregating a windowed subscription groups by the tumbling bucket

@@ -90,6 +90,37 @@ object Sessionize {
       .drop("__sid")
   }
 
+  /** Per-row session annotation: every input row keeps ALL its columns and
+    * gains its session's `session_start_ms` / `session_end_ms` — the raw
+    * material for per-session aggregation of arbitrary event columns
+    * (`group by <session_keys> agg …` over a sessionized subscription).
+    * Same session definition as [[sessionizeBatch]] (lag marks gap
+    * crossings, running sum numbers sessions, min/max over the (keys, sid)
+    * sub-partition derive bounds). One shuffle on the session keys: every
+    * window reuses the same hash partitioning — the (keys, sid) partition
+    * is a sub-partition of (keys), which satisfies Spark's clustered
+    * distribution without a second exchange. */
+  def annotateSessions(
+      df: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      gapMs: Long
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "at least one session key required")
+    val w = Window.partitionBy(keyCols.map(F.col): _*).orderBy(F.col("__ts_ms"))
+    val bounds = Window.partitionBy((keyCols :+ "__sid").map(F.col): _*)
+    df.withColumn("__ts_ms", tsMs(F.col(tsCol)))
+      .withColumn("__prev", F.lag("__ts_ms", 1).over(w))
+      .withColumn("__new",
+        F.when(F.col("__prev").isNull || F.col("__ts_ms") - F.col("__prev") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", F.sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("session_start_ms", F.min("__ts_ms").over(bounds))
+      .withColumn("session_end_ms", F.max("__ts_ms").over(bounds))
+      .drop("__ts_ms", "__prev", "__new", "__sid")
+  }
+
   /** Streaming sessionization with bounded custom state. Emits each closed
     * session exactly once (append mode), `watermarkDelay` + gap after its
     * last event. */

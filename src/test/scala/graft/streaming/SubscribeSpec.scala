@@ -369,6 +369,71 @@ class SubscribeSpec extends SparkTestBase {
       s"batch=${batch.collect().toSeq} stream=${a.toSeq}")
   }
 
+  test("session aggregation executes inside the streaming plan") {
+    // per-session aggregation of the query's OWN agg columns via native
+    // session_window, across 3 micro-batches: the staged output must equal
+    // the batch refresh (GroupBy-over-session lowering) row-for-row on
+    // every finalized session — including a late event that EXTENDS an
+    // open session and a filter applied before sessionization
+    import graft.lang.{Lowering, Parser}
+    val in = Files.createTempDirectory("sess_in").toString
+    val out = Files.createTempDirectory("sess_out").toString
+    val ck = Files.createTempDirectory("sess_ck").toString
+    val text = """
+      from ingest.subscribe(watermark_column: 'ts', watermark_delay: '10m',
+                            session_gap: '30m', session_keys: ['event_type'])
+      where value > 0
+      group by event_type
+      agg n = _.count, total = value.sum
+    """
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$in/*")
+      val plan = Lowering.lowerStreamingAgg(
+        Parser.parseStatements(text), stream,
+        Lowering.Context(spark, _ => stream))
+      Subscribe.stageAppend(plan, out, ck).awaitTermination()
+    }
+    // batch 1: an 'a' session of two events, a filtered-out negative event
+    writeBatch(in, "b1", Seq(
+      ("2024-01-01 00:10:00", "a", 1.0),
+      ("2024-01-01 00:25:00", "a", 2.0),
+      ("2024-01-01 00:27:00", "a", -9.0), // filtered BEFORE sessionization
+      ("2024-01-01 01:00:00", "b", 5.0)))
+    runOnce()
+    // batch 2: a late event above the watermark EXTENDS the open 'a'
+    // session (00:25 + 30m > 00:50), then the clock moves to 03:00
+    writeBatch(in, "b2", Seq(
+      ("2024-01-01 00:50:00", "a", 4.0),
+      ("2024-01-01 03:00:00", "c", 9.0)))
+    runOnce()
+    // batch 3: sentinel advances the watermark far enough to close all
+    writeBatch(in, "b3", Seq(
+      ("2024-01-01 09:00:00", "zz", 1.0)))
+    runOnce()
+    val staged = spark.read.parquet(out)
+    val all = spark.read.schema(schema).parquet(s"$in/*")
+    val batch = Lowering.lowerStatements(Parser.parseStatements(text),
+      Lowering.Context(spark, _ => all)).get
+    assert(staged.columns.toSeq == batch.columns.toSeq,
+      s"streaming columns ${staged.columns.toSeq} != batch ${batch.columns.toSeq}")
+    // finalized = watermark (09:00 - 10m) passed session end + gap
+    val wmMs = Timestamp.valueOf("2024-01-01 08:50:00").getTime
+    val finalized = batch.filter(F.col("session_end_ms") + (30 * 60 * 1000) < wmMs)
+    assert(staged.exceptAll(finalized).count() == 0 &&
+      finalized.exceptAll(staged).count() == 0,
+      s"staged=${staged.collect().toSeq} batch=${finalized.collect().toSeq}")
+    // the 'a' session: 00:10 + 00:25 bridged to 00:50 by the late event,
+    // the negative event filtered out → one session, n=3, total=7
+    val a = staged.filter(F.col("event_type") === "a").collect()
+    assert(a.length == 1, s"late event must extend, not split: ${a.toSeq}")
+    assert(a.head.getAs[Long]("n") == 3L && a.head.getAs[Double]("total") == 7.0 &&
+      a.head.getAs[Long]("session_start_ms") ==
+        Timestamp.valueOf("2024-01-01 00:10:00").getTime &&
+      a.head.getAs[Long]("session_end_ms") ==
+        Timestamp.valueOf("2024-01-01 00:50:00").getTime,
+      a.toSeq.toString)
+  }
+
   test("subscribeFromParams: one metadata map drives dedup + windowed agg") {
     import graft.lang.{Lowering, Parser}
     val in = Files.createTempDirectory("sfp_in").toString
