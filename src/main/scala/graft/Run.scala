@@ -19,6 +19,7 @@ object Run {
     var explain = false
     var format = "table"
     var transpile = false
+    var fmt = false
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -29,6 +30,7 @@ object Run {
         case "--json" => format = "json"; i += 1
         case "--csv" => format = "csv"; i += 1
         case "--transpile" => transpile = true; i += 1
+        case "--fmt" => fmt = true; i += 1
         case f => file = Some(f); i += 1
       }
     }
@@ -37,6 +39,18 @@ object Run {
         java.nio.charset.StandardCharsets.UTF_8))).getOrElse {
       System.err.println("usage: graft.Run (-e QUERY | FILE.wv) [--dir DIR] [--limit N] [--explain] [--json|--csv]")
       sys.exit(2)
+    }
+    if (fmt) {
+      // canonical regeneration (the reference's WvletGenerator surface):
+      // parse → print; no Spark session needed
+      try println(graft.lang.WvPrinter.print(graft.lang.Parser.parseStatements(text)))
+      catch {
+        case e: graft.lang.ParseException =>
+          System.err.println(s"[parse error] ${e.getMessage}"); sys.exit(1)
+        case e: graft.lang.WvPrinter.Unprintable =>
+          System.err.println(s"[fmt error] ${e.getMessage}"); sys.exit(1)
+      }
+      return
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val b = SparkSession.builder()

@@ -1446,11 +1446,21 @@ final class Parser(tokens: Vector[Token]) {
 
   private def parseTypeName(): String = {
     var name = identName()
+    // decimal(15,2) — also the reference's bracket form decimal[15,2]
+    // (spec/tpch/schema.wv), normalized to the paren spelling
     if (accept("(")) {
       val params = List.newBuilder[String]
       params += advance().text
       while (accept(",")) params += advance().text
       expectOp(")")
+      name = s"$name(${params.result().mkString(",")})"
+    } else if (peek.is("[") && (peek2.kind == TokenKind.LongLit ||
+        peek2.kind == TokenKind.Ident)) {
+      advance()
+      val params = List.newBuilder[String]
+      params += advance().text
+      while (accept(",")) params += advance().text
+      expectOp("]")
       name = s"$name(${params.result().mkString(",")})"
     }
     name
