@@ -66,14 +66,19 @@ final class FlowRunStore(val dir: Path) {
     if (!Files.exists(f)) None else parse(Files.readString(f))
   }
 
-  /** All records, newest first. Unreadable files are skipped, not fatal. */
-  def list(): List[FlowRunRecord] =
-    Files.list(dir).iterator().asScala
+  /** All records, newest first. Unreadable files are skipped, not fatal.
+    * Files.list requires explicit close — a long-lived driver calling this
+    * per run/show would otherwise leak a directory fd each time. */
+  def list(): List[FlowRunRecord] = {
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".json"))
       .flatMap(p =>
         try parse(Files.readString(p))
         catch { case _: Throwable => None })
       .toList.sortBy(-_.startedAtMillis)
+    finally stream.close()
+  }
 
   def latestRunOf(flowName: String): Option[FlowRunRecord] =
     list().find(_.flowName == flowName)

@@ -1927,12 +1927,21 @@ object Lowering {
       else if (vs.forall(_.isInstanceOf[Boolean])) BooleanType
       else if (vs.forall(_.isInstanceOf[java.sql.Date])) DateType
       else if (vs.forall(_.isInstanceOf[java.sql.Timestamp])) TimestampType
-      else if (vs.forall(_.isInstanceOf[java.math.BigDecimal])) {
-        val ds = vs.map(_.asInstanceOf[java.math.BigDecimal])
+      else if (vs.forall(v => v.isInstanceOf[java.math.BigDecimal] ||
+          v.isInstanceOf[Long])) {
+        // decimal cells widen integer siblings (SQL VALUES (1),(1.5) is
+        // decimal(11,1)); an all-Long column never reaches this branch
+        val ds = vs.map {
+          case d: java.math.BigDecimal => d
+          case l: Long => java.math.BigDecimal.valueOf(l)
+        }
         val scale = ds.map(_.scale).max
         val prec = ds.map(d => d.precision - d.scale).max + scale
         DecimalType(math.min(38, math.max(prec, 1)), scale)
       }
+      else if (vs.forall(v => v.isInstanceOf[java.math.BigDecimal] ||
+          v.isInstanceOf[Long] || v.isInstanceOf[Double]))
+        DoubleType
       else if (vs.forall(_.isInstanceOf[Seq[_]])) {
         val elems = vs.flatMap(_.asInstanceOf[Seq[Any]]).filter(_ != null)
         val et =
@@ -1950,6 +1959,9 @@ object Lowering {
         (raw, types(i)) match {
           case (null, _) => null
           case (v: Long, DoubleType) => v.toDouble
+          case (v: java.math.BigDecimal, DoubleType) => v.doubleValue
+          case (v: Long, t: DecimalType) =>
+            java.math.BigDecimal.valueOf(v).setScale(t.scale)
           case (v: java.math.BigDecimal, t: DecimalType) => v.setScale(t.scale)
           case (v, StringType) if !v.isInstanceOf[String] => v.toString
           case (v: Seq[_], ArrayType(DoubleType, _)) =>
@@ -2500,7 +2512,15 @@ object Lowering {
         case Some(e) =>
           val probe = expr(e, ExprCtx(ctx, aggMode = false, dfOpt = Some(out)))
           val renamed = sub.select(F.col(sub.columns.head).as("__in_key"))
-          out.join(renamed, probe === F.col("__in_key"), joinType)
+          if (joinType == "left_anti") {
+            // SQL NOT IN is null-aware: a NULL probe (or any NULL key when
+            // the subquery is non-empty) excludes the row. The
+            // `cond || isnull(cond)` shape is exactly what Spark's
+            // ExtractSingleColumnNullAwareAntiJoin optimizes into a
+            // broadcast null-aware anti join (no nested-loop fallback).
+            val eq = probe === F.col("__in_key")
+            out.join(renamed, eq || eq.isNull, joinType)
+          } else out.join(renamed, probe === F.col("__in_key"), joinType)
         case None =>
           out.join(sub.limit(1), F.lit(true), joinType)
       }

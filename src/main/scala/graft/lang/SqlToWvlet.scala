@@ -36,29 +36,14 @@ object SqlToWvlet {
   private def indent(s: String): String =
     s.linesIterator.map("  " + _).mkString("\n")
 
-  private val plainIdent = "^[A-Za-z_][A-Za-z0-9_]*$".r
-
-  /** wv keywords that would derail the parser when an identifier of the
-    * same name starts a select item or follows a pipe boundary (the
-    * parser's pipeOpKeywords + statement starters); backquoting such
-    * identifiers is always safe. */
-  private val wvKeywords = Set(
-    "where", "select", "group", "agg", "order", "limit", "offset", "count",
-    "dedup", "distinct", "sample", "add", "prepend", "transform", "exclude",
-    "rename", "shift", "join", "inner", "left", "right", "full", "cross",
-    "asof", "concat", "union", "intersect", "except", "pivot", "unpivot",
-    "unnest", "describe", "test", "debug", "from", "model", "val", "def",
-    "flow", "show", "run", "delete", "truncate", "insert", "create", "merge",
-    "update", "alter", "type", "execute", "stage", "save", "append", "and",
-    "or", "not", "in", "is", "like", "between", "case", "when", "then",
-    "else", "end", "over", "filter", "as", "on", "using", "natural", "by",
-    "rows", "range", "exists", "lateral", "grouping", "sets", "rollup",
-    "cube")
+  /** Backquoting delegates to the wv printer's single keyword set (plus
+    * the grouping-set starters the transpiler can emit in key position) —
+    * one definition, no drift. */
+  private val extraKeywords = Set("grouping", "sets", "rollup", "cube")
 
   private def ident(name: String): String =
-    if (plainIdent.findFirstIn(name).isDefined && !wvKeywords.contains(name.toLowerCase))
-      name
-    else s"`$name`"
+    if (extraKeywords.contains(name.toLowerCase)) s"`$name`"
+    else WvPrinter.ident(name)
 
   private def identPath(parts: Seq[String]): String = parts.map(ident).mkString(".")
 
@@ -393,8 +378,11 @@ object SqlToWvlet {
         val args =
           if (f.arguments.isEmpty && name.equalsIgnoreCase("count")) "*"
           else f.arguments.map {
+            // COUNT(1) = COUNT(*) — but COUNT(DISTINCT 1) counts the one
+            // distinct constant, not distinct rows
             case Literal(1, org.apache.spark.sql.types.IntegerType)
-                if name.equalsIgnoreCase("count") && f.arguments.length == 1 => "*"
+                if name.equalsIgnoreCase("count") && f.arguments.length == 1 &&
+                  !f.isDistinct => "*"
             case a => ex(a)
           }.mkString(", ")
         val filt = f.filter.map(c => s" filter (where ${ex(c)})").getOrElse("")

@@ -26,8 +26,9 @@ object WvPrinter {
 
   /** Keywords that would derail the parser when a bare identifier starts a
     * select item / pipe position (mirrors Parser.pipeOpKeywords +
-    * statement starters). */
-  private val keywords = Set(
+    * statement starters). Shared with SqlToWvlet — ONE definition, so the
+    * printer and the transpiler cannot drift on what needs backquoting. */
+  private[lang] val keywords = Set(
     "where", "select", "group", "agg", "order", "limit", "offset", "count",
     "dedup", "distinct", "sample", "add", "prepend", "transform", "exclude",
     "rename", "shift", "join", "inner", "left", "right", "full", "cross",
@@ -41,7 +42,7 @@ object WvPrinter {
     "if", "cast", "try_cast", "extract", "interval", "contains", "should",
     "route", "fork", "wait", "activate", "with", "package", "import", "use")
 
-  private def ident(name: String): String =
+  private[lang] def ident(name: String): String =
     if (plainIdent.findFirstIn(name).isDefined && !keywords.contains(name.toLowerCase))
       name
     else s"`$name`"

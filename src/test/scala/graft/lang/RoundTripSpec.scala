@@ -72,7 +72,7 @@ class RoundTripSpec extends SparkTestBase {
       case f: Float => f"$f%.6f"
       case b: java.math.BigDecimal => f"${b.doubleValue}%.6f"
       case v => String.valueOf(v)
-    }.mkString("")).sorted.toSeq)
+    }.mkString("\u0001")).sorted.toSeq)
   }
 
   /** Per-file round trip: Left(reason) on the first unsupported/failed
