@@ -515,7 +515,31 @@ object Lowering {
       case Offset(c, _) => strip(c)
       case other => other
     }
-    strip(rel0) match {
+    // Stages between the trailing presentation operators and the Agg core:
+    // post-agg HAVING filters and stateless column stages. Peeled here
+    // (innermost first) and re-applied to the streaming aggregate by
+    // applyPostAggStage — the same per-row lowering the batch refresh uses
+    // over the aggregated Plain relation, so staged appends keep comparing
+    // row-for-row against a full refresh.
+    def peel(r: Relation, acc: List[Relation]): (Relation, List[Relation]) = r match {
+      case a: Agg => (a, acc)
+      case Sort(c, _) => peel(c, acc) // row-preserving; append sink has no order
+      case _: Limit | _: Offset =>
+        throw new LoweringException(
+          "streaming aggregation: limit/offset below a post-agg stage has no " +
+            "incremental meaning — move it to the end of the pipeline")
+      case f: Filter => peel(f.child, f :: acc)
+      case p: Project if !p.items.exists(it => hasAgg(it.expr)) =>
+        peel(p.child, p :: acc)
+      case t: TransformColumns => peel(t.child, t :: acc)
+      case ac: AddColumns => peel(ac.child, ac :: acc)
+      case ec: ExcludeColumns => peel(ec.child, ec :: acc)
+      case rc: RenameColumns => peel(rc.child, rc :: acc)
+      case sc: ShiftColumns => peel(sc.child, sc :: acc)
+      case other => (other, acc)
+    }
+    val (core, postStages) = peel(strip(rel0), Nil)
+    val agged: DataFrame = core match {
       case Agg(gb: GroupBy, items) if windowedSubscription(gb.child).isDefined =>
         val sub = windowedSubscription(gb.child).get
         val pmap = sub.params.toMap
@@ -617,8 +641,67 @@ object Lowering {
       case other =>
         throw new LoweringException(
           "streaming aggregation expects `from <t>.subscribe(window_size: …) " +
-            "… group by … agg …` (optional where/select in between); got " +
+            "… group by … agg …` (optional where/select before the group-by " +
+            "and where/select/column stages after the agg); got " +
             other.getClass.getSimpleName)
+    }
+    postStages.foldLeft(agged)((df, st) => applyPostAggStage(df, st, ctx))
+  }
+
+  /** Post-aggregation stages of a streaming subscription query: HAVING-style
+    * filters and stateless projections/column ops over the emitted aggregate
+    * rows. Each case mirrors the batch lowering of the same node over an
+    * aggregated Plain relation (no subquery binding — a subquery join after
+    * a streaming aggregation is not reproducible by the batch refresh, and
+    * `select distinct` would need a second stateful dedup; both are rejected
+    * at lowering). */
+  private def applyPostAggStage(df: DataFrame, stage: Relation, ctx: Context): DataFrame = {
+    def subqueryFree(e: Expr): Expr = {
+      transformExpr(e) {
+        case s @ (_: InSubquery | _: ExistsExpr | _: ScalarSubquery) =>
+          throw new LoweringException(
+            "streaming aggregation: subqueries are not supported after the agg " +
+              "— the batch refresh could not reproduce a stream-side subquery join")
+      }
+      e
+    }
+    val ectx = ExprCtx(ctx, aggMode = false, dfOpt = Some(df))
+    stage match {
+      case Filter(_, cond) => df.filter(expr(subqueryFree(cond), ectx))
+      case Project(_, items, distinct) =>
+        if (distinct)
+          throw new LoweringException(
+            "streaming aggregation: `select distinct` after the agg would need " +
+              "a second stateful dedup — deduplicate with group keys instead")
+        df.select(items.zipWithIndex.map { case (it, i) =>
+          it.expr match {
+            case Star(None) => F.col("*")
+            case Star(Some(q)) => F.col(s"$q.*")
+            case e => expr(subqueryFree(e), ectx).as(itemName(it, i))
+          }
+        }: _*)
+      case TransformColumns(_, items) =>
+        items.zipWithIndex.foldLeft(df) { case (d, (it, i)) =>
+          d.withColumn(itemName(it, i),
+            expr(subqueryFree(it.expr), ExprCtx(ctx, aggMode = false, dfOpt = Some(d))))
+        }
+      case AddColumns(_, items, prepend) =>
+        val newCols = items.zipWithIndex.map { case (it, i) =>
+          expr(subqueryFree(it.expr), ectx).as(itemName(it, i))
+        }
+        val existing = df.columns.map(F.col).toList
+        if (prepend) df.select(newCols ++ existing: _*)
+        else df.select(existing ++ newCols: _*)
+      case ExcludeColumns(_, cols) => df.drop(cols: _*)
+      case RenameColumns(_, renames) => df.withColumnsRenamed(renames.toMap)
+      case ShiftColumns(_, cols, toLeft) =>
+        val shifted = cols.map(c => df.columns.find(_.equalsIgnoreCase(c)).getOrElse(c))
+        val rest = df.columns.filterNot(c => shifted.exists(_.equalsIgnoreCase(c))).toList
+        val order = if (toLeft) shifted ++ rest else rest ++ shifted
+        df.select(order.map(F.col): _*)
+      case other =>
+        throw new LoweringException(
+          s"streaming aggregation: unsupported post-agg stage ${other.getClass.getSimpleName}")
     }
   }
 

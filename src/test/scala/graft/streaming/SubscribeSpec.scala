@@ -369,6 +369,85 @@ class SubscribeSpec extends SparkTestBase {
       s"batch=${batch.collect().toSeq} stream=${a.toSeq}")
   }
 
+  test("post-agg having and projection execute inside the streaming plan") {
+    // lowerStreamingAgg peels stages ABOVE the agg: `where` after the agg is
+    // a HAVING on the emitted windows, `select` after it a stateless
+    // projection — both run inside the readStream plan and must equal the
+    // batch refresh of the same text row-for-row on finalized windows
+    import graft.lang.{Lowering, Parser}
+    val in = Files.createTempDirectory("phav_in").toString
+    val out = Files.createTempDirectory("phav_out").toString
+    val ck = Files.createTempDirectory("phav_ck").toString
+    val text = """
+      from ingest.subscribe(watermark_column: 'ts', watermark_delay: '10m', window_size: '1h')
+      group by event_type
+      agg n = _.count, total = value.sum
+      where n > 1
+      select event_type, window_start_ms, mean = total / n
+    """
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$in/*")
+      val plan = Lowering.lowerStreamingAgg(
+        Parser.parseStatements(text), stream,
+        Lowering.Context(spark, _ => stream))
+      Subscribe.stageAppend(plan, out, ck).awaitTermination()
+    }
+    // hour 00: three 'a' events (passes HAVING); hour 01: one 'b' (n=1,
+    // filtered by the post-agg where INSIDE the stream)
+    writeBatch(in, "b1", Seq(
+      ("2024-01-01 00:10:00", "a", 1.0),
+      ("2024-01-01 00:20:00", "a", 2.0),
+      ("2024-01-01 00:40:00", "a", 4.0),
+      ("2024-01-01 01:05:00", "b", 5.0)))
+    runOnce()
+    // hour 03 grows to n=2; watermark advances past hours 00 and 01
+    writeBatch(in, "b2", Seq(
+      ("2024-01-01 03:00:00", "c", 9.0),
+      ("2024-01-01 03:05:00", "c", 1.0)))
+    runOnce()
+    // sentinel closes hour 03
+    writeBatch(in, "b3", Seq(("2024-01-01 06:00:00", "zz", 1.0)))
+    runOnce()
+    val staged = spark.read.parquet(out)
+    assert(staged.columns.toSeq == Seq("event_type", "window_start_ms", "mean"),
+      s"projected columns: ${staged.columns.toSeq}")
+    // the n=1 'b' window finalized but must have been HAVING-filtered
+    assert(staged.filter(F.col("event_type") === "b").count() == 0,
+      "post-agg where must drop the n=1 window inside the stream")
+    val all = spark.read.schema(schema).parquet(s"$in/*")
+    val batch = Lowering.lowerStatements(Parser.parseStatements(text),
+      Lowering.Context(spark, _ => all)).get
+    // finalized = watermark (06:00 - 10m) passed window start + 1h (the
+    // projection dropped window_end_ms; derive the end from the start)
+    val wmMs = Timestamp.valueOf("2024-01-01 05:50:00").getTime
+    val finalized = batch.filter(F.col("window_start_ms") + 3600000L <= wmMs)
+    assert(staged.exceptAll(finalized).count() == 0 &&
+      finalized.exceptAll(staged).count() == 0,
+      s"staged=${staged.collect().toSeq} batch=${finalized.collect().toSeq}")
+    val a = staged.filter(F.col("event_type") === "a").collect()
+    assert(a.length == 1 && math.abs(a.head.getAs[Double]("mean") - 7.0 / 3) < 1e-12,
+      a.toSeq.toString)
+    // shapes that cannot run incrementally fail at lowering, not at runtime
+    val stream = spark.readStream.schema(schema).parquet(s"$in/*")
+    val badLimit = intercept[graft.lang.LoweringException] {
+      Lowering.lowerStreamingAgg(Parser.parseStatements(
+        """from ingest.subscribe(watermark_column: 'ts', window_size: '1h')
+           group by event_type
+           agg n = _.count
+           limit 5
+           where n > 1"""), stream, Lowering.Context(spark, _ => stream))
+    }
+    assert(badLimit.getMessage.contains("limit/offset"), badLimit.getMessage)
+    val badDistinct = intercept[graft.lang.LoweringException] {
+      Lowering.lowerStreamingAgg(Parser.parseStatements(
+        """from ingest.subscribe(watermark_column: 'ts', window_size: '1h')
+           group by event_type
+           agg n = _.count
+           select distinct n"""), stream, Lowering.Context(spark, _ => stream))
+    }
+    assert(badDistinct.getMessage.contains("distinct"), badDistinct.getMessage)
+  }
+
   test("session aggregation executes inside the streaming plan") {
     // per-session aggregation of the query's OWN agg columns via native
     // session_window, across 3 micro-batches: the staged output must equal
