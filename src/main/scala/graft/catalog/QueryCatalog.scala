@@ -134,6 +134,112 @@ object QueryCatalog {
     """
   }
 
+  /** DuckDB cosine of two 64-dim FLOAT lists at 6 decimals — the same
+    * index-order double accumulation the fused Catalyst expression uses
+    * (list_sum is left-to-right; float→double widening is exact). */
+  private def duckCosine(a: String, b: String): String =
+    s"""round(
+      list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
+      (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) *
+       sqrt(list_sum(list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))), 6)"""
+
+  /** DETERMINISTIC oracle for q_similarity_topk_lsh: recomputes the ENTIRE
+    * LSH pipeline. The seeded hyperplanes (scala.util.Random(7+t)
+    * .nextGaussian(), the exact doubles the engine uses) are inlined as
+    * VARCHAR→DOUBLE[] literals (Double.toString round-trips bit-exactly
+    * through DuckDB's strtod). Signature = Σ (dot>0)<<p per table; the
+    * engine's multi-probe candidate rule "corpus bucket ∈ {query sig} ∪
+    * {query sig ⊕ bit}" is equivalent to hamming(csig, qsig) ≤ 1 within a
+    * table, which is how the oracle joins. Exact-cosine rank at 6 decimals
+    * as everywhere else. */
+  private lazy val lshTopkOracleSql: String = {
+    val planes = 8; val tables = 6; val dim = 64
+    val planeRows = (0 until tables).flatMap { t =>
+      val hp = graft.operators.Similarity.hyperplanes(dim, planes, seed = 7L + t)
+      hp.zipWithIndex.map { case (w, p) =>
+        val lit = w.map(java.lang.Double.toString).mkString("[", ",", "]")
+        s"($t, ${1L << p}::BIGINT, '$lit'::DOUBLE[])"
+      }
+    }.mkString(",\n      ")
+    s"""
+    WITH planes(t, pw, w) AS (VALUES
+      $planeRows),
+    sigs AS (
+      SELECT e.vec_id, pl.t,
+        SUM(CASE WHEN list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * pl.w[i])) > 0
+            THEN pl.pw ELSE 0 END)::BIGINT AS sig
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+      FROM sigs c JOIN sigs q ON c.t = q.t AND bit_count(xor(c.sig, q.sig)) <= 1
+      WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+    ),
+    sims AS (
+      SELECT cd.query_id, cd.corpus_id,
+        ${duckCosine("ce.embedding", "qe.embedding")} AS cos_sim
+      FROM cand cd
+      JOIN embeddings ce ON ce.vec_id = cd.corpus_id
+      JOIN embeddings qe ON qe.vec_id = cd.query_id
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id, cos_sim,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS rank
+      FROM sims)
+    SELECT query_id, corpus_id, cos_sim, rank::INTEGER AS rank
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """
+  }
+
+  /** DETERMINISTIC oracle for q_similarity_topk_ivf (seeded-quantizer
+    * IVF-flat, Similarity.ivfSeededTopK): centroids = the nlist corpus
+    * points with smallest (md5(id), id); cell assignment and probe selection
+    * rank by (round(cos, 6) DESC, bucket ASC); final rank by
+    * (round(cos, 6) DESC, corpus_id ASC) — every step plain SQL. */
+  private lazy val ivfSeededOracleSql: String = {
+    val nlist = 32; val nprobe = 4
+    s"""
+    WITH seeds AS (
+      SELECT embedding AS cvec,
+        row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS bucket
+      FROM embeddings
+      QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= $nlist
+    ),
+    cos_ec AS (
+      SELECT e.vec_id, s.bucket,
+        ${duckCosine("e.embedding", "s.cvec")} AS cs
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    assign AS (
+      SELECT vec_id, bucket FROM cos_ec
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, bucket) = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, bucket FROM cos_ec WHERE vec_id < 10
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, bucket) <= $nprobe
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS corpus_id
+      FROM assign a JOIN probes p USING (bucket)
+      WHERE a.vec_id != p.query_id
+    ),
+    sims AS (
+      SELECT cd.query_id, cd.corpus_id,
+        ${duckCosine("ce.embedding", "qe.embedding")} AS cos_sim
+      FROM cand cd
+      JOIN embeddings ce ON ce.vec_id = cd.corpus_id
+      JOIN embeddings qe ON qe.vec_id = cd.query_id
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id, cos_sim,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id) AS rank
+      FROM sims)
+    SELECT query_id, corpus_id, cos_sim, rank::INTEGER AS rank
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """
+  }
+
   // ===========================================================================
   // A. Scans / filters / projections / ordering / limiting  (SURVEY §2.A–C)
   // ===========================================================================
@@ -2278,7 +2384,12 @@ object QueryCatalog {
       """)
     ),
     (
-      "q_similarity_topk_lsh", // approximate → rows-only
+      // DETERMINISTIC oracle (promoted from rows-only in r9): the DuckDB SQL
+      // inlines the SAME seeded hyperplanes the engine uses and recomputes
+      // signatures, multi-probe candidacy (hamming ≤ 1 per table — provably
+      // equivalent to the engine's probe-set join), and the exact-cosine
+      // rank. Verified equal at sf0.001 and sf0.01.
+      "q_similarity_topk_lsh",
       (spark, dir) => {
         val embs = Tables.read(spark, dir, "embeddings")
         val queries = embs.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
@@ -2286,7 +2397,7 @@ object QueryCatalog {
           queries, "vec_id", "embedding", k = 5, planes = 8, tables = 6)
           .orderBy("query_id", "rank")
       },
-      None
+      Some(lshTopkOracleSql)
     ),
     (
       // Property gate for q_similarity_topk_lsh: (a) every emitted hit's
@@ -2319,15 +2430,20 @@ object QueryCatalog {
       """)
     ),
     (
-      "q_similarity_topk_ivf", // IVF coarse-quantizer ANN (approximate → rows-only)
+      // IVF-flat with the deterministic seeded coarse quantizer
+      // (Similarity.ivfSeededTopK) — every step SQL-recomputable, so this
+      // row carries a full DuckDB oracle (promoted from rows-only in r9).
+      // The trained-KMeans quantizer path stays covered by
+      // q_similarity_ivf_property's exact-cosine + recall gates below.
+      "q_similarity_topk_ivf",
       (spark, dir) => {
         val embs = Tables.read(spark, dir, "embeddings")
         val queries = embs.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
-        Similarity.ivfTopK(embs, "vec_id", "embedding", queries, "vec_id", "embedding",
+        Similarity.ivfSeededTopK(embs, "vec_id", "embedding", queries, "vec_id", "embedding",
           k = 5, nlist = 32, nprobe = 4)
           .orderBy("query_id", "rank")
       },
-      None
+      Some(ivfSeededOracleSql)
     ),
     (
       // Property gate for q_similarity_topk_ivf — same two invariants as
@@ -2348,10 +2464,18 @@ object QueryCatalog {
           .agg(F.count(F.lit(1)).as("cosine_mismatches"))
         val recall = brute.join(ivf, Seq("query_id", "corpus_id"), "left_semi")
           .agg((F.count(F.lit(1)) / F.lit(50.0) >= 0.4).as("recall_floor_met"))
-        mismatches.crossJoin(recall)
+        // the seeded-quantizer variant (the oracled q_similarity_topk_ivf)
+        // must clear the same recall floor: an untrained quantizer trades a
+        // few recall points for SQL-portability, not more
+        val seeded = Similarity.ivfSeededTopK(embs, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, nlist = 32, nprobe = 4)
+        val seededRecall = brute.join(seeded, Seq("query_id", "corpus_id"), "left_semi")
+          .agg((F.count(F.lit(1)) / F.lit(50.0) >= 0.4).as("seeded_recall_floor_met"))
+        mismatches.crossJoin(recall).crossJoin(seededRecall)
       },
       Some("""
-        SELECT CAST(0 AS BIGINT) AS cosine_mismatches, true AS recall_floor_met
+        SELECT CAST(0 AS BIGINT) AS cosine_mismatches, true AS recall_floor_met,
+               true AS seeded_recall_floor_met
       """)
     ),
     (

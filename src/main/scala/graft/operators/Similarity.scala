@@ -23,8 +23,10 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Deterministic random hyperplanes: `planes` × dim, seed fixed. */
-  private def hyperplanes(dim: Int, planes: Int, seed: Long): Array[Array[Double]] = {
+  /** Deterministic random hyperplanes: `planes` × dim, seed fixed.
+    * `private[graft]` so the oracle-SQL builder (QueryCatalog) can inline the
+    * SAME plane constants into an engine-portable DuckDB recomputation. */
+  private[graft] def hyperplanes(dim: Int, planes: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
   }
@@ -190,6 +192,92 @@ object Similarity {
       .withColumn("__pr", F.row_number().over(probeW))
       .filter(F.col("__pr") <= nprobe)
       .select("query_id", "__qv", "bucket")
+    var cand = assigned.join(F.broadcast(probes), Seq("bucket")).drop("bucket")
+    if (excludeSelf) cand = cand.filter(F.col("corpus_id") =!= F.col("query_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("cos_sim").desc, F.col("corpus_id").asc)
+    cand
+      .withColumn("cos_sim", F.round(Dedup.cosine(F.col("__cv"), F.col("__qv")), 6))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "corpus_id", "cos_sim", "rank")
+  }
+
+  /** IVF-flat with a deterministic, engine-portable coarse quantizer:
+    * the `nlist` corpus points with the smallest `md5(id)` are the cell
+    * centroids (no Lloyd iterations — "random data points as centroids" is
+    * the classic k-means `random` init and a legitimate IVF quantizer;
+    * recall is within a few points of the trained quantizer at equal
+    * nprobe). Unlike the KMeans path, every step is recomputable in plain
+    * SQL, so this variant carries a bit-for-bit DuckDB oracle.
+    *
+    * Determinism contract (mirrored by the oracle): centroid order is
+    * (md5(id), id) ascending, bucket = rank-1; cell assignment ranks
+    * centroids by (round(cos, 6) DESC, bucket ASC); query probes take the
+    * top `nprobe` by the same ordering; final ranking is
+    * (round(cos, 6) DESC, corpus_id ASC). Rounding to 6 decimals before
+    * every comparison absorbs cross-engine accumulation-order noise.
+    *
+    * Scale anatomy: the centroid set is nlist rows (one bounded
+    * `limit(nlist).collect()` — same driver-side footprint as the KMeans
+    * model's `clusterCenters`). Assignment is an UNROLLED broadcast join:
+    * nlist cosine columns + `array_position(array_max)` argmax in a single
+    * shuffle-free codegen'd projection over the corpus (fits nlist up to a
+    * few hundred; beyond that, switch to the KMeans path whose
+    * crossJoin+window assignment amortizes). The probe join is identical to
+    * `ivfTopK`: broadcast (query × nprobe) against the cell-keyed corpus. */
+  def ivfSeededTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int = 10,
+      nlist: Int = 64,
+      nprobe: Int = 8,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val c = corpus.select(F.col(corpusId).as("corpus_id"), F.col(corpusVec).as("__cv"))
+    // deterministic seed points: smallest (md5(id), id); bounded collect
+    val seedRows = c
+      .withColumn("__m", F.md5(F.col("corpus_id").cast("string").cast("binary")))
+      .orderBy("__m", "corpus_id")
+      .limit(nlist)
+      .select("__cv")
+      .collect()
+    val centroids: Array[(Int, Array[Double])] = seedRows.zipWithIndex.map {
+      case (row, i) =>
+        val arr = row.getSeq[Any](0).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case n: Number => n.doubleValue()
+        }.toArray
+        (i, arr)
+    }
+    def centCol(vec: Array[Double]): Column = F.array(vec.map(F.lit(_)).toSeq: _*)
+    // rounded cosine to every centroid, in bucket order
+    def cosArr(vecCol: Column): Column =
+      F.array(centroids.map { case (_, v) =>
+        F.round(graft.functions.VectorExpressions.cosineSimilarity(vecCol, centCol(v)), 6)
+      }.toSeq: _*)
+    // argmax(cos) with min-bucket tie-break: array_position returns the
+    // FIRST index holding the max (1-based) — exactly (cos DESC, bucket ASC)
+    val assigned = c
+      .withColumn("__ca", cosArr(F.col("__cv")))
+      .withColumn("bucket", F.array_position(F.col("__ca"), F.array_max(F.col("__ca"))) - 1)
+      .select("corpus_id", "__cv", "bucket")
+    val q = queries.select(F.col(queryId).as("query_id"), F.col(queryVec).as("__qv"))
+    // top-nprobe cells per query: sort struct(-cos, bucket) asc == (cos DESC,
+    // bucket ASC), slice, explode — no shuffle on the (small) query side
+    val probeEntries = F.array(centroids.map { case (b, v) =>
+      F.struct(
+        (-F.round(graft.functions.VectorExpressions.cosineSimilarity(F.col("__qv"), centCol(v)), 6)).as("nc"),
+        F.lit(b.toLong).as("bucket"))
+    }.toSeq: _*)
+    val probes = q
+      .withColumn("__p", F.explode(F.slice(F.sort_array(probeEntries), 1, nprobe)))
+      .select(F.col("query_id"), F.col("__qv"), F.col("__p").getField("bucket").as("bucket"))
     var cand = assigned.join(F.broadcast(probes), Seq("bucket")).drop("bucket")
     if (excludeSelf) cand = cand.filter(F.col("corpus_id") =!= F.col("query_id"))
     val w = Window.partitionBy("query_id")
