@@ -33,7 +33,11 @@ object BenchScale {
     "q_pack_sequences",
     "q_corpus_token_stats",
     "q_curation_pipeline",
-    "q_events_session_rows")
+    "q_events_session_rows",
+    // the event-time family restored by the round-9 NTZ fix — streaming-
+    // shaped plans must prove ~linear scaling too
+    "q_events_sessionize",
+    "q_subscribe_windowed_agg")
 
   private def loadavg(): String = BenchGuard.loadavg()
 

@@ -134,14 +134,26 @@ object QueryCatalog {
     """
   }
 
-  /** DuckDB cosine of two 64-dim FLOAT lists at 6 decimals — the same
-    * index-order double accumulation the fused Catalyst expression uses
-    * (list_sum is left-to-right; float→double widening is exact). */
-  private def duckCosine(a: String, b: String): String =
+  /** Embedding dimensionality of the testdata `embeddings` table. The
+    * DuckDB oracles index lists positionally up to this bound — an
+    * out-of-range DuckDB list index yields NULL which list_sum silently
+    * zero-fills, so a schema change here without updating this constant
+    * would fail the ANN gates with a value mismatch, not an obvious error. */
+  private val embeddingDim = 64
+
+  /** DuckDB cosine of two `embeddingDim` FLOAT lists at 6 decimals — the
+    * same index-order double accumulation the fused Catalyst expression
+    * uses. Bit-for-bit equality with the engine rests on DuckDB's list_sum
+    * being strict LEFT-TO-RIGHT sequential double addition (true today; a
+    * DuckDB upgrade to pairwise/Kahan summation would flip low-order bits
+    * and, in the LSH oracle's sign test, near-zero sign bits). */
+  private def duckCosine(a: String, b: String): String = {
+    val r = s"range(1, ${embeddingDim + 1})"
     s"""round(
-      list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
-      (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) *
-       sqrt(list_sum(list_transform(range(1, 65), i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))), 6)"""
+      list_sum(list_transform($r, i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
+      (sqrt(list_sum(list_transform($r, i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) *
+       sqrt(list_sum(list_transform($r, i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))), 6)"""
+  }
 
   /** DETERMINISTIC oracle for q_similarity_topk_lsh: recomputes the ENTIRE
     * LSH pipeline. The seeded hyperplanes (scala.util.Random(7+t)
@@ -153,7 +165,7 @@ object QueryCatalog {
     * table, which is how the oracle joins. Exact-cosine rank at 6 decimals
     * as everywhere else. */
   private lazy val lshTopkOracleSql: String = {
-    val planes = 8; val tables = 6; val dim = 64
+    val planes = 8; val tables = 6; val dim = embeddingDim
     val planeRows = (0 until tables).flatMap { t =>
       val hp = graft.operators.Similarity.hyperplanes(dim, planes, seed = 7L + t)
       hp.zipWithIndex.map { case (w, p) =>
@@ -166,7 +178,7 @@ object QueryCatalog {
       $planeRows),
     sigs AS (
       SELECT e.vec_id, pl.t,
-        SUM(CASE WHEN list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * pl.w[i])) > 0
+        SUM(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), i -> e.embedding[i]::DOUBLE * pl.w[i])) > 0
             THEN pl.pw ELSE 0 END)::BIGINT AS sig
       FROM embeddings e CROSS JOIN planes pl
       GROUP BY 1, 2
@@ -207,8 +219,11 @@ object QueryCatalog {
       QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= $nlist
     ),
     cos_ec AS (
+      -- NaN guard mirrors the engine's nanvl(cos, -1.0): a zero-norm vector
+      -- would otherwise rank FIRST here (DuckDB sorts NaN above all) but
+      -- LAST in the engine's ascending struct sort
       SELECT e.vec_id, s.bucket,
-        ${duckCosine("e.embedding", "s.cvec")} AS cs
+        COALESCE(NULLIF(${duckCosine("e.embedding", "s.cvec")}, 'NaN'::DOUBLE), -1.0) AS cs
       FROM embeddings e CROSS JOIN seeds s
     ),
     assign AS (

@@ -552,7 +552,7 @@ object Lowering {
         val base =
           if (pmap.get("dedup_keys").exists(_.trim.nonEmpty))
             graft.streaming.Subscribe.dedupFromParams(stream, pmap)
-          else stream.withWatermark(ts, delay)
+          else graft.functions.EpochTime.normalizeTs(stream, ts).withWatermark(ts, delay)
         val ctx2 = ctx.copy(streamingSub = Some(base))
         val child = lower(gb.child, ctx2)
         val ectx = ExprCtx(ctx2, aggMode = false)
@@ -569,8 +569,10 @@ object Lowering {
         val agged = child
           .groupBy(win.as("__w") +: keyCols: _*)
           .agg(aggCols.head, aggCols.tail: _*)
-          .withColumn("window_start_ms", F.unix_millis(F.col("__w.start")))
-          .withColumn("window_end_ms", F.unix_millis(F.col("__w.end")))
+          .withColumn("window_start_ms",
+            graft.functions.EpochTime.unixMillis(F.col("__w.start")))
+          .withColumn("window_end_ms",
+            graft.functions.EpochTime.unixMillis(F.col("__w.end")))
           .drop("__w")
         // batch refresh column order: keys…, window keys, aggs…
         val ordered =
@@ -612,7 +614,7 @@ object Lowering {
             s"group by over a sessionized subscription must group by exactly its " +
               s"session_keys (${sessKeys.mkString(", ")}); got (${bareKeys.mkString(", ")})")
         val floored = stream.withColumn(ts,
-          F.timestamp_millis(F.floor(F.unix_micros(F.col(ts)) / F.lit(1000)).cast("long")))
+          F.timestamp_millis(graft.functions.EpochTime.epochMs(F.col(ts))))
         val base =
           if (pmap.get("dedup_keys").exists(_.trim.nonEmpty))
             graft.streaming.Subscribe.dedupFromParams(floored, pmap)
@@ -629,9 +631,10 @@ object Lowering {
         val agged = child
           .groupBy(F.session_window(F.col(ts), s"${gapMs + 1} milliseconds").as("__w") +: keyCols: _*)
           .agg(aggCols.head, aggCols.tail: _*)
-          .withColumn("session_start_ms", F.unix_millis(F.col("__w.start")))
+          .withColumn("session_start_ms",
+            graft.functions.EpochTime.unixMillis(F.col("__w.start")))
           .withColumn("session_end_ms",
-            F.unix_millis(F.col("__w.end")) - F.lit(gapMs + 1))
+            graft.functions.EpochTime.unixMillis(F.col("__w.end")) - F.lit(gapMs + 1))
           .drop("__w")
         val ordered =
           gb.keys.zipWithIndex.map { case (k, i) => itemName(k, i) } ++
@@ -1284,7 +1287,7 @@ object Lowering {
               val tsC = wm.flatMap(c => df.columns.find(_.equalsIgnoreCase(c)))
                 .getOrElse(throw new LoweringException(
                   "subscribe: window_slide requires watermark_column"))
-              val tsMs = F.floor(F.unix_micros(F.col(tsC)) / F.lit(1000)).cast("long")
+              val tsMs = graft.functions.EpochTime.epochMs(F.col(tsC))
               // pmod, not %: floor-aligned buckets for pre-1970 timestamps
               // too, matching F.window's origin and the oracle's `//`
               val aligned = tsMs - F.pmod(tsMs, F.lit(slMs))
@@ -3188,6 +3191,14 @@ object Lowering {
         }, 0)
       case "current_date" => F.current_date()
       case "current_timestamp" | "now" => F.current_timestamp()
+      // NTZ-tolerant epoch conversions (Spark's builtins reject
+      // TIMESTAMP_NTZ; the reference's DuckDB backend coerces freely)
+      case "unix_micros" if args.length == 1 =>
+        graft.functions.EpochTime.unixMicros(a(0))
+      case "unix_millis" | "epoch_ms" if args.length == 1 =>
+        graft.functions.EpochTime.unixMillis(a(0))
+      case "to_unixtime" | "unix_seconds" | "epoch" if args.length == 1 =>
+        F.unix_seconds(a(0).cast("timestamp"))
       case "ulid" | "ulid_string" => graft.functions.UlidExpression.ulidString()
       case n if singleArgAggs.contains(n) && args.length == 1 =>
         F.call_function(fc.name, ag(a(0)))

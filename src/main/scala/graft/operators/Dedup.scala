@@ -21,6 +21,23 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Release the block-manager storage pinned by an eager
+    * `localCheckpoint(true)` frame. `Dataset.unpersist` only clears
+    * CacheManager entries, NOT the RDD blocks a local checkpoint stores —
+    * without this, every checkpointed iteration/candidate frame stays
+    * resident until driver GC, and a long-lived session (bench JVM, REPL,
+    * flow run) accumulates dead blocks (r8's monotone dedup-cluster run
+    * growth). Only call once nothing returned to the caller can still
+    * recompute through the frame (i.e. after a downstream checkpoint cut
+    * the lineage). */
+  private def releaseCheckpoint(dfs: DataFrame*): Unit =
+    dfs.foreach { df =>
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
+      }
+    }
+
   /** Spread a narrow input across the cluster before CPU-HEAVY per-row text
     * work (shingling HOFs — NOT for cheap maps like md5, where the extra
     * stage costs more than it saves). A small parquet file arrives as ONE
@@ -203,10 +220,16 @@ object Dedup {
       .join(shingleSets.select(F.col("__id").as("id_b"), F.col("__sh").as("__sh_b")), Seq("id_b"))
     val common = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
     val union = F.size(F.col("__sh_a")) + F.size(F.col("__sh_b")) - common
-    withSets
+    val verified = withSets
       .withColumn("jaccard", F.round(common.cast("double") / union, 6))
       .filter(F.col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+      // materialize the (threshold-filtered, small) verified pairs so the
+      // candidate checkpoint's blocks can be released NOW rather than
+      // pinned until driver GC — the r8 block-accumulation fix
+      .localCheckpoint(true)
+    releaseCheckpoint(candidates)
+    verified
   }
 
   /** MinHash-LSH dedup: drop every doc that has a verified near-dup with a
@@ -296,13 +319,70 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucketSize: Int = 1000
+      maxBucketSize: Int = 1000,
+      denseSigLimit: Long = 65536L
   ): DataFrame = {
     require(maxHamming >= 0, "maxHamming must be >= 0")
     require(maxHamming <= 14,
       "chunk-pair blocking needs numChunks = maxHamming + 2 <= 16 (>=4-bit chunks); " +
         "beyond hamming 14 the pigeonhole guarantee breaks")
     if (maxHamming == 0) return simhashExactPairs(df, idCol, textCol, maxBucketSize)
+    // Path selection on DISTINCT-signature count. A dense near-dup corpus
+    // (many docs, few distinct signatures — boilerplate storms, template
+    // farms) is the blocked path's worst case: every true pair re-surfaces
+    // from each of its agreeing chunk combos (up to C(numChunks,2) join rows
+    // per pair), so join volume is multiplicity × true pairs. With few
+    // distinct signatures the exact answer is cheaper at signature
+    // granularity: broadcast the distinct-signature list (8 bytes each, ≤
+    // 512 KB at the default limit), compare all signature pairs with a
+    // codegen'd bit_count filter (D²/2 comparisons, embarrassingly
+    // parallel), and only then expand members — each qualifying doc pair is
+    // produced exactly ONCE, uncapped, exact. Blocking remains the scale
+    // path: distinct signatures grow ~linearly with a diverse corpus and
+    // D² crosses over around the default limit (~4G comparisons ≈ a few
+    // seconds across a cluster's cores, vs a posting join that only grows
+    // linearly).
+    // (id, simhash) is read multiple times by either path (and the path
+    // choice itself needs a count) — materialize ONCE; n × 16-byte rows.
+    // Released before returning (the result checkpoint cuts its lineage).
+    val m = simhashTable(df, idCol, textCol).localCheckpoint(true)
+    val nDistinct = m.select("simhash").distinct().count()
+    System.err.println(
+      s"[dedup] simhashPairs: $nDistinct distinct signatures → " +
+        (if (nDistinct <= denseSigLimit) "dense broadcast-signature path"
+         else s"banded chunk-pair path (limit $denseSigLimit)"))
+    if (nDistinct <= denseSigLimit) {
+      val xor2 = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+      // explicit numbered repartition on the streamed side: the distinct
+      // output is a few hundred KB, which AQE would coalesce into ONE
+      // partition and serialize the D²/2 comparisons onto a single core
+      val parts0 = df.sparkSession.sparkContext.defaultParallelism
+      val sigPairs = m.select(F.col("simhash").as("sim_a")).distinct()
+        .repartition(parts0)
+        .crossJoin(F.broadcast(m.select(F.col("simhash").as("sim_b")).distinct()))
+        .filter(F.col("sim_a") < F.col("sim_b"))
+        .withColumn("hamming", F.bit_count(xor2))
+        .filter(F.col("hamming") <= maxHamming)
+      // expand distinct-signature pairs to member doc pairs (each unordered
+      // doc pair appears under exactly one ordered signature pair)
+      val crossSig = sigPairs
+        .join(m.select(F.col(idCol).as("__ida"), F.col("simhash").as("sim_a")), "sim_a")
+        .join(m.select(F.col(idCol).as("__idb"), F.col("simhash").as("sim_b")), "sim_b")
+        .select(
+          F.least(F.col("__ida"), F.col("__idb")).as("id_a"),
+          F.greatest(F.col("__ida"), F.col("__idb")).as("id_b"),
+          F.col("hamming"))
+      // equal-signature pairs (hamming 0): one self-join keyed on the
+      // signature itself
+      val l = m.select(F.col("simhash"), F.col(idCol).as("id_a"))
+      val r = m.select(F.col("simhash"), F.col(idCol).as("id_b"))
+      val eqSig = l.join(r, Seq("simhash"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(F.col("id_a"), F.col("id_b"), F.lit(0).as("hamming"))
+      val out = eqSig.union(crossSig).localCheckpoint(true)
+      releaseCheckpoint(m)
+      return out
+    }
     val numChunks = maxHamming + 2
     val bounds = (0 to numChunks).map(i => i * 64 / numChunks)
     val chunkCols = (0 until numChunks).map { i =>
@@ -320,7 +400,11 @@ object Dedup {
       F.lit(k.toLong) * F.lit(1L << 52) +
         chunkCols(i) * F.lit(1L << 26) + chunkCols(j)
     }
-    val withSim = simhashTable(df, idCol, textCol)
+    // the blocked path reads the (already materialized) signature table once
+    // for its postings; its result can be arbitrarily large, so it is NOT
+    // checkpointed — m's blocks (n × 16 bytes) stay pinned until driver GC,
+    // the one bounded residual of the path-choice count job
+    val withSim = m
     val parts = df.sparkSession.sparkContext.defaultParallelism
     val posts = withSim.select(
       F.col(idCol), F.col("simhash"),
@@ -586,6 +670,9 @@ object Dedup {
       .agg(F.least(F.col("id"), F.min("dst")).as("lbl"))
     var iter = 0
     var converged = false
+    // previous round's checkpointed frame — released once the NEXT round's
+    // checkpoint has materialized (its blocks no longer feed anything)
+    var prevCkpt: Option[DataFrame] = None
     while (iter < maxIter && !converged) {
       // each node adopts min(own label, neighbors' labels)
       val viaNeighbors = edges
@@ -617,9 +704,15 @@ object Dedup {
           (F.col("lbl") =!= F.col("__old")).as("__chg"))
         .localCheckpoint(true) // cut lineage; also materializes per round
       converged = next.filter(F.col("__chg")).limit(1).count() == 0
+      releaseCheckpoint(prevCkpt.toSeq: _*)
+      prevCkpt = Some(next)
       labels = next.drop("__chg")
       iter += 1
     }
+    // the final labels checkpoint is self-contained — the edge list's
+    // blocks can go (only the last, small, (id, lbl) frame stays pinned
+    // for the caller's lazy consumption)
+    if (iter > 0) releaseCheckpoint(edges)
     labels.select(F.col("id"), F.col("lbl").as("cluster"))
   }
 

@@ -256,10 +256,15 @@ object Similarity {
         (i, arr)
     }
     def centCol(vec: Array[Double]): Column = F.array(vec.map(F.lit(_)).toSeq: _*)
-    // rounded cosine to every centroid, in bucket order
+    // rounded cosine to every centroid, in bucket order; nanvl guards a
+    // zero-norm vector (NaN cosine): Spark's struct sort would rank NaN
+    // LAST while the DuckDB oracle's ORDER BY cs DESC ranks it FIRST —
+    // pinning NaN to -1.0 on BOTH sides makes probe/cell selection agree
     def cosArr(vecCol: Column): Column =
       F.array(centroids.map { case (_, v) =>
-        F.round(graft.functions.VectorExpressions.cosineSimilarity(vecCol, centCol(v)), 6)
+        F.round(F.nanvl(
+          graft.functions.VectorExpressions.cosineSimilarity(vecCol, centCol(v)),
+          F.lit(-1.0)), 6)
       }.toSeq: _*)
     // argmax(cos) with min-bucket tie-break: array_position returns the
     // FIRST index holding the max (1-based) — exactly (cos DESC, bucket ASC)
@@ -272,7 +277,9 @@ object Similarity {
     // bucket ASC), slice, explode — no shuffle on the (small) query side
     val probeEntries = F.array(centroids.map { case (b, v) =>
       F.struct(
-        (-F.round(graft.functions.VectorExpressions.cosineSimilarity(F.col("__qv"), centCol(v)), 6)).as("nc"),
+        (-F.round(F.nanvl(
+          graft.functions.VectorExpressions.cosineSimilarity(F.col("__qv"), centCol(v)),
+          F.lit(-1.0)), 6)).as("nc"),
         F.lit(b.toLong).as("bucket"))
     }.toSeq: _*)
     val probes = q

@@ -45,9 +45,9 @@ object Sessionize {
 
   /** Epoch-millis of a timestamp column, floor(micros/1000) — the same
     * arithmetic the DuckDB oracles' epoch_ms(ts)::BIGINT performs, so
-    * session bounds are bit-identical across engines. */
-  private def tsMs(c: Column): Column =
-    F.floor(F.unix_micros(c) / F.lit(1000)).cast("long")
+    * session bounds are bit-identical across engines. NTZ-tolerant via
+    * [[graft.functions.EpochTime]]. */
+  private def tsMs(c: Column): Column = graft.functions.EpochTime.epochMs(c)
 
   /** Merge new event times into a disjoint, gap-separated open-session
     * list. Pure and order-insensitive: every event is a width-0 session,
@@ -141,7 +141,9 @@ object Sessionize {
       case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => e
     }.isDefined
     val wmStream =
-      if (hasWatermark) stream else stream.withWatermark(tsCol, watermarkDelay)
+      if (hasWatermark) stream
+      else graft.functions.EpochTime.normalizeTs(stream, tsCol)
+        .withWatermark(tsCol, watermarkDelay)
     val keyed = wmStream
       .select(
         // coalesce each key to a NULL sentinel first: concat_ws skips

@@ -46,8 +46,10 @@ object Subscribe {
     val grouped = df.groupBy((win.as("__w") +: keys.map(F.col)): _*)
     grouped
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("window_start_ms", F.unix_millis(F.col("__w.start")))
-      .withColumn("window_end_ms", F.unix_millis(F.col("__w.end")))
+      .withColumn("window_start_ms",
+        graft.functions.EpochTime.unixMillis(F.col("__w.start")))
+      .withColumn("window_end_ms",
+        graft.functions.EpochTime.unixMillis(F.col("__w.end")))
       .drop("__w")
   }
 
@@ -63,7 +65,8 @@ object Subscribe {
       aggs: Seq[Column]
   ): DataFrame = {
     require(stream.isStreaming, "subscribe requires a streaming DataFrame (readStream)")
-    tumbling(stream.withWatermark(tsCol, watermarkDelay), tsCol, windowDuration, keys, aggs)
+    val s = graft.functions.EpochTime.normalizeTs(stream, tsCol)
+    tumbling(s.withWatermark(tsCol, watermarkDelay), tsCol, windowDuration, keys, aggs)
   }
 
   /** Streaming exact dedup on ingest: emit each key set (e.g. a content
@@ -82,7 +85,7 @@ object Subscribe {
   ): DataFrame = {
     require(stream.isStreaming, "dedupStream requires a streaming DataFrame (readStream)")
     require(keyCols.nonEmpty, "at least one dedup key required")
-    stream
+    graft.functions.EpochTime.normalizeTs(stream, tsCol)
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
   }
@@ -146,7 +149,7 @@ object Subscribe {
     val delay = duration(params.getOrElse("watermark_delay", "10 minutes"))
     val hasDedup = params.get("dedup_keys").exists(_.trim.nonEmpty)
     val base = if (hasDedup) dedupFromParams(stream, params)
-               else stream.withWatermark(ts, delay)
+               else graft.functions.EpochTime.normalizeTs(stream, ts).withWatermark(ts, delay)
     (params.get("window_size"), params.get("session_gap")) match {
       case (Some(_), Some(_)) =>
         throw new IllegalArgumentException(
