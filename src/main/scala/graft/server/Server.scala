@@ -1,0 +1,251 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.Instant
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+
+/** HTTP query server — the Spark-native analogue of the reference's
+  * `wvlet-server` frontend RPC surface (reference
+  * wvlet-server/src/main/scala/wvlet/lang/server/WvletServer.scala,
+  * FrontendApiImpl.scala:17-24; API contract
+  * wvlet-api/src/main/scala/wvlet/lang/api/v1/frontend/FrontendApi.scala and
+  * v1/query/{QueryRequest,QueryInfo}.scala). Same WHAT, different HOW: the
+  * reference runs netty + its RPC framework and executes on DuckDB/Trino;
+  * here a JDK built-in `HttpServer` (zero added dependencies — the build has
+  * no HTTP/JSON libraries) fronts one shared SparkSession, and a query is
+  * just a submitted Spark job.
+  *
+  * Endpoints (JSON in/out):
+  *   - `GET  /api/v1/status` — version + uptime (FrontendApi.status)
+  *   - `POST /api/v1/query` — submit `{query, maxRows?, sessionId?}`,
+  *     returns `{queryId}` immediately (FrontendApi.submitQuery: async
+  *     submit + id, result read separately)
+  *   - `GET  /api/v1/query/{id}?pageToken=N` — status + schema + a page of
+  *     rows (FrontendApi.getQueryInfo pagination via pageToken)
+  *   - `POST /api/v1/transpile` — `{sql}` → `{query}` (the `wvlet
+  *     transpile` surface, SURVEY §3.3)
+  *   - `POST /api/v1/fmt` — `{query}` → `{formatted}` (canonical printer)
+  *
+  * Scale posture:
+  *   - `maxRows` (default 1000, cap 100k) is pushed INTO the plan as a
+  *     `limit` before collect — the driver never materializes an unbounded
+  *     result; Spark plans it as CollectLimit/TakeOrdered, so a server
+  *     result page costs a bounded scan, not a full query materialization.
+  *   - queries run on a thread pool against the one SparkSession — Spark
+  *     schedules concurrent jobs fairly; per-query state lives in a
+  *     ConcurrentHashMap and pagination re-reads the bounded collected page.
+  *   - `sessionId` scopes a [[graft.lang.Lowering.Context]] per client (the
+  *     reference's ScriptRunnerSessions.scala:99 contract: id-less requests
+  *     share a default session), so `def`/`model`/`val` definitions persist
+  *     across a client's requests without leaking between clients.
+  */
+object Server {
+
+  final case class QueryState(
+      queryId: String,
+      query: String,
+      createdAt: Instant,
+      var status: String, // running | finished | failed
+      var completedAt: Option[Instant] = None,
+      var schema: Seq[(String, String)] = Nil,
+      var rows: Seq[Seq[Any]] = Nil,
+      var truncated: Boolean = false,
+      var error: Option[String] = None)
+
+  final class Instance(
+      val server: HttpServer,
+      private val pool: java.util.concurrent.ExecutorService) {
+    def port: Int = server.getAddress.getPort
+    def stop(): Unit = { server.stop(0); pool.shutdownNow() }
+  }
+
+  private val PageSize = 200
+
+  def start(
+      spark: SparkSession,
+      dir: String,
+      port: Int = 0,
+      defaultMaxRows: Int = 1000
+  ): Instance = {
+    val startNs = System.nanoTime()
+    val queries = new ConcurrentHashMap[String, QueryState]()
+    val sessions = new ConcurrentHashMap[String, graft.lang.Lowering.Context]()
+    def sessionCtx(id: String): graft.lang.Lowering.Context =
+      sessions.computeIfAbsent(id, _ =>
+        graft.lang.Lowering.Context(spark, Tables0.resolver(spark, dir), basePath = dir))
+    val pool = Executors.newFixedThreadPool(
+      math.max(2, Runtime.getRuntime.availableProcessors() / 4))
+    val rnd = new java.util.Random()
+    def newId(): String =
+      synchronized { graft.functions.UlidExpression.generate(rnd).toString }
+
+    val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+    def send(ex: HttpExchange, code: Int, body: Map[String, Any]): Unit = {
+      val bytes = Json.write(body).getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+    def readBody(ex: HttpExchange): String =
+      new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    def handler(f: HttpExchange => Unit): HttpHandler = (ex: HttpExchange) =>
+      try f(ex)
+      catch {
+        case e: Json.JsonParseException =>
+          send(ex, 400, Map("error" -> s"bad request: ${e.getMessage}"))
+        case e: Throwable =>
+          send(ex, 500, Map("error" -> String.valueOf(e.getMessage)))
+      }
+
+    // async submit: record state, run the query + bounded collect on the
+    // pool, answer with the id immediately (the reference's submitQuery /
+    // getQueryInfo split)
+    def submit(text: String, maxRows: Int, sid: String, ex: HttpExchange): Unit = {
+      val st = QueryState(newId(), text, Instant.now(), "running")
+      queries.put(st.queryId, st)
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try {
+            val df = graft.Graft.runWith(sessionCtx(sid), text)
+            if (df.columns.nonEmpty) {
+              // limit+1 INSIDE the plan detects truncation without
+              // counting (or materializing) the full result
+              val collected = df.limit(maxRows + 1).collect()
+              st.schema = df.schema.fields.toSeq
+                .map(f => f.name -> f.dataType.simpleString)
+              st.truncated = collected.length > maxRows
+              st.rows = collected.take(maxRows).toSeq
+                .map(_.toSeq.map {
+                  case null => null
+                  case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+                  case v => v
+                })
+            }
+            st.status = "finished"
+            st.completedAt = Some(Instant.now())
+          } catch {
+            case e: Throwable =>
+              st.status = "failed"
+              st.error = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
+              st.completedAt = Some(Instant.now())
+          }
+      })
+      send(ex, 200, Map("queryId" -> st.queryId))
+    }
+
+    http.createContext("/api/v1/status", handler { ex =>
+      send(ex, 200, Map(
+        "version" -> "0.9",
+        "upTimeMs" -> (System.nanoTime() - startNs) / 1000000L))
+    })
+
+    http.createContext("/api/v1/query", handler { ex =>
+      val path = ex.getRequestURI.getPath.stripPrefix("/api/v1/query")
+      (ex.getRequestMethod, path.stripPrefix("/")) match {
+        case ("POST", "") =>
+          val req = Json.parseObject(readBody(ex))
+          req.get("query") match {
+            case Some(text: String) if text.trim.nonEmpty =>
+              val maxRows = req.get("maxRows") match {
+                case Some(n: Number) => math.min(math.max(n.intValue(), 1), 100000)
+                case _ => defaultMaxRows
+              }
+              val sid = req.get("sessionId") match {
+                case Some(s: String) if s.nonEmpty => s
+                case _ => "__default"
+              }
+              submit(text, maxRows, sid, ex)
+            case _ => send(ex, 400, Map("error" -> "missing 'query'"))
+          }
+        case ("GET", id) if id.nonEmpty =>
+          Option(queries.get(id)) match {
+            case None => send(ex, 404, Map("error" -> s"query '$id' not found"))
+            case Some(st) =>
+              val page = Option(ex.getRequestURI.getQuery).getOrElse("")
+                .split("&").collectFirst {
+                  case kv if kv.startsWith("pageToken=") =>
+                    kv.stripPrefix("pageToken=").toInt
+                }.getOrElse(0)
+              val slice = st.rows.slice(page, page + PageSize)
+              val next = page + slice.length
+              send(ex, 200, Map(
+                "queryId" -> st.queryId,
+                "status" -> st.status,
+                "createdAt" -> st.createdAt.toString,
+                "completedAt" -> st.completedAt.map(_.toString),
+                "error" -> st.error,
+                "schema" -> st.schema.map { case (n, t) =>
+                  Map("name" -> n, "typeName" -> t) },
+                "rows" -> slice,
+                "totalRows" -> st.rows.length,
+                "truncated" -> st.truncated,
+                "pageToken" -> (if (next < st.rows.length) next.toString else "")))
+          }
+        case _ => send(ex, 405, Map("error" -> "method not allowed"))
+      }
+    })
+
+    http.createContext("/api/v1/transpile", handler { ex =>
+      val req = Json.parseObject(readBody(ex))
+      req.get("sql") match {
+        case Some(sql: String) =>
+          try send(ex, 200, Map("query" -> graft.lang.SqlToWvlet.transpile(sql, spark)))
+          catch { case e: Throwable =>
+            send(ex, 400, Map("error" -> String.valueOf(e.getMessage))) }
+        case _ => send(ex, 400, Map("error" -> "missing 'sql'"))
+      }
+    })
+
+    http.createContext("/api/v1/fmt", handler { ex =>
+      val req = Json.parseObject(readBody(ex))
+      req.get("query") match {
+        case Some(q: String) =>
+          try send(ex, 200, Map(
+            "formatted" -> graft.lang.WvPrinter.print(graft.lang.Parser.parseStatements(q))))
+          catch { case e: Throwable =>
+            send(ex, 400, Map("error" -> String.valueOf(e.getMessage))) }
+        case _ => send(ex, 400, Map("error" -> "missing 'query'"))
+      }
+    })
+
+    http.setExecutor(Executors.newFixedThreadPool(4))
+    http.start()
+    new Instance(http, pool)
+  }
+
+  /** Avoid a hard import cycle in object init order. */
+  private object Tables0 {
+    def resolver(spark: SparkSession, dir: String): String => DataFrame =
+      graft.Tables.resolver(spark, dir)
+  }
+
+  def main(args: Array[String]): Unit = {
+    var dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    var port = 8080
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--dir" => dir = args(i + 1); i += 2
+        case "--port" => port = args(i + 1).toInt; i += 2
+        case other => System.err.println(s"unknown arg $other"); sys.exit(2)
+      }
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-server")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    graft.Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val inst = start(spark, dir, port)
+    println(s"graft server listening on http://127.0.0.1:${inst.port} (tables from $dir)")
+    Thread.currentThread().join()
+  }
+}

@@ -1,0 +1,138 @@
+package graft.server
+
+import graft.SparkTestBase
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** End-to-end exercise of the HTTP query server over the testdata tables:
+  * async submit → poll → paged results, per-session definitions, error
+  * surfacing, and the transpile/fmt endpoints. Uses only JDK
+  * HttpURLConnection — the server itself must not require any client
+  * library either. */
+class ServerSpec extends SparkTestBase {
+
+  private lazy val inst = Server.start(spark, sfDir)
+  private def base = s"http://127.0.0.1:${inst.port}"
+
+  override def afterAll(): Unit = {
+    try inst.stop() finally super.afterAll()
+  }
+
+  private def http(method: String, path: String, body: Option[String] = None): (Int, Map[String, Any]) = {
+    val conn = URI.create(s"$base$path").toURL.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(60000)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      val os = conn.getOutputStream
+      try os.write(b.getBytes(UTF_8)) finally os.close()
+    }
+    val code = conn.getResponseCode
+    val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val text = new String(is.readAllBytes(), UTF_8)
+    is.close()
+    (code, Json.parseObject(text))
+  }
+
+  private def submit(query: String, extra: String = ""): String = {
+    val (code, resp) = http("POST", "/api/v1/query",
+      Some(s"""{"query": ${Json.quote(query)}$extra}"""))
+    assert(code == 200, s"submit failed: $resp")
+    resp("queryId").asInstanceOf[String]
+  }
+
+  private def poll(id: String, pageToken: String = ""): Map[String, Any] = {
+    val q = if (pageToken.nonEmpty) s"?pageToken=$pageToken" else ""
+    var resp = http("GET", s"/api/v1/query/$id$q")._2
+    val deadline = System.nanoTime() + 120e9.toLong
+    while (resp("status") == "running" && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      resp = http("GET", s"/api/v1/query/$id$q")._2
+    }
+    resp
+  }
+
+  test("status endpoint reports uptime") {
+    val (code, resp) = http("GET", "/api/v1/status")
+    assert(code == 200)
+    assert(resp("upTimeMs").asInstanceOf[Number].longValue() >= 0L)
+  }
+
+  test("submit + poll returns schema and rows") {
+    val id = submit("from region select r_regionkey, r_name order by r_regionkey")
+    val resp = poll(id)
+    assert(resp("status") == "finished", s"got $resp")
+    val schema = resp("schema").asInstanceOf[Seq[Map[String, Any]]]
+    assert(schema.map(_("name")) == Seq("r_regionkey", "r_name"))
+    val rows = resp("rows").asInstanceOf[Seq[Seq[Any]]]
+    assert(rows.length == 5)
+    assert(rows.head(1) == "AFRICA")
+    assert(resp("truncated") == false)
+  }
+
+  test("maxRows truncates inside the plan and pageToken pages results") {
+    val id = submit("from lineitem select l_orderkey", ""","maxRows": 250""")
+    val first = poll(id)
+    assert(first("status") == "finished")
+    assert(first("totalRows").asInstanceOf[Number].intValue() == 250)
+    assert(first("truncated") == true)
+    val rows1 = first("rows").asInstanceOf[Seq[Seq[Any]]]
+    assert(rows1.length == 200) // first page
+    val tok = first("pageToken").asInstanceOf[String]
+    assert(tok == "200")
+    val second = poll(id, tok)
+    val rows2 = second("rows").asInstanceOf[Seq[Seq[Any]]]
+    assert(rows2.length == 50)
+    assert(second("pageToken") == "")
+  }
+
+  test("sessionId scopes definitions across requests") {
+    val sid = ""","sessionId": "s1""""
+    val defId = submit("model top_regions = { from region where r_regionkey < 2 }", sid)
+    val defResp = poll(defId)
+    assert(defResp("status") == "finished", s"got $defResp")
+    val useId = submit("from top_regions count", sid)
+    val useResp = poll(useId)
+    assert(useResp("status") == "finished", s"got $useResp")
+    assert(useResp("rows").asInstanceOf[Seq[Seq[Any]]].head.head
+      .asInstanceOf[Number].longValue() == 2L)
+    // a DIFFERENT session must not see the model
+    val otherId = submit("from top_regions count", ""","sessionId": "s2"""")
+    assert(poll(otherId)("status") == "failed")
+  }
+
+  test("a failing query surfaces its error") {
+    val id = submit("from region select no_such_column")
+    val resp = poll(id)
+    assert(resp("status") == "failed")
+    assert(resp("error").asInstanceOf[String].nonEmpty)
+  }
+
+  test("unknown query id is a 404; bad submit is a 400") {
+    assert(http("GET", "/api/v1/query/nope")._1 == 404)
+    assert(http("POST", "/api/v1/query", Some("""{"nope": 1}"""))._1 == 400)
+    assert(http("POST", "/api/v1/query", Some("not json"))._1 == 400)
+  }
+
+  test("transpile endpoint converts SQL to the query language") {
+    val (code, resp) = http("POST", "/api/v1/transpile",
+      Some("""{"sql": "SELECT r_name FROM region WHERE r_regionkey = 1"}"""))
+    assert(code == 200, s"got $resp")
+    val wv = resp("query").asInstanceOf[String]
+    assert(wv.contains("from region"), wv)
+    // and the transpiled text actually runs
+    val resp2 = poll(submit(wv))
+    assert(resp2("status") == "finished")
+    assert(resp2("rows").asInstanceOf[Seq[Seq[Any]]].head.head == "AMERICA")
+  }
+
+  test("fmt endpoint canonicalizes a query") {
+    val (code, resp) = http("POST", "/api/v1/fmt",
+      Some(Json.write(Map("query" -> "from   region\nselect    r_name"))))
+    assert(code == 200, s"got $resp")
+    assert(resp("formatted").asInstanceOf[String].contains("from region"))
+    assert(http("POST", "/api/v1/fmt", Some("""{"query": "from ((("}"""))._1 == 400)
+  }
+}
