@@ -190,6 +190,43 @@ object Server {
       }
     })
 
+    // read-only flow-run store view (reference FlowApiImpl.scala:37-55:
+    // listRuns + getRun over the session's run store; both backends read
+    // fresh state per call, so runs written by CLI/scheduler processes
+    // against the same warehouse stay visible)
+    lazy val flowStore = graft.flow.FlowRunStore.forSession(spark)
+    def runSummary(r: graft.flow.FlowRunRecord): Map[String, Any] = Map(
+      "runId" -> r.runId,
+      "flowName" -> r.flowName,
+      "state" -> r.state,
+      "startedAtMillis" -> r.startedAtMillis,
+      "finishedAtMillis" -> r.finishedAtMillis,
+      "runTimeMillis" -> r.runTimeMillis)
+    http.createContext("/api/v1/flows", handler { ex =>
+      val path = ex.getRequestURI.getPath.stripPrefix("/api/v1/flows").stripPrefix("/")
+      if (ex.getRequestMethod != "GET")
+        send(ex, 405, Map("error" -> "method not allowed"))
+      else if (path.isEmpty) {
+        val params = Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
+          .collect { case kv if kv.contains("=") =>
+            val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+        val flowName = params.get("flowName").filter(_.nonEmpty)
+        val limit = params.get("limit").flatMap(_.toIntOption).getOrElse(100)
+        val runs = flowStore.list()
+          .filter(r => flowName.forall(_ == r.flowName))
+          .take(math.max(limit, 0))
+        send(ex, 200, Map("runs" -> runs.map(runSummary)))
+      } else flowStore.get(path) match {
+        case Some(r) =>
+          send(ex, 200, runSummary(r) + ("stages" -> r.stages.map(s => Map(
+            "name" -> s.name,
+            "state" -> s.status,
+            "attempts" -> s.attempts,
+            "error" -> s.error))))
+        case None => send(ex, 404, Map("error" -> s"flow run '$path' not found"))
+      }
+    })
+
     http.createContext("/api/v1/transpile", handler { ex =>
       val req = Json.parseObject(readBody(ex))
       req.get("sql") match {

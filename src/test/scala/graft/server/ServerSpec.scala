@@ -128,6 +128,36 @@ class ServerSpec extends SparkTestBase {
     assert(resp2("rows").asInstanceOf[Seq[Seq[Any]]].head.head == "AMERICA")
   }
 
+  test("flow endpoints list runs and expose stage detail") {
+    // point the session's run store at a temp dir BEFORE the server's lazy
+    // store initializes (first /flows request), then write a record the way
+    // FlowRunner does
+    val dir = java.nio.file.Files.createTempDirectory("srv_flows").toString
+    spark.conf.set("graft.flow.runStoreDir", dir)
+    try {
+      val store = new graft.flow.FlowRunStore(java.nio.file.Paths.get(dir))
+      store.save(graft.flow.FlowRunRecord(
+        "run1", "nightly_etl", "success", 1000L, Some(3000L),
+        List(graft.flow.StageRunRecord("extract", "success", 1, None))))
+      store.save(graft.flow.FlowRunRecord(
+        "run2", "other_flow", "failed", 2000L, Some(2500L),
+        List(graft.flow.StageRunRecord("load", "failed", 3, Some("boom")))))
+      val (code, resp) = http("GET", "/api/v1/flows")
+      assert(code == 200)
+      val runs = resp("runs").asInstanceOf[Seq[Map[String, Any]]]
+      assert(runs.map(_("runId")).toSet == Set("run1", "run2"))
+      val (codeF, filtered) = http("GET", "/api/v1/flows?flowName=nightly_etl")
+      assert(codeF == 200)
+      assert(filtered("runs").asInstanceOf[Seq[Map[String, Any]]].map(_("runId")) == Seq("run1"))
+      val (codeD, detail) = http("GET", "/api/v1/flows/run2")
+      assert(codeD == 200)
+      assert(detail("state") == "failed")
+      val stages = detail("stages").asInstanceOf[Seq[Map[String, Any]]]
+      assert(stages.head("error") == "boom")
+      assert(http("GET", "/api/v1/flows/nope")._1 == 404)
+    } finally spark.conf.unset("graft.flow.runStoreDir")
+  }
+
   test("fmt endpoint canonicalizes a query") {
     val (code, resp) = http("POST", "/api/v1/fmt",
       Some(Json.write(Map("query" -> "from   region\nselect    r_name"))))
