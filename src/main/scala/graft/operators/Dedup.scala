@@ -654,7 +654,8 @@ object Dedup {
       pairs: DataFrame,
       aCol: String = "id_a",
       bCol: String = "id_b",
-      maxIter: Int = 20
+      maxIter: Int = 20,
+      driverEdgeLimit: Long = 2000000L
   ): DataFrame = {
     // undirected edge list, both directions (src -> dst) — materialized
     // ONCE: the loop reads it 2× per iteration, and the upstream pair
@@ -663,6 +664,47 @@ object Dedup {
     val edges = fwd.union(fwd.select(F.col("dst").as("src"), F.col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // Size-adaptive strategy, the same shape as AQE's runtime broadcast
+    // decision: near-dup edge lists are orders of magnitude smaller than
+    // the corpus (pairs survive candidate blocking AND verification), and
+    // below `driverEdgeLimit` (≤ ~32 MB of longs at the default) a driver
+    // union-find resolves components in one collect + one parallelize —
+    // versus O(log d) iterations × several shuffles each, whose per-stage
+    // fixed costs dominate at this size. The iterative HashToMin loop below
+    // remains the path for genuinely large graphs.
+    val idType = pairs.schema(pairs.schema.fieldIndex(aCol)).dataType
+    val integralIds = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType ||
+      idType == org.apache.spark.sql.types.ShortType
+    val nDirEdges = edges.count()
+    if (integralIds && nDirEdges <= driverEdgeLimit) {
+      val spark = pairs.sparkSession
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        // path compression
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+        r
+      }
+      // union by min: the representative is always the smallest member id,
+      // matching the iterative path's min-label convergence exactly
+      edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .collect().foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+      val nodes = parent.keySet ++ parent.values
+      val labels = nodes.toSeq.map(id => (id, find(id)))
+      releaseCheckpoint(edges)
+      import spark.implicits._
+      return labels.toDF("id", "cluster")
+        .select(F.col("id").cast(idType), F.col("cluster").cast(idType))
+    }
     // seed labels with min(id, min neighbor) — one groupBy over the
     // materialized edges, equivalent to running the first neighbor-min
     // round before the loop starts (one fewer full round)

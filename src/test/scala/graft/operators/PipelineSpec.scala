@@ -328,9 +328,28 @@ class PipelineSpec extends SparkTestBase {
   test("connected components: long path converges within iteration budget") {
     import spark.implicits._
     val pairs = (0 until 12).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(pairs)
+    // driverEdgeLimit = 0 forces the ITERATIVE path — the driver union-find
+    // would otherwise absorb every small fixture and leave the distributed
+    // loop untested
+    val cc = Dedup.connectedComponents(pairs, driverEdgeLimit = 0L)
     assert(cc.agg(F.count_distinct(F.col("cluster"))).head.getLong(0) == 1L)
     assert(cc.count() == 13)
+  }
+
+  test("connected components: driver union-find equals the iterative path") {
+    import spark.implicits._
+    // random-ish multi-component graph: chains, a clique, bridge edges
+    val edges = ((0 until 10).map(i => (i.toLong, i + 1L)) ++ // chain 0..10
+      Seq((20L, 21L), (21L, 22L), (20L, 22L)) ++ // triangle
+      Seq((30L, 31L), (5L, 31L)) ++ // bridge into the chain
+      Seq((40L, 41L))).toDF("id_a", "id_b")
+    val viaDriver = Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLoop = Dedup.connectedComponents(edges, driverEdgeLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaDriver == viaLoop)
+    // the bridge merges 30/31 into the chain's component (min id 0)
+    assert(viaDriver.contains((30L, 0L)) && viaDriver.contains((31L, 0L)))
   }
 
   test("dropDuplicateClusters keeps one representative per cluster") {
