@@ -68,7 +68,8 @@ object Server {
       spark: SparkSession,
       dir: String,
       port: Int = 0,
-      defaultMaxRows: Int = 1000
+      defaultMaxRows: Int = 1000,
+      workDir: String = "."
   ): Instance = {
     val startNs = System.nanoTime()
     val queries = new ConcurrentHashMap[String, QueryState]()
@@ -227,6 +228,63 @@ object Server {
       }
     })
 
+    // workspace file browsing (reference FileApiImpl.scala:26-64: list dirs
+    // + .wv scripts, read one file's content; the reference's saveFile is
+    // itself unimplemented, so read-only IS the full surface). Paths are
+    // validated against traversal (FileEntry.isSafeRelativePath contract:
+    // no absolute paths, no `..` escaping the workspace root).
+    def safeRel(p: String): Boolean =
+      !p.startsWith("/") && {
+        var depth = 0
+        var ok = true
+        p.split("/").iterator.filter(s => s.nonEmpty && s != ".").foreach {
+          case ".." => depth -= 1; if (depth < 0) ok = false
+          case _ => depth += 1
+        }
+        ok
+      }
+    def fileEntry(rel: String, withContent: Boolean): Map[String, Any] = {
+      val f = new java.io.File(workDir, rel)
+      val base = Map[String, Any](
+        "name" -> f.getName,
+        "path" -> rel,
+        "exists" -> f.exists(),
+        "isDirectory" -> f.isDirectory,
+        "size" -> (if (f.isFile) f.length() else 0L),
+        "lastUpdatedAtMillis" -> f.lastModified())
+      if (withContent && f.isFile)
+        base + ("content" -> new String(
+          java.nio.file.Files.readAllBytes(f.toPath), UTF_8))
+      else base
+    }
+    http.createContext("/api/v1/files", handler { ex =>
+      val sub = ex.getRequestURI.getPath.stripPrefix("/api/v1/files").stripPrefix("/")
+      val rel = Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
+        .collectFirst { case kv if kv.startsWith("path=") =>
+          java.net.URLDecoder.decode(kv.stripPrefix("path="), "UTF-8") }
+        .getOrElse("")
+      if (ex.getRequestMethod != "GET")
+        send(ex, 405, Map("error" -> "method not allowed"))
+      else if (!safeRel(rel))
+        send(ex, 400, Map("error" -> s"invalid path: $rel"))
+      else sub match {
+        case "" => // list: directories + .wv scripts, dotfiles hidden
+          val d = new java.io.File(workDir, rel)
+          val children = Option(d.listFiles()).getOrElse(Array.empty)
+            .collect {
+              case c if c.isDirectory && !c.getName.startsWith(".") => c.getName
+              case c if c.getName.endsWith(".wv") => c.getName
+            }.sorted
+          send(ex, 200, Map("entries" -> children.toSeq.map(n =>
+            fileEntry(if (rel.isEmpty) n else s"$rel/$n", withContent = false))))
+        case "read" =>
+          val f = new java.io.File(workDir, rel)
+          if (!f.isFile) send(ex, 404, Map("error" -> s"no such file: $rel"))
+          else send(ex, 200, fileEntry(rel, withContent = true))
+        case other => send(ex, 404, Map("error" -> s"unknown files op '$other'"))
+      }
+    })
+
     http.createContext("/api/v1/transpile", handler { ex =>
       val req = Json.parseObject(readBody(ex))
       req.get("sql") match {
@@ -264,11 +322,13 @@ object Server {
   def main(args: Array[String]): Unit = {
     var dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     var port = 8080
+    var workDir = "."
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--dir" => dir = args(i + 1); i += 2
         case "--port" => port = args(i + 1).toInt; i += 2
+        case "--work-dir" => workDir = args(i + 1); i += 2
         case other => System.err.println(s"unknown arg $other"); sys.exit(2)
       }
     }
@@ -281,7 +341,7 @@ object Server {
     graft.Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val inst = start(spark, dir, port)
+    val inst = start(spark, dir, port, workDir = workDir)
     println(s"graft server listening on http://127.0.0.1:${inst.port} (tables from $dir)")
     Thread.currentThread().join()
   }

@@ -11,7 +11,16 @@ import java.nio.charset.StandardCharsets.UTF_8
   * library either. */
 class ServerSpec extends SparkTestBase {
 
-  private lazy val inst = Server.start(spark, sfDir)
+  private lazy val workDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("srv_ws")
+    java.nio.file.Files.writeString(d.resolve("q1.wv"), "from region count")
+    java.nio.file.Files.writeString(d.resolve("notes.txt"), "not a script")
+    java.nio.file.Files.createDirectory(d.resolve("sub"))
+    java.nio.file.Files.writeString(d.resolve("sub").resolve("q2.wv"), "from nation count")
+    d.toString
+  }
+
+  private lazy val inst = Server.start(spark, sfDir, workDir = workDir)
   private def base = s"http://127.0.0.1:${inst.port}"
 
   override def afterAll(): Unit = {
@@ -156,6 +165,25 @@ class ServerSpec extends SparkTestBase {
       assert(stages.head("error") == "boom")
       assert(http("GET", "/api/v1/flows/nope")._1 == 404)
     } finally spark.conf.unset("graft.flow.runStoreDir")
+  }
+
+  test("files endpoints list .wv scripts and read content, rejecting escapes") {
+    val (code, resp) = http("GET", "/api/v1/files")
+    assert(code == 200)
+    val entries = resp("entries").asInstanceOf[Seq[Map[String, Any]]]
+    // q1.wv + sub/ listed; notes.txt (non-script) hidden
+    assert(entries.map(_("name")).toSet == Set("q1.wv", "sub"))
+    val (codeSub, subResp) = http("GET", "/api/v1/files?path=sub")
+    assert(codeSub == 200)
+    assert(subResp("entries").asInstanceOf[Seq[Map[String, Any]]]
+      .map(_("path")) == Seq("sub/q2.wv"))
+    val (codeR, read) = http("GET", "/api/v1/files/read?path=sub/q2.wv")
+    assert(codeR == 200)
+    assert(read("content") == "from nation count")
+    assert(http("GET", "/api/v1/files/read?path=missing.wv")._1 == 404)
+    assert(http("GET", "/api/v1/files?path=../secrets")._1 == 400)
+    assert(http("GET", "/api/v1/files?path=%2Fetc")._1 == 400)
+    assert(http("GET", "/api/v1/files?path=sub/../../up")._1 == 400)
   }
 
   test("fmt endpoint canonicalizes a query") {
