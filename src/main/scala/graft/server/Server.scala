@@ -308,6 +308,20 @@ object Server {
       }
     })
 
+    // minimal browser console at the root (reference StaticContentApi /
+    // wvlet-ui surface, collapsed to one embedded page over the same API)
+    http.createContext("/", handler { ex =>
+      if (ex.getRequestURI.getPath != "/")
+        send(ex, 404, Map("error" -> "not found"))
+      else {
+        val bytes = WebUi.page.getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(bytes) finally os.close()
+      }
+    })
+
     http.setExecutor(Executors.newFixedThreadPool(4))
     http.start()
     new Instance(http, pool)

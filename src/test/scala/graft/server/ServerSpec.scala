@@ -63,6 +63,14 @@ class ServerSpec extends SparkTestBase {
     resp
   }
 
+  test("root serves the console page; unknown paths are 404") {
+    val conn = URI.create(s"$base/").toURL.openConnection().asInstanceOf[HttpURLConnection]
+    assert(conn.getResponseCode == 200)
+    val html = new String(conn.getInputStream.readAllBytes(), UTF_8)
+    assert(html.contains("graft console") && html.contains("/api/v1/query"))
+    assert(http("GET", "/no/such/page")._1 == 404)
+  }
+
   test("status endpoint reports uptime") {
     val (code, resp) = http("GET", "/api/v1/status")
     assert(code == 200)
