@@ -97,6 +97,28 @@ class NtzRobustnessSpec extends SparkTestBase {
     assert(bucketNtz == bucketLtz, "epoch bucketing differs between NTZ and LTZ input")
   }
 
+  test("MIXED-flavor asof join (NTZ probe side, LTZ build side) still works") {
+    val Seq((_, ltz), (_, ntz)) = bothFlavors
+    val q = """
+      from { from ntz_events where event_type = 'purchase'
+             select event_id, user_id, ts } as p
+      asof left join { from ltz_events where event_type = 'view'
+             select user_id, view_ts = ts } as v
+      on v.user_id = p.user_id and v.view_ts <= p.ts
+      select event_id, ts_ms = unix_micros(ts) // 1000,
+             view_ts_ms = unix_micros(view_ts) // 1000
+      order by event_id
+    """
+    def resolver(n: String): org.apache.spark.sql.DataFrame =
+      if (n.equalsIgnoreCase("ntz_events")) ntz else ltz
+    val mixed = collectSorted(Graft.run(spark, q, resolver))
+    // identical to the single-flavor run (both flavors encode the same
+    // instants under the pinned UTC session tz)
+    val uniform = collectSorted(Graft.run(spark,
+      q.replace("ntz_events", "ltz_events"), resolver))
+    assert(mixed == uniform && mixed.nonEmpty)
+  }
+
   test("batch sessionization agrees across timestamp flavors") {
     val results = bothFlavors.map { case (flavor, df) =>
       val sess = collectSorted(
