@@ -65,7 +65,7 @@ class WvRoundTripSpec extends AnyFunSuite {
   }
 
   test("spec/basic: parse -> print -> re-parse is the identity on the AST") {
-    roundTrip(wvFiles("/root/reference/spec/basic"), minOk = 131, corpus = "basic")
+    roundTrip(wvFiles("/root/reference/spec/basic"), minOk = 132, corpus = "basic")
   }
 
   test("spec/tpch: parse -> print -> re-parse is the identity on the AST") {
