@@ -20,6 +20,9 @@ object Run {
     var format = "table"
     var transpile = false
     var fmt = false
+    var compileOnly = false
+    var catalogFile: Option[String] = None
+    var catalogExport: Option[String] = None
     var i = 0
     while (i < args.length) {
       args(i) match {
@@ -31,13 +34,29 @@ object Run {
         case "--csv" => format = "csv"; i += 1
         case "--transpile" => transpile = true; i += 1
         case "--fmt" => fmt = true; i += 1
+        case "--compile" => compileOnly = true; i += 1
+        case "--catalog" => catalogFile = Some(args(i + 1)); i += 2
+        case "--catalog-export" => catalogExport = Some(args(i + 1)); i += 2
         case f => file = Some(f); i += 1
       }
+    }
+    if (catalogExport.isDefined) {
+      // `wvlet catalog import` analogue (WvletCatalogCommand.scala:56-120,
+      // #1881 offline validation): table schemas of --dir exported as `.wv`
+      // type definitions; pair with `--compile --catalog FILE` to validate
+      // queries with no data access at all
+      val spark = localSession("graft-catalog")
+      try {
+        val out = catalogExport.get
+        val names = graft.catalog.StaticCatalog.exportDir(spark, dir, out)
+        println(s"wrote ${names.length} table types to $out: ${names.mkString(", ")}")
+      } finally spark.stop()
+      return
     }
     val text = queryText.orElse(file.map(f =>
       new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)),
         java.nio.charset.StandardCharsets.UTF_8))).getOrElse {
-      System.err.println("usage: graft.Run (-e QUERY | FILE.wv) [--dir DIR] [--limit N] [--explain] [--json|--csv]")
+      System.err.println("usage: graft.Run (-e QUERY | FILE.wv) [--dir DIR] [--limit N] [--explain] [--json|--csv] [--fmt] [--transpile] [--compile [--catalog FILE.wv]] [--catalog-export OUT.wv]")
       sys.exit(2)
     }
     if (fmt) {
@@ -52,15 +71,7 @@ object Run {
       }
       return
     }
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
-    val b = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-run")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-    Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
-    val spark = b.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = localSession("graft-run")
     try {
       if (transpile) {
         // SQL→wv migration surface (the reference's `wvlet transpile`):
@@ -79,11 +90,27 @@ object Run {
         spark.stop()
         return
       }
+      val resolver: String => org.apache.spark.sql.DataFrame = catalogFile match {
+        case Some(f) => graft.catalog.StaticCatalog.resolverFromFile(spark, f)
+        case None => Tables.resolver(spark, dir)
+      }
       val df =
         if (file.exists(_.endsWith(".sql"))) Graft.sqlScript(spark, text, Some(dir))
         else if (file.exists(_.endsWith(".md")))
-          Graft.markdownScript(spark, text, Tables.resolver(spark, dir), basePath = dir)
-        else Graft.run(spark, text, Tables.resolver(spark, dir), basePath = dir)
+          Graft.markdownScript(spark, text, resolver, basePath = dir)
+        else Graft.run(spark, text, resolver, basePath = dir)
+      if (compileOnly) {
+        // `wvlet compile` analogue (WvletMain.scala:85-91): type-check and
+        // plan the query — with `--catalog` this validates fully offline
+        // against the static catalog's empty typed frames
+        df.queryExecution.assertAnalyzed()
+        println(df.schema.treeString)
+        // analyzed (not optimized): against a static catalog every input is
+        // an empty LocalRelation and the optimizer folds the whole plan away
+        println(df.queryExecution.analyzed.toString)
+        spark.stop()
+        return
+      }
       if (explain) df.explain("formatted")
       format match {
         case "json" => df.limit(limit).toJSON.collect().foreach(println)
@@ -98,5 +125,18 @@ object Run {
       case e: graft.lang.LoweringException =>
         System.err.println(s"[plan error] ${e.getMessage}"); sys.exit(1)
     } finally spark.stop()
+  }
+
+  private def localSession(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
   }
 }
