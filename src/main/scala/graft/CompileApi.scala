@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** JSON-in/JSON-out compile entry point — the reference's embeddable
+  * compiler API (`wvlet_compile_query_json`, wvc/src/main/scala/wvlet/lang/
+  * native/WvcLib.scala:81-126; arg grammar WvcMain.scala:16-52). The
+  * reference compiles to SQL text for a target engine; this engine compiles
+  * to a Catalyst plan, so a successful response carries the result schema
+  * (DDL) and the analyzed plan instead of a SQL string. Errors follow the
+  * reference's CompileResponse shape: statusCode, statusType
+  * (UserError/InternalError), message, and — when recoverable from the
+  * parser's offset — a source location with line/column/lineContent
+  * (api/v1/compile/CompileResponse.scala). Compile-only: embedded `test`
+  * assertions and `debug` branches are type-checked but never executed.
+  *
+  * Accepted args (JSON array of strings):
+  *   ["-q", "from lineitem …"]       inline query text
+  *   ["-f", "path/to/query.wv"]      query from a file
+  *   ["-d", "/data/dir"]             table directory (default testdata sf0.001)
+  *   ["--catalog", "catalog.wv"]     static catalog — compile with no data access
+  */
+object CompileApi {
+
+  def compileQueryJson(spark: SparkSession, argJson: String): String = {
+    val out =
+      try {
+        val (text, dir, catalog) = parseArgs(argJson)
+        try compileOne(spark, text, dir, catalog)
+        catch {
+          case e: graft.lang.ParseException =>
+            err("SYNTAX_ERROR", "UserError", e.getMessage, locationOf(e, text))
+          case e: graft.lang.LoweringException =>
+            err("PLAN_ERROR", "UserError", e.getMessage, None)
+          case e: org.apache.spark.sql.AnalysisException =>
+            err("ANALYSIS_ERROR", "UserError", e.getMessage, None)
+        }
+      } catch {
+        case e: IllegalArgumentException =>
+          err("INVALID_ARGUMENT", "UserError", String.valueOf(e.getMessage), None)
+        case e: Throwable =>
+          err("INTERNAL_ERROR", "InternalError",
+            Option(e.getMessage).getOrElse(e.getClass.getName), None)
+      }
+    server.Json.write(out)
+  }
+
+  private def compileOne(spark: SparkSession, text: String, dir: String,
+      catalog: Option[String]): Map[String, Any] = {
+    val resolver: String => org.apache.spark.sql.DataFrame = catalog match {
+      case Some(c) => graft.catalog.StaticCatalog.resolverFromFile(spark, c)
+      case None => Tables.resolver(spark, dir)
+    }
+    // lower WITHOUT running embedded tests/debug branches (Graft.run would
+    // execute them; compile must stay action-free)
+    val ctx = graft.lang.Lowering.Context(spark, resolver, dir)
+    val stmts = graft.lang.Parser.parseStatements(text)
+    val df = graft.lang.Lowering.lowerStatements(stmts, ctx)
+      .getOrElse(spark.emptyDataFrame)
+    (df +: (ctx.tests.map(_._1) ++ ctx.debugs)).foreach(
+      _.queryExecution.assertAnalyzed())
+    Map(
+      "success" -> true,
+      "schema" -> df.schema.toDDL,
+      "plan" -> df.queryExecution.analyzed.toString)
+  }
+
+  /** Returns (queryText, dataDir, catalogFile). */
+  private def parseArgs(argJson: String): (String, String, Option[String]) = {
+    val args = server.Json.parse(argJson) match {
+      case xs: Seq[_] => xs.iterator.map(String.valueOf(_)).toList
+      case _ => throw new IllegalArgumentException("args must be a JSON array of strings")
+    }
+    var query: Option[String] = None
+    var dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    var catalog: Option[String] = None
+    var rest = args
+    while (rest.nonEmpty) rest match {
+      case "-q" :: q :: tl => query = Some(q); rest = tl
+      case "-f" :: f :: tl =>
+        query = Some(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(f)), java.nio.charset.StandardCharsets.UTF_8))
+        rest = tl
+      case ("-d" | "-w") :: d :: tl => dir = d; rest = tl
+      case "--catalog" :: c :: tl => catalog = Some(c); rest = tl
+      case _ :: tl => rest = tl // unknown flags pass over (reference tolerates -x etc.)
+      case Nil => ()
+    }
+    (query.getOrElse(throw new IllegalArgumentException("missing -q or -f")), dir, catalog)
+  }
+
+  /** The parser reports `… at offset N` — recover line/column/lineContent
+    * against the submitted source (reference ErrorLocation fields). */
+  private def locationOf(e: graft.lang.ParseException, src: String): Option[Map[String, Any]] = {
+    val m = "at offset (\\d+)".r.findFirstMatchIn(String.valueOf(e.getMessage))
+    m.flatMap { mm =>
+      val off = mm.group(1).toInt
+      if (off > src.length) None
+      else {
+        val upto = src.substring(0, off)
+        val line = upto.count(_ == '\n') + 1
+        val lastNl = upto.lastIndexOf('\n')
+        val column = off - lastNl // 1-based
+        val lineEnd = src.indexOf('\n', lastNl + 1)
+        val content = src.substring(lastNl + 1, if (lineEnd < 0) src.length else lineEnd)
+        Some(Map("line" -> line, "column" -> column, "lineContent" -> content))
+      }
+    }
+  }
+
+  private def err(code: String, statusType: String, msg: String,
+      loc: Option[Map[String, Any]]): Map[String, Any] =
+    Map("success" -> false, "error" ->
+      (Map("statusCode" -> code, "statusType" -> statusType, "message" -> msg) ++
+        loc.map("location" -> _)))
+}

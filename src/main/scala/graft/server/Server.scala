@@ -296,6 +296,30 @@ object Server {
       }
     })
 
+    http.createContext("/api/v1/compile", handler { ex =>
+      // WvcLib compile_query_json over HTTP: body {args: ["-q", …]} or
+      // {query: "..."} shorthand; response is CompileApi's envelope verbatim
+      val req = Json.parseObject(readBody(ex))
+      val argJson: Option[String] = req.get("args") match {
+        case Some(xs: Seq[_]) => Some(Json.write(xs))
+        case _ => req.get("query") match {
+          case Some(q: String) => Some(Json.write(List("-q", q, "-d", dir)))
+          case _ => None
+        }
+      }
+      argJson match {
+        case None => send(ex, 400, Map("error" -> "missing 'args' or 'query'"))
+        case Some(a) =>
+          val body = graft.CompileApi.compileQueryJson(spark, a)
+          val ok = Json.parseObject(body).get("success").contains(true)
+          ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
+          val bytes = body.getBytes(UTF_8)
+          ex.sendResponseHeaders(if (ok) 200 else 400, bytes.length.toLong)
+          val os = ex.getResponseBody
+          try os.write(bytes) finally os.close()
+      }
+    })
+
     http.createContext("/api/v1/fmt", handler { ex =>
       val req = Json.parseObject(readBody(ex))
       req.get("query") match {

@@ -1,0 +1,57 @@
+package graft
+
+import graft.server.Json
+
+/** The embeddable JSON compile API (reference WvcLib.compile_query_json):
+  * success envelope carries schema + analyzed plan; error envelopes carry
+  * statusCode/statusType/message and, for parse errors, a recovered
+  * line/column location. */
+class CompileApiSpec extends SparkTestBase {
+
+  private def call(args: Any*): Map[String, Any] =
+    Json.parseObject(CompileApi.compileQueryJson(spark, Json.write(args.toList)))
+
+  test("valid query compiles: success + schema + plan, no job run") {
+    val resp = call("-q", "from lineitem where l_quantity > 10 group by l_returnflag agg n = _.count", "-d", sfDir)
+    assert(resp("success") == true)
+    val schema = resp("schema").asInstanceOf[String]
+    assert(schema.contains("l_returnflag") && schema.contains("n"))
+    assert(resp("plan").asInstanceOf[String].contains("Aggregate"))
+  }
+
+  test("parse error: SYNTAX_ERROR with line/column location") {
+    val resp = call("-q", "from lineitem\nwhere (l_tax >")
+    assert(resp("success") == false)
+    val err = resp("error").asInstanceOf[Map[String, Any]]
+    assert(err("statusCode") == "SYNTAX_ERROR" && err("statusType") == "UserError")
+    val loc = err("location").asInstanceOf[Map[String, Any]]
+    assert(loc("line").asInstanceOf[Number].intValue == 2)
+    assert(loc("lineContent") == "where (l_tax >")
+  }
+
+  test("unknown column: ANALYSIS_ERROR, UserError") {
+    val resp = call("-q", "from lineitem select no_such_col", "-d", sfDir)
+    assert(resp("success") == false)
+    val err = resp("error").asInstanceOf[Map[String, Any]]
+    assert(err("statusCode") == "ANALYSIS_ERROR")
+    assert(err("message").asInstanceOf[String].contains("no_such_col"))
+  }
+
+  test("missing -q/-f: INVALID_ARGUMENT") {
+    val resp = call("-d", sfDir)
+    assert(resp("success") == false)
+    assert(resp("error").asInstanceOf[Map[String, Any]]("statusCode") == "INVALID_ARGUMENT")
+  }
+
+  test("static catalog: compiles offline, embedded tests analyzed but not executed") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_capi").toString
+    val cat = s"$tmp/catalog.wv"
+    graft.catalog.StaticCatalog.exportDir(spark, sfDir, cat)
+    // the test assertion is FALSE on real data; compile-only must not trip it
+    val resp = call("-q",
+      "from lineitem\ntest _.count should be 0\nwhere l_quantity > 10\nselect l_orderkey",
+      "--catalog", cat)
+    assert(resp("success") == true, s"got $resp")
+    assert(resp("schema").asInstanceOf[String].contains("l_orderkey"))
+  }
+}

@@ -201,4 +201,17 @@ class ServerSpec extends SparkTestBase {
     assert(resp("formatted").asInstanceOf[String].contains("from region"))
     assert(http("POST", "/api/v1/fmt", Some("""{"query": "from ((("}"""))._1 == 400)
   }
+
+  test("compile endpoint validates without executing; errors are 400 envelopes") {
+    val (code, resp) = http("POST", "/api/v1/compile",
+      Some(Json.write(Map("query" -> "from region group by r_name agg n = _.count"))))
+    assert(code == 200, s"got $resp")
+    assert(resp("success") == true)
+    assert(resp("schema").asInstanceOf[String].contains("r_name"))
+    val (badCode, badResp) = http("POST", "/api/v1/compile",
+      Some(Json.write(Map("query" -> "from region select nope_col"))))
+    assert(badCode == 400)
+    val err = badResp("error").asInstanceOf[Map[String, Any]]
+    assert(err("statusCode") == "ANALYSIS_ERROR")
+  }
 }
