@@ -1163,6 +1163,116 @@ object QueryCatalog {
       """)
     ),
 
+    (
+      "q_math_funcs",
+      wv("""
+        from lineitem
+        where l_orderkey <= 100
+        select l_orderkey, l_linenumber,
+          qty_sqrt = l_quantity.sqrt.round(6),
+          price_ln = l_extendedprice.ln.round(6),
+          price_log10 = l_extendedprice.log10.round(6),
+          disc_abs = (l_discount - 0.05).abs.round(4),
+          tax_pow = l_tax.pow(2).round(6),
+          qty_sign = (l_quantity - 25).sign::long,
+          price_ceil = l_extendedprice.ceil::long,
+          price_floor = l_extendedprice.floor::long
+        order by l_orderkey, l_linenumber
+      """),
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+          round(sqrt(l_quantity), 6) AS qty_sqrt,
+          round(ln(l_extendedprice), 6) AS price_ln,
+          round(log10(l_extendedprice), 6) AS price_log10,
+          round(abs(l_discount - 0.05), 4) AS disc_abs,
+          round(pow(l_tax, 2), 6) AS tax_pow,
+          CAST(sign(l_quantity - 25) AS BIGINT) AS qty_sign,
+          CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+          CAST(floor(l_extendedprice) AS BIGINT) AS price_floor
+        FROM lineitem WHERE l_orderkey <= 100 ORDER BY l_orderkey, l_linenumber
+      """)
+    ),
+    (
+      "q_regexp_funcs",
+      wv("""
+        from customer
+        where c_custkey <= 300
+        select c_custkey,
+          cust_num = c_name.regexp_extract('([0-9]+)', 1),
+          name_masked = c_name.regexp_replace('[0-9]', 'x'),
+          has_digits = c_name.regexp_like('[0-9]{9}'),
+          seg_vowelless = c_mktsegment.regexp_replace('[AEIOU]', '')
+        order by c_custkey
+      """),
+      Some("""
+        SELECT c_custkey,
+          regexp_extract(c_name, '([0-9]+)', 1) AS cust_num,
+          regexp_replace(c_name, '[0-9]', 'x', 'g') AS name_masked,
+          regexp_matches(c_name, '[0-9]{9}') AS has_digits,
+          regexp_replace(c_mktsegment, '[AEIOU]', '', 'g') AS seg_vowelless
+        FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey
+      """)
+    ),
+    (
+      "q_array_funcs",
+      wv("""
+        from customer
+        where c_custkey <= 300
+        select c_custkey,
+          part_count = c_name.split('0').size::long,
+          joined = c_name.split('#').array_sort.array_join('-'),
+          has_piece = c_name.split('#').array_contains('Customer'),
+          distinct_chars = c_mktsegment.split('').array_distinct.array_sort.array_join('')
+        order by c_custkey
+      """),
+      Some("""
+        SELECT c_custkey,
+          CAST(len(string_split(c_name, '0')) AS BIGINT) AS part_count,
+          array_to_string(list_sort(string_split(c_name, '#')), '-') AS joined,
+          list_contains(string_split(c_name, '#'), 'Customer') AS has_piece,
+          array_to_string(list_sort(list_distinct(string_split(c_mktsegment, ''))), '')
+            AS distinct_chars
+        FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey
+      """)
+    ),
+    (
+      "q_null_funcs",
+      wv("""
+        from orders
+        where o_orderkey <= 400
+        select o_orderkey,
+          status_or = o_orderstatus.null_if('O').or_else('open'),
+          custkey_flag = o_custkey.null_if(1).is_not_null,
+          hi = greatest(o_totalprice, 100000.0).round(2),
+          lo = least(o_totalprice, 100000.0).round(2),
+          pick = coalesce(nullif(o_orderpriority, '1-URGENT'), 'urgent!')
+        order by o_orderkey
+      """),
+      Some("""
+        SELECT o_orderkey,
+          coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or,
+          (nullif(o_custkey, 1) IS NOT NULL) AS custkey_flag,
+          round(greatest(o_totalprice, 100000.0), 2) AS hi,
+          round(least(o_totalprice, 100000.0), 2) AS lo,
+          coalesce(nullif(o_orderpriority, '1-URGENT'), 'urgent!') AS pick
+        FROM orders WHERE o_orderkey <= 400 ORDER BY o_orderkey
+      """)
+    ),
+    (
+      "q_hash_funcs",
+      wv("""
+        from region
+        select r_regionkey,
+          name_md5 = r_name.md5,
+          name_sha256 = r_name.sha256
+        order by r_regionkey
+      """),
+      Some("""
+        SELECT r_regionkey, md5(r_name) AS name_md5, sha256(r_name) AS name_sha256
+        FROM region ORDER BY r_regionkey
+      """)
+    ),
+
     // =========================================================================
     // J/K. Models (named parameterized queries), events windows
     // =========================================================================
