@@ -1259,6 +1259,23 @@ object QueryCatalog {
       """)
     ),
     (
+      "q_json_funcs",
+      wv("""
+        from events
+        where event_id <= 2000
+        select event_type, k = props.json_extract_string('$.k')::long
+        group by event_type
+        agg n = _.count, k_sum = k.sum, k_max = k.max
+        order by event_type
+      """),
+      Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        FROM events WHERE event_id <= 2000 GROUP BY event_type ORDER BY event_type
+      """)
+    ),
+    (
       "q_hash_funcs",
       wv("""
         from region

@@ -71,6 +71,16 @@ object Stdlib {
     "count_distinct", "sum_distinct", "hll_sketch_agg", "grouping", "grouping_id"
   )
 
+  /** JSON path arguments accept both `$.k` JSONPath and bare `k` key names
+    * (the reference's DuckDB backend accepts both spellings); bare names
+    * get the `$.` prefix. Runtime-conditional so non-literal path columns
+    * work too — constant-folded away for the literal case. */
+  private def pathArg(args: List[Column]): Column = args.headOption match {
+    case Some(c) =>
+      F.when(F.startswith(c, F.lit("$")), c).otherwise(F.concat(F.lit("$."), c))
+    case None => F.lit("$")
+  }
+
   /** Window-only function names. */
   val windowFunctionNames: Set[String] = Set(
     "row_number", "rank", "dense_rank", "percent_rank", "ntile", "cume_dist",
@@ -142,6 +152,15 @@ object Stdlib {
     "sha256" -> ((t, _) => F.sha2(t.cast("binary"), 256)),
     "hash" -> ((t, _) => F.xxhash64(t)),
     "to_json" -> ((t, _) => F.to_json(t)),
+    // json (the reference's `json` type is engine-delegated — DataType.scala:562;
+    // here json columns are strings + SQL json path functions)
+    "json_extract_string" -> ((t, args) =>
+      F.call_function("get_json_object", t, pathArg(args))),
+    "json_value" -> ((t, args) =>
+      F.call_function("get_json_object", t, pathArg(args))),
+    "json_array_length" -> ((t, args) =>
+      F.json_array_length(if (args.isEmpty) t
+      else F.call_function("get_json_object", t, pathArg(args)))),
     // date/time
     "year" -> ((t, _) => F.year(t)),
     "month" -> ((t, _) => F.month(t)),
