@@ -20,8 +20,19 @@ object Parser {
     }
   }
 
-  def parseStatements(src: String): List[Statement] = {
-    val stmts = new Parser(Scanner.tokenize(src)).parseStatements()
+  /** Like [[parseStatements]] but also returns each statement's source
+    * char span (start, endExclusive) — the editor-selection surface. */
+  def parseStatementsWithSpans(src: String): (List[Statement], List[(Int, Int)]) = {
+    val p = new Parser(Scanner.tokenize(src))
+    val stmts = attachDocs(p.parseStatements(), src)
+    (stmts, p.statementSpans.toList)
+  }
+
+  def parseStatements(src: String): List[Statement] =
+    attachDocs(new Parser(Scanner.tokenize(src)).parseStatements(), src)
+
+  private def attachDocs(stmts0: List[Statement], src: String): List[Statement] = {
+    val stmts = stmts0
     // attach `--- doc ---` blocks to the model defs they precede (the
     // scanner drops comments; reference: markdown model documentation,
     // spec/basic/model/model1.wv; comments attach to the *following* node,
@@ -132,10 +143,21 @@ final class Parser(tokens: Vector[Token]) {
   // -------------------------------------------------------------------------
   // Statements
   // -------------------------------------------------------------------------
+  /** Source character span of each parsed statement, parallel to
+    * parseStatements()' result: (startOffset, endOffsetExclusive). The end
+    * is the next unconsumed token's start, so trailing trivia up to the
+    * next statement belongs to the previous span — which is exactly the
+    * editor-cursor containment rule selection wants. Statements expanded
+    * from one source region (a `with a as {…}, b as {…} query` unit) share
+    * that region's span. */
+  val statementSpans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+
   def parseStatements(): List[Statement] = {
-    val out = List.newBuilder[Statement]
+    val out = scala.collection.mutable.ListBuffer.empty[Statement]
     while (!peek.isEOF) {
       while (accept(";")) ()
+      val spanStart = peek.pos
+      val emittedBefore = out.size
       // package/import declarations: parsed and ignored (single-unit compile)
       if (peek.is("package") || peek.is("import")) {
         advance()
@@ -173,8 +195,11 @@ final class Parser(tokens: Vector[Token]) {
           more = accept(",")
         }
       } else if (!peek.isEOF) out += parseStatement()
+      val spanEnd = peek.pos
+      var k = emittedBefore
+      while (k < out.size) { statementSpans += ((spanStart, spanEnd)); k += 1 }
     }
-    out.result()
+    out.toList
   }
 
   private def parseStatement(): Statement = {

@@ -106,13 +106,26 @@ object Server {
     // async submit: record state, run the query + bounded collect on the
     // pool, answer with the id immediately (the reference's submitQuery /
     // getQueryInfo split)
-    def submit(text: String, maxRows: Int, sid: String, ex: HttpExchange): Unit = {
+    def submit(text: String, maxRows: Int, sid: String, ex: HttpExchange,
+        selection: String = "all", line: Int = 1): Unit = {
       val st = QueryState(newId(), text, Instant.now(), "running")
       queries.put(st.queryId, st)
       pool.submit(new Runnable {
         override def run(): Unit =
           try {
-            val df = graft.Graft.runWith(sessionCtx(sid), text)
+            // editor selection (reference QuerySelection + linePosition):
+            // slice the unit BEFORE execution; `describe` renders the
+            // compiled schema as rows instead of executing the query
+            val effective = graft.lang.Selection.selectText(text, selection, line)
+            val df0 = graft.Graft.runWith(sessionCtx(sid), effective)
+            val df =
+              if (selection.equalsIgnoreCase("describe")) {
+                val spark = df0.sparkSession
+                import spark.implicits._
+                df0.schema.fields.toSeq
+                  .map(f => (f.name, f.dataType.simpleString, f.nullable))
+                  .toDF("column_name", "column_type", "nullable")
+              } else df0
             if (df.columns.nonEmpty) {
               // limit+1 INSIDE the plan detects truncation without
               // counting (or materializing) the full result
@@ -160,7 +173,15 @@ object Server {
                 case Some(s: String) if s.nonEmpty => s
                 case _ => "__default"
               }
-              submit(text, maxRows, sid, ex)
+              val selection = req.get("querySelection") match {
+                case Some(s: String) if s.nonEmpty => s
+                case _ => "all"
+              }
+              val line = req.get("line") match {
+                case Some(n: Number) => math.max(n.intValue(), 1)
+                case _ => 1
+              }
+              submit(text, maxRows, sid, ex, selection, line)
             case _ => send(ex, 400, Map("error" -> "missing 'query'"))
           }
         case ("GET", id) if id.nonEmpty =>

@@ -202,6 +202,22 @@ class ServerSpec extends SparkTestBase {
     assert(http("POST", "/api/v1/fmt", Some("""{"query": "from ((("}"""))._1 == 400)
   }
 
+  test("querySelection runs the statement at the cursor; describe returns schema rows") {
+    val unit = "from region\nselect r_name\n;\nfrom nation\ngroup by n_regionkey\nagg n = _.count"
+    // cursor on line 5 → the nation aggregation only
+    val id = submit(unit, s""", "querySelection": "single", "line": 5""")
+    val done = poll(id)
+    assert(done("status") == "finished", s"got $done")
+    val cols = done("schema").asInstanceOf[Seq[Map[String, Any]]].map(_("name"))
+    assert(cols == Seq("n_regionkey", "n"))
+    // describe at line 2 → schema of the region projection, no data rows
+    val id2 = submit(unit, s""", "querySelection": "describe", "line": 2""")
+    val done2 = poll(id2)
+    assert(done2("status") == "finished", s"got $done2")
+    val rows = done2("rows").asInstanceOf[Seq[Seq[Any]]]
+    assert(rows.map(_.head) == Seq("r_name"))
+  }
+
   test("compile endpoint validates without executing; errors are 400 envelopes") {
     val (code, resp) = http("POST", "/api/v1/compile",
       Some(Json.write(Map("query" -> "from region group by r_name agg n = _.count"))))
