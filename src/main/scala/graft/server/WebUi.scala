@@ -41,6 +41,8 @@ agg n = _.count, sum_qty = l_quantity.sum
 order by l_returnflag</textarea>
 <div>
   <button onclick="run()">run</button>
+  <button onclick="run('single')">run at cursor</button>
+  <button onclick="run('describe')">describe at cursor</button>
   <button onclick="fmt()">format</button>
   <button onclick="transpileSql()">transpile SQL&rarr;wv</button>
 </div>
@@ -55,10 +57,17 @@ async function post(path, body) {
   const r = await fetch(path, { method: 'POST', body: JSON.stringify(body) });
   return await r.json();
 }
-async function run() {
+async function run(selection) {
   $('out').innerHTML = '';
   setStatus('submitting…');
-  const sub = await post('/api/v1/query', { query: $('q').value, maxRows: 500 });
+  const body = { query: $('q').value, maxRows: 500 };
+  if (selection) {
+    // cursor line from the textarea caret (editor-selection surface)
+    const ta = $('q');
+    body.querySelection = selection;
+    body.line = ta.value.slice(0, ta.selectionStart).split('\n').length;
+  }
+  const sub = await post('/api/v1/query', body);
   if (!sub.queryId) { setStatus(sub.error || 'submit failed', true); return; }
   setStatus('running ' + sub.queryId + '…');
   let info;
