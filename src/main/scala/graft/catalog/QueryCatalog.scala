@@ -1259,6 +1259,45 @@ object QueryCatalog {
       """)
     ),
     (
+      "q_interval_ops",
+      wv("""
+        from orders
+        where o_orderkey <= 500
+        select o_orderkey,
+          plus_month = (o_orderdate + interval 1 month)::date::string,
+          minus_week = (o_orderdate - interval 7 day)::date::string,
+          month_end = o_orderdate.last_day::string,
+          days_to_98 = datediff('1998-01-01'::date, o_orderdate)::long
+        order by o_orderkey
+      """),
+      Some("""
+        SELECT o_orderkey,
+          ((o_orderdate + INTERVAL 1 MONTH)::date)::varchar AS plus_month,
+          ((o_orderdate - INTERVAL 7 DAY)::date)::varchar AS minus_week,
+          (last_day(o_orderdate))::varchar AS month_end,
+          date_diff('day', o_orderdate, DATE '1998-01-01')::bigint AS days_to_98
+        FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey
+      """)
+    ),
+    (
+      "q_struct_array_lit",
+      wv("""
+        from region
+        select r_regionkey,
+          field_val = {key: r_regionkey, name: r_name}['name'],
+          arr_second = [r_name, 'zz'][2],
+          arr_first_char = [r_name.substring(1, 1), 'q'][1]
+        order by r_regionkey
+      """),
+      Some("""
+        SELECT r_regionkey,
+          {'key': r_regionkey, 'name': r_name}['name'] AS field_val,
+          [r_name, 'zz'][2] AS arr_second,
+          [substring(r_name, 1, 1), 'q'][1] AS arr_first_char
+        FROM region ORDER BY r_regionkey
+      """)
+    ),
+    (
       "q_json_funcs",
       wv("""
         from events

@@ -169,6 +169,7 @@ object Stdlib {
     "minute" -> ((t, _) => F.minute(t)),
     "second" -> ((t, _) => F.second(t)),
     "date_trunc" -> ((t, args) => F.call_function("date_trunc", args.head, t)),
+    "last_day" -> ((t, _) => F.last_day(t)),
     "extract" -> ((t, args) => F.date_part(args.head, t)),
     // array
     "size" -> ((t, _) => F.size(t)),

@@ -20,11 +20,18 @@ import java.util.concurrent.{ConcurrentHashMap, Executors}
   *
   * Endpoints (JSON in/out):
   *   - `GET  /api/v1/status` — version + uptime (FrontendApi.status)
-  *   - `POST /api/v1/query` — submit `{query, maxRows?, sessionId?}`,
-  *     returns `{queryId}` immediately (FrontendApi.submitQuery: async
-  *     submit + id, result read separately)
+  *   - `POST /api/v1/query` — submit `{query, maxRows?, sessionId?,
+  *     querySelection?, line?}`, returns `{queryId}` immediately
+  *     (FrontendApi.submitQuery: async submit + id, result read
+  *     separately; querySelection/line are the editor-selection surface,
+  *     QueryRequest.querySelection + linePosition — see lang/Selection)
   *   - `GET  /api/v1/query/{id}?pageToken=N` — status + schema + a page of
   *     rows (FrontendApi.getQueryInfo pagination via pageToken)
+  *   - `DELETE /api/v1/query/{id}` — cancel a running query: jobs are
+  *     tagged per-query with setJobGroup, so cancellation interrupts the
+  *     in-flight Spark stages, not just the HTTP wait
+  *   - `POST /api/v1/compile` — WvcLib compile_query_json over HTTP
+  *     (graft.CompileApi envelope; 400 carries the error envelope)
   *   - `POST /api/v1/transpile` — `{sql}` → `{query}` (the `wvlet
   *     transpile` surface, SURVEY §3.3)
   *   - `POST /api/v1/fmt` — `{query}` → `{formatted}` (canonical printer)
@@ -48,7 +55,7 @@ object Server {
       queryId: String,
       query: String,
       createdAt: Instant,
-      var status: String, // running | finished | failed
+      var status: String, // running | finished | failed | cancelled
       var completedAt: Option[Instant] = None,
       var schema: Seq[(String, String)] = Nil,
       var rows: Seq[Seq[Any]] = Nil,
@@ -113,6 +120,13 @@ object Server {
       pool.submit(new Runnable {
         override def run(): Unit =
           try {
+            // every Spark job this query submits is tagged with its id so
+            // DELETE /api/v1/query/{id} can cancel them mid-flight
+            // (setJobGroup is thread-local — exactly one query runs per
+            // pool thread at a time)
+            spark.sparkContext.setJobGroup(st.queryId,
+              text.linesIterator.nextOption().getOrElse("").take(120),
+              interruptOnCancel = true)
             // editor selection (reference QuerySelection + linePosition):
             // slice the unit BEFORE execution; `describe` renders the
             // compiled schema as rows instead of executing the query
@@ -144,10 +158,14 @@ object Server {
             st.completedAt = Some(Instant.now())
           } catch {
             case e: Throwable =>
-              st.status = "failed"
-              st.error = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
+              // a cancel marks the state first, then interrupts the job —
+              // the resulting SparkException must not overwrite it
+              if (st.status != "cancelled") {
+                st.status = "failed"
+                st.error = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
+              }
               st.completedAt = Some(Instant.now())
-          }
+          } finally spark.sparkContext.clearJobGroup()
       })
       send(ex, 200, Map("queryId" -> st.queryId))
     }
@@ -183,6 +201,17 @@ object Server {
               }
               submit(text, maxRows, sid, ex, selection, line)
             case _ => send(ex, 400, Map("error" -> "missing 'query'"))
+          }
+        case ("DELETE", id) if id.nonEmpty =>
+          Option(queries.get(id)) match {
+            case None => send(ex, 404, Map("error" -> s"query '$id' not found"))
+            case Some(st) if st.status != "running" =>
+              send(ex, 409, Map("error" -> s"query is ${st.status}", "status" -> st.status))
+            case Some(st) =>
+              st.status = "cancelled"
+              st.error = Some("cancelled by client")
+              spark.sparkContext.cancelJobGroup(id)
+              send(ex, 200, Map("queryId" -> id, "status" -> "cancelled"))
           }
         case ("GET", id) if id.nonEmpty =>
           Option(queries.get(id)) match {

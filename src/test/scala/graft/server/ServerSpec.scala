@@ -218,6 +218,20 @@ class ServerSpec extends SparkTestBase {
     assert(rows.map(_.head) == Seq("r_name"))
   }
 
+  test("DELETE cancels a running query via its job group") {
+    // a cross join big enough to keep stages in flight for a while
+    val slow = "from lineitem\ncross join lineitem as l2\ncross join lineitem as l3\nagg n = _.count"
+    val id = submit(slow)
+    Thread.sleep(500) // let the job start
+    val (code, resp) = http("DELETE", s"/api/v1/query/$id")
+    assert(code == 200 && resp("status") == "cancelled", s"got $code $resp")
+    val fin = poll(id)
+    assert(fin("status") == "cancelled", s"got $fin")
+    // terminal states reject a second cancel
+    assert(http("DELETE", s"/api/v1/query/$id")._1 == 409)
+    assert(http("DELETE", "/api/v1/query/nope")._1 == 404)
+  }
+
   test("compile endpoint validates without executing; errors are 400 envelopes") {
     val (code, resp) = http("POST", "/api/v1/compile",
       Some(Json.write(Map("query" -> "from region group by r_name agg n = _.count"))))
