@@ -22,47 +22,61 @@ import org.apache.spark.sql.SparkSession
   */
 object CompileApi {
 
-  def compileQueryJson(spark: SparkSession, argJson: String): String = {
-    val out =
-      try {
-        val (text, dir, catalog) = parseArgs(argJson)
-        try compileOne(spark, text, dir, catalog)
-        catch {
-          case e: graft.lang.ParseException =>
-            err("SYNTAX_ERROR", "UserError", e.getMessage, locationOf(e, text))
-          case e: graft.lang.LoweringException =>
-            err("PLAN_ERROR", "UserError", e.getMessage, None)
-          case e: org.apache.spark.sql.AnalysisException =>
-            err("ANALYSIS_ERROR", "UserError", e.getMessage, None)
-        }
-      } catch {
-        case e: IllegalArgumentException =>
-          err("INVALID_ARGUMENT", "UserError", String.valueOf(e.getMessage), None)
-        case e: Throwable =>
-          err("INTERNAL_ERROR", "InternalError",
-            Option(e.getMessage).getOrElse(e.getClass.getName), None)
-      }
-    server.Json.write(out)
-  }
+  def compileQueryJson(spark: SparkSession, argJson: String): String =
+    server.Json.write(compileQueryEnvelope(spark, argJson))
 
-  private def compileOne(spark: SparkSession, text: String, dir: String,
-      catalog: Option[String]): Map[String, Any] = {
+  /** The un-serialized response envelope — `success` key tells the caller
+    * which shape it got without re-parsing JSON. */
+  def compileQueryEnvelope(spark: SparkSession, argJson: String): Map[String, Any] =
+    try {
+      val (text, dir, catalog) = parseArgs(argJson)
+      try {
+        val df = compileOnly(spark, text, dir, catalog)
+        Map(
+          "success" -> true,
+          "schema" -> df.schema.toDDL,
+          "plan" -> df.queryExecution.analyzed.toString)
+      } catch {
+        case e: graft.lang.ParseException =>
+          err("SYNTAX_ERROR", "UserError", e.getMessage, locationOf(e.getMessage, text))
+        case e: graft.lang.ScannerException =>
+          err("SYNTAX_ERROR", "UserError", e.getMessage, locationOf(e.getMessage, text))
+        case e: graft.lang.LoweringException =>
+          err("PLAN_ERROR", "UserError", e.getMessage, None)
+        case e: org.apache.spark.sql.AnalysisException =>
+          err("ANALYSIS_ERROR", "UserError", e.getMessage, None)
+      }
+    } catch {
+      case e: IllegalArgumentException =>
+        err("INVALID_ARGUMENT", "UserError", String.valueOf(e.getMessage), None)
+      case e: Throwable =>
+        err("INTERNAL_ERROR", "InternalError",
+          Option(e.getMessage).getOrElse(e.getClass.getName), None)
+    }
+
+  /** Compile WITHOUT running embedded tests/debug branches (Graft.run would
+    * execute them; compile must stay action-free). Shared by the JSON API,
+    * `graft.Run --compile`, and the server's describe selection. */
+  def compileOnly(spark: SparkSession, text: String, dir: String,
+      catalog: Option[String]): org.apache.spark.sql.DataFrame = {
     val resolver: String => org.apache.spark.sql.DataFrame = catalog match {
       case Some(c) => graft.catalog.StaticCatalog.resolverFromFile(spark, c)
       case None => Tables.resolver(spark, dir)
     }
-    // lower WITHOUT running embedded tests/debug branches (Graft.run would
-    // execute them; compile must stay action-free)
-    val ctx = graft.lang.Lowering.Context(spark, resolver, dir)
+    compileOnlyWith(graft.lang.Lowering.Context(spark, resolver, dir), text)
+  }
+
+  /** Action-free compile against a caller-held context (session reuse). */
+  def compileOnlyWith(ctx: graft.lang.Lowering.Context, text: String): org.apache.spark.sql.DataFrame = {
     val stmts = graft.lang.Parser.parseStatements(text)
     val df = graft.lang.Lowering.lowerStatements(stmts, ctx)
-      .getOrElse(spark.emptyDataFrame)
-    (df +: (ctx.tests.map(_._1) ++ ctx.debugs)).foreach(
+      .getOrElse(ctx.spark.emptyDataFrame)
+    // tests/debug branches are analyzed, never executed; drain them so a
+    // reused session context doesn't run them on its next real query
+    try (df +: (ctx.tests.map(_._1) ++ ctx.debugs)).foreach(
       _.queryExecution.assertAnalyzed())
-    Map(
-      "success" -> true,
-      "schema" -> df.schema.toDDL,
-      "plan" -> df.queryExecution.analyzed.toString)
+    finally { ctx.tests.clear(); ctx.debugs.clear() }
+    df
   }
 
   /** Returns (queryText, dataDir, catalogFile). */
@@ -89,10 +103,11 @@ object CompileApi {
     (query.getOrElse(throw new IllegalArgumentException("missing -q or -f")), dir, catalog)
   }
 
-  /** The parser reports `… at offset N` — recover line/column/lineContent
-    * against the submitted source (reference ErrorLocation fields). */
-  private def locationOf(e: graft.lang.ParseException, src: String): Option[Map[String, Any]] = {
-    val m = "at offset (\\d+)".r.findFirstMatchIn(String.valueOf(e.getMessage))
+  /** The parser reports `… at offset N` (and the scanner `… at N`) —
+    * recover line/column/lineContent against the submitted source
+    * (reference ErrorLocation fields). */
+  private def locationOf(message: String, src: String): Option[Map[String, Any]] = {
+    val m = "at (?:offset )?(\\d+)".r.findFirstMatchIn(String.valueOf(message))
     m.flatMap { mm =>
       val off = mm.group(1).toInt
       if (off > src.length) None

@@ -90,6 +90,19 @@ object Run {
         spark.stop()
         return
       }
+      if (compileOnly) {
+        // `wvlet compile` analogue (WvletMain.scala:85-91): type-check and
+        // plan the query WITHOUT executing anything — embedded test/debug
+        // branches are analyzed, not run, so `--catalog` validates fully
+        // offline against the static catalog's empty typed frames
+        val df = CompileApi.compileOnly(spark, text, dir, catalogFile)
+        println(df.schema.treeString)
+        // analyzed (not optimized): against a static catalog every input is
+        // an empty LocalRelation and the optimizer folds the whole plan away
+        println(df.queryExecution.analyzed.toString)
+        spark.stop()
+        return
+      }
       val resolver: String => org.apache.spark.sql.DataFrame = catalogFile match {
         case Some(f) => graft.catalog.StaticCatalog.resolverFromFile(spark, f)
         case None => Tables.resolver(spark, dir)
@@ -99,18 +112,6 @@ object Run {
         else if (file.exists(_.endsWith(".md")))
           Graft.markdownScript(spark, text, resolver, basePath = dir)
         else Graft.run(spark, text, resolver, basePath = dir)
-      if (compileOnly) {
-        // `wvlet compile` analogue (WvletMain.scala:85-91): type-check and
-        // plan the query — with `--catalog` this validates fully offline
-        // against the static catalog's empty typed frames
-        df.queryExecution.assertAnalyzed()
-        println(df.schema.treeString)
-        // analyzed (not optimized): against a static catalog every input is
-        // an empty LocalRelation and the optimizer folds the whole plan away
-        println(df.queryExecution.analyzed.toString)
-        spark.stop()
-        return
-      }
       if (explain) df.explain("formatted")
       format match {
         case "json" => df.limit(limit).toJSON.collect().foreach(println)

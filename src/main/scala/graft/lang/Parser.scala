@@ -97,7 +97,14 @@ object Parser {
         // skip string/backquote literals so `---` inside them is inert;
         // triple-quoted strings are handled as a run of quote chars
         if (c == '"' && src.startsWith("\"\"\"", i)) {
-          val e = src.indexOf("\"\"\"", i + 3); i = if (e < 0) n else e + 3
+          // mirror the scanner's rule: a run of >3 closing quotes keeps the
+          // extras inside the literal (Scanner.scala triple-quote handling)
+          var e = src.indexOf("\"\"\"", i + 3)
+          if (e < 0) i = n
+          else {
+            while (e + 3 < n && src.charAt(e + 3) == '"') e += 1
+            i = e + 3
+          }
         } else {
           var j = i + 1
           while (j < n && src.charAt(j) != c) {

@@ -120,6 +120,9 @@ object Server {
       pool.submit(new Runnable {
         override def run(): Unit =
           try {
+            // a cancel that raced ahead of this (queued) runnable wins:
+            // don't start work the client already abandoned
+            if (st.status == "cancelled") return
             // every Spark job this query submits is tagged with its id so
             // DELETE /api/v1/query/{id} can cancel them mid-flight
             // (setJobGroup is thread-local — exactly one query runs per
@@ -128,18 +131,18 @@ object Server {
               text.linesIterator.nextOption().getOrElse("").take(120),
               interruptOnCancel = true)
             // editor selection (reference QuerySelection + linePosition):
-            // slice the unit BEFORE execution; `describe` renders the
-            // compiled schema as rows instead of executing the query
-            val effective = graft.lang.Selection.selectText(text, selection, line)
-            val df0 = graft.Graft.runWith(sessionCtx(sid), effective)
+            // slice the unit BEFORE execution; `describe` compiles and
+            // renders the schema as rows WITHOUT executing the query
+            val sel = Option(selection).getOrElse("").trim.toLowerCase
+            val effective = graft.lang.Selection.selectText(text, sel, line)
             val df =
-              if (selection.equalsIgnoreCase("describe")) {
-                val spark = df0.sparkSession
+              if (sel == "describe") {
+                val described = graft.CompileApi.compileOnlyWith(sessionCtx(sid), effective)
                 import spark.implicits._
-                df0.schema.fields.toSeq
+                described.schema.fields.toSeq
                   .map(f => (f.name, f.dataType.simpleString, f.nullable))
                   .toDF("column_name", "column_type", "nullable")
-              } else df0
+              } else graft.Graft.runWith(sessionCtx(sid), effective)
             if (df.columns.nonEmpty) {
               // limit+1 INSIDE the plan detects truncation without
               // counting (or materializing) the full result
@@ -154,7 +157,9 @@ object Server {
                   case v => v
                 })
             }
-            st.status = "finished"
+            // a cancel that arrived while the collect was finishing keeps
+            // its terminal state — finished must not overwrite cancelled
+            if (st.status != "cancelled") st.status = "finished"
             st.completedAt = Some(Instant.now())
           } catch {
             case e: Throwable =>
@@ -350,23 +355,37 @@ object Server {
       // WvcLib compile_query_json over HTTP: body {args: ["-q", …]} or
       // {query: "..."} shorthand; response is CompileApi's envelope verbatim
       val req = Json.parseObject(readBody(ex))
-      val argJson: Option[String] = req.get("args") match {
-        case Some(xs: Seq[_]) => Some(Json.write(xs))
+      val rawArgs: Option[List[String]] = req.get("args") match {
+        case Some(xs: Seq[_]) => Some(xs.iterator.map(String.valueOf(_)).toList)
         case _ => req.get("query") match {
-          case Some(q: String) => Some(Json.write(List("-q", q, "-d", dir)))
+          case Some(q: String) => Some(List("-q", q, "-d", dir))
           case _ => None
         }
       }
-      argJson match {
+      // file-reading args are sandboxed to the workspace, matching the
+      // files endpoints' invariant (no absolute paths, no `..` escapes);
+      // the unrestricted -f/-d forms are CLI-only
+      def sandbox(args: List[String]): Either[String, List[String]] = {
+        val b = List.newBuilder[String]
+        var rest = args
+        while (rest.nonEmpty) rest match {
+          case ("-f" | "--catalog") :: p :: tl =>
+            if (!safeRel(p)) return Left(s"path '$p' must be workspace-relative")
+            b += rest.head += new java.io.File(workDir, p).getPath; rest = tl
+          case "-d" :: _ :: tl => rest = tl // table dir is server-controlled
+          case x :: tl => b += x; rest = tl
+          case Nil => ()
+        }
+        Right(b.result() ::: List("-d", dir))
+      }
+      rawArgs match {
         case None => send(ex, 400, Map("error" -> "missing 'args' or 'query'"))
-        case Some(a) =>
-          val body = graft.CompileApi.compileQueryJson(spark, a)
-          val ok = Json.parseObject(body).get("success").contains(true)
-          ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
-          val bytes = body.getBytes(UTF_8)
-          ex.sendResponseHeaders(if (ok) 200 else 400, bytes.length.toLong)
-          val os = ex.getResponseBody
-          try os.write(bytes) finally os.close()
+        case Some(a) => sandbox(a) match {
+          case Left(msg) => send(ex, 400, Map("error" -> msg))
+          case Right(clean) =>
+            val env = graft.CompileApi.compileQueryEnvelope(spark, Json.write(clean))
+            send(ex, if (env.get("success").contains(true)) 200 else 400, env)
+        }
       }
     })
 

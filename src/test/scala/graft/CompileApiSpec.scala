@@ -29,6 +29,15 @@ class CompileApiSpec extends SparkTestBase {
     assert(loc("lineContent") == "where (l_tax >")
   }
 
+  test("lexical error: SYNTAX_ERROR (not internal) with a recovered location") {
+    val resp = call("-q", "from lineitem\nwhere l_returnflag = 'unterminated")
+    assert(resp("success") == false)
+    val err = resp("error").asInstanceOf[Map[String, Any]]
+    assert(err("statusCode") == "SYNTAX_ERROR" && err("statusType") == "UserError", s"got $err")
+    val loc = err("location").asInstanceOf[Map[String, Any]]
+    assert(loc("line").asInstanceOf[Number].intValue == 2)
+  }
+
   test("unknown column: ANALYSIS_ERROR, UserError") {
     val resp = call("-q", "from lineitem select no_such_col", "-d", sfDir)
     assert(resp("success") == false)

@@ -243,5 +243,13 @@ class ServerSpec extends SparkTestBase {
     assert(badCode == 400)
     val err = badResp("error").asInstanceOf[Map[String, Any]]
     assert(err("statusCode") == "ANALYSIS_ERROR")
+    // file args are sandboxed to the workspace — absolute paths rejected
+    val (escCode, escResp) = http("POST", "/api/v1/compile",
+      Some(Json.write(Map("args" -> List("-f", "/etc/passwd")))))
+    assert(escCode == 400 && String.valueOf(escResp("error")).contains("workspace-relative"))
+    // a workspace-relative -f compiles the stored script
+    val (wsCode, wsResp) = http("POST", "/api/v1/compile",
+      Some(Json.write(Map("args" -> List("-f", "q1.wv")))))
+    assert(wsCode == 200 && wsResp("success") == true, s"got $wsResp")
   }
 }
