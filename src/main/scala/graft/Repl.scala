@@ -13,6 +13,8 @@ import org.apache.spark.sql.SparkSession
   *   :tables          list resolvable tables
   *   :explain         toggle printing the formatted physical plan
   *   :limit N         rows to show (default 20)
+  *   :describe        schema of the buffered (partial) pipeline, no execution
+  *   :fragment        run the buffered pipeline without clearing the buffer
   *   :quit / :q       exit (EOF / ctrl-D also works)
   *
   * Usage: runMain graft.Repl [--dir DIR] [--limit N]
@@ -86,7 +88,31 @@ object Repl {
       line.trim match {
         case ":quit" | ":q" => execute(); return
         case ":help" =>
-          out.println(":tables :explain :limit N :quit -- empty line executes the buffer")
+          out.println(":tables :explain :limit N :describe :fragment :quit -- empty line executes the buffer")
+        case ":describe" =>
+          // schema of the buffered (partial) pipeline without executing it —
+          // the reference REPL's describe-line widget (WvletREPL.scala:197)
+          if (buf.isEmpty) out.println("nothing buffered")
+          else try {
+            val df = CompileApi.compileOnlyWith(ctx, buf.toString)
+            out.println(df.schema.treeString)
+          } catch {
+            case e: Throwable =>
+              out.println(s"[describe error] ${String.valueOf(e.getMessage).linesIterator.take(2).mkString(" ")}")
+          }
+        case ":fragment" =>
+          // run the buffered pipeline AS IS without clearing the buffer —
+          // the reference REPL's subquery-run widget (WvletREPL.scala:219):
+          // peek at intermediate results, keep typing the chain
+          if (buf.isEmpty) out.println("nothing buffered")
+          else try {
+            val df = Graft.runWith(ctx, buf.toString)
+            if (df.columns.nonEmpty) Console.withOut(out) { df.show(limit, truncate = false) }
+            else out.println("ok")
+          } catch {
+            case e: Throwable =>
+              out.println(s"[fragment error] ${String.valueOf(e.getMessage).linesIterator.take(2).mkString(" ")}")
+          }
         case ":tables" =>
           out.println(Tables.names.mkString(", "))
         case ":explain" =>

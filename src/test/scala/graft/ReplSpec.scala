@@ -89,4 +89,26 @@ class ReplSpec extends SparkTestBase {
     assert(outText.linesIterator.count(_.contains("[test failed]")) == 1, outText)
     assert(outText.contains("5"), outText)
   }
+
+  test(":describe shows the buffered pipeline's schema without executing; :fragment runs it keeping the buffer") {
+    val outText = drive(
+      """from region
+        |group by r_regionkey
+        |:describe
+        |agg n = _.count
+        |:fragment
+        |order by r_regionkey
+        |
+        |:quit
+        |""".stripMargin)
+    // :describe printed a schema tree for the partial chain
+    assert(outText.contains("r_regionkey"), outText)
+    assert(outText.contains("root"), outText)
+    // :fragment ran the chain-so-far (count per key) and kept buffering:
+    // the final empty-line execution includes the order by
+    assert(outText.contains("| n "  ) || outText.contains("|n"), outText)
+    // a failing :describe on an empty buffer reports, loop survives
+    val out2 = drive(":describe\n:quit\n")
+    assert(out2.contains("nothing buffered"), out2)
+  }
 }
