@@ -13,6 +13,7 @@ import org.apache.spark.sql.SparkSession
   *   :tables          list resolvable tables
   *   :explain         toggle printing the formatted physical plan
   *   :limit N         rows to show (default 20)
+  *   :context         session summary: accumulated models/vals/defs/flows
   *   :describe        schema of the buffered (partial) pipeline, no execution
   *   :fragment        run the buffered pipeline without clearing the buffer
   *   :quit / :q       exit (EOF / ctrl-D also works)
@@ -88,7 +89,7 @@ object Repl {
       line.trim match {
         case ":quit" | ":q" => execute(); return
         case ":help" =>
-          out.println(":tables :explain :limit N :describe :fragment :quit -- empty line executes the buffer")
+          out.println(":tables :context :explain :limit N :describe :fragment :quit -- empty line executes the buffer")
         case ":describe" =>
           // schema of the buffered (partial) pipeline without executing it —
           // the reference REPL's describe-line widget (WvletREPL.scala:197)
@@ -115,6 +116,21 @@ object Repl {
           }
         case ":tables" =>
           out.println(Tables.names.mkString(", "))
+        case ":context" =>
+          // session-state summary (reference REPL `context` command,
+          // WvletREPL.scala:312): what this persistent compiler session
+          // has accumulated so far
+          out.println(s"tables from: $dir")
+          def show(kind: String, names: Iterable[String]): Unit =
+            if (names.nonEmpty) out.println(s"$kind: ${names.toSeq.sorted.mkString(", ")}")
+          show("models", ctx.models.keys)
+          show("vals", ctx.vals.keys)
+          show("defs", ctx.funcs.keys)
+          show("partials", ctx.partials.keys)
+          show("flows", ctx.flows.keys)
+          show("types", ctx.typeBindings.keys)
+          if (ctx.currentSchema.nonEmpty)
+            out.println(s"schema: ${ctx.currentSchema.values.mkString(", ")}")
         case ":explain" =>
           explain = !explain; out.println(s"explain ${if (explain) "on" else "off"}")
         case l if l.startsWith(":limit") =>

@@ -111,4 +111,18 @@ class ReplSpec extends SparkTestBase {
     val out2 = drive(":describe\n:quit\n")
     assert(out2.contains("nothing buffered"), out2)
   }
+
+  test(":context summarizes accumulated session definitions") {
+    val outText = drive(
+      """model m1 = { from region }
+        |val v1 = 7
+        |def f1(x) = x + 1
+        |
+        |:context
+        |:quit
+        |""".stripMargin)
+    assert(outText.contains("models: m1"), outText)
+    assert(outText.contains("vals: v1"), outText)
+    assert(outText.contains("defs: f1"), outText)
+  }
 }
