@@ -37,7 +37,9 @@ object BenchScale {
     // the event-time family restored by the round-9 NTZ fix — streaming-
     // shaped plans must prove ~linear scaling too
     "q_events_sessionize",
-    "q_subscribe_windowed_agg")
+    "q_subscribe_windowed_agg",
+    "q_similarity_topk_lsh",
+    "q_similarity_topk_ivf")
 
   private def loadavg(): String = BenchGuard.loadavg()
 
@@ -90,6 +92,26 @@ object BenchScale {
           evRest.map(F.col).toSeq): _*)
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$workDir/events.parquet")
+
+    // embeddings for the ANN paths: vec_id remaps into disjoint ranges;
+    // vectors repeat verbatim, so every LSH/IVF bucket densifies r× while
+    // the 10 fixed query vectors stay put — the measured exponent is pure
+    // corpus-side growth (bucket postings, probe fan-out), the quantity
+    // that matters at 100 TB
+    val emBase = Tables.read(spark, baseDir, "embeddings")
+    val emSpan = emBase.agg(F.max("vec_id")).head.getLong(0) + 1
+    val emRest = emBase.columns.filterNot(_ == "vec_id")
+    (0 until replicas).map { i =>
+      emBase.select(
+        ((F.col("vec_id") + F.lit(i.toLong * emSpan)).as("vec_id") +:
+          emRest.map(F.col).toSeq): _*)
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
+
+    // the materialization itself is a 32-thread write burst (page-cache
+    // writeback, GC) — re-quiesce before timing, or the first base
+    // measurements absorb the flush and skew their exponents negative
+    BenchGuard.waitUntilQuiet()
 
     def time(name: String, dir: String, partitions: Int): Double = {
       // partitions scale with the corpus — the 100 TB sizing policy
