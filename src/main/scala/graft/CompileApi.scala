@@ -68,8 +68,21 @@ object CompileApi {
 
   /** Action-free compile against a caller-held context (session reuse). */
   def compileOnlyWith(ctx: graft.lang.Lowering.Context, text: String): org.apache.spark.sql.DataFrame = {
-    val stmts = graft.lang.Parser.parseStatements(text)
-    val df = graft.lang.Lowering.lowerStatements(stmts, ctx)
+    import graft.lang._
+    val stmts = Parser.parseStatements(text)
+    // write-effecting statements lower EAGERLY (save/delete/… execute inside
+    // lowerStatements) — compile-only must refuse them rather than run them
+    stmts.foreach {
+      case s @ (_: SaveTo | _: DeleteStmt | _: TruncateStmt | _: UpdateStmt |
+          _: AlterTableStmt | _: ExecuteStmt | _: MergeInto | _: CreateTableAs) =>
+        throw new LoweringException(
+          s"compile-only: '${s.getClass.getSimpleName}' writes data — submit it for execution instead")
+      case QueryStatement(_: DeleteRel) =>
+        throw new LoweringException(
+          "compile-only: terminal delete writes data — submit it for execution instead")
+      case _ => ()
+    }
+    val df = Lowering.lowerStatements(stmts, ctx)
       .getOrElse(ctx.spark.emptyDataFrame)
     // tests/debug branches are analyzed, never executed; drain them so a
     // reused session context doesn't run them on its next real query
@@ -92,16 +105,28 @@ object CompileApi {
     while (rest.nonEmpty) rest match {
       case "-q" :: q :: tl => query = Some(q); rest = tl
       case "-f" :: f :: tl =>
-        query = Some(new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(f)), java.nio.charset.StandardCharsets.UTF_8))
-        rest = tl
+        query = Some(readFileArg("-f", f)); rest = tl
       case ("-d" | "-w") :: d :: tl => dir = d; rest = tl
-      case "--catalog" :: c :: tl => catalog = Some(c); rest = tl
+      case "--catalog" :: c :: tl =>
+        readFileArg("--catalog", c) // fail early, as a user error
+        catalog = Some(c); rest = tl
+      case flag :: Nil if Set("-q", "-f", "-d", "-w", "--catalog")(flag) =>
+        throw new IllegalArgumentException(s"$flag requires a value")
       case _ :: tl => rest = tl // unknown flags pass over (reference tolerates -x etc.)
       case Nil => ()
     }
     (query.getOrElse(throw new IllegalArgumentException("missing -q or -f")), dir, catalog)
   }
+
+  /** A missing/unreadable file is a USER error (bad argument), not an
+    * engine fault — surface it as INVALID_ARGUMENT, not INTERNAL_ERROR. */
+  private def readFileArg(flag: String, path: String): String =
+    try new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    catch {
+      case e: java.io.IOException =>
+        throw new IllegalArgumentException(s"$flag: cannot read '$path' (${e.getClass.getSimpleName})")
+    }
 
   /** The parser reports `… at offset N` (and the scanner `… at N`) —
     * recover line/column/lineContent against the submitted source

@@ -94,7 +94,15 @@ object Run {
         // `wvlet compile` analogue (WvletMain.scala:85-91): type-check and
         // plan the query WITHOUT executing anything — embedded test/debug
         // branches are analyzed, not run, so `--catalog` validates fully
-        // offline against the static catalog's empty typed frames
+        // offline against the static catalog's empty typed frames.
+        // The flow-language parser backs this path; .sql/.md scripts run
+        // through engines that execute commands eagerly and have no
+        // action-free mode, so refuse rather than silently execute.
+        if (file.exists(f => f.endsWith(".sql") || f.endsWith(".md"))) {
+          System.err.println("[compile error] --compile supports .wv input only " +
+            "(.sql/.md scripts execute statements eagerly)")
+          spark.stop(); sys.exit(2)
+        }
         val df = CompileApi.compileOnly(spark, text, dir, catalogFile)
         println(df.schema.treeString)
         // analyzed (not optimized): against a static catalog every input is

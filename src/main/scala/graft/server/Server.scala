@@ -118,11 +118,15 @@ object Server {
       val st = QueryState(newId(), text, Instant.now(), "running")
       queries.put(st.queryId, st)
       pool.submit(new Runnable {
+        // QueryState transitions synchronize on `st`: the DELETE handler's
+        // running→cancelled and this worker's →finished/failed check-then-
+        // act must not interleave (and the lock gives the queued-runnable
+        // check cross-thread visibility — the vars aren't volatile)
         override def run(): Unit =
           try {
             // a cancel that raced ahead of this (queued) runnable wins:
             // don't start work the client already abandoned
-            if (st.status == "cancelled") return
+            if (st.synchronized { st.status == "cancelled" }) return
             // every Spark job this query submits is tagged with its id so
             // DELETE /api/v1/query/{id} can cancel them mid-flight
             // (setJobGroup is thread-local — exactly one query runs per
@@ -135,14 +139,21 @@ object Server {
             // renders the schema as rows WITHOUT executing the query
             val sel = Option(selection).getOrElse("").trim.toLowerCase
             val effective = graft.lang.Selection.selectText(text, sel, line)
-            val df =
+            // one query at a time per session context: the ctx's definition
+            // maps and pending test/debug buffers are plain mutable state,
+            // and compileOnlyWith drains tests/debugs — concurrent requests
+            // on the same sessionId must serialize or a describe could eat
+            // a running query's pending assertions
+            val ctx = sessionCtx(sid)
+            val df = ctx.synchronized {
               if (sel == "describe") {
-                val described = graft.CompileApi.compileOnlyWith(sessionCtx(sid), effective)
+                val described = graft.CompileApi.compileOnlyWith(ctx, effective)
                 import spark.implicits._
                 described.schema.fields.toSeq
                   .map(f => (f.name, f.dataType.simpleString, f.nullable))
                   .toDF("column_name", "column_type", "nullable")
-              } else graft.Graft.runWith(sessionCtx(sid), effective)
+              } else graft.Graft.runWith(ctx, effective)
+            }
             if (df.columns.nonEmpty) {
               // limit+1 INSIDE the plan detects truncation without
               // counting (or materializing) the full result
@@ -159,17 +170,23 @@ object Server {
             }
             // a cancel that arrived while the collect was finishing keeps
             // its terminal state — finished must not overwrite cancelled
-            if (st.status != "cancelled") st.status = "finished"
-            st.completedAt = Some(Instant.now())
+            st.synchronized {
+              if (st.status != "cancelled") {
+                st.status = "finished"
+                st.completedAt = Some(Instant.now())
+              }
+            }
           } catch {
             case e: Throwable =>
               // a cancel marks the state first, then interrupts the job —
               // the resulting SparkException must not overwrite it
-              if (st.status != "cancelled") {
-                st.status = "failed"
-                st.error = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
+              st.synchronized {
+                if (st.status != "cancelled") {
+                  st.status = "failed"
+                  st.error = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
+                  st.completedAt = Some(Instant.now())
+                }
               }
-              st.completedAt = Some(Instant.now())
           } finally spark.sparkContext.clearJobGroup()
       })
       send(ex, 200, Map("queryId" -> st.queryId))
@@ -210,13 +227,24 @@ object Server {
         case ("DELETE", id) if id.nonEmpty =>
           Option(queries.get(id)) match {
             case None => send(ex, 404, Map("error" -> s"query '$id' not found"))
-            case Some(st) if st.status != "running" =>
-              send(ex, 409, Map("error" -> s"query is ${st.status}", "status" -> st.status))
             case Some(st) =>
-              st.status = "cancelled"
-              st.error = Some("cancelled by client")
-              spark.sparkContext.cancelJobGroup(id)
-              send(ex, 200, Map("queryId" -> id, "status" -> "cancelled"))
+              // atomic running→cancelled (same lock as the worker's
+              // terminal transitions); the cancel is the terminal decision
+              // point, so it stamps completedAt — a cancelled-while-queued
+              // query would otherwise never get one
+              val won = st.synchronized {
+                if (st.status == "running") {
+                  st.status = "cancelled"
+                  st.error = Some("cancelled by client")
+                  st.completedAt = Some(Instant.now())
+                  true
+                } else false
+              }
+              if (won) {
+                spark.sparkContext.cancelJobGroup(id)
+                send(ex, 200, Map("queryId" -> id, "status" -> "cancelled"))
+              } else
+                send(ex, 409, Map("error" -> s"query is ${st.status}", "status" -> st.status))
           }
         case ("GET", id) if id.nonEmpty =>
           Option(queries.get(id)) match {

@@ -52,6 +52,25 @@ class CompileApiSpec extends SparkTestBase {
     assert(resp("error").asInstanceOf[Map[String, Any]]("statusCode") == "INVALID_ARGUMENT")
   }
 
+  test("write-effecting statements are refused, not executed") {
+    val out = java.nio.file.Files.createTempDirectory("capi_w").toString + "/out.parquet"
+    val resp = call("-q", s"from region\nsave to '$out'", "-d", sfDir)
+    assert(resp("success") == false, s"got $resp")
+    val err = resp("error").asInstanceOf[Map[String, Any]]
+    assert(err("statusCode") == "PLAN_ERROR" && err("statusType") == "UserError")
+    assert(err("message").asInstanceOf[String].contains("compile-only"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out)), "compile wrote data!")
+  }
+
+  test("trailing valueless flag and unreadable file are user errors") {
+    val dangling = call("-q")
+    assert(dangling("error").asInstanceOf[Map[String, Any]]("statusCode") == "INVALID_ARGUMENT")
+    val missing = call("-f", "/tmp/definitely_missing_graft.wv")
+    val err = missing("error").asInstanceOf[Map[String, Any]]
+    assert(err("statusCode") == "INVALID_ARGUMENT", s"got $err")
+    assert(err("statusType") == "UserError")
+  }
+
   test("static catalog: compiles offline, embedded tests analyzed but not executed") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_capi").toString
     val cat = s"$tmp/catalog.wv"
