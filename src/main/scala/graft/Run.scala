@@ -20,6 +20,7 @@ object Run {
     var format = "table"
     var transpile = false
     var fmt = false
+    var toSql = false
     var compileOnly = false
     var catalogFile: Option[String] = None
     var catalogExport: Option[String] = None
@@ -34,6 +35,7 @@ object Run {
         case "--csv" => format = "csv"; i += 1
         case "--transpile" => transpile = true; i += 1
         case "--fmt" => fmt = true; i += 1
+        case "--to-sql" => toSql = true; i += 1
         case "--compile" => compileOnly = true; i += 1
         case "--catalog" => catalogFile = Some(args(i + 1)); i += 2
         case "--catalog-export" => catalogExport = Some(args(i + 1)); i += 2
@@ -58,6 +60,18 @@ object Run {
         java.nio.charset.StandardCharsets.UTF_8))).getOrElse {
       System.err.println("usage: graft.Run (-e QUERY | FILE.wv) [--dir DIR] [--limit N] [--explain] [--json|--csv] [--fmt] [--transpile] [--compile [--catalog FILE.wv]] [--catalog-export OUT.wv]")
       sys.exit(2)
+    }
+    if (toSql) {
+      // wv → Spark SQL text (the reference's `wvlet compile -t <dbtype>`
+      // codegen surface); no Spark session needed — pure AST generation
+      try println(graft.lang.WvToSql.generate(text))
+      catch {
+        case e: graft.lang.ParseException =>
+          System.err.println(s"[parse error] ${e.getMessage}"); sys.exit(1)
+        case e: graft.lang.WvToSql.Unsupported =>
+          System.err.println(s"[to-sql error] ${e.getMessage}"); sys.exit(1)
+      }
+      return
     }
     if (fmt) {
       // canonical regeneration (the reference's WvletGenerator surface):

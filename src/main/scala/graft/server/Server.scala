@@ -417,6 +417,19 @@ object Server {
       }
     })
 
+    http.createContext("/api/v1/to_sql", handler { ex =>
+      // wv → Spark SQL (the reverse of /transpile; the reference's
+      // `wvlet compile -t` codegen surface)
+      val req = Json.parseObject(readBody(ex))
+      req.get("query") match {
+        case Some(q: String) =>
+          try send(ex, 200, Map("sql" -> graft.lang.WvToSql.generate(q)))
+          catch { case e: Throwable =>
+            send(ex, 400, Map("error" -> String.valueOf(e.getMessage))) }
+        case _ => send(ex, 400, Map("error" -> "missing 'query'"))
+      }
+    })
+
     http.createContext("/api/v1/fmt", handler { ex =>
       val req = Json.parseObject(readBody(ex))
       req.get("query") match {

@@ -232,6 +232,16 @@ class ServerSpec extends SparkTestBase {
     assert(http("DELETE", "/api/v1/query/nope")._1 == 404)
   }
 
+  test("to_sql endpoint generates executable Spark SQL") {
+    val (code, resp) = http("POST", "/api/v1/to_sql",
+      Some(Json.write(Map("query" -> "from region\ngroup by r_regionkey\nagg n = _.count"))))
+    assert(code == 200, s"got $resp")
+    val sql = resp("sql").asInstanceOf[String]
+    assert(sql.toUpperCase.contains("GROUP BY"))
+    assert(http("POST", "/api/v1/to_sql",
+      Some(Json.write(Map("query" -> "from t asof join u on t.a <= u.a"))))._1 == 400)
+  }
+
   test("compile endpoint validates without executing; errors are 400 envelopes") {
     val (code, resp) = http("POST", "/api/v1/compile",
       Some(Json.write(Map("query" -> "from region group by r_name agg n = _.count"))))
