@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -34,6 +34,31 @@ object VectorExpressions {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProductExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Packed sign-bit signature of `vec` against a constant hyperplane
+    * matrix: bit p = (dot(vec, matrix(p)) > 0). One expression replaces
+    * `planes` separate dot-product trees each carrying a dim-literal array
+    * — the unfused form made Catalyst re-optimize a ~10^5-node tree per
+    * execution, which dominated LSH wall-clock at bench scale. */
+  def matrixSignature(vec: Column, matrix: Array[Array[Double]]): Column = {
+    import org.apache.spark.sql.{functions => F}
+    // null vector → signature 0 (every per-plane `dot > 0` is false) —
+    // matches the unfused when/otherwise form and the DuckDB oracle's
+    // SUM(CASE ... ELSE 0)
+    F.coalesce(
+      ColumnBridge.column(
+        MatrixSignatureExpr(ColumnBridge.expression(vec), matrix.map(_.toSeq).toSeq)),
+      F.lit(0L))
+  }
+
+  /** Array of `round(nanvl(cosine(vec, matrix(r)), nanValue), scale)` for
+    * every row of a constant matrix — the fused form of an IVF coarse
+    * quantizer's per-centroid cosine column block. */
+  def matrixCosine(vec: Column, matrix: Array[Array[Double]],
+      scale: Int, nanValue: Double): Column =
+    ColumnBridge.column(
+      MatrixCosineExpr(ColumnBridge.expression(vec), matrix.map(_.toSeq).toSeq,
+        scale, nanValue))
 }
 
 private[graft] trait VectorBinaryExpr extends BinaryExpression {
@@ -135,6 +160,140 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Shared base for vec-×-constant-matrix expressions. The matrix is a
+  * structural (`Seq`) field so Catalyst canonicalization/semantic equality
+  * work; the hot loop reads a transient `Array[Array[Double]]` copy. The
+  * generated code is a single call back into the JIT-compiled `compute`
+  * method via `ctx.addReferenceObj` — keeping the Janino method tiny no
+  * matter how large the matrix is (the inline-literal formulation hit
+  * Janino's method-size splitting and multi-second compile times). */
+private[graft] trait MatrixVectorExpr extends UnaryExpression {
+  def matrix: Seq[Seq[Double]]
+
+  @transient protected lazy val m: Array[Array[Double]] = matrix.map(_.toArray).toArray
+
+  @transient protected lazy val childElemType: DataType = child.dataType match {
+    case ArrayType(t, _) => t
+    case other => throw new IllegalArgumentException(s"expected array input, got $other")
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(t, _)
+          if t == FloatType || t == DoubleType || t == IntegerType || t == LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects a numeric array, got $other")
+    }
+
+  protected def getElem(arr: ArrayData, i: Int): Double = childElemType match {
+    case FloatType => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case other => throw new IllegalArgumentException(s"unsupported element type $other")
+  }
+}
+
+/** Packed sign-bit signature: bit p = (dot(vec, matrix(p)) > 0). Null
+  * propagates (the `matrixSignature` Column wrapper coalesces to 0L,
+  * matching the unfused `when(dot > 0, 1).otherwise(0)` form and the
+  * DuckDB oracle's `SUM(CASE WHEN ... THEN pw ELSE 0 END)`). */
+case class MatrixSignatureExpr(child: Expression, matrix: Seq[Seq[Double]])
+    extends MatrixVectorExpr {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  def compute(arr: ArrayData): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < m.length) {
+      val w = m(p)
+      val n = math.min(w.length, arr.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) dot += getElem(arr, i) * w(i)
+        i += 1
+      }
+      if (dot > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("matrixSig", this, classOf[MatrixSignatureExpr].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $self.compute((org.apache.spark.sql.catalyst.util.ArrayData) $a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-centroid rounded cosine array:
+  * `round(nanvl(cos(vec, matrix(r)), nanValue), scale)` for every matrix
+  * row, in row order. Rounding replicates Spark's `Round` on doubles
+  * (`BigDecimal.valueOf(x).setScale(scale, HALF_UP)`) so results are
+  * bit-identical to the unfused `F.round(F.nanvl(...))` column block; the
+  * vector's full-length self-norm matches `CosineSimilarityExpr`'s
+  * longer-tail semantics. Null vector → null array. */
+case class MatrixCosineExpr(child: Expression, matrix: Seq[Seq[Double]],
+    scale: Int, nanValue: Double)
+    extends MatrixVectorExpr {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val rowNorms: Array[Double] =
+    m.map(w => math.sqrt(w.map(x => x * x).sum))
+
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def compute(arr: ArrayData): ArrayData = {
+    val nv = arr.numElements()
+    var na = 0.0
+    var i = 0
+    while (i < nv) {
+      if (!arr.isNullAt(i)) { val v = getElem(arr, i); na += v * v }
+      i += 1
+    }
+    val vecNorm = math.sqrt(na)
+    val out = new Array[Double](m.length)
+    var r = 0
+    while (r < m.length) {
+      val w = m(r)
+      val n = math.min(w.length, nv)
+      var dot = 0.0
+      i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) dot += getElem(arr, i) * w(i)
+        i += 1
+      }
+      val cos = dot / (vecNorm * rowNorms(r))
+      out(r) = round6(if (cos.isNaN) nanValue else cos)
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("matrixCos", this, classOf[MatrixCosineExpr].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $self.compute((org.apache.spark.sql.catalyst.util.ArrayData) $a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Index-order dot product with double accumulation. */

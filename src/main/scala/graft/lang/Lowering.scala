@@ -1613,6 +1613,14 @@ object Lowering {
           // merge — the per-partition-top-k-then-global-k shape, no full
           // sort/shuffle at 100 TB.
           val n = size.toInt
+          // Keying cost note: the md5 key (~1 cast per column + concat +
+          // hash per row) parallelizes at parquet ROW-GROUP granularity; a
+          // single-row-group file (the sf0.1 bench input) pins the keying
+          // scan to one core (~2.5 s / 600k rows). Repartitioning first was
+          // measured SLOWER (full-row shuffle > single-core md5), so the
+          // plan stays shuffle-free; at scale, many row groups → the keying
+          // scan parallelizes naturally and TakeOrderedAndProject keeps the
+          // per-partition-heap + single-merge shape.
           val key = F.md5(F.concat_ws("|",
             (F.lit("graft-reservoir") +:
               df.columns.toSeq.map(c => F.col(c).cast("string"))): _*))

@@ -32,19 +32,14 @@ object Similarity {
   }
 
   /** Sign-bit signature of a vector against `planes` seeded hyperplanes,
-    * packed into a long. Columnar: dot products via zip_with over a literal
-    * plane matrix. Requires the vector dimension up front (the plane array
-    * is a literal; dimension mismatch yields null dot → bit 0). */
-  def hyperplaneSignature(vec: Column, planes: Int, dim: Int = 64, seed: Long = 7L): Column = {
-    val hp = hyperplanes(dim, planes, seed)
-    val bits: Seq[Column] = hp.toSeq.map { plane =>
-      val planeCol = F.array(plane.map(F.lit(_)).toSeq: _*)
-      val dot = graft.functions.VectorExpressions.dotProduct(vec, planeCol)
-      F.when(dot > 0, F.lit(1L)).otherwise(F.lit(0L))
-    }
-    bits.zipWithIndex.map { case (b, i) => F.shiftleft(b, i) }
-      .reduce((a, b) => a.bitwiseOR(b))
-  }
+    * packed into a long — one fused `MatrixSignatureExpr` (bit p =
+    * dot(vec, plane_p) > 0 in a single pass). The earlier unfused form
+    * (`planes` dot-product trees each over a dim-literal array, duplicated
+    * per probe) made every execution re-optimize a ~10^5-node Catalyst tree
+    * — that fixed planning cost, not data volume, dominated LSH wall-clock
+    * at bench scale. Dimension mismatch: dot runs over min(dim, |vec|). */
+  def hyperplaneSignature(vec: Column, planes: Int, dim: Int = 64, seed: Long = 7L): Column =
+    graft.functions.VectorExpressions.matrixSignature(vec, hyperplanes(dim, planes, seed))
 
   /** Exact brute-force cosine top-k.
     *
@@ -102,8 +97,16 @@ object Similarity {
     // to ~tables·(planes+1)·n/2^planes per query (still a vanishing corpus
     // fraction at scale).
     def withBuckets(df: DataFrame, vec: String, probe: Boolean): DataFrame = {
+      // materialize each table's signature as a column ONCE, then derive the
+      // probe set by XOR on the column reference — the earlier form inlined
+      // the whole signature subtree into all planes+1 probes, blowing the
+      // plan up ~9× for zero extra information
+      val sigCols = (0 until tables).map { t =>
+        hyperplaneSignature(F.col(vec), planes, dim, seed = 7L + t).as(s"__sig$t")
+      }
+      val withSigs = df.select(df.columns.map(F.col) ++ sigCols: _*)
       val buckets = (0 until tables).flatMap { t =>
-        val sig = hyperplaneSignature(F.col(vec), planes, dim, seed = 7L + t)
+        val sig = F.col(s"__sig$t")
         val sigs =
           if (probe) sig +: (0 until planes).map(i => sig.bitwiseXOR(F.lit(1L << i)))
           else Seq(sig)
@@ -111,13 +114,15 @@ object Similarity {
         // long (vs a ~20-byte UTF8 concat) through the candidate shuffle
         sigs.map(s => s.bitwiseOR(F.lit(t.toLong << planes)))
       }
-      df.select(
+      withSigs.select(
         df.columns.map(F.col) :+ F.explode(F.array(buckets: _*)).as("bucket"): _*)
     }
 
     val cb = withBuckets(c, "__cv", probe = false)
     val qb = withBuckets(q, "__qv", probe = multiProbe)
-    var cand = cb.join(qb, Seq("bucket"))
+    // query side is small by contract (same as bruteForceTopK) → broadcast:
+    // the corpus bucket rows never shuffle, the candidate join is map-side
+    var cand = cb.join(F.broadcast(qb), Seq("bucket"))
       .drop("bucket")
       .dropDuplicates("query_id", "corpus_id")
     if (excludeSelf) cand = cand.filter(F.col("corpus_id") =!= F.col("query_id"))
@@ -255,17 +260,16 @@ object Similarity {
         }.toArray
         (i, arr)
     }
-    def centCol(vec: Array[Double]): Column = F.array(vec.map(F.lit(_)).toSeq: _*)
-    // rounded cosine to every centroid, in bucket order; nanvl guards a
+    // rounded cosine to every centroid, in bucket order, as ONE fused
+    // expression (the unfused per-centroid column block re-optimized an
+    // nlist×dim-literal Catalyst tree every run). nanvl→-1.0 guards a
     // zero-norm vector (NaN cosine): Spark's struct sort would rank NaN
     // LAST while the DuckDB oracle's ORDER BY cs DESC ranks it FIRST —
     // pinning NaN to -1.0 on BOTH sides makes probe/cell selection agree
+    val centroidMatrix: Array[Array[Double]] = centroids.map(_._2)
     def cosArr(vecCol: Column): Column =
-      F.array(centroids.map { case (_, v) =>
-        F.round(F.nanvl(
-          graft.functions.VectorExpressions.cosineSimilarity(vecCol, centCol(v)),
-          F.lit(-1.0)), 6)
-      }.toSeq: _*)
+      graft.functions.VectorExpressions.matrixCosine(
+        vecCol, centroidMatrix, scale = 6, nanValue = -1.0)
     // argmax(cos) with min-bucket tie-break: array_position returns the
     // FIRST index holding the max (1-based) — exactly (cos DESC, bucket ASC)
     val assigned = c
@@ -273,17 +277,15 @@ object Similarity {
       .withColumn("bucket", F.array_position(F.col("__ca"), F.array_max(F.col("__ca"))) - 1)
       .select("corpus_id", "__cv", "bucket")
     val q = queries.select(F.col(queryId).as("query_id"), F.col(queryVec).as("__qv"))
-    // top-nprobe cells per query: sort struct(-cos, bucket) asc == (cos DESC,
-    // bucket ASC), slice, explode — no shuffle on the (small) query side
-    val probeEntries = F.array(centroids.map { case (b, v) =>
-      F.struct(
-        (-F.round(F.nanvl(
-          graft.functions.VectorExpressions.cosineSimilarity(F.col("__qv"), centCol(v)),
-          F.lit(-1.0)), 6)).as("nc"),
-        F.lit(b.toLong).as("bucket"))
-    }.toSeq: _*)
+    // top-nprobe cells per query: struct(-cos, bucket), sort asc == (cos
+    // DESC, bucket ASC), slice, explode — no shuffle on the (small) query
+    // side; the index-aware transform runs interpreted but only over nlist
+    // elements on the query rows
     val probes = q
-      .withColumn("__p", F.explode(F.slice(F.sort_array(probeEntries), 1, nprobe)))
+      .withColumn("__ca", cosArr(F.col("__qv")))
+      .withColumn("__p", F.explode(F.slice(F.sort_array(
+        F.transform(F.col("__ca"), (cs, i) =>
+          F.struct((-cs).as("nc"), i.cast("long").as("bucket")))), 1, nprobe)))
       .select(F.col("query_id"), F.col("__qv"), F.col("__p").getField("bucket").as("bucket"))
     var cand = assigned.join(F.broadcast(probes), Seq("bucket")).drop("bucket")
     if (excludeSelf) cand = cand.filter(F.col("corpus_id") =!= F.col("query_id"))
