@@ -134,25 +134,35 @@ object QueryCatalog {
     """
   }
 
-  /** Embedding dimensionality of the testdata `embeddings` table. The
-    * DuckDB oracles index lists positionally up to this bound — an
-    * out-of-range DuckDB list index yields NULL which list_sum silently
-    * zero-fills, so a schema change here without updating this constant
-    * would fail the ANN gates with a value mismatch, not an obvious error. */
+  /** Embedding dimensionality assumed by the SIGNATURE paths: the LSH
+    * oracle inlines hyperplanes of this dimension and the engine queries
+    * pass the same value, so both sides stay consistent by construction
+    * (a longer data vector contributes only its first `embeddingDim`
+    * elements to the dot on both engines). The cosine oracles are
+    * length-generic (`duckCosine` uses `len(...)`) and do NOT depend on
+    * this constant. */
   private val embeddingDim = 64
 
-  /** DuckDB cosine of two `embeddingDim` FLOAT lists at 6 decimals — the
+  /** DuckDB cosine of two equal-length FLOAT lists at 6 decimals — the
     * same index-order double accumulation the fused Catalyst expression
-    * uses. Bit-for-bit equality with the engine rests on DuckDB's list_sum
-    * being strict LEFT-TO-RIGHT sequential double addition (true today; a
-    * DuckDB upgrade to pairwise/Kahan summation would flip low-order bits
-    * and, in the LSH oracle's sign test, near-zero sign bits). */
+    * uses. Length-generic (`len(a)`), so a testdata regeneration that
+    * changes the embedding dimension cannot silently truncate the oracle
+    * (the Scala operators are dimension-generic too; `embeddingDim` only
+    * pins the SIGNATURE hyperplanes, which both sides parameterize
+    * identically). Bit-for-bit equality with the engine rests on DuckDB's
+    * list_sum being strict LEFT-TO-RIGHT sequential double addition (true
+    * today; a DuckDB upgrade to pairwise/Kahan summation would flip
+    * low-order bits and, in the LSH oracle's sign test, near-zero sign
+    * bits). */
   private def duckCosine(a: String, b: String): String = {
-    val r = s"range(1, ${embeddingDim + 1})"
+    def r(x: String) = s"range(1, len($x) + 1)"
+    // dot over min length (out-of-range index → NULL, zero-filled by
+    // list_sum — same as the engine's min-length loop); each norm over its
+    // OWN full length (the engine's longer-tail-contributes semantics)
     s"""round(
-      list_sum(list_transform($r, i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
-      (sqrt(list_sum(list_transform($r, i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) *
-       sqrt(list_sum(list_transform($r, i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))), 6)"""
+      list_sum(list_transform(${r(a)}, i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) /
+      (sqrt(list_sum(list_transform(${r(a)}, i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) *
+       sqrt(list_sum(list_transform(${r(b)}, i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))), 6)"""
   }
 
   /** DETERMINISTIC oracle for q_similarity_topk_lsh: recomputes the ENTIRE
@@ -2527,14 +2537,14 @@ object QueryCatalog {
       Some("""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           round(
-            list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
-            (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
-             sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) AS cos_sim
+            list_sum(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+            (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+             sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) AS cos_sim
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE round(
-            list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
-            (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
-             sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) >= 0.35
+            list_sum(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+            (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+             sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) >= 0.35
         ORDER BY id_a, id_b
       """)
     ),
@@ -2551,9 +2561,9 @@ object QueryCatalog {
         WITH sims AS (
           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
             round(
-              list_sum(list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) /
-              (sqrt(list_sum(list_transform(range(1, 65), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) *
-               sqrt(list_sum(list_transform(range(1, 65), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))), 6) AS cos_sim
+              list_sum(list_transform(range(1, len(c.embedding) + 1), i -> c.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)) /
+              (sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) *
+               sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))), 6) AS cos_sim
           FROM embeddings c CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
           WHERE c.vec_id != q.vec_id),
         ranked AS (
