@@ -24,19 +24,28 @@ object Tables {
     "spark.sql.ansi.doubleQuotedIdentifiers" -> "true"
   )
 
-  /** Read a table from `dir`, normalizing types (nanos → microsecond
-    * timestamp, matching DuckDB's microsecond truncation of the same files). */
+  /** Read a table from `dir`, normalizing the event-time column's physical
+    * flavor. The driver has regenerated testdata with different `ts`
+    * encodings across rounds (nanosecond int64 in r1-r7, naive
+    * `timestamp[us]` → TIMESTAMP_NTZ in r8); each flip broke analysis
+    * until tolerated. All flavors that DuckDB reads as a timestamp are
+    * normalized here to the same instants (UTC session tz):
+    *   - long (nanos): integral-div to micros — `/` would promote to
+    *     double and ns epoch values (~1.7e18) exceed double's 2^53 exact
+    *     range, off-by-1µs vs DuckDB
+    *   - string (ISO-8601): to_timestamp
+    *   - TIMESTAMP_NTZ stays NTZ at read (schema fidelity for SHOW/
+    *     DESCRIBE); epoch/watermark call sites coerce via EpochTime,
+    *     gated in NtzRobustnessSpec */
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" || df.schema.exists(f => f.name == "ts" && f.dataType.typeName == "long")) {
-      df.schema.find(_.name == "ts") match {
-        case Some(f) if f.dataType.typeName == "long" =>
-          // integral div: `/` would promote to double, and ns epoch values
-          // (~1.7e18) exceed double's 2^53 exact range — off-by-1µs vs DuckDB
-          df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        case _ => df
-      }
-    } else df
+    df.schema.find(_.name == "ts") match {
+      case Some(f) if f.dataType.typeName == "long" =>
+        df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+      case Some(f) if f.dataType.typeName == "string" =>
+        df.withColumn("ts", F.to_timestamp(F.col("ts")))
+      case _ => df
+    }
   }
 
   def resolver(spark: SparkSession, dir: String): String => DataFrame =

@@ -1870,6 +1870,52 @@ object QueryCatalog {
       """)
     ),
     (
+      "q_describe_table", // §2.L Describe as a relation (was spec-only)
+      // l_shipdate excluded: its timestamp FLAVOR (ntz vs ltz) tracks
+      // however the driver last generated the parquet — the row would pin
+      // an encoding detail, not Describe semantics
+      wv("""
+        from lineitem
+        describe
+        where column_name != 'l_shipdate'
+        order by column_name
+      """),
+      Some("""
+        SELECT * FROM (VALUES
+          ('l_discount', 'double'), ('l_extendedprice', 'double'),
+          ('l_linenumber', 'int'), ('l_linestatus', 'string'),
+          ('l_orderkey', 'long'), ('l_partkey', 'long'),
+          ('l_quantity', 'double'), ('l_returnflag', 'string'),
+          ('l_suppkey', 'long'), ('l_tax', 'double'))
+          AS t(column_name, column_type)
+        ORDER BY column_name
+      """)
+    ),
+    (
+      "q_ddl_alter_roundtrip", // §2.L first-class ALTER: add + rename survive re-read
+      (spark, dir) => {
+        val tmp = System.getProperty("java.io.tmpdir").stripSuffix("/") +
+          "/graft_q_alter_rt.parquet"
+        Graft.query(spark, s"""
+          from region
+          select r_regionkey, r_name
+          save to '$tmp'
+          ;
+          alter table '$tmp' add column score int
+          ;
+          alter table '$tmp' rename column r_name to region_name
+          ;
+          from '$tmp'
+          select r_regionkey, region_name, score
+          order by r_regionkey
+        """, Tables.resolver(spark, dir), basePath = dir)
+      },
+      Some("""
+        SELECT r_regionkey, r_name AS region_name, CAST(NULL AS INT) AS score
+        FROM region ORDER BY r_regionkey
+      """)
+    ),
+    (
       "q_save_roundtrip", // write path: save to parquet, re-read, must be identity
       (spark, dir) => {
         val tmp = System.getProperty("java.io.tmpdir").stripSuffix("/") +

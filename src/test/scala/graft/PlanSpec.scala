@@ -204,4 +204,26 @@ class PlanSpec extends SparkTestBase {
     }
     assert(df.count() > 0)
   }
+
+  test("ANN plans stay small: fused matrix kernels, no literal-array blowup") {
+    // The LSH/IVF kernels were once planes×tables (×probes) separate
+    // column trees each embedding a dim-element literal array — a ~10^5
+    // expression-node plan whose per-EXECUTION optimize/codegen cost
+    // dominated wall-clock (5.9 s of a 1.0 s query at sf0.1). The fused
+    // MatrixSignatureExpr/MatrixCosineExpr keep the whole kernel in one
+    // node; this gate pins total analyzed-plan expression count so a
+    // refactor can't silently reintroduce the blowup.
+    def exprNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.map(p =>
+        p.expressions.map(_.collect { case e => e }.size).sum).sum
+    for (q <- Seq("q_similarity_topk_lsh", "q_similarity_topk_ivf")) {
+      val n = exprNodes(graft.catalog.QueryCatalog.queries(q)(spark, sfDir))
+      // fused plans measure a few hundred nodes; the unfused LSH form was
+      // ~100k. 5k leaves headroom for plan evolution without readmitting
+      // a per-plane/per-centroid expansion (≥ planes×tables×dim ≈ 3k
+      // extra nodes for LSH, nlist×dim ≈ 2k for IVF)
+      assert(n < 5000, s"$q analyzed plan has $n expression nodes (≥ 5000: " +
+        "matrix kernel no longer fused?)")
+    }
+  }
 }

@@ -119,6 +119,28 @@ class NtzRobustnessSpec extends SparkTestBase {
     assert(mixed == uniform && mixed.nonEmpty)
   }
 
+  test("Tables.read normalizes a STRING ts flavor to the same instants") {
+    // third plausible regeneration flavor (after r1-r7 int64-nanos and r8
+    // naive-us): ISO-8601 strings. Tables.read must hand every flavor to
+    // the query layer as a timestamp encoding the same instants.
+    val dir = Files.createTempDirectory("str_ts_tab").toString
+    eventsDf(ntz = false)
+      .withColumn("ts", F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val back = graft.Tables.read(spark, dir, "events")
+    assert(back.schema("ts").dataType == TimestampType,
+      s"string ts not normalized: ${back.schema("ts").dataType}")
+    val q = """
+      from events
+      group by bucket_ms = unix_micros(ts.date_trunc('hour')) // 1000, event_type
+      agg n = _.count
+      order by bucket_ms, event_type
+    """
+    val viaString = collectSorted(Graft.run(spark, q, _ => back))
+    val viaTs = collectSorted(Graft.run(spark, q, _ => eventsDf(ntz = false)))
+    assert(viaString == viaTs && viaString.nonEmpty)
+  }
+
   test("batch sessionization agrees across timestamp flavors") {
     val results = bothFlavors.map { case (flavor, df) =>
       val sess = collectSorted(
