@@ -2389,6 +2389,50 @@ object QueryCatalog {
       """)
     ),
     (
+      // Exact-substring dedup (Lee et al. 2021 approximated with stride-1
+      // 8-token span fingerprints): tokens covered by a span repeated in
+      // ≥2 distinct docs are removed. Oracle recomputes span membership on
+      // the raw span STRING (the engine's xxhash64 key never reaches the
+      // output, so the two keyings agree unless xxhash64 collides).
+      "q_dedup_spans",
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        Dedup.spanDedup(docs, "doc_id", "text", spanLen = 8, minDocs = 2)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                        x -> len(x) > 0) AS toks
+          FROM documents),
+        sp AS (
+          SELECT doc_id, i AS pos,
+                 list_aggregate(toks[i:i+7], 'string_agg', ' ') AS span
+          FROM t, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS i)),
+        dup AS (SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+        cov AS (
+          SELECT doc_id,
+                 list_distinct(flatten(list(range(pos, pos + 8)))) AS cps
+          FROM sp JOIN dup USING (span) GROUP BY doc_id)
+        SELECT t.doc_id,
+          coalesce(list_aggregate(
+            list_transform(
+              list_filter(range(1, len(toks) + 1),
+                          j -> NOT list_contains(coalesce(cps, []), j)),
+              j -> toks[j]),
+            'string_agg', ' '), '') AS clean_text,
+          len(toks)::BIGINT AS n_tokens,
+          len(list_filter(range(1, len(toks) + 1),
+                          j -> list_contains(coalesce(cps, []), j)))::BIGINT AS dup_tokens,
+          round(CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE len(list_filter(range(1, len(toks) + 1),
+                   j -> list_contains(coalesce(cps, []), j)))::DOUBLE / len(toks) END,
+            6) AS dup_token_frac
+        FROM t LEFT JOIN cov USING (doc_id) ORDER BY doc_id
+      """)
+    ),
+    (
       "q_dedup_ngram_jaccard",
       (spark, dir) => {
         val docs = Tables.read(spark, dir, "documents")

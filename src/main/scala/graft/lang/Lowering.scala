@@ -1054,6 +1054,25 @@ object Lowering {
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "dedup_spans" =>
+      // dedup_spans('corpus', 'id_col', 'text_col'[, span_len, min_docs])
+      // — exact-substring dedup (operators/Dedup.spanDedup): masks token
+      // spans repeated across >= min_docs documents
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String)) =>
+          Plain(graft.operators.Dedup.spanDedup(
+            lower(TableRef(corpus), ctx), idCol, textCol))
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
+            Some(spanLen: Long), Some(minDocs: Long)) =>
+          Plain(graft.operators.Dedup.spanDedup(
+            lower(TableRef(corpus), ctx), idCol, textCol, spanLen.toInt, minDocs.toInt))
+        case _ =>
+          throw new LoweringException(
+            "dedup_spans expects (corpus, id_col, text_col[, span_len, min_docs]) " +
+              "literals, e.g. dedup_spans('documents', 'doc_id', 'text', 8, 2)")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "each_top_k" =>
       // each_top_k(relation, k, group_col, score_col) — the Hivemall UDTF
       // pattern (top-k rows per group by score) as a first-class table

@@ -770,4 +770,80 @@ object Dedup {
       .select(F.col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  // ---------------------------------------------------------------------------
+  // Exact-substring (span-level) dedup
+  // ---------------------------------------------------------------------------
+
+  /** Exact-substring deduplication: remove token spans that repeat across
+    * documents (the suffix-array dedup of "Deduplicating Training Data Makes
+    * Language Models Better", approximated — as industrial distributed
+    * pipelines do — with stride-1 fixed-length span fingerprints instead of
+    * a global suffix array).
+    *
+    * Semantics: a token is DUPLICATED if it is covered by any `spanLen`-token
+    * window whose content appears in ≥ `minDocs` distinct documents. The
+    * cleaned text keeps only non-duplicated tokens (single-space joined);
+    * docs shorter than `spanLen` tokens pass through whole.
+    *
+    * Shape at 100 TB: spans explode to ~1 row per token but are immediately
+    * reduced to (id, pos, xxhash64) — 24-byte rows, never the span text; the
+    * dup-span count is one uniform-hash shuffle with map-side partial
+    * aggregation, and the join back to positions is a plain shuffle join the
+    * AQE planner can broadcast when the dup set is small. Per-doc masking is
+    * columnar (`exists` over the doc's dup-start list — bounded by doc
+    * length, no UDF). 64-bit fingerprint collisions (birthday-bound ~4B
+    * distinct spans) can only over-mask the rare colliding span — acceptable
+    * for corpus cleaning; use spanLen≥8 so spans are specific.
+    *
+    * Output: (id, clean_text, n_tokens, dup_tokens, dup_token_frac). */
+  def spanDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanLen: Int = 8,
+      minDocs: Int = 2
+  ): DataFrame = {
+    require(spanLen >= 2, "spanLen must be >= 2")
+    val toked = spread(df.select(
+      F.col(idCol), TextFunctions.tokens(F.col(textCol)).as("__toks")))
+    // (id, start, hash) for every stride-1 span; 1-based starts match slice().
+    // NOTE: Spark's sequence(1, 0) is the DESCENDING [1, 0], not empty — the
+    // inner filter drops starts whose window would overrun short docs.
+    val spans = toked
+      .select(F.col(idCol), F.explode(F.expr(
+        s"""transform(
+           |  filter(sequence(1, greatest(size(__toks) - $spanLen + 1, 1)),
+           |         i -> i + $spanLen - 1 <= size(__toks)),
+           |  i -> struct(i AS pos,
+           |              xxhash64(array_join(slice(__toks, i, $spanLen), ' ')) AS h))
+           |""".stripMargin)).as("__s"))
+      .select(F.col(idCol), F.col("__s.pos").as("__pos"), F.col("__s.h").as("__h"))
+    val dupSpans = spans
+      .groupBy("__h")
+      .agg(F.countDistinct(F.col(idCol)).as("__nd"))
+      .filter(F.col("__nd") >= minDocs)
+      .select("__h")
+    val dupStarts = spans.join(dupSpans, Seq("__h"))
+      .groupBy(F.col(idCol))
+      .agg(F.collect_set(F.col("__pos")).as("__starts"))
+    toked.join(dupStarts, Seq(idCol), "left")
+      .select(
+        F.col(idCol),
+        F.col("__toks"),
+        F.coalesce(F.col("__starts"), F.array()).as("__starts"))
+      .select(
+        F.col(idCol),
+        F.expr(s"""array_join(
+            |  filter(__toks, (t, j) ->
+            |    NOT exists(__starts, s -> j + 1 >= s AND j + 1 < s + $spanLen)),
+            |  ' ')""".stripMargin).as("clean_text"),
+        F.size(F.col("__toks")).cast("long").as("n_tokens"),
+        F.expr(s"""size(filter(__toks, (t, j) ->
+            |  exists(__starts, s -> j + 1 >= s AND j + 1 < s + $spanLen)))
+            |""".stripMargin).cast("long").as("dup_tokens"))
+      .withColumn("dup_token_frac",
+        F.round(F.when(F.col("n_tokens") === 0, 0.0)
+          .otherwise(F.col("dup_tokens").cast("double") / F.col("n_tokens")), 6))
+  }
 }

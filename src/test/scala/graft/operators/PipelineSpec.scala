@@ -361,6 +361,39 @@ class PipelineSpec extends SparkTestBase {
     assert(kept == Seq("a", "d"))
   }
 
+  test("span dedup: planted repeated span is masked, rest untouched") {
+    import spark.implicits._
+    val span = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val in = Seq(
+      (1L, s"unique one two three $span tail words here"),
+      (2L, s"$span other body entirely different follows now"),
+      (3L, "short doc"), // < spanLen tokens: passes through whole
+      (4L, "no overlap with anything else in this corpus at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(in, "doc_id", "text", spanLen = 8, minDocs = 2)
+      .orderBy("doc_id").collect()
+    // docs 1 and 2 share the 8-token span: exactly those 8 tokens go
+    assert(out(0).getAs[String]("clean_text") == "unique one two three tail words here")
+    assert(out(0).getAs[Long]("dup_tokens") == 8L)
+    assert(out(1).getAs[String]("clean_text") == "other body entirely different follows now")
+    // short + non-overlapping docs: untouched, frac 0
+    assert(out(2).getAs[String]("clean_text") == "short doc")
+    assert(out(3).getAs[Long]("dup_tokens") == 0L)
+    assert(out(3).getAs[Double]("dup_token_frac") == 0.0)
+    // overlapping coverage merges: doc repeating the span shifted by one
+    // token masks 9 tokens (union of the two 8-windows), not 16
+    val shifted = Seq(
+      (1L, s"x $span y"), (2L, s"$span unrelated trailing tokens here")
+    ).toDF("doc_id", "text")
+    val o2 = Dedup.spanDedup(shifted, "doc_id", "text", spanLen = 8, minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(o2(0).getAs[String]("clean_text") == "x y")
+    // plan shape: no cartesian product anywhere
+    val plan = Dedup.spanDedup(docs, "doc_id", "text").queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "span dedup must not cross join")
+  }
+
   test("ngram jaccard: identical doc has jaccard 1.0") {
     import spark.implicits._
     val base = docs.limit(10).select("doc_id", "text")
