@@ -219,6 +219,36 @@ object QueryCatalog {
     * points with smallest (md5(id), id); cell assignment and probe selection
     * rank by (round(cos, 6) DESC, bucket ASC); final rank by
     * (round(cos, 6) DESC, corpus_id ASC) — every step plain SQL. */
+  /** Shared CTE chain for the SemDeDup oracles: md5-min seeds → NaN-guarded
+    * argmax-cos assignment (identical contract to ivfSeededOracleSql) →
+    * within-bucket pairs at threshold. Ends with `sem_pairs(bucket, id_a,
+    * id_b, cos_sim)`; embed after WITH [RECURSIVE]. */
+  private lazy val semDedupPairsCte: String = {
+    val nlist = 32; val threshold = 0.35
+    s"""seeds AS (
+      SELECT embedding AS cvec,
+        row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS bucket
+      FROM embeddings
+      QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= $nlist
+    ),
+    sem_cos_ec AS (
+      SELECT e.vec_id, e.embedding, s.bucket,
+        COALESCE(NULLIF(${duckCosine("e.embedding", "s.cvec")}, 'NaN'::DOUBLE), -1.0) AS cs
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    sem_assign AS (
+      SELECT vec_id, embedding, bucket FROM sem_cos_ec
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, bucket) = 1
+    ),
+    sem_pairs AS (
+      SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+        ${duckCosine("a.embedding", "b.embedding")} AS cos_sim
+      FROM sem_assign a JOIN sem_assign b USING (bucket)
+      WHERE a.vec_id < b.vec_id
+        AND ${duckCosine("a.embedding", "b.embedding")} >= $threshold
+    )"""
+  }
+
   private lazy val ivfSeededOracleSql: String = {
     val nlist = 32; val nprobe = 4
     s"""
@@ -2636,6 +2666,46 @@ object QueryCatalog {
             (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
              sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) >= 0.35
         ORDER BY id_a, id_b
+      """)
+    ),
+    (
+      // SemDeDup (Abbas et al. 2023): within-cluster cosine pairs under the
+      // md5-min seeded quantizer — same centroid/assignment determinism
+      // contract as q_similarity_topk_ivf's oracle.
+      "q_dedup_semantic",
+      (spark, dir) => {
+        val embs = Tables.read(spark, dir, "embeddings")
+        Dedup.semDedupPairs(embs, "vec_id", "embedding", nlist = 32, threshold = 0.35)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH $semDedupPairsCte
+        SELECT bucket, id_a, id_b, cos_sim FROM sem_pairs ORDER BY id_a, id_b
+      """)
+    ),
+    (
+      // End-to-end SemDeDup drop: one representative (min id over the pair
+      // graph's connected component) per semantic-duplicate group.
+      "q_dedup_semantic_drop",
+      (spark, dir) => {
+        val embs = Tables.read(spark, dir, "embeddings")
+        Dedup.semDedup(embs, "vec_id", "embedding", nlist = 32, threshold = 0.35)
+          .select("vec_id").orderBy("vec_id")
+      },
+      Some(s"""
+        WITH RECURSIVE $semDedupPairsCte,
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM sem_pairs
+          UNION SELECT id_b, id_a FROM sem_pairs),
+        reach(id, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        losers AS (
+          SELECT id FROM (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
+          WHERE id != cluster)
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT id FROM losers) ORDER BY vec_id
       """)
     ),
     (

@@ -1073,6 +1073,31 @@ object Lowering {
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "dedup_semantic" =>
+      // dedup_semantic('corpus', 'id_col', 'vec_col'[, nlist, threshold])
+      // — SemDeDup (operators/Dedup.semDedup): keeps one representative per
+      // within-cluster semantic-duplicate group
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(vecCol: String)) =>
+          Plain(graft.operators.Dedup.semDedup(
+            lower(TableRef(corpus), ctx), idCol, vecCol))
+        case List(Some(corpus: String), Some(idCol: String), Some(vecCol: String),
+            Some(nlist: Long), Some(threshold)) =>
+          val t = threshold match {
+            case d: java.lang.Double => d.doubleValue()
+            case n: Number => n.doubleValue()
+            case other => throw new LoweringException(
+              s"dedup_semantic: threshold must be a number, got '$other'")
+          }
+          Plain(graft.operators.Dedup.semDedup(
+            lower(TableRef(corpus), ctx), idCol, vecCol, nlist.toInt, t))
+        case _ =>
+          throw new LoweringException(
+            "dedup_semantic expects (corpus, id_col, vec_col[, nlist, threshold]) " +
+              "literals, e.g. dedup_semantic('embeddings', 'vec_id', 'embedding', 32, 0.9)")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "each_top_k" =>
       // each_top_k(relation, k, group_col, score_col) — the Hivemall UDTF
       // pattern (top-k rows per group by score) as a first-class table

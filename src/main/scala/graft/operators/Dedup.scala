@@ -772,6 +772,61 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------------
+  // Semantic dedup (SemDeDup)
+  // ---------------------------------------------------------------------------
+
+  /** SemDeDup candidate pairs ("SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", Abbas et al. 2023): cluster
+    * embeddings to centroids, compare pairs only WITHIN a cluster, keep
+    * pairs with cosine ≥ threshold. Uses the same deterministic md5-min
+    * seed quantizer as [[Similarity.ivfSeededTopK]], so a DuckDB oracle
+    * recomputes assignments bit-for-bit.
+    *
+    * Scale anatomy: assignment is one shuffle-free fused-kernel projection;
+    * the pair join shuffles on `bucket`, so `nlist` is the parallelism AND
+    * work knob — per-bucket pairing is O((n/nlist)²); scale nlist with the
+    * corpus (the paper uses 50k clusters at web scale) to bound both skew
+    * and quadratic work. Cross-cluster near-dups are missed by design —
+    * that lossiness is the algorithm's published trade.
+    *
+    * Output: (bucket, id_a, id_b, cos_sim). */
+  def semDedupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 32,
+      threshold: Double = 0.9
+  ): DataFrame = {
+    val c = df.select(F.col(idCol).as("id"), F.col(vecCol).as("__v"))
+    val cm = Similarity.seededCentroidMatrix(c, "id", "__v", nlist)
+    val assigned = Similarity.seededAssign(c, "__v", cm)
+    val a = assigned.select(
+      F.col("bucket"), F.col("id").as("id_a"), F.col("__v").as("__va"))
+    val b = assigned.select(
+      F.col("bucket"), F.col("id").as("id_b"), F.col("__v").as("__vb"))
+    a.join(b, Seq("bucket"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+      .filter(F.col("cos_sim") >= threshold)
+      .select("bucket", "id_a", "id_b", "cos_sim")
+  }
+
+  /** End-to-end SemDeDup: drop all but one representative (min id, via the
+    * shared connected-components path) of each within-cluster semantic
+    * duplicate group. (The paper keeps the member least similar to its
+    * centroid; min-id is this library's uniform representative rule across
+    * every dedup family — documented divergence.) */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 32,
+      threshold: Double = 0.9
+  ): DataFrame =
+    dropDuplicateClusters(df, idCol,
+      semDedupPairs(df, idCol, vecCol, nlist, threshold))
+
+  // ---------------------------------------------------------------------------
   // Exact-substring (span-level) dedup
   // ---------------------------------------------------------------------------
 

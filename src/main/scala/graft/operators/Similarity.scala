@@ -208,6 +208,43 @@ object Similarity {
       .select("query_id", "corpus_id", "cos_sim", "rank")
   }
 
+  /** Deterministic, engine-portable seed centroids: the `nlist` rows with
+    * the smallest (md5(id), id) — k-means `random` init without Lloyd
+    * iterations, recomputable in plain SQL (the DuckDB oracles re-derive
+    * the exact same set). Bounded driver collect of nlist rows. */
+  private[operators] def seededCentroidMatrix(
+      c: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int
+  ): Array[Array[Double]] =
+    c.withColumn("__m", F.md5(F.col(idCol).cast("string").cast("binary")))
+      .orderBy("__m", idCol)
+      .limit(nlist)
+      .select(vecCol)
+      .collect()
+      .map { row =>
+        row.getSeq[Any](0).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case n: Number => n.doubleValue()
+        }.toArray
+      }
+
+  /** Assign every row its argmax-cosine centroid bucket (cos DESC, bucket
+    * ASC tie-break; NaN pinned to -1.0) — one shuffle-free fused-kernel
+    * projection. Output: input columns + `bucket`. */
+  private[operators] def seededAssign(
+      c: DataFrame,
+      vecCol: String,
+      centroidMatrix: Array[Array[Double]]
+  ): DataFrame =
+    c.withColumn("__ca", graft.functions.VectorExpressions.matrixCosine(
+        F.col(vecCol), centroidMatrix, scale = 6, nanValue = -1.0))
+      .withColumn("bucket",
+        F.array_position(F.col("__ca"), F.array_max(F.col("__ca"))) - 1)
+      .drop("__ca")
+
   /** IVF-flat with a deterministic, engine-portable coarse quantizer:
     * the `nlist` corpus points with the smallest `md5(id)` are the cell
     * centroids (no Lloyd iterations — "random data points as centroids" is
@@ -244,29 +281,14 @@ object Similarity {
       excludeSelf: Boolean = true
   ): DataFrame = {
     val c = corpus.select(F.col(corpusId).as("corpus_id"), F.col(corpusVec).as("__cv"))
-    // deterministic seed points: smallest (md5(id), id); bounded collect
-    val seedRows = c
-      .withColumn("__m", F.md5(F.col("corpus_id").cast("string").cast("binary")))
-      .orderBy("__m", "corpus_id")
-      .limit(nlist)
-      .select("__cv")
-      .collect()
-    val centroids: Array[(Int, Array[Double])] = seedRows.zipWithIndex.map {
-      case (row, i) =>
-        val arr = row.getSeq[Any](0).map {
-          case f: Float => f.toDouble
-          case d: Double => d
-          case n: Number => n.doubleValue()
-        }.toArray
-        (i, arr)
-    }
+    val centroidMatrix: Array[Array[Double]] =
+      seededCentroidMatrix(c, "corpus_id", "__cv", nlist)
     // rounded cosine to every centroid, in bucket order, as ONE fused
     // expression (the unfused per-centroid column block re-optimized an
     // nlist×dim-literal Catalyst tree every run). nanvl→-1.0 guards a
     // zero-norm vector (NaN cosine): Spark's struct sort would rank NaN
     // LAST while the DuckDB oracle's ORDER BY cs DESC ranks it FIRST —
     // pinning NaN to -1.0 on BOTH sides makes probe/cell selection agree
-    val centroidMatrix: Array[Array[Double]] = centroids.map(_._2)
     def cosArr(vecCol: Column): Column =
       graft.functions.VectorExpressions.matrixCosine(
         vecCol, centroidMatrix, scale = 6, nanValue = -1.0)

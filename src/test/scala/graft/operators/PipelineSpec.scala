@@ -361,6 +361,26 @@ class PipelineSpec extends SparkTestBase {
     assert(kept == Seq("a", "d"))
   }
 
+  test("semantic dedup: planted exact-duplicate embedding is caught and dropped") {
+    import spark.implicits._
+    val base = embs.limit(50).select("vec_id", "embedding")
+    val planted = base.filter($"vec_id" === 0)
+      .select(F.lit(9999L).as("vec_id"), $"embedding")
+    val in = base.union(planted)
+    // identical vectors land in the same argmax-cos bucket → pair at cos 1.0
+    val pairs = Dedup.semDedupPairs(in, "vec_id", "embedding", nlist = 8, threshold = 0.99)
+    val hit = pairs.filter($"id_a" === 0 && $"id_b" === 9999).collect()
+    assert(hit.length == 1 && hit(0).getAs[Double]("cos_sim") >= 0.999999)
+    // end-to-end drop keeps the min id of the group
+    val kept = Dedup.semDedup(in, "vec_id", "embedding", nlist = 8, threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(0L) && !kept.contains(9999L))
+    // equi-join on bucket only — never a cartesian pair join
+    val plan = Dedup.semDedupPairs(embs, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "semantic dedup must not cross join")
+  }
+
   test("span dedup: planted repeated span is masked, rest untouched") {
     import spark.implicits._
     val span = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
