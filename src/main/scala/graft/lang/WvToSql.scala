@@ -275,6 +275,26 @@ object WvToSql {
         }
         Block(from = s"(\n${render(left)}\n$op\n${render(right)}\n)")
 
+      case AddColumns(child, items, prepend) =>
+        // `add` appends computed columns after *, `prepend` before — the
+        // same positions the DataFrame lowering produces. The block wraps
+        // whenever a select list exists, so later WHERE clauses correctly
+        // cannot see the aliases until the subquery boundary (and wv
+        // filters over added columns land outside it).
+        val b0 = build(child)
+        val b = if (b0.select.isEmpty && b0.groupBy.isEmpty && b0.orderBy.isEmpty &&
+          b0.limit.isEmpty) b0 else wrap(b0)
+        val cols = items.zipWithIndex.map { case (it, i) => item(it, i, agg = false) }
+        b.copy(select = Some(if (prepend) cols :+ "*" else "*" :: cols))
+
+      case ExcludeColumns(child, columns) =>
+        // Spark SQL's `* EXCEPT (...)` preserves the remaining column order
+        val b0 = build(child)
+        val b = if (b0.select.isEmpty && b0.groupBy.isEmpty && b0.orderBy.isEmpty &&
+          b0.limit.isEmpty) b0 else wrap(b0)
+        b.copy(select = Some(List(
+          s"* EXCEPT (${columns.map(ident).mkString(", ")})")))
+
       case SubscribeRel(child, _) => build(child) // batch view of a subscription
       case other =>
         throw new Unsupported(s"relation ${other.getClass.getSimpleName}")

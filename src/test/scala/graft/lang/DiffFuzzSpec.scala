@@ -1,0 +1,157 @@
+package graft.lang
+
+import graft.SparkTestBase
+
+/** Seeded differential fuzzing: randomly composed wv pipelines over the
+  * testdata schema must produce IDENTICAL rows through the two independent
+  * execution paths — the DataFrame lowering (Graft.run) and the wv→SQL
+  * generator executed via spark.sql. Any divergence (HAVING placement,
+  * null ordering, distinct-vs-dedup, join column resolution, agg rewrite)
+  * fails with the offending seed + query text, which reproduces alone.
+  *
+  * The generator is deliberately conservative: only deterministic,
+  * order-insensitive constructs (no limit/sample without total order —
+  * rows are compared as sorted multisets), arithmetic kept to columns the
+  * %.4f normalization absorbs.
+  */
+class DiffFuzzSpec extends SparkTestBase {
+
+  private case class T(
+      name: String,
+      ints: Seq[String],
+      doubles: Seq[String],
+      strings: Seq[String])
+
+  private val tables = Seq(
+    T("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+      Seq("l_quantity", "l_extendedprice", "l_discount"),
+      Seq("l_returnflag", "l_linestatus")),
+    T("orders", Seq("o_orderkey", "o_custkey"), Seq("o_totalprice"),
+      Seq("o_orderstatus", "o_orderpriority")),
+    T("customer", Seq("c_custkey", "c_nationkey"), Seq("c_acctbal"),
+      Seq("c_name", "c_mktsegment")),
+    T("supplier", Seq("s_suppkey", "s_nationkey"), Seq("s_acctbal"),
+      Seq("s_name")),
+    T("part", Seq("p_partkey", "p_size"), Seq("p_retailprice"),
+      Seq("p_name", "p_brand", "p_type")),
+    T("events", Seq("event_id", "user_id"), Seq("value"),
+      Seq("event_type"))
+  )
+
+  // FK joins the schema supports: (left table, right table, left col, right col)
+  private val joins = Seq(
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+    ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"))
+
+  private def genQuery(seed: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+
+    val joined = rnd.nextInt(10) < 3
+    val (t, extraInts, extraDoubles, extraStrings, fromClause) =
+      if (joined) {
+        val (lt, rt, lc, rc) = pick(joins)
+        val l = tables.find(_.name == lt).get
+        val r = tables.find(_.name == rt).get
+        val kind = pick(Seq("join", "left join"))
+        (l, r.ints.filterNot(_ == rc), r.doubles, r.strings,
+          s"from $lt\n$kind $rt on $lc = $rc")
+      } else {
+        val l = pick(tables)
+        (l, Nil, Nil, Nil, s"from ${l.name}")
+      }
+    val ints = t.ints ++ extraInts
+    val doubles = t.doubles ++ extraDoubles
+    val strings = t.strings ++ extraStrings
+
+    val sb = new StringBuilder(fromClause)
+
+    // 0-2 filters
+    (0 until rnd.nextInt(3)).foreach { _ =>
+      rnd.nextInt(3) match {
+        case 0 => sb.append(s"\nwhere ${pick(ints)} ${pick(Seq("<", ">", "<=", ">="))} ${rnd.nextInt(2000)}")
+        case 1 => sb.append(s"\nwhere ${pick(doubles)} ${pick(Seq("<", ">"))} ${rnd.nextInt(100)}.${rnd.nextInt(10)}")
+        case 2 => sb.append(s"\nwhere ${pick(strings)} is not null")
+      }
+    }
+
+    // optionally a computed column
+    val added =
+      if (rnd.nextBoolean()) {
+        val name = s"fz_${rnd.nextInt(100)}"
+        sb.append(s"\nadd $name = ${pick(ints)} % ${rnd.nextInt(7) + 2}")
+        Some(name)
+      } else None
+
+    rnd.nextInt(5) match {
+      case 0 =>
+        // group + agg (+ optional having)
+        val keys = rnd.shuffle(strings ++ added.toList).take(rnd.nextInt(2) + 1)
+        val aggCol = pick(ints ++ doubles)
+        val fn = pick(Seq("sum", "min", "max", "avg"))
+        sb.append(s"\ngroup by ${keys.mkString(", ")}")
+        sb.append(s"\nagg n = _.count, v = ${aggCol}.$fn")
+        if (rnd.nextBoolean()) sb.append(s"\nwhere n > ${rnd.nextInt(5)}")
+      case 1 =>
+        // projection (+ optional distinct via dedup-shaped select)
+        val cols = rnd.shuffle(ints ++ strings ++ added.toList).take(rnd.nextInt(3) + 1)
+        val distinct = if (rnd.nextBoolean()) "select distinct" else "select"
+        sb.append(s"\n$distinct ${cols.mkString(", ")}")
+      case 2 =>
+        // count-only reduction
+        sb.append("\nagg total = _.count")
+      case 3 =>
+        // ranking window (rank/dense_rank give tie-stable VALUES, unlike
+        // row_number) over a string partition ordered by a numeric
+        val part = pick(strings)
+        val ord = pick(ints ++ doubles)
+        val wfn = pick(Seq("rank", "dense_rank"))
+        sb.append(s"\nselect ${pick(ints)}, $part, $ord,")
+        sb.append(s"\n  r = $wfn() over (partition by $part order by $ord desc)")
+      case 4 =>
+        // order by EVERY output column + limit: boundary ties are whole-row
+        // duplicates, so the limited multiset is deterministic
+        val cols = rnd.shuffle(ints ++ strings).take(2)
+        sb.append(s"\nselect ${cols.mkString(", ")}")
+        sb.append(s"\norder by ${cols.mkString(", ")}")
+        sb.append(s"\nlimit ${rnd.nextInt(50) + 1}")
+    }
+    sb.toString()
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+    df.collect().toSeq.map(_.toSeq.map {
+      case null => "NULL"
+      case d: java.lang.Double => f"$d%.4f"
+      case d: java.math.BigDecimal => f"${d.doubleValue}%.4f"
+      case f: java.lang.Float => f"$f%.4f"
+      case v => String.valueOf(v)
+    }).sortBy(_.mkString("|"))
+
+  test("300 random pipelines: DataFrame lowering == generated SQL execution") {
+    val dir = "/root/testdata/sf0.001"
+    Seq("lineitem", "orders", "customer", "supplier", "part", "events").foreach { t =>
+      spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+    }
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    var ok = 0
+    (1 to 300).foreach { seed =>
+      val q = genQuery(seed)
+      try {
+        val viaDf = rowsOf(graft.Graft.run(spark, q,
+          t => spark.read.parquet(s"$dir/$t.parquet")))
+        val viaSql = rowsOf(spark.sql(WvToSql.generate(q)))
+        if (viaDf == viaSql) ok += 1
+        else failures += s"seed=$seed rows diverge (df=${viaDf.length}, sql=${viaSql.length}):\n$q"
+      } catch {
+        case e: Throwable =>
+          failures += s"seed=$seed ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}\n$q"
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.length} of 300 diverged; first 3:\n${failures.take(3).mkString("\n---\n")}")
+    info(s"$ok/300 random pipelines agree across both execution paths")
+  }
+}
