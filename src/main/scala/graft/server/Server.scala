@@ -430,6 +430,51 @@ object Server {
       }
     })
 
+    http.createContext("/api/v1/lsp", handler { ex =>
+      // editor services (reference: compiler/lsp providers behind the LSP
+      // server): {"op": "definition"|"hover"|"complete", "text": …,
+      // "offset": 1-based char offset}. The workspace for cross-file
+      // definition jumps is the server's --work-dir.
+      val req = Json.parseObject(readBody(ex))
+      (req.get("op"), req.get("text"), req.get("offset")) match {
+        case (Some(op: String), Some(text: String), Some(off)) =>
+          val offset = off match {
+            case n: Number => n.intValue()
+            case s: String => s.toInt
+            case _ => 1
+          }
+          op match {
+            case "definition" =>
+              val ws = graft.lang.Lsp.workspaceFiles(workDir)
+              graft.lang.Lsp.definition(text, offset, ws) match {
+                case Some(d) => send(ex, 200, Map(
+                  "startLine" -> d.startLine, "startColumn" -> d.startColumn,
+                  "endLine" -> d.endLine, "endColumn" -> d.endColumn,
+                  "path" -> d.path.orNull))
+                case None => send(ex, 200, Map("found" -> false))
+              }
+            case "hover" =>
+              graft.lang.Lsp.hover(text, offset, spark, dir) match {
+                case Some(h) => send(ex, 200, Map(
+                  "text" -> h.text,
+                  "startLine" -> h.startLine, "startColumn" -> h.startColumn,
+                  "endLine" -> h.endLine, "endColumn" -> h.endColumn))
+                case None => send(ex, 200, Map("found" -> false))
+              }
+            case "complete" =>
+              val items = graft.lang.Lsp.complete(text, offset, spark, dir)
+                .take(100)
+                .map(i => Map("label" -> i.label, "kind" -> i.kind,
+                  "detail" -> i.detail))
+              send(ex, 200, Map("items" -> items))
+            case other =>
+              send(ex, 400, Map("error" ->
+                s"unknown op '$other' (expected definition, hover, complete)"))
+          }
+        case _ => send(ex, 400, Map("error" -> "missing 'op'/'text'/'offset'"))
+      }
+    })
+
     http.createContext("/api/v1/fmt", handler { ex =>
       val req = Json.parseObject(readBody(ex))
       req.get("query") match {

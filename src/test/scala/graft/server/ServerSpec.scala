@@ -242,6 +242,26 @@ class ServerSpec extends SparkTestBase {
       Some(Json.write(Map("query" -> "from t asof join u on t.a <= u.a"))))._1 == 400)
   }
 
+  test("lsp endpoint serves definition, hover, and completion") {
+    val src = "model m = {\n  from lineitem\n}\nfrom m"
+    val (c1, defn) = http("POST", "/api/v1/lsp", Some(Json.write(Map(
+      "op" -> "definition", "text" -> src,
+      "offset" -> (src.lastIndexOf("m") + 1)))))
+    assert(c1 == 200 && defn.get("startLine") == Some(1), s"got $defn")
+    val hoverSrc = "from lineitem\nselect l_quantity"
+    val (c2, hov) = http("POST", "/api/v1/lsp", Some(Json.write(Map(
+      "op" -> "hover", "text" -> hoverSrc,
+      "offset" -> (hoverSrc.lastIndexOf("l_quantity") + 1)))))
+    assert(c2 == 200 && hov.get("text") == Some("l_quantity: double"), s"got $hov")
+    val (c3, comp) = http("POST", "/api/v1/lsp", Some(Json.write(Map(
+      "op" -> "complete", "text" -> "from lineitem\nselect l_", "offset" -> 24))))
+    assert(c3 == 200, s"got $comp")
+    val labels = comp("items").asInstanceOf[Seq[Map[String, Any]]].map(_("label"))
+    assert(labels.contains("l_quantity"))
+    assert(http("POST", "/api/v1/lsp",
+      Some(Json.write(Map("op" -> "nope", "text" -> "x", "offset" -> 1))))._1 == 400)
+  }
+
   test("compile endpoint validates without executing; errors are 400 envelopes") {
     val (code, resp) = http("POST", "/api/v1/compile",
       Some(Json.write(Map("query" -> "from region group by r_name agg n = _.count"))))
