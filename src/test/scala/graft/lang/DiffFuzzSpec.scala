@@ -85,6 +85,18 @@ class DiffFuzzSpec extends SparkTestBase {
         Some(name)
       } else None
 
+    // occasionally a set-op over the same table filtered differently
+    if (rnd.nextInt(10) == 0) {
+      // both branches project the SAME columns of the base table, so the
+      // set-op is well-typed regardless of any join above
+      val op = pick(Seq("concat", "union", "intersect", "except"))
+      val col = pick(t.ints)
+      val sc = pick(t.strings)
+      sb.append(s"\nselect $col, $sc")
+      sb.append(s"\n$op {\n  from ${t.name}\n  where $col > ${rnd.nextInt(500)}")
+      sb.append(s"\n  select $col, $sc\n}")
+      return sb.toString()
+    }
     rnd.nextInt(5) match {
       case 0 =>
         // group + agg (+ optional having)
