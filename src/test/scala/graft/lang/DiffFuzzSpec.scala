@@ -155,8 +155,16 @@ class DiffFuzzSpec extends SparkTestBase {
         val viaDf = rowsOf(graft.Graft.run(spark, q,
           t => spark.read.parquet(s"$dir/$t.parquet")))
         val viaSql = rowsOf(spark.sql(WvToSql.generate(q)))
-        if (viaDf == viaSql) ok += 1
-        else failures += s"seed=$seed rows diverge (df=${viaDf.length}, sql=${viaSql.length}):\n$q"
+        // third leg: the canonical printer's output must re-parse and
+        // produce the same rows (print→parse→run identity)
+        val printed = WvPrinter.print(Parser.parseStatements(q))
+        val viaPrinted = rowsOf(graft.Graft.run(spark, printed,
+          t => spark.read.parquet(s"$dir/$t.parquet")))
+        if (viaDf == viaSql && viaDf == viaPrinted) ok += 1
+        else if (viaDf != viaSql)
+          failures += s"seed=$seed rows diverge (df=${viaDf.length}, sql=${viaSql.length}):\n$q"
+        else
+          failures += s"seed=$seed printer round-trip diverges (df=${viaDf.length}, printed=${viaPrinted.length}):\n$q\n--- printed:\n$printed"
       } catch {
         case e: Throwable =>
           failures += s"seed=$seed ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}\n$q"
