@@ -39,7 +39,11 @@ object BenchScale {
     "q_events_sessionize",
     "q_subscribe_windowed_agg",
     "q_similarity_topk_lsh",
-    "q_similarity_topk_ivf")
+    "q_similarity_topk_ivf",
+    // round-9 dedup additions: span fingerprints (one uniform shuffle)
+    // and SemDeDup (bucket join, nlist-bounded quadratic)
+    "q_dedup_spans",
+    "q_dedup_semantic")
 
   private def loadavg(): String = BenchGuard.loadavg()
 
