@@ -70,10 +70,23 @@ class DiffFuzzSpec extends SparkTestBase {
 
     // 0-2 filters
     (0 until rnd.nextInt(3)).foreach { _ =>
-      rnd.nextInt(3) match {
+      rnd.nextInt(5) match {
         case 0 => sb.append(s"\nwhere ${pick(ints)} ${pick(Seq("<", ">", "<=", ">="))} ${rnd.nextInt(2000)}")
         case 1 => sb.append(s"\nwhere ${pick(doubles)} ${pick(Seq("<", ">"))} ${rnd.nextInt(100)}.${rnd.nextInt(10)}")
         case 2 => sb.append(s"\nwhere ${pick(strings)} is not null")
+        case 3 =>
+          val lo = rnd.nextInt(1000)
+          sb.append(s"\nwhere ${pick(ints)} between $lo and ${lo + rnd.nextInt(1000)}")
+        case 4 =>
+          // in-subquery → semi join; not-in → anti join (keys here are
+          // non-null FKs, so SQL NOT IN and the lowered anti join agree)
+          joins.find(_._1 == t.name) match {
+            case Some((_, rt, lc, rc)) if !joined =>
+              val not = if (rnd.nextBoolean()) "not " else ""
+              sb.append(s"\nwhere $lc ${not}in {\n  from $rt\n  where $rc % ${rnd.nextInt(5) + 2} = 0\n  select $rc\n}")
+            case _ =>
+              sb.append(s"\nwhere ${pick(ints)} >= ${rnd.nextInt(500)}")
+          }
       }
     }
 
@@ -97,7 +110,7 @@ class DiffFuzzSpec extends SparkTestBase {
       sb.append(s"\n  select $col, $sc\n}")
       return sb.toString()
     }
-    rnd.nextInt(5) match {
+    rnd.nextInt(8) match {
       case 0 =>
         // group + agg (+ optional having)
         val keys = rnd.shuffle(strings ++ added.toList).take(rnd.nextInt(2) + 1)
@@ -129,6 +142,31 @@ class DiffFuzzSpec extends SparkTestBase {
         sb.append(s"\nselect ${cols.mkString(", ")}")
         sb.append(s"\norder by ${cols.mkString(", ")}")
         sb.append(s"\nlimit ${rnd.nextInt(50) + 1}")
+      case 5 =>
+        // rollup / cube / grouping sets: super-aggregate rows exercise the
+        // grouping-null semantics on all three paths
+        val keys = rnd.shuffle(strings).take(rnd.nextInt(2) + 1)
+        val style = pick(Seq("rollup", "cube"))
+        val aggCol = pick(ints ++ doubles)
+        sb.append(s"\ngroup by $style ${keys.mkString(", ")}")
+        sb.append(s"\nagg n = _.count, v = ${aggCol}.${pick(Seq("sum", "min", "max"))}")
+      case 6 =>
+        // running aggregate over the default window frame: ORDER BY a
+        // possibly-tied key defaults to RANGE UNBOUNDED..CURRENT ROW, so
+        // peer rows share the value and the multiset is deterministic
+        val part = pick(strings)
+        val ord = pick(ints)
+        val v = pick(ints ++ doubles)
+        sb.append(s"\nselect $part, $ord,")
+        sb.append(s"\n  running = ${pick(Seq("sum", "min", "max", "count"))}($v) over (partition by $part order by $ord)")
+      case 7 =>
+        // scalar stdlib methods: string + numeric chains through the
+        // lowering's method table vs the SQL generator's function mapping
+        val s = pick(strings); val i = pick(ints)
+        sb.append(s"\nselect $s, $i,")
+        sb.append(s"\n  u = $s.${pick(Seq("upper", "lower", "trim", "reverse"))}(),")
+        sb.append(s"\n  ln = $s.length(),")
+        sb.append(s"\n  m = ($i % ${rnd.nextInt(7) + 2}).abs()")
     }
     sb.toString()
   }
