@@ -280,11 +280,35 @@ object Lsp {
           case ("type", t) => Some(CompletionItem(t.text, "type"))
           case _ => None
         }
+        // relation position — directly after `from` or a `join` word — also
+        // offers table names (reference CompletionProvider: schema-bound
+        // tables complete in a from clause). Candidates come from the data
+        // directory's parquet tables and the session catalog; models/defs
+        // are already in `defs`.
+        val tbls = beforePartial.lastOption
+          .filter(t => t.text == "from" || t.text == "join")
+          .map(_ => tableCandidates(spark, dir)).getOrElse(Nil)
         val (cursorLine, _) = lineCol(content, math.max(0, offset - 1))
         val cols = prefixSchemaFields(content, cursorLine, spark, dir)
           .getOrElse(Nil).map(f => CompletionItem(f._1, "column", f._2))
-        filtered(kws ++ fns ++ defs ++ cols)
+        filtered(kws ++ fns ++ defs ++ tbls ++ cols)
     }
+  }
+
+  /** Table names completable in relation position: `dir`'s parquet tables
+    * plus temp views / catalog tables of the current session. Both listings
+    * are driver-local metadata reads (no Spark job). */
+  private def tableCandidates(spark: SparkSession, dir: String): Seq[CompletionItem] = {
+    val files =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .collect { case f if f.getName.endsWith(".parquet") =>
+          f.getName.stripSuffix(".parquet") }
+        .toSeq
+    val catalog =
+      try spark.catalog.listTables().collect().toSeq.map(_.name)
+      catch { case _: Throwable => Nil }
+    (files.map(CompletionItem(_, "table", "parquet")) ++
+      catalog.map(CompletionItem(_, "table", "catalog")))
   }
 
   // -------------------------------------------------------------------------

@@ -158,6 +158,18 @@ class LspSpec extends SparkTestBase {
     assert(items.forall(_.label.startsWith("l_")))
   }
 
+  test("completion: table names in relation position (from/join)") {
+    val items = complete("from reg", 8, spark, dir)
+    assert(items.exists(i => i.label == "region" && i.kind == "table"))
+    // prefix filters non-matching tables
+    assert(!items.exists(_.label == "lineitem"))
+    val joinItems = complete("from orders join cust", 21, spark, dir)
+    assert(joinItems.exists(i => i.label == "customer" && i.kind == "table"))
+    // outside relation position, no table suggestions
+    val sel = "from region select r"
+    assert(!complete(sel, sel.length, spark, dir).exists(_.kind == "table"))
+  }
+
   test("completion: incomplete inputs are total; past-EOF uses the nearest query") {
     complete("from", 4, spark, dir) // no throw
     complete("from lineitem\nselect l_", 24, spark, dir) // no throw
