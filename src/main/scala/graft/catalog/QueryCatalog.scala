@@ -1922,6 +1922,38 @@ object QueryCatalog {
       """)
     ),
     (
+      "q_explain_plan", // §2.L explain command (was spec-only): the plan text
+      // itself is engine-specific, so the row asserts engine-independent
+      // PROPERTIES of it — a physical plan exists, the scan is parquet, and
+      // the `where` reached the scan as a pushed filter (the §"Optimize for
+      // scale" pushdown contract, here inside the correctness gate)
+      wv("""
+        explain {
+          from lineitem
+          where l_quantity > 45.0
+          select l_orderkey, l_quantity
+        }
+        select
+          physical = plan.contains('== Physical Plan =='),
+          parquet_scan = plan.contains('FileScan parquet'),
+          filter_pushed = plan.contains('PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]')
+      """),
+      Some("""
+        SELECT true AS physical, true AS parquet_scan, true AS filter_pushed
+      """)
+    ),
+    (
+      "q_use_schema", // §2.L use command (was spec-only): schema switch then
+      // an unqualified query — parquet-table resolution is unaffected by the
+      // session schema, matching the reference's lazy-validation contract
+      wv("""
+        use default
+        from region
+        count
+      """),
+      Some("SELECT count(*) AS count FROM region")
+    ),
+    (
       "q_ddl_alter_roundtrip", // §2.L first-class ALTER: add + rename survive re-read
       (spark, dir) => {
         val tmp = System.getProperty("java.io.tmpdir").stripSuffix("/") +

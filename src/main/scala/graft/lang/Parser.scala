@@ -746,6 +746,11 @@ final class Parser(tokens: Vector[Token]) {
       val inner =
         if (peek.is("sql") && peek2.kind == TokenKind.StringLit) {
           advance(); RawSql(advance().text)
+        } else if (peek.is("{")) {
+          // braced child binds tightly: `explain { … } select …` pipes the
+          // plan-text RELATION onward (the `plan` column is selectable),
+          // whereas the unbraced form consumes the whole trailing pipeline
+          advance(); val r = parseRelation(); expectOp("}"); BracedRelation(r)
         } else parseRelation()
       ExplainRel(inner)
     } else if (peek.is("run") && peek2.is("flow")) {
