@@ -187,22 +187,38 @@ class DiffFuzzSpec extends SparkTestBase {
     }
     val failures = scala.collection.mutable.ListBuffer.empty[String]
     var ok = 0
+    var transpiled = 0
     (1 to 300).foreach { seed =>
       val q = genQuery(seed)
       try {
         val viaDf = rowsOf(graft.Graft.run(spark, q,
           t => spark.read.parquet(s"$dir/$t.parquet")))
-        val viaSql = rowsOf(spark.sql(WvToSql.generate(q)))
+        val sql = WvToSql.generate(q)
+        val viaSql = rowsOf(spark.sql(sql))
         // third leg: the canonical printer's output must re-parse and
         // produce the same rows (print→parse→run identity)
         val printed = WvPrinter.print(Parser.parseStatements(q))
         val viaPrinted = rowsOf(graft.Graft.run(spark, printed,
           t => spark.read.parquet(s"$dir/$t.parquet")))
-        if (viaDf == viaSql && viaDf == viaPrinted) ok += 1
+        // fourth leg: the SQL→wv transpiler over the generated SQL must
+        // produce a query with the same rows (SQL migration-path identity).
+        // Constructs the transpiler doesn't cover yet are skipped — but a
+        // transpile that SUCCEEDS and then diverges is a failure.
+        val viaTranspiled =
+          try {
+            val back = SqlToWvlet.transpile(sql, spark)
+            transpiled += 1
+            Some(rowsOf(graft.Graft.run(spark, back,
+              t => spark.read.parquet(s"$dir/$t.parquet"))))
+          } catch { case _: Throwable => None }
+        if (viaDf == viaSql && viaDf == viaPrinted &&
+            viaTranspiled.forall(_ == viaDf)) ok += 1
         else if (viaDf != viaSql)
           failures += s"seed=$seed rows diverge (df=${viaDf.length}, sql=${viaSql.length}):\n$q"
-        else
+        else if (viaDf != viaPrinted)
           failures += s"seed=$seed printer round-trip diverges (df=${viaDf.length}, printed=${viaPrinted.length}):\n$q\n--- printed:\n$printed"
+        else
+          failures += s"seed=$seed transpiler round-trip diverges (df=${viaDf.length}, transpiled=${viaTranspiled.get.length}):\n$q\n--- sql:\n$sql"
       } catch {
         case e: Throwable =>
           failures += s"seed=$seed ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}\n$q"
@@ -210,6 +226,6 @@ class DiffFuzzSpec extends SparkTestBase {
     }
     assert(failures.isEmpty,
       s"${failures.length} of 300 diverged; first 3:\n${failures.take(3).mkString("\n---\n")}")
-    info(s"$ok/300 random pipelines agree across both execution paths")
+    info(s"$ok/300 random pipelines agree; $transpiled/300 also covered by the SQL transpiler leg")
   }
 }
