@@ -1098,6 +1098,43 @@ object Lowering {
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "similarity_topk" =>
+      // similarity_topk('corpus', 'id_col', 'vec_col', k[, method]) —
+      // per-row cosine top-k neighbors (self-kNN join, self-matches
+      // excluded). method: 'brute' (exact, O(n²) — small corpora/oracles),
+      // 'lsh' | 'ivf' (the bucketed scale paths), 'int8' (quantized index,
+      // 4× smaller — operators/Similarity.int8BruteForceTopK). Output:
+      // query_id, corpus_id, cos_sim (cos_q8 for int8), rank.
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(vecCol: String),
+            Some(k: Long), rest @ _*) if rest.lengthCompare(1) <= 0 =>
+          val method = rest.headOption match {
+            case Some(Some(m: String)) => m.toLowerCase
+            case None => "brute"
+            case other => throw new LoweringException(
+              s"similarity_topk: method must be a string literal, got '$other'")
+          }
+          val df = lower(TableRef(corpus), ctx)
+          val sim = method match {
+            case "brute" => graft.operators.Similarity.bruteForceTopK(
+              df, idCol, vecCol, df, idCol, vecCol, k.toInt)
+            case "lsh" => graft.operators.Similarity.lshTopK(
+              df, idCol, vecCol, df, idCol, vecCol, k.toInt)
+            case "ivf" => graft.operators.Similarity.ivfSeededTopK(
+              df, idCol, vecCol, df, idCol, vecCol, k.toInt)
+            case "int8" => graft.operators.Similarity.int8BruteForceTopK(
+              df, idCol, vecCol, df, idCol, vecCol, k.toInt)
+            case other => throw new LoweringException(
+              s"similarity_topk: unknown method '$other' (expected brute, lsh, ivf, int8)")
+          }
+          Plain(sim)
+        case _ =>
+          throw new LoweringException(
+            "similarity_topk expects (corpus, id_col, vec_col, k[, method]) literals, " +
+              "e.g. similarity_topk('embeddings', 'vec_id', 'embedding', 5, 'int8')")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "each_top_k" =>
       // each_top_k(relation, k, group_col, score_col) — the Hivemall UDTF
       // pattern (top-k rows per group by score) as a first-class table

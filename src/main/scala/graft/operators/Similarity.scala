@@ -319,4 +319,85 @@ object Similarity {
       .filter(F.col("rank") <= k)
       .select("query_id", "corpus_id", "cos_sim", "rank")
   }
+
+  // ---------------------------------------------------------------- int8
+
+  /** Per-vector symmetric int8 quantization of an embedding column:
+    * scale = max|vᵢ|, qᵢ = floor(vᵢ·127/scale + 0.5), stored as
+    * `array<tinyint>` (a zero vector quantizes to all-zero). Half-up via
+    * `floor(x + 0.5)` rather than `round()` — floor's semantics are
+    * identical across engines, so the DuckDB oracle reproduces the bytes
+    * exactly, where round()'s half-even/half-up drift would not.
+    *
+    * This is the ANN memory lever for the 100 TB path: an int8 corpus
+    * index is 4× smaller than float32 — 4× more of the index fits per
+    * executor (or page cache), shuffles of the index move 4× fewer bytes,
+    * and the scoring loop is integer multiply-adds. Cosine is
+    * scale-invariant, so the per-vector scale cancels out of ranking and
+    * quality loss is bounded by the ±0.5-step rounding alone (recall@5
+    * vs float brute force gated in q_similarity_int8_property). */
+  def quantizeInt8(vec: Column, scaleCol: Column): Column =
+    F.when(scaleCol === 0.0,
+        F.transform(vec, _ => F.lit(0).cast("tinyint")))
+      .otherwise(F.transform(vec, x =>
+        F.floor(x.cast("double") * 127.0 / scaleCol + 0.5).cast("tinyint")))
+
+  /** max|vᵢ| — the quantization scale; materialize it as a column before
+    * calling [[quantizeInt8]] (passing the expression inline would copy
+    * the array_max subtree into every element's lambda). */
+  def int8Scale(vec: Column): Column =
+    F.array_max(F.transform(vec, x => F.abs(x.cast("double"))))
+
+  /** Cosine over two int8-quantized vectors with exact integer
+    * accumulation: dot/norms are Σ over long products (64·127² ≈ 2²⁰ per
+    * term — no overflow), so unlike float accumulation the result is
+    * independent of summation order; only the final sqrt/divide is
+    * floating-point, rounded to 6 dp like every cosine in this module.
+    * Zero-norm inputs pin to -1.0 (the module's NaN convention). */
+  def int8Cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      F.aggregate(
+        F.zip_with(x, y, (xe, ye) =>
+          F.coalesce(xe.cast("long") * ye.cast("long"), F.lit(0L))),
+        F.lit(0L), (acc, v) => acc + v)
+    val d = dot(a, b)
+    val na = dot(a, a)
+    val nb = dot(b, b)
+    F.when(na === 0L || nb === 0L, F.lit(-1.0))
+      .otherwise(F.round(
+        d.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))), 6))
+  }
+
+  /** Brute-force cosine top-k over int8-quantized vectors — the quantized
+    * twin of [[bruteForceTopK]]. Both sides quantize on the fly here; at
+    * scale the corpus-side `__q` column is what you'd persist (CTAS the
+    * quantized index once, amortized over every query batch). */
+  def int8BruteForceTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int = 10,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    def quant(df: DataFrame, id: String, vec: String, outId: String): DataFrame =
+      df.select(F.col(id).as(outId), F.col(vec).as("__v"))
+        .withColumn("__s", int8Scale(F.col("__v")))
+        .withColumn("__q", quantizeInt8(F.col("__v"), F.col("__s")))
+        .select(F.col(outId), F.col("__q"))
+    val c = quant(corpus, corpusId, corpusVec, "corpus_id")
+    val q = quant(queries, queryId, queryVec, "query_id")
+      .withColumnRenamed("__q", "__qq")
+    var joined = c.crossJoin(F.broadcast(q))
+    if (excludeSelf) joined = joined.filter(F.col("corpus_id") =!= F.col("query_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("cos_q8").desc, F.col("corpus_id").asc)
+    joined
+      .withColumn("cos_q8", int8Cosine(F.col("__q"), F.col("__qq")))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "corpus_id", "cos_q8", "rank")
+  }
 }

@@ -32,4 +32,9 @@ class PropertyGateSpec extends SparkTestBase {
     val r = row("q_similarity_ivf_property")
     assert(r.getLong(0) == 0L && r.getBoolean(1))
   }
+
+  test("int8 top-k: recall@5 vs float brute force clears the 0.9 floor") {
+    val r = row("q_similarity_int8_property")
+    assert(r.getBoolean(0))
+  }
 }
