@@ -40,6 +40,9 @@ object BenchScale {
     "q_subscribe_windowed_agg",
     "q_similarity_topk_lsh",
     "q_similarity_topk_ivf",
+    // int8 path: O(corpus × fixed query set) scoring — exponent ≈ 1; the
+    // quantized index is what makes this linear term 4× cheaper in bytes
+    "q_similarity_topk_int8",
     // round-9 dedup additions: span fingerprints (one uniform shuffle)
     // and SemDeDup (bucket join, nlist-bounded quadratic)
     "q_dedup_spans",
