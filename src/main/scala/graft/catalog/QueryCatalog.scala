@@ -1998,6 +1998,50 @@ object QueryCatalog {
       """)
     ),
     (
+      "q_save_orc_roundtrip", // ORC sink+source: write, re-read, identity
+      // (Spark-native columnar format beyond the reference's DuckDB COPY
+      // set; types survive exactly, so the oracle is the direct query)
+      (spark, dir) => {
+        val tmp = System.getProperty("java.io.tmpdir").stripSuffix("/") +
+          "/graft_q_save_roundtrip.orc"
+        Graft.query(spark, s"""
+          from orders
+          where o_orderstatus = 'F'
+          select o_orderkey, o_custkey, o_totalprice
+          save to '$tmp'
+          ;
+          from '$tmp'
+          order by o_orderkey
+        """, Tables.resolver(spark, dir), basePath = dir)
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderstatus = 'F' ORDER BY o_orderkey
+      """)
+    ),
+    (
+      "q_save_json_roundtrip", // JSON sink+source: write, re-read, identity
+      // (numeric columns only — JSON carries long/double faithfully and the
+      // reader's first-object key order restores the column order)
+      (spark, dir) => {
+        val tmp = System.getProperty("java.io.tmpdir").stripSuffix("/") +
+          "/graft_q_save_roundtrip.json"
+        Graft.query(spark, s"""
+          from orders
+          where o_orderstatus = 'F'
+          select o_orderkey, o_custkey, o_totalprice
+          save to '$tmp'
+          ;
+          from '$tmp'
+          order by o_orderkey
+        """, Tables.resolver(spark, dir), basePath = dir)
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderstatus = 'F' ORDER BY o_orderkey
+      """)
+    ),
+    (
       "q_dml_delete", // delete-where on a written copy, then read survivors
       (spark, dir) => {
         val tmp = System.getProperty("java.io.tmpdir").stripSuffix("/") +

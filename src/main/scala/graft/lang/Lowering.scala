@@ -151,8 +151,7 @@ object Lowering {
         }
         if (isPathTarget(target)) {
           val path = resolveTargetPath(target, ctx)
-          if (target.endsWith(".csv")) w.option("header", "true").csv(path)
-          else w.parquet(path)
+          writeByExtension(w, target, path)
         } else saveAsTableResilient(w, target, append, ctx)
         last = Some(df)
       case QueryStatement(DeleteRel(rel0)) =>
@@ -406,7 +405,22 @@ object Lowering {
     }
 
   private def isPathTarget(target: String): Boolean =
-    target.contains("/") || target.contains(".parquet") || target.contains(".csv")
+    target.contains("/") || target.contains(".parquet") || target.contains(".csv") ||
+      target.contains(".orc") || target.contains(".json")
+
+  /** File-sink format dispatch by target extension — parquet default, csv
+    * with header (the reference's DuckDB COPY contract), plus orc and json
+    * (Spark-native formats the columnar engine gets for free; the ORC jars
+    * ship in every Spark distribution). */
+  private def writeByExtension(
+      w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      target: String, path: String): Unit = {
+    val t = target.toLowerCase
+    if (t.endsWith(".csv")) w.option("header", "true").csv(path)
+    else if (t.endsWith(".orc")) w.orc(path)
+    else if (t.endsWith(".json")) w.json(path)
+    else w.parquet(path)
+  }
 
   private def resolveTargetPath(target: String, ctx: Context): String =
     if (target.startsWith("/") || ctx.basePath.isEmpty) target
@@ -470,9 +484,7 @@ object Lowering {
     val materialized = df.localCheckpoint(true)
     if (isPathTarget(target)) {
       val path = resolveTargetPath(target, ctx)
-      if (target.endsWith(".csv"))
-        materialized.write.mode("overwrite").option("header", "true").csv(path)
-      else materialized.write.mode("overwrite").parquet(path)
+      writeByExtension(materialized.write.mode("overwrite"), target, path)
     } else materialized.write.mode("overwrite").saveAsTable(target)
   }
 
@@ -1853,8 +1865,7 @@ object Lowering {
       val w = df.write.mode(if (append) "append" else "overwrite")
       if (isPathTarget(target)) {
         val path = resolveTargetPath(target, ctx)
-        if (target.endsWith(".csv")) w.option("header", "true").csv(path)
-        else w.parquet(path)
+        writeByExtension(w, target, path)
       } else saveAsTableResilient(w, target, append, ctx)
       Plain(df)
 
@@ -2022,11 +2033,11 @@ object Lowering {
     val spark = ctx.spark
     val lower = resolved.toLowerCase
     if (lower.endsWith(".parquet")) spark.read.parquet(resolved)
+    else if (lower.endsWith(".orc")) spark.read.orc(resolved)
     else if (lower.endsWith(".csv"))
       spark.read.option("header", "true").option("inferSchema", "true").csv(resolved)
     else if (lower.endsWith(".json") || lower.endsWith(".json.gz"))
-      reorderJsonColumns(
-        spark.read.option("multiLine", "true").json(resolved), resolved)
+      readJsonAnyShape(spark, resolved)
     else if (lower.endsWith(".wv")) {
       val src = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(resolved)),
@@ -2035,15 +2046,41 @@ object Lowering {
     } else spark.read.parquet(resolved)
   }
 
+  /** JSON comes in two shapes: line-delimited (Spark's own sink, logs) and
+    * pretty/multi-line single documents (config-style files, the shape the
+    * reference's DuckDB read_json handles). Spark's reader must be told
+    * which: multiLine=true silently reads ONLY the first object of a JSONL
+    * file, and the default JSONL mode marks a pretty file entirely
+    * `_corrupt_record`. Probe with the cheap default mode first — the
+    * corrupt-record column (schema-only check, no job) detects the pretty
+    * shape, which then rereads with multiLine. */
+  private def readJsonAnyShape(spark: SparkSession, resolved: String): DataFrame = {
+    val lineMode = spark.read.json(resolved)
+    val df =
+      if (lineMode.columns.contains("_corrupt_record") || lineMode.columns.isEmpty)
+        spark.read.option("multiLine", "true").json(resolved)
+      else lineMode
+    reorderJsonColumns(df, resolved)
+  }
+
   /** Spark's JSON schema inference SORTS field names; engines that stream
     * JSON (DuckDB, the reference) preserve the file's field order. Recover
     * the order of the first object's keys (Jackson streaming over the first
     * bytes) and reorder the columns to match. */
   private def reorderJsonColumns(df: DataFrame, path: String): DataFrame =
     try {
-      val raw = new java.io.FileInputStream(path)
+      // a Spark-written JSON sink is a DIRECTORY of part files — recover
+      // key order from the first part (all parts share the writer's schema)
+      val f0 = new java.io.File(path)
+      val src =
+        if (f0.isDirectory)
+          Option(f0.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isFile && f.getName.startsWith("part-"))
+            .sortBy(_.getName).headOption.map(_.getPath).getOrElse(path)
+        else path
+      val raw = new java.io.FileInputStream(src)
       val in =
-        if (path.toLowerCase.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
+        if (src.toLowerCase.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
         else raw
       try {
         val parser = new com.fasterxml.jackson.core.JsonFactory().createParser(in)
