@@ -406,7 +406,8 @@ object Lowering {
 
   private def isPathTarget(target: String): Boolean =
     target.contains("/") || target.contains(".parquet") || target.contains(".csv") ||
-      target.contains(".orc") || target.contains(".json")
+      target.contains(".orc") || target.contains(".json") ||
+      target.contains(".txt") || target.contains(".text")
 
   /** File-sink format dispatch by target extension — parquet default, csv
     * with header (the reference's DuckDB COPY contract), plus orc and json
@@ -419,6 +420,8 @@ object Lowering {
     if (t.endsWith(".csv")) w.option("header", "true").csv(path)
     else if (t.endsWith(".orc")) w.orc(path)
     else if (t.endsWith(".json")) w.json(path)
+    else if (t.endsWith(".txt") || t.endsWith(".text"))
+      w.text(path) // single string column required; Spark errors clearly otherwise
     else w.parquet(path)
   }
 
@@ -2034,6 +2037,12 @@ object Lowering {
     val lower = resolved.toLowerCase
     if (lower.endsWith(".parquet")) spark.read.parquet(resolved)
     else if (lower.endsWith(".orc")) spark.read.orc(resolved)
+    else if (lower.endsWith(".txt") || lower.endsWith(".txt.gz") ||
+        lower.endsWith(".text"))
+      // raw text corpus: one row per line, column `value` — the ingestion
+      // shape LLM-pipeline text operators (text_quality, langid, dedup)
+      // consume directly; gz decompression is codec-automatic
+      spark.read.text(resolved)
     else if (lower.endsWith(".csv"))
       spark.read.option("header", "true").option("inferSchema", "true").csv(resolved)
     else if (lower.endsWith(".json") || lower.endsWith(".json.gz"))

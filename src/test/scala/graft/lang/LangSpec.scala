@@ -779,6 +779,38 @@ class LangSpec extends SparkTestBase {
     """)
   }
 
+  test("orc save/read roundtrip preserves rows and types") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val rows = wv(s"""
+      from [[1, 'a', 1.5], [2, 'b', 2.5]] as t(id, tag, v)
+      save to '$tmp/t.orc'
+      ;
+      from '$tmp/t.orc'
+      order by id
+    """).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toList ==
+      List((1L, "a", 1.5), (2L, "b", 2.5)))
+  }
+
+  test("text file source and sink: one row per line, `value` column") {
+    val d = java.nio.file.Files.createTempDirectory("graft_txt")
+    java.nio.file.Files.writeString(d.resolve("corpus.txt"),
+      "hello world\nsecond line\nthird\n")
+    val rows = wv(s"from '$d/corpus.txt' order by value").collect()
+    assert(rows.map(_.getString(0)).toList ==
+      List("hello world", "second line", "third"))
+    // text sink: single string column, lines round-trip
+    val back = wv(s"""
+      from '$d/corpus.txt'
+      where value != 'third'
+      save to '$d/filtered.txt'
+      ;
+      from '$d/filtered.txt'
+      count
+    """).collect()
+    assert(back.head.getLong(0) == 2L)
+  }
+
   test("save / delete / truncate roundtrip on a parquet path") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dml").toString
     val rows = wv(s"""
