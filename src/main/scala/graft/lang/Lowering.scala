@@ -1113,6 +1113,28 @@ object Lowering {
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "jdbc" =>
+      // jdbc('url', 'table') — single-stream remote read; or the parallel
+      // form jdbc('url', 'table', partition_col, num_parts, lower, upper)
+      // (sources/Jdbc.readPartitioned: bounded-range queries per task — the
+      // scale path for fact-table ingest). The reference reaches external
+      // databases through its connector layer (wvlet-connector
+      // DBConnector.scala); here they are Spark JDBC data sources with
+      // filter/column pushdown into the remote query.
+      args.map(constValue) match {
+        case List(Some(url: String), Some(table: String)) =>
+          Plain(graft.sources.Jdbc.read(ctx.spark, url, table))
+        case List(Some(url: String), Some(table: String), Some(pc: String),
+            Some(np: Long), Some(lo: Long), Some(hi: Long)) =>
+          Plain(graft.sources.Jdbc.readPartitioned(
+            ctx.spark, url, table, pc, np.toInt, lo, hi))
+        case _ =>
+          throw new LoweringException(
+            "jdbc expects ('url', 'table') or ('url', 'table', partition_col, " +
+              "num_partitions, lower, upper) literals")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "similarity_topk" =>
       // similarity_topk('corpus', 'id_col', 'vec_col', k[, method]) —
       // per-row cosine top-k neighbors (self-kNN join, self-matches
