@@ -255,8 +255,14 @@ object WvToSql {
         val b = build(child)
         if (b.limit.isEmpty) b.copy(limit = Some(n)) else wrap(b).copy(limit = Some(n))
       case Offset(child, n) =>
+        // fold into the block even when its LIMIT is already set: SQL's
+        // `LIMIT x OFFSET y` applies OFFSET first, which IS the semantics
+        // of the `limit x offset y` pipe pair (reference SqlGenerator
+        // groups the trailing pair into one block, SqlGenerator.scala:431;
+        // Lowering.scala's Offset case mirrors it) — wrapping here instead
+        // produced take-x-then-skip-y, caught by the differential fuzzer
         val b = build(child)
-        if (b.offset.isEmpty && b.limit.isEmpty) b.copy(offset = Some(n))
+        if (b.offset.isEmpty) b.copy(offset = Some(n))
         else wrap(b).copy(offset = Some(n))
 
       case DedupRel(child) => // wv `distinct` / `dedup` pipes

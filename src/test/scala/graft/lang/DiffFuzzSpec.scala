@@ -102,7 +102,8 @@ class DiffFuzzSpec extends SparkTestBase {
     if (rnd.nextInt(10) == 0) {
       // both branches project the SAME columns of the base table, so the
       // set-op is well-typed regardless of any join above
-      val op = pick(Seq("concat", "union", "intersect", "except"))
+      val op = pick(Seq("concat", "union", "intersect", "except",
+        "intersect all", "except all"))
       val col = pick(t.ints)
       val sc = pick(t.strings)
       sb.append(s"\nselect $col, $sc")
@@ -136,12 +137,13 @@ class DiffFuzzSpec extends SparkTestBase {
         sb.append(s"\nselect ${pick(ints)}, $part, $ord,")
         sb.append(s"\n  r = $wfn() over (partition by $part order by $ord desc)")
       case 4 =>
-        // order by EVERY output column + limit: boundary ties are whole-row
-        // duplicates, so the limited multiset is deterministic
+        // order by EVERY output column + limit (± offset): boundary ties are
+        // whole-row duplicates, so the sliced multiset is deterministic
         val cols = rnd.shuffle(ints ++ strings).take(2)
         sb.append(s"\nselect ${cols.mkString(", ")}")
         sb.append(s"\norder by ${cols.mkString(", ")}")
         sb.append(s"\nlimit ${rnd.nextInt(50) + 1}")
+        if (rnd.nextBoolean()) sb.append(s"\noffset ${rnd.nextInt(20)}")
       case 5 =>
         // rollup / cube / grouping sets: super-aggregate rows exercise the
         // grouping-null semantics on all three paths
