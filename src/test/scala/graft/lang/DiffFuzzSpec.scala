@@ -55,7 +55,10 @@ class DiffFuzzSpec extends SparkTestBase {
         val (lt, rt, lc, rc) = pick(joins)
         val l = tables.find(_.name == lt).get
         val r = tables.find(_.name == rt).get
-        val kind = pick(Seq("join", "left join"))
+        // right/full joins produce null-extended rows — the "NULL" token in
+        // the multiset compare makes them deterministic across all legs
+        val kind = pick(Seq("join", "join", "left join", "left join",
+          "right join", "full join"))
         (l, r.ints.filterNot(_ == rc), r.doubles, r.strings,
           s"from $lt\n$kind $rt on $lc = $rc")
       } else {
@@ -145,12 +148,18 @@ class DiffFuzzSpec extends SparkTestBase {
         sb.append(s"\nlimit ${rnd.nextInt(50) + 1}")
         if (rnd.nextBoolean()) sb.append(s"\noffset ${rnd.nextInt(20)}")
       case 5 =>
-        // rollup / cube / grouping sets: super-aggregate rows exercise the
-        // grouping-null semantics on all three paths
+        // rollup / cube / explicit grouping sets: super-aggregate rows
+        // exercise the grouping-null semantics on all four paths
         val keys = rnd.shuffle(strings).take(rnd.nextInt(2) + 1)
-        val style = pick(Seq("rollup", "cube"))
         val aggCol = pick(ints ++ doubles)
-        sb.append(s"\ngroup by $style ${keys.mkString(", ")}")
+        val groupClause = rnd.nextInt(3) match {
+          case 0 => s"rollup ${keys.mkString(", ")}"
+          case 1 => s"cube ${keys.mkString(", ")}"
+          case _ =>
+            val sets = (keys.inits.toList.map(_.mkString("(", ", ", ")")) :+ "()").distinct
+            s"grouping sets (${sets.mkString(", ")})"
+        }
+        sb.append(s"\ngroup by $groupClause")
         sb.append(s"\nagg n = _.count, v = ${aggCol}.${pick(Seq("sum", "min", "max"))}")
       case 6 =>
         // running aggregate over the default window frame: ORDER BY a
