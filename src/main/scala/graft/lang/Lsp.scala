@@ -287,13 +287,23 @@ object Lsp {
         // are already in `defs`.
         val tbls = beforePartial.lastOption
           .filter(t => t.text == "from" || t.text == "join")
-          .map(_ => tableCandidates(spark, dir)).getOrElse(Nil)
+          .map(_ => tableCandidates(spark, dir) ++ tableFunctions)
+          .getOrElse(Nil)
         val (cursorLine, _) = lineCol(content, math.max(0, offset - 1))
         val cols = prefixSchemaFields(content, cursorLine, spark, dir)
           .getOrElse(Nil).map(f => CompletionItem(f._1, "column", f._2))
         filtered(kws ++ fns ++ defs ++ tbls ++ cols)
     }
   }
+
+  /** Native table functions, completable in relation position alongside
+    * table names (the Lowering's ModelRef natives). */
+  private val tableFunctions: Seq[CompletionItem] = Seq(
+    "range", "jdbc", "similarity_topk", "each_top_k", "decontaminate",
+    "contaminated_docs", "weighted_mix", "pack_sequences", "dedup_spans",
+    "dedup_semantic", "token_stats", "parquet_metadata", "wv_tables",
+    "wv_schemas", "duckdb_functions", "unnest"
+  ).map(CompletionItem(_, "table_function"))
 
   /** Table names completable in relation position: `dir`'s parquet tables
     * plus temp views / catalog tables of the current session. Both listings

@@ -168,6 +168,9 @@ class LspSpec extends SparkTestBase {
     // outside relation position, no table suggestions
     val sel = "from region select r"
     assert(!complete(sel, sel.length, spark, dir).exists(_.kind == "table"))
+    // native table functions complete in relation position too
+    val tf = complete("from simil", 10, spark, dir)
+    assert(tf.exists(i => i.label == "similarity_topk" && i.kind == "table_function"))
   }
 
   test("completion: incomplete inputs are total; past-EOF uses the nearest query") {
