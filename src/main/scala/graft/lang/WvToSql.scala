@@ -272,6 +272,28 @@ object WvToSql {
       case CountRel(child) =>
         wrap(build(child)).copy(select = Some(List("count(*) AS " + ident("count"))))
 
+      case Pivot(child, pivotCol, values, agg) if values.nonEmpty && agg.nonEmpty =>
+        // Spark SQL PIVOT groups by every column not referenced in the agg
+        // and not the pivot column — the same rule the DataFrame lowering
+        // applies. The agg stays UNALIASED: a single aliased agg would
+        // suffix every pivoted column (`a_total`) where the DataFrame path
+        // names them by value alone (`a`).
+        val aggSql = ex(agg.get.expr, agg = true)
+        val vals = values.map(v => ex(v, agg = false)).mkString(", ")
+        Block(from =
+          s"(\n${render(child)}\n) PIVOT ($aggSql FOR ${ident(pivotCol)} IN ($vals))")
+      case _: Pivot =>
+        // inferred value lists / count-pivot zero-fill need execution-time
+        // schema knowledge a text generator doesn't have
+        throw new Unsupported("pivot without explicit `in (...)` values and `using` agg")
+
+      case Unpivot(child, valueCol, varCol, cols) =>
+        // INCLUDE NULLS matches Dataset.unpivot (SQL UNPIVOT drops null
+        // measure rows by default; the DataFrame path keeps them)
+        Block(from =
+          s"(\n${render(child)}\n) UNPIVOT INCLUDE NULLS " +
+            s"(${ident(valueCol)} FOR ${ident(varCol)} IN (${cols.map(ident).mkString(", ")}))")
+
       case SetOp(kind, left, right, distinct) =>
         val op = kind match {
           case SetOpKind.Concat => "UNION ALL"

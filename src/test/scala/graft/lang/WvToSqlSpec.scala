@@ -101,7 +101,18 @@ class WvToSqlSpec extends SparkTestBase {
         |from big
         |group by o_orderpriority
         |agg n = _.count
-        |order by o_orderpriority""".stripMargin
+        |order by o_orderpriority""".stripMargin,
+      // pivot with explicit values + using agg → Spark SQL PIVOT clause
+      """from orders
+        |select o_orderpriority, o_orderstatus, o_totalprice
+        |pivot on o_orderstatus in ('O', 'F', 'P') using total = o_totalprice.sum.round(2)
+        |order by o_orderpriority""".stripMargin,
+      // unpivot → Spark SQL UNPIVOT INCLUDE NULLS (DataFrame melt keeps nulls)
+      """from part
+        |where p_partkey <= 50
+        |select p_partkey, p_size, p_retailprice
+        |unpivot v for metric in (p_size, p_retailprice)
+        |order by p_partkey, metric""".stripMargin
     )
     cases.zipWithIndex.foreach { case (text, i) =>
       val sql = WvToSql.generate(text)
