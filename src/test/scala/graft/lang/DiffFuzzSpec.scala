@@ -114,7 +114,7 @@ class DiffFuzzSpec extends SparkTestBase {
       sb.append(s"\n  select $col, $sc\n}")
       return sb.toString()
     }
-    rnd.nextInt(8) match {
+    rnd.nextInt(10) match {
       case 0 =>
         // group + agg (+ optional having)
         val keys = rnd.shuffle(strings ++ added.toList).take(rnd.nextInt(2) + 1)
@@ -170,6 +170,29 @@ class DiffFuzzSpec extends SparkTestBase {
         val v = pick(ints ++ doubles)
         sb.append(s"\nselect $part, $ord,")
         sb.append(s"\n  running = ${pick(Seq("sum", "min", "max", "count"))}($v) over (partition by $part order by $ord)")
+      case 8 =>
+        // pivot with explicit low-cardinality values + using agg (all four
+        // legs express it: DataFrame pivot / SQL PIVOT clause / printer /
+        // transpiler-skip); group columns = the remaining projection
+        val (pcol, pvals) = t.name match {
+          case "lineitem" => ("l_returnflag", Seq("'A'", "'N'", "'R'"))
+          case "orders" => ("o_orderstatus", Seq("'O'", "'F'", "'P'"))
+          case _ => ("", Nil)
+        }
+        if (pcol.isEmpty) sb.append("\nagg total = _.count")
+        else {
+          val grp = pick(t.strings.filterNot(_ == pcol) :+ t.ints.head)
+          val v = pick((t.ints ++ t.doubles).filterNot(_ == grp))
+          sb.append(s"\nselect $grp, $pcol, $v")
+          sb.append(s"\npivot on $pcol in (${pvals.mkString(", ")}) " +
+            s"using v = $v.${pick(Seq("sum", "min", "max"))}")
+        }
+      case 9 =>
+        // unpivot two numeric measures into (metric, value) rows
+        val ms = rnd.shuffle(t.ints ++ t.doubles).take(2)
+        val id = pick(t.strings)
+        sb.append(s"\nselect $id, ${ms.mkString(", ")}")
+        sb.append(s"\nunpivot mv for metric in (${ms.mkString(", ")})")
       case 7 =>
         // scalar stdlib methods: string + numeric chains through the
         // lowering's method table vs the SQL generator's function mapping
