@@ -124,6 +124,22 @@ object Lowering {
         ctx.flows(fl.name) = fl // declaration only
       case QueryStatement(rel) if !rel.isInstanceOf[DeleteRel] =>
         last = Some(lower(rel, ctx))
+      case SaveTo(rel, target, append, parts, options) if target.startsWith("jdbc:") =>
+        // database sink: `save to 'jdbc:<url>' with table: 'name'` (+ any
+        // driver options passed through) — the write side of the connector
+        // surface (sources/Jdbc; reference DBConnector shipped INSERTs, here
+        // Spark's JDBC writer batches them per partition in parallel)
+        val table = options.collectFirst {
+          case ("table", v) => v
+          case ("dbtable", v) => v
+        }.getOrElse(throw new LoweringException(
+          "jdbc save target needs a table: `save to 'jdbc:…' with table: 'name'`"))
+        val passthrough = options.filterNot {
+          case (k, _) => k == "table" || k == "dbtable"
+        }.toMap
+        val df = lower(rel, ctx)
+        graft.sources.Jdbc.write(df, target, table, append, passthrough)
+        last = Some(df)
       case SaveTo(rel, target, append, parts, options) =>
         val df = lower(rel, ctx)
         val mode = if (append) "append" else "overwrite"

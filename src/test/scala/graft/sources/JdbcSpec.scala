@@ -58,6 +58,17 @@ class JdbcSpec extends SparkTestBase {
     assert(df.count() == 100L)
   }
 
+  test("save to 'jdbc:…' with table: sink syntax writes the database") {
+    seeded
+    wv(s"""
+      from [[10, 'x'], [20, 'y']] as t(id, tag)
+      save to '$url' with table: 'lang_sink'
+    """)
+    val back = wv(s"from jdbc('$url', 'lang_sink') order by id").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1))).toList ==
+      List((10L, "x"), (20L, "y")))
+  }
+
   test("write then read back round-trips") {
     seeded
     val src = wv("from [[1, 'a'], [2, 'b']] as t(id, tag)")
