@@ -99,6 +99,33 @@ object SqlToWvlet {
       case logical.Deduplicate(_, child) =>
         s"${rel(child, ctes)}\ndedup"
 
+      case p: logical.Pivot if p.groupByExprsOpt.isEmpty =>
+        // SQL PIVOT → wv `pivot on col in (…) using agg` (both group by
+        // every remaining column). wv pivot carries ONE aggregate.
+        val aggText = p.aggregates match {
+          case Seq(Alias(e, n)) => s"${ident(n)} = ${ex(e)}"
+          case Seq(e) => ex(e)
+          case _ => throw Unsupported("PIVOT with multiple aggregates")
+        }
+        val vals = p.pivotValues.map(ex).mkString(", ")
+        s"${rel(p.child, ctes)}\npivot on ${ex(p.pivotColumn)} in ($vals) using $aggText"
+      case _: logical.Pivot => throw Unsupported("PIVOT with explicit GROUP BY")
+
+      case u: logical.Unpivot
+          if u.ids.isEmpty && u.valueColumnNames.lengthCompare(1) == 0 &&
+            u.values.exists(_.forall(_.lengthCompare(1) == 0)) &&
+            u.aliases.forall(_.forall(_.isEmpty)) =>
+        // SQL UNPIVOT → wv `unpivot valueCol for varCol in (cols)`. The
+        // parser expresses default null-exclusion as an explicit
+        // Filter(isnotnull(coalesce(value))) ABOVE this node, which the
+        // generic Filter case prints as a `where` — INCLUDE NULLS simply
+        // has no such filter, so both flavors round-trip.
+        val cols = u.values.get.map(v => ex(v.head)).mkString(", ")
+        s"${rel(u.child, ctes)}\nunpivot ${ident(u.valueColumnNames.head)} " +
+          s"for ${ident(u.variableColumnName)} in ($cols)"
+      case _: logical.Unpivot =>
+        throw Unsupported("UNPIVOT with ids/aliases/multi-column value lists")
+
       case j: logical.Join => join(j, ctes)
 
       case u: logical.Union =>
