@@ -204,6 +204,15 @@ object Stdlib {
     "cosine_similarity" -> ((t, args) =>
       graft.functions.VectorExpressions.cosineSimilarity(t, args.head)),
     "dot_product" -> ((t, args) =>
-      graft.functions.VectorExpressions.dotProduct(t, args.head))
+      graft.functions.VectorExpressions.dotProduct(t, args.head)),
+    // per-vector symmetric int8 quantization (operators/Similarity): struct
+    // of the scale (max|v|) and the quantized array<tinyint> — persist the
+    // struct once (CTAS) for a 4×-smaller similarity index
+    "quantize_int8" -> ((t, _) => {
+      val s = graft.operators.Similarity.int8Scale(t)
+      org.apache.spark.sql.functions.struct(
+        s.as("scale"),
+        graft.operators.Similarity.quantizeInt8(t, s).as("q"))
+    })
   )
 }

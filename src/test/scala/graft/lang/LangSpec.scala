@@ -779,6 +779,17 @@ class LangSpec extends SparkTestBase {
     """)
   }
 
+  test("quantize_int8 stdlib method: scale and byte array from wv") {
+    val rows = wv("""
+      from [[1]] as t(id)
+      add qz = [1.0, -0.5, 0.25].quantize_int8()
+      select id, s = qz.scale, q = qz.q
+    """).collect()
+    assert(rows.head.getDouble(1) == 1.0)
+    val q = rows.head.getSeq[Byte](2)
+    assert(q == Seq[Byte](127, -63, 32)) // floor(±x·127 + 0.5)
+  }
+
   test("orc save/read roundtrip preserves rows and types") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
     val rows = wv(s"""
