@@ -1322,6 +1322,7 @@ final class Parser(tokens: Vector[Token]) {
       advance(); expectOp("(")
       val e = expression()
       expectOp(")")
+      val withOrd = if (accept("with")) { expectKw("ordinality"); true } else false
       var alias: Option[String] = None
       var cols: List[String] = Nil
       if (accept("as")) {
@@ -1334,7 +1335,7 @@ final class Parser(tokens: Vector[Token]) {
           cols = cs.result()
         }
       }
-      return LateralUnnest(rel, e, alias, cols, withOrdinality = false)
+      return LateralUnnest(rel, e, alias, cols, withOrdinality = withOrd)
     }
     val right = parseFromItem()
     var on: Option[Expr] = None

@@ -337,8 +337,8 @@ object WvPrinter {
       s"${rel(child)}\nunpivot ${ident(valueCol)} for ${ident(varCol)} in " +
         s"(${cols.map(ident).mkString(", ")})"
     case LateralUnnest(child, e, alias, cols, withOrd) =>
-      if (withOrd) throw Unprintable("lateral unnest with ordinality")
-      s"${rel(child)}\ncross join unnest(${ex(e)})${aliasText(alias, cols)}"
+      val ord = if (withOrd) " with ordinality" else ""
+      s"${rel(child)}\ncross join unnest(${ex(e)})$ord${aliasText(alias, cols)}"
     case DescribeRel(child) => s"${rel(child)}\ndescribe"
     case ExplainRel(child) =>
       child match {

@@ -287,6 +287,21 @@ object WvToSql {
         // schema knowledge a text generator doesn't have
         throw new Unsupported("pivot without explicit `in (...)` values and `using` agg")
 
+      case LateralUnnest(child, e, alias, cols, withOrd) =>
+        // `cross join unnest(arr)` → Spark SQL LATERAL VIEW: appends the
+        // exploded column(s) after the child's, the same order the
+        // DataFrame lowering's select(*, explode(...)) produces; the
+        // with-ordinality form aliases posexplode's pos to `<col>_ordinal`
+        // to match the lowering's rename
+        val outName = cols.headOption.orElse(alias).getOrElse("col")
+        val lv =
+          if (withOrd)
+            s"LATERAL VIEW posexplode(${ex(e, agg = false)}) __lv AS " +
+              s"${ident(outName + "_ordinal")}, ${ident(outName)}"
+          else
+            s"LATERAL VIEW explode(${ex(e, agg = false)}) __lv AS ${ident(outName)}"
+        Block(from = s"(\n${render(child)}\n) $lv")
+
       case Unpivot(child, valueCol, varCol, cols) =>
         // INCLUDE NULLS matches Dataset.unpivot (SQL UNPIVOT drops null
         // measure rows by default; the DataFrame path keeps them)

@@ -112,7 +112,19 @@ class WvToSqlSpec extends SparkTestBase {
         |where p_partkey <= 50
         |select p_partkey, p_size, p_retailprice
         |unpivot v for metric in (p_size, p_retailprice)
-        |order by p_partkey, metric""".stripMargin
+        |order by p_partkey, metric""".stripMargin,
+      // lateral unnest → LATERAL VIEW explode
+      """from part
+        |where p_partkey <= 20
+        |select p_partkey, words = p_name.split(' ')
+        |cross join unnest(words) as t(w)
+        |order by p_partkey, w""".stripMargin,
+      // with ordinality → posexplode with the lowering's _ordinal naming
+      """from part
+        |where p_partkey <= 10
+        |select p_partkey, words = p_name.split(' ')
+        |cross join unnest(words) with ordinality as t(w)
+        |order by p_partkey, w_ordinal""".stripMargin
     )
     cases.zipWithIndex.foreach { case (text, i) =>
       val sql = WvToSql.generate(text)
