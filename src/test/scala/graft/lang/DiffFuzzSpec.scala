@@ -114,7 +114,17 @@ class DiffFuzzSpec extends SparkTestBase {
       sb.append(s"\n  select $col, $sc\n}")
       return sb.toString()
     }
-    rnd.nextInt(10) match {
+    rnd.nextInt(11) match {
+      case 10 =>
+        // lateral unnest of a split string (± ordinality): DataFrame
+        // explode/posexplode vs LATERAL VIEW vs printer round-trip
+        val s = pick(t.strings)
+        val i2 = pick(t.ints)
+        val ord = if (rnd.nextBoolean()) " with ordinality" else ""
+        sb.append(s"\nselect $i2, ws = $s.split(' ')")
+        sb.append(s"\ncross join unnest(ws)$ord as u(w)")
+        sb.append(s"\nagg n = _.count, d = w.count_distinct")
+        return sb.toString()
       case 0 =>
         // group + agg (+ optional having)
         val keys = rnd.shuffle(strings ++ added.toList).take(rnd.nextInt(2) + 1)
