@@ -126,6 +126,27 @@ object SqlToWvlet {
       case _: logical.Unpivot =>
         throw Unsupported("UNPIVOT with ids/aliases/multi-column value lists")
 
+      case g: logical.Generate if !g.outer =>
+        // LATERAL VIEW explode(e) lv AS c → wv `cross join unnest(e) as lv(c)`.
+        // posexplode is excluded: its SQL-side `pos` column name has no wv
+        // spelling (the wv ordinality form names it `<c>_ordinal`), so a
+        // downstream reference to `pos` would break after transpile.
+        val (fnName, fnArgs) = g.generator match {
+          case u: UnresolvedGenerator => (u.name.funcName.toLowerCase, u.children)
+          case f: UnresolvedFunction => (f.nameParts.last.toLowerCase, f.arguments)
+          case other => throw Unsupported(s"generator ${other.getClass.getSimpleName}")
+        }
+        if (fnName != "explode" || fnArgs.lengthCompare(1) != 0 ||
+            g.generatorOutput.lengthCompare(1) != 0)
+          throw Unsupported(s"LATERAL VIEW $fnName")
+        val colName = g.generatorOutput.head match {
+          case a: UnresolvedAttribute => a.name
+          case a => a.toString
+        }
+        val aliasTxt = g.qualifier.map(q => s" as ${ident(q)}(${ident(colName)})")
+          .getOrElse(s" as __lv(${ident(colName)})")
+        s"${rel(g.child, ctes)}\ncross join unnest(${ex(fnArgs.head)})$aliasTxt"
+
       case j: logical.Join => join(j, ctes)
 
       case u: logical.Union =>
