@@ -2042,6 +2042,32 @@ object QueryCatalog {
       """)
     ),
     (
+      "q_save_txt_roundtrip", // raw text sink+source: line-per-row identity
+      // (the `source` column is newline-free, so lines == rows; grouping
+      // makes the check order-independent and the oracle recomputes from
+      // the documents table — the roundtrip must be lossless)
+      (spark, dir) => {
+        val tmp = System.getProperty("java.io.tmpdir").stripSuffix("/") +
+          "/graft_q_save_roundtrip_src.txt"
+        Graft.query(spark, s"""
+          from documents
+          where doc_id < 100
+          select source
+          save to '$tmp'
+          ;
+          from '$tmp'
+          group by value
+          agg n = _.count
+          order by value
+        """, Tables.resolver(spark, dir), basePath = dir)
+      },
+      Some("""
+        SELECT source AS value, count(*) AS n
+        FROM documents WHERE doc_id < 100
+        GROUP BY 1 ORDER BY 1
+      """)
+    ),
+    (
       "q_dml_delete", // delete-where on a written copy, then read survivors
       (spark, dir) => {
         val tmp = System.getProperty("java.io.tmpdir").stripSuffix("/") +
