@@ -85,7 +85,8 @@ object Similarity {
       tables: Int = 4,
       dim: Int = 64,
       excludeSelf: Boolean = true,
-      multiProbe: Boolean = true
+      multiProbe: Boolean = true,
+      int8Scoring: Boolean = false
   ): DataFrame = {
     val c = corpus.select(F.col(corpusId).as("corpus_id"), F.col(corpusVec).as("__cv"))
     val q = queries.select(F.col(queryId).as("query_id"), F.col(queryVec).as("__qv"))
@@ -126,13 +127,31 @@ object Similarity {
       .drop("bucket")
       .dropDuplicates("query_id", "corpus_id")
     if (excludeSelf) cand = cand.filter(F.col("corpus_id") =!= F.col("query_id"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(F.col("cos_sim").desc, F.col("corpus_id").asc)
-    cand
-      .withColumn("cos_sim", F.round(Dedup.cosine(F.col("__cv"), F.col("__qv")), 6))
-      .withColumn("rank", F.row_number().over(w))
-      .filter(F.col("rank") <= k)
-      .select("query_id", "corpus_id", "cos_sim", "rank")
+    if (int8Scoring) {
+      // quantized scoring over LSH candidates — the full 100 TB composition:
+      // sign-bit buckets pick candidates (signatures survive quantization
+      // unchanged), int8 integer dots rank them off a 4×-smaller index.
+      // Output column is cos_q8, marking the quantized metric.
+      def q8(col: String, out: String): Column =
+        quantizeInt8(F.col(col), int8Scale(F.col(col))).as(out)
+      val scored = cand
+        .select(F.col("query_id"), F.col("corpus_id"), q8("__cv", "__c8"), q8("__qv", "__q8"))
+      val w8 = Window.partitionBy("query_id")
+        .orderBy(F.col("cos_q8").desc, F.col("corpus_id").asc)
+      scored
+        .withColumn("cos_q8", int8Cosine(F.col("__c8"), F.col("__q8")))
+        .withColumn("rank", F.row_number().over(w8))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cos_q8", "rank")
+    } else {
+      val w = Window.partitionBy("query_id")
+        .orderBy(F.col("cos_sim").desc, F.col("corpus_id").asc)
+      cand
+        .withColumn("cos_sim", F.round(Dedup.cosine(F.col("__cv"), F.col("__qv")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cos_sim", "rank")
+    }
   }
 
   /** IVF (inverted-file) approximate top-k — the classic ANN scale path:

@@ -480,6 +480,25 @@ class PipelineSpec extends SparkTestBase {
     assert(brute.length == viaWv.length)
   }
 
+  test("LSH + int8 composition: quantized scoring over bucketed candidates") {
+    val queries = embs.filter(F.col("vec_id") < 3).select("vec_id", "embedding")
+    val mixed = Similarity.lshTopK(
+      embs, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 5, planes = 8, tables = 6, int8Scoring = true)
+    val rows = mixed.collect()
+    assert(rows.nonEmpty)
+    assert(mixed.columns.toSeq == Seq("query_id", "corpus_id", "cos_q8", "rank"))
+    // recall vs the float LSH path: candidates are identical (same buckets),
+    // only the scoring metric differs — top-5 overlap must stay high
+    val float = Similarity.lshTopK(
+      embs, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 5, planes = 8, tables = 6).collect()
+    val fSet = float.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qSet = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((qSet & fSet).size >= fSet.size - 2,
+      s"int8∩float=${(qSet & fSet).size} of ${fSet.size}")
+  }
+
   test("LSH topk returns subset consistent with brute force at rank 1") {
     val queries = embs.filter(F.col("vec_id") < 2).select("vec_id", "embedding")
     val approx = Similarity.lshTopK(
