@@ -1177,8 +1177,10 @@ object Lowering {
               df, idCol, vecCol, df, idCol, vecCol, k.toInt)
             case "int8" => graft.operators.Similarity.int8BruteForceTopK(
               df, idCol, vecCol, df, idCol, vecCol, k.toInt)
+            case "lsh_int8" => graft.operators.Similarity.lshTopK(
+              df, idCol, vecCol, df, idCol, vecCol, k.toInt, int8Scoring = true)
             case other => throw new LoweringException(
-              s"similarity_topk: unknown method '$other' (expected brute, lsh, ivf, int8)")
+              s"similarity_topk: unknown method '$other' (expected brute, lsh, ivf, int8, lsh_int8)")
           }
           Plain(sim)
         case _ =>

@@ -478,6 +478,10 @@ class PipelineSpec extends SparkTestBase {
       "from similarity_topk('embeddings', 'vec_id', 'embedding', 3)")
       .collect()
     assert(brute.length == viaWv.length)
+    val lshInt8 = wv(
+      "from similarity_topk('embeddings', 'vec_id', 'embedding', 3, 'lsh_int8')")
+    assert(lshInt8.columns.contains("cos_q8"))
+    assert(lshInt8.limit(1).collect().nonEmpty)
   }
 
   test("LSH + int8 composition: quantized scoring over bucketed candidates") {
