@@ -214,6 +214,69 @@ object QueryCatalog {
     """
   }
 
+  /** DETERMINISTIC oracle for q_similarity_topk_lsh_int8 — the quantized
+    * composition: the SAME signature/candidate CTEs as lshTopkOracleSql
+    * (buckets are computed on the float vectors on both engine and oracle),
+    * ranked by the int8 integer-dot cosine of q_similarity_topk_int8's
+    * oracle. Integer accumulation makes the scores exactly reproducible. */
+  private lazy val lshInt8OracleSql: String = {
+    val planes = 8; val tables = 6; val dim = embeddingDim
+    val planeRows = (0 until tables).flatMap { t =>
+      val hp = graft.operators.Similarity.hyperplanes(dim, planes, seed = 7L + t)
+      hp.zipWithIndex.map { case (w, p) =>
+        val lit = w.map(java.lang.Double.toString).mkString("[", ",", "]")
+        s"($t, ${1L << p}::BIGINT, '$lit'::DOUBLE[])"
+      }
+    }.mkString(",\n      ")
+    s"""
+    WITH planes(t, pw, w) AS (VALUES
+      $planeRows),
+    sigs AS (
+      SELECT e.vec_id, pl.t,
+        SUM(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), i -> e.embedding[i]::DOUBLE * pl.w[i])) > 0
+            THEN pl.pw ELSE 0 END)::BIGINT AS sig
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+      FROM sigs c JOIN sigs q ON c.t = q.t AND bit_count(xor(c.sig, q.sig)) <= 1
+      WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+    ),
+    qz AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS s,
+             embedding
+      FROM embeddings),
+    qv AS (
+      SELECT vec_id,
+             CASE WHEN s = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(embedding,
+                         x -> CAST(floor(x::DOUBLE * 127 / s + 0.5) AS BIGINT)) END AS q
+      FROM qz),
+    sims AS (
+      SELECT cd.query_id, cd.corpus_id,
+        list_sum(list_transform(range(1, len(c.q) + 1), i -> COALESCE(c.q[i] * q.q[i], 0))) AS dot,
+        list_sum(list_transform(range(1, len(c.q) + 1), i -> c.q[i] * c.q[i])) AS na,
+        list_sum(list_transform(range(1, len(q.q) + 1), i -> q.q[i] * q.q[i])) AS nb
+      FROM cand cd
+      JOIN qv c ON c.vec_id = cd.corpus_id
+      JOIN qv q ON q.vec_id = cd.query_id
+    ),
+    scored AS (
+      SELECT query_id, corpus_id,
+        CASE WHEN na = 0 OR nb = 0 THEN -1.0
+             ELSE round(dot::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)), 6) END AS cos_q8
+      FROM sims),
+    ranked AS (
+      SELECT query_id, corpus_id, cos_q8,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos_q8 DESC, corpus_id) AS rank
+      FROM scored)
+    SELECT query_id, corpus_id, cos_q8, rank::INTEGER AS rank
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """
+  }
+
   /** DETERMINISTIC oracle for q_similarity_topk_ivf (seeded-quantizer
     * IVF-flat, Similarity.ivfSeededTopK): centroids = the nlist corpus
     * points with smallest (md5(id), id); cell assignment and probe selection
@@ -2851,6 +2914,22 @@ object QueryCatalog {
           .orderBy("query_id", "rank")
       },
       Some(lshTopkOracleSql)
+    ),
+    (
+      // the LSH × int8 composition with a FULL oracle: same candidates as
+      // q_similarity_topk_lsh, ranked by q_similarity_topk_int8's integer
+      // cosine — sign-bit bucketing over the float vectors + 4×-smaller
+      // quantized scoring, the complete 100 TB embedding-search recipe
+      "q_similarity_topk_lsh_int8",
+      (spark, dir) => {
+        val embs = Tables.read(spark, dir, "embeddings")
+        val queries = embs.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+        Similarity.lshTopK(embs, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, planes = 8, tables = 6,
+          int8Scoring = true)
+          .orderBy("query_id", "rank")
+      },
+      Some(lshInt8OracleSql)
     ),
     (
       // Property gate for q_similarity_topk_lsh: (a) every emitted hit's
