@@ -72,8 +72,6 @@ object Bench {
     // so the line is kept small — 3-decimal seconds); the complete artifact
     // with per-run times and load stamps goes to BENCH_DETAIL.json.
     def s3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + s3(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val detail = {
       val rows = results.map { case (k, v, t) =>
@@ -86,7 +84,10 @@ object Bench {
     }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"), detail)
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir","cpus":$cpus,"load":"$loadBefore;$loadAfter","quiet_wait":"$waitedSec;$gaveUp"}""")
+    // totals-only on stdout: the full per-query map made the line ~5 KB,
+    // overflowing the driver's stdout tail-capture so BENCH_r{8,9}.json had
+    // "parsed": null — per-query medians+runs live in BENCH_DETAIL.json
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"failures":$failures,"sf":"$sfDir","cpus":$cpus,"load":"$loadBefore;$loadAfter","quiet_wait":"$waitedSec;$gaveUp","detail":"BENCH_DETAIL.json"}""")
     if (failures > 0) System.err.println(s"[bench] $failures queries FAILED")
     spark.stop()
   }

@@ -43,6 +43,12 @@ object BenchScale {
     // int8 path: O(corpus × fixed query set) scoring — exponent ≈ 1; the
     // quantized index is what makes this linear term 4× cheaper in bytes
     "q_similarity_topk_int8",
+    // persisted-index twin: same scoring read back from the CTAS'd
+    // array<tinyint> index (built once per dir, untimed via the per-JVM
+    // memo) — the timed region is pure index-scan + score, proving the
+    // 4×-smaller read path also scales linearly
+    "q_similarity_topk_int8_index",
+    "q_similarity_topk_lsh_int8_index",
     // round-9 dedup additions: span fingerprints (one uniform shuffle)
     // and SemDeDup (bucket join, nlist-bounded quadratic)
     "q_dedup_spans",

@@ -277,6 +277,122 @@ object QueryCatalog {
     """
   }
 
+  /** DETERMINISTIC oracle shared by q_similarity_topk_int8 (on-the-fly
+    * quantization) and q_similarity_topk_int8_index (the same scoring read
+    * back from a PERSISTED index): the quantized bytes are deterministic,
+    * so both engine paths produce identical rows and one DuckDB
+    * recomputation (quantize → integer dot/norms → rank) oracles both. */
+  private lazy val int8TopkOracleSql: String = """
+    WITH scales AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS s
+      FROM embeddings),
+    qv AS (
+      SELECT vec_id,
+             CASE WHEN s = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(embedding,
+                         x -> CAST(floor(x::DOUBLE * 127 / s + 0.5) AS BIGINT)) END AS q
+      FROM scales),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        list_sum(list_transform(range(1, len(c.q) + 1), i -> COALESCE(c.q[i] * q.q[i], 0))) AS dot,
+        list_sum(list_transform(range(1, len(c.q) + 1), i -> c.q[i] * c.q[i])) AS na,
+        list_sum(list_transform(range(1, len(q.q) + 1), i -> q.q[i] * q.q[i])) AS nb
+      FROM qv c CROSS JOIN (SELECT * FROM qv WHERE vec_id < 10) q
+      WHERE c.vec_id != q.vec_id),
+    scored AS (
+      SELECT query_id, corpus_id,
+        CASE WHEN na = 0 OR nb = 0 THEN -1.0
+             ELSE round(dot::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)), 6) END AS cos_q8
+      FROM sims),
+    ranked AS (
+      SELECT query_id, corpus_id, cos_q8,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos_q8 DESC, corpus_id) AS rank
+      FROM scored)
+    SELECT query_id, corpus_id, cos_q8, rank::INTEGER AS rank
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+  """
+
+  /** DETERMINISTIC oracle for q_similarity_topk_lsh_int8_index — the
+    * all-quantized serving shape: signatures AND scores computed from the
+    * persisted int8 bytes (the float column is never read). Same CTE chain
+    * as lshInt8OracleSql except `sigs` dots the hyperplanes against the
+    * QUANTIZED vectors — quantization is a positive per-vector rescale plus
+    * ±0.5-step rounding, so sign bits flip only inside the rounding band
+    * (recall property-gated on the engine side). */
+  private lazy val lshInt8IndexOracleSql: String = {
+    val planes = 8; val tables = 6; val dim = embeddingDim
+    val planeRows = (0 until tables).flatMap { t =>
+      val hp = graft.operators.Similarity.hyperplanes(dim, planes, seed = 7L + t)
+      hp.zipWithIndex.map { case (w, p) =>
+        val lit = w.map(java.lang.Double.toString).mkString("[", ",", "]")
+        s"($t, ${1L << p}::BIGINT, '$lit'::DOUBLE[])"
+      }
+    }.mkString(",\n      ")
+    s"""
+    WITH planes(t, pw, w) AS (VALUES
+      $planeRows),
+    scales AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS s
+      FROM embeddings),
+    qv AS (
+      SELECT vec_id,
+             CASE WHEN s = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(embedding,
+                         x -> CAST(floor(x::DOUBLE * 127 / s + 0.5) AS BIGINT)) END AS q
+      FROM scales),
+    sigs AS (
+      SELECT v.vec_id, pl.t,
+        SUM(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), i -> v.q[i]::DOUBLE * pl.w[i])) > 0
+            THEN pl.pw ELSE 0 END)::BIGINT AS sig
+      FROM qv v CROSS JOIN planes pl
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+      FROM sigs c JOIN sigs q ON c.t = q.t AND bit_count(xor(c.sig, q.sig)) <= 1
+      WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+    ),
+    sims AS (
+      SELECT cd.query_id, cd.corpus_id,
+        list_sum(list_transform(range(1, len(c.q) + 1), i -> COALESCE(c.q[i] * q.q[i], 0))) AS dot,
+        list_sum(list_transform(range(1, len(c.q) + 1), i -> c.q[i] * c.q[i])) AS na,
+        list_sum(list_transform(range(1, len(q.q) + 1), i -> q.q[i] * q.q[i])) AS nb
+      FROM cand cd
+      JOIN qv c ON c.vec_id = cd.corpus_id
+      JOIN qv q ON q.vec_id = cd.query_id
+    ),
+    scored AS (
+      SELECT query_id, corpus_id,
+        CASE WHEN na = 0 OR nb = 0 THEN -1.0
+             ELSE round(dot::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)), 6) END AS cos_q8
+      FROM sims),
+    ranked AS (
+      SELECT query_id, corpus_id, cos_q8,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos_q8 DESC, corpus_id) AS rank
+      FROM scored)
+    SELECT query_id, corpus_id, cos_q8, rank::INTEGER AS rank
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """
+  }
+
+  /** Build-once-per-(JVM, corpus dir) persisted int8 ANN index: CTAS of
+    * [[Similarity.buildInt8Index]] over the embeddings table, parquet under
+    * java.io.tmpdir. The write is the offline index-build step; index
+    * queries then re-read from disk, so their scans genuinely prove the
+    * float column is pruned (PlanSpec gates ReadSchema) and the 4× byte
+    * saving is real I/O, not bookkeeping. */
+  private val int8IndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def persistedInt8Index(spark: SparkSession, dir: String): String =
+    int8IndexPaths.getOrElseUpdate(dir, {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_int8_index_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      Similarity.buildInt8Index(Tables.read(spark, dir, "embeddings"), "vec_id", "embedding")
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** DETERMINISTIC oracle for q_similarity_topk_ivf (seeded-quantizer
     * IVF-flat, Similarity.ivfSeededTopK): centroids = the nlist corpus
     * points with smallest (md5(id), id); cell assignment and probe selection
@@ -2976,36 +3092,7 @@ object QueryCatalog {
           queries, "vec_id", "embedding", k = 5)
           .orderBy("query_id", "rank")
       },
-      Some("""
-        WITH scales AS (
-          SELECT vec_id, embedding,
-                 list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS s
-          FROM embeddings),
-        qv AS (
-          SELECT vec_id,
-                 CASE WHEN s = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
-                      ELSE list_transform(embedding,
-                             x -> CAST(floor(x::DOUBLE * 127 / s + 0.5) AS BIGINT)) END AS q
-          FROM scales),
-        sims AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
-            list_sum(list_transform(range(1, len(c.q) + 1), i -> COALESCE(c.q[i] * q.q[i], 0))) AS dot,
-            list_sum(list_transform(range(1, len(c.q) + 1), i -> c.q[i] * c.q[i])) AS na,
-            list_sum(list_transform(range(1, len(q.q) + 1), i -> q.q[i] * q.q[i])) AS nb
-          FROM qv c CROSS JOIN (SELECT * FROM qv WHERE vec_id < 10) q
-          WHERE c.vec_id != q.vec_id),
-        scored AS (
-          SELECT query_id, corpus_id,
-            CASE WHEN na = 0 OR nb = 0 THEN -1.0
-                 ELSE round(dot::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)), 6) END AS cos_q8
-          FROM sims),
-        ranked AS (
-          SELECT query_id, corpus_id, cos_q8,
-            row_number() OVER (PARTITION BY query_id ORDER BY cos_q8 DESC, corpus_id) AS rank
-          FROM scored)
-        SELECT query_id, corpus_id, cos_q8, rank::INTEGER AS rank
-        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
-      """)
+      Some(int8TopkOracleSql)
     ),
     (
       // Property gate for the int8 path: quantization must not collapse
@@ -3022,6 +3109,92 @@ object QueryCatalog {
           queries, "vec_id", "embedding", k = 5)
         brute.join(int8, Seq("query_id", "corpus_id"), "left_semi")
           .agg((F.count(F.lit(1)) / F.lit(50.0) >= 0.9).as("recall_floor_met"))
+      },
+      Some("SELECT true AS recall_floor_met")
+    ),
+    (
+      // The persistable int8 ANN index itself (Similarity.buildInt8Index,
+      // exposed as ann_int8_index(...)): per-row scale + byte checksums —
+      // the oracle recomputes the quantized bytes in DuckDB, so the
+      // persisted artifact's content is pinned, not just its downstream
+      // query results. (Checksums rather than the raw array: tinyint vs
+      // BIGINT list physical types would defeat the hash compare.)
+      "q_ann_int8_index",
+      (spark, dir) => {
+        val embs = Tables.read(spark, dir, "embeddings")
+        Similarity.buildInt8Index(embs, "vec_id", "embedding")
+          .select(F.col("vec_id"),
+            F.round(F.col("scale"), 6).as("scale_r"),
+            F.size(F.col("q8")).cast("long").as("dim"),
+            F.aggregate(F.col("q8"), F.lit(0L),
+              (a, x) => a + x.cast("long")).as("q8_sum"),
+            F.aggregate(F.col("q8"), F.lit(0L),
+              (a, x) => a + x.cast("long") * x.cast("long")).as("q8_sumsq"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH scales AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS s
+          FROM embeddings),
+        qv AS (
+          SELECT vec_id, s,
+                 CASE WHEN s = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                      ELSE list_transform(embedding,
+                             x -> CAST(floor(x::DOUBLE * 127 / s + 0.5) AS BIGINT)) END AS q
+          FROM scales)
+        SELECT vec_id, round(s, 6) AS scale_r, CAST(len(q) AS BIGINT) AS dim,
+               CAST(list_sum(q) AS BIGINT) AS q8_sum,
+               CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS q8_sumsq
+        FROM qv ORDER BY vec_id
+      """)
+    ),
+    (
+      // Top-k over the PERSISTED int8 index (Similarity.int8IndexTopK):
+      // the index is CTAS'd once per corpus (offline step), read back from
+      // parquet, and queried WITHOUT any float column in the scan
+      // (PlanSpec gates the pruning) — the 4×-smaller-index claim as real
+      // I/O. Scores are byte-deterministic, so the on-the-fly int8 oracle
+      // pins this path too.
+      "q_similarity_topk_int8_index",
+      (spark, dir) => {
+        val idx = spark.read.parquet(persistedInt8Index(spark, dir))
+        val queries = idx.filter(F.col("vec_id") < 10)
+        Similarity.int8IndexTopK(idx, "vec_id", "q8", queries, "vec_id", "q8", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(int8TopkOracleSql)
+    ),
+    (
+      // LSH × persisted int8 index (Similarity.lshTopKInt8Index): buckets
+      // AND scores from the quantized bytes — the all-quantized serving
+      // shape where the float column is never read for any purpose. Full
+      // DuckDB oracle (signatures recomputed over the quantized vectors).
+      "q_similarity_topk_lsh_int8_index",
+      (spark, dir) => {
+        val idx = spark.read.parquet(persistedInt8Index(spark, dir))
+        val queries = idx.filter(F.col("vec_id") < 10)
+        Similarity.lshTopKInt8Index(idx, "vec_id", "q8", queries, "vec_id", "q8",
+          k = 5, planes = 8, tables = 6)
+          .orderBy("query_id", "rank")
+      },
+      Some(lshInt8IndexOracleSql)
+    ),
+    (
+      // Property gate for the q8-signature path: bucketing on quantized
+      // vectors must hold the same recall floor as the float-signature LSH
+      // (0.4 at this corpus density — sign bits flip only inside the
+      // ±0.5-step rounding band, so candidate sets are near-identical).
+      "q_similarity_int8_index_property",
+      (spark, dir) => {
+        val idx = spark.read.parquet(persistedInt8Index(spark, dir))
+        val queries = idx.filter(F.col("vec_id") < 10)
+        val brute = Similarity.int8IndexTopK(idx, "vec_id", "q8",
+          queries, "vec_id", "q8", k = 5)
+        val lsh = Similarity.lshTopKInt8Index(idx, "vec_id", "q8",
+          queries, "vec_id", "q8", k = 5, planes = 8, tables = 6)
+        brute.join(lsh, Seq("query_id", "corpus_id"), "left_semi")
+          .agg((F.count(F.lit(1)) / F.lit(50.0) >= 0.4).as("recall_floor_met"))
       },
       Some("SELECT true AS recall_floor_met")
     ),

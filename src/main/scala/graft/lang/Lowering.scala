@@ -1155,9 +1155,14 @@ object Lowering {
       // similarity_topk('corpus', 'id_col', 'vec_col', k[, method]) —
       // per-row cosine top-k neighbors (self-kNN join, self-matches
       // excluded). method: 'brute' (exact, O(n²) — small corpora/oracles),
-      // 'lsh' | 'ivf' (the bucketed scale paths), 'int8' (quantized index,
-      // 4× smaller — operators/Similarity.int8BruteForceTopK). Output:
-      // query_id, corpus_id, cos_sim (cos_q8 for int8), rank.
+      // 'lsh' | 'ivf' (the bucketed scale paths), 'int8' (quantized
+      // scoring, on-the-fly — operators/Similarity.int8BruteForceTopK).
+      // 'int8_index' | 'lsh_int8_index' read a PERSISTED quantized index
+      // instead: vec_col is a pre-quantized array<tinyint> column (built
+      // with ann_int8_index(...) and CTAS'd) — the float vector column is
+      // never scanned (PlanSpec-gated pruning; the 4×-smaller-index I/O
+      // saving is real, not just in-memory). Output:
+      // query_id, corpus_id, cos_sim (cos_q8 for int8 methods), rank.
       args.map(constValue) match {
         case List(Some(corpus: String), Some(idCol: String), Some(vecCol: String),
             Some(k: Long), rest @ _*) if rest.lengthCompare(1) <= 0 =>
@@ -1179,14 +1184,36 @@ object Lowering {
               df, idCol, vecCol, df, idCol, vecCol, k.toInt)
             case "lsh_int8" => graft.operators.Similarity.lshTopK(
               df, idCol, vecCol, df, idCol, vecCol, k.toInt, int8Scoring = true)
+            case "int8_index" => graft.operators.Similarity.int8IndexTopK(
+              df, idCol, vecCol, df, idCol, vecCol, k.toInt)
+            case "lsh_int8_index" => graft.operators.Similarity.lshTopKInt8Index(
+              df, idCol, vecCol, df, idCol, vecCol, k.toInt)
             case other => throw new LoweringException(
-              s"similarity_topk: unknown method '$other' (expected brute, lsh, ivf, int8, lsh_int8)")
+              s"similarity_topk: unknown method '$other' (expected brute, lsh, ivf, " +
+                "int8, lsh_int8, int8_index, lsh_int8_index)")
           }
           Plain(sim)
         case _ =>
           throw new LoweringException(
             "similarity_topk expects (corpus, id_col, vec_col, k[, method]) literals, " +
               "e.g. similarity_topk('embeddings', 'vec_id', 'embedding', 5, 'int8')")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "ann_int8_index" =>
+      // ann_int8_index('corpus', 'id_col', 'vec_col') — one-pass build of
+      // the persistable int8 ANN index (id, scale double, q8 array<tinyint>;
+      // operators/Similarity.buildInt8Index). CTAS the result once, then
+      // query it with similarity_topk(..., 'int8_index' | 'lsh_int8_index')
+      // — subsequent scans read the 4×-smaller q8 column, never the floats.
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(vecCol: String)) =>
+          Plain(graft.operators.Similarity.buildInt8Index(
+            lower(TableRef(corpus), ctx), idCol, vecCol))
+        case _ =>
+          throw new LoweringException(
+            "ann_int8_index expects (corpus, id_col, vec_col) literals, " +
+              "e.g. ann_int8_index('embeddings', 'vec_id', 'embedding')")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
@@ -1811,9 +1838,13 @@ object Lowering {
       val outName = cols.headOption.orElse(alias).getOrElse(exprName(e, 0))
       Plain(
         if (withOrd) {
-          val pe = F.posexplode(arr)
-          df.select(F.col("*"), pe).withColumnRenamed("pos", s"${outName}_ordinal")
-            .withColumnRenamed("col", outName)
+          // 1-based ordinals (SQL-standard WITH ORDINALITY; posexplode's
+          // pos is 0-based), matching the table-form unnest at lowerUnnest
+          val exploded = df.select(F.col("*"), F.posexplode(arr))
+          exploded.select(
+            df.columns.map(F.col) :+
+              (F.col("pos") + 1).as(s"${outName}_ordinal") :+
+              F.col("col").as(outName): _*)
         } else df.select(F.col("*"), F.explode(arr).as(outName))
       )
 
@@ -1922,6 +1953,11 @@ object Lowering {
 
   private def resolveTable(name: String, ctx: Context): DataFrame =
     if (name.startsWith("__show_")) lowerShow(name.stripPrefix("__show_"), ctx)
+    // a corpus argument that is really a file path (table functions take
+    // 'corpus' strings: similarity_topk('/tmp/idx.parquet', …)) dispatches
+    // through the same extension reader as `from 'file.parquet'`
+    else if (name.matches("(?i).*\\.(parquet|orc|csv|json|txt|text)(\\.gz)?$"))
+      readFile(name, ctx)
     else {
       val resolved = ctx.typeBindings.getOrElse(name, name)
       try ctx.tableResolver(resolved)
@@ -2250,7 +2286,7 @@ object Lowering {
         val base = spark.range(1)
         if (u.withOrdinality)
           base.select(F.posexplode(arr)).toDF(s"${name}_ordinal", name)
-            .select(F.col(name), F.col(s"${name}_ordinal") + 1)
+            .select(F.col(name), (F.col(s"${name}_ordinal") + 1).as(s"${name}_ordinal"))
         else base.select(F.explode(arr).as(name))
     }
   }

@@ -209,10 +209,17 @@ object Stdlib {
     // of the scale (max|v|) and the quantized array<tinyint> — persist the
     // struct once (CTAS) for a 4×-smaller similarity index
     "quantize_int8" -> ((t, _) => {
-      val s = graft.operators.Similarity.int8Scale(t)
-      org.apache.spark.sql.functions.struct(
-        s.as("scale"),
-        graft.operators.Similarity.quantizeInt8(t, s).as("q"))
+      // let-bind the scale via a 1-element transform lambda: the scale
+      // subtree is evaluated ONCE and referenced as a lambda variable in
+      // both struct fields — passing the int8Scale expression inline would
+      // copy the array_max subtree into every element's quantize lambda
+      import org.apache.spark.sql.{functions => F}
+      F.element_at(
+        F.transform(F.array(graft.operators.Similarity.int8Scale(t)), s =>
+          F.struct(
+            s.as("scale"),
+            graft.operators.Similarity.quantizeInt8(t, s).as("q"))),
+        1)
     })
   )
 }

@@ -17,9 +17,10 @@ package graft.lang
   * text form).
   *
   * Deliberately out of scope (throws [[WvToSql.Unsupported]]): streaming
-  * subscriptions, flows, DML/DDL, sampling, pivots, text-pipeline methods
+  * subscriptions, flows, DML/DDL, sampling, text-pipeline methods
   * backed by native Catalyst expressions, and parameterized models —
-  * surfaces with no faithful single-statement SQL equivalent.
+  * surfaces with no faithful single-statement SQL equivalent. Pivot and
+  * unpivot ARE supported (generated as Spark SQL PIVOT/UNPIVOT clauses).
   */
 object WvToSql {
 
@@ -291,16 +292,20 @@ object WvToSql {
         // `cross join unnest(arr)` → Spark SQL LATERAL VIEW: appends the
         // exploded column(s) after the child's, the same order the
         // DataFrame lowering's select(*, explode(...)) produces; the
-        // with-ordinality form aliases posexplode's pos to `<col>_ordinal`
-        // to match the lowering's rename
+        // with-ordinality form emits 1-based ordinals (SQL-standard WITH
+        // ORDINALITY; posexplode's pos is 0-based) via a wrapping select
         val outName = cols.headOption.orElse(alias).getOrElse("col")
-        val lv =
-          if (withOrd)
-            s"LATERAL VIEW posexplode(${ex(e, agg = false)}) __lv AS " +
-              s"${ident(outName + "_ordinal")}, ${ident(outName)}"
-          else
-            s"LATERAL VIEW explode(${ex(e, agg = false)}) __lv AS ${ident(outName)}"
-        Block(from = s"(\n${render(child)}\n) $lv")
+        if (withOrd) {
+          val lv = s"LATERAL VIEW posexplode(${ex(e, agg = false)}) __lv AS " +
+            s"__graft_pos, ${ident(outName)}"
+          Block(from =
+            s"(SELECT * EXCEPT (__graft_pos, ${ident(outName)}), " +
+              s"__graft_pos + 1 AS ${ident(outName + "_ordinal")}, ${ident(outName)} " +
+              s"FROM (\n${render(child)}\n) $lv)")
+        } else {
+          val lv = s"LATERAL VIEW explode(${ex(e, agg = false)}) __lv AS ${ident(outName)}"
+          Block(from = s"(\n${render(child)}\n) $lv")
+        }
 
       case Unpivot(child, valueCol, varCol, cols) =>
         // INCLUDE NULLS matches Dataset.unpivot (SQL UNPIVOT drops null

@@ -119,8 +119,19 @@ object Similarity {
         df.columns.map(F.col) :+ F.explode(F.array(buckets: _*)).as("bucket"): _*)
     }
 
-    val cb = withBuckets(c, "__cv", probe = false)
-    val qb = withBuckets(q, "__qv", probe = multiProbe)
+    // int8 scoring: quantize each side ONCE per vector — materialized scale
+    // column (the inline form would copy the array_max subtree into every
+    // element's lambda), and BEFORE the candidate join (per-pair
+    // quantization would redo the O(dim) work ×candidates)
+    def addQ8(df: DataFrame, vec: String, out: String): DataFrame =
+      df.withColumn("__q8s", int8Scale(F.col(vec)))
+        .withColumn(out, quantizeInt8(F.col(vec), F.col("__q8s")))
+        .drop("__q8s")
+    val cPre = if (int8Scoring) addQ8(c, "__cv", "__c8") else c
+    val qPre = if (int8Scoring) addQ8(q, "__qv", "__q8") else q
+
+    val cb = withBuckets(cPre, "__cv", probe = false)
+    val qb = withBuckets(qPre, "__qv", probe = multiProbe)
     // query side is small by contract (same as bruteForceTopK) → broadcast:
     // the corpus bucket rows never shuffle, the candidate join is map-side
     var cand = cb.join(F.broadcast(qb), Seq("bucket"))
@@ -129,16 +140,12 @@ object Similarity {
     if (excludeSelf) cand = cand.filter(F.col("corpus_id") =!= F.col("query_id"))
     if (int8Scoring) {
       // quantized scoring over LSH candidates — the full 100 TB composition:
-      // sign-bit buckets pick candidates (signatures survive quantization
-      // unchanged), int8 integer dots rank them off a 4×-smaller index.
+      // sign-bit buckets pick candidates, int8 integer dots (quantized once
+      // per vector above) rank them off a 4×-smaller index.
       // Output column is cos_q8, marking the quantized metric.
-      def q8(col: String, out: String): Column =
-        quantizeInt8(F.col(col), int8Scale(F.col(col))).as(out)
-      val scored = cand
-        .select(F.col("query_id"), F.col("corpus_id"), q8("__cv", "__c8"), q8("__qv", "__q8"))
       val w8 = Window.partitionBy("query_id")
         .orderBy(F.col("cos_q8").desc, F.col("corpus_id").asc)
-      scored
+      cand
         .withColumn("cos_q8", int8Cosine(F.col("__c8"), F.col("__q8")))
         .withColumn("rank", F.row_number().over(w8))
         .filter(F.col("rank") <= k)
@@ -389,8 +396,9 @@ object Similarity {
 
   /** Brute-force cosine top-k over int8-quantized vectors — the quantized
     * twin of [[bruteForceTopK]]. Both sides quantize on the fly here; at
-    * scale the corpus-side `__q` column is what you'd persist (CTAS the
-    * quantized index once, amortized over every query batch). */
+    * scale, persist the index once with [[buildInt8Index]] and query it
+    * with [[int8IndexTopK]]/[[lshTopKInt8Index]] — those paths never read
+    * the float column at all. */
   def int8BruteForceTopK(
       corpus: DataFrame,
       corpusId: String,
@@ -414,6 +422,106 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(F.col("cos_q8").desc, F.col("corpus_id").asc)
     joined
+      .withColumn("cos_q8", int8Cosine(F.col("__q"), F.col("__qq")))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "corpus_id", "cos_q8", "rank")
+  }
+
+  // ------------------------------------------------------- persisted index
+
+  /** Build the persistable int8 ANN index: `(idCol, scale double,
+    * q8 array<tinyint>)`. CTAS this once (one pass over the float corpus);
+    * every subsequent query batch then reads 4× fewer bytes and the float
+    * vector column is pruned from the scan entirely — THIS is where the
+    * 4×-smaller-index claim materializes as I/O savings, not just as a
+    * cheaper in-memory representation. The scale is stored as the exact
+    * double used during quantization (cosine ranking never needs it — it
+    * cancels — but approximate dot/L2 reconstruction does: v ≈ q8·scale/127). */
+  def buildInt8Index(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus
+      .withColumn("__q8s", int8Scale(F.col(vecCol)))
+      .select(F.col(idCol), F.col("__q8s").as("scale"),
+        quantizeInt8(F.col(vecCol), F.col("__q8s")).as("q8"))
+
+  /** Exact (within quantization) cosine top-k over a PERSISTED int8 index:
+    * both sides are pre-quantized `array<tinyint>` columns — no float
+    * vector is read or re-quantized at query time. Scores are identical to
+    * [[int8BruteForceTopK]] over the same vectors (the quantized bytes are
+    * deterministic), so the two paths share one oracle. */
+  def int8IndexTopK(
+      index: DataFrame,
+      indexId: String,
+      q8Col: String,
+      queries: DataFrame,
+      queryId: String,
+      queryQ8Col: String,
+      k: Int = 10,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val c = index.select(F.col(indexId).as("corpus_id"), F.col(q8Col).as("__q"))
+    val q = queries.select(F.col(queryId).as("query_id"), F.col(queryQ8Col).as("__qq"))
+    var joined = c.crossJoin(F.broadcast(q))
+    if (excludeSelf) joined = joined.filter(F.col("corpus_id") =!= F.col("query_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("cos_q8").desc, F.col("corpus_id").asc)
+    joined
+      .withColumn("cos_q8", int8Cosine(F.col("__q"), F.col("__qq")))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "corpus_id", "cos_q8", "rank")
+  }
+
+  /** LSH-bucketed top-k over a PERSISTED int8 index — the complete
+    * 100 TB serving shape: candidates from sign-bit buckets computed on the
+    * QUANTIZED vectors (quantization preserves each coordinate's sign and
+    * ~relative magnitude, so hyperplane sign bits flip only for dots within
+    * the rounding band — recall property-gated), integer-dot ranking.
+    * Neither the bucketing nor the scoring ever touches the float column,
+    * so a scan of the index table reads id + q8 only. */
+  def lshTopKInt8Index(
+      index: DataFrame,
+      indexId: String,
+      q8Col: String,
+      queries: DataFrame,
+      queryId: String,
+      queryQ8Col: String,
+      k: Int = 10,
+      planes: Int = 10,
+      tables: Int = 4,
+      dim: Int = 64,
+      excludeSelf: Boolean = true,
+      multiProbe: Boolean = true
+  ): DataFrame = {
+    // matrixSignature reads int arrays natively; tinyint only needs a cast
+    val c = index.select(F.col(indexId).as("corpus_id"),
+      F.col(q8Col).cast("array<int>").as("__q"))
+    val q = queries.select(F.col(queryId).as("query_id"),
+      F.col(queryQ8Col).cast("array<int>").as("__qq"))
+    def withBuckets(df: DataFrame, vec: String, probe: Boolean): DataFrame = {
+      val sigCols = (0 until tables).map { t =>
+        hyperplaneSignature(F.col(vec), planes, dim, seed = 7L + t).as(s"__sig$t")
+      }
+      val withSigs = df.select(df.columns.map(F.col) ++ sigCols: _*)
+      val buckets = (0 until tables).flatMap { t =>
+        val sig = F.col(s"__sig$t")
+        val sigs =
+          if (probe) sig +: (0 until planes).map(i => sig.bitwiseXOR(F.lit(1L << i)))
+          else Seq(sig)
+        sigs.map(s => s.bitwiseOR(F.lit(t.toLong << planes)))
+      }
+      withSigs.select(
+        df.columns.map(F.col) :+ F.explode(F.array(buckets: _*)).as("bucket"): _*)
+    }
+    val cb = withBuckets(c, "__q", probe = false)
+    val qb = withBuckets(q, "__qq", probe = multiProbe)
+    var cand = cb.join(F.broadcast(qb), Seq("bucket"))
+      .drop("bucket")
+      .dropDuplicates("query_id", "corpus_id")
+    if (excludeSelf) cand = cand.filter(F.col("corpus_id") =!= F.col("query_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("cos_q8").desc, F.col("corpus_id").asc)
+    cand
       .withColumn("cos_q8", int8Cosine(F.col("__q"), F.col("__qq")))
       .withColumn("rank", F.row_number().over(w))
       .filter(F.col("rank") <= k)

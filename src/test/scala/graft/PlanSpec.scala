@@ -226,4 +226,40 @@ class PlanSpec extends SparkTestBase {
         "matrix kernel no longer fused?)")
     }
   }
+
+  test("persisted int8 index: float vector column is PRUNED from the scan") {
+    // The 4×-smaller-index claim is an I/O claim: querying a persisted
+    // quantized index must never read the float embedding column. Persist
+    // an index WITH the float column alongside (worst case — a combined
+    // table), then assert both the brute and LSH index paths scan only
+    // id + q8: at 100 TB the float columns are 4× the bytes of the
+    // quantized ones, so an unpruned scan quintuples the read.
+    import org.apache.spark.sql.{functions => F}
+    val embs = table("embeddings")
+    val combined = graft.operators.Similarity
+      .buildInt8Index(embs, "vec_id", "embedding")
+      .join(embs.select("vec_id", "embedding"), "vec_id")
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_planspec_int8_index").getAbsolutePath
+    combined.write.mode("overwrite").parquet(path)
+    val idx = spark.read.parquet(path)
+    val queries = idx.filter(F.col("vec_id") < 10)
+    for ((label, df) <- Seq(
+        "int8IndexTopK" -> graft.operators.Similarity.int8IndexTopK(
+          idx, "vec_id", "q8", queries, "vec_id", "q8", k = 5),
+        "lshTopKInt8Index" -> graft.operators.Similarity.lshTopKInt8Index(
+          idx, "vec_id", "q8", queries, "vec_id", "q8", k = 5))) {
+      val plan = planOf(df)
+      val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toList
+      assert(readSchemas.nonEmpty, s"$label: no ReadSchema in plan:\n$plan")
+      readSchemas.foreach { rs =>
+        assert(!rs.contains("embedding"),
+          s"$label scan reads the float vector column: $rs")
+        assert(!rs.contains("scale"),
+          s"$label scan reads the unused scale column: $rs")
+        assert(rs.contains("q8"), s"$label scan misses q8: $rs")
+      }
+      assert(df.count() > 0, s"$label returned no rows")
+    }
+  }
 }

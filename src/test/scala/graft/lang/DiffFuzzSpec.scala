@@ -248,13 +248,16 @@ class DiffFuzzSpec extends SparkTestBase {
         // produce a query with the same rows (SQL migration-path identity).
         // Constructs the transpiler doesn't cover yet are skipped — but a
         // transpile that SUCCEEDS and then diverges is a failure.
-        val viaTranspiled =
-          try {
-            val back = SqlToWvlet.transpile(sql, spark)
-            transpiled += 1
-            Some(rowsOf(graft.Graft.run(spark, back,
-              t => spark.read.parquet(s"$dir/$t.parquet"))))
-          } catch { case _: Throwable => None }
+        // catch guards ONLY the transpile; a transpile that succeeds but
+        // whose output then crashes at runtime propagates as a fuzz failure
+        val backOpt =
+          try Some(SqlToWvlet.transpile(sql, spark))
+          catch { case _: Throwable => None }
+        val viaTranspiled = backOpt.map { back =>
+          transpiled += 1
+          rowsOf(graft.Graft.run(spark, back,
+            t => spark.read.parquet(s"$dir/$t.parquet")))
+        }
         if (viaDf == viaSql && viaDf == viaPrinted &&
             viaTranspiled.forall(_ == viaDf)) ok += 1
         else if (viaDf != viaSql)
