@@ -42,8 +42,36 @@ final case class StageDef(
     gateDeps: Seq[String] = Nil,
     /** Evaluated over the results once deps + gateDeps are terminal; false →
       * the stage is skipped (reference: `stage fallback if broken.failed`). */
-    gate: Option[Map[String, StageResult] => Boolean] = None
+    gate: Option[Map[String, StageResult] => Boolean] = None,
+    /** Bounds each ATTEMPT's duration (reference StageExecutionConfig
+      * timeoutMillis, FlowExecutor.scala:55,855-875): on expiry the
+      * attempt's Spark jobs are cancelled server-side, the worker thread is
+      * interrupted (freeing the slot for other stages), and the attempt is
+      * treated as a retryable failure — a hung stage no longer blocks its
+      * downstream cone until the flow-level latch. */
+    timeoutMs: Option[Long] = None,
+    /** Bounds attempt LIVENESS (reference heartbeatMillis + `heartbeat`
+      * trigger, FlowExecutor.scala:56,823-853): an attempt producing no
+      * heartbeat within the interval fails retryably like a timeout. Spark
+      * task completions in the attempt's job group count as heartbeats
+      * automatically (the reference's "an executing SQL statement counts as
+      * alive", Spark-native); custom long-running logic reports liveness
+      * through [[runWithHeartbeat]]. */
+    heartbeatMs: Option[Long] = None,
+    /** Heartbeat-aware body override (reference FlowStageRunner
+      * .runWithHeartbeat): receives the dependency results plus a beat
+      * callback; when absent, [[run]] executes and only automatic Spark
+      * task-progress heartbeats apply. */
+    runWithHeartbeat: Option[(Map[String, DataFrame], () => Unit) => DataFrame] = None
 )
+
+/** An attempt exceeded its `timeoutMs` — retryable. */
+final class StageTimeoutException(stage: String, ms: Long)
+  extends RuntimeException(s"stage $stage timed out after ${ms}ms")
+
+/** An attempt produced no heartbeat within `heartbeatMs` — retryable. */
+final class StageHeartbeatException(stage: String, ms: Long)
+  extends RuntimeException(s"stage $stage produced no heartbeat within ${ms}ms")
 
 final case class FlowDef(name: String, stages: Seq[StageDef]) {
   def stage(name: String): StageDef = stages.find(_.name == name).get
@@ -56,7 +84,13 @@ final case class StageSkipped(failedDependency: String) extends StageResult {
   def attempts: Int = 0
 }
 
-final case class FlowResult(flow: String, stages: Map[String, StageResult]) {
+final case class FlowResult(
+    flow: String,
+    stages: Map[String, StageResult],
+    /** Heartbeat timestamps (epoch ms) observed per stage across all its
+      * attempts — explicit beats from [[StageDef.runWithHeartbeat]] plus
+      * automatic Spark task-progress beats; persisted into FlowRunStore. */
+    heartbeats: Map[String, List[Long]] = Map.empty) {
   def apply(name: String): DataFrame = stages(name) match {
     case StageSucceeded(df, _) => df
     case StageFailed(e, n) =>
@@ -68,6 +102,16 @@ final case class FlowResult(flow: String, stages: Map[String, StageResult]) {
 }
 
 object FlowExecutor {
+
+  /** Single shared daemon scheduler for timeout/heartbeat checks — check
+    * tasks only flip an AtomicReference and interrupt, so one thread
+    * serves every concurrent flow. */
+  private lazy val monitor: java.util.concurrent.ScheduledExecutorService =
+    Executors.newSingleThreadScheduledExecutor(new java.util.concurrent.ThreadFactory {
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, "graft-flow-monitor"); t.setDaemon(true); t
+      }
+    })
 
   /** Validate and execute the flow. Independent ready stages run in parallel
     * (up to `parallelism` at once); a stage starts when every dependency has
@@ -81,6 +125,8 @@ object FlowExecutor {
     val done = new CountDownLatch(flow.stages.size)
     val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
     val lock = new Object
+
+    val heartbeatLog = new ConcurrentHashMap[String, List[Long]]()
 
     def failedDep(s: StageDef): Option[String] =
       s.dependsOn.find(d => results.get(d) match {
@@ -132,21 +178,112 @@ object FlowExecutor {
         s.dependsOn.map(d => d -> results.get(d).asInstanceOf[StageSucceeded].df).toMap
       var attempt = 0
       var lastError: Throwable = null
-      while (attempt < s.retry.maxAttempts) {
-        attempt += 1
-        if (attempt > 1)
-          Thread.sleep(s.retry.backoffBeforeAttempt(attempt))
-        try {
-          val df = s.run(inputs)
-          // materialize: break lineage so downstream stages (and their
-          // retries) do not re-execute this stage's work
-          val out = if (s.materialize) df.localCheckpoint(true) else df
-          return StageSucceeded(out, attempt)
-        } catch {
-          case NonFatal(e) => lastError = e
+      val beatLog = List.newBuilder[Long]
+      val needsMonitor = s.timeoutMs.isDefined || s.heartbeatMs.isDefined
+      val sparkOpt =
+        if (needsMonitor)
+          org.apache.spark.sql.SparkSession.getActiveSession
+            .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        else None
+      try {
+        while (attempt < s.retry.maxAttempts) {
+          attempt += 1
+          if (attempt > 1)
+            try Thread.sleep(s.retry.backoffBeforeAttempt(attempt))
+            catch { case _: InterruptedException => () } // late monitor fire
+          val worker = Thread.currentThread()
+          val killedFor =
+            new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+          val attemptDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+          val lastBeat =
+            new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
+          val jobTag = s"graft-flow-${flow.name}-${s.name}-$attempt-${System.nanoTime()}"
+          val beat: () => Unit = () => {
+            val now = System.currentTimeMillis()
+            lastBeat.set(now)
+            beatLog.synchronized { beatLog += now }
+          }
+          // a late check firing after the attempt completed must not leak
+          // an interrupt into the next attempt / the pool's next stage
+          def kill(e: Throwable): Unit =
+            if (!attemptDone.get() && killedFor.compareAndSet(null, e)) {
+              sparkOpt.foreach(sp =>
+                try sp.sparkContext.cancelJobGroup(jobTag)
+                catch { case NonFatal(_) => () })
+              worker.interrupt()
+            }
+          val checks = mutable.Buffer.empty[java.util.concurrent.ScheduledFuture[_]]
+          s.timeoutMs.foreach { t =>
+            checks += monitor.schedule(new Runnable {
+              def run(): Unit = kill(new StageTimeoutException(s.name, t))
+            }, t, TimeUnit.MILLISECONDS)
+          }
+          // attempt start is the first liveness observation, so the run
+          // record carries beats even for attempts shorter than the interval
+          if (s.heartbeatMs.isDefined) beat()
+          s.heartbeatMs.foreach { hb =>
+            val period = math.max(1L, hb / 2)
+            val seenCompleted = new java.util.concurrent.atomic.AtomicLong(0L)
+            checks += monitor.scheduleAtFixedRate(new Runnable {
+              def run(): Unit = {
+                // Spark task progress in this attempt's job group counts as
+                // liveness (reference FlowExecutor.scala:204-206: an
+                // executing statement is alive) — polled synchronously via
+                // the public status tracker, so there is no listener-bus
+                // delivery race against attempt completion
+                sparkOpt.foreach { sp =>
+                  try {
+                    val st = sp.sparkContext.statusTracker
+                    var completed = 0L
+                    var active = 0L
+                    st.getJobIdsForGroup(jobTag).foreach { jid =>
+                      st.getJobInfo(jid).foreach { ji =>
+                        ji.stageIds().foreach { sid =>
+                          st.getStageInfo(sid).foreach { si =>
+                            completed += si.numCompletedTasks()
+                            active += si.numActiveTasks()
+                          }
+                        }
+                      }
+                    }
+                    if (active > 0 || completed != seenCompleted.getAndSet(completed))
+                      beat()
+                  } catch { case NonFatal(_) => () }
+                }
+                if (System.currentTimeMillis() - lastBeat.get() > hb)
+                  kill(new StageHeartbeatException(s.name, hb))
+              }
+            }, period, period, TimeUnit.MILLISECONDS)
+          }
+          try {
+            // the job group (thread-local) lets the monitor cancel THIS
+            // attempt's Spark jobs server-side, and lets the heartbeat
+            // check attribute task progress to this attempt
+            sparkOpt.foreach(_.sparkContext.setJobGroup(jobTag,
+              s"flow ${flow.name} stage ${s.name} attempt $attempt",
+              interruptOnCancel = true))
+            val df = s.runWithHeartbeat
+              .map(f => f(inputs, beat))
+              .getOrElse(s.run(inputs))
+            // materialize: break lineage so downstream stages (and their
+            // retries) do not re-execute this stage's work
+            val out = if (s.materialize) df.localCheckpoint(true) else df
+            return StageSucceeded(out, attempt)
+          } catch {
+            case e: Throwable if NonFatal(e) || e.isInstanceOf[InterruptedException] =>
+              lastError = Option(killedFor.get()).getOrElse(e)
+          } finally {
+            attemptDone.set(true)
+            checks.foreach(_.cancel(false))
+            sparkOpt.foreach(_.sparkContext.clearJobGroup())
+            Thread.interrupted() // clear any pending monitor interrupt
+          }
         }
+        StageFailed(lastError, attempt)
+      } finally {
+        val beats = beatLog.synchronized(beatLog.result())
+        if (beats.nonEmpty) heartbeatLog.put(s.name, beats)
       }
-      StageFailed(lastError, attempt)
     }
 
     try {
@@ -155,7 +292,7 @@ object FlowExecutor {
     } finally {
       pool.shutdown()
     }
-    FlowResult(flow.name, results.asScala.toMap)
+    FlowResult(flow.name, results.asScala.toMap, heartbeatLog.asScala.toMap)
   }
 
   private def validate(flow: FlowDef): Unit = {

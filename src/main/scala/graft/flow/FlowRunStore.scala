@@ -20,7 +20,11 @@ final case class StageRunRecord(
     name: String,
     status: String,
     attempts: Int,
-    error: Option[String])
+    error: Option[String],
+    /** Heartbeat timestamps (epoch ms) observed across the stage's attempts
+      * — explicit runWithHeartbeat beats plus automatic Spark task-progress
+      * beats (reference FlowExecutor heartbeat contract). */
+    heartbeatsMs: List[Long] = Nil)
 
 final case class FlowRunRecord(
     runId: String,
@@ -52,6 +56,8 @@ final class FlowRunStore(val dir: Path) {
       sm.put("status", s.status)
       sm.put("attempts", s.attempts)
       s.error.foreach(e => sm.put("error", e))
+      if (s.heartbeatsMs.nonEmpty)
+        sm.put("heartbeats_ms", s.heartbeatsMs.map(java.lang.Long.valueOf).asJava)
       sm
     }.asJava)
     // write-then-move: a reader never sees a half-written record
@@ -109,7 +115,10 @@ final class FlowRunStore(val dir: Path) {
           String.valueOf(sm.get("name")),
           String.valueOf(sm.get("status")),
           longOf(sm.getOrDefault("attempts", 0)).toInt,
-          Option(sm.get("error")).map(String.valueOf))
+          Option(sm.get("error")).map(String.valueOf),
+          Option(sm.get("heartbeats_ms"))
+            .map(_.asInstanceOf[java.util.List[Any]].asScala.toList.map(longOf))
+            .getOrElse(Nil))
       }).getOrElse(Nil)
     Some(FlowRunRecord(
       String.valueOf(m.get("run_id")),

@@ -329,14 +329,17 @@ final case class GateAtom(stage: String, state: String) extends GateExpr
 final case class GateAnd(l: GateExpr, r: GateExpr) extends GateExpr
 final case class GateOr(l: GateExpr, r: GateExpr) extends GateExpr
 
-/** One flow stage: `stage n [with {retries: 2, retry_delay: 10ms}]
-  * [if <gate>] = <relation | merge a, b>`. */
+/** One flow stage: `stage n [with {retries: 2, retry_delay: 10ms,
+  * timeout: 30s, heartbeat: 5s}] [if <gate>] = <relation | merge a, b>`
+  * (reference StageExecutionConfig, FlowExecutor.scala:52-63). */
 final case class StageSpec(
     name: String,
     body: Either[List[String], Relation], // Left = merge fan-in, Right = relation
     retries: Int,
     retryDelayMs: Long,
-    gate: Option[GateExpr]
+    gate: Option[GateExpr],
+    timeoutMs: Option[Long] = None,
+    heartbeatMs: Option[Long] = None
 )
 /** `flow Name(params) [with {schedule: cron('…'), …}] [depends on Other]
   * [if Other.failed] = { stage* }` (reference: flow.scala FlowDef). Schedule

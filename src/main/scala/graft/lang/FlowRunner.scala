@@ -52,7 +52,8 @@ object FlowRunner {
         if (result.succeeded) "success" else "failed",
         startedAt, Some(System.currentTimeMillis()),
         rows.toList.map(r => StageRunRecord(
-          r.getString(0), r.getString(1), r.getInt(2), Option(r.getString(3))))))
+          r.getString(0), r.getString(1), r.getInt(2), Option(r.getString(3)),
+          result.heartbeats.getOrElse(r.getString(0), Nil)))))
       ctx.spark.conf.getOption("graft.flow.keepRuns")
         .flatMap(_.toIntOption).foreach(store.retain)
     } catch {
@@ -126,7 +127,9 @@ object FlowRunner {
           maxAttempts = sp.retries + 1,
           initialBackoffMs = math.max(1L, sp.retryDelayMs)),
         gateDeps = sp.gate.map(gateAtoms).getOrElse(Nil).distinct,
-        gate = sp.gate.map(g => (results: Map[String, StageResult]) => evalGate(g, results))
+        gate = sp.gate.map(g => (results: Map[String, StageResult]) => evalGate(g, results)),
+        timeoutMs = sp.timeoutMs,
+        heartbeatMs = sp.heartbeatMs
       )
     }
 

@@ -541,6 +541,8 @@ final class Parser(tokens: Vector[Token]) {
       val sname = identName()
       var retries = 0
       var retryDelayMs = 50L
+      var timeoutMs: Option[Long] = None
+      var heartbeatMs: Option[Long] = None
       if (accept("with")) {
         expectOp("{")
         while (!peek.is("}")) {
@@ -549,7 +551,9 @@ final class Parser(tokens: Vector[Token]) {
           key.toLowerCase match {
             case "retries" => retries = advance().text.toInt
             case "retry_delay" => retryDelayMs = parseDurationMs()
-            case _ => // unknown config (backoff, poll_interval, timeout…):
+            case "timeout" => timeoutMs = Some(parseDurationMs())
+            case "heartbeat" => heartbeatMs = Some(parseDurationMs())
+            case _ => // unknown config (backoff, poll_interval…):
               // value (number [unit] | string | expr) parsed, ignored
               if (peek.kind == TokenKind.LongLit || peek.kind == TokenKind.DoubleLit) {
                 advance()
@@ -571,7 +575,8 @@ final class Parser(tokens: Vector[Token]) {
           while (accept(",")) names += identName()
           Left(names.result())
         } else Right(parseRelation())
-      stages += StageSpec(sname, body, retries, retryDelayMs, gate)
+      stages += StageSpec(sname, body, retries, retryDelayMs, gate,
+        timeoutMs, heartbeatMs)
     }
     expectOp("}")
     FlowDefStmt(name, params.result(), stages.result(),

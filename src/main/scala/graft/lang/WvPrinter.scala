@@ -206,9 +206,13 @@ object WvPrinter {
     val dep = f.dependsOnFlow.map(d => s" depends on ${ident(d)}").getOrElse("")
     val gate = f.flowGate.map { case (fl, st) => s" if ${ident(fl)}.$st" }.getOrElse("")
     val stages = f.stages.map { st =>
+      val cfgItems =
+        (if (st.retries == 0 && st.retryDelayMs == 50L) Nil
+         else List(s"retries: ${st.retries}", s"retry_delay: ${st.retryDelayMs}ms")) ++
+          st.timeoutMs.map(t => s"timeout: ${t}ms").toList ++
+          st.heartbeatMs.map(h => s"heartbeat: ${h}ms").toList
       val withTxt =
-        if (st.retries == 0 && st.retryDelayMs == 50L) ""
-        else s" with {retries: ${st.retries}, retry_delay: ${st.retryDelayMs}ms}"
+        if (cfgItems.isEmpty) "" else cfgItems.mkString(" with {", ", ", "}")
       val g = st.gate.map(ge => s" if ${gateEx(ge)}").getOrElse("")
       val body = st.body match {
         case Left(merge) => s"merge ${merge.map(ident).mkString(", ")}"

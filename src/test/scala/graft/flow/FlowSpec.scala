@@ -166,6 +166,108 @@ class FlowSpec extends SparkTestBase {
     }
   }
 
+  test("timeout kills a hung attempt, consumes a retry, next attempt succeeds") {
+    import spark.implicits._
+    val attempts = new AtomicInteger(0)
+    val t0 = System.currentTimeMillis()
+    val flow = FlowDef("timed", Seq(
+      StageDef("hang_once",
+        run = _ => {
+          if (attempts.incrementAndGet() == 1) Thread.sleep(60_000) // hung attempt
+          Seq(1, 2, 3).toDF("v")
+        },
+        retry = RetryPolicy(maxAttempts = 2, initialBackoffMs = 5),
+        timeoutMs = Some(400)),
+      StageDef("downstream", inputs => inputs("hang_once").agg(F.sum("v").as("s")),
+        dependsOn = Seq("hang_once"))
+    ))
+    val result = FlowExecutor.run(flow)
+    assert(result.succeeded, result.stages.toString)
+    // the timed-out attempt CONSUMED a retry — success came on attempt 2
+    assert(result.stages("hang_once").attempts == 2)
+    assert(result("downstream").collect().head.getLong(0) == 6L)
+    // the hung attempt was killed at ~400ms, not at the 60s sleep
+    assert(System.currentTimeMillis() - t0 < 30_000, "timeout did not fire")
+  }
+
+  test("timeout exhausting retries fails with StageTimeoutException, skips the cone") {
+    import spark.implicits._
+    val t0 = System.currentTimeMillis()
+    val flow = FlowDef("timed_fail", Seq(
+      StageDef("hangs",
+        run = _ => { Thread.sleep(60_000); Seq(1).toDF("v") },
+        retry = RetryPolicy(maxAttempts = 2, initialBackoffMs = 5),
+        timeoutMs = Some(300)),
+      StageDef("child", inputs => inputs("hangs"), dependsOn = Seq("hangs"))
+    ))
+    val result = FlowExecutor.run(flow)
+    assert(!result.succeeded)
+    val failed = result.stages("hangs").asInstanceOf[StageFailed]
+    assert(failed.attempts == 2)
+    assert(failed.error.isInstanceOf[StageTimeoutException], failed.error.toString)
+    assert(result.stages("child") == StageSkipped("hangs"))
+    assert(System.currentTimeMillis() - t0 < 30_000)
+  }
+
+  test("heartbeat: a beating slow stage survives, a silent one is killed") {
+    import spark.implicits._
+    val flow = FlowDef("hb", Seq(
+      StageDef("hb_ok",
+        run = _ => fail("runWithHeartbeat must take precedence"),
+        runWithHeartbeat = Some((_, beat) => {
+          // 8 × 100ms of work, each slice reporting liveness — total run
+          // (800ms) far exceeds the 400ms interval, but beats keep it alive
+          (1 to 8).foreach { _ => Thread.sleep(100); beat() }
+          Seq(1).toDF("v")
+        }),
+        heartbeatMs = Some(400)),
+      StageDef("hb_stall",
+        run = _ => { Thread.sleep(60_000); Seq(1).toDF("v") },
+        heartbeatMs = Some(300))
+    ))
+    val result = FlowExecutor.run(flow)
+    assert(result.stages("hb_ok").isInstanceOf[StageSucceeded],
+      result.stages("hb_ok").toString)
+    val stalled = result.stages("hb_stall").asInstanceOf[StageFailed]
+    assert(stalled.error.isInstanceOf[StageHeartbeatException], stalled.error.toString)
+    // explicit beats are recorded for the run store
+    assert(result.heartbeats.getOrElse("hb_ok", Nil).size >= 8,
+      result.heartbeats.toString)
+  }
+
+  test("spark task completions count as heartbeats (executing work is alive)") {
+    // No explicit beat() calls: the stage runs ~2.5s of Spark actions under
+    // a 1.5s heartbeat interval — task-end events in the stage's job group
+    // must keep the attempt alive (reference: an executing statement counts
+    // as alive; FlowExecutor.scala:204-206).
+    import spark.implicits._
+    val flow = FlowDef("hb_auto", Seq(
+      StageDef("working",
+        run = _ => {
+          (1 to 8).foreach { _ =>
+            spark.range(0, 2_000_000, 1, 8).agg(F.sum("id")).collect()
+          }
+          Seq(1).toDF("v")
+        },
+        heartbeatMs = Some(1500))
+    ))
+    val result = FlowExecutor.run(flow)
+    assert(result.stages("working").isInstanceOf[StageSucceeded],
+      result.stages("working").toString)
+    assert(result.heartbeats.getOrElse("working", Nil).nonEmpty,
+      "task-end events should have been recorded as heartbeats")
+  }
+
+  test("run store roundtrips heartbeat timestamps") {
+    val dir = java.nio.file.Files.createTempDirectory("flow_hb_store")
+    val store = new FlowRunStore(dir)
+    val beats = List(1000L, 2000L, 3000L)
+    store.save(FlowRunRecord("r1", "hbflow", "success", 500L, Some(4000L),
+      List(StageRunRecord("s", "success", 1, None, beats))))
+    val back = store.get("r1").get
+    assert(back.stages.head.heartbeatsMs == beats, back.toString)
+  }
+
   test("flow validation: cycles, unknown deps, duplicates") {
     import spark.implicits._
     def s(n: String, deps: String*) = StageDef(n, _ => Seq(1).toDF("v"), dependsOn = deps)

@@ -215,4 +215,41 @@ class FlowLangSpec extends SparkTestBase {
       test _.rows should be [[4]]
     """)
   }
+
+  test("stage timeout/heartbeat configs parse, execute, and persist beats") {
+    val dir = java.nio.file.Files.createTempDirectory("flow_hb_runs").toString
+    spark.conf.set("graft.flow.runStoreDir", dir)
+    try {
+      // healthy stages under generous timeout/heartbeat budgets succeed;
+      // the activate stage materializes through real Spark jobs inside its
+      // attempt, so task-end events land as automatic heartbeats in the
+      // persisted record
+      wv("""
+        flow Guarded = {
+          stage src with {timeout: 60s} = from lineitem | limit 100
+          stage sink with {timeout: 60s, heartbeat: 30s} = from src | activate('email')
+        }
+        run flow Guarded
+      """).collect()
+      val rec = new graft.flow.FlowRunStore(java.nio.file.Paths.get(dir))
+        .latestRunOf("Guarded").get
+      assert(rec.state == "success", rec.toString)
+      val sink = rec.stages.find(_.name == "sink").get
+      assert(sink.heartbeatsMs.nonEmpty,
+        s"save stage should record task-progress heartbeats: $rec")
+      // printer round-trip keeps the configs
+      val printed = WvPrinter.print(Parser.parseStatements("""
+        flow Guarded = {
+          stage a with {retries: 2, retry_delay: 10ms, timeout: 5000ms, heartbeat: 1000ms} = from t
+        }
+      """))
+      assert(printed.contains("timeout: 5000ms") && printed.contains("heartbeat: 1000ms"),
+        printed)
+      val reparsed = Parser.parseStatements(printed)
+        .collectFirst { case f: FlowDefStmt => f.stages.head }.get
+      assert(reparsed.timeoutMs.contains(5000L) && reparsed.heartbeatMs.contains(1000L))
+    } finally {
+      spark.conf.unset("graft.flow.runStoreDir")
+    }
+  }
 }
