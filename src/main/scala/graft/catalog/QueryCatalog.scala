@@ -3564,7 +3564,7 @@ object QueryCatalog {
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val all: Seq[(String, Q, Option[String])] =
-    relationalQueries ++ pipelineQueries ++ TpchCatalog.all
+    relationalQueries ++ pipelineQueries ++ TpchCatalog.all ++ TpcdsQueries.all
 
   def queries: Map[String, Q] =
     all.map { case (n, q, _) => n -> q }.toMap
