@@ -286,6 +286,26 @@ object Dedup {
     * one hash-aggregate with 64 conditional-sum vote columns (whole-stage
     * codegen, map-side partial agg, one shuffle on id), then fold the vote
     * signs into a single 64-bit long in a projection. */
+  /** Cores-aware distinct-signature threshold below which [[simhashPairs]]
+    * takes the dense broadcast-signature path. Empirically tuned by
+    * `graft.BenchSimhashGate` (BENCH_SIMHASH_GATE.json, 32 cores): the
+    * codegen'd cross-join bit_count kernel measures ~3.7e8 comparisons
+    * /s/core, and at D = 98k (1.5× the old fixed 64Ki gate) dense was
+    * still 3× FASTER than the banded path while also being exact (the
+    * banded bucket cap dropped ~5% of true pairs there). Budgeting ~2 s of
+    * dense compute: D²/2 ≤ 2 s · 3.7e8 · cores → D ≤ √(1.5e9 · cores) —
+    * ~2.2e5 on one 32-core node, growing with the cluster (the comparison
+    * matrix is embarrassingly parallel). Hard cap 2²¹ signatures (16 MB
+    * broadcast) so the signature list stays comfortably broadcastable no
+    * matter how many cores argue for more. */
+  def denseSigLimitFor(cores: Int): Long =
+    math.min(math.sqrt(2.0 * 2.0 * 3.7e8 * cores).toLong, 1L << 21)
+
+  /** Distinct 64-bit signature count of a corpus — the quantity the
+    * [[simhashPairs]] path gate tests; exposed for the gate probe. */
+  def simhashDistinctSignatures(df: DataFrame, idCol: String, textCol: String): Long =
+    simhashTable(df, idCol, textCol).select("simhash").distinct().count()
+
   def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = spread(df).select(
       F.col(idCol),
@@ -320,7 +340,7 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000,
-      denseSigLimit: Long = 65536L
+      denseSigLimit: Long = -1L // -1 → cores-aware default (denseSigLimitFor)
   ): DataFrame = {
     require(maxHamming >= 0, "maxHamming must be >= 0")
     require(maxHamming <= 14,
@@ -337,21 +357,25 @@ object Dedup {
     // 512 KB at the default limit), compare all signature pairs with a
     // codegen'd bit_count filter (D²/2 comparisons, embarrassingly
     // parallel), and only then expand members — each qualifying doc pair is
-    // produced exactly ONCE, uncapped, exact. Blocking remains the scale
-    // path: distinct signatures grow ~linearly with a diverse corpus and
-    // D² crosses over around the default limit (~4G comparisons ≈ a few
-    // seconds across a cluster's cores, vs a posting join that only grows
-    // linearly).
+    // produced exactly ONCE, uncapped, exact. Blocking remains the
+    // large-D path: distinct signatures grow ~linearly with a diverse
+    // corpus while the dense path's D²/2 comparisons grow quadratically.
+    // The gate is cores-aware and MEASURED, not analytical — see
+    // [[denseSigLimitFor]] / BENCH_SIMHASH_GATE.json (dense was still 3×
+    // faster, and exact, at 1.5× the old fixed 64Ki limit).
     // (id, simhash) is read multiple times by either path (and the path
     // choice itself needs a count) — materialize ONCE; n × 16-byte rows.
     // Released before returning (the result checkpoint cuts its lineage).
     val m = simhashTable(df, idCol, textCol).localCheckpoint(true)
     val nDistinct = m.select("simhash").distinct().count()
+    val gate =
+      if (denseSigLimit >= 0) denseSigLimit
+      else denseSigLimitFor(df.sparkSession.sparkContext.defaultParallelism)
     System.err.println(
       s"[dedup] simhashPairs: $nDistinct distinct signatures → " +
-        (if (nDistinct <= denseSigLimit) "dense broadcast-signature path"
-         else s"banded chunk-pair path (limit $denseSigLimit)"))
-    if (nDistinct <= denseSigLimit) {
+        (if (nDistinct <= gate) "dense broadcast-signature path"
+         else s"banded chunk-pair path (limit $gate)"))
+    if (nDistinct <= gate) {
       val xor2 = F.col("sim_a").bitwiseXOR(F.col("sim_b"))
       // explicit numbered repartition on the streamed side: the distinct
       // output is a few hundred KB, which AQE would coalesce into ONE
