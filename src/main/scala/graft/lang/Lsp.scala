@@ -264,8 +264,23 @@ object Lsp {
 
     dotQualifier match {
       case Some(qual) =>
-        filtered(memberCandidates(content, qual, spark, dir)
-          .map(f => CompletionItem(f._1, "column", f._2)))
+        val members = memberCandidates(content, qual, spark, dir)
+        if (members.nonEmpty)
+          filtered(members.map(f => CompletionItem(f._1, "column", f._2)))
+        else {
+          // not a relation alias / type name: when the qualifier is a COLUMN
+          // of the in-scope relation, offer the stdlib dot-METHODS
+          // (`l_quantity.sum`, `text.split(' ')` — the language's signature
+          // call form; reference CompletionProvider's function members).
+          // Unknown identifiers still complete to nothing.
+          val (cursorLine, _) = lineCol(content, math.max(0, offset - 1))
+          val isColumn = prefixSchemaFields(content, cursorLine, spark, dir)
+            .getOrElse(Nil).exists(_._1.equalsIgnoreCase(qual))
+          if (isColumn)
+            filtered((Stdlib.scalarMethods.keys ++ Stdlib.aggMethods.keys).toSeq
+              .map(CompletionItem(_, "function")))
+          else Nil
+        }
       case None =>
         val kws = keywords.toSeq.map(CompletionItem(_, "keyword"))
         val fns = (Stdlib.scalarMethods.keys ++ Stdlib.aggMethods.keys ++
@@ -299,10 +314,10 @@ object Lsp {
   /** Native table functions, completable in relation position alongside
     * table names (the Lowering's ModelRef natives). */
   private val tableFunctions: Seq[CompletionItem] = Seq(
-    "range", "jdbc", "similarity_topk", "each_top_k", "decontaminate",
-    "contaminated_docs", "weighted_mix", "pack_sequences", "dedup_spans",
-    "dedup_semantic", "token_stats", "parquet_metadata", "wv_tables",
-    "wv_schemas", "duckdb_functions", "unnest"
+    "range", "jdbc", "similarity_topk", "ann_int8_index", "each_top_k",
+    "decontaminate", "contaminated_docs", "weighted_mix", "pack_sequences",
+    "dedup_spans", "dedup_semantic", "token_stats", "parquet_metadata",
+    "wv_tables", "wv_schemas", "duckdb_functions", "unnest"
   ).map(CompletionItem(_, "table_function"))
 
   /** Table names completable in relation position: `dir`'s parquet tables

@@ -214,6 +214,17 @@ class LspSpec extends SparkTestBase {
     assert(complete(src, src.length, spark, dir).isEmpty)
   }
 
+  test("completion: stdlib dot-methods after a column of the in-scope relation") {
+    val src = "from lineitem\nselect l_quantity."
+    val items = complete(src, src.length, spark, dir)
+    assert(items.exists(_.label == "sum"), items.map(_.label).take(10).toString)
+    assert(items.forall(_.kind == "function"))
+    // with a partial method name the list narrows
+    val src2 = "from lineitem\nselect l_quantity.su"
+    val narrowed = complete(src2, src2.length, spark, dir)
+    assert(narrowed.nonEmpty && narrowed.forall(_.label.startsWith("su")))
+  }
+
   test("completion: broken documents keep workspace-independent suggestions") {
     val src = "model m = {\nfrom ???broken\nselect sel"
     val items = complete(src, src.length, spark, dir)
