@@ -1709,7 +1709,12 @@ object Lowering {
       val newCols = items.zip(rewritten).zipWithIndex.map { case ((it, re), i) =>
         expr(re, ectx).as(itemName(it, i))
       }
-      val existing = df0.columns.map(F.col).toList
+      // existing columns by ATTRIBUTE, not by name: after a multi-join the
+      // frame can carry duplicate names (customers.id, products.id —
+      // spec/benchmark/q2-join-derived.wv) and F.col("id") would be
+      // ambiguous where the positional attribute list is not
+      val existing = df0.queryExecution.analyzed.output
+        .map(org.apache.spark.sql.graftbridge.ColumnBridge.column(_)).toList
       Plain(
         if (prepend) df.select(newCols ++ existing: _*)
         else df.select(existing ++ newCols: _*)
