@@ -49,6 +49,10 @@ object BenchScale {
     // 4×-smaller read path also scales linearly
     "q_similarity_topk_int8_index",
     "q_similarity_topk_lsh_int8_index",
+    // bucket-partitioned posting index: the probed read is a static
+    // partition filter, so scanned bytes stay ~constant as the index grows
+    // — the strongest sub-linear shape in the family
+    "q_similarity_topk_lsh_int8_part",
     // round-9 dedup additions: span fingerprints (one uniform shuffle)
     // and SemDeDup (bucket join, nlist-bounded quadratic)
     "q_dedup_spans",

@@ -393,6 +393,21 @@ object QueryCatalog {
       path
     })
 
+  /** Bucket-PARTITIONED LSH posting index over the quantized vectors
+    * (Similarity.lshInt8IndexPostings → partitionBy("bucket")): the probed
+    * read path for q_similarity_topk_lsh_int8_part. Built once per
+    * (JVM, dir) like [[persistedInt8Index]]. */
+  private val lshIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def persistedLshInt8Index(spark: SparkSession, dir: String): String =
+    lshIndexPaths.getOrElseUpdate(dir, {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_lsh_int8_index_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val idx = spark.read.parquet(persistedInt8Index(spark, dir))
+      Similarity.lshInt8IndexPostings(idx, "vec_id", "q8", planes = 8, tables = 6)
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      path
+    })
+
   /** DETERMINISTIC oracle for q_similarity_topk_ivf (seeded-quantizer
     * IVF-flat, Similarity.ivfSeededTopK): centroids = the nlist corpus
     * points with smallest (md5(id), id); cell assignment and probe selection
@@ -3176,6 +3191,25 @@ object QueryCatalog {
         val queries = idx.filter(F.col("vec_id") < 10)
         Similarity.lshTopKInt8Index(idx, "vec_id", "q8", queries, "vec_id", "q8",
           k = 5, planes = 8, tables = 6)
+          .orderBy("query_id", "rank")
+      },
+      Some(lshInt8IndexOracleSql)
+    ),
+    (
+      // LSH top-k over the bucket-PARTITIONED persisted posting index
+      // (Similarity.lshTopKPartitionedIndex): probe buckets push down as a
+      // static partition filter, so the scan READS only
+      // ~tables·(planes+1)/2^planes of the index — an index lookup, not a
+      // table scan (PlanSpec gates PartitionFilters). Candidates and
+      // integer scoring are identical to q_similarity_topk_lsh_int8_index,
+      // so the signature-from-q8 oracle pins this path too.
+      "q_similarity_topk_lsh_int8_part",
+      (spark, dir) => {
+        val path = persistedLshInt8Index(spark, dir)
+        val queries = spark.read.parquet(persistedInt8Index(spark, dir))
+          .filter(F.col("vec_id") < 10)
+        Similarity.lshTopKPartitionedIndex(path, "vec_id", "q8",
+          queries, "vec_id", "q8", k = 5, planes = 8, tables = 6)
           .orderBy("query_id", "rank")
       },
       Some(lshInt8IndexOracleSql)

@@ -1188,9 +1188,24 @@ object Lowering {
               df, idCol, vecCol, df, idCol, vecCol, k.toInt)
             case "lsh_int8_index" => graft.operators.Similarity.lshTopKInt8Index(
               df, idCol, vecCol, df, idCol, vecCol, k.toInt)
+            case "lsh_int8_part" =>
+              // corpus must be a PATH to a bucket-partitioned posting index
+              // (written from Similarity.lshInt8IndexPostings with
+              // partitionBy("bucket")); self-kNN queries are the index's
+              // distinct (id, q8) rows, the scan is partition-pruned to the
+              // probe buckets
+              if (!corpus.matches("(?i).*\\.(parquet)$") && !corpus.contains("/"))
+                throw new LoweringException(
+                  "similarity_topk 'lsh_int8_part' expects a path to a " +
+                    "bucket-partitioned posting index (see ann_int8_index + " +
+                    "Similarity.lshInt8IndexPostings)")
+              val queries = ctx.spark.read.parquet(corpus)
+                .dropDuplicates(idCol).select(F.col(idCol), F.col(vecCol))
+              graft.operators.Similarity.lshTopKPartitionedIndex(
+                corpus, idCol, vecCol, queries, idCol, vecCol, k.toInt)
             case other => throw new LoweringException(
               s"similarity_topk: unknown method '$other' (expected brute, lsh, ivf, " +
-                "int8, lsh_int8, int8_index, lsh_int8_index)")
+                "int8, lsh_int8, int8_index, lsh_int8_index, lsh_int8_part)")
           }
           Plain(sim)
         case _ =>
@@ -1214,6 +1229,29 @@ object Lowering {
           throw new LoweringException(
             "ann_int8_index expects (corpus, id_col, vec_col) literals, " +
               "e.g. ann_int8_index('embeddings', 'vec_id', 'embedding')")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "ann_lsh_postings" =>
+      // ann_lsh_postings('index', 'id_col', 'q8_col'[, planes, tables]) —
+      // sign-bit bucket postings of a quantized index
+      // (Similarity.lshInt8IndexPostings). CTAS the result with
+      // `partition by bucket`, then query it with
+      // similarity_topk('<path>', 'id', 'q8', k, 'lsh_int8_part') for a
+      // partition-pruned index lookup (defaults planes=10, tables=4 match
+      // the query side's).
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(q8Col: String)) =>
+          Plain(graft.operators.Similarity.lshInt8IndexPostings(
+            lower(TableRef(corpus), ctx), idCol, q8Col))
+        case List(Some(corpus: String), Some(idCol: String), Some(q8Col: String),
+            Some(planes: Long), Some(tables: Long)) =>
+          Plain(graft.operators.Similarity.lshInt8IndexPostings(
+            lower(TableRef(corpus), ctx), idCol, q8Col, planes.toInt, tables.toInt))
+        case _ =>
+          throw new LoweringException(
+            "ann_lsh_postings expects (index, id_col, q8_col[, planes, tables]) " +
+              "literals, e.g. ann_lsh_postings('idx.parquet', 'vec_id', 'q8')")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

@@ -527,4 +527,91 @@ object Similarity {
       .filter(F.col("rank") <= k)
       .select("query_id", "corpus_id", "cos_q8", "rank")
   }
+
+  /** Sign-bit bucket postings of a quantized index, as a DataFrame ready to
+    * persist `partitionBy("bucket")`: one (bucket, id, q8) row per (table,
+    * signature) — the corpus side of [[lshTopKInt8Index]]'s candidate join,
+    * precomputed. Signatures come from the QUANTIZED bytes, so building
+    * this from a [[buildInt8Index]] table never touches a float column. */
+  def lshInt8IndexPostings(
+      index: DataFrame,
+      indexId: String,
+      q8Col: String,
+      planes: Int = 10,
+      tables: Int = 4,
+      dim: Int = 64
+  ): DataFrame = {
+    val c = index.select(F.col(indexId),
+      F.col(q8Col).cast("array<int>").as("__q"))
+    val sigCols = (0 until tables).map { t =>
+      hyperplaneSignature(F.col("__q"), planes, dim, seed = 7L + t)
+        .bitwiseOR(F.lit(t.toLong << planes))
+    }
+    c.select(F.col(indexId), F.col("__q").cast("array<tinyint>").as(q8Col),
+        F.explode(F.array(sigCols: _*)).as("bucket"))
+      .select(F.col("bucket"), F.col(indexId), F.col(q8Col))
+  }
+
+  /** Top-k over a PERSISTED, bucket-PARTITIONED LSH×int8 index (written
+    * from [[lshInt8IndexPostings]] with `partitionBy("bucket")`): the
+    * query side's probe buckets are computed driver-side (bounded —
+    * queries are small by the module's contract, probes =
+    * |queries|·tables·(planes+1) longs) and pushed as a static partition
+    * filter, so the scan READS only the probed partitions —
+    * ~tables·(planes+1)/2^planes of the index — instead of scanning all
+    * postings and filtering. At 100 TB this is the difference between an
+    * index lookup and a table scan; PlanSpec gates PartitionFilters on the
+    * bucket column. Results are identical to [[lshTopKInt8Index]] with the
+    * same parameters (same candidate rule, same integer scoring), so the
+    * two paths share one oracle. */
+  def lshTopKPartitionedIndex(
+      indexPath: String,
+      indexId: String,
+      indexQ8Col: String,
+      queries: DataFrame,
+      queryId: String,
+      queryQ8Col: String,
+      k: Int = 10,
+      planes: Int = 10,
+      tables: Int = 4,
+      dim: Int = 64,
+      excludeSelf: Boolean = true,
+      multiProbe: Boolean = true
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    val q = queries.select(F.col(queryId).as("query_id"),
+      F.col(queryQ8Col).cast("array<int>").as("__qq"))
+    val sigCols = (0 until tables).map { t =>
+      hyperplaneSignature(F.col("__qq"), planes, dim, seed = 7L + t).as(s"__sig$t")
+    }
+    val withSigs = q.select(q.columns.map(F.col) ++ sigCols: _*)
+    val probeCols = (0 until tables).flatMap { t =>
+      val sig = F.col(s"__sig$t")
+      val sigs =
+        if (multiProbe) sig +: (0 until planes).map(i => sig.bitwiseXOR(F.lit(1L << i)))
+        else Seq(sig)
+      sigs.map(s => s.bitwiseOR(F.lit(t.toLong << planes)))
+    }
+    val qb = withSigs.select(
+      q.columns.map(F.col) :+ F.explode(F.array(probeCols: _*)).as("bucket"): _*)
+    // the probe-bucket set: bounded by |queries|·tables·(planes+1); its
+    // collect IS the partition-pruning step (the same driver-side decision
+    // Spark makes for any static partition filter)
+    val probeBuckets = qb.select("bucket").distinct().collect().map(_.getLong(0))
+    val idx = spark.read.parquet(indexPath)
+      .filter(F.col("bucket").isin(probeBuckets.map(Long.box): _*))
+      .select(F.col("bucket"), F.col(indexId).as("corpus_id"),
+        F.col(indexQ8Col).cast("array<int>").as("__q"))
+    var cand = idx.join(F.broadcast(qb), Seq("bucket"))
+      .drop("bucket")
+      .dropDuplicates("query_id", "corpus_id")
+    if (excludeSelf) cand = cand.filter(F.col("corpus_id") =!= F.col("query_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("cos_q8").desc, F.col("corpus_id").asc)
+    cand
+      .withColumn("cos_q8", int8Cosine(F.col("__q"), F.col("__qq")))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "corpus_id", "cos_q8", "rank")
+  }
 }

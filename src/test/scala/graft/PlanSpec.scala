@@ -262,4 +262,34 @@ class PlanSpec extends SparkTestBase {
       assert(df.count() > 0, s"$label returned no rows")
     }
   }
+
+  test("partitioned LSH index: probe buckets prune partitions at the scan") {
+    // The bucket-partitioned posting index must be read as an index LOOKUP:
+    // the probe set pushes down as a static partition filter so only
+    // ~tables·(planes+1)/2^planes of the partitions are scanned. An index
+    // whose every probe scans all postings is a table scan wearing an
+    // index's name.
+    import org.apache.spark.sql.{functions => F}
+    val embs = table("embeddings")
+    val idx = graft.operators.Similarity.buildInt8Index(embs, "vec_id", "embedding")
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_planspec_lsh_part_index").getAbsolutePath
+    graft.operators.Similarity
+      .lshInt8IndexPostings(idx, "vec_id", "q8", planes = 8, tables = 6)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    val queries = idx.filter(F.col("vec_id") < 5)
+    val df = graft.operators.Similarity.lshTopKPartitionedIndex(
+      path, "vec_id", "q8", queries, "vec_id", "q8", k = 5, planes = 8, tables = 6)
+    val plan = planOf(df)
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("bucket"),
+      s"no partition filter on bucket:\n$plan")
+    assert(!scanLine.matches(".*PartitionFilters: \\[\\].*"),
+      s"empty partition filters:\n$plan")
+    // the data schema read from each partition stays id + q8 — no floats
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("embedding") && readSchema.contains("q8"),
+      s"unexpected read schema: $readSchema")
+    assert(df.count() > 0)
+  }
 }
