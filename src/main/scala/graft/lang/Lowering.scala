@@ -1165,29 +1165,46 @@ object Lowering {
       // query_id, corpus_id, cos_sim (cos_q8 for int8 methods), rank.
       args.map(constValue) match {
         case List(Some(corpus: String), Some(idCol: String), Some(vecCol: String),
-            Some(k: Long), rest @ _*) if rest.lengthCompare(1) <= 0 =>
+            Some(k: Long), rest @ _*) if rest.lengthCompare(3) <= 0 =>
           val method = rest.headOption match {
             case Some(Some(m: String)) => m.toLowerCase
             case None => "brute"
             case other => throw new LoweringException(
               s"similarity_topk: method must be a string literal, got '$other'")
           }
+          // optional trailing (planes, tables) for the lsh-family methods —
+          // they MUST match the values the index/postings were built with
+          // (mismatched probes silently miss buckets)
+          val lshParams: Option[(Int, Int)] = rest.drop(1).toList match {
+            case Nil => None
+            case List(Some(p: Long), Some(t: Long)) => Some((p.toInt, t.toInt))
+            case other => throw new LoweringException(
+              s"similarity_topk: trailing args must be (planes, tables) integer " +
+                s"literals, got '$other'")
+          }
+          val (planes, tables) = lshParams.getOrElse((10, 4))
+          if (lshParams.isDefined && !method.startsWith("lsh"))
+            throw new LoweringException(
+              s"similarity_topk: (planes, tables) only apply to lsh methods, not '$method'")
           val df = lower(TableRef(corpus), ctx)
           val sim = method match {
             case "brute" => graft.operators.Similarity.bruteForceTopK(
               df, idCol, vecCol, df, idCol, vecCol, k.toInt)
             case "lsh" => graft.operators.Similarity.lshTopK(
-              df, idCol, vecCol, df, idCol, vecCol, k.toInt)
+              df, idCol, vecCol, df, idCol, vecCol, k.toInt,
+              planes = planes, tables = tables)
             case "ivf" => graft.operators.Similarity.ivfSeededTopK(
               df, idCol, vecCol, df, idCol, vecCol, k.toInt)
             case "int8" => graft.operators.Similarity.int8BruteForceTopK(
               df, idCol, vecCol, df, idCol, vecCol, k.toInt)
             case "lsh_int8" => graft.operators.Similarity.lshTopK(
-              df, idCol, vecCol, df, idCol, vecCol, k.toInt, int8Scoring = true)
+              df, idCol, vecCol, df, idCol, vecCol, k.toInt,
+              planes = planes, tables = tables, int8Scoring = true)
             case "int8_index" => graft.operators.Similarity.int8IndexTopK(
               df, idCol, vecCol, df, idCol, vecCol, k.toInt)
             case "lsh_int8_index" => graft.operators.Similarity.lshTopKInt8Index(
-              df, idCol, vecCol, df, idCol, vecCol, k.toInt)
+              df, idCol, vecCol, df, idCol, vecCol, k.toInt,
+              planes = planes, tables = tables)
             case "lsh_int8_part" =>
               // corpus must be a PATH to a bucket-partitioned posting index
               // (written from Similarity.lshInt8IndexPostings with
@@ -1202,7 +1219,8 @@ object Lowering {
               val queries = ctx.spark.read.parquet(corpus)
                 .dropDuplicates(idCol).select(F.col(idCol), F.col(vecCol))
               graft.operators.Similarity.lshTopKPartitionedIndex(
-                corpus, idCol, vecCol, queries, idCol, vecCol, k.toInt)
+                corpus, idCol, vecCol, queries, idCol, vecCol, k.toInt,
+                planes = planes, tables = tables)
             case other => throw new LoweringException(
               s"similarity_topk: unknown method '$other' (expected brute, lsh, ivf, " +
                 "int8, lsh_int8, int8_index, lsh_int8_index, lsh_int8_part)")
@@ -1210,8 +1228,9 @@ object Lowering {
           Plain(sim)
         case _ =>
           throw new LoweringException(
-            "similarity_topk expects (corpus, id_col, vec_col, k[, method]) literals, " +
-              "e.g. similarity_topk('embeddings', 'vec_id', 'embedding', 5, 'int8')")
+            "similarity_topk expects (corpus, id_col, vec_col, k[, method[, planes, " +
+              "tables]]) literals, e.g. similarity_topk('embeddings', 'vec_id', " +
+              "'embedding', 5, 'int8')")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

@@ -484,6 +484,32 @@ class PipelineSpec extends SparkTestBase {
     assert(lshInt8.limit(1).collect().nonEmpty)
   }
 
+  test("similarity_topk: explicit (planes, tables) thread through to the lsh paths") {
+    // build a partitioned posting index with NON-default parameters from
+    // the language, then query it passing the SAME parameters — mismatched
+    // probes would silently miss buckets, so the language must carry them
+    val base = java.nio.file.Files.createTempDirectory("lsh_part_lang").toString
+    wv(s"""
+      from ann_int8_index('embeddings', 'vec_id', 'embedding')
+      save to '$base/idx.parquet'
+    """).collect()
+    wv(s"""
+      from ann_lsh_postings('$base/idx.parquet', 'vec_id', 'q8', 8, 6)
+      save to '$base/post.parquet' partition by bucket
+    """).collect()
+    val viaLang = wv(
+      s"from similarity_topk('$base/post.parquet', 'vec_id', 'q8', 5, 'lsh_int8_part', 8, 6)")
+    val apiQueries = spark.read.parquet(s"$base/idx.parquet")
+    val viaApi = Similarity.lshTopKPartitionedIndex(
+      s"$base/post.parquet", "vec_id", "q8", apiQueries, "vec_id", "q8",
+      k = 5, planes = 8, tables = 6)
+    assert(viaLang.collect().toSet == viaApi.collect().toSet)
+    // (planes, tables) on a non-lsh method is a user error, not silence
+    intercept[Exception] {
+      wv("from similarity_topk('embeddings', 'vec_id', 'embedding', 3, 'brute', 8, 6)")
+    }
+  }
+
   test("LSH + int8 composition: quantized scoring over bucketed candidates") {
     val queries = embs.filter(F.col("vec_id") < 3).select("vec_id", "embedding")
     val mixed = Similarity.lshTopK(
