@@ -53,6 +53,7 @@ object BenchScale {
     // partition filter, so scanned bytes stay ~constant as the index grows
     // — the strongest sub-linear shape in the family
     "q_similarity_topk_lsh_int8_part",
+    "q_similarity_topk_ivf_int8_part",
     // round-9 dedup additions: span fingerprints (one uniform shuffle)
     // and SemDeDup (bucket join, nlist-bounded quadratic)
     "q_dedup_spans",

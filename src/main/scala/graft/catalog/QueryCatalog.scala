@@ -377,6 +377,67 @@ object QueryCatalog {
     """
   }
 
+  /** DETERMINISTIC oracle for q_similarity_topk_ivf_int8_part — the
+    * all-quantized IVF serving shape: centroids are the nlist md5-min rows'
+    * QUANTIZED vectors, cell assignment and probe selection use the rounded
+    * double cosine over the int vectors (the engine's fused matrixCosine
+    * semantics: round 6, NaN→-1.0, ties by min cell), and candidates are
+    * ranked by the integer-dot int8 cosine. Every step recomputed in SQL. */
+  private lazy val ivfInt8PartOracleSql: String = {
+    val nlist = 32; val nprobe = 4
+    s"""
+    WITH scales AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS s
+      FROM embeddings),
+    qv AS (
+      SELECT vec_id,
+             CASE WHEN s = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(embedding,
+                         x -> CAST(floor(x::DOUBLE * 127 / s + 0.5) AS BIGINT)) END AS q
+      FROM scales),
+    seeds AS (
+      SELECT q AS cvec,
+        row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS cell
+      FROM qv
+      QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= $nlist),
+    cos_ec AS (
+      SELECT v.vec_id, s.cell,
+        COALESCE(NULLIF(${duckCosine("v.q", "s.cvec")}, 'NaN'::DOUBLE), -1.0) AS cs
+      FROM qv v CROSS JOIN seeds s),
+    assigned AS (
+      SELECT vec_id, cell FROM cos_ec
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM cos_ec
+      WHERE vec_id < 10
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell) <= $nprobe),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS corpus_id
+      FROM probes p JOIN assigned a ON a.cell = p.cell
+      WHERE a.vec_id != p.query_id),
+    sims AS (
+      SELECT cd.query_id, cd.corpus_id,
+        list_sum(list_transform(range(1, len(c.q) + 1), i -> COALESCE(c.q[i] * q.q[i], 0))) AS dot,
+        list_sum(list_transform(range(1, len(c.q) + 1), i -> c.q[i] * c.q[i])) AS na,
+        list_sum(list_transform(range(1, len(q.q) + 1), i -> q.q[i] * q.q[i])) AS nb
+      FROM cand cd
+      JOIN qv c ON c.vec_id = cd.corpus_id
+      JOIN qv q ON q.vec_id = cd.query_id),
+    scored AS (
+      SELECT query_id, corpus_id,
+        CASE WHEN na = 0 OR nb = 0 THEN -1.0
+             ELSE round(dot::DOUBLE / (sqrt(na::DOUBLE) * sqrt(nb::DOUBLE)), 6) END AS cos_q8
+      FROM sims),
+    ranked AS (
+      SELECT query_id, corpus_id, cos_q8,
+        row_number() OVER (PARTITION BY query_id ORDER BY cos_q8 DESC, corpus_id) AS rank
+      FROM scored)
+    SELECT query_id, corpus_id, cos_q8, rank::INTEGER AS rank
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """
+  }
+
   /** Build-once-per-(JVM, corpus dir) persisted int8 ANN index: CTAS of
     * [[Similarity.buildInt8Index]] over the embeddings table, parquet under
     * java.io.tmpdir. The write is the offline index-build step; index
@@ -405,6 +466,19 @@ object QueryCatalog {
       val idx = spark.read.parquet(persistedInt8Index(spark, dir))
       Similarity.lshInt8IndexPostings(idx, "vec_id", "q8", planes = 8, tables = 6)
         .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      path
+    })
+
+  /** Cell-partitioned IVF×int8 index (Similarity.writeIvfInt8Index —
+    * postings + `_centroids` sidecar) for q_similarity_topk_ivf_int8_part;
+    * built once per (JVM, dir). */
+  private val ivfIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def persistedIvfInt8Index(spark: SparkSession, dir: String): String =
+    ivfIndexPaths.getOrElseUpdate(dir, {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_ivf_int8_index_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val idx = spark.read.parquet(persistedInt8Index(spark, dir))
+      Similarity.writeIvfInt8Index(idx, "vec_id", "q8", path, nlist = 32)
       path
     })
 
@@ -3213,6 +3287,25 @@ object QueryCatalog {
           .orderBy("query_id", "rank")
       },
       Some(lshInt8IndexOracleSql)
+    ),
+    (
+      // IVF top-k over the cell-PARTITIONED persisted int8 index
+      // (Similarity.writeIvfInt8Index + ivfTopKPartitionedIndex): centroids
+      // load from the tiny sidecar, the probed cells push down as a static
+      // partition filter (~nprobe/nlist of the index read), integer-dot
+      // ranking — the IVF twin of the partitioned LSH row, fully oracled
+      // (assignment, probes, and scores all recomputed in DuckDB over the
+      // quantized vectors).
+      "q_similarity_topk_ivf_int8_part",
+      (spark, dir) => {
+        val path = persistedIvfInt8Index(spark, dir)
+        val queries = spark.read.parquet(persistedInt8Index(spark, dir))
+          .filter(F.col("vec_id") < 10)
+        Similarity.ivfTopKPartitionedIndex(path, "vec_id", "q8",
+          queries, "vec_id", "q8", k = 5, nprobe = 4)
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfInt8PartOracleSql)
     ),
     (
       // Property gate for the q8-signature path: bucketing on quantized

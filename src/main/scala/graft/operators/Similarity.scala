@@ -528,6 +528,90 @@ object Similarity {
       .select("query_id", "corpus_id", "cos_q8", "rank")
   }
 
+  /** Write an IVF×int8 index: cell-PARTITIONED postings (cell, id, q8 —
+    * each vector in exactly ONE cell, so the index is the corpus size, not
+    * exploded) plus a `_centroids` parquet sidecar inside the same
+    * directory (underscore prefix → invisible to the postings reader).
+    * Centroids are the nlist rows with smallest (md5(id), id) — the same
+    * deterministic seeded quantizer as [[ivfSeededTopK]] — taken from the
+    * QUANTIZED vectors, and assignment is the fused argmax-cosine kernel
+    * over the int vectors: nothing in the build reads a float column. */
+  def writeIvfInt8Index(
+      index: DataFrame,
+      indexId: String,
+      q8Col: String,
+      path: String,
+      nlist: Int = 64
+  ): Unit = {
+    val c = index.select(F.col(indexId), F.col(q8Col).cast("array<int>").as("__q"))
+    val m = seededCentroidMatrix(c, indexId, "__q", nlist)
+    val assigned = c
+      .withColumn("__ca", graft.functions.VectorExpressions.matrixCosine(
+        F.col("__q"), m, scale = 6, nanValue = -1.0))
+      .withColumn("cell",
+        F.array_position(F.col("__ca"), F.array_max(F.col("__ca"))) - 1)
+      .select(F.col("cell"), F.col(indexId),
+        F.col("__q").cast("array<tinyint>").as(q8Col))
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    // sidecar AFTER the main write (overwrite would delete it otherwise);
+    // int elements, NOT Array[Byte] (which would encode as BINARY)
+    import index.sparkSession.implicits._
+    m.zipWithIndex.toSeq
+      .map { case (v, i) => (i.toLong, v.map(_.toInt).toSeq) }
+      .toDF("cell", q8Col)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** Top-k over a PERSISTED, cell-PARTITIONED IVF×int8 index (written by
+    * [[writeIvfInt8Index]]): query vectors rank the (tiny, sidecar-loaded)
+    * centroids, the union of their top-`nprobe` cells pushes down as a
+    * static partition filter, and integer-dot cosine ranks the candidates
+    * — the scan READS ~nprobe/nlist of the index. The float column is
+    * never touched at build or query time. */
+  def ivfTopKPartitionedIndex(
+      indexPath: String,
+      indexId: String,
+      q8Col: String,
+      queries: DataFrame,
+      queryId: String,
+      queryQ8Col: String,
+      k: Int = 10,
+      nprobe: Int = 8,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    val m: Array[Array[Double]] = spark.read.parquet(s"$indexPath/_centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Any](1).map {
+        case b: Byte => b.toDouble
+        case n: Number => n.doubleValue()
+      }.toArray)
+    val q = queries.select(F.col(queryId).as("query_id"),
+      F.col(queryQ8Col).cast("array<int>").as("__qq"))
+    val probes = q
+      .withColumn("__ca", graft.functions.VectorExpressions.matrixCosine(
+        F.col("__qq"), m, scale = 6, nanValue = -1.0))
+      .withColumn("__p", F.explode(F.slice(F.sort_array(
+        F.transform(F.col("__ca"), (cs, i) =>
+          F.struct((-cs).as("nc"), i.cast("long").as("cell")))), 1, nprobe)))
+      .select(F.col("query_id"), F.col("__qq"),
+        F.col("__p").getField("cell").as("cell"))
+    val probeCells = probes.select("cell").distinct().collect().map(_.getLong(0))
+    val idx = spark.read.parquet(indexPath)
+      .filter(F.col("cell").isin(probeCells.map(Long.box): _*))
+      .select(F.col("cell"), F.col(indexId).as("corpus_id"),
+        F.col(q8Col).cast("array<int>").as("__q"))
+    var cand = idx.join(F.broadcast(probes), Seq("cell")).drop("cell")
+    if (excludeSelf) cand = cand.filter(F.col("corpus_id") =!= F.col("query_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("cos_q8").desc, F.col("corpus_id").asc)
+    cand
+      .withColumn("cos_q8", int8Cosine(F.col("__q"), F.col("__qq")))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "corpus_id", "cos_q8", "rank")
+  }
+
   /** Sign-bit bucket postings of a quantized index, as a DataFrame ready to
     * persist `partitionBy("bucket")`: one (bucket, id, q8) row per (table,
     * signature) — the corpus side of [[lshTopKInt8Index]]'s candidate join,
