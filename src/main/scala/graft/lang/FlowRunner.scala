@@ -22,18 +22,66 @@ import graft.flow._
   */
 object FlowRunner {
 
+  /** Jump-chain depth bound (reference FlowExecutorConfig.maxJumpDepth):
+    * guards against `-> Flow` cycles (flow A -> B -> A). */
+  private val MaxJumpDepth = 8
+
   def run(
       fd: FlowDefStmt,
       args: List[(Option[String], Expr)],
-      ctx: Lowering.Context
+      ctx: Lowering.Context,
+      jumpDepth: Int = 0
   ): DataFrame = {
     val startedAt = System.currentTimeMillis()
-    val result = FlowExecutor.run(toFlowDef(fd, args, ctx))
     val schema = StructType(Seq(
       StructField("stage", StringType, nullable = false),
       StructField("state", StringType, nullable = false),
       StructField("attempts", IntegerType, nullable = false),
       StructField("error", StringType, nullable = true)))
+    import scala.jdk.CollectionConverters._
+    val store =
+      try Some(FlowRunStore.forSession(ctx.spark))
+      catch { case _: Throwable => None }
+    val runId = f"${startedAt}%013d-${java.util.UUID.randomUUID().toString.take(8)}"
+
+    // flow-level `concurrency: N` (reference FlowExecutor: the executor
+    // claims a run slot through the run store and records the run as
+    // SKIPPED when the limit is already reached). Running records are
+    // written at start (below), so concurrent runs in other processes
+    // sharing the warehouse are visible here.
+    val limit = fd.config.collectFirst {
+      case ("concurrency", LongLit(n)) => n.toInt
+    }
+    val runningNow = store.map(_.list().count(r =>
+      r.flowName == fd.name && r.state == "running")).getOrElse(0)
+    if (limit.exists(runningNow >= _)) {
+      val rows = fd.stages.map(sp =>
+        Row(sp.name, "skipped", 0, s"concurrency limit ${limit.get} reached"))
+      store.foreach(_.save(FlowRunRecord(runId, fd.name, "skipped",
+        startedAt, Some(System.currentTimeMillis()),
+        rows.toList.map(r => StageRunRecord(
+          r.getString(0), r.getString(1), r.getInt(2), Option(r.getString(3)))))))
+      return ctx.spark.createDataFrame(rows.asJava, schema)
+    }
+    // claim the slot: a RUNNING record, overwritten with the terminal
+    // state below (same runId — readers never see both)
+    store.foreach(_.save(FlowRunRecord(runId, fd.name, "running",
+      startedAt, None,
+      fd.stages.toList.map(sp => StageRunRecord(sp.name, "running", 0, None)))))
+
+    // snapshot the jump buffer so only THIS run's `-> Flow` markers fire
+    val jumpsBefore = ctx.jumps.size
+    val result =
+      try FlowExecutor.run(toFlowDef(fd, args, ctx))
+      catch {
+        case e: Throwable =>
+          // never leave a phantom running record behind a validation error
+          store.foreach(_.save(FlowRunRecord(runId, fd.name, "failed",
+            startedAt, Some(System.currentTimeMillis()),
+            List(StageRunRecord("__flow", "failed", 0,
+              Some(String.valueOf(e.getMessage)))))))
+          throw e
+      }
     val rows = fd.stages.map { sp =>
       result.stages(sp.name) match {
         case StageSucceeded(_, n) => Row(sp.name, "success", n, null)
@@ -45,22 +93,41 @@ object FlowRunner {
     // survives a driver restart; `show flow_runs` reads it back. Optional
     // retention cap via the graft.flow.keepRuns session conf.
     try {
-      val store = FlowRunStore.forSession(ctx.spark)
-      val runId = f"${startedAt}%013d-${java.util.UUID.randomUUID().toString.take(8)}"
-      store.save(FlowRunRecord(
-        runId, fd.name,
-        if (result.succeeded) "success" else "failed",
-        startedAt, Some(System.currentTimeMillis()),
-        rows.toList.map(r => StageRunRecord(
-          r.getString(0), r.getString(1), r.getInt(2), Option(r.getString(3)),
-          result.heartbeats.getOrElse(r.getString(0), Nil)))))
-      ctx.spark.conf.getOption("graft.flow.keepRuns")
-        .flatMap(_.toIntOption).foreach(store.retain)
+      store.foreach { st =>
+        st.save(FlowRunRecord(
+          runId, fd.name,
+          if (result.succeeded) "success" else "failed",
+          startedAt, Some(System.currentTimeMillis()),
+          rows.toList.map(r => StageRunRecord(
+            r.getString(0), r.getString(1), r.getInt(2), Option(r.getString(3)),
+            result.heartbeats.getOrElse(r.getString(0), Nil)))))
+        ctx.spark.conf.getOption("graft.flow.keepRuns")
+          .flatMap(_.toIntOption).foreach(st.retain)
+      }
     } catch {
       case e: Throwable =>
         System.err.println(s"[flow] run record not persisted: ${e.getMessage}")
     }
-    import scala.jdk.CollectionConverters._
+    // `-> Flow` jumps: targets recorded by this run's successfully-lowered
+    // stages trigger as NEW runs after the current flow completed
+    // (reference FlowExecutor: control transfer only, cycle-bounded)
+    val targets = ctx.jumps.synchronized {
+      val t = ctx.jumps.drop(jumpsBefore).distinct.toList
+      ctx.jumps.remove(jumpsBefore, ctx.jumps.size - jumpsBefore)
+      t
+    }
+    targets.foreach { t =>
+      ctx.flows.get(t) match {
+        case Some(next) if jumpDepth + 1 >= MaxJumpDepth =>
+          System.err.println(
+            s"[flow] jump chain exceeds depth $MaxJumpDepth at '${next.name}' — stopped")
+        case Some(next) =>
+          System.err.println(s"[flow] ${fd.name} -> ${next.name} (jump)")
+          run(next, Nil, ctx, jumpDepth + 1)
+        case None =>
+          System.err.println(s"[flow] jump target '$t' is not a known flow — ignored")
+      }
+    }
     ctx.spark.createDataFrame(rows.asJava, schema)
   }
 

@@ -58,7 +58,13 @@ object Lowering {
         * bounds are then injected at the aggregation site, AFTER any
         * intervening filters, matching the streaming session-window plan
         * which also sessionizes the filtered stream. */
-      sessionRaw: Boolean = false
+      sessionRaw: Boolean = false,
+      /** `-> Flow` jump targets requested by stages that LOWERED
+        * successfully in this context; FlowRunner triggers each as a new
+        * run AFTER the current flow completes and only if the jumping
+        * stage SUCCEEDED (reference FlowExecutor: a jump transfers control
+        * only, bounded by maxJumpDepth against cycles). */
+      jumps: mutable.ListBuffer[String] = mutable.ListBuffer.empty
   )
 
   /** Lowering result: either a plain DataFrame or a "grouped" relation —
@@ -1993,6 +1999,19 @@ object Lowering {
           if (!ok)
             throw new LoweringException(s"wait until: condition not met within ${timeoutMs}ms")
           lowerRel(child, ctx)
+        case "jump" =>
+          // `-> OtherFlow`: record the target AFTER the child lowers
+          // successfully; FlowRunner triggers it as a NEW run after the
+          // current flow completes (control transfer only — the child's
+          // rows pass through)
+          val lowered = lowerRel(child, ctx)
+          args.headOption.flatMap(constValue) match {
+            case Some(target: String) =>
+              // stages lower on pool threads — guard the shared buffer
+              ctx.jumps.synchronized { ctx.jumps += target }
+            case _ => ()
+          }
+          lowered
         case _ => lowerRel(child, ctx) // end(): terminal marker
       }
 

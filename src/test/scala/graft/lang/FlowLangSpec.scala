@@ -216,6 +216,77 @@ class FlowLangSpec extends SparkTestBase {
     """)
   }
 
+  test("-> Flow jump triggers the target as a new run after completion") {
+    val dir = java.nio.file.Files.createTempDirectory("flow_jump_runs").toString
+    spark.conf.set("graft.flow.runStoreDir", dir)
+    try {
+      wv("""
+        flow Retention = {
+          stage welcome = from [[1]] as t(id) | activate('email')
+        }
+        flow Main = {
+          stage entry = from [[1], [2]] as t(id)
+          stage handoff = from entry | -> Retention
+        }
+        run flow Main
+      """).collect()
+      val store = new graft.flow.FlowRunStore(java.nio.file.Paths.get(dir))
+      val runs = store.list()
+      // BOTH flows have a run record: Main ran, then the jump triggered
+      // Retention as its own run (own runId)
+      assert(runs.map(_.flowName).toSet == Set("Main", "Retention"), runs.toString)
+      assert(runs.forall(_.state == "success"), runs.toString)
+      // a jump to an unknown flow is a warning, never a crash
+      wv("""
+        flow Solo = {
+          stage s = from [[1]] as t(id) | -> NoSuchFlow
+        }
+        run flow Solo
+      """).collect()
+      assert(store.latestRunOf("Solo").exists(_.state == "success"))
+      // a jump CYCLE stops at the depth bound instead of spinning forever
+      wv("""
+        flow PingA = { stage a = from [[1]] as t(id) | -> PingB }
+        flow PingB = { stage b = from [[1]] as t(id) | -> PingA }
+        run flow PingA
+      """).collect()
+      val pings = new graft.flow.FlowRunStore(java.nio.file.Paths.get(dir)).list()
+        .count(r => r.flowName == "PingA" || r.flowName == "PingB")
+      assert(pings >= 2 && pings <= 8, s"jump chain ran $pings times")
+    } finally spark.conf.unset("graft.flow.runStoreDir")
+  }
+
+  test("flow-level concurrency limit records an overflowing run as skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("flow_conc_runs").toString
+    spark.conf.set("graft.flow.runStoreDir", dir)
+    try {
+      // plant a RUNNING record (another process mid-run over the same
+      // warehouse); concurrency: 1 must then skip this run
+      val store = new graft.flow.FlowRunStore(java.nio.file.Paths.get(dir))
+      store.save(graft.flow.FlowRunRecord("other-run", "Limited", "running",
+        System.currentTimeMillis(), None,
+        List(graft.flow.StageRunRecord("s", "running", 0, None))))
+      val summary = wv("""
+        flow Limited with {concurrency: 1} = {
+          stage s = from [[1]] as t(id)
+        }
+        run flow Limited
+      """).collect()
+      assert(summary.forall(_.getAs[String]("state") == "skipped"), summary.toSeq.toString)
+      val skipped = store.list().filter(r => r.flowName == "Limited" && r.state == "skipped")
+      assert(skipped.nonEmpty, store.list().toString)
+      // slot freed → the next run executes
+      store.delete("other-run")
+      val again = wv("""
+        flow Limited with {concurrency: 1} = {
+          stage s = from [[1]] as t(id)
+        }
+        run flow Limited
+      """).collect()
+      assert(again.forall(_.getAs[String]("state") == "success"), again.toSeq.toString)
+    } finally spark.conf.unset("graft.flow.runStoreDir")
+  }
+
   test("stage timeout/heartbeat configs parse, execute, and persist beats") {
     val dir = java.nio.file.Files.createTempDirectory("flow_hb_runs").toString
     spark.conf.set("graft.flow.runStoreDir", dir)
