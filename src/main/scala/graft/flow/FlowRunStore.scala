@@ -29,12 +29,25 @@ final case class StageRunRecord(
 final case class FlowRunRecord(
     runId: String,
     flowName: String,
-    state: String, // running | success | failed
+    state: String, // running | success | failed | skipped
     startedAtMillis: Long,
     finishedAtMillis: Option[Long],
-    stages: List[StageRunRecord]) {
+    stages: List[StageRunRecord],
+    /** Liveness lease (reference FlowExecutorConfig.leaseTimeoutMillis):
+      * the runner refreshes this while executing; a RUNNING record whose
+      * lease expired (process crash) frees its concurrency slot and is
+      * treated as failed by cross-flow dependency evaluation. None = no
+      * lease (legacy records / external writers) — treated as live. */
+    leaseExpiresAtMillis: Option[Long] = None) {
   def isTerminal: Boolean = state != "running"
   def runTimeMillis: Option[Long] = finishedAtMillis.map(_ - startedAtMillis)
+  /** A running record counts as LIVE while its lease (if any) holds. */
+  def isLiveRunning(nowMillis: Long): Boolean =
+    state == "running" && leaseExpiresAtMillis.forall(_ > nowMillis)
+  /** Effective state for cross-flow evaluation: an expired running record
+    * reads as failed (the process died mid-run). */
+  def effectiveState(nowMillis: Long): String =
+    if (state == "running" && !isLiveRunning(nowMillis)) "failed" else state
 }
 
 final class FlowRunStore(val dir: Path) {
@@ -50,6 +63,7 @@ final class FlowRunStore(val dir: Path) {
     m.put("state", r.state)
     m.put("started_at_ms", r.startedAtMillis)
     r.finishedAtMillis.foreach(v => m.put("finished_at_ms", v))
+    r.leaseExpiresAtMillis.foreach(v => m.put("lease_expires_ms", v))
     m.put("stages", r.stages.map { s =>
       val sm = new java.util.LinkedHashMap[String, Any]()
       sm.put("name", s.name)
@@ -126,7 +140,8 @@ final class FlowRunStore(val dir: Path) {
       String.valueOf(m.get("state")),
       longOf(m.get("started_at_ms")),
       Option(m.get("finished_at_ms")).map(longOf),
-      stages))
+      stages,
+      Option(m.get("lease_expires_ms")).map(longOf)))
   }
 }
 

@@ -26,6 +26,20 @@ object FlowRunner {
     * guards against `-> Flow` cycles (flow A -> B -> A). */
   private val MaxJumpDepth = 8
 
+  /** Default liveness-lease duration of a running record (reference
+    * FlowExecutorConfig.leaseTimeoutMillis); override per session with the
+    * `graft.flow.leaseMs` conf. */
+  private val DefaultLeaseMs = 60000L
+
+  /** Shared daemon scheduler for lease refreshes (cheap timestamp writes). */
+  private lazy val leaseRefresher: java.util.concurrent.ScheduledExecutorService =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      new java.util.concurrent.ThreadFactory {
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, "graft-flow-lease"); t.setDaemon(true); t
+        }
+      })
+
   def run(
       fd: FlowDefStmt,
       args: List[(Option[String], Expr)],
@@ -44,30 +58,68 @@ object FlowRunner {
       catch { case _: Throwable => None }
     val runId = f"${startedAt}%013d-${java.util.UUID.randomUUID().toString.take(8)}"
 
-    // flow-level `concurrency: N` (reference FlowExecutor: the executor
-    // claims a run slot through the run store and records the run as
-    // SKIPPED when the limit is already reached). Running records are
-    // written at start (below), so concurrent runs in other processes
-    // sharing the warehouse are visible here.
-    val limit = fd.config.collectFirst {
-      case ("concurrency", LongLit(n)) => n.toInt
-    }
-    val runningNow = store.map(_.list().count(r =>
-      r.flowName == fd.name && r.state == "running")).getOrElse(0)
-    if (limit.exists(runningNow >= _)) {
-      val rows = fd.stages.map(sp =>
-        Row(sp.name, "skipped", 0, s"concurrency limit ${limit.get} reached"))
+    def skipRun(reason: String): DataFrame = {
+      val rows = fd.stages.map(sp => Row(sp.name, "skipped", 0, reason))
       store.foreach(_.save(FlowRunRecord(runId, fd.name, "skipped",
         startedAt, Some(System.currentTimeMillis()),
         rows.toList.map(r => StageRunRecord(
           r.getString(0), r.getString(1), r.getInt(2), Option(r.getString(3)))))))
-      return ctx.spark.createDataFrame(rows.asJava, schema)
+      ctx.spark.createDataFrame(rows.asJava, schema)
     }
-    // claim the slot: a RUNNING record, overwritten with the terminal
-    // state below (same runId — readers never see both)
-    store.foreach(_.save(FlowRunRecord(runId, fd.name, "running",
+
+    // flow-level gate / dependency (reference cross-flow dependency
+    // evaluation): `flow F if Other.failed` runs only when Other's latest
+    // run is in the wanted state; `flow F depends on Other` requires
+    // Other's latest run to have succeeded. A RUNNING record whose lease
+    // expired reads as failed (crashed process).
+    val now0 = System.currentTimeMillis()
+    def latestStateOf(other: String): Option[String] =
+      store.flatMap(_.latestRunOf(other)).map(_.effectiveState(now0))
+    fd.flowGate.foreach { case (other, want) =>
+      val st = latestStateOf(other)
+      val met = want match {
+        case "failed" => st.contains("failed")
+        case "done" => st.exists(s => s == "success" || s == "failed" || s == "skipped")
+        case _ => st.contains("success") // "success"
+      }
+      if (!met)
+        return skipRun(s"gate not met: $other.${want} (latest: ${st.getOrElse("no runs")})")
+    }
+    fd.dependsOnFlow.foreach { other =>
+      val st = latestStateOf(other)
+      if (!st.contains("success"))
+        return skipRun(s"dependency not met: $other (latest: ${st.getOrElse("no runs")})")
+    }
+
+    // flow-level `concurrency: N` (reference FlowExecutor: the executor
+    // claims a run slot through the run store and records the run as
+    // SKIPPED when the limit is already reached). Running records are
+    // written at start (below) with a liveness lease, so concurrent runs
+    // in other processes sharing the warehouse are visible here — and a
+    // crashed process' stale record frees its slot when the lease expires.
+    val limit = fd.config.collectFirst {
+      case ("concurrency", LongLit(n)) => n.toInt
+    }
+    val runningNow = store.map(_.list().count(r =>
+      r.flowName == fd.name && r.isLiveRunning(now0))).getOrElse(0)
+    if (limit.exists(runningNow >= _))
+      return skipRun(s"concurrency limit ${limit.get} reached")
+    // claim the slot: a RUNNING record with a lease, overwritten with the
+    // terminal state below (same runId — readers never see both); the
+    // refresher re-stamps the lease while the flow executes
+    val leaseMs = ctx.spark.conf.getOption("graft.flow.leaseMs")
+      .flatMap(_.toLongOption).getOrElse(DefaultLeaseMs)
+    def runningRecord(): FlowRunRecord = FlowRunRecord(runId, fd.name, "running",
       startedAt, None,
-      fd.stages.toList.map(sp => StageRunRecord(sp.name, "running", 0, None)))))
+      fd.stages.toList.map(sp => StageRunRecord(sp.name, "running", 0, None)),
+      leaseExpiresAtMillis = Some(System.currentTimeMillis() + leaseMs))
+    store.foreach(_.save(runningRecord()))
+    val refresh = store.map { st =>
+      val period = math.max(1000L, leaseMs / 3)
+      leaseRefresher.scheduleAtFixedRate(new Runnable {
+        def run(): Unit = try st.save(runningRecord()) catch { case _: Throwable => () }
+      }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    }
 
     // snapshot the jump buffer so only THIS run's `-> Flow` markers fire
     val jumpsBefore = ctx.jumps.size
@@ -75,6 +127,7 @@ object FlowRunner {
       try FlowExecutor.run(toFlowDef(fd, args, ctx))
       catch {
         case e: Throwable =>
+          refresh.foreach(_.cancel(false))
           // never leave a phantom running record behind a validation error
           store.foreach(_.save(FlowRunRecord(runId, fd.name, "failed",
             startedAt, Some(System.currentTimeMillis()),
@@ -82,6 +135,7 @@ object FlowRunner {
               Some(String.valueOf(e.getMessage)))))))
           throw e
       }
+      finally refresh.foreach(_.cancel(false))
     val rows = fd.stages.map { sp =>
       result.stages(sp.name) match {
         case StageSucceeded(_, n) => Row(sp.name, "success", n, null)

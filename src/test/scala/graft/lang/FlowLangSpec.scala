@@ -287,6 +287,54 @@ class FlowLangSpec extends SparkTestBase {
     } finally spark.conf.unset("graft.flow.runStoreDir")
   }
 
+  test("expired lease frees the concurrency slot; flow-level gates evaluate") {
+    val dir = java.nio.file.Files.createTempDirectory("flow_lease_runs").toString
+    spark.conf.set("graft.flow.runStoreDir", dir)
+    try {
+      val store = new graft.flow.FlowRunStore(java.nio.file.Paths.get(dir))
+      // a crashed process' running record: lease long expired → it must
+      // NOT hold the concurrency slot (reference lease semantics)
+      store.save(graft.flow.FlowRunRecord("crashed-run", "Leased", "running",
+        System.currentTimeMillis() - 120000, None,
+        List(graft.flow.StageRunRecord("s", "running", 0, None)),
+        leaseExpiresAtMillis = Some(System.currentTimeMillis() - 60000)))
+      val summary = wv("""
+        flow Leased with {concurrency: 1} = {
+          stage s = from [[1]] as t(id)
+        }
+        run flow Leased
+      """).collect()
+      assert(summary.forall(_.getAs[String]("state") == "success"),
+        s"expired lease should free the slot: ${summary.toSeq}")
+      // flow-level gate: `if Other.failed` — Other's latest run SUCCEEDED,
+      // so the recovery flow records a skipped run...
+      val s1 = wv("""
+        flow Upstream = { stage ok = from [[1]] as t(id) }
+        flow Recovery if Upstream.failed = { stage alert = from [[1]] as t(id) }
+        run flow Upstream
+        run flow Recovery
+      """).collect()
+      assert(s1.forall(_.getAs[String]("state") == "skipped"), s1.toSeq.toString)
+      // ...and the expired-lease record reads as FAILED for gates: a gate
+      // on Leased2.failed is met by a dead running record
+      store.save(graft.flow.FlowRunRecord("crashed-2", "Upstream2", "running",
+        System.currentTimeMillis() - 120000, None,
+        List(graft.flow.StageRunRecord("s", "running", 0, None)),
+        leaseExpiresAtMillis = Some(System.currentTimeMillis() - 60000)))
+      val s2 = wv("""
+        flow Recovery2 if Upstream2.failed = { stage alert = from [[1]] as t(id) }
+        run flow Recovery2
+      """).collect()
+      assert(s2.forall(_.getAs[String]("state") == "success"), s2.toSeq.toString)
+      // depends on: unmet without a successful upstream run
+      val s3 = wv("""
+        flow Dependent depends on NeverRan = { stage s = from [[1]] as t(id) }
+        run flow Dependent
+      """).collect()
+      assert(s3.forall(_.getAs[String]("state") == "skipped"), s3.toSeq.toString)
+    } finally spark.conf.unset("graft.flow.runStoreDir")
+  }
+
   test("stage timeout/heartbeat configs parse, execute, and persist beats") {
     val dir = java.nio.file.Files.createTempDirectory("flow_hb_runs").toString
     spark.conf.set("graft.flow.runStoreDir", dir)
