@@ -96,15 +96,22 @@ final class FlowScheduler(
     clock: () => Instant = () => Instant.now(),
     zone: ZoneId = ZoneId.of("UTC")
 ) {
-  private final case class Entry(name: String, cron: CronSchedule, trigger: () => Unit)
+  private final case class Entry(name: String, cron: CronSchedule,
+      trigger: () => Unit, zone: ZoneId)
   private val entries = mutable.LinkedHashMap.empty[String, Entry]
   private val nextFire = mutable.Map.empty[String, ZonedDateTime]
   @volatile private var thread: Thread = null
   @volatile private var stopped = false
 
-  def register(name: String, cronExpr: String, trigger: () => Unit): Unit =
+  /** Register a schedule; `zoneOverride` evaluates THIS flow's cron fields
+    * in its own timezone (the flow-level `timezone: '…'` config — a
+    * `0 2 * * *` Tokyo schedule fires at 2am Tokyo regardless of the
+    * scheduler's default zone). */
+  def register(name: String, cronExpr: String, trigger: () => Unit,
+      zoneOverride: Option[ZoneId] = None): Unit =
     synchronized {
-      entries(name) = Entry(name, CronSchedule.parse(cronExpr), trigger)
+      entries(name) = Entry(name, CronSchedule.parse(cronExpr), trigger,
+        zoneOverride.getOrElse(zone))
       nextFire.remove(name)
     }
 
@@ -113,9 +120,10 @@ final class FlowScheduler(
     * even if several matching minutes elapsed (missed-window catch-up is
     * the run store's job, not the scheduler's). */
   def tick(): List[String] = synchronized {
-    val now = ZonedDateTime.ofInstant(clock(), zone)
+    val instant = clock()
     val fired = List.newBuilder[String]
     entries.values.foreach { e =>
+      val now = ZonedDateTime.ofInstant(instant, e.zone)
       val due = nextFire.getOrElseUpdate(e.name,
         if (e.cron.matches(now.truncatedTo(ChronoUnit.MINUTES))) now.truncatedTo(ChronoUnit.MINUTES)
         else e.cron.nextAfter(now))

@@ -269,7 +269,18 @@ object FlowRunner {
         case ("schedule", FunctionCall("cron", List(StringLit(e)), _, _)) => e
         case ("schedule", StringLit(e)) => e
       }.map { cronExpr =>
-        scheduler.register(fd.name, cronExpr, () => { run(fd, Nil, ctx); () })
+        // flow-level `timezone: 'Asia/Tokyo'`: the cron fields evaluate in
+        // the flow's own zone (reference ScheduledFlow config)
+        val zone = fd.config.collectFirst {
+          case ("timezone", StringLit(z)) => z
+        }.flatMap(z =>
+          try Some(java.time.ZoneId.of(z))
+          catch {
+            case _: Throwable =>
+              System.err.println(s"[flow] ${fd.name}: unknown timezone '$z' — using scheduler default")
+              None
+          })
+        scheduler.register(fd.name, cronExpr, () => { run(fd, Nil, ctx); () }, zone)
         fd.name
       }
     }

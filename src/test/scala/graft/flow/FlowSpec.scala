@@ -122,6 +122,23 @@ class FlowSpec extends SparkTestBase {
     assert(fired.get() == 2)
   }
 
+  test("per-flow timezone: a Tokyo 2am schedule fires at Tokyo 2am, not UTC") {
+    import java.time.Instant
+    var now = Instant.parse("2026-08-12T16:59:00Z") // 01:59 Tokyo (+9)
+    val sched = new FlowScheduler(clock = () => now) // default zone UTC
+    val fired = new AtomicInteger(0)
+    sched.register("tokyo_nightly", "0 2 * * *",
+      () => { fired.incrementAndGet(); () },
+      zoneOverride = Some(java.time.ZoneId.of("Asia/Tokyo")))
+    assert(sched.tick() == Nil) // 01:59 Tokyo — not due
+    now = Instant.parse("2026-08-12T17:00:05Z") // 02:00 Tokyo
+    assert(sched.tick() == List("tokyo_nightly"))
+    assert(fired.get() == 1)
+    // a UTC 2am registration would NOT have fired at this instant
+    sched.register("utc_nightly", "0 2 * * *", () => ())
+    assert(sched.tick() == Nil)
+  }
+
   test("language flows with schedule metadata register and run on fire") {
     import graft.lang.{Lowering, Parser, FlowRunner}
     import java.time.Instant
