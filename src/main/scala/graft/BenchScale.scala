@@ -57,7 +57,12 @@ object BenchScale {
     // round-9 dedup additions: span fingerprints (one uniform shuffle)
     // and SemDeDup (bucket join, nlist-bounded quadratic)
     "q_dedup_spans",
-    "q_dedup_semantic")
+    "q_dedup_semantic",
+    // incremental dedup against the persisted minhash index (built once
+    // per dir via the per-JVM memo, untimed): the timed region is batch
+    // shingling + the banded index probe — corpus text never re-read, so
+    // the corpus term in the exponent is the signature scan only
+    "q_dedup_incremental")
 
   private def loadavg(): String = BenchGuard.loadavg()
 

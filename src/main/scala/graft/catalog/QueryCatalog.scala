@@ -90,13 +90,17 @@ object QueryCatalog {
     """
   }
 
-  private lazy val minhashLshOracleSql: String = {
+  /** Shared oracle CTE prefix for every minhash path (embed after WITH):
+    * FNV-1a token hashes → 2-gram shingle mix → Mersenne-field fixed-seed
+    * linear hashes → `mins(doc_id, j, m)`, the exact signature components
+    * the engine's Dedup.minhashSignatures computes (k=64, shingle=2).
+    * `shingles(doc_id, sh)` stays visible for exact-Jaccard verifies. */
+  private lazy val minhashMinsCte: String = {
     val M = (1L << 31) - 1
     val Mix = BigInt("11400714819323198485") // 0x9e3779b97f4a7c15 unsigned
     val pvals = graft.operators.Dedup.minhashParamsFor(64).zipWithIndex
       .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
-    s"""
-    WITH $fnvTokensCte,
+    s"""$fnvTokensCte,
     shingles AS (
       SELECT DISTINCT a.doc_id,
         xor(${signed64("a.m")}, ${signed64("b.h")}) AS sh
@@ -113,7 +117,12 @@ object QueryCatalog {
     mins AS (
       SELECT doc_id, j, MIN(((hmod * a + b) % $M + $M) % $M) AS m
       FROM hm CROSS JOIN params GROUP BY 1, 2
-    ),
+    )"""
+  }
+
+  private lazy val minhashLshOracleSql: String = {
+    s"""
+    WITH $minhashMinsCte,
     bands AS (
       SELECT doc_id, j // 4 AS band, string_agg(m, ',' ORDER BY j) AS sig
       FROM mins GROUP BY 1, 2
@@ -133,6 +142,47 @@ object QueryCatalog {
     ORDER BY id_a, id_b
     """
   }
+
+  /** Oracle for the persisted MinHash index content (q_minhash_index):
+    * DuckDB rebuilds every corpus doc's 64 signature components and emits
+    * them as the same comma-joined string the engine produces from the
+    * parquet index — the index BYTES are pinned, not just downstream
+    * query results. Corpus = doc_id % 4 != 0 (the incremental-dedup split:
+    * the other quarter plays the "new batch"). */
+  private lazy val minhashIndexOracleSql: String =
+    s"""
+    WITH $minhashMinsCte
+    SELECT doc_id, string_agg(m, ',' ORDER BY j) AS sig_csv
+    FROM mins WHERE doc_id % 4 != 0
+    GROUP BY doc_id ORDER BY doc_id
+    """
+
+  /** Shared CTE chain for the incremental-dedup oracles: band-tuple
+    * collisions between the batch quarter (doc_id % 4 = 0, signatures
+    * recomputed — the engine shingles these fresh) and the corpus index
+    * (doc_id % 4 != 0, signatures AS PERSISTED — pinned equal by
+    * q_minhash_index), verified with the k-component signature estimator
+    * est = |{j : m_batch(j) = m_corpus(j)}| / 64. Ends with
+    * `est(batch_id, corpus_id, est_jaccard)`; embed after WITH. */
+  private lazy val dedupIncrementalEstCte: String =
+    s"""$minhashMinsCte,
+    ibands AS (
+      SELECT doc_id, j // 4 AS band, string_agg(m, ',' ORDER BY j) AS bsig
+      FROM mins GROUP BY 1, 2
+    ),
+    icand AS (
+      SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+      FROM ibands b JOIN ibands c ON b.band = c.band AND b.bsig = c.bsig
+      WHERE b.doc_id % 4 = 0 AND c.doc_id % 4 != 0
+    ),
+    est AS (
+      SELECT cd.batch_id, cd.corpus_id,
+        round(SUM(CASE WHEN mb.m = mc.m THEN 1 ELSE 0 END)::DOUBLE / 64, 6) AS est_jaccard
+      FROM icand cd
+      JOIN mins mb ON mb.doc_id = cd.batch_id
+      JOIN mins mc ON mc.doc_id = cd.corpus_id AND mc.j = mb.j
+      GROUP BY 1, 2
+    )"""
 
   /** Embedding dimensionality assumed by the SIGNATURE paths: the LSH
     * oracle inlines hyperplanes of this dimension and the engine queries
@@ -450,6 +500,25 @@ object QueryCatalog {
       val path = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_int8_index_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
       Similarity.buildInt8Index(Tables.read(spark, dir, "embeddings"), "vec_id", "embedding")
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** Build-once-per-(JVM, corpus dir) persisted MinHash signature index
+    * over the CORPUS three-quarters of the documents table
+    * (doc_id % 4 != 0) — the incremental-dedup split: the remaining
+    * quarter plays the "new batch" that probes the index. Written to
+    * parquet WITH the text column alongside (a payload-bearing index, the
+    * realistic CTAS), so the probe queries genuinely prove column pruning:
+    * their index scans must read (doc_id, sig) only (PlanSpec gate). */
+  private val minhashIdxPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def persistedMinhashIndex(spark: SparkSession, dir: String): String =
+    minhashIdxPaths.getOrElseUpdate(dir, {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_minhash_index_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val corpus = Tables.read(spark, dir, "documents").filter(F.col("doc_id") % 4 =!= 0)
+      graft.operators.Dedup.buildMinhashIndex(corpus, "doc_id", "text", 64, 2)
+        .join(corpus.select("doc_id", "text"), Seq("doc_id"))
         .write.mode("overwrite").parquet(path)
       path
     })
@@ -2972,6 +3041,66 @@ object QueryCatalog {
       },
       Some("""
         SELECT CAST(0 AS BIGINT) AS subset_violations, CAST(0 AS BIGINT) AS strong_missed
+      """)
+    ),
+    (
+      // The persisted MinHash signature index itself (Dedup.buildMinhashIndex,
+      // exposed as minhash_index(...)): the engine reads the index back FROM
+      // PARQUET and emits each doc's 64 signature components comma-joined;
+      // the oracle recomputes them from raw text in DuckDB — the persisted
+      // artifact's content is pinned bit-for-bit. (CSV string rather than
+      // the raw array: list-vs-array physical types would defeat the hash
+      // compare.)
+      "q_minhash_index",
+      (spark, dir) => {
+        val idx = spark.read.parquet(persistedMinhashIndex(spark, dir))
+        idx.select(
+          F.col("doc_id"),
+          F.array_join(F.transform(F.col("sig"), x => x.cast("string")), ",").as("sig_csv"))
+          .orderBy("doc_id")
+      },
+      Some(minhashIndexOracleSql)
+    ),
+    (
+      // Incremental dedup, pairs form (Dedup.minhashIndexPairs via
+      // dedup_incremental_pairs(...)): the batch quarter is shingled fresh,
+      // the corpus side reads ONLY (doc_id, sig) from the persisted index
+      // (text pruned — PlanSpec gate), candidates via band-hash collision,
+      // verification via the k-component signature estimator. DETERMINISTIC
+      // oracle: DuckDB recomputes both sides' signatures and the same
+      // estimator.
+      "q_dedup_incremental_pairs",
+      (spark, dir) => {
+        val idx = spark.read.parquet(persistedMinhashIndex(spark, dir))
+        val batch = Tables.read(spark, dir, "documents").filter(F.col("doc_id") % 4 === 0)
+        graft.operators.Dedup.minhashIndexPairs(batch, "doc_id", "text", idx, threshold = 0.5)
+          .orderBy("batch_id", "corpus_id")
+      },
+      Some(s"""
+        WITH $dedupIncrementalEstCte
+        SELECT batch_id, corpus_id, est_jaccard
+        FROM est WHERE est_jaccard >= 0.5
+        ORDER BY batch_id, corpus_id
+      """)
+    ),
+    (
+      // Incremental dedup, drop form (Dedup.dedupAgainstMinhashIndex via
+      // dedup_incremental(...)): the batch rows that survive — today's
+      // ingest deduped against yesterday's corpus without re-shingling the
+      // corpus.
+      "q_dedup_incremental",
+      (spark, dir) => {
+        val idx = spark.read.parquet(persistedMinhashIndex(spark, dir))
+        val batch = Tables.read(spark, dir, "documents").filter(F.col("doc_id") % 4 === 0)
+        graft.operators.Dedup.dedupAgainstMinhashIndex(batch, "doc_id", "text", idx, threshold = 0.5)
+          .select("doc_id", "lang", "source").orderBy("doc_id")
+      },
+      Some(s"""
+        WITH $dedupIncrementalEstCte
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id % 4 = 0
+          AND doc_id NOT IN (SELECT batch_id FROM est WHERE est_jaccard >= 0.5)
+        ORDER BY doc_id
       """)
     ),
     (

@@ -46,7 +46,12 @@ WITH date_dim AS (
          month(d_date_sk) AS d_moy,
          day(d_date_sk) AS d_dom,
          (year(d_date_sk) - 1992) * 12 + month(d_date_sk) - 1 AS d_month_seq,
-         CAST(floor((month(d_date_sk) - 1) / 3.0) AS INTEGER) + 1 AS d_qoy
+         CAST(floor((month(d_date_sk) - 1) / 3.0) AS INTEGER) + 1 AS d_qoy,
+         CASE day(d_date_sk) % 7 WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday'
+              WHEN 2 THEN 'Tuesday' WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday'
+              WHEN 5 THEN 'Friday' ELSE 'Saturday' END AS d_day_name,
+         (year(d_date_sk) - 1992) * 48 + (month(d_date_sk) - 1) * 4 +
+           CAST(floor((day(d_date_sk) - 1) / 8.0) AS INTEGER) AS d_week_seq
   FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d_date_sk FROM orders) dd
 ),
 item AS (
@@ -64,11 +69,14 @@ item AS (
               WHEN 4 THEN 'accessories' WHEN 5 THEN 'classical'
               ELSE 'fragrances' END AS i_class,
          p_name AS i_item_desc,
-         p_retailprice AS i_current_price
+         p_name AS i_product_name,
+         p_retailprice AS i_current_price,
+         p_retailprice * 0.6 AS i_wholesale_cost
   FROM part
 ),
 store AS (
   SELECT n_nationkey + 1 AS s_store_sk,
+         CAST(n_nationkey + 1 AS STRING) AS s_store_id,
          n_name AS s_store_name,
          r_name AS s_county,
          r_name AS s_company_name,
@@ -134,6 +142,7 @@ store_sales AS (
          o_orderkey % 500 AS ss_addr_sk,
          l_suppkey % 25 + 1 AS ss_store_sk,
          l_partkey % 300 AS ss_promo_sk,
+         (l_orderkey * 13 + l_linenumber * 7919) % 86400 AS ss_sold_time_sk,
          l_orderkey AS ss_ticket_number,
          CAST(l_quantity AS INTEGER) AS ss_quantity,
          l_extendedprice / l_quantity AS ss_list_price,
@@ -143,8 +152,58 @@ store_sales AS (
          l_extendedprice * (1 - l_discount) * l_tax AS ss_ext_tax,
          l_extendedprice * l_discount AS ss_coupon_amt,
          l_extendedprice * 0.6 AS ss_ext_wholesale_cost,
+         l_extendedprice * 0.6 / l_quantity AS ss_wholesale_cost,
+         l_extendedprice * (1 - l_discount) AS ss_net_paid,
+         l_extendedprice * l_discount AS ss_ext_discount_amt,
          l_extendedprice * (1 - l_discount) - l_extendedprice * 0.6 AS ss_net_profit
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+web_sales AS (
+  SELECT CAST(o_orderdate AS DATE) AS ws_sold_date_sk,
+         l_partkey AS ws_item_sk,
+         o_custkey % 1000 AS ws_bill_cdemo_sk,
+         l_partkey % 300 AS ws_promo_sk,
+         CAST(l_quantity AS INTEGER) AS ws_quantity,
+         l_extendedprice / l_quantity AS ws_list_price,
+         l_extendedprice * (1 - l_discount) / l_quantity AS ws_sales_price,
+         l_extendedprice * l_discount AS ws_coupon_amt,
+         l_extendedprice * (1 - l_discount) AS ws_ext_sales_price
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_linenumber % 3 = 1
+),
+catalog_sales AS (
+  SELECT CAST(o_orderdate AS DATE) AS cs_sold_date_sk,
+         l_partkey AS cs_item_sk,
+         o_custkey % 1000 AS cs_bill_cdemo_sk,
+         l_partkey % 300 AS cs_promo_sk,
+         CAST(l_quantity AS INTEGER) AS cs_quantity,
+         l_extendedprice / l_quantity AS cs_list_price,
+         l_extendedprice * (1 - l_discount) / l_quantity AS cs_sales_price,
+         l_extendedprice * l_discount AS cs_coupon_amt,
+         l_extendedprice * (1 - l_discount) AS cs_ext_sales_price
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_linenumber % 3 = 2
+),
+time_dim AS (
+  SELECT t_time_sk,
+         CAST(floor(t_time_sk / 3600.0) AS INTEGER) AS t_hour,
+         CAST(floor((t_time_sk % 3600) / 60.0) AS INTEGER) AS t_minute
+  FROM (SELECT DISTINCT (l_orderkey * 13 + l_linenumber * 7919) % 86400 AS t_time_sk
+        FROM lineitem) td
+),
+store_returns AS (
+  SELECT l_partkey AS sr_item_sk,
+         l_orderkey AS sr_ticket_number,
+         CAST(ceil(max(l_quantity) / 2.0) AS INTEGER) AS sr_return_quantity,
+         min(l_suppkey) % 5 + 1 AS sr_reason_sk
+  FROM lineitem
+  WHERE l_returnflag = 'R'
+  GROUP BY l_partkey, l_orderkey
+),
+reason AS (
+  SELECT r_regionkey + 1 AS r_reason_sk,
+         r_name AS r_reason_desc
+  FROM region
 )
 """
 
@@ -611,6 +670,547 @@ WHERE ss_item_sk = i_item_sk
 GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
 ORDER BY i_category NULLS FIRST, i_class NULLS FIRST, i_item_id NULLS FIRST,
          i_item_desc NULLS FIRST, revenueratio NULLS FIRST
+"""),
+    // q9: five quantity-bucket CASE ladders, each choosing between two
+    // scalar-subquery averages by a count threshold (adapted: thresholds
+    // sized to the synthetic row counts so both CASE branches are taken
+    // across the sf ladder; reason key 1 exists by construction)
+    entry("q_tpcds_q9", """
+SELECT CASE WHEN (SELECT count(*) FROM store_sales
+                  WHERE ss_quantity BETWEEN 1 AND 20) > 2000
+            THEN (SELECT round(avg(ss_ext_discount_amt) + 5e-9, 4) FROM store_sales
+                  WHERE ss_quantity BETWEEN 1 AND 20)
+            ELSE (SELECT round(avg(ss_net_paid) + 5e-9, 4) FROM store_sales
+                  WHERE ss_quantity BETWEEN 1 AND 20) END AS bucket1,
+       CASE WHEN (SELECT count(*) FROM store_sales
+                  WHERE ss_quantity BETWEEN 21 AND 40) > 30000
+            THEN (SELECT round(avg(ss_ext_discount_amt) + 5e-9, 4) FROM store_sales
+                  WHERE ss_quantity BETWEEN 21 AND 40)
+            ELSE (SELECT round(avg(ss_net_paid) + 5e-9, 4) FROM store_sales
+                  WHERE ss_quantity BETWEEN 21 AND 40) END AS bucket2,
+       CASE WHEN (SELECT count(*) FROM store_sales
+                  WHERE ss_quantity BETWEEN 41 AND 50) > 1000
+            THEN (SELECT round(avg(ss_ext_discount_amt) + 5e-9, 4) FROM store_sales
+                  WHERE ss_quantity BETWEEN 41 AND 50)
+            ELSE (SELECT round(avg(ss_net_paid) + 5e-9, 4) FROM store_sales
+                  WHERE ss_quantity BETWEEN 41 AND 50) END AS bucket3
+FROM reason
+WHERE r_reason_sk = 1
+"""),
+    // q28: six quantity-bucket aggregates (avg + count + count DISTINCT of
+    // a derived double) cross-joined into one row (adapted: price/coupon/
+    // wholesale windows moved into the synthetic value domains —
+    // ss_list_price ~ [900,1000), ss_coupon_amt up to ~5000,
+    // ss_wholesale_cost ~ [540,600))
+    entry("q_tpcds_q28", """
+SELECT round(B1_LP + 5e-9, 4) AS b1_lp, B1_CNT AS b1_cnt, B1_CNTD AS b1_cntd,
+       round(B2_LP + 5e-9, 4) AS b2_lp, B2_CNT AS b2_cnt, B2_CNTD AS b2_cntd,
+       round(B3_LP + 5e-9, 4) AS b3_lp, B3_CNT AS b3_cnt, B3_CNTD AS b3_cntd,
+       round(B4_LP + 5e-9, 4) AS b4_lp, B4_CNT AS b4_cnt, B4_CNTD AS b4_cntd,
+       round(B5_LP + 5e-9, 4) AS b5_lp, B5_CNT AS b5_cnt, B5_CNTD AS b5_cntd,
+       round(B6_LP + 5e-9, 4) AS b6_lp, B6_CNT AS b6_cnt, B6_CNTD AS b6_cntd
+FROM
+  (SELECT avg(ss_list_price) B1_LP, count(ss_list_price) B1_CNT,
+          count(DISTINCT ss_list_price) B1_CNTD
+   FROM store_sales WHERE ss_quantity BETWEEN 0 AND 5
+     AND (ss_list_price BETWEEN 900 AND 910
+          OR ss_coupon_amt BETWEEN 459 AND 1459
+          OR ss_wholesale_cost BETWEEN 570 AND 590)) B1,
+  (SELECT avg(ss_list_price) B2_LP, count(ss_list_price) B2_CNT,
+          count(DISTINCT ss_list_price) B2_CNTD
+   FROM store_sales WHERE ss_quantity BETWEEN 6 AND 10
+     AND (ss_list_price BETWEEN 990 AND 1000
+          OR ss_coupon_amt BETWEEN 2323 AND 3323
+          OR ss_wholesale_cost BETWEEN 540 AND 560)) B2,
+  (SELECT avg(ss_list_price) B3_LP, count(ss_list_price) B3_CNT,
+          count(DISTINCT ss_list_price) B3_CNTD
+   FROM store_sales WHERE ss_quantity BETWEEN 11 AND 15
+     AND (ss_list_price BETWEEN 942 AND 952
+          OR ss_coupon_amt BETWEEN 1214 AND 2214
+          OR ss_wholesale_cost BETWEEN 579 AND 599)) B3,
+  (SELECT avg(ss_list_price) B4_LP, count(ss_list_price) B4_CNT,
+          count(DISTINCT ss_list_price) B4_CNTD
+   FROM store_sales WHERE ss_quantity BETWEEN 16 AND 20
+     AND (ss_list_price BETWEEN 935 AND 945
+          OR ss_coupon_amt BETWEEN 71 AND 1071
+          OR ss_wholesale_cost BETWEEN 558 AND 578)) B4,
+  (SELECT avg(ss_list_price) B5_LP, count(ss_list_price) B5_CNT,
+          count(DISTINCT ss_list_price) B5_CNTD
+   FROM store_sales WHERE ss_quantity BETWEEN 21 AND 25
+     AND (ss_list_price BETWEEN 922 AND 932
+          OR ss_coupon_amt BETWEEN 836 AND 1836
+          OR ss_wholesale_cost BETWEEN 547 AND 567)) B5,
+  (SELECT avg(ss_list_price) B6_LP, count(ss_list_price) B6_CNT,
+          count(DISTINCT ss_list_price) B6_CNTD
+   FROM store_sales WHERE ss_quantity BETWEEN 26 AND 30
+     AND (ss_list_price BETWEEN 954 AND 964
+          OR ss_coupon_amt BETWEEN 326 AND 1326
+          OR ss_wholesale_cost BETWEEN 562 AND 582)) B6
+LIMIT 100
+"""),
+    // q41: correlated scalar-count subquery over item attribute
+    // combinations — the deep OR/AND predicate nest (adapted: manufact id
+    // range -> the 1-5 brand-digit domain; the color/units/size
+    // combinations -> i_category/i_class/i_category_id combos, preserving
+    // the two-arm (manufact, 4-way OR) x 2 structure)
+    entry("q_tpcds_q41", """
+SELECT DISTINCT (i_product_name) AS i_product_name
+FROM item i1
+WHERE i_manufact_id BETWEEN 2 AND 4
+  AND (SELECT count(*) AS item_cnt
+       FROM item
+       WHERE (i_manufact = i1.i_manufact
+              AND ((i_category = 'STANDARD'
+                    AND (i_class = 'personal' OR i_class = 'portable')
+                    AND (i_category_id = 1 OR i_category_id = 2))
+                   OR (i_category = 'SMALL'
+                       AND (i_class = 'reference' OR i_class = 'self-help')
+                       AND (i_category_id = 3 OR i_category_id = 4))
+                   OR (i_category = 'PROMO'
+                       AND (i_class = 'accessories' OR i_class = 'classical')
+                       AND (i_category_id = 5 OR i_category_id = 6))
+                   OR (i_category = 'LARGE'
+                       AND (i_class = 'fragrances' OR i_class = 'personal')
+                       AND (i_category_id = 7 OR i_category_id = 8))))
+          OR (i_manufact = i1.i_manufact
+              AND ((i_category = 'MEDIUM'
+                    AND (i_class = 'portable' OR i_class = 'reference')
+                    AND (i_category_id = 1 OR i_category_id = 2))
+                   OR (i_category = 'ECONOMY'
+                       AND (i_class = 'self-help' OR i_class = 'accessories')
+                       AND (i_category_id = 3 OR i_category_id = 4))
+                   OR (i_category = 'STANDARD'
+                       AND (i_class = 'classical' OR i_class = 'fragrances')
+                       AND (i_category_id = 5 OR i_category_id = 6))
+                   OR (i_category = 'SMALL'
+                       AND (i_class = 'personal' OR i_class = 'portable')
+                       AND (i_category_id = 7 OR i_category_id = 8))))) > 0
+ORDER BY i_product_name
+LIMIT 100
+"""),
+    // q59: week-over-year weekly sales ratios per store — the wss pivot
+    // CTE self-joined at a one-"year" week offset (adapted: d_week_seq is
+    // the synthetic 4-per-month sequence — real ISO weeks are not
+    // engine-portable arithmetic — so the year offset is 48, and month_seq
+    // windows are 1995 vs 1996; day names come from the portable
+    // day-of-month % 7 surrogate)
+    entry("q_tpcds_q59", """
+, wss AS
+  (SELECT d_week_seq, ss_store_sk,
+          sum(CASE WHEN (d_day_name = 'Sunday') THEN ss_sales_price ELSE NULL END) sun_sales,
+          sum(CASE WHEN (d_day_name = 'Monday') THEN ss_sales_price ELSE NULL END) mon_sales,
+          sum(CASE WHEN (d_day_name = 'Tuesday') THEN ss_sales_price ELSE NULL END) tue_sales,
+          sum(CASE WHEN (d_day_name = 'Wednesday') THEN ss_sales_price ELSE NULL END) wed_sales,
+          sum(CASE WHEN (d_day_name = 'Thursday') THEN ss_sales_price ELSE NULL END) thu_sales,
+          sum(CASE WHEN (d_day_name = 'Friday') THEN ss_sales_price ELSE NULL END) fri_sales,
+          sum(CASE WHEN (d_day_name = 'Saturday') THEN ss_sales_price ELSE NULL END) sat_sales
+   FROM store_sales, date_dim
+   WHERE d_date_sk = ss_sold_date_sk
+   GROUP BY d_week_seq, ss_store_sk)
+SELECT s_store_name1, s_store_id1, d_week_seq1,
+       round(sun_sales1 / sun_sales2 + 5e-9, 4) AS sun_sales_ratio,
+       round(mon_sales1 / mon_sales2 + 5e-9, 4) AS mon_sales_ratio,
+       round(tue_sales1 / tue_sales2 + 5e-9, 4) AS tue_sales_ratio,
+       round(wed_sales1 / wed_sales2 + 5e-9, 4) AS wed_sales_ratio,
+       round(thu_sales1 / thu_sales2 + 5e-9, 4) AS thu_sales_ratio,
+       round(fri_sales1 / fri_sales2 + 5e-9, 4) AS fri_sales_ratio,
+       round(sat_sales1 / sat_sales2 + 5e-9, 4) AS sat_sales_ratio
+FROM
+  (SELECT s_store_name s_store_name1, wss.d_week_seq d_week_seq1,
+          s_store_id s_store_id1, sun_sales sun_sales1, mon_sales mon_sales1,
+          tue_sales tue_sales1, wed_sales wed_sales1, thu_sales thu_sales1,
+          fri_sales fri_sales1, sat_sales sat_sales1
+   FROM wss, store, date_dim d
+   WHERE d.d_week_seq = wss.d_week_seq AND ss_store_sk = s_store_sk
+     AND d_month_seq BETWEEN 36 AND 47) y,
+  (SELECT s_store_name s_store_name2, wss.d_week_seq d_week_seq2,
+          s_store_id s_store_id2, sun_sales sun_sales2, mon_sales mon_sales2,
+          tue_sales tue_sales2, wed_sales wed_sales2, thu_sales thu_sales2,
+          fri_sales fri_sales2, sat_sales sat_sales2
+   FROM wss, store, date_dim d
+   WHERE d.d_week_seq = wss.d_week_seq AND ss_store_sk = s_store_sk
+     AND d_month_seq BETWEEN 48 AND 59) x
+WHERE s_store_id1 = s_store_id2
+  AND d_week_seq1 = d_week_seq2 - 48
+ORDER BY s_store_name1 NULLS FIRST, s_store_id1 NULLS FIRST,
+         d_week_seq1 NULLS FIRST
+LIMIT 100
+"""),
+    // q65: items whose yearly revenue falls under 10% of their store's
+    // average item revenue — the grouped-subquery vs avg-of-grouped
+    // comparison (adapted: month_seq window -> 1995; extra ORDER BY
+    // tiebreakers for cross-engine determinism under LIMIT)
+    entry("q_tpcds_q65", """
+SELECT s_store_name, i_item_desc,
+       round(sc.revenue + 5e-9, 4) AS revenue,
+       round(i_current_price + 5e-9, 4) AS i_current_price,
+       round(i_wholesale_cost + 5e-9, 4) AS i_wholesale_cost,
+       i_brand
+FROM store, item,
+  (SELECT ss_store_sk, avg(revenue) AS ave
+   FROM (SELECT ss_store_sk, ss_item_sk, sum(ss_sales_price) AS revenue
+         FROM store_sales, date_dim
+         WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 36 AND 47
+         GROUP BY ss_store_sk, ss_item_sk) sa
+   GROUP BY ss_store_sk) sb,
+  (SELECT ss_store_sk, ss_item_sk, sum(ss_sales_price) AS revenue
+   FROM store_sales, date_dim
+   WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 36 AND 47
+   GROUP BY ss_store_sk, ss_item_sk) sc
+WHERE sb.ss_store_sk = sc.ss_store_sk
+  AND sc.revenue <= 0.1 * sb.ave
+  AND s_store_sk = sc.ss_store_sk
+  AND i_item_sk = sc.ss_item_sk
+ORDER BY s_store_name NULLS FIRST, i_item_desc NULLS FIRST,
+         i_brand NULLS FIRST, revenue NULLS FIRST
+LIMIT 100
+"""),
+    // q67: the 8-level ROLLUP over category/class/brand/product x
+    // year/quarter/month x store with rank-per-category (adapted:
+    // month_seq -> 1995; sumsales ROUNDED BEFORE RANKING — ranking raw
+    // double sums would let cross-engine summation-order drift flip ties)
+    entry("q_tpcds_q67", """
+SELECT *
+FROM
+  (SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy, d_moy,
+          s_store_id, sumsales,
+          rank() OVER (PARTITION BY i_category ORDER BY sumsales DESC) rk
+   FROM
+     (SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+             d_moy, s_store_id,
+             round(sum(coalesce(ss_sales_price * ss_quantity, 0)) + 5e-9, 4) sumsales
+      FROM store_sales, date_dim, store, item
+      WHERE ss_sold_date_sk = d_date_sk
+        AND ss_item_sk = i_item_sk
+        AND ss_store_sk = s_store_sk
+        AND d_month_seq BETWEEN 36 AND 47
+      GROUP BY ROLLUP(i_category, i_class, i_brand, i_product_name, d_year,
+                      d_qoy, d_moy, s_store_id)) dw1) dw2
+WHERE rk <= 10
+ORDER BY i_category NULLS FIRST, i_class NULLS FIRST, i_brand NULLS FIRST,
+         i_product_name NULLS FIRST, d_year NULLS FIRST, d_qoy NULLS FIRST,
+         d_moy NULLS FIRST, s_store_id NULLS FIRST, sumsales NULLS FIRST,
+         rk NULLS FIRST
+LIMIT 100
+"""),
+    // q70: state/county profit rollup with rank-within-parent AND a
+    // rank()-filtered subquery inside the WHERE — the canonical
+    // grouping()-in-window form this time (q36 covers the UNION variant)
+    // (adapted: month_seq -> 1995; sums rounded before ranking)
+    entry("q_tpcds_q70", """
+SELECT round(sum(ss_net_profit) + 5e-9, 4) AS total_sum,
+       s_state, s_county,
+       grouping(s_state) + grouping(s_county) AS lochierarchy,
+       rank() OVER (PARTITION BY grouping(s_state) + grouping(s_county),
+                      CASE WHEN grouping(s_county) = 0 THEN s_state END
+                    ORDER BY round(sum(ss_net_profit) + 5e-9, 4) DESC) AS rank_within_parent
+FROM store_sales, date_dim d1, store
+WHERE d1.d_month_seq BETWEEN 36 AND 47
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND s_store_sk = ss_store_sk
+  AND s_state IN
+    (SELECT s_state
+     FROM (SELECT s_state AS s_state,
+                  rank() OVER (PARTITION BY s_state
+                               ORDER BY round(sum(ss_net_profit) + 5e-9, 4) DESC) AS ranking
+           FROM store_sales, store, date_dim
+           WHERE d_month_seq BETWEEN 36 AND 47
+             AND d_date_sk = ss_sold_date_sk
+             AND s_store_sk = ss_store_sk
+           GROUP BY s_state) tmp1
+     WHERE ranking <= 5)
+GROUP BY ROLLUP(s_state, s_county)
+ORDER BY lochierarchy DESC,
+         CASE WHEN grouping(s_state) + grouping(s_county) = 0 THEN s_state END NULLS FIRST,
+         rank_within_parent, s_state NULLS FIRST, s_county NULLS FIRST
+LIMIT 100
+"""),
+    // q93: actual sales after returns — store_sales LEFT JOIN the derived
+    // store_returns (lineitem's 'R' flag) with an inner reason filter
+    // (adapted: reason desc -> the region-name domain; sumsales rounded
+    // and used with the customer key as the deterministic sort)
+    entry("q_tpcds_q93", """
+SELECT ss_customer_sk,
+       round(sum(act_sales) + 5e-9, 4) AS sumsales
+FROM
+  (SELECT ss_item_sk, ss_ticket_number, ss_customer_sk,
+          CASE WHEN sr_return_quantity IS NOT NULL
+               THEN (ss_quantity - sr_return_quantity) * ss_sales_price
+               ELSE (ss_quantity * ss_sales_price) END act_sales
+   FROM store_sales
+   LEFT OUTER JOIN store_returns ON (sr_item_sk = ss_item_sk
+                                     AND sr_ticket_number = ss_ticket_number), reason
+   WHERE sr_reason_sk = r_reason_sk
+     AND r_reason_desc = 'EUROPE') t
+GROUP BY ss_customer_sk
+ORDER BY sumsales NULLS FIRST, ss_customer_sk NULLS FIRST
+LIMIT 100
+"""),
+    // q2: week-over-week web+catalog sales ratios across consecutive years —
+    // the UNION-ALL channel merge pivoted by day name, self-joined at a
+    // one-year week offset (adapted: synthetic week_seq is 48/year so the
+    // offset is 48 not 53; years -> 1995/1996; the unnamed canonical ratio
+    // column aliased for the column-name hash compare)
+    entry("q_tpcds_q2", """
+, wscs AS
+  (SELECT sold_date_sk, sales_price
+   FROM (SELECT ws_sold_date_sk AS sold_date_sk, ws_ext_sales_price AS sales_price
+         FROM web_sales
+         UNION ALL
+         SELECT cs_sold_date_sk AS sold_date_sk, cs_ext_sales_price AS sales_price
+         FROM catalog_sales) sq1),
+wswscs AS
+  (SELECT d_week_seq,
+          sum(CASE WHEN (d_day_name = 'Sunday') THEN sales_price ELSE NULL END) sun_sales,
+          sum(CASE WHEN (d_day_name = 'Monday') THEN sales_price ELSE NULL END) mon_sales,
+          sum(CASE WHEN (d_day_name = 'Tuesday') THEN sales_price ELSE NULL END) tue_sales,
+          sum(CASE WHEN (d_day_name = 'Wednesday') THEN sales_price ELSE NULL END) wed_sales,
+          sum(CASE WHEN (d_day_name = 'Thursday') THEN sales_price ELSE NULL END) thu_sales,
+          sum(CASE WHEN (d_day_name = 'Friday') THEN sales_price ELSE NULL END) fri_sales,
+          sum(CASE WHEN (d_day_name = 'Saturday') THEN sales_price ELSE NULL END) sat_sales
+   FROM wscs, date_dim
+   WHERE d_date_sk = sold_date_sk
+   GROUP BY d_week_seq)
+SELECT d_week_seq1,
+       round(sun_sales1 / sun_sales2 + 5e-9, 4) AS r1,
+       round(mon_sales1 / mon_sales2 + 5e-9, 4) AS r2,
+       round(tue_sales1 / tue_sales2 + 5e-9, 4) AS r3,
+       round(wed_sales1 / wed_sales2 + 5e-9, 4) AS r4,
+       round(thu_sales1 / thu_sales2 + 5e-9, 4) AS r5,
+       round(fri_sales1 / fri_sales2 + 5e-9, 4) AS r6,
+       round(sat_sales1 / sat_sales2 + 5e-9, 4) AS r7
+FROM
+  (SELECT wswscs.d_week_seq d_week_seq1, sun_sales sun_sales1,
+          mon_sales mon_sales1, tue_sales tue_sales1, wed_sales wed_sales1,
+          thu_sales thu_sales1, fri_sales fri_sales1, sat_sales sat_sales1
+   FROM wswscs, date_dim
+   WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 1995) y,
+  (SELECT wswscs.d_week_seq d_week_seq2, sun_sales sun_sales2,
+          mon_sales mon_sales2, tue_sales tue_sales2, wed_sales wed_sales2,
+          thu_sales thu_sales2, fri_sales fri_sales2, sat_sales sat_sales2
+   FROM wswscs, date_dim
+   WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 1995 + 1) z
+WHERE d_week_seq1 = d_week_seq2 - 48
+ORDER BY d_week_seq1 NULLS FIRST
+"""),
+    // q12: the q98 revenue-ratio shape over the WEB channel (adapted like
+    // q98: category list -> the p_type-derived domain, 1999 window -> 1995)
+    entry("q_tpcds_q12", """
+SELECT i_item_id, i_item_desc, i_category, i_class,
+       round(i_current_price + 5e-9, 4) AS i_current_price,
+       round(sum(ws_ext_sales_price) + 5e-9, 4) AS itemrevenue,
+       round(sum(ws_ext_sales_price) * 100.0000 /
+             sum(sum(ws_ext_sales_price)) OVER (PARTITION BY i_class) + 5e-9, 4)
+         AS revenueratio
+FROM web_sales, item, date_dim
+WHERE ws_item_sk = i_item_sk
+  AND i_category IN ('STANDARD', 'SMALL', 'PROMO')
+  AND ws_sold_date_sk = d_date_sk
+  AND d_date BETWEEN CAST('1995-02-22' AS DATE) AND CAST('1995-03-24' AS DATE)
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+ORDER BY i_category NULLS FIRST, i_class NULLS FIRST, i_item_id NULLS FIRST,
+         i_item_desc NULLS FIRST, revenueratio NULLS FIRST
+LIMIT 100
+"""),
+    // q20: the q98 revenue-ratio shape over the CATALOG channel (same
+    // adaptations as q12)
+    entry("q_tpcds_q20", """
+SELECT i_item_id, i_item_desc, i_category, i_class,
+       round(i_current_price + 5e-9, 4) AS i_current_price,
+       round(sum(cs_ext_sales_price) + 5e-9, 4) AS itemrevenue,
+       round(sum(cs_ext_sales_price) * 100.0000 /
+             sum(sum(cs_ext_sales_price)) OVER (PARTITION BY i_class) + 5e-9, 4)
+         AS revenueratio
+FROM catalog_sales, item, date_dim
+WHERE cs_item_sk = i_item_sk
+  AND i_category IN ('STANDARD', 'SMALL', 'PROMO')
+  AND cs_sold_date_sk = d_date_sk
+  AND d_date BETWEEN CAST('1995-02-22' AS DATE) AND CAST('1995-03-24' AS DATE)
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+ORDER BY i_category NULLS FIRST, i_class NULLS FIRST, i_item_id NULLS FIRST,
+         i_item_desc NULLS FIRST, revenueratio NULLS FIRST
+LIMIT 100
+"""),
+    // q26: demographic-filtered catalog averages through the promotion dim
+    // — the q7 shape on the catalog channel (adapted: avgs rounded 4dp
+    // with the small-group nudge; d_year -> 1995)
+    entry("q_tpcds_q26", """
+SELECT i_item_id,
+       round(avg(cs_quantity) + 5e-9, 4) AS agg1,
+       round(avg(cs_list_price) + 5e-9, 4) AS agg2,
+       round(avg(cs_coupon_amt) + 5e-9, 4) AS agg3,
+       round(avg(cs_sales_price) + 5e-9, 4) AS agg4
+FROM catalog_sales, customer_demographics, date_dim, item, promotion
+WHERE cs_sold_date_sk = d_date_sk
+  AND cs_item_sk = i_item_sk
+  AND cs_bill_cdemo_sk = cd_demo_sk
+  AND cs_promo_sk = p_promo_sk
+  AND cd_gender = 'M'
+  AND cd_marital_status = 'S'
+  AND cd_education_status = 'College'
+  AND (p_channel_email = 'N' OR p_channel_event = 'N')
+  AND d_year = 1995
+GROUP BY i_item_id
+ORDER BY i_item_id NULLS FIRST
+LIMIT 100
+"""),
+    // q43: per-store day-name sales pivot over a year (adapted: the store
+    // dim has no gmt offset -> s_state filter on the derived domain;
+    // d_year -> 1995; sums rounded 4dp)
+    entry("q_tpcds_q43", """
+SELECT s_store_name, s_store_id,
+       round(sum(CASE WHEN (d_day_name = 'Sunday') THEN ss_sales_price ELSE NULL END) + 5e-9, 4) AS sun_sales,
+       round(sum(CASE WHEN (d_day_name = 'Monday') THEN ss_sales_price ELSE NULL END) + 5e-9, 4) AS mon_sales,
+       round(sum(CASE WHEN (d_day_name = 'Tuesday') THEN ss_sales_price ELSE NULL END) + 5e-9, 4) AS tue_sales,
+       round(sum(CASE WHEN (d_day_name = 'Wednesday') THEN ss_sales_price ELSE NULL END) + 5e-9, 4) AS wed_sales,
+       round(sum(CASE WHEN (d_day_name = 'Thursday') THEN ss_sales_price ELSE NULL END) + 5e-9, 4) AS thu_sales,
+       round(sum(CASE WHEN (d_day_name = 'Friday') THEN ss_sales_price ELSE NULL END) + 5e-9, 4) AS fri_sales,
+       round(sum(CASE WHEN (d_day_name = 'Saturday') THEN ss_sales_price ELSE NULL END) + 5e-9, 4) AS sat_sales
+FROM date_dim, store_sales, store
+WHERE d_date_sk = ss_sold_date_sk
+  AND s_store_sk = ss_store_sk
+  AND s_state = 'TN'
+  AND d_year = 1995
+GROUP BY s_store_name, s_store_id
+ORDER BY s_store_name NULLS FIRST, s_store_id NULLS FIRST, sun_sales NULLS FIRST,
+         mon_sales NULLS FIRST, tue_sales NULLS FIRST, wed_sales NULLS FIRST,
+         thu_sales NULLS FIRST, fri_sales NULLS FIRST, sat_sales NULLS FIRST
+LIMIT 100
+"""),
+    // q63: managers whose monthly sales deviate >10% from their own average
+    // — the q53 shape at monthly grain on i_manager_id (adapted: month_seq
+    // window -> 1995's 36-47; brand/category lists -> the TPC-H domains,
+    // as in q53)
+    entry("q_tpcds_q63", """
+SELECT i_manager_id,
+       round(sum_sales + 5e-9, 4) AS sum_sales,
+       round(avg_monthly_sales + 5e-9, 4) AS avg_monthly_sales
+FROM (
+  SELECT i_manager_id,
+         sum(ss_sales_price) AS sum_sales,
+         avg(sum(ss_sales_price)) OVER (PARTITION BY i_manager_id) AS avg_monthly_sales
+  FROM item, store_sales, date_dim, store
+  WHERE ss_item_sk = i_item_sk
+    AND ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk
+    AND d_month_seq IN (36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47)
+    AND ((i_category IN ('STANDARD', 'SMALL', 'PROMO')
+          AND i_class IN ('personal', 'portable', 'reference', 'self-help')
+          AND i_brand IN ('Brand#1', 'Brand#11', 'Brand#23', 'Brand#14',
+                          'Brand#5', 'Brand#17', 'Brand#20', 'Brand#8'))
+         OR (i_category IN ('ECONOMY', 'MEDIUM', 'LARGE')
+             AND i_class IN ('accessories', 'classical', 'fragrances')
+             AND i_brand IN ('Brand#2', 'Brand#12', 'Brand#24', 'Brand#15',
+                             'Brand#6', 'Brand#18', 'Brand#21', 'Brand#9')))
+  GROUP BY i_manager_id, d_moy) tmp1
+WHERE CASE WHEN avg_monthly_sales > 0
+           THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+           ELSE NULL END > 0.1
+ORDER BY i_manager_id NULLS FIRST, avg_monthly_sales, sum_sales
+LIMIT 100
+"""),
+    // q88: eight half-hour customer-count buckets as cross-joined scalar
+    // subqueries over the derived time dim (adapted: store name -> the
+    // nation-name domain; the synthetic time_sk spreads uniformly over the
+    // 86400-second day so every bucket is populated)
+    entry("q_tpcds_q88", """
+SELECT * FROM
+  (SELECT count(*) h8_30_to_9
+   FROM store_sales, household_demographics, time_dim, store
+   WHERE ss_sold_time_sk = time_dim.t_time_sk
+     AND ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND ss_store_sk = s_store_sk
+     AND time_dim.t_hour = 8 AND time_dim.t_minute >= 30
+     AND ((household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2)
+          OR (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2)
+          OR (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0 + 2))
+     AND store.s_store_name = 'JAPAN') s1,
+  (SELECT count(*) h9_to_9_30
+   FROM store_sales, household_demographics, time_dim, store
+   WHERE ss_sold_time_sk = time_dim.t_time_sk
+     AND ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND ss_store_sk = s_store_sk
+     AND time_dim.t_hour = 9 AND time_dim.t_minute < 30
+     AND ((household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2)
+          OR (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2)
+          OR (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0 + 2))
+     AND store.s_store_name = 'JAPAN') s2,
+  (SELECT count(*) h9_30_to_10
+   FROM store_sales, household_demographics, time_dim, store
+   WHERE ss_sold_time_sk = time_dim.t_time_sk
+     AND ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND ss_store_sk = s_store_sk
+     AND time_dim.t_hour = 9 AND time_dim.t_minute >= 30
+     AND ((household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2)
+          OR (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2)
+          OR (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0 + 2))
+     AND store.s_store_name = 'JAPAN') s3,
+  (SELECT count(*) h10_to_10_30
+   FROM store_sales, household_demographics, time_dim, store
+   WHERE ss_sold_time_sk = time_dim.t_time_sk
+     AND ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND ss_store_sk = s_store_sk
+     AND time_dim.t_hour = 10 AND time_dim.t_minute < 30
+     AND ((household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2)
+          OR (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2)
+          OR (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0 + 2))
+     AND store.s_store_name = 'JAPAN') s4,
+  (SELECT count(*) h10_30_to_11
+   FROM store_sales, household_demographics, time_dim, store
+   WHERE ss_sold_time_sk = time_dim.t_time_sk
+     AND ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND ss_store_sk = s_store_sk
+     AND time_dim.t_hour = 10 AND time_dim.t_minute >= 30
+     AND ((household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2)
+          OR (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2)
+          OR (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0 + 2))
+     AND store.s_store_name = 'JAPAN') s5,
+  (SELECT count(*) h11_to_11_30
+   FROM store_sales, household_demographics, time_dim, store
+   WHERE ss_sold_time_sk = time_dim.t_time_sk
+     AND ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND ss_store_sk = s_store_sk
+     AND time_dim.t_hour = 11 AND time_dim.t_minute < 30
+     AND ((household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2)
+          OR (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2)
+          OR (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0 + 2))
+     AND store.s_store_name = 'JAPAN') s6,
+  (SELECT count(*) h11_30_to_12
+   FROM store_sales, household_demographics, time_dim, store
+   WHERE ss_sold_time_sk = time_dim.t_time_sk
+     AND ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND ss_store_sk = s_store_sk
+     AND time_dim.t_hour = 11 AND time_dim.t_minute >= 30
+     AND ((household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2)
+          OR (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2)
+          OR (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0 + 2))
+     AND store.s_store_name = 'JAPAN') s7,
+  (SELECT count(*) h12_to_12_30
+   FROM store_sales, household_demographics, time_dim, store
+   WHERE ss_sold_time_sk = time_dim.t_time_sk
+     AND ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND ss_store_sk = s_store_sk
+     AND time_dim.t_hour = 12 AND time_dim.t_minute < 30
+     AND ((household_demographics.hd_dep_count = 4 AND household_demographics.hd_vehicle_count <= 4 + 2)
+          OR (household_demographics.hd_dep_count = 2 AND household_demographics.hd_vehicle_count <= 2 + 2)
+          OR (household_demographics.hd_dep_count = 0 AND household_demographics.hd_vehicle_count <= 0 + 2))
+     AND store.s_store_name = 'JAPAN') s8
+"""),
+    // q96: a single evening-rush customer count through the time dim
+    // (adapted: store name -> the nation-name domain; dep_count 7 exists in
+    // the derived hd domain 0-9)
+    entry("q_tpcds_q96", """
+SELECT count(*) AS cnt
+FROM store_sales, household_demographics, time_dim, store
+WHERE ss_sold_time_sk = time_dim.t_time_sk
+  AND ss_hdemo_sk = household_demographics.hd_demo_sk
+  AND ss_store_sk = s_store_sk
+  AND time_dim.t_hour = 20
+  AND time_dim.t_minute >= 30
+  AND household_demographics.hd_dep_count = 7
+  AND store.s_store_name = 'JAPAN'
+ORDER BY cnt
+LIMIT 100
 """)
   )
 }

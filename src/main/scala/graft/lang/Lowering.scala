@@ -1135,6 +1135,71 @@ object Lowering {
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "minhash_index" =>
+      // minhash_index('corpus', 'id_col', 'text_col'[, num_hashes, shingle])
+      // — offline build of the persisted MinHash signature index
+      // (operators/Dedup.buildMinhashIndex): (id, sig array<long>), meant to
+      // be CTAS'd; later batches dedupe against it without re-shingling the
+      // corpus (dedup_incremental)
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String)) =>
+          Plain(graft.operators.Dedup.buildMinhashIndex(
+            lower(TableRef(corpus), ctx), idCol, textCol))
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
+            Some(k: Long), Some(sh: Long)) =>
+          Plain(graft.operators.Dedup.buildMinhashIndex(
+            lower(TableRef(corpus), ctx), idCol, textCol, k.toInt, sh.toInt))
+        case _ =>
+          throw new LoweringException(
+            "minhash_index expects (corpus, id_col, text_col[, num_hashes, shingle]) " +
+              "literals, e.g. minhash_index('documents', 'doc_id', 'text', 64, 2)")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        (name.toLowerCase == "dedup_incremental" ||
+         name.toLowerCase == "dedup_incremental_pairs") =>
+      // dedup_incremental[_pairs]('batch', 'index', 'id_col', 'text_col'
+      //   [, threshold, num_hashes, bands, shingle])
+      // — incremental dedup of a NEW batch against a persisted minhash_index
+      // (file path or table): _pairs returns the (batch_id, corpus_id,
+      // est_jaccard) links; the plain form returns the batch rows with no
+      // near-dup in the corpus. (num_hashes, shingle) MUST match the index
+      // build (mismatched probes hash different band keys and find nothing).
+      {
+        val pairsOnly = name.toLowerCase.endsWith("_pairs")
+        def run(batch: String, index: String, idCol: String, textCol: String,
+            t: Double, k: Int, b: Int, sh: Int): LRes = {
+          val batchDf = lower(TableRef(batch), ctx)
+          val idxDf = lower(TableRef(index), ctx)
+          if (pairsOnly)
+            Plain(graft.operators.Dedup.minhashIndexPairs(
+              batchDf, idCol, textCol, idxDf, t, k, b, sh))
+          else
+            Plain(graft.operators.Dedup.dedupAgainstMinhashIndex(
+              batchDf, idCol, textCol, idxDf, t, k, b, sh))
+        }
+        args.map(constValue) match {
+          case List(Some(batch: String), Some(index: String),
+              Some(idCol: String), Some(textCol: String)) =>
+            run(batch, index, idCol, textCol, 0.5, 64, 16, 2)
+          case List(Some(batch: String), Some(index: String),
+              Some(idCol: String), Some(textCol: String), Some(threshold),
+              Some(k: Long), Some(b: Long), Some(sh: Long)) =>
+            val t = threshold match {
+              case n: Number => n.doubleValue()
+              case other => throw new LoweringException(
+                s"$name: threshold must be a number, got '$other'")
+            }
+            run(batch, index, idCol, textCol, t, k.toInt, b.toInt, sh.toInt)
+          case _ =>
+            throw new LoweringException(
+              s"$name expects (batch, index, id_col, text_col[, threshold, " +
+                s"num_hashes, bands, shingle]) literals, e.g. " +
+                s"$name('new_docs', '/data/minhash_idx.parquet', 'doc_id', 'text', 0.5, 64, 16, 2)")
+        }
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "jdbc" =>
       // jdbc('url', 'table') — single-stream remote read; or the parallel
       // form jdbc('url', 'table', partition_col, num_parts, lower, upper)

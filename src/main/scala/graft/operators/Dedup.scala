@@ -251,6 +251,134 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------------
+  // Persisted MinHash signature index + incremental (batch-vs-corpus) dedup
+  // ---------------------------------------------------------------------------
+
+  /** Build the CTAS-able MinHash signature index of a corpus: one row per
+    * doc with >= 1 shingle, schema (idCol, sig array<long>) with
+    * sig(j) = the j-th fixed-seed minhash (identical values to
+    * [[minhashSignatures]]' __mj columns — the DuckDB oracle reproduces
+    * them bit-for-bit).
+    *
+    * This is the offline step of incremental dedup at 100 TB: the corpus
+    * text is shingled ONCE, and every later batch probes the stored
+    * signatures (~numHashes×8 bytes/doc ≈ 0.5 KB vs the 5–50 KB raw doc).
+    * A beyond-parity scale lever (the reference has no dedup operators —
+    * this family is the training-data-pipeline surface), same
+    * offline-build/online-probe shape as
+    * [[graft.operators.Similarity.buildInt8Index]]. */
+  def buildMinhashIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      shingleSize: Int = 2
+  ): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
+    sigs.select(
+      F.col(idCol),
+      F.array((0 until numHashes).map(j => F.col(s"__m$j")): _*).as("sig"))
+  }
+
+  /** (batch_id, corpus_id, est_jaccard) near-dup links from a NEW batch of
+    * documents into a persisted signature index (see
+    * [[buildMinhashIndex]]). The batch is shingled fresh — the only text
+    * scan in the query; the corpus side reads (id, sig) from the index and
+    * never touches corpus text.
+    *
+    * Candidates: banded LSH — band hash = xxhash64 over the band's r
+    * signature components, identical on both sides, so an index built at
+    * (numHashes, shingleSize) MUST be probed with the same values (and the
+    * same bands for the collision probability you expect). Verification:
+    * the standard k-component MinHash estimator, est_jaccard =
+    * |{j : sigA(j) = sigB(j)}| / k — computed from signatures alone (no
+    * corpus text), granularity 1/k, an unbiased estimate of the true
+    * shingle Jaccard. Postings carry only (id, band_idx, band_hash) —
+    * 24-byte rows — and signatures are re-joined by id only for the
+    * candidate set, so verify I/O scales with candidates, not the corpus.
+    * Pathological corpus buckets (boilerplate storms) are capped via
+    * `maxBucketSize`, same guard as [[minhashLshPairs]]. */
+  def minhashIndexPairs(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      threshold: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 2,
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val idxIdCol = index.columns.head
+    val bsig = buildMinhashIndex(batch, idCol, textCol, numHashes, shingleSize)
+      .select(F.col(idCol).as("batch_id"), F.col("sig"))
+    val isig = index.select(F.col(idxIdCol).as("corpus_id"), F.col("sig"))
+
+    def postings(df: DataFrame, idName: String): DataFrame = {
+      val bandHashes = (0 until bands).map { bi =>
+        F.xxhash64((bi * r until (bi + 1) * r).map(j => F.col("sig")(j)): _*)
+      }
+      df.select(
+        F.col(idName),
+        F.posexplode(F.array(bandHashes: _*)).as(Seq("band_idx", "band_hash")))
+    }
+    val parts = batch.sparkSession.sparkContext.defaultParallelism
+    val bPost = postings(bsig, "batch_id")
+      .repartition(parts, F.col("band_idx"), F.col("band_hash"))
+    val cPost0 = postings(isig, "corpus_id")
+      .repartition(parts, F.col("band_idx"), F.col("band_hash"))
+    val cPost =
+      if (maxBucketSize > 0)
+        cPost0
+          .withColumn("__bn", F.count(F.lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_hash")))
+          .filter(F.col("__bn") <= maxBucketSize)
+          .drop("__bn")
+      else cPost0
+
+    val candidates = bPost
+      .join(cPost, Seq("band_idx", "band_hash"))
+      .select("batch_id", "corpus_id")
+      .dropDuplicates("batch_id", "corpus_id")
+
+    // verify from signatures only: matches/k as a codegen'd constant-width
+    // sum of per-component equality flags (no interpreted HOFs in the path)
+    val withSigs = candidates
+      .join(bsig.select(F.col("batch_id"), F.col("sig").as("__sig_a")), Seq("batch_id"))
+      .join(isig.select(F.col("corpus_id"), F.col("sig").as("__sig_b")), Seq("corpus_id"))
+    val matches = (0 until numHashes)
+      .map(j => F.when(F.col("__sig_a")(j) === F.col("__sig_b")(j), 1).otherwise(0))
+      .reduce(_ + _)
+    withSigs
+      .withColumn("est_jaccard", F.round(matches.cast("double") / numHashes, 6))
+      .filter(F.col("est_jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "est_jaccard")
+  }
+
+  /** Incremental dedup: the batch rows that have NO near-dup in the
+    * persisted corpus index — the daily-ingest shape (dedupe today's crawl
+    * against yesterday's multi-TB corpus without re-shingling the corpus).
+    * Intra-batch dups are deliberately NOT removed here (compose with
+    * [[minhashLsh]] on the batch for that). */
+  def dedupAgainstMinhashIndex(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      threshold: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 2
+  ): DataFrame = {
+    val flagged = minhashIndexPairs(
+      batch, idCol, textCol, index, threshold, numHashes, bands, shingleSize)
+      .select(F.col("batch_id").as(idCol)).distinct()
+    batch.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  // ---------------------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------------------
 

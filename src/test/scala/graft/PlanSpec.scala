@@ -263,6 +263,40 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("persisted minhash index: corpus text column is PRUNED from the index scan") {
+    // Incremental dedup's whole point is that the corpus text is never
+    // re-read: probing a payload-bearing persisted index (id, sig, text —
+    // the realistic CTAS) must scan only (id, sig). At 100 TB the text
+    // column is ~10-100× the signature bytes, so an unpruned scan turns
+    // the index probe back into a corpus scan.
+    import org.apache.spark.sql.{functions => F}
+    val docs = table("documents")
+    val corpus = docs.filter(F.col("doc_id") % 4 =!= 0)
+    val combined = graft.operators.Dedup
+      .buildMinhashIndex(corpus, "doc_id", "text")
+      .join(corpus.select("doc_id", "text"), "doc_id")
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_planspec_minhash_index").getAbsolutePath
+    combined.write.mode("overwrite").parquet(path)
+    val idx = spark.read.parquet(path)
+    val batch = docs.filter(F.col("doc_id") % 4 === 0).select("doc_id", "text")
+    val df = graft.operators.Dedup.minhashIndexPairs(
+      batch, "doc_id", "text", idx, threshold = 0.5)
+    val plan = planOf(df)
+    assert(plan.contains("graft_planspec_minhash_index"), s"index not scanned:\n$plan")
+    // the index-side ReadSchema lines are the ones containing sig (the
+    // batch side scans text from the TESTDATA dir, not the index path);
+    // none of them may read text
+    val sigSchemas = plan.linesIterator.toList
+      .filter(l => l.contains("ReadSchema") && l.contains("sig"))
+    assert(sigSchemas.nonEmpty, s"no index ReadSchema with sig:\n$plan")
+    sigSchemas.foreach { rs =>
+      assert(!rs.contains("text"),
+        s"index scan reads the corpus text column: $rs")
+    }
+    assert(df.count() > 0, "probe returned no rows")
+  }
+
   test("partitioned LSH index: probe buckets prune partitions at the scan") {
     // The bucket-partitioned posting index must be read as an index LOOKUP:
     // the probe set pushes down as a static partition filter so only

@@ -43,6 +43,41 @@ class PipelineSpec extends SparkTestBase {
       s"expected (0, 9999) pair, got ${pairs.mkString(", ")}")
   }
 
+  test("incremental dedup: batch near-dup of an indexed corpus doc is dropped, novel doc kept") {
+    import spark.implicits._
+    val corpus = docs.limit(20).select("doc_id", "text")
+    val index = Dedup.buildMinhashIndex(corpus, "doc_id", "text")
+    // batch: an exact copy of corpus doc 3 (est_jaccard = 1), plus a doc
+    // whose text shares nothing with the corpus
+    val dup = corpus.filter($"doc_id" === 3)
+      .select(F.lit(7001L).as("doc_id"), $"text")
+    val novel = Seq((7002L, "zyx wvu tsr qpo nml kji hgf edc ba zz yy xx ww vv uu"))
+      .toDF("doc_id", "text")
+    val batch = dup.union(novel)
+    val pairs = Dedup.minhashIndexPairs(batch, "doc_id", "text", index, threshold = 0.5)
+      .collect()
+    assert(pairs.exists(r => r.getLong(0) == 7001L && r.getLong(1) == 3L &&
+      r.getDouble(2) == 1.0), s"expected (7001, 3, 1.0), got ${pairs.mkString(", ")}")
+    assert(!pairs.exists(_.getLong(0) == 7002L),
+      s"novel doc flagged: ${pairs.mkString(", ")}")
+    val kept = Dedup.dedupAgainstMinhashIndex(batch, "doc_id", "text", index)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(7002L), s"expected only 7002 kept, got $kept")
+  }
+
+  test("incremental dedup: index signatures equal the in-corpus signature path") {
+    // the index build must persist EXACTLY the signatures minhashSignatures
+    // computes — a drifted index silently misses every candidate (band
+    // hashes are over the components)
+    val corpus = docs.limit(15).select("doc_id", "text")
+    val idx = Dedup.buildMinhashIndex(corpus, "doc_id", "text", numHashes = 64, shingleSize = 2)
+    val direct = Dedup.minhashSignatures(corpus, "doc_id", "text", 64, 2)
+    val recombined = direct.select(
+      F.col("doc_id"),
+      F.array((0 until 64).map(j => F.col(s"__m$j")): _*).as("sig"))
+    assert(idx.except(recombined).isEmpty && recombined.except(idx).isEmpty)
+  }
+
   test("simhash: hamming 0 for identical docs, pairs found") {
     import spark.implicits._
     val base = docs.limit(10).select("doc_id", "text")
@@ -508,6 +543,27 @@ class PipelineSpec extends SparkTestBase {
     intercept[Exception] {
       wv("from similarity_topk('embeddings', 'vec_id', 'embedding', 3, 'brute', 8, 6)")
     }
+  }
+
+  test("minhash_index + dedup_incremental run from wv and match the API") {
+    // offline index build CTAS'd from the language, then incremental dedup
+    // of a "batch" against the persisted file — language and API must agree
+    val base = java.nio.file.Files.createTempDirectory("mh_idx_lang").toString
+    wv(s"""
+      from minhash_index('documents', 'doc_id', 'text')
+      save to '$base/idx.parquet'
+    """).collect()
+    val viaLang = wv(
+      s"from dedup_incremental_pairs('documents', '$base/idx.parquet', 'doc_id', 'text', 0.9, 64, 16, 2)")
+    val idx = spark.read.parquet(s"$base/idx.parquet")
+    val viaApi = Dedup.minhashIndexPairs(docs, "doc_id", "text", idx, threshold = 0.9)
+    assert(viaLang.collect().toSet == viaApi.collect().toSet)
+    // every doc is in the index here, so at est >= 0.9 each batch doc links
+    // to itself (est = 1.0) and the drop form returns zero rows
+    val dropped = wv(
+      s"from dedup_incremental('documents', '$base/idx.parquet', 'doc_id', 'text', 0.9, 64, 16, 2)")
+    assert(dropped.count() == 0)
+    assert(viaLang.count() >= docs.count()) // self-links at minimum
   }
 
   test("LSH + int8 composition: quantized scoring over bucketed candidates") {
