@@ -166,6 +166,51 @@ object Subscribe {
     }
   }
 
+  /** Streaming incremental near-dup dedup: each micro-batch of ingested
+    * documents is probed against a PERSISTED MinHash signature index
+    * (see [[graft.operators.Dedup.buildMinhashIndex]]) and only the rows
+    * with no near-dup in the corpus are appended to `outPath` — the
+    * always-on flavor of the daily-ingest shape (dedupe the crawl stream
+    * against the multi-TB corpus without ever re-shingling the corpus).
+    *
+    * Runs through foreachBatch because signature computation is a
+    * per-document aggregation over exploded shingles — semantically a
+    * per-batch (not cross-batch) computation, which foreachBatch expresses
+    * exactly and keeps OFF the streaming state store (the probe is
+    * stateless; the only state is the checkpoint's input log). The index
+    * DataFrame is re-read per batch, so a concurrently-refreshed index
+    * (e.g. a nightly CTAS) is picked up without restarting the query.
+    * Exact intra-stream dups are [[dedupStream]]'s job upstream (bounded
+    * watermark state); near-dup links WITHIN one batch are intentionally
+    * kept (compose [[graft.operators.Dedup.minhashLsh]] on the staged
+    * output for that). */
+  def dedupIncrementalAppend(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      outPath: String,
+      checkpointPath: String,
+      threshold: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 2,
+      availableNow: Boolean = true
+  ): StreamingQuery = {
+    require(stream.isStreaming,
+      "dedupIncrementalAppend requires a streaming DataFrame (readStream)")
+    val w = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup
+          .dedupAgainstMinhashIndex(
+            batch, idCol, textCol, index, threshold, numHashes, bands, shingleSize)
+          .write.mode("append").parquet(outPath)
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
   /** Stage finalized windows into an append-only parquet directory. With
     * `Trigger.AvailableNow` the query drains available input and terminates —
     * invoke repeatedly with the same checkpoint for batch-triggered

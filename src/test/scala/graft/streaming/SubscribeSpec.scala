@@ -542,4 +542,56 @@ class SubscribeSpec extends SparkTestBase {
     assert(staged.head.getAs[Long]("n") == 2L,
       s"dedup-on-ingest must precede the window agg: ${staged.head}")
   }
+
+  test("streaming incremental dedup: micro-batches probe the persisted minhash index") {
+    import graft.operators.Dedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def writeDocs(dir: String, name: String, rows: Seq[(Long, String)]): Unit = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+          rows.map { case (id, t) => org.apache.spark.sql.Row(id, t) }.asJava, docSchema)
+        .coalesce(1).write.mode("append").parquet(s"$dir/$name")
+    }
+    val corpus = table("documents").limit(20).select("doc_id", "text")
+    val idxPath = Files.createTempDirectory("sdi_idx").toString + "/idx.parquet"
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(idxPath)
+    val in = Files.createTempDirectory("sdi_in").toString
+    val out = Files.createTempDirectory("sdi_out").toString
+    val ck = Files.createTempDirectory("sdi_ck").toString
+    val corpusText3 = corpus.filter(F.col("doc_id") === 3)
+      .select("text").collect().head.getString(0)
+    val novel1 = "zyx wvu tsr qpo nml kji hgf edc ba zz yy xx ww vv uu"
+    val novel2 = "aurora borealis crept over frozen fjords while silent owls watched"
+    writeDocs(in, "b1", Seq((9001L, corpusText3), (9002L, novel1)))
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(docSchema).parquet(s"$in/*")
+      val q = Subscribe.dedupIncrementalAppend(
+        stream, "doc_id", "text", spark.read.parquet(idxPath), out, ck)
+      q.awaitTermination()
+    }
+    runOnce()
+    // the corpus near-dup is dropped, the novel doc staged
+    val after1 = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(after1 == Set(9002L), s"got $after1")
+
+    // second micro-batch through the SAME checkpoint: only new input is
+    // probed; another corpus dup is dropped and a second novel doc lands
+    writeDocs(in, "b2", Seq((9003L, corpusText3), (9004L, novel2)))
+    runOnce()
+    val after2 = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(after2 == Set(9002L, 9004L), s"got $after2")
+
+    // batch equivalence: the staged survivors equal the batch operator
+    // over the union of all micro-batch input
+    val allIn = spark.read.schema(docSchema).parquet(s"$in/*")
+    val batchKept = Dedup.dedupAgainstMinhashIndex(
+        allIn, "doc_id", "text", spark.read.parquet(idxPath))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept == after2, s"stream $after2 vs batch $batchKept")
+  }
 }
