@@ -204,14 +204,22 @@ object FlowExecutor {
             beatLog.synchronized { beatLog += now }
           }
           // a late check firing after the attempt completed must not leak
-          // an interrupt into the next attempt / the pool's next stage
-          def kill(e: Throwable): Unit =
+          // an interrupt into the next attempt / the pool's next stage.
+          // attemptLock makes the check-and-interrupt atomic against the
+          // finally block's set-done-and-clear: without it, kill() could
+          // read attemptDone==false, the worker's finally could then
+          // complete (clearing the flag) and return the pooled thread to
+          // another stage, and only THEN would interrupt() land — failing
+          // an unrelated stage's attempt.
+          val attemptLock = new Object
+          def kill(e: Throwable): Unit = attemptLock.synchronized {
             if (!attemptDone.get() && killedFor.compareAndSet(null, e)) {
               sparkOpt.foreach(sp =>
                 try sp.sparkContext.cancelJobGroup(jobTag)
                 catch { case NonFatal(_) => () })
               worker.interrupt()
             }
+          }
           val checks = mutable.Buffer.empty[java.util.concurrent.ScheduledFuture[_]]
           s.timeoutMs.foreach { t =>
             checks += monitor.schedule(new Runnable {
@@ -273,10 +281,15 @@ object FlowExecutor {
             case e: Throwable if NonFatal(e) || e.isInstanceOf[InterruptedException] =>
               lastError = Option(killedFor.get()).getOrElse(e)
           } finally {
-            attemptDone.set(true)
+            // same lock as kill(): either kill wins (interrupt lands before
+            // the flag flips and is cleared right here) or this block wins
+            // (attemptDone true → kill no-ops). No third interleaving.
+            attemptLock.synchronized {
+              attemptDone.set(true)
+              Thread.interrupted() // clear any pending monitor interrupt
+            }
             checks.foreach(_.cancel(false))
             sparkOpt.foreach(_.sparkContext.clearJobGroup())
-            Thread.interrupted() // clear any pending monitor interrupt
           }
         }
         StageFailed(lastError, attempt)

@@ -114,12 +114,37 @@ object FlowRunner {
       fd.stages.toList.map(sp => StageRunRecord(sp.name, "running", 0, None)),
       leaseExpiresAtMillis = Some(System.currentTimeMillis() + leaseMs))
     store.foreach(_.save(runningRecord()))
+    // The limit check above is check-then-claim: two concurrent claimants
+    // can both count runningNow < limit and both save. Close the window by
+    // re-listing AFTER our claim is visible and backing off (converting the
+    // claim to skipped) when over-claimed, keeping the `limit` oldest
+    // claims by runId order (runIds are timestamp-prefixed, so ordering is
+    // deterministic and every claimant computes the same survivor set).
+    limit.foreach { lim =>
+      store.foreach { st =>
+        val live = st.list().filter(r =>
+          r.flowName == fd.name && r.isLiveRunning(System.currentTimeMillis()))
+        if (live.size > lim && !live.map(_.runId).sorted.take(lim).contains(runId))
+          return skipRun(s"concurrency limit $lim reached (over-claim backoff)")
+      }
+    }
+    // saveLock + terminal serialize the refresher's running-record writes
+    // against the terminal save: without it, a refresh already in flight at
+    // cancel time could write its 'running' record AFTER the terminal
+    // record, leaving the run permanently 'running' (→ read as failed by
+    // gates once the lease expires) even though it succeeded.
+    val saveLock = new Object
+    @volatile var terminal = false
     val refresh = store.map { st =>
       val period = math.max(1000L, leaseMs / 3)
       leaseRefresher.scheduleAtFixedRate(new Runnable {
-        def run(): Unit = try st.save(runningRecord()) catch { case _: Throwable => () }
+        def run(): Unit =
+          try saveLock.synchronized { if (!terminal) st.save(runningRecord()) }
+          catch { case _: Throwable => () }
       }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     }
+    def saveTerminal(st: FlowRunStore, rec: FlowRunRecord): Unit =
+      saveLock.synchronized { terminal = true; st.save(rec) }
 
     // snapshot the jump buffer so only THIS run's `-> Flow` markers fire
     val jumpsBefore = ctx.jumps.size
@@ -129,7 +154,7 @@ object FlowRunner {
         case e: Throwable =>
           refresh.foreach(_.cancel(false))
           // never leave a phantom running record behind a validation error
-          store.foreach(_.save(FlowRunRecord(runId, fd.name, "failed",
+          store.foreach(st => saveTerminal(st, FlowRunRecord(runId, fd.name, "failed",
             startedAt, Some(System.currentTimeMillis()),
             List(StageRunRecord("__flow", "failed", 0,
               Some(String.valueOf(e.getMessage)))))))
@@ -148,7 +173,7 @@ object FlowRunner {
     // retention cap via the graft.flow.keepRuns session conf.
     try {
       store.foreach { st =>
-        st.save(FlowRunRecord(
+        saveTerminal(st, FlowRunRecord(
           runId, fd.name,
           if (result.succeeded) "success" else "failed",
           startedAt, Some(System.currentTimeMillis()),
@@ -162,14 +187,19 @@ object FlowRunner {
       case e: Throwable =>
         System.err.println(s"[flow] run record not persisted: ${e.getMessage}")
     }
-    // `-> Flow` jumps: targets recorded by this run's successfully-lowered
-    // stages trigger as NEW runs after the current flow completed
+    // `-> Flow` jumps: targets recorded by this run's stages trigger as NEW
+    // runs after the current flow completed — but only when the jumping
+    // stage SUCCEEDED: a stage whose body lowered (recording the jump) but
+    // then failed during materialization must not transfer control
     // (reference FlowExecutor: control transfer only, cycle-bounded)
     val targets = ctx.jumps.synchronized {
-      val t = ctx.jumps.drop(jumpsBefore).distinct.toList
+      val t = ctx.jumps.drop(jumpsBefore).toList
       ctx.jumps.remove(jumpsBefore, ctx.jumps.size - jumpsBefore)
       t
-    }
+    }.collect {
+      case (stageOpt, t) if stageOpt.forall(sn =>
+        result.stages.get(sn).exists(_.isInstanceOf[StageSucceeded])) => t
+    }.distinct
     targets.foreach { t =>
       ctx.flows.get(t) match {
         case Some(next) if jumpDepth + 1 >= MaxJumpDepth =>
@@ -236,7 +266,7 @@ object FlowRunner {
               case Some(df) => routeFilter(name, sp.name, df)
               case None => ctx2.tableResolver(name)
             }
-          val sctx = ctx2.copy(tableResolver = resolver)
+          val sctx = ctx2.copy(tableResolver = resolver, stageName = Some(sp.name))
           sp.body match {
             case Left(merges) =>
               merges.map(m => inputs(m)).reduce(_ unionByName _)

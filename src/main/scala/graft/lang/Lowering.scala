@@ -59,12 +59,17 @@ object Lowering {
         * intervening filters, matching the streaming session-window plan
         * which also sessionizes the filtered stream. */
       sessionRaw: Boolean = false,
-      /** `-> Flow` jump targets requested by stages that LOWERED
-        * successfully in this context; FlowRunner triggers each as a new
-        * run AFTER the current flow completes and only if the jumping
-        * stage SUCCEEDED (reference FlowExecutor: a jump transfers control
+      /** `-> Flow` jump targets requested in this context, keyed by the
+        * stage that requested them (None when requested outside a flow
+        * stage); FlowRunner triggers each as a new run AFTER the current
+        * flow completes and only if the jumping stage SUCCEEDED — a stage
+        * whose body lowers but then fails during materialization must not
+        * fire its jump (reference FlowExecutor: a jump transfers control
         * only, bounded by maxJumpDepth against cycles). */
-      jumps: mutable.ListBuffer[String] = mutable.ListBuffer.empty
+      jumps: mutable.ListBuffer[(Option[String], String)] = mutable.ListBuffer.empty,
+      /** Name of the flow stage currently lowering in this context, set by
+        * FlowRunner so jump requests can be attributed to their stage. */
+      stageName: Option[String] = None
   )
 
   /** Lowering result: either a plain DataFrame or a "grouped" relation —
@@ -2073,7 +2078,7 @@ object Lowering {
           args.headOption.flatMap(constValue) match {
             case Some(target: String) =>
               // stages lower on pool threads — guard the shared buffer
-              ctx.jumps.synchronized { ctx.jumps += target }
+              ctx.jumps.synchronized { ctx.jumps += ((ctx.stageName, target)) }
             case _ => ()
           }
           lowered
@@ -2101,27 +2106,37 @@ object Lowering {
     if (name.startsWith("__show_")) lowerShow(name.stripPrefix("__show_"), ctx)
     // a corpus argument that is really a file path (table functions take
     // 'corpus' strings: similarity_topk('/tmp/idx.parquet', …)) dispatches
-    // through the same extension reader as `from 'file.parquet'`
-    else if (name.matches("(?i).*\\.(parquet|orc|csv|json|txt|text)(\\.gz)?$"))
-      readFile(name, ctx)
+    // through the same extension reader as `from 'file.parquet'` — but only
+    // unconditionally when it contains a path separator: a bare name with a
+    // data-file extension (a table or model literally named 'events.csv')
+    // must still resolve through the catalog first, falling back to the
+    // file reader only when no binding/table of that name exists.
     else {
-      val resolved = ctx.typeBindings.getOrElse(name, name)
-      try ctx.tableResolver(resolved)
-      catch {
-        case e: Throwable =>
-          // fall back to the session catalog (saved tables, temp views),
-          // then to the `use`d schema prefix for unqualified names
-          try ctx.spark.table(resolved)
-          catch {
-            case _: Throwable =>
-              ctx.currentSchema.get("schema")
-                .filter(_ => !resolved.contains("."))
-                .flatMap { s =>
-                  try Some(ctx.spark.table(s"$s.$resolved"))
-                  catch { case _: Throwable => None }
-                }
-                .getOrElse(throw e)
-          }
+      val looksLikeFile = name.matches("(?i).*\\.(parquet|orc|csv|json|txt|text)(\\.gz)?$")
+      if (looksLikeFile && (name.contains("/") || name.contains("\\")))
+        readFile(name, ctx)
+      else {
+        val resolved = ctx.typeBindings.getOrElse(name, name)
+        try ctx.tableResolver(resolved)
+        catch {
+          case e: Throwable =>
+            // fall back to the session catalog (saved tables, temp views),
+            // then to the `use`d schema prefix for unqualified names,
+            // then — for extension-bearing names — the file reader
+            try ctx.spark.table(resolved)
+            catch {
+              case _: Throwable =>
+                ctx.currentSchema.get("schema")
+                  .filter(_ => !resolved.contains("."))
+                  .flatMap { s =>
+                    try Some(ctx.spark.table(s"$s.$resolved"))
+                    catch { case _: Throwable => None }
+                  }
+                  .getOrElse {
+                    if (looksLikeFile) readFile(name, ctx) else throw e
+                  }
+            }
+        }
       }
     }
 

@@ -253,6 +253,22 @@ class FlowLangSpec extends SparkTestBase {
       val pings = new graft.flow.FlowRunStore(java.nio.file.Paths.get(dir)).list()
         .count(r => r.flowName == "PingA" || r.flowName == "PingB")
       assert(pings >= 2 && pings <= 8, s"jump chain ran $pings times")
+      // a jump recorded mid-pipe in a stage that then FAILS (the select
+      // after the jump references an unknown column) must NOT fire: jumps
+      // transfer control only from stages that succeeded
+      wv("""
+        flow NeverRun = { stage w = from [[1]] as t(id) }
+        flow MainFail = {
+          stage entry = from [[1], [2]] as t(id)
+          stage handoff = from entry | -> NeverRun | select no_such_column
+        }
+        run flow MainFail
+      """).collect()
+      val after = new graft.flow.FlowRunStore(java.nio.file.Paths.get(dir)).list()
+      assert(after.exists(r => r.flowName == "MainFail" && r.state == "failed"),
+        after.toString)
+      assert(!after.exists(_.flowName == "NeverRun"),
+        "jump from a failed stage must not trigger the target flow")
     } finally spark.conf.unset("graft.flow.runStoreDir")
   }
 
