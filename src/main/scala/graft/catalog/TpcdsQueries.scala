@@ -1434,6 +1434,460 @@ WHERE ss_sold_time_sk = time_dim.t_time_sk
   AND store.s_store_name = 'JAPAN'
 ORDER BY cnt
 LIMIT 100
+"""),
+    // q1: customers returning over 1.2x their store's average (correlated
+    // scalar subquery over a CTE; adapted: d_year 2000, s_state TN)
+    entry("q_tpcds_q1", """
+, customer_total_return AS
+  (SELECT sr_customer_sk AS ctr_customer_sk,
+          sr_store_sk AS ctr_store_sk,
+          sum(sr_return_amt) AS ctr_total_return
+   FROM store_returns, date_dim
+   WHERE sr_returned_date_sk = d_date_sk AND d_year = 2000
+   GROUP BY sr_customer_sk, sr_store_sk)
+SELECT c_customer_id
+FROM customer_total_return ctr1, store, customer_ds
+WHERE ctr1.ctr_total_return >
+    (SELECT avg(ctr_total_return) * 1.2
+     FROM customer_total_return ctr2
+     WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+  AND s_store_sk = ctr1.ctr_store_sk
+  AND s_state = 'TN'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id
+LIMIT 100
+"""),
+    // q15: zip/state/price disjunctive catalog revenue (adapted: zips and
+    // states to the derived ca domains, price > 940, d_year 1996)
+    entry("q_tpcds_q15", """
+SELECT ca_zip,
+       round(sum(cs_sales_price) + 5e-9, 4) AS sum_sales_price
+FROM catalog_sales, customer_ds, customer_address, date_dim
+WHERE cs_bill_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND (substring(ca_zip, 1, 5) IN ('10003', '10010', '10024', '10031', '10045')
+       OR ca_state IN ('CA', 'OR', 'KY')
+       OR cs_sales_price > 940)
+  AND cs_sold_date_sk = d_date_sk
+  AND d_qoy = 2
+  AND d_year = 1996
+GROUP BY ca_zip
+ORDER BY ca_zip NULLS FIRST
+LIMIT 100
+"""),
+    // q16: split-warehouse unreturned catalog orders (EXISTS on a second
+    // warehouse + NOT EXISTS on returns; adapted: 1995 ship window, OH,
+    // cc_county from the region-name domain)
+    entry("q_tpcds_q16", """
+SELECT count(DISTINCT cs_order_number) AS order_cnt,
+       round(sum(cs_ext_ship_cost) + 5e-9, 4) AS total_shipping_cost,
+       round(sum(cs_net_profit) + 5e-9, 4) AS total_net_profit
+FROM catalog_sales cs1, date_dim, customer_address, call_center
+WHERE d_date BETWEEN CAST('1995-02-01' AS DATE) AND CAST('1995-04-02' AS DATE)
+  AND cs1.cs_ship_date_sk = d_date_sk
+  AND cs1.cs_ship_addr_sk = ca_address_sk
+  AND ca_state = 'OH'
+  AND cs1.cs_call_center_sk = cc_call_center_sk
+  AND cc_county = 'AMERICA'
+  AND EXISTS
+    (SELECT *
+     FROM catalog_sales cs2
+     WHERE cs1.cs_order_number = cs2.cs_order_number
+       AND cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+  AND NOT EXISTS
+    (SELECT *
+     FROM catalog_returns cr1
+     WHERE cs1.cs_order_number = cr1.cr_order_number)
+ORDER BY order_cnt
+LIMIT 100
+"""),
+    // q21: inventory before/after a split date with a ratio band filter
+    // (adapted: price band to the derived [900,1000) domain, 1995 dates)
+    entry("q_tpcds_q21", """
+SELECT *
+FROM
+  (SELECT w_warehouse_name,
+          i_item_id,
+          sum(CASE WHEN d_date < CAST('1995-03-11' AS DATE)
+                   THEN inv_quantity_on_hand ELSE 0 END) AS inv_before,
+          sum(CASE WHEN d_date >= CAST('1995-03-11' AS DATE)
+                   THEN inv_quantity_on_hand ELSE 0 END) AS inv_after
+   FROM inventory, warehouse, item, date_dim
+   WHERE i_current_price BETWEEN 920 AND 950
+     AND i_item_sk = inv_item_sk
+     AND inv_warehouse_sk = w_warehouse_sk
+     AND inv_date_sk = d_date_sk
+     AND d_date BETWEEN CAST('1995-02-10' AS DATE) AND CAST('1995-04-10' AS DATE)
+   GROUP BY w_warehouse_name, i_item_id) x
+WHERE (CASE WHEN inv_before > 0 THEN (inv_after * 1.000) / inv_before ELSE NULL END)
+      BETWEEN 2.000 / 3.000 AND 3.000 / 2.000
+ORDER BY w_warehouse_name NULLS FIRST, i_item_id NULLS FIRST
+LIMIT 100
+"""),
+    // q22: quantity-on-hand ROLLUP over the full item hierarchy
+    // (adapted: d_month_seq 36-47 = calendar 1995)
+    entry("q_tpcds_q22", """
+SELECT i_product_name, i_brand, i_class, i_category,
+       round(avg(inv_quantity_on_hand) + 5e-9, 4) AS qoh
+FROM inventory, date_dim, item
+WHERE inv_date_sk = d_date_sk
+  AND inv_item_sk = i_item_sk
+  AND d_month_seq BETWEEN 36 AND 47
+GROUP BY ROLLUP(i_product_name, i_brand, i_class, i_category)
+ORDER BY qoh NULLS FIRST, i_product_name NULLS FIRST, i_brand NULLS FIRST,
+         i_class NULLS FIRST, i_category NULLS FIRST
+LIMIT 100
+"""),
+    // q32: excess catalog discounts vs 1.3x the item's window average
+    // (correlated scalar subquery; adapted: i_manufact_id 3, 1995 window)
+    entry("q_tpcds_q32", """
+SELECT round(sum(cs_ext_discount_amt) + 5e-9, 4) AS excess_discount_amt
+FROM catalog_sales, item, date_dim
+WHERE i_manufact_id = 3
+  AND i_item_sk = cs_item_sk
+  AND d_date BETWEEN CAST('1995-01-27' AS DATE) AND CAST('1995-04-26' AS DATE)
+  AND d_date_sk = cs_sold_date_sk
+  AND cs_ext_discount_amt >
+    (SELECT 1.3 * avg(cs_ext_discount_amt)
+     FROM catalog_sales, date_dim
+     WHERE cs_item_sk = i_item_sk
+       AND d_date BETWEEN CAST('1995-01-27' AS DATE) AND CAST('1995-04-26' AS DATE)
+       AND d_date_sk = cs_sold_date_sk)
+LIMIT 100
+"""),
+    // q37: catalog-sold items in a price/manufacturer/inventory band
+    // (adapted: price 920-950, manufact ids 1/3/5/7, 1995 dates)
+    entry("q_tpcds_q37", """
+SELECT i_item_id, i_item_desc,
+       round(i_current_price + 5e-9, 4) AS i_current_price
+FROM item, inventory, date_dim, catalog_sales
+WHERE i_current_price BETWEEN 920 AND 950
+  AND inv_item_sk = i_item_sk
+  AND d_date_sk = inv_date_sk
+  AND d_date BETWEEN CAST('1995-02-01' AS DATE) AND CAST('1995-04-01' AS DATE)
+  AND i_manufact_id IN (1, 3, 5, 7)
+  AND inv_quantity_on_hand BETWEEN 100 AND 500
+  AND cs_item_sk = i_item_sk
+GROUP BY i_item_id, i_item_desc, i_current_price
+ORDER BY i_item_id
+LIMIT 100
+"""),
+    // q38: customers active in ALL three channels (triple INTERSECT;
+    // adapted: d_month_seq 36-47)
+    entry("q_tpcds_q38", """
+SELECT count(*) AS cnt
+FROM
+  (SELECT DISTINCT c_last_name, c_first_name, d_date
+   FROM store_sales, date_dim, customer_ds
+   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+     AND store_sales.ss_customer_sk = c_customer_sk
+     AND d_month_seq BETWEEN 36 AND 47
+   INTERSECT
+   SELECT DISTINCT c_last_name, c_first_name, d_date
+   FROM catalog_sales, date_dim, customer_ds
+   WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+     AND catalog_sales.cs_bill_customer_sk = c_customer_sk
+     AND d_month_seq BETWEEN 36 AND 47
+   INTERSECT
+   SELECT DISTINCT c_last_name, c_first_name, d_date
+   FROM web_sales, date_dim, customer_ds
+   WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+     AND web_sales.ws_bill_customer_sk = c_customer_sk
+     AND d_month_seq BETWEEN 36 AND 47) hot_cust
+LIMIT 100
+"""),
+    // q40: catalog sales net of returned cash around a split date, by
+    // warehouse state (LEFT JOIN returns on item+order; 1995 dates)
+    entry("q_tpcds_q40", """
+SELECT w_state, i_item_id,
+       round(sum(CASE WHEN d_date < CAST('1995-03-11' AS DATE)
+                      THEN cs_sales_price - coalesce(cr_refunded_cash, 0)
+                      ELSE 0 END) + 5e-9, 4) AS sales_before,
+       round(sum(CASE WHEN d_date >= CAST('1995-03-11' AS DATE)
+                      THEN cs_sales_price - coalesce(cr_refunded_cash, 0)
+                      ELSE 0 END) + 5e-9, 4) AS sales_after
+FROM catalog_sales
+LEFT OUTER JOIN catalog_returns ON (cs_order_number = cr_order_number
+                                    AND cs_item_sk = cr_item_sk),
+     warehouse, item, date_dim
+WHERE i_current_price BETWEEN 920 AND 950
+  AND i_item_sk = cs_item_sk
+  AND cs_warehouse_sk = w_warehouse_sk
+  AND cs_sold_date_sk = d_date_sk
+  AND d_date BETWEEN CAST('1995-02-10' AS DATE) AND CAST('1995-04-10' AS DATE)
+GROUP BY w_state, i_item_id
+ORDER BY w_state, i_item_id
+LIMIT 100
+"""),
+    // q62: web shipping-lag buckets by warehouse/mode/site (date-diff
+    // buckets rewritten as engine-portable date + int comparisons)
+    entry("q_tpcds_q62", """
+SELECT w_substr, sm_type, web_name,
+       sum(CASE WHEN ws_ship_date_sk <= ws_sold_date_sk + 30 THEN 1 ELSE 0 END) AS d30,
+       sum(CASE WHEN ws_ship_date_sk > ws_sold_date_sk + 30
+                 AND ws_ship_date_sk <= ws_sold_date_sk + 60 THEN 1 ELSE 0 END) AS d31_60,
+       sum(CASE WHEN ws_ship_date_sk > ws_sold_date_sk + 60
+                 AND ws_ship_date_sk <= ws_sold_date_sk + 90 THEN 1 ELSE 0 END) AS d61_90,
+       sum(CASE WHEN ws_ship_date_sk > ws_sold_date_sk + 90
+                 AND ws_ship_date_sk <= ws_sold_date_sk + 120 THEN 1 ELSE 0 END) AS d91_120,
+       sum(CASE WHEN ws_ship_date_sk > ws_sold_date_sk + 120 THEN 1 ELSE 0 END) AS dgt120
+FROM web_sales,
+  (SELECT substring(w_warehouse_name, 1, 20) AS w_substr, * FROM warehouse) sq1,
+     ship_mode, web_site, date_dim
+WHERE d_month_seq BETWEEN 36 AND 47
+  AND ws_ship_date_sk = d_date_sk
+  AND ws_warehouse_sk = w_warehouse_sk
+  AND ws_ship_mode_sk = sm_ship_mode_sk
+  AND ws_web_site_sk = web_site_sk
+GROUP BY w_substr, sm_type, web_name
+ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST
+LIMIT 100
+"""),
+    // q82: store-sold items in a price/manufacturer/inventory band
+    // (adapted like q37; manufact ids 2/4/6/8, mid-1995 dates)
+    entry("q_tpcds_q82", """
+SELECT i_item_id, i_item_desc,
+       round(i_current_price + 5e-9, 4) AS i_current_price
+FROM item, inventory, date_dim, store_sales
+WHERE i_current_price BETWEEN 920 AND 950
+  AND inv_item_sk = i_item_sk
+  AND d_date_sk = inv_date_sk
+  AND d_date BETWEEN CAST('1995-05-25' AS DATE) AND CAST('1995-07-24' AS DATE)
+  AND i_manufact_id IN (2, 4, 6, 8)
+  AND inv_quantity_on_hand BETWEEN 100 AND 500
+  AND ss_item_sk = i_item_sk
+GROUP BY i_item_id, i_item_desc, i_current_price
+ORDER BY i_item_id
+LIMIT 100
+"""),
+    // q84: returning customers in an income band + city (income_band chain
+    // through household demographics; adapted: city Fairview, band 30k-80k)
+    entry("q_tpcds_q84", """
+SELECT c_customer_id AS customer_id,
+       concat(concat(coalesce(c_last_name, ''), ', '), coalesce(c_first_name, '')) AS customername
+FROM customer_ds, customer_address, customer_demographics,
+     household_demographics, income_band, store_returns
+WHERE ca_city = 'Fairview'
+  AND c_current_addr_sk = ca_address_sk
+  AND ib_lower_bound >= 30000
+  AND ib_upper_bound <= 80000
+  AND ib_income_band_sk = hd_income_band_sk
+  AND cd_demo_sk = c_current_cdemo_sk
+  AND hd_demo_sk = c_current_hdemo_sk
+  AND sr_cdemo_sk = cd_demo_sk
+ORDER BY c_customer_id NULLS FIRST
+LIMIT 100
+"""),
+    // q86: web net-paid ROLLUP with intra-hierarchy ranks (round-before-
+    // rank per the catalog convention; d_month_seq 36-47)
+    entry("q_tpcds_q86", """
+SELECT round(sum(ws_net_paid) + 5e-9, 4) AS total_sum,
+       i_category, i_class,
+       grouping(i_category) + grouping(i_class) AS lochierarchy,
+       rank() OVER (PARTITION BY grouping(i_category) + grouping(i_class),
+                      CASE WHEN grouping(i_class) = 0 THEN i_category END
+                    ORDER BY round(sum(ws_net_paid) + 5e-9, 4) DESC) AS rank_within_parent
+FROM web_sales, date_dim d1, item
+WHERE d1.d_month_seq BETWEEN 36 AND 47
+  AND d1.d_date_sk = ws_sold_date_sk
+  AND i_item_sk = ws_item_sk
+GROUP BY ROLLUP(i_category, i_class)
+ORDER BY lochierarchy DESC,
+         CASE WHEN grouping(i_category) + grouping(i_class) = 0 THEN i_category END NULLS FIRST,
+         rank_within_parent, i_category NULLS FIRST, i_class NULLS FIRST
+LIMIT 100
+"""),
+    // q87: store-only customer/date combinations (double EXCEPT;
+    // d_month_seq 36-47)
+    entry("q_tpcds_q87", """
+SELECT count(*) AS cnt
+FROM ((SELECT DISTINCT c_last_name, c_first_name, d_date
+       FROM store_sales, date_dim, customer_ds
+       WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+         AND store_sales.ss_customer_sk = c_customer_sk
+         AND d_month_seq BETWEEN 36 AND 47)
+      EXCEPT
+      (SELECT DISTINCT c_last_name, c_first_name, d_date
+       FROM catalog_sales, date_dim, customer_ds
+       WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+         AND catalog_sales.cs_bill_customer_sk = c_customer_sk
+         AND d_month_seq BETWEEN 36 AND 47)
+      EXCEPT
+      (SELECT DISTINCT c_last_name, c_first_name, d_date
+       FROM web_sales, date_dim, customer_ds
+       WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+         AND web_sales.ws_bill_customer_sk = c_customer_sk
+         AND d_month_seq BETWEEN 36 AND 47)) cool_cust
+"""),
+    // q90: morning/evening web traffic ratio (decimal division rewritten
+    // to rounded double — decimal result scales differ across engines)
+    entry("q_tpcds_q90", """
+SELECT CASE WHEN pmc = 0 THEN NULL
+            ELSE round(CAST(amc AS DOUBLE) / pmc + 5e-9, 4) END AS am_pm_ratio
+FROM
+  (SELECT count(*) AS amc
+   FROM web_sales, household_demographics, time_dim, web_page
+   WHERE ws_sold_time_sk = time_dim.t_time_sk
+     AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+     AND ws_web_page_sk = web_page.wp_web_page_sk
+     AND time_dim.t_hour BETWEEN 8 AND 9
+     AND household_demographics.hd_dep_count = 6
+     AND web_page.wp_char_count BETWEEN 5000 AND 5200) am_table,
+  (SELECT count(*) AS pmc
+   FROM web_sales, household_demographics, time_dim, web_page
+   WHERE ws_sold_time_sk = time_dim.t_time_sk
+     AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+     AND ws_web_page_sk = web_page.wp_web_page_sk
+     AND time_dim.t_hour BETWEEN 19 AND 20
+     AND household_demographics.hd_dep_count = 6
+     AND web_page.wp_char_count BETWEEN 5000 AND 5200) pt
+ORDER BY am_pm_ratio NULLS FIRST
+LIMIT 100
+"""),
+    // q91: call-center return losses for targeted demographics
+    // (adapted: d_year 1997 / May, ca_gmt_offset -6.0 — the -5.0 band
+    // forces even custkeys while hd_buy_potential 'Unknown' forces odd,
+    // which would make the query structurally empty on the derived dims)
+    entry("q_tpcds_q91", """
+SELECT cc_call_center_id AS call_center,
+       cc_name AS call_center_name,
+       cc_manager AS manager,
+       round(sum(cr_net_loss) + 5e-9, 4) AS returns_loss
+FROM call_center, catalog_returns, date_dim, customer_ds,
+     customer_address, customer_demographics, household_demographics
+WHERE cr_call_center_sk = cc_call_center_sk
+  AND cr_returned_date_sk = d_date_sk
+  AND cr_returning_customer_sk = c_customer_sk
+  AND cd_demo_sk = c_current_cdemo_sk
+  AND hd_demo_sk = c_current_hdemo_sk
+  AND ca_address_sk = c_current_addr_sk
+  AND d_year = 1997
+  AND d_moy = 5
+  AND ((cd_marital_status = 'M' AND cd_education_status = 'Unknown')
+       OR (cd_marital_status = 'W' AND cd_education_status = 'Advanced Degree'))
+  AND hd_buy_potential LIKE 'Unknown%'
+  AND ca_gmt_offset = -6.0
+GROUP BY cc_call_center_id, cc_name, cc_manager,
+         cd_marital_status, cd_education_status
+ORDER BY returns_loss DESC, call_center
+"""),
+    // q92: excess web discounts vs 1.3x the item's window average
+    // (adapted: i_manufact_id 3, 1995 window)
+    entry("q_tpcds_q92", """
+SELECT round(sum(ws_ext_discount_amt) + 5e-9, 4) AS excess_discount_amt
+FROM web_sales, item, date_dim
+WHERE i_manufact_id = 3
+  AND i_item_sk = ws_item_sk
+  AND d_date BETWEEN CAST('1995-01-27' AS DATE) AND CAST('1995-04-26' AS DATE)
+  AND d_date_sk = ws_sold_date_sk
+  AND ws_ext_discount_amt >
+    (SELECT 1.3 * avg(ws_ext_discount_amt)
+     FROM web_sales, date_dim
+     WHERE ws_item_sk = i_item_sk
+       AND d_date BETWEEN CAST('1995-01-27' AS DATE) AND CAST('1995-04-26' AS DATE)
+       AND d_date_sk = ws_sold_date_sk)
+LIMIT 100
+"""),
+    // q94: split-warehouse unreturned web orders (EXISTS + NOT EXISTS;
+    // adapted: 1995 ship window, TX, company from the region-name domain)
+    entry("q_tpcds_q94", """
+SELECT count(DISTINCT ws_order_number) AS order_cnt,
+       round(sum(ws_ext_ship_cost) + 5e-9, 4) AS total_shipping_cost,
+       round(sum(ws_net_profit) + 5e-9, 4) AS total_net_profit
+FROM web_sales ws1, date_dim, customer_address, web_site
+WHERE d_date BETWEEN CAST('1995-02-01' AS DATE) AND CAST('1995-04-02' AS DATE)
+  AND ws1.ws_ship_date_sk = d_date_sk
+  AND ws1.ws_ship_addr_sk = ca_address_sk
+  AND ca_state = 'TX'
+  AND ws1.ws_web_site_sk = web_site_sk
+  AND web_company_name = 'AMERICA'
+  AND EXISTS
+    (SELECT *
+     FROM web_sales ws2
+     WHERE ws1.ws_order_number = ws2.ws_order_number
+       AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+  AND NOT EXISTS
+    (SELECT *
+     FROM web_returns wr1
+     WHERE ws1.ws_order_number = wr1.wr_order_number)
+ORDER BY order_cnt
+LIMIT 100
+"""),
+    // q95: split-warehouse RETURNED web orders (the q94 battery flipped to
+    // IN-subqueries over a self-joined warehouse-pair CTE)
+    entry("q_tpcds_q95", """
+, ws_wh AS
+  (SELECT ws1.ws_order_number,
+          ws1.ws_warehouse_sk AS wh1,
+          ws2.ws_warehouse_sk AS wh2
+   FROM web_sales ws1, web_sales ws2
+   WHERE ws1.ws_order_number = ws2.ws_order_number
+     AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+SELECT count(DISTINCT ws_order_number) AS order_cnt,
+       round(sum(ws_ext_ship_cost) + 5e-9, 4) AS total_shipping_cost,
+       round(sum(ws_net_profit) + 5e-9, 4) AS total_net_profit
+FROM web_sales ws1, date_dim, customer_address, web_site
+WHERE d_date BETWEEN CAST('1995-02-01' AS DATE) AND CAST('1995-04-02' AS DATE)
+  AND ws1.ws_ship_date_sk = d_date_sk
+  AND ws1.ws_ship_addr_sk = ca_address_sk
+  AND ca_state = 'TX'
+  AND ws1.ws_web_site_sk = web_site_sk
+  AND web_company_name = 'AMERICA'
+  AND ws1.ws_order_number IN (SELECT ws_order_number FROM ws_wh)
+  AND ws1.ws_order_number IN
+    (SELECT wr_order_number
+     FROM web_returns, ws_wh
+     WHERE wr_order_number = ws_wh.ws_order_number)
+ORDER BY order_cnt
+LIMIT 100
+"""),
+    // q97: store/catalog channel overlap via FULL OUTER JOIN of per-channel
+    // customer-item sets (d_month_seq 36-47)
+    entry("q_tpcds_q97", """
+, ssci AS
+  (SELECT ss_customer_sk AS customer_sk, ss_item_sk AS item_sk
+   FROM store_sales, date_dim
+   WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 36 AND 47
+   GROUP BY ss_customer_sk, ss_item_sk),
+csci AS
+  (SELECT cs_bill_customer_sk AS customer_sk, cs_item_sk AS item_sk
+   FROM catalog_sales, date_dim
+   WHERE cs_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 36 AND 47
+   GROUP BY cs_bill_customer_sk, cs_item_sk)
+SELECT sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NULL
+                THEN 1 ELSE 0 END) AS store_only,
+       sum(CASE WHEN ssci.customer_sk IS NULL AND csci.customer_sk IS NOT NULL
+                THEN 1 ELSE 0 END) AS catalog_only,
+       sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NOT NULL
+                THEN 1 ELSE 0 END) AS store_and_catalog
+FROM ssci
+FULL OUTER JOIN csci ON (ssci.customer_sk = csci.customer_sk
+                         AND ssci.item_sk = csci.item_sk)
+LIMIT 100
+"""),
+    // q99: catalog shipping-lag buckets by warehouse/mode/call-center
+    // (date-diff buckets rewritten as portable date + int comparisons)
+    entry("q_tpcds_q99", """
+SELECT w_substr, sm_type, lower(cc_name) AS cc_name_lower,
+       sum(CASE WHEN cs_ship_date_sk <= cs_sold_date_sk + 30 THEN 1 ELSE 0 END) AS d30,
+       sum(CASE WHEN cs_ship_date_sk > cs_sold_date_sk + 30
+                 AND cs_ship_date_sk <= cs_sold_date_sk + 60 THEN 1 ELSE 0 END) AS d31_60,
+       sum(CASE WHEN cs_ship_date_sk > cs_sold_date_sk + 60
+                 AND cs_ship_date_sk <= cs_sold_date_sk + 90 THEN 1 ELSE 0 END) AS d61_90,
+       sum(CASE WHEN cs_ship_date_sk > cs_sold_date_sk + 90
+                 AND cs_ship_date_sk <= cs_sold_date_sk + 120 THEN 1 ELSE 0 END) AS d91_120,
+       sum(CASE WHEN cs_ship_date_sk > cs_sold_date_sk + 120 THEN 1 ELSE 0 END) AS dgt120
+FROM catalog_sales,
+  (SELECT substring(w_warehouse_name, 1, 20) AS w_substr, * FROM warehouse) sq1,
+     ship_mode, call_center, date_dim
+WHERE d_month_seq BETWEEN 36 AND 47
+  AND cs_ship_date_sk = d_date_sk
+  AND cs_warehouse_sk = w_warehouse_sk
+  AND cs_ship_mode_sk = sm_ship_mode_sk
+  AND cs_call_center_sk = cc_call_center_sk
+GROUP BY w_substr, sm_type, cc_name
+ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST
+LIMIT 100
 """)
   )
 }
