@@ -161,7 +161,9 @@ customer_ds AS (
          c_custkey AS c_customer_id,
          n_name AS c_birth_country,
          c_custkey % 12 + 1 AS c_birth_month,
+         c_custkey % 28 + 1 AS c_birth_day,
          1920 + c_custkey % 70 AS c_birth_year,
+         CAST('2001-01-01' AS DATE) + CAST(c_custkey % 300 AS INTEGER) AS c_last_review_date_sk,
          c_custkey % 1000 AS c_current_cdemo_sk,
          c_custkey % 720 AS c_current_hdemo_sk,
          'c' || CAST(c_custkey AS STRING) || '@example.com' AS c_email_address,
@@ -296,14 +298,14 @@ store_returns AS (
          max(o_custkey) % 720 AS sr_hdemo_sk,
          l_orderkey % 500 AS sr_addr_sk,
          min(l_suppkey) % 25 + 1 AS sr_store_sk,
-         round(sum(l_extendedprice * (1 - l_discount)) / 2, 2) AS sr_return_amt,
-         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) / 2, 2) AS sr_return_amt_inc_tax,
-         round(sum(l_extendedprice) * 0.02, 2) AS sr_fee,
-         round(sum(l_extendedprice) * 0.03, 2) AS sr_return_ship_cost,
-         round(sum(l_extendedprice * (1 - l_discount)) * 0.4, 2) AS sr_refunded_cash,
-         round(sum(l_extendedprice * (1 - l_discount)) * 0.06, 2) AS sr_reversed_charge,
-         round(sum(l_extendedprice * (1 - l_discount)) * 0.04, 2) AS sr_store_credit,
-         round(sum(l_extendedprice) * 0.1, 2) AS sr_net_loss
+         sum(l_extendedprice * (1 - l_discount)) / 2 AS sr_return_amt,
+         sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) / 2 AS sr_return_amt_inc_tax,
+         sum(l_extendedprice) * 0.02 AS sr_fee,
+         sum(l_extendedprice) * 0.03 AS sr_return_ship_cost,
+         sum(l_extendedprice * (1 - l_discount)) * 0.4 AS sr_refunded_cash,
+         sum(l_extendedprice * (1 - l_discount)) * 0.06 AS sr_reversed_charge,
+         sum(l_extendedprice * (1 - l_discount)) * 0.04 AS sr_store_credit,
+         sum(l_extendedprice) * 0.1 AS sr_net_loss
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_returnflag = 'R'
   GROUP BY l_partkey, l_orderkey
@@ -323,14 +325,14 @@ catalog_returns AS (
          max(o_custkey) % 720 AS cr_returning_hdemo_sk,
          min(l_suppkey) % 5 + 1 AS cr_warehouse_sk,
          l_partkey % 40 + 1 AS cr_catalog_page_sk,
-         round(sum(l_extendedprice * (1 - l_discount)) / 2, 2) AS cr_return_amount,
-         round(sum(l_extendedprice * (1 - l_discount)) / 2, 2) AS cr_return_amt,
-         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) / 2, 2) AS cr_return_amt_inc_tax,
-         round(sum(l_extendedprice) * 0.02, 2) AS cr_fee,
-         round(sum(l_extendedprice * (1 - l_discount)) * 0.4, 2) AS cr_refunded_cash,
-         round(sum(l_extendedprice * (1 - l_discount)) * 0.06, 2) AS cr_reversed_charge,
-         round(sum(l_extendedprice * (1 - l_discount)) * 0.04, 2) AS cr_store_credit,
-         round(sum(l_extendedprice) * 0.1, 2) AS cr_net_loss
+         sum(l_extendedprice * (1 - l_discount)) / 2 AS cr_return_amount,
+         sum(l_extendedprice * (1 - l_discount)) / 2 AS cr_return_amt,
+         sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) / 2 AS cr_return_amt_inc_tax,
+         sum(l_extendedprice) * 0.02 AS cr_fee,
+         sum(l_extendedprice * (1 - l_discount)) * 0.4 AS cr_refunded_cash,
+         sum(l_extendedprice * (1 - l_discount)) * 0.06 AS cr_reversed_charge,
+         sum(l_extendedprice * (1 - l_discount)) * 0.04 AS cr_store_credit,
+         sum(l_extendedprice) * 0.1 AS cr_net_loss
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_returnflag = 'R' AND l_linenumber % 3 = 2
   GROUP BY l_partkey, l_orderkey
@@ -348,11 +350,11 @@ web_returns AS (
          max(o_custkey) % 1000 AS wr_refunded_cdemo_sk,
          max(o_custkey) % 720 AS wr_returning_hdemo_sk,
          l_partkey % 60 + 1 AS wr_web_page_sk,
-         round(sum(l_extendedprice * (1 - l_discount)) / 2, 2) AS wr_return_amt,
-         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) / 2, 2) AS wr_return_amt_inc_tax,
-         round(sum(l_extendedprice) * 0.02, 2) AS wr_fee,
-         round(sum(l_extendedprice * (1 - l_discount)) * 0.4, 2) AS wr_refunded_cash,
-         round(sum(l_extendedprice) * 0.1, 2) AS wr_net_loss
+         sum(l_extendedprice * (1 - l_discount)) / 2 AS wr_return_amt,
+         sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) / 2 AS wr_return_amt_inc_tax,
+         sum(l_extendedprice) * 0.02 AS wr_fee,
+         sum(l_extendedprice * (1 - l_discount)) * 0.4 AS wr_refunded_cash,
+         sum(l_extendedprice) * 0.1 AS wr_net_loss
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   WHERE l_returnflag = 'R' AND l_linenumber % 3 = 1
   GROUP BY l_partkey, l_orderkey
@@ -1887,6 +1889,526 @@ WHERE d_month_seq BETWEEN 36 AND 47
   AND cs_call_center_sk = cc_call_center_sk
 GROUP BY w_substr, sm_type, cc_name
 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST
+LIMIT 100
+"""),
+    // q4: customers whose catalog growth outpaces BOTH store and web
+    // growth (6-way self-join of a 3-channel year_total CTE; adapted:
+    // years 1995/1996, year totals rounded at 4 dp inside the CTE so the
+    // growth-ratio comparisons are engine-deterministic)
+    entry("q_tpcds_q4", """
+, year_total AS
+  (SELECT c_customer_id AS customer_id,
+          c_first_name AS customer_first_name,
+          c_last_name AS customer_last_name,
+          c_preferred_cust_flag AS customer_preferred_cust_flag,
+          d_year AS dyear,
+          round(sum(((ss_ext_list_price - ss_ext_wholesale_cost - ss_ext_discount_amt)
+                     + ss_ext_sales_price) / 2) + 5e-9, 4) AS year_total,
+          's' AS sale_type
+   FROM customer_ds, store_sales, date_dim
+   WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+   GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag, d_year
+   UNION ALL
+   SELECT c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+          d_year,
+          round(sum(((cs_ext_list_price - cs_ext_wholesale_cost - cs_ext_discount_amt)
+                     + cs_ext_sales_price) / 2) + 5e-9, 4),
+          'c'
+   FROM customer_ds, catalog_sales, date_dim
+   WHERE c_customer_sk = cs_bill_customer_sk AND cs_sold_date_sk = d_date_sk
+   GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag, d_year
+   UNION ALL
+   SELECT c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+          d_year,
+          round(sum(((ws_ext_list_price - ws_ext_wholesale_cost - ws_ext_discount_amt)
+                     + ws_ext_sales_price) / 2) + 5e-9, 4),
+          'w'
+   FROM customer_ds, web_sales, date_dim
+   WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+   GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag, d_year)
+SELECT t_s_secyear.customer_id,
+       t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name,
+       t_s_secyear.customer_preferred_cust_flag
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_c_firstyear, year_total t_c_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.sale_type = 's' AND t_c_firstyear.sale_type = 'c'
+  AND t_w_firstyear.sale_type = 'w' AND t_s_secyear.sale_type = 's'
+  AND t_c_secyear.sale_type = 'c' AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 1995 AND t_s_secyear.dyear = 1996
+  AND t_c_firstyear.dyear = 1995 AND t_c_secyear.dyear = 1996
+  AND t_w_firstyear.dyear = 1995 AND t_w_secyear.dyear = 1996
+  AND t_s_firstyear.year_total > 0
+  AND t_c_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND CASE WHEN t_c_firstyear.year_total > 0
+           THEN t_c_secyear.year_total / t_c_firstyear.year_total
+           ELSE NULL END >
+      CASE WHEN t_s_firstyear.year_total > 0
+           THEN t_s_secyear.year_total / t_s_firstyear.year_total
+           ELSE NULL END
+  AND CASE WHEN t_c_firstyear.year_total > 0
+           THEN t_c_secyear.year_total / t_c_firstyear.year_total
+           ELSE NULL END >
+      CASE WHEN t_w_firstyear.year_total > 0
+           THEN t_w_secyear.year_total / t_w_firstyear.year_total
+           ELSE NULL END
+ORDER BY t_s_secyear.customer_id NULLS FIRST,
+         t_s_secyear.customer_first_name NULLS FIRST,
+         t_s_secyear.customer_last_name NULLS FIRST,
+         t_s_secyear.customer_preferred_cust_flag NULLS FIRST
+LIMIT 100
+"""),
+    // q5: per-channel sales/returns/profit ROLLUP over a two-week window
+    // (adapted: 1995 dates; decimal(7,2) zero literals become DOUBLE so
+    // both engines sum in the same type)
+    entry("q_tpcds_q5", """
+, ssr AS
+  (SELECT s_store_id,
+          sum(sales_price) AS sales,
+          sum(profit) AS profit,
+          sum(return_amt) AS returns_,
+          sum(net_loss) AS profit_loss
+   FROM
+     (SELECT ss_store_sk AS store_sk, ss_sold_date_sk AS date_sk,
+             ss_ext_sales_price AS sales_price, ss_net_profit AS profit,
+             CAST(0 AS DOUBLE) AS return_amt, CAST(0 AS DOUBLE) AS net_loss
+      FROM store_sales
+      UNION ALL
+      SELECT sr_store_sk, sr_returned_date_sk,
+             CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+             sr_return_amt, sr_net_loss
+      FROM store_returns) salesreturns, date_dim, store
+   WHERE date_sk = d_date_sk
+     AND d_date BETWEEN CAST('1995-08-23' AS DATE) AND CAST('1995-09-06' AS DATE)
+     AND store_sk = s_store_sk
+   GROUP BY s_store_id),
+csr AS
+  (SELECT cp_catalog_page_id,
+          sum(sales_price) AS sales,
+          sum(profit) AS profit,
+          sum(return_amt) AS returns_,
+          sum(net_loss) AS profit_loss
+   FROM
+     (SELECT cs_catalog_page_sk AS page_sk, cs_sold_date_sk AS date_sk,
+             cs_ext_sales_price AS sales_price, cs_net_profit AS profit,
+             CAST(0 AS DOUBLE) AS return_amt, CAST(0 AS DOUBLE) AS net_loss
+      FROM catalog_sales
+      UNION ALL
+      SELECT cr_catalog_page_sk, cr_returned_date_sk,
+             CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+             cr_return_amount, cr_net_loss
+      FROM catalog_returns) salesreturns, date_dim, catalog_page
+   WHERE date_sk = d_date_sk
+     AND d_date BETWEEN CAST('1995-08-23' AS DATE) AND CAST('1995-09-06' AS DATE)
+     AND page_sk = cp_catalog_page_sk
+   GROUP BY cp_catalog_page_id),
+wsr AS
+  (SELECT web_site_id,
+          sum(sales_price) AS sales,
+          sum(profit) AS profit,
+          sum(return_amt) AS returns_,
+          sum(net_loss) AS profit_loss
+   FROM
+     (SELECT ws_web_site_sk AS wsr_web_site_sk, ws_sold_date_sk AS date_sk,
+             ws_ext_sales_price AS sales_price, ws_net_profit AS profit,
+             CAST(0 AS DOUBLE) AS return_amt, CAST(0 AS DOUBLE) AS net_loss
+      FROM web_sales
+      UNION ALL
+      SELECT ws_web_site_sk, wr_returned_date_sk,
+             CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+             wr_return_amt, wr_net_loss
+      FROM web_returns
+      LEFT OUTER JOIN web_sales ON (wr_item_sk = ws_item_sk
+                                    AND wr_order_number = ws_order_number)) salesreturns,
+        date_dim, web_site
+   WHERE date_sk = d_date_sk
+     AND d_date BETWEEN CAST('1995-08-23' AS DATE) AND CAST('1995-09-06' AS DATE)
+     AND wsr_web_site_sk = web_site_sk
+   GROUP BY web_site_id)
+SELECT channel, id,
+       round(sum(sales) + 5e-9, 4) AS sales,
+       round(sum(returns_) + 5e-9, 4) AS returns_,
+       round(sum(profit) + 5e-9, 4) AS profit
+FROM
+  (SELECT 'store channel' AS channel, concat('store', s_store_id) AS id,
+          sales, returns_, (profit - profit_loss) AS profit
+   FROM ssr
+   UNION ALL
+   SELECT 'catalog channel', concat('catalog_page', cp_catalog_page_id),
+          sales, returns_, (profit - profit_loss)
+   FROM csr
+   UNION ALL
+   SELECT 'web channel', concat('web_site', web_site_id),
+          sales, returns_, (profit - profit_loss)
+   FROM wsr) x
+GROUP BY ROLLUP(channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST
+LIMIT 100
+"""),
+    // q10: demographics of county residents active in store AND (web OR
+    // catalog) — EXISTS battery over three channels (adapted: counties to
+    // the derived domain, d_year 1996)
+    entry("q_tpcds_q10", """
+SELECT cd_gender, cd_marital_status, cd_education_status,
+       count(*) AS cnt1,
+       cd_purchase_estimate,
+       count(*) AS cnt2,
+       cd_credit_rating,
+       count(*) AS cnt3,
+       cd_dep_count,
+       count(*) AS cnt4,
+       cd_dep_employed_count,
+       count(*) AS cnt5,
+       cd_dep_college_count,
+       count(*) AS cnt6
+FROM customer_ds c, customer_address ca, customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND ca_county IN ('Ziebach County', 'Walker County', 'Richland County')
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS
+    (SELECT *
+     FROM store_sales, date_dim
+     WHERE c.c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+       AND d_year = 1996 AND d_moy BETWEEN 1 AND 4)
+  AND (EXISTS
+        (SELECT *
+         FROM web_sales, date_dim
+         WHERE c.c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+           AND d_year = 1996 AND d_moy BETWEEN 1 AND 4)
+       OR EXISTS
+        (SELECT *
+         FROM catalog_sales, date_dim
+         WHERE c.c_customer_sk = cs_ship_customer_sk AND cs_sold_date_sk = d_date_sk
+           AND d_year = 1996 AND d_moy BETWEEN 1 AND 4))
+GROUP BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+ORDER BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+LIMIT 100
+"""),
+    // q11: customers whose web growth beats store growth (4-way self-join
+    // of a 2-channel year_total CTE; adapted: 1995/1996, rounded totals)
+    entry("q_tpcds_q11", """
+, year_total AS
+  (SELECT c_customer_id AS customer_id,
+          c_first_name AS customer_first_name,
+          c_last_name AS customer_last_name,
+          c_preferred_cust_flag AS customer_preferred_cust_flag,
+          d_year AS dyear,
+          round(sum(ss_ext_list_price - ss_ext_discount_amt) + 5e-9, 4) AS year_total,
+          's' AS sale_type
+   FROM customer_ds, store_sales, date_dim
+   WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+   GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag, d_year
+   UNION ALL
+   SELECT c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+          d_year,
+          round(sum(ws_ext_list_price - ws_ext_discount_amt) + 5e-9, 4),
+          'w'
+   FROM customer_ds, web_sales, date_dim
+   WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+   GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag, d_year)
+SELECT t_s_secyear.customer_id,
+       t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name,
+       t_s_secyear.customer_preferred_cust_flag
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.sale_type = 's' AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's' AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 1995 AND t_s_secyear.dyear = 1996
+  AND t_w_firstyear.dyear = 1995 AND t_w_secyear.dyear = 1996
+  AND t_s_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND CASE WHEN t_w_firstyear.year_total > 0
+           THEN (t_w_secyear.year_total * 1.0000) / t_w_firstyear.year_total
+           ELSE 0.0 END >
+      CASE WHEN t_s_firstyear.year_total > 0
+           THEN (t_s_secyear.year_total * 1.0000) / t_s_firstyear.year_total
+           ELSE 0.0 END
+ORDER BY t_s_secyear.customer_id NULLS FIRST,
+         t_s_secyear.customer_first_name NULLS FIRST,
+         t_s_secyear.customer_last_name NULLS FIRST,
+         t_s_secyear.customer_preferred_cust_flag NULLS FIRST
+LIMIT 100
+"""),
+    // q30: web returners 1.2x over their state average with the full
+    // customer profile (adapted: d_year 2000, state KY)
+    entry("q_tpcds_q30", """
+, customer_total_return AS
+  (SELECT wr_returning_customer_sk AS ctr_customer_sk,
+          ca_state AS ctr_state,
+          sum(wr_return_amt) AS ctr_total_return
+   FROM web_returns, date_dim, customer_address
+   WHERE wr_returned_date_sk = d_date_sk
+     AND d_year = 2000
+     AND wr_returning_addr_sk = ca_address_sk
+   GROUP BY wr_returning_customer_sk, ca_state)
+SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+       c_preferred_cust_flag, c_birth_day, c_birth_month, c_birth_year,
+       c_birth_country, c_login, c_email_address, c_last_review_date_sk,
+       round(ctr_total_return + 5e-9, 4) AS ctr_total_return
+FROM customer_total_return ctr1, customer_address, customer_ds
+WHERE ctr1.ctr_total_return >
+    (SELECT avg(ctr_total_return) * 1.2
+     FROM customer_total_return ctr2
+     WHERE ctr1.ctr_state = ctr2.ctr_state)
+  AND ca_address_sk = c_current_addr_sk
+  AND ca_state = 'KY'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id NULLS FIRST, c_salutation NULLS FIRST,
+         c_first_name NULLS FIRST, c_last_name NULLS FIRST,
+         c_preferred_cust_flag NULLS FIRST, c_birth_day NULLS FIRST,
+         c_birth_month NULLS FIRST, c_birth_year NULLS FIRST,
+         c_birth_country NULLS FIRST, c_login NULLS FIRST,
+         c_email_address NULLS FIRST, c_last_review_date_sk NULLS FIRST,
+         ctr_total_return NULLS FIRST
+LIMIT 100
+"""),
+    // q35: dependent-count statistics for multi-channel actives (EXISTS
+    // battery + min/max/avg triples; adapted: d_year 1996)
+    entry("q_tpcds_q35", """
+SELECT ca_state, cd_gender, cd_marital_status, cd_dep_count,
+       count(*) AS cnt1,
+       min(cd_dep_count) AS min1,
+       max(cd_dep_count) AS max1,
+       round(avg(cd_dep_count) + 5e-9, 4) AS avg1,
+       cd_dep_employed_count,
+       count(*) AS cnt2,
+       min(cd_dep_employed_count) AS min2,
+       max(cd_dep_employed_count) AS max2,
+       round(avg(cd_dep_employed_count) + 5e-9, 4) AS avg2,
+       cd_dep_college_count,
+       count(*) AS cnt3,
+       min(cd_dep_college_count) AS min3,
+       max(cd_dep_college_count) AS max3,
+       round(avg(cd_dep_college_count) + 5e-9, 4) AS avg3
+FROM customer_ds c, customer_address ca, customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS
+    (SELECT *
+     FROM store_sales, date_dim
+     WHERE c.c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+       AND d_year = 1996 AND d_qoy < 4)
+  AND (EXISTS
+        (SELECT *
+         FROM web_sales, date_dim
+         WHERE c.c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+           AND d_year = 1996 AND d_qoy < 4)
+       OR EXISTS
+        (SELECT *
+         FROM catalog_sales, date_dim
+         WHERE c.c_customer_sk = cs_ship_customer_sk AND cs_sold_date_sk = d_date_sk
+           AND d_year = 1996 AND d_qoy < 4))
+GROUP BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+ORDER BY ca_state NULLS FIRST, cd_gender NULLS FIRST,
+         cd_marital_status NULLS FIRST, cd_dep_count NULLS FIRST,
+         cd_dep_employed_count NULLS FIRST, cd_dep_college_count NULLS FIRST
+LIMIT 100
+"""),
+    // q69: demographics of store-only shoppers (EXISTS + double NOT
+    // EXISTS; adapted: states to the derived ca domain, d_year 1996)
+    entry("q_tpcds_q69", """
+SELECT cd_gender, cd_marital_status, cd_education_status,
+       count(*) AS cnt1,
+       cd_purchase_estimate,
+       count(*) AS cnt2,
+       cd_credit_rating,
+       count(*) AS cnt3
+FROM customer_ds c, customer_address ca, customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND ca_state IN ('KY', 'NM', 'OR')
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS
+    (SELECT *
+     FROM store_sales, date_dim
+     WHERE c.c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+       AND d_year = 1996 AND d_moy BETWEEN 4 AND 6)
+  AND (NOT EXISTS
+        (SELECT *
+         FROM web_sales, date_dim
+         WHERE c.c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+           AND d_year = 1996 AND d_moy BETWEEN 4 AND 6)
+       AND NOT EXISTS
+        (SELECT *
+         FROM catalog_sales, date_dim
+         WHERE c.c_customer_sk = cs_ship_customer_sk AND cs_sold_date_sk = d_date_sk
+           AND d_year = 1996 AND d_moy BETWEEN 4 AND 6))
+GROUP BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating
+ORDER BY cd_gender, cd_marital_status, cd_education_status,
+         cd_purchase_estimate, cd_credit_rating
+LIMIT 100
+"""),
+    // q74: customers whose web net-paid growth beats store growth
+    // (adapted: 1995/1996, rounded totals like q4/q11)
+    entry("q_tpcds_q74", """
+, year_total AS
+  (SELECT c_customer_id AS customer_id,
+          c_first_name AS customer_first_name,
+          c_last_name AS customer_last_name,
+          d_year AS year_,
+          round(sum(ss_net_paid) + 5e-9, 4) AS year_total,
+          's' AS sale_type
+   FROM customer_ds, store_sales, date_dim
+   WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+     AND d_year IN (1995, 1996)
+   GROUP BY c_customer_id, c_first_name, c_last_name, d_year
+   UNION ALL
+   SELECT c_customer_id, c_first_name, c_last_name,
+          d_year,
+          round(sum(ws_net_paid) + 5e-9, 4),
+          'w'
+   FROM customer_ds, web_sales, date_dim
+   WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+     AND d_year IN (1995, 1996)
+   GROUP BY c_customer_id, c_first_name, c_last_name, d_year)
+SELECT t_s_secyear.customer_id,
+       t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.sale_type = 's' AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's' AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.year_ = 1995 AND t_s_secyear.year_ = 1996
+  AND t_w_firstyear.year_ = 1995 AND t_w_secyear.year_ = 1996
+  AND t_s_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND CASE WHEN t_w_firstyear.year_total > 0
+           THEN t_w_secyear.year_total / t_w_firstyear.year_total
+           ELSE NULL END >
+      CASE WHEN t_s_firstyear.year_total > 0
+           THEN t_s_secyear.year_total / t_s_firstyear.year_total
+           ELSE NULL END
+ORDER BY t_s_secyear.customer_id NULLS FIRST,
+         t_s_secyear.customer_first_name NULLS FIRST,
+         t_s_secyear.customer_last_name NULLS FIRST
+LIMIT 100
+"""),
+    // q77: per-channel sales vs returns ROLLUP over 30 days (store/web
+    // LEFT JOIN returns by location, catalog CROSS JOIN per the canonical
+    // text; adapted: 1995 dates)
+    entry("q_tpcds_q77", """
+, ss AS
+  (SELECT s_store_sk,
+          sum(ss_ext_sales_price) AS sales,
+          sum(ss_net_profit) AS profit
+   FROM store_sales, date_dim, store
+   WHERE ss_sold_date_sk = d_date_sk
+     AND d_date BETWEEN CAST('1995-08-23' AS DATE) AND CAST('1995-09-22' AS DATE)
+     AND ss_store_sk = s_store_sk
+   GROUP BY s_store_sk),
+sr AS
+  (SELECT sr_store_sk AS s_store_sk,
+          sum(sr_return_amt) AS returns_,
+          sum(sr_net_loss) AS profit_loss
+   FROM store_returns, date_dim, store
+   WHERE sr_returned_date_sk = d_date_sk
+     AND d_date BETWEEN CAST('1995-08-23' AS DATE) AND CAST('1995-09-22' AS DATE)
+     AND sr_store_sk = s_store_sk
+   GROUP BY sr_store_sk),
+cs AS
+  (SELECT cs_call_center_sk,
+          sum(cs_ext_sales_price) AS sales,
+          sum(cs_net_profit) AS profit
+   FROM catalog_sales, date_dim
+   WHERE cs_sold_date_sk = d_date_sk
+     AND d_date BETWEEN CAST('1995-08-23' AS DATE) AND CAST('1995-09-22' AS DATE)
+   GROUP BY cs_call_center_sk),
+cr AS
+  (SELECT cr_call_center_sk,
+          sum(cr_return_amount) AS returns_,
+          sum(cr_net_loss) AS profit_loss
+   FROM catalog_returns, date_dim
+   WHERE cr_returned_date_sk = d_date_sk
+     AND d_date BETWEEN CAST('1995-08-23' AS DATE) AND CAST('1995-09-22' AS DATE)
+   GROUP BY cr_call_center_sk),
+ws AS
+  (SELECT wp_web_page_sk,
+          sum(ws_ext_sales_price) AS sales,
+          sum(ws_net_profit) AS profit
+   FROM web_sales, date_dim, web_page
+   WHERE ws_sold_date_sk = d_date_sk
+     AND d_date BETWEEN CAST('1995-08-23' AS DATE) AND CAST('1995-09-22' AS DATE)
+     AND ws_web_page_sk = wp_web_page_sk
+   GROUP BY wp_web_page_sk),
+wr AS
+  (SELECT wr_web_page_sk AS wp_web_page_sk,
+          sum(wr_return_amt) AS returns_,
+          sum(wr_net_loss) AS profit_loss
+   FROM web_returns, date_dim, web_page
+   WHERE wr_returned_date_sk = d_date_sk
+     AND d_date BETWEEN CAST('1995-08-23' AS DATE) AND CAST('1995-09-22' AS DATE)
+     AND wr_web_page_sk = wp_web_page_sk
+   GROUP BY wr_web_page_sk)
+SELECT channel, id,
+       round(sum(sales) + 5e-9, 4) AS sales,
+       round(sum(returns_) + 5e-9, 4) AS returns_,
+       round(sum(profit) + 5e-9, 4) AS profit
+FROM
+  (SELECT 'store channel' AS channel, ss.s_store_sk AS id,
+          sales, coalesce(returns_, 0) AS returns_,
+          (profit - coalesce(profit_loss, 0)) AS profit
+   FROM ss LEFT JOIN sr ON ss.s_store_sk = sr.s_store_sk
+   UNION ALL
+   SELECT 'catalog channel', cs_call_center_sk,
+          sales, returns_, (profit - profit_loss)
+   FROM cs, cr
+   UNION ALL
+   SELECT 'web channel', ws.wp_web_page_sk,
+          sales, coalesce(returns_, 0),
+          (profit - coalesce(profit_loss, 0))
+   FROM ws LEFT JOIN wr ON ws.wp_web_page_sk = wr.wp_web_page_sk) x
+GROUP BY ROLLUP(channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST, returns_ DESC
+LIMIT 100
+"""),
+    // q81: catalog returners 1.2x over their state average with the full
+    // address profile (adapted: d_year 2000, state TX)
+    entry("q_tpcds_q81", """
+, customer_total_return AS
+  (SELECT cr_returning_customer_sk AS ctr_customer_sk,
+          ca_state AS ctr_state,
+          sum(cr_return_amt_inc_tax) AS ctr_total_return
+   FROM catalog_returns, date_dim, customer_address
+   WHERE cr_returned_date_sk = d_date_sk
+     AND d_year = 2000
+     AND cr_returning_addr_sk = ca_address_sk
+   GROUP BY cr_returning_customer_sk, ca_state)
+SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+       ca_street_number, ca_street_name, ca_street_type, ca_suite_number,
+       ca_city, ca_county, ca_state, ca_zip, ca_country, ca_gmt_offset,
+       ca_location_type,
+       round(ctr_total_return + 5e-9, 4) AS ctr_total_return
+FROM customer_total_return ctr1, customer_address, customer_ds
+WHERE ctr1.ctr_total_return >
+    (SELECT avg(ctr_total_return) * 1.2
+     FROM customer_total_return ctr2
+     WHERE ctr1.ctr_state = ctr2.ctr_state)
+  AND ca_address_sk = c_current_addr_sk
+  AND ca_state = 'TX'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id, c_salutation, c_first_name, c_last_name,
+         ca_street_number, ca_street_name, ca_street_type, ca_suite_number,
+         ca_city, ca_county, ca_state, ca_zip, ca_country, ca_gmt_offset,
+         ca_location_type, ctr_total_return
 LIMIT 100
 """)
   )
