@@ -50,8 +50,11 @@ WITH date_dim AS (
          CASE day(d_date_sk) % 7 WHEN 0 THEN 'Sunday' WHEN 1 THEN 'Monday'
               WHEN 2 THEN 'Tuesday' WHEN 3 THEN 'Wednesday' WHEN 4 THEN 'Thursday'
               WHEN 5 THEN 'Friday' ELSE 'Saturday' END AS d_day_name,
+         day(d_date_sk) % 7 AS d_dow,
          (year(d_date_sk) - 1992) * 48 + (month(d_date_sk) - 1) * 4 +
-           CAST(floor((day(d_date_sk) - 1) / 8.0) AS INTEGER) AS d_week_seq
+           CAST(floor((day(d_date_sk) - 1) / 8.0) AS INTEGER) AS d_week_seq,
+         CAST(year(d_date_sk) AS STRING) || 'Q' ||
+           CAST(CAST(floor((month(d_date_sk) - 1) / 3.0) AS INTEGER) + 1 AS STRING) AS d_quarter_name
   FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d_date_sk FROM orders) dd
 ),
 item AS (
@@ -95,7 +98,13 @@ store AS (
               WHEN 3 THEN 'TX' ELSE 'WA' END AS s_state,
          CAST(10000 + (n_nationkey * 37) % 89 AS STRING) AS s_zip,
          n_nationkey % 10 + 1 AS s_market_id,
-         -5.0 AS s_gmt_offset
+         -5.0 AS s_gmt_offset,
+         n_nationkey % 5 + 1 AS s_company_id,
+         CAST(n_nationkey % 900 + 100 AS STRING) AS s_street_number,
+         CASE n_nationkey % 5 WHEN 0 THEN 'Main' WHEN 1 THEN 'Oak' WHEN 2 THEN 'Elm'
+              WHEN 3 THEN 'Park' ELSE 'Lake' END AS s_street_name,
+         CASE n_nationkey % 3 WHEN 0 THEN 'St' WHEN 1 THEN 'Ave' ELSE 'Blvd' END AS s_street_type,
+         CAST(n_nationkey % 100 AS STRING) AS s_suite_number
   FROM nation JOIN region ON n_regionkey = r_regionkey
 ),
 household_demographics AS (
@@ -282,8 +291,12 @@ catalog_sales AS (
 ),
 time_dim AS (
   SELECT t_time_sk,
+         t_time_sk AS t_time,
          CAST(floor(t_time_sk / 3600.0) AS INTEGER) AS t_hour,
-         CAST(floor((t_time_sk % 3600) / 60.0) AS INTEGER) AS t_minute
+         CAST(floor((t_time_sk % 3600) / 60.0) AS INTEGER) AS t_minute,
+         CASE WHEN floor(t_time_sk / 3600.0) BETWEEN 6 AND 8 THEN 'breakfast'
+              WHEN floor(t_time_sk / 3600.0) BETWEEN 17 AND 19 THEN 'dinner'
+              ELSE NULL END AS t_meal_time
   FROM (SELECT DISTINCT (l_orderkey * 13 + l_linenumber * 7919) % 86400 AS t_time_sk
         FROM lineitem) td
 ),
@@ -2410,6 +2423,280 @@ ORDER BY c_customer_id, c_salutation, c_first_name, c_last_name,
          ca_city, ca_county, ca_state, ca_zip, ca_country, ca_gmt_offset,
          ca_location_type, ctr_total_return
 LIMIT 100
+"""),
+    // q17: sale→return→repurchase quantity statistics across three dated
+    // events (triple date_dim; adapted: quarters to 1995)
+    entry("q_tpcds_q17", """
+SELECT i_item_id, i_item_desc, s_state,
+       count(ss_quantity) AS store_sales_quantitycount,
+       round(avg(ss_quantity) + 5e-9, 4) AS store_sales_quantityave,
+       round(stddev_samp(ss_quantity) + 5e-9, 4) AS store_sales_quantitystdev,
+       round(stddev_samp(ss_quantity) / avg(ss_quantity) + 5e-9, 4) AS store_sales_quantitycov,
+       count(sr_return_quantity) AS store_returns_quantitycount,
+       round(avg(sr_return_quantity) + 5e-9, 4) AS store_returns_quantityave,
+       round(stddev_samp(sr_return_quantity) + 5e-9, 4) AS store_returns_quantitystdev,
+       round(stddev_samp(sr_return_quantity) / avg(sr_return_quantity) + 5e-9, 4) AS store_returns_quantitycov,
+       count(cs_quantity) AS catalog_sales_quantitycount,
+       round(avg(cs_quantity) + 5e-9, 4) AS catalog_sales_quantityave,
+       round(stddev_samp(cs_quantity) + 5e-9, 4) AS catalog_sales_quantitystdev,
+       round(stddev_samp(cs_quantity) / avg(cs_quantity) + 5e-9, 4) AS catalog_sales_quantitycov
+FROM store_sales, store_returns, catalog_sales,
+     date_dim d1, date_dim d2, date_dim d3, store, item
+WHERE d1.d_quarter_name = '1995Q1'
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk
+  AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_ticket_number
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND d2.d_quarter_name IN ('1995Q1', '1995Q2', '1995Q3')
+  AND sr_customer_sk = cs_bill_customer_sk
+  AND sr_item_sk = cs_item_sk
+  AND cs_sold_date_sk = d3.d_date_sk
+  AND d3.d_quarter_name IN ('1995Q1', '1995Q2', '1995Q3')
+GROUP BY i_item_id, i_item_desc, s_state
+ORDER BY i_item_id NULLS FIRST, i_item_desc NULLS FIRST, s_state NULLS FIRST
+LIMIT 100
+"""),
+    // q18: 4-level ROLLUP of catalog averages for targeted buyer
+    // demographics (decimal(12,2) averages become rounded doubles;
+    // adapted: states to the derived ca domain, d_year 1995)
+    entry("q_tpcds_q18", """
+SELECT i_item_id, ca_country, ca_state, ca_county,
+       round(avg(CAST(cs_quantity AS DOUBLE)) + 5e-9, 4) AS agg1,
+       round(avg(cs_list_price) + 5e-9, 4) AS agg2,
+       round(avg(cs_coupon_amt) + 5e-9, 4) AS agg3,
+       round(avg(cs_sales_price) + 5e-9, 4) AS agg4,
+       round(avg(cs_net_profit) + 5e-9, 4) AS agg5,
+       round(avg(CAST(c_birth_year AS DOUBLE)) + 5e-9, 4) AS agg6,
+       round(avg(CAST(cd1.cd_dep_count AS DOUBLE)) + 5e-9, 4) AS agg7
+FROM catalog_sales, customer_demographics cd1, customer_demographics cd2,
+     customer_ds, customer_address, date_dim, item
+WHERE cs_sold_date_sk = d_date_sk
+  AND cs_item_sk = i_item_sk
+  AND cs_bill_cdemo_sk = cd1.cd_demo_sk
+  AND cs_bill_customer_sk = c_customer_sk
+  AND cd1.cd_gender = 'F'
+  AND cd1.cd_education_status = 'Unknown'
+  AND c_current_cdemo_sk = cd2.cd_demo_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND c_birth_month IN (1, 6, 8, 9, 12, 2)
+  AND d_year = 1995
+  AND ca_state IN ('TX', 'OH', 'NM', 'KY')
+GROUP BY ROLLUP(i_item_id, ca_country, ca_state, ca_county)
+ORDER BY ca_country NULLS FIRST, ca_state NULLS FIRST,
+         ca_county NULLS FIRST, i_item_id NULLS FIRST
+LIMIT 100
+"""),
+    // q24: out-of-state returning buyers of one color, over 5% of the
+    // average (HAVING over a scalar subquery on the shared CTE; adapted:
+    // color red, netpaid rounded 4dp in the CTE for the deterministic
+    // threshold compare)
+    entry("q_tpcds_q24", """
+, ssales AS
+  (SELECT c_last_name, c_first_name, s_store_name, ca_state, s_state,
+          i_color, i_current_price, i_manager_id, i_units, i_size,
+          round(sum(ss_net_paid) + 5e-9, 4) AS netpaid
+   FROM store_sales, store_returns, store, item, customer_ds, customer_address
+   WHERE ss_ticket_number = sr_ticket_number
+     AND ss_item_sk = sr_item_sk
+     AND ss_customer_sk = c_customer_sk
+     AND ss_item_sk = i_item_sk
+     AND ss_store_sk = s_store_sk
+     AND c_current_addr_sk = ca_address_sk
+     AND c_birth_country <> upper(ca_country)
+     AND s_zip = ca_zip
+     AND s_market_id = 8
+   GROUP BY c_last_name, c_first_name, s_store_name, ca_state, s_state,
+            i_color, i_current_price, i_manager_id, i_units, i_size)
+SELECT c_last_name, c_first_name, s_store_name,
+       round(sum(netpaid) + 5e-9, 4) AS paid
+FROM ssales
+WHERE i_color = 'red'
+GROUP BY c_last_name, c_first_name, s_store_name
+HAVING sum(netpaid) > (SELECT 0.05 * avg(netpaid) FROM ssales)
+ORDER BY c_last_name, c_first_name, s_store_name
+"""),
+    // q25: profit flow through sale, return, and catalog repurchase
+    // (adapted: April 1995, return/repurchase windows Apr-Oct)
+    entry("q_tpcds_q25", """
+SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+       round(sum(ss_net_profit) + 5e-9, 4) AS store_sales_profit,
+       round(sum(sr_net_loss) + 5e-9, 4) AS store_returns_loss,
+       round(sum(cs_net_profit) + 5e-9, 4) AS catalog_sales_profit
+FROM store_sales, store_returns, catalog_sales,
+     date_dim d1, date_dim d2, date_dim d3, store, item
+WHERE d1.d_moy = 4
+  AND d1.d_year = 1995
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk
+  AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_ticket_number
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND d2.d_moy BETWEEN 4 AND 10
+  AND d2.d_year = 1995
+  AND sr_customer_sk = cs_bill_customer_sk
+  AND sr_item_sk = cs_item_sk
+  AND cs_sold_date_sk = d3.d_date_sk
+  AND d3.d_moy BETWEEN 4 AND 10
+  AND d3.d_year = 1995
+GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+LIMIT 100
+"""),
+    // q29: quantity flow through sale, return, and catalog repurchase
+    // (adapted: September 1995, repurchase years 1995-1997)
+    entry("q_tpcds_q29", """
+SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+       sum(ss_quantity) AS store_sales_quantity,
+       sum(sr_return_quantity) AS store_returns_quantity,
+       sum(cs_quantity) AS catalog_sales_quantity
+FROM store_sales, store_returns, catalog_sales,
+     date_dim d1, date_dim d2, date_dim d3, store, item
+WHERE d1.d_moy = 9
+  AND d1.d_year = 1995
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk
+  AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_ticket_number
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND d2.d_moy BETWEEN 9 AND 12
+  AND d2.d_year = 1995
+  AND sr_customer_sk = cs_bill_customer_sk
+  AND sr_item_sk = cs_item_sk
+  AND cs_sold_date_sk = d3.d_date_sk
+  AND d3.d_year IN (1995, 1996, 1997)
+GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+LIMIT 100
+"""),
+    // q31: counties where web growth beats store growth across quarters
+    // (6-way self-join over per-quarter county sums; adapted: 1995, sums
+    // rounded 4dp in the CTEs for deterministic ratio comparisons)
+    entry("q_tpcds_q31", """
+, ss AS
+  (SELECT ca_county, d_qoy, d_year,
+          round(sum(ss_ext_sales_price) + 5e-9, 4) AS store_sales
+   FROM store_sales, date_dim, customer_address
+   WHERE ss_sold_date_sk = d_date_sk AND ss_addr_sk = ca_address_sk
+   GROUP BY ca_county, d_qoy, d_year),
+ws AS
+  (SELECT ca_county, d_qoy, d_year,
+          round(sum(ws_ext_sales_price) + 5e-9, 4) AS web_sales
+   FROM web_sales, date_dim, customer_address
+   WHERE ws_sold_date_sk = d_date_sk AND ws_bill_addr_sk = ca_address_sk
+   GROUP BY ca_county, d_qoy, d_year)
+SELECT ss1.ca_county, ss1.d_year,
+       round((ws2.web_sales * 1.0000) / ws1.web_sales + 5e-9, 4) AS web_q1_q2_increase,
+       round((ss2.store_sales * 1.0000) / ss1.store_sales + 5e-9, 4) AS store_q1_q2_increase,
+       round((ws3.web_sales * 1.0000) / ws2.web_sales + 5e-9, 4) AS web_q2_q3_increase,
+       round((ss3.store_sales * 1.0000) / ss2.store_sales + 5e-9, 4) AS store_q2_q3_increase
+FROM ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+WHERE ss1.d_qoy = 1 AND ss1.d_year = 1995
+  AND ss1.ca_county = ss2.ca_county
+  AND ss2.d_qoy = 2 AND ss2.d_year = 1995
+  AND ss2.ca_county = ss3.ca_county
+  AND ss3.d_qoy = 3 AND ss3.d_year = 1995
+  AND ss1.ca_county = ws1.ca_county
+  AND ws1.d_qoy = 1 AND ws1.d_year = 1995
+  AND ws1.ca_county = ws2.ca_county
+  AND ws2.d_qoy = 2 AND ws2.d_year = 1995
+  AND ws1.ca_county = ws3.ca_county
+  AND ws3.d_qoy = 3 AND ws3.d_year = 1995
+  AND CASE WHEN ws1.web_sales > 0
+           THEN (ws2.web_sales * 1.0000) / ws1.web_sales ELSE NULL END >
+      CASE WHEN ss1.store_sales > 0
+           THEN (ss2.store_sales * 1.0000) / ss1.store_sales ELSE NULL END
+  AND CASE WHEN ws2.web_sales > 0
+           THEN (ws3.web_sales * 1.0000) / ws2.web_sales ELSE NULL END >
+      CASE WHEN ss2.store_sales > 0
+           THEN (ss3.store_sales * 1.0000) / ss2.store_sales ELSE NULL END
+ORDER BY ss1.ca_county
+"""),
+    // q33: per-manufacturer three-channel totals for one category via an
+    // IN-subquery on item (adapted: category PROMO, 1995/May)
+    entry("q_tpcds_q33", """
+, ss AS
+  (SELECT i_manufact_id,
+          sum(ss_ext_sales_price) AS total_sales
+   FROM store_sales, date_dim, customer_address, item
+   WHERE i_manufact_id IN
+       (SELECT i_manufact_id FROM item WHERE i_category IN ('PROMO'))
+     AND ss_item_sk = i_item_sk
+     AND ss_sold_date_sk = d_date_sk
+     AND d_year = 1995 AND d_moy = 5
+     AND ss_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_manufact_id),
+cs AS
+  (SELECT i_manufact_id,
+          sum(cs_ext_sales_price) AS total_sales
+   FROM catalog_sales, date_dim, customer_address, item
+   WHERE i_manufact_id IN
+       (SELECT i_manufact_id FROM item WHERE i_category IN ('PROMO'))
+     AND cs_item_sk = i_item_sk
+     AND cs_sold_date_sk = d_date_sk
+     AND d_year = 1995 AND d_moy = 5
+     AND cs_bill_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_manufact_id),
+ws AS
+  (SELECT i_manufact_id,
+          sum(ws_ext_sales_price) AS total_sales
+   FROM web_sales, date_dim, customer_address, item
+   WHERE i_manufact_id IN
+       (SELECT i_manufact_id FROM item WHERE i_category IN ('PROMO'))
+     AND ws_item_sk = i_item_sk
+     AND ws_sold_date_sk = d_date_sk
+     AND d_year = 1995 AND d_moy = 5
+     AND ws_bill_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_manufact_id)
+SELECT i_manufact_id,
+       round(sum(total_sales) + 5e-9, 4) AS total_sales
+FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs UNION ALL SELECT * FROM ws) tmp1
+GROUP BY i_manufact_id
+ORDER BY total_sales, i_manufact_id
+LIMIT 100
+"""),
+    // q39: warehouse/item month-over-month inventory variability self-join
+    // (adapted: the derived inventory is too sparse for single-year month
+    // pairs, so the d_year pin is dropped and the cov cut is 0.5 — the
+    // hash-uniform quantity domain tops out near cov 1.4; stdev/mean are
+    // rounded 4dp inside the CTE so the cut is engine-deterministic)
+    entry("q_tpcds_q39", """
+, inv AS
+  (SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy, stdev, mean,
+          CASE mean WHEN 0 THEN NULL ELSE round(stdev / mean + 5e-9, 4) END AS cov
+   FROM
+     (SELECT w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy,
+             round(stddev_samp(inv_quantity_on_hand) * 1.000 + 5e-9, 4) AS stdev,
+             round(avg(inv_quantity_on_hand) + 5e-9, 4) AS mean
+      FROM inventory, item, warehouse, date_dim
+      WHERE inv_item_sk = i_item_sk
+        AND inv_warehouse_sk = w_warehouse_sk
+        AND inv_date_sk = d_date_sk
+      GROUP BY w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy) foo
+   WHERE CASE mean WHEN 0 THEN 0 ELSE stdev / mean END > 0.5)
+SELECT inv1.w_warehouse_sk AS wsk1,
+       inv1.i_item_sk AS isk1,
+       inv1.d_moy AS dmoy1,
+       inv1.mean AS mean1,
+       inv1.cov AS cov1,
+       inv2.w_warehouse_sk, inv2.i_item_sk, inv2.d_moy, inv2.mean, inv2.cov
+FROM inv inv1, inv inv2
+WHERE inv1.i_item_sk = inv2.i_item_sk
+  AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
+  AND inv1.d_moy = 1
+  AND inv2.d_moy = 2
+ORDER BY inv1.w_warehouse_sk NULLS FIRST, inv1.i_item_sk NULLS FIRST,
+         inv1.d_moy NULLS FIRST, inv1.mean NULLS FIRST, inv1.cov NULLS FIRST,
+         inv2.d_moy NULLS FIRST, inv2.mean NULLS FIRST, inv2.cov NULLS FIRST
 """)
   )
 }
