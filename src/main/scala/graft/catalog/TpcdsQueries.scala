@@ -361,6 +361,7 @@ web_returns AS (
          l_orderkey % 500 AS wr_returning_addr_sk,
          l_orderkey % 500 AS wr_refunded_addr_sk,
          max(o_custkey) % 1000 AS wr_refunded_cdemo_sk,
+         max(o_custkey) % 1000 AS wr_returning_cdemo_sk,
          max(o_custkey) % 720 AS wr_returning_hdemo_sk,
          l_partkey % 60 + 1 AS wr_web_page_sk,
          sum(l_extendedprice * (1 - l_discount)) / 2 AS wr_return_amt,
@@ -2697,6 +2698,825 @@ WHERE inv1.i_item_sk = inv2.i_item_sk
 ORDER BY inv1.w_warehouse_sk NULLS FIRST, inv1.i_item_sk NULLS FIRST,
          inv1.d_moy NULLS FIRST, inv1.mean NULLS FIRST, inv1.cov NULLS FIRST,
          inv2.d_moy NULLS FIRST, inv2.mean NULLS FIRST, inv2.cov NULLS FIRST
+"""),
+    // q44: best/worst performing items joined by rank (adapted: the
+    // canonical NULL-addr baseline is never null here, so the benchmark
+    // subquery averages the low-key addr slice instead; rank over rounded
+    // averages per the round-before-rank convention)
+    entry("q_tpcds_q44", """
+SELECT asceding.rnk,
+       i1.i_product_name AS best_performing,
+       i2.i_product_name AS worst_performing
+FROM
+  (SELECT *
+   FROM (SELECT item_sk, rank() OVER (ORDER BY rank_col ASC) AS rnk
+         FROM (SELECT ss_item_sk AS item_sk,
+                      round(avg(ss_net_profit) + 5e-9, 4) AS rank_col
+               FROM store_sales ss1
+               WHERE ss_store_sk = 4
+               GROUP BY ss_item_sk
+               HAVING avg(ss_net_profit) > 0.9 *
+                 (SELECT avg(ss_net_profit) AS rank_col
+                  FROM store_sales
+                  WHERE ss_store_sk = 4 AND ss_addr_sk < 50
+                  GROUP BY ss_store_sk)) V1) V11
+   WHERE rnk < 11) asceding,
+  (SELECT *
+   FROM (SELECT item_sk, rank() OVER (ORDER BY rank_col DESC) AS rnk
+         FROM (SELECT ss_item_sk AS item_sk,
+                      round(avg(ss_net_profit) + 5e-9, 4) AS rank_col
+               FROM store_sales ss1
+               WHERE ss_store_sk = 4
+               GROUP BY ss_item_sk
+               HAVING avg(ss_net_profit) > 0.9 *
+                 (SELECT avg(ss_net_profit) AS rank_col
+                  FROM store_sales
+                  WHERE ss_store_sk = 4 AND ss_addr_sk < 50
+                  GROUP BY ss_store_sk)) V2) V21
+   WHERE rnk < 11) descending,
+     item i1, item i2
+WHERE asceding.rnk = descending.rnk
+  AND i1.i_item_sk = asceding.item_sk
+  AND i2.i_item_sk = descending.item_sk
+ORDER BY asceding.rnk, best_performing, worst_performing
+LIMIT 100
+"""),
+    // q45: web revenue by zip/city for listed zips or prime-keyed items
+    // (adapted: zips to the derived domain, d_year 1996)
+    entry("q_tpcds_q45", """
+SELECT ca_zip, ca_city,
+       round(sum(ws_sales_price) + 5e-9, 4) AS sum_sales_price
+FROM web_sales, customer_ds, customer_address, date_dim, item
+WHERE ws_bill_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND ws_item_sk = i_item_sk
+  AND (substring(ca_zip, 1, 5) IN ('10003', '10010', '10024', '10031', '10045')
+       OR i_item_id IN
+         (SELECT i_item_id
+          FROM item
+          WHERE i_item_sk IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)))
+  AND ws_sold_date_sk = d_date_sk
+  AND d_qoy = 2
+  AND d_year = 1996
+GROUP BY ca_zip, ca_city
+ORDER BY ca_zip, ca_city
+LIMIT 100
+"""),
+    // q46: weekend coupon spend by customers buying away from their home
+    // city (adapted: d_dow from the synthetic calendar, years 1995-1997)
+    entry("q_tpcds_q46", """
+SELECT c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number,
+       amt, profit
+FROM
+  (SELECT ss_ticket_number, ss_customer_sk,
+          ca_city AS bought_city,
+          round(sum(ss_coupon_amt) + 5e-9, 4) AS amt,
+          round(sum(ss_net_profit) + 5e-9, 4) AS profit
+   FROM store_sales, date_dim, store, household_demographics, customer_address
+   WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+     AND store_sales.ss_store_sk = store.s_store_sk
+     AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+     AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+     AND (household_demographics.hd_dep_count = 4
+          OR household_demographics.hd_vehicle_count = 3)
+     AND date_dim.d_dow IN (6, 0)
+     AND date_dim.d_year IN (1995, 1996, 1997)
+     AND store.s_city IN ('Fairview', 'Midway')
+   GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+     customer_ds,
+     customer_address current_addr
+WHERE ss_customer_sk = c_customer_sk
+  AND c_current_addr_sk = current_addr.ca_address_sk
+  AND current_addr.ca_city <> bought_city
+ORDER BY c_last_name NULLS FIRST, c_first_name NULLS FIRST,
+         ca_city NULLS FIRST, bought_city NULLS FIRST,
+         ss_ticket_number NULLS FIRST
+LIMIT 100
+"""),
+    // q49: worst return ratios across all three channels (per-channel
+    // dual ranks unioned; decimal ratios become rounded doubles;
+    // adapted: December 1995, return-amt floor 10000)
+    entry("q_tpcds_q49", """
+SELECT channel, item, return_ratio, return_rank, currency_rank
+FROM
+  (SELECT 'web' AS channel, web.item, web.return_ratio,
+          web.return_rank, web.currency_rank
+   FROM
+     (SELECT item, return_ratio, currency_ratio,
+             rank() OVER (ORDER BY return_ratio) AS return_rank,
+             rank() OVER (ORDER BY currency_ratio) AS currency_rank
+      FROM
+        (SELECT ws.ws_item_sk AS item,
+                round(CAST(sum(coalesce(wr.wr_return_quantity, 0)) AS DOUBLE) /
+                      sum(coalesce(ws.ws_quantity, 0)) + 5e-9, 4) AS return_ratio,
+                round(CAST(sum(coalesce(wr.wr_return_amt, 0)) AS DOUBLE) /
+                      sum(coalesce(ws.ws_net_paid, 0)) + 5e-9, 4) AS currency_ratio
+         FROM web_sales ws
+         LEFT OUTER JOIN web_returns wr ON (ws.ws_order_number = wr.wr_order_number
+                                            AND ws.ws_item_sk = wr.wr_item_sk),
+              date_dim
+         WHERE wr.wr_return_amt > 10000
+           AND ws.ws_net_profit > 1
+           AND ws.ws_net_paid > 0
+           AND ws.ws_quantity > 0
+           AND ws_sold_date_sk = d_date_sk
+           AND d_year = 1995 AND d_moy = 12
+         GROUP BY ws.ws_item_sk) in_web) web
+   WHERE (web.return_rank <= 10 OR web.currency_rank <= 10)
+   UNION
+   SELECT 'catalog' AS channel, catalog.item, catalog.return_ratio,
+          catalog.return_rank, catalog.currency_rank
+   FROM
+     (SELECT item, return_ratio, currency_ratio,
+             rank() OVER (ORDER BY return_ratio) AS return_rank,
+             rank() OVER (ORDER BY currency_ratio) AS currency_rank
+      FROM
+        (SELECT cs.cs_item_sk AS item,
+                round(CAST(sum(coalesce(cr.cr_return_quantity, 0)) AS DOUBLE) /
+                      sum(coalesce(cs.cs_quantity, 0)) + 5e-9, 4) AS return_ratio,
+                round(CAST(sum(coalesce(cr.cr_return_amount, 0)) AS DOUBLE) /
+                      sum(coalesce(cs.cs_net_paid, 0)) + 5e-9, 4) AS currency_ratio
+         FROM catalog_sales cs
+         LEFT OUTER JOIN catalog_returns cr ON (cs.cs_order_number = cr.cr_order_number
+                                                AND cs.cs_item_sk = cr.cr_item_sk),
+              date_dim
+         WHERE cr.cr_return_amount > 10000
+           AND cs.cs_net_profit > 1
+           AND cs.cs_net_paid > 0
+           AND cs.cs_quantity > 0
+           AND cs_sold_date_sk = d_date_sk
+           AND d_year = 1995 AND d_moy = 12
+         GROUP BY cs.cs_item_sk) in_cat) catalog
+   WHERE (catalog.return_rank <= 10 OR catalog.currency_rank <= 10)
+   UNION
+   SELECT 'store' AS channel, store.item, store.return_ratio,
+          store.return_rank, store.currency_rank
+   FROM
+     (SELECT item, return_ratio, currency_ratio,
+             rank() OVER (ORDER BY return_ratio) AS return_rank,
+             rank() OVER (ORDER BY currency_ratio) AS currency_rank
+      FROM
+        (SELECT sts.ss_item_sk AS item,
+                round(CAST(sum(coalesce(sr.sr_return_quantity, 0)) AS DOUBLE) /
+                      sum(coalesce(sts.ss_quantity, 0)) + 5e-9, 4) AS return_ratio,
+                round(CAST(sum(coalesce(sr.sr_return_amt, 0)) AS DOUBLE) /
+                      sum(coalesce(sts.ss_net_paid, 0)) + 5e-9, 4) AS currency_ratio
+         FROM store_sales sts
+         LEFT OUTER JOIN store_returns sr ON (sts.ss_ticket_number = sr.sr_ticket_number
+                                              AND sts.ss_item_sk = sr.sr_item_sk),
+              date_dim
+         WHERE sr.sr_return_amt > 10000
+           AND sts.ss_net_profit > 1
+           AND sts.ss_net_paid > 0
+           AND sts.ss_quantity > 0
+           AND ss_sold_date_sk = d_date_sk
+           AND d_year = 1995 AND d_moy = 12
+         GROUP BY sts.ss_item_sk) in_store) store
+   WHERE (store.return_rank <= 10 OR store.currency_rank <= 10)) sq1
+ORDER BY 1 NULLS FIRST, 4 NULLS FIRST, 5 NULLS FIRST, 2 NULLS FIRST
+LIMIT 100
+"""),
+    // q50: return-lag buckets per store (date-diff buckets rewritten as
+    // portable date + int comparisons; adapted: August 1995)
+    entry("q_tpcds_q50", """
+SELECT s_store_name, s_company_id, s_street_number, s_street_name,
+       s_street_type, s_suite_number, s_city, s_county, s_state, s_zip,
+       sum(CASE WHEN sr_returned_date_sk <= ss_sold_date_sk + 30 THEN 1 ELSE 0 END) AS d30,
+       sum(CASE WHEN sr_returned_date_sk > ss_sold_date_sk + 30
+                 AND sr_returned_date_sk <= ss_sold_date_sk + 60 THEN 1 ELSE 0 END) AS d31_60,
+       sum(CASE WHEN sr_returned_date_sk > ss_sold_date_sk + 60
+                 AND sr_returned_date_sk <= ss_sold_date_sk + 90 THEN 1 ELSE 0 END) AS d61_90,
+       sum(CASE WHEN sr_returned_date_sk > ss_sold_date_sk + 90
+                 AND sr_returned_date_sk <= ss_sold_date_sk + 120 THEN 1 ELSE 0 END) AS d91_120,
+       sum(CASE WHEN sr_returned_date_sk > ss_sold_date_sk + 120 THEN 1 ELSE 0 END) AS dgt120
+FROM store_sales, store_returns, store, date_dim d1, date_dim d2
+WHERE d2.d_year = 1995
+  AND d2.d_moy = 8
+  AND ss_ticket_number = sr_ticket_number
+  AND ss_item_sk = sr_item_sk
+  AND ss_sold_date_sk = d1.d_date_sk
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND ss_store_sk = s_store_sk
+GROUP BY s_store_name, s_company_id, s_street_number, s_street_name,
+         s_street_type, s_suite_number, s_city, s_county, s_state, s_zip
+ORDER BY s_store_name, s_company_id, s_street_number, s_street_name,
+         s_street_type, s_suite_number, s_city, s_county, s_state, s_zip
+LIMIT 100
+"""),
+    // q51: dates where one channel's cumulative sales lead the other
+    // (nested sum-over-sum windows over a FULL OUTER JOIN; cumulative
+    // sums rounded 4dp so the overtake cut is engine-deterministic;
+    // adapted: the store channel carries 3x the web channel's rows in the
+    // derived facts, so the overtake predicate is store > web — the
+    // canonical direction is structurally empty here)
+    entry("q_tpcds_q51", """
+, web_v1 AS
+  (SELECT ws_item_sk AS item_sk, d_date,
+          round(sum(sum(ws_sales_price))
+                  OVER (PARTITION BY ws_item_sk ORDER BY d_date
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 5e-9, 4) AS cume_sales
+   FROM web_sales, date_dim
+   WHERE ws_sold_date_sk = d_date_sk
+     AND d_month_seq BETWEEN 36 AND 47
+     AND ws_item_sk IS NOT NULL
+   GROUP BY ws_item_sk, d_date),
+store_v1 AS
+  (SELECT ss_item_sk AS item_sk, d_date,
+          round(sum(sum(ss_sales_price))
+                  OVER (PARTITION BY ss_item_sk ORDER BY d_date
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 5e-9, 4) AS cume_sales
+   FROM store_sales, date_dim
+   WHERE ss_sold_date_sk = d_date_sk
+     AND d_month_seq BETWEEN 36 AND 47
+     AND ss_item_sk IS NOT NULL
+   GROUP BY ss_item_sk, d_date)
+SELECT *
+FROM
+  (SELECT item_sk, d_date, web_sales, store_sales,
+          max(web_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS web_cumulative,
+          max(store_sales) OVER (PARTITION BY item_sk ORDER BY d_date
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS store_cumulative
+   FROM
+     (SELECT CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk ELSE store.item_sk END AS item_sk,
+             CASE WHEN web.d_date IS NOT NULL THEN web.d_date ELSE store.d_date END AS d_date,
+             web.cume_sales AS web_sales,
+             store.cume_sales AS store_sales
+      FROM web_v1 web
+      FULL OUTER JOIN store_v1 store ON (web.item_sk = store.item_sk
+                                         AND web.d_date = store.d_date)) x) y
+WHERE store_cumulative > web_cumulative
+ORDER BY item_sk NULLS FIRST, d_date NULLS FIRST
+LIMIT 100
+"""),
+    // q54: revenue segments of cross-channel category buyers shopping
+    // near home in the following quarter (adapted: category/class to the
+    // derived domains, Dec 1995; the ca_county = s_county leg is dropped
+    // because the derived county domains are disjoint — state match only)
+    entry("q_tpcds_q54", """
+, my_customers AS
+  (SELECT DISTINCT c_customer_sk, c_current_addr_sk
+   FROM
+     (SELECT cs_sold_date_sk AS sold_date_sk,
+             cs_bill_customer_sk AS customer_sk,
+             cs_item_sk AS item_sk
+      FROM catalog_sales
+      UNION ALL
+      SELECT ws_sold_date_sk, ws_bill_customer_sk, ws_item_sk
+      FROM web_sales) cs_or_ws_sales, item, date_dim, customer_ds
+   WHERE sold_date_sk = d_date_sk
+     AND item_sk = i_item_sk
+     AND i_category = 'PROMO'
+     AND i_class = 'reference'
+     AND c_customer_sk = cs_or_ws_sales.customer_sk
+     AND d_moy = 12
+     AND d_year = 1995),
+my_revenue AS
+  (SELECT c_customer_sk,
+          sum(ss_ext_sales_price) AS revenue
+   FROM my_customers, store_sales, customer_address, store, date_dim
+   WHERE c_current_addr_sk = ca_address_sk
+     AND ca_state = s_state
+     AND ss_sold_date_sk = d_date_sk
+     AND c_customer_sk = ss_customer_sk
+     AND d_month_seq BETWEEN
+       (SELECT DISTINCT d_month_seq + 1 FROM date_dim
+        WHERE d_year = 1995 AND d_moy = 12) AND
+       (SELECT DISTINCT d_month_seq + 3 FROM date_dim
+        WHERE d_year = 1995 AND d_moy = 12)
+   GROUP BY c_customer_sk),
+segments AS
+  (SELECT CAST(round(revenue / 50) AS INTEGER) AS segment
+   FROM my_revenue)
+SELECT segment,
+       count(*) AS num_customers,
+       segment * 50 AS segment_base
+FROM segments
+GROUP BY segment
+ORDER BY segment NULLS FIRST, num_customers NULLS FIRST, segment_base
+LIMIT 100
+"""),
+    // q56: per-item three-channel totals for listed colors (adapted:
+    // colors to the derived domain, Feb 1996)
+    entry("q_tpcds_q56", """
+, ss AS
+  (SELECT i_item_id,
+          sum(ss_ext_sales_price) AS total_sales
+   FROM store_sales, date_dim, customer_address, item
+   WHERE i_item_id IN
+       (SELECT i_item_id FROM item WHERE i_color IN ('red', 'blue', 'green'))
+     AND ss_item_sk = i_item_sk
+     AND ss_sold_date_sk = d_date_sk
+     AND d_year = 1996 AND d_moy = 2
+     AND ss_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_item_id),
+cs AS
+  (SELECT i_item_id,
+          sum(cs_ext_sales_price) AS total_sales
+   FROM catalog_sales, date_dim, customer_address, item
+   WHERE i_item_id IN
+       (SELECT i_item_id FROM item WHERE i_color IN ('red', 'blue', 'green'))
+     AND cs_item_sk = i_item_sk
+     AND cs_sold_date_sk = d_date_sk
+     AND d_year = 1996 AND d_moy = 2
+     AND cs_bill_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_item_id),
+ws AS
+  (SELECT i_item_id,
+          sum(ws_ext_sales_price) AS total_sales
+   FROM web_sales, date_dim, customer_address, item
+   WHERE i_item_id IN
+       (SELECT i_item_id FROM item WHERE i_color IN ('red', 'blue', 'green'))
+     AND ws_item_sk = i_item_sk
+     AND ws_sold_date_sk = d_date_sk
+     AND d_year = 1996 AND d_moy = 2
+     AND ws_bill_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_item_id)
+SELECT i_item_id,
+       round(sum(total_sales) + 5e-9, 4) AS total_sales
+FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs UNION ALL SELECT * FROM ws) tmp1
+GROUP BY i_item_id
+ORDER BY total_sales NULLS FIRST, i_item_id NULLS FIRST
+LIMIT 100
+"""),
+    // q58: items with balanced revenue across all three channels in one
+    // period (nested period-lookup subqueries; adapted: the synthetic
+    // 8-day weeks leave almost no 3-channel item overlap, so the lookup
+    // is the month of 1995-01-03 and the balance band is 0.2-5.0 — the
+    // store channel structurally carries ~3x the catalog/web rows; revs
+    // rounded 4dp in the CTEs for deterministic band checks)
+    entry("q_tpcds_q58", """
+, ss_items AS
+  (SELECT i_item_id AS item_id,
+          round(sum(ss_ext_sales_price) + 5e-9, 4) AS ss_item_rev
+   FROM store_sales, item, date_dim
+   WHERE ss_item_sk = i_item_sk
+     AND d_date IN
+       (SELECT d_date FROM date_dim
+        WHERE d_month_seq = (SELECT d_month_seq FROM date_dim
+                             WHERE d_date = CAST('1995-01-03' AS DATE)))
+     AND ss_sold_date_sk = d_date_sk
+   GROUP BY i_item_id),
+cs_items AS
+  (SELECT i_item_id AS item_id,
+          round(sum(cs_ext_sales_price) + 5e-9, 4) AS cs_item_rev
+   FROM catalog_sales, item, date_dim
+   WHERE cs_item_sk = i_item_sk
+     AND d_date IN
+       (SELECT d_date FROM date_dim
+        WHERE d_month_seq = (SELECT d_month_seq FROM date_dim
+                             WHERE d_date = CAST('1995-01-03' AS DATE)))
+     AND cs_sold_date_sk = d_date_sk
+   GROUP BY i_item_id),
+ws_items AS
+  (SELECT i_item_id AS item_id,
+          round(sum(ws_ext_sales_price) + 5e-9, 4) AS ws_item_rev
+   FROM web_sales, item, date_dim
+   WHERE ws_item_sk = i_item_sk
+     AND d_date IN
+       (SELECT d_date FROM date_dim
+        WHERE d_month_seq = (SELECT d_month_seq FROM date_dim
+                             WHERE d_date = CAST('1995-01-03' AS DATE)))
+     AND ws_sold_date_sk = d_date_sk
+   GROUP BY i_item_id)
+SELECT ss_items.item_id,
+       ss_item_rev,
+       round(ss_item_rev / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3) * 100 + 5e-9, 4) AS ss_dev,
+       cs_item_rev,
+       round(cs_item_rev / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3) * 100 + 5e-9, 4) AS cs_dev,
+       ws_item_rev,
+       round(ws_item_rev / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3) * 100 + 5e-9, 4) AS ws_dev,
+       round((ss_item_rev + cs_item_rev + ws_item_rev) / 3 + 5e-9, 4) AS average
+FROM ss_items, cs_items, ws_items
+WHERE ss_items.item_id = cs_items.item_id
+  AND ss_items.item_id = ws_items.item_id
+  AND ss_item_rev BETWEEN 0.2 * cs_item_rev AND 5.0 * cs_item_rev
+  AND ss_item_rev BETWEEN 0.2 * ws_item_rev AND 5.0 * ws_item_rev
+  AND cs_item_rev BETWEEN 0.2 * ss_item_rev AND 5.0 * ss_item_rev
+  AND cs_item_rev BETWEEN 0.2 * ws_item_rev AND 5.0 * ws_item_rev
+  AND ws_item_rev BETWEEN 0.2 * ss_item_rev AND 5.0 * ss_item_rev
+  AND ws_item_rev BETWEEN 0.2 * cs_item_rev AND 5.0 * cs_item_rev
+ORDER BY ss_items.item_id NULLS FIRST, ss_item_rev NULLS FIRST
+LIMIT 100
+"""),
+    // q60: per-item three-channel totals for one category (adapted:
+    // category STANDARD, September 1996)
+    entry("q_tpcds_q60", """
+, ss AS
+  (SELECT i_item_id,
+          sum(ss_ext_sales_price) AS total_sales
+   FROM store_sales, date_dim, customer_address, item
+   WHERE i_item_id IN
+       (SELECT i_item_id FROM item WHERE i_category = 'STANDARD')
+     AND ss_item_sk = i_item_sk
+     AND ss_sold_date_sk = d_date_sk
+     AND d_year = 1996 AND d_moy = 9
+     AND ss_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_item_id),
+cs AS
+  (SELECT i_item_id,
+          sum(cs_ext_sales_price) AS total_sales
+   FROM catalog_sales, date_dim, customer_address, item
+   WHERE i_item_id IN
+       (SELECT i_item_id FROM item WHERE i_category = 'STANDARD')
+     AND cs_item_sk = i_item_sk
+     AND cs_sold_date_sk = d_date_sk
+     AND d_year = 1996 AND d_moy = 9
+     AND cs_bill_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_item_id),
+ws AS
+  (SELECT i_item_id,
+          sum(ws_ext_sales_price) AS total_sales
+   FROM web_sales, date_dim, customer_address, item
+   WHERE i_item_id IN
+       (SELECT i_item_id FROM item WHERE i_category = 'STANDARD')
+     AND ws_item_sk = i_item_sk
+     AND ws_sold_date_sk = d_date_sk
+     AND d_year = 1996 AND d_moy = 9
+     AND ws_bill_addr_sk = ca_address_sk
+     AND ca_gmt_offset = -5
+   GROUP BY i_item_id)
+SELECT i_item_id,
+       round(sum(total_sales) + 5e-9, 4) AS total_sales
+FROM (SELECT * FROM ss UNION ALL SELECT * FROM cs UNION ALL SELECT * FROM ws) tmp1
+GROUP BY i_item_id
+ORDER BY i_item_id, total_sales
+LIMIT 100
+"""),
+    // q61: promotional share of one category's store revenue (two scalar
+    // aggregates cross-joined; decimal ratio becomes a rounded double;
+    // adapted: category PROMO, November 1995)
+    entry("q_tpcds_q61", """
+SELECT round(promotions + 5e-9, 4) AS promotions,
+       round(total + 5e-9, 4) AS total,
+       round(CAST(promotions AS DOUBLE) / total * 100 + 5e-9, 4) AS promo_pct
+FROM
+  (SELECT sum(ss_ext_sales_price) AS promotions
+   FROM store_sales, store, promotion, date_dim, customer_ds,
+        customer_address, item
+   WHERE ss_sold_date_sk = d_date_sk
+     AND ss_store_sk = s_store_sk
+     AND ss_promo_sk = p_promo_sk
+     AND ss_customer_sk = c_customer_sk
+     AND ca_address_sk = c_current_addr_sk
+     AND ss_item_sk = i_item_sk
+     AND ca_gmt_offset = -5
+     AND i_category = 'PROMO'
+     AND (p_channel_dmail = 'Y' OR p_channel_email = 'Y' OR p_channel_tv = 'Y')
+     AND s_gmt_offset = -5
+     AND d_year = 1995
+     AND d_moy = 11) promotional_sales,
+  (SELECT sum(ss_ext_sales_price) AS total
+   FROM store_sales, store, date_dim, customer_ds, customer_address, item
+   WHERE ss_sold_date_sk = d_date_sk
+     AND ss_store_sk = s_store_sk
+     AND ss_customer_sk = c_customer_sk
+     AND ca_address_sk = c_current_addr_sk
+     AND ss_item_sk = i_item_sk
+     AND ca_gmt_offset = -5
+     AND i_category = 'PROMO'
+     AND s_gmt_offset = -5
+     AND d_year = 1995
+     AND d_moy = 11) all_sales
+ORDER BY promotions, total
+LIMIT 100
+"""),
+    // q66: warehouse monthly sales/net matrix for two carriers across web
+    // and catalog (adapted: 1995, carriers DHL/UPS, business-hours time
+    // band over the derived time_dim)
+    entry("q_tpcds_q66", """
+SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+       w_country, ship_carriers, year_,
+       round(sum(jan_sales) + 5e-9, 4) AS jan_sales,
+       round(sum(feb_sales) + 5e-9, 4) AS feb_sales,
+       round(sum(mar_sales) + 5e-9, 4) AS mar_sales,
+       round(sum(apr_sales) + 5e-9, 4) AS apr_sales,
+       round(sum(may_sales) + 5e-9, 4) AS may_sales,
+       round(sum(jun_sales) + 5e-9, 4) AS jun_sales,
+       round(sum(jul_sales) + 5e-9, 4) AS jul_sales,
+       round(sum(aug_sales) + 5e-9, 4) AS aug_sales,
+       round(sum(sep_sales) + 5e-9, 4) AS sep_sales,
+       round(sum(oct_sales) + 5e-9, 4) AS oct_sales,
+       round(sum(nov_sales) + 5e-9, 4) AS nov_sales,
+       round(sum(dec_sales) + 5e-9, 4) AS dec_sales,
+       round(sum(jan_sales / w_warehouse_sq_ft) + 5e-9, 4) AS jan_sales_per_sq_foot,
+       round(sum(feb_sales / w_warehouse_sq_ft) + 5e-9, 4) AS feb_sales_per_sq_foot,
+       round(sum(mar_sales / w_warehouse_sq_ft) + 5e-9, 4) AS mar_sales_per_sq_foot,
+       round(sum(apr_sales / w_warehouse_sq_ft) + 5e-9, 4) AS apr_sales_per_sq_foot,
+       round(sum(may_sales / w_warehouse_sq_ft) + 5e-9, 4) AS may_sales_per_sq_foot,
+       round(sum(jun_sales / w_warehouse_sq_ft) + 5e-9, 4) AS jun_sales_per_sq_foot,
+       round(sum(jul_sales / w_warehouse_sq_ft) + 5e-9, 4) AS jul_sales_per_sq_foot,
+       round(sum(aug_sales / w_warehouse_sq_ft) + 5e-9, 4) AS aug_sales_per_sq_foot,
+       round(sum(sep_sales / w_warehouse_sq_ft) + 5e-9, 4) AS sep_sales_per_sq_foot,
+       round(sum(oct_sales / w_warehouse_sq_ft) + 5e-9, 4) AS oct_sales_per_sq_foot,
+       round(sum(nov_sales / w_warehouse_sq_ft) + 5e-9, 4) AS nov_sales_per_sq_foot,
+       round(sum(dec_sales / w_warehouse_sq_ft) + 5e-9, 4) AS dec_sales_per_sq_foot,
+       round(sum(jan_net) + 5e-9, 4) AS jan_net,
+       round(sum(feb_net) + 5e-9, 4) AS feb_net,
+       round(sum(mar_net) + 5e-9, 4) AS mar_net,
+       round(sum(apr_net) + 5e-9, 4) AS apr_net,
+       round(sum(may_net) + 5e-9, 4) AS may_net,
+       round(sum(jun_net) + 5e-9, 4) AS jun_net,
+       round(sum(jul_net) + 5e-9, 4) AS jul_net,
+       round(sum(aug_net) + 5e-9, 4) AS aug_net,
+       round(sum(sep_net) + 5e-9, 4) AS sep_net,
+       round(sum(oct_net) + 5e-9, 4) AS oct_net,
+       round(sum(nov_net) + 5e-9, 4) AS nov_net,
+       round(sum(dec_net) + 5e-9, 4) AS dec_net
+FROM
+  (SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+          w_country,
+          'DHL,UPS' AS ship_carriers,
+          d_year AS year_,
+          sum(CASE WHEN d_moy = 1 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS jan_sales,
+          sum(CASE WHEN d_moy = 2 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS feb_sales,
+          sum(CASE WHEN d_moy = 3 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS mar_sales,
+          sum(CASE WHEN d_moy = 4 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS apr_sales,
+          sum(CASE WHEN d_moy = 5 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS may_sales,
+          sum(CASE WHEN d_moy = 6 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS jun_sales,
+          sum(CASE WHEN d_moy = 7 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS jul_sales,
+          sum(CASE WHEN d_moy = 8 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS aug_sales,
+          sum(CASE WHEN d_moy = 9 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS sep_sales,
+          sum(CASE WHEN d_moy = 10 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS oct_sales,
+          sum(CASE WHEN d_moy = 11 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS nov_sales,
+          sum(CASE WHEN d_moy = 12 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS dec_sales,
+          sum(CASE WHEN d_moy = 1 THEN ws_net_paid * ws_quantity ELSE 0 END) AS jan_net,
+          sum(CASE WHEN d_moy = 2 THEN ws_net_paid * ws_quantity ELSE 0 END) AS feb_net,
+          sum(CASE WHEN d_moy = 3 THEN ws_net_paid * ws_quantity ELSE 0 END) AS mar_net,
+          sum(CASE WHEN d_moy = 4 THEN ws_net_paid * ws_quantity ELSE 0 END) AS apr_net,
+          sum(CASE WHEN d_moy = 5 THEN ws_net_paid * ws_quantity ELSE 0 END) AS may_net,
+          sum(CASE WHEN d_moy = 6 THEN ws_net_paid * ws_quantity ELSE 0 END) AS jun_net,
+          sum(CASE WHEN d_moy = 7 THEN ws_net_paid * ws_quantity ELSE 0 END) AS jul_net,
+          sum(CASE WHEN d_moy = 8 THEN ws_net_paid * ws_quantity ELSE 0 END) AS aug_net,
+          sum(CASE WHEN d_moy = 9 THEN ws_net_paid * ws_quantity ELSE 0 END) AS sep_net,
+          sum(CASE WHEN d_moy = 10 THEN ws_net_paid * ws_quantity ELSE 0 END) AS oct_net,
+          sum(CASE WHEN d_moy = 11 THEN ws_net_paid * ws_quantity ELSE 0 END) AS nov_net,
+          sum(CASE WHEN d_moy = 12 THEN ws_net_paid * ws_quantity ELSE 0 END) AS dec_net
+   FROM web_sales, warehouse, date_dim, time_dim, ship_mode
+   WHERE ws_warehouse_sk = w_warehouse_sk
+     AND ws_sold_date_sk = d_date_sk
+     AND ws_sold_time_sk = t_time_sk
+     AND ws_ship_mode_sk = sm_ship_mode_sk
+     AND d_year = 1995
+     AND t_time BETWEEN 30838 AND 30838 + 28800
+     AND sm_carrier IN ('DHL', 'UPS')
+   GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+            w_country, d_year
+   UNION ALL
+   SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+          w_country,
+          'DHL,UPS' AS ship_carriers,
+          d_year AS year_,
+          sum(CASE WHEN d_moy = 1 THEN cs_sales_price * cs_quantity ELSE 0 END) AS jan_sales,
+          sum(CASE WHEN d_moy = 2 THEN cs_sales_price * cs_quantity ELSE 0 END) AS feb_sales,
+          sum(CASE WHEN d_moy = 3 THEN cs_sales_price * cs_quantity ELSE 0 END) AS mar_sales,
+          sum(CASE WHEN d_moy = 4 THEN cs_sales_price * cs_quantity ELSE 0 END) AS apr_sales,
+          sum(CASE WHEN d_moy = 5 THEN cs_sales_price * cs_quantity ELSE 0 END) AS may_sales,
+          sum(CASE WHEN d_moy = 6 THEN cs_sales_price * cs_quantity ELSE 0 END) AS jun_sales,
+          sum(CASE WHEN d_moy = 7 THEN cs_sales_price * cs_quantity ELSE 0 END) AS jul_sales,
+          sum(CASE WHEN d_moy = 8 THEN cs_sales_price * cs_quantity ELSE 0 END) AS aug_sales,
+          sum(CASE WHEN d_moy = 9 THEN cs_sales_price * cs_quantity ELSE 0 END) AS sep_sales,
+          sum(CASE WHEN d_moy = 10 THEN cs_sales_price * cs_quantity ELSE 0 END) AS oct_sales,
+          sum(CASE WHEN d_moy = 11 THEN cs_sales_price * cs_quantity ELSE 0 END) AS nov_sales,
+          sum(CASE WHEN d_moy = 12 THEN cs_sales_price * cs_quantity ELSE 0 END) AS dec_sales,
+          sum(CASE WHEN d_moy = 1 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS jan_net,
+          sum(CASE WHEN d_moy = 2 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS feb_net,
+          sum(CASE WHEN d_moy = 3 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS mar_net,
+          sum(CASE WHEN d_moy = 4 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS apr_net,
+          sum(CASE WHEN d_moy = 5 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS may_net,
+          sum(CASE WHEN d_moy = 6 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS jun_net,
+          sum(CASE WHEN d_moy = 7 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS jul_net,
+          sum(CASE WHEN d_moy = 8 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS aug_net,
+          sum(CASE WHEN d_moy = 9 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS sep_net,
+          sum(CASE WHEN d_moy = 10 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS oct_net,
+          sum(CASE WHEN d_moy = 11 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS nov_net,
+          sum(CASE WHEN d_moy = 12 THEN cs_net_paid_inc_tax * cs_quantity ELSE 0 END) AS dec_net
+   FROM catalog_sales, warehouse, date_dim, time_dim, ship_mode
+   WHERE cs_warehouse_sk = w_warehouse_sk
+     AND cs_sold_date_sk = d_date_sk
+     AND cs_sold_time_sk = t_time_sk
+     AND cs_ship_mode_sk = sm_ship_mode_sk
+     AND d_year = 1995
+     AND t_time BETWEEN 30838 AND 30838 + 28800
+     AND sm_carrier IN ('DHL', 'UPS')
+   GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+            w_country, d_year) x
+GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+         w_country, ship_carriers, year_
+ORDER BY w_warehouse_name NULLS FIRST
+LIMIT 100
+"""),
+    // q71: brand revenue by meal-time minute across all three channels
+    // (adapted: November 1995, manager 1, derived t_meal_time bands;
+    // t_minute added to the ORDER for a deterministic cut)
+    entry("q_tpcds_q71", """
+SELECT i_brand_id AS brand_id,
+       i_brand AS brand,
+       t_hour, t_minute,
+       round(sum(ext_price) + 5e-9, 4) AS ext_price
+FROM item,
+  (SELECT ws_ext_sales_price AS ext_price,
+          ws_sold_date_sk AS sold_date_sk,
+          ws_item_sk AS sold_item_sk,
+          ws_sold_time_sk AS time_sk
+   FROM web_sales, date_dim
+   WHERE d_date_sk = ws_sold_date_sk AND d_moy = 11 AND d_year = 1995
+   UNION ALL
+   SELECT cs_ext_sales_price, cs_sold_date_sk, cs_item_sk, cs_sold_time_sk
+   FROM catalog_sales, date_dim
+   WHERE d_date_sk = cs_sold_date_sk AND d_moy = 11 AND d_year = 1995
+   UNION ALL
+   SELECT ss_ext_sales_price, ss_sold_date_sk, ss_item_sk, ss_sold_time_sk
+   FROM store_sales, date_dim
+   WHERE d_date_sk = ss_sold_date_sk AND d_moy = 11 AND d_year = 1995) tmp,
+     time_dim
+WHERE sold_item_sk = i_item_sk
+  AND i_manager_id = 1
+  AND time_sk = t_time_sk
+  AND (t_meal_time = 'breakfast' OR t_meal_time = 'dinner')
+GROUP BY i_brand, i_brand_id, t_hour, t_minute
+ORDER BY ext_price DESC NULLS FIRST, i_brand_id NULLS FIRST,
+         t_hour NULLS FIRST, t_minute NULLS FIRST
+"""),
+    // q72: promo vs no-promo catalog orders shipped late against low
+    // inventory (9-table join battery with two LEFT joins; adapted: 1995,
+    // two hd_buy_potential bands — the single canonical band intersects
+    // the other modular demographic constraints to zero rows here)
+    entry("q_tpcds_q72", """
+SELECT i_item_desc, w_warehouse_name, d1.d_week_seq,
+       sum(CASE WHEN p_promo_sk IS NULL THEN 1 ELSE 0 END) AS no_promo,
+       sum(CASE WHEN p_promo_sk IS NOT NULL THEN 1 ELSE 0 END) AS promo,
+       count(*) AS total_cnt
+FROM catalog_sales
+JOIN inventory ON (cs_item_sk = inv_item_sk)
+JOIN warehouse ON (w_warehouse_sk = inv_warehouse_sk)
+JOIN item ON (i_item_sk = cs_item_sk)
+JOIN customer_demographics ON (cs_bill_cdemo_sk = cd_demo_sk)
+JOIN household_demographics ON (cs_bill_hdemo_sk = hd_demo_sk)
+JOIN date_dim d1 ON (cs_sold_date_sk = d1.d_date_sk)
+JOIN date_dim d2 ON (inv_date_sk = d2.d_date_sk)
+JOIN date_dim d3 ON (cs_ship_date_sk = d3.d_date_sk)
+LEFT OUTER JOIN promotion ON (cs_promo_sk = p_promo_sk)
+LEFT OUTER JOIN catalog_returns ON (cr_item_sk = cs_item_sk
+                                    AND cr_order_number = cs_order_number)
+WHERE d1.d_week_seq = d2.d_week_seq
+  AND inv_quantity_on_hand < cs_quantity
+  AND d3.d_date > d1.d_date + 5
+  AND hd_buy_potential IN ('>10000', 'Unknown')
+  AND d1.d_year = 1995
+  AND cd_marital_status = 'D'
+GROUP BY i_item_desc, w_warehouse_name, d1.d_week_seq
+ORDER BY total_cnt DESC NULLS FIRST, i_item_desc NULLS FIRST,
+         w_warehouse_name NULLS FIRST, d1.d_week_seq NULLS FIRST
+LIMIT 100
+"""),
+    // q76: sales through a sentinel dimension slice per channel (adapted:
+    // the canonical IS NULL fk audit is structurally empty on the derived
+    // facts — every fk is populated — so each channel pins its sentinel
+    // key value instead, keeping the 3-channel union + agg shape)
+    entry("q_tpcds_q76", """
+SELECT channel, col_name, d_year, d_qoy, i_category,
+       count(*) AS sales_cnt,
+       round(sum(ext_sales_price) + 5e-9, 4) AS sales_amt
+FROM
+  (SELECT 'store' AS channel, 'ss_store_sk' AS col_name, d_year, d_qoy,
+          i_category, ss_ext_sales_price AS ext_sales_price
+   FROM store_sales, item, date_dim
+   WHERE ss_store_sk = 25
+     AND ss_sold_date_sk = d_date_sk
+     AND ss_item_sk = i_item_sk
+   UNION ALL
+   SELECT 'web' AS channel, 'ws_ship_customer_sk' AS col_name, d_year, d_qoy,
+          i_category, ws_ext_sales_price AS ext_sales_price
+   FROM web_sales, item, date_dim
+   WHERE ws_ship_customer_sk = 0
+     AND ws_sold_date_sk = d_date_sk
+     AND ws_item_sk = i_item_sk
+   UNION ALL
+   SELECT 'catalog' AS channel, 'cs_ship_addr_sk' AS col_name, d_year, d_qoy,
+          i_category, cs_ext_sales_price AS ext_sales_price
+   FROM catalog_sales, item, date_dim
+   WHERE cs_ship_addr_sk = 0
+     AND cs_sold_date_sk = d_date_sk
+     AND cs_item_sk = i_item_sk) foo
+GROUP BY channel, col_name, d_year, d_qoy, i_category
+ORDER BY channel NULLS FIRST, col_name NULLS FIRST, d_year NULLS FIRST,
+         d_qoy NULLS FIRST, i_category NULLS FIRST
+LIMIT 100
+"""),
+    // q83: items with balanced returns across all three channels in three
+    // listed weeks (adapted: 1995 dates; decimal deviations become
+    // rounded doubles)
+    entry("q_tpcds_q83", """
+, sr_items AS
+  (SELECT i_item_id AS item_id,
+          sum(sr_return_quantity) AS sr_item_qty
+   FROM store_returns, item, date_dim
+   WHERE sr_item_sk = i_item_sk
+     AND d_date IN
+       (SELECT d_date FROM date_dim
+        WHERE d_week_seq IN
+            (SELECT d_week_seq FROM date_dim
+             WHERE d_date IN (CAST('1995-06-30' AS DATE),
+                              CAST('1995-09-27' AS DATE),
+                              CAST('1995-11-17' AS DATE))))
+     AND sr_returned_date_sk = d_date_sk
+   GROUP BY i_item_id),
+cr_items AS
+  (SELECT i_item_id AS item_id,
+          sum(cr_return_quantity) AS cr_item_qty
+   FROM catalog_returns, item, date_dim
+   WHERE cr_item_sk = i_item_sk
+     AND d_date IN
+       (SELECT d_date FROM date_dim
+        WHERE d_week_seq IN
+            (SELECT d_week_seq FROM date_dim
+             WHERE d_date IN (CAST('1995-06-30' AS DATE),
+                              CAST('1995-09-27' AS DATE),
+                              CAST('1995-11-17' AS DATE))))
+     AND cr_returned_date_sk = d_date_sk
+   GROUP BY i_item_id),
+wr_items AS
+  (SELECT i_item_id AS item_id,
+          sum(wr_return_quantity) AS wr_item_qty
+   FROM web_returns, item, date_dim
+   WHERE wr_item_sk = i_item_sk
+     AND d_date IN
+       (SELECT d_date FROM date_dim
+        WHERE d_week_seq IN
+            (SELECT d_week_seq FROM date_dim
+             WHERE d_date IN (CAST('1995-06-30' AS DATE),
+                              CAST('1995-09-27' AS DATE),
+                              CAST('1995-11-17' AS DATE))))
+     AND wr_returned_date_sk = d_date_sk
+   GROUP BY i_item_id)
+SELECT sr_items.item_id,
+       sr_item_qty,
+       round(CAST(sr_item_qty AS DOUBLE) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100 + 5e-9, 4) AS sr_dev,
+       cr_item_qty,
+       round(CAST(cr_item_qty AS DOUBLE) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100 + 5e-9, 4) AS cr_dev,
+       wr_item_qty,
+       round(CAST(wr_item_qty AS DOUBLE) / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100 + 5e-9, 4) AS wr_dev,
+       round((sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 + 5e-9, 4) AS average
+FROM sr_items, cr_items, wr_items
+WHERE sr_items.item_id = cr_items.item_id
+  AND sr_items.item_id = wr_items.item_id
+ORDER BY sr_items.item_id NULLS FIRST, sr_item_qty NULLS FIRST
+LIMIT 100
+"""),
+    // q85: web return reasons for matched demographic/geographic bands
+    // (adapted: states and price/profit bands re-fit to the synthetic
+    // value quantiles, d_year 1996; wr returning/refunded cdemo are the
+    // same customer so the cd1=cd2 equality battery is satisfiable)
+    entry("q_tpcds_q85", """
+SELECT substring(r_reason_desc, 1, 20) AS r_desc,
+       round(avg(ws_quantity) + 5e-9, 4) AS avg1,
+       round(avg(wr_refunded_cash) + 5e-9, 4) AS avg2,
+       round(avg(wr_fee) + 5e-9, 4) AS avg3
+FROM web_sales, web_returns, web_page, customer_demographics cd1,
+     customer_demographics cd2, customer_address, date_dim, reason
+WHERE ws_web_page_sk = wp_web_page_sk
+  AND ws_item_sk = wr_item_sk
+  AND ws_order_number = wr_order_number
+  AND ws_sold_date_sk = d_date_sk
+  AND d_year = 1996
+  AND cd1.cd_demo_sk = wr_refunded_cdemo_sk
+  AND cd2.cd_demo_sk = wr_returning_cdemo_sk
+  AND ca_address_sk = wr_refunded_addr_sk
+  AND r_reason_sk = wr_reason_sk
+  AND ((cd1.cd_marital_status = 'M'
+        AND cd1.cd_marital_status = cd2.cd_marital_status
+        AND cd1.cd_education_status = 'Advanced Degree'
+        AND cd1.cd_education_status = cd2.cd_education_status
+        AND ws_sales_price BETWEEN 500.00 AND 2000.00)
+       OR (cd1.cd_marital_status = 'S'
+           AND cd1.cd_marital_status = cd2.cd_marital_status
+           AND cd1.cd_education_status = 'College'
+           AND cd1.cd_education_status = cd2.cd_education_status
+           AND ws_sales_price BETWEEN 2000.00 AND 4000.00)
+       OR (cd1.cd_marital_status = 'W'
+           AND cd1.cd_marital_status = cd2.cd_marital_status
+           AND cd1.cd_education_status = '2 yr Degree'
+           AND cd1.cd_education_status = cd2.cd_education_status
+           AND ws_sales_price BETWEEN 4000.00 AND 20000.00))
+  AND ((ca_country = 'United States'
+        AND ca_state IN ('OH', 'OR', 'NM')
+        AND ws_net_profit BETWEEN 5000 AND 20000)
+       OR (ca_country = 'United States'
+           AND ca_state IN ('TX', 'KY', 'OH')
+           AND ws_net_profit BETWEEN 10000 AND 40000)
+       OR (ca_country = 'United States'
+           AND ca_state IN ('OR', 'NM', 'KY')
+           AND ws_net_profit BETWEEN 1000 AND 30000))
+GROUP BY r_reason_desc
+ORDER BY r_desc, avg1, avg2, avg3
+LIMIT 100
 """)
   )
 }
