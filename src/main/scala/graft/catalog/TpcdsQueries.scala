@@ -67,6 +67,7 @@ item AS (
          p_partkey % 100 AS i_manager_id,
          p_type AS i_category,
          p_size % 10 + 1 AS i_category_id,
+         p_size % 7 + 1 AS i_class_id,
          CASE p_size % 7 WHEN 0 THEN 'personal' WHEN 1 THEN 'portable'
               WHEN 2 THEN 'reference' WHEN 3 THEN 'self-help'
               WHEN 4 THEN 'accessories' WHEN 5 THEN 'classical'
@@ -173,6 +174,8 @@ customer_ds AS (
          c_custkey % 28 + 1 AS c_birth_day,
          1920 + c_custkey % 70 AS c_birth_year,
          CAST('2001-01-01' AS DATE) + CAST(c_custkey % 300 AS INTEGER) AS c_last_review_date_sk,
+         CAST('1995-02-01' AS DATE) + CAST(c_custkey % 2100 AS INTEGER) AS c_first_sales_date_sk,
+         CAST('1995-03-03' AS DATE) + CAST(c_custkey % 2100 AS INTEGER) AS c_first_shipto_date_sk,
          c_custkey % 1000 AS c_current_cdemo_sk,
          c_custkey % 720 AS c_current_hdemo_sk,
          'c' || CAST(c_custkey AS STRING) || '@example.com' AS c_email_address,
@@ -3516,6 +3519,575 @@ WHERE ws_web_page_sk = wp_web_page_sk
            AND ws_net_profit BETWEEN 1000 AND 30000))
 GROUP BY r_reason_desc
 ORDER BY r_desc, avg1, avg2, avg3
+LIMIT 100
+"""),
+    // q8: store profit where preferred customers cluster (zip-list
+    // INTERSECT zip-census; adapted: zips to the derived 10000-10088
+    // domain, d_year 1995, census floor 8 — ~750 preferred customers over
+    // 89 zips average 8.4 per zip, so the canonical 10 empties the set)
+    entry("q_tpcds_q8", """
+SELECT s_store_name,
+       round(sum(ss_net_profit) + 5e-9, 4) AS sum_net_profit
+FROM store_sales, date_dim, store,
+  (SELECT ca_zip
+   FROM
+     (SELECT substring(ca_zip, 1, 5) AS ca_zip
+      FROM customer_address
+      WHERE substring(ca_zip, 1, 5) IN ('10000', '10003', '10007', '10010',
+                                        '10014', '10017', '10021', '10024',
+                                        '10028', '10031', '10035', '10038',
+                                        '10042', '10045', '10049', '10052',
+                                        '10056', '10059', '10063', '10066')
+      INTERSECT
+      SELECT ca_zip
+      FROM
+        (SELECT substring(ca_zip, 1, 5) AS ca_zip, count(*) AS cnt
+         FROM customer_address, customer_ds
+         WHERE ca_address_sk = c_current_addr_sk
+           AND c_preferred_cust_flag = 'Y'
+         GROUP BY ca_zip
+         HAVING count(*) > 8) A1) A2) V1
+WHERE ss_store_sk = s_store_sk
+  AND ss_sold_date_sk = d_date_sk
+  AND d_qoy = 2
+  AND d_year = 1995
+  AND (substring(s_zip, 1, 2) = substring(V1.ca_zip, 1, 2))
+GROUP BY s_store_name
+ORDER BY s_store_name
+LIMIT 100
+"""),
+    // q14: cross-channel items sold above the overall average basket
+    // (triple INTERSECT item cohort + scalar avg CTE + HAVING battery +
+    // ROLLUP; adapted: years 1995-1997, report November 1997)
+    entry("q_tpcds_q14", """
+, cross_items AS
+  (SELECT i_item_sk AS ss_item_sk
+   FROM item,
+     (SELECT iss.i_brand_id AS brand_id,
+             iss.i_class_id AS class_id,
+             iss.i_category_id AS category_id
+      FROM store_sales, item iss, date_dim d1
+      WHERE ss_item_sk = iss.i_item_sk
+        AND ss_sold_date_sk = d1.d_date_sk
+        AND d1.d_year BETWEEN 1995 AND 1997
+      INTERSECT
+      SELECT ics.i_brand_id, ics.i_class_id, ics.i_category_id
+      FROM catalog_sales, item ics, date_dim d2
+      WHERE cs_item_sk = ics.i_item_sk
+        AND cs_sold_date_sk = d2.d_date_sk
+        AND d2.d_year BETWEEN 1995 AND 1997
+      INTERSECT
+      SELECT iws.i_brand_id, iws.i_class_id, iws.i_category_id
+      FROM web_sales, item iws, date_dim d3
+      WHERE ws_item_sk = iws.i_item_sk
+        AND ws_sold_date_sk = d3.d_date_sk
+        AND d3.d_year BETWEEN 1995 AND 1997) sq1
+   WHERE i_brand_id = brand_id
+     AND i_class_id = class_id
+     AND i_category_id = category_id),
+avg_sales AS
+  (SELECT avg(quantity * list_price) AS average_sales
+   FROM
+     (SELECT ss_quantity AS quantity, ss_list_price AS list_price
+      FROM store_sales, date_dim
+      WHERE ss_sold_date_sk = d_date_sk AND d_year BETWEEN 1995 AND 1997
+      UNION ALL
+      SELECT cs_quantity, cs_list_price
+      FROM catalog_sales, date_dim
+      WHERE cs_sold_date_sk = d_date_sk AND d_year BETWEEN 1995 AND 1997
+      UNION ALL
+      SELECT ws_quantity, ws_list_price
+      FROM web_sales, date_dim
+      WHERE ws_sold_date_sk = d_date_sk AND d_year BETWEEN 1995 AND 1997) sq2)
+SELECT channel, i_brand_id, i_class_id, i_category_id,
+       round(sum(sales) + 5e-9, 4) AS sum_sales,
+       sum(number_sales) AS sum_number_sales
+FROM
+  (SELECT 'store' AS channel, i_brand_id, i_class_id, i_category_id,
+          sum(ss_quantity * ss_list_price) AS sales,
+          count(*) AS number_sales
+   FROM store_sales, item, date_dim
+   WHERE ss_item_sk IN (SELECT ss_item_sk FROM cross_items)
+     AND ss_item_sk = i_item_sk
+     AND ss_sold_date_sk = d_date_sk
+     AND d_year = 1997 AND d_moy = 11
+   GROUP BY i_brand_id, i_class_id, i_category_id
+   HAVING sum(ss_quantity * ss_list_price) > (SELECT average_sales FROM avg_sales)
+   UNION ALL
+   SELECT 'catalog', i_brand_id, i_class_id, i_category_id,
+          sum(cs_quantity * cs_list_price),
+          count(*)
+   FROM catalog_sales, item, date_dim
+   WHERE cs_item_sk IN (SELECT ss_item_sk FROM cross_items)
+     AND cs_item_sk = i_item_sk
+     AND cs_sold_date_sk = d_date_sk
+     AND d_year = 1997 AND d_moy = 11
+   GROUP BY i_brand_id, i_class_id, i_category_id
+   HAVING sum(cs_quantity * cs_list_price) > (SELECT average_sales FROM avg_sales)
+   UNION ALL
+   SELECT 'web', i_brand_id, i_class_id, i_category_id,
+          sum(ws_quantity * ws_list_price),
+          count(*)
+   FROM web_sales, item, date_dim
+   WHERE ws_item_sk IN (SELECT ss_item_sk FROM cross_items)
+     AND ws_item_sk = i_item_sk
+     AND ws_sold_date_sk = d_date_sk
+     AND d_year = 1997 AND d_moy = 11
+   GROUP BY i_brand_id, i_class_id, i_category_id
+   HAVING sum(ws_quantity * ws_list_price) > (SELECT average_sales FROM avg_sales)) y
+GROUP BY ROLLUP(channel, i_brand_id, i_class_id, i_category_id)
+ORDER BY channel NULLS FIRST, i_brand_id NULLS FIRST,
+         i_class_id NULLS FIRST, i_category_id NULLS FIRST
+LIMIT 100
+"""),
+    // q23: off-channel purchases of frequent store items by the best
+    // store customers (adapted: 'frequent' regrouped from 5+ per day to
+    // 3+ per month — the sf-scale facts top out at 3 rows per item-day —
+    // years 1995-1998, report Feb 1995)
+    entry("q_tpcds_q23", """
+, frequent_ss_items AS
+  (SELECT itemdesc,
+          i_item_sk AS item_sk,
+          d_month_seq AS sold_month_seq,
+          count(*) AS cnt
+   FROM store_sales, date_dim,
+     (SELECT substring(i_item_desc, 1, 30) AS itemdesc, * FROM item) sq1
+   WHERE ss_sold_date_sk = d_date_sk
+     AND ss_item_sk = i_item_sk
+     AND d_year IN (1995, 1996, 1997, 1998)
+   GROUP BY itemdesc, i_item_sk, d_month_seq
+   HAVING count(*) > 2),
+max_store_sales AS
+  (SELECT max(csales) AS tpcds_cmax
+   FROM
+     (SELECT c_customer_sk,
+             sum(ss_quantity * ss_sales_price) AS csales
+      FROM store_sales, customer_ds, date_dim
+      WHERE ss_customer_sk = c_customer_sk
+        AND ss_sold_date_sk = d_date_sk
+        AND d_year IN (1995, 1996, 1997, 1998)
+      GROUP BY c_customer_sk) sq2),
+best_ss_customer AS
+  (SELECT c_customer_sk,
+          sum(ss_quantity * ss_sales_price) AS ssales
+   FROM store_sales, customer_ds, max_store_sales
+   WHERE ss_customer_sk = c_customer_sk
+   GROUP BY c_customer_sk
+   HAVING sum(ss_quantity * ss_sales_price) > (50 / 100.0) * max(tpcds_cmax))
+SELECT c_last_name, c_first_name,
+       round(sales + 5e-9, 4) AS sales
+FROM
+  (SELECT c_last_name, c_first_name,
+          sum(cs_quantity * cs_list_price) AS sales
+   FROM catalog_sales, customer_ds, date_dim, frequent_ss_items, best_ss_customer
+   WHERE d_year = 1995
+     AND d_moy = 2
+     AND cs_sold_date_sk = d_date_sk
+     AND cs_item_sk = item_sk
+     AND cs_bill_customer_sk = best_ss_customer.c_customer_sk
+     AND cs_bill_customer_sk = customer_ds.c_customer_sk
+   GROUP BY c_last_name, c_first_name
+   UNION ALL
+   SELECT c_last_name, c_first_name,
+          sum(ws_quantity * ws_list_price)
+   FROM web_sales, customer_ds, date_dim, frequent_ss_items, best_ss_customer
+   WHERE d_year = 1995
+     AND d_moy = 2
+     AND ws_sold_date_sk = d_date_sk
+     AND ws_item_sk = item_sk
+     AND ws_bill_customer_sk = best_ss_customer.c_customer_sk
+     AND ws_bill_customer_sk = customer_ds.c_customer_sk
+   GROUP BY c_last_name, c_first_name) sq3
+ORDER BY c_last_name NULLS FIRST, c_first_name NULLS FIRST, sales NULLS FIRST
+LIMIT 100
+"""),
+    // q47: store/brand months deviating over 10% from the year average,
+    // with lag/lead via rank self-join (adapted: 1996 ± fringe months;
+    // sums and window avg rounded 4dp for deterministic cuts)
+    entry("q_tpcds_q47", """
+, v1 AS
+  (SELECT i_category, i_brand, s_store_name, s_company_name, d_year, d_moy,
+          round(sum(ss_sales_price) + 5e-9, 4) AS sum_sales,
+          round(avg(sum(ss_sales_price))
+                  OVER (PARTITION BY i_category, i_brand, s_store_name,
+                                     s_company_name, d_year) + 5e-9, 4) AS avg_monthly_sales,
+          rank() OVER (PARTITION BY i_category, i_brand, s_store_name,
+                                    s_company_name
+                       ORDER BY d_year, d_moy) AS rn
+   FROM item, store_sales, date_dim, store
+   WHERE ss_item_sk = i_item_sk
+     AND ss_sold_date_sk = d_date_sk
+     AND ss_store_sk = s_store_sk
+     AND (d_year = 1996
+          OR (d_year = 1995 AND d_moy = 12)
+          OR (d_year = 1997 AND d_moy = 1))
+   GROUP BY i_category, i_brand, s_store_name, s_company_name, d_year, d_moy),
+v2 AS
+  (SELECT v1.i_category, v1.i_brand, v1.s_store_name, v1.s_company_name,
+          v1.d_year, v1.d_moy, v1.avg_monthly_sales, v1.sum_sales,
+          v1_lag.sum_sales AS psum,
+          v1_lead.sum_sales AS nsum
+   FROM v1, v1 v1_lag, v1 v1_lead
+   WHERE v1.i_category = v1_lag.i_category
+     AND v1.i_category = v1_lead.i_category
+     AND v1.i_brand = v1_lag.i_brand
+     AND v1.i_brand = v1_lead.i_brand
+     AND v1.s_store_name = v1_lag.s_store_name
+     AND v1.s_store_name = v1_lead.s_store_name
+     AND v1.s_company_name = v1_lag.s_company_name
+     AND v1.s_company_name = v1_lead.s_company_name
+     AND v1.rn = v1_lag.rn + 1
+     AND v1.rn = v1_lead.rn - 1)
+SELECT *
+FROM v2
+WHERE d_year = 1996
+  AND avg_monthly_sales > 0
+  AND CASE WHEN avg_monthly_sales > 0
+           THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+           ELSE NULL END > 0.1
+ORDER BY sum_sales - avg_monthly_sales, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10
+LIMIT 100
+"""),
+    // q57: call-center/brand months deviating over 10% from the year
+    // average (the q47 shape on the catalog channel; adapted: 1996)
+    entry("q_tpcds_q57", """
+, v1 AS
+  (SELECT i_category, i_brand, cc_name, d_year, d_moy,
+          round(sum(cs_sales_price) + 5e-9, 4) AS sum_sales,
+          round(avg(sum(cs_sales_price))
+                  OVER (PARTITION BY i_category, i_brand, cc_name, d_year)
+                + 5e-9, 4) AS avg_monthly_sales,
+          rank() OVER (PARTITION BY i_category, i_brand, cc_name
+                       ORDER BY d_year, d_moy) AS rn
+   FROM item, catalog_sales, date_dim, call_center
+   WHERE cs_item_sk = i_item_sk
+     AND cs_sold_date_sk = d_date_sk
+     AND cc_call_center_sk = cs_call_center_sk
+     AND (d_year = 1996
+          OR (d_year = 1995 AND d_moy = 12)
+          OR (d_year = 1997 AND d_moy = 1))
+   GROUP BY i_category, i_brand, cc_name, d_year, d_moy),
+v2 AS
+  (SELECT v1.i_category, v1.i_brand, v1.cc_name, v1.d_year, v1.d_moy,
+          v1.avg_monthly_sales, v1.sum_sales,
+          v1_lag.sum_sales AS psum,
+          v1_lead.sum_sales AS nsum
+   FROM v1, v1 v1_lag, v1 v1_lead
+   WHERE v1.i_category = v1_lag.i_category
+     AND v1.i_category = v1_lead.i_category
+     AND v1.i_brand = v1_lag.i_brand
+     AND v1.i_brand = v1_lead.i_brand
+     AND v1.cc_name = v1_lag.cc_name
+     AND v1.cc_name = v1_lead.cc_name
+     AND v1.rn = v1_lag.rn + 1
+     AND v1.rn = v1_lead.rn - 1)
+SELECT *
+FROM v2
+WHERE d_year = 1996
+  AND avg_monthly_sales > 0
+  AND CASE WHEN avg_monthly_sales > 0
+           THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+           ELSE NULL END > 0.1
+ORDER BY sum_sales - avg_monthly_sales, 1, 2, 3, 4, 5, 6, 7, 8, 9
+LIMIT 100
+"""),
+    // q64: year-over-year repeat store purchases of returned-and-
+    // refunded catalog items with the full 17-table demographic chain
+    // (adapted: colors/prices to the derived domains, years 1995/1996,
+    // extra street-number tiebreakers for a deterministic cut; the
+    // canonical cd1 <> cd2 marital filter is structurally empty here —
+    // the derived demographics are time-invariant, sale-time and current
+    // demo are the same row — so the filter is equality instead)
+    entry("q_tpcds_q64", """
+, cs_ui AS
+  (SELECT cs_item_sk,
+          sum(cs_ext_list_price) AS sale,
+          sum(cr_refunded_cash + cr_reversed_charge + cr_store_credit) AS refund
+   FROM catalog_sales, catalog_returns
+   WHERE cs_item_sk = cr_item_sk
+     AND cs_order_number = cr_order_number
+   GROUP BY cs_item_sk
+   HAVING sum(cs_ext_list_price) > 2 * sum(cr_refunded_cash + cr_reversed_charge + cr_store_credit)),
+cross_sales AS
+  (SELECT i_product_name AS product_name,
+          i_item_sk AS item_sk,
+          s_store_name AS store_name,
+          s_zip AS store_zip,
+          ad1.ca_street_number AS b_street_number,
+          ad1.ca_street_name AS b_street_name,
+          ad1.ca_city AS b_city,
+          ad1.ca_zip AS b_zip,
+          ad2.ca_street_number AS c_street_number,
+          ad2.ca_street_name AS c_street_name,
+          ad2.ca_city AS c_city,
+          ad2.ca_zip AS c_zip,
+          d1.d_year AS syear,
+          d2.d_year AS fsyear,
+          d3.d_year AS s2year,
+          count(*) AS cnt,
+          round(sum(ss_wholesale_cost) + 5e-9, 4) AS s1,
+          round(sum(ss_list_price) + 5e-9, 4) AS s2,
+          round(sum(ss_coupon_amt) + 5e-9, 4) AS s3
+   FROM store_sales, store_returns, cs_ui,
+        date_dim d1, date_dim d2, date_dim d3,
+        store, customer_ds,
+        customer_demographics cd1, customer_demographics cd2,
+        promotion,
+        household_demographics hd1, household_demographics hd2,
+        customer_address ad1, customer_address ad2,
+        income_band ib1, income_band ib2, item
+   WHERE ss_store_sk = s_store_sk
+     AND ss_sold_date_sk = d1.d_date_sk
+     AND ss_customer_sk = c_customer_sk
+     AND ss_cdemo_sk = cd1.cd_demo_sk
+     AND ss_hdemo_sk = hd1.hd_demo_sk
+     AND ss_addr_sk = ad1.ca_address_sk
+     AND ss_item_sk = i_item_sk
+     AND ss_item_sk = sr_item_sk
+     AND ss_ticket_number = sr_ticket_number
+     AND ss_item_sk = cs_ui.cs_item_sk
+     AND c_current_cdemo_sk = cd2.cd_demo_sk
+     AND c_current_hdemo_sk = hd2.hd_demo_sk
+     AND c_current_addr_sk = ad2.ca_address_sk
+     AND c_first_sales_date_sk = d2.d_date_sk
+     AND c_first_shipto_date_sk = d3.d_date_sk
+     AND ss_promo_sk = p_promo_sk
+     AND hd1.hd_income_band_sk = ib1.ib_income_band_sk
+     AND hd2.hd_income_band_sk = ib2.ib_income_band_sk
+     AND cd1.cd_marital_status = cd2.cd_marital_status
+     AND i_color IN ('purple', 'red', 'blue', 'green', 'white', 'black')
+     AND i_current_price BETWEEN 920 AND 970
+     AND i_current_price BETWEEN 921 AND 975
+   GROUP BY i_product_name, i_item_sk, s_store_name, s_zip,
+            ad1.ca_street_number, ad1.ca_street_name, ad1.ca_city, ad1.ca_zip,
+            ad2.ca_street_number, ad2.ca_street_name, ad2.ca_city, ad2.ca_zip,
+            d1.d_year, d2.d_year, d3.d_year)
+SELECT cs1.product_name,
+       cs1.store_name,
+       cs1.store_zip,
+       cs1.b_street_number,
+       cs1.b_street_name,
+       cs1.b_city,
+       cs1.b_zip,
+       cs1.c_street_number,
+       cs1.c_street_name,
+       cs1.c_city,
+       cs1.c_zip,
+       cs1.syear AS cs1syear,
+       cs1.cnt AS cs1cnt,
+       cs1.s1 AS s11,
+       cs1.s2 AS s21,
+       cs1.s3 AS s31,
+       cs2.s1 AS s12,
+       cs2.s2 AS s22,
+       cs2.s3 AS s32,
+       cs2.syear,
+       cs2.cnt
+FROM cross_sales cs1, cross_sales cs2
+WHERE cs1.item_sk = cs2.item_sk
+  AND cs1.syear = 1995
+  AND cs2.syear = 1996
+  AND cs2.cnt <= cs1.cnt
+  AND cs1.store_name = cs2.store_name
+  AND cs1.store_zip = cs2.store_zip
+ORDER BY cs1.product_name, cs1.store_name, cs2.cnt, s11, s12,
+         cs1.b_street_number, cs1.c_street_number, cs1.b_zip, cs1.c_zip
+"""),
+    // q75: categories shrinking year over year net of returns (three
+    // UNION'd channel details; decimal ratio becomes a rounded-double
+    // cut; adapted: category MEDIUM, years 1995/1996)
+    entry("q_tpcds_q75", """
+, all_sales AS
+  (SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+          sum(sales_cnt) AS sales_cnt,
+          sum(sales_amt) AS sales_amt
+   FROM
+     (SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+             cs_quantity - coalesce(cr_return_quantity, 0) AS sales_cnt,
+             cs_ext_sales_price - coalesce(cr_return_amount, 0.0) AS sales_amt
+      FROM catalog_sales
+      JOIN item ON i_item_sk = cs_item_sk
+      JOIN date_dim ON d_date_sk = cs_sold_date_sk
+      LEFT JOIN catalog_returns ON (cs_order_number = cr_order_number
+                                    AND cs_item_sk = cr_item_sk)
+      WHERE i_category = 'MEDIUM'
+      UNION
+      SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+             ss_quantity - coalesce(sr_return_quantity, 0),
+             ss_ext_sales_price - coalesce(sr_return_amt, 0.0)
+      FROM store_sales
+      JOIN item ON i_item_sk = ss_item_sk
+      JOIN date_dim ON d_date_sk = ss_sold_date_sk
+      LEFT JOIN store_returns ON (ss_ticket_number = sr_ticket_number
+                                  AND ss_item_sk = sr_item_sk)
+      WHERE i_category = 'MEDIUM'
+      UNION
+      SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+             ws_quantity - coalesce(wr_return_quantity, 0),
+             ws_ext_sales_price - coalesce(wr_return_amt, 0.0)
+      FROM web_sales
+      JOIN item ON i_item_sk = ws_item_sk
+      JOIN date_dim ON d_date_sk = ws_sold_date_sk
+      LEFT JOIN web_returns ON (ws_order_number = wr_order_number
+                                AND ws_item_sk = wr_item_sk)
+      WHERE i_category = 'MEDIUM') sales_detail
+   GROUP BY d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id)
+SELECT prev_yr.d_year AS prev_year,
+       curr_yr.d_year AS year_,
+       curr_yr.i_brand_id,
+       curr_yr.i_class_id,
+       curr_yr.i_category_id,
+       curr_yr.i_manufact_id,
+       prev_yr.sales_cnt AS prev_yr_cnt,
+       curr_yr.sales_cnt AS curr_yr_cnt,
+       curr_yr.sales_cnt - prev_yr.sales_cnt AS sales_cnt_diff,
+       round(curr_yr.sales_amt - prev_yr.sales_amt + 5e-9, 4) AS sales_amt_diff
+FROM all_sales curr_yr, all_sales prev_yr
+WHERE curr_yr.i_brand_id = prev_yr.i_brand_id
+  AND curr_yr.i_class_id = prev_yr.i_class_id
+  AND curr_yr.i_category_id = prev_yr.i_category_id
+  AND curr_yr.i_manufact_id = prev_yr.i_manufact_id
+  AND curr_yr.d_year = 1996
+  AND prev_yr.d_year = 1995
+  AND CAST(curr_yr.sales_cnt AS DOUBLE) / prev_yr.sales_cnt < 0.9
+ORDER BY sales_cnt_diff, sales_amt_diff,
+         curr_yr.i_brand_id, curr_yr.i_class_id, curr_yr.i_manufact_id
+LIMIT 100
+"""),
+    // q78: store loyalty of items also bought off-channel, unreturned
+    // only (three LEFT-antijoin CTEs; decimal ratio becomes a rounded
+    // double; adapted: 1995)
+    entry("q_tpcds_q78", """
+, ws AS
+  (SELECT d_year AS ws_sold_year, ws_item_sk,
+          ws_bill_customer_sk AS ws_customer_sk,
+          sum(ws_quantity) AS ws_qty,
+          sum(ws_wholesale_cost) AS ws_wc,
+          sum(ws_sales_price) AS ws_sp
+   FROM web_sales
+   LEFT JOIN web_returns ON wr_order_number = ws_order_number
+                        AND ws_item_sk = wr_item_sk
+   JOIN date_dim ON ws_sold_date_sk = d_date_sk
+   WHERE wr_order_number IS NULL
+   GROUP BY d_year, ws_item_sk, ws_bill_customer_sk),
+cs AS
+  (SELECT d_year AS cs_sold_year, cs_item_sk,
+          cs_bill_customer_sk AS cs_customer_sk,
+          sum(cs_quantity) AS cs_qty,
+          sum(cs_wholesale_cost) AS cs_wc,
+          sum(cs_sales_price) AS cs_sp
+   FROM catalog_sales
+   LEFT JOIN catalog_returns ON cr_order_number = cs_order_number
+                            AND cs_item_sk = cr_item_sk
+   JOIN date_dim ON cs_sold_date_sk = d_date_sk
+   WHERE cr_order_number IS NULL
+   GROUP BY d_year, cs_item_sk, cs_bill_customer_sk),
+ss AS
+  (SELECT d_year AS ss_sold_year, ss_item_sk, ss_customer_sk,
+          sum(ss_quantity) AS ss_qty,
+          sum(ss_wholesale_cost) AS ss_wc,
+          sum(ss_sales_price) AS ss_sp
+   FROM store_sales
+   LEFT JOIN store_returns ON sr_ticket_number = ss_ticket_number
+                          AND ss_item_sk = sr_item_sk
+   JOIN date_dim ON ss_sold_date_sk = d_date_sk
+   WHERE sr_ticket_number IS NULL
+   GROUP BY d_year, ss_item_sk, ss_customer_sk)
+SELECT ss_sold_year, ss_item_sk, ss_customer_sk,
+       round(CAST(ss_qty AS DOUBLE) / (coalesce(ws_qty, 0) + coalesce(cs_qty, 0)) + 5e-9, 2) AS ratio,
+       ss_qty AS store_qty,
+       round(ss_wc + 5e-9, 4) AS store_wholesale_cost,
+       round(ss_sp + 5e-9, 4) AS store_sales_price,
+       coalesce(ws_qty, 0) + coalesce(cs_qty, 0) AS other_chan_qty,
+       round(coalesce(ws_wc, 0) + coalesce(cs_wc, 0) + 5e-9, 4) AS other_chan_wholesale_cost,
+       round(coalesce(ws_sp, 0) + coalesce(cs_sp, 0) + 5e-9, 4) AS other_chan_sales_price
+FROM ss
+LEFT JOIN ws ON (ws_sold_year = ss_sold_year
+                 AND ws_item_sk = ss_item_sk
+                 AND ws_customer_sk = ss_customer_sk)
+LEFT JOIN cs ON (cs_sold_year = ss_sold_year
+                 AND cs_item_sk = ss_item_sk
+                 AND cs_customer_sk = ss_customer_sk)
+WHERE (coalesce(ws_qty, 0) > 0 OR coalesce(cs_qty, 0) > 0)
+  AND ss_sold_year = 1995
+ORDER BY ss_sold_year, ss_item_sk, ss_customer_sk,
+         ss_qty DESC, store_wholesale_cost DESC, store_sales_price DESC,
+         other_chan_qty, other_chan_wholesale_cost, other_chan_sales_price,
+         ratio
+LIMIT 100
+"""),
+    // q80: per-channel net-of-returns ROLLUP for non-TV-promoted pricier
+    // items over 30 days (adapted: 1995 dates, price floor 950)
+    entry("q_tpcds_q80", """
+, ssr AS
+  (SELECT s_store_id AS store_id,
+          sum(ss_ext_sales_price) AS sales,
+          sum(coalesce(sr_return_amt, 0)) AS returns_,
+          sum(ss_net_profit - coalesce(sr_net_loss, 0)) AS profit
+   FROM store_sales
+   LEFT OUTER JOIN store_returns ON (ss_item_sk = sr_item_sk
+                                     AND ss_ticket_number = sr_ticket_number),
+        date_dim, store, item, promotion
+   WHERE ss_sold_date_sk = d_date_sk
+     AND d_date BETWEEN CAST('1995-08-23' AS DATE) AND CAST('1995-09-22' AS DATE)
+     AND ss_store_sk = s_store_sk
+     AND ss_item_sk = i_item_sk
+     AND i_current_price > 950
+     AND ss_promo_sk = p_promo_sk
+     AND p_channel_tv = 'N'
+   GROUP BY s_store_id),
+csr AS
+  (SELECT cp_catalog_page_id AS catalog_page_id,
+          sum(cs_ext_sales_price) AS sales,
+          sum(coalesce(cr_return_amount, 0)) AS returns_,
+          sum(cs_net_profit - coalesce(cr_net_loss, 0)) AS profit
+   FROM catalog_sales
+   LEFT OUTER JOIN catalog_returns ON (cs_item_sk = cr_item_sk
+                                       AND cs_order_number = cr_order_number),
+        date_dim, catalog_page, item, promotion
+   WHERE cs_sold_date_sk = d_date_sk
+     AND d_date BETWEEN CAST('1995-08-23' AS DATE) AND CAST('1995-09-22' AS DATE)
+     AND cs_catalog_page_sk = cp_catalog_page_sk
+     AND cs_item_sk = i_item_sk
+     AND i_current_price > 950
+     AND cs_promo_sk = p_promo_sk
+     AND p_channel_tv = 'N'
+   GROUP BY cp_catalog_page_id),
+wsr AS
+  (SELECT web_site_id,
+          sum(ws_ext_sales_price) AS sales,
+          sum(coalesce(wr_return_amt, 0)) AS returns_,
+          sum(ws_net_profit - coalesce(wr_net_loss, 0)) AS profit
+   FROM web_sales
+   LEFT OUTER JOIN web_returns ON (ws_item_sk = wr_item_sk
+                                   AND ws_order_number = wr_order_number),
+        date_dim, web_site, item, promotion
+   WHERE ws_sold_date_sk = d_date_sk
+     AND d_date BETWEEN CAST('1995-08-23' AS DATE) AND CAST('1995-09-22' AS DATE)
+     AND ws_web_site_sk = web_site_sk
+     AND ws_item_sk = i_item_sk
+     AND i_current_price > 950
+     AND ws_promo_sk = p_promo_sk
+     AND p_channel_tv = 'N'
+   GROUP BY web_site_id)
+SELECT channel, id,
+       round(sum(sales) + 5e-9, 4) AS sales,
+       round(sum(returns_) + 5e-9, 4) AS returns_,
+       round(sum(profit) + 5e-9, 4) AS profit
+FROM
+  (SELECT 'store channel' AS channel, concat('store', store_id) AS id,
+          sales, returns_, profit
+   FROM ssr
+   UNION ALL
+   SELECT 'catalog channel', concat('catalog_page', catalog_page_id),
+          sales, returns_, profit
+   FROM csr
+   UNION ALL
+   SELECT 'web channel', concat('web_site', web_site_id),
+          sales, returns_, profit
+   FROM wsr) x
+GROUP BY ROLLUP(channel, id)
+ORDER BY channel NULLS FIRST, id NULLS FIRST
 LIMIT 100
 """)
   )
