@@ -44,17 +44,60 @@ object Repl {
     Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
     println(s"graft interactive -- tables from $dir; empty line executes, :help for commands")
-    loop(spark, dir, in, System.out, limit)
+    if (System.console() != null) {
+      // real terminal: raw mode + the LineEditor (history, cursor editing,
+      // TAB completion wired to the Lsp engine) — the reference CLI's
+      // JLine3 surface (wvlet-cli WvletREPL.scala, JLine3Terminal.scala)
+      val sttyOk =
+        try new ProcessBuilder("sh", "-c", "stty -icanon -echo < /dev/tty")
+          .inheritIO().start().waitFor() == 0
+        catch { case _: Throwable => false }
+      val histPath = java.nio.file.Paths.get(
+        sys.props.getOrElse("user.home", "."), ".graft_history")
+      val editor = new graft.repl.LineEditor(
+        System.in, System.out,
+        completer = (text, cur) => graft.lang.Lsp.complete(text, cur, spark, dir)
+          .map(_.label).distinct.take(30),
+        historyFile = Some(histPath))
+      try loop(spark, dir,
+        (prompt, buffered) => editor.readLine(prompt, buffered), System.out, limit)
+      finally if (sttyOk)
+        try new ProcessBuilder("sh", "-c", "stty sane < /dev/tty")
+          .inheritIO().start().waitFor()
+        catch { case _: Throwable => () }
+    } else {
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
+      loop(spark, dir, in, System.out, limit)
+    }
   }
 
-  /** The REPL loop, separated from main for testability: reads from `in`,
-    * prints to `out`, returns on EOF or :quit. */
+  /** Plain-stream flavor (piped stdin, specs): no prompts, no editing. */
   def loop(
       spark: SparkSession,
       dir: String,
       in: java.io.BufferedReader,
+      out: java.io.PrintStream,
+      limit0: Int
+  ): Unit = loop(spark, dir, (_, _) => Option(in.readLine()), out, limit0)
+
+  def loop(
+      spark: SparkSession,
+      dir: String,
+      in: java.io.BufferedReader,
+      out: java.io.PrintStream
+  ): Unit = loop(spark, dir, in, out, 20)
+
+  /** The REPL loop, separated from main for testability: `nextLine` maps
+    * (prompt, buffered-statement-text) to the next input line (None =
+    * EOF); prints to `out`, returns on EOF or :quit. The prompt
+    * distinguishes a fresh statement from a multi-line continuation; the
+    * buffered text gives the line editor's completer the pipeline prefix
+    * typed on earlier lines. */
+  def loop(
+      spark: SparkSession,
+      dir: String,
+      nextLine: (String, String) => Option[String],
       out: java.io.PrintStream,
       limit0: Int = 20
   ): Unit = {
@@ -84,12 +127,18 @@ object Repl {
       }
     }
 
-    var line = in.readLine()
-    while (line != null) {
+    def prompt: String = if (buf.isEmpty) "graft> " else "     | "
+    var lineOpt = nextLine(prompt, buf.toString)
+    while (lineOpt.isDefined) {
+      val line = lineOpt.get
       line.trim match {
         case ":quit" | ":q" => execute(); return
         case ":help" =>
-          out.println(":tables :context :explain :limit N :describe :fragment :quit -- empty line executes the buffer")
+          out.println(":tables :context :explain :limit N :describe :fragment :history :quit -- empty line executes the buffer")
+        case ":history" =>
+          // meaningful under the LineEditor (terminal mode); the piped
+          // flavor has no editor-held history to show
+          out.println("history is held by the line editor in terminal mode")
         case ":describe" =>
           // schema of the buffered (partial) pipeline without executing it —
           // the reference REPL's describe-line widget (WvletREPL.scala:197)
@@ -143,7 +192,7 @@ object Repl {
         case "" | ";" => execute()
         case _ => buf.append(line).append('\n')
       }
-      line = in.readLine()
+      lineOpt = nextLine(prompt, buf.toString)
     }
     execute() // EOF flushes any pending input
   }

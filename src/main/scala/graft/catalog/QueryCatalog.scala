@@ -534,7 +534,7 @@ object QueryCatalog {
         "graft_lsh_int8_index_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
       val idx = spark.read.parquet(persistedInt8Index(spark, dir))
       Similarity.lshInt8IndexPostings(idx, "vec_id", "q8", planes = 8, tables = 6)
-        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+        .write.mode("overwrite").partitionBy("bucket_grp").parquet(path)
       path
     })
 

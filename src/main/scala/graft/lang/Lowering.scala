@@ -1284,7 +1284,8 @@ object Lowering {
             case "lsh_int8_part" =>
               // corpus must be a PATH to a bucket-partitioned posting index
               // (written from Similarity.lshInt8IndexPostings with
-              // partitionBy("bucket")); self-kNN queries are the index's
+              // partitionBy("bucket_grp"), or the legacy bucket layout);
+              // self-kNN queries are the index's
               // distinct (id, q8) rows, the scan is partition-pruned to the
               // probe buckets
               if (!corpus.matches("(?i).*\\.(parquet)$") && !corpus.contains("/"))
@@ -1331,7 +1332,7 @@ object Lowering {
       // ann_lsh_postings('index', 'id_col', 'q8_col'[, planes, tables]) —
       // sign-bit bucket postings of a quantized index
       // (Similarity.lshInt8IndexPostings). CTAS the result with
-      // `partition by bucket`, then query it with
+      // `partition by bucket_grp`, then query it with
       // similarity_topk('<path>', 'id', 'q8', k, 'lsh_int8_part') for a
       // partition-pruned index lookup (defaults planes=10, tables=4 match
       // the query side's).

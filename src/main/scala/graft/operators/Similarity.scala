@@ -23,6 +23,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** (path -> (content fingerprint, persisted frame)) for indexes below
+    * the pruned-read crossover — see [[lshTopKPartitionedIndex]]. */
+  private val smallIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, org.apache.spark.sql.DataFrame)]
+
   /** Deterministic random hyperplanes: `planes` × dim, seed fixed.
     * `private[graft]` so the oracle-SQL builder (QueryCatalog) can inline the
     * SAME plane constants into an engine-portable DuckDB recomputation. */
@@ -613,17 +618,27 @@ object Similarity {
   }
 
   /** Sign-bit bucket postings of a quantized index, as a DataFrame ready to
-    * persist `partitionBy("bucket")`: one (bucket, id, q8) row per (table,
-    * signature) — the corpus side of [[lshTopKInt8Index]]'s candidate join,
-    * precomputed. Signatures come from the QUANTIZED bytes, so building
-    * this from a [[buildInt8Index]] table never touches a float column. */
+    * persist `partitionBy("bucket_grp")`: one (bucket_grp, bucket, id, q8)
+    * row per (table, signature) — the corpus side of [[lshTopKInt8Index]]'s
+    * candidate join, precomputed. Signatures come from the QUANTIZED bytes,
+    * so building this from a [[buildInt8Index]] table never touches a float
+    * column.
+    *
+    * Directory layout: partitioning on the raw bucket makes
+    * tables·2^planes directories (1,536 at the defaults) — each a few KB
+    * at small corpus sizes, so listing/open overhead swamps the pruning
+    * win. `bucket_grp = bucket / groupSize` keeps directories ≥ one FS
+    * block (96 dirs at the defaults) while [[lshTopKPartitionedIndex]]
+    * still prunes on the group column and row-filters on the exact
+    * bucket. */
   def lshInt8IndexPostings(
       index: DataFrame,
       indexId: String,
       q8Col: String,
       planes: Int = 10,
       tables: Int = 4,
-      dim: Int = 64
+      dim: Int = 64,
+      groupSize: Int = 16
   ): DataFrame = {
     val c = index.select(F.col(indexId),
       F.col(q8Col).cast("array<int>").as("__q"))
@@ -633,21 +648,29 @@ object Similarity {
     }
     c.select(F.col(indexId), F.col("__q").cast("array<tinyint>").as(q8Col),
         F.explode(F.array(sigCols: _*)).as("bucket"))
-      .select(F.col("bucket"), F.col(indexId), F.col(q8Col))
+      .select(F.floor(F.col("bucket") / F.lit(groupSize)).cast("long").as("bucket_grp"),
+        F.col("bucket"), F.col(indexId), F.col(q8Col))
   }
 
   /** Top-k over a PERSISTED, bucket-PARTITIONED LSH×int8 index (written
-    * from [[lshInt8IndexPostings]] with `partitionBy("bucket")`): the
-    * query side's probe buckets are computed driver-side (bounded —
-    * queries are small by the module's contract, probes =
-    * |queries|·tables·(planes+1) longs) and pushed as a static partition
-    * filter, so the scan READS only the probed partitions —
-    * ~tables·(planes+1)/2^planes of the index — instead of scanning all
-    * postings and filtering. At 100 TB this is the difference between an
-    * index lookup and a table scan; PlanSpec gates PartitionFilters on the
-    * bucket column. Results are identical to [[lshTopKInt8Index]] with the
-    * same parameters (same candidate rule, same integer scoring), so the
-    * two paths share one oracle. */
+    * from [[lshInt8IndexPostings]] with `partitionBy("bucket_grp")`, or the
+    * legacy `partitionBy("bucket")` layout): the query side's probe
+    * buckets are computed driver-side (bounded — queries are small by the
+    * module's contract, probes = |queries|·tables·(planes+1) longs) and
+    * pushed as a static partition filter, so the scan READS only the
+    * probed partitions instead of scanning all postings and filtering. At
+    * 100 TB this is the difference between an index lookup and a table
+    * scan; PlanSpec gates PartitionFilters. Results are identical to
+    * [[lshTopKInt8Index]] with the same parameters (same candidate rule,
+    * same integer scoring), so the two paths share one oracle.
+    *
+    * Crossover: below `spark.graft.ann.prunedReadMinBytes` (default
+    * 256 MB) of index data the pruned read LOSES — listing and opening
+    * hundreds of few-KB partition directories costs more than one scan of
+    * the whole (small) index — so the method reads the index flat and
+    * row-filters on the probe buckets instead. The decision comes from the
+    * index's own file stats (the `denseSigLimitFor` pattern in Dedup), so
+    * callers always get the faster path without choosing. */
   def lshTopKPartitionedIndex(
       indexPath: String,
       indexId: String,
@@ -660,7 +683,8 @@ object Similarity {
       tables: Int = 4,
       dim: Int = 64,
       excludeSelf: Boolean = true,
-      multiProbe: Boolean = true
+      multiProbe: Boolean = true,
+      groupSize: Int = 16
   ): DataFrame = {
     val spark = queries.sparkSession
     val q = queries.select(F.col(queryId).as("query_id"),
@@ -678,12 +702,46 @@ object Similarity {
     }
     val qb = withSigs.select(
       q.columns.map(F.col) :+ F.explode(F.array(probeCols: _*)).as("bucket"): _*)
-    // the probe-bucket set: bounded by |queries|·tables·(planes+1); its
-    // collect IS the partition-pruning step (the same driver-side decision
-    // Spark makes for any static partition filter)
-    val probeBuckets = qb.select("bucket").distinct().collect().map(_.getLong(0))
-    val idx = spark.read.parquet(indexPath)
-      .filter(F.col("bucket").isin(probeBuckets.map(Long.box): _*))
+    // one driver-side FS stat decides layout + crossover (cheap: a listing
+    // of the root plus a content summary, not per-partition opens)
+    val hPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val children = fs.listStatus(hPath).map(_.getPath.getName)
+    val grouped = children.exists(_.startsWith("bucket_grp="))
+    val indexBytes = fs.getContentSummary(hPath).getLength
+    val minBytes = spark.conf.getOption("spark.graft.ann.prunedReadMinBytes")
+      .flatMap(_.toLongOption).getOrElse(256L * 1024 * 1024)
+    val idx =
+      (if (indexBytes < minBytes) {
+        // small index: one flat scan beats listing/opening the partition
+        // dirs, and the broadcast candidate join below already filters to
+        // the probe buckets — no driver-side probe collect at all. The
+        // loaded frame is cached per (path, content fingerprint): an index
+        // under the crossover fits in executor memory by definition, so
+        // repeat queries skip the many-small-files read entirely while a
+        // rewritten index (changed fingerprint) reloads.
+        val fp = s"$indexBytes:${fs.getFileStatus(hPath).getModificationTime}"
+        smallIndexCache.get(indexPath) match {
+          case Some((cachedFp, df)) if cachedFp == fp => df
+          case stale =>
+            stale.foreach(s => try s._2.unpersist() catch { case _: Throwable => () })
+            val loaded = spark.read.parquet(indexPath).persist()
+            smallIndexCache.put(indexPath, (fp, loaded))
+            loaded
+        }
+      } else {
+        val raw = spark.read.parquet(indexPath)
+        // the probe-bucket set: bounded by |queries|·tables·(planes+1);
+        // its collect IS the partition-pruning step (the same driver-side
+        // decision Spark makes for any static partition filter)
+        val probeBuckets = qb.select("bucket").distinct().collect().map(_.getLong(0))
+        val base =
+          if (grouped) {
+            val groups = probeBuckets.map(b => Long.box(b / groupSize)).distinct.toSeq
+            raw.filter(F.col("bucket_grp").isin(groups: _*))
+          } else raw // legacy: the bucket isin itself is the partition filter
+        base.filter(F.col("bucket").isin(probeBuckets.map(Long.box): _*))
+      })
       .select(F.col("bucket"), F.col(indexId).as("corpus_id"),
         F.col(indexQ8Col).cast("array<int>").as("__q"))
     var cand = idx.join(F.broadcast(qb), Seq("bucket"))

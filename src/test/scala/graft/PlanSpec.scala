@@ -310,21 +310,37 @@ class PlanSpec extends SparkTestBase {
       "graft_planspec_lsh_part_index").getAbsolutePath
     graft.operators.Similarity
       .lshInt8IndexPostings(idx, "vec_id", "q8", planes = 8, tables = 6)
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      .write.mode("overwrite").partitionBy("bucket_grp").parquet(path)
     val queries = idx.filter(F.col("vec_id") < 5)
-    val df = graft.operators.Similarity.lshTopKPartitionedIndex(
+    // force the pruned-read path: the crossover would (correctly) pick a
+    // flat scan for this few-MB test index
+    spark.conf.set("spark.graft.ann.prunedReadMinBytes", "0")
+    try {
+      val df = graft.operators.Similarity.lshTopKPartitionedIndex(
+        path, "vec_id", "q8", queries, "vec_id", "q8", k = 5, planes = 8, tables = 6)
+      val plan = planOf(df)
+      val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+      assert(scanLine.contains("bucket_grp"),
+        s"no partition filter on bucket_grp:\n$plan")
+      assert(!scanLine.matches(".*PartitionFilters: \\[\\].*"),
+        s"empty partition filters:\n$plan")
+      // the data schema read from each partition stays id + q8 (+ the
+      // in-file bucket column the row filter needs) — no floats
+      val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(!readSchema.contains("embedding") && readSchema.contains("q8"),
+        s"unexpected read schema: $readSchema")
+      assert(df.count() > 0)
+    } finally spark.conf.unset("spark.graft.ann.prunedReadMinBytes")
+    // crossover: at the default threshold this small index takes the flat
+    // scan-and-filter path — no partition filter, no 100s of dir opens —
+    // and returns the identical result (shared oracle pins values)
+    val dfFlat = graft.operators.Similarity.lshTopKPartitionedIndex(
       path, "vec_id", "q8", queries, "vec_id", "q8", k = 5, planes = 8, tables = 6)
-    val plan = planOf(df)
-    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
-    assert(scanLine.contains("bucket"),
-      s"no partition filter on bucket:\n$plan")
-    assert(!scanLine.matches(".*PartitionFilters: \\[\\].*"),
-      s"empty partition filters:\n$plan")
-    // the data schema read from each partition stays id + q8 — no floats
-    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
-    assert(!readSchema.contains("embedding") && readSchema.contains("q8"),
-      s"unexpected read schema: $readSchema")
-    assert(df.count() > 0)
+    val planFlat = planOf(dfFlat)
+    val flatScan = planFlat.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(!flatScan.contains("bucket_grp"),
+      s"small index still partition-prunes (crossover not applied):\n$planFlat")
+    assert(dfFlat.count() > 0)
   }
 
   test("partitioned IVF index: probe cells prune partitions at the scan") {

@@ -125,4 +125,80 @@ class ReplSpec extends SparkTestBase {
     assert(outText.contains("vals: v1"), outText)
     assert(outText.contains("defs: f1"), outText)
   }
+
+  // ---- terminal surface: LineEditor-driven loop (history, editing,
+  // completion) — the reference CLI's JLine3 parity, headless ----------
+
+  /** Drive the REPL through the LineEditor with raw keystroke bytes, the
+    * exact path a terminal takes (prompts, arrows, TAB). */
+  private def driveRaw(keys: String): (String, graft.repl.LineEditor) = {
+    val in = new java.io.ByteArrayInputStream(keys.getBytes("UTF-8"))
+    val bytes = new java.io.ByteArrayOutputStream()
+    val out = new java.io.PrintStream(bytes, true, "UTF-8")
+    val editor = new graft.repl.LineEditor(
+      in, out,
+      completer = (text, cur) =>
+        graft.lang.Lsp.complete(text, cur, spark, sfDir).map(_.label).distinct.take(30))
+    Repl.loop(spark, sfDir, (prompt, buffered) => editor.readLine(prompt, buffered), out)
+    (new String(bytes.toByteArray, "UTF-8"), editor)
+  }
+
+  test("line editor: multi-line pipe query through prompts, then cursor editing") {
+    val bs = "\u007f"
+    // 1st statement: a multi-line pipe chain (continuation prompt between
+    // lines), executed by the empty line. 2nd: a line typed with a typo
+    // (stray X) fixed by backspace before finishing. Both count region: 5.
+    val keys =
+      "from region\n| select r_name\n| count\n\n" +
+      "from region counX" + bs + "t\n\n" +
+      ":quit\n"
+    val (outText, editor) = driveRaw(keys)
+    // both statements produced the count 5
+    assert(outText.linesIterator.count(_.matches(".*\\b5\\b.*")) >= 2, outText)
+    // prompts rendered: fresh + continuation
+    assert(outText.contains("graft> "), outText)
+    assert(outText.contains("     | "), outText)
+    // the editor recorded the typed (post-edit) lines in history
+    assert(editor.historyLines.contains("from region"), editor.historyLines.toString)
+    assert(editor.historyLines.contains("from region count"), editor.historyLines.toString)
+  }
+
+  test("line editor: history recall with up-arrow re-executes a prior line") {
+    val up = "\u001b[A"
+    val keys =
+      "from nation count\n\n" +
+      up + "\n\n" + // recall "from nation count"
+      ":quit\n"
+    val (outText, editor) = driveRaw(keys)
+    // the recalled statement ran again: the 25-count appears twice
+    assert(outText.linesIterator.count(_.matches(".*\\b25\\b.*")) >= 2, outText)
+    assert(editor.historyLines.count(_ == "from nation count") == 1,
+      "duplicate-adjacent lines collapse in history: " + editor.historyLines)
+  }
+
+  test("line editor: TAB completion inserts the unique dot-method") {
+    // 'select total = l_quantity.av' + TAB: the Lsp engine offers the
+    // stdlib dot-methods for the column; 'avg' is the unique
+    // 'av'-prefixed candidate and the editor inserts its remainder —
+    // completion sees the `from lineitem` typed on the PREVIOUS line
+    // because the REPL passes its statement buffer as completion context
+    val keys = "from lineitem\nselect total = l_quantity.av\t\n\n:quit\n"
+    val (outText, _) = driveRaw(keys)
+    assert(outText.contains("total"), outText)
+    // the executed query aggregated: one row, a big number — not an error
+    assert(!outText.contains("[error]") && !outText.contains("[plan error]"), outText)
+  }
+
+  test("line editor: history persists to the history file across instances") {
+    val hist = java.nio.file.Files.createTempFile("graft_hist", ".txt")
+    java.nio.file.Files.delete(hist)
+    val in1 = new java.io.ByteArrayInputStream("from region count\n".getBytes)
+    val sink = new java.io.PrintStream(new java.io.ByteArrayOutputStream())
+    val e1 = new graft.repl.LineEditor(in1, sink, historyFile = Some(hist))
+    e1.readLine("> ")
+    val e2 = new graft.repl.LineEditor(
+      new java.io.ByteArrayInputStream(Array.emptyByteArray), sink,
+      historyFile = Some(hist))
+    assert(e2.historyLines == Seq("from region count"), e2.historyLines.toString)
+  }
 }

@@ -594,4 +594,65 @@ class SubscribeSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(batchKept == after2, s"stream $after2 vs batch $batchKept")
   }
+
+  test("incremental dedup path flavor: index cached across batches, reloaded on CTAS refresh") {
+    import graft.operators.Dedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def writeDocs(dir: String, name: String, rows: Seq[(Long, String)]): Unit = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+          rows.map { case (id, t) => org.apache.spark.sql.Row(id, t) }.asJava, docSchema)
+        .coalesce(1).write.mode("append").parquet(s"$dir/$name")
+    }
+    val corpus = table("documents").limit(20).select("doc_id", "text")
+    val idxPath = Files.createTempDirectory("sdc_idx").toString + "/idx.parquet"
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(idxPath)
+    val in = Files.createTempDirectory("sdc_in").toString
+    val out = Files.createTempDirectory("sdc_out").toString
+    val ck = Files.createTempDirectory("sdc_ck").toString
+    val corpusText3 = corpus.filter(F.col("doc_id") === 3)
+      .select("text").collect().head.getString(0)
+    val corpusText5 = corpus.filter(F.col("doc_id") === 5)
+      .select("text").collect().head.getString(0)
+    val novel1 = "zinc kettles hum beneath copper rafters during june storms"
+    val novel2 = "granite lighthouses blink across the strait at midnight tide"
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(docSchema).parquet(s"$in/*")
+      val q = Subscribe.dedupIncrementalAppendPath(
+        stream, "doc_id", "text", idxPath, out, ck)
+      q.awaitTermination()
+    }
+
+    val reloads0 = Subscribe.indexReloads.get()
+    writeDocs(in, "b1", Seq((9101L, corpusText3), (9102L, novel1)))
+    runOnce()
+    val reloads1 = Subscribe.indexReloads.get()
+    assert(reloads1 == reloads0 + 1, s"first batch must load the index once ($reloads0 -> $reloads1)")
+
+    // batch 2, index UNCHANGED: the cached signature frame is reused —
+    // no reload, and the probe still works
+    writeDocs(in, "b2", Seq((9103L, corpusText5)))
+    runOnce()
+    val reloads2 = Subscribe.indexReloads.get()
+    assert(reloads2 == reloads1, s"unchanged index must not reload ($reloads1 -> $reloads2)")
+    val after2 = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(after2 == Set(9102L), s"got $after2")
+
+    // nightly CTAS refresh: rebuild the index WITHOUT doc 3's text — the
+    // fingerprint changes, batch 3 reloads, and a doc-3 near-dup that was
+    // previously dropped now lands
+    Dedup.buildMinhashIndex(corpus.filter(F.col("doc_id") =!= 3), "doc_id", "text")
+      .write.mode("overwrite").parquet(idxPath)
+    writeDocs(in, "b3", Seq((9104L, corpusText3), (9105L, novel2)))
+    runOnce()
+    val reloads3 = Subscribe.indexReloads.get()
+    assert(reloads3 == reloads2 + 1, s"refreshed index must reload once ($reloads2 -> $reloads3)")
+    val after3 = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(after3 == Set(9102L, 9104L, 9105L), s"got $after3")
+  }
 }
