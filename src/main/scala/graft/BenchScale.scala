@@ -62,7 +62,11 @@ object BenchScale {
     // per dir via the per-JVM memo, untimed): the timed region is batch
     // shingling + the banded index probe — corpus text never re-read, so
     // the corpus term in the exponent is the signature scan only
-    "q_dedup_incremental")
+    "q_dedup_incremental",
+    // the index BUILD row: expected exponent ≈ 1 (one full text scan is
+    // the floor for building a signature index) — recorded so the
+    // build-vs-probe asymmetry is measured, not asserted
+    "q_minhash_index")
 
   private def loadavg(): String = BenchGuard.loadavg()
 

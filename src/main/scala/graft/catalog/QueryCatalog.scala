@@ -523,6 +523,105 @@ object QueryCatalog {
       path
     })
 
+  /** Deterministic synthetic PNG corpus for the REAL-decode rows
+    * (q_multimodal_decode / q_multimodal_resize): 12 images whose pixel
+    * statistics have CLOSED FORMS — solid grays (id % 3 == 0, value
+    * 32 + id·16), even vertical black/white splits (id % 3 == 1), solid
+    * RGB (id % 3 == 2, channels (37·id, 59·id, 83·id) mod 256) — plus one
+    * corrupt payload (id 99). Encoded with the JDK's own PNG writer at
+    * catalog-build time; dims w = 16 + (id%4)·8, h = 12 + (id%3)·4. */
+  private[catalog] case class ImgSpec(id: Long, w: Int, h: Int, kind: Int,
+      r: Int, g: Int, b: Int) {
+    /** Exact mean luminance ((r+g+b)/3 over [0,1]) by construction. */
+    def meanLum: Double = kind match {
+      case 1 => 0.5
+      case _ => (r + g + b) / (3.0 * 255.0)
+    }
+    /** Exact 8-bucket luminance histogram by construction. */
+    def hist: Seq[Double] = kind match {
+      case 1 => Seq(0.5, 0, 0, 0, 0, 0, 0, 0.5)
+      case _ =>
+        val bucket = math.min(7, (meanLum * 8).toInt)
+        (0 until 8).map(i => if (i == bucket) 1.0 else 0.0)
+    }
+  }
+
+  private[catalog] val imgSpecs: Seq[ImgSpec] = (0L until 12L).map { id =>
+    val kind = (id % 3).toInt
+    val (r, g, b) = kind match {
+      case 0 => val v = 32 + id.toInt * 16; (v, v, v)
+      case 1 => (0, 0, 0) // unused: split pattern
+      case _ => ((id.toInt * 37) % 256, (id.toInt * 59) % 256, (id.toInt * 83) % 256)
+    }
+    ImgSpec(id, 16 + (id % 4).toInt * 8, 12 + (id % 3).toInt * 4, kind, r, g, b)
+  }
+
+  private def pngBytes(s: ImgSpec): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      s.w, s.h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < s.h) {
+      var x = 0
+      while (x < s.w) {
+        val rgb = s.kind match {
+          case 1 => if (x < s.w / 2) 0x000000 else 0xffffff
+          case _ => (s.r << 16) | (s.g << 8) | s.b
+        }
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def syntheticPngs(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("img_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("png",
+        org.apache.spark.sql.types.BinaryType, nullable = true)))
+    val rows: Seq[org.apache.spark.sql.Row] =
+      imgSpecs.map(s => org.apache.spark.sql.Row(s.id, pngBytes(s))) :+
+        org.apache.spark.sql.Row(99L, "not an image".getBytes("UTF-8"))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** The catalog's rounding convention, replicated for oracle literals. */
+  private def r4(v: Double): String =
+    BigDecimal(v + 5e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+
+  private lazy val multimodalDecodeOracleSql: String = {
+    val rows = imgSpecs.map { s =>
+      val h = s.hist.map(r4).mkString(", ")
+      s"(${s.id}, true, ${s.w}, ${s.h}, ${r4(s.meanLum)}, $h)"
+    } :+ "(99, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)"
+    s"""SELECT CAST(c0 AS BIGINT) AS img_id, CAST(c1 AS BOOLEAN) AS decoded,
+              CAST(c2 AS INTEGER) AS width, CAST(c3 AS INTEGER) AS height,
+              CAST(c4 AS DOUBLE) AS mean_lum,
+              CAST(c5 AS DOUBLE) AS h0, CAST(c6 AS DOUBLE) AS h1,
+              CAST(c7 AS DOUBLE) AS h2, CAST(c8 AS DOUBLE) AS h3,
+              CAST(c9 AS DOUBLE) AS h4, CAST(c10 AS DOUBLE) AS h5,
+              CAST(c11 AS DOUBLE) AS h6, CAST(c12 AS DOUBLE) AS h7
+       FROM (VALUES ${rows.mkString(",\n  ")})
+         t(c0, c1, c2, c3, c4, c5, c6, c7, c8, c9, c10, c11, c12)
+       ORDER BY img_id"""
+  }
+
+  private lazy val multimodalResizeOracleSql: String = {
+    val rows = imgSpecs.filter(_.kind != 1).map { s =>
+      s"(${s.id}, true, 8, 6, ${r4(s.meanLum)})"
+    } :+ "(99, false, NULL, NULL, NULL)" // corrupt payload passes through
+    s"""SELECT CAST(c0 AS BIGINT) AS img_id, CAST(c1 AS BOOLEAN) AS decoded,
+              CAST(c2 AS INTEGER) AS width, CAST(c3 AS INTEGER) AS height,
+              CAST(c4 AS DOUBLE) AS mean_lum
+       FROM (VALUES ${rows.mkString(",\n  ")}) t(c0, c1, c2, c3, c4)
+       ORDER BY img_id"""
+  }
+
   /** Bucket-PARTITIONED LSH posting index over the quantized vectors
     * (Similarity.lshInt8IndexPostings → partitionBy("bucket")): the probed
     * read path for q_similarity_topk_lsh_int8_part. Built once per
@@ -3524,6 +3623,44 @@ object QueryCatalog {
                sha256(text) AS sha
         FROM documents ORDER BY doc_id
       """)
+    ),
+    (
+      // REAL image decode (javax.imageio in the mapPartitions kernel —
+      // PNG readers ship inside the JDK): a deterministic synthetic PNG
+      // corpus (solid grays, half-black/half-white splits, solid RGB,
+      // plus one corrupt payload) is decoded to width/height/mean
+      // luminance/8-bucket histogram. The oracle is CLOSED FORM: every
+      // pattern's statistics are computable by arithmetic (solid v ->
+      // mean v/255, even split -> 0.5 with half the mass in each end
+      // bucket), so the DuckDB side is a literal VALUES table derived
+      // from the same formulas — decode correctness, not just plumbing.
+      "q_multimodal_decode",
+      (spark, dir) => {
+        val df = Multimodal.decodeImages(syntheticPngs(spark), "img_id", "png")
+        val cols = Seq(
+          F.col("img_id"), F.col("decoded"), F.col("width"), F.col("height"),
+          F.round(F.col("mean_lum") + F.lit(5e-9), 4).as("mean_lum")) ++
+          (0 until 8).map(i =>
+            F.round(F.element_at(F.col("lum_hist"), i + 1) + F.lit(5e-9), 4)
+              .as(s"h$i"))
+        df.select(cols: _*).orderBy("img_id")
+      },
+      Some(multimodalDecodeOracleSql)
+    ),
+    (
+      // REAL resize (Graphics2D bilinear + PNG re-encode) proven by
+      // re-decoding: a solid image resized to 8x6 is still solid with the
+      // same mean, so the closed-form VALUES oracle pins dims AND pixels.
+      "q_multimodal_resize",
+      (spark, dir) => {
+        val solids = syntheticPngs(spark).filter(F.col("img_id") % 3 =!= 1)
+        val resized = Multimodal.resizeImages(solids, "img_id", "png", 8, 6)
+        Multimodal.decodeImages(resized, "img_id", "png")
+          .select(F.col("img_id"), F.col("decoded"), F.col("width"), F.col("height"),
+            F.round(F.col("mean_lum") + F.lit(5e-9), 4).as("mean_lum"))
+          .orderBy("img_id")
+      },
+      Some(multimodalResizeOracleSql)
     ),
     (
       "q_text_redact_pii", // deterministic PII scrub (emails/phones/IPv4)

@@ -1401,6 +1401,39 @@ object Lowering {
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "decode_images" =>
+      // decode_images('corpus', 'id_col', 'payload_col'[, hist_buckets]) —
+      // REAL javax.imageio decode to width/height/mean-luminance/histogram
+      // (operators/Multimodal.decodeImages; corrupt payloads yield
+      // decoded=false rows, never errors)
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(payloadCol: String)) =>
+          Plain(graft.operators.Multimodal.decodeImages(
+            lower(TableRef(corpus), ctx), idCol, payloadCol))
+        case List(Some(corpus: String), Some(idCol: String), Some(payloadCol: String),
+            Some(buckets: Long)) =>
+          Plain(graft.operators.Multimodal.decodeImages(
+            lower(TableRef(corpus), ctx), idCol, payloadCol, buckets.toInt))
+        case _ =>
+          throw new LoweringException(
+            "decode_images expects (corpus, id_col, payload_col[, hist_buckets]) literals")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "resize_images" =>
+      // resize_images('corpus', 'id_col', 'payload_col', w, h) — decode,
+      // bilinear-resize, re-encode PNG (operators/Multimodal.resizeImages)
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(payloadCol: String),
+            Some(w: Long), Some(h: Long)) =>
+          Plain(graft.operators.Multimodal.resizeImages(
+            lower(TableRef(corpus), ctx), idCol, payloadCol, w.toInt, h.toInt))
+        case _ =>
+          throw new LoweringException(
+            "resize_images expects (corpus, id_col, payload_col, width, height) literals")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "range" =>
       // builtin table function: range(n) / range(start, end[, step]) → id
       val vals = args.map(a => constValue(a) match {

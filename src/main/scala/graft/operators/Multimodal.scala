@@ -9,13 +9,125 @@ import org.apache.spark.sql.types._
   * multimodal training corpus uses (one row per asset, parquet binary
   * column, partition-parallel decode).
   *
-  * The decode/feature kernels are STUBS — this container ships no
-  * image/audio codecs, so `decodeImageStub` synthesizes deterministic fake
-  * pixels from the bytes. Everything around the stub is real: the schema
-  * contract, the mapPartitions batch shape (the Scala analogue of a Pandas
-  * UDF over mapInPandas), and the partition sizing.
+  * IMAGE decode is REAL: [[decodeImages]] / [[resizeImages]] run
+  * javax.imageio (PNG/JPEG/BMP/GIF readers ship inside the JDK — no
+  * external codec needed) in a mapPartitions kernel, the one operator
+  * family where a Catalyst expression genuinely cannot express the work
+  * (an imperative codec) and the partition-batched kernel is the right
+  * Spark shape. Audio/video decode remains stubbed (`decodeImageStub`
+  * synthesizes deterministic fake features from bytes — no
+  * ffmpeg/soundfile in this container); the schema contract, explode-per-
+  * frame plan, and partition sizing around it are the real ones.
   */
 object Multimodal {
+
+  /** Output schema of [[decodeImages]]: real pixel statistics per asset.
+    * `decoded=false` rows (payload not a parseable image) keep NULL stats
+    * instead of failing the batch — corrupt assets are data, not errors. */
+  def decodedSchema(histBuckets: Int): StructType = StructType(Seq(
+    StructField("img_id", LongType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("mean_lum", DoubleType, nullable = true),
+    StructField("lum_hist", ArrayType(DoubleType), nullable = true)
+  ))
+
+  /** REAL image decode over a binary column: javax.imageio parses each
+    * payload and the kernel computes width/height, mean luminance
+    * (unweighted (r+g+b)/3 over [0,1] — closed-form checkable), and a
+    * normalized `histBuckets`-bucket luminance histogram. Runs through
+    * [[mapMediaPartitions]] so codec setup amortizes per partition and
+    * partition sizing is explicit — the Scala analogue of a Pandas UDF
+    * over mapInPandas, and the documented pattern for the operator class
+    * Catalyst cannot express. */
+  def decodeImages(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      histBuckets: Int = 8,
+      targetPartitions: Int = 0
+  ): DataFrame = {
+    val schema = decodedSchema(histBuckets)
+    val in = df.select(F.col(idCol).cast("long"), F.col(payloadCol).cast("binary"))
+    mapMediaPartitions(in, targetPartitions)({ rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val img =
+          if (bytes == null || bytes.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Throwable => null }
+        if (img == null) Row(id, false, null, null, null, null)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val hist = new Array[Double](histBuckets)
+          var lumSum = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3.0 * 255.0)
+              lumSum += lum
+              val b = math.min(histBuckets - 1, (lum * histBuckets).toInt)
+              hist(b) += 1.0
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toDouble
+          Row(id, true, w, h, lumSum / n, hist.map(_ / n).toSeq)
+        }
+      }
+    }, schema)
+  }
+
+  /** REAL resize: decode (javax.imageio), scale with Graphics2D bilinear
+    * interpolation, re-encode as PNG — payloads that fail to decode pass
+    * through untouched with `resized=false`. Same kernel shape as
+    * [[decodeImages]]. */
+  def resizeImages(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      width: Int,
+      height: Int,
+      targetPartitions: Int = 0
+  ): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("img_id", LongType, nullable = false),
+      StructField("resized", BooleanType, nullable = false),
+      StructField("png", BinaryType, nullable = true)
+    ))
+    val in = df.select(F.col(idCol).cast("long"), F.col(payloadCol).cast("binary"))
+    mapMediaPartitions(in, targetPartitions)({ rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val img =
+          if (bytes == null || bytes.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Throwable => null }
+        if (img == null) Row(id, false, bytes)
+        else {
+          val outImg = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = outImg.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, width, height, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(outImg, "png", bos)
+          Row(id, true, bos.toByteArray)
+        }
+      }
+    }, schema)
+  }
 
   /** Metadata schema carried beside every binary media column. */
   val mediaMetaSchema: StructType = StructType(Seq(
@@ -40,9 +152,10 @@ object Multimodal {
   }
 
   /** Deterministic fake "decode": 8 grayscale features from the payload
-    * bytes (byte histogram buckets, normalized). STUB — replace the body
-    * with a real codec (e.g. javax.imageio / ffmpeg bindings) in production;
-    * the signature and plan shape stay identical. Columnar, no UDF. */
+    * bytes (byte histogram buckets, normalized). STUB for payloads with no
+    * in-JVM codec (audio/video — no ffmpeg in this container); IMAGES have
+    * the real path, [[decodeImages]]. The stub stays columnar (no UDF) so
+    * the surrounding plan shape matches the real kernel's. */
   def decodeImageStub(payload: Column, features: Int = 8): Column = {
     val bin = payload.cast("binary")
     val n = F.length(bin)

@@ -1172,6 +1172,15 @@ class LangSpec extends SparkTestBase {
       count
     """).collect()(0).getLong(0)
     assert(rare == total)
+    // real image decode as a table function: text payloads are not images,
+    // so every row comes back decoded=false — the corrupt-payload contract
+    // (DATA, not errors), filterable in the language
+    val undecodable = wv("""
+      from decode_images('documents', 'doc_id', 'text')
+      where decoded = false
+      count
+    """).collect()(0).getLong(0)
+    assert(undecodable == total)
   }
 
   test("each_top_k: bare identifiers and model relations") {
