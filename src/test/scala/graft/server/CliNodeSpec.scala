@@ -71,4 +71,14 @@ class CliNodeSpec extends SparkTestBase {
     assert(p.waitFor() == 0, s"grammar test failed\nstdout: $out\nstderr: $err")
     assert(out.contains("\"ok\":true"), out)
   }
+
+  test("highlightjs-graft definition tokenizes the language surface") {
+    assume(nodeAvailable, "node not available")
+    val p = new ProcessBuilder("node",
+      new java.io.File("sdks/highlightjs-graft/test/hljs_test.js").getAbsolutePath).start()
+    val out = new String(p.getInputStream.readAllBytes())
+    val err = new String(p.getErrorStream.readAllBytes())
+    assert(p.waitFor() == 0, s"hljs test failed\nstdout: $out\nstderr: $err")
+    assert(out.contains("\"ok\":true"), out)
+  }
 }
