@@ -61,7 +61,8 @@ object Repl {
           .map(_.label).distinct.take(30),
         historyFile = Some(histPath))
       try loop(spark, dir,
-        (prompt, buffered) => editor.readLine(prompt, buffered), System.out, limit)
+        (prompt, buffered) => editor.readLine(prompt, buffered), System.out, limit,
+        history = () => editor.historyLines)
       finally if (sttyOk)
         try new ProcessBuilder("sh", "-c", "stty sane < /dev/tty")
           .inheritIO().start().waitFor()
@@ -99,7 +100,8 @@ object Repl {
       dir: String,
       nextLine: (String, String) => Option[String],
       out: java.io.PrintStream,
-      limit0: Int = 20
+      limit0: Int = 20,
+      history: () => Seq[String] = () => Nil
   ): Unit = {
     val ctx = graft.lang.Lowering.Context(spark, Tables.resolver(spark, dir), basePath = dir)
     var limit = limit0
@@ -136,9 +138,10 @@ object Repl {
         case ":help" =>
           out.println(":tables :context :explain :limit N :describe :fragment :history :quit -- empty line executes the buffer")
         case ":history" =>
-          // meaningful under the LineEditor (terminal mode); the piped
-          // flavor has no editor-held history to show
-          out.println("history is held by the line editor in terminal mode")
+          // the line editor's recall ring (terminal mode); empty when piped
+          val h = history()
+          if (h.isEmpty) out.println("no history")
+          else h.takeRight(limit).foreach(out.println)
         case ":describe" =>
           // schema of the buffered (partial) pipeline without executing it —
           // the reference REPL's describe-line widget (WvletREPL.scala:197)

@@ -139,7 +139,8 @@ class ReplSpec extends SparkTestBase {
       in, out,
       completer = (text, cur) =>
         graft.lang.Lsp.complete(text, cur, spark, sfDir).map(_.label).distinct.take(30))
-    Repl.loop(spark, sfDir, (prompt, buffered) => editor.readLine(prompt, buffered), out)
+    Repl.loop(spark, sfDir, (prompt, buffered) => editor.readLine(prompt, buffered), out,
+      history = () => editor.historyLines)
     (new String(bytes.toByteArray, "UTF-8"), editor)
   }
 
@@ -168,12 +169,14 @@ class ReplSpec extends SparkTestBase {
     val keys =
       "from nation count\n\n" +
       up + "\n\n" + // recall "from nation count"
-      ":quit\n"
+      ":history\n:quit\n"
     val (outText, editor) = driveRaw(keys)
     // the recalled statement ran again: the 25-count appears twice
     assert(outText.linesIterator.count(_.matches(".*\\b25\\b.*")) >= 2, outText)
     assert(editor.historyLines.count(_ == "from nation count") == 1,
       "duplicate-adjacent lines collapse in history: " + editor.historyLines)
+    // :history prints the editor's recall ring
+    assert(outText.contains("from nation count"), outText)
   }
 
   test("line editor: TAB completion inserts the unique dot-method") {

@@ -81,4 +81,14 @@ class CliNodeSpec extends SparkTestBase {
     assert(p.waitFor() == 0, s"hljs test failed\nstdout: $out\nstderr: $err")
     assert(out.contains("\"ok\":true"), out)
   }
+
+  test("prismjs-graft definition tokenizes the language surface") {
+    assume(nodeAvailable, "node not available")
+    val p = new ProcessBuilder("node",
+      new java.io.File("sdks/prismjs-graft/test/prism_test.js").getAbsolutePath).start()
+    val out = new String(p.getInputStream.readAllBytes())
+    val err = new String(p.getErrorStream.readAllBytes())
+    assert(p.waitFor() == 0, s"prism test failed\nstdout: $out\nstderr: $err")
+    assert(out.contains("\"ok\":true"), out)
+  }
 }
