@@ -594,6 +594,77 @@ object QueryCatalog {
   private def r4(v: Double): String =
     BigDecimal(v + 5e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
 
+  /** Deterministic synthetic WAV corpus for q_multimodal_audio (all mono
+    * 16-bit PCM at 8 kHz, encoded by the JDK's own WAV writer): silence,
+    * a ±0.5 square wave with an 8-sample period, and a 1 kHz sine (period
+    * = 8 samples at 8 kHz, so the quantized sample pattern repeats exactly
+    * and RMS/zero-crossings have closed forms), plus one corrupt payload.
+    * The samples here and the oracle's expectations are computed from the
+    * same closed-form pattern arithmetic; the DECODER (RIFF parsing,
+    * format fields, 16-bit LE normalization) is what the row verifies. */
+  private[catalog] def wavSamples(id: Long, n: Int): Array[Short] = id match {
+    case 0L => Array.fill(n)(0.toShort) // silence
+    case 1L => // square: 4 samples +0.5, 4 samples -0.5
+      Array.tabulate(n)(k => (if ((k / 4) % 2 == 0) 16384 else -16384).toShort)
+    case _ => // 1 kHz sine, amp 0.8
+      Array.tabulate(n)(k =>
+        math.round(0.8 * 32767 * math.sin(2 * math.Pi * k / 8)).toShort)
+  }
+
+  private def wavBytes(samples: Array[Short]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private val wavNs = Map(0L -> 4000, 1L -> 8000, 2L -> 8000)
+
+  private def syntheticWavs(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("audio_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("wav",
+        org.apache.spark.sql.types.BinaryType, nullable = true)))
+    val rows: Seq[org.apache.spark.sql.Row] =
+      (0L to 2L).map(id => org.apache.spark.sql.Row(id, wavBytes(wavSamples(id, wavNs(id))))) :+
+        org.apache.spark.sql.Row(99L, "definitely not audio".getBytes("UTF-8"))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  private lazy val multimodalAudioOracleSql: String = {
+    val rows = (0L to 2L).map { id =>
+      val n = wavNs(id)
+      val s = wavSamples(id, n)
+      val rms = math.sqrt(s.map(v => (v / 32768.0) * (v / 32768.0)).sum / n)
+      var crossings = 0L
+      var prev = 0
+      s.foreach { v =>
+        val sign = if (v > 0) 1 else if (v < 0) -1 else 0
+        if (sign != 0 && prev != 0 && sign != prev) crossings += 1
+        if (sign != 0) prev = sign
+      }
+      s"($id, true, 8000, 1, $n, ${r4(n / 8000.0)}, ${r4(rms)}, $crossings)"
+    } :+ "(99, false, NULL, NULL, NULL, NULL, NULL, NULL)"
+    s"""SELECT CAST(c0 AS BIGINT) AS audio_id, CAST(c1 AS BOOLEAN) AS decoded,
+              CAST(c2 AS INTEGER) AS sample_rate, CAST(c3 AS INTEGER) AS channels,
+              CAST(c4 AS BIGINT) AS n_samples, CAST(c5 AS DOUBLE) AS duration_sec,
+              CAST(c6 AS DOUBLE) AS rms, CAST(c7 AS BIGINT) AS zero_crossings
+       FROM (VALUES ${rows.mkString(",\n  ")}) t(c0, c1, c2, c3, c4, c5, c6, c7)
+       ORDER BY audio_id"""
+  }
+
   private lazy val multimodalDecodeOracleSql: String = {
     val rows = imgSpecs.map { s =>
       val h = s.hist.map(r4).mkString(", ")
@@ -3661,6 +3732,25 @@ object QueryCatalog {
           .orderBy("img_id")
       },
       Some(multimodalResizeOracleSql)
+    ),
+    (
+      // REAL audio decode (javax.sound.sampled — the JDK's WAV reader):
+      // silence, a square wave, and a period-exact 1 kHz sine decode to
+      // rate/channels/duration/RMS/zero-crossings; the corrupt payload
+      // reports decoded=false. Closed-form VALUES oracle like the image
+      // rows — the sample patterns repeat exactly, so RMS and crossing
+      // counts are computable without running the decoder.
+      "q_multimodal_audio",
+      (spark, dir) => {
+        Multimodal.decodeAudio(syntheticWavs(spark), "audio_id", "wav")
+          .select(F.col("audio_id"), F.col("decoded"), F.col("sample_rate"),
+            F.col("channels"), F.col("n_samples"),
+            F.round(F.col("duration_sec") + F.lit(5e-9), 4).as("duration_sec"),
+            F.round(F.col("rms") + F.lit(5e-9), 4).as("rms"),
+            F.col("zero_crossings"))
+          .orderBy("audio_id")
+      },
+      Some(multimodalAudioOracleSql)
     ),
     (
       "q_text_redact_pii", // deterministic PII scrub (emails/phones/IPv4)

@@ -1420,6 +1420,20 @@ object Lowering {
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "decode_audio" =>
+      // decode_audio('corpus', 'id_col', 'payload_col') — REAL
+      // javax.sound.sampled WAV decode to rate/channels/duration/RMS/
+      // zero-crossings (operators/Multimodal.decodeAudio)
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(payloadCol: String)) =>
+          Plain(graft.operators.Multimodal.decodeAudio(
+            lower(TableRef(corpus), ctx), idCol, payloadCol))
+        case _ =>
+          throw new LoweringException(
+            "decode_audio expects (corpus, id_col, payload_col) literals")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "resize_images" =>
       // resize_images('corpus', 'id_col', 'payload_col', w, h) — decode,
       // bilinear-resize, re-encode PNG (operators/Multimodal.resizeImages)

@@ -151,11 +151,87 @@ object Multimodal {
     )
   }
 
+  /** Output schema of [[decodeAudio]]. */
+  val decodedAudioSchema: StructType = StructType(Seq(
+    StructField("audio_id", LongType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("duration_sec", DoubleType, nullable = true),
+    StructField("rms", DoubleType, nullable = true),
+    StructField("zero_crossings", LongType, nullable = true)
+  ))
+
+  /** REAL audio decode over a binary column: javax.sound.sampled (the
+    * JDK's own WAV/AIFF PCM reader — no external codec) parses each
+    * payload; the kernel computes sample rate, channel count, sample
+    * count, duration, RMS amplitude over [-1, 1] (channel-interleaved
+    * samples pooled), and zero-crossing count of the first channel.
+    * Non-audio payloads come back `decoded=false` with NULL stats — the
+    * same corrupt-asset contract as [[decodeImages]]. 16-bit PCM only
+    * (the dominant WAV encoding); other depths report undecoded. */
+  def decodeAudio(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      targetPartitions: Int = 0
+  ): DataFrame = {
+    val in = df.select(F.col(idCol).cast("long"), F.col(payloadCol).cast("binary"))
+    mapMediaPartitions(in, targetPartitions)({ rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val parsed =
+          if (bytes == null || bytes.isEmpty) None
+          else
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16) None
+              else {
+                val data = ais.readAllBytes()
+                val le = !fmt.isBigEndian
+                val channels = fmt.getChannels
+                val total = data.length / 2
+                var sumSq = 0.0
+                var crossings = 0L
+                var prevSign = 0
+                var i = 0
+                while (i < total) {
+                  val lo = data(2 * i) & 0xff
+                  val hi = data(2 * i + 1) & 0xff
+                  val v = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort.toInt
+                  val s = v / 32768.0
+                  sumSq += s * s
+                  if (i % channels == 0) { // first channel only
+                    val sign = if (v > 0) 1 else if (v < 0) -1 else 0
+                    if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
+                    if (sign != 0) prevSign = sign
+                  }
+                  i += 1
+                }
+                Some((fmt.getSampleRate.toInt, channels, (total / channels).toLong,
+                  (total / channels).toDouble / fmt.getSampleRate,
+                  math.sqrt(sumSq / math.max(1, total)), crossings))
+              }
+            } catch { case _: Throwable => None }
+        parsed match {
+          case Some((rate, ch, n, dur, rms, zc)) =>
+            Row(id, true, rate, ch, n, dur, rms, zc)
+          case None => Row(id, false, null, null, null, null, null, null)
+        }
+      }
+    }, decodedAudioSchema)
+  }
+
   /** Deterministic fake "decode": 8 grayscale features from the payload
     * bytes (byte histogram buckets, normalized). STUB for payloads with no
-    * in-JVM codec (audio/video — no ffmpeg in this container); IMAGES have
-    * the real path, [[decodeImages]]. The stub stays columnar (no UDF) so
-    * the surrounding plan shape matches the real kernel's. */
+    * in-JVM codec (video — no ffmpeg in this container); IMAGES and WAV
+    * AUDIO have real paths, [[decodeImages]] / [[decodeAudio]]. The stub
+    * stays columnar (no UDF) so the surrounding plan shape matches the
+    * real kernel's. */
   def decodeImageStub(payload: Column, features: Int = 8): Column = {
     val bin = payload.cast("binary")
     val n = F.length(bin)

@@ -716,4 +716,45 @@ class PipelineSpec extends SparkTestBase {
     assert(back.getInt(2) == 5 && back.getInt(3) == 4, back.toString)
     assert(math.abs(back.getDouble(4) - 128.0 / 255.0) < 1e-9, back.toString)
   }
+
+  test("multimodal: REAL audio decode via the JDK WAV reader, incl. stereo") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // hand-built 16-bit PCM WAV through the JDK writer: max-amplitude
+    // square wave, STEREO (the catalog row covers mono)
+    def wav(channels: Int, rate: Float, frames: Int)(sample: (Int, Int) => Short): Array[Byte] = {
+      val pcm = new Array[Byte](frames * channels * 2)
+      for (f <- 0 until frames; c <- 0 until channels) {
+        val v = sample(f, c)
+        val i = (f * channels + c) * 2
+        pcm(i) = (v & 0xff).toByte
+        pcm(i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val schema = StructType(Seq(
+      StructField("audio_id", LongType), StructField("wav", BinaryType)))
+    import scala.jdk.CollectionConverters._
+    // stereo square at full scale: every sample ±32767 -> rms = 32767/32768
+    val stereo = wav(2, 44100f, 441)((f, _) => (if ((f / 10) % 2 == 0) 32767 else -32767).toShort)
+    val df = spark.createDataFrame(Seq(
+      Row(1L, stereo),
+      Row(2L, "not audio".getBytes("UTF-8"))
+    ).asJava, schema)
+    val dec = Multimodal.decodeAudio(df, "audio_id", "wav")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val s = dec(1L)
+    assert(s.getBoolean(1) && s.getInt(2) == 44100 && s.getInt(3) == 2, s.toString)
+    assert(s.getLong(4) == 441, s.toString)
+    assert(math.abs(s.getDouble(6) - 32767.0 / 32768.0) < 1e-9, s.toString)
+    // 441 frames in 10-sample blocks -> 44 full borders crossed
+    assert(s.getLong(7) == 44, s.toString)
+    assert(!dec(2L).getBoolean(1) && dec(2L).isNullAt(2))
+  }
 }
