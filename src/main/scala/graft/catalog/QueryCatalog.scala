@@ -643,6 +643,77 @@ object QueryCatalog {
     spark.createDataFrame(rows.asJava, schema)
   }
 
+  /** Minimal valid AVI writer for q_multimodal_video: RIFF('AVI ')
+    * containing an avih header (dims at body offsets 32/36) and a `movi`
+    * list of uncompressed bottom-up BGR24 DIB frames (`00db`) — the raw
+    * flavor real capture tools emit, and EXACT (no lossy codec), so the
+    * oracle is closed form. Frame i of video v is solid gray 16 + 32·i. */
+  private def aviBytes(nFrames: Int, w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++ pad
+    }
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes("US-ASCII") ++ body)
+    val avih = {
+      val b = new Array[Byte](56)
+      System.arraycopy(le32(100000), 0, b, 0, 4) // usec per frame
+      System.arraycopy(le32(nFrames), 0, b, 16, 4)
+      System.arraycopy(le32(1), 0, b, 24, 4) // one stream
+      System.arraycopy(le32(w), 0, b, 32, 4)
+      System.arraycopy(le32(h), 0, b, 36, 4)
+      b
+    }
+    val rowBytes = (w * 3 + 3) & ~3
+    def dibFrame(gray: Int): Array[Byte] = {
+      val b = new Array[Byte](rowBytes * h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        b(y * rowBytes + x * 3 + c) = gray.toByte
+      b
+    }
+    val movi = (0 until nFrames).map(i => chunk("00db", dibFrame(16 + 32 * i)))
+      .reduce(_ ++ _)
+    val body = "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", chunk("avih", avih)) ++ list("movi", movi)
+    bos.write("RIFF".getBytes("US-ASCII")); bos.write(le32(body.length)); bos.write(body)
+    bos.toByteArray
+  }
+
+  private val videoSpecs: Seq[(Long, Int, Int, Int)] = // (id, frames, w, h)
+    Seq((0L, 6, 8, 6), (1L, 3, 12, 4), (2L, 7, 6, 10))
+
+  private def syntheticAvis(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("video_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("avi",
+        org.apache.spark.sql.types.BinaryType, nullable = true)))
+    val rows: Seq[org.apache.spark.sql.Row] =
+      videoSpecs.map { case (id, n, w, h) =>
+        org.apache.spark.sql.Row(id, aviBytes(n, w, h)) } :+
+        org.apache.spark.sql.Row(99L, "not a video container".getBytes("UTF-8"))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  private lazy val multimodalVideoOracleSql: String = {
+    val rows = videoSpecs.flatMap { case (id, n, w, h) =>
+      (0 until n).filter(_ % 2 == 0).take(8).map { i =>
+        s"($id, true, $n, $i, $w, $h, ${r4((16 + 32 * i) / 255.0)})"
+      }
+    } :+ "(99, false, NULL, NULL, NULL, NULL, NULL)"
+    s"""SELECT CAST(c0 AS BIGINT) AS video_id, CAST(c1 AS BOOLEAN) AS decoded,
+              CAST(c2 AS INTEGER) AS n_frames, CAST(c3 AS INTEGER) AS frame_idx,
+              CAST(c4 AS INTEGER) AS width, CAST(c5 AS INTEGER) AS height,
+              CAST(c6 AS DOUBLE) AS mean_lum
+       FROM (VALUES ${rows.mkString(",\n  ")}) t(c0, c1, c2, c3, c4, c5, c6)
+       ORDER BY video_id, frame_idx"""
+  }
+
   private lazy val multimodalAudioOracleSql: String = {
     val rows = (0L to 2L).map { id =>
       val n = wavNs(id)
@@ -3751,6 +3822,23 @@ object QueryCatalog {
           .orderBy("audio_id")
       },
       Some(multimodalAudioOracleSql)
+    ),
+    (
+      // REAL video frame decode for AVI containers (RIFF walk to movi,
+      // uncompressed bottom-up BGR24 DIB frames parsed exactly; MJPEG
+      // frames take the javax.imageio path, spec-covered since JPEG is
+      // lossy): one row per stride-sampled frame with dims + mean
+      // luminance, closed-form VALUES oracle over a deterministic raw-DIB
+      // corpus. Non-AVI payloads report decoded=false.
+      "q_multimodal_video",
+      (spark, dir) => {
+        Multimodal.decodeVideoFrames(syntheticAvis(spark), "video_id", "avi")
+          .select(F.col("video_id"), F.col("decoded"), F.col("n_frames"),
+            F.col("frame_idx"), F.col("width"), F.col("height"),
+            F.round(F.col("mean_lum") + F.lit(5e-9), 4).as("mean_lum"))
+          .orderBy("video_id", "frame_idx")
+      },
+      Some(multimodalVideoOracleSql)
     ),
     (
       "q_text_redact_pii", // deterministic PII scrub (emails/phones/IPv4)

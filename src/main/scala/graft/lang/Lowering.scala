@@ -1434,6 +1434,24 @@ object Lowering {
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "decode_video" =>
+      // decode_video('corpus', 'id_col', 'payload_col'[, stride, max_frames])
+      // — REAL AVI frame decode, one row per sampled frame
+      // (operators/Multimodal.decodeVideoFrames)
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(payloadCol: String)) =>
+          Plain(graft.operators.Multimodal.decodeVideoFrames(
+            lower(TableRef(corpus), ctx), idCol, payloadCol))
+        case List(Some(corpus: String), Some(idCol: String), Some(payloadCol: String),
+            Some(stride: Long), Some(maxF: Long)) =>
+          Plain(graft.operators.Multimodal.decodeVideoFrames(
+            lower(TableRef(corpus), ctx), idCol, payloadCol, stride.toInt, maxF.toInt))
+        case _ =>
+          throw new LoweringException(
+            "decode_video expects (corpus, id_col, payload_col[, stride, max_frames]) literals")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "resize_images" =>
       // resize_images('corpus', 'id_col', 'payload_col', w, h) — decode,
       // bilinear-resize, re-encode PNG (operators/Multimodal.resizeImages)

@@ -315,7 +315,7 @@ object Lsp {
     * table names (the Lowering's ModelRef natives). */
   private val tableFunctions: Seq[CompletionItem] = Seq(
     "range", "jdbc", "similarity_topk", "ann_int8_index", "each_top_k",
-    "decode_images", "resize_images", "decode_audio",
+    "decode_images", "resize_images", "decode_audio", "decode_video",
     "decontaminate", "contaminated_docs", "weighted_mix", "pack_sequences",
     "dedup_spans", "dedup_semantic", "token_stats", "parquet_metadata",
     "wv_tables", "wv_schemas", "duckdb_functions", "unnest"

@@ -226,12 +226,162 @@ object Multimodal {
     }, decodedAudioSchema)
   }
 
+  /** Output schema of [[decodeVideoFrames]]: one row per SAMPLED frame. */
+  val decodedFrameSchema: StructType = StructType(Seq(
+    StructField("video_id", LongType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("frame_idx", IntegerType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("mean_lum", DoubleType, nullable = true)
+  ))
+
+  /** Minimal RIFF/AVI frame extraction: walks the chunk tree to the
+    * `movi` list and returns the video-stream frame payloads in order —
+    * `..dc` chunks (compressed: MJPEG = per-frame JPEG, decodable by
+    * javax.imageio) and `..db` chunks (uncompressed DIB: bottom-up BGR24).
+    * Returns None when the payload is not an AVI. */
+  private[operators] def aviFrames(bytes: Array[Byte]): Option[Seq[(String, Array[Byte])]] = {
+    def u32(o: Int): Long =
+      ((bytes(o) & 0xffL)) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def fourcc(o: Int): String =
+      new String(bytes.slice(o, o + 4), "US-ASCII")
+    if (bytes == null || bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+      return None
+    val frames = Seq.newBuilder[(String, Array[Byte])]
+    // depth-first over LIST chunks, collecting frame chunks inside 'movi'
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var o = start
+      while (o + 8 <= end) {
+        val id = fourcc(o)
+        val sz = u32(o + 4).toInt
+        val body = o + 8
+        if (id == "LIST" && body + 4 <= end) {
+          val listType = fourcc(body)
+          walk(body + 4, math.min(end, body + sz), inMovi || listType == "movi")
+        } else if (inMovi && id.length == 4 &&
+            (id.endsWith("dc") || id.endsWith("db")) && body + sz <= end) {
+          frames += ((id.takeRight(2), bytes.slice(body, body + sz)))
+        }
+        o = body + sz + (sz & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, bytes.length, inMovi = false)
+    Some(frames.result())
+  }
+
+  /** Decode one AVI frame chunk to a BufferedImage: `dc` via javax.imageio
+    * (MJPEG frames are JPEGs; PNG-in-AVI decodes the same way), `db` as a
+    * bottom-up BGR24 DIB given the stream dims. */
+  private def decodeFrame(kind: String, data: Array[Byte],
+      w: Int, h: Int): java.awt.image.BufferedImage =
+    if (kind == "dc")
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+    else {
+      val rowBytes = (w * 3 + 3) & ~3 // DIB rows pad to 4 bytes
+      if (data.length < rowBytes * h) null
+      else {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          val src = (h - 1 - y) * rowBytes // bottom-up
+          var x = 0
+          while (x < w) {
+            val b = data(src + x * 3) & 0xff
+            val g = data(src + x * 3 + 1) & 0xff
+            val r = data(src + x * 3 + 2) & 0xff
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+    }
+
+  /** REAL video frame decode for AVI containers (MJPEG `dc` frames via the
+    * JDK's JPEG reader; uncompressed DIB `db` frames parsed directly) —
+    * the explode-per-frame shape of [[sampleFrames]] with actual pixels:
+    * one output row per sampled frame (`stride`-th up to `maxFrames`) with
+    * the frame's dims and mean luminance. Container or frame parse
+    * failures yield a single decoded=false row per asset. Dims for `db`
+    * streams come from the first decodable `dc` frame or, when the stream
+    * is pure DIB, from the avih header (offsets 40/44 of the RIFF body).
+    * Other containers (mp4 etc. — no JDK demuxer) report decoded=false. */
+  def decodeVideoFrames(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      stride: Int = 2,
+      maxFrames: Int = 8,
+      targetPartitions: Int = 0
+  ): DataFrame = {
+    val in = df.select(F.col(idCol).cast("long"), F.col(payloadCol).cast("binary"))
+    mapMediaPartitions(in, targetPartitions)({ rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val parsed = if (bytes == null) None else aviFrames(bytes)
+        parsed match {
+          case Some(frames) if frames.nonEmpty =>
+            // header dims for DIB-only streams: avih.dwWidth/dwHeight sit
+            // 32/36 bytes into the avih chunk body; locating the chunk by
+            // fourcc scan keeps the parser independent of list layout
+            def headerDims: (Int, Int) = {
+              var o = 12
+              while (o + 8 <= bytes.length) {
+                if (new String(bytes.slice(o, o + 4), "US-ASCII") == "avih") {
+                  def u32(p: Int): Int =
+                    ((bytes(p) & 0xff)) | ((bytes(p + 1) & 0xff) << 8) |
+                      ((bytes(p + 2) & 0xff) << 16) | ((bytes(p + 3) & 0xff) << 24)
+                  return (u32(o + 8 + 32), u32(o + 8 + 36))
+                }
+                o += 1
+              }
+              (0, 0)
+            }
+            val (hw, hh) = headerDims
+            val sampled = frames.zipWithIndex
+              .filter { case (_, i) => i % stride == 0 }
+              .take(maxFrames)
+            val out = sampled.flatMap { case ((kind, data), idx) =>
+              val img = try decodeFrame(kind, data, hw, hh)
+                        catch { case _: Throwable => null }
+              if (img == null) None
+              else {
+                val w = img.getWidth
+                val h = img.getHeight
+                var lum = 0.0
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = img.getRGB(x, y)
+                    lum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3.0 * 255.0)
+                    x += 1
+                  }
+                  y += 1
+                }
+                Some(Row(id, true, frames.length, idx, w, h, lum / (w.toLong * h)))
+              }
+            }
+            if (out.nonEmpty) out
+            else Seq(Row(id, false, null, null, null, null, null))
+          case _ => Seq(Row(id, false, null, null, null, null, null))
+        }
+      }
+    }, decodedFrameSchema)
+  }
+
   /** Deterministic fake "decode": 8 grayscale features from the payload
-    * bytes (byte histogram buckets, normalized). STUB for payloads with no
-    * in-JVM codec (video — no ffmpeg in this container); IMAGES and WAV
-    * AUDIO have real paths, [[decodeImages]] / [[decodeAudio]]. The stub
-    * stays columnar (no UDF) so the surrounding plan shape matches the
-    * real kernel's. */
+    * bytes (byte histogram buckets, normalized). STUB retained for
+    * payloads with no in-JVM demuxer (mp4/webm video, non-PCM audio);
+    * images, WAV audio, and AVI video have real paths — [[decodeImages]],
+    * [[decodeAudio]], [[decodeVideoFrames]]. The stub stays columnar (no
+    * UDF) so the surrounding plan shape matches the real kernel's. */
   def decodeImageStub(payload: Column, features: Int = 8): Column = {
     val bin = payload.cast("binary")
     val n = F.length(bin)

@@ -757,4 +757,47 @@ class PipelineSpec extends SparkTestBase {
     assert(s.getLong(7) == 44, s.toString)
     assert(!dec(2L).getBoolean(1) && dec(2L).isNullAt(2))
   }
+
+  test("multimodal: REAL MJPEG-AVI frame decode (JPEG frames via javax.imageio)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // hand-built AVI whose movi frames are JPEGs — the MJPEG layout; the
+    // raw-DIB flavor is pinned exactly by the q_multimodal_video oracle,
+    // this covers the lossy-codec branch with tolerance
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]) = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++ pad
+    }
+    def list(t: String, body: Array[Byte]) = chunk("LIST", t.getBytes("US-ASCII") ++ body)
+    def jpegFrame(gray: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (gray << 16) | (gray << 8) | gray)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      bos.toByteArray
+    }
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32(16), 0, avih, 32, 4)
+    System.arraycopy(le32(16), 0, avih, 36, 4)
+    val movi = (0 until 4).map(i => chunk("00dc", jpegFrame(60 + 40 * i, 16, 16))).reduce(_ ++ _)
+    val body = "AVI ".getBytes("US-ASCII") ++ list("hdrl", chunk("avih", avih)) ++ list("movi", movi)
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+
+    val schema = StructType(Seq(
+      StructField("video_id", LongType), StructField("avi", BinaryType)))
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(Seq(Row(7L, avi)).asJava, schema)
+    val frames = Multimodal.decodeVideoFrames(df, "video_id", "avi", stride = 1)
+      .collect().sortBy(_.getInt(3))
+    assert(frames.length == 4, frames.mkString(";"))
+    frames.zipWithIndex.foreach { case (f, i) =>
+      assert(f.getBoolean(1) && f.getInt(4) == 16 && f.getInt(5) == 16, f.toString)
+      // JPEG is lossy: the solid level survives within a couple of levels
+      assert(math.abs(f.getDouble(6) - (60 + 40 * i) / 255.0) < 0.02, f.toString)
+    }
+  }
 }
