@@ -6,7 +6,11 @@ package graft.server
   * over the frontend API: submit, poll, render schema + rows, format), a
   * fraction of the HOW: one embedded HTML page, zero build tooling, zero
   * dependencies — every capability it exercises is the public JSON API, so
-  * anything the page does a user's own tooling can do too. */
+  * anything the page does a user's own tooling can do too. The editor is a
+  * highlighted textarea: a transparent-text textarea over a token-colored
+  * <pre> kept in sync on input/scroll, with the language's token rules
+  * (the same surface sdks/prismjs-graft covers) inlined — still zero
+  * dependencies. */
 object WebUi {
 
   val page: String =
@@ -19,8 +23,21 @@ object WebUi {
   body { font-family: ui-monospace, SFMono-Regular, Menlo, monospace;
          margin: 2rem auto; max-width: 72rem; padding: 0 1rem; color: #1a1a1a; }
   h1 { font-size: 1.1rem; }
-  textarea { width: 100%; height: 9rem; font: inherit; padding: .5rem;
-             box-sizing: border-box; border: 1px solid #bbb; border-radius: 4px; }
+  .editor { position: relative; width: 100%; height: 9rem; }
+  .editor textarea, .editor pre {
+    position: absolute; inset: 0; margin: 0; font: inherit; font-size: 1rem;
+    line-height: 1.35; padding: .5rem; box-sizing: border-box;
+    white-space: pre-wrap; word-break: break-word; overflow: auto;
+    border: 1px solid #bbb; border-radius: 4px; }
+  .editor pre { pointer-events: none; background: #fff; color: #1a1a1a; }
+  .editor textarea { background: transparent; color: transparent;
+    caret-color: #1a1a1a; resize: none; z-index: 1; border-color: transparent; }
+  .tk-kw  { color: #0550ae; font-weight: 600; }
+  .tk-str { color: #0a7a36; }
+  .tk-num { color: #953800; }
+  .tk-com { color: #8a8a8a; font-style: italic; }
+  .tk-op  { color: #8250df; }
+  .tk-ty  { color: #7a5200; }
   button { font: inherit; padding: .35rem .9rem; margin: .5rem .5rem 0 0;
            border: 1px solid #888; border-radius: 4px; background: #f4f4f4;
            cursor: pointer; }
@@ -35,10 +52,13 @@ object WebUi {
 </head>
 <body>
 <h1>graft console</h1>
-<textarea id="q" spellcheck="false">from lineitem
+<div class="editor">
+  <pre id="hl" aria-hidden="true"></pre>
+  <textarea id="q" spellcheck="false">from lineitem
 group by l_returnflag
 agg n = _.count, sum_qty = l_quantity.sum
 order by l_returnflag</textarea>
+</div>
 <div>
   <button onclick="run()">run</button>
   <button onclick="run('single')">run at cursor</button>
@@ -50,6 +70,48 @@ order by l_returnflag</textarea>
 <div id="out"></div>
 <script>
 const $ = id => document.getElementById(id);
+
+// --- inline highlighter: the prismjs-graft token rules, dependency-free ---
+const KW = new Set(('def model type val flow stage package import export native inline extends ' +
+  'create alter insert update upsert merge delete truncate save append overwrite into use ' +
+  'explain prepare execute call show describe run schema table catalog from select where ' +
+  'group having order limit offset agg transform add prepend exclude rename shift pivot ' +
+  'unpivot sample distinct dedup count concat intersect except union all unnest lateral by as ' +
+  'join left right full inner cross semi anti asof on using natural over partition rows range ' +
+  'unbounded preceding following current row grouping sets rollup cube filter subscribe ' +
+  'watermark incremental incrementalize window route fork depends wait until activate end ' +
+  'and or not is in like rlike between exists contains case when then else if cast extract ' +
+  'interval at time zone for with to of test should be contain debug true false null').split(' '));
+const TY = new Set(('boolean byte short int long float double decimal string char date ' +
+  'timestamp array map struct binary json sql asc desc nulls first last').split(' '));
+const TOKEN_RE = /(---[\s\S]*?(?:---|$))|(--[^\n]*)|("{3}[\s\S]*?(?:"{3}|$)|"(?:\\.|[^"\\\n])*"?|'(?:\\.|[^'\\\n])*'?|`[^`\n]*`?)|(\b0[xX][0-9a-fA-F_]+\b|\b\d[\d_]*(?:\.\d+)?\b)|(->|<-|=>|!=|<=|>=|[|<>=+*\/%])|([A-Za-z_][A-Za-z0-9_]*)/g;
+function esc(s) {
+  return s.replace(/&/g, '&amp;').replace(/</g, '&lt;').replace(/>/g, '&gt;');
+}
+function highlight(src) {
+  let out = '', last = 0, m;
+  TOKEN_RE.lastIndex = 0;
+  while ((m = TOKEN_RE.exec(src))) {
+    out += esc(src.slice(last, m.index));
+    const t = m[0];
+    const cls = m[1] || m[2] ? 'tk-com' : m[3] ? 'tk-str' : m[4] ? 'tk-num'
+      : m[5] ? 'tk-op'
+      : KW.has(t) ? 'tk-kw' : TY.has(t) ? 'tk-ty'
+      : /^[A-Z]/.test(t) ? 'tk-ty' : null;
+    out += cls ? '<span class="' + cls + '">' + esc(t) + '</span>' : esc(t);
+    last = m.index + t.length;
+  }
+  return out + esc(src.slice(last)) + '\n';
+}
+function sync() {
+  $('hl').innerHTML = highlight($('q').value);
+  $('hl').scrollTop = $('q').scrollTop;
+  $('hl').scrollLeft = $('q').scrollLeft;
+}
+$('q').addEventListener('input', sync);
+$('q').addEventListener('scroll', sync);
+sync();
+
 function setStatus(msg, err) {
   const s = $('status'); s.textContent = msg; s.className = err ? 'err' : '';
 }
@@ -105,12 +167,12 @@ async function run(selection) {
 }
 async function fmt() {
   const resp = await post('/api/v1/fmt', { query: $('q').value });
-  if (resp.formatted) { $('q').value = resp.formatted; setStatus('formatted'); }
+  if (resp.formatted) { $('q').value = resp.formatted; sync(); setStatus('formatted'); }
   else setStatus(resp.error || 'format failed', true);
 }
 async function transpileSql() {
   const resp = await post('/api/v1/transpile', { sql: $('q').value });
-  if (resp.query) { $('q').value = resp.query; setStatus('transpiled'); }
+  if (resp.query) { $('q').value = resp.query; sync(); setStatus('transpiled'); }
   else setStatus(resp.error || 'transpile failed', true);
 }
 </script>

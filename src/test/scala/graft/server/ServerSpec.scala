@@ -68,6 +68,10 @@ class ServerSpec extends SparkTestBase {
     assert(conn.getResponseCode == 200)
     val html = new String(conn.getInputStream.readAllBytes(), UTF_8)
     assert(html.contains("graft console") && html.contains("/api/v1/query"))
+    // the embedded editor ships its own dependency-free highlighter: the
+    // overlay pre + the language token rules must be in the page
+    assert(html.contains("id=\"hl\"") && html.contains("TOKEN_RE"), "highlighter missing")
+    assert(html.contains("tk-kw") && html.contains("subscribe"), "token rules missing")
     assert(http("GET", "/no/such/page")._1 == 404)
   }
 
