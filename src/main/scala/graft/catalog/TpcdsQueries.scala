@@ -489,13 +489,15 @@ reason AS (
     if (!viewsFor.get(key).contains(dir)) {
       val base = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_tpcds_star_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      // always (re)write on the first ensure per JVM — a marker left by a
+      // PREVIOUS process would serve stale facts if the source dir was
+      // regenerated in between (the same posture as the persisted-index
+      // memos: memoize within the JVM, never trust a prior one)
       preludeCtes.foreach { case (n, body) =>
         val df = graft.Graft.sqlScript(spark, body, Some(dir))
         if (materialized(n)) {
           val path = s"$base/$n"
-          // another session over the same dir may have written it already
-          if (!new java.io.File(path, "_SUCCESS").exists())
-            df.write.mode("overwrite").parquet(path)
+          df.write.mode("overwrite").parquet(path)
           spark.read.parquet(path).createOrReplaceTempView(n)
         } else df.createOrReplaceTempView(n)
       }

@@ -254,18 +254,25 @@ object Multimodal {
     // depth-first over LIST chunks, collecting frame chunks inside 'movi'
     def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
       var o = start
-      while (o + 8 <= end) {
+      var ok = true
+      while (ok && o + 8 <= end) {
         val id = fourcc(o)
         val sz = u32(o + 4).toInt
         val body = o + 8
-        if (id == "LIST" && body + 4 <= end) {
-          val listType = fourcc(body)
-          walk(body + 4, math.min(end, body + sz), inMovi || listType == "movi")
-        } else if (inMovi && id.length == 4 &&
-            (id.endsWith("dc") || id.endsWith("db")) && body + sz <= end) {
-          frames += ((id.takeRight(2), bytes.slice(body, body + sz)))
+        // a corrupt/crafted chunk size must stop the walk, not loop or
+        // overflow: sizes are unsigned in the container but the payload
+        // cap keeps Int arithmetic safe
+        if (sz < 0 || sz > end - body) ok = false
+        else {
+          if (id == "LIST" && body + 4 <= end) {
+            val listType = fourcc(body)
+            walk(body + 4, body + sz, inMovi || listType == "movi")
+          } else if (inMovi && id.length == 4 &&
+              (id.endsWith("dc") || id.endsWith("db"))) {
+            frames += ((id.takeRight(2), bytes.slice(body, body + sz)))
+          }
+          o = body + sz + (sz & 1) // chunks are word-aligned
         }
-        o = body + sz + (sz & 1) // chunks are word-aligned
       }
     }
     walk(12, bytes.length, inMovi = false)

@@ -343,6 +343,26 @@ class PlanSpec extends SparkTestBase {
     assert(dfFlat.count() > 0)
   }
 
+  test("TPC-DS star: dims broadcast, fact scans pruned, over materialized views") {
+    // the 99 executed TPC-DS rows run against the once-per-session
+    // materialized star schema; this pins the resulting plan SHAPE on a
+    // representative dim-heavy query (q3: fact ⋈ date_dim ⋈ item): both
+    // dimension joins must be broadcast (no shuffled dim at 100 TB) and
+    // the fact scan must not read money columns the query never touches
+    val q3 = graft.catalog.TpcdsQueries.all.find(_._1 == "q_tpcds_q3").get._2
+    val df = q3(spark, sfDir)
+    val plan = planOf(df)
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 2, s"q3's dim joins are not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in q3:\n$plan")
+    // the store_sales view scan reads only the referenced columns
+    val ssScan = plan.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("ss_")).getOrElse("")
+    assert(ssScan.contains("ss_ext_sales_price") && !ssScan.contains("ss_net_profit"),
+      s"fact read schema not pruned: $ssScan")
+    assert(df.count() >= 0)
+  }
+
   test("partitioned IVF index: probe cells prune partitions at the scan") {
     // the IVF twin of the LSH gate: nprobe cells per query union into a
     // static partition filter, so the scan reads ~nprobe/nlist of the index

@@ -799,5 +799,14 @@ class PipelineSpec extends SparkTestBase {
       // JPEG is lossy: the solid level survives within a couple of levels
       assert(math.abs(f.getDouble(6) - (60 + 40 * i) / 255.0) < 0.02, f.toString)
     }
+
+    // crafted AVI with an absurd chunk size: the RIFF walk must terminate
+    // with decoded=false, not hang or throw
+    val evil = "RIFF".getBytes("US-ASCII") ++ le32(1000) ++ "AVI ".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++ le32(Int.MaxValue) ++ "movi".getBytes("US-ASCII") ++
+      "00db".getBytes("US-ASCII") ++ le32(-5) ++ new Array[Byte](32)
+    val evilDf = spark.createDataFrame(Seq(Row(8L, evil)).asJava, schema)
+    val evilRows = Multimodal.decodeVideoFrames(evilDf, "video_id", "avi").collect()
+    assert(evilRows.length == 1 && !evilRows.head.getBoolean(1), evilRows.mkString(";"))
   }
 }
