@@ -21,6 +21,7 @@ object Run {
     var transpile = false
     var fmt = false
     var toSql = false
+    var target = "spark"
     var compileOnly = false
     var catalogFile: Option[String] = None
     var catalogExport: Option[String] = None
@@ -36,6 +37,7 @@ object Run {
         case "--transpile" => transpile = true; i += 1
         case "--fmt" => fmt = true; i += 1
         case "--to-sql" => toSql = true; i += 1
+        case "--target" | "-t" => target = args(i + 1); i += 2
         case "--compile" => compileOnly = true; i += 1
         case "--catalog" => catalogFile = Some(args(i + 1)); i += 2
         case "--catalog-export" => catalogExport = Some(args(i + 1)); i += 2
@@ -62,9 +64,11 @@ object Run {
       sys.exit(2)
     }
     if (toSql) {
-      // wv → Spark SQL text (the reference's `wvlet compile -t <dbtype>`
-      // codegen surface); no Spark session needed — pure AST generation
-      try println(graft.lang.WvToSql.generate(text))
+      // wv → SQL text for a target dialect (the reference's `wvlet compile
+      // -t <dbtype>` codegen surface); no Spark session needed — pure AST
+      // generation. `--target spark|duckdb|trino|hive`, default spark.
+      try println(graft.lang.WvToSql.generate(text,
+        graft.lang.WvToSql.Target.parse(target)))
       catch {
         case e: graft.lang.ParseException =>
           System.err.println(s"[parse error] ${e.getMessage}"); sys.exit(1)

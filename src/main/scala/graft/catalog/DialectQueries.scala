@@ -1,0 +1,218 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{Graft, Tables}
+import graft.lang.WvToSql
+
+/** Execution-gated DuckDB-dialect codegen rows: each entry is ONE wv text;
+  * the Spark side runs it through the normal DataFrame lowering, and the
+  * DuckDB oracle is the text `WvToSql.generate(text, Target.DuckDb)`
+  * produces — so the driver's oracle gate directly executes the generated
+  * dialect SQL, and any wrong DuckDB spelling (list_sort vs sort_array,
+  * strftime patterns, SEMI JOIN, `* EXCLUDE`, zipped unnest, the
+  * pivot→conditional-aggregation rewrite) turns the row red.
+  *
+  * This is the dialect-correctness discipline the reference cannot give its
+  * own SqlGenerator (it only round-trips text); the queries cover every
+  * dialect branch point that is executable in DuckDB. Numeric hygiene
+  * follows the catalog conventions (round(4) on double aggs, `.to_long` on
+  * integral aggregates, explicit NULLS FIRST, unique total order).
+  */
+object DialectQueries {
+
+  type Q = QueryCatalog.Q
+
+  private def wv(text: String): Q =
+    (spark, dir) => Graft.query(spark, text, Tables.resolver(spark, dir), basePath = dir)
+
+  /** (name, wv text) pairs — the single source for both sides. */
+  private val texts: Seq[(String, String)] = Seq(
+    (
+      "q_wv2duckdb_agg",
+      """
+        from lineitem
+        where l_shipdate >= '1996-01-01'.to_timestamp
+        group by l_returnflag, l_linestatus
+        agg n = _.count,
+            qty = l_quantity.sum.round(4),
+            avg_price = (l_extendedprice.mean + 0.000000005).round(4),
+            dq = l_quantity.count_distinct,
+            n_big = count(l_orderkey) filter (where l_quantity > 40)
+        order by l_returnflag, l_linestatus
+      """
+    ),
+    (
+      "q_wv2duckdb_string",
+      """
+        from part
+        where p_partkey <= 400
+        select p_partkey,
+          up = p_name.upper,
+          head = p_name.substring(1, 5),
+          has_ol = p_name.contains('ol'),
+          sw = p_name.starts_with('b'),
+          ew = p_name.ends_with('d'),
+          pad = p_brand.lpad(12, '_'),
+          rep = p_type.replace(' ', '-'),
+          n = p_name.length.to_long,
+          rx = p_name.regexp_like('^[a-m]'),
+          lk = p_name.like('%blue%')
+        order by p_partkey
+      """
+    ),
+    (
+      "q_wv2duckdb_date",
+      """
+        from orders
+        where o_orderkey <= 2000
+        select o_orderkey,
+          y = o_orderdate.year.to_long,
+          m = o_orderdate.month.to_long,
+          d = o_orderdate.day.to_long,
+          ds = o_orderdate.date_format('yyyy-MM-dd'),
+          mon = o_orderdate.date_trunc('month').date_format('yyyy-MM'),
+          yx = o_orderdate.extract('year').to_long
+        order by o_orderkey
+      """
+    ),
+    (
+      "q_wv2duckdb_array",
+      """
+        from part
+        where p_partkey <= 300
+        select p_partkey,
+          n = p_name.split(' ').array_size.to_long,
+          w1 = p_name.split(' ')[1],
+          joined = p_name.split(' ').array_sort.array_join('-'),
+          has_blue = p_name.split(' ').array_contains('blue')
+        order by p_partkey
+      """
+    ),
+    (
+      "q_wv2duckdb_unnest",
+      """
+        from part
+        where p_partkey <= 60
+        select p_partkey, words = p_name.split(' ')
+        cross join unnest(words) with ordinality as t(w)
+        select p_partkey, w, ord = w_ordinal.to_long
+        order by p_partkey, ord
+      """
+    ),
+    (
+      "q_wv2duckdb_subquery",
+      """
+        from customer
+        where c_custkey in {
+          from orders
+          where o_totalprice > 350000
+          select o_custkey
+        } and exists {
+          from nation
+          where nation.n_nationkey = customer.c_nationkey and n_regionkey = 2
+        }
+        select c_custkey, c_name
+        order by c_custkey
+      """
+    ),
+    (
+      "q_wv2duckdb_window",
+      """
+        from lineitem
+        where l_orderkey <= 300
+        select l_orderkey, l_linenumber,
+          rn = row_number() over (partition by l_orderkey order by l_linenumber),
+          rk = rank() over (partition by l_returnflag order by l_extendedprice desc),
+          run_qty = l_quantity.sum over (partition by l_orderkey order by l_linenumber rows[,0])
+        order by l_orderkey, l_linenumber
+      """
+    ),
+    (
+      "q_wv2duckdb_setops",
+      """
+        from {
+          from {
+            from nation
+            select k = n_regionkey.to_long
+          } concat {
+            from region
+            select k = r_regionkey.to_long
+          }
+          distinct
+        } except {
+          from region
+          where r_regionkey = 0
+          select k = r_regionkey.to_long
+        }
+        order by k
+      """
+    ),
+    (
+      "q_wv2duckdb_exclude",
+      """
+        from part
+        where p_partkey <= 100
+        exclude p_type, p_retailprice
+        order by p_partkey
+      """
+    ),
+    (
+      "q_wv2duckdb_pivot",
+      """
+        from orders
+        where o_orderkey <= 5000
+        select o_orderpriority, o_orderstatus, o_totalprice
+        pivot on o_orderstatus in ('O', 'F', 'P') using total = o_totalprice.sum.round(4)
+        order by o_orderpriority
+      """
+    ),
+    (
+      "q_wv2duckdb_model",
+      """
+        model big = {
+          from orders
+          where o_totalprice > 150000
+        }
+        from big
+        group by o_orderpriority
+        agg n = _.count, rev = o_totalprice.sum.round(4)
+        where n > 3
+        order by o_orderpriority
+      """
+    ),
+    (
+      "q_wv2duckdb_scalar",
+      """
+        from customer
+        where c_custkey <= 800
+        select c_custkey,
+          seg = case c_mktsegment when 'BUILDING' then 'b' when 'AUTOMOBILE' then 'a' else 'x' end,
+          posneg = if(c_acctbal > 0.0, 'pos', 'neg'),
+          f = c_acctbal.floor.to_long,
+          cl = c_acctbal.ceil.to_long,
+          ab = (0.0 - c_acctbal).abs.round(2),
+          sq = c_custkey.to_double.sqrt.round(6),
+          lg = (c_custkey.to_double + 1.0).ln.round(6),
+          nn = c_acctbal.null_if(0.0).or_else(0.0 - 1.0).round(2),
+          fd = c_custkey // 7,
+          bt = c_custkey.between(100, 200),
+          il = c_mktsegment.in('BUILDING', 'MACHINERY')
+        order by c_custkey
+      """
+    ),
+    (
+      "q_wv2duckdb_rollup",
+      """
+        from lineitem
+        where l_orderkey <= 4000
+        group by rollup l_returnflag, l_linestatus
+        agg n = _.count, qty = l_quantity.sum.round(4)
+        order by l_returnflag nulls first, l_linestatus nulls first
+      """
+    )
+  )
+
+  val all: Seq[(String, Q, Option[String])] = texts.map { case (name, text) =>
+    (name, wv(text), Some(WvToSql.generate(text, WvToSql.Target.DuckDb)))
+  }
+}

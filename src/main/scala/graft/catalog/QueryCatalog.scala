@@ -4135,7 +4135,8 @@ object QueryCatalog {
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val all: Seq[(String, Q, Option[String])] =
-    relationalQueries ++ pipelineQueries ++ TpchCatalog.all ++ TpcdsQueries.all
+    relationalQueries ++ pipelineQueries ++ TpchCatalog.all ++ TpcdsQueries.all ++
+      DialectQueries.all
 
   def queries: Map[String, Q] =
     all.map { case (n, q, _) => n -> q }.toMap

@@ -1,40 +1,82 @@
 package graft.lang
 
-/** wv → Spark SQL text generation — the reference's core codegen surface
-  * (`wvlet compile -t <dbtype>`, compiler/codegen/SqlGenerator.scala,
-  * 1,842 LoC) re-expressed for one target dialect. This engine executes
-  * through DataFrames, so SQL text is not needed to run queries; the
-  * generator exists for the migration/interop story: hand a wv pipeline to
-  * any system that speaks Spark SQL.
+/** wv → SQL text generation for a TARGET DIALECT — the reference's core
+  * codegen surface (`wvlet compile -t <dbtype>`,
+  * compiler/codegen/SqlGenerator.scala, 1,842 LoC, with per-dialect branch
+  * points on `DBType` and the dialect rewrite phases
+  * compiler/transform/TrinoRewritePivot.scala and HiveRewriteFunctions.scala)
+  * re-expressed over this engine's AST. This engine executes through
+  * DataFrames, so SQL text is not needed to run queries; the generator
+  * exists for the migration/interop story: hand a wv pipeline to any system
+  * that speaks one of the target dialects.
+  *
+  * Targets:
+  *   - [[Target.Spark]] (default) — Spark SQL; execution-gated by
+  *     WvToSqlSpec against the DataFrame lowering on all TPC-H files.
+  *   - [[Target.DuckDb]] — DuckDB SQL; execution-gated through the driver's
+  *     DuckDB oracle: the q_wv2duckdb_* catalog rows hand the GENERATED
+  *     text as their oracle, so a wrong spelling turns the row red.
+  *   - [[Target.Trino]] — Trino SQL; text-gated (no Trino in the
+  *     container). Follows the reference's Trino branches: approx_distinct,
+  *     arbitrary, format_datetime, OFFSET-before-LIMIT, UNNEST WITH
+  *     ORDINALITY, and the pivot→conditional-aggregation rewrite
+  *     (reference TrinoRewritePivot.scala).
+  *   - [[Target.Hive]] — HiveQL; mirrors the reference's Hive rewrite
+  *     phases (HiveRewriteFunctions.scala: FILTER clause → CASE argument,
+  *     array_agg→collect_list, array_distinct→collect_set,
+  *     regexp_like→regexp; HiveRewriteUnnest.scala: LATERAL VIEW explode —
+  *     already this generator's unnest spelling). Spark SQL is
+  *     HiveQL-derived, so Hive output is additionally execution-gated
+  *     through spark.sql in WvToSqlDialectSpec.
   *
   * Mechanics: the pipe chain folds bottom-up into SQL select blocks
   * (from/where/group/select/having/order/limit); an operator that cannot
   * join the current block (a second `select`, a filter after a projection,
   * sort after limit) wraps it as a subquery — the same block algebra the
   * reference generator uses. Models lower as CTEs; scalar/IN/EXISTS
-  * subqueries render inline. Dot-methods map to Spark SQL functions via
-  * the same name table the DataFrame lowering uses ([[Stdlib]] semantics,
-  * text form).
+  * subqueries render inline. Dot-methods map to per-dialect SQL functions
+  * via the same name table the DataFrame lowering uses ([[Stdlib]]
+  * semantics, text form).
   *
   * Deliberately out of scope (throws [[WvToSql.Unsupported]]): streaming
-  * subscriptions, flows, DML/DDL, sampling, text-pipeline methods
-  * backed by native Catalyst expressions, and parameterized models —
-  * surfaces with no faithful single-statement SQL equivalent. Pivot and
-  * unpivot ARE supported (generated as Spark SQL PIVOT/UNPIVOT clauses).
+  * subscriptions, flows, DML/DDL, sampling, text-pipeline methods backed
+  * by native Catalyst expressions, and parameterized models — surfaces
+  * with no faithful single-statement SQL equivalent. Pivot and unpivot ARE
+  * supported (Spark: native PIVOT/UNPIVOT clauses; DuckDB/Trino/Hive:
+  * rewritten to conditional aggregation / UNION ALL stacks, the same
+  * strategy as the reference's TrinoRewritePivot).
   */
 object WvToSql {
 
   final class Unsupported(msg: String) extends Exception(msg)
 
-  /** Generate one Spark SQL statement for the unit's last query statement;
-    * parameterless models become CTEs (referenced or not — unreferenced
-    * ones are dropped), constant vals inline. */
-  def generate(text: String): String = {
-    val stmts = Parser.parseStatements(text)
-    generateStatements(stmts)
+  /** Target SQL dialect — the reference's `DBType` (compiler/DBType.scala)
+    * narrowed to the engines its SqlGenerator actually branches on. */
+  sealed abstract class Target(val name: String)
+  object Target {
+    case object Spark extends Target("spark")
+    case object DuckDb extends Target("duckdb")
+    case object Trino extends Target("trino")
+    case object Hive extends Target("hive")
+    val all: List[Target] = List(Spark, DuckDb, Trino, Hive)
+    def parse(s: String): Target =
+      all.find(_.name == s.trim.toLowerCase).getOrElse(
+        throw new Unsupported(s"unknown target dialect '$s' (expected ${all.map(_.name).mkString("|")})"))
   }
 
-  def generateStatements(stmts: List[Statement]): String = {
+  /** Generate one SQL statement (Spark dialect) for the unit's last query
+    * statement; parameterless models become CTEs, constant vals inline. */
+  def generate(text: String): String = generate(text, Target.Spark)
+
+  def generate(text: String, target: Target): String = {
+    val stmts = Parser.parseStatements(text)
+    generateStatements(stmts, target)
+  }
+
+  def generateStatements(stmts: List[Statement]): String =
+    generateStatements(stmts, Target.Spark)
+
+  def generateStatements(stmts: List[Statement], target: Target): String = {
     val models = stmts.collect { case m: ModelDef if m.params.isEmpty => m }
     val consts: Map[String, Expr] = stmts.collect {
       case ValDef(n, e) if e.isInstanceOf[Literal] => n.toLowerCase -> e
@@ -45,7 +87,7 @@ object WvToSql {
     }
     val query = stmts.reverseIterator.collectFirst { case QueryStatement(r) => r }
       .getOrElse(throw new Unsupported("no query statement"))
-    val gen = new Gen(models.map(m => m.name.toLowerCase -> m).toMap, consts)
+    val gen = new Gen(models.map(m => m.name.toLowerCase -> m).toMap, consts, target)
     val body = gen.render(query)
     val used = gen.usedModels.toList
     if (used.isEmpty) body
@@ -53,7 +95,7 @@ object WvToSql {
       // CTEs in declaration order, only those actually referenced
       // (transitively: a used model's body may reference earlier models)
       val ordered = models.filter(m => gen.usedModels.contains(m.name.toLowerCase))
-      val ctes = ordered.map(m => s"${ident(m.name)} AS (\n${gen.render(m.body)}\n)")
+      val ctes = ordered.map(m => s"${identFor(target, m.name)} AS (\n${gen.render(m.body)}\n)")
       s"WITH ${ctes.mkString(",\n")}\n$body"
     }
   }
@@ -61,23 +103,106 @@ object WvToSql {
   // ------------------------------------------------------------------ names
 
   private val plainIdent = "[A-Za-z_][A-Za-z0-9_]*".r
-  private def ident(n: String): String =
-    if (plainIdent.matches(n)) n else "`" + n.replace("`", "``") + "`"
 
-  /** Spark SQL type text for a wv type name. */
-  private def sqlType(t: String): String = {
-    val mapped = Lowering.mapTypeName(t)
-    // array(t)/map(k,v) wv spelling → angle brackets
-    mapped.replace("array(", "array<").replace("map(", "map<") match {
-      case s if s.contains("<") => s.replace(")", ">")
-      case s => s
+  /** Quote a non-plain identifier in the dialect's quoting style: backticks
+    * for Spark/Hive, double quotes for DuckDB/Trino (reference SqlGenerator
+    * emits double-quoted identifiers for its SQL targets). */
+  private def identFor(target: Target, n: String): String =
+    if (plainIdent.matches(n)) n
+    else target match {
+      case Target.Spark | Target.Hive => "`" + n.replace("`", "``") + "`"
+      case Target.DuckDb | Target.Trino => "\"" + n.replace("\"", "\"\"") + "\""
     }
+
+  /** Convert a Java/Spark datetime pattern (yyyy-MM-dd HH:mm:ss) to the
+    * C-style strftime pattern DuckDB's strftime takes. Unknown pattern
+    * letters are rejected rather than silently mis-translated. */
+  private[lang] def javaToStrftime(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c.isLetter) {
+        var j = i
+        while (j < fmt.length && fmt.charAt(j) == c) j += 1
+        val run = j - i
+        val out = (c, run) match {
+          case ('y', 4) => "%Y"
+          case ('y', 2) => "%y"
+          case ('M', 2) => "%m"
+          case ('M', 3) => "%b"
+          case ('M', 4) => "%B"
+          case ('d', 2) => "%d"
+          case ('H', 2) => "%H"
+          case ('h', 2) => "%I"
+          case ('m', 2) => "%M"
+          case ('s', 2) => "%S"
+          case ('E', n) if n >= 4 => "%A"
+          case ('E', _) => "%a"
+          case ('a', _) => "%p"
+          case ('D', _) => "%j"
+          case _ => throw new Unsupported(s"datetime pattern '$c'×$run has no strftime equivalent")
+        }
+        sb ++= out
+        i = j
+      } else if (c == '\'') {
+        // java pattern quoting: '...' is literal text, '' is a quote
+        val end = fmt.indexOf('\'', i + 1)
+        if (end < 0) throw new Unsupported("unterminated quote in datetime pattern")
+        if (end == i + 1) sb += '\''
+        else sb ++= fmt.substring(i + 1, end).replace("%", "%%")
+        i = end + 1
+      } else { if (c == '%') sb ++= "%%" else sb += c; i += 1 }
+    }
+    sb.toString
   }
 
   // ------------------------------------------------------------- the worker
 
-  private final class Gen(models: Map[String, ModelDef], consts: Map[String, Expr]) {
+  private final class Gen(models: Map[String, ModelDef], consts: Map[String, Expr],
+      target: Target) {
+    import Target._
     val usedModels = scala.collection.mutable.LinkedHashSet.empty[String]
+
+    private def ident(n: String): String = identFor(target, n)
+
+    /** SQL text type name for CAST targets per dialect. */
+    private def strType: String = target match {
+      case Spark | Hive => "STRING"
+      case DuckDb | Trino => "VARCHAR"
+    }
+
+    /** Dialect type text for a wv type name (CAST targets). */
+    private def sqlType(t: String): String = {
+      val mapped = Lowering.mapTypeName(t)
+      target match {
+        case Spark | Hive =>
+          // array(t)/map(k,v) wv spelling → angle brackets
+          mapped.replace("array(", "array<").replace("map(", "map<") match {
+            case s if s.contains("<") => s.replace(")", ">")
+            case s => s
+          }
+        case DuckDb =>
+          mapped match {
+            case "string" => "VARCHAR"
+            case "binary" => "BLOB"
+            case s if s.startsWith("array(") && s.endsWith(")") =>
+              sqlTypeScalar(s.stripPrefix("array(").stripSuffix(")")) + "[]"
+            case s => sqlTypeScalar(s)
+          }
+        case Trino =>
+          mapped match {
+            case "string" => "VARCHAR"
+            case "binary" => "VARBINARY"
+            case s => s // array(t)/map(k,v) spellings are native Trino syntax
+          }
+      }
+    }
+    private def sqlTypeScalar(s: String): String = s match {
+      case "string" => "VARCHAR"
+      case "binary" => "BLOB"
+      case other => other
+    }
 
     /** A SQL select block under assembly. Invariant: fields fill in query
       * order; filling one that is already occupied (or out of order) wraps
@@ -103,8 +228,15 @@ object WvToSql {
         if (groupBy.nonEmpty) sb ++= s"\nGROUP BY ${groupBy.mkString(", ")}"
         if (having.nonEmpty) sb ++= s"\nHAVING ${having.mkString(" AND ")}"
         if (orderBy.nonEmpty) sb ++= s"\nORDER BY ${orderBy.mkString(", ")}"
-        limit.foreach(n => sb ++= s"\nLIMIT $n")
-        offset.foreach(n => sb ++= s"\nOFFSET $n")
+        // Trino's grammar takes OFFSET before LIMIT; Spark/DuckDB/Hive the
+        // reverse (reference SqlGenerator orders per dialect the same way)
+        if (target == Trino) {
+          offset.foreach(n => sb ++= s"\nOFFSET $n")
+          limit.foreach(n => sb ++= s"\nLIMIT $n")
+        } else {
+          limit.foreach(n => sb ++= s"\nLIMIT $n")
+          offset.foreach(n => sb ++= s"\nOFFSET $n")
+        }
         sb.toString
       }
       def isBareFrom: Boolean =
@@ -145,7 +277,7 @@ object WvToSql {
     }
 
     private def joinText(j: Join): String = {
-      if (j.asof) throw new Unsupported("asof join has no Spark SQL equivalent")
+      if (j.asof) throw new Unsupported(s"asof join has no ${target.name} SQL equivalent")
       if (j.lateral) throw new Unsupported("lateral join")
       val l = fromText(j.left)
       val r = j.right match {
@@ -163,8 +295,16 @@ object WvToSql {
         case JoinKind.Right => "RIGHT JOIN"
         case JoinKind.Full => "FULL JOIN"
         case JoinKind.Cross => if (j.on.isEmpty && j.usingColumns.isEmpty) "CROSS JOIN" else "JOIN"
-        case JoinKind.Semi => "LEFT SEMI JOIN"
-        case JoinKind.Anti => "LEFT ANTI JOIN"
+        case JoinKind.Semi => target match {
+          case Spark | Hive => "LEFT SEMI JOIN"
+          case DuckDb => "SEMI JOIN"
+          case Trino => throw new Unsupported("semi join (rendered as EXISTS at block level for trino)")
+        }
+        case JoinKind.Anti => target match {
+          case Spark | Hive => "LEFT ANTI JOIN"
+          case DuckDb => "ANTI JOIN"
+          case Trino => throw new Unsupported("anti join (rendered as NOT EXISTS at block level for trino)")
+        }
       }
       val natural = if (j.natural) "NATURAL " else ""
       val cond =
@@ -182,6 +322,16 @@ object WvToSql {
         // operators must not merge into it unless it is a bare from
         val inner = build(b.child)
         if (inner.isBareFrom) inner else wrap(inner)
+      case j: Join if target == Trino && (j.kind == JoinKind.Semi || j.kind == JoinKind.Anti) =>
+        // Trino has no SEMI/ANTI join keyword — the reference targets it by
+        // keeping such plans as EXISTS in the first place; here the join
+        // node rewrites to an EXISTS predicate over the right side
+        val on = j.on.getOrElse(throw new Unsupported(
+          "trino semi/anti join requires an ON condition"))
+        val not = if (j.kind == JoinKind.Anti) "NOT " else ""
+        Block(
+          from = fromText(j.left),
+          where = List(s"${not}EXISTS (SELECT 1 FROM ${fromText(j.right)} WHERE ${ex(on, agg = false)})"))
       case j: Join => Block(from = joinText(j))
       case v: Values => Block(from = fromText(v))
       case RawSql(sql) => Block(from = s"(\n$sql\n)")
@@ -273,46 +423,91 @@ object WvToSql {
       case CountRel(child) =>
         wrap(build(child)).copy(select = Some(List("count(*) AS " + ident("count"))))
 
-      case Pivot(child, pivotCol, values, agg) if values.nonEmpty && agg.nonEmpty =>
-        // Spark SQL PIVOT groups by every column not referenced in the agg
-        // and not the pivot column — the same rule the DataFrame lowering
-        // applies. The agg stays UNALIASED: a single aliased agg would
-        // suffix every pivoted column (`a_total`) where the DataFrame path
-        // names them by value alone (`a`).
-        val aggSql = ex(agg.get.expr, agg = true)
-        val vals = values.map(v => ex(v, agg = false)).mkString(", ")
-        Block(from =
-          s"(\n${render(child)}\n) PIVOT ($aggSql FOR ${ident(pivotCol)} IN ($vals))")
+      case p @ Pivot(child, pivotCol, values, agg) if values.nonEmpty && agg.nonEmpty =>
+        target match {
+          case Spark =>
+            // Spark SQL PIVOT groups by every column not referenced in the
+            // agg and not the pivot column — the same rule the DataFrame
+            // lowering applies. The agg stays UNALIASED: a single aliased
+            // agg would suffix every pivoted column (`a_total`) where the
+            // DataFrame path names them by value alone (`a`).
+            val aggSql = ex(agg.get.expr, agg = true)
+            val vals = values.map(v => ex(v, agg = false)).mkString(", ")
+            Block(from =
+              s"(\n${render(child)}\n) PIVOT ($aggSql FOR ${ident(pivotCol)} IN ($vals))")
+          case _ => pivotAsConditionalAgg(p)
+        }
       case _: Pivot =>
         // inferred value lists / count-pivot zero-fill need execution-time
         // schema knowledge a text generator doesn't have
         throw new Unsupported("pivot without explicit `in (...)` values and `using` agg")
 
       case LateralUnnest(child, e, alias, cols, withOrd) =>
-        // `cross join unnest(arr)` → Spark SQL LATERAL VIEW: appends the
-        // exploded column(s) after the child's, the same order the
-        // DataFrame lowering's select(*, explode(...)) produces; the
-        // with-ordinality form emits 1-based ordinals (SQL-standard WITH
-        // ORDINALITY; posexplode's pos is 0-based) via a wrapping select
         val outName = cols.headOption.orElse(alias).getOrElse("col")
-        if (withOrd) {
-          val lv = s"LATERAL VIEW posexplode(${ex(e, agg = false)}) __lv AS " +
-            s"__graft_pos, ${ident(outName)}"
-          Block(from =
-            s"(SELECT * EXCEPT (__graft_pos, ${ident(outName)}), " +
-              s"__graft_pos + 1 AS ${ident(outName + "_ordinal")}, ${ident(outName)} " +
-              s"FROM (\n${render(child)}\n) $lv)")
-        } else {
-          val lv = s"LATERAL VIEW explode(${ex(e, agg = false)}) __lv AS ${ident(outName)}"
-          Block(from = s"(\n${render(child)}\n) $lv")
+        target match {
+          case Spark | Hive =>
+            // `cross join unnest(arr)` → LATERAL VIEW (explode): appends the
+            // exploded column(s) after the child's, the same order the
+            // DataFrame lowering's select(*, explode(...)) produces; the
+            // with-ordinality form emits 1-based ordinals (SQL-standard WITH
+            // ORDINALITY; posexplode's pos is 0-based) via a wrapping select
+            if (withOrd) {
+              val lv = s"LATERAL VIEW posexplode(${ex(e, agg = false)}) __lv AS " +
+                s"__graft_pos, ${ident(outName)}"
+              Block(from =
+                s"(SELECT * EXCEPT (__graft_pos, ${ident(outName)}), " +
+                  s"__graft_pos + 1 AS ${ident(outName + "_ordinal")}, ${ident(outName)} " +
+                  s"FROM (\n${render(child)}\n) $lv)")
+            } else {
+              val lv = s"LATERAL VIEW explode(${ex(e, agg = false)}) __lv AS ${ident(outName)}"
+              Block(from = s"(\n${render(child)}\n) $lv")
+            }
+          case DuckDb =>
+            // DuckDB expands rows for unnest() in the select list; two
+            // unnests of equal length zip — the ordinal rides a
+            // generate_series of the same length
+            val arr = ex(e, agg = false)
+            if (withOrd)
+              Block(from = s"(SELECT *, " +
+                s"unnest(generate_series(1, len($arr))) AS ${ident(outName + "_ordinal")}, " +
+                s"unnest($arr) AS ${ident(outName)} FROM (\n${render(child)}\n))")
+            else
+              Block(from =
+                s"(SELECT *, unnest($arr) AS ${ident(outName)} FROM (\n${render(child)}\n))")
+          case Trino =>
+            // native UNNEST [WITH ORDINALITY]; note Trino appends the
+            // ordinal AFTER the value column in the alias list
+            val arr = ex(e, agg = false)
+            if (withOrd)
+              Block(from = s"(\n${render(child)}\n) CROSS JOIN UNNEST($arr) " +
+                s"WITH ORDINALITY AS __lv(${ident(outName)}, ${ident(outName + "_ordinal")})")
+            else
+              Block(from =
+                s"(\n${render(child)}\n) CROSS JOIN UNNEST($arr) AS __lv(${ident(outName)})")
         }
 
       case Unpivot(child, valueCol, varCol, cols) =>
-        // INCLUDE NULLS matches Dataset.unpivot (SQL UNPIVOT drops null
-        // measure rows by default; the DataFrame path keeps them)
-        Block(from =
-          s"(\n${render(child)}\n) UNPIVOT INCLUDE NULLS " +
-            s"(${ident(valueCol)} FOR ${ident(varCol)} IN (${cols.map(ident).mkString(", ")}))")
+        target match {
+          case Spark =>
+            // INCLUDE NULLS matches Dataset.unpivot (SQL UNPIVOT drops null
+            // measure rows by default; the DataFrame path keeps them)
+            Block(from =
+              s"(\n${render(child)}\n) UNPIVOT INCLUDE NULLS " +
+                s"(${ident(valueCol)} FOR ${ident(varCol)} IN (${cols.map(ident).mkString(", ")}))")
+          case DuckDb =>
+            // UNION ALL stack with `* EXCLUDE` id columns: keeps NULL
+            // measures (DuckDB's UNPIVOT clause drops them), matching the
+            // DataFrame melt the Spark path produces
+            val legs = cols.map { c =>
+              s"SELECT * EXCLUDE (${cols.map(ident).mkString(", ")}), " +
+                s"'${c}' AS ${ident(varCol)}, ${ident(c)} AS ${ident(valueCol)} " +
+                s"FROM (\n${render(child)}\n)"
+            }
+            Block(from = s"(\n${legs.mkString("\nUNION ALL\n")}\n)")
+          case Trino | Hive =>
+            throw new Unsupported(
+              s"unpivot needs schema knowledge (`* EXCLUDE`) not expressible in ${target.name}")
+        }
 
       case SetOp(kind, left, right, distinct) =>
         val op = kind match {
@@ -336,16 +531,137 @@ object WvToSql {
         b.copy(select = Some(if (prepend) cols :+ "*" else "*" :: cols))
 
       case ExcludeColumns(child, columns) =>
-        // Spark SQL's `* EXCEPT (...)` preserves the remaining column order
         val b0 = build(child)
         val b = if (b0.select.isEmpty && b0.groupBy.isEmpty && b0.orderBy.isEmpty &&
           b0.limit.isEmpty) b0 else wrap(b0)
-        b.copy(select = Some(List(
-          s"* EXCEPT (${columns.map(ident).mkString(", ")})")))
+        target match {
+          case Spark | Hive =>
+            // Spark SQL's `* EXCEPT (...)` preserves the remaining column order
+            b.copy(select = Some(List(s"* EXCEPT (${columns.map(ident).mkString(", ")})")))
+          case DuckDb =>
+            b.copy(select = Some(List(s"* EXCLUDE (${columns.map(ident).mkString(", ")})")))
+          case Trino =>
+            throw new Unsupported("`exclude` needs `SELECT * EXCEPT`, absent from trino")
+        }
 
       case SubscribeRel(child, _) => build(child) // batch view of a subscription
       case other =>
         throw new Unsupported(s"relation ${other.getClass.getSimpleName}")
+    }
+
+    /** Pivot → conditional aggregation, the reference's strategy for
+      * engines without a PIVOT clause (TrinoRewritePivot.scala): group by
+      * the child's remaining columns, one `agg(CASE WHEN pivot = v THEN x
+      * END) AS v` per value. The reference runs this on the RESOLVED plan
+      * (it knows the schema); a text generator only knows the columns when
+      * the child ends in an explicit select — otherwise DuckDB falls back
+      * to `* EXCLUDE` + `GROUP BY ALL`, and Trino (which has neither)
+      * rejects. */
+    private def pivotAsConditionalAgg(p: Pivot): Block = {
+      val Pivot(child, pivotCol, values, agg) = p
+      val aggItem = agg.get
+      val aggRefs = identNames(aggItem.expr) - pivotCol.toLowerCase
+      val childCols: Option[List[String]] = lastSelectNames(child)
+      val pivotAggs = values.map { v =>
+        val cond = BinaryOp("=", Ident(pivotCol), v)
+        val injected = injectAggFilter(aggItem.expr, cond)
+        val name = v match {
+          case StringLit(s) => s
+          case LongLit(n) => n.toString
+          case BoolLit(b) => b.toString
+          case other => ex(other, agg = false)
+        }
+        s"${ex(injected, agg = true)} AS ${ident(name)}"
+      }
+      childCols match {
+        case Some(cols) =>
+          val groupCols = cols.filterNot(c =>
+            c.toLowerCase == pivotCol.toLowerCase || aggRefs.contains(c.toLowerCase))
+          Block(
+            from = s"(\n${render(child)}\n)",
+            groupBy = groupCols.map(ident),
+            select = Some(groupCols.map(ident) ++ pivotAggs))
+        case None if target == DuckDb =>
+          val excl = (pivotCol :: aggRefs.toList.sorted).map(ident).mkString(", ")
+          Block(
+            from = s"(\n${render(child)}\n)",
+            groupBy = List("ALL"),
+            select = Some(s"* EXCLUDE ($excl)" :: pivotAggs))
+        case None =>
+          throw new Unsupported(
+            s"pivot on an implicit-schema child is not expressible in ${target.name}")
+      }
+    }
+
+    /** Column names of the child's final explicit select, when statically
+      * known (simple idents or aliased items). */
+    private def lastSelectNames(r: Relation): Option[List[String]] = r match {
+      case Project(_, items, _) =>
+        val names = items.map {
+          case SelectItem(_, Some(a)) => Some(a)
+          case SelectItem(Ident(n), None) => Some(n)
+          case _ => None
+        }
+        if (names.forall(_.isDefined)) Some(names.map(_.get)) else None
+      case Filter(c, _) => lastSelectNames(c)
+      case Sort(c, _) => lastSelectNames(c)
+      case Limit(c, _) => lastSelectNames(c)
+      case Offset(c, _) => lastSelectNames(c)
+      case BracedRelation(c) => lastSelectNames(c)
+      case _ => None
+    }
+
+    /** Lower-cased column idents referenced in an expression. */
+    private def identNames(e: Expr): Set[String] = {
+      val out = scala.collection.mutable.Set.empty[String]
+      def walk(x: Expr): Unit = x match {
+        case Ident(n) => out += n.toLowerCase
+        case DotRef(t, n) if Stdlib.isAggMethod(n) || Stdlib.scalarMethods.contains(n.toLowerCase) => walk(t)
+        case DotRef(t, _) => walk(t)
+        case MethodCall(t, _, args) => walk(t); args.foreach(walk)
+        case FunctionCall(_, args, _, f) => args.foreach(walk); f.foreach(walk)
+        case BinaryOp(_, l, r) => walk(l); walk(r)
+        case UnaryOp(_, v) => walk(v)
+        case Not(v) => walk(v)
+        case Cast(v, _, _) => walk(v)
+        case IfExpr(c, t, e2) => walk(c); walk(t); e2.foreach(walk)
+        case Between(v, lo, hi, _) => walk(v); walk(lo); walk(hi)
+        case InList(v, items, _) => walk(v); items.foreach(walk)
+        case CaseWhen(op, bs, ot) =>
+          op.foreach(walk); bs.foreach { case (c, v) => walk(c); walk(v) }; ot.foreach(walk)
+        case _ => ()
+      }
+      walk(e)
+      out.toSet
+    }
+
+    /** Rewrite the single aggregate application inside `e` so its argument
+      * is CASE WHEN cond THEN arg END — the FILTER-to-CASE transform the
+      * reference applies for Hive (HiveRewriteFunctions.scala) and for the
+      * pivot rewrite (TrinoRewritePivot.scala). `_.count` becomes
+      * count(CASE WHEN cond THEN 1 END). */
+    private def injectAggFilter(e: Expr, cond: Expr): Expr = e match {
+      case DotRef(t, n) if Stdlib.isAggMethod(n) =>
+        DotRef(caseArg(t, cond), n)
+      case MethodCall(t, n, args) if Stdlib.isAggMethod(n) =>
+        MethodCall(caseArg(t, cond), n, args)
+      case MethodCall(t, n, args) =>
+        MethodCall(injectAggFilter(t, cond), n, args.map(injectAggFilter(_, cond)))
+      case DotRef(t, n) => DotRef(injectAggFilter(t, cond), n)
+      case FunctionCall(n, args, d, f) if Stdlib.aggFunctionNames.contains(n.toLowerCase) =>
+        val newArgs =
+          if (args.isEmpty || args.forall(_.isInstanceOf[Star])) List(caseArg(Underscore, cond))
+          else args.map(a => caseArg(a, cond))
+        FunctionCall(n, newArgs, d, f)
+      case FunctionCall(n, args, d, f) =>
+        FunctionCall(n, args.map(injectAggFilter(_, cond)), d, f)
+      case BinaryOp(op, l, r) => BinaryOp(op, injectAggFilter(l, cond), injectAggFilter(r, cond))
+      case Cast(v, t, isTry) => Cast(injectAggFilter(v, cond), t, isTry)
+      case other => other
+    }
+    private def caseArg(t: Expr, cond: Expr): Expr = t match {
+      case Underscore => IfExpr(cond, LongLit(1), None)
+      case other => IfExpr(cond, other, None)
     }
 
     /** Select-list text for the group keys of the relation under an `agg`. */
@@ -407,6 +723,8 @@ object WvToSql {
 
     // ------------------------------------------------------- expressions
 
+    private def castStr(x: String): String = s"CAST($x AS $strType)"
+
     def ex(e: Expr, agg: Boolean): String = e match {
       case Ident(n) =>
         consts.get(n.toLowerCase) match {
@@ -417,31 +735,83 @@ object WvToSql {
       case NullLit() => "NULL"
       case BoolLit(b) => if (b) "TRUE" else "FALSE"
       case LongLit(v) => v.toString
-      case DoubleLit(v) => s"CAST($v AS DOUBLE)" // plain 1.5 parses as DECIMAL in Spark SQL
+      case DoubleLit(v) => s"CAST($v AS DOUBLE)" // plain 1.5 parses as DECIMAL in Spark/DuckDB/Trino
       case DecimalLit(v) => v.toString
-      case StringLit(s) => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+      case StringLit(s) => target match {
+        case Spark | Hive => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        // standard SQL string literals: quote doubling, backslash literal
+        case DuckDb | Trino => "'" + s.replace("'", "''") + "'"
+      }
       case Star(None) => "*"
       case Star(Some(q)) => s"${ident(q)}.*"
-      case ArrayLit(items) => items.map(ex(_, agg)).mkString("array(", ", ", ")")
+      case ArrayLit(items) => target match {
+        case Spark | Hive => items.map(ex(_, agg)).mkString("array(", ", ", ")")
+        case DuckDb => items.map(ex(_, agg)).mkString("[", ", ", "]")
+        case Trino => items.map(ex(_, agg)).mkString("ARRAY[", ", ", "]")
+      }
       case TupleLit(items) => items.map(ex(_, agg)).mkString("(", ", ", ")")
-      case StructLit(fields) =>
-        fields.map { case (n, v) => s"'${n}', ${ex(v, agg)}" }
-          .mkString("named_struct(", ", ", ")")
-      case MapLit(entries) =>
-        entries.map { case (k, v) => s"${ex(k, agg)}, ${ex(v, agg)}" }
-          .mkString("map(", ", ", ")")
-      case Subscript(t, StringLit(s)) => s"${ex(t, agg)}['${s.replace("'", "\\'")}']"
-      case Subscript(t, i) => s"element_at(${ex(t, agg)}, ${ex(i, agg)})"
+      case StructLit(fields) => target match {
+        case Spark | Hive =>
+          fields.map { case (n, v) => s"'${n}', ${ex(v, agg)}" }
+            .mkString("named_struct(", ", ", ")")
+        case DuckDb =>
+          fields.map { case (n, v) => s"${ident(n)} := ${ex(v, agg)}" }
+            .mkString("struct_pack(", ", ", ")")
+        case Trino =>
+          // anonymous ROW(...) loses field names; a named row needs a typed
+          // CAST the text generator cannot infer
+          throw new Unsupported("struct literal needs a typed ROW cast in trino")
+      }
+      case MapLit(entries) => target match {
+        case Spark | Hive =>
+          entries.map { case (k, v) => s"${ex(k, agg)}, ${ex(v, agg)}" }
+            .mkString("map(", ", ", ")")
+        case DuckDb =>
+          val ks = entries.map(e2 => ex(e2._1, agg)).mkString("[", ", ", "]")
+          val vs = entries.map(e2 => ex(e2._2, agg)).mkString("[", ", ", "]")
+          s"map($ks, $vs)"
+        case Trino =>
+          val ks = entries.map(e2 => ex(e2._1, agg)).mkString("ARRAY[", ", ", "]")
+          val vs = entries.map(e2 => ex(e2._2, agg)).mkString("ARRAY[", ", ", "]")
+          s"MAP($ks, $vs)"
+      }
+      case Subscript(t, StringLit(s)) =>
+        val key = target match {
+          case Spark | Hive => s.replace("'", "\\'")
+          case DuckDb | Trino => s.replace("'", "''")
+        }
+        s"${ex(t, agg)}['$key']"
+      case Subscript(t, i) => target match {
+        case Spark | Trino => s"element_at(${ex(t, agg)}, ${ex(i, agg)})"
+        case DuckDb => s"list_extract(${ex(t, agg)}, ${ex(i, agg)})"
+        case Hive => s"element_at(${ex(t, agg)}, ${ex(i, agg)})"
+      }
 
-      case DotRef(target, name) => method(target, name, Nil, agg)
-      case MethodCall(target, name, args) => method(target, name, args, agg)
+      case DotRef(target2, name) => method(target2, name, Nil, agg)
+      case MethodCall(target2, name, args) => method(target2, name, args, agg)
 
       case FunctionCall(n, args, isDistinct, filter) =>
         val d = if (isDistinct) "DISTINCT " else ""
-        val base = s"${n.toLowerCase}($d${args.map(ex(_, agg)).mkString(", ")})"
+        val fname = n.toLowerCase match {
+          // reference HiveRewriteFunctions.scala renames
+          case "array_agg" if target == Hive => "collect_list"
+          case "array_distinct" if target == Hive && Stdlib.aggFunctionNames.contains("array_distinct") => "collect_set"
+          case "regexp_like" if target == Hive => "regexp"
+          case "collect_list" if target == DuckDb || target == Trino => "array_agg"
+          case other => other
+        }
         filter match {
-          case Some(f) => s"$base FILTER (WHERE ${ex(f, agg = false)})"
-          case None => base
+          case Some(f) if target == Hive =>
+            // Hive has no FILTER clause → CASE argument
+            // (reference HiveRewriteFunctions.scala)
+            val newArgs =
+              if (args.isEmpty || args.forall(_.isInstanceOf[Star]))
+                List(s"CASE WHEN ${ex(f, agg = false)} THEN 1 END")
+              else args.map(a => s"CASE WHEN ${ex(f, agg = false)} THEN ${ex(a, agg)} END")
+            s"$fname($d${newArgs.mkString(", ")})"
+          case Some(f) =>
+            s"$fname($d${args.map(ex(_, agg)).mkString(", ")}) FILTER (WHERE ${ex(f, agg = false)})"
+          case None => s"$fname($d${args.map(ex(_, agg)).mkString(", ")})"
         }
 
       case WindowApply(fn, spec) =>
@@ -467,16 +837,16 @@ object WvToSql {
         s"$inner OVER (${List(partition, order, frame).filter(_.nonEmpty).mkString(" ")})"
 
       case BinaryOp("+", l, r) if isStringy(l) || isStringy(r) =>
-        s"concat(CAST(${ex(l, agg)} AS STRING), CAST(${ex(r, agg)} AS STRING))"
+        s"concat(${castStr(ex(l, agg))}, ${castStr(ex(r, agg))})"
       case BinaryOp("//", l, r) =>
         s"CAST(floor((${ex(l, agg)}) / (${ex(r, agg)})) AS BIGINT)"
       case BinaryOp("||", l, r) =>
-        s"concat(CAST(${ex(l, agg)} AS STRING), CAST(${ex(r, agg)} AS STRING))"
+        s"concat(${castStr(ex(l, agg))}, ${castStr(ex(r, agg))})"
       case BinaryOp(op, l, r) =>
         val o = op.toLowerCase match {
           case "and" => "AND"
           case "or" => "OR"
-          case "!=" => "!="
+          case "!=" => if (target == Trino) "<>" else "!="
           case other => other
         }
         s"(${ex(l, agg)} $o ${ex(r, agg)})"
@@ -496,10 +866,16 @@ object WvToSql {
       case LikeOp(v, p, negated) =>
         s"(${ex(v, agg)} ${if (negated) "NOT " else ""}LIKE ${ex(p, agg)})"
       case RLikeOp(v, p, negated) =>
-        val r = s"(${ex(v, agg)} RLIKE ${ex(p, agg)})"
+        val r = target match {
+          case Spark | Hive => s"(${ex(v, agg)} RLIKE ${ex(p, agg)})"
+          case DuckDb => s"regexp_matches(${ex(v, agg)}, ${ex(p, agg)})"
+          case Trino => s"regexp_like(${ex(v, agg)}, ${ex(p, agg)})"
+        }
         if (negated) s"(NOT $r)" else r
       case Cast(v, t, isTry) =>
-        s"${if (isTry) "TRY_CAST" else "CAST"}(${ex(v, agg)} AS ${sqlType(t)})"
+        // Hive has no TRY_CAST; its CAST already yields NULL on failure
+        val kw = if (isTry && target != Hive) "TRY_CAST" else "CAST"
+        s"$kw(${ex(v, agg)} AS ${sqlType(t)})"
       case CaseWhen(operand, branches, otherwise) =>
         val op = operand.map(o => " " + ex(o, agg)).getOrElse("")
         val whens = branches.map { case (c, v) =>
@@ -510,42 +886,69 @@ object WvToSql {
       case IfExpr(c, t, e2) =>
         s"(CASE WHEN ${ex(c, agg)} THEN ${ex(t, agg)}${e2.map(v => s" ELSE ${ex(v, agg)}").getOrElse("")} END)"
       case Extract(field, from) => s"extract(${field.toUpperCase} FROM ${ex(from, agg)})"
-      case AtTimeZone(v, tz) =>
-        s"from_utc_timestamp(to_utc_timestamp(${ex(v, agg)}, current_timezone()), ${ex(tz, agg)})"
+      case AtTimeZone(v, tz) => target match {
+        case Spark | Hive =>
+          s"from_utc_timestamp(to_utc_timestamp(${ex(v, agg)}, current_timezone()), ${ex(tz, agg)})"
+        case DuckDb => s"timezone(${ex(tz, agg)}, ${ex(v, agg)})"
+        case Trino => s"(${ex(v, agg)} AT TIME ZONE ${ex(tz, agg)})"
+      }
       case RawSqlExpr(sql) => sql
       case other => throw new Unsupported(s"expression ${other.getClass.getSimpleName}")
     }
 
     /** Dot-method → SQL. In agg position, agg methods render as aggregate
       * calls (`x.sum` → sum(x), `_.count` → count(*)); scalar methods map
-      * through the Stdlib-equivalent SQL spellings. A name that is neither
-      * renders as a qualified column reference (DotRef) or a plain function
-      * call (MethodCall). */
-    private def method(target: Expr, name: String, args: List[Expr], agg: Boolean): String = {
+      * through the per-dialect Stdlib-equivalent SQL spellings. A name that
+      * is neither renders as a qualified column reference (DotRef) or a
+      * plain function call (MethodCall). */
+    private def method(tgt: Expr, name: String, args: List[Expr], agg: Boolean): String = {
       val n = name.toLowerCase
-      def t = ex(target, agg)
+      def t = ex(tgt, agg)
       def a(i: Int) = ex(args(i), agg)
-      def all = (target :: args).map(ex(_, agg)).mkString(", ")
+      def all = (tgt :: args).map(ex(_, agg)).mkString(", ")
       if (agg && Stdlib.isAggMethod(n)) {
-        val inner = target match {
+        val inner = tgt match {
           case Underscore => if (n == "count") "*" else "1"
           case other => ex(other, agg = false)
         }
         n match {
           case "count_distinct" => s"count(DISTINCT $inner)"
-          case "array_distinct_agg" => s"collect_set($inner)"
-          case "to_array" | "array_agg" => s"collect_list($inner)"
-          case "arbitrary" | "any" | "any_value" => s"any_value($inner)"
+          case "array_distinct_agg" => target match {
+            case Spark | Hive => s"collect_set($inner)"
+            case DuckDb | Trino => s"array_agg(DISTINCT $inner)"
+          }
+          case "to_array" | "array_agg" => target match {
+            case Spark | Hive => s"collect_list($inner)"
+            case DuckDb | Trino => s"array_agg($inner)"
+          }
+          case "arbitrary" | "any" | "any_value" => target match {
+            case Trino => s"arbitrary($inner)" // reference SqlGenerator's Trino spelling
+            case _ => s"any_value($inner)"
+          }
           case "mean" => s"avg($inner)"
-          case "count_approx_distinct" | "approx_count_distinct" =>
-            s"approx_count_distinct($inner)"
+          case "count_approx_distinct" | "approx_count_distinct" => target match {
+            case Trino => s"approx_distinct($inner)"
+            case _ => s"approx_count_distinct($inner)"
+          }
           case "string_agg" =>
             val sep = if (args.nonEmpty) ex(args.head, agg = false) else "','"
-            s"array_join(sort_array(collect_list(CAST($inner AS STRING))), $sep)"
+            target match {
+              case Spark | Hive =>
+                s"array_join(sort_array(collect_list(CAST($inner AS STRING))), $sep)"
+              case DuckDb =>
+                s"array_to_string(list_sort(array_agg(CAST($inner AS VARCHAR))), $sep)"
+              case Trino =>
+                s"array_join(array_sort(array_agg(CAST($inner AS VARCHAR))), $sep)"
+            }
           case "min_by" | "max_by" => s"$n($inner, ${ex(args.head, agg = false)})"
-          case "approx_quantile" => s"percentile_approx($inner, ${ex(args.head, agg = false)}, 10000)"
+          case "approx_quantile" => target match {
+            case Spark | Hive => s"percentile_approx($inner, ${ex(args.head, agg = false)}, 10000)"
+            case DuckDb => s"approx_quantile($inner, ${ex(args.head, agg = false)})"
+            case Trino => s"approx_percentile($inner, ${ex(args.head, agg = false)})"
+          }
           case "count_if" =>
-            if (args.nonEmpty) s"count_if(${ex(args.head, agg = false)})" else s"count_if($inner)"
+            val p = if (args.nonEmpty) ex(args.head, agg = false) else inner
+            if (target == Hive) s"sum(CASE WHEN $p THEN 1 ELSE 0 END)" else s"count_if($p)"
           case "exists_agg" => s"bool_or($inner)"
           case _ => s"$n($inner)"
         }
@@ -557,10 +960,13 @@ object WvToSql {
         s"($t BETWEEN ${a(0)} AND ${a(1)})"
       } else if (Stdlib.scalarMethods.contains(n)) {
         n match {
-          case "to_string" => s"CAST($t AS STRING)"
+          case "to_string" => castStr(t)
           case "to_int" => s"CAST($t AS INT)"
           case "to_long" => s"CAST($t AS BIGINT)"
-          case "to_float" => s"CAST($t AS FLOAT)"
+          case "to_float" => target match {
+            case Trino => s"CAST($t AS REAL)"
+            case _ => s"CAST($t AS FLOAT)"
+          }
           case "to_double" => s"CAST($t AS DOUBLE)"
           case "to_boolean" => s"CAST($t AS BOOLEAN)"
           case "to_date" => s"CAST($t AS DATE)"
@@ -574,38 +980,133 @@ object WvToSql {
           case "substring" | "substr" =>
             if (args.length >= 2) s"substring($t, ${a(0)}, ${a(1)})"
             else s"substring($t, ${a(0)})"
-          case "contains" => s"contains($t, ${a(0)})"
-          case "starts_with" => s"startswith($t, ${a(0)})"
-          case "ends_with" => s"endswith($t, ${a(0)})"
-          case "regexp_matches" | "regexp_like" => s"regexp_like($t, ${a(0)})"
-          case "like" => s"($t LIKE ${a(0)})"
-          case "strftime" | "date_format" => s"date_format($t, ${a(0)})"
+          case "contains" => target match {
+            case Spark | Hive => s"contains($t, ${a(0)})"
+            case DuckDb => s"contains($t, ${a(0)})"
+            case Trino => s"(strpos($t, ${a(0)}) > 0)" // trino's contains() is array-only
+          }
+          case "starts_with" => target match {
+            case Spark | Hive => s"startswith($t, ${a(0)})"
+            case DuckDb | Trino => s"starts_with($t, ${a(0)})"
+          }
+          case "ends_with" => target match {
+            case Spark | Hive => s"endswith($t, ${a(0)})"
+            case DuckDb => s"ends_with($t, ${a(0)})"
+            case Trino => // no ends_with; compare the tail substring
+              s"(substr($t, length($t) - length(${a(0)}) + 1) = ${a(0)})"
+          }
+          case "split" => target match {
+            case Spark | Hive => s"split($t, ${a(0)})"
+            case DuckDb => s"string_split_regex($t, ${a(0)})" // split() is regex-based in Spark
+            case Trino => s"regexp_split($t, ${a(0)})"
+          }
+          case "regexp_matches" | "regexp_like" => target match {
+            case Spark => s"regexp_like($t, ${a(0)})"
+            case Hive => s"regexp($t, ${a(0)})" // HiveRewriteFunctions.scala
+            case DuckDb => s"regexp_matches($t, ${a(0)})" // partial-match, same as Spark RLIKE
+            case Trino => s"regexp_like($t, ${a(0)})"
+          }
+          case "like" => s"($t LIKE ${a(0)})" // operator form is universal
+          case "strftime" | "date_format" => target match {
+            case Spark | Hive => s"date_format($t, ${a(0)})"
+            case DuckDb =>
+              // DuckDB strftime takes C-style patterns; translate the
+              // Java-pattern literal or reject a non-literal format
+              args.head match {
+                case StringLit(f) => s"strftime($t, '${javaToStrftime(f)}')"
+                case _ => throw new Unsupported("non-literal date_format pattern for duckdb")
+              }
+            case Trino => s"format_datetime($t, ${a(0)})" // Joda pattern ≈ Java pattern
+          }
           case "date_trunc" => s"date_trunc(${a(0)}, $t)"
-          case "extract" => s"date_part(${a(0)}, $t)"
-          case "md5" => s"md5(CAST($t AS BINARY))"
-          case "sha256" => s"sha2(CAST($t AS BINARY), 256)"
-          case "hash" => s"xxhash64($t)"
+          case "extract" => target match {
+            case Spark | Hive | DuckDb => s"date_part(${a(0)}, $t)"
+            case Trino => args.head match {
+              // no date_part in trino: needs the unit as a keyword
+              case StringLit(u) => s"extract(${u.toUpperCase} FROM $t)"
+              case _ => throw new Unsupported("non-literal extract unit for trino")
+            }
+          }
+          case "md5" => target match {
+            case Spark | Hive => s"md5(CAST($t AS BINARY))"
+            case DuckDb => s"md5($t)"
+            case Trino => s"lower(to_hex(md5(to_utf8($t))))"
+          }
+          case "sha256" => target match {
+            case Spark | Hive => s"sha2(CAST($t AS BINARY), 256)"
+            case DuckDb => s"sha256($t)"
+            case Trino => s"lower(to_hex(sha256(to_utf8($t))))"
+          }
+          case "hash" => target match {
+            case Spark | Hive => s"xxhash64($t)"
+            // engine-native 64-bit hashes: VALUES differ across engines by
+            // design (the reference's `hash` is engine-delegated too)
+            case DuckDb => s"hash($t)"
+            case Trino => s"xxhash64(to_utf8(CAST($t AS VARCHAR)))"
+          }
           case "ln" => s"ln($t)"
-          case "sign" => s"signum($t)"
-          case "array_size" | "size" => s"size($t)"
-          case "array_sort" => s"sort_array($t)"
-          case "day" => s"dayofmonth($t)"
-          case "json_extract_string" | "json_value" =>
-            s"get_json_object($t, ${jsonPath(args.headOption)})"
+          case "sign" => target match {
+            case Spark | Hive => s"signum($t)"
+            case DuckDb | Trino => s"sign($t)"
+          }
+          case "array_size" | "size" => target match {
+            case Spark | Hive => s"size($t)"
+            case DuckDb => s"len($t)"
+            case Trino => s"cardinality($t)"
+          }
+          case "array_sort" => target match {
+            case Spark | Hive => s"sort_array($t)"
+            case DuckDb => s"list_sort($t)"
+            case Trino => s"array_sort($t)"
+          }
+          case "array_distinct" => target match {
+            case DuckDb => s"list_distinct($t)"
+            case _ => s"array_distinct($t)"
+          }
+          case "array_contains" => target match {
+            case Spark | Hive => s"array_contains($t, ${a(0)})"
+            case DuckDb => s"list_contains($t, ${a(0)})"
+            case Trino => s"contains($t, ${a(0)})"
+          }
+          case "array_join" => target match {
+            case DuckDb => s"array_to_string($t, ${a(0)})"
+            case _ => s"array_join($t, ${a(0)})"
+          }
+          case "day" => target match {
+            case Spark | Hive => s"dayofmonth($t)"
+            case DuckDb | Trino => s"day($t)"
+          }
+          case "last_day" => target match {
+            case Trino => s"last_day_of_month($t)"
+            case _ => s"last_day($t)"
+          }
+          case "json_extract_string" | "json_value" => target match {
+            case Spark | Hive => s"get_json_object($t, ${jsonPath(args.headOption)})"
+            case DuckDb => s"json_extract_string($t, ${jsonPath(args.headOption)})"
+            case Trino => s"json_extract_scalar($t, ${jsonPath(args.headOption)})"
+          }
           case "json_array_length" =>
-            if (args.isEmpty) s"json_array_length($t)"
-            else s"json_array_length(get_json_object($t, ${jsonPath(args.headOption)}))"
+            val inner = target match {
+              case Spark | Hive =>
+                if (args.isEmpty) t else s"get_json_object($t, ${jsonPath(args.headOption)})"
+              case DuckDb =>
+                if (args.isEmpty) t else s"json_extract($t, ${jsonPath(args.headOption)})"
+              case Trino =>
+                if (args.isEmpty) t else s"json_extract($t, ${jsonPath(args.headOption)})"
+            }
+            s"json_array_length($inner)"
           case "token_count" | "subword_count" | "quality_score" | "lang_id" |
               "fingerprint" | "redact_pii" | "strip_html" | "stopword_ratio" |
               "alpha_ratio" | "dup_line_fraction" | "dup_char_fraction" |
               "top_token_fraction" | "sentence_count" | "terminal_punct_line_fraction" |
-              "c4_clean" | "c4_keep" | "simhash64" | "cosine_similarity" | "dot_product" =>
+              "c4_clean" | "c4_keep" | "simhash64" | "cosine_similarity" | "dot_product" |
+              "quantize_int8" =>
             throw new Unsupported(s"native text/vector method $n")
           case _ => s"$n($all)"
         }
       } else if (args.isEmpty) {
         // plain qualified column reference `q.c`
-        target match {
+        tgt match {
           case Ident(q) => s"${ident(q)}.${ident(name)}"
           case _ => s"${t}.${ident(name)}"
         }

@@ -418,12 +418,15 @@ object Server {
     })
 
     http.createContext("/api/v1/to_sql", handler { ex =>
-      // wv → Spark SQL (the reverse of /transpile; the reference's
-      // `wvlet compile -t` codegen surface)
+      // wv → SQL for a target dialect (the reverse of /transpile; the
+      // reference's `wvlet compile -t <dbtype>` codegen surface). Optional
+      // "target": spark (default) | duckdb | trino | hive.
       val req = Json.parseObject(readBody(ex))
       req.get("query") match {
         case Some(q: String) =>
-          try send(ex, 200, Map("sql" -> graft.lang.WvToSql.generate(q)))
+          try send(ex, 200, Map("sql" -> graft.lang.WvToSql.generate(q,
+            graft.lang.WvToSql.Target.parse(
+              req.get("target").map(String.valueOf(_)).getOrElse("spark")))))
           catch { case e: Throwable =>
             send(ex, 400, Map("error" -> String.valueOf(e.getMessage))) }
         case _ => send(ex, 400, Map("error" -> "missing 'query'"))

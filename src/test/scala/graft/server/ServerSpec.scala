@@ -244,6 +244,12 @@ class ServerSpec extends SparkTestBase {
     assert(sql.toUpperCase.contains("GROUP BY"))
     assert(http("POST", "/api/v1/to_sql",
       Some(Json.write(Map("query" -> "from t asof join u on t.a <= u.a"))))._1 == 400)
+    // dialect targets (the reference's `wvlet compile -t <dbtype>`)
+    val (cd, duck) = http("POST", "/api/v1/to_sql", Some(Json.write(Map(
+      "query" -> "from part select w = p_name.split(' ').array_sort", "target" -> "duckdb"))))
+    assert(cd == 200 && duck("sql").asInstanceOf[String].contains("list_sort("), s"got $duck")
+    assert(http("POST", "/api/v1/to_sql",
+      Some(Json.write(Map("query" -> "from t", "target" -> "db2"))))._1 == 400)
   }
 
   test("lsp endpoint serves definition, hover, and completion") {
