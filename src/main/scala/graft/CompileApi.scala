@@ -19,6 +19,10 @@ import org.apache.spark.sql.SparkSession
   *   ["-f", "path/to/query.wv"]      query from a file
   *   ["-d", "/data/dir"]             table directory (default testdata sf0.001)
   *   ["--catalog", "catalog.wv"]     static catalog — compile with no data access
+  *   ["-t", "duckdb"]                also emit dialect SQL text in the
+  *                                   response's "sql" key (the reference's
+  *                                   `-t dbtype`, WvcMain.scala:37-48;
+  *                                   spark|duckdb|trino|hive)
   */
 object CompileApi {
 
@@ -29,14 +33,23 @@ object CompileApi {
     * which shape it got without re-parsing JSON. */
   def compileQueryEnvelope(spark: SparkSession, argJson: String): Map[String, Any] =
     try {
-      val (text, dir, catalog) = parseArgs(argJson)
+      val (text, dir, catalog, target) = parseArgs(argJson)
       try {
         val df = compileOnly(spark, text, dir, catalog)
-        Map(
+        val base = Map(
           "success" -> true,
           "schema" -> df.schema.toDDL,
           "plan" -> df.queryExecution.analyzed.toString)
+        // `-t dbtype`: the reference's response carries the generated SQL
+        // (WvcLib CompileResponse.sql); here it rides next to schema/plan
+        target match {
+          case Some(t) => base + ("sql" ->
+            graft.lang.WvToSql.generate(text, graft.lang.WvToSql.Target.parse(t)))
+          case None => base
+        }
       } catch {
+        case e: graft.lang.WvToSql.Unsupported =>
+          err("SQL_GENERATION_ERROR", "UserError", e.getMessage, None)
         case e: graft.lang.ParseException =>
           err("SYNTAX_ERROR", "UserError", e.getMessage, locationOf(e.getMessage, text))
         case e: graft.lang.ScannerException =>
@@ -92,8 +105,8 @@ object CompileApi {
     df
   }
 
-  /** Returns (queryText, dataDir, catalogFile). */
-  private def parseArgs(argJson: String): (String, String, Option[String]) = {
+  /** Returns (queryText, dataDir, catalogFile, targetDialect). */
+  private def parseArgs(argJson: String): (String, String, Option[String], Option[String]) = {
     val args = server.Json.parse(argJson) match {
       case xs: Seq[_] => xs.iterator.map(String.valueOf(_)).toList
       case _ => throw new IllegalArgumentException("args must be a JSON array of strings")
@@ -101,21 +114,24 @@ object CompileApi {
     var query: Option[String] = None
     var dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     var catalog: Option[String] = None
+    var target: Option[String] = None
     var rest = args
     while (rest.nonEmpty) rest match {
       case "-q" :: q :: tl => query = Some(q); rest = tl
       case "-f" :: f :: tl =>
         query = Some(readFileArg("-f", f)); rest = tl
       case ("-d" | "-w") :: d :: tl => dir = d; rest = tl
+      case ("-t" | "--target") :: t :: tl => target = Some(t); rest = tl
       case "--catalog" :: c :: tl =>
         readFileArg("--catalog", c) // fail early, as a user error
         catalog = Some(c); rest = tl
-      case flag :: Nil if Set("-q", "-f", "-d", "-w", "--catalog")(flag) =>
+      case flag :: Nil if Set("-q", "-f", "-d", "-w", "-t", "--target", "--catalog")(flag) =>
         throw new IllegalArgumentException(s"$flag requires a value")
       case _ :: tl => rest = tl // unknown flags pass over (reference tolerates -x etc.)
       case Nil => ()
     }
-    (query.getOrElse(throw new IllegalArgumentException("missing -q or -f")), dir, catalog)
+    (query.getOrElse(throw new IllegalArgumentException("missing -q or -f")), dir, catalog,
+      target)
   }
 
   /** A missing/unreadable file is a USER error (bad argument), not an

@@ -19,6 +19,25 @@ class CompileApiSpec extends SparkTestBase {
     assert(resp("plan").asInstanceOf[String].contains("Aggregate"))
   }
 
+  test("-t dbtype: response carries generated dialect SQL (reference WvcMain -t)") {
+    val resp = call("-q", "from part select w = p_name.split(' ').array_sort", "-d", sfDir,
+      "-t", "duckdb")
+    assert(resp("success") == true)
+    assert(resp("sql").asInstanceOf[String].contains("list_sort("), resp("sql"))
+    // still the plan/schema envelope on top of the reference's sql-only one
+    assert(resp.contains("schema") && resp.contains("plan"))
+    def errOf(m: Map[String, Any]) = m("error").asInstanceOf[Map[String, Any]]
+    val bad = call("-q", "from part", "-d", sfDir, "-t", "db2")
+    assert(bad("success") == false &&
+      errOf(bad)("statusCode") == "SQL_GENERATION_ERROR" &&
+      errOf(bad)("statusType") == "UserError", bad)
+    // a compilable query whose text generation is out of scope is a loud
+    // user error, not a silent success without sql
+    val unsup = call("-q", "from documents select e = text.lang_id", "-d", sfDir, "-t", "trino")
+    assert(unsup("success") == false &&
+      errOf(unsup)("statusCode") == "SQL_GENERATION_ERROR", unsup)
+  }
+
   test("parse error: SYNTAX_ERROR with line/column location") {
     val resp = call("-q", "from lineitem\nwhere (l_tax >")
     assert(resp("success") == false)
