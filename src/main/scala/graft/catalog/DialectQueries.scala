@@ -201,6 +201,16 @@ object DialectQueries {
       """
     ),
     (
+      "q_wv2duckdb_unpivot",
+      """
+        from part
+        where p_partkey <= 50
+        select p_partkey, p_size, p_retailprice
+        unpivot v for metric in (p_size, p_retailprice)
+        order by p_partkey, metric
+      """
+    ),
+    (
       "q_wv2duckdb_rollup",
       """
         from lineitem

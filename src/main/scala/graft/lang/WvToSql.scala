@@ -494,19 +494,31 @@ object WvToSql {
             Block(from =
               s"(\n${render(child)}\n) UNPIVOT INCLUDE NULLS " +
                 s"(${ident(valueCol)} FOR ${ident(varCol)} IN (${cols.map(ident).mkString(", ")}))")
-          case DuckDb =>
-            // UNION ALL stack with `* EXCLUDE` id columns: keeps NULL
-            // measures (DuckDB's UNPIVOT clause drops them), matching the
-            // DataFrame melt the Spark path produces
-            val legs = cols.map { c =>
-              s"SELECT * EXCLUDE (${cols.map(ident).mkString(", ")}), " +
-                s"'${c}' AS ${ident(varCol)}, ${ident(c)} AS ${ident(valueCol)} " +
-                s"FROM (\n${render(child)}\n)"
+          case _ =>
+            // UNION ALL stack, one leg per measure: keeps NULL measures
+            // (an engine's UNPIVOT clause drops them), matching the
+            // DataFrame melt the Spark path produces. Id columns come from
+            // the child's explicit select when statically known; DuckDB
+            // additionally has `* EXCLUDE` for implicit-schema children.
+            val legBody = lastSelectNames(child) match {
+              case Some(all) =>
+                val ids = all.filterNot(c => cols.exists(_.equalsIgnoreCase(c)))
+                Some((c: String) => (ids.map(ident) :+
+                  s"'${c}' AS ${ident(varCol)}" :+
+                  s"${ident(c)} AS ${ident(valueCol)}").mkString(", "))
+              case None if target == DuckDb =>
+                Some((c: String) => s"* EXCLUDE (${cols.map(ident).mkString(", ")}), " +
+                  s"'${c}' AS ${ident(varCol)}, ${ident(c)} AS ${ident(valueCol)}")
+              case None => None
             }
-            Block(from = s"(\n${legs.mkString("\nUNION ALL\n")}\n)")
-          case Trino | Hive =>
-            throw new Unsupported(
-              s"unpivot needs schema knowledge (`* EXCLUDE`) not expressible in ${target.name}")
+            legBody match {
+              case Some(body) =>
+                val legs = cols.map(c => s"SELECT ${body(c)} FROM (\n${render(child)}\n)")
+                Block(from = s"(\n${legs.mkString("\nUNION ALL\n")}\n)")
+              case None =>
+                throw new Unsupported(
+                  s"unpivot on an implicit-schema child is not expressible in ${target.name}")
+            }
         }
 
       case SetOp(kind, left, right, distinct) =>

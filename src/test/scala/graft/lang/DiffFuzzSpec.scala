@@ -258,10 +258,20 @@ class DiffFuzzSpec extends SparkTestBase {
           rowsOf(graft.Graft.run(spark, back,
             t => spark.read.parquet(s"$dir/$t.parquet")))
         }
-        if (viaDf == viaSql && viaDf == viaPrinted &&
+        // fifth leg: the HIVE dialect target — its rewrites (FILTER→CASE,
+        // pivot→conditional agg, function renames) must be semantics-
+        // preserving; Spark executes HiveQL-shaped text, so every random
+        // shape the spark target supports gets the hive text executed too.
+        // An Unsupported throw for hive on a spark-supported shape is a
+        // dialect-coverage failure, not a skip.
+        val hiveSql = WvToSql.generate(q, WvToSql.Target.Hive)
+        val viaHive = rowsOf(spark.sql(hiveSql))
+        if (viaDf == viaSql && viaDf == viaPrinted && viaDf == viaHive &&
             viaTranspiled.forall(_ == viaDf)) ok += 1
         else if (viaDf != viaSql)
           failures += s"seed=$seed rows diverge (df=${viaDf.length}, sql=${viaSql.length}):\n$q"
+        else if (viaDf != viaHive)
+          failures += s"seed=$seed hive-dialect diverges (df=${viaDf.length}, hive=${viaHive.length}):\n$q\n--- hive:\n$hiveSql"
         else if (viaDf != viaPrinted)
           failures += s"seed=$seed printer round-trip diverges (df=${viaDf.length}, printed=${viaPrinted.length}):\n$q\n--- printed:\n$printed"
         else

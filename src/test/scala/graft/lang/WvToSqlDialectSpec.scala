@@ -176,9 +176,12 @@ class WvToSqlDialectSpec extends SparkTestBase {
 
     // unsupported surfaces fail loudly instead of emitting wrong SQL
     intercept[WvToSql.Unsupported] { gen("from part exclude p_type") }
-    intercept[WvToSql.Unsupported] {
-      gen("from part select p_partkey, p_size unpivot v for k in (p_size)")
-    }
+    // unpivot works when the child schema is explicit (UNION ALL stack)...
+    val up = gen("from part select p_partkey, p_size, p_retailprice " +
+      "unpivot v for k in (p_size, p_retailprice)")
+    assert(up.contains("UNION ALL") && up.contains("'p_size' AS k"), up)
+    // ...and fails loudly when it is not
+    intercept[WvToSql.Unsupported] { gen("from part unpivot v for k in (p_size)") }
   }
 
   test("javaToStrftime: pattern translation") {
