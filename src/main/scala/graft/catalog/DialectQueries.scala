@@ -37,7 +37,8 @@ object DialectQueries {
             qty = l_quantity.sum.round(4),
             avg_price = (l_extendedprice.mean + 0.000000005).round(4),
             dq = l_quantity.count_distinct,
-            n_big = count(l_orderkey) filter (where l_quantity > 40)
+            n_big = count(l_orderkey) filter (where l_quantity > 40),
+            p50 = l_quantity.percentile(0.5).round(4)
         order by l_returnflag, l_linestatus
       """
     ),
@@ -84,7 +85,8 @@ object DialectQueries {
           n = p_name.split(' ').array_size.to_long,
           w1 = p_name.split(' ')[1],
           joined = p_name.split(' ').array_sort.array_join('-'),
-          has_blue = p_name.split(' ').array_contains('blue')
+          has_blue = p_name.split(' ').array_contains('blue'),
+          kept = p_name.split(' ').array_distinct.exclude(['small', 'large']).array_sort.array_join('|')
         order by p_partkey
       """
     ),

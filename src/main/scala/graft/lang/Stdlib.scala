@@ -176,6 +176,15 @@ object Stdlib {
     "array_size" -> ((t, _) => F.size(t)),
     "array_distinct" -> ((t, _) => F.array_distinct(t)),
     "array_contains" -> ((t, args) => F.call_function("array_contains", t, args.head)),
+    // reference stdlib array `exclude` (wvlet-stdlib/module/standard/
+    // array.wv:27-28 — per-dialect: array_filter for duckdb, array_except
+    // for trino); Spark's array_except IS the trino spelling. NOTE:
+    // array_except also dedups the left side (set semantics), same as
+    // Trino's — the duckdb filter spelling keeps duplicates, a documented
+    // reference inconsistency the WvToSql duckdb target mirrors faithfully
+    // only for deduped inputs.
+    "exclude" -> ((t, args) => F.array_except(t, args.head)),
+    "array_except" -> ((t, args) => F.array_except(t, args.head)),
     "array_join" -> ((t, args) => F.call_function("array_join", t, args.head)),
     "array_sort" -> ((t, _) => F.sort_array(t)),
     "flatten" -> ((t, _) => F.flatten(t)),

@@ -958,6 +958,11 @@ object WvToSql {
             case DuckDb => s"approx_quantile($inner, ${ex(args.head, agg = false)})"
             case Trino => s"approx_percentile($inner, ${ex(args.head, agg = false)})"
           }
+          case "percentile" => target match {
+            // exact continuous percentile: duckdb's spelling is quantile_cont
+            case DuckDb => s"quantile_cont($inner, ${ex(args.head, agg = false)})"
+            case _ => s"percentile($inner, ${ex(args.head, agg = false)})"
+          }
           case "count_if" =>
             val p = if (args.nonEmpty) ex(args.head, agg = false) else inner
             if (target == Hive) s"sum(CASE WHEN $p THEN 1 ELSE 0 END)" else s"count_if($p)"
@@ -1079,6 +1084,15 @@ object WvToSql {
             case Spark | Hive => s"array_contains($t, ${a(0)})"
             case DuckDb => s"list_contains($t, ${a(0)})"
             case Trino => s"contains($t, ${a(0)})"
+          }
+          case "exclude" | "array_except" => target match {
+            // reference stdlib array.wv:27-28 defines `exclude` per dialect;
+            // this engine's semantics is Spark's array_except (distinct,
+            // first-occurrence order), so the duckdb spelling adds
+            // list_distinct over the reference's raw filter
+            case Spark | Hive | Trino => s"array_except($t, ${a(0)})"
+            case DuckDb =>
+              s"list_distinct(list_filter($t, x -> NOT list_contains(${a(0)}, x)))"
           }
           case "array_join" => target match {
             case DuckDb => s"array_to_string($t, ${a(0)})"
