@@ -224,7 +224,71 @@ object DialectQueries {
     )
   )
 
+  // ---------------------------------------------------------------------
+  // Reference-corpus leg: the reference's own TPC-H .wv files
+  // (/root/reference/spec/tpch) compile to DuckDB SQL and the driver
+  // executes that text as the oracle against the Spark lowering of the
+  // SAME file. Only the corpus files whose columns exist in the slimmed
+  // testdata schema (and that return rows on it) participate: q1, q6,
+  // q14, q18. Both sides pass through an identical normalization wrapper
+  // (round(x + 5e-9, 4) on doubles, timestamp → 'yyyy-MM-dd HH:mm:ss'
+  // string) — pure compare hygiene for cross-engine float summation order
+  // and physical timestamp types; the generated statement is embedded
+  // verbatim as the wrapper's FROM.
+  // ---------------------------------------------------------------------
+
+  private val tpchDir = "/root/reference/spec/tpch"
+
+  private def refText(f: String): Option[String] =
+    try Some(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tpchDir/$f")), java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => None }
+
+  /** Schema-driven Spark-side normalization mirroring the oracle wrapper. */
+  private def normalize(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.types.{DoubleType, TimestampType}
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case DoubleType => F.round(F.col(f.name) + F.lit(5e-9), 4).as(f.name)
+        case TimestampType => F.date_format(F.col(f.name), "yyyy-MM-dd HH:mm:ss").as(f.name)
+        case _ => F.col(f.name)
+      }
+    }.toSeq: _*)
+  }
+
+  private def nudged(c: String): String = s"round($c + 0.000000005, 4) AS $c"
+
+  private def tpchGenRow(name: String, file: String, wrapSelect: String,
+      renames: Map[String, String] = Map.empty): Option[(String, Q, Option[String])] =
+    refText(file).map { text =>
+      val duck = WvToSql.generate(text, WvToSql.Target.DuckDb)
+      val q: Q = (spark, dir) => {
+        // unaliased aggregates auto-name differently in the lowering
+        // (`sum(l_quantity)`) vs the text generator (`sum_l_quantity`);
+        // align the Spark side to the generator's name for the compare
+        val df0 = Graft.query(spark, text, Tables.resolver(spark, dir), basePath = dir)
+        normalize(renames.foldLeft(df0) { case (d, (from, to)) => d.withColumnRenamed(from, to) })
+      }
+      (name, q, Some(s"SELECT $wrapSelect FROM (\n$duck\n)"))
+    }
+
+  private val tpchGenRows: Seq[(String, Q, Option[String])] = Seq(
+    tpchGenRow("q_tpch1_duckdb_gen", "q1.wv",
+      Seq("l_returnflag", "l_linestatus",
+        nudged("sum_qty"), nudged("sum_base_price"), nudged("sum_disc_price"),
+        nudged("sum_charge"), nudged("avg_qty"), nudged("avg_price"), nudged("avg_disc"),
+        "count_order").mkString(", ")),
+    tpchGenRow("q_tpch6_duckdb_gen", "q6.wv", nudged("revenue")),
+    tpchGenRow("q_tpch14_duckdb_gen", "q14.wv", nudged("promo_revenue")),
+    tpchGenRow("q_tpch18_duckdb_gen", "q18.wv",
+      Seq("c_name", "c_custkey", "o_orderkey",
+        "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate",
+        nudged("o_totalprice"), nudged("sum_l_quantity")).mkString(", "),
+      renames = Map("sum(l_quantity)" -> "sum_l_quantity"))
+  ).flatten
+
   val all: Seq[(String, Q, Option[String])] = texts.map { case (name, text) =>
     (name, wv(text), Some(WvToSql.generate(text, WvToSql.Target.DuckDb)))
-  }
+  } ++ tpchGenRows
 }
