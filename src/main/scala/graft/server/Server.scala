@@ -198,6 +198,25 @@ object Server {
         "upTimeMs" -> (System.nanoTime() - startNs) / 1000000L))
     })
 
+    http.createContext("/api/v1/tables", handler { ex =>
+      // catalog listing for the console's table explorer (reference
+      // FrontendApi table metadata / wvlet-ui navigator): table names +
+      // column types from the served data dir. Parquet footers only —
+      // no data read; listed fresh per request so a new file shows up
+      // without a restart (schema reads hit Spark's footer cache).
+      val names = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.getName.stripSuffix(".parquet")).sorted
+      val tables = names.toSeq.map { n =>
+        val cols =
+          try Tables0.resolver(spark, dir)(n).schema.fields.toSeq.map(f =>
+            Map("name" -> f.name, "typeName" -> f.dataType.simpleString))
+          catch { case _: Throwable => Seq.empty }
+        Map("name" -> n, "columns" -> cols)
+      }
+      send(ex, 200, Map("tables" -> tables))
+    })
+
     http.createContext("/api/v1/query", handler { ex =>
       val path = ex.getRequestURI.getPath.stripPrefix("/api/v1/query")
       (ex.getRequestMethod, path.stripPrefix("/")) match {

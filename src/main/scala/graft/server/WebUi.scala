@@ -1,16 +1,24 @@
 package graft.server
 
-/** Single-page query console served at `/` — a deliberately minimal stand-in
-  * for the reference's bundled web UI (reference wvlet-ui-main/, a Scala.js
-  * SPA served by StaticContentApi.scala). Same WHAT (browser query console
-  * over the frontend API: submit, poll, render schema + rows, format), a
-  * fraction of the HOW: one embedded HTML page, zero build tooling, zero
-  * dependencies — every capability it exercises is the public JSON API, so
-  * anything the page does a user's own tooling can do too. The editor is a
-  * highlighted textarea: a transparent-text textarea over a token-colored
-  * <pre> kept in sync on input/scroll, with the language's token rules
-  * (the same surface sdks/prismjs-graft covers) inlined — still zero
-  * dependencies. */
+/** Single-page query workbench served at `/` — a deliberately minimal
+  * stand-in for the reference's bundled web UI (reference wvlet-ui-main/
+  * WvletEditor + FileNav + QueryResultReader, and wvlet-ui-playground/
+  * QueryNavigator + SQLPreview — Scala.js SPAs served by
+  * StaticContentApi.scala). Same WHAT, a fraction of the HOW: one embedded
+  * HTML page, zero build tooling, zero dependencies — every capability it
+  * exercises is the public JSON API, so anything the page does a user's
+  * own tooling can do too. Surfaces:
+  *   - highlighted editor (transparent textarea over a token-colored pre,
+  *     prismjs-graft token rules inlined)
+  *   - table explorer sidebar (GET /api/v1/tables; click inserts a `from`,
+  *     expands to column:type rows — the playground's QueryNavigator role)
+  *   - compiled-SQL preview with a target-dialect selector over
+  *     /api/v1/to_sql (the playground's SQLPreview pane, which shows the
+  *     DuckDB SQL wvlet compiles to; here any of spark|duckdb|trino|hive)
+  *   - run / run-at-cursor / describe / format / transpile actions
+  *   - query history (localStorage ring, newest first)
+  *   - CSV download of the rendered result page set
+  */
 object WebUi {
 
   val page: String =
@@ -21,8 +29,18 @@ object WebUi {
 <title>graft console</title>
 <style>
   body { font-family: ui-monospace, SFMono-Regular, Menlo, monospace;
-         margin: 2rem auto; max-width: 72rem; padding: 0 1rem; color: #1a1a1a; }
-  h1 { font-size: 1.1rem; }
+         margin: 1.25rem auto; max-width: 100rem; padding: 0 1rem; color: #1a1a1a; }
+  h1 { font-size: 1.1rem; margin: 0 0 .75rem; }
+  .layout { display: flex; gap: 1rem; align-items: flex-start; }
+  #nav { flex: 0 0 15rem; border: 1px solid #ddd; border-radius: 4px;
+         padding: .5rem; font-size: .8rem; max-height: 80vh; overflow: auto; }
+  #nav h2 { font-size: .85rem; margin: .2rem 0 .4rem; color: #555; }
+  #nav .tbl { cursor: pointer; padding: .1rem .2rem; }
+  #nav .tbl:hover { background: #f0f4ff; }
+  #nav .cols { margin: 0 0 .3rem .9rem; color: #666; display: none; }
+  #nav .cols div { padding: 0 .2rem; }
+  #nav .cols .ty { color: #7a5200; }
+  main { flex: 1 1 auto; min-width: 0; }
   .editor { position: relative; width: 100%; height: 9rem; }
   .editor textarea, .editor pre {
     position: absolute; inset: 0; margin: 0; font: inherit; font-size: 1rem;
@@ -38,7 +56,7 @@ object WebUi {
   .tk-com { color: #8a8a8a; font-style: italic; }
   .tk-op  { color: #8250df; }
   .tk-ty  { color: #7a5200; }
-  button { font: inherit; padding: .35rem .9rem; margin: .5rem .5rem 0 0;
+  button, select { font: inherit; padding: .35rem .9rem; margin: .5rem .5rem 0 0;
            border: 1px solid #888; border-radius: 4px; background: #f4f4f4;
            cursor: pointer; }
   button:hover { background: #e8e8e8; }
@@ -48,10 +66,16 @@ object WebUi {
   th, td { border: 1px solid #ccc; padding: .25rem .6rem; text-align: left; }
   th { background: #f0f0f0; }
   .dim { color: #777; font-size: .8rem; margin-top: .4rem; }
+  #sqlprev { display: none; margin-top: .6rem; border: 1px solid #ddd;
+             border-radius: 4px; padding: .5rem; background: #fafafa;
+             white-space: pre-wrap; font-size: .85rem; }
 </style>
 </head>
 <body>
 <h1>graft console</h1>
+<div class="layout">
+<nav id="nav"><h2>tables</h2><div id="tbls">loading…</div></nav>
+<main>
 <div class="editor">
   <pre id="hl" aria-hidden="true"></pre>
   <textarea id="q" spellcheck="false">from lineitem
@@ -65,9 +89,17 @@ order by l_returnflag</textarea>
   <button onclick="run('describe')">describe at cursor</button>
   <button onclick="fmt()">format</button>
   <button onclick="transpileSql()">transpile SQL&rarr;wv</button>
+  <button onclick="sqlPreview()">compile&rarr;</button><select id="dialect">
+    <option>spark</option><option>duckdb</option><option>trino</option><option>hive</option>
+  </select>
+  <select id="hist" onchange="restoreHist()"><option value="">history…</option></select>
+  <button id="csv" style="display:none" onclick="downloadCsv()">download CSV</button>
 </div>
+<div id="sqlprev"></div>
 <div id="status"></div>
 <div id="out"></div>
+</main>
+</div>
 <script>
 const $ = id => document.getElementById(id);
 
@@ -119,8 +151,85 @@ async function post(path, body) {
   const r = await fetch(path, { method: 'POST', body: JSON.stringify(body) });
   return await r.json();
 }
+
+// --- table explorer (GET /api/v1/tables) ---
+async function loadTables() {
+  try {
+    const resp = await (await fetch('/api/v1/tables')).json();
+    const box = $('tbls'); box.innerHTML = '';
+    (resp.tables || []).forEach(t => {
+      const d = document.createElement('div');
+      d.className = 'tbl'; d.textContent = '▸ ' + t.name;
+      const cols = document.createElement('div'); cols.className = 'cols';
+      t.columns.forEach(c => {
+        const row = document.createElement('div');
+        row.innerHTML = esc(c.name) + ' : <span class="ty">' + esc(c.typeName) + '</span>';
+        cols.appendChild(row);
+      });
+      d.onclick = () => {
+        const open = cols.style.display === 'block';
+        cols.style.display = open ? 'none' : 'block';
+        d.textContent = (open ? '▸ ' : '▾ ') + t.name;
+        if (!open && !$('q').value.trim()) { $('q').value = 'from ' + t.name; sync(); }
+      };
+      box.appendChild(d); box.appendChild(cols);
+    });
+    if (!(resp.tables || []).length) box.textContent = '(no tables)';
+  } catch (e) { $('tbls').textContent = 'unavailable'; }
+}
+loadTables();
+
+// --- query history (localStorage ring, newest first) ---
+const HKEY = 'graft_console_history';
+function histAll() {
+  try { return JSON.parse(localStorage.getItem(HKEY) || '[]'); } catch (e) { return []; }
+}
+function histPush(q) {
+  const xs = histAll().filter(x => x !== q); xs.unshift(q);
+  localStorage.setItem(HKEY, JSON.stringify(xs.slice(0, 20)));
+  renderHist();
+}
+function renderHist() {
+  const sel = $('hist');
+  sel.innerHTML = '<option value="">history…</option>';
+  histAll().forEach((q, i) => {
+    const o = document.createElement('option');
+    o.value = String(i);
+    o.textContent = q.replace(/\s+/g, ' ').slice(0, 60);
+    sel.appendChild(o);
+  });
+}
+function restoreHist() {
+  const i = $('hist').value;
+  if (i !== '') { $('q').value = histAll()[Number(i)]; sync(); $('hist').value = ''; }
+}
+renderHist();
+
+// --- compiled-SQL preview (playground SQLPreview; /api/v1/to_sql) ---
+async function sqlPreview() {
+  const resp = await post('/api/v1/to_sql',
+    { query: $('q').value, target: $('dialect').value });
+  const box = $('sqlprev'); box.style.display = 'block';
+  if (resp.sql) { box.textContent = '-- ' + $('dialect').value + '\n' + resp.sql; }
+  else { box.textContent = 'error: ' + (resp.error || 'failed'); }
+}
+
+// --- results + CSV export ---
+let lastResult = null;
+function downloadCsv() {
+  if (!lastResult) return;
+  const escCsv = v => v === null ? '' :
+    /[",\n]/.test(String(v)) ? '"' + String(v).replace(/"/g, '""') + '"' : String(v);
+  const lines = [lastResult.schema.map(c => escCsv(c.name)).join(',')]
+    .concat(lastResult.rows.map(r => r.map(escCsv).join(',')));
+  const blob = new Blob([lines.join('\n') + '\n'], { type: 'text/csv' });
+  const a = document.createElement('a');
+  a.href = URL.createObjectURL(blob); a.download = 'result.csv'; a.click();
+  URL.revokeObjectURL(a.href);
+}
+
 async function run(selection) {
-  $('out').innerHTML = '';
+  $('out').innerHTML = ''; $('csv').style.display = 'none'; lastResult = null;
   setStatus('submitting…');
   const body = { query: $('q').value, maxRows: 500 };
   if (selection) {
@@ -129,6 +238,7 @@ async function run(selection) {
     body.querySelection = selection;
     body.line = ta.value.slice(0, ta.selectionStart).split('\n').length;
   }
+  histPush($('q').value);
   const sub = await post('/api/v1/query', body);
   if (!sub.queryId) { setStatus(sub.error || 'submit failed', true); return; }
   setStatus('running ' + sub.queryId + '…');
@@ -164,6 +274,8 @@ async function run(selection) {
   note.className = 'dim';
   note.textContent = 'query ' + sub.queryId;
   $('out').appendChild(note);
+  lastResult = { schema: info.schema, rows: rows };
+  $('csv').style.display = '';
 }
 async function fmt() {
   const resp = await post('/api/v1/fmt', { query: $('q').value });

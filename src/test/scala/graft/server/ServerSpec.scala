@@ -72,7 +72,24 @@ class ServerSpec extends SparkTestBase {
     // overlay pre + the language token rules must be in the page
     assert(html.contains("id=\"hl\"") && html.contains("TOKEN_RE"), "highlighter missing")
     assert(html.contains("tk-kw") && html.contains("subscribe"), "token rules missing")
+    // workbench surfaces: table explorer, dialect SQL preview, history, CSV
+    assert(html.contains("/api/v1/tables") && html.contains("id=\"tbls\""), "table explorer missing")
+    assert(html.contains("id=\"dialect\"") && html.contains("duckdb"), "sql preview missing")
+    assert(html.contains("graft_console_history"), "history missing")
+    assert(html.contains("downloadCsv"), "csv export missing")
     assert(http("GET", "/no/such/page")._1 == 404)
+  }
+
+  test("tables endpoint lists the served dir's tables with column types") {
+    val (code, resp) = http("GET", "/api/v1/tables")
+    assert(code == 200, s"got $resp")
+    val tables = resp("tables").asInstanceOf[Seq[Map[String, Any]]]
+    val byName = tables.map(t => t("name").asInstanceOf[String] -> t).toMap
+    assert(byName.contains("lineitem") && byName.contains("region"), s"got ${byName.keys}")
+    val liCols = byName("lineitem")("columns").asInstanceOf[Seq[Map[String, Any]]]
+      .map(c => c("name") -> c("typeName")).toMap
+    assert(liCols.get("l_returnflag") == Some("string") &&
+      liCols.get("l_quantity") == Some("double"), s"got $liCols")
   }
 
   test("status endpoint reports uptime") {
