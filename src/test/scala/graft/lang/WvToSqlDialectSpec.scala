@@ -184,6 +184,18 @@ class WvToSqlDialectSpec extends SparkTestBase {
     intercept[WvToSql.Unsupported] { gen("from part unpivot v for k in (p_size)") }
   }
 
+  test("duckdb + trino targets: whole tpch corpus generates without Unsupported") {
+    assume(new java.io.File(tpchDir).isDirectory, "tpch corpus not present")
+    val files = new java.io.File(tpchDir).listFiles()
+      .filter(_.getName.matches("q.*\\.wv")).map(_.getName).sorted
+    for (t <- Seq(Target.DuckDb, Target.Trino); f <- files) {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$tpchDir/$f")), java.nio.charset.StandardCharsets.UTF_8)
+      val sql = WvToSql.generate(text, t) // throws on a coverage regression
+      assert(sql.toUpperCase.contains("SELECT"), s"$f under ${t.name}")
+    }
+  }
+
   test("javaToStrftime: pattern translation") {
     assert(WvToSql.javaToStrftime("yyyy-MM-dd") == "%Y-%m-%d")
     assert(WvToSql.javaToStrftime("yyyy-MM-dd HH:mm:ss") == "%Y-%m-%d %H:%M:%S")
