@@ -140,18 +140,31 @@ object WvToSql {
           case ('E', n) if n >= 4 => "%A"
           case ('E', _) => "%a"
           case ('a', _) => "%p"
-          case ('D', _) => "%j"
+          // only DDD is zero-padded like %j; shorter runs are unpadded in
+          // Java and would silently diverge
+          case ('D', 3) => "%j"
           case _ => throw new Unsupported(s"datetime pattern '$c'×$run has no strftime equivalent")
         }
         sb ++= out
         i = j
       } else if (c == '\'') {
-        // java pattern quoting: '...' is literal text, '' is a quote
-        val end = fmt.indexOf('\'', i + 1)
-        if (end < 0) throw new Unsupported("unterminated quote in datetime pattern")
-        if (end == i + 1) sb += '\''
-        else sb ++= fmt.substring(i + 1, end).replace("%", "%%")
-        i = end + 1
+        // java pattern quoting: '...' is literal text; '' is a literal
+        // quote both outside and INSIDE a quoted run ('o''clock' → o'clock)
+        if (i + 1 < fmt.length && fmt.charAt(i + 1) == '\'') { sb += '\''; i += 2 }
+        else {
+          var j = i + 1
+          var closed = false
+          val lit = new StringBuilder
+          while (j < fmt.length && !closed) {
+            if (fmt.charAt(j) == '\'') {
+              if (j + 1 < fmt.length && fmt.charAt(j + 1) == '\'') { lit += '\''; j += 2 }
+              else { closed = true; j += 1 }
+            } else { lit += fmt.charAt(j); j += 1 }
+          }
+          if (!closed) throw new Unsupported("unterminated quote in datetime pattern")
+          sb ++= lit.toString.replace("%", "%%")
+          i = j
+        }
       } else { if (c == '%') sb ++= "%%" else sb += c; i += 1 }
     }
     sb.toString
@@ -172,7 +185,10 @@ object WvToSql {
       case DuckDb | Trino => "VARCHAR"
     }
 
-    /** Dialect type text for a wv type name (CAST targets). */
+    /** Dialect type text for a wv type name (CAST targets). Parameterized
+      * and nested types map recursively so inner scalars get the dialect
+      * spelling too (`array(string)` → `VARCHAR[]` on duckdb,
+      * `array(varchar)` on trino). */
     private def sqlType(t: String): String = {
       val mapped = Lowering.mapTypeName(t)
       target match {
@@ -182,26 +198,39 @@ object WvToSql {
             case s if s.contains("<") => s.replace(")", ">")
             case s => s
           }
-        case DuckDb =>
-          mapped match {
-            case "string" => "VARCHAR"
-            case "binary" => "BLOB"
-            case s if s.startsWith("array(") && s.endsWith(")") =>
-              sqlTypeScalar(s.stripPrefix("array(").stripSuffix(")")) + "[]"
-            case s => sqlTypeScalar(s)
-          }
-        case Trino =>
-          mapped match {
-            case "string" => "VARCHAR"
-            case "binary" => "VARBINARY"
-            case s => s // array(t)/map(k,v) spellings are native Trino syntax
-          }
+        case DuckDb | Trino => mapDialectType(mapped.trim)
       }
     }
-    private def sqlTypeScalar(s: String): String = s match {
-      case "string" => "VARCHAR"
-      case "binary" => "BLOB"
-      case other => other
+    /** Split "a, b" at the top nesting level (for map(k, v) params). */
+    private def topSplit(s: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var depth = 0; var start = 0
+      s.zipWithIndex.foreach {
+        case ('(', _) => depth += 1
+        case (')', _) => depth -= 1
+        case (',', i) if depth == 0 => out += s.substring(start, i).trim; start = i + 1
+        case _ => ()
+      }
+      out += s.substring(start).trim
+      out.toList
+    }
+    private def mapDialectType(s: String): String = {
+      val inner = (p: String) => s.stripPrefix(p).stripSuffix(")")
+      s match {
+        case a if a.startsWith("array(") && a.endsWith(")") =>
+          if (target == DuckDb) mapDialectType(inner("array(")) + "[]"
+          else s"array(${mapDialectType(inner("array("))})"
+        case m if m.startsWith("map(") && m.endsWith(")") =>
+          val kv = topSplit(inner("map("))
+          if (kv.length != 2) throw new Unsupported(s"type '$s'")
+          s"map(${mapDialectType(kv.head)}, ${mapDialectType(kv(1))})"
+        case d if d.startsWith("decimal(") => d
+        case "string" | "varchar" => "VARCHAR"
+        case "binary" => if (target == DuckDb) "BLOB" else "VARBINARY"
+        case "float" | "real" => if (target == Trino) "REAL" else "FLOAT"
+        case scalar if !scalar.contains("(") && !scalar.contains("<") => scalar
+        case other => throw new Unsupported(s"type '$other' for ${target.name}")
+      }
     }
 
     /** A SQL select block under assembly. Invariant: fields fill in query
@@ -454,8 +483,17 @@ object WvToSql {
             if (withOrd) {
               val lv = s"LATERAL VIEW posexplode(${ex(e, agg = false)}) __lv AS " +
                 s"__graft_pos, ${ident(outName)}"
+              // HiveQL has no `* EXCEPT`: with an explicit child select the
+              // remaining columns project by name; an implicit schema is
+              // only expressible on Spark
+              val head = (target, lastSelectNames(child)) match {
+                case (Spark, _) => s"* EXCEPT (__graft_pos, ${ident(outName)})"
+                case (_, Some(cols)) => cols.map(ident).mkString(", ")
+                case _ => throw new Unsupported(
+                  "with-ordinality unnest on an implicit-schema child is not expressible in hive")
+              }
               Block(from =
-                s"(SELECT * EXCEPT (__graft_pos, ${ident(outName)}), " +
+                s"(SELECT $head, " +
                   s"__graft_pos + 1 AS ${ident(outName + "_ordinal")}, ${ident(outName)} " +
                   s"FROM (\n${render(child)}\n) $lv)")
             } else {
@@ -547,13 +585,21 @@ object WvToSql {
         val b = if (b0.select.isEmpty && b0.groupBy.isEmpty && b0.orderBy.isEmpty &&
           b0.limit.isEmpty) b0 else wrap(b0)
         target match {
-          case Spark | Hive =>
+          case Spark =>
             // Spark SQL's `* EXCEPT (...)` preserves the remaining column order
             b.copy(select = Some(List(s"* EXCEPT (${columns.map(ident).mkString(", ")})")))
           case DuckDb =>
             b.copy(select = Some(List(s"* EXCLUDE (${columns.map(ident).mkString(", ")})")))
-          case Trino =>
-            throw new Unsupported("`exclude` needs `SELECT * EXCEPT`, absent from trino")
+          case Trino | Hive =>
+            // no `* EXCEPT`: with an explicit child select the remaining
+            // columns project by name; implicit schemas are inexpressible
+            lastSelectNames(child) match {
+              case Some(all) =>
+                val keep = all.filterNot(c => columns.exists(_.equalsIgnoreCase(c)))
+                b.copy(select = Some(keep.map(ident)))
+              case None => throw new Unsupported(
+                s"`exclude` on an implicit-schema child is not expressible in ${target.name}")
+            }
         }
 
       case SubscribeRel(child, _) => build(child) // batch view of a subscription
@@ -574,6 +620,12 @@ object WvToSql {
       val aggItem = agg.get
       val aggRefs = identNames(aggItem.expr) - pivotCol.toLowerCase
       val childCols: Option[List[String]] = lastSelectNames(child)
+      // count-family aggregates need a presence guard: a real PIVOT yields
+      // NULL for a (group, value) cell with no rows, where the conditional
+      // rewrite's count(...) would yield 0 — guard on any-matching-row
+      val countFamily = Set("count", "count_if", "count_distinct",
+        "count_approx_distinct", "approx_count_distinct")
+      val isCount = topAggName(aggItem.expr).exists(countFamily)
       val pivotAggs = values.map { v =>
         val cond = BinaryOp("=", Ident(pivotCol), v)
         val injected = injectAggFilter(aggItem.expr, cond)
@@ -583,7 +635,13 @@ object WvToSql {
           case BoolLit(b) => b.toString
           case other => ex(other, agg = false)
         }
-        s"${ex(injected, agg = true)} AS ${ident(name)}"
+        val body = ex(injected, agg = true)
+        val guarded =
+          if (isCount)
+            s"(CASE WHEN count(CASE WHEN ${ex(cond, agg = false)} THEN 1 END) > 0 " +
+              s"THEN $body ELSE NULL END)"
+          else body
+        s"$guarded AS ${ident(name)}"
       }
       childCols match {
         case Some(cols) =>
@@ -623,12 +681,36 @@ object WvToSql {
       case _ => None
     }
 
-    /** Lower-cased column idents referenced in an expression. */
+    /** Name of the outermost aggregate applied in the expression (for the
+      * pivot rewrite's count-vs-null presence guard). */
+    private def topAggName(e: Expr): Option[String] = e match {
+      case DotRef(t, n) =>
+        if (Stdlib.isAggMethod(n)) Some(n.toLowerCase) else topAggName(t)
+      case MethodCall(t, n, _) =>
+        if (Stdlib.isAggMethod(n)) Some(n.toLowerCase) else topAggName(t)
+      case FunctionCall(n, args, _, _) =>
+        if (Stdlib.aggFunctionNames.contains(n.toLowerCase)) Some(n.toLowerCase)
+        else args.flatMap(topAggName).headOption
+      case BinaryOp(_, l, r) => topAggName(l).orElse(topAggName(r))
+      case UnaryOp(_, v) => topAggName(v)
+      case Cast(v, _, _) => topAggName(v)
+      case IfExpr(c, t, el) =>
+        topAggName(c).orElse(topAggName(t)).orElse(el.flatMap(topAggName))
+      case _ => None
+    }
+
+    /** Lower-cased COLUMN names referenced in an expression. A qualified
+      * reference `t.col` contributes `col`, never the qualifier `t` — the
+      * qualifier is a relation alias, not a column (a struct-field access
+      * `s.f` also contributes the field name; the struct column then stays
+      * a grouping key in the pivot rewrite, an accepted limitation of
+      * schema-free text generation). */
     private def identNames(e: Expr): Set[String] = {
       val out = scala.collection.mutable.Set.empty[String]
       def walk(x: Expr): Unit = x match {
         case Ident(n) => out += n.toLowerCase
         case DotRef(t, n) if Stdlib.isAggMethod(n) || Stdlib.scalarMethods.contains(n.toLowerCase) => walk(t)
+        case DotRef(Ident(_), n) => out += n.toLowerCase
         case DotRef(t, _) => walk(t)
         case MethodCall(t, _, args) => walk(t); args.foreach(walk)
         case FunctionCall(_, args, _, f) => args.foreach(walk); f.foreach(walk)
@@ -737,6 +819,61 @@ object WvToSql {
 
     private def castStr(x: String): String = s"CAST($x AS $strType)"
 
+    /** Per-dialect rename of a function name when the argument list shape
+      * is unchanged (shared by dot-method and plain call positions, and by
+      * the DISTINCT path). */
+    private def aggFnName(n0: String): String = n0.toLowerCase match {
+      case "collect_list" | "array_agg" | "to_array" =>
+        if (target == DuckDb || target == Trino) "array_agg" else "collect_list"
+      case "any_value" | "arbitrary" | "any" =>
+        if (target == Trino) "arbitrary" else "any_value"
+      case "approx_count_distinct" | "count_approx_distinct" =>
+        if (target == Trino) "approx_distinct" else "approx_count_distinct"
+      case "mean" => "avg"
+      case "regexp_like" => target match { // reference HiveRewriteFunctions.scala
+        case Hive => "regexp"
+        case DuckDb => "regexp_matches"
+        case _ => "regexp_like"
+      }
+      case other => other
+    }
+
+    /** Per-dialect spelling of a function call given rendered args —
+      * restructures the call when a dialect needs a different shape. */
+    private def aggFnCall(n0: String, as: List[String]): String = n0.toLowerCase match {
+      case "collect_set" | "array_distinct_agg" =>
+        if (target == DuckDb || target == Trino) s"array_agg(DISTINCT ${as.mkString(", ")})"
+        else s"collect_set(${as.mkString(", ")})"
+      case "percentile" => target match {
+        case DuckDb => s"quantile_cont(${as.mkString(", ")})"
+        case Trino => throw new Unsupported("exact percentile has no trino spelling")
+        case _ => s"percentile(${as.mkString(", ")})"
+      }
+      case "percentile_approx" | "approx_quantile" => target match {
+        case DuckDb => s"approx_quantile(${as.take(2).mkString(", ")})"
+        case Trino => s"approx_percentile(${as.take(2).mkString(", ")})"
+        case _ => s"percentile_approx(${as.mkString(", ")})"
+      }
+      case "count_if" if target == Hive =>
+        s"sum(CASE WHEN ${as.head} THEN 1 ELSE 0 END)"
+      case "string_agg" | "listagg" =>
+        stringAggSql(as.head, as.drop(1).headOption.getOrElse("','"))
+      // Hive lacks bool_or/bool_and; the CASE keeps the all-NULL → NULL
+      // behavior (sum over an all-NULL column is NULL)
+      case "bool_or" | "exists_agg" if target == Hive =>
+        s"(sum(CASE WHEN ${as.head} THEN 1 WHEN NOT ${as.head} THEN 0 END) > 0)"
+      case "bool_and" if target == Hive =>
+        s"(min(CASE WHEN ${as.head} THEN 1 WHEN NOT ${as.head} THEN 0 END) = 1)"
+      case "exists_agg" => s"bool_or(${as.mkString(", ")})"
+      case other => s"${aggFnName(other)}(${as.mkString(", ")})"
+    }
+
+    private def stringAggSql(inner: String, sep: String): String = target match {
+      case Spark | Hive => s"array_join(sort_array(collect_list(CAST($inner AS STRING))), $sep)"
+      case DuckDb => s"array_to_string(list_sort(array_agg(CAST($inner AS VARCHAR))), $sep)"
+      case Trino => s"array_join(array_sort(array_agg(CAST($inner AS VARCHAR))), $sep)"
+    }
+
     def ex(e: Expr, agg: Boolean): String = e match {
       case Ident(n) =>
         consts.get(n.toLowerCase) match {
@@ -796,7 +933,15 @@ object WvToSql {
       case Subscript(t, i) => target match {
         case Spark | Trino => s"element_at(${ex(t, agg)}, ${ex(i, agg)})"
         case DuckDb => s"list_extract(${ex(t, agg)}, ${ex(i, agg)})"
-        case Hive => s"element_at(${ex(t, agg)}, ${ex(i, agg)})"
+        case Hive => i match {
+          // HiveQL has no element_at: arrays index 0-based via brackets
+          // (valid Spark SQL too, so the execution gate covers it);
+          // element_at's negative-from-the-end form has no bracket
+          // equivalent
+          case LongLit(v) if v >= 1 => s"${ex(t, agg)}[${v - 1}]"
+          case LongLit(_) => throw new Unsupported("negative array index for hive")
+          case _ => s"${ex(t, agg)}[(${ex(i, agg)}) - 1]"
+        }
       }
 
       case DotRef(target2, name) => method(target2, name, Nil, agg)
@@ -804,14 +949,14 @@ object WvToSql {
 
       case FunctionCall(n, args, isDistinct, filter) =>
         val d = if (isDistinct) "DISTINCT " else ""
-        val fname = n.toLowerCase match {
-          // reference HiveRewriteFunctions.scala renames
-          case "array_agg" if target == Hive => "collect_list"
-          case "array_distinct" if target == Hive && Stdlib.aggFunctionNames.contains("array_distinct") => "collect_set"
-          case "regexp_like" if target == Hive => "regexp"
-          case "collect_list" if target == DuckDb || target == Trino => "array_agg"
-          case other => other
-        }
+        val argSql = args.map(ex(_, agg))
+        // plain function-call position goes through the SAME per-dialect
+        // aggregate-name table as the dot-method form — otherwise
+        // approx_count_distinct / percentile / collect_set etc. would leak
+        // their Spark spellings into duckdb/trino/hive text
+        def call(as: List[String]): String =
+          if (isDistinct) s"${aggFnName(n)}(DISTINCT ${as.mkString(", ")})"
+          else aggFnCall(n, as)
         filter match {
           case Some(f) if target == Hive =>
             // Hive has no FILTER clause → CASE argument
@@ -819,11 +964,11 @@ object WvToSql {
             val newArgs =
               if (args.isEmpty || args.forall(_.isInstanceOf[Star]))
                 List(s"CASE WHEN ${ex(f, agg = false)} THEN 1 END")
-              else args.map(a => s"CASE WHEN ${ex(f, agg = false)} THEN ${ex(a, agg)} END")
-            s"$fname($d${newArgs.mkString(", ")})"
+              else argSql.map(a => s"CASE WHEN ${ex(f, agg = false)} THEN $a END")
+            call(newArgs)
           case Some(f) =>
-            s"$fname($d${args.map(ex(_, agg)).mkString(", ")}) FILTER (WHERE ${ex(f, agg = false)})"
-          case None => s"$fname($d${args.map(ex(_, agg)).mkString(", ")})"
+            s"${call(argSql)} FILTER (WHERE ${ex(f, agg = false)})"
+          case None => call(argSql)
         }
 
       case WindowApply(fn, spec) =>
@@ -925,49 +1070,16 @@ object WvToSql {
         }
         n match {
           case "count_distinct" => s"count(DISTINCT $inner)"
-          case "array_distinct_agg" => target match {
-            case Spark | Hive => s"collect_set($inner)"
-            case DuckDb | Trino => s"array_agg(DISTINCT $inner)"
-          }
-          case "to_array" | "array_agg" => target match {
-            case Spark | Hive => s"collect_list($inner)"
-            case DuckDb | Trino => s"array_agg($inner)"
-          }
-          case "arbitrary" | "any" | "any_value" => target match {
-            case Trino => s"arbitrary($inner)" // reference SqlGenerator's Trino spelling
-            case _ => s"any_value($inner)"
-          }
-          case "mean" => s"avg($inner)"
-          case "count_approx_distinct" | "approx_count_distinct" => target match {
-            case Trino => s"approx_distinct($inner)"
-            case _ => s"approx_count_distinct($inner)"
-          }
           case "string_agg" =>
-            val sep = if (args.nonEmpty) ex(args.head, agg = false) else "','"
-            target match {
-              case Spark | Hive =>
-                s"array_join(sort_array(collect_list(CAST($inner AS STRING))), $sep)"
-              case DuckDb =>
-                s"array_to_string(list_sort(array_agg(CAST($inner AS VARCHAR))), $sep)"
-              case Trino =>
-                s"array_join(array_sort(array_agg(CAST($inner AS VARCHAR))), $sep)"
-            }
+            stringAggSql(inner, if (args.nonEmpty) ex(args.head, agg = false) else "','")
           case "min_by" | "max_by" => s"$n($inner, ${ex(args.head, agg = false)})"
-          case "approx_quantile" => target match {
-            case Spark | Hive => s"percentile_approx($inner, ${ex(args.head, agg = false)}, 10000)"
-            case DuckDb => s"approx_quantile($inner, ${ex(args.head, agg = false)})"
-            case Trino => s"approx_percentile($inner, ${ex(args.head, agg = false)})"
-          }
-          case "percentile" => target match {
-            // exact continuous percentile: duckdb's spelling is quantile_cont
-            case DuckDb => s"quantile_cont($inner, ${ex(args.head, agg = false)})"
-            case _ => s"percentile($inner, ${ex(args.head, agg = false)})"
-          }
+          case "approx_quantile" =>
+            aggFnCall("approx_quantile", List(inner, ex(args.head, agg = false), "10000"))
+          case "percentile" => aggFnCall("percentile", List(inner, ex(args.head, agg = false)))
           case "count_if" =>
             val p = if (args.nonEmpty) ex(args.head, agg = false) else inner
-            if (target == Hive) s"sum(CASE WHEN $p THEN 1 ELSE 0 END)" else s"count_if($p)"
-          case "exists_agg" => s"bool_or($inner)"
-          case _ => s"$n($inner)"
+            aggFnCall("count_if", List(p))
+          case _ => aggFnCall(n, List(inner))
         }
       } else if (n == "in" && args.nonEmpty) {
         s"($t IN (${args.map(ex(_, agg)).mkString(", ")}))"
@@ -998,19 +1110,21 @@ object WvToSql {
             if (args.length >= 2) s"substring($t, ${a(0)}, ${a(1)})"
             else s"substring($t, ${a(0)})"
           case "contains" => target match {
-            case Spark | Hive => s"contains($t, ${a(0)})"
+            case Spark => s"contains($t, ${a(0)})"
+            case Hive => s"(instr($t, ${a(0)}) > 0)" // no contains() in HiveQL
             case DuckDb => s"contains($t, ${a(0)})"
             case Trino => s"(strpos($t, ${a(0)}) > 0)" // trino's contains() is array-only
           }
           case "starts_with" => target match {
-            case Spark | Hive => s"startswith($t, ${a(0)})"
+            case Spark => s"startswith($t, ${a(0)})"
+            case Hive => s"(substr($t, 1, length(${a(0)})) = ${a(0)})" // no startswith in HiveQL
             case DuckDb | Trino => s"starts_with($t, ${a(0)})"
           }
           case "ends_with" => target match {
-            case Spark | Hive => s"endswith($t, ${a(0)})"
-            case DuckDb => s"ends_with($t, ${a(0)})"
-            case Trino => // no ends_with; compare the tail substring
+            case Spark => s"endswith($t, ${a(0)})"
+            case Hive | Trino => // no endswith; compare the tail substring
               s"(substr($t, length($t) - length(${a(0)}) + 1) = ${a(0)})"
+            case DuckDb => s"ends_with($t, ${a(0)})"
           }
           case "split" => target match {
             case Spark | Hive => s"split($t, ${a(0)})"
@@ -1028,20 +1142,25 @@ object WvToSql {
             case Spark | Hive => s"date_format($t, ${a(0)})"
             case DuckDb =>
               // DuckDB strftime takes C-style patterns; translate the
-              // Java-pattern literal or reject a non-literal format
+              // Java-pattern literal or reject a non-literal format. The
+              // translated pattern re-enters a SQL string literal, so
+              // quotes from Java '' escapes must re-escape
               args.head match {
-                case StringLit(f) => s"strftime($t, '${javaToStrftime(f)}')"
+                case StringLit(f) =>
+                  s"strftime($t, '${javaToStrftime(f).replace("'", "''")}')"
                 case _ => throw new Unsupported("non-literal date_format pattern for duckdb")
               }
             case Trino => s"format_datetime($t, ${a(0)})" // Joda pattern ≈ Java pattern
           }
           case "date_trunc" => s"date_trunc(${a(0)}, $t)"
           case "extract" => target match {
-            case Spark | Hive | DuckDb => s"date_part(${a(0)}, $t)"
-            case Trino => args.head match {
-              // no date_part in trino: needs the unit as a keyword
+            case Spark | DuckDb => s"date_part(${a(0)}, $t)"
+            case Trino | Hive => args.head match {
+              // no date_part in trino/hive: needs the unit as a keyword
+              // (extract(... FROM ...) is valid Spark SQL too, so the
+              // hive execution gate still covers it)
               case StringLit(u) => s"extract(${u.toUpperCase} FROM $t)"
-              case _ => throw new Unsupported("non-literal extract unit for trino")
+              case _ => throw new Unsupported(s"non-literal extract unit for ${target.name}")
             }
           }
           case "md5" => target match {
@@ -1087,12 +1206,20 @@ object WvToSql {
           }
           case "exclude" | "array_except" => target match {
             // reference stdlib array.wv:27-28 defines `exclude` per dialect;
-            // this engine's semantics is Spark's array_except (distinct,
-            // first-occurrence order), so the duckdb spelling adds
-            // list_distinct over the reference's raw filter
+            // this engine's semantics is Spark's array_except: DISTINCT
+            // elements, first-occurrence order, null-as-a-value. DuckDB's
+            // list_distinct drops nulls and does not pin order, so the
+            // spelling is an index-aware filter instead: keep x at position
+            // i iff i is x's first occurrence and x ∉ right (nulls matched
+            // via an IS NULL projection). Verified cell-for-cell against
+            // the Spark lowering on null/dup/order cases.
             case Spark | Hive | Trino => s"array_except($t, ${a(0)})"
             case DuckDb =>
-              s"list_distinct(list_filter($t, x -> NOT list_contains(${a(0)}, x)))"
+              val (l, r) = (t, a(0))
+              s"list_filter($l, (x, i) -> CASE WHEN x IS NULL " +
+                s"THEN list_position(list_transform($l, y -> y IS NULL), true) = i " +
+                s"AND NOT coalesce(list_contains(list_transform($r, y -> y IS NULL), true), false) " +
+                s"ELSE list_position($l, x) = i AND NOT coalesce(list_contains($r, x), false) END)"
           }
           case "array_join" => target match {
             case DuckDb => s"array_to_string($t, ${a(0)})"

@@ -184,6 +184,66 @@ class WvToSqlDialectSpec extends SparkTestBase {
     intercept[WvToSql.Unsupported] { gen("from part unpivot v for k in (p_size)") }
   }
 
+  test("hive target: pivot COUNT yields NULL (not 0) for empty cells, like real PIVOT") {
+    assume(viewsReady, "tpch data not present")
+    // 'X' never occurs: the DataFrame pivot yields NULL for that cell;
+    // the conditional-agg rewrite must presence-guard its count
+    val text =
+      """from orders
+        |select o_orderpriority, o_orderstatus
+        |pivot on o_orderstatus in ('O', 'X') using n = _.count
+        |order by o_orderpriority""".stripMargin
+    val hive = WvToSql.generate(text, Target.Hive)
+    assert(hive.contains("ELSE NULL END"), s"missing presence guard:\n$hive")
+    val viaSql = rowsOf(spark.sql(hive))
+    val viaDf = rowsOf(graft.Graft.run(spark, text,
+      t => spark.read.parquet(s"$dataDir/$t.parquet")))
+    assert(viaSql == viaDf, s"pivot count cells diverge:\n$hive")
+  }
+
+  test("function-call position routes through the dialect aggregate table") {
+    val t = WvToSql.generate(
+      "from orders group by o_orderpriority agg d = approx_count_distinct(o_custkey)",
+      Target.Trino)
+    assert(t.contains("approx_distinct(o_custkey)") && !t.contains("approx_count_distinct"), t)
+    val d = WvToSql.generate(
+      "from orders group by o_orderpriority agg s = collect_set(o_orderstatus)",
+      Target.DuckDb)
+    assert(d.contains("array_agg(DISTINCT o_orderstatus)"), d)
+    val h = WvToSql.generate(
+      "from orders group by o_orderpriority agg c = count_if(o_totalprice > 100.0)",
+      Target.Hive)
+    assert(h.contains("sum(CASE WHEN") && !h.toLowerCase.contains("count_if"), h)
+    // exact percentile has no trino function — loud, not wrong SQL
+    intercept[WvToSql.Unsupported] {
+      WvToSql.generate("from orders group by o_orderpriority agg p = o_totalprice.percentile(0.5)",
+        Target.Trino)
+    }
+  }
+
+  test("qualified pivot measures and quoted strftime literals") {
+    // t.o_totalprice must register as column o_totalprice (not qualifier t)
+    // for group-column exclusion in the pivot rewrite
+    val d = WvToSql.generate(
+      """from orders as t
+        |select o_orderpriority, o_orderstatus, o_totalprice
+        |pivot on o_orderstatus in ('O') using total = t.o_totalprice.sum""".stripMargin,
+      Target.DuckDb)
+    assert(d.contains("GROUP BY o_orderpriority") && !d.contains("GROUP BY o_orderpriority, o_totalprice"), d)
+    // a Java-pattern quote escape must re-escape inside the SQL literal
+    val q = WvToSql.generate(
+      "from orders select d = o_orderdate.date_format(\"hh 'o''clock'\")", Target.DuckDb)
+    assert(q.contains("'%I o''clock'"), q)
+  }
+
+  test("duckdb array_except spelling preserves order, dups-once, and nulls") {
+    val d = WvToSql.generate("from part select r = [3, 1, null, 3].array_except([9])",
+      Target.DuckDb)
+    assert(d.contains("list_filter(") && d.contains("list_position(") &&
+      d.contains("y IS NULL"), d)
+    assert(!d.contains("list_distinct("), s"list_distinct drops nulls/order:\n$d")
+  }
+
   test("duckdb + trino targets: whole tpch corpus generates without Unsupported") {
     assume(new java.io.File(tpchDir).isDirectory, "tpch corpus not present")
     val files = new java.io.File(tpchDir).listFiles()
