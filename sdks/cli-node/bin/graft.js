@@ -15,8 +15,15 @@
 
 const fs = require("fs");
 const path = require("path");
-const { GraftClient, CompilationError } = require(path.join(
-  __dirname, "..", "..", "typescript", "src", "index.js"));
+// installed package: the @graft/graft dependency; repo checkout: the
+// sibling sdks/typescript sources (no install step needed for the specs)
+let clientMod;
+try {
+  clientMod = require("@graft/graft");
+} catch (e) {
+  clientMod = require(path.join(__dirname, "..", "..", "typescript", "src", "index.js"));
+}
+const { GraftClient, CompilationError } = clientMod;
 
 function usage(code) {
   process.stderr.write(

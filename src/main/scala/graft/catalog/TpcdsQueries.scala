@@ -483,25 +483,38 @@ reason AS (
     * 99 query texts. The ORACLE text is unchanged (prelude + query, one
     * portable statement for DuckDB); only the Spark execution resolves the
     * CTE names through the views. Dir switches re-register. */
-  private val viewsFor = scala.collection.concurrent.TrieMap.empty[Int, String]
+  // identity-keyed via WeakHashMap: identityHashCode alone can collide
+  // between a collected session and a new one, silently skipping view
+  // registration for the newcomer
+  private val viewsFor =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+  // dirs whose star parquet THIS process already wrote: the CTAS runs once
+  // per (JVM, dir) — a second session in the same JVM only re-registers
+  // views over the existing files instead of overwriting parquet another
+  // session's running queries may be mid-scan on. A marker left by a
+  // PREVIOUS process is still never trusted (the source dir could have
+  // been regenerated in between).
+  private val starWritten = scala.collection.mutable.Set.empty[String]
   private def ensureViews(spark: SparkSession, dir: String): Unit = synchronized {
-    val key = System.identityHashCode(spark)
-    if (!viewsFor.get(key).contains(dir)) {
+    if (viewsFor.get(spark) != dir) {
       val base = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_tpcds_star_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
-      // always (re)write on the first ensure per JVM — a marker left by a
-      // PREVIOUS process would serve stale facts if the source dir was
-      // regenerated in between (the same posture as the persisted-index
-      // memos: memoize within the JVM, never trust a prior one)
+      val writeFacts = !starWritten.contains(base)
       preludeCtes.foreach { case (n, body) =>
-        val df = graft.Graft.sqlScript(spark, body, Some(dir))
         if (materialized(n)) {
           val path = s"$base/$n"
-          df.write.mode("overwrite").parquet(path)
+          if (writeFacts) {
+            val df = graft.Graft.sqlScript(spark, body, Some(dir))
+            df.write.mode("overwrite").parquet(path)
+          }
           spark.read.parquet(path).createOrReplaceTempView(n)
-        } else df.createOrReplaceTempView(n)
+        } else {
+          graft.Graft.sqlScript(spark, body, Some(dir)).createOrReplaceTempView(n)
+        }
       }
-      viewsFor.put(key, dir)
+      starWritten += base
+      viewsFor.put(spark, dir)
     }
   }
 

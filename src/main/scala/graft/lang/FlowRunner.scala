@@ -115,13 +115,20 @@ object FlowRunner {
       leaseExpiresAtMillis = Some(System.currentTimeMillis() + leaseMs))
     store.foreach(_.save(runningRecord()))
     // The limit check above is check-then-claim: two concurrent claimants
-    // can both count runningNow < limit and both save. Close the window by
-    // re-listing AFTER our claim is visible and backing off (converting the
-    // claim to skipped) when over-claimed, keeping the `limit` oldest
-    // claims by runId order (runIds are timestamp-prefixed, so ordering is
-    // deterministic and every claimant computes the same survivor set).
+    // can both count runningNow < limit and both save. NARROW the window by
+    // re-listing AFTER our claim is visible — behind a settle delay so a
+    // near-simultaneous claimant's save lands before either side lists —
+    // and backing off (converting the claim to skipped) when over-claimed,
+    // keeping the `limit` oldest claims by runId order (runIds are
+    // timestamp-prefixed, so every claimant computes the same survivor
+    // set). This is BEST-EFFORT, not an atomic semaphore: a claimant whose
+    // re-list ran before the other's save became visible (skew beyond the
+    // settle delay) still proceeds; closing it fully needs an atomic claim
+    // primitive the file-backed store does not provide.
     limit.foreach { lim =>
       store.foreach { st =>
+        Thread.sleep(ctx.spark.conf.getOption("graft.flow.claimSettleMs")
+          .flatMap(_.toLongOption).getOrElse(100L))
         val live = st.list().filter(r =>
           r.flowName == fd.name && r.isLiveRunning(System.currentTimeMillis()))
         if (live.size > lim && !live.map(_.runId).sorted.take(lim).contains(runId))

@@ -1444,6 +1444,10 @@ object Lowering {
             lower(TableRef(corpus), ctx), idCol, payloadCol))
         case List(Some(corpus: String), Some(idCol: String), Some(payloadCol: String),
             Some(stride: Long), Some(maxF: Long)) =>
+          if (stride < 1) throw new LoweringException(
+            s"decode_video stride must be >= 1 (got $stride)")
+          if (maxF < 1) throw new LoweringException(
+            s"decode_video max_frames must be >= 1 (got $maxF)")
           Plain(graft.operators.Multimodal.decodeVideoFrames(
             lower(TableRef(corpus), ctx), idCol, payloadCol, stride.toInt, maxF.toInt))
         case _ =>

@@ -24,7 +24,7 @@ object Multimodal {
   /** Output schema of [[decodeImages]]: real pixel statistics per asset.
     * `decoded=false` rows (payload not a parseable image) keep NULL stats
     * instead of failing the batch — corrupt assets are data, not errors. */
-  def decodedSchema(histBuckets: Int): StructType = StructType(Seq(
+  val decodedSchema: StructType = StructType(Seq(
     StructField("img_id", LongType, nullable = false),
     StructField("decoded", BooleanType, nullable = false),
     StructField("width", IntegerType, nullable = true),
@@ -48,7 +48,7 @@ object Multimodal {
       histBuckets: Int = 8,
       targetPartitions: Int = 0
   ): DataFrame = {
-    val schema = decodedSchema(histBuckets)
+    val schema = decodedSchema // same shape for any bucket count
     val in = df.select(F.col(idCol).cast("long"), F.col(payloadCol).cast("binary"))
     mapMediaPartitions(in, targetPartitions)({ rows =>
       rows.map { r =>
@@ -336,27 +336,37 @@ object Multimodal {
           case Some(frames) if frames.nonEmpty =>
             // header dims for DIB-only streams: avih.dwWidth/dwHeight sit
             // 32/36 bytes into the avih chunk body; locating the chunk by
-            // fourcc scan keeps the parser independent of list layout
-            def headerDims: (Int, Int) = {
+            // fourcc scan keeps the parser independent of list layout.
+            // Raw byte compare (no per-offset String), the read of the
+            // dims bounds-checked (a fourcc match in the file's tail must
+            // degrade to unknown dims, not throw), and LAZY: MJPEG-only
+            // streams never pay the scan
+            lazy val headerDims: (Int, Int) = {
+              def u32(p: Int): Int =
+                ((bytes(p) & 0xff)) | ((bytes(p + 1) & 0xff) << 8) |
+                  ((bytes(p + 2) & 0xff) << 16) | ((bytes(p + 3) & 0xff) << 24)
               var o = 12
-              while (o + 8 <= bytes.length) {
-                if (new String(bytes.slice(o, o + 4), "US-ASCII") == "avih") {
-                  def u32(p: Int): Int =
-                    ((bytes(p) & 0xff)) | ((bytes(p + 1) & 0xff) << 8) |
-                      ((bytes(p + 2) & 0xff) << 16) | ((bytes(p + 3) & 0xff) << 24)
-                  return (u32(o + 8 + 32), u32(o + 8 + 36))
-                }
+              var dims: (Int, Int) = null
+              // need bytes up to o+8+39 for the dims read
+              while (dims == null && o + 48 <= bytes.length) {
+                if (bytes(o) == 'a' && bytes(o + 1) == 'v' &&
+                    bytes(o + 2) == 'i' && bytes(o + 3) == 'h')
+                  dims = (u32(o + 8 + 32), u32(o + 8 + 36))
                 o += 1
               }
-              (0, 0)
+              if (dims == null) (0, 0) else dims
             }
-            val (hw, hh) = headerDims
+            val step = math.max(1, stride) // 0/negative would divide-by-zero
             val sampled = frames.zipWithIndex
-              .filter { case (_, i) => i % stride == 0 }
+              .filter { case (_, i) => i % step == 0 }
               .take(maxFrames)
             val out = sampled.flatMap { case ((kind, data), idx) =>
-              val img = try decodeFrame(kind, data, hw, hh)
-                        catch { case _: Throwable => null }
+              val img = try {
+                // only DIB frames need the header dims — keep MJPEG-only
+                // streams from paying the lazy header scan at all
+                if (kind == "dc") decodeFrame(kind, data, 0, 0)
+                else decodeFrame(kind, data, headerDims._1, headerDims._2)
+              } catch { case _: Throwable => null }
               if (img == null) None
               else {
                 val w = img.getWidth

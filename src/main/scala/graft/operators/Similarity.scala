@@ -23,10 +23,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** (path -> (content fingerprint, persisted frame)) for indexes below
-    * the pruned-read crossover — see [[lshTopKPartitionedIndex]]. */
-  private val smallIndexCache =
-    scala.collection.concurrent.TrieMap.empty[String, (String, org.apache.spark.sql.DataFrame)]
+  /** (path -> (owning session, content fingerprint, persisted frame)) for
+    * indexes below the pruned-read crossover — see
+    * [[lshTopKPartitionedIndex]]. A cached frame is bound to the
+    * SparkSession that read it: a hit from a DIFFERENT (or stopped)
+    * session must reload rather than hand out a foreign plan. */
+  private val smallIndexCache = scala.collection.concurrent.TrieMap
+    .empty[String, (org.apache.spark.sql.SparkSession, String, org.apache.spark.sql.DataFrame)]
 
   /** Deterministic random hyperplanes: `planes` × dim, seed fixed.
     * `private[graft]` so the oracle-SQL builder (QueryCatalog) can inline the
@@ -722,11 +725,20 @@ object Similarity {
         // rewritten index (changed fingerprint) reloads.
         val fp = s"$indexBytes:${fs.getFileStatus(hPath).getModificationTime}"
         smallIndexCache.get(indexPath) match {
-          case Some((cachedFp, df)) if cachedFp == fp => df
+          // context-granular ownership: a cloned session over the same
+          // SparkContext may reuse the pure parquet-read frame; a
+          // different or stopped context must reload
+          case Some((owner, cachedFp, df))
+              if (owner.sparkContext eq spark.sparkContext) && cachedFp == fp &&
+                !spark.sparkContext.isStopped => df
           case stale =>
-            stale.foreach(s => try s._2.unpersist() catch { case _: Throwable => () })
+            // unpersist only a same-context stale entry: another context's
+            // frame is not ours to evict (it may be stopped, and dropping
+            // its cache blocks mid-query is a correctness hazard)
+            stale.filter(_._1.sparkContext eq spark.sparkContext)
+              .foreach(s => try s._3.unpersist() catch { case _: Throwable => () })
             val loaded = spark.read.parquet(indexPath).persist()
-            smallIndexCache.put(indexPath, (fp, loaded))
+            smallIndexCache.put(indexPath, (spark, fp, loaded))
             loaded
         }
       } else {

@@ -118,7 +118,15 @@ final class LineEditor(
         case 27 => // ESC sequence
           in.read() match {
             case '[' =>
-              in.read() match {
+              // full CSI grammar: parameter bytes 0x30-0x3F (digits, ';'),
+              // then one final byte 0x40-0x7E. Consuming the WHOLE sequence
+              // keeps modifier forms (ctrl-arrow ESC[1;5C) from leaking
+              // their tail bytes into the edit buffer as literal text.
+              val params = new StringBuilder
+              var fin = in.read()
+              while (fin >= 0x30 && fin <= 0x3f) { params += fin.toChar; fin = in.read() }
+              val p = params.toString
+              fin match {
                 case 'A' => // up: older history
                   if (histIdx > 0) {
                     if (histIdx == history.length) stash = buf.toString
@@ -133,17 +141,35 @@ final class LineEditor(
                 case 'D' => if (cursor > 0) { cursor -= 1; redraw() }
                 case 'H' => cursor = 0; redraw()
                 case 'F' => cursor = buf.length; redraw()
-                case '3' => // delete: ESC [ 3 ~
-                  if (in.read() == '~' && cursor < buf.length) {
-                    buf.deleteCharAt(cursor); redraw()
-                  }
-                case '1' => if (in.read() == '~') { cursor = 0; redraw() }
-                case '4' => if (in.read() == '~') { cursor = buf.length; redraw() }
-                case _ => ()
+                case '~' => p match {
+                  case "3" => // delete
+                    if (cursor < buf.length) { buf.deleteCharAt(cursor); redraw() }
+                  case "1" | "7" => cursor = 0; redraw() // home variants
+                  case "4" | "8" => cursor = buf.length; redraw() // end variants
+                  case _ => () // other ~-terminated keys: ignored, fully consumed
+                }
+                case _ => () // unknown final byte: sequence consumed, no-op
               }
             case _ => () // bare ESC — ignored
           }
-        case ch if ch >= 32 =>
+        case ch if ch >= 0xc2 && ch <= 0xf4 =>
+          // UTF-8 multibyte lead: read the continuation bytes and decode —
+          // inserting raw bytes would mojibake every non-ASCII char
+          val n = if (ch >= 0xf0) 3 else if (ch >= 0xe0) 2 else 1
+          val bytes = new Array[Byte](n + 1)
+          bytes(0) = ch.toByte
+          var k = 0
+          var ok = true
+          while (k < n && ok) {
+            val b = in.read()
+            if (b < 0x80 || b > 0xbf) ok = false
+            else { bytes(k + 1) = b.toByte; k += 1 }
+          }
+          if (ok) {
+            val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+            buf.insert(cursor, s); cursor += s.length; redraw()
+          }
+        case ch if ch >= 32 && ch < 127 =>
           buf.insert(cursor, ch.toChar); cursor += 1; redraw()
         case _ => ()
       }

@@ -214,7 +214,7 @@ object Subscribe {
   /** Per-path cache for [[dedupIncrementalAppend]]'s path flavor: the
     * loaded + persisted signature frame and the directory fingerprint it
     * was loaded under. */
-  private case class CachedIndex(fingerprint: String, df: DataFrame)
+  private case class CachedIndex(owner: SparkSession, fingerprint: String, df: DataFrame)
   private val indexCache =
     scala.collection.concurrent.TrieMap.empty[String, CachedIndex]
 
@@ -229,7 +229,13 @@ object Subscribe {
   private def indexFingerprint(spark: SparkSession, path: String): String = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath))
+      throw new IllegalArgumentException(
+        s"dedup index path '$path' does not exist — build it first (minhash_index CTAS)")
     val files = fs.listStatus(hPath).filterNot(_.getPath.getName.startsWith("_"))
+    if (files.isEmpty)
+      throw new IllegalArgumentException(
+        s"dedup index path '$path' has no data files — the index CTAS produced an empty frame")
     s"${files.length}:${files.map(_.getLen).sum}:${files.map(_.getModificationTime).max}"
   }
 
@@ -261,12 +267,21 @@ object Subscribe {
         val spark = batch.sparkSession
         val fp = indexFingerprint(spark, indexPath)
         val idx = indexCache.get(indexPath) match {
-          case Some(c) if c.fingerprint == fp => c.df
+          // ownership at SparkContext granularity: foreachBatch hands each
+          // micro-batch a CLONED session over the same context, and the
+          // persisted frame (a pure parquet read, no session state) stays
+          // valid for every session of that context — but never for a
+          // different or stopped context
+          case Some(c) if (c.owner.sparkContext eq spark.sparkContext) &&
+              c.fingerprint == fp && !spark.sparkContext.isStopped => c.df
           case stale =>
-            stale.foreach(c => try c.df.unpersist() catch { case _: Throwable => () })
+            // only a same-context stale entry is ours to unpersist — a
+            // foreign context's frame may still be serving its own queries
+            stale.filter(_.owner.sparkContext eq spark.sparkContext)
+              .foreach(c => try c.df.unpersist() catch { case _: Throwable => () })
             val loaded = spark.read.parquet(indexPath).persist()
             indexReloads.incrementAndGet()
-            indexCache.put(indexPath, CachedIndex(fp, loaded))
+            indexCache.put(indexPath, CachedIndex(spark, fp, loaded))
             loaded
         }
         graft.operators.Dedup
