@@ -36,6 +36,11 @@ object Run {
         case "--csv" => format = "csv"; i += 1
         case "--transpile" => transpile = true; i += 1
         case "--fmt" => fmt = true; i += 1
+        case "--version" | "version" =>
+          // reference WvletCli.version (wvlet-cli-core/src/main/scala/
+          // wvlet/lang/cli/WvletCli.scala:24) — the default subcommand
+          println(s"graft ${graft.server.Server.Version} (Spark ${org.apache.spark.SPARK_VERSION})")
+          return
         case "--to-sql" => toSql = true; i += 1
         case "--target" | "-t" => target = args(i + 1); i += 2
         case "--compile" => compileOnly = true; i += 1

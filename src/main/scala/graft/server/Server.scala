@@ -51,6 +51,9 @@ import java.util.concurrent.{ConcurrentHashMap, Executors}
   */
 object Server {
 
+  /** Library version, reported by /api/v1/status and `graft.Run --version`. */
+  val Version = "0.9"
+
   final case class QueryState(
       queryId: String,
       query: String,
@@ -194,7 +197,7 @@ object Server {
 
     http.createContext("/api/v1/status", handler { ex =>
       send(ex, 200, Map(
-        "version" -> "0.9",
+        "version" -> Version,
         "upTimeMs" -> (System.nanoTime() - startNs) / 1000000L))
     })
 

@@ -266,6 +266,13 @@ class DiffFuzzSpec extends SparkTestBase {
         // dialect-coverage failure, not a skip.
         val hiveSql = WvToSql.generate(q, WvToSql.Target.Hive)
         val viaHive = rowsOf(spark.sql(hiveSql))
+        // sixth leg (generation-robustness): duckdb/trino texts can't
+        // execute here, but generation must either succeed or throw a
+        // deliberate Unsupported — any other exception is a generator crash
+        Seq(WvToSql.Target.DuckDb, WvToSql.Target.Trino).foreach { t =>
+          try WvToSql.generate(q, t)
+          catch { case _: WvToSql.Unsupported => () }
+        }
         if (viaDf == viaSql && viaDf == viaPrinted && viaDf == viaHive &&
             viaTranspiled.forall(_ == viaDf)) ok += 1
         else if (viaDf != viaSql)
