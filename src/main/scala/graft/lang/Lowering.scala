@@ -108,9 +108,30 @@ object Lowering {
                 case b: Boolean => BoolLit(b)
                 case n: Long => LongLit(n)
                 case i: Int => LongLit(i.toLong)
+                case i: Short => LongLit(i.toLong)
+                case i: Byte => LongLit(i.toLong)
                 case d: Double => DoubleLit(d)
+                case f: Float => DoubleLit(f.toDouble)
                 case s: String => StringLit(s)
-                case other => StringLit(other.toString)
+                case d: java.math.BigDecimal => DecimalLit(BigDecimal(d))
+                case arr: scala.collection.Seq[_] =>
+                  // array-valued val (e.g. val ks = split(...)): keep it an
+                  // array literal so `in(ks)` / subscripts stay typed
+                  ArrayLit(arr.toList.map {
+                    case null => NullLit()
+                    case b: Boolean => BoolLit(b)
+                    case n: Long => LongLit(n)
+                    case i: Int => LongLit(i.toLong)
+                    case d: Double => DoubleLit(d)
+                    case s: String => StringLit(s)
+                    case other => StringLit(String.valueOf(other))
+                  })
+                // dates/timestamps render as their ISO text — comparisons
+                // against date/timestamp columns re-cast on use
+                case d: java.sql.Date => StringLit(d.toString)
+                case t: java.sql.Timestamp => StringLit(t.toString)
+                case other => throw new LoweringException(
+                  s"val result type ${other.getClass.getSimpleName} cannot be re-bound as a literal")
               }
             } catch { case _: Throwable => e } // fall back to substitution
       case f: FuncDef => ctx.funcs(f.name.toLowerCase) = f
@@ -213,10 +234,24 @@ object Lowering {
           else ctx.spark.catalog.tableExists(table)
         if (!exists && ifExists) () // `if exists` on a missing target: no-op
         else op match {
-          // catalog-level operations → Spark DDL verbatim
+          // catalog-level operations → Spark DDL for catalog tables; a
+          // PATH target would crash Spark's DDL parser on the slash, so
+          // rename maps to a filesystem move and properties (which a bare
+          // parquet directory cannot carry) error cleanly
           case RenameTableTo(n) =>
-            ctx.spark.sql(s"ALTER TABLE $table RENAME TO $n").collect()
+            if (isPath) {
+              val from = new java.io.File(resolveTargetPath(table, ctx))
+              val to =
+                if (isPathTarget(n)) new java.io.File(resolveTargetPath(n, ctx))
+                else new java.io.File(from.getParentFile, n)
+              if (!from.renameTo(to))
+                throw new LoweringException(
+                  s"cannot rename '$from' to '$to' (target exists or filesystem refused)")
+            } else ctx.spark.sql(s"ALTER TABLE $table RENAME TO $n").collect()
           case SetPropertiesOp(props) =>
+            if (isPath)
+              throw new LoweringException(
+                s"'$table' is a file path — bare parquet has no table properties to set")
             val kv = props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ")
             ctx.spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ($kv)").collect()
           case AddColumnOp(c, t, ifNotExists) =>
@@ -386,22 +421,16 @@ object Lowering {
     last
   }
 
-  /** '10 ms' / '2 s' / '7 days' → milliseconds (wait() argument). */
-  private def parseDurationMs(s: String): Long = {
-    val parts = s.trim.split("\\s+")
-    val v = parts(0).toLong
-    val unit = (if (parts.length > 1) parts(1) else "ms").toLowerCase
-    val mult =
-      if (unit == "ms" || unit.startsWith("milli")) 1L
-      else unit.stripSuffix("s") match {
-        case "" | "sec" | "second" => 1000L
-        case "m" | "min" | "minute" => 60000L
-        case "h" | "hr" | "hour" => 3600000L
-        case "d" | "day" => 86400000L
-        case _ => 1L
-      }
-    v * mult
-  }
+  /** '10 ms' / '2 s' / '7 days' → milliseconds (wait() argument). Shares
+    * [[graft.streaming.Subscribe.durationMs]]: one duration grammar across
+    * the language (space-free forms accepted, unknown units REJECTED — a
+    * silently-milliseconds '2 weeks' waited 2 ms). */
+  private def parseDurationMs(s: String): Long =
+    try graft.streaming.Subscribe.durationMs(s)
+    catch {
+      case e: Exception => throw new LoweringException(
+        s"wait: cannot parse duration '$s' (${e.getMessage})")
+    }
 
   /** saveAsTable in overwrite mode errors with LOCATION_ALREADY_EXISTS when
     * the metastore forgot the table (fresh session) but its warehouse dir
@@ -431,10 +460,12 @@ object Lowering {
         w.saveAsTable(target)
     }
 
+  // ENDS-with, not contains: a schema-qualified catalog table like
+  // 'etl.json_events' must not be misread as a file path (same guard as
+  // resolveTable's extension regex)
   private def isPathTarget(target: String): Boolean =
-    target.contains("/") || target.contains(".parquet") || target.contains(".csv") ||
-      target.contains(".orc") || target.contains(".json") ||
-      target.contains(".txt") || target.contains(".text")
+    target.contains("/") ||
+      target.toLowerCase.matches(".*\\.(parquet|csv|orc|json|txt|text)(\\.gz)?$")
 
   /** File-sink format dispatch by target extension — parquet default, csv
     * with header (the reference's DuckDB COPY contract), plus orc and json
@@ -831,13 +862,27 @@ object Lowering {
     }
     val grouped = g.pivot match {
       case Some((pc, vals)) if g.style == GroupingStyle.Plain =>
+        if (g.havings.nonEmpty)
+          // the pivoted aggregate renames every agg column per pivot value
+          // ('2023___having_0'), so the post-agg having filter cannot
+          // resolve — loud error instead of UNRESOLVED_COLUMN
+          throw new LoweringException(
+            "having over a pivoted aggregate is not supported — filter after the pivot instead")
         if (vals.nonEmpty) grouped0.pivot(pc, vals) else grouped0.pivot(pc)
       case Some(_) =>
         throw new LoweringException("pivot cannot combine with rollup/cube/grouping sets")
       case None => grouped0
     }
+    // key-only output: a plain group-by is just DISTINCT keys, but
+    // rollup/cube/grouping-sets must still run the styled aggregate (their
+    // subtotal and grand-total rows are part of the key space) — a dummy
+    // aggregate materializes the grouping rows and is dropped
+    val keyOnlyDistinct = allAggs.isEmpty &&
+      g.style == GroupingStyle.Plain && g.pivot.isEmpty
     var out =
-      if (allAggs.isEmpty) g.df.select(keyCols: _*).distinct()
+      if (keyOnlyDistinct) g.df.select(keyCols: _*).distinct()
+      else if (allAggs.isEmpty)
+        grouped.agg(F.count(F.lit(1)).as("__graft_keyonly")).drop("__graft_keyonly")
       else grouped.agg(allAggs.head, allAggs.tail: _*)
     if (g.pivot.isDefined && pivotCountFill) {
       // count pivot: absent combinations are 0, not null (DuckDB parity)
@@ -846,7 +891,7 @@ object Lowering {
         out.columns.filterNot(c => keyNames.exists(_.equalsIgnoreCase(c)) ||
           c.startsWith("__having_")))
     }
-    if (g.style.isInstanceOf[GroupingStyle.Sets] && allAggs.nonEmpty) {
+    if (g.style.isInstanceOf[GroupingStyle.Sets] && !keyOnlyDistinct) {
       val keyNames = g.keys.zipWithIndex.map { case (k, i) => itemName(k, i) }
       out = out.toDF(keyNames ++ out.columns.drop(keyNames.length): _*)
     }
@@ -1961,8 +2006,11 @@ object Lowering {
     case CountRel(child) =>
       lowerRel(child, ctx) match {
         case g: Grouped =>
-          // count the number of groups
-          val keysDf = aggregate(g.copy(havings = Nil), Nil, Nil, ctx)
+          // count the number of groups — havings stay: `group by k where
+          // _.count > 5 | count` counts only the groups passing the filter
+          // (aggregate() computes and applies them; dropping them here
+          // diverged from the SQL generator's HAVING-preserving block)
+          val keysDf = aggregate(g, Nil, Nil, ctx)
           Plain(keysDf.agg(F.count(F.lit(1)).as("count")))
         case Plain(df) => Plain(df.agg(F.count(F.lit(1)).as("count")))
       }
@@ -2350,7 +2398,8 @@ object Lowering {
       // shape LLM-pipeline text operators (text_quality, langid, dedup)
       // consume directly; gz decompression is codec-automatic
       spark.read.text(resolved)
-    else if (lower.endsWith(".csv"))
+    else if (lower.endsWith(".csv") || lower.endsWith(".csv.gz"))
+      // gz decompression is codec-automatic, same as .txt.gz/.json.gz
       spark.read.option("header", "true").option("inferSchema", "true").csv(resolved)
     else if (lower.endsWith(".json") || lower.endsWith(".json.gz"))
       readJsonAnyShape(spark, resolved)
@@ -2435,13 +2484,24 @@ object Lowering {
     // evaluate each literal cell; a deterministic column-free expression
     // (cast('2023-01-01' as date), typed decimal…) folds driver-side over a
     // 1-row plan — values literals are small by construction
-    def evalCell(e: Expr): Any =
-      try ctx.spark.range(1)
-        .select(expr(e, ExprCtx(ctx, aggMode = false)).as("v")).collect().head.get(0)
-      catch {
-        case _: Throwable =>
-          throw new LoweringException(s"values cell must be constant: $e")
+    def evalCell(e: Expr): Any = {
+      val v =
+        try ctx.spark.range(1)
+          .select(expr(e, ExprCtx(ctx, aggMode = false)).as("v")).collect().head.get(0)
+        catch {
+          case _: Throwable =>
+            throw new LoweringException(s"values cell must be constant: $e")
+        }
+      // normalize narrow numerics so the inference below sees Long/Double
+      // (a `cast(5 as int)` cell otherwise fell through to StringType)
+      v match {
+        case i: Int => i.toLong
+        case i: Short => i.toLong
+        case i: Byte => i.toLong
+        case f: Float => f.toDouble
+        case other => other
       }
+    }
     val cells: List[List[Any]] = v.rows.map(_.map(e =>
       constValue(e).getOrElse(evalCell(e))))
     // per-column type inference with numeric widening
@@ -3394,7 +3454,14 @@ object Lowering {
         "scalar subquery is not supported in this position; supported: " +
           "where, select, add, agg, having, join conditions")
     case InSubquery(_, _, _) | ExistsExpr(_) =>
-      throw new LoweringException("subquery predicate outside where-clause context")
+      // reached for non-conjunct positions too (e.g. `x in {…} or y > 5`:
+      // the subquery extraction walks top-level AND conjuncts only) — name
+      // the actual limitation and a rewrite, not a false "outside where"
+      throw new LoweringException(
+        "IN/EXISTS subqueries are supported only as top-level AND conjuncts " +
+          "of where/having (and join conditions) — a subquery under OR/NOT " +
+          "is not decorrelated; rewrite as a union of filters or join the " +
+          "subquery explicitly")
     case Underscore => F.lit(1)
     case other => throw new LoweringException(s"cannot lower expression: $other")
   }

@@ -58,6 +58,49 @@ class LangSpec extends SparkTestBase {
     """)
   }
 
+  test("count after group-by HAVING counts only passing groups") {
+    // `group by k where <agg> | count` must apply the having before the
+    // group count (dropping it counted ALL groups, diverging from SQL)
+    wv("""
+      from [[1, 'a'], [1, 'b'], [1, 'c'], [2, 'd']] as t(id, name)
+      group by id
+      where _.count >= 3
+      count
+      test _.rows should be [[1]]
+    """)
+  }
+
+  test("key-only rollup keeps subtotal and grand-total rows") {
+    // rollup + no aggregates must still produce the styled grouping rows
+    // (the distinct-keys shortcut lost the null subtotals)
+    wv("""
+      from [[1, 'x'], [1, 'y'], [2, 'x']] as t(a, b)
+      group by rollup a, b
+      count
+      test _.rows should be [[6]]
+    """)
+    // (1,x),(1,y),(2,x),(1,null),(2,null),(null,null) = 6 grouping rows
+  }
+
+  test("array-valued val stays an array") {
+    wv("""
+      val ks = split('a,b', ',')
+      from [['a'], ['b'], ['c']] as t(k)
+      where k.in(ks[1], ks[2])
+      count
+      test _.rows should be [[2]]
+    """)
+  }
+
+  test("int-typed values cells stay numeric") {
+    wv("""
+      from [[cast(5 as int)], [cast(10 as int)]] as t(v)
+      where v > 9
+      count
+      test _.rows should be [[1]]
+    """)
+  }
+
   test("bare group by + having via where + select") {
     wv("""
       from [[1, 'x'], [2, 'x'], [3, 'y']] as t(id, tag)
