@@ -122,19 +122,16 @@ object SqlDialect {
           normalize(spark, s"CREATE TABLE $name $rest")
       case _ =>
     }
-    // DELETE FROM t WHERE c → rewrite-the-survivors (plain parquet v1
-    // tables have no row-level delete; same strategy as the flow language's
-    // DeleteStmt lowering, expressed in SQL statements)
+    // DELETE FROM t WHERE c → rewrite-the-survivors in place, reusing the
+    // ALTER TABLE layout-preserving rewrite (the previous tmp-CTAS + rename
+    // dance silently dropped the table's partitioning/bucketing)
     val delRe = """(?is)^DELETE\s+FROM\s+(\S+)\s+WHERE\s+(.+)$""".r
     bare match {
       case delRe(name, cond) =>
-        val tmp = s"__graft_delete_tmp_${math.abs(name.hashCode)}"
-        return List(
-          s"DROP TABLE IF EXISTS $tmp",
-          s"CREATE TABLE $tmp AS SELECT * FROM $name WHERE NOT coalesce(($cond), false)",
-          s"DROP TABLE $name",
-          s"ALTER TABLE $tmp RENAME TO $name"
-        ).flatMap(s => normalize(spark, s))
+        val plain = name.replace("`", "").replace("\"", "")
+        val fixedCond = rewriteExpressions(cond)
+        return rewriteTableInPlace(spark, plain,
+          df => df.filter(s"NOT coalesce(($fixedCond), false)"))
       case _ =>
     }
     // CREATE TABLE: Trino/Postgres DDL surface Spark lacks → normalize
@@ -202,35 +199,8 @@ object SqlDialect {
         if (ifE != null && !exists) return Nil
         val rest = rest0.trim
         def schemaOf = spark.table(plain).schema
-        def rewrite(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): List[String] = {
-          // materialize via localCheckpoint to break lineage from the files
-          // being overwritten, then rewrite in place — re-applying the
-          // table's partitioning/bucketing layout, which saveAsTable would
-          // otherwise silently drop. A layout column removed or renamed by
-          // the transform itself can't be re-applied; it is dropped from
-          // the layout (the surviving columns keep theirs).
-          val meta =
-            try Some(spark.sessionState.catalog.getTableMetadata(
-              spark.sessionState.sqlParser.parseTableIdentifier(plain)))
-            catch { case _: Throwable => None }
-          val out = f(spark.table(plain)).localCheckpoint()
-          val outCols = out.columns.map(_.toLowerCase).toSet
-          var w = out.write.mode("overwrite")
-          meta.foreach { m =>
-            val parts = m.partitionColumnNames.filter(c => outCols(c.toLowerCase))
-            if (parts.nonEmpty) w = w.partitionBy(parts: _*)
-            m.bucketSpec.foreach { b =>
-              val bCols = b.bucketColumnNames.filter(c => outCols(c.toLowerCase))
-              if (bCols.nonEmpty) {
-                w = w.bucketBy(b.numBuckets, bCols.head, bCols.tail: _*)
-                val sCols = b.sortColumnNames.filter(c => outCols(c.toLowerCase))
-                if (sCols.nonEmpty) w = w.sortBy(sCols.head, sCols.tail: _*)
-              }
-            }
-          }
-          w.saveAsTable(plain)
-          Nil
-        }
+        def rewrite(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): List[String] =
+          rewriteTableInPlace(spark, plain, f)
         val renameTo = """(?is)^RENAME\s+TO\s+([\w.`"]+)\s*$""".r
         val addCol =
           """(?is)^ADD\s+COLUMNS?\s+(IF\s+NOT\s+EXISTS\s+)?([\w`"]+)\s+(\w+(?:\s*\([^)]*\))?(?:\s*<[^>]*>)?)(\s+NOT\s+NULL)?(\s+COMMENT\s+'(?:[^']|'')*')?\s*$""".r
@@ -307,6 +277,38 @@ object SqlDialect {
     * `( LIKE t INCLUDING PROPERTIES )` to Spark `LIKE t`, and give
     * properties-only definitions a placeholder column (Spark requires a
     * schema). */
+  /** Materialize via localCheckpoint to break lineage from the files being
+    * overwritten, then rewrite in place — re-applying the table's
+    * partitioning/bucketing layout, which saveAsTable would otherwise
+    * silently drop. A layout column removed or renamed by the transform
+    * itself can't be re-applied; it is dropped from the layout (the
+    * surviving columns keep theirs). Shared by the ALTER TABLE column ops
+    * and the DELETE FROM rewrite. */
+  private def rewriteTableInPlace(spark: SparkSession, plain: String,
+      f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): List[String] = {
+    val meta =
+      try Some(spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(plain)))
+      catch { case _: Throwable => None }
+    val out = f(spark.table(plain)).localCheckpoint()
+    val outCols = out.columns.map(_.toLowerCase).toSet
+    var w = out.write.mode("overwrite")
+    meta.foreach { m =>
+      val parts = m.partitionColumnNames.filter(c => outCols(c.toLowerCase))
+      if (parts.nonEmpty) w = w.partitionBy(parts: _*)
+      m.bucketSpec.foreach { b =>
+        val bCols = b.bucketColumnNames.filter(c => outCols(c.toLowerCase))
+        if (bCols.nonEmpty) {
+          w = w.bucketBy(b.numBuckets, bCols.head, bCols.tail: _*)
+          val sCols = b.sortColumnNames.filter(c => outCols(c.toLowerCase))
+          if (sCols.nonEmpty) w = w.sortBy(sCols.head, sCols.tail: _*)
+        }
+      }
+    }
+    w.saveAsTable(plain)
+    Nil
+  }
+
   private def normalizeCreateTable(spark: SparkSession, stmt0: String): String = {
     var stmt = stmt0
     // Trino `LIKE t [INCLUDING|EXCLUDING PROPERTIES]` column-list entries →
@@ -321,8 +323,34 @@ object SqlDialect {
     if (stripComments(stmt).trim.matches(
         """(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?[\w.`"]+\s+LIKE\s+[\w.`"]+\s*"""))
       expanding = false
+    // …and never inside a CTAS body: a LIKE there is a predicate, not a
+    // Trino column entry (`CREATE TABLE t AS SELECT if(n LIKE p, 1, 0)…`
+    // misread the pattern as a source table). Column-entry LIKEs can only
+    // occur before the top-level AS.
+    val ctasAsPos: Int = {
+      val mask = stringMask(stmt)
+      var depth = 0
+      var pos = -1
+      val asRe = """(?i)\bAS\b""".r
+      var k = 0
+      while (pos < 0 && k < stmt.length) {
+        val c = stmt.charAt(k)
+        if (!mask(k)) {
+          if (c == '(' || c == '[') depth += 1
+          else if (c == ')' || c == ']') depth -= 1
+          else if (depth == 0 && (c == 'a' || c == 'A') &&
+              asRe.findPrefixOf(stmt.substring(k)).isDefined &&
+              (k == 0 || (!stmt.charAt(k - 1).isLetterOrDigit && stmt.charAt(k - 1) != '_')))
+            pos = k
+        }
+        k += 1
+      }
+      pos
+    }
     while (expanding) {
       findOutsideStrings(stmt, likeRe) match {
+        case Some((start, _)) if ctasAsPos >= 0 && start > ctasAsPos =>
+          expanding = false // LIKE inside the CTAS query body — a predicate
         case Some((start, _)) =>
           val m = likeRe.findAllMatchIn(stmt).find(_.start == start).get
           val src = m.group(1).replace("`", "").replace("\"", "")
@@ -452,11 +480,12 @@ object SqlDialect {
     // grammar only parenthesizes multi-parameter lambdas)
     s = replaceOutsideStrings(s,
       """\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*->""", "$1 ->")
-    // DuckDB numeric truthiness in an identity lambda predicate (`x -> x`):
-    // truthy = non-null and non-zero; Spark lambdas are typed boolean
-    s = replaceOutsideStrings(s,
-      """\b([A-Za-z_][A-Za-z0-9_]*)\s*->\s*\1\s*([,)])""",
-      "$1 -> coalesce($1, 0) <> 0$2")
+    // DuckDB numeric truthiness in an identity lambda PREDICATE (`x -> x`
+    // inside a filter-family call): truthy = non-null and non-zero; Spark
+    // lambdas are typed boolean. Anchored to the ENCLOSING CALL NAME — a
+    // bare identity-lambda rewrite also converted value-returning lambdas
+    // (aggregate finishers, transform) to booleans
+    s = rewriteIdentityLambdaPredicates(s)
     // `VALUES (struct(…))` single-struct rows: Spark's inline-table rule
     // expands a lone struct row into its fields, breaking 1-column aliases —
     // rewrite to a SELECT chain that keeps the struct value intact
@@ -975,8 +1004,10 @@ object SqlDialect {
     s.foreach {
       case '\'' => inStr = !inStr; sb += '\''
       case c if inStr => sb += c
-      case '(' | '[' => depth += 1; sb += '('
-      case ')' | ']' => depth -= 1; sb += ')'
+      // brackets count for depth but pass through UNCHANGED — rewriting
+      // [ to ( corrupted subscripts (`k[1]` became the call `k(1)`)
+      case c @ ('(' | '[') => depth += 1; sb += c
+      case c @ (')' | ']') => depth -= 1; sb += c
       case ',' if depth == 0 => out += sb.toString.trim; sb.clear()
       case c => sb += c
     }
@@ -1144,6 +1175,19 @@ object SqlDialect {
       if (!inStr && c == '-' && k + 1 < s.length && s.charAt(k + 1) == '-') {
         flush()
         while (k < s.length && s.charAt(k) != '\n') { sb += s.charAt(k); k += 1 }
+      } else if (!inStr && c == '/' && k + 1 < s.length && s.charAt(k + 1) == '*') {
+        // block comment: copy through untouched (an apostrophe inside one
+        // must not flip string state for the rest of the statement)
+        flush()
+        val end = s.indexOf("*/", k + 2)
+        val stop = if (end < 0) s.length else end + 2
+        while (k < stop) { sb += s.charAt(k); k += 1 }
+      } else if (!inStr && c == '`') {
+        // backtick identifier (Spark native quoting): copy untouched
+        flush()
+        sb += '`'; k += 1
+        while (k < s.length && s.charAt(k) != '`') { sb += s.charAt(k); k += 1 }
+        if (k < s.length) { sb += '`'; k += 1 }
       } else if (!inStr && c == '"') {
         // double-quoted identifier: copy through untouched ("" stays escaped)
         flush()
@@ -1193,21 +1237,82 @@ object SqlDialect {
       .map(m => (m.start, m.end - 1))
   }
 
-  /** mask(i) = i is inside a string literal, a double-quoted identifier, or
-    * a `--` comment — rules must not fire in any of them; comment
+  private val identityLambdaHosts =
+    Set("filter", "list_filter", "array_filter", "any_match", "all_match", "none_match")
+
+  /** `x -> x` inside a filter-family call → `x -> coalesce(x, 0) <> 0`
+    * (DuckDB numeric truthiness). The enclosing call is found by scanning
+    * back to the unmatched '(' and reading the identifier before it, so a
+    * first argument full of commas/parens (`filter(array(1,2,NULL), x->x)`)
+    * anchors correctly and value-returning identity lambdas elsewhere
+    * (transform, aggregate finishers) stay untouched. */
+  private def rewriteIdentityLambdaPredicates(s0: String): String = {
+    val re = """\b([A-Za-z_][A-Za-z0-9_]*)\s*->\s*\1\s*([,)])""".r
+    var s = s0
+    var search = 0
+    var continue = true
+    while (continue) {
+      val mask = stringMask(s)
+      re.findAllMatchIn(s).find(m => m.start >= search && !mask(m.start)) match {
+        case None => continue = false
+        case Some(m) =>
+          var depth = 0
+          var k = m.start - 1
+          var open = -1
+          while (open < 0 && k >= 0) {
+            val c = s.charAt(k)
+            if (!mask(k)) {
+              if (c == ')' || c == ']') depth += 1
+              else if (c == '(' || c == '[') {
+                if (depth == 0) open = k else depth -= 1
+              }
+            }
+            k -= 1
+          }
+          val fnName =
+            if (open > 0) {
+              var e = open - 1
+              while (e >= 0 && s.charAt(e).isWhitespace) e -= 1
+              var b = e
+              while (b >= 0 && (s.charAt(b).isLetterOrDigit || s.charAt(b) == '_')) b -= 1
+              s.substring(b + 1, e + 1).toLowerCase
+            } else ""
+          if (identityLambdaHosts(fnName)) {
+            val v = m.group(1)
+            val tail = m.group(2)
+            val repl = s"$v -> coalesce($v, 0) <> 0$tail"
+            s = s.substring(0, m.start) + repl + s.substring(m.end)
+            search = m.start + repl.length
+          } else search = m.end
+      }
+    }
+    s
+  }
+
+  /** mask(i) = i is inside a string literal, a quoted identifier
+    * (double-quote or backtick), or a comment (`--` line or slash-star
+    * block) — rules must not fire in any of them; comment/backtick
     * apostrophes do not flip string state. */
   private def stringMask(s: String): Array[Boolean] = {
     val mask = new Array[Boolean](s.length)
     var inStr = false
     var inDq = false
+    var inBt = false
     var k = 0
     while (k < s.length) {
       val c = s.charAt(k)
-      if (!inStr && !inDq && c == '-' && k + 1 < s.length && s.charAt(k + 1) == '-') {
+      if (!inStr && !inDq && !inBt && c == '-' && k + 1 < s.length && s.charAt(k + 1) == '-') {
         while (k < s.length && s.charAt(k) != '\n') { mask(k) = true; k += 1 }
-      } else if (!inStr && c == '"') { mask(k) = true; inDq = !inDq; k += 1 }
-      else if (!inDq && c == '\'') { mask(k) = true; inStr = !inStr; k += 1 }
-      else { mask(k) = inStr || inDq; k += 1 }
+      } else if (!inStr && !inDq && !inBt && c == '/' && k + 1 < s.length &&
+          s.charAt(k + 1) == '*') {
+        // block comment: mask through the closing */ (or to end of input)
+        val end = s.indexOf("*/", k + 2)
+        val stop = if (end < 0) s.length else end + 2
+        while (k < stop) { mask(k) = true; k += 1 }
+      } else if (!inStr && !inBt && c == '"') { mask(k) = true; inDq = !inDq; k += 1 }
+      else if (!inStr && !inDq && c == '`') { mask(k) = true; inBt = !inBt; k += 1 }
+      else if (!inDq && !inBt && c == '\'') { mask(k) = true; inStr = !inStr; k += 1 }
+      else { mask(k) = inStr || inDq || inBt; k += 1 }
     }
     mask
   }
@@ -1223,6 +1328,9 @@ object SqlDialect {
       val c = s.charAt(k)
       if (!inStr && !inDq && c == '-' && k + 1 < s.length && s.charAt(k + 1) == '-') {
         while (k < s.length && s.charAt(k) != '\n') k += 1
+      } else if (!inStr && !inDq && c == '/' && k + 1 < s.length && s.charAt(k + 1) == '*') {
+        val end = s.indexOf("*/", k + 2)
+        k = if (end < 0) s.length - 1 else end + 1
       } else if (!inStr && c == '"') inDq = !inDq
       else if (!inDq && c == '\'') inStr = !inStr
       else if (!inStr && !inDq && (c == open || c == '(' || c == '[')) depth += 1

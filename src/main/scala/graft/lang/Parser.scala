@@ -11,6 +11,14 @@ final class ParseException(msg: String) extends Exception(msg)
   * column name in expression position.
   */
 object Parser {
+
+  /** Interval unit keywords accepted after a string quantity
+    * (`interval '3' month`). */
+  private[lang] val intervalUnits: Set[String] = Set(
+    "year", "years", "quarter", "quarters", "month", "months",
+    "week", "weeks", "day", "days", "hour", "hours",
+    "minute", "minutes", "second", "seconds",
+    "millisecond", "milliseconds", "microsecond", "microseconds")
   def parseQuery(src: String): Relation = {
     val p = new Parser(Scanner.tokenize(src))
     val stmts = p.parseStatements()
@@ -456,8 +464,9 @@ final class Parser(tokens: Vector[Token]) {
       while (more) {
         val pname = identName()
         // `: type` annotation: kept only for the rendered signature
-        // (schemas resolve at lowering)
-        val ptype = if (accept(":")) Some(identName()) else None
+        // (schemas resolve at lowering); parseTypeName handles
+        // parameterized types (decimal(10,2)) like val/def/flow params do
+        val ptype = if (accept(":")) Some(parseTypeName()) else None
         val default = if (accept("=")) Some(expression()) else None
         params += ((pname, default))
         sig += (pname + ptype.map(":" + _).getOrElse(""))
@@ -951,8 +960,13 @@ final class Parser(tokens: Vector[Token]) {
     if (t.kind != TokenKind.Ident) return None
     t.text.toLowerCase match {
       case "where" => advance(); Some(Filter(rel, expression()))
-      case "delete" =>
-        // terminal delete: `from t [where c] delete`
+      case "delete" if !(peek2.is("from") && !peek2.bol) =>
+        // terminal delete: `from t [where c] delete` — with one
+        // disambiguation: `delete from T …` on ONE line is a new
+        // DeleteStmt (consuming it as a terminal pipe deleted from the
+        // wrong table), while `delete` followed by `from` on the NEXT
+        // line is the corpus' terminal-delete-then-new-query shape
+        // (spec/basic/delete.wv)
         advance(); Some(DeleteRel(rel))
       case "select" => Some(parseSelectOp(rel))
       case "group" =>
@@ -1364,8 +1378,14 @@ final class Parser(tokens: Vector[Token]) {
       if (withParen) expectOp(")")
       using = cols.result()
     }
-    if (kind == JoinKind.Cross) Join(rel, right, kind, None, Nil, asof = false)
-    else Join(rel, right, kind, on, using, asof, natural)
+    if (kind == JoinKind.Cross) {
+      // `cross join b on c` carries a condition — treat as an inner join
+      // (the SQL generator renders it as JOIN … ON too); silently dropping
+      // the condition produced an unfiltered |a|×|b| product
+      if (on.isDefined || using.nonEmpty)
+        Join(rel, right, JoinKind.Inner, on, using, asof, natural)
+      else Join(rel, right, kind, None, Nil, asof = false)
+    } else Join(rel, right, kind, on, using, asof, natural)
   }
 
   private def parseTestAssertion(): Expr = {
@@ -1805,7 +1825,20 @@ final class Parser(tokens: Vector[Token]) {
         val q = parseRelation()
         expectOp(if (open == "{") "}" else ")")
         ExistsExpr(q)
-      case "interval" if peek.kind == TokenKind.StringLit || peek.kind == TokenKind.LongLit =>
+      case "interval" if peek.kind == TokenKind.StringLit =>
+        // two string forms: `interval '7 days'` (unit inside the string —
+        // the next token is NOT part of the interval; greedily consuming
+        // it ate a following `and`/EOF) and the SQL-standard
+        // `interval '3' month` — the next token is consumed only when it
+        // IS an interval unit keyword
+        val amount = advance().text
+        val unit =
+          if (peek.kind == TokenKind.Ident &&
+              Parser.intervalUnits(peek.text.toLowerCase)) Some(identName())
+          else None
+        FunctionCall("__interval",
+          List(StringLit(unit.map(u => s"$amount $u").getOrElse(amount))))
+      case "interval" if peek.kind == TokenKind.LongLit =>
         val amount = advance().text
         val unit = identName()
         FunctionCall("__interval", List(StringLit(s"$amount $unit")))

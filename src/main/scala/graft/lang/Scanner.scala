@@ -12,7 +12,8 @@ object TokenKind {
   case object EOF extends TokenKind
 }
 
-final case class Token(kind: TokenKind, text: String, pos: Int) {
+final case class Token(kind: TokenKind, text: String, pos: Int,
+    bol: Boolean = false) {
   def is(s: String): Boolean =
     (kind == TokenKind.Ident && text.equalsIgnoreCase(s)) ||
       (kind == TokenKind.Op && text == s)
@@ -102,7 +103,18 @@ object Scanner {
       }
     }
     out += Token(TokenKind.EOF, "<eof>", n)
-    out.result()
+    // annotate begin-of-line: a newline anywhere in the raw source between
+    // a token's start and its predecessor's start. (A token-INTERNAL
+    // newline — a multi-line triple-quoted string — can mark the next
+    // token bol spuriously; the only consumer is the newline-sensitive
+    // `delete` disambiguation, where that degrades to the safe reading.)
+    val toks = out.result()
+    var prevPos = 0
+    toks.map { t =>
+      val bol = t.pos > 0 && src.lastIndexOf('\n', t.pos - 1) >= prevPos
+      prevPos = t.pos
+      if (bol) t.copy(bol = true) else t
+    }
   }
 
   private def scanString(src: String, start: Int, quote: Char): (String, Int) = {

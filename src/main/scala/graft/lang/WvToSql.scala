@@ -947,6 +947,18 @@ object WvToSql {
       case DotRef(target2, name) => method(target2, name, Nil, agg)
       case MethodCall(target2, name, args) => method(target2, name, args, agg)
 
+      case FunctionCall("__interval", List(StringLit(s)), _, _) =>
+        // parser-internal interval marker → dialect INTERVAL literal
+        target match {
+          case Spark | DuckDb => s"INTERVAL '$s'"
+          case Trino | Hive =>
+            // quantity-string + singular unit keyword form
+            val cut = s.lastIndexOf(' ')
+            if (cut < 0) throw new Unsupported(s"interval '$s' has no unit")
+            val unit = s.drop(cut + 1).toUpperCase.stripSuffix("S")
+            s"INTERVAL '${s.take(cut)}' $unit"
+        }
+
       case FunctionCall(n, args, isDistinct, filter) =>
         val d = if (isDistinct) "DISTINCT " else ""
         val argSql = args.map(ex(_, agg))

@@ -97,6 +97,41 @@ class SqlDialectInvarianceSpec extends AnyFunSuite {
     }
   }
 
+  test("block comments and backticks mask rewrites; apostrophes inside them are inert") {
+    val cases = Seq(
+      // the // rewrite must still fire AFTER a block comment containing '
+      ("SELECT /* it's a half */ 7 // 2 AS h", " div "),
+      // and must NOT fire inside backtick identifiers
+      ("SELECT 1 AS `a//b`", "`a//b`")
+    )
+    cases.foreach { case (s, expectFragment) =>
+      val out = SqlDialect.rewriteExpressions(s)
+      assert(out.contains(expectFragment), s"'$s' -> '$out'")
+    }
+    // the comment itself passes through untouched
+    val c = SqlDialect.rewriteExpressions("SELECT /* keep // this */ 1")
+    assert(c.contains("/* keep // this */"), c)
+  }
+
+  test("identity-lambda truthiness anchors to filter-family calls only") {
+    // a value-returning identity finisher stays numeric
+    val agg = "SELECT aggregate(array(1, 2, 3), 0, (acc, x) -> acc + x, acc -> acc) AS s"
+    val aggOut = SqlDialect.rewriteExpressions(agg)
+    assert(!aggOut.contains("coalesce(acc, 0) <> 0"), aggOut)
+    // ...while a filter identity lambda becomes a truthiness predicate,
+    // even with a comma-bearing first argument
+    val f = "SELECT filter(array(1, 2, 3, NULL), x -> x) AS r"
+    val fOut = SqlDialect.rewriteExpressions(f)
+    assert(fOut.contains("coalesce(x, 0) <> 0"), fOut)
+  }
+
+  test("splitTopLevel-backed rewrites keep subscripts intact") {
+    // ordered array_agg key with a subscript must not become a call k(1)
+    val s = "SELECT array_agg(v ORDER BY k[1]) FROM t GROUP BY g"
+    val out = SqlDialect.rewriteExpressions(s)
+    assert(out.contains("k[1]") && !out.contains("k(1)"), out)
+  }
+
   test("aggregates without ORDER BY are untouched") {
     val cases = Seq(
       "SELECT array_agg(x) FROM t",

@@ -101,6 +101,43 @@ class LangSpec extends SparkTestBase {
     """)
   }
 
+  test("parser disambiguation: delete-from statements, intervals, cross join on") {
+    // one-line `delete from T where …` after a query is a NEW statement
+    val s1 = Parser.parseStatements("from a\nselect x\ndelete from b where y = 1")
+    assert(s1.length == 2, s1)
+    assert(s1(1).isInstanceOf[DeleteStmt], s1(1).getClass.getSimpleName)
+    // terminal `delete` with the next query on its own line stays terminal
+    // (the spec/basic/delete.wv shape)
+    val s2 = Parser.parseStatements("from a\nwhere y = 1\ndelete\n\nfrom a\ncount")
+    assert(s2.length == 2, s2)
+    assert(s2.head match {
+      case QueryStatement(DeleteRel(_)) => true
+      case _ => false
+    }, s2.head)
+    // a string interval carries its own unit — the next token must survive
+    val s3 = Parser.parseStatements(
+      "from t\nwhere ts > x - interval '1 hour' and active = 1\nselect ts")
+    assert(s3.length == 1)
+    // parameterized types in model params parse like val/def params
+    val s4 = Parser.parseStatements(
+      "model m(x: decimal(10,2)) = {\n from t\n where v < x\n}\nfrom m(5.0)")
+    assert(s4.length == 2)
+    // cross join with an ON condition keeps the condition (as inner join)
+    val s5 = Parser.parseStatements("from a\ncross join b on a.id = b.id\nselect a.id")
+    val joined = s5.head match {
+      case QueryStatement(rel) =>
+        var found = false
+        def walk(r: Relation): Unit = r match {
+          case j: Join => if (j.on.isDefined) found = true; walk(j.left)
+          case Project(c, _, _) => walk(c)
+          case _ => ()
+        }
+        walk(rel); found
+      case _ => false
+    }
+    assert(joined, "cross join dropped its ON condition")
+  }
+
   test("bare group by + having via where + select") {
     wv("""
       from [[1, 'x'], [2, 'x'], [3, 'y']] as t(id, tag)
