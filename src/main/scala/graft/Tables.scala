@@ -50,4 +50,22 @@ object Tables {
 
   def resolver(spark: SparkSession, dir: String): String => DataFrame =
     name => read(spark, dir, name)
+
+  /** One cheap root listing summarizing a data directory: data-file count +
+    * total bytes + newest mtime — changes on any rewrite (a CTAS refresh
+    * replaces all three; a no-op batch changes none). None when the path is
+    * missing or holds no data files. Shared by the persisted-index caches
+    * (streaming Subscribe, Similarity's small-index memo): total-bytes +
+    * DIRECTORY mtime alone is too weak — object stores synthesize directory
+    * mtimes, so a same-size rewrite could serve a stale cache forever. */
+  private[graft] def directoryFingerprint(spark: SparkSession, path: String): Option[String] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) None
+    else {
+      val files = fs.listStatus(hPath).filterNot(_.getPath.getName.startsWith("_"))
+      if (files.isEmpty) None
+      else Some(s"${files.length}:${files.map(_.getLen).sum}:${files.map(_.getModificationTime).max}")
+    }
+  }
 }

@@ -52,6 +52,20 @@ object Dedup {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+
+  /** Skew guard shared by every banded/bucketed pair generator: drop
+    * postings in buckets larger than `cap` (0 = uncapped). A stop-shingle
+    * bucket of size B contributes B²/2 candidate pairs — the cap bounds
+    * the worst key while the dropped bucket's members still meet through
+    * their other bands/buckets. */
+  private def capBuckets(df: DataFrame, cap: Int, keys: String*): DataFrame =
+    if (cap <= 0) df
+    else df
+      .withColumn("__bn", F.count(F.lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keys.map(F.col): _*)))
+      .filter(F.col("__bn") <= cap)
+      .drop("__bn")
+
   // ---------------------------------------------------------------------------
   // Exact dedup
   // ---------------------------------------------------------------------------
@@ -59,9 +73,16 @@ object Dedup {
   /** Exact dedup on normalized text: md5 fingerprint groupBy, keeping the
     * smallest id per group. One shuffle on the fingerprint (a uniform hash →
     * no skew); scales linearly. */
+  /** Grouping key that keeps NULL-text rows UNIQUE: a null fingerprint
+    * (failed fetch, empty payload) must not collapse every null-text row
+    * into one "duplicate group" that drops all but one of them — null text
+    * carries no content evidence of duplication. */
+  private def fpOrUnique(fp: Column, id: Column): Column =
+    F.coalesce(fp, F.concat(F.lit("__null__"), id.cast("string")))
+
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val fp = TextFunctions.fingerprint(F.col(textCol))
-    df.withColumn("__fp", fp)
+    df.withColumn("__fp", fpOrUnique(fp, F.col(idCol)))
       .groupBy(F.col("__fp"))
       .agg(F.min(F.col(idCol)).as(idCol), F.count(F.lit(1)).as("dup_count"))
       .drop("__fp")
@@ -71,7 +92,8 @@ object Dedup {
   /** Exact-dup groups only (fingerprint, kept id, count) — cheap audit view. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df
-      .select(F.col(idCol), TextFunctions.fingerprint(F.col(textCol)).as("fingerprint"))
+      .select(F.col(idCol),
+        fpOrUnique(TextFunctions.fingerprint(F.col(textCol)), F.col(idCol)).as("fingerprint"))
       .groupBy("fingerprint")
       .agg(F.min(F.col(idCol)).as("keep_id"), F.count(F.lit(1)).as("dup_count"))
 
@@ -104,7 +126,12 @@ object Dedup {
     * [[minhashSignatures]] (explode + codegen'd wide min-aggregate), which
     * is ~100× faster and shuffle-bounded. */
   def minhashSignature(text: Column, numHashes: Int = 128, shingleSize: Int = 3): Column = {
-    val hashes = TextFunctions.shingleHashes(text, shingleSize)
+    // SAME shingle-hash kernel as the table-scale minhashSignatures /
+    // buildMinhashIndex (FNV-1a + mix): a Column-computed signature must be
+    // able to probe a table-built index — the previous xxhash64-based
+    // kernel produced disjoint hash families, so mixed use silently
+    // yielded zero collisions
+    val hashes = graft.functions.TextHashExpressions.shingleHashes64(text, shingleSize)
     val sigs = minhashParams(numHashes).map { case (a, b) =>
       F.array_min(F.transform(hashes, x =>
         F.pmod(F.pmod(x, F.lit(MersennePrime)) * a + b, F.lit(MersennePrime))))
@@ -179,14 +206,7 @@ object Dedup {
     // needs — no side job, no extra shuffle of the postings (a
     // groupBy+broadcast-anti-join formulation costs an extra job and ~1 s of
     // fixed stage overhead per query in local mode).
-    val bucketed =
-      if (maxBucketSize > 0) {
-        postings
-          .withColumn("__bn", F.count(F.lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_hash")))
-          .filter(F.col("__bn") <= maxBucketSize)
-          .drop("__bn")
-      } else postings
+    val bucketed = capBuckets(postings, maxBucketSize, "band_idx", "band_hash")
 
     val left = bucketed.select(
       F.col("band_idx"), F.col("band_hash"), F.col(idCol).as("id_a"))
@@ -329,14 +349,7 @@ object Dedup {
       .repartition(parts, F.col("band_idx"), F.col("band_hash"))
     val cPost0 = postings(isig, "corpus_id")
       .repartition(parts, F.col("band_idx"), F.col("band_hash"))
-    val cPost =
-      if (maxBucketSize > 0)
-        cPost0
-          .withColumn("__bn", F.count(F.lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_hash")))
-          .filter(F.col("__bn") <= maxBucketSize)
-          .drop("__bn")
-      else cPost0
+    val cPost = capBuckets(cPost0, maxBucketSize, "band_idx", "band_hash")
 
     val candidates = bPost
       .join(cPost, Seq("band_idx", "band_hash"))
@@ -390,7 +403,10 @@ object Dedup {
     * NOTE: 64 interpreted higher-order `aggregate` passes per row — use only
     * on small/constant inputs. Table-scale: [[simhashTable]]. */
   def simhash(text: Column): Column = {
-    val hashes = TextFunctions.shingleHashes(text, 1) // unigram token hashes
+    // unigram token hashes from the SAME kernel as simhashTable — hamming
+    // distances between Column-computed and table-computed signatures are
+    // meaningful only if both use one hash family
+    val hashes = graft.functions.TextHashExpressions.shingleHashes64(text, 1)
     val bits = F.transform(
       F.sequence(F.lit(0), F.lit(63)),
       i =>
@@ -565,14 +581,7 @@ object Dedup {
     ).repartition(parts, F.col("bucket"))
     // bucket cap via window count over the join's own distribution (no side
     // job — see ngramJaccardPairs)
-    val capped =
-      if (maxBucketSize > 0) {
-        posts
-          .withColumn("__bn", F.count(F.lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
-          .filter(F.col("__bn") <= maxBucketSize)
-          .drop("__bn")
-      } else posts
+    val capped = capBuckets(posts, maxBucketSize, "bucket")
     val l = capped.select(F.col("bucket"), F.col(idCol).as("id_a"), F.col("simhash").as("sim_a"))
     val r = capped.select(F.col("bucket"), F.col(idCol).as("id_b"), F.col("simhash").as("sim_b"))
     // canonical-witness dedup: a qualifying pair collides in EVERY combo whose
@@ -612,14 +621,7 @@ object Dedup {
     val posts = simhashTable(df, idCol, textCol)
       .select(F.col(idCol), F.col("simhash"))
       .repartition(parts, F.col("simhash"))
-    val capped =
-      if (maxBucketSize > 0)
-        posts
-          .withColumn("__bn", F.count(F.lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("simhash")))
-          .filter(F.col("__bn") <= maxBucketSize)
-          .drop("__bn")
-      else posts
+    val capped = capBuckets(posts, maxBucketSize, "simhash")
     val l = capped.select(F.col("simhash"), F.col(idCol).as("id_a"))
     val r = capped.select(F.col("simhash"), F.col(idCol).as("id_b"))
     l.join(r, Seq("simhash"))
@@ -688,14 +690,7 @@ object Dedup {
     // shuffle. Pairs whose overlap is exclusively capped-hot shingles are
     // missed and `common` excludes capped shingles — the standard recall
     // trade, same as the LSH bucket cap.
-    val capped =
-      if (maxPostings > 0) {
-        postings
-          .withColumn("__df", F.count(F.lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-          .filter(F.col("__df") <= maxPostings)
-          .drop("__df")
-      } else postings
+    val capped = capBuckets(postings, maxPostings, "shingle")
     val a = capped.select(F.col("shingle"),
       F.col("id").as("id_a"), F.col("n").as("n_a"))
     val b = capped.select(F.col("shingle"),
@@ -743,8 +738,17 @@ object Dedup {
       threshold: Double = 0.95,
       planes: Int = 12,
       bruteForce: Boolean = false,
-      tables: Int = 6
+      tables: Int = 6,
+      dim: Int = 0
   ): DataFrame = {
+    // dim = 0 → infer from the data: the hyperplane signature dots over
+    // min(dim, |vec|) components, so leaving the old fixed default (64) on
+    // a 384/768-dim corpus silently bucketed on the first 64 dims only —
+    // near-dups differing in those dims never met. One tiny driver read.
+    val vecDim =
+      if (dim > 0) dim
+      else df.select(F.size(F.col(vecCol)).as("__d")).filter(F.col("__d") > 0)
+        .head(1).headOption.map(_.getInt(0)).getOrElse(64)
     // NOTE on a rejected "optimization": precomputing per-row norms and
     // reducing the pair kernel to dot/(na*nb) measures NO faster here — the
     // fused one-pass CosineSimilarityExpr already reads each vector exactly
@@ -767,7 +771,7 @@ object Dedup {
         // an 8-byte long shuffle key instead of a ~20-byte UTF8 concat
         val withSig = base.withColumn("bucket", F.explode(F.array(
           (0 until tables).map(t =>
-            Similarity.hyperplaneSignature(F.col("vec"), planes, seed = 11L + t)
+            Similarity.hyperplaneSignature(F.col("vec"), planes, dim = vecDim, seed = 11L + t)
               .bitwiseOR(F.lit(t.toLong << planes))): _*)))
         val a = withSig.select(F.col("bucket"),
           F.col("id").as("id_a"), F.col("vec").as("vec_a"))

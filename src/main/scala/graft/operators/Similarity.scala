@@ -105,27 +105,8 @@ object Similarity {
     // tables; the corpus index and its size are untouched, candidates grow
     // to ~tables·(planes+1)·n/2^planes per query (still a vanishing corpus
     // fraction at scale).
-    def withBuckets(df: DataFrame, vec: String, probe: Boolean): DataFrame = {
-      // materialize each table's signature as a column ONCE, then derive the
-      // probe set by XOR on the column reference — the earlier form inlined
-      // the whole signature subtree into all planes+1 probes, blowing the
-      // plan up ~9× for zero extra information
-      val sigCols = (0 until tables).map { t =>
-        hyperplaneSignature(F.col(vec), planes, dim, seed = 7L + t).as(s"__sig$t")
-      }
-      val withSigs = df.select(df.columns.map(F.col) ++ sigCols: _*)
-      val buckets = (0 until tables).flatMap { t =>
-        val sig = F.col(s"__sig$t")
-        val sigs =
-          if (probe) sig +: (0 until planes).map(i => sig.bitwiseXOR(F.lit(1L << i)))
-          else Seq(sig)
-        // table id packed into the high bits keeps the bucket key an 8-byte
-        // long (vs a ~20-byte UTF8 concat) through the candidate shuffle
-        sigs.map(s => s.bitwiseOR(F.lit(t.toLong << planes)))
-      }
-      withSigs.select(
-        df.columns.map(F.col) :+ F.explode(F.array(buckets: _*)).as("bucket"): _*)
-    }
+    def withBuckets(df: DataFrame, vec: String, probe: Boolean): DataFrame =
+      explodeLshBuckets(df, vec, probe, planes, tables, dim)
 
     // int8 scoring: quantize each side ONCE per vector — materialized scale
     // column (the inline form would copy the array_max subtree into every
@@ -252,7 +233,15 @@ object Similarity {
       vecCol: String,
       nlist: Int
   ): Array[Array[Double]] =
-    c.withColumn("__m", F.md5(F.col(idCol).cast("string").cast("binary")))
+    c
+      // a NULL vector (or a vector with NULL elements) cannot seed a
+      // centroid — without the filter the driver map below NPEs and the
+      // whole index build aborts on one bad embedding. (Corpora with
+      // nulls diverge from the null-blind SQL oracle; the oracle fixtures
+      // are null-free by construction.)
+      .filter(F.col(vecCol).isNotNull &&
+        !F.exists(F.col(vecCol), x => x.isNull))
+      .withColumn("__m", F.md5(F.col(idCol).cast("string").cast("binary")))
       .orderBy("__m", idCol)
       .limit(nlist)
       .select(vecCol)
@@ -264,6 +253,32 @@ object Similarity {
           case n: Number => n.doubleValue()
         }.toArray
       }
+
+  /** Banded LSH bucket expansion shared by every lsh top-k path (float,
+    * int8, persisted/partitioned index): one materialized signature column
+    * per table, probe set derived by XOR on the COLUMN REFERENCE (inlining
+    * the signature subtree into all planes+1 probes blew the plan up ~9×
+    * for zero information), table id packed into the high bits so the
+    * bucket key stays an 8-byte long through the candidate shuffle. The
+    * three call sites MUST share this expansion bit-for-bit — a probe-set
+    * change in one path would silently break the persisted-index contract
+    * that all paths return identical rows. */
+  private def explodeLshBuckets(df: DataFrame, vec: String, probe: Boolean,
+      planes: Int, tables: Int, dim: Int): DataFrame = {
+    val sigCols = (0 until tables).map { t =>
+      hyperplaneSignature(F.col(vec), planes, dim, seed = 7L + t).as(s"__sig$t")
+    }
+    val withSigs = df.select(df.columns.map(F.col) ++ sigCols: _*)
+    val buckets = (0 until tables).flatMap { t =>
+      val sig = F.col(s"__sig$t")
+      val sigs =
+        if (probe) sig +: (0 until planes).map(i => sig.bitwiseXOR(F.lit(1L << i)))
+        else Seq(sig)
+      sigs.map(s => s.bitwiseOR(F.lit(t.toLong << planes)))
+    }
+    withSigs.select(
+      df.columns.map(F.col) :+ F.explode(F.array(buckets: _*)).as("bucket"): _*)
+  }
 
   /** Assign every row its argmax-cosine centroid bucket (cos DESC, bucket
     * ASC tie-break; NaN pinned to -1.0) — one shuffle-free fused-kernel
@@ -326,11 +341,10 @@ object Similarity {
     def cosArr(vecCol: Column): Column =
       graft.functions.VectorExpressions.matrixCosine(
         vecCol, centroidMatrix, scale = 6, nanValue = -1.0)
-    // argmax(cos) with min-bucket tie-break: array_position returns the
-    // FIRST index holding the max (1-based) — exactly (cos DESC, bucket ASC)
-    val assigned = c
-      .withColumn("__ca", cosArr(F.col("__cv")))
-      .withColumn("bucket", F.array_position(F.col("__ca"), F.array_max(F.col("__ca"))) - 1)
+    // argmax(cos) with min-bucket tie-break via the shared seededAssign
+    // (semDedup uses the same kernel — the determinism contract scale=6 /
+    // nanValue=-1.0 / first-max-position must not drift between paths)
+    val assigned = seededAssign(c, "__cv", centroidMatrix)
       .select("corpus_id", "__cv", "bucket")
     val q = queries.select(F.col(queryId).as("query_id"), F.col(queryVec).as("__qv"))
     // top-nprobe cells per query: struct(-cos, bucket), sort asc == (cos
@@ -506,21 +520,8 @@ object Similarity {
       F.col(q8Col).cast("array<int>").as("__q"))
     val q = queries.select(F.col(queryId).as("query_id"),
       F.col(queryQ8Col).cast("array<int>").as("__qq"))
-    def withBuckets(df: DataFrame, vec: String, probe: Boolean): DataFrame = {
-      val sigCols = (0 until tables).map { t =>
-        hyperplaneSignature(F.col(vec), planes, dim, seed = 7L + t).as(s"__sig$t")
-      }
-      val withSigs = df.select(df.columns.map(F.col) ++ sigCols: _*)
-      val buckets = (0 until tables).flatMap { t =>
-        val sig = F.col(s"__sig$t")
-        val sigs =
-          if (probe) sig +: (0 until planes).map(i => sig.bitwiseXOR(F.lit(1L << i)))
-          else Seq(sig)
-        sigs.map(s => s.bitwiseOR(F.lit(t.toLong << planes)))
-      }
-      withSigs.select(
-        df.columns.map(F.col) :+ F.explode(F.array(buckets: _*)).as("bucket"): _*)
-    }
+    def withBuckets(df: DataFrame, vec: String, probe: Boolean): DataFrame =
+      explodeLshBuckets(df, vec, probe, planes, tables, dim)
     val cb = withBuckets(c, "__q", probe = false)
     val qb = withBuckets(q, "__qq", probe = multiProbe)
     var cand = cb.join(F.broadcast(qb), Seq("bucket"))
@@ -553,12 +554,10 @@ object Similarity {
   ): Unit = {
     val c = index.select(F.col(indexId), F.col(q8Col).cast("array<int>").as("__q"))
     val m = seededCentroidMatrix(c, indexId, "__q", nlist)
-    val assigned = c
-      .withColumn("__ca", graft.functions.VectorExpressions.matrixCosine(
-        F.col("__q"), m, scale = 6, nanValue = -1.0))
-      .withColumn("cell",
-        F.array_position(F.col("__ca"), F.array_max(F.col("__ca"))) - 1)
-      .select(F.col("cell"), F.col(indexId),
+    // shared assignment kernel (see seededAssign) — only the output
+    // column name differs ('cell' is the partition directory key)
+    val assigned = seededAssign(c, "__q", m)
+      .select(F.col("bucket").as("cell"), F.col(indexId),
         F.col("__q").cast("array<tinyint>").as(q8Col))
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
     // sidecar AFTER the main write (overwrite would delete it otherwise);
@@ -692,19 +691,7 @@ object Similarity {
     val spark = queries.sparkSession
     val q = queries.select(F.col(queryId).as("query_id"),
       F.col(queryQ8Col).cast("array<int>").as("__qq"))
-    val sigCols = (0 until tables).map { t =>
-      hyperplaneSignature(F.col("__qq"), planes, dim, seed = 7L + t).as(s"__sig$t")
-    }
-    val withSigs = q.select(q.columns.map(F.col) ++ sigCols: _*)
-    val probeCols = (0 until tables).flatMap { t =>
-      val sig = F.col(s"__sig$t")
-      val sigs =
-        if (multiProbe) sig +: (0 until planes).map(i => sig.bitwiseXOR(F.lit(1L << i)))
-        else Seq(sig)
-      sigs.map(s => s.bitwiseOR(F.lit(t.toLong << planes)))
-    }
-    val qb = withSigs.select(
-      q.columns.map(F.col) :+ F.explode(F.array(probeCols: _*)).as("bucket"): _*)
+    val qb = explodeLshBuckets(q, "__qq", multiProbe, planes, tables, dim)
     // one driver-side FS stat decides layout + crossover (cheap: a listing
     // of the root plus a content summary, not per-partition opens)
     val hPath = new org.apache.hadoop.fs.Path(indexPath)
@@ -723,7 +710,11 @@ object Similarity {
         // under the crossover fits in executor memory by definition, so
         // repeat queries skip the many-small-files read entirely while a
         // rewritten index (changed fingerprint) reloads.
-        val fp = s"$indexBytes:${fs.getFileStatus(hPath).getModificationTime}"
+        // file-level fingerprint (count:bytes:max-file-mtime, shared with
+        // the streaming index cache): a directory mtime is synthetic on
+        // object stores, so a same-size rewrite could pin a stale frame
+        val fp = graft.Tables.directoryFingerprint(spark, indexPath)
+          .getOrElse(s"$indexBytes")
         smallIndexCache.get(indexPath) match {
           // context-granular ownership: a cloned session over the same
           // SparkContext may reuse the pure parquet-read frame; a

@@ -94,8 +94,12 @@ object Subscribe {
     * Spark's interval wording — the language accepts short units, Spark's
     * watermark/window parsers want the long form. */
   def duration(spec: String): String = {
-    val m = """(\d+)\s*([a-zA-Z]+)""".r.findFirstMatchIn(spec.trim).getOrElse(
-      throw new IllegalArgumentException(s"unrecognized duration '$spec'"))
+    // ANCHORED match: an unanchored search silently misparsed compound or
+    // decimal specs ('1.5h' matched as '5h', '1h30m' dropped the 30m) —
+    // those must reject, not mis-window
+    val m = """^(\d+)\s*([a-zA-Z]+)$""".r.findFirstMatchIn(spec.trim).getOrElse(
+      throw new IllegalArgumentException(
+        s"unrecognized duration '$spec' (expected '<integer> <unit>', e.g. '90 minutes')"))
     val unit = m.group(2).toLowerCase match {
       case "ms" => "milliseconds"
       case "s" | "sec" | "second" | "seconds" => "seconds"
@@ -202,14 +206,27 @@ object Subscribe {
     val w = stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Dedup
-          .dedupAgainstMinhashIndex(
-            batch, idCol, textCol, index, threshold, numHashes, bands, shingleSize)
-          .write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(
+          graft.operators.Dedup.dedupAgainstMinhashIndex(
+            batch, idCol, textCol, index, threshold, numHashes, bands, shingleSize),
+          batchId, outPath)
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
+
+  /** Idempotent micro-batch sink: each batch lands in its own
+    * `__batch_id=<id>` partition via dynamic partition overwrite, so an
+    * at-least-once foreachBatch RETRY overwrites its own partition instead
+    * of appending duplicate rows — exactly-once output for the operator
+    * whose purpose is deduplication. Readers that don't want the
+    * idempotence key can drop `__batch_id`. */
+  private def writeBatchIdempotent(df: DataFrame, batchId: Long, outPath: String): Unit =
+    df.withColumn("__batch_id", F.lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id")
+      .parquet(outPath)
 
   /** Per-path cache for [[dedupIncrementalAppend]]'s path flavor: the
     * loaded + persisted signature frame and the directory fingerprint it
@@ -226,18 +243,11 @@ object Subscribe {
   /** One cheap root listing summarizes the index directory: file count +
     * total bytes + newest mtime. A nightly CTAS overwrite changes all
     * three; a no-op batch changes none. */
-  private def indexFingerprint(spark: SparkSession, path: String): String = {
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hPath))
+  private def indexFingerprint(spark: SparkSession, path: String): String =
+    graft.Tables.directoryFingerprint(spark, path).getOrElse(
       throw new IllegalArgumentException(
-        s"dedup index path '$path' does not exist — build it first (minhash_index CTAS)")
-    val files = fs.listStatus(hPath).filterNot(_.getPath.getName.startsWith("_"))
-    if (files.isEmpty)
-      throw new IllegalArgumentException(
-        s"dedup index path '$path' has no data files — the index CTAS produced an empty frame")
-    s"${files.length}:${files.map(_.getLen).sum}:${files.map(_.getModificationTime).max}"
-  }
+        s"dedup index path '$path' is missing or has no data files — " +
+          "build it first (minhash_index CTAS)"))
 
   /** [[dedupIncrementalAppend]] over a persisted index PATH with
     * refresh-aware caching: the signature frame is loaded once, persisted,
@@ -263,7 +273,7 @@ object Subscribe {
     val w = stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val fp = indexFingerprint(spark, indexPath)
         val idx = indexCache.get(indexPath) match {
@@ -284,10 +294,10 @@ object Subscribe {
             indexCache.put(indexPath, CachedIndex(spark, fp, loaded))
             loaded
         }
-        graft.operators.Dedup
-          .dedupAgainstMinhashIndex(
-            batch, idCol, textCol, idx, threshold, numHashes, bands, shingleSize)
-          .write.mode("append").parquet(outPath)
+        writeBatchIdempotent(
+          graft.operators.Dedup.dedupAgainstMinhashIndex(
+            batch, idCol, textCol, idx, threshold, numHashes, bands, shingleSize),
+          batchId, outPath)
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }

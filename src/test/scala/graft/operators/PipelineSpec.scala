@@ -78,6 +78,31 @@ class PipelineSpec extends SparkTestBase {
     assert(idx.except(recombined).isEmpty && recombined.except(idx).isEmpty)
   }
 
+  test("column-variant kernels equal the table-scale variants (one hash family)") {
+    import org.apache.spark.sql.{functions => F}
+    val sample = docs.limit(40)
+    // simhash: the Column API must produce the SAME signatures as
+    // simhashTable (a mixed-API hamming comparison is meaningless otherwise)
+    val viaCol = sample.select(F.col("doc_id"),
+      Dedup.simhash(F.col("text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaTable = Dedup.simhashTable(sample, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaTable.foreach { case (id, s) =>
+      assert(viaCol(id) == s, s"doc $id: column simhash ${viaCol(id)} != table $s")
+    }
+    // minhash: Column signature equals the table-scale signature columns
+    val k = 8
+    val colSig = sample.select(F.col("doc_id"),
+      Dedup.minhashSignature(F.col("text"), numHashes = k, shingleSize = 2).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val tblSig = Dedup.minhashSignatures(sample, "doc_id", "text", numHashes = k, shingleSize = 2)
+      .collect().map(r => r.getLong(0) -> (0 until k).map(i => r.getLong(i + 1))).toMap
+    tblSig.foreach { case (id, sig) =>
+      assert(colSig(id) == sig, s"doc $id: column minhash ${colSig(id)} != table $sig")
+    }
+  }
+
   test("simhash: hamming 0 for identical docs, pairs found") {
     import spark.implicits._
     val base = docs.limit(10).select("doc_id", "text")
