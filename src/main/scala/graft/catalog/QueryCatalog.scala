@@ -3048,6 +3048,7 @@ object QueryCatalog {
           FROM documents)
         SELECT doc_id,
           CASE WHEN n_toks = 0 THEN 'und'
+               WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
                WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
                WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
                WHEN s_en >= s_de THEN 'en'
@@ -3883,9 +3884,11 @@ object QueryCatalog {
             regexp_replace(
               regexp_replace(
                 regexp_replace(
-                  '<p>Intro <b>bold</b> &amp; entity</p><script>var x = 1;</script>' ||
-                    substring(text, 1, 60),
-                  '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+                  regexp_replace(
+                    '<p>Intro <b>bold</b> &amp; entity</p><script>var x = 1;</script>' ||
+                      substring(text, 1, 60),
+                    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
                 '<[^>]+>', ' ', 'g'),
               '&(amp|lt|gt|quot|nbsp|#\d+);', ' ', 'g'),
             '\s+', ' ', 'g')) AS cleaned

@@ -18,7 +18,11 @@ object TextFunctions {
   def tokens(text: Column): Column =
     F.filter(F.split(F.lower(text), "[^a-z0-9]+"), t => F.length(t) > 0)
 
-  /** Whitespace token count (portable definition: split on runs of spaces). */
+  /** Token count under the engine's canonical tokenizer: LOWERCASED
+    * ALPHANUMERIC RUNS (`[a-z0-9]+`), not whitespace words — hyphenated,
+    * punctuated, or accented text yields more tokens than a whitespace
+    * split ("state-of-the-art" is 4). Chunking's `n_words` is the
+    * whitespace count; the two deliberately differ. */
   def tokenCount(text: Column): Column = F.size(tokens(text))
 
   /** BPE-ish subword count estimate: words + extra tokens for long words
@@ -35,10 +39,6 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     F.md5(F.trim(F.regexp_replace(F.lower(text), "\\s+", " ")).cast("binary"))
 
-  /** 64-bit rolling (polynomial) hash over characters — a fast non-crypto
-    * fingerprint for shingles; stays in codegen via xxhash64. */
-  def rollingHash(text: Column): Column = F.xxhash64(text)
-
   // --- quality scoring -------------------------------------------------------
 
   /** Ratio of alphabetic characters. */
@@ -46,13 +46,6 @@ object TextFunctions {
     val len = F.length(text)
     F.when(len === 0, 0.0)
       .otherwise(F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double") / len)
-  }
-
-  /** Ratio of punctuation characters. */
-  def punctRatio(text: Column): Column = {
-    val len = F.length(text)
-    val punct = len - F.length(F.regexp_replace(text, "[.,;:!?'\"()\\[\\]-]", ""))
-    F.when(len === 0, 0.0).otherwise(punct.cast("double") / len)
   }
 
   /** English stopwords used for stopword-ratio and language ID. Fixed,
@@ -120,8 +113,13 @@ object TextFunctions {
     * deterministic, SQL-replicable cleaning pass that covers web-scrape
     * boilerplate. */
   def stripHtml(text: Column): Column = {
-    val noBlocks = F.regexp_replace(text,
-      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    // one pass PER tag: the single-alternation form `<(script|style)…>.*?
+    // </(script|style)>` let a lazy match close a <script> block at a
+    // `</style>` inside its body, leaking script text into the cleaned
+    // output. Two backreference-free passes keep the DuckDB oracle (RE2,
+    // no backreferences) byte-identical.
+    val noScript = F.regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " ")
+    val noBlocks = F.regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noTags = F.regexp_replace(noBlocks, "<[^>]+>", " ")
     val noEntities = F.regexp_replace(noTags,
       "&(amp|lt|gt|quot|nbsp|#\\d+);", " ")
@@ -164,8 +162,19 @@ object TextFunctions {
   def topTokenFraction(text: Column): Column = {
     val toks = tokens(text)
     val n = F.size(toks)
-    val topCount = F.array_max(F.transform(F.array_distinct(toks),
-      t => F.size(F.filter(toks, x => x === t))))
+    // longest equal-run over the SORTED token array — one O(n log n) pass.
+    // The previous distinct×filter form was O(n_distinct · n) in
+    // interpreted HOFs: ~750M comparisons for one 50k-token web page.
+    val topCount = F.aggregate(
+      F.array_sort(toks),
+      F.struct(F.lit("").as("prev"), F.lit(0L).as("run"), F.lit(0L).as("best")),
+      (acc, x) => {
+        val run = F.when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(F.lit(1L))
+        F.struct(x.as("prev"), run.as("run"),
+          F.greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     F.when(n === 0, F.lit(0.0)).otherwise(topCount.cast("double") / n)
   }
 
@@ -218,8 +227,12 @@ object TextFunctions {
       F.struct(score(esStopwords).as("score"), F.lit("es").as("lang"))
     )
     // max by (score, lang) — struct ordering is lexicographic; ties broken by
-    // the lang code itself so the result is total and deterministic
-    F.when(F.size(toks) === 0, F.lit("und"))
+    // the lang code itself so the result is total and deterministic. ZERO
+    // hits across all four stopword lists means "no evidence", not the
+    // max-lang-code ('fr') — Italian/Japanese/stopword-free text is 'und';
+    // NULL text likewise (it has no tokens to score)
+    F.when(text.isNull || F.size(toks) === 0, F.lit("und"))
+      .when(F.array_max(scored).getField("score") === 0, F.lit("und"))
       .otherwise(F.array_max(scored).getField("lang"))
   }
 
@@ -227,34 +240,10 @@ object TextFunctions {
 
   /** Word n-gram shingles as strings: n consecutive tokens joined by a space.
     * Distinct set — dedup semantics use set Jaccard. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    F.array_distinct(
-      F.when(F.size(toks) < n, F.array())
-        .otherwise(
-          F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            i => F.concat_ws(" ", F.slice(toks, i, F.lit(n)))
-          )
-        )
-    )
-  }
-
-  /** Character n-gram shingles over normalized text. */
-  def charShingles(text: Column, n: Int): Column = {
-    val norm = F.trim(F.regexp_replace(F.lower(text), "\\s+", " "))
-    F.array_distinct(
-      F.when(F.length(norm) < n, F.array())
-        .otherwise(
-          F.transform(
-            F.sequence(F.lit(1), F.length(norm) - (n - 1)),
-            i => F.call_function("substring", norm, i, F.lit(n))
-          )
-        )
-    )
-  }
-
-  /** 64-bit hashes of shingles (xxhash64 — codegen'd, uniform). */
-  def shingleHashes(text: Column, n: Int): Column =
-    F.transform(wordShingles(text, n), s => F.xxhash64(s))
+  // NOTE: the former wordShingles/charShingles/shingleHashes Column
+  // helpers were REMOVED: no operator used them, and their xxhash64-of-
+  // string hash family was incompatible with the engine's canonical
+  // shingle kernel (TextHashExpressions.shingleHashes64, FNV-1a + mix) —
+  // a future caller mixing the two families would get zero overlap with
+  // no error. All shingling goes through the one native kernel.
 }

@@ -33,7 +33,10 @@ object Chunking {
     require(chunkWords > overlapWords && overlapWords >= 0,
       "need chunkWords > overlapWords >= 0")
     val step = chunkWords - overlapWords
-    val words = F.split(F.trim(F.col(textCol)), "\\s+")
+    // split of an empty trimmed string yields [""], not [] — filter the
+    // empty element so an empty/whitespace-only doc counts 0 words (its
+    // single chunk row then honestly reports n_words = 0)
+    val words = F.filter(F.split(F.trim(F.col(textCol)), "\\s+"), w => F.length(w) > 0)
     val nWords = F.size(words)
     // number of windows covering nWords with the given stride: every word
     // index must start inside some window → ceil((n - overlap) / step),

@@ -45,18 +45,24 @@ object CorpusStats {
       idCol: String,
       textCol: String
   ): DataFrame = {
+    // explode_OUTER: a doc with no alphanumeric tokens (empty, null, or
+    // all-punctuation text) must still get its per-doc feature row
+    // (0/0/0/0.0) — plain explode silently dropped it from the output,
+    // breaking the per-doc contract for downstream joins
     val tok = df.select(
       F.col(idCol),
-      F.explode(
+      F.explode_outer(
         graft.functions.TextHashExpressions.shingleHashes64(F.col(textCol), 1)).as("__t"))
-    val dfreq = tok.groupBy(F.col("__t")).agg(F.count(F.lit(1)).as("__df"))
-    tok.join(dfreq, Seq("__t"))
+    val dfreq = tok.filter(F.col("__t").isNotNull)
+      .groupBy(F.col("__t")).agg(F.count(F.lit(1)).as("__df"))
+    tok.join(dfreq, Seq("__t"), "left")
       .groupBy(F.col(idCol))
       .agg(
-        F.count(F.lit(1)).as("n_distinct_tokens"),
+        F.count(F.col("__t")).as("n_distinct_tokens"),
         F.sum(F.when(F.col("__df") === 1, 1L).otherwise(0L)).as("hapax_tokens"),
-        F.sum(F.col("__df")).as("sum_df"))
+        F.coalesce(F.sum(F.col("__df")), F.lit(0L)).as("sum_df"))
       .withColumn("rare_token_fraction",
-        F.col("hapax_tokens").cast("double") / F.col("n_distinct_tokens"))
+        F.when(F.col("n_distinct_tokens") === 0, 0.0)
+          .otherwise(F.col("hapax_tokens").cast("double") / F.col("n_distinct_tokens")))
   }
 }

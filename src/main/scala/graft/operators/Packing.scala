@@ -18,8 +18,9 @@ import org.apache.spark.sql.expressions.Window
   * sequential semantics, shard count = write parallelism — up to 4096
   * shards (three md5 hex digits read as a radix-16 number, so every shard
   * count in 1..4096 gets its own window task). Token counts use the
-  * whitespace tokenizer (TextFunctions.tokenCount) — swap in a real
-  * tokenizer count column upstream when available.
+  * alphanumeric-run tokenizer (TextFunctions.tokenCount — NOT whitespace
+  * words; hyphens/punctuation split) — swap in a real tokenizer count
+  * column upstream when available.
   */
 object Packing {
 

@@ -51,7 +51,10 @@ object Sampling {
       seed: String = "graft"
   ): DataFrame = {
     require(trainFraction > 0 && trainFraction < 1, "trainFraction in (0,1)")
-    val threshold = f"${math.round(trainFraction * 65536).toInt}%04x"
+    // clamp to 0xffff — same reason as weightedMix: 0.99999 rounds to
+    // 65536, rendering the 5-char "10000" whose 4-char prefix compare
+    // INVERTS the split (~94% landing in test)
+    val threshold = f"${math.min(0xffff, math.round(trainFraction * 65536).toInt)}%04x"
     df.withColumn("split",
       F.when(F.substring(key(seed, F.col(idCol)), 1, 4) < F.lit(threshold), "train")
         .otherwise("test"))
