@@ -163,7 +163,10 @@ object Lsp {
   def workspaceFiles(dir: String): Map[String, String] = {
     val d = new java.io.File(dir)
     if (!d.isDirectory) Map.empty
-    else d.listFiles().filter(_.getName.endsWith(".wv")).map { f =>
+    // listFiles returns NULL on I/O errors or a TOCTOU delete — a 500 on
+    // every go-to-definition is worse than an empty workspace
+    else Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".wv")).map { f =>
       f.getPath -> new String(
         java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8)

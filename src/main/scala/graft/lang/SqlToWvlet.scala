@@ -328,7 +328,6 @@ object SqlToWvlet {
     case EqualNullSafe(l, r) => s"${ex(l)} is not distinct from ${ex(r)}"
     case Not(IsNull(c)) => s"${ex(c)} is not null"
     case Not(In(v, list)) => s"${ex(v)} not in (${list.map(ex).mkString(", ")})"
-    case Not(l: Like) => s"not (${ex(l)})"
     case Not(c) => s"not (${ex(c)})"
     case IsNull(c) => s"${ex(c)} is null"
     case IsNotNull(c) => s"${ex(c)} is not null"

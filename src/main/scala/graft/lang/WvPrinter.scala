@@ -56,6 +56,13 @@ object WvPrinter {
       name.split('.').map(ident).mkString(".")
     else ident(name)
 
+  /** An option/property value prints bare only when it is a WELL-FORMED
+    * number the scanner can re-lex (one optional sign, digits, at most one
+    * dot) — the loose `[0-9.]+` form let "1.2.3" print unquoted and fail
+    * re-parse. Everything else is a string literal. */
+  private def optValue(v: String): String =
+    if (v.matches("^-?\\d+(\\.\\d+)?$")) v else str(v)
+
   private def str(s: String): String =
     "'" + s.flatMap {
       case '\\' => "\\\\"
@@ -125,8 +132,7 @@ object WvPrinter {
       val opts =
         if (options.isEmpty) ""
         else " with " + options.map { case (k, v) =>
-          val vv = if (v.matches("^-?[0-9.]+$")) v else str(v)
-          s"${ident(k)}: $vv"
+          s"${ident(k)}: ${optValue(v)}"
         }.mkString(", ")
       s"${rel(r)}\n$verb to ${saveTarget(target)}$parts$opts"
     case DeleteStmt(target, cond) =>
@@ -139,17 +145,15 @@ object WvPrinter {
       s"update ${saveTarget(target)} set $setTxt" +
         cond.map(c => s" where ${ex(c)}").getOrElse("")
     case MergeInto(target, source, keys, matchedDelete, notMatchedInsert) =>
-      val clauses = List.newBuilder[String]
-      if (matchedDelete) clauses += "when matched then delete"
-      else if (!notMatchedInsert) clauses += "when matched then update"
-      if (notMatchedInsert && (matchedDelete || !notMatchedInsert))
-        clauses += "when not matched then insert"
-      // bare merge (no clauses) re-parses as full upsert = notMatchedInsert
-      val cl = clauses.result()
+      // four-case table, written directly: (delete?, insert?) →
+      //   (T,T) both clauses; (T,F) delete only; (F,T) bare merge (the
+      //   default upsert spelling); (F,F) update-only
       val clTxt =
-        if (cl.isEmpty && notMatchedInsert) "" // default upsert
-        else if (cl.isEmpty) " when matched then update"
-        else " " + cl.mkString(" ")
+        if (matchedDelete && notMatchedInsert)
+          " when matched then delete when not matched then insert"
+        else if (matchedDelete) " when matched then delete"
+        else if (notMatchedInsert) "" // bare merge re-parses as full upsert
+        else " when matched then update"
       s"merge into ${saveTarget(target)} using {\n${indent(rel(source))}\n} " +
         s"on ${keys.map(ident).mkString(", ")}$clTxt"
     case CreateTableAs(name, r, orReplace, partitionBy) =>
@@ -170,8 +174,7 @@ object WvPrinter {
         case SetColumnTypeOp(n, t) => s"alter column ${ident(n)} set data type $t"
         case SetPropertiesOp(props) =>
           "set properties " + props.map { case (k, v) =>
-            val vv = if (v.matches("^-?[0-9.]+$")) v else str(v)
-            s"${ident(k)}: $vv"
+            s"${ident(k)}: ${optValue(v)}"
           }.mkString(", ")
       }
       s"alter table $ie${saveTarget(table)} $opTxt"
@@ -269,12 +272,7 @@ object WvPrinter {
         case _ => throw Unprintable("subscribe over a non-table relation")
       }
     case AliasedRelation(child, alias, cols) =>
-      child match {
-        case b: BracedRelation => s"from ${bracedText(b)}${aliasText(Some(alias), cols)}"
-        case t: TableRef => s"${rel(t)}${aliasText(Some(alias), cols)}"
-        case f: FileScan => s"${rel(f)}${aliasText(Some(alias), cols)}"
-        case _ => s"${rel(child)}${aliasText(Some(alias), cols)}"
-      }
+      s"${rel(child)}${aliasText(Some(alias), cols)}"
     case b: BracedRelation => s"from ${bracedText(b)}"
     case SelectAsNamed(child, name) => s"${rel(child)}\nselect as ${ident(name)}"
     case SelectAsNamedDyn(child, interp) =>
@@ -525,7 +523,12 @@ object WvPrinter {
     case LambdaExpr(List(p), body) => s"${ident(p)} -> ${ex(body)}"
     case LambdaExpr(ps, body) => s"(${ps.map(ident).mkString(", ")}) -> ${ex(body)}"
     case BinaryOp(op, l, r) => s"(${ex(l)} $op ${ex(r)})"
-    case UnaryOp("-", operand) => s"-${ex(operand)}"
+    case UnaryOp("-", operand) =>
+      // a nested negation would print as `--x`, which the scanner lexes as
+      // a LINE COMMENT — parenthesize any operand that renders with a
+      // leading '-' so print∘parse stays the identity
+      val inner = ex(operand)
+      if (inner.startsWith("-")) s"-($inner)" else s"-$inner"
     case UnaryOp(op, operand) => throw Unprintable(s"unary $op")
     case Not(operand) => s"not (${ex(operand)})"
     case IsNull(operand, negated) =>

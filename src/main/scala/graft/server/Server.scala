@@ -67,12 +67,17 @@ object Server {
 
   final class Instance(
       val server: HttpServer,
-      private val pool: java.util.concurrent.ExecutorService) {
+      private val pool: java.util.concurrent.ExecutorService,
+      private val httpPool: java.util.concurrent.ExecutorService) {
     def port: Int = server.getAddress.getPort
-    def stop(): Unit = { server.stop(0); pool.shutdownNow() }
+    // HttpServer.stop does NOT shut down a caller-supplied executor — each
+    // start/stop cycle would leak 4 live non-daemon dispatcher threads
+    def stop(): Unit = { server.stop(0); pool.shutdownNow(); httpPool.shutdownNow() }
   }
 
   private val PageSize = 200
+  private val MaxQueryStates = 256
+  private val MaxSessions = 64
 
   def start(
       spark: SparkSession,
@@ -84,9 +89,33 @@ object Server {
     val startNs = System.nanoTime()
     val queries = new ConcurrentHashMap[String, QueryState]()
     val sessions = new ConcurrentHashMap[String, graft.lang.Lowering.Context]()
-    def sessionCtx(id: String): graft.lang.Lowering.Context =
+    val sessionUsed = new ConcurrentHashMap[String, java.lang.Long]()
+    def sessionCtx(id: String): graft.lang.Lowering.Context = {
+      sessionUsed.put(id, System.nanoTime())
+      // LRU-cap the session registry: each Context holds definition maps
+      // for the life of the server otherwise
+      if (sessions.size > MaxSessions) {
+        import scala.jdk.CollectionConverters._
+        sessionUsed.asScala.toSeq.sortBy(_._2.longValue())
+          .take(sessions.size - MaxSessions)
+          .foreach { case (sid, _) => sessions.remove(sid); sessionUsed.remove(sid) }
+      }
       sessions.computeIfAbsent(id, _ =>
         graft.lang.Lowering.Context(spark, Tables0.resolver(spark, dir), basePath = dir))
+    }
+    /** Evict the oldest TERMINAL query states beyond the cap: each one
+      * pins up to maxRows collected rows, and main() runs forever — an
+      * unevicted map is an unbounded heap leak. Running queries are never
+      * evicted. */
+    def evictQueries(): Unit =
+      if (queries.size > MaxQueryStates) {
+        import scala.jdk.CollectionConverters._
+        queries.values.asScala.toSeq
+          .filter(_.completedAt.isDefined)
+          .sortBy(_.completedAt.get)
+          .take(queries.size - MaxQueryStates)
+          .foreach(st => queries.remove(st.queryId))
+      }
     val pool = Executors.newFixedThreadPool(
       math.max(2, Runtime.getRuntime.availableProcessors() / 4))
     val rnd = new java.util.Random()
@@ -120,6 +149,7 @@ object Server {
         selection: String = "all", line: Int = 1): Unit = {
       val st = QueryState(newId(), text, Instant.now(), "running")
       queries.put(st.queryId, st)
+      evictQueries()
       pool.submit(new Runnable {
         // QueryState transitions synchronize on `st`: the DELETE handler's
         // running→cancelled and this worker's →finished/failed check-then-
@@ -149,6 +179,10 @@ object Server {
             // a running query's pending assertions
             val ctx = sessionCtx(sid)
             val df = ctx.synchronized {
+              // a cancel that landed while this query was WAITING on the
+              // session lock must win here too — cancelJobGroup can't
+              // reach jobs that were never submitted
+              if (st.synchronized { st.status == "cancelled" }) return
               if (sel == "describe") {
                 val described = graft.CompileApi.compileOnlyWith(ctx, effective)
                 import spark.implicits._
@@ -161,15 +195,26 @@ object Server {
               // limit+1 INSIDE the plan detects truncation without
               // counting (or materializing) the full result
               val collected = df.limit(maxRows + 1).collect()
-              st.schema = df.schema.fields.toSeq
+              val schema = df.schema.fields.toSeq
                 .map(f => f.name -> f.dataType.simpleString)
-              st.truncated = collected.length > maxRows
-              st.rows = collected.take(maxRows).toSeq
+              val truncated = collected.length > maxRows
+              val rows = collected.take(maxRows).toSeq
                 .map(_.toSeq.map {
                   case null => null
                   case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
                   case v => v
                 })
+              // result writes under the SAME lock the readers take: the
+              // GET handler must never observe status=finished with stale
+              // empty rows (plain var writes have no happens-before edge),
+              // and a cancelled query must not retain its abandoned rows
+              st.synchronized {
+                if (st.status != "cancelled") {
+                  st.schema = schema
+                  st.truncated = truncated
+                  st.rows = rows
+                }
+              }
             }
             // a cancel that arrived while the collect was finishing keeps
             // its terminal state — finished must not overwrite cancelled
@@ -263,34 +308,50 @@ object Server {
                 } else false
               }
               if (won) {
-                spark.sparkContext.cancelJobGroup(id)
+                // ...AndFutureJobs: jobs the worker submits AFTER this call
+                // (it may still be compiling) are cancelled too
+                spark.sparkContext.cancelJobGroupAndFutureJobs(id)
                 send(ex, 200, Map("queryId" -> id, "status" -> "cancelled"))
-              } else
-                send(ex, 409, Map("error" -> s"query is ${st.status}", "status" -> st.status))
+              } else {
+                val status = st.synchronized(st.status)
+                send(ex, 409, Map("error" -> s"query is $status", "status" -> status))
+              }
           }
         case ("GET", id) if id.nonEmpty =>
           Option(queries.get(id)) match {
             case None => send(ex, 404, Map("error" -> s"query '$id' not found"))
             case Some(st) =>
-              val page = Option(ex.getRequestURI.getQuery).getOrElse("")
+              val pageOpt = Option(ex.getRequestURI.getQuery).getOrElse("")
                 .split("&").collectFirst {
                   case kv if kv.startsWith("pageToken=") =>
-                    kv.stripPrefix("pageToken=").toInt
-                }.getOrElse(0)
-              val slice = st.rows.slice(page, page + PageSize)
-              val next = page + slice.length
-              send(ex, 200, Map(
-                "queryId" -> st.queryId,
-                "status" -> st.status,
-                "createdAt" -> st.createdAt.toString,
-                "completedAt" -> st.completedAt.map(_.toString),
-                "error" -> st.error,
-                "schema" -> st.schema.map { case (n, t) =>
-                  Map("name" -> n, "typeName" -> t) },
-                "rows" -> slice,
-                "totalRows" -> st.rows.length,
-                "truncated" -> st.truncated,
-                "pageToken" -> (if (next < st.rows.length) next.toString else "")))
+                    kv.stripPrefix("pageToken=").toIntOption
+                }.getOrElse(Some(0))
+              pageOpt.filter(_ >= 0) match {
+                case None =>
+                  send(ex, 400, Map("error" -> "pageToken must be a non-negative integer"))
+                case Some(page) =>
+                  // one locked snapshot: the worker publishes rows+status
+                  // under the same lock (see submit) — unlocked reads could
+                  // see 'finished' with stale empty rows
+                  val (status, completedAt, error, schema, rows, truncated) =
+                    st.synchronized {
+                      (st.status, st.completedAt, st.error, st.schema, st.rows, st.truncated)
+                    }
+                  val slice = rows.slice(page, page + PageSize)
+                  val next = page + slice.length
+                  send(ex, 200, Map(
+                    "queryId" -> st.queryId,
+                    "status" -> status,
+                    "createdAt" -> st.createdAt.toString,
+                    "completedAt" -> completedAt.map(_.toString),
+                    "error" -> error,
+                    "schema" -> schema.map { case (n, t) =>
+                      Map("name" -> n, "typeName" -> t) },
+                    "rows" -> slice,
+                    "totalRows" -> rows.length,
+                    "truncated" -> truncated,
+                    "pageToken" -> (if (next < rows.length) next.toString else "")))
+              }
           }
         case _ => send(ex, 405, Map("error" -> "method not allowed"))
       }
@@ -526,9 +587,10 @@ object Server {
       }
     })
 
-    http.setExecutor(Executors.newFixedThreadPool(4))
+    val httpPool = Executors.newFixedThreadPool(4)
+    http.setExecutor(httpPool)
     http.start()
-    new Instance(http, pool)
+    new Instance(http, pool, httpPool)
   }
 
   /** Avoid a hard import cycle in object init order. */
