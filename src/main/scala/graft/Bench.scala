@@ -1,55 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Headline bench. r11 lesson: a single JVM running ~287 queries
+  * accumulates heap/JIT/codegen-cache state that inflated late-suite heavy
+  * queries up to 3x over their isolated medians (q_dedup_drop_clusters
+  * 19.3 s in-suite vs 6.5-7.5 s isolated on the SAME build), costing the
+  * round a phantom 1.27x regression headline. GC-every-25 was not enough.
+  * Fix: the default entrypoint is now an ORCHESTRATOR that forks a fresh
+  * JVM per ~48-query chunk (classpath + JVM flags inherited from this
+  * process — build.sbt forks `run`, so java.class.path is the real app
+  * classpath). Each child is the old in-process bench over its subset;
+  * the parent aggregates chunk artifacts into the same one-line stdout
+  * contract + BENCH_DETAIL.json. SPARK_GRAFT_FORK=0 restores the legacy
+  * single-JVM path (used by BenchOne-style isolation runs).
+  */
 object Bench {
-  /** 1/5/15-min load from /proc/loadavg — recorded with every bench run so
-    * a loaded machine can't silently corrupt a round's numbers (r6's 2-5x
-    * "regression" on byte-identical code was exactly that). */
   private def loadavg(): String = BenchGuard.loadavg()
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // driver contract: headline queries run at local[32]. The early-round
-    // local[4] default predated BenchGuard's quiet-wait; with load gating
-    // in place the full machine is the honest configuration (BenchScale
-    // already defaults to 32 — this aligns the headline bench with it).
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // wait (bounded) for the machine to go quiet BEFORE any timing —
-    // recording loadavg alone let three consecutive rounds ship
-    // load-poisoned headline numbers
-    val (waitedSec, gaveUp) = BenchGuard.waitUntilQuiet()
-    val loadBefore = loadavg()
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-    Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
-    val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // session warm-up outside the timed region: JVM/codegen/parquet-footer
-    // costs land here instead of inflating the alphabetically-first query
-    spark.range(1000).selectExpr("sum(id)").collect()
-    try spark.read.parquet(s"$sfDir/region.parquet").count()
-    catch { case _: Throwable => () }
-    // substring filter for local iteration: SPARK_GRAFT_ONLY=ngram sbt 'runMain graft.Bench'
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-    // Timed runs per query after one untimed warm run; the reported value is the
-    // median, so a transient background-load spike on this shared machine cannot
-    // poison a query's official number (single cold runs did exactly that in r4).
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(n.contains) }
-      // *_property companions are correctness gates that re-run their
-      // underlying operator plus a brute-force comparator — no perf signal
-      // beyond the operator queries already timed here
-      .filterNot { case (n, _) => n.endsWith("_property") }
-    var failures = 0
+  private def s3(v: Double): String = f"$v%.3f"
+
+  private case class QResult(name: String, median: Double, runs: Seq[Double], failed: Boolean)
+
+  /** The measurement core: warm run + `runs` timed runs per query, median
+    * reported, full GC every 25 queries outside timed regions. */
+  private def runQueries(spark: SparkSession, sfDir: String, runs: Int,
+      selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Seq[QResult] = {
     var sinceGc = 0
-    val results = selected.map { case (name, fn) =>
-      // bench hygiene: a full GC every 25 queries, OUTSIDE any timed
-      // region. Late-suite queries otherwise pay the accumulated heap debt
-      // of the ~200 queries before them — r10's q_rollup "regression"
-      // (0.28 -> 1.37 s mid-suite, 0.47 s isolated, query text and plan
-      // unchanged) was exactly this, not a plan change. See TUNING.md.
+    selected.map { case (name, fn) =>
       sinceGc += 1
       if (sinceGc >= 25) { sinceGc = 0; System.gc() }
       def once(): Option[Double] = {
@@ -63,40 +41,199 @@ object Bench {
       }
       val warm = once()
       val timed: Seq[Double] =
-        if (warm.isEmpty) { failures += 1; Nil }
-        else {
-          val t = (1 to runs).flatMap(_ => once())
-          if (t.isEmpty) failures += 1
-          t
-        }
+        if (warm.isEmpty) Nil
+        else (1 to runs).flatMap(_ => once())
       val sec =
         if (timed.nonEmpty) timed.sorted.apply(timed.size / 2) // median (upper for even n)
         else warm.getOrElse(0.0)
       System.err.println(f"[bench] $name%-32s $sec%8.2f s")
-      (name, sec, timed)
+      QResult(name, sec, timed, failed = timed.isEmpty)
     }
+  }
+
+  private def openSession(cpus: String): SparkSession = {
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+    Tables.sessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  private def warmUp(spark: SparkSession, sfDir: String): Unit = {
+    // session warm-up outside any timed region: JVM/codegen/parquet-footer
+    // costs land here instead of inflating the chunk's first query
+    spark.range(1000).selectExpr("sum(id)").collect()
+    try spark.read.parquet(s"$sfDir/region.parquet").count()
+    catch { case _: Throwable => () }
+  }
+
+  private def selectedQueries(): Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(n.contains) }
+      // *_property companions are correctness gates that re-run their
+      // underlying operator plus a brute-force comparator — no perf signal
+      .filterNot { case (n, _) => n.endsWith("_property") }
+  }
+
+  private def detailJson(rs: Seq[QResult]): String =
+    rs.map { r =>
+      s""""${r.name}":{"median":${s3(r.median)},"runs":[${r.runs.map(s3).mkString(",")}]}"""
+    }.mkString("{", ",", "}")
+
+  // ---------------------------------------------------------------- child
+  /** Child mode: run the query names listed in `chunkFile` (one per line)
+    * and write a small JSON artifact to SPARK_GRAFT_CHUNK_OUT. Nothing on
+    * stdout — the parent owns the driver's stdout contract. */
+  private def runChunk(chunkFile: String): Unit = {
+    val outPath = sys.env("SPARK_GRAFT_CHUNK_OUT")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    val names = Files.readAllLines(Paths.get(chunkFile)).toArray(Array.empty[String]).toSeq
+      .map(_.trim).filter(_.nonEmpty)
+    val byName = SparkEntry.queries
+    val sel = names.flatMap(n => byName.get(n).map(n -> _))
+    val loadBefore = loadavg()
+    val spark = openSession(cpus)
+    warmUp(spark, sfDir)
+    val rs = runQueries(spark, sfDir, runs, sel)
     val loadAfter = loadavg()
+    val json =
+      s"""{"load_before":"$loadBefore","load_after":"$loadAfter",""" +
+        s""""failures":${rs.count(_.failed)},"queries":${detailJson(rs)}}"""
+    Files.writeString(Paths.get(outPath), json)
+    spark.stop()
+  }
+
+  // ----------------------------------------------------------- fork infra
+  /** JVM flags of THIS process worth forwarding to a child measurement JVM:
+    * module opens/exports, -X memory/GC, -D system props. */
+  private def inheritedJvmArgs(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val in = java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toList
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < in.length) {
+      val a = in(i)
+      if ((a == "--add-opens" || a == "--add-exports" || a == "--add-modules") && i + 1 < in.length) {
+        out += a += in(i + 1); i += 2
+      } else if (a.startsWith("--add-opens=") || a.startsWith("--add-exports=") ||
+                 a.startsWith("-X") || a.startsWith("-D")) {
+        out += a; i += 1
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** Fork one chunk; returns the parsed (loadBefore, loadAfter, results)
+    * or None if the child failed (parent then falls back in-process). */
+  private def forkChunk(names: Seq[String], idx: Int): Option[(String, String, Seq[QResult])] = {
+    val tmpDir = Files.createTempDirectory("graft-bench")
+    val listFile = tmpDir.resolve(s"chunk$idx.txt")
+    val outFile = tmpDir.resolve(s"chunk$idx.json")
+    Files.writeString(listFile, names.mkString("\n"))
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val cp = System.getProperty("java.class.path")
+    val cmd = Seq(javaBin) ++ inheritedJvmArgs() ++ Seq("-cp", cp, "graft.Bench")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_CHUNK_FILE", listFile.toString)
+    pb.environment().put("SPARK_GRAFT_CHUNK_OUT", outFile.toString)
+    // the parent already did the quiet-wait; children must not re-wait
+    pb.environment().put("SPARK_GRAFT_LOAD_MAX", "0")
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    pb.redirectOutput(ProcessBuilder.Redirect.DISCARD) // stdout is the parent's contract
+    try {
+      val p = pb.start()
+      val code = p.waitFor()
+      if (code != 0 || !Files.exists(outFile)) {
+        System.err.println(s"[bench] chunk $idx child exited $code — falling back in-process")
+        None
+      } else Some(parseChunk(Files.readString(outFile)))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] chunk $idx fork failed: $e — falling back in-process")
+        None
+    }
+  }
+
+  /** Minimal parser for the chunk artifact this object itself writes —
+    * fixed shape, no general JSON needed. */
+  private def parseChunk(json: String): (String, String, Seq[QResult]) = {
+    def field(k: String): String = {
+      val m = ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(json)
+      m.map(_.group(1)).getOrElse("unavailable")
+    }
+    val qre = """"([A-Za-z0-9_]+)":\{"median":([0-9.\-eE]+),"runs":\[([0-9.,\-eE]*)\]\}""".r
+    val rs = qre.findAllMatchIn(json).map { m =>
+      val runs = m.group(3).split(",").toSeq.filter(_.nonEmpty).map(_.toDouble)
+      QResult(m.group(1), m.group(2).toDouble, runs, failed = runs.isEmpty)
+    }.toSeq
+    (field("load_before"), field("load_after"), rs)
+  }
+
+  // --------------------------------------------------------------- parent
+  def main(args: Array[String]): Unit = {
+    sys.env.get("SPARK_GRAFT_CHUNK_FILE") match {
+      case Some(f) => runChunk(f); return
+      case None => ()
+    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_CHUNK_SIZE", "48").toInt.max(1)
+    val forking = sys.env.getOrElse("SPARK_GRAFT_FORK", "1") != "0"
+    // wait (bounded) for the machine to go quiet BEFORE any timing —
+    // recording loadavg alone let three consecutive rounds ship
+    // load-poisoned headline numbers
+    val (waitedSec, gaveUp) = BenchGuard.waitUntilQuiet()
+    val loadBefore = loadavg()
+    val selected = selectedQueries()
+    val chunks = selected.grouped(chunkSize).toSeq
+
+    // lazily-created session for legacy mode / per-chunk fallback only
+    var fallbackSpark: Option[SparkSession] = None
+    def sparkFallback(): SparkSession = fallbackSpark.getOrElse {
+      val s = openSession(cpus); warmUp(s, sfDir); fallbackSpark = Some(s); s
+    }
+
+    val chunkLoads = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results: Seq[QResult] = chunks.zipWithIndex.flatMap { case (chunk, idx) =>
+      val forked = if (forking) forkChunk(chunk.map(_._1), idx) else None
+      forked match {
+        case Some((lb, la, rs)) =>
+          chunkLoads += s"$lb;$la"
+          // a child that died mid-chunk yields fewer rows than names —
+          // finish the missing tail in-process so no query silently drops
+          val have = rs.map(_.name).toSet
+          val missing = chunk.filterNot { case (n, _) => have.contains(n) }
+          if (missing.isEmpty) rs
+          else rs ++ runQueries(sparkFallback(), sfDir, runs, missing)
+        case None =>
+          chunkLoads += "fallback"
+          runQueries(sparkFallback(), sfDir, runs, chunk)
+      }
+    }
+    fallbackSpark.foreach(_.stop())
+    val loadAfter = loadavg()
+    val failures = results.count(_.failed)
+    val total = results.map(_.median).sum
     // stdout contract: ONE short JSON line (the driver tail-captures stdout,
     // so the line is kept small — 3-decimal seconds); the complete artifact
     // with per-run times and load stamps goes to BENCH_DETAIL.json.
-    def s3(v: Double): String = f"$v%.3f"
-    val total = results.map(_._2).sum
-    val detail = {
-      val rows = results.map { case (k, v, t) =>
-        s""""$k":{"median":${s3(v)},"runs":[${t.map(s3).mkString(",")}]}"""
-      }.mkString("{", ",", "}")
+    val detail =
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","sf":"$sfDir","cpus":"$cpus",""" +
         s""""runs_per_query":$runs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
         s""""quiet_wait_sec":$waitedSec,"quiet_gave_up":$gaveUp,""" +
-        s""""failures":$failures,"queries":$rows}"""
-    }
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_DETAIL.json"), detail)
+        s""""fork_per_chunk":$forking,"chunk_size":$chunkSize,""" +
+        s""""chunk_loads":[${chunkLoads.map(l => "\"" + l + "\"").mkString(",")}],""" +
+        s""""failures":$failures,"queries":${detailJson(results)}}"""
+    try Files.writeString(Paths.get("BENCH_DETAIL.json"), detail)
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    // totals-only on stdout: the full per-query map made the line ~5 KB,
-    // overflowing the driver's stdout tail-capture so BENCH_r{8,9}.json had
-    // "parsed": null — per-query medians+runs live in BENCH_DETAIL.json
     println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"failures":$failures,"sf":"$sfDir","cpus":$cpus,"load":"$loadBefore;$loadAfter","quiet_wait":"$waitedSec;$gaveUp","detail":"BENCH_DETAIL.json"}""")
     if (failures > 0) System.err.println(s"[bench] $failures queries FAILED")
-    spark.stop()
   }
 }

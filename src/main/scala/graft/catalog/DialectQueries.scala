@@ -247,11 +247,16 @@ object DialectQueries {
   /** Schema-driven Spark-side normalization mirroring the oracle wrapper. */
   private def normalize(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.{functions => F}
-    import org.apache.spark.sql.types.{DoubleType, TimestampType}
+    import org.apache.spark.sql.types.{DateType, DoubleType, TimestampNTZType, TimestampType}
     df.select(df.schema.fields.map { f =>
       f.dataType match {
         case DoubleType => F.round(F.col(f.name) + F.lit(5e-9), 4).as(f.name)
-        case TimestampType => F.date_format(F.col(f.name), "yyyy-MM-dd HH:mm:ss").as(f.name)
+        // Spark 4 reads the testdata's naive parquet timestamp[us] as
+        // TimestampNTZType, not TimestampType — both must stringify, or
+        // the oracle's strftime VARCHAR hash-mismatches a raw timestamp
+        // (the exact r11 q_tpch18_duckdb_gen failure).
+        case TimestampType | TimestampNTZType | DateType =>
+          F.date_format(F.col(f.name), "yyyy-MM-dd HH:mm:ss").as(f.name)
         case _ => F.col(f.name)
       }
     }.toSeq: _*)

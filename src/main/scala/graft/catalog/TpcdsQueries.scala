@@ -26,7 +26,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * aggregates rounded to 4 dp on both sides per the catalog convention
   * (2 dp sits ON the .005 boundaries of money-valued sums — exact 4-dp
   * multiples — so cross-engine summation-order drift of ~1e-10 flipped a
-  * digit; 4 dp boundaries are never multiples of the data's quantum).
+  * digit; 4 dp boundaries are never multiples of the data's quantum), and
+  * every SUM over an integral column wrapped in CAST(... AS BIGINT) —
+  * Spark types SUM(INT) as BIGINT while DuckDB types it HUGEINT, which
+  * lands in the oracle harness' pandas frame as float64, so a numerically
+  * identical result hash-mismatches on `1` vs `1.0` (COUNT needs no cast:
+  * it is BIGINT on both engines). The r11 driver gate flagged exactly the
+  * 11 queries whose outputs carried bare integral SUMs.
   */
 object TpcdsQueries {
 
@@ -1603,10 +1609,10 @@ SELECT *
 FROM
   (SELECT w_warehouse_name,
           i_item_id,
-          sum(CASE WHEN d_date < CAST('1995-03-11' AS DATE)
-                   THEN inv_quantity_on_hand ELSE 0 END) AS inv_before,
-          sum(CASE WHEN d_date >= CAST('1995-03-11' AS DATE)
-                   THEN inv_quantity_on_hand ELSE 0 END) AS inv_after
+          CAST(sum(CASE WHEN d_date < CAST('1995-03-11' AS DATE)
+                   THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT) AS inv_before,
+          CAST(sum(CASE WHEN d_date >= CAST('1995-03-11' AS DATE)
+                   THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT) AS inv_after
    FROM inventory, warehouse, item, date_dim
    WHERE i_current_price BETWEEN 920 AND 950
      AND i_item_sk = inv_item_sk
@@ -1718,14 +1724,14 @@ LIMIT 100
     // buckets rewritten as engine-portable date + int comparisons)
     entry("q_tpcds_q62", """
 SELECT w_substr, sm_type, web_name,
-       sum(CASE WHEN ws_ship_date_sk <= ws_sold_date_sk + 30 THEN 1 ELSE 0 END) AS d30,
-       sum(CASE WHEN ws_ship_date_sk > ws_sold_date_sk + 30
-                 AND ws_ship_date_sk <= ws_sold_date_sk + 60 THEN 1 ELSE 0 END) AS d31_60,
-       sum(CASE WHEN ws_ship_date_sk > ws_sold_date_sk + 60
-                 AND ws_ship_date_sk <= ws_sold_date_sk + 90 THEN 1 ELSE 0 END) AS d61_90,
-       sum(CASE WHEN ws_ship_date_sk > ws_sold_date_sk + 90
-                 AND ws_ship_date_sk <= ws_sold_date_sk + 120 THEN 1 ELSE 0 END) AS d91_120,
-       sum(CASE WHEN ws_ship_date_sk > ws_sold_date_sk + 120 THEN 1 ELSE 0 END) AS dgt120
+       CAST(sum(CASE WHEN ws_ship_date_sk <= ws_sold_date_sk + 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+       CAST(sum(CASE WHEN ws_ship_date_sk > ws_sold_date_sk + 30
+                 AND ws_ship_date_sk <= ws_sold_date_sk + 60 THEN 1 ELSE 0 END) AS BIGINT) AS d31_60,
+       CAST(sum(CASE WHEN ws_ship_date_sk > ws_sold_date_sk + 60
+                 AND ws_ship_date_sk <= ws_sold_date_sk + 90 THEN 1 ELSE 0 END) AS BIGINT) AS d61_90,
+       CAST(sum(CASE WHEN ws_ship_date_sk > ws_sold_date_sk + 90
+                 AND ws_ship_date_sk <= ws_sold_date_sk + 120 THEN 1 ELSE 0 END) AS BIGINT) AS d91_120,
+       CAST(sum(CASE WHEN ws_ship_date_sk > ws_sold_date_sk + 120 THEN 1 ELSE 0 END) AS BIGINT) AS dgt120
 FROM web_sales,
   (SELECT substring(w_warehouse_name, 1, 20) AS w_substr, * FROM warehouse) sq1,
      ship_mode, web_site, date_dim
@@ -1949,12 +1955,12 @@ csci AS
    FROM catalog_sales, date_dim
    WHERE cs_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 36 AND 47
    GROUP BY cs_bill_customer_sk, cs_item_sk)
-SELECT sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NULL
-                THEN 1 ELSE 0 END) AS store_only,
-       sum(CASE WHEN ssci.customer_sk IS NULL AND csci.customer_sk IS NOT NULL
-                THEN 1 ELSE 0 END) AS catalog_only,
-       sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NOT NULL
-                THEN 1 ELSE 0 END) AS store_and_catalog
+SELECT CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+       CAST(sum(CASE WHEN ssci.customer_sk IS NULL AND csci.customer_sk IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS catalog_only,
+       CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS store_and_catalog
 FROM ssci
 FULL OUTER JOIN csci ON (ssci.customer_sk = csci.customer_sk
                          AND ssci.item_sk = csci.item_sk)
@@ -1964,14 +1970,14 @@ LIMIT 100
     // (date-diff buckets rewritten as portable date + int comparisons)
     entry("q_tpcds_q99", """
 SELECT w_substr, sm_type, lower(cc_name) AS cc_name_lower,
-       sum(CASE WHEN cs_ship_date_sk <= cs_sold_date_sk + 30 THEN 1 ELSE 0 END) AS d30,
-       sum(CASE WHEN cs_ship_date_sk > cs_sold_date_sk + 30
-                 AND cs_ship_date_sk <= cs_sold_date_sk + 60 THEN 1 ELSE 0 END) AS d31_60,
-       sum(CASE WHEN cs_ship_date_sk > cs_sold_date_sk + 60
-                 AND cs_ship_date_sk <= cs_sold_date_sk + 90 THEN 1 ELSE 0 END) AS d61_90,
-       sum(CASE WHEN cs_ship_date_sk > cs_sold_date_sk + 90
-                 AND cs_ship_date_sk <= cs_sold_date_sk + 120 THEN 1 ELSE 0 END) AS d91_120,
-       sum(CASE WHEN cs_ship_date_sk > cs_sold_date_sk + 120 THEN 1 ELSE 0 END) AS dgt120
+       CAST(sum(CASE WHEN cs_ship_date_sk <= cs_sold_date_sk + 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+       CAST(sum(CASE WHEN cs_ship_date_sk > cs_sold_date_sk + 30
+                 AND cs_ship_date_sk <= cs_sold_date_sk + 60 THEN 1 ELSE 0 END) AS BIGINT) AS d31_60,
+       CAST(sum(CASE WHEN cs_ship_date_sk > cs_sold_date_sk + 60
+                 AND cs_ship_date_sk <= cs_sold_date_sk + 90 THEN 1 ELSE 0 END) AS BIGINT) AS d61_90,
+       CAST(sum(CASE WHEN cs_ship_date_sk > cs_sold_date_sk + 90
+                 AND cs_ship_date_sk <= cs_sold_date_sk + 120 THEN 1 ELSE 0 END) AS BIGINT) AS d91_120,
+       CAST(sum(CASE WHEN cs_ship_date_sk > cs_sold_date_sk + 120 THEN 1 ELSE 0 END) AS BIGINT) AS dgt120
 FROM catalog_sales,
   (SELECT substring(w_warehouse_name, 1, 20) AS w_substr, * FROM warehouse) sq1,
      ship_mode, call_center, date_dim
@@ -2631,9 +2637,9 @@ LIMIT 100
     // (adapted: September 1995, repurchase years 1995-1997)
     entry("q_tpcds_q29", """
 SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
-       sum(ss_quantity) AS store_sales_quantity,
-       sum(sr_return_quantity) AS store_returns_quantity,
-       sum(cs_quantity) AS catalog_sales_quantity
+       CAST(sum(ss_quantity) AS BIGINT) AS store_sales_quantity,
+       CAST(sum(sr_return_quantity) AS BIGINT) AS store_returns_quantity,
+       CAST(sum(cs_quantity) AS BIGINT) AS catalog_sales_quantity
 FROM store_sales, store_returns, catalog_sales,
      date_dim d1, date_dim d2, date_dim d3, store, item
 WHERE d1.d_moy = 9
@@ -2960,14 +2966,14 @@ LIMIT 100
     entry("q_tpcds_q50", """
 SELECT s_store_name, s_company_id, s_street_number, s_street_name,
        s_street_type, s_suite_number, s_city, s_county, s_state, s_zip,
-       sum(CASE WHEN sr_returned_date_sk <= ss_sold_date_sk + 30 THEN 1 ELSE 0 END) AS d30,
-       sum(CASE WHEN sr_returned_date_sk > ss_sold_date_sk + 30
-                 AND sr_returned_date_sk <= ss_sold_date_sk + 60 THEN 1 ELSE 0 END) AS d31_60,
-       sum(CASE WHEN sr_returned_date_sk > ss_sold_date_sk + 60
-                 AND sr_returned_date_sk <= ss_sold_date_sk + 90 THEN 1 ELSE 0 END) AS d61_90,
-       sum(CASE WHEN sr_returned_date_sk > ss_sold_date_sk + 90
-                 AND sr_returned_date_sk <= ss_sold_date_sk + 120 THEN 1 ELSE 0 END) AS d91_120,
-       sum(CASE WHEN sr_returned_date_sk > ss_sold_date_sk + 120 THEN 1 ELSE 0 END) AS dgt120
+       CAST(sum(CASE WHEN sr_returned_date_sk <= ss_sold_date_sk + 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+       CAST(sum(CASE WHEN sr_returned_date_sk > ss_sold_date_sk + 30
+                 AND sr_returned_date_sk <= ss_sold_date_sk + 60 THEN 1 ELSE 0 END) AS BIGINT) AS d31_60,
+       CAST(sum(CASE WHEN sr_returned_date_sk > ss_sold_date_sk + 60
+                 AND sr_returned_date_sk <= ss_sold_date_sk + 90 THEN 1 ELSE 0 END) AS BIGINT) AS d61_90,
+       CAST(sum(CASE WHEN sr_returned_date_sk > ss_sold_date_sk + 90
+                 AND sr_returned_date_sk <= ss_sold_date_sk + 120 THEN 1 ELSE 0 END) AS BIGINT) AS d91_120,
+       CAST(sum(CASE WHEN sr_returned_date_sk > ss_sold_date_sk + 120 THEN 1 ELSE 0 END) AS BIGINT) AS dgt120
 FROM store_sales, store_returns, store, date_dim d1, date_dim d2
 WHERE d2.d_year = 1995
   AND d2.d_moy = 8
@@ -3429,8 +3435,8 @@ ORDER BY ext_price DESC NULLS FIRST, i_brand_id NULLS FIRST,
     // the other modular demographic constraints to zero rows here)
     entry("q_tpcds_q72", """
 SELECT i_item_desc, w_warehouse_name, d1.d_week_seq,
-       sum(CASE WHEN p_promo_sk IS NULL THEN 1 ELSE 0 END) AS no_promo,
-       sum(CASE WHEN p_promo_sk IS NOT NULL THEN 1 ELSE 0 END) AS promo,
+       CAST(sum(CASE WHEN p_promo_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS no_promo,
+       CAST(sum(CASE WHEN p_promo_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS promo,
        count(*) AS total_cnt
 FROM catalog_sales
 JOIN inventory ON (cs_item_sk = inv_item_sk)
@@ -3495,7 +3501,7 @@ LIMIT 100
     entry("q_tpcds_q83", """
 , sr_items AS
   (SELECT i_item_id AS item_id,
-          sum(sr_return_quantity) AS sr_item_qty
+          CAST(sum(sr_return_quantity) AS BIGINT) AS sr_item_qty
    FROM store_returns, item, date_dim
    WHERE sr_item_sk = i_item_sk
      AND d_date IN
@@ -3509,7 +3515,7 @@ LIMIT 100
    GROUP BY i_item_id),
 cr_items AS
   (SELECT i_item_id AS item_id,
-          sum(cr_return_quantity) AS cr_item_qty
+          CAST(sum(cr_return_quantity) AS BIGINT) AS cr_item_qty
    FROM catalog_returns, item, date_dim
    WHERE cr_item_sk = i_item_sk
      AND d_date IN
@@ -3523,7 +3529,7 @@ cr_items AS
    GROUP BY i_item_id),
 wr_items AS
   (SELECT i_item_id AS item_id,
-          sum(wr_return_quantity) AS wr_item_qty
+          CAST(sum(wr_return_quantity) AS BIGINT) AS wr_item_qty
    FROM web_returns, item, date_dim
    WHERE wr_item_sk = i_item_sk
      AND d_date IN
@@ -3677,7 +3683,7 @@ avg_sales AS
       WHERE ws_sold_date_sk = d_date_sk AND d_year BETWEEN 1995 AND 1997) sq2)
 SELECT channel, i_brand_id, i_class_id, i_category_id,
        round(sum(sales) + 5e-9, 4) AS sum_sales,
-       sum(number_sales) AS sum_number_sales
+       CAST(sum(number_sales) AS BIGINT) AS sum_number_sales
 FROM
   (SELECT 'store' AS channel, i_brand_id, i_class_id, i_category_id,
           sum(ss_quantity * ss_list_price) AS sales,
@@ -3975,7 +3981,7 @@ ORDER BY cs1.product_name, cs1.store_name, cs2.cnt, s11, s12,
     entry("q_tpcds_q75", """
 , all_sales AS
   (SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
-          sum(sales_cnt) AS sales_cnt,
+          CAST(sum(sales_cnt) AS BIGINT) AS sales_cnt,
           sum(sales_amt) AS sales_amt
    FROM
      (SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
@@ -4037,7 +4043,7 @@ LIMIT 100
 , ws AS
   (SELECT d_year AS ws_sold_year, ws_item_sk,
           ws_bill_customer_sk AS ws_customer_sk,
-          sum(ws_quantity) AS ws_qty,
+          CAST(sum(ws_quantity) AS BIGINT) AS ws_qty,
           sum(ws_wholesale_cost) AS ws_wc,
           sum(ws_sales_price) AS ws_sp
    FROM web_sales
@@ -4049,7 +4055,7 @@ LIMIT 100
 cs AS
   (SELECT d_year AS cs_sold_year, cs_item_sk,
           cs_bill_customer_sk AS cs_customer_sk,
-          sum(cs_quantity) AS cs_qty,
+          CAST(sum(cs_quantity) AS BIGINT) AS cs_qty,
           sum(cs_wholesale_cost) AS cs_wc,
           sum(cs_sales_price) AS cs_sp
    FROM catalog_sales
@@ -4060,7 +4066,7 @@ cs AS
    GROUP BY d_year, cs_item_sk, cs_bill_customer_sk),
 ss AS
   (SELECT d_year AS ss_sold_year, ss_item_sk, ss_customer_sk,
-          sum(ss_quantity) AS ss_qty,
+          CAST(sum(ss_quantity) AS BIGINT) AS ss_qty,
           sum(ss_wholesale_cost) AS ss_wc,
           sum(ss_sales_price) AS ss_sp
    FROM store_sales

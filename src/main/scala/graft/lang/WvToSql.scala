@@ -855,7 +855,9 @@ object WvToSql {
         case _ => s"percentile_approx(${as.mkString(", ")})"
       }
       case "count_if" if target == Hive =>
-        s"sum(CASE WHEN ${as.head} THEN 1 ELSE 0 END)"
+        // coalesce preserves count_if's zero-on-empty contract: a global
+        // aggregate over zero rows sums to NULL, but count_if returns 0
+        s"coalesce(sum(CASE WHEN ${as.head} THEN 1 ELSE 0 END), 0)"
       case "string_agg" | "listagg" =>
         stringAggSql(as.head, as.drop(1).headOption.getOrElse("','"))
       // Hive lacks bool_or/bool_and; the CASE keeps the all-NULL → NULL
@@ -872,6 +874,41 @@ object WvToSql {
       case Spark | Hive => s"array_join(sort_array(collect_list(CAST($inner AS STRING))), $sep)"
       case DuckDb => s"array_to_string(list_sort(array_agg(CAST($inner AS VARCHAR))), $sep)"
       case Trino => s"array_join(array_sort(array_agg(CAST($inner AS VARCHAR))), $sep)"
+    }
+
+    /** DISTINCT-call spelling, routed through the same per-dialect shape
+      * table as aggFnCall — blindly emitting aggFnName(n)(DISTINCT ...)
+      * leaked Spark spellings (collect_set, percentile) into duckdb/trino/
+      * hive text when the plain path would have restructured them. */
+    private def aggFnCallDistinct(n0: String, as: List[String]): String = {
+      def plain = s"${aggFnName(n0)}(DISTINCT ${as.mkString(", ")})"
+      n0.toLowerCase match {
+        // already set-valued: DISTINCT is idempotent, reuse the plain
+        // rewrite (which spells DISTINCT itself where needed)
+        case "collect_set" | "array_distinct_agg" => aggFnCall(n0, as)
+        // boolean aggregates: DISTINCT cannot change an or/and over
+        // booleans — drop it and take the plain (Hive-safe) rewrite
+        case "bool_or" | "bool_and" | "exists_agg" => aggFnCall(n0, as)
+        case "string_agg" | "listagg" =>
+          val sep = as.drop(1).headOption.getOrElse("','")
+          target match {
+            case Spark | Hive =>
+              s"array_join(sort_array(collect_set(CAST(${as.head} AS STRING))), $sep)"
+            case DuckDb =>
+              s"array_to_string(list_sort(array_agg(DISTINCT CAST(${as.head} AS VARCHAR))), $sep)"
+            case Trino =>
+              s"array_join(array_sort(array_agg(DISTINCT CAST(${as.head} AS VARCHAR))), $sep)"
+          }
+        // shape-rewritten on these targets with no DISTINCT-preserving
+        // form — refuse rather than emit a non-existent spelling
+        case "percentile" if target == DuckDb || target == Trino =>
+          throw new Unsupported(s"DISTINCT percentile has no ${target.toString.toLowerCase} spelling")
+        case "percentile_approx" | "approx_quantile" if target == DuckDb || target == Trino =>
+          throw new Unsupported(s"DISTINCT $n0 has no ${target.toString.toLowerCase} spelling")
+        case "count_if" if target == Hive =>
+          throw new Unsupported("DISTINCT count_if has no hive spelling")
+        case _ => plain
+      }
     }
 
     def ex(e: Expr, agg: Boolean): String = e match {
@@ -967,7 +1004,7 @@ object WvToSql {
         // approx_count_distinct / percentile / collect_set etc. would leak
         // their Spark spellings into duckdb/trino/hive text
         def call(as: List[String]): String =
-          if (isDistinct) s"${aggFnName(n)}(DISTINCT ${as.mkString(", ")})"
+          if (isDistinct) aggFnCallDistinct(n, as)
           else aggFnCall(n, as)
         filter match {
           case Some(f) if target == Hive =>

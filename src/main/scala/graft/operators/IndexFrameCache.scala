@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bounded LRU cache of persisted per-path index frames, shared by the ANN
+  * small-index path (Similarity) and the streaming dedup index
+  * (Subscribe). r11 shipped these as unbounded per-path maps: a workload
+  * touching many distinct sub-crossover indexes pinned one persisted frame
+  * per path in executor storage memory for the life of the context
+  * (ADVICE r11). This caps live entries per JVM and unpersists evictees —
+  * but ONLY evictees the calling context owns:
+  *
+  *   - an entry whose context is stopped is dropped outright (its storage
+  *     blocks died with the context);
+  *   - a same-context LRU entry is unpersisted and dropped;
+  *   - a FOREIGN live context's frame is never evicted — it may be serving
+  *     that context's queries, and unpersisting it mid-query is a
+  *     correctness hazard. If every entry is foreign and live the cache
+  *     temporarily exceeds the cap rather than corrupt another session.
+  *
+  * Hits are validated by (same SparkContext, same content fingerprint,
+  * context not stopped) — the same ownership rule both call sites already
+  * enforced individually.
+  */
+final class IndexFrameCache(maxEntries: Int) {
+  private case class Entry(owner: SparkSession, fingerprint: String, df: DataFrame)
+
+  // accessOrder=true → iteration order is LRU-first
+  private val map = new java.util.LinkedHashMap[String, Entry](16, 0.75f, true)
+
+  /** Look up `path`; on miss (or stale fingerprint / foreign context) run
+    * `load`, persist-ownership stays with the caller's thunk. Thread-safe. */
+  def getOrLoad(spark: SparkSession, path: String, fingerprint: String)(
+      load: => DataFrame): DataFrame = synchronized {
+    Option(map.get(path)) match {
+      case Some(e)
+          if (e.owner.sparkContext eq spark.sparkContext) &&
+            e.fingerprint == fingerprint && !spark.sparkContext.isStopped =>
+        e.df
+      case stale =>
+        // only a same-context stale entry is ours to unpersist
+        stale.filter(_.owner.sparkContext eq spark.sparkContext)
+          .foreach(e => try e.df.unpersist() catch { case _: Throwable => () })
+        stale.foreach(_ => map.remove(path))
+        val loaded = load
+        map.put(path, Entry(spark, fingerprint, loaded))
+        evictOverflow(spark)
+        loaded
+    }
+  }
+
+  private def evictOverflow(caller: SparkSession): Unit = {
+    if (map.size() <= maxEntries) return
+    val it = map.entrySet().iterator() // LRU-first
+    while (map.size() > maxEntries && it.hasNext) {
+      val e = it.next()
+      val ctx = e.getValue.owner.sparkContext
+      if (ctx.isStopped) it.remove()
+      else if (ctx eq caller.sparkContext) {
+        try e.getValue.df.unpersist() catch { case _: Throwable => () }
+        it.remove()
+      }
+      // foreign live context: skip — not ours to evict
+    }
+  }
+
+  /** Drop every entry the calling context owns (unpersisting them) plus all
+    * stopped-context entries. Exposed for tests and long-lived servers. */
+  def clear(spark: SparkSession): Unit = synchronized {
+    val it = map.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val ctx = e.getValue.owner.sparkContext
+      if (ctx.isStopped) it.remove()
+      else if (ctx eq spark.sparkContext) {
+        try e.getValue.df.unpersist() catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
+
+  def size: Int = synchronized(map.size())
+}

@@ -23,13 +23,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** (path -> (owning session, content fingerprint, persisted frame)) for
-    * indexes below the pruned-read crossover — see
-    * [[lshTopKPartitionedIndex]]. A cached frame is bound to the
-    * SparkSession that read it: a hit from a DIFFERENT (or stopped)
-    * session must reload rather than hand out a foreign plan. */
-  private val smallIndexCache = scala.collection.concurrent.TrieMap
-    .empty[String, (org.apache.spark.sql.SparkSession, String, org.apache.spark.sql.DataFrame)]
+  /** Bounded LRU of persisted frames for indexes below the pruned-read
+    * crossover — see [[lshTopKPartitionedIndex]]. A cached frame is bound
+    * to the SparkContext that read it; the cap keeps a many-distinct-index
+    * workload from pinning executor storage for the context's life
+    * (ADVICE r11). Cap override: spark.graft.ann.indexCacheEntries. */
+  private val smallIndexCache = new IndexFrameCache(
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_CACHE_ENTRIES", "16").toInt)
+
+  /** Test/server hook: drop the calling context's cached index frames. */
+  def clearIndexCache(spark: org.apache.spark.sql.SparkSession): Unit =
+    smallIndexCache.clear(spark)
 
   /** Deterministic random hyperplanes: `planes` × dim, seed fixed.
     * `private[graft]` so the oracle-SQL builder (QueryCatalog) can inline the
@@ -715,22 +719,10 @@ object Similarity {
         // object stores, so a same-size rewrite could pin a stale frame
         val fp = graft.Tables.directoryFingerprint(spark, indexPath)
           .getOrElse(s"$indexBytes")
-        smallIndexCache.get(indexPath) match {
-          // context-granular ownership: a cloned session over the same
-          // SparkContext may reuse the pure parquet-read frame; a
-          // different or stopped context must reload
-          case Some((owner, cachedFp, df))
-              if (owner.sparkContext eq spark.sparkContext) && cachedFp == fp &&
-                !spark.sparkContext.isStopped => df
-          case stale =>
-            // unpersist only a same-context stale entry: another context's
-            // frame is not ours to evict (it may be stopped, and dropping
-            // its cache blocks mid-query is a correctness hazard)
-            stale.filter(_._1.sparkContext eq spark.sparkContext)
-              .foreach(s => try s._3.unpersist() catch { case _: Throwable => () })
-            val loaded = spark.read.parquet(indexPath).persist()
-            smallIndexCache.put(indexPath, (spark, fp, loaded))
-            loaded
+        // ownership/staleness rules (same-context hit, fingerprint match,
+        // LRU-bounded eviction of own entries only) live in IndexFrameCache
+        smallIndexCache.getOrLoad(spark, indexPath, fp) {
+          spark.read.parquet(indexPath).persist()
         }
       } else {
         val raw = spark.read.parquet(indexPath)

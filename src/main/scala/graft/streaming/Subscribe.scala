@@ -228,12 +228,15 @@ object Subscribe {
       .partitionBy("__batch_id")
       .parquet(outPath)
 
-  /** Per-path cache for [[dedupIncrementalAppend]]'s path flavor: the
-    * loaded + persisted signature frame and the directory fingerprint it
-    * was loaded under. */
-  private case class CachedIndex(owner: SparkSession, fingerprint: String, df: DataFrame)
-  private val indexCache =
-    scala.collection.concurrent.TrieMap.empty[String, CachedIndex]
+  /** Bounded per-path LRU for [[dedupIncrementalAppend]]'s path flavor:
+    * the loaded + persisted signature frame keyed by directory fingerprint
+    * (shared eviction/ownership rules with the ANN small-index cache —
+    * ADVICE r11 flagged both as unbounded). */
+  private val indexCache = new graft.operators.IndexFrameCache(
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_CACHE_ENTRIES", "16").toInt)
+
+  /** Test/server hook: drop the calling context's cached index frames. */
+  def clearIndexCache(spark: SparkSession): Unit = indexCache.clear(spark)
 
   /** Diagnostic: how many times a persisted index was (re)loaded from disk
     * — lets the spec prove batch N reused the cache and batch N+1 saw the
@@ -276,23 +279,15 @@ object Subscribe {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val fp = indexFingerprint(spark, indexPath)
-        val idx = indexCache.get(indexPath) match {
-          // ownership at SparkContext granularity: foreachBatch hands each
-          // micro-batch a CLONED session over the same context, and the
-          // persisted frame (a pure parquet read, no session state) stays
-          // valid for every session of that context — but never for a
-          // different or stopped context
-          case Some(c) if (c.owner.sparkContext eq spark.sparkContext) &&
-              c.fingerprint == fp && !spark.sparkContext.isStopped => c.df
-          case stale =>
-            // only a same-context stale entry is ours to unpersist — a
-            // foreign context's frame may still be serving its own queries
-            stale.filter(_.owner.sparkContext eq spark.sparkContext)
-              .foreach(c => try c.df.unpersist() catch { case _: Throwable => () })
-            val loaded = spark.read.parquet(indexPath).persist()
-            indexReloads.incrementAndGet()
-            indexCache.put(indexPath, CachedIndex(spark, fp, loaded))
-            loaded
+        // ownership at SparkContext granularity: foreachBatch hands each
+        // micro-batch a CLONED session over the same context, and the
+        // persisted frame (a pure parquet read, no session state) stays
+        // valid for every session of that context — but never for a
+        // different or stopped one. Hit/staleness/LRU rules live in
+        // IndexFrameCache.
+        val idx = indexCache.getOrLoad(spark, indexPath, fp) {
+          indexReloads.incrementAndGet()
+          spark.read.parquet(indexPath).persist()
         }
         writeBatchIdempotent(
           graft.operators.Dedup.dedupAgainstMinhashIndex(
