@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// stale junit XMLs from deleted specs inflate the suite-count artifact
+// (r12 verdict: two leftover Probe XMLs reported 44 suites for 42 live) —
+// wipe the report dir before each full `test` run so it reflects exactly
+// the suites that just ran
+val cleanTestReports = taskKey[Unit]("delete stale junit xml reports")
+cleanTestReports := IO.delete(target.value / "test-reports")
+Test / test := (Test / test).dependsOn(cleanTestReports).value
 run / fork := true
 // forward sbt's stdin to the forked app — graft.Repl reads it
 run / connectInput := true

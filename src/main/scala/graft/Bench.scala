@@ -18,7 +18,13 @@ import java.nio.file.{Files, Paths}
 object Bench {
   private def loadavg(): String = BenchGuard.loadavg()
 
-  private def s3(v: Double): String = f"$v%.3f"
+  // explicit ROOT locale: the f-interpolator honors the default locale, and
+  // a comma-decimal locale would make the chunk artifacts (and
+  // BENCH_DETAIL.json) invalid JSON — parseChunk would then silently match
+  // nothing and every chunk would re-run in the fallback JVM, quietly
+  // defeating the fork-isolation design
+  private def s3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   private case class QResult(name: String, median: Double, runs: Seq[Double], failed: Boolean)
 
@@ -122,6 +128,7 @@ object Bench {
       if ((a == "--add-opens" || a == "--add-exports" || a == "--add-modules") && i + 1 < in.length) {
         out += a += in(i + 1); i += 2
       } else if (a.startsWith("--add-opens=") || a.startsWith("--add-exports=") ||
+                 a.startsWith("--add-modules=") ||
                  a.startsWith("-X") || a.startsWith("-D")) {
         out += a; i += 1
       } else i += 1
@@ -148,9 +155,16 @@ object Bench {
     pb.redirectOutput(ProcessBuilder.Redirect.DISCARD) // stdout is the parent's contract
     try {
       val p = pb.start()
-      val code = p.waitFor()
-      if (code != 0 || !Files.exists(outFile)) {
-        System.err.println(s"[bench] chunk $idx child exited $code — falling back in-process")
+      // bounded wait: one hung child must not wedge the whole bench — kill
+      // it and let the parent finish the chunk in-process
+      val timeoutMin = sys.env.getOrElse("SPARK_GRAFT_CHUNK_TIMEOUT_MIN", "30").toLong.max(1L)
+      val finished = p.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES)
+      if (!finished) {
+        System.err.println(s"[bench] chunk $idx child hung >${timeoutMin}m — killing, falling back in-process")
+        p.destroyForcibly().waitFor()
+        None
+      } else if (p.exitValue() != 0 || !Files.exists(outFile)) {
+        System.err.println(s"[bench] chunk $idx child exited ${p.exitValue()} — falling back in-process")
         None
       } else Some(parseChunk(Files.readString(outFile)))
     } catch {
@@ -202,10 +216,20 @@ object Bench {
 
     val chunkLoads = scala.collection.mutable.ArrayBuffer.empty[String]
     val results: Seq[QResult] = chunks.zipWithIndex.flatMap { case (chunk, idx) =>
+      // settle delay between chunks: the previous chunk's 32-thread child
+      // leaves the 1-min loadavg high for ~2 min after it exits, and r12's
+      // chunk 1 (the whole dedup family) started under loadavg 9.41. The
+      // CPUs are actually idle by then, but an artifact that stamps every
+      // chunk start <3.0 is auditable without that argument. Bounded so a
+      // genuinely-busy machine degrades to the r12 behavior, stamped.
+      val (chunkWait, _) =
+        if (forking && idx > 0)
+          BenchGuard.waitUntilQuiet(threshold = 3.0, maxWaitSec = 180, pollSec = 5)
+        else (0L, false)
       val forked = if (forking) forkChunk(chunk.map(_._1), idx) else None
       forked match {
         case Some((lb, la, rs)) =>
-          chunkLoads += s"$lb;$la"
+          chunkLoads += s"wait=$chunkWait;$lb;$la"
           // a child that died mid-chunk yields fewer rows than names —
           // finish the missing tail in-process so no query silently drops
           val have = rs.map(_.name).toSet

@@ -856,8 +856,12 @@ object WvToSql {
       }
       case "count_if" if target == Hive =>
         // coalesce preserves count_if's zero-on-empty contract: a global
-        // aggregate over zero rows sums to NULL, but count_if returns 0
-        s"coalesce(sum(CASE WHEN ${as.head} THEN 1 ELSE 0 END), 0)"
+        // aggregate over zero rows sums to NULL, but count_if returns 0.
+        // In window position the wrapper must be skipped — OVER binds to
+        // the call and coalesce(...) OVER is invalid HiveQL (and window
+        // partitions are never empty, so the contract holds without it).
+        val sum = s"sum(CASE WHEN ${as.head} THEN 1 ELSE 0 END)"
+        if (inWindow) sum else s"coalesce($sum, 0)"
       case "string_agg" | "listagg" =>
         stringAggSql(as.head, as.drop(1).headOption.getOrElse("','"))
       // Hive lacks bool_or/bool_and; the CASE keeps the all-NULL → NULL
@@ -910,6 +914,14 @@ object WvToSql {
         case _ => plain
       }
     }
+
+    /** True while rendering the function of a WindowApply: dialect rewrites
+      * that wrap the whole aggregate (e.g. Hive count_if's coalesce) must
+      * stay un-wrapped there — OVER attaches to the call, and
+      * `coalesce(sum(...), 0) OVER (...)` is invalid HiveQL. A window
+      * partition is never empty, so the zero-on-empty wrapper is also
+      * semantically unnecessary in window position. */
+    private var inWindow = false
 
     def ex(e: Expr, agg: Boolean): String = e match {
       case Ident(n) =>
@@ -1039,7 +1051,11 @@ object WvToSql {
           val kind = if (f.isRows) "ROWS" else "RANGE"
           s"$kind BETWEEN ${bound(f.start, isStart = true)} AND ${bound(f.end, isStart = false)}"
         }.getOrElse("")
-        val inner = ex(fn, agg = true)
+        val inner = {
+          val prev = inWindow
+          inWindow = true
+          try ex(fn, agg = true) finally inWindow = prev
+        }
         s"$inner OVER (${List(partition, order, frame).filter(_.nonEmpty).mkString(" ")})"
 
       case BinaryOp("+", l, r) if isStringy(l) || isStringy(r) =>

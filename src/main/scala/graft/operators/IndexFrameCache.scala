@@ -28,24 +28,59 @@ final class IndexFrameCache(maxEntries: Int) {
   // accessOrder=true → iteration order is LRU-first
   private val map = new java.util.LinkedHashMap[String, Entry](16, 0.75f, true)
 
+  /** Paths with a load in flight: lookups of the SAME path wait on the
+    * latch instead of double-loading; lookups of OTHER paths proceed —
+    * the cache-wide monitor is held only for map mutations, never across
+    * the `load` thunk (ADVICE r12: holding it during a slow parquet
+    * footer read blocked pure cache hits in streaming foreachBatch). */
+  private val inFlight = new java.util.HashMap[String, java.util.concurrent.CountDownLatch]()
+
+  private def validFor(e: Entry, spark: SparkSession, fingerprint: String): Boolean =
+    (e.owner.sparkContext eq spark.sparkContext) &&
+      e.fingerprint == fingerprint && !spark.sparkContext.isStopped
+
   /** Look up `path`; on miss (or stale fingerprint / foreign context) run
-    * `load`, persist-ownership stays with the caller's thunk. Thread-safe. */
+    * `load`, persist-ownership stays with the caller's thunk. Thread-safe;
+    * `load` runs OUTSIDE the cache lock (per-path latch prevents duplicate
+    * loads of the same path). */
   def getOrLoad(spark: SparkSession, path: String, fingerprint: String)(
-      load: => DataFrame): DataFrame = synchronized {
-    Option(map.get(path)) match {
-      case Some(e)
-          if (e.owner.sparkContext eq spark.sparkContext) &&
-            e.fingerprint == fingerprint && !spark.sparkContext.isStopped =>
-        e.df
-      case stale =>
-        // only a same-context stale entry is ours to unpersist
-        stale.filter(_.owner.sparkContext eq spark.sparkContext)
-          .foreach(e => try e.df.unpersist() catch { case _: Throwable => () })
-        stale.foreach(_ => map.remove(path))
-        val loaded = load
-        map.put(path, Entry(spark, fingerprint, loaded))
-        evictOverflow(spark)
-        loaded
+      load: => DataFrame): DataFrame = {
+    val myLatch = new java.util.concurrent.CountDownLatch(1)
+    // Left(df) = hit; Right(Some(latch)) = someone else is loading this
+    // path, wait then retry; Right(None) = we own the load (latch armed)
+    val claim: Either[DataFrame, Option[java.util.concurrent.CountDownLatch]] = synchronized {
+      Option(map.get(path)) match {
+        case Some(e) if validFor(e, spark, fingerprint) => Left(e.df)
+        case _ =>
+          Option(inFlight.get(path)) match {
+            case Some(latch) => Right(Some(latch))
+            case None => inFlight.put(path, myLatch); Right(None)
+          }
+      }
+    }
+    claim match {
+      case Left(df) => df
+      case Right(Some(latch)) =>
+        latch.await()
+        // re-validate from scratch: the finished load may belong to a
+        // different context/fingerprint, in which case we load our own
+        getOrLoad(spark, path, fingerprint)(load)
+      case Right(None) =>
+        try {
+          val loaded = load // NOT under the monitor — may read parquet footers
+          synchronized {
+            val prev = Option(map.remove(path))
+            // only a same-context stale entry is ours to unpersist
+            prev.filter(_.owner.sparkContext eq spark.sparkContext)
+              .foreach(e => try e.df.unpersist() catch { case _: Throwable => () })
+            map.put(path, Entry(spark, fingerprint, loaded))
+            evictOverflow(spark)
+          }
+          loaded
+        } finally {
+          synchronized { inFlight.remove(path) }
+          myLatch.countDown()
+        }
     }
   }
 

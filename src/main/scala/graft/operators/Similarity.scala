@@ -27,7 +27,9 @@ object Similarity {
     * crossover — see [[lshTopKPartitionedIndex]]. A cached frame is bound
     * to the SparkContext that read it; the cap keeps a many-distinct-index
     * workload from pinning executor storage for the context's life
-    * (ADVICE r11). Cap override: spark.graft.ann.indexCacheEntries. */
+    * (ADVICE r11). Cap override: env var SPARK_GRAFT_INDEX_CACHE_ENTRIES
+    * (read once at object init — a JVM-wide cache can't honor a per-session
+    * Spark conf). */
   private val smallIndexCache = new IndexFrameCache(
     sys.env.getOrElse("SPARK_GRAFT_INDEX_CACHE_ENTRIES", "16").toInt)
 

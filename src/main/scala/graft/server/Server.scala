@@ -573,6 +573,16 @@ object Server {
       }
     })
 
+    // playground page (reference wvlet-ui-playground: demo-query navigator
+    // + live compile-preview + result viewer, served over the same API)
+    http.createContext("/playground", handler { ex =>
+      val bytes = Playground.page.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    })
+
     // minimal browser console at the root (reference StaticContentApi /
     // wvlet-ui surface, collapsed to one embedded page over the same API)
     http.createContext("/", handler { ex =>

@@ -72,7 +72,7 @@ object WebUi {
 </style>
 </head>
 <body>
-<h1>graft console</h1>
+<h1>graft console <a href="/playground" style="font-weight:normal;font-size:.8rem;margin-left:1rem">playground &rarr;</a></h1>
 <div class="layout">
 <nav id="nav"><h2>tables</h2><div id="tbls">loading…</div></nav>
 <main>

@@ -114,7 +114,23 @@ class DiffFuzzSpec extends SparkTestBase {
       sb.append(s"\n  select $col, $sc\n}")
       return sb.toString()
     }
-    rnd.nextInt(11) match {
+    rnd.nextInt(12) match {
+      case 11 =>
+        // DISTINCT-bearing aggregates: the per-dialect DISTINCT routing
+        // (WvToSql.aggFnCallDistinct, r12) must be corpus-exercised, not
+        // just unit-shaped — each statement either executes green in the
+        // target (spark df/sql + hive legs) or throws a loud Unsupported
+        // (duckdb/trino generation leg). Only forms the DataFrame lowering
+        // also supports: count/sum/avg(distinct) and sorted string_agg.
+        val keys = rnd.shuffle(strings).take(rnd.nextInt(2) + 1)
+        val i = pick(ints); val d = pick(doubles); val s = pick(strings)
+        val aggs = rnd.shuffle(Seq(
+          s"nd = count(distinct $s)",
+          s"sd = sum(distinct $i)",
+          s"ad = avg(distinct $d)",
+          s"sa = string_agg(distinct $s, '|')")).take(rnd.nextInt(2) + 2)
+        sb.append(s"\ngroup by ${keys.mkString(", ")}")
+        sb.append(s"\nagg n = _.count, ${aggs.mkString(", ")}")
       case 10 =>
         // lateral unnest of a split string (± ordinality): DataFrame
         // explode/posexplode vs LATERAL VIEW vs printer round-trip

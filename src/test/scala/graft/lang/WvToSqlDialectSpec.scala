@@ -219,6 +219,17 @@ class WvToSqlDialectSpec extends SparkTestBase {
       WvToSql.generate("from orders group by o_orderpriority agg p = o_totalprice.percentile(0.5)",
         Target.Trino)
     }
+    // window position must NOT take the coalesce wrapper:
+    // `coalesce(sum(...), 0) OVER (...)` is invalid HiveQL (ADVICE r12) —
+    // OVER binds to the bare aggregate, and window partitions are never
+    // empty so the zero-on-empty contract holds without it
+    val hw = WvToSql.generate(
+      "from orders select o_orderkey, c = _.count_if(o_totalprice > 100.0) over (partition by o_orderpriority)",
+      Target.Hive)
+    assert(hw.contains("sum(CASE WHEN") && hw.contains("OVER"), hw)
+    assert(!hw.contains("coalesce(sum(CASE WHEN"), s"coalesce wrapper leaked into window position: $hw")
+    // and NON-window hive count_if keeps the wrapper (zero-on-empty)
+    assert(h.contains("coalesce(sum(CASE WHEN"), h)
   }
 
   test("qualified pivot measures and quoted strftime literals") {

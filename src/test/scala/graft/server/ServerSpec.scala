@@ -80,6 +80,43 @@ class ServerSpec extends SparkTestBase {
     assert(http("GET", "/no/such/page")._1 == 404)
   }
 
+  test("playground page serves; every demo compiles to every dialect-or-refuses and runs") {
+    // the page itself (reference wvlet-ui-playground: navigator + live
+    // SQL preview + result viewer, over the same JSON API)
+    val conn = URI.create(s"$base/playground").toURL.openConnection().asInstanceOf[HttpURLConnection]
+    assert(conn.getResponseCode == 200)
+    val html = new String(conn.getInputStream.readAllBytes(), UTF_8)
+    assert(html.contains("graft playground") && html.contains("const DEMOS ="))
+    assert(html.contains("/api/v1/to_sql") && html.contains("schedulePreview"),
+      "live compile-preview missing")
+    assert(html.contains("/api/v1/query"), "run surface missing")
+    // every demo in the navigator must actually work over HTTP: compile to
+    // Spark SQL via the preview endpoint AND execute with rows back
+    Playground.demos.foreach { case (name, q) =>
+      val (cCode, cResp) = http("POST", "/api/v1/to_sql",
+        Some(s"""{"query": ${Json.quote(q)}, "target": "spark"}"""))
+      if (name == "join_asof") {
+        // Spark SQL has no ASOF JOIN clause — the preview must refuse
+        // loudly (the page shows the compile error), never emit wrong SQL
+        assert(cCode == 400 && String.valueOf(cResp("error")).contains("asof"),
+          s"asof demo should refuse in the spark preview: $cCode $cResp")
+      } else {
+        assert(cCode == 200, s"demo $name failed to compile: $cResp")
+        assert(cResp("sql").asInstanceOf[String].nonEmpty, s"demo $name: empty sql")
+      }
+      val resp = poll(submit(q))
+      assert(resp("status") == "finished", s"demo $name failed to run: $resp")
+      assert(resp("rows").asInstanceOf[Seq[_]].nonEmpty, s"demo $name: no rows")
+    }
+    // and the preview dialect selector is honest: each demo either
+    // compiles to the target or refuses loudly (400 envelope), never 500
+    for ((name, q) <- Playground.demos; target <- Seq("duckdb", "trino", "hive")) {
+      val (code, resp) = http("POST", "/api/v1/to_sql",
+        Some(s"""{"query": ${Json.quote(q)}, "target": "$target"}"""))
+      assert(code == 200 || code == 400, s"demo $name@$target: $code $resp")
+    }
+  }
+
   test("tables endpoint lists the served dir's tables with column types") {
     val (code, resp) = http("GET", "/api/v1/tables")
     assert(code == 200, s"got $resp")
