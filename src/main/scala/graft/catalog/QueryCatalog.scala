@@ -3241,6 +3241,117 @@ object QueryCatalog {
       """)
     ),
     (
+      // Leakage-safe train/test split (Sampling.splitByCluster via the
+      // split_by_cluster(...) table function): near-dup clusters land whole
+      // in one split — membership is the md5 threshold on the cluster-
+      // REPRESENTATIVE id (min member, connectedComponents' convention),
+      // singletons on their own id. DETERMINISTIC oracle: the clusters CTE
+      // + the same md5/'cccd' assignment recomputed in DuckDB.
+      "q_split_by_cluster",
+      wv("""
+        from split_by_cluster('documents', 'doc_id', 'text', 0.8)
+        select doc_id, split
+        order by doc_id
+      """),
+      Some("""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id AS id,
+            list_distinct(list_transform(
+              range(1, greatest(len(toks) - 1, 0) + 1),
+              i -> toks[i] || ' ' || toks[i + 1])) AS shingles
+          FROM (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+                FROM documents)
+          WHERE len(toks) >= 2),
+        post AS (SELECT id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM post a JOIN post b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY a.id, b.id
+          HAVING round(count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)), 6) >= 0.12),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(id, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        labels AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
+        SELECT d.doc_id,
+          CASE WHEN substr(md5('graft' || CAST(coalesce(l.cluster, d.doc_id) AS VARCHAR)), 1, 4) < 'cccd'
+               THEN 'train' ELSE 'test' END AS split
+        FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+        ORDER BY d.doc_id
+      """)
+    ),
+    (
+      // Property gate for q_split_by_cluster: ZERO verified near-dup pairs
+      // straddle splits (leakage-free by construction), while the naive
+      // doc-level split leaks a data-dependent positive count on the same
+      // pair list — both counts recomputed deterministically in DuckDB, so
+      // the gate also proves the guard is non-vacuous on this corpus.
+      "q_split_by_cluster_property",
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.12)
+        val clustered = Sampling.splitByCluster(docs, "doc_id", pairs, 0.8)
+          .select(F.col("doc_id"), F.col("split"))
+        val naive = Sampling.trainTestSplit(docs, "doc_id", 0.8)
+          .select(F.col("doc_id"), F.col("split"))
+        def straddling(assign: org.apache.spark.sql.DataFrame, as: String) =
+          pairs
+            .join(assign.select(F.col("doc_id").as("id_a"), F.col("split").as("__sa")), Seq("id_a"))
+            .join(assign.select(F.col("doc_id").as("id_b"), F.col("split").as("__sb")), Seq("id_b"))
+            .filter(F.col("__sa") =!= F.col("__sb"))
+            .agg(F.count(F.lit(1)).as(as))
+        straddling(clustered, "leaked").crossJoin(straddling(naive, "naive_leaked"))
+      },
+      Some("""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id AS id,
+            list_distinct(list_transform(
+              range(1, greatest(len(toks) - 1, 0) + 1),
+              i -> toks[i] || ' ' || toks[i + 1])) AS shingles
+          FROM (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+                FROM documents)
+          WHERE len(toks) >= 2),
+        post AS (SELECT id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM post a JOIN post b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY a.id, b.id
+          HAVING round(count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)), 6) >= 0.12),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(id, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        labels AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+        assign AS (
+          SELECT d.doc_id,
+            CASE WHEN substr(md5('graft' || CAST(coalesce(l.cluster, d.doc_id) AS VARCHAR)), 1, 4) < 'cccd'
+                 THEN 'train' ELSE 'test' END AS split
+          FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+        naive AS (
+          SELECT doc_id,
+            CASE WHEN substr(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+                 THEN 'train' ELSE 'test' END AS split
+          FROM documents)
+        SELECT
+          (SELECT count(*) FROM pairs p
+             JOIN assign a ON a.doc_id = p.id_a
+             JOIN assign b ON b.doc_id = p.id_b
+           WHERE a.split <> b.split)::BIGINT AS leaked,
+          (SELECT count(*) FROM pairs p
+             JOIN naive a ON a.doc_id = p.id_a
+             JOIN naive b ON b.doc_id = p.id_b
+           WHERE a.split <> b.split)::BIGINT AS naive_leaked
+      """)
+    ),
+    (
       // DETERMINISTIC oracle (promoted from rows-only in r8): the DuckDB SQL
       // recomputes the ENTIRE pipeline bit-for-bit — FNV-1a token hashes
       // (HUGEINT-emulated 64-bit wraparound), 2-gram shingle mix, the same

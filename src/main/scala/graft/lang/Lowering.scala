@@ -1185,6 +1185,47 @@ object Lowering {
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "split_by_cluster" =>
+      // split_by_cluster('corpus', 'id_col', 'text_col', train_fraction
+      //   [, jaccard_threshold]) — leakage-safe train/test split
+      // (operators/Sampling.splitByCluster): verified near-dup clusters
+      // (exact n-gram Jaccard pairs → connected components) land whole in
+      // one split; the assignment is the deterministic md5 threshold on
+      // the cluster-representative id
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
+            Some(frac)) =>
+          val f = frac match {
+            case d: java.lang.Double => d.doubleValue()
+            case n: Number => n.doubleValue()
+            case other => throw new LoweringException(
+              s"split_by_cluster: train_fraction must be a number, got '$other'")
+          }
+          val docs = lower(TableRef(corpus), ctx)
+          val pairs = graft.operators.Dedup.ngramJaccardPairs(docs, idCol, textCol,
+            n = 2, threshold = 0.12)
+          Plain(graft.operators.Sampling.splitByCluster(docs, idCol, pairs, f))
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
+            Some(frac), Some(thr)) =>
+          def num(v: Any, what: String): Double = v match {
+            case d: java.lang.Double => d.doubleValue()
+            case n: Number => n.doubleValue()
+            case other => throw new LoweringException(
+              s"split_by_cluster: $what must be a number, got '$other'")
+          }
+          val docs = lower(TableRef(corpus), ctx)
+          val pairs = graft.operators.Dedup.ngramJaccardPairs(docs, idCol, textCol,
+            n = 2, threshold = num(thr, "jaccard_threshold"))
+          Plain(graft.operators.Sampling.splitByCluster(docs, idCol, pairs,
+            num(frac, "train_fraction")))
+        case _ =>
+          throw new LoweringException(
+            "split_by_cluster expects (corpus, id_col, text_col, train_fraction" +
+              "[, jaccard_threshold]) literals, e.g. " +
+              "split_by_cluster('documents', 'doc_id', 'text', 0.8, 0.12)")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "minhash_index" =>
       // minhash_index('corpus', 'id_col', 'text_col'[, num_hashes, shingle])
       // — offline build of the persisted MinHash signature index

@@ -60,6 +60,43 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Leakage-safe deterministic split: near-duplicate documents must land
+    * in the SAME split, or held-out evaluation scores are inflated by
+    * training-set text that survived doc-level splitting (the classic
+    * eval-leak a plain [[trainTestSplit]] cannot prevent — two near-dups
+    * hash independently). Membership is decided per CLUSTER: every member
+    * of a connected component of the verified near-dup pair list inherits
+    * the split of its cluster representative (the minimum member id,
+    * [[Dedup.connectedComponents]]' label convention); docs in no pair are
+    * their own representative. The assignment itself is the stateless
+    * md5-threshold of [[trainTestSplit]] applied to the REPRESENTATIVE id,
+    * so growing the corpus with non-dup docs never reshuffles existing
+    * splits, and a doc later joined into a cluster moves WITH its cluster.
+    *
+    * Scale shape: the label table is near-dup-proportional (pairs survive
+    * candidate blocking AND verification — orders of magnitude smaller
+    * than the corpus at real dup rates), so the only corpus-sized work is
+    * ONE left join against a frame AQE will broadcast; everything else
+    * rides [[Dedup.connectedComponents]]' documented bounded paths. */
+  def splitByCluster(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      trainFraction: Double,
+      seed: String = "graft"
+  ): DataFrame = {
+    require(trainFraction > 0 && trainFraction < 1, "trainFraction in (0,1)")
+    val labels = Dedup.connectedComponents(pairs)
+      .select(F.col("id").as(idCol), F.col("cluster").as("__rep"))
+    val threshold = f"${math.min(0xffff, math.round(trainFraction * 65536).toInt)}%04x"
+    df.join(labels, Seq(idCol), "left")
+      .withColumn("__rep", F.coalesce(F.col("__rep"), F.col(idCol)))
+      .withColumn("split",
+        F.when(F.substring(key(seed, F.col("__rep")), 1, 4) < F.lit(threshold), "train")
+          .otherwise("test"))
+      .drop("__rep")
+  }
+
   /** Deterministic global shuffle: total order by the hash key. At scale
     * this is exactly one range-partitioned sort — the standard "shuffle the
     * corpus once before sharding to trainers" step, reproducible across

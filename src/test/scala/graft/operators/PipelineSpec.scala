@@ -314,6 +314,43 @@ class PipelineSpec extends SparkTestBase {
       again.select("doc_id", "split")).count() == 0)
   }
 
+  test("split by cluster: near-dup pairs never straddle splits; singletons match the doc split") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.12)
+    val split = Sampling.splitByCluster(docs, "doc_id", pairs, 0.8)
+    // partitions the input, keeps every column plus `split`
+    assert(split.count() == docs.count())
+    assert(split.columns.toSet == docs.columns.toSet + "split")
+    // the leakage guard itself: every verified near-dup pair lands whole
+    val assign = split.select(F.col("doc_id"), F.col("split"))
+    val leaked = pairs
+      .join(assign.select(F.col("doc_id").as("id_a"), F.col("split").as("sa")), Seq("id_a"))
+      .join(assign.select(F.col("doc_id").as("id_b"), F.col("split").as("sb")), Seq("id_b"))
+      .filter(F.col("sa") =!= F.col("sb"))
+      .count()
+    assert(leaked == 0, s"$leaked near-dup pairs straddle the split")
+    // the guard is non-vacuous: the corpus has clusters whose members'
+    // OWN doc-level hashes would disagree (i.e. plain trainTestSplit leaks)
+    val naive = Sampling.trainTestSplit(docs, "doc_id", 0.8)
+      .select(F.col("doc_id"), F.col("split"))
+    val naiveLeaked = pairs
+      .join(naive.select(F.col("doc_id").as("id_a"), F.col("split").as("sa")), Seq("id_a"))
+      .join(naive.select(F.col("doc_id").as("id_b"), F.col("split").as("sb")), Seq("id_b"))
+      .filter(F.col("sa") =!= F.col("sb"))
+      .count()
+    assert(naiveLeaked > 0, "corpus has no cross-split near-dups — the gate proves nothing here")
+    // docs in no pair keep exactly their trainTestSplit assignment (the
+    // representative is their own id), so growing a corpus with unique
+    // docs never moves existing ones
+    val pairedIds = pairs.select(F.col("id_a").as("doc_id"))
+      .union(pairs.select(F.col("id_b").as("doc_id"))).distinct()
+    val singles = assign.join(pairedIds, Seq("doc_id"), "left_anti")
+    assert(singles.join(naive, Seq("doc_id", "split")).count() == singles.count())
+    // deterministic: re-running flips nothing
+    val again = Sampling.splitByCluster(docs, "doc_id", pairs, 0.8)
+      .select(F.col("doc_id"), F.col("split"))
+    assert(assign.except(again).count() == 0)
+  }
+
   test("weighted mix: copies match the hex rule, unlisted domains dropped") {
     val weights = Map("en" -> 1.5, "de" -> 0.75, "fr" -> 0.25)
     val mixed = Sampling.weightedMix(docs, "lang", "doc_id", weights)
