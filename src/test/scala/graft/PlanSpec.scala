@@ -205,6 +205,29 @@ class PlanSpec extends SparkTestBase {
     assert(df.count() > 0)
   }
 
+  test("split-by-cluster: the corpus-sized label join stays unhinted (AQE's call)") {
+    // splitByCluster's only corpus-sized operation is the left join of the
+    // corpus against the near-dup label table. At real dup rates the label
+    // side is tiny and AQE broadcasts it at runtime; a planner HINT would
+    // hard-code that choice and force a 100 TB label table through the
+    // driver if dup rates ever spike. The plan must leave it to AQE.
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = graft.catalog.QueryCatalog.queries("q_split_by_cluster")(spark, sfDir)
+    val outers = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftOuter => j
+    }
+    assert(outers.nonEmpty, "expected the label left join in the split plan")
+    outers.foreach { j =>
+      assert(j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty,
+        s"label join carries a planner hint: $j")
+    }
+    // and the split itself adds no extra shuffle beyond the label build:
+    // the assignment column is a pure per-row md5 expression
+    assert(planOf(df).contains("md5"), "split assignment must be an inline expression")
+    assert(df.count() > 0)
+  }
+
   test("ANN plans stay small: fused matrix kernels, no literal-array blowup") {
     // The LSH/IVF kernels were once planes×tables (×probes) separate
     // column trees each embedding a dim-element literal array — a ~10^5
