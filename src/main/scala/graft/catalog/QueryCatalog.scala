@@ -4064,6 +4064,74 @@ object QueryCatalog {
       """)
     ),
     (
+      // Semantic decontamination (Decontamination.contaminatedVecs via the
+      // contaminated_vecs(...) table function): corpus vectors too close in
+      // embedding space to ANY eval vector — the paraphrase-robust second
+      // net behind the n-gram pair above. Eval = vec_id % 4 == 0 (stand-in
+      // benchmark), corpus = the rest; exact broadcast scoring, cosines
+      // rounded to 6 dp before compare/max. DETERMINISTIC DuckDB oracle
+      // (same float→double cosine recompute as q_dedup_embedding_cosine).
+      "q_decontaminate_semantic_flag",
+      wv("""
+        model evalvecs = {
+          from embeddings
+          where vec_id % 4 = 0
+        }
+        model corpusvecs = {
+          from embeddings
+          where vec_id % 4 != 0
+        }
+        from contaminated_vecs('corpusvecs', 'evalvecs', 'vec_id', 'embedding', 0.35)
+        select vec_id, contaminated_matches, max_cos_sim
+        order by vec_id
+      """),
+      Some("""
+        WITH scored AS (
+          SELECT c.vec_id,
+            round(
+              list_sum(list_transform(range(1, len(c.embedding) + 1), i -> c.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+              (sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) *
+               sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6) AS cos
+          FROM embeddings c, embeddings e
+          WHERE c.vec_id % 4 <> 0 AND e.vec_id % 4 = 0)
+        SELECT vec_id, count(*)::BIGINT AS contaminated_matches, max(cos) AS max_cos_sim
+        FROM scored WHERE cos >= 0.35
+        GROUP BY vec_id ORDER BY vec_id
+      """)
+    ),
+    (
+      // The drop side: corpus minus semantically flagged rows (unhinted
+      // anti-join, AQE decides — same posture as q_decontaminate_drop).
+      "q_decontaminate_semantic_drop",
+      wv("""
+        model evalvecs = {
+          from embeddings
+          where vec_id % 4 = 0
+        }
+        model corpusvecs = {
+          from embeddings
+          where vec_id % 4 != 0
+        }
+        from decontaminate_semantic('corpusvecs', 'evalvecs', 'vec_id', 'embedding', 0.35)
+        select vec_id, label
+        order by vec_id
+      """),
+      Some("""
+        WITH scored AS (
+          SELECT c.vec_id,
+            round(
+              list_sum(list_transform(range(1, len(c.embedding) + 1), i -> c.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+              (sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) *
+               sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6) AS cos
+          FROM embeddings c, embeddings e
+          WHERE c.vec_id % 4 <> 0 AND e.vec_id % 4 = 0)
+        SELECT vec_id, label FROM embeddings
+        WHERE vec_id % 4 <> 0
+          AND vec_id NOT IN (SELECT vec_id FROM scored WHERE cos >= 0.35)
+        ORDER BY vec_id
+      """)
+    ),
+    (
       // CAPSTONE: the full curation pipeline in one oracle-checked query —
       // decontaminate (vs an eval set) → quality floor (rounded score, so
       // the threshold compare is ulp-stable across engines) → exact dedup

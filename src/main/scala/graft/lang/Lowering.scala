@@ -1094,6 +1094,38 @@ object Lowering {
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
+        (name.toLowerCase == "contaminated_vecs" ||
+         name.toLowerCase == "decontaminate_semantic") =>
+      // embedding-space decontamination (Decontamination.contaminatedVecs /
+      // decontaminateSemantic): the paraphrase-robust second net behind the
+      // n-gram pair above; same relation-name resolution, so models compose
+      //   contaminated_vecs('corpus', 'eval', 'id_col', 'vec_col', threshold)
+      //   decontaminate_semantic('corpus', 'eval', 'id_col', 'vec_col', threshold)
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(eval: String), Some(idCol: String),
+            Some(vecCol: String), Some(thr)) =>
+          val t = thr match {
+            case d: java.lang.Double => d.doubleValue()
+            case n: Number => n.doubleValue()
+            case other => throw new LoweringException(
+              s"$name: threshold must be a number, got '$other'")
+          }
+          val c = lower(TableRef(corpus), ctx)
+          val e = lower(TableRef(eval), ctx)
+          Plain(
+            if (name.toLowerCase == "contaminated_vecs")
+              graft.operators.Decontamination
+                .contaminatedVecs(c, idCol, vecCol, e, vecCol, t)
+            else
+              graft.operators.Decontamination
+                .decontaminateSemantic(c, idCol, vecCol, e, vecCol, t))
+        case _ =>
+          throw new LoweringException(
+            s"$name expects (corpus, eval, id_col, vec_col, threshold) literals, e.g. " +
+              s"$name('embeddings', 'evalvecs', 'vec_id', 'embedding', 0.95)")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "weighted_mix" =>
       // weighted_mix('corpus', 'domain_col', 'id_col', 'en:1.5,de:0.75')
       // — deterministic domain-weighted corpus mixing

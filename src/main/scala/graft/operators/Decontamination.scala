@@ -72,4 +72,59 @@ object Decontamination {
       .select(corpusId)
     corpus.join(flagged, Seq(corpusId), "left_anti")
   }
+
+  /** Semantic (embedding-space) contamination: corpus rows whose cosine to
+    * ANY eval vector clears `threshold`. The n-gram net above catches
+    * verbatim and near-verbatim leaks; a PARAPHRASED eval item sails
+    * through it — embedding similarity is the standard second net.
+    *
+    * Exact by construction: the eval side is benchmark-sized and broadcast
+    * whole, every corpus vector is scored against every eval vector in one
+    * fused-kernel pass (CosineSimilarityExpr, whole-stage codegen), and
+    * only flagged rows reach the aggregate — the corpus never shuffles,
+    * the same 100 TB contract as the n-gram path. An LSH-blocked variant
+    * would trade the exactness guarantee for speed, which is the wrong
+    * trade here: a missed leak silently inflates eval scores forever.
+    *
+    * Returns (corpusId, contaminated_matches, max_cos_sim); cosines are
+    * rounded to 6 dp BEFORE the threshold compare and max, keeping the
+    * decision ulp-stable across engines (the embeddingCosinePairs
+    * convention). */
+  def contaminatedVecs(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      eval: DataFrame,
+      evalVec: String,
+      threshold: Double = 0.95
+  ): DataFrame = {
+    val c = corpus.select(F.col(corpusId), F.col(corpusVec).as("__cv"))
+    val e = eval.select(F.col(evalVec).as("__ev"))
+    c.crossJoin(F.broadcast(e))
+      .withColumn("__cos",
+        F.round(graft.functions.VectorExpressions.cosineSimilarity(
+          F.col("__cv"), F.col("__ev")), 6))
+      .filter(F.col("__cos") >= threshold)
+      .groupBy(F.col(corpusId))
+      .agg(
+        F.count(F.lit(1)).as("contaminated_matches"),
+        F.max(F.col("__cos")).as("max_cos_sim"))
+  }
+
+  /** The corpus minus semantically contaminated rows. Same anti-join
+    * posture as [[decontaminate]]: no broadcast hint on the flagged side —
+    * its true bound is corpus-sized (a pathological threshold flags
+    * everything), so AQE decides at runtime. */
+  def decontaminateSemantic(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      eval: DataFrame,
+      evalVec: String,
+      threshold: Double = 0.95
+  ): DataFrame = {
+    val flagged = contaminatedVecs(corpus, corpusId, corpusVec, eval, evalVec, threshold)
+      .select(corpusId)
+    corpus.join(flagged, Seq(corpusId), "left_anti")
+  }
 }

@@ -314,6 +314,26 @@ class PipelineSpec extends SparkTestBase {
       again.select("doc_id", "split")).count() == 0)
   }
 
+  test("semantic decontamination: flag + drop partition the corpus; threshold honored") {
+    val embs = table("embeddings")
+    val eval = embs.filter(F.col("vec_id") % 4 === 0)
+    val corpus = embs.filter(F.col("vec_id") % 4 =!= 0)
+    val flagged = Decontamination.contaminatedVecs(
+      corpus, "vec_id", "embedding", eval, "embedding", threshold = 0.35)
+    val kept = Decontamination.decontaminateSemantic(
+      corpus, "vec_id", "embedding", eval, "embedding", threshold = 0.35)
+    // flag and drop are complementary over the corpus
+    assert(flagged.count() + kept.count() == corpus.count())
+    assert(kept.join(flagged, Seq("vec_id")).count() == 0)
+    // every flagged row really clears the (rounded) threshold, and the
+    // testdata actually exercises the net
+    assert(flagged.filter(F.col("max_cos_sim") < 0.35).count() == 0)
+    assert(flagged.count() > 0, "no semantic contamination in testdata — vacuous gate")
+    // match counts are bounded by the eval size (sanity on the agg)
+    val evalN = eval.count()
+    assert(flagged.filter(F.col("contaminated_matches") > evalN).count() == 0)
+  }
+
   test("split by cluster: near-dup pairs never straddle splits; singletons match the doc split") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.12)
     val split = Sampling.splitByCluster(docs, "doc_id", pairs, 0.8)
