@@ -157,7 +157,10 @@ object Bench {
       val p = pb.start()
       // bounded wait: one hung child must not wedge the whole bench — kill
       // it and let the parent finish the chunk in-process
-      val timeoutMin = sys.env.getOrElse("SPARK_GRAFT_CHUNK_TIMEOUT_MIN", "30").toLong.max(1L)
+      // toLongOption: a malformed env value degrades to the default instead
+      // of aborting the whole bench run (the BenchGuard env convention)
+      val timeoutMin = sys.env.get("SPARK_GRAFT_CHUNK_TIMEOUT_MIN")
+        .flatMap(_.toLongOption).getOrElse(30L).max(1L)
       val finished = p.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES)
       if (!finished) {
         System.err.println(s"[bench] chunk $idx child hung >${timeoutMin}m — killing, falling back in-process")

@@ -204,7 +204,10 @@ object BenchScale {
       (name, tSmall, tBig, exp)
     }
     val loadAfter = loadavg()
-    def s3(v: Double) = f"$v%.3f"
+    // ROOT locale, same hazard Bench.s3 fixed: the f-interpolator honors the
+    // default locale, and a comma-decimal locale makes the JSON invalid
+    def s3(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val rows = results.map { case (n, a, b, e) =>
       s""""$n":{"sec_base":${s3(a)},"sec_scaled":${s3(b)},"exponent":${s3(e)}}"""
     }.mkString("{", ",", "}")

@@ -1056,7 +1056,18 @@ object WvToSql {
           inWindow = true
           try ex(fn, agg = true) finally inWindow = prev
         }
-        s"$inner OVER (${List(partition, order, frame).filter(_.nonEmpty).mkString(" ")})"
+        val over = s"$inner OVER (${List(partition, order, frame).filter(_.nonEmpty).mkString(" ")})"
+        // Hive count_if zero-on-empty: coalesce can't wrap the CALL (OVER
+        // binds to it), but an explicit frame (e.g. rows[,-1]) CAN be empty
+        // — there Spark's native count_if returns 0 while sum(CASE...) OVER
+        // returns NULL. Wrap the WHOLE windowed expression instead:
+        // coalesce(sum(CASE...) OVER (...), 0) is valid HiveQL.
+        def isCountIf(e: Expr): Boolean = e match {
+          case FunctionCall(n, _, false, _) => n.equalsIgnoreCase("count_if")
+          case MethodCall(_, n, _) => n.equalsIgnoreCase("count_if")
+          case _ => false
+        }
+        if (target == Hive && isCountIf(fn)) s"coalesce($over, 0)" else over
 
       case BinaryOp("+", l, r) if isStringy(l) || isStringy(r) =>
         s"concat(${castStr(ex(l, agg))}, ${castStr(ex(r, agg))})"

@@ -219,15 +219,24 @@ class WvToSqlDialectSpec extends SparkTestBase {
       WvToSql.generate("from orders group by o_orderpriority agg p = o_totalprice.percentile(0.5)",
         Target.Trino)
     }
-    // window position must NOT take the coalesce wrapper:
-    // `coalesce(sum(...), 0) OVER (...)` is invalid HiveQL (ADVICE r12) —
-    // OVER binds to the bare aggregate, and window partitions are never
-    // empty so the zero-on-empty contract holds without it
+    // window position: the coalesce can't wrap the CALL (`coalesce(sum(...),
+    // 0) OVER (...)` is invalid HiveQL, ADVICE r12) — but an explicit frame
+    // like rows[,-1] CAN be empty, where Spark's count_if returns 0 and a
+    // bare sum(CASE...) OVER returns NULL (ADVICE r13). The rewrite wraps
+    // the WHOLE windowed expression: coalesce(sum(CASE...) OVER (...), 0).
     val hw = WvToSql.generate(
       "from orders select o_orderkey, c = _.count_if(o_totalprice > 100.0) over (partition by o_orderpriority)",
       Target.Hive)
-    assert(hw.contains("sum(CASE WHEN") && hw.contains("OVER"), hw)
-    assert(!hw.contains("coalesce(sum(CASE WHEN"), s"coalesce wrapper leaked into window position: $hw")
+    assert(hw.contains("coalesce(sum(CASE WHEN") && hw.contains("OVER"), hw)
+    assert(!hw.contains(", 0) OVER"), s"coalesce wrapper bound to the call, not the window: $hw")
+    assert("""(?s)coalesce\(sum\(CASE WHEN.*\) OVER \([^)]*\), 0\)""".r
+      .findFirstIn(hw).isDefined, s"expected coalesce around the windowed expression: $hw")
+    // an explicit possibly-empty frame takes the same whole-expression wrap
+    val hwf = WvToSql.generate(
+      "from orders select o_orderkey, c = _.count_if(o_totalprice > 100.0) over (partition by o_orderpriority order by o_orderkey rows[,-1])",
+      Target.Hive)
+    assert(hwf.contains("coalesce(sum(CASE WHEN") && hwf.contains("1 PRECEDING"), hwf)
+    assert(!hwf.contains(", 0) OVER"), hwf)
     // and NON-window hive count_if keeps the wrapper (zero-on-empty)
     assert(h.contains("coalesce(sum(CASE WHEN"), h)
   }
