@@ -3352,6 +3352,100 @@ object QueryCatalog {
       """)
     ),
     (
+      // split_by_cluster over a PRECOMPUTED pair relation (r13 verdict #2):
+      // at 100 TB pair discovery is days of work the split must never
+      // re-run — the pairs arg names a relation (here an inline-VALUES
+      // model; in production a CTAS'd dedup_* output or minhash-index pair
+      // dump) and the corpus is scanned exactly ONCE (PlanSpec-gated). The
+      // DuckDB oracle consumes the SAME pair list via a VALUES CTE.
+      "q_split_by_cluster_pairs",
+      wv("""
+        model dup_pairs = {
+          from [
+            [1, 2],
+            [2, 3],
+            [10, 11],
+            [40, 41],
+            [40, 999999],
+          ] as p(id_a, id_b)
+        }
+        from split_by_cluster_pairs('documents', 'doc_id', 'dup_pairs', 0.8)
+        select doc_id, split
+        order by doc_id
+      """),
+      Some("""
+        WITH RECURSIVE pairs(id_a, id_b) AS (
+          VALUES (1, 2), (2, 3), (10, 11), (40, 41), (40, 999999)),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(id, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        labels AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id)
+        SELECT d.doc_id,
+          CASE WHEN substr(md5('graft' || CAST(coalesce(l.cluster, d.doc_id) AS VARCHAR)), 1, 4) < 'cccd'
+               THEN 'train' ELSE 'test' END AS split
+        FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+        ORDER BY d.doc_id
+      """)
+    ),
+    (
+      // Percolation observability for split_by_cluster (r13 verdict #4):
+      // one row of cluster/assignment statistics — a max_cluster_size that
+      // is a material share of n_docs, or a frac_delta far from 0, is the
+      // percolation failure mode (one giant cluster whose single md5 draw
+      // swings the realized train fraction). Every number recomputed
+      // independently in DuckDB from the same recursive-CTE components.
+      "q_split_by_cluster_stats",
+      wv("""
+        from split_by_cluster_stats('documents', 'doc_id', 'text', 0.8)
+      """),
+      Some("""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id AS id,
+            list_distinct(list_transform(
+              range(1, greatest(len(toks) - 1, 0) + 1),
+              i -> toks[i] || ' ' || toks[i + 1])) AS shingles
+          FROM (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+                FROM documents)
+          WHERE len(toks) >= 2),
+        post AS (SELECT id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM post a JOIN post b ON a.shingle = b.shingle AND a.id < b.id
+          GROUP BY a.id, b.id
+          HAVING round(count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)), 6) >= 0.12),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(id, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        labels AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+        assign AS (
+          SELECT d.doc_id,
+            CASE WHEN substr(md5('graft' || CAST(coalesce(l.cluster, d.doc_id) AS VARCHAR)), 1, 4) < 'cccd'
+                 THEN 'train' ELSE 'test' END AS split
+          FROM documents d LEFT JOIN labels l ON l.id = d.doc_id)
+        SELECT
+          (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+          (SELECT count(DISTINCT cluster) FROM labels)::BIGINT AS n_clusters,
+          (SELECT count(*) FROM labels)::BIGINT AS clustered_docs,
+          (SELECT coalesce(max(sz), 0) FROM
+             (SELECT count(*) AS sz FROM labels GROUP BY cluster))::BIGINT AS max_cluster_size,
+          (SELECT count(*) FROM assign WHERE split = 'train')::BIGINT AS train_docs,
+          round((SELECT count(*) FROM assign WHERE split = 'train')::DOUBLE /
+                (SELECT count(*) FROM documents), 6) AS train_frac,
+          CAST(0.8 AS DOUBLE) AS target_frac,
+          round(round((SELECT count(*) FROM assign WHERE split = 'train')::DOUBLE /
+                      (SELECT count(*) FROM documents), 6) - CAST(0.8 AS DOUBLE), 6) AS frac_delta
+      """)
+    ),
+    (
       // DETERMINISTIC oracle (promoted from rows-only in r8): the DuckDB SQL
       // recomputes the ENTIRE pipeline bit-for-bit — FNV-1a token hashes
       // (HUGEINT-emulated 64-bit wraparound), 2-gram shingle mix, the same

@@ -1254,7 +1254,79 @@ object Lowering {
           throw new LoweringException(
             "split_by_cluster expects (corpus, id_col, text_col, train_fraction" +
               "[, jaccard_threshold]) literals, e.g. " +
-              "split_by_cluster('documents', 'doc_id', 'text', 0.8, 0.12)")
+              "split_by_cluster('documents', 'doc_id', 'text', 0.8, 0.12). " +
+              "NOTE: an aggressive jaccard_threshold can percolate the near-dup " +
+              "graph into one giant cluster whose single draw swings the realized " +
+              "train fraction — check split_by_cluster_stats(...) (max_cluster_size, " +
+              "frac_delta), and prefer split_by_cluster_pairs(...) to reuse pairs " +
+              "the pipeline already verified")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "split_by_cluster_pairs" =>
+      // split_by_cluster_pairs('corpus', 'id_col', 'pairs', train_fraction)
+      // — the leakage-safe split over a PRECOMPUTED pair relation (a model
+      // or table with id_a/id_b columns: dedup_* output, a persisted
+      // minhash-index pair dump, or any verified near-dup list). At 100 TB
+      // pair discovery is days of work — this form never re-runs it, and
+      // the corpus is scanned exactly once (the label left join).
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(pairsRel: String),
+            Some(frac)) =>
+          val f = frac match {
+            case d: java.lang.Double => d.doubleValue()
+            case n: Number => n.doubleValue()
+            case other => throw new LoweringException(
+              s"split_by_cluster_pairs: train_fraction must be a number, got '$other'")
+          }
+          val pairs = lower(TableRef(pairsRel), ctx)
+          val cols = pairs.columns.map(_.toLowerCase).toSet
+          if (!cols.contains("id_a") || !cols.contains("id_b"))
+            throw new LoweringException(
+              s"split_by_cluster_pairs: relation '$pairsRel' must have id_a and " +
+                s"id_b columns (got ${pairs.columns.mkString(", ")})")
+          Plain(graft.operators.Sampling.splitByCluster(
+            lower(TableRef(corpus), ctx), idCol, pairs, f))
+        case _ =>
+          throw new LoweringException(
+            "split_by_cluster_pairs expects (corpus, id_col, pairs, train_fraction) " +
+              "literals where pairs names a relation with id_a/id_b columns, e.g. " +
+              "split_by_cluster_pairs('documents', 'doc_id', 'dup_pairs', 0.8)")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "split_by_cluster_stats" =>
+      // split_by_cluster_stats('corpus', 'id_col', 'text_col', train_fraction
+      //   [, jaccard_threshold]) — one row of cluster/assignment statistics
+      // for the SAME inputs as split_by_cluster (Sampling.splitByClusterStats):
+      // the percolation guard — a max_cluster_size that is a material share
+      // of n_docs, or a frac_delta far from 0, means the pair threshold is
+      // percolating the near-dup graph and the split needs a stricter one.
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
+            Some(frac), rest @ _*) if rest.lengthCompare(1) <= 0 =>
+          def num(v: Any, what: String): Double = v match {
+            case d: java.lang.Double => d.doubleValue()
+            case n: Number => n.doubleValue()
+            case other => throw new LoweringException(
+              s"split_by_cluster_stats: $what must be a number, got '$other'")
+          }
+          val thr = rest.headOption match {
+            case Some(Some(t)) => num(t, "jaccard_threshold")
+            case None => 0.12
+            case other => throw new LoweringException(
+              s"split_by_cluster_stats: jaccard_threshold must be a number, got '$other'")
+          }
+          val docs = lower(TableRef(corpus), ctx)
+          val pairs = graft.operators.Dedup.ngramJaccardPairs(docs, idCol, textCol,
+            n = 2, threshold = thr)
+          Plain(graft.operators.Sampling.splitByClusterStats(docs, idCol, pairs,
+            num(frac, "train_fraction")))
+        case _ =>
+          throw new LoweringException(
+            "split_by_cluster_stats expects (corpus, id_col, text_col, train_fraction" +
+              "[, jaccard_threshold]) literals, e.g. " +
+              "split_by_cluster_stats('documents', 'doc_id', 'text', 0.8, 0.12)")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

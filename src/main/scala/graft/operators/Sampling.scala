@@ -77,24 +77,93 @@ object Sampling {
     * candidate blocking AND verification — orders of magnitude smaller
     * than the corpus at real dup rates), so the only corpus-sized work is
     * ONE left join against a frame AQE will broadcast; everything else
-    * rides [[Dedup.connectedComponents]]' documented bounded paths. */
+    * rides [[Dedup.connectedComponents]]' documented bounded paths.
+    *
+    * Footgun: an aggressive pair threshold can PERCOLATE the near-dup
+    * graph into one giant cluster whose single assignment draw swings the
+    * realized train fraction silently — check [[splitByClusterStats]]
+    * (max_cluster_size, frac_delta) before trusting a split. */
   def splitByCluster(
       df: DataFrame,
       idCol: String,
       pairs: DataFrame,
       trainFraction: Double,
       seed: String = "graft"
+  ): DataFrame =
+    assignByRep(df, idCol, clusterLabels(pairs, idCol), trainFraction, seed)
+      .drop("__rep")
+
+  /** (idCol, __rep) label table from the verified pair list — the cluster
+    * representative of every doc that appears in ≥1 pair. */
+  private def clusterLabels(pairs: DataFrame, idCol: String): DataFrame =
+    Dedup.connectedComponents(pairs)
+      .select(F.col("id").as(idCol), F.col("cluster").as("__rep"))
+
+  /** The split assignment, keeping the `__rep` column (callers drop or
+    * aggregate it). The only corpus-sized operation is the unhinted left
+    * join against the label table — AQE broadcasts it at runtime. */
+  private def assignByRep(
+      df: DataFrame,
+      idCol: String,
+      labels: DataFrame,
+      trainFraction: Double,
+      seed: String
   ): DataFrame = {
     require(trainFraction > 0 && trainFraction < 1, "trainFraction in (0,1)")
-    val labels = Dedup.connectedComponents(pairs)
-      .select(F.col("id").as(idCol), F.col("cluster").as("__rep"))
     val threshold = f"${math.min(0xffff, math.round(trainFraction * 65536).toInt)}%04x"
     df.join(labels, Seq(idCol), "left")
       .withColumn("__rep", F.coalesce(F.col("__rep"), F.col(idCol)))
       .withColumn("split",
         F.when(F.substring(key(seed, F.col("__rep")), 1, 4) < F.lit(threshold), "train")
           .otherwise("test"))
-      .drop("__rep")
+  }
+
+  /** Observability companion to [[splitByCluster]] — one row of cluster and
+    * assignment statistics for the SAME (df, pairs, trainFraction, seed):
+    *
+    *   n_docs, n_clusters, clustered_docs, max_cluster_size,
+    *   train_docs, train_frac (6 dp), target_frac, frac_delta (6 dp)
+    *
+    * Why it exists (the percolation footgun): cluster-level assignment
+    * trades per-doc independence for leakage safety, so the realized train
+    * fraction concentrates on CLUSTER draws, not doc draws. An aggressive
+    * pair threshold (e.g. bigram Jaccard near 0.1 over boilerplate-heavy
+    * web text) can percolate the near-dup graph into one giant component —
+    * then a single md5 draw moves `max_cluster_size` docs together and the
+    * realized fraction can sit arbitrarily far from the target, silently.
+    * A `max_cluster_size` that is a material share of `n_docs`, or a
+    * `frac_delta` far from 0, is that failure mode — raise the threshold
+    * (or verify pairs more strictly) until clusters are small.
+    *
+    * Scale shape: reuses the label table once (cluster sizes are one agg
+    * over the pair-proportional labels) and the corpus-sized work is the
+    * same single unhinted left join as the split itself. */
+  def splitByClusterStats(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      trainFraction: Double,
+      seed: String = "graft"
+  ): DataFrame = {
+    val labels = clusterLabels(pairs, idCol).localCheckpoint(true)
+    val assigned = assignByRep(df, idCol, labels, trainFraction, seed)
+    val assignStats = assigned.agg(
+      F.count(F.lit(1)).as("n_docs"),
+      F.count(F.when(F.col("split") === "train", 1)).as("train_docs"),
+      F.round(F.count(F.when(F.col("split") === "train", 1)).cast("double") /
+        F.count(F.lit(1)), 6).as("train_frac"))
+    val clusterStats = labels.groupBy("__rep")
+      .agg(F.count(F.lit(1)).as("__sz"))
+      .agg(
+        F.count(F.lit(1)).as("n_clusters"),
+        F.coalesce(F.sum("__sz"), F.lit(0L)).as("clustered_docs"),
+        F.coalesce(F.max("__sz"), F.lit(0L)).as("max_cluster_size"))
+    assignStats.crossJoin(clusterStats)
+      .withColumn("target_frac", F.lit(trainFraction))
+      .withColumn("frac_delta",
+        F.round(F.col("train_frac") - F.col("target_frac"), 6))
+      .select("n_docs", "n_clusters", "clustered_docs", "max_cluster_size",
+        "train_docs", "train_frac", "target_frac", "frac_delta")
   }
 
   /** Deterministic global shuffle: total order by the hash key. At scale

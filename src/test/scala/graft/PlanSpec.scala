@@ -228,6 +228,39 @@ class PlanSpec extends SparkTestBase {
     assert(df.count() > 0)
   }
 
+  test("split-by-cluster over precomputed pairs: corpus scanned ONCE, label join unhinted") {
+    // the pairs-relation form exists so pair discovery (days of work at
+    // 100 TB) is never re-run: the ONLY corpus-sized operation must be the
+    // single label left join — one documents scan in the whole plan, no
+    // shingle/posting re-derivation, and the join left to AQE
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val df = graft.catalog.QueryCatalog.queries("q_split_by_cluster_pairs")(spark, sfDir)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+    assert(scans.count(_.contains("documents")) == 1,
+      s"corpus must be scanned exactly once, got scans: $scans")
+    assert(scans.forall(_.contains("documents")),
+      s"pairs form must not scan any other table (pairs are precomputed): $scans")
+    val outers = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftOuter => j
+    }
+    assert(outers.nonEmpty, "expected the label left join")
+    outers.foreach { j =>
+      assert(j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty,
+        s"label join carries a planner hint: $j")
+    }
+    // no shingle explode anywhere: pair discovery must NOT be re-derived
+    assert(!planOf(df).toLowerCase.contains("shingle"),
+      "pairs form re-derived shingles from the corpus")
+    assert(df.count() > 0)
+  }
+
   test("ANN plans stay small: fused matrix kernels, no literal-array blowup") {
     // The LSH/IVF kernels were once planes×tables (×probes) separate
     // column trees each embedding a dim-element literal array — a ~10^5

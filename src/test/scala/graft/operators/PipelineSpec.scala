@@ -371,6 +371,34 @@ class PipelineSpec extends SparkTestBase {
     assert(assign.except(again).count() == 0)
   }
 
+  test("split stats surface percolation: one giant cluster, realized fraction far from target") {
+    import spark.implicits._
+    // a percolating corpus: every doc shares a heavy boilerplate prefix, so
+    // bigram Jaccard at the default 0.12 links EVERYTHING into one
+    // component — the failure mode the stats exist to surface (a single
+    // md5 draw then moves the whole corpus into one split)
+    val boiler = "terms of service all rights reserved privacy policy cookie notice contact us"
+    val perc = (0L until 50L).map(i => (i, s"$boiler item $i")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(perc, "doc_id", "text", n = 2, threshold = 0.12)
+    val stats = Sampling.splitByClusterStats(perc, "doc_id", pairs, 0.8).collect().head
+    assert(stats.getAs[Long]("n_docs") == 50L)
+    assert(stats.getAs[Long]("max_cluster_size") == 50L,
+      s"expected full percolation, got max_cluster_size=${stats.getAs[Long]("max_cluster_size")}")
+    assert(stats.getAs[Long]("n_clusters") == 1L)
+    val frac = stats.getAs[Double]("train_frac")
+    assert(frac == 0.0 || frac == 1.0, s"one cluster must land whole in one split, got $frac")
+    assert(math.abs(stats.getAs[Double]("frac_delta")) >= 0.19,
+      s"percolation must show up as a large frac_delta, got ${stats.getAs[Double]("frac_delta")}")
+    // and on a healthy corpus the same stats sit near the target: clusters
+    // are small and the realized fraction tracks 0.8
+    val healthy = Sampling.splitByClusterStats(docs, "doc_id",
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.12), 0.8)
+      .collect().head
+    assert(healthy.getAs[Long]("max_cluster_size") < healthy.getAs[Long]("n_docs") / 4,
+      s"testdata corpus unexpectedly percolates: $healthy")
+    assert(math.abs(healthy.getAs[Double]("frac_delta")) < 0.15, s"got $healthy")
+  }
+
   test("weighted mix: copies match the hex rule, unlisted domains dropped") {
     val weights = Map("en" -> 1.5, "de" -> 0.75, "fr" -> 0.25)
     val mixed = Sampling.weightedMix(docs, "lang", "doc_id", weights)
