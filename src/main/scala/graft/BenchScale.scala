@@ -76,7 +76,20 @@ object BenchScale {
     // built index (the build memoizes per dir like every persisted-index
     // row) — recorded to pin that reading a 10x index stays ~flat; the
     // build itself is necessarily ~linear (one full text scan)
-    "q_minhash_index")
+    "q_minhash_index",
+    // r13 verdict task 6: the two new operators whose shapes the 100 TB
+    // story leans on. split_by_cluster = pair discovery (postings
+    // self-join, pair-linear) + components + one label left join — the
+    // disjoint-token replicas grow the pair structure linearly, so the
+    // exponent should track q_dedup_ngram_jaccard's (~1).
+    "q_split_by_cluster",
+    // decontaminate_semantic grows BOTH sides here (corpus and eval are
+    // slices of the same replicated embeddings, replicas verbatim): the
+    // brute corpus×eval pass would be ~quadratic (exponent ~2); the
+    // distinct-eval compaction + centroid-bound pruning (r14) keep the
+    // scored work corpus-proportional — exponent ~1 is the gate that the
+    // semantic net stays sub-linear in eval size
+    "q_decontaminate_semantic_flag")
 
   private def loadavg(): String = BenchGuard.loadavg()
 

@@ -78,13 +78,33 @@ object Decontamination {
     * verbatim and near-verbatim leaks; a PARAPHRASED eval item sails
     * through it — embedding similarity is the standard second net.
     *
-    * Exact by construction: the eval side is benchmark-sized and broadcast
-    * whole, every corpus vector is scored against every eval vector in one
-    * fused-kernel pass (CosineSimilarityExpr, whole-stage codegen), and
-    * only flagged rows reach the aggregate — the corpus never shuffles,
-    * the same 100 TB contract as the n-gram path. An LSH-blocked variant
-    * would trade the exactness guarantee for speed, which is the wrong
-    * trade here: a missed leak silently inflates eval scores forever.
+    * EXACT, with two exactness-preserving accelerations over the brute
+    * corpus×eval pass (r13 verdict #3 — an LSH-blocked variant would trade
+    * the guarantee for speed, the wrong trade: a missed leak silently
+    * inflates eval scores forever):
+    *
+    *  1. Eval distinct-vector compaction. Identical eval vectors (repeated
+    *     benchmark items, replicated suites) score identically against any
+    *     corpus vector, so the eval side is grouped to (vector, weight) and
+    *     matches count `sum(weight)` — bit-identical counts, eval-side cost
+    *     proportional to DISTINCT vectors.
+    *  2. Centroid-bound pruning (triangle inequality in the normalized
+    *     space, the metric-pruning IVF bound). Eval vectors are assigned to
+    *     `nlist` seeded centroids; for cos(c,e) ≥ t it is NECESSARY that
+    *     cos(c, μ_B(e)) ≥ 1 − (d_t + r_B)²/2 where d_t = √(2−2t) and r_B is
+    *     the bucket radius (all via ‖x̂−ŷ‖² = 2−2cos). A corpus row computes
+    *     `nlist` centroid cosines in one fused kernel and fully scores ONLY
+    *     the buckets whose bound passes — every slack term (6 dp rounding,
+    *     double accumulation) is added on the safe side, so no qualifying
+    *     pair is ever pruned and results are bit-identical to brute. On
+    *     clustered eval sets (real benchmarks) most corpus rows
+    *     short-circuit after the centroid pass; on adversarially spread
+    *     eval sets the bounds admit everything and the pass degrades to
+    *     brute — exactness either way.
+    *
+    * The corpus still never shuffles (project → bounded explode →
+    * broadcast join); only flagged rows reach the aggregate — the same
+    * 100 TB contract as the n-gram path.
     *
     * Returns (corpusId, contaminated_matches, max_cos_sim); cosines are
     * rounded to 6 dp BEFORE the threshold compare and max, keeping the
@@ -96,19 +116,86 @@ object Decontamination {
       corpusVec: String,
       eval: DataFrame,
       evalVec: String,
-      threshold: Double = 0.95
+      threshold: Double = 0.95,
+      nlist: Int = 32
   ): DataFrame = {
     val c = corpus.select(F.col(corpusId), F.col(corpusVec).as("__cv"))
+    // (1) compaction: NULL eval vectors can never match (cosine is null →
+    // the ≥ filter fails), dropping them is exact
     val e = eval.select(F.col(evalVec).as("__ev"))
-    c.crossJoin(F.broadcast(e))
-      .withColumn("__cos",
-        F.round(graft.functions.VectorExpressions.cosineSimilarity(
-          F.col("__cv"), F.col("__ev")), 6))
-      .filter(F.col("__cos") >= threshold)
-      .groupBy(F.col(corpusId))
-      .agg(
-        F.count(F.lit(1)).as("contaminated_matches"),
-        F.max(F.col("__cos")).as("max_cos_sim"))
+      .filter(F.col("__ev").isNotNull)
+      .groupBy("__ev").agg(F.count(F.lit(1)).as("__w"))
+    def scored(pairs: DataFrame): DataFrame =
+      pairs
+        .withColumn("__cos",
+          F.round(graft.functions.VectorExpressions.cosineSimilarity(
+            F.col("__cv"), F.col("__ev")), 6))
+        .filter(F.col("__cos") >= threshold)
+        .groupBy(F.col(corpusId))
+        .agg(
+          F.sum(F.col("__w")).as("contaminated_matches"),
+          F.max(F.col("__cos")).as("max_cos_sim"))
+    // (2) seeded centroids over the distinct eval vectors (deterministic
+    // md5-of-rendering order; selection only affects SPEED — results are
+    // exact for any centroid set). Vectors with null elements can't seed
+    // (driver map) but still score through their assigned bucket.
+    val cm: Array[Array[Double]] = e
+      .filter(!F.exists(F.col("__ev"), x => x.isNull))
+      .withColumn("__m", F.md5(F.col("__ev").cast("string").cast("binary")))
+      .orderBy("__m")
+      .limit(nlist)
+      .select("__ev")
+      .collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toArray)
+    if (cm.isEmpty)
+      // no seedable eval vectors: the original broadcast-brute pass (the
+      // eval side is empty or degenerate — tiny either way)
+      return scored(c.crossJoin(F.broadcast(e)))
+    // per-bucket radius from the MINIMUM member-to-own-centroid cosine;
+    // every slack is safe-side: member cosines are 6 dp-rounded (±5e-7,
+    // absorbed by −1e-6), zero-norm members pin to −1 (radius 2 = the
+    // whole sphere, bucket never prunes — NaN cosines compare high in
+    // Spark, so those members must stay reachable from every corpus row)
+    val assigned = Similarity.seededAssign(e, "__ev", cm)
+      .withColumn("__cb", F.element_at(
+        graft.functions.VectorExpressions.matrixCosine(F.col("__ev"), cm, 6, -1.0),
+        (F.col("bucket") + 1).cast("int")))
+    val minCos: Map[Long, Double] = assigned
+      .groupBy("bucket").agg(F.min("__cb").as("__minc"))
+      .collect()
+      .flatMap(r => if (r.isNullAt(0) || r.isNullAt(1)) None
+                    else Some(r.getLong(0) -> r.getDouble(1)))
+      .toMap
+    val tEff = threshold - 5.0000001e-7 // a 6 dp round-up can lift cos by 5e-7
+    val dT = math.sqrt(math.max(0.0, 2.0 - 2.0 * tEff))
+    val thr: Array[Double] = Array.tabulate(cm.length) { b =>
+      minCos.get(b.toLong) match {
+        case Some(mc) =>
+          val r = math.sqrt(math.max(0.0, 2.0 - 2.0 * (mc - 1e-6)))
+          1.0 - math.pow(dT + r, 2) / 2.0 - 1e-6
+        case None => 2.0 // empty bucket: nothing there to score
+      }
+    }
+    val thrCol = F.array(thr.map(F.lit(_)): _*)
+    // corpus pass: one fused nlist-cosine kernel per row, then explode the
+    // buckets whose bound passes. nanValue = 2.0 sends zero-norm corpus
+    // rows through EVERY bucket (their NaN pair-cosines compare high in
+    // Spark and matched everything in the brute pass — preserved).
+    val withBuckets = c
+      .withColumn("__cents", graft.functions.VectorExpressions.matrixCosine(
+        F.col("__cv"), cm, 6, 2.0))
+      .withColumn("bucket", F.explode(F.filter(
+        F.sequence(F.lit(0L), F.lit((cm.length - 1).toLong)),
+        i => F.element_at(F.col("__cents"), (i + 1).cast("int")) >=
+          F.element_at(thrCol, (i + 1).cast("int")))))
+      .drop("__cents")
+    scored(withBuckets.join(
+      F.broadcast(assigned.select(F.col("bucket"), F.col("__ev"), F.col("__w"))),
+      Seq("bucket")))
   }
 
   /** The corpus minus semantically contaminated rows. Same anti-join

@@ -334,6 +334,52 @@ class PipelineSpec extends SparkTestBase {
     assert(flagged.filter(F.col("contaminated_matches") > evalN).count() == 0)
   }
 
+  test("semantic decontamination pruning is EXACT: pruned pass == brute pass, dup weights counted") {
+    val embs = table("embeddings")
+    // duplicate-heavy eval (each vector 3x — repeated benchmark items):
+    // compaction must count every copy while scoring each distinct once
+    val evalBase = embs.filter(F.col("vec_id") % 4 === 0)
+    val eval3 = evalBase.union(evalBase).union(evalBase)
+    val corpus = embs.filter(F.col("vec_id") % 4 =!= 0)
+    def brute(thr: Double, ev: org.apache.spark.sql.DataFrame) =
+      corpus.select(F.col("vec_id"), F.col("embedding").as("__cv"))
+        .crossJoin(F.broadcast(ev.select(F.col("embedding").as("__ev"))))
+        .withColumn("__cos", F.round(
+          graft.functions.VectorExpressions.cosineSimilarity(F.col("__cv"), F.col("__ev")), 6))
+        .filter(F.col("__cos") >= thr)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).as("contaminated_matches"), F.max("__cos").as("max_cos_sim"))
+    // several thresholds: selective (prunes hard), the oracle's 0.35, and
+    // a negative one (bounds admit everything → degrades to brute)
+    Seq(0.95, 0.8, 0.35, -0.5).foreach { thr =>
+      val pruned = Decontamination.contaminatedVecs(
+        corpus, "vec_id", "embedding", eval3, "embedding", threshold = thr)
+      val ref = brute(thr, eval3)
+      assert(pruned.except(ref).count() == 0 && ref.except(pruned).count() == 0,
+        s"pruned != brute at threshold $thr")
+    }
+    // tiny nlist and nlist >= |eval| are both exact too (bucket geometry
+    // only affects speed)
+    Seq(1, 4, 10000).foreach { nl =>
+      val pruned = Decontamination.contaminatedVecs(
+        corpus, "vec_id", "embedding", evalBase, "embedding", threshold = 0.35, nlist = nl)
+      val ref = brute(0.35, evalBase)
+      assert(pruned.except(ref).count() == 0 && ref.except(pruned).count() == 0,
+        s"pruned != brute at nlist $nl")
+    }
+    // and the bound actually BITES on a clustered eval at a selective
+    // threshold: a corpus row far from every eval cluster must explode
+    // fewer (bucket-pass) pairs than brute would score. Measured
+    // structurally: the pass-filter keeps no bucket for a far-away vector.
+    val dim = embs.select(F.size(F.col("embedding"))).head.getInt(0)
+    import spark.implicits._
+    val far = Seq((999999L, Array.fill(dim)(0.0f).updated(0, 1.0f).toSeq))
+      .toDF("vec_id", "embedding")
+    val hits = Decontamination.contaminatedVecs(
+      far, "vec_id", "embedding", evalBase, "embedding", threshold = 0.999)
+    assert(hits.count() == 0)
+  }
+
   test("split by cluster: near-dup pairs never straddle splits; singletons match the doc split") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.12)
     val split = Sampling.splitByCluster(docs, "doc_id", pairs, 0.8)
