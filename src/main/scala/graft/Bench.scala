@@ -26,7 +26,8 @@ object Bench {
   private def s3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
-  private case class QResult(name: String, median: Double, runs: Seq[Double], failed: Boolean)
+  private case class QResult(name: String, median: Double, runs: Seq[Double], failed: Boolean,
+      retimed: Option[Double] = None)
 
   /** The measurement core: warm run + `runs` timed runs per query, median
     * reported, full GC every 25 queries outside timed regions. */
@@ -87,8 +88,25 @@ object Bench {
 
   private def detailJson(rs: Seq[QResult]): String =
     rs.map { r =>
-      s""""${r.name}":{"median":${s3(r.median)},"runs":[${r.runs.map(s3).mkString(",")}]}"""
+      val retime = r.retimed.map(v => s""","retimed":${s3(v)}""").getOrElse("")
+      s""""${r.name}":{"median":${s3(r.median)},"runs":[${r.runs.map(s3).mkString(",")}]$retime}"""
     }.mkString("{", ",", "}")
+
+  /** Pinned settled-median floors (BENCH_REFERENCE.json in the working
+    * dir, flat {"q_name": seconds}): the self-defense reference for the
+    * post-suite retime pass. Maintained from TUNING.md's settled
+    * confirmation runs — NOT from driver artifacts (which the retime
+    * exists to defend). Absent file or malformed entries → no floors →
+    * no retime (the legacy behavior). */
+  private def referenceFloors(): Map[String, Double] = {
+    val p = Paths.get("BENCH_REFERENCE.json")
+    if (!Files.exists(p)) return Map.empty
+    try {
+      val json = Files.readString(p)
+      """"([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+\-]+)""".r.findAllMatchIn(json)
+        .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
+    } catch { case _: Throwable => Map.empty }
+  }
 
   // ---------------------------------------------------------------- child
   /** Child mode: run the query names listed in `chunkFile` (one per line)
@@ -245,22 +263,58 @@ object Bench {
       }
     }
     fallbackSpark.foreach(_.stop())
+
+    // ---- self-defense retime pass (r13 verdict #1): the dedup family
+    // showed load-inflated ~2x medians in TWO consecutive driver artifacts
+    // while settled replays sat at r11 levels — an artifact that cries wolf
+    // eventually masks a real regression. Any row whose median exceeds
+    // 1.5x its pinned settled floor (BENCH_REFERENCE.json, maintained from
+    // TUNING.md's settled runs) re-runs ONCE more in a final fresh JVM
+    // after a quiet-wait; BOTH numbers are stamped per row (`median`,
+    // `retimed`) with the retime loadavg, so the artifact carries its own
+    // load forensics. The headline `value` stays the raw median sum
+    // (cross-round comparability); `value_retimed` substitutes retimed
+    // medians where taken.
+    val floors = referenceFloors()
+    val outliers = results.filter { r =>
+      !r.failed && floors.get(r.name).exists(f =>
+        f > 0 && r.median > 1.5 * f && r.median - f > 0.25)
+    }.map(_.name)
+    val (results2, retimeStamp): (Seq[QResult], String) =
+      if (outliers.isEmpty || !forking) (results, "")
+      else {
+        val (rtWait, _) = BenchGuard.waitUntilQuiet(threshold = 3.0, maxWaitSec = 300, pollSec = 5)
+        val rtLoadBefore = loadavg()
+        forkChunk(outliers, chunks.size) match {
+          case Some((_, rtLoadAfter, rts)) =>
+            val byName = rts.filterNot(_.failed).map(r => r.name -> r.median).toMap
+            (results.map(r => byName.get(r.name).fold(r)(v => r.copy(retimed = Some(v)))),
+              s""""retime":{"n":${outliers.size},"wait_sec":$rtWait,""" +
+                s""""load_before":"$rtLoadBefore","load_after":"$rtLoadAfter"},""")
+          case None =>
+            System.err.println("[bench] retime child failed — artifact keeps raw medians only")
+            (results, s""""retime":{"n":${outliers.size},"failed":true},""")
+        }
+      }
+
     val loadAfter = loadavg()
-    val failures = results.count(_.failed)
-    val total = results.map(_.median).sum
+    val failures = results2.count(_.failed)
+    val total = results2.map(_.median).sum
+    val totalRetimed = results2.map(r => r.retimed.getOrElse(r.median)).sum
     // stdout contract: ONE short JSON line (the driver tail-captures stdout,
     // so the line is kept small — 3-decimal seconds); the complete artifact
     // with per-run times and load stamps goes to BENCH_DETAIL.json.
     val detail =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","sf":"$sfDir","cpus":"$cpus",""" +
+      s"""{"metric":"total","value":${s3(total)},"value_retimed":${s3(totalRetimed)},"unit":"sec","sf":"$sfDir","cpus":"$cpus",""" +
         s""""runs_per_query":$runs,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
         s""""quiet_wait_sec":$waitedSec,"quiet_gave_up":$gaveUp,""" +
         s""""fork_per_chunk":$forking,"chunk_size":$chunkSize,""" +
         s""""chunk_loads":[${chunkLoads.map(l => "\"" + l + "\"").mkString(",")}],""" +
-        s""""failures":$failures,"queries":${detailJson(results)}}"""
+        retimeStamp +
+        s""""failures":$failures,"queries":${detailJson(results2)}}"""
     try Files.writeString(Paths.get("BENCH_DETAIL.json"), detail)
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":${results.size},"failures":$failures,"sf":"$sfDir","cpus":$cpus,"load":"$loadBefore;$loadAfter","quiet_wait":"$waitedSec;$gaveUp","detail":"BENCH_DETAIL.json"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"value_retimed":${s3(totalRetimed)},"unit":"sec","n_queries":${results2.size},"failures":$failures,"sf":"$sfDir","cpus":$cpus,"load":"$loadBefore;$loadAfter","quiet_wait":"$waitedSec;$gaveUp","retimed_n":${results2.count(_.retimed.isDefined)},"detail":"BENCH_DETAIL.json"}""")
     if (failures > 0) System.err.println(s"[bench] $failures queries FAILED")
   }
 }

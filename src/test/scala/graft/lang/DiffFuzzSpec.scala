@@ -308,4 +308,115 @@ class DiffFuzzSpec extends SparkTestBase {
       s"${failures.length} of 300 diverged; first 3:\n${failures.take(3).mkString("\n---\n")}")
     info(s"$ok/300 random pipelines agree; $transpiled/300 also covered by the SQL transpiler leg")
   }
+
+  // -------------------------------------------------------------------------
+  // r13 verdict task 5: the r13/r14 table-function surfaces
+  // (split_by_cluster family + semantic decontamination) fuzz-gated the
+  // same way the DISTINCT routing was (case 11): random shapes through the
+  // lowering, the printer round-trip, and every dialect generator.
+  // -------------------------------------------------------------------------
+
+  private def genPipelineOp(seed: Int): String = {
+    val rnd = new scala.util.Random(1000 + seed)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+    def d2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val frac = d2((rnd.nextInt(8) + 1) * 0.1 + 0.05) // 0.15..0.85
+    val jthr = d2(0.1 + rnd.nextInt(8) * 0.1)        // 0.10..0.80
+    val cthr = d2(pick(Seq(0.2, 0.35, 0.5, 0.8, 0.95)))
+    rnd.nextInt(5) match {
+      case 0 =>
+        val thrArg = if (rnd.nextBoolean()) s", $jthr" else ""
+        s"""from split_by_cluster('documents', 'doc_id', 'text', $frac$thrArg)
+           |${pick(Seq(
+             "select doc_id, split\norder by doc_id",
+             "group by split\nagg n = _.count\norder by split",
+             "where split = 'train'\nselect doc_id\norder by doc_id"))}""".stripMargin
+      case 1 =>
+        val thrArg = if (rnd.nextBoolean()) s", $jthr" else ""
+        s"""from split_by_cluster_stats('documents', 'doc_id', 'text', $frac$thrArg)
+           |${pick(Seq("select n_docs, n_clusters, max_cluster_size, frac_delta",
+             "select n_docs, train_frac, target_frac"))}""".stripMargin
+      case 2 =>
+        val pairs = (0 until rnd.nextInt(4) + 2).map { _ =>
+          val a = rnd.nextInt(60); s"[$a, ${a + 1 + rnd.nextInt(20)}]"
+        }.mkString(",\n    ")
+        s"""model fuzz_pairs = {
+           |  from [
+           |    $pairs,
+           |  ] as p(id_a, id_b)
+           |}
+           |from split_by_cluster_pairs('documents', 'doc_id', 'fuzz_pairs', $frac)
+           |select doc_id, split
+           |order by doc_id""".stripMargin
+      case 3 =>
+        val m = rnd.nextInt(4) + 3
+        s"""model ev = {
+           |  from embeddings
+           |  where vec_id % $m = 0
+           |}
+           |model cv = {
+           |  from embeddings
+           |  where vec_id % $m != 0
+           |}
+           |from contaminated_vecs('cv', 'ev', 'vec_id', 'embedding', $cthr)
+           |${pick(Seq("select vec_id, contaminated_matches, max_cos_sim\norder by vec_id",
+             "agg n = _.count"))}""".stripMargin
+      case _ =>
+        val m = rnd.nextInt(4) + 3
+        s"""model ev = {
+           |  from embeddings
+           |  where vec_id % $m = 0
+           |}
+           |model cv = {
+           |  from embeddings
+           |  where vec_id % $m != 0
+           |}
+           |from decontaminate_semantic('cv', 'ev', 'vec_id', 'embedding', $cthr)
+           |select vec_id, label
+           |order by vec_id""".stripMargin
+    }
+  }
+
+  test("300 pipeline-operator shapes: lowering + printer round-trip + dialect refusals") {
+    val dir = "/root/testdata/sf0.001"
+    def run(text: String) = graft.Graft.run(spark, text,
+      t => spark.read.parquet(s"$dir/$t.parquet"))
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    var executed = 0
+    (1 to 300).foreach { seed =>
+      val q = genPipelineOp(seed)
+      try {
+        // leg 1: the DataFrame lowering accepts the shape (schema resolved)
+        val df = run(q)
+        assert(df.schema.fields.nonEmpty)
+        // leg 2: printer round-trip — the canonical text re-parses and
+        // lowers to the SAME schema; every 10th seed also executes both
+        // and compares rows (the ops are eager/heavy, full execution of
+        // all 300 would dominate the suite for no added coverage)
+        val printed = WvPrinter.print(Parser.parseStatements(q))
+        val df2 = run(printed)
+        if (df2.schema.map(f => (f.name, f.dataType)) != df.schema.map(f => (f.name, f.dataType)))
+          failures += s"seed=$seed printed schema diverges:\n$q\n--- printed:\n$printed"
+        else if (seed % 10 == 0) {
+          executed += 1
+          if (rowsOf(df) != rowsOf(df2))
+            failures += s"seed=$seed printed rows diverge:\n$q\n--- printed:\n$printed"
+        }
+        // leg 3: every dialect generator either emits SQL or refuses with a
+        // deliberate Unsupported (these table functions have no SQL
+        // spelling — a crash or silent wrong SQL is the failure mode)
+        Seq(WvToSql.Target.Spark, WvToSql.Target.DuckDb,
+            WvToSql.Target.Trino, WvToSql.Target.Hive).foreach { t =>
+          try WvToSql.generate(q, t)
+          catch { case _: WvToSql.Unsupported => () }
+        }
+      } catch {
+        case e: Throwable =>
+          failures += s"seed=$seed ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}\n$q"
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.length} of 300 failed; first 3:\n${failures.take(3).mkString("\n---\n")}")
+    info(s"300/300 pipeline-operator shapes pass; $executed also row-compared through the printer leg")
+  }
 }
