@@ -130,7 +130,40 @@ object Playground {
         |  avg_disc = l_discount.avg.round(4),
         |  count_order = _.count
         |order by l_returnflag, l_linestatus""".stripMargin,
+    // --- the LLM-pipeline operator surface (table functions; these have
+    // no SQL spelling, so the dialect preview refuses loudly — the run
+    // path executes the native Spark operators) ---
+    "llm_similarity_topk" ->
+      """-- approximate-nearest-neighbor: cosine top-3 per embedding
+        |-- (methods: brute | lsh | ivf | int8 | persisted-index variants)
+        |from similarity_topk('embeddings', 'vec_id', 'embedding', 3, 'brute')
+        |where query_id < 5
+        |select query_id, corpus_id, cos_sim, rank
+        |order by query_id, rank""".stripMargin,
+    "llm_split_by_cluster" ->
+      """-- leakage-safe train/test split: near-duplicate clusters land
+        |-- whole in one split, so eval text can't leak into train.
+        |-- split_by_cluster_stats(...) shows cluster sizes before you
+        |-- trust a split; split_by_cluster_pairs(...) reuses pairs the
+        |-- pipeline already verified.
+        |from split_by_cluster('documents', 'doc_id', 'text', 0.8)
+        |group by split
+        |agg docs = _.count
+        |order by split""".stripMargin,
+    "llm_dedup_semantic" ->
+      """-- SemDeDup: drop all but one representative of each semantic
+        |-- near-duplicate cluster (seeded centroids, within-bucket cosine)
+        |from dedup_semantic('embeddings', 'vec_id', 'embedding', 8, 0.95)
+        |group by label
+        |agg kept = _.count
+        |order by label""".stripMargin,
   )
+
+  /** Demos whose table functions have no SQL spelling: the dialect preview
+    * must refuse loudly (400 + compile error), never emit wrong SQL; the
+    * run path executes them natively. ServerSpec gates both behaviors. */
+  val sqlRefusingDemos: Set[String] =
+    Set("join_asof", "llm_similarity_topk", "llm_split_by_cluster", "llm_dedup_semantic")
 
   private def jsStr(s: String): String =
     "\"" + s.flatMap {

@@ -95,11 +95,12 @@ class ServerSpec extends SparkTestBase {
     Playground.demos.foreach { case (name, q) =>
       val (cCode, cResp) = http("POST", "/api/v1/to_sql",
         Some(s"""{"query": ${Json.quote(q)}, "target": "spark"}"""))
-      if (name == "join_asof") {
-        // Spark SQL has no ASOF JOIN clause — the preview must refuse
-        // loudly (the page shows the compile error), never emit wrong SQL
-        assert(cCode == 400 && String.valueOf(cResp("error")).contains("asof"),
-          s"asof demo should refuse in the spark preview: $cCode $cResp")
+      if (Playground.sqlRefusingDemos.contains(name)) {
+        // no SQL spelling (ASOF JOIN / the LLM table functions) — the
+        // preview must refuse loudly (the page shows the compile error),
+        // never emit wrong SQL; the run leg below still executes natively
+        assert(cCode == 400 && cResp.contains("error"),
+          s"demo $name should refuse in the spark preview: $cCode $cResp")
       } else {
         assert(cCode == 200, s"demo $name failed to compile: $cResp")
         assert(cResp("sql").asInstanceOf[String].nonEmpty, s"demo $name: empty sql")
