@@ -3392,6 +3392,55 @@ object QueryCatalog {
       """)
     ),
     (
+      // The pairs-relation twin of the stats row: percolation-guard
+      // statistics over a PRECOMPUTED pair list (ids not present in the
+      // corpus still count in the cluster stats — the label table is the
+      // pair list's closure, the assignment side is corpus-only; the
+      // DuckDB oracle reproduces both sides from the same VALUES list).
+      "q_split_by_cluster_pairs_stats",
+      wv("""
+        model dup_pairs = {
+          from [
+            [1, 2],
+            [2, 3],
+            [10, 11],
+            [40, 41],
+            [40, 999999],
+          ] as p(id_a, id_b)
+        }
+        from split_by_cluster_pairs_stats('documents', 'doc_id', 'dup_pairs', 0.8)
+      """),
+      Some("""
+        WITH RECURSIVE pairs(id_a, id_b) AS (
+          VALUES (1, 2), (2, 3), (10, 11), (40, 41), (40, 999999)),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach(id, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        labels AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY id),
+        assign AS (
+          SELECT d.doc_id,
+            CASE WHEN substr(md5('graft' || CAST(coalesce(l.cluster, d.doc_id) AS VARCHAR)), 1, 4) < 'cccd'
+                 THEN 'train' ELSE 'test' END AS split
+          FROM documents d LEFT JOIN labels l ON l.id = d.doc_id)
+        SELECT
+          (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+          (SELECT count(DISTINCT cluster) FROM labels)::BIGINT AS n_clusters,
+          (SELECT count(*) FROM labels)::BIGINT AS clustered_docs,
+          (SELECT coalesce(max(sz), 0) FROM
+             (SELECT count(*) AS sz FROM labels GROUP BY cluster))::BIGINT AS max_cluster_size,
+          (SELECT count(*) FROM assign WHERE split = 'train')::BIGINT AS train_docs,
+          round((SELECT count(*) FROM assign WHERE split = 'train')::DOUBLE /
+                (SELECT count(*) FROM documents), 6) AS train_frac,
+          CAST(0.8 AS DOUBLE) AS target_frac,
+          round(round((SELECT count(*) FROM assign WHERE split = 'train')::DOUBLE /
+                      (SELECT count(*) FROM documents), 6) - CAST(0.8 AS DOUBLE), 6) AS frac_delta
+      """)
+    ),
+    (
       // Percolation observability for split_by_cluster (r13 verdict #4):
       // one row of cluster/assignment statistics — a max_cluster_size that
       // is a material share of n_docs, or a frac_delta far from 0, is the

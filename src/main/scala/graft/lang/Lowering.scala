@@ -1103,25 +1103,34 @@ object Lowering {
       //   decontaminate_semantic('corpus', 'eval', 'id_col', 'vec_col', threshold)
       args.map(constValue) match {
         case List(Some(corpus: String), Some(eval: String), Some(idCol: String),
-            Some(vecCol: String), Some(thr)) =>
+            Some(vecCol: String), Some(thr), rest @ _*) if rest.lengthCompare(1) <= 0 =>
           val t = thr match {
             case d: java.lang.Double => d.doubleValue()
             case n: Number => n.doubleValue()
             case other => throw new LoweringException(
               s"$name: threshold must be a number, got '$other'")
           }
+          // optional trailing nlist: the centroid count of the exact
+          // pruning pass (speed knob only — results are exact for any
+          // value; scale it with the DISTINCT eval vector count)
+          val nlist = rest.headOption match {
+            case Some(Some(n: Long)) if n > 0 => n.toInt
+            case None => 32
+            case other => throw new LoweringException(
+              s"$name: nlist must be a positive integer literal, got '$other'")
+          }
           val c = lower(TableRef(corpus), ctx)
           val e = lower(TableRef(eval), ctx)
           Plain(
             if (name.toLowerCase == "contaminated_vecs")
               graft.operators.Decontamination
-                .contaminatedVecs(c, idCol, vecCol, e, vecCol, t)
+                .contaminatedVecs(c, idCol, vecCol, e, vecCol, t, nlist)
             else
               graft.operators.Decontamination
-                .decontaminateSemantic(c, idCol, vecCol, e, vecCol, t))
+                .decontaminateSemantic(c, idCol, vecCol, e, vecCol, t, nlist))
         case _ =>
           throw new LoweringException(
-            s"$name expects (corpus, eval, id_col, vec_col, threshold) literals, e.g. " +
+            s"$name expects (corpus, eval, id_col, vec_col, threshold[, nlist]) literals, e.g. " +
               s"$name('embeddings', 'evalvecs', 'vec_id', 'embedding', 0.95)")
       }
 
@@ -1292,6 +1301,35 @@ object Lowering {
             "split_by_cluster_pairs expects (corpus, id_col, pairs, train_fraction) " +
               "literals where pairs names a relation with id_a/id_b columns, e.g. " +
               "split_by_cluster_pairs('documents', 'doc_id', 'dup_pairs', 0.8)")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "split_by_cluster_pairs_stats" =>
+      // split_by_cluster_pairs_stats('corpus', 'id_col', 'pairs', frac) —
+      // the percolation-guard statistics over a PRECOMPUTED pair relation
+      // (the split_by_cluster_stats twin of split_by_cluster_pairs)
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(pairsRel: String),
+            Some(frac)) =>
+          val f = frac match {
+            case d: java.lang.Double => d.doubleValue()
+            case n: Number => n.doubleValue()
+            case other => throw new LoweringException(
+              s"split_by_cluster_pairs_stats: train_fraction must be a number, got '$other'")
+          }
+          val pairs = lower(TableRef(pairsRel), ctx)
+          val cols = pairs.columns.map(_.toLowerCase).toSet
+          if (!cols.contains("id_a") || !cols.contains("id_b"))
+            throw new LoweringException(
+              s"split_by_cluster_pairs_stats: relation '$pairsRel' must have id_a and " +
+                s"id_b columns (got ${pairs.columns.mkString(", ")})")
+          Plain(graft.operators.Sampling.splitByClusterStats(
+            lower(TableRef(corpus), ctx), idCol, pairs, f))
+        case _ =>
+          throw new LoweringException(
+            "split_by_cluster_pairs_stats expects (corpus, id_col, pairs, " +
+              "train_fraction) literals where pairs names a relation with id_a/id_b " +
+              "columns, e.g. split_by_cluster_pairs_stats('documents', 'doc_id', 'dup_pairs', 0.8)")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

@@ -208,9 +208,10 @@ object Decontamination {
       corpusVec: String,
       eval: DataFrame,
       evalVec: String,
-      threshold: Double = 0.95
+      threshold: Double = 0.95,
+      nlist: Int = 32
   ): DataFrame = {
-    val flagged = contaminatedVecs(corpus, corpusId, corpusVec, eval, evalVec, threshold)
+    val flagged = contaminatedVecs(corpus, corpusId, corpusVec, eval, evalVec, threshold, nlist)
       .select(corpusId)
     corpus.join(flagged, Seq(corpusId), "left_anti")
   }

@@ -340,16 +340,21 @@ class DiffFuzzSpec extends SparkTestBase {
         val pairs = (0 until rnd.nextInt(4) + 2).map { _ =>
           val a = rnd.nextInt(60); s"[$a, ${a + 1 + rnd.nextInt(20)}]"
         }.mkString(",\n    ")
+        val (fn, tail) =
+          if (rnd.nextBoolean())
+            ("split_by_cluster_pairs", "select doc_id, split\norder by doc_id")
+          else
+            ("split_by_cluster_pairs_stats", "select n_docs, n_clusters, max_cluster_size")
         s"""model fuzz_pairs = {
            |  from [
            |    $pairs,
            |  ] as p(id_a, id_b)
            |}
-           |from split_by_cluster_pairs('documents', 'doc_id', 'fuzz_pairs', $frac)
-           |select doc_id, split
-           |order by doc_id""".stripMargin
+           |from $fn('documents', 'doc_id', 'fuzz_pairs', $frac)
+           |$tail""".stripMargin
       case 3 =>
         val m = rnd.nextInt(4) + 3
+        val nlArg = if (rnd.nextBoolean()) s", ${rnd.nextInt(60) + 1}" else ""
         s"""model ev = {
            |  from embeddings
            |  where vec_id % $m = 0
@@ -358,7 +363,7 @@ class DiffFuzzSpec extends SparkTestBase {
            |  from embeddings
            |  where vec_id % $m != 0
            |}
-           |from contaminated_vecs('cv', 'ev', 'vec_id', 'embedding', $cthr)
+           |from contaminated_vecs('cv', 'ev', 'vec_id', 'embedding', $cthr$nlArg)
            |${pick(Seq("select vec_id, contaminated_matches, max_cos_sim\norder by vec_id",
              "agg n = _.count"))}""".stripMargin
       case _ =>

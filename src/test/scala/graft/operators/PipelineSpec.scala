@@ -378,6 +378,29 @@ class PipelineSpec extends SparkTestBase {
     val hits = Decontamination.contaminatedVecs(
       far, "vec_id", "embedding", evalBase, "embedding", threshold = 0.999)
     assert(hits.count() == 0)
+    // zero-norm vectors keep the brute pass's Spark NaN semantics (NaN
+    // pair-cosines compare HIGH, so a zero vector on either side matches):
+    // the pruned pass must route them identically — zero-norm eval seeds a
+    // radius-2 bucket every corpus row reaches; zero-norm corpus rows pass
+    // every bucket via the nanValue=2.0 pin
+    val zDim = embs.select(F.size(F.col("embedding"))).head.getInt(0)
+    val zero = Seq((888888L, Array.fill(zDim)(0.0f).toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+    val corpusZ = corpus.limit(20).select("vec_id", "embedding", "label").union(zero)
+    val evalZ = evalBase.limit(10).select("vec_id", "embedding", "label").union(zero)
+    val prunedZ = Decontamination.contaminatedVecs(
+      corpusZ, "vec_id", "embedding", evalZ, "embedding", threshold = 0.9)
+    val refZ = corpusZ.select(F.col("vec_id"), F.col("embedding").as("__cv"))
+      .crossJoin(F.broadcast(evalZ.select(F.col("embedding").as("__ev"))))
+      .withColumn("__cos", F.round(
+        graft.functions.VectorExpressions.cosineSimilarity(F.col("__cv"), F.col("__ev")), 6))
+      .filter(F.col("__cos") >= 0.9)
+      .groupBy("vec_id")
+      .agg(F.count(F.lit(1)).as("contaminated_matches"), F.max("__cos").as("max_cos_sim"))
+    assert(prunedZ.except(refZ).count() == 0 && refZ.except(prunedZ).count() == 0,
+      "zero-norm routing diverges from the brute pass")
+    // the zero corpus row must appear (its NaN cosines compare high)
+    assert(prunedZ.filter(F.col("vec_id") === 888888L).count() == 1)
   }
 
   test("split by cluster: near-dup pairs never straddle splits; singletons match the doc split") {
