@@ -135,6 +135,16 @@ object Decontamination {
         .agg(
           F.sum(F.col("__w")).as("contaminated_matches"),
           F.max(F.col("__cos")).as("max_cos_sim"))
+    // Loose thresholds take the (compacted) brute pass without even
+    // seeding centroids: below t = 0.5 the match ball has radius
+    // d_t = √(2−2t) ≥ 1 — wider than typical bucket radii on spread
+    // embeddings, so the necessary-condition bounds admit ~every
+    // (row, bucket) pair and the centroid pass + per-bucket explode is
+    // pure overhead (measured +60% on the sf0.1 oracle rows at t=0.35).
+    // Both paths are exact; the gate is a deterministic speed decision.
+    // Real decontamination thresholds (≥0.9) take the pruned path below.
+    if (threshold < 0.5)
+      return scored(c.crossJoin(F.broadcast(e)))
     // (2) seeded centroids over the distinct eval vectors (deterministic
     // md5-of-rendering order; selection only affects SPEED — results are
     // exact for any centroid set). Vectors with null elements can't seed
