@@ -89,7 +89,12 @@ object BenchScale {
     // distinct-eval compaction + centroid-bound pruning (r14) keep the
     // scored work corpus-proportional — exponent ~1 is the gate that the
     // semantic net stays sub-linear in eval size
-    "q_decontaminate_semantic_flag")
+    "q_decontaminate_semantic_flag",
+    // unigram-LM perplexity scoring (r14): token-keyed model fit +
+    // postings→model join — the token_stats shuffle shape, exponent ~1
+    // expected (replica-tagged tokens grow the vocab linearly with the
+    // corpus, so the model groupBy and the join both scale in rows)
+    "q_perplexity_score")
 
   private def loadavg(): String = BenchGuard.loadavg()
 

@@ -4406,6 +4406,38 @@ object QueryCatalog {
       """)
     ),
     (
+      // Unigram-LM perplexity quality scoring (CorpusStats.unigramNll via
+      // perplexity_score(...)): the CCNet-style filter — fit p(w)=cnt/N on
+      // the corpus, score docs by mean token NLL. DETERMINISTIC oracle:
+      // DuckDB refits the same model on the same string tokens; the shared
+      // +5e-9/4dp rounding absorbs ln/division accumulation-order noise.
+      "q_perplexity_score",
+      wv("""
+        from perplexity_score('documents', 'doc_id', 'text')
+        order by doc_id
+      """),
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS t
+          FROM documents
+        ),
+        model AS (SELECT t, count(*)::DOUBLE AS c FROM tok GROUP BY t),
+        tot AS (SELECT coalesce(sum(c), 0) AS n FROM model),
+        per AS (
+          SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(ln(c)) AS slc
+          FROM tok JOIN model USING (t)
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+          coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+          round(CASE WHEN p.n_tokens > 0
+                THEN ln((SELECT n FROM tot)) - p.slc / p.n_tokens + 5e-9 END, 4) AS avg_nll
+        FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+        ORDER BY d.doc_id
+      """)
+    ),
+    (
       "q_chunk_documents", // overlapping word-window chunking (explode plan)
       (spark, dir) => {
         val docs = Tables.read(spark, dir, "documents")

@@ -1629,6 +1629,22 @@ object Lowering {
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "perplexity_score" =>
+      // perplexity_score('corpus', 'id_col', 'text_col') — unigram-LM mean
+      // negative log-likelihood per doc (CorpusStats.unigramNll): the
+      // CCNet-style perplexity quality filter, model fit on the corpus
+      // itself; cut high (rare-token garble) and low (boilerplate) tails
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String)) =>
+          Plain(graft.operators.CorpusStats.unigramNll(
+            lower(TableRef(corpus), ctx), idCol, textCol))
+        case _ =>
+          throw new LoweringException(
+            "perplexity_score expects (corpus, id_col, text_col) literals, e.g. " +
+              "perplexity_score('documents', 'doc_id', 'text')")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "decode_images" =>
       // decode_images('corpus', 'id_col', 'payload_col'[, hist_buckets]) —
       // REAL javax.imageio decode to width/height/mean-luminance/histogram

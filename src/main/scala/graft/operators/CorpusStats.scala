@@ -65,4 +65,53 @@ object CorpusStats {
         F.when(F.col("n_distinct_tokens") === 0, 0.0)
           .otherwise(F.col("hapax_tokens").cast("double") / F.col("n_distinct_tokens")))
   }
+
+  /** Unigram-LM negative log-likelihood per document — the relational form
+    * of the CCNet/Gopher perplexity quality filter: fit the unigram model
+    * p(w) = count(w)/N on the corpus itself, score every doc by the mean
+    * token NLL (avg over tokens of −ln p(w) = ln N − mean ln count(w)).
+    * High-NLL docs are rare-token-dense (garble, OCR noise, boilerplate
+    * soups score LOW — they repeat common tokens); the standard pipeline
+    * move is a two-sided cut on this column.
+    *
+    * Tokens are the same lower/[^a-z0-9]+ stream every text operator here
+    * uses, kept as STRINGS (not 64-bit hashes): the model join must be
+    * collision-free for the score to be exactly reproducible in the
+    * oracle, and the Zipf-skew story is unchanged (see the class scaladoc
+    * — partial aggregation collapses hot tokens map-side; AQE splits the
+    * skewed join). Plan shape at 100 TB: one token-keyed groupBy (the
+    * model fit), one postings→model join + per-doc re-aggregation, one
+    * 1-row broadcast of the corpus token total — no corpus-sized
+    * collect anywhere.
+    *
+    * Output: (idCol, n_tokens, avg_nll) — avg_nll is null for token-free
+    * docs, rounded via the shared +5e-9/4dp convention so the ln/division
+    * accumulation-order noise can't straddle a rounding boundary across
+    * engines. */
+  def unigramNll(
+      df: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val tok = df.select(
+      F.col(idCol),
+      F.explode_outer(F.filter(
+        F.split(F.lower(F.col(textCol)), "[^a-z0-9]+"),
+        t => F.length(t) > 0)).as("__tok"))
+    val model = tok.filter(F.col("__tok").isNotNull)
+      .groupBy("__tok").agg(F.count(F.lit(1)).as("__cnt"))
+    val total = model.agg(F.coalesce(F.sum("__cnt"), F.lit(0L)).as("__n"))
+    tok.join(model, Seq("__tok"), "left")
+      .groupBy(F.col(idCol))
+      .agg(
+        F.count(F.col("__tok")).as("n_tokens"),
+        F.sum(F.log(F.col("__cnt").cast("double"))).as("__slc"))
+      .crossJoin(F.broadcast(total))
+      .withColumn("avg_nll",
+        F.when(F.col("n_tokens") > 0,
+          F.round(
+            F.log(F.col("__n").cast("double")) -
+              F.col("__slc") / F.col("n_tokens") + F.lit(5e-9), 4)))
+      .select(idCol, "n_tokens", "avg_nll")
+  }
 }

@@ -276,6 +276,31 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("unigram NLL: closed-form tiny corpus, garble scores above common text, empty doc null") {
+    import spark.implicits._
+    // p(a)=3/5, p(b)=p(c)=1/5 → doc1 "a a b": ln5 − (2·ln3)/3 = 0.8770,
+    // doc2 "a c": ln5 − ln3/2 = 1.0601 (both +5e-9, 4dp)
+    val tiny = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val rows = CorpusStats.unigramNll(tiny, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 3L, 0.877), (2L, 2L, 1.0601)), rows.mkString(", "))
+    // rare-token garble must score above a doc of corpus-common tokens
+    val base = docs.limit(30).select("doc_id", "text")
+    val garble = Seq((777777L, "zqxjv kwqzx vvqjx pzzqk")).toDF("doc_id", "text")
+    val common = Seq((777778L, "the the the and and of")).toDF("doc_id", "text")
+    val scored = CorpusStats.unigramNll(base.union(garble).union(common), "doc_id", "text")
+    val g = scored.filter(F.col("doc_id") === 777777L).head.getDouble(2)
+    val c = scored.filter(F.col("doc_id") === 777778L).head.getDouble(2)
+    assert(g > c, s"garble $g must out-score common-token text $c")
+    // token-free docs keep their row with n_tokens 0 and null score
+    val withEmpty = CorpusStats.unigramNll(
+      base.union(Seq((777779L, "!!! ...")).toDF("doc_id", "text")), "doc_id", "text")
+      .filter(F.col("doc_id") === 777779L).collect()
+    assert(withEmpty.length == 1 && withEmpty.head.getLong(1) == 0L &&
+      withEmpty.head.isNullAt(2))
+  }
+
   test("corpus token stats: hapax and df features are consistent") {
     val out = CorpusStats.tokenDocFrequencyFeatures(docs, "doc_id", "text").collect()
     assert(out.nonEmpty)
