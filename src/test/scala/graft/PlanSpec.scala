@@ -261,6 +261,34 @@ class PlanSpec extends SparkTestBase {
     assert(df.count() > 0)
   }
 
+  test("perplexity score: pruned scan, unhinted model join, partial/final aggregation") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = graft.catalog.QueryCatalog.queries("q_perplexity_score")(spark, sfDir)
+    val plan = planOf(df)
+    // only the two referenced columns reach the reader — a perplexity scan
+    // that drags lang/source along is reading dead bytes at 100 TB
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(readSchemas.contains("doc_id") && readSchemas.contains("text") &&
+      !readSchemas.contains("lang") && !readSchemas.contains("source"),
+      s"scan not pruned: $readSchemas")
+    // the postings→model EQUI-join must stay unhinted: the unigram model
+    // is vocab-sized (Zipf-bounded but potentially huge) — AQE broadcasts
+    // it at runtime iff it actually fits. (The 1-row corpus-total frame is
+    // the bounded exception where a static broadcast hint is correct.)
+    val equiJoins = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.isDefined => j
+    }
+    assert(equiJoins.nonEmpty, "expected the postings→model join")
+    equiJoins.foreach { j =>
+      assert(j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty,
+        s"model join carries a planner hint: $j")
+    }
+    // map-side partial aggregation on the Zipf-hot token groupBy
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"expected partial/final aggregate splits:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("ANN plans stay small: fused matrix kernels, no literal-array blowup") {
     // The LSH/IVF kernels were once planes×tables (×probes) separate
     // column trees each embedding a dim-element literal array — a ~10^5
