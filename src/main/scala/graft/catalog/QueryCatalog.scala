@@ -4438,6 +4438,37 @@ object QueryCatalog {
       """)
     ),
     (
+      // Deterministic token-budget prefix selection
+      // (Sampling.selectTokenBudget via select_token_budget(...)): keep the
+      // md5-ordered corpus prefix whose cumulative token count fits the
+      // budget — the "cut the corpus to N training tokens" step. The
+      // operator computes the cumsum as a distributed 256-bucket prefix-sum
+      // (PlanSpec gates no single-partition window); the DuckDB oracle
+      // recomputes it with ONE global window over the same (md5, id) keys —
+      // equality proves the distributed decomposition is the global cumsum.
+      "q_select_token_budget",
+      wv("""
+        from select_token_budget('documents', 'doc_id', 'text', 15000)
+        select doc_id, n_tokens, cum_tokens
+        order by doc_id
+      """),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS n_tokens,
+            md5('graft' || CAST(doc_id AS VARCHAR)) AS k
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_tokens,
+            sum(n_tokens) OVER (ORDER BY k, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+          FROM t)
+        SELECT doc_id, n_tokens, cum_tokens FROM c
+        WHERE cum_tokens <= 15000
+        ORDER BY doc_id
+      """)
+    ),
+    (
       "q_chunk_documents", // overlapping word-window chunking (explode plan)
       (spark, dir) => {
         val docs = Tables.read(spark, dir, "documents")

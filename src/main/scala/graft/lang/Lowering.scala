@@ -1629,6 +1629,24 @@ object Lowering {
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "select_token_budget" =>
+      // select_token_budget('corpus', 'id_col', 'text_col', budget_tokens)
+      // — deterministic token-budget prefix selection
+      // (Sampling.selectTokenBudget): keep the md5-ordered corpus prefix
+      // whose cumulative token count fits the budget (distributed
+      // prefix-sum, no single-partition window)
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
+            Some(budget: Long)) =>
+          Plain(graft.operators.Sampling.selectTokenBudget(
+            lower(TableRef(corpus), ctx), idCol, textCol, budget))
+        case _ =>
+          throw new LoweringException(
+            "select_token_budget expects (corpus, id_col, text_col, budget_tokens) " +
+              "literals, e.g. select_token_budget('documents', 'doc_id', 'text', 50000)")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "perplexity_score" =>
       // perplexity_score('corpus', 'id_col', 'text_col') — unigram-LM mean
       // negative log-likelihood per doc (CorpusStats.unigramNll): the

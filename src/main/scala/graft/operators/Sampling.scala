@@ -166,6 +166,63 @@ object Sampling {
         "train_docs", "train_frac", "target_frac", "frac_delta")
   }
 
+  /** Deterministic token-budget corpus selection: keep the prefix of the
+    * md5-ordered corpus whose CUMULATIVE token count fits `budgetTokens` —
+    * the "cut the corpus to N training tokens" curation step, reproducible
+    * across runs and engines (same md5-order contract as every sampler
+    * here). A doc is kept iff its cumulative count (inclusive) is within
+    * budget, so the boundary doc that would overflow is dropped.
+    *
+    * Scale shape — the naive form is a GLOBAL cumsum window, which Spark
+    * executes on a SINGLE partition (Exchange SinglePartition): a
+    * non-starter at 100 TB. This is instead the classic distributed
+    * prefix-sum: docs bucket by the leading md5 byte-pair (256 ordered
+    * ranges, uniform by construction), per-bucket token totals prefix-sum
+    * DRIVER-side (256 longs — bounded), and each bucket computes its local
+    * cumsum in a per-bucket window plus its range offset. One shuffle (the
+    * bucket window), no single-partition stage — PlanSpec-gated.
+    *
+    * Tokens are the shared lower/[^a-z0-9]+ stream (the unigramNll /
+    * oracle tokenizer), so the DuckDB oracle recomputes the selection
+    * bit-for-bit with one global window over the same keys.
+    *
+    * Output: input columns + n_tokens + cum_tokens. */
+  def selectTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budgetTokens: Long,
+      seed: String = "graft"
+  ): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be >= 0")
+    val k = key(seed, F.col(idCol))
+    val nTok = F.size(F.filter(
+      F.split(F.lower(F.col(textCol)), "[^a-z0-9]+"),
+      t => F.length(t) > 0))
+    val keyed = df
+      .withColumn("__k", k)
+      .withColumn("__b", F.substring(F.col("__k"), 1, 2))
+      .withColumn("n_tokens", nTok.cast("long"))
+    // 256 bucket totals → driver prefix offsets (bounded collect, the same
+    // footprint class as an IVF centroid set)
+    val totals: Map[String, Long] = keyed.groupBy("__b")
+      .agg(F.sum("n_tokens").as("__t"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val offsets: Seq[(String, Long)] = totals.toSeq.sortBy(_._1)
+      .scanLeft(("", 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
+      .sliding(2).collect { case Seq((_, acc), (b, _)) => (b, acc) }.toSeq
+    val offCol = F.element_at(
+      F.map(offsets.flatMap { case (b, o) => Seq(F.lit(b), F.lit(o)) }: _*),
+      F.col("__b"))
+    val w = Window.partitionBy(F.col("__b")).orderBy(F.col("__k"), F.col(idCol))
+    keyed
+      .withColumn("cum_tokens", F.sum(F.col("n_tokens")).over(w) + offCol)
+      .filter(F.col("cum_tokens") <= budgetTokens)
+      .drop("__k", "__b")
+  }
+
   /** Deterministic global shuffle: total order by the hash key. At scale
     * this is exactly one range-partitioned sort — the standard "shuffle the
     * corpus once before sharding to trainers" step, reproducible across

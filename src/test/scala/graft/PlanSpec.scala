@@ -289,6 +289,19 @@ class PlanSpec extends SparkTestBase {
     assert(df.count() > 0)
   }
 
+  test("token-budget selection: distributed prefix-sum, NO single-partition window") {
+    // the naive global cumsum window executes on ONE partition (Exchange
+    // SinglePartition) — the whole corpus through a single task at 100 TB.
+    // The operator must decompose into bucket-local windows + driver
+    // offsets instead.
+    val df = graft.catalog.QueryCatalog.queries("q_select_token_budget")(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("SinglePartition"),
+      s"global-window single-partition stage in the plan:\n$plan")
+    assert(plan.contains("Window"), "expected the bucket-local cumsum window")
+    assert(df.count() > 0)
+  }
+
   test("ANN plans stay small: fused matrix kernels, no literal-array blowup") {
     // The LSH/IVF kernels were once planes×tables (×probes) separate
     // column trees each embedding a dim-element literal array — a ~10^5

@@ -323,7 +323,16 @@ class DiffFuzzSpec extends SparkTestBase {
     val frac = d2((rnd.nextInt(8) + 1) * 0.1 + 0.05) // 0.15..0.85
     val jthr = d2(0.1 + rnd.nextInt(8) * 0.1)        // 0.10..0.80
     val cthr = d2(pick(Seq(0.2, 0.35, 0.5, 0.8, 0.95)))
-    rnd.nextInt(5) match {
+    rnd.nextInt(7) match {
+      case 5 =>
+        s"""from select_token_budget('documents', 'doc_id', 'text', ${rnd.nextInt(2000) + 50})
+           |select doc_id, n_tokens, cum_tokens
+           |order by doc_id""".stripMargin
+      case 6 =>
+        s"""from perplexity_score('documents', 'doc_id', 'text')
+           |${pick(Seq("order by doc_id",
+             "where n_tokens > " + rnd.nextInt(50) + "\norder by doc_id",
+             "agg n = _.count, worst = avg_nll.max"))}""".stripMargin
       case 0 =>
         val thrArg = if (rnd.nextBoolean()) s", $jthr" else ""
         s"""from split_by_cluster('documents', 'doc_id', 'text', $frac$thrArg)

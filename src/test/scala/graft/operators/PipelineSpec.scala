@@ -276,6 +276,32 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("token budget selection: equals the naive global cumsum, budget honored, total keeps all") {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 20000L
+    val sel = Sampling.selectTokenBudget(docs, "doc_id", "text", budget)
+    val cums = sel.select("doc_id", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cums.nonEmpty && cums.values.max <= budget)
+    // the distributed 256-bucket prefix-sum must equal the naive global
+    // window cumsum (single-partition — fine at test scale, the exact
+    // plan the operator exists to avoid)
+    val k = F.md5(F.concat(F.lit("graft"), F.col("doc_id").cast("string")))
+    val nTok = F.size(F.filter(
+      F.split(F.lower(F.col("text")), "[^a-z0-9]+"), t => F.length(t) > 0)).cast("long")
+    val naive = docs.withColumn("__k", k).withColumn("__n", nTok)
+      .withColumn("cum", F.sum(F.col("__n")).over(
+        Window.orderBy(F.col("__k"), F.col("doc_id"))))
+      .filter(F.col("cum") <= budget)
+      .select("doc_id", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cums == naive, s"distributed prefix-sum diverges: ${cums.size} vs ${naive.size} docs")
+    // a budget at/above the corpus total keeps every doc
+    val total = docs.select(F.sum(nTok)).head.getLong(0)
+    assert(Sampling.selectTokenBudget(docs, "doc_id", "text", total).count() == docs.count())
+    assert(Sampling.selectTokenBudget(docs, "doc_id", "text", 0L).count() == 0L)
+  }
+
   test("unigram NLL: closed-form tiny corpus, garble scores above common text, empty doc null") {
     import spark.implicits._
     // p(a)=3/5, p(b)=p(c)=1/5 → doc1 "a a b": ln5 − (2·ln3)/3 = 0.8770,
