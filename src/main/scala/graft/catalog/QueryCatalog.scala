@@ -4207,6 +4207,51 @@ object QueryCatalog {
       """)
     ),
     (
+      // Benchmark-health audit (Decontamination.contaminationReport via
+      // contamination_report(...)): the TRANSPOSE of decontamination — per
+      // EVAL doc, how many corpus docs share a 4-gram with it and how many
+      // of its n-grams are shared at all. Non-vacuous both ways at sf0.01:
+      // eval doc 0 reports zeros (the left-join zero path), docs 1-2 leak
+      // into 3-4 corpus docs. Hash-kernel n-gram equality ⇔ string n-gram
+      // equality (the q_decontaminate_* precedent), so the oracle uses
+      // string 4-grams.
+      "q_contamination_report",
+      wv("""
+        model trainset = {
+          from documents
+          where doc_id >= 3
+        }
+        model evalset = {
+          from documents
+          where doc_id < 3
+        }
+        from contamination_report('trainset', 'evalset', 'doc_id', 'text', 4)
+        order by doc_id
+      """),
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+          FROM documents
+        ),
+        ngr AS (
+          SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS g
+          FROM tok, LATERAL (SELECT unnest(range(1, len(w) - 2)) AS i) r
+        ),
+        ev AS (SELECT doc_id, g FROM ngr WHERE doc_id < 3),
+        co AS (SELECT doc_id AS cid, g FROM ngr WHERE doc_id >= 3),
+        hits AS (
+          SELECT ev.doc_id, count(DISTINCT cid) AS leaking_docs,
+                 count(DISTINCT ev.g) AS shared_ngrams
+          FROM ev JOIN co USING (g) GROUP BY ev.doc_id)
+        SELECT d.doc_id,
+          coalesce(h.leaking_docs, 0)::BIGINT AS leaking_docs,
+          coalesce(h.shared_ngrams, 0)::BIGINT AS shared_ngrams
+        FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 3) d
+        LEFT JOIN hits h USING (doc_id)
+        ORDER BY d.doc_id
+      """)
+    ),
+    (
       // Semantic decontamination (Decontamination.contaminatedVecs via the
       // contaminated_vecs(...) table function): corpus vectors too close in
       // embedding space to ANY eval vector — the paraphrase-robust second

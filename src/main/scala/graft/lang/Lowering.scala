@@ -1094,6 +1094,23 @@ object Lowering {
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "contamination_report" =>
+      // contamination_report('corpus', 'eval', 'id_col', 'text_col', n) —
+      // the benchmark-health transpose (Decontamination.contaminationReport):
+      // per EVAL doc, how many corpus docs share an n-gram with it
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(eval: String), Some(idCol: String),
+            Some(textCol: String), Some(n: Long)) =>
+          Plain(graft.operators.Decontamination.contaminationReport(
+            lower(TableRef(corpus), ctx), idCol, textCol,
+            lower(TableRef(eval), ctx), idCol, textCol, n.toInt))
+        case _ =>
+          throw new LoweringException(
+            "contamination_report expects (corpus, eval, id_col, text_col, n) literals, " +
+              "e.g. contamination_report('trainset', 'evalset', 'doc_id', 'text', 13)")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
         (name.toLowerCase == "contaminated_vecs" ||
          name.toLowerCase == "decontaminate_semantic") =>
       // embedding-space decontamination (Decontamination.contaminatedVecs /

@@ -73,6 +73,50 @@ object Decontamination {
     corpus.join(flagged, Seq(corpusId), "left_anti")
   }
 
+  /** Benchmark-health audit — the TRANSPOSE of [[contaminatedDocs]]: for
+    * every EVAL document, how many corpus documents share an n-gram with it
+    * (`leaking_docs`) and how many of its distinct n-grams are shared at
+    * all (`shared_ngrams`). Run this BEFORE training-set decontamination:
+    * an eval item leaked into thousands of corpus docs is effectively
+    * public and belongs out of the benchmark, not just out of the corpus.
+    *
+    * Same 100 TB anatomy as the forward direction: the eval n-gram set is
+    * exploded, deduped and broadcast; the corpus streams through one
+    * shingling scan and the broadcast join; only MATCHED (corpus, eval)
+    * gram rows reach the per-eval aggregate. Eval docs with zero overlap
+    * keep their row (left join back to the eval ids) — the zeros are the
+    * healthy signal. Output: (evalId, leaking_docs, shared_ngrams). */
+  def contaminationReport(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusText: String,
+      eval: DataFrame,
+      evalId: String,
+      evalText: String,
+      n: Int = 13
+  ): DataFrame = {
+    val evalGrams = eval.select(
+      F.col(evalId),
+      F.explode(
+        graft.functions.TextHashExpressions.shingleHashes64(F.col(evalText), n)).as("__g"))
+    val corpusGrams = corpus.select(
+      F.col(corpusId).as("__cid"),
+      F.explode(
+        graft.functions.TextHashExpressions.shingleHashes64(F.col(corpusText), n)).as("__g"))
+    val hits = corpusGrams
+      .join(F.broadcast(evalGrams), Seq("__g"))
+      .groupBy(F.col(evalId))
+      .agg(
+        F.countDistinct(F.col("__cid")).as("leaking_docs"),
+        F.countDistinct(F.col("__g")).as("shared_ngrams"))
+    eval.select(F.col(evalId)).distinct()
+      .join(hits, Seq(evalId), "left")
+      .select(
+        F.col(evalId),
+        F.coalesce(F.col("leaking_docs"), F.lit(0L)).as("leaking_docs"),
+        F.coalesce(F.col("shared_ngrams"), F.lit(0L)).as("shared_ngrams"))
+  }
+
   /** Semantic (embedding-space) contamination: corpus rows whose cosine to
     * ANY eval vector clears `threshold`. The n-gram net above catches
     * verbatim and near-verbatim leaks; a PARAPHRASED eval item sails

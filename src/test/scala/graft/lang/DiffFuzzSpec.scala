@@ -323,7 +323,19 @@ class DiffFuzzSpec extends SparkTestBase {
     val frac = d2((rnd.nextInt(8) + 1) * 0.1 + 0.05) // 0.15..0.85
     val jthr = d2(0.1 + rnd.nextInt(8) * 0.1)        // 0.10..0.80
     val cthr = d2(pick(Seq(0.2, 0.35, 0.5, 0.8, 0.95)))
-    rnd.nextInt(7) match {
+    rnd.nextInt(8) match {
+      case 7 =>
+        val cut = rnd.nextInt(40) + 3
+        s"""model trainset = {
+           |  from documents
+           |  where doc_id >= $cut
+           |}
+           |model evalset = {
+           |  from documents
+           |  where doc_id < $cut
+           |}
+           |from contamination_report('trainset', 'evalset', 'doc_id', 'text', ${rnd.nextInt(4) + 2})
+           |order by doc_id""".stripMargin
       case 5 =>
         s"""from select_token_budget('documents', 'doc_id', 'text', ${rnd.nextInt(2000) + 50})
            |select doc_id, n_tokens, cum_tokens

@@ -146,6 +146,27 @@ class PipelineSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$plan")
   }
 
+  test("contamination report: per-eval leak counts, clean eval doc keeps a zero row") {
+    import spark.implicits._
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // leaked below
+      (200L, "zzqk pwvx jjqr mmzt unique garble nothing shares this")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro text then the quick brown fox appears verbatim here"),
+      (2L, "completely unrelated content about spark shuffles and joins"),
+      (3L, "quick brown fox jumps straight out of the benchmark")
+    ).toDF("doc_id", "text")
+    val report = Decontamination
+      .contaminationReport(corpus, "doc_id", "text", eval, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // eval 100 leaks into corpus docs 1 and 3 via two distinct 4-grams
+    assert(report(100L) == (2L, 2L), s"got $report")
+    // the clean eval doc keeps its row with zeros — the healthy signal
+    assert(report(200L) == (0L, 0L), s"got $report")
+    assert(report.size == 2)
+  }
+
   test("C4 rules: line cleaning, page filter, sentence count on planted docs") {
     import spark.implicits._
     val page =
