@@ -94,7 +94,16 @@ object BenchScale {
     // postings→model join — the token_stats shuffle shape, exponent ~1
     // expected (replica-tagged tokens grow the vocab linearly with the
     // corpus, so the model groupBy and the join both scale in rows)
-    "q_perplexity_score")
+    "q_perplexity_score",
+    // token-budget prefix selection (r14): 256-bucket distributed
+    // prefix-sum — two corpus scans (bucket totals, bucket-local cumsum)
+    // and one bucket shuffle; exponent ~1 is the gate that the
+    // no-single-partition decomposition actually scales in rows
+    "q_select_token_budget",
+    // contamination audit (r14): eval-side broadcast fixed (doc_id < 3
+    // never replicates into new ids), corpus-side shingling scan grows —
+    // the measured exponent is the corpus term alone
+    "q_contamination_report")
 
   private def loadavg(): String = BenchGuard.loadavg()
 
