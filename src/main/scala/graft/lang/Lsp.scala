@@ -317,10 +317,17 @@ object Lsp {
   /** Native table functions, completable in relation position alongside
     * table names (the Lowering's ModelRef natives). */
   private val tableFunctions: Seq[CompletionItem] = Seq(
-    "range", "jdbc", "similarity_topk", "ann_int8_index", "each_top_k",
+    "range", "jdbc", "similarity_topk", "ann_int8_index", "ann_lsh_postings",
+    "each_top_k",
     "decode_images", "resize_images", "decode_audio", "decode_video",
-    "decontaminate", "contaminated_docs", "weighted_mix", "pack_sequences",
-    "dedup_spans", "dedup_semantic", "token_stats", "parquet_metadata",
+    "decontaminate", "contaminated_docs", "contamination_report",
+    "contaminated_vecs", "decontaminate_semantic",
+    "weighted_mix", "pack_sequences", "select_token_budget",
+    "dedup_spans", "dedup_semantic", "minhash_index",
+    "dedup_incremental", "dedup_incremental_pairs",
+    "split_by_cluster", "split_by_cluster_pairs", "split_by_cluster_stats",
+    "split_by_cluster_pairs_stats",
+    "token_stats", "perplexity_score", "parquet_metadata",
     "wv_tables", "wv_schemas", "duckdb_functions", "unnest"
   ).map(CompletionItem(_, "table_function"))
 

@@ -171,6 +171,13 @@ class LspSpec extends SparkTestBase {
     // native table functions complete in relation position too
     val tf = complete("from simil", 10, spark, dir)
     assert(tf.exists(i => i.label == "similarity_topk" && i.kind == "table_function"))
+    // the r13/r14 pipeline surfaces must be completable too (the list went
+    // stale once — gate a representative of each family)
+    Seq("split_by_cluster_pairs", "contamination_report", "perplexity_score",
+        "select_token_budget", "decontaminate_semantic", "minhash_index")
+      .foreach { n =>
+        assert(tf.exists(i => i.label == n && i.kind == "table_function"), s"missing $n")
+      }
   }
 
   test("completion: incomplete inputs are total; past-EOF uses the nearest query") {
