@@ -172,11 +172,14 @@ class LspSpec extends SparkTestBase {
     val tf = complete("from simil", 10, spark, dir)
     assert(tf.exists(i => i.label == "similarity_topk" && i.kind == "table_function"))
     // the r13/r14 pipeline surfaces must be completable too (the list went
-    // stale once — gate a representative of each family)
+    // stale once — gate a representative of each family, each behind its
+    // own typed prefix since completion filters on it)
     Seq("split_by_cluster_pairs", "contamination_report", "perplexity_score",
         "select_token_budget", "decontaminate_semantic", "minhash_index")
       .foreach { n =>
-        assert(tf.exists(i => i.label == n && i.kind == "table_function"), s"missing $n")
+        val src = s"from ${n.take(9)}"
+        val got = complete(src, src.length, spark, dir)
+        assert(got.exists(i => i.label == n && i.kind == "table_function"), s"missing $n")
       }
   }
 
