@@ -4451,6 +4451,36 @@ object QueryCatalog {
       """)
     ),
     (
+      // One-row corpus vocabulary / Zipf profile (CorpusStats.vocabProfile
+      // via vocab_profile(...)): total/distinct/hapax token counts + the
+      // occurrence fraction covered by the 100 most frequent tokens (ties
+      // broken by token text — a deterministic cut). Coverage is one exact
+      // IEEE division of two BIGINTs, so no rounding is needed.
+      "q_vocab_profile",
+      wv("""
+        from vocab_profile('documents', 'text', 100)
+      """),
+      Some("""
+        WITH tok AS (
+          SELECT unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t
+          FROM documents),
+        c AS (SELECT t, count(*)::BIGINT AS cnt FROM tok GROUP BY t),
+        tot AS (
+          SELECT coalesce(sum(cnt), 0)::BIGINT AS total_tokens,
+                 count(*)::BIGINT AS distinct_tokens,
+                 coalesce(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END), 0)::BIGINT AS hapax_tokens
+          FROM c),
+        top AS (
+          SELECT coalesce(sum(cnt), 0)::BIGINT AS topcnt
+          FROM (SELECT cnt FROM c ORDER BY cnt DESC, t LIMIT 100))
+        SELECT total_tokens, distinct_tokens, hapax_tokens,
+          CASE WHEN total_tokens > 0
+               THEN CAST(topcnt AS DOUBLE) / total_tokens END AS top100_coverage
+        FROM tot, top
+      """)
+    ),
+    (
       // Unigram-LM perplexity quality scoring (CorpusStats.unigramNll via
       // perplexity_score(...)): the CCNet-style filter — fit p(w)=cnt/N on
       // the corpus, score docs by mean token NLL. DETERMINISTIC oracle:

@@ -1664,6 +1664,24 @@ object Lowering {
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "vocab_profile" =>
+      // vocab_profile('corpus', 'text_col'[, top_k]) — one-row Zipf health
+      // profile (CorpusStats.vocabProfile): total/distinct/hapax token
+      // counts + topK occurrence coverage
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(textCol: String)) =>
+          Plain(graft.operators.CorpusStats.vocabProfile(
+            lower(TableRef(corpus), ctx), textCol))
+        case List(Some(corpus: String), Some(textCol: String), Some(k: Long)) if k > 0 =>
+          Plain(graft.operators.CorpusStats.vocabProfile(
+            lower(TableRef(corpus), ctx), textCol, k.toInt))
+        case _ =>
+          throw new LoweringException(
+            "vocab_profile expects (corpus, text_col[, top_k]) literals, e.g. " +
+              "vocab_profile('documents', 'text', 100)")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "perplexity_score" =>
       // perplexity_score('corpus', 'id_col', 'text_col') — unigram-LM mean
       // negative log-likelihood per doc (CorpusStats.unigramNll): the

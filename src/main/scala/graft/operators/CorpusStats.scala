@@ -66,6 +66,41 @@ object CorpusStats {
           .otherwise(F.col("hapax_tokens").cast("double") / F.col("n_distinct_tokens")))
   }
 
+  /** One-row corpus vocabulary profile — the Zipf health check run before
+    * committing to tokenizer/filter settings: total and distinct token
+    * counts, hapax count, and the occurrence fraction covered by the topK
+    * most frequent tokens (ties broken by token text, so the cut is
+    * deterministic across engines). A top-100 coverage near 1 means the
+    * corpus is boilerplate soup; hapax share near 1 means OCR garble.
+    *
+    * Shape: one token-keyed groupBy (map-side partial agg over the Zipf-hot
+    * keys) + two scalar aggregates over the vocab-sized count table; the
+    * topK cut is a TakeOrdered over that table, never over the corpus. */
+  def vocabProfile(
+      df: DataFrame,
+      textCol: String,
+      topK: Int = 100
+  ): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val counts = df.select(F.explode(F.filter(
+        F.split(F.lower(F.col(textCol)), "[^a-z0-9]+"),
+        t => F.length(t) > 0)).as("__t"))
+      .groupBy("__t").agg(F.count(F.lit(1)).as("__cnt"))
+    val totals = counts.agg(
+      F.coalesce(F.sum("__cnt"), F.lit(0L)).as("total_tokens"),
+      F.count(F.lit(1)).as("distinct_tokens"),
+      F.coalesce(F.sum(F.when(F.col("__cnt") === 1, 1L).otherwise(0L)), F.lit(0L))
+        .as("hapax_tokens"))
+    val top = counts.orderBy(F.col("__cnt").desc, F.col("__t"))
+      .limit(topK)
+      .agg(F.coalesce(F.sum("__cnt"), F.lit(0L)).as("__topcnt"))
+    totals.crossJoin(F.broadcast(top))
+      .withColumn(s"top${topK}_coverage",
+        F.when(F.col("total_tokens") > 0,
+          F.col("__topcnt").cast("double") / F.col("total_tokens")))
+      .drop("__topcnt")
+  }
+
   /** Unigram-LM negative log-likelihood per document — the relational form
     * of the CCNet/Gopher perplexity quality filter: fit the unigram model
     * p(w) = count(w)/N on the corpus itself, score every doc by the mean

@@ -348,6 +348,22 @@ class PipelineSpec extends SparkTestBase {
       withEmpty.head.isNullAt(2))
   }
 
+  test("vocab profile: closed-form tiny corpus, coverage bounds on testdata") {
+    import spark.implicits._
+    // "a a b" + "a c": total 5, distinct 3, hapax 2 (b, c); top-1 = a → 3/5
+    val tiny = Seq("a a b", "a c").toDF("text")
+    val r = CorpusStats.vocabProfile(tiny, "text", topK = 1).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((5L, 3L, 2L, 0.6)), r.toString)
+    // topK >= vocab covers everything
+    val all = CorpusStats.vocabProfile(tiny, "text", topK = 10).collect().head
+    assert(all.getDouble(3) == 1.0)
+    // testdata: coverage in (0,1], counts consistent
+    val t = CorpusStats.vocabProfile(docs, "text").collect().head
+    assert(t.getLong(0) >= t.getLong(1) && t.getLong(1) >= t.getLong(2))
+    assert(t.getDouble(3) > 0.0 && t.getDouble(3) <= 1.0)
+  }
+
   test("corpus token stats: hapax and df features are consistent") {
     val out = CorpusStats.tokenDocFrequencyFeatures(docs, "doc_id", "text").collect()
     assert(out.nonEmpty)
