@@ -14,7 +14,14 @@ import org.apache.spark.sql.{functions => F}
   */
 object TextFunctions {
 
-  /** Lowercased alphanumeric word tokens. */
+  /** Lowercased alphanumeric word tokens — THE canonical unigram stream.
+    * Every token-counting operator (perplexity, vocab profile, token
+    * budget, packing) uses this column; the one-pass hash kernel
+    * (TextHashExpressions.shingleHashes64, used by dedup / token stats /
+    * decontamination) tokenizes with the same boundaries, and a
+    * PipelineSpec gate asserts per-doc distinct-token-count equality of
+    * the two streams over a mixed Unicode corpus, so quality features and
+    * dedup cannot silently disagree on what a token is. */
   def tokens(text: Column): Column =
     F.filter(F.split(F.lower(text), "[^a-z0-9]+"), t => F.length(t) > 0)
 

@@ -58,6 +58,22 @@ object GraftTextOps {
       if (isTokChar) {
         h = (h ^ c.toInt) * FnvPrime
         inTok = true
+        // U+0130 (İ): full-string lowercasing — the regex stream
+        // (TextFunctions.tokens: split(lower(text), '[^a-z0-9]+')) this
+        // kernel must stay token-identical to — maps it to "i" + combining
+        // U+0307, and the combining mark then CLOSES the token at the
+        // split. The simple per-char mapping used here yields a bare 'i'
+        // (no mark), so close the token explicitly. This is the only
+        // locale-independent 1:N lowercase mapping whose output starts
+        // with a token char (Unicode SpecialCasing); the per-doc
+        // stream-equality gate in PipelineSpec pins the parity.
+        if (c0 == 'İ') {
+          if (ntok == toks.length) toks = java.util.Arrays.copyOf(toks, toks.length * 2)
+          toks(ntok) = h
+          ntok += 1
+          h = FnvOffset
+          inTok = false
+        }
       } else if (inTok) {
         if (ntok == toks.length) toks = java.util.Arrays.copyOf(toks, toks.length * 2)
         toks(ntok) = h

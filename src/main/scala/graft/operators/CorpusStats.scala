@@ -82,9 +82,8 @@ object CorpusStats {
       topK: Int = 100
   ): DataFrame = {
     require(topK > 0, "topK must be positive")
-    val counts = df.select(F.explode(F.filter(
-        F.split(F.lower(F.col(textCol)), "[^a-z0-9]+"),
-        t => F.length(t) > 0)).as("__t"))
+    val counts = df.select(F.explode(
+        graft.functions.TextFunctions.tokens(F.col(textCol))).as("__t"))
       .groupBy("__t").agg(F.count(F.lit(1)).as("__cnt"))
     val totals = counts.agg(
       F.coalesce(F.sum("__cnt"), F.lit(0L)).as("total_tokens"),
@@ -130,9 +129,8 @@ object CorpusStats {
   ): DataFrame = {
     val tok = df.select(
       F.col(idCol),
-      F.explode_outer(F.filter(
-        F.split(F.lower(F.col(textCol)), "[^a-z0-9]+"),
-        t => F.length(t) > 0)).as("__tok"))
+      F.explode_outer(
+        graft.functions.TextFunctions.tokens(F.col(textCol))).as("__tok"))
     val model = tok.filter(F.col("__tok").isNotNull)
       .groupBy("__tok").agg(F.count(F.lit(1)).as("__cnt"))
     val total = model.agg(F.coalesce(F.sum("__cnt"), F.lit(0L)).as("__n"))

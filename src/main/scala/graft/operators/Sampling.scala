@@ -196,17 +196,31 @@ object Sampling {
   ): DataFrame = {
     require(budgetTokens >= 0, "budgetTokens must be >= 0")
     val k = key(seed, F.col(idCol))
-    val nTok = F.size(F.filter(
-      F.split(F.lower(F.col(textCol)), "[^a-z0-9]+"),
-      t => F.length(t) > 0))
-    val keyed = df
-      .withColumn("__k", k)
-      .withColumn("__b", F.substring(F.col("__k"), 1, 2))
-      .withColumn("n_tokens", nTok.cast("long"))
+    // null-text docs count as EXPLICIT 0-token docs: they stay selectable
+    // (consuming no budget) instead of carrying a null n_tokens that both
+    // poisons the bucket-total sum (NPE at the driver-side offset collect)
+    // and silently rides through the cumsum filter
+    val nTok = F.when(F.col(textCol).isNull, F.lit(0L))
+      .otherwise(F.size(graft.functions.TextFunctions.tokens(F.col(textCol))).cast("long"))
+    // ONE tokenization pass: the bucket-totals collect and the per-bucket
+    // cumsum window previously each re-evaluated the tokenizer over the
+    // full text column — two complete text scans where one suffices, and
+    // at 100 TB the tokenization IS the cost. The narrow
+    // (id, key, bucket, n_tokens) projection (~50 B/row vs the text
+    // column) is checkpointed once; the totals and the window both read
+    // the checkpoint, and the kept prefix joins back to the corpus by id —
+    // one unhinted corpus-sized join (AQE broadcasts the kept side when a
+    // tight budget makes it small) instead of a second tokenize+shuffle.
+    val narrow = df.select(
+        F.col(idCol),
+        k.as("__k"),
+        F.substring(k, 1, 2).as("__b"),
+        nTok.as("n_tokens"))
+      .localCheckpoint(true)
     // 256 bucket totals → driver prefix offsets (bounded collect, the same
     // footprint class as an IVF centroid set)
-    val totals: Map[String, Long] = keyed.groupBy("__b")
-      .agg(F.sum("n_tokens").as("__t"))
+    val totals: Map[String, Long] = narrow.groupBy("__b")
+      .agg(F.coalesce(F.sum("n_tokens"), F.lit(0L)).as("__t"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
@@ -217,10 +231,11 @@ object Sampling {
       F.map(offsets.flatMap { case (b, o) => Seq(F.lit(b), F.lit(o)) }: _*),
       F.col("__b"))
     val w = Window.partitionBy(F.col("__b")).orderBy(F.col("__k"), F.col(idCol))
-    keyed
+    val kept = narrow
       .withColumn("cum_tokens", F.sum(F.col("n_tokens")).over(w) + offCol)
       .filter(F.col("cum_tokens") <= budgetTokens)
       .drop("__k", "__b")
+    df.join(kept, Seq(idCol))
   }
 
   /** Deterministic global shuffle: total order by the hash key. At scale

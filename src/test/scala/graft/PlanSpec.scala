@@ -299,6 +299,14 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SinglePartition"),
       s"global-window single-partition stage in the plan:\n$plan")
     assert(plan.contains("Window"), "expected the bucket-local cumsum window")
+    // ONE tokenization pass (r14 verdict #2): the tokenizer ran exactly
+    // once, at the narrow-projection checkpoint — so the returned plan
+    // (totals + window + join back to the corpus, all reading the
+    // checkpoint) must contain NO tokenize expression at all; a second
+    // `split(lower(text))` here means the text column is being re-scanned
+    assert(!plan.contains("split(") && !plan.contains("lower("),
+      s"tokenizer re-evaluated in the returned plan (expected it only at " +
+        s"the checkpointed narrow projection):\n$plan")
     assert(df.count() > 0)
   }
 

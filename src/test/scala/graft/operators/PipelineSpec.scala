@@ -24,6 +24,45 @@ class PipelineSpec extends SparkTestBase {
     assert(out.forall(r => r.getString(4).length == 32))
   }
 
+  test("one tokenizer: hash-kernel stream equals regex stream per doc (mixed Unicode)") {
+    import spark.implicits._
+    // Two unigram tokenizers coexist by design (the one-pass hash kernel
+    // used by dedup/token-stats/decontamination, and TextFunctions.tokens'
+    // lower + [^a-z0-9]+ split used by perplexity/budget/vocab/packing);
+    // this gate makes drift loud: per-doc DISTINCT token counts must agree
+    // (the kernel emits sorted-distinct hashes; FNV collisions inside a
+    // <100-token doc are ~impossible) over content hitting every
+    // divergence class — case folding, digits, punctuation runs, accents,
+    // CJK, emoji, combining marks, Turkish İ/ı (U+0130's 1:N lowercase
+    // mapping), Kelvin sign (U+212A → k), Greek final sigma, ligatures,
+    // null/empty/token-free docs.
+    val rows = Seq(
+      (1L, "The quick-BROWN fox; jumps_over 42 lazy DOGS!!"),
+      (2L, "state-of-the-art   NLP  (2024): résumé café naïve"),
+      (3L, "İstanbul ısparta İİİ xİy KELVINKsign"),
+      (4L, "Σίσυφος ΣΊΣΥΦΟΣ 数学テスト 🚀🔥 emoji42mix"),
+      (5L, "ȧb ćd ﬁligature ﬆop"),
+      (6L, "!!! ... --- ___ \t\n "),
+      (7L, ""),
+      (8L, null.asInstanceOf[String]),
+      (9L, "MixedCASE123abc DEF456ghi x1y2z3 0001 0x1F"),
+      (10L, "word word word repeated repeated unique")
+    ).toDF("doc_id", "text")
+    def gate(df: org.apache.spark.sql.DataFrame, idCol: String): Unit = {
+      val bad = df.select(
+          F.col(idCol),
+          F.size(graft.functions.TextHashExpressions
+            .shingleHashes64(F.col("text"), 1)).as("kernel_distinct"),
+          F.size(F.array_distinct(TextFunctions.tokens(F.col("text"))))
+            .as("regex_distinct"))
+        .filter(!(F.col("kernel_distinct") <=> F.col("regex_distinct")))
+        .collect()
+      assert(bad.isEmpty, s"tokenizer streams diverge: ${bad.mkString(", ")}")
+    }
+    gate(rows, "doc_id")
+    gate(docs, "doc_id") // and over the real corpus
+  }
+
   test("exact dedup: duplicated text collapses") {
     val withDup = docs.limit(10).union(docs.limit(3)) // 3 exact dups
     val groups = Dedup.exactGroups(withDup, "doc_id", "text")
