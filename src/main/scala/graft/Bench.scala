@@ -26,8 +26,22 @@ object Bench {
   private def s3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
-  private case class QResult(name: String, median: Double, runs: Seq[Double], failed: Boolean,
+  private[graft] case class QResult(name: String, median: Double, runs: Seq[Double], failed: Boolean,
       retimed: Option[Double] = None)
+
+  /** One forked suite run: per-query results, per-chunk load stamps, and
+    * which chunk each query ran in (provenance for BenchSettle's floors). */
+  private[graft] case class SuiteRun(results: Seq[QResult], chunkLoads: Seq[String],
+      chunkOf: Map[String, Int])
+
+  /** Bench rows that never change across rounds, spanning the cost range —
+    * their ratio-to-floor is stamped in every artifact (`controls` /
+    * `control_ratio`) so cross-round comparisons can be normalized for
+    * ambient load without forensics (TUNING.md r14: unchanged control
+    * queries read ~1.6x under load). Only ever CHANGE this list alongside
+    * a fresh settled run. */
+  private[graft] val controlRows: Seq[String] =
+    Seq("q_count", "q_agg_pricing_summary", "q_decontaminate_flag")
 
   /** The measurement core: warm run + `runs` timed runs per query, median
     * reported, full GC every 25 queries outside timed regions. */
@@ -86,25 +100,53 @@ object Bench {
       .filterNot { case (n, _) => n.endsWith("_property") }
   }
 
-  private def detailJson(rs: Seq[QResult]): String =
+  private def detailJson(rs: Seq[QResult], floors: Map[String, Double]): String =
     rs.map { r =>
       val retime = r.retimed.map(v => s""","retimed":${s3(v)}""").getOrElse("")
-      s""""${r.name}":{"median":${s3(r.median)},"runs":[${r.runs.map(s3).mkString(",")}]$retime}"""
+      // floor + floor_ratio stamped per row where a floor exists: rows
+      // above 1.5x floor but under the 0.25 s absolute retime gate used to
+      // read as unexplained — the ratio makes the artifact self-describing
+      val floor = floors.get(r.name).filter(_ > 0).map(f =>
+        s""","floor":${s3(f)},"floor_ratio":${s3(r.median / f)}""").getOrElse("")
+      s""""${r.name}":{"median":${s3(r.median)},"runs":[${r.runs.map(s3).mkString(",")}]$retime$floor}"""
     }.mkString("{", ",", "}")
 
   /** Pinned settled-median floors (BENCH_REFERENCE.json in the working
-    * dir, flat {"q_name": seconds}): the self-defense reference for the
-    * post-suite retime pass. Maintained from TUNING.md's settled
-    * confirmation runs — NOT from driver artifacts (which the retime
-    * exists to defend). Absent file or malformed entries → no floors →
-    * no retime (the legacy behavior). */
-  private def referenceFloors(): Map[String, Double] = {
+    * dir): the self-defense reference for the post-suite retime pass.
+    * Written ONLY by graft.BenchSettle from a settled run (per-floor
+    * provenance stamps; hand edits are forbidden — see TUNING.md for the
+    * regeneration command). Absent file or malformed entries → no floors →
+    * no retime (the legacy behavior).
+    *
+    * Parsing accepts both the provenanced shape
+    * `"q_x":{"floor":1.2,...}` and the legacy flat `"q_x":1.2`, but only
+    * for keys matching the suite's `q_…` naming — a metadata field
+    * ("sf":0.1, "generated":...) can never become a floor — and callers
+    * additionally intersect with the actual suite names. */
+  private[graft] def referenceFloors(json: String): Map[String, Double] = {
+    """"(q_[a-z0-9_]+)"\s*:\s*(?:\{\s*"floor"\s*:\s*)?([0-9][0-9.eE+\-]*)""".r
+      .findAllMatchIn(json)
+      .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
+  }
+
+  /** The sf the floors file was settled at (from _meta; legacy files
+    * without _meta are assumed sf0.1, the historical default). Floors are
+    * meaningless across sf — a 0.001-settled floor would flag every sf0.1
+    * row as an outlier and retime the whole suite. */
+  private[graft] def floorsSf(json: String): String =
+    """"_meta"\s*:\s*\{[^}]*"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse("/root/testdata/sf0.1")
+
+  private[graft] def referenceFloorsFile(sfDir: String): Map[String, Double] = {
     val p = Paths.get("BENCH_REFERENCE.json")
     if (!Files.exists(p)) return Map.empty
     try {
       val json = Files.readString(p)
-      """"([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+\-]+)""".r.findAllMatchIn(json)
-        .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
+      if (floorsSf(json) != sfDir) {
+        System.err.println(s"[bench] BENCH_REFERENCE.json settled at ${floorsSf(json)} " +
+          s"but this run is $sfDir — floors ignored (regenerate via graft.BenchSettle)")
+        Map.empty
+      } else referenceFloors(json)
     } catch { case _: Throwable => Map.empty }
   }
 
@@ -128,7 +170,7 @@ object Bench {
     val loadAfter = loadavg()
     val json =
       s"""{"load_before":"$loadBefore","load_after":"$loadAfter",""" +
-        s""""failures":${rs.count(_.failed)},"queries":${detailJson(rs)}}"""
+        s""""failures":${rs.count(_.failed)},"queries":${detailJson(rs, Map.empty)}}"""
     Files.writeString(Paths.get(outPath), json)
     spark.stop()
   }
@@ -210,22 +252,10 @@ object Bench {
     (field("load_before"), field("load_after"), rs)
   }
 
-  // --------------------------------------------------------------- parent
-  def main(args: Array[String]): Unit = {
-    sys.env.get("SPARK_GRAFT_CHUNK_FILE") match {
-      case Some(f) => runChunk(f); return
-      case None => ()
-    }
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
-    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_CHUNK_SIZE", "48").toInt.max(1)
-    val forking = sys.env.getOrElse("SPARK_GRAFT_FORK", "1") != "0"
-    // wait (bounded) for the machine to go quiet BEFORE any timing —
-    // recording loadavg alone let three consecutive rounds ship
-    // load-poisoned headline numbers
-    val (waitedSec, gaveUp) = BenchGuard.waitUntilQuiet()
-    val loadBefore = loadavg()
+  /** The fork-per-chunk suite loop, shared by the driver-facing main and
+    * graft.BenchSettle (which runs it quiet and writes the floors file). */
+  private[graft] def runForkedSuite(sfDir: String, cpus: String, runs: Int,
+      chunkSize: Int, forking: Boolean): SuiteRun = {
     val selected = selectedQueries()
     val chunks = selected.grouped(chunkSize).toSeq
 
@@ -236,7 +266,9 @@ object Bench {
     }
 
     val chunkLoads = scala.collection.mutable.ArrayBuffer.empty[String]
+    val chunkOf = scala.collection.mutable.Map.empty[String, Int]
     val results: Seq[QResult] = chunks.zipWithIndex.flatMap { case (chunk, idx) =>
+      chunk.foreach { case (n, _) => chunkOf(n) = idx }
       // settle delay between chunks: the previous chunk's 32-thread child
       // leaves the 1-min loadavg high for ~2 min after it exits, and r12's
       // chunk 1 (the whole dedup family) started under loadavg 9.41. The
@@ -263,6 +295,28 @@ object Bench {
       }
     }
     fallbackSpark.foreach(_.stop())
+    SuiteRun(results, chunkLoads.toSeq, chunkOf.toMap)
+  }
+
+  // --------------------------------------------------------------- parent
+  def main(args: Array[String]): Unit = {
+    sys.env.get("SPARK_GRAFT_CHUNK_FILE") match {
+      case Some(f) => runChunk(f); return
+      case None => ()
+    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_CHUNK_SIZE", "48").toInt.max(1)
+    val forking = sys.env.getOrElse("SPARK_GRAFT_FORK", "1") != "0"
+    // wait (bounded) for the machine to go quiet BEFORE any timing —
+    // recording loadavg alone let three consecutive rounds ship
+    // load-poisoned headline numbers
+    val (waitedSec, gaveUp) = BenchGuard.waitUntilQuiet()
+    val loadBefore = loadavg()
+    val run = runForkedSuite(sfDir, cpus, runs, chunkSize, forking)
+    val results = run.results
+    val chunkLoads = run.chunkLoads
 
     // ---- self-defense retime pass (r13 verdict #1): the dedup family
     // showed load-inflated ~2x medians in TWO consecutive driver artifacts
@@ -275,7 +329,18 @@ object Bench {
     // load forensics. The headline `value` stays the raw median sum
     // (cross-round comparability); `value_retimed` substitutes retimed
     // medians where taken.
-    val floors = referenceFloors()
+    // floors restricted to the suite's own names (a floors-file key that is
+    // not a suite query can never drive a retime); floorless rows are
+    // warned LOUDLY and stamped — every row is supposed to carry a floor
+    // from the last settled run (graft.BenchSettle), so a floorless row
+    // means the floors file is stale for this round's new queries
+    val suiteNames = results.map(_.name).toSet
+    val floors = referenceFloorsFile(sfDir).filter { case (k, _) => suiteNames.contains(k) }
+    val floorless = results.filterNot(r => floors.contains(r.name)).map(_.name).sorted
+    if (floorless.nonEmpty)
+      System.err.println(s"[bench] ${floorless.size} rows have NO settled floor (retime " +
+        s"self-defense disabled for them — regenerate via graft.BenchSettle): " +
+        floorless.mkString(", "))
     val outliers = results.filter { r =>
       !r.failed && floors.get(r.name).exists(f =>
         f > 0 && r.median > 1.5 * f && r.median - f > 0.25)
@@ -285,7 +350,7 @@ object Bench {
       else {
         val (rtWait, _) = BenchGuard.waitUntilQuiet(threshold = 3.0, maxWaitSec = 300, pollSec = 5)
         val rtLoadBefore = loadavg()
-        forkChunk(outliers, chunks.size) match {
+        forkChunk(outliers, run.chunkLoads.size) match {
           case Some((_, rtLoadAfter, rts)) =>
             val byName = rts.filterNot(_.failed).map(r => r.name -> r.median).toMap
             (results.map(r => byName.get(r.name).fold(r)(v => r.copy(retimed = Some(v)))),
@@ -301,6 +366,19 @@ object Bench {
     val failures = results2.count(_.failed)
     val total = results2.map(_.median).sum
     val totalRetimed = results2.map(r => r.retimed.getOrElse(r.median)).sum
+    // control rows: never-changing queries whose ratio-to-floor calibrates
+    // ambient load for cross-round comparison (geomean stamped as
+    // control_ratio; 1.0 = as quiet as the settled run that set the floors)
+    val controlRatios: Seq[(String, Double)] = controlRows.flatMap { n =>
+      results2.find(r => r.name == n && !r.failed).flatMap(r =>
+        floors.get(n).filter(_ > 0).map(f => n -> r.retimed.getOrElse(r.median) / f))
+    }
+    val controlRatio: Option[Double] =
+      if (controlRatios.isEmpty) None
+      else Some(math.exp(controlRatios.map(c => math.log(c._2)).sum / controlRatios.size))
+    val controlStamp =
+      s""""controls":{${controlRatios.map { case (n, v) => s""""$n":${s3(v)}""" }.mkString(",")}},""" +
+        controlRatio.map(v => s""""control_ratio":${s3(v)},""").getOrElse("")
     // stdout contract: ONE short JSON line (the driver tail-captures stdout,
     // so the line is kept small — 3-decimal seconds); the complete artifact
     // with per-run times and load stamps goes to BENCH_DETAIL.json.
@@ -310,11 +388,13 @@ object Bench {
         s""""quiet_wait_sec":$waitedSec,"quiet_gave_up":$gaveUp,""" +
         s""""fork_per_chunk":$forking,"chunk_size":$chunkSize,""" +
         s""""chunk_loads":[${chunkLoads.map(l => "\"" + l + "\"").mkString(",")}],""" +
-        retimeStamp +
-        s""""failures":$failures,"queries":${detailJson(results2)}}"""
+        retimeStamp + controlStamp +
+        s""""floorless":[${floorless.map(n => "\"" + n + "\"").mkString(",")}],""" +
+        s""""failures":$failures,"queries":${detailJson(results2, floors)}}"""
     try Files.writeString(Paths.get("BENCH_DETAIL.json"), detail)
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
-    println(s"""{"metric":"total","value":${s3(total)},"value_retimed":${s3(totalRetimed)},"unit":"sec","n_queries":${results2.size},"failures":$failures,"sf":"$sfDir","cpus":$cpus,"load":"$loadBefore;$loadAfter","quiet_wait":"$waitedSec;$gaveUp","retimed_n":${results2.count(_.retimed.isDefined)},"detail":"BENCH_DETAIL.json"}""")
+    val controlOut = controlRatio.map(v => s""","control_ratio":${s3(v)}""").getOrElse("")
+    println(s"""{"metric":"total","value":${s3(total)},"value_retimed":${s3(totalRetimed)},"unit":"sec","n_queries":${results2.size},"failures":$failures,"sf":"$sfDir","cpus":$cpus,"load":"$loadBefore;$loadAfter","quiet_wait":"$waitedSec;$gaveUp","retimed_n":${results2.count(_.retimed.isDefined)},"floorless_n":${floorless.size}$controlOut,"detail":"BENCH_DETAIL.json"}""")
     if (failures > 0) System.err.println(s"[bench] $failures queries FAILED")
   }
 }

@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+
+/** Mechanical generator for BENCH_REFERENCE.json — the settled-median
+  * floors that drive Bench's self-defending retime pass.
+  *
+  * The floors file used to be hand-maintained from TUNING.md notes, which
+  * left the whole retime defense keyed off an unaudited JSON file: an
+  * optimistic floor silently disables the retime for its row, a stale-high
+  * floor hides a real regression behind "within 1.5x". This main makes the
+  * file write-only-by-machine:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt 'runMain graft.BenchSettle'
+  *
+  * It quiet-waits (stricter than the bench: the whole point is a SETTLED
+  * measurement), runs the exact fork-per-chunk suite Bench runs, and
+  * rewrites BENCH_REFERENCE.json with per-floor provenance: the UTC stamp
+  * and chunk loadavg of the run that SET each floor, plus this run's
+  * settled median for the record.
+  *
+  * Merge policy (default `min`): floor = min(existing floor, new settled
+  * median) — floors only ratchet down, so one load-bumped settle run can
+  * never raise a floor and hide a later regression; when the old floor is
+  * kept, its original provenance is carried forward and the new median is
+  * recorded as `settled`. `SPARK_GRAFT_SETTLE_MODE=replace` re-baselines
+  * outright (for rows whose semantics legitimately changed — combine with
+  * SPARK_GRAFT_ONLY to re-baseline specific rows; un-run rows keep their
+  * existing entries). Floors for queries no longer in the suite are
+  * pruned. Failed rows never write a floor.
+  */
+object BenchSettle {
+  private def s3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  private def utcNow(): String =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+      .withZone(ZoneOffset.UTC).format(Instant.now())
+
+  private case class Floor(floor: Double, run: String, load: String, settled: Option[Double])
+
+  /** Existing entries, both provenanced and legacy-flat (legacy gets a
+    * synthetic provenance marking the hand-maintained era). A file settled
+    * at a DIFFERENT sf is discarded outright — min-merging across sf would
+    * poison every floor.
+    */
+  private def existing(sfDir: String): Map[String, Floor] = {
+    val p = Paths.get("BENCH_REFERENCE.json")
+    if (!Files.exists(p)) return Map.empty
+    val json = try Files.readString(p) catch { case _: Throwable => return Map.empty }
+    if (Bench.floorsSf(json) != sfDir) {
+      System.err.println(s"[settle] existing floors were settled at ${Bench.floorsSf(json)}, " +
+        s"this run is $sfDir — starting fresh (no merge)")
+      return Map.empty
+    }
+    val full =
+      (""""(q_[a-z0-9_]+)"\s*:\s*\{\s*"floor"\s*:\s*([0-9][0-9.eE+\-]*)""" +
+        """(?:\s*,\s*"run"\s*:\s*"([^"]*)")?(?:\s*,\s*"load"\s*:\s*"([^"]*)")?""").r
+    val provenanced = full.findAllMatchIn(json).flatMap { m =>
+      m.group(2).toDoubleOption.map(v => m.group(1) -> Floor(v,
+        Option(m.group(3)).getOrElse("unknown"),
+        Option(m.group(4)).getOrElse("unknown"), None))
+    }.toMap
+    val flat = """"(q_[a-z0-9_]+)"\s*:\s*([0-9][0-9.eE+\-]*)""".r
+      .findAllMatchIn(json)
+      .flatMap(m => m.group(2).toDoubleOption.map(m.group(1) -> _)).toMap
+    val flatOnly = flat.view.filterKeys(!provenanced.contains(_)).map { case (k, v) =>
+      k -> Floor(v, "pre-r15 hand-maintained (TUNING.md)", "unknown", None)
+    }.toMap
+    provenanced ++ flatOnly
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    val chunkSize = sys.env.getOrElse("SPARK_GRAFT_CHUNK_SIZE", "48").toInt.max(1)
+    val replace = sys.env.get("SPARK_GRAFT_SETTLE_MODE").contains("replace")
+    // stricter quiet gate than the bench default: a settled run that starts
+    // loaded produces floors that are noise, and min-merge then ignores it
+    // anyway — better to wait long up front
+    val (waited, gaveUp) = BenchGuard.waitUntilQuiet(threshold = 2.5,
+      maxWaitSec = 900, pollSec = 10)
+    if (gaveUp)
+      System.err.println("[settle] machine never went quiet — floors from this run " +
+        "are suspect (min-merge will discard any that regressed)")
+    val loadBefore = BenchGuard.loadavg()
+    val stamp = utcNow()
+    val run = Bench.runForkedSuite(sfDir, cpus, runs, chunkSize,
+      forking = sys.env.getOrElse("SPARK_GRAFT_FORK", "1") != "0")
+    val ok = run.results.filterNot(_.failed)
+    val failed = run.results.filter(_.failed).map(_.name)
+    if (failed.nonEmpty)
+      System.err.println(s"[settle] ${failed.size} rows FAILED (no floor written): " +
+        failed.mkString(", "))
+
+    val old = existing(sfDir)
+    val suiteNames = run.results.map(_.name).toSet
+    val onlyFilter = sys.env.get("SPARK_GRAFT_ONLY")
+    val merged: Map[String, Floor] = {
+      val fresh = ok.map { r =>
+        val load = run.chunkOf.get(r.name)
+          .flatMap(i => run.chunkLoads.lift(i)).getOrElse(loadBefore)
+        val f = Floor(r.median, stamp, load, Some(r.median))
+        old.get(r.name) match {
+          case Some(prev) if !replace && prev.floor <= r.median =>
+            r.name -> prev.copy(settled = Some(r.median)) // keep old floor + its provenance
+          case _ => r.name -> f
+        }
+      }.toMap
+      // rows not run this time (SPARK_GRAFT_ONLY) keep their entries; rows
+      // gone from the suite are pruned — but only when the full suite ran
+      // (a filtered run can't tell "gone" from "filtered out")
+      val kept = old.filter { case (k, _) =>
+        !fresh.contains(k) && (onlyFilter.isDefined || suiteNames.contains(k))
+      }
+      fresh ++ kept
+    }
+
+    val loadAfter = BenchGuard.loadavg()
+    val body = merged.toSeq.sortBy(_._1).map { case (n, f) =>
+      val settled = f.settled.map(v => s""","settled":${s3(v)}""").getOrElse("")
+      s"""  "$n": {"floor":${s3(f.floor)},"run":"${f.run}","load":"${f.load}"$settled}"""
+    }.mkString(",\n")
+    val meta =
+      s"""  "_meta": {"tool":"graft.BenchSettle","generated":"$stamp","sf":"$sfDir",""" +
+        s""""cpus":"$cpus","runs_per_query":$runs,"mode":"${if (replace) "replace" else "min"}",""" +
+        s""""quiet_wait_sec":$waited,"quiet_gave_up":$gaveUp,""" +
+        s""""loadavg":"$loadBefore;$loadAfter","n_floors":${merged.size},""" +
+        s""""hand_edits":"forbidden - regenerate: SPARK_GRAFT_SF_DIR=... sbt 'runMain graft.BenchSettle'"}"""
+    Files.writeString(Paths.get("BENCH_REFERENCE.json"),
+      s"{\n$meta,\n  \"floors\": {\n$body\n  }\n}\n")
+    val lowered = ok.count(r => old.get(r.name).exists(_.floor > r.median))
+    val added = ok.count(r => !old.contains(r.name))
+    println(s"""{"metric":"settle","n_floors":${merged.size},"added":$added,"lowered":$lowered,""" +
+      s""""failures":${failed.size},"total_sec":${s3(ok.map(_.median).sum)},"sf":"$sfDir"}""")
+  }
+}

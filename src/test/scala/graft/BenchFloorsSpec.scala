@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Governance gates for the settled-floor machinery (r14 verdict #1): the
+  * retime self-defense is only as trustworthy as its floors file, so the
+  * parser must never let a metadata field, typo'd key, or malformed value
+  * become a floor. */
+class BenchFloorsSpec extends AnyFunSuite {
+
+  test("provenanced shape parses: floor value per q_ key") {
+    val json =
+      """{
+        |  "_meta": {"tool":"graft.BenchSettle","generated":"2026-08-15T21:00:00Z",
+        |            "sf":"/root/testdata/sf0.1","cpus":"32","runs_per_query":3},
+        |  "floors": {
+        |    "q_agg_pricing_summary": {"floor":0.280,"run":"2026-08-15T21:00:00Z","load":"1.2;1.3","settled":0.301},
+        |    "q_dedup_minhash_lsh": {"floor":1.760,"run":"pre-r15 hand-maintained (TUNING.md)","load":"unknown"}
+        |  }
+        |}""".stripMargin
+    val floors = Bench.referenceFloors(json)
+    assert(floors == Map("q_agg_pricing_summary" -> 0.280, "q_dedup_minhash_lsh" -> 1.760))
+  }
+
+  test("legacy flat shape still parses") {
+    val floors = Bench.referenceFloors("""{"q_count": 0.106, "q_cube": 0.189}""")
+    assert(floors == Map("q_count" -> 0.106, "q_cube" -> 0.189))
+  }
+
+  test("metadata and non-q_ keys can never become floors") {
+    // the r14 advisor finding: the old parser matched ANY "key": number
+    // pair, so "sf":0.1 or "updated":20260815 would silently become a
+    // floor for a query of that name
+    val json =
+      """{"sf":0.1,"updated":20260815,"cpus":32,"runs_per_query":3,
+        |"Q_UPPER":1.0,"nq_count":2.0,"q_real": 1.5}""".stripMargin
+    assert(Bench.referenceFloors(json) == Map("q_real" -> 1.5))
+  }
+
+  test("provenance string fields are never floors") {
+    // "run"/"load" values are strings — must not be picked up; "settled"
+    // is a number but its key is not q_-prefixed
+    val json = """{"floors":{"q_a":{"floor":2.0,"run":"2026-08-15T21:00:00Z","load":"9.9;9.9","settled":9.9}}}"""
+    assert(Bench.referenceFloors(json) == Map("q_a" -> 2.0))
+  }
+
+  test("malformed values are dropped, not defaulted") {
+    assert(Bench.referenceFloors("""{"q_a": 1.0, "q_b": "oops", "q_c": }""") ==
+      Map("q_a" -> 1.0))
+  }
+
+  test("control rows are real suite queries with oracle entries") {
+    // a control row that drifts out of the suite would silently drop from
+    // the control_ratio stamp
+    Bench.controlRows.foreach { n =>
+      assert(SparkEntry.queries.contains(n), s"control row $n not in the suite")
+      assert(SparkEntry.oracleSql.contains(n), s"control row $n has no oracle")
+    }
+  }
+}
