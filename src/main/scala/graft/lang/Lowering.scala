@@ -19,6 +19,30 @@ final class LoweringException(msg: String) extends Exception(msg)
   */
 object Lowering {
 
+  /** Every native table function this lowering dispatches in relation
+    * position (the `ModelRef` natives), in ONE place. The LSP completion
+    * list and the playground derive from this constant, and
+    * TableFunctionRegistrySpec greps this file's dispatch cases
+    * (`name.toLowerCase == "…"`) to assert the constant and the dispatch
+    * can never drift — the completion list went stale by hand-maintenance
+    * twice in r13/r14. Add a dispatch case ⇒ the spec forces the name in
+    * here ⇒ LSP + playground pick it up structurally. */
+  val nativeTableFunctions: Seq[String] = Seq(
+    "ann_int8_index", "ann_lsh_postings",
+    "contaminated_docs", "contaminated_vecs", "contamination_report",
+    "decode_audio", "decode_images", "decode_video",
+    "decontaminate", "decontaminate_semantic",
+    "dedup_incremental", "dedup_incremental_pairs", "dedup_semantic",
+    "dedup_spans", "duckdb_functions", "each_top_k", "jdbc",
+    "minhash_index", "pack_sequences", "parquet_metadata",
+    "perplexity_score", "range", "resize_images", "select_token_budget",
+    "similarity_topk",
+    "split_by_cluster", "split_by_cluster_pairs",
+    "split_by_cluster_pairs_stats", "split_by_cluster_stats",
+    "token_stats", "vocab_profile", "weighted_mix",
+    "wv_schemas", "wv_tables"
+  )
+
   final case class Context(
       spark: SparkSession,
       tableResolver: String => DataFrame,

@@ -315,21 +315,15 @@ object Lsp {
   }
 
   /** Native table functions, completable in relation position alongside
-    * table names (the Lowering's ModelRef natives). */
-  private val tableFunctions: Seq[CompletionItem] = Seq(
-    "range", "jdbc", "similarity_topk", "ann_int8_index", "ann_lsh_postings",
-    "each_top_k",
-    "decode_images", "resize_images", "decode_audio", "decode_video",
-    "decontaminate", "contaminated_docs", "contamination_report",
-    "contaminated_vecs", "decontaminate_semantic",
-    "weighted_mix", "pack_sequences", "select_token_budget",
-    "dedup_spans", "dedup_semantic", "minhash_index",
-    "dedup_incremental", "dedup_incremental_pairs",
-    "split_by_cluster", "split_by_cluster_pairs", "split_by_cluster_stats",
-    "split_by_cluster_pairs_stats",
-    "token_stats", "perplexity_score", "parquet_metadata",
-    "wv_tables", "wv_schemas", "duckdb_functions", "unnest"
-  ).map(CompletionItem(_, "table_function"))
+    * table names: DERIVED from the Lowering dispatch registry (plus
+    * `unnest`, which lowers through its own UnnestRel node rather than a
+    * ModelRef native). Hand-maintained copies of this list went stale
+    * twice (r13/r14); deriving it makes staleness structurally
+    * impossible — TableFunctionRegistrySpec pins the registry to the
+    * dispatch cases, and LspSpec asserts every registry name completes. */
+  private val tableFunctions: Seq[CompletionItem] =
+    (Lowering.nativeTableFunctions :+ "unnest")
+      .map(CompletionItem(_, "table_function"))
 
   /** Table names completable in relation position: `dir`'s parquet tables
     * plus temp views / catalog tables of the current session. Both listings

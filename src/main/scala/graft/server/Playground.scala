@@ -157,13 +157,43 @@ object Playground {
         |group by label
         |agg kept = _.count
         |order by label""".stripMargin,
+    "llm_perplexity_score" ->
+      """-- CCNet-style quality filter: fit a unigram LM on the corpus
+        |-- itself, score each doc by mean token negative-log-likelihood.
+        |-- High avg_nll = rare-token garble; low = boilerplate soup —
+        |-- the standard pipeline move is a two-sided cut.
+        |from perplexity_score('documents', 'doc_id', 'text')
+        |order by avg_nll desc
+        |limit 10""".stripMargin,
+    "llm_token_budget" ->
+      """-- "cut the corpus to N training tokens": keep the md5-ordered
+        |-- prefix whose cumulative token count fits the budget —
+        |-- deterministic across runs AND engines (distributed prefix-sum,
+        |-- no single-partition stage)
+        |from select_token_budget('documents', 'doc_id', 'text', 15000)
+        |agg docs_kept = _.count, tokens_kept = n_tokens.sum""".stripMargin,
+    "llm_contamination_report" ->
+      """-- benchmark-contamination audit (the transpose of
+        |-- decontamination): for each eval doc, how many corpus docs
+        |-- share a 4-token n-gram with it, and how many n-grams leak
+        |model trainset = { from documents where doc_id >= 3 }
+        |model evalset = { from documents where doc_id < 3 }
+        |from contamination_report('trainset', 'evalset', 'doc_id', 'text', 4)
+        |order by doc_id""".stripMargin,
+    "llm_vocab_profile" ->
+      """-- one-row Zipf health check before committing to tokenizer /
+        |-- filter settings: top-100 coverage near 1 = boilerplate soup,
+        |-- hapax share near 1 = OCR garble
+        |from vocab_profile('documents', 'text', 100)""".stripMargin,
   )
 
   /** Demos whose table functions have no SQL spelling: the dialect preview
     * must refuse loudly (400 + compile error), never emit wrong SQL; the
     * run path executes them natively. ServerSpec gates both behaviors. */
   val sqlRefusingDemos: Set[String] =
-    Set("join_asof", "llm_similarity_topk", "llm_split_by_cluster", "llm_dedup_semantic")
+    Set("join_asof", "llm_similarity_topk", "llm_split_by_cluster", "llm_dedup_semantic",
+      "llm_perplexity_score", "llm_token_budget", "llm_contamination_report",
+      "llm_vocab_profile")
 
   private def jsStr(s: String): String =
     "\"" + s.flatMap {

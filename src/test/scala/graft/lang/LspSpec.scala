@@ -171,16 +171,15 @@ class LspSpec extends SparkTestBase {
     // native table functions complete in relation position too
     val tf = complete("from simil", 10, spark, dir)
     assert(tf.exists(i => i.label == "similarity_topk" && i.kind == "table_function"))
-    // the r13/r14 pipeline surfaces must be completable too (the list went
-    // stale once — gate a representative of each family, each behind its
-    // own typed prefix since completion filters on it)
-    Seq("split_by_cluster_pairs", "contamination_report", "perplexity_score",
-        "select_token_budget", "decontaminate_semantic", "minhash_index")
-      .foreach { n =>
-        val src = s"from ${n.take(9)}"
-        val got = complete(src, src.length, spark, dir)
-        assert(got.exists(i => i.label == n && i.kind == "table_function"), s"missing $n")
-      }
+    // EVERY registered native must complete behind its own typed prefix
+    // (the list is now derived from Lowering.nativeTableFunctions, and
+    // TableFunctionRegistrySpec pins that to the dispatch cases — this
+    // loop closes the last gap: the derivation itself)
+    (Lowering.nativeTableFunctions :+ "unnest").foreach { n =>
+      val src = s"from ${n.take(9)}"
+      val got = complete(src, src.length, spark, dir)
+      assert(got.exists(i => i.label == n && i.kind == "table_function"), s"missing $n")
+    }
   }
 
   test("completion: incomplete inputs are total; past-EOF uses the nearest query") {
