@@ -89,9 +89,55 @@ object Sampling {
       pairs: DataFrame,
       trainFraction: Double,
       seed: String = "graft"
-  ): DataFrame =
-    assignByRep(df, idCol, clusterLabels(pairs, idCol), trainFraction, seed)
-      .drop("__rep")
+  ): DataFrame = {
+    val labels = clusterLabels(pairs, idCol).localCheckpoint(true)
+    logSplitDiagnostics(labels, trainFraction, seed)
+    assignByRep(df, idCol, labels, trainFraction, seed).drop("__rep")
+  }
+
+  /** One diagnostic line of the most recent [[splitByCluster]] invocation —
+    * a spec hook mirroring the stderr log, not API. */
+  @volatile private[graft] var lastSplitDiagnostics: Option[String] = None
+
+  /** The percolation footgun, surfaced WITHOUT opting into
+    * [[splitByClusterStats]]: every split logs one line of cluster-level
+    * diagnostics computed from the (pair-proportional, already
+    * checkpointed) label table alone — no extra corpus pass. The realized
+    * train fraction of CLUSTERED docs is the concentration signal
+    * (singleton docs converge to the target by independence); a
+    * max_cluster_size that is a material share of clustered_docs is the
+    * percolating-graph failure mode and flips the line to a WARNING. */
+  private def logSplitDiagnostics(
+      labels: DataFrame,
+      trainFraction: Double,
+      seed: String
+  ): Unit = {
+    val threshold = f"${math.min(0xffff, math.round(trainFraction * 65536).toInt)}%04x"
+    val repTrain = F.substring(key(seed, F.col("__rep")), 1, 4) < F.lit(threshold)
+    val r = labels.groupBy("__rep").agg(F.count(F.lit(1)).as("__sz"))
+      .agg(
+        F.count(F.lit(1)).as("n_clusters"),
+        F.coalesce(F.sum("__sz"), F.lit(0L)).as("clustered_docs"),
+        F.coalesce(F.max("__sz"), F.lit(0L)).as("max_cluster_size"),
+        F.coalesce(F.sum(F.when(repTrain, F.col("__sz")).otherwise(0L)), F.lit(0L))
+          .as("train_docs"))
+      .collect().head
+    val clustered = r.getAs[Long]("clustered_docs")
+    val maxSz = r.getAs[Long]("max_cluster_size")
+    val trainFrac =
+      if (clustered == 0) trainFraction
+      else r.getAs[Long]("train_docs").toDouble / clustered
+    val percolating = clustered > 0 && maxSz.toDouble / clustered > 0.25 && maxSz > 1
+    val line = (if (percolating) "[split_by_cluster] WARNING percolating near-dup graph — "
+                else "[split_by_cluster] ") +
+      f"n_clusters=${r.getAs[Long]("n_clusters")} clustered_docs=$clustered " +
+      f"max_cluster_size=$maxSz clustered_train_frac=$trainFrac%.4f " +
+      f"target=$trainFraction%.4f" +
+      (if (percolating) " — check split_by_cluster_stats(...) and raise the pair threshold"
+       else "")
+    lastSplitDiagnostics = Some(line)
+    System.err.println(line)
+  }
 
   /** (idCol, __rep) label table from the verified pair list — the cluster
     * representative of every doc that appears in ≥1 pair. */

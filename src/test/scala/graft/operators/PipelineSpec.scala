@@ -595,6 +595,31 @@ class PipelineSpec extends SparkTestBase {
     assert(math.abs(healthy.getAs[Double]("frac_delta")) < 0.15, s"got $healthy")
   }
 
+  test("splitByCluster logs percolation diagnostics without opting into _stats") {
+    import spark.implicits._
+    // the split ITSELF must surface the footgun: one diagnostic line per
+    // invocation, computed from the label table alone, flipping to a
+    // WARNING on a percolating near-dup graph
+    val boiler = "terms of service all rights reserved privacy policy cookie notice contact us"
+    val perc = (0L until 50L).map(i => (i, s"$boiler item $i")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(perc, "doc_id", "text", n = 2, threshold = 0.12)
+    Sampling.lastSplitDiagnostics = None
+    Sampling.splitByCluster(perc, "doc_id", pairs, 0.8).count()
+    val line = Sampling.lastSplitDiagnostics.getOrElse(fail("no diagnostics logged"))
+    assert(line.contains("WARNING") && line.contains("percolating"), line)
+    assert(line.contains("max_cluster_size=50") && line.contains("n_clusters=1"), line)
+    // clustered_train_frac is 0 or 1 (one cluster, one draw) — far from 0.8
+    assert(line.contains("clustered_train_frac=0.0000") ||
+      line.contains("clustered_train_frac=1.0000"), line)
+    // a healthy corpus logs the same line WITHOUT the warning
+    val healthyPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.12)
+    Sampling.lastSplitDiagnostics = None
+    Sampling.splitByCluster(docs, "doc_id", healthyPairs, 0.8).count()
+    val hline = Sampling.lastSplitDiagnostics.getOrElse(fail("no diagnostics logged"))
+    assert(!hline.contains("WARNING"), hline)
+    assert(hline.contains("n_clusters="), hline)
+  }
+
   test("weighted mix: copies match the hex rule, unlisted domains dropped") {
     val weights = Map("en" -> 1.5, "de" -> 0.75, "fr" -> 0.25)
     val mixed = Sampling.weightedMix(docs, "lang", "doc_id", weights)
