@@ -95,15 +95,21 @@ object BenchScale {
     // expected (replica-tagged tokens grow the vocab linearly with the
     // corpus, so the model groupBy and the join both scale in rows)
     "q_perplexity_score",
-    // token-budget prefix selection (r14): 256-bucket distributed
-    // prefix-sum — two corpus scans (bucket totals, bucket-local cumsum)
-    // and one bucket shuffle; exponent ~1 is the gate that the
-    // no-single-partition decomposition actually scales in rows
+    // token-budget prefix selection (r14; r15: single-scan): ONE
+    // tokenization pass into a checkpointed narrow frame, bucket-local
+    // cumsum over it, join back to the corpus; exponent ~1 is the gate
+    // that the no-single-partition decomposition actually scales in rows
     "q_select_token_budget",
     // contamination audit (r14): eval-side broadcast fixed (doc_id < 3
     // never replicates into new ids), corpus-side shingling scan grows —
     // the measured exponent is the corpus term alone
-    "q_contamination_report")
+    "q_contamination_report",
+    // BPE counting (r15): pure codegen'd scan over the corpus bytes with a
+    // fixed plan-shipped trie — exponent ~1 in corpus bytes, no shuffle;
+    // the comparison row is the vocab-swapped budget selection whose
+    // prefix-sum anatomy must stay unit-agnostic
+    "q_bpe_count",
+    "q_select_token_budget_bpe")
 
   private def loadavg(): String = BenchGuard.loadavg()
 

@@ -4544,6 +4544,104 @@ object QueryCatalog {
       """)
     ),
     (
+      // BPE token counting over the real corpus (Bpe/BpeExpressions via
+      // bpe_count(...)): byte-level greedy longest-match against a vocab
+      // relation. EXECUTABLE oracle: the vocab tokens are chosen pairwise
+      // overlap-free and containment-free (no suffix of one is a prefix of
+      // another, incl. self-overlap), so every occurrence in the text is
+      // disjoint → greedy takes exactly the non-overlapping occurrences
+      // left-to-right, which is precisely what DuckDB's single-pass
+      // replace() counts: n = octet_length − Σ occ(t)·(len(t)−1).
+      "q_bpe_count",
+      wv("""
+        model bpe_vocab = {
+          from [['the'], ['and'], ['ing'], ['tion']] as v(token)
+        }
+        from bpe_count('documents', 'text', 'bpe_vocab')
+        select doc_id, n_bpe_tokens
+        order by doc_id
+      """),
+      Some("""
+        SELECT doc_id,
+          CAST(octet_length(text::BLOB)
+            - (len(text) - len(replace(text, 'the', ''))) / 3 * 2
+            - (len(text) - len(replace(text, 'and', ''))) / 3 * 2
+            - (len(text) - len(replace(text, 'ing', ''))) / 3 * 2
+            - (len(text) - len(replace(text, 'tion', ''))) / 4 * 3
+            AS BIGINT) AS n_bpe_tokens
+        FROM documents ORDER BY doc_id
+      """)
+    ),
+    (
+      // The BPE semantics the replace() trick CANNOT express — nested
+      // vocab tokens (longest match wins), maximal munch without
+      // backtracking, UTF-8 byte fallback — pinned by a closed-form
+      // VALUES oracle over literal strings (the multimodal-decode
+      // precedent): 'there' ⊃ 'the'; 'thé' has no 'the' (3rd byte 0xC3);
+      // 'é' ∈ vocab is a 2-byte token; 'xyz' is pure fallback.
+      "q_bpe_longest_match",
+      wv("""
+        model bpe_vocab2 = {
+          from [['the'], ['there'], ['an'], ['and'], ['é']] as v(token)
+        }
+        model bpe_corpus = {
+          from [
+            [1, 'there'],
+            [2, 'theres'],
+            [3, 'thethe'],
+            [4, 'thé'],
+            [5, 'théré'],
+            [6, 'andthean'],
+            [7, 'xyz']
+          ] as c(id, text)
+        }
+        from bpe_count('bpe_corpus', 'text', 'bpe_vocab2')
+        select id, n_bpe_tokens
+        order by id
+      """),
+      Some("""
+        SELECT id, CAST(n AS BIGINT) AS n_bpe_tokens FROM (VALUES
+          (1, 1), (2, 2), (3, 2), (4, 3), (5, 5), (6, 3), (7, 3)
+        ) AS t(id, n) ORDER BY id
+      """)
+    ),
+    (
+      // Token-budget selection in BPE units (the optional vocab_rel arg of
+      // select_token_budget): same distributed prefix-sum anatomy, budget
+      // unit swapped to tokenizer tokens. The oracle recomputes the BPE
+      // counts with the disjoint-vocab replace() formula inside ONE global
+      // window — equality proves both the counter and the decomposition.
+      "q_select_token_budget_bpe",
+      wv("""
+        model bpe_vocab = {
+          from [['the'], ['and'], ['ing'], ['tion']] as v(token)
+        }
+        from select_token_budget('documents', 'doc_id', 'text', 70000, 'bpe_vocab')
+        select doc_id, n_tokens, cum_tokens
+        order by doc_id
+      """),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            CAST(octet_length(text::BLOB)
+              - (len(text) - len(replace(text, 'the', ''))) / 3 * 2
+              - (len(text) - len(replace(text, 'and', ''))) / 3 * 2
+              - (len(text) - len(replace(text, 'ing', ''))) / 3 * 2
+              - (len(text) - len(replace(text, 'tion', ''))) / 4 * 3
+              AS BIGINT) AS n_tokens,
+            md5('graft' || CAST(doc_id AS VARCHAR)) AS k
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_tokens,
+            sum(n_tokens) OVER (ORDER BY k, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+          FROM t)
+        SELECT doc_id, n_tokens, cum_tokens FROM c
+        WHERE cum_tokens <= 70000
+        ORDER BY doc_id
+      """)
+    ),
+    (
       "q_chunk_documents", // overlapping word-window chunking (explode plan)
       (spark, dir) => {
         val docs = Tables.read(spark, dir, "documents")

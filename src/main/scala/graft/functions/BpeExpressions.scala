@@ -1,0 +1,186 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-level greedy longest-match subword tokenization against a broadcast
+  * vocabulary — the TOKENIZER-token counter the pipeline budgets in
+  * (regex-word counts approximate it poorly: production token budgets are
+  * in BPE/WordPiece units, not words).
+  *
+  * Semantics: the text's UTF-8 bytes are scanned left to right; at each
+  * position the LONGEST vocab token matching is consumed (maximal munch,
+  * the WordPiece/greedy flavor of BPE inference — rank-ordered merge
+  * replay needs the merge list, which vocab files don't always carry, and
+  * greedy is deterministic from the vocab alone); every single byte is
+  * implicitly in the vocabulary, so tokenization is total (any byte
+  * sequence, including invalid UTF-8 fragments of a multi-byte character,
+  * falls back to 1-byte tokens — exactly byte-fallback BPE).
+  *
+  * Scale shape: a pure codegen'd column expression over a process-shared
+  * trie attached via `ctx.addReferenceObj` (serialized once per plan, NOT
+  * per row/task) — the vocab is the broadcast side, the corpus never
+  * shuffles, and the scan cost is O(bytes · avg match depth). Vocab size
+  * is driver-bounded by [[graft.operators.Bpe.MaxVocab]] (the IVF-centroid
+  * footprint class).
+  */
+object BpeExpressions {
+
+  /** Number of greedy-longest-match tokens of `text` under `vocab`. */
+  def bpeCount(text: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(BpeCountExpr(ColumnBridge.expression(text), BpeTrie.fromStrings(vocab)))
+
+  /** The segmentation itself: array of token byte-strings, in order —
+    * lossless (concatenating the elements restores the UTF-8 bytes).
+    * Binary elements, not strings: byte-fallback tokens inside a
+    * multi-byte character are not valid UTF-8 on their own. */
+  def bpeSegment(text: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(BpeSegmentExpr(ColumnBridge.expression(text), BpeTrie.fromStrings(vocab)))
+}
+
+/** Frozen byte-trie over the vocab: per node a sorted byte→child table
+  * (binary search — 256-wide child arrays would be ~100 MB at real vocab
+  * sizes). Built once on the driver, shipped once per plan. */
+final class BpeTrie private (
+    private val childKeys: Array[Array[Byte]],
+    private val childIds: Array[Array[Int]],
+    private val terminal: Array[Boolean],
+    val maxTokenLen: Int,
+    val nTokens: Int
+) extends Serializable {
+
+  private def child(node: Int, b: Byte): Int = {
+    val keys = childKeys(node)
+    var lo = 0
+    var hi = keys.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val k = keys(mid)
+      if (k == b) return childIds(node)(mid)
+      else if (k < b) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
+  }
+
+  /** End (exclusive) of the longest vocab token starting at `i`, or i+1
+    * for the single-byte fallback. */
+  private def munch(bytes: Array[Byte], i: Int): Int = {
+    var node = 0
+    var j = i
+    var best = i
+    val lim = math.min(bytes.length, i + maxTokenLen)
+    while (j < lim) {
+      val c = child(node, bytes(j))
+      if (c < 0) return if (best > i) best else i + 1
+      node = c
+      j += 1
+      if (terminal(node)) best = j
+    }
+    if (best > i) best else i + 1
+  }
+
+  def count(bytes: Array[Byte]): Long = {
+    var i = 0
+    var n = 0L
+    while (i < bytes.length) { i = munch(bytes, i); n += 1 }
+    n
+  }
+
+  def segment(bytes: Array[Byte]): Array[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var i = 0
+    while (i < bytes.length) {
+      val j = munch(bytes, i)
+      out += java.util.Arrays.copyOfRange(bytes, i, j)
+      i = j
+    }
+    out.toArray
+  }
+}
+
+object BpeTrie {
+  def fromStrings(tokens: Seq[String]): BpeTrie =
+    apply(tokens.iterator.filter(t => t != null && t.nonEmpty)
+      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray)
+
+  def apply(tokens: Array[Array[Byte]]): BpeTrie = {
+    import scala.collection.mutable
+    val nodes = mutable.ArrayBuffer[mutable.TreeMap[Byte, Int]](mutable.TreeMap.empty)
+    val term = mutable.ArrayBuffer[Boolean](false)
+    var maxLen = 1
+    tokens.foreach { t =>
+      require(t.nonEmpty, "empty vocab token")
+      if (t.length > maxLen) maxLen = t.length
+      var node = 0
+      t.foreach { b =>
+        node = nodes(node).getOrElseUpdate(b, {
+          nodes += mutable.TreeMap.empty
+          term += false
+          nodes.size - 1
+        })
+      }
+      term(node) = true
+    }
+    new BpeTrie(
+      nodes.map(_.keysIterator.toArray).toArray,
+      nodes.map(_.valuesIterator.toArray).toArray,
+      term.toArray, maxLen, tokens.length)
+  }
+}
+
+case class BpeCountExpr(child: Expression, trie: BpeTrie) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects a string input, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    trie.count(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val trieRef = ctx.addReferenceObj("bpeTrie", trie, classOf[BpeTrie].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $trieRef.count($c.getBytes());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class BpeSegmentExpr(child: Expression, trie: BpeTrie) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects a string input, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      trie.segment(input.asInstanceOf[UTF8String].getBytes).asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val trieRef = ctx.addReferenceObj("bpeTrie", trie, classOf[BpeTrie].getName)
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = new $gad((Object[]) $trieRef.segment($c.getBytes()));")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -28,7 +28,7 @@ object Lowering {
     * twice in r13/r14. Add a dispatch case ⇒ the spec forces the name in
     * here ⇒ LSP + playground pick it up structurally. */
   val nativeTableFunctions: Seq[String] = Seq(
-    "ann_int8_index", "ann_lsh_postings",
+    "ann_int8_index", "ann_lsh_postings", "bpe_count",
     "contaminated_docs", "contaminated_vecs", "contamination_report",
     "decode_audio", "decode_images", "decode_video",
     "decontaminate", "decontaminate_semantic",
@@ -1206,8 +1206,10 @@ object Lowering {
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "pack_sequences" =>
-      // pack_sequences('corpus', 'id_col', 'text_col', budget[, shards])
-      // — GPT-style packing coordinates (operators/Packing.scala)
+      // pack_sequences('corpus', 'id_col', 'text_col', budget[, shards
+      // [, 'vocab_rel']]) — GPT-style packing coordinates
+      // (operators/Packing.scala); with a vocab relation the budget unit
+      // is BPE tokens (operators/Bpe.scala) instead of regex words
       args.map(constValue) match {
         case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
             Some(budget: Long)) =>
@@ -1217,9 +1219,37 @@ object Lowering {
             Some(budget: Long), Some(shards: Long)) =>
           Plain(graft.operators.Packing.packSequences(
             lower(TableRef(corpus), ctx), idCol, textCol, budget.toInt, shards.toInt))
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
+            Some(budget: Long), Some(shards: Long), Some(vocabRel: String)) =>
+          val vocab = graft.operators.Bpe.loadVocab(lower(TableRef(vocabRel), ctx))
+          Plain(graft.operators.Packing.packSequences(
+            lower(TableRef(corpus), ctx), idCol, textCol, budget.toInt, shards.toInt,
+            tokenCounter = Some(graft.operators.Bpe.counter(vocab))))
         case _ =>
           throw new LoweringException(
-            "pack_sequences expects (corpus, id_col, text_col, budget[, shards]) literals")
+            "pack_sequences expects (corpus, id_col, text_col, budget[, shards" +
+              "[, vocab_rel]]) literals")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "bpe_count" =>
+      // bpe_count('corpus', 'text_col', 'vocab_rel') — corpus +
+      // n_bpe_tokens: byte-level greedy longest-match token counts against
+      // the vocab relation's `token` column (operators/Bpe.scala,
+      // functions/BpeExpressions.scala). Null text counts 0 (the shared
+      // counter convention).
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(textCol: String), Some(vocabRel: String)) =>
+          val vocab = graft.operators.Bpe.loadVocab(lower(TableRef(vocabRel), ctx))
+          val df = lower(TableRef(corpus), ctx)
+          Plain(df.withColumn("n_bpe_tokens",
+            F.when(F.col(textCol).isNull, F.lit(0L))
+              .otherwise(graft.functions.BpeExpressions.bpeCount(F.col(textCol), vocab))))
+        case _ =>
+          throw new LoweringException(
+            "bpe_count expects (corpus, text_col, vocab_rel) literals — vocab_rel " +
+              "is a relation with a `token` string column, e.g. " +
+              "bpe_count('documents', 'text', 'my_vocab')")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
@@ -1681,10 +1711,18 @@ object Lowering {
             Some(budget: Long)) =>
           Plain(graft.operators.Sampling.selectTokenBudget(
             lower(TableRef(corpus), ctx), idCol, textCol, budget))
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
+            Some(budget: Long), Some(vocabRel: String)) =>
+          // optional vocab relation: the budget unit becomes BPE tokens
+          val vocab = graft.operators.Bpe.loadVocab(lower(TableRef(vocabRel), ctx))
+          Plain(graft.operators.Sampling.selectTokenBudget(
+            lower(TableRef(corpus), ctx), idCol, textCol, budget,
+            tokenCounter = Some(graft.operators.Bpe.counter(vocab))))
         case _ =>
           throw new LoweringException(
-            "select_token_budget expects (corpus, id_col, text_col, budget_tokens) " +
-              "literals, e.g. select_token_budget('documents', 'doc_id', 'text', 50000)")
+            "select_token_budget expects (corpus, id_col, text_col, budget_tokens" +
+              "[, vocab_rel]) literals, e.g. " +
+              "select_token_budget('documents', 'doc_id', 'text', 50000)")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

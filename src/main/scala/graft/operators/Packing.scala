@@ -32,7 +32,8 @@ object Packing {
       textCol: String,
       budget: Int,
       shards: Int = 16,
-      seed: String = "graft-pack"
+      seed: String = "graft-pack",
+      tokenCounter: Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = None
   ): DataFrame = {
     require(budget > 0 && shards > 0 && shards <= 4096,
       "budget > 0; shards in 1..4096 (md5-hex-prefix sharding)")
@@ -47,7 +48,10 @@ object Packing {
       F.substring(key, i, 1), F.lit("0123456789abcdef")) - 1
     val shard = (1 to hexDigits).map(hexDigit)
       .reduceLeft((acc, d) => acc * 16 + d) % shards
-    val toks = graft.functions.TextFunctions.tokenCount(F.col(textCol)).cast("long")
+    // tokenCounter swaps the packing UNIT (e.g. Bpe.counter for tokenizer
+    // tokens); the shard-window anatomy is unit-agnostic
+    val toks = tokenCounter.map(c => c(F.col(textCol)).cast("long")).getOrElse(
+      graft.functions.TextFunctions.tokenCount(F.col(textCol)).cast("long"))
     // explicit ROWS frame: the default RANGE frame would collapse the
     // cumulative sum for rows tied on (__key, id); ROWS keeps one offset
     // per row regardless (ids are expected unique, but don't depend on it)

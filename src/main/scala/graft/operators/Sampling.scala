@@ -238,7 +238,8 @@ object Sampling {
       idCol: String,
       textCol: String,
       budgetTokens: Long,
-      seed: String = "graft"
+      seed: String = "graft",
+      tokenCounter: Option[Column => Column] = None
   ): DataFrame = {
     require(budgetTokens >= 0, "budgetTokens must be >= 0")
     val k = key(seed, F.col(idCol))
@@ -246,8 +247,12 @@ object Sampling {
     // (consuming no budget) instead of carrying a null n_tokens that both
     // poisons the bucket-total sum (NPE at the driver-side offset collect)
     // and silently rides through the cumsum filter
-    val nTok = F.when(F.col(textCol).isNull, F.lit(0L))
-      .otherwise(F.size(graft.functions.TextFunctions.tokens(F.col(textCol))).cast("long"))
+    // tokenCounter swaps the budget UNIT (e.g. Bpe.counter for real
+    // tokenizer tokens instead of regex words) — the prefix-sum anatomy is
+    // unit-agnostic
+    val counted = tokenCounter.map(c => c(F.col(textCol)).cast("long")).getOrElse(
+      F.size(graft.functions.TextFunctions.tokens(F.col(textCol))).cast("long"))
+    val nTok = F.when(F.col(textCol).isNull, F.lit(0L)).otherwise(counted)
     // ONE tokenization pass: the bucket-totals collect and the per-bucket
     // cumsum window previously each re-evaluated the tokenizer over the
     // full text column — two complete text scans where one suffices, and

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.{BpeExpressions, BpeTrie}
+import org.apache.spark.sql.{functions => F}
+
+/** Byte-level greedy longest-match BPE counting/segmentation gates: the
+  * handmade closed-form cases pin the tokenizer semantics (longest match
+  * wins, byte fallback is total, UTF-8 splits fall back per byte), and the
+  * corpus properties pin the invariants the oracle rows lean on
+  * (lossless segmentation, count = segment size, count = octet_length
+  * under a non-occurring vocab). */
+class BpeSpec extends SparkTestBase {
+
+  private lazy val docs = table("documents")
+
+  private def utf8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  test("trie: greedy longest match, handmade closed forms") {
+    val trie = BpeTrie.fromStrings(Seq("the", "there", "an", "and", "é"))
+    val cases = Seq(
+      "there" -> 1L, // longest match beats nested 'the'
+      "theres" -> 2L, // 'there' + 's'
+      "thethe" -> 2L,
+      "andthe" -> 2L,
+      "an" -> 1L,
+      "ant" -> 2L, // 'an' + 't'
+      "thean" -> 2L, // 'the' + 'an' (maximal munch does not backtrack)
+      "xyz" -> 3L, // pure byte fallback
+      "thé" -> 3L, // 't','h' singles + 'é' (no 'the': third byte is 0xC3)
+      "théré" -> 5L, // 't','h','é','r','é'
+      "" -> 0L
+    )
+    cases.foreach { case (s, n) =>
+      assert(trie.count(utf8(s)) == n, s"count('$s')")
+      val seg = trie.segment(utf8(s))
+      assert(seg.length == n, s"segment size('$s')")
+      assert(seg.flatten.toSeq == utf8(s).toSeq, s"lossless('$s')")
+    }
+  }
+
+  test("trie: a vocab token that is a strict extension dead-ends back to the last terminal") {
+    // 'therefore' in vocab, text 'theref': the walk reaches depth 6 without
+    // a terminal beyond 'there' — must emit 'there' + 'f', not fallback
+    val trie = BpeTrie.fromStrings(Seq("the", "there", "therefore"))
+    assert(trie.count(utf8("theref")) == 2L)
+    assert(trie.segment(utf8("theref")).map(new String(_, "UTF-8")).toSeq ==
+      Seq("there", "f"))
+    assert(trie.count(utf8("therefore")) == 1L)
+  }
+
+  test("trie: invalid UTF-8 fragments and arbitrary bytes are total") {
+    val trie = BpeTrie.fromStrings(Seq("ab"))
+    val bytes = Array[Byte](0x61, 0x62, 0xC3.toByte, 0x61, 0x62, 0xFF.toByte, 0x00)
+    assert(trie.count(bytes) == 5L) // 'ab', C3, 'ab', FF, 00
+    assert(trie.segment(bytes).flatten.toSeq == bytes.toSeq)
+  }
+
+  test("expression: codegen path over a DataFrame, null text stays null") {
+    import spark.implicits._
+    val vocab = Seq("the", "there")
+    val df = Seq((1L, "there"), (2L, "thethex"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select($"id",
+        BpeExpressions.bpeCount($"text", vocab).as("n"),
+        BpeExpressions.bpeSegment($"text", vocab).as("seg"))
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(rows == Map(1L -> 1L, 2L -> 3L, 3L -> -1L))
+    // segmentation is lossless and sized like the count, on the same rows
+    val seg = df.filter($"id" === 2L).select(F.expr("seg")).head.getSeq[Array[Byte]](0)
+    assert(seg.map(new String(_, "UTF-8")).mkString == "thethex")
+  }
+
+  test("corpus properties: lossless segmentation, count bounds, byte identity") {
+    val vocab = Seq("the", "and", "ing", "tion")
+    val checked = docs.select(
+        F.col("doc_id"),
+        F.col("text"),
+        BpeExpressions.bpeCount(F.col("text"), vocab).as("n"),
+        BpeExpressions.bpeSegment(F.col("text"), vocab).as("seg"),
+        F.octet_length(F.col("text")).as("bytes"),
+        // a vocab that never occurs: count == octet_length exactly
+        BpeExpressions.bpeCount(F.col("text"), Seq("zzzzqqzz")).as("n_bytes"))
+      .withColumn("seg_n", F.size(F.col("seg")))
+      .withColumn("rejoined", F.array_join(
+        F.transform(F.col("seg"), b => b.cast("string")), ""))
+    val bad = checked.filter(
+      F.col("n") =!= F.col("seg_n") ||
+        F.col("n") > F.col("bytes") ||
+        F.col("n_bytes") =!= F.col("bytes") ||
+        F.col("rejoined") =!= F.col("text"))
+    assert(bad.count() == 0, bad.select("doc_id").collect().mkString(", "))
+    // non-vacuous: the vocab actually merges something somewhere
+    assert(checked.filter(F.col("n") < F.col("bytes")).count() > 0)
+    // deterministic across evaluations
+    val a = checked.select("doc_id", "n").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = docs.select(F.col("doc_id"),
+      BpeExpressions.bpeCount(F.col("text"), vocab).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("loadVocab: distinct, null/empty filtered, cap enforced") {
+    import spark.implicits._
+    val v = Seq("the", "the", "", null.asInstanceOf[String], "and").toDF("token")
+    assert(Bpe.loadVocab(v) == Seq("and", "the"))
+    val big = spark.range(Bpe.MaxVocab + 1L).selectExpr("cast(id as string) as token")
+    intercept[IllegalArgumentException](Bpe.loadVocab(big))
+  }
+
+  test("budget + packing accept the BPE counter: unit swaps, anatomy unchanged") {
+    val vocab = Seq("the", "and", "ing", "tion")
+    val counter = Bpe.counter(vocab)
+    val sel = Sampling.selectTokenBudget(docs, "doc_id", "text", 50000,
+      tokenCounter = Some(counter))
+    // n_tokens is the BPE count, not the word count
+    val one = sel.select(F.col("doc_id"), F.col("n_tokens"),
+        BpeExpressions.bpeCount(F.col("text"), vocab).as("expect"))
+      .filter(F.col("n_tokens") =!= F.col("expect"))
+    assert(one.count() == 0)
+    // cum_tokens is the prefix sum of those units (spot: max cum <= budget)
+    assert(sel.agg(F.max("cum_tokens")).head.getLong(0) <= 50000L)
+    val packed = Packing.packSequences(docs, "doc_id", "text", budget = 512,
+      tokenCounter = Some(counter))
+    val mismatch = packed.join(
+        docs.select(F.col("doc_id"),
+          BpeExpressions.bpeCount(F.col("text"), vocab).as("expect")), Seq("doc_id"))
+      .filter(F.col("n_tokens") =!= F.col("expect"))
+    assert(mismatch.count() == 0)
+  }
+}
