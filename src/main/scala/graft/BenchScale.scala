@@ -224,7 +224,12 @@ object BenchScale {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = heavy.map { name =>
+    // SPARK_GRAFT_SCALE_ONLY=<substring> runs a subset and MERGES into the
+    // existing artifact (un-run rows keep their recorded exponents) — new
+    // operators get their scale entry without re-running the whole family
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+    val selected = heavy.filter(n => only.forall(n.contains))
+    val results = selected.map { name =>
       val tSmall = time(name, baseDir, cpus.toInt)
       val tBig = time(name, workDir, cpus.toInt * replicas)
       // DS queries grow via the replicated TPC-H facts; everything else
@@ -241,9 +246,24 @@ object BenchScale {
     // default locale, and a comma-decimal locale makes the JSON invalid
     def s3(v: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val rows = results.map { case (n, a, b, e) =>
-      s""""$n":{"sec_base":${s3(a)},"sec_scaled":${s3(b)},"exponent":${s3(e)}}"""
-    }.mkString("{", ",", "}")
+    val fresh = results.map { case (n, a, b, e) =>
+      n -> s""""$n":{"sec_base":${s3(a)},"sec_scaled":${s3(b)},"exponent":${s3(e)}}"""
+    }
+    // carried rows from the existing artifact (subset runs only)
+    val carried: Seq[String] =
+      if (only.isEmpty) Nil
+      else {
+        val p = java.nio.file.Paths.get("BENCH_SCALE.json")
+        if (!java.nio.file.Files.exists(p)) Nil
+        else {
+          val oldJson = java.nio.file.Files.readString(p)
+          val freshNames = fresh.map(_._1).toSet
+          """"(q_[a-z0-9_]+)":(\{"sec_base":[^}]*\})""".r.findAllMatchIn(oldJson)
+            .filterNot(m => freshNames.contains(m.group(1)))
+            .map(m => s""""${m.group(1)}":${m.group(2)}""").toSeq
+        }
+      }
+    val rows = (carried ++ fresh.map(_._2)).mkString("{", ",", "}")
     val json =
       s"""{"base_dir":"$baseDir","base_rows":$baseRows,"scaled_rows":$bigRows,""" +
         s""""replicas":$replicas,"cpus":"$cpus","loadavg_before":"$loadBefore",""" +

@@ -4544,6 +4544,55 @@ object QueryCatalog {
       """)
     ),
     (
+      // Deterministic top-K vocabulary builder (CorpusStats.buildVocab via
+      // build_vocab(...)): one token-keyed groupBy + TakeOrdered; the
+      // ranking window runs over the SIZE-bounded cut, never the corpus.
+      // Rank ties break on token text, so DuckDB reproduces the exact cut.
+      "q_build_vocab",
+      wv("""
+        from build_vocab('documents', 'text', 25)
+        order by rank
+      """),
+      Some("""
+        WITH tok AS (
+          SELECT unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+          FROM documents),
+        c AS (SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY token),
+        r AS (
+          SELECT token, cnt,
+            CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rank
+          FROM c)
+        SELECT token, cnt, rank FROM r WHERE rank <= 25 ORDER BY rank
+      """)
+    ),
+    (
+      // Exact BPE merge learning (BpeTrain.bpeTrain via bpe_train(...)):
+      // one corpus scan to the word-frequency table, exact merge loop over
+      // the bounded table, lexicographic tie-break. The oracle is the
+      // closed-form VALUES sequence hand-derived for a planted corpus
+      // (word counts aaab:3, ab:1): round 1 merges (a,a) at weighted count
+      // 6 → 'aa'; round 2 (a,b) at 4 → 'ab'; round 3 (aa,ab) at 3 →
+      // 'aaab'. Non-SQL-expressible in DuckDB — the VALUES oracle is the
+      // multimodal-decode precedent.
+      "q_bpe_train",
+      wv("""
+        model bpe_corpus3 = {
+          from [
+            [1, 'aaab aaab'],
+            [2, 'aaab ab']
+          ] as c(id, text)
+        }
+        from bpe_train('bpe_corpus3', 'text', 3)
+        order by rank
+      """),
+      Some("""
+        SELECT token, CAST(c AS BIGINT) AS pair_count, CAST(r AS INTEGER) AS rank
+        FROM (VALUES ('aa', 6, 1), ('ab', 4, 2), ('aaab', 3, 3)) AS t(token, c, r)
+        ORDER BY rank
+      """)
+    ),
+    (
       // BPE token counting over the real corpus (Bpe/BpeExpressions via
       // bpe_count(...)): byte-level greedy longest-match against a vocab
       // relation. EXECUTABLE oracle: the vocab tokens are chosen pairwise

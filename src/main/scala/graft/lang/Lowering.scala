@@ -28,7 +28,7 @@ object Lowering {
     * twice in r13/r14. Add a dispatch case ⇒ the spec forces the name in
     * here ⇒ LSP + playground pick it up structurally. */
   val nativeTableFunctions: Seq[String] = Seq(
-    "ann_int8_index", "ann_lsh_postings", "bpe_count",
+    "ann_int8_index", "ann_lsh_postings", "bpe_count", "bpe_train", "build_vocab",
     "contaminated_docs", "contaminated_vecs", "contamination_report",
     "decode_audio", "decode_images", "decode_video",
     "decontaminate", "decontaminate_semantic",
@@ -1723,6 +1723,45 @@ object Lowering {
             "select_token_budget expects (corpus, id_col, text_col, budget_tokens" +
               "[, vocab_rel]) literals, e.g. " +
               "select_token_budget('documents', 'doc_id', 'text', 50000)")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "bpe_train" =>
+      // bpe_train('corpus', 'text_col', n_merges[, max_word_types]) —
+      // exact BPE merge learning (BpeTrain.bpeTrain): ONE corpus scan to
+      // the word-frequency table, then the merge loop runs exactly over
+      // that bounded table driver-side; deterministic lexicographic
+      // tie-break. Output (token, pair_count, rank) feeds bpe_count /
+      // select_token_budget / pack_sequences as their vocab_rel.
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(textCol: String), Some(n: Long)) =>
+          Plain(graft.operators.BpeTrain.bpeTrain(
+            lower(TableRef(corpus), ctx), textCol, n.toInt))
+        case List(Some(corpus: String), Some(textCol: String), Some(n: Long),
+            Some(maxTypes: Long)) =>
+          Plain(graft.operators.BpeTrain.bpeTrain(
+            lower(TableRef(corpus), ctx), textCol, n.toInt, maxTypes.toInt))
+        case _ =>
+          throw new LoweringException(
+            "bpe_train expects (corpus, text_col, n_merges[, max_word_types]) " +
+              "literals, e.g. bpe_train('documents', 'text', 200)")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "build_vocab" =>
+      // build_vocab('corpus', 'text_col', size) — deterministic top-K
+      // token vocabulary (token, cnt, rank), rank by (count desc, token):
+      // the builder whose output feeds bpe_count / select_token_budget /
+      // pack_sequences as their vocab_rel (CorpusStats.buildVocab)
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(textCol: String), Some(size: Long))
+            if size > 0 =>
+          Plain(graft.operators.CorpusStats.buildVocab(
+            lower(TableRef(corpus), ctx), textCol, size.toInt))
+        case _ =>
+          throw new LoweringException(
+            "build_vocab expects (corpus, text_col, size) literals, e.g. " +
+              "build_vocab('documents', 'text', 1000)")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

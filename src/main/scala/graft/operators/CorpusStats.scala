@@ -100,6 +100,36 @@ object CorpusStats {
       .drop("__topcnt")
   }
 
+  /** Deterministic top-K token vocabulary (token, cnt, rank) over the
+    * canonical unigram stream — the builder whose output feeds
+    * [[graft.operators.Bpe]] as the `vocab_rel` of bpe_count /
+    * select_token_budget / pack_sequences (word-level vocab + the BPE
+    * expressions' single-byte fallback ≈ a unigram WordPiece). Rank is the
+    * (count desc, token) order, ties broken by token text, so the vocab is
+    * bit-identical across engines and runs.
+    *
+    * Shape: one token-keyed groupBy (map-side partial agg over the
+    * Zipf-hot keys), then TakeOrdered + one ranking window over the
+    * SIZE-bounded result (≤ [[graft.operators.Bpe.MaxVocab]] rows — the
+    * single-partition window runs over the vocab cut, never the corpus;
+    * the same bounded-small class as a driver collect of IVF centroids). */
+  def buildVocab(
+      df: DataFrame,
+      textCol: String,
+      size: Int
+  ): DataFrame = {
+    require(size > 0 && size <= graft.operators.Bpe.MaxVocab,
+      s"size in 1..${graft.operators.Bpe.MaxVocab}")
+    val counts = df.select(F.explode(
+        graft.functions.TextFunctions.tokens(F.col(textCol))).as("token"))
+      .groupBy("token").agg(F.count(F.lit(1)).as("cnt"))
+      .orderBy(F.col("cnt").desc, F.col("token"))
+      .limit(size)
+    counts.withColumn("rank",
+      F.row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(F.col("cnt").desc, F.col("token"))))
+  }
+
   /** Unigram-LM negative log-likelihood per document — the relational form
     * of the CCNet/Gopher perplexity quality filter: fit the unigram model
     * p(w) = count(w)/N on the corpus itself, score every doc by the mean

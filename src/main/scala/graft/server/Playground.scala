@@ -185,13 +185,21 @@ object Playground {
         |-- filter settings: top-100 coverage near 1 = boilerplate soup,
         |-- hapax share near 1 = OCR garble
         |from vocab_profile('documents', 'text', 100)""".stripMargin,
+    "llm_bpe_train" ->
+      """-- learn BPE merges from the corpus itself: ONE scan to the
+        |-- word-frequency table, then the exact merge loop runs over that
+        |-- bounded table (the sentencepiece/HF trainer shape). The learned
+        |-- vocab feeds bpe_count / select_token_budget / pack_sequences.
+        |from bpe_train('documents', 'text', 20)
+        |order by rank""".stripMargin,
     "llm_bpe_count" ->
       """-- count in TOKENIZER tokens, not words: byte-level greedy
         |-- longest-match against a vocab relation (single-byte fallback
-        |-- makes it total). Also the optional budget unit of
+        |-- makes it total). Build the vocab FROM the corpus with
+        |-- build_vocab(...); also the optional budget unit of
         |-- select_token_budget(..., 'vocab') and pack_sequences.
         |model my_vocab = {
-        |  from [['the'], ['and'], ['ing'], ['tion']] as v(token)
+        |  from build_vocab('documents', 'text', 500)
         |}
         |from bpe_count('documents', 'text', 'my_vocab')
         |agg docs = _.count, bpe_tokens = n_bpe_tokens.sum""".stripMargin,
@@ -203,7 +211,7 @@ object Playground {
   val sqlRefusingDemos: Set[String] =
     Set("join_asof", "llm_similarity_topk", "llm_split_by_cluster", "llm_dedup_semantic",
       "llm_perplexity_score", "llm_token_budget", "llm_contamination_report",
-      "llm_vocab_profile", "llm_bpe_count")
+      "llm_vocab_profile", "llm_bpe_count", "llm_bpe_train")
 
   private def jsStr(s: String): String =
     "\"" + s.flatMap {

@@ -109,6 +109,63 @@ class BpeSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Bpe.loadVocab(big))
   }
 
+  test("build_vocab composes into bpe_count: learned vocab ≡ manually loaded vocab") {
+    // the intended pipeline: build the vocab FROM the corpus, count WITH it
+    val built = CorpusStats.buildVocab(docs, "text", 20)
+    assert(built.count() == 20) // corpus has 31 distinct tokens; the cut is exact
+    // rank is dense 1..20 in (cnt desc, token) order
+    val rows = built.orderBy("rank").collect()
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 20))
+    val pairs = rows.map(r => (r.getAs[Long]("cnt"), r.getAs[String]("token")))
+    assert(pairs.sortBy { case (c, t) => (-c, t) }.toSeq == pairs.toSeq)
+    val vocab = Bpe.loadVocab(built)
+    val viaOp = Bpe.withCount(docs, "text", vocab).select("doc_id", "n_bpe_tokens")
+    val viaExpr = docs.select(F.col("doc_id"),
+      BpeExpressions.bpeCount(F.col("text"), vocab).as("n_bpe_tokens"))
+    assert(viaOp.except(viaExpr).count() == 0 && viaExpr.except(viaOp).count() == 0)
+    // word-vocab counts sit strictly below raw byte counts (merges happen)
+    val merged = viaOp.join(
+        docs.select(F.col("doc_id"), F.octet_length(F.col("text")).as("bytes")), Seq("doc_id"))
+      .filter(F.col("n_bpe_tokens") >= F.col("bytes"))
+    assert(merged.count() == 0)
+  }
+
+  test("bpe_train: exact merges on a planted corpus, ties break lexicographically") {
+    import spark.implicits._
+    // hand-derived sequence (the q_bpe_train oracle): aa(6) → ab(4) → aaab(3)
+    val planted = Seq((1L, "aaab aaab"), (2L, "aaab ab")).toDF("id", "text")
+    val merges = BpeTrain.bpeTrain(planted, "text", 3).orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(merges == Seq(("aa", 6L, 1), ("ab", 4L, 2), ("aaab", 3L, 3)))
+    // tied pair counts: (x,y) and (x,z) both at 2 — the lexicographically
+    // smaller pair merges first, deterministically
+    val tied = Seq((1L, "xy xz"), (2L, "xy xz")).toDF("id", "text")
+    val t = BpeTrain.bpeTrain(tied, "text", 2).orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getInt(2))).toSeq
+    assert(t == Seq(("xy", 1), ("xz", 2)))
+    // merges stop early when no pairs remain (requesting more is safe)
+    val tiny = Seq((1L, "ab")).toDF("id", "text")
+    assert(BpeTrain.bpeTrain(tiny, "text", 10).count() == 1)
+  }
+
+  test("bpe_train on the corpus: non-increasing merge counts, composes into bpe_count") {
+    val merges = BpeTrain.bpeTrain(docs, "text", 40)
+    val seq = merges.orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(seq.size == 40)
+    assert(seq.map(_._3) == (1 to 40), "ranks dense in merge order")
+    // a merge can only create pairs no more frequent than itself
+    assert(seq.map(_._2).sliding(2).forall(w => w.head >= w.last),
+      s"pair counts increased: ${seq.map(_._2)}")
+    // tokens are concatenations over the ASCII token alphabet
+    assert(seq.forall(_._1.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))))
+    // the learned vocab drives the greedy counter end-to-end
+    val vocab = Bpe.loadVocab(merges)
+    val counted = Bpe.withCount(docs, "text", vocab)
+    assert(counted.filter(F.col("n_bpe_tokens") >=
+      F.octet_length(F.col("text"))).count() == 0, "learned merges never fire")
+  }
+
   test("budget + packing accept the BPE counter: unit swaps, anatomy unchanged") {
     val vocab = Seq("the", "and", "ing", "tion")
     val counter = Bpe.counter(vocab)
