@@ -4513,6 +4513,65 @@ object QueryCatalog {
       """)
     ),
     (
+      // Bigram-LM perplexity with Stupid Backoff (CorpusStats.bigramNll
+      // via perplexity_score_bigram(...)): the context-aware v2 of the
+      // CCNet filter — S(w|prev) = bc/uc(prev) on a PRUNED bigram hit
+      // (count >= min_count 2; hapax bigrams back off — the pruning that
+      // bounds the model table at 100 TB), else alpha*uc(w)/N; first token
+      // unigram. DETERMINISTIC oracle: DuckDB refits both models from the
+      // same string-token pair stream (pairs rebuilt positionally from the
+      // token list — no engine-specific window) and the shared +5e-9/4dp
+      // rounding absorbs accumulation-order noise; ln(pc)-ln(bc) is
+      // bitwise -(ln(bc)-ln(pc)).
+      "q_perplexity_bigram",
+      wv("""
+        from perplexity_score_bigram('documents', 'doc_id', 'text', 0.4, 2)
+        order by doc_id
+      """),
+      Some("""
+        WITH tokl AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ts
+          FROM documents
+        ),
+        p2 AS (
+          SELECT doc_id,
+                 CASE WHEN i = 1 THEN NULL ELSE ts[i - 1] END AS prev,
+                 ts[i] AS cur
+          FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM tokl)
+        ),
+        uni AS (SELECT cur AS t, count(*)::DOUBLE AS uc FROM p2 GROUP BY cur),
+        tot AS (SELECT coalesce(sum(uc), 0) AS n FROM uni),
+        bi AS (
+          SELECT prev, cur, count(*)::DOUBLE AS bc
+          FROM p2 WHERE prev IS NOT NULL GROUP BY prev, cur
+          HAVING count(*) >= 2
+        ),
+        scored AS (
+          SELECT p.doc_id,
+            CASE WHEN p.prev IS NULL
+                   THEN ln((SELECT n FROM tot)) - ln(u.uc)
+                 WHEN b.bc IS NOT NULL
+                   THEN ln(up.uc) - ln(b.bc)
+                 ELSE ln((SELECT n FROM tot)) - ln(u.uc) - ln(0.4) END AS nll
+          FROM p2 p
+          JOIN uni u ON u.t = p.cur
+          LEFT JOIN bi b ON b.prev = p.prev AND b.cur = p.cur
+          LEFT JOIN uni up ON up.t = p.prev
+        ),
+        per AS (
+          SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(nll) AS s
+          FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+          coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+          round(CASE WHEN p.n_tokens > 0
+                THEN p.s / p.n_tokens + 5e-9 END, 4) AS avg_nll
+        FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+        ORDER BY d.doc_id
+      """)
+    ),
+    (
       // Deterministic token-budget prefix selection
       // (Sampling.selectTokenBudget via select_token_budget(...)): keep the
       // md5-ordered corpus prefix whose cumulative token count fits the

@@ -35,7 +35,8 @@ object Lowering {
     "dedup_incremental", "dedup_incremental_pairs", "dedup_semantic",
     "dedup_spans", "duckdb_functions", "each_top_k", "jdbc",
     "minhash_index", "pack_sequences", "parquet_metadata",
-    "perplexity_score", "range", "resize_images", "select_token_budget",
+    "perplexity_score", "perplexity_score_bigram", "range", "resize_images",
+    "select_token_budget",
     "similarity_topk",
     "split_by_cluster", "split_by_cluster_pairs",
     "split_by_cluster_pairs_stats", "split_by_cluster_stats",
@@ -1796,6 +1797,35 @@ object Lowering {
           throw new LoweringException(
             "perplexity_score expects (corpus, id_col, text_col) literals, e.g. " +
               "perplexity_score('documents', 'doc_id', 'text')")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "perplexity_score_bigram" =>
+      // perplexity_score_bigram('corpus', 'id_col', 'text_col'[, alpha,
+      // min_count]) — bigram-LM mean NLL with Stupid Backoff
+      // (CorpusStats.bigramNll): context-aware quality filter that catches
+      // common-token word salad the unigram score cannot see; alpha is the
+      // backoff penalty (0.4), min_count the bigram-model pruning
+      // threshold (2 — what bounds the model table at scale AND keeps the
+      // backoff branch live under self-fit)
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String)) =>
+          Plain(graft.operators.CorpusStats.bigramNll(
+            lower(TableRef(corpus), ctx), idCol, textCol))
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
+            Some(alpha: Number)) if alpha.doubleValue() > 0.0 && alpha.doubleValue() <= 1.0 =>
+          Plain(graft.operators.CorpusStats.bigramNll(
+            lower(TableRef(corpus), ctx), idCol, textCol, alpha.doubleValue()))
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
+            Some(alpha: Number), Some(minCount: Long))
+            if alpha.doubleValue() > 0.0 && alpha.doubleValue() <= 1.0 && minCount >= 1 =>
+          Plain(graft.operators.CorpusStats.bigramNll(
+            lower(TableRef(corpus), ctx), idCol, textCol, alpha.doubleValue(), minCount))
+        case _ =>
+          throw new LoweringException(
+            "perplexity_score_bigram expects (corpus, id_col, text_col[, alpha in (0,1], " +
+              "min_count >= 1]) literals, e.g. " +
+              "perplexity_score_bigram('documents', 'doc_id', 'text', 0.4, 2)")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

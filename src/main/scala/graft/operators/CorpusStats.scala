@@ -177,4 +177,97 @@ object CorpusStats {
               F.col("__slc") / F.col("n_tokens") + F.lit(5e-9), 4)))
       .select(idCol, "n_tokens", "avg_nll")
   }
+
+  /** Bigram-LM mean negative log-likelihood per document with Stupid
+    * Backoff (Brants et al. 2007, "Large Language Models in Machine
+    * Translation") — the v2 of [[unigramNll]]: context-aware, so word-salad
+    * docs that reuse common TOKENS in improbable ORDER (the failure mode a
+    * unigram filter cannot see) score high. Per position i:
+    *
+    *   S(w_1)          = count(w_1) / N
+    *   S(w_i | w_i-1)  = count(w_i-1 w_i) / count(w_i-1)   if bigram seen
+    *                   = alpha * count(w_i) / N             otherwise
+    *
+    * with all counts fit on the corpus itself (every token has count >= 1,
+    * so the score is total without smoothing). Stupid Backoff is the
+    * standard web-scale choice precisely because the score needs no
+    * normalization pass over the vocab — Kneser-Ney discounts would add a
+    * vocab-sized join chain for near-identical filter rankings.
+    *
+    * The bigram model is COUNT-PRUNED: pairs seen fewer than `minCount`
+    * times are dropped and their positions back off to alpha·unigram.
+    * Pruning is what makes the model-side join scale-honest — the UNPRUNED
+    * bigram-type table grows like the corpus itself (most bigrams are
+    * hapax), while the pruned table is vocab-class-bounded; it is also
+    * what keeps the backoff branch live when the model is fit on the
+    * scoring corpus (self-fit makes every bigram "seen" at minCount = 1 —
+    * the same reason Brants et al. count-threshold their n-grams).
+    *
+    * Plan shape at 100 TB: the (prev, cur) pairs are built INSIDE the
+    * per-doc token array (transform over the array — no shuffle, no
+    * per-doc window); then one token-keyed groupBy fits the unigram model,
+    * one pair-keyed groupBy fits the bigram model, the bigram table is
+    * enriched with its context counts by a MODEL-sized join (bigram-types
+    * × 1, never postings-sized), and the postings stream takes exactly two
+    * joins (unigram on cur, enriched bigram on (prev, cur)) before the
+    * per-doc re-aggregation. Zipf skew story as the class scaladoc: map-
+    * side partial agg collapses hot keys; AQE splits the skewed joins.
+    *
+    * Output: (idCol, n_tokens, avg_nll) — same contract and +5e-9/4dp
+    * rounding convention as [[unigramNll]], so the DuckDB oracle
+    * recomputes bit-identical values from string tokens. */
+  def bigramNll(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      alpha: Double = 0.4,
+      minCount: Long = 2L
+  ): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1]")
+    require(minCount >= 1L, "minCount >= 1")
+    val pairs = df
+      .select(
+        F.col(idCol),
+        graft.functions.TextFunctions.tokens(F.col(textCol)).as("__toks"))
+      .select(
+        F.col(idCol),
+        // explode_OUTER: token-free docs keep their (null, null) row so the
+        // per-doc contract (n_tokens = 0, avg_nll null) survives the joins
+        F.explode_outer(F.expr(
+          "transform(__toks, (t, i) -> struct(" +
+            "CASE WHEN i = 0 THEN CAST(NULL AS STRING) ELSE __toks[i-1] END AS prev, " +
+            "t AS cur))")).as("__p"))
+      .select(F.col(idCol), F.col("__p.prev").as("__prev"), F.col("__p.cur").as("__cur"))
+    val uni = pairs.filter(F.col("__cur").isNotNull)
+      .groupBy("__cur").agg(F.count(F.lit(1)).as("__uc"))
+    val total = uni.agg(F.coalesce(F.sum("__uc"), F.lit(0L)).as("__n"))
+    val bi = pairs.filter(F.col("__prev").isNotNull)
+      .groupBy("__prev", "__cur").agg(F.count(F.lit(1)).as("__bc"))
+      .filter(F.col("__bc") >= minCount)
+      // attach the context count model-side: ln S(cur|prev) = ln bc − ln uc(prev)
+      .join(uni.select(F.col("__cur").as("__prev"), F.col("__uc").as("__pc")), Seq("__prev"))
+      .select(F.col("__prev"), F.col("__cur"),
+        (F.log(F.col("__bc").cast("double")) - F.log(F.col("__pc").cast("double")))
+          .as("__lnp"))
+    pairs
+      .join(uni, Seq("__cur"), "left")
+      .join(bi, Seq("__prev", "__cur"), "left")
+      .crossJoin(F.broadcast(total))
+      .withColumn("__nll",
+        F.when(F.col("__cur").isNull, F.lit(null).cast("double"))
+          .when(F.col("__prev").isNull, // first token: unigram
+            F.log(F.col("__n").cast("double")) - F.log(F.col("__uc").cast("double")))
+          .when(F.col("__lnp").isNotNull, -F.col("__lnp")) // bigram hit
+          .otherwise( // backoff: −ln(alpha · uc/N)
+            F.log(F.col("__n").cast("double")) - F.log(F.col("__uc").cast("double")) -
+              F.lit(math.log(alpha))))
+      .groupBy(F.col(idCol))
+      .agg(
+        F.count(F.col("__cur")).as("n_tokens"),
+        F.sum(F.col("__nll")).as("__s"))
+      .withColumn("avg_nll",
+        F.when(F.col("n_tokens") > 0,
+          F.round(F.col("__s") / F.col("n_tokens") + F.lit(5e-9), 4)))
+      .select(idCol, "n_tokens", "avg_nll")
+  }
 }

@@ -165,6 +165,14 @@ object Playground {
         |from perplexity_score('documents', 'doc_id', 'text')
         |order by avg_nll desc
         |limit 10""".stripMargin,
+    "llm_perplexity_bigram" ->
+      """-- context-aware v2 of the perplexity filter: Stupid Backoff
+        |-- bigram LM (pruned at min_count=2 — hapax bigrams back off to
+        |-- alpha*unigram). Catches common-token WORD SALAD the unigram
+        |-- score cannot see: same words, improbable order.
+        |from perplexity_score_bigram('documents', 'doc_id', 'text', 0.4, 2)
+        |order by avg_nll desc
+        |limit 10""".stripMargin,
     "llm_token_budget" ->
       """-- "cut the corpus to N training tokens": keep the md5-ordered
         |-- prefix whose cumulative token count fits the budget —
@@ -210,7 +218,8 @@ object Playground {
     * run path executes them natively. ServerSpec gates both behaviors. */
   val sqlRefusingDemos: Set[String] =
     Set("join_asof", "llm_similarity_topk", "llm_split_by_cluster", "llm_dedup_semantic",
-      "llm_perplexity_score", "llm_token_budget", "llm_contamination_report",
+      "llm_perplexity_score", "llm_perplexity_bigram", "llm_token_budget",
+      "llm_contamination_report",
       "llm_vocab_profile", "llm_bpe_count", "llm_bpe_train")
 
   private def jsStr(s: String): String =

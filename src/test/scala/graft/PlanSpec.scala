@@ -289,6 +289,38 @@ class PlanSpec extends SparkTestBase {
     assert(df.count() > 0)
   }
 
+  test("bigram perplexity: pruned scan, unhinted model joins, no per-doc window") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = graft.catalog.QueryCatalog.queries("q_perplexity_bigram")(spark, sfDir)
+    val plan = planOf(df)
+    // scan pruned to the two referenced columns
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(readSchemas.contains("doc_id") && readSchemas.contains("text") &&
+      !readSchemas.contains("lang") && !readSchemas.contains("source"),
+      s"scan not pruned: $readSchemas")
+    // (prev, cur) pairs must come from the per-doc token ARRAY (transform
+    // + one explode) — a per-doc lag() window would add a corpus-wide
+    // shuffle on doc_id before the postings even exist. (A SinglePartition
+    // exchange IS present and fine: it is the 1-row corpus-total aggregate
+    // collapsing one partial row per partition, the bounded scalar-agg
+    // shape — not corpus rows through one task.)
+    assert(!plan.contains("Window"), s"window stage in the plan:\n$plan")
+    // unigram + bigram model joins stay unhinted (AQE decides broadcast);
+    // the 1-row total is the bounded static-broadcast exception
+    val equiJoins = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.isDefined => j
+    }
+    assert(equiJoins.size >= 3, s"expected unigram/bigram/context model joins: $equiJoins")
+    equiJoins.foreach { j =>
+      assert(j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty,
+        s"model join carries a planner hint: $j")
+    }
+    // map-side partial aggregation on the Zipf-hot token/pair groupBys
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"expected partial/final aggregate splits:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("token-budget selection: distributed prefix-sum, NO single-partition window") {
     // the naive global cumsum window executes on ONE partition (Exchange
     // SinglePartition) — the whole corpus through a single task at 100 TB.

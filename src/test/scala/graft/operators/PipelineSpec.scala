@@ -387,6 +387,55 @@ class PipelineSpec extends SparkTestBase {
       withEmpty.head.isNullAt(2))
   }
 
+  test("bigram NLL: closed-form hits/backoff/pruning, word salad out-scores natural order") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // minCount=1, self-fit ⇒ every bigram is a hit:
+    //   doc1 = [ln5−ln3, ln3−ln1, ln3−ln1] → (ln5+ln3)/3 = 0.9027
+    //   doc2 = [ln5−ln3, ln3−ln1]          → ln5/2        = 0.8047
+    val allHits = CorpusStats.bigramNll(tiny, "doc_id", "text", minCount = 1L)
+      .orderBy("doc_id").collect()
+    assert(allHits.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 3L, 0.9027), (2L, 2L, 0.8047)), allHits.mkString(", "))
+    // default minCount=2 prunes every (hapax) bigram ⇒ all positions back
+    // off to alpha·unigram: doc1 → 1.4879, doc2 → 1.5183
+    val allBackoff = CorpusStats.bigramNll(tiny, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(allBackoff.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 3L, 1.4879), (2L, 2L, 1.5183)), allBackoff.mkString(", "))
+    // mixed: "a b a b" keeps (a,b) (count 2) but (b,a)/(a,c) prune →
+    // doc1 = [ln2, ln3−ln2, backoff, ln3−ln2] → 0.7784; doc2 → 1.7006
+    val mixed = CorpusStats.bigramNll(
+      Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(mixed.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 4L, 0.7784), (2L, 2L, 1.7006)), mixed.mkString(", "))
+    // the property the unigram filter CANNOT express: same token multiset,
+    // natural repetition (bigrams count >= 2 → hits) vs word salad (all
+    // bigrams distinct → pruned → backoff). Bigram NLL separates them.
+    val natural = (888881L, Seq.fill(3)("zqa zqb zqc zqd").mkString(" "))
+    val salad = (888882L, "zqa zqb zqc zqd zqb zqa zqc zqb zqd zqc zqa zqd")
+    val base = docs.limit(30).select("doc_id", "text")
+    val scored = CorpusStats.bigramNll(
+      base.union(Seq(natural, salad).toDF("doc_id", "text")), "doc_id", "text")
+    def nllOf(id: Long, frame: org.apache.spark.sql.DataFrame = scored): Double =
+      frame.filter(F.col("doc_id") === id).head.getDouble(2)
+    assert(nllOf(888882L) > nllOf(888881L),
+      s"word salad ${nllOf(888882L)} must out-score natural order ${nllOf(888881L)}")
+    // alpha is live exactly on the backoff branch: the all-hit doc is
+    // bitwise alpha-insensitive, the salad doc scores lower at alpha=1
+    val alpha1 = CorpusStats.bigramNll(
+      base.union(Seq(natural, salad).toDF("doc_id", "text")), "doc_id", "text", alpha = 1.0)
+    assert(nllOf(888881L, alpha1) == nllOf(888881L))
+    assert(nllOf(888882L, alpha1) < nllOf(888882L))
+    // token-free docs keep their row with n_tokens 0 and null score
+    val withEmpty = CorpusStats.bigramNll(
+      base.union(Seq((888883L, "!!! ...")).toDF("doc_id", "text")), "doc_id", "text")
+      .filter(F.col("doc_id") === 888883L).collect()
+    assert(withEmpty.length == 1 && withEmpty.head.getLong(1) == 0L &&
+      withEmpty.head.isNullAt(2))
+  }
+
   test("vocab profile: closed-form tiny corpus, coverage bounds on testdata") {
     import spark.implicits._
     // "a a b" + "a c": total 5, distinct 3, hapax 2 (b, c); top-1 = a → 3/5
