@@ -109,7 +109,12 @@ object BenchScale {
     // the comparison row is the vocab-swapped budget selection whose
     // prefix-sum anatomy must stay unit-agnostic
     "q_bpe_count",
-    "q_select_token_budget_bpe")
+    "q_select_token_budget_bpe",
+    // bigram perplexity (r15): the unigram shuffle anatomy plus a
+    // pair-keyed model groupBy and a second postings join — replica-tagged
+    // tokens grow bigram types linearly with the corpus, so exponent ~1 is
+    // the gate that the pruned-model join chain scales in rows, not pairs²
+    "q_perplexity_bigram")
 
   private def loadavg(): String = BenchGuard.loadavg()
 
@@ -224,11 +229,14 @@ object BenchScale {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // SPARK_GRAFT_SCALE_ONLY=<substring> runs a subset and MERGES into the
-    // existing artifact (un-run rows keep their recorded exponents) — new
-    // operators get their scale entry without re-running the whole family
+    // SPARK_GRAFT_SCALE_ONLY=<substr>[,<substr>…] runs a subset and MERGES
+    // into the existing artifact (un-run rows keep their recorded
+    // exponents) — new operators get their scale entry without re-running
+    // the whole family; comma-separated substrings batch several new rows
+    // into ONE scaled-corpus build
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
-    val selected = heavy.filter(n => only.forall(n.contains))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = heavy.filter(n => only.forall(_.exists(n.contains)))
     val results = selected.map { name =>
       val tSmall = time(name, baseDir, cpus.toInt)
       val tBig = time(name, workDir, cpus.toInt * replicas)

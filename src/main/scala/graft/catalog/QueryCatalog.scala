@@ -4681,6 +4681,57 @@ object QueryCatalog {
       """)
     ),
     (
+      // Tokenizer-fitness report (Bpe.withStats via bpe_stats(...)):
+      // n_bpe_tokens / n_bytes / fallback_bytes (OOV byte mass) / n_words
+      // / bpe_coverage / fertility — the decide-before-you-train numbers
+      // for a vocab on a corpus. EXECUTABLE oracle on the real corpus via
+      // the same overlap-free vocab as q_bpe_count: greedy = literal
+      // replace() occurrences, so matched_bytes = Σ occ·len, fallback =
+      // octet_length − matched, tokens = hits + fallback; the two ratios
+      // are exactly-rounded IEEE divisions of those integers.
+      "q_bpe_stats",
+      wv("""
+        model bpe_vocab3 = {
+          from [['the'], ['and'], ['ing'], ['tion']] as v(token)
+        }
+        from bpe_stats('documents', 'text', 'bpe_vocab3')
+        select doc_id, n_bpe_tokens, n_bytes, fallback_bytes, n_words,
+               bpe_coverage, fertility
+        order by doc_id
+      """),
+      Some("""
+        WITH s AS (
+          SELECT doc_id,
+            octet_length(text::BLOB)::BIGINT AS n_bytes,
+            CAST((len(text) - len(replace(text, 'the', ''))) / 3 AS BIGINT) AS o1,
+            CAST((len(text) - len(replace(text, 'and', ''))) / 3 AS BIGINT) AS o2,
+            CAST((len(text) - len(replace(text, 'ing', ''))) / 3 AS BIGINT) AS o3,
+            CAST((len(text) - len(replace(text, 'tion', ''))) / 4 AS BIGINT) AS o4,
+            len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> len(x) > 0))::BIGINT AS n_words
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id, n_bytes, n_words,
+            (3*o1 + 3*o2 + 3*o3 + 4*o4)::BIGINT AS matched,
+            (o1 + o2 + o3 + o4)::BIGINT AS hits
+          FROM s
+        )
+        SELECT doc_id,
+          (hits + n_bytes - matched)::BIGINT AS n_bpe_tokens,
+          n_bytes,
+          (n_bytes - matched)::BIGINT AS fallback_bytes,
+          n_words,
+          CASE WHEN n_bytes > 0
+               THEN CAST(n_bytes - (n_bytes - matched) AS DOUBLE) / CAST(n_bytes AS DOUBLE)
+          END AS bpe_coverage,
+          CASE WHEN n_words > 0
+               THEN CAST(hits + n_bytes - matched AS DOUBLE) / CAST(n_words AS DOUBLE)
+          END AS fertility
+        FROM m ORDER BY doc_id
+      """)
+    ),
+    (
       // The BPE semantics the replace() trick CANNOT express — nested
       // vocab tokens (longest match wins), maximal munch without
       // backtracking, UTF-8 byte fallback — pinned by a closed-form

@@ -41,6 +41,13 @@ object BpeExpressions {
     * multi-byte character are not valid UTF-8 on their own. */
   def bpeSegment(text: Column, vocab: Seq[String]): Column =
     ColumnBridge.column(BpeSegmentExpr(ColumnBridge.expression(text), BpeTrie.fromStrings(vocab)))
+
+  /** Bytes of `text` emitted as single-byte FALLBACK tokens — the vocab's
+    * out-of-vocabulary byte mass on this text (a 1-byte vocab token is a
+    * hit, not a fallback). */
+  def bpeFallbackBytes(text: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(
+      BpeFallbackExpr(ColumnBridge.expression(text), BpeTrie.fromStrings(vocab)))
 }
 
 /** Frozen byte-trie over the vocab: per node a sorted byte→child table
@@ -90,6 +97,29 @@ final class BpeTrie private (
     var n = 0L
     while (i < bytes.length) { i = munch(bytes, i); n += 1 }
     n
+  }
+
+  /** Bytes covered by NO vocab token (each becomes a 1-byte fallback
+    * token) — the OOV byte mass. Distinguishes a 1-byte vocab HIT from a
+    * fallback, which [[munch]]'s return value alone cannot. */
+  def fallbackBytes(bytes: Array[Byte]): Long = {
+    var i = 0
+    var fb = 0L
+    while (i < bytes.length) {
+      var node = 0
+      var j = i
+      var best = i
+      val lim = math.min(bytes.length, i + maxTokenLen)
+      var miss = false
+      while (j < lim && !miss) {
+        val c = child(node, bytes(j))
+        if (c < 0) miss = true
+        else { node = c; j += 1; if (terminal(node)) best = j }
+      }
+      if (best > i) i = best
+      else { fb += 1L; i += 1 }
+    }
+    fb
   }
 
   def segment(bytes: Array[Byte]): Array[Array[Byte]] = {
@@ -152,6 +182,30 @@ case class BpeCountExpr(child: Expression, trie: BpeTrie) extends UnaryExpressio
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val trieRef = ctx.addReferenceObj("bpeTrie", trie, classOf[BpeTrie].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $trieRef.count($c.getBytes());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class BpeFallbackExpr(child: Expression, trie: BpeTrie) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects a string input, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    trie.fallbackBytes(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val trieRef = ctx.addReferenceObj("bpeTrie", trie, classOf[BpeTrie].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $trieRef.fallbackBytes($c.getBytes());")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

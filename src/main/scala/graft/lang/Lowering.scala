@@ -28,7 +28,8 @@ object Lowering {
     * twice in r13/r14. Add a dispatch case ⇒ the spec forces the name in
     * here ⇒ LSP + playground pick it up structurally. */
   val nativeTableFunctions: Seq[String] = Seq(
-    "ann_int8_index", "ann_lsh_postings", "bpe_count", "bpe_train", "build_vocab",
+    "ann_int8_index", "ann_lsh_postings", "bpe_count", "bpe_stats", "bpe_train",
+    "build_vocab",
     "contaminated_docs", "contaminated_vecs", "contamination_report",
     "decode_audio", "decode_images", "decode_video",
     "decontaminate", "decontaminate_semantic",
@@ -1251,6 +1252,23 @@ object Lowering {
             "bpe_count expects (corpus, text_col, vocab_rel) literals — vocab_rel " +
               "is a relation with a `token` string column, e.g. " +
               "bpe_count('documents', 'text', 'my_vocab')")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "bpe_stats" =>
+      // bpe_stats('corpus', 'text_col', 'vocab_rel') — tokenizer-fitness
+      // report (operators/Bpe.withStats): corpus + n_bpe_tokens / n_bytes /
+      // fallback_bytes (OOV byte mass) / n_words / bpe_coverage / fertility
+      // — the decide-before-you-train numbers for a vocab on a corpus
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(textCol: String), Some(vocabRel: String)) =>
+          val vocab = graft.operators.Bpe.loadVocab(lower(TableRef(vocabRel), ctx))
+          Plain(graft.operators.Bpe.withStats(lower(TableRef(corpus), ctx), textCol, vocab))
+        case _ =>
+          throw new LoweringException(
+            "bpe_stats expects (corpus, text_col, vocab_rel) literals — vocab_rel " +
+              "is a relation with a `token` string column, e.g. " +
+              "bpe_stats('documents', 'text', 'my_vocab')")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

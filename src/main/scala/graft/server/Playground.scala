@@ -200,6 +200,17 @@ object Playground {
         |-- vocab feeds bpe_count / select_token_budget / pack_sequences.
         |from bpe_train('documents', 'text', 20)
         |order by rank""".stripMargin,
+    "llm_bpe_stats" ->
+      """-- tokenizer-fitness report: does this vocab FIT this corpus?
+        |-- bpe_coverage = byte fraction the vocab natively spells;
+        |-- fallback_bytes = OOV mass; fertility = BPE tokens per word
+        |-- (>=2 means your token budget buys half the text you think)
+        |model my_vocab = {
+        |  from build_vocab('documents', 'text', 500)
+        |}
+        |from bpe_stats('documents', 'text', 'my_vocab')
+        |agg docs = _.count, bytes = n_bytes.sum,
+        |    oov_bytes = fallback_bytes.sum, bpe_tokens = n_bpe_tokens.sum""".stripMargin,
     "llm_bpe_count" ->
       """-- count in TOKENIZER tokens, not words: byte-level greedy
         |-- longest-match against a vocab relation (single-byte fallback
@@ -220,7 +231,7 @@ object Playground {
     Set("join_asof", "llm_similarity_topk", "llm_split_by_cluster", "llm_dedup_semantic",
       "llm_perplexity_score", "llm_perplexity_bigram", "llm_token_budget",
       "llm_contamination_report",
-      "llm_vocab_profile", "llm_bpe_count", "llm_bpe_train")
+      "llm_vocab_profile", "llm_bpe_count", "llm_bpe_stats", "llm_bpe_train")
 
   private def jsStr(s: String): String =
     "\"" + s.flatMap {

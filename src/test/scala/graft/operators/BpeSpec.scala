@@ -101,6 +101,54 @@ class BpeSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("bpe_stats: fallback closed forms, byte identities, null-text row") {
+    // fallbackBytes distinguishes 1-token hits from fallbacks on the same
+    // literal set the longest-match oracle pins: 'é' ∈ vocab is a 2-byte
+    // HIT, the broken-up 't','h','r' singles are fallbacks
+    val trie = BpeTrie.fromStrings(Seq("the", "there", "an", "and", "é"))
+    val fbCases = Seq("there" -> 0L, "theres" -> 1L, "thethe" -> 0L,
+      "thé" -> 2L, "théré" -> 3L, "andthean" -> 0L, "xyz" -> 3L, "" -> 0L)
+    fbCases.foreach { case (s, fb) =>
+      assert(trie.fallbackBytes(utf8(s)) == fb, s"fallbackBytes('$s')")
+    }
+    // real corpus: with an all-multi-byte vocab, fallbacks are EXACTLY the
+    // 1-byte segments, matched + fallback = octet_length, hits >= 0
+    val vocab = Seq("the", "and", "ing", "tion")
+    val checked = docs.select(
+        F.col("doc_id"),
+        BpeExpressions.bpeCount(F.col("text"), vocab).as("n"),
+        BpeExpressions.bpeFallbackBytes(F.col("text"), vocab).as("fb"),
+        BpeExpressions.bpeSegment(F.col("text"), vocab).as("seg"),
+        F.octet_length(F.col("text")).cast("long").as("bytes"))
+      .withColumn("one_byte_segs",
+        F.size(F.filter(F.col("seg"), b => F.length(b) === 1)).cast("long"))
+      .withColumn("matched_bytes",
+        F.aggregate(F.col("seg"), F.lit(0L), (acc, b) => acc + F.length(b)) - F.col("fb"))
+    val bad = checked.filter(
+      F.col("fb") =!= F.col("one_byte_segs") ||
+        F.col("matched_bytes") + F.col("fb") =!= F.col("bytes") ||
+        F.col("n") - F.col("fb") < 0)
+    assert(bad.count() == 0, bad.select("doc_id").collect().mkString(", "))
+    // the operator surface: ratios bounded, null text → zero counts + null ratios
+    import spark.implicits._
+    val withNull = docs.select("doc_id", "text")
+      .union(Seq((999999L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val stats = Bpe.withStats(withNull, "text", vocab)
+    val badStats = stats.filter(F.col("text").isNotNull &&
+      (F.col("bpe_coverage") < 0.0 || F.col("bpe_coverage") > 1.0 ||
+        F.col("fallback_bytes") > F.col("n_bytes") ||
+        F.col("n_bpe_tokens") > F.col("n_bytes")))
+    assert(badStats.count() == 0)
+    val nullRow = stats.filter(F.col("doc_id") === 999999L).collect()
+    assert(nullRow.length == 1 && nullRow.head.getAs[Long]("n_bpe_tokens") == 0L &&
+      nullRow.head.getAs[Long]("n_bytes") == 0L &&
+      nullRow.head.isNullAt(nullRow.head.fieldIndex("bpe_coverage")) &&
+      nullRow.head.isNullAt(nullRow.head.fieldIndex("fertility")))
+    // non-vacuous: the fitted corpus has BOTH covered and fallback bytes
+    assert(checked.filter(F.col("fb") > 0).count() > 0)
+    assert(checked.filter(F.col("matched_bytes") > 0).count() > 0)
+  }
+
   test("loadVocab: distinct, null/empty filtered, cap enforced") {
     import spark.implicits._
     val v = Seq("the", "the", "", null.asInstanceOf[String], "and").toDF("token")
