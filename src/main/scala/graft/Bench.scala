@@ -92,9 +92,13 @@ object Bench {
   }
 
   private def selectedQueries(): Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
+    // SPARK_GRAFT_ONLY=<substr>[,<substr>…] — comma-separated substrings
+    // select the union (same contract as SPARK_GRAFT_SCALE_ONLY), so one
+    // settle run can floor several unrelated new rows
     val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(n.contains) }
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
       // *_property companions are correctness gates that re-run their
       // underlying operator plus a brute-force comparator — no perf signal
       .filterNot { case (n, _) => n.endsWith("_property") }
