@@ -110,6 +110,10 @@ object BenchScale {
     // prefix-sum anatomy must stay unit-agnostic
     "q_bpe_count",
     "q_select_token_budget_bpe",
+    // PQ ANN (r15): encode is a fused codegen'd pass (linear in corpus
+    // rows), ADC ranking reads only the m-int code rows against a fixed
+    // query set — the int8 family's ~flat shape with 21× smaller codes
+    "q_similarity_topk_pq",
     // bigram perplexity (r15): the unigram shuffle anatomy plus a
     // pair-keyed model groupBy and a second postings join — replica-tagged
     // tokens grow bigram types linearly with the corpus, so exponent ~1 is

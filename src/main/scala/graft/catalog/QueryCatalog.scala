@@ -4000,6 +4000,96 @@ object QueryCatalog {
       """)
     ),
     (
+      // Product-quantization ANN (Similarity.pqTopK): vectors stored as 16
+      // subspace codes against a 64-centroid-per-subspace codebook — the
+      // COMPRESSION tier (96-bit codes vs 256 float bytes at dim 64, ~21×;
+      // O(m) lookup adds per pair via the per-query ADC table). FULL oracle:
+      // the codebook is the seeded-centroid idiom (smallest (md5(id), id)
+      // rows, no Lloyd), so DuckDB re-derives codebook → codes (argmin
+      // with (dist, j) tie-break) → ADC sums (index-ordered list_sum =
+      // the kernel's ascending-s double accumulation, bitwise) → top-k.
+      "q_similarity_topk_pq",
+      (spark, dir) => {
+        val embs = Tables.read(spark, dir, "embeddings")
+        val queries = embs.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+        Similarity.pqTopK(embs, "vec_id", "embedding", queries, "vec_id", "embedding",
+          k = 5, subspaces = 16, ksub = 64)
+          .orderBy("query_id", "rank")
+      },
+      Some("""
+        WITH seeds AS (
+          SELECT embedding AS cv, row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS j
+          FROM embeddings
+          QUALIFY j < 64
+        ),
+        sub AS (SELECT unnest(range(0, 16)) AS s),
+        cd AS (
+          SELECT b.vec_id, sub.s, sd.j,
+            list_sum(list_transform(range(sub.s * 4 + 1, sub.s * 4 + 5),
+              i -> (b.embedding[i]::DOUBLE - sd.cv[i]::DOUBLE)
+                 * (b.embedding[i]::DOUBLE - sd.cv[i]::DOUBLE))) AS dist
+          FROM embeddings b, sub, seeds sd
+        ),
+        codes AS (
+          SELECT vec_id, list(code ORDER BY s) AS codes FROM (
+            SELECT vec_id, s, j AS code,
+              row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+            FROM cd
+          ) WHERE rn = 1 GROUP BY vec_id
+        ),
+        qd AS (
+          SELECT q.vec_id AS query_id, sub.s, sd.j,
+            list_sum(list_transform(range(sub.s * 4 + 1, sub.s * 4 + 5),
+              i -> (q.embedding[i]::DOUBLE - sd.cv[i]::DOUBLE)
+                 * (q.embedding[i]::DOUBLE - sd.cv[i]::DOUBLE))) AS dist
+          FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q, sub, seeds sd
+        ),
+        qdl AS (SELECT query_id, list(dist ORDER BY s, j) AS dt FROM qd GROUP BY query_id),
+        scored AS (
+          SELECT qdl.query_id, c.vec_id AS corpus_id,
+            round(list_sum(list_transform(range(1, 17),
+              s -> qdl.dt[(s - 1) * 64 + c.codes[s] + 1])), 6) AS pq_dist
+          FROM codes c CROSS JOIN qdl
+          WHERE c.vec_id != qdl.query_id
+        ),
+        ranked AS (
+          SELECT query_id, corpus_id, pq_dist,
+            row_number() OVER (PARTITION BY query_id ORDER BY pq_dist, corpus_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, corpus_id, pq_dist, rank::INTEGER AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+      """)
+    ),
+    (
+      // Property gate for q_similarity_topk_pq: a sampled (Lloyd-free)
+      // codebook is recall-shaped, not exactness-shaped — recall@5 vs
+      // brute force above a 0.3 floor (measured 0.40 at sf0.001 AND
+      // sf0.01 with m=16/ksub=64; unit-norm vectors make the L2 ADC order
+      // the cosine order), plus bitwise determinism across two
+      // independent plans (codebook collection + encode + ADC are all
+      // seeded/exact).
+      "q_similarity_pq_property",
+      (spark, dir) => {
+        val embs = Tables.read(spark, dir, "embeddings")
+        val queries = embs.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+        val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5)
+        val pq = Similarity.pqTopK(embs, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5)
+        val recall = brute.join(pq, Seq("query_id", "corpus_id"), "left_semi")
+          .agg((F.count(F.lit(1)) / F.lit(50.0) >= 0.3).as("recall_floor_met"))
+        val again = Similarity.pqTopK(embs, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5)
+        val deterministic = pq.exceptAll(again).union(again.exceptAll(pq))
+          .agg(F.count(F.lit(1)).as("nondeterministic_rows"))
+        recall.crossJoin(deterministic)
+      },
+      Some("""
+        SELECT true AS recall_floor_met, CAST(0 AS BIGINT) AS nondeterministic_rows
+      """)
+    ),
+    (
       "q_multimodal_media",
       (spark, dir) => {
         val docs = Tables.read(spark, dir, "documents")

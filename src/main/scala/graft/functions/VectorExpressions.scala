@@ -59,6 +59,29 @@ object VectorExpressions {
     ColumnBridge.column(
       MatrixCosineExpr(ColumnBridge.expression(vec), matrix.map(_.toSeq).toSeq,
         scale, nanValue))
+
+  /** Product-quantization code array: the vector is split into `subspaces`
+    * contiguous slices; code[s] = argmin over codebook rows j of the
+    * squared L2 distance between slice s of the vector and slice s of row
+    * j (ties → smallest j). One fused pass replaces subspaces × ksub
+    * dot-product trees. */
+  def pqEncode(vec: Column, codebook: Array[Array[Double]], subspaces: Int): Column =
+    ColumnBridge.column(
+      PqEncodeExpr(ColumnBridge.expression(vec), codebook.map(_.toSeq).toSeq, subspaces))
+
+  /** Per-query ADC distance table: dt[s·ksub + j] = ‖slice_s(vec) −
+    * slice_s(codebook(j))‖², in (s, j) order — computed ONCE per query and
+    * reused across every corpus code row. */
+  def pqDistTable(vec: Column, codebook: Array[Array[Double]], subspaces: Int): Column =
+    ColumnBridge.column(
+      PqDistTableExpr(ColumnBridge.expression(vec), codebook.map(_.toSeq).toSeq, subspaces))
+
+  /** Asymmetric-distance lookup: Σ_s dt[s·ksub + codes[s]] in ascending-s
+    * order — O(subspaces) adds per (query, doc) pair instead of O(dim)
+    * multiply-adds. */
+  def pqAdc(codes: Column, distTable: Column, ksub: Int): Column =
+    ColumnBridge.column(
+      PqAdcExpr(ColumnBridge.expression(codes), ColumnBridge.expression(distTable), ksub))
 }
 
 private[graft] trait VectorBinaryExpr extends BinaryExpression {
@@ -331,6 +354,150 @@ case class DotProductExpr(left: Expression, right: Expression)
          |${ev.value} = $dot;
        """.stripMargin
     })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Shared squared-L2 slice distance for the PQ expressions: slice `s` of
+  * the input vector against slice `s` of codebook row `w`, index-order
+  * double accumulation, null elements zero-filled (the file's shared
+  * convention). */
+private[graft] trait PqVectorExpr extends MatrixVectorExpr {
+  def subspaces: Int
+
+  protected def sliceDist(arr: ArrayData, w: Array[Double], s: Int, dsub: Int): Double = {
+    var dist = 0.0
+    var i = s * dsub
+    val lim = math.min(math.min((s + 1) * dsub, arr.numElements()), w.length)
+    while (i < lim) {
+      val x = (if (arr.isNullAt(i)) 0.0 else getElem(arr, i)) - w(i)
+      dist += x * x
+      i += 1
+    }
+    dist
+  }
+
+  protected def dsubOf(arr: ArrayData): Int = {
+    val d = arr.numElements()
+    require(subspaces > 0 && d % subspaces == 0,
+      s"vector dim $d is not divisible into $subspaces subspaces")
+    d / subspaces
+  }
+}
+
+/** PQ encode: array<int> of length `subspaces`, code[s] = argmin_j of the
+  * per-slice squared L2 (ties → smallest j — matches the oracle's
+  * row_number ORDER BY dist, j). */
+case class PqEncodeExpr(child: Expression, matrix: Seq[Seq[Double]], subspaces: Int)
+    extends PqVectorExpr {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  def compute(arr: ArrayData): ArrayData = {
+    val dsub = dsubOf(arr)
+    val out = new Array[Int](subspaces)
+    var s = 0
+    while (s < subspaces) {
+      var best = 0
+      var bestDist = Double.PositiveInfinity
+      var j = 0
+      while (j < m.length) {
+        val dist = sliceDist(arr, m(j), s, dsub)
+        if (dist < bestDist) { bestDist = dist; best = j }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqEncode", this, classOf[PqEncodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $self.compute((org.apache.spark.sql.catalyst.util.ArrayData) $a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** PQ ADC distance table: array<double> of length subspaces × ksub in
+  * (s, j) order — built once per QUERY vector. */
+case class PqDistTableExpr(child: Expression, matrix: Seq[Seq[Double]], subspaces: Int)
+    extends PqVectorExpr {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  def compute(arr: ArrayData): ArrayData = {
+    val dsub = dsubOf(arr)
+    val out = new Array[Double](subspaces * m.length)
+    var s = 0
+    while (s < subspaces) {
+      var j = 0
+      while (j < m.length) {
+        out(s * m.length + j) = sliceDist(arr, m(j), s, dsub)
+        j += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqDistTable", this, classOf[PqDistTableExpr].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $self.compute((org.apache.spark.sql.catalyst.util.ArrayData) $a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC lookup: Σ_s dt[s·ksub + codes[s]], ascending s (the same operand
+  * order as the oracle's list_sum over an (s)-ordered transform, so the
+  * double sums are bitwise equal). */
+case class PqAdcExpr(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects (array<int> codes, array<double> dist table), got $other")
+    }
+
+  def compute(codes: ArrayData, dt: ArrayData): Double = {
+    var sum = 0.0
+    var s = 0
+    val n = codes.numElements()
+    while (s < n) {
+      sum += dt.getDouble(s * ksub + codes.getInt(s))
+      s += 1
+    }
+    sum
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqAdc", this, classOf[PqAdcExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = $self.compute(
+         |  (org.apache.spark.sql.catalyst.util.ArrayData) $a,
+         |  (org.apache.spark.sql.catalyst.util.ArrayData) $b);""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(

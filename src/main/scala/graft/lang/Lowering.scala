@@ -1591,6 +1591,8 @@ object Lowering {
               df, idCol, vecCol, df, idCol, vecCol, k.toInt)
             case "int8" => graft.operators.Similarity.int8BruteForceTopK(
               df, idCol, vecCol, df, idCol, vecCol, k.toInt)
+            case "pq" => graft.operators.Similarity.pqTopK(
+              df, idCol, vecCol, df, idCol, vecCol, k.toInt)
             case "lsh_int8" => graft.operators.Similarity.lshTopK(
               df, idCol, vecCol, df, idCol, vecCol, k.toInt,
               planes = planes, tables = tables, int8Scoring = true)
@@ -1618,7 +1620,7 @@ object Lowering {
                 planes = planes, tables = tables)
             case other => throw new LoweringException(
               s"similarity_topk: unknown method '$other' (expected brute, lsh, ivf, " +
-                "int8, lsh_int8, int8_index, lsh_int8_index, lsh_int8_part)")
+                "int8, pq, lsh_int8, int8_index, lsh_int8_index, lsh_int8_part)")
           }
           Plain(sim)
         case _ =>

@@ -84,6 +84,66 @@ object Similarity {
       .select("query_id", "corpus_id", "cos_sim", "rank")
   }
 
+  /** Product-quantization approximate top-k (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search") — the COMPRESSION tier of
+    * the ANN family: each vector is stored as `m` subspace codes
+    * (m·log2(ksub) bits — 96 bits = 12 bytes at the m=16/ksub=64 default
+    * vs 256 float bytes at dim 64, ~21×; and the arithmetic per candidate
+    * drops from O(dim) multiply-adds to O(m) table lookups via the
+    * per-query ADC distance table).
+    *
+    * Codebook: per subspace, the slices of the `ksub` corpus rows with the
+    * smallest (md5(id), id) — the engine's deterministic seeded-centroid
+    * idiom ([[seededCentroidMatrix]]), NO Lloyd iterations, so the DuckDB
+    * oracle re-derives the exact same codebook, codes, and ADC sums in
+    * plain SQL (list_sum over index-ordered transforms = the kernels'
+    * ascending-index double accumulation, bitwise).
+    *
+    * Scale anatomy: encode is one fused codegen'd pass over the corpus
+    * (offline at 100 TB — CTAS the (id, codes) frame like the int8 index);
+    * each query computes its m·ksub distance table ONCE; the candidate
+    * scan reads ONLY (id, codes) and the ranking is a broadcast
+    * nested-loop over m-int code rows. Returns squared-L2 ADC distance
+    * (`pq_dist` ASC), ties → corpus_id. */
+  def pqTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int = 10,
+      subspaces: Int = 16,
+      ksub: Int = 64,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val c = corpus.select(F.col(corpusId).as("corpus_id"), F.col(corpusVec).as("__cv"))
+    val q = queries.select(F.col(queryId).as("query_id"), F.col(queryVec).as("__qv"))
+    val codebook = seededCentroidMatrix(c, "corpus_id", "__cv", ksub)
+    require(codebook.nonEmpty, "pqTopK: no non-null vectors to seed the codebook")
+    require(codebook.head.length % subspaces == 0,
+      s"pqTopK: dim ${codebook.head.length} not divisible into $subspaces subspaces")
+    val kActual = codebook.length // corpus smaller than ksub degrades gracefully
+    val enc = c.filter(F.col("__cv").isNotNull)
+      .select(F.col("corpus_id"),
+        graft.functions.VectorExpressions.pqEncode(F.col("__cv"), codebook, subspaces)
+          .as("__codes"))
+    val qdt = q.filter(F.col("__qv").isNotNull)
+      .select(F.col("query_id"),
+        graft.functions.VectorExpressions.pqDistTable(F.col("__qv"), codebook, subspaces)
+          .as("__dt"))
+    var joined = enc.crossJoin(F.broadcast(qdt))
+    if (excludeSelf) joined = joined.filter(F.col("corpus_id") =!= F.col("query_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("pq_dist").asc, F.col("corpus_id").asc)
+    joined
+      .withColumn("pq_dist", F.round(
+        graft.functions.VectorExpressions.pqAdc(F.col("__codes"), F.col("__dt"), kActual), 6))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "corpus_id", "pq_dist", "rank")
+  }
+
   /** LSH-bucketed approximate top-k: candidates share a bucket in at least
     * one of `tables` hash tables; exact cosine ranks the candidates.
     * Recall grows with tables; cost stays ~O(candidates). */

@@ -37,4 +37,9 @@ class PropertyGateSpec extends SparkTestBase {
     val r = row("q_similarity_int8_property")
     assert(r.getBoolean(0))
   }
+
+  test("PQ top-k: recall@5 clears the 0.3 floor; bitwise deterministic") {
+    val r = row("q_similarity_pq_property")
+    assert(r.getBoolean(0) && r.getLong(1) == 0L, r.toString)
+  }
 }
