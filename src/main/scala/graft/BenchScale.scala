@@ -114,6 +114,10 @@ object BenchScale {
     // rows), ADC ranking reads only the m-int code rows against a fixed
     // query set — the int8 family's ~flat shape with 21× smaller codes
     "q_similarity_topk_pq",
+    // persisted PQ twin (build memoized per dir, untimed): the timed
+    // region is the code-only index scan + SDC ranking — the 21×-smaller
+    // read path must stay as flat as the int8-index row
+    "q_similarity_topk_pq_index",
     // bigram perplexity (r15): the unigram shuffle anatomy plus a
     // pair-keyed model groupBy and a second postings join — replica-tagged
     // tokens grow bigram types linearly with the corpus, so exponent ~1 is

@@ -494,6 +494,20 @@ object QueryCatalog {
     * queries then re-read from disk, so their scans genuinely prove the
     * float column is pruned (PlanSpec gates ReadSchema) and the 4× byte
     * saving is real I/O, not bookkeeping. */
+  /** Build-once-per-(JVM, corpus dir) persisted PQ index: the full
+    * embeddings frame + codes (payload-bearing — the float column rides
+    * along so the PlanSpec pruning gate proves the serving scan reads
+    * (vec_id, codes) only) plus the codebook sibling at path+"_codebook". */
+  private val pqIndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def persistedPqIndex(spark: SparkSession, dir: String): String =
+    pqIndexPaths.getOrElseUpdate(dir, {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_pq_index_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      Similarity.writePqIndex(
+        Tables.read(spark, dir, "embeddings"), "vec_id", "embedding", path)
+      path
+    })
+
   private val int8IndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private def persistedInt8Index(spark: SparkSession, dir: String): String =
     int8IndexPaths.getOrElseUpdate(dir, {
@@ -4058,6 +4072,71 @@ object QueryCatalog {
           FROM scored
         )
         SELECT query_id, corpus_id, pq_dist, rank::INTEGER AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+      """)
+    ),
+    (
+      // PQ over a PERSISTED index by SYMMETRIC distance (SDC,
+      // Similarity.pqIndexTopK): both sides are code arrays read back from
+      // the CTAS'd index — NO float column anywhere in the serving path
+      // (PlanSpec gates the pruned read; the index is payload-bearing so
+      // the gate is non-vacuous). FULL oracle: DuckDB re-derives codebook
+      // → codes → the m·ksub² centroid-pair table (ordered list) → SDC
+      // sums, all bitwise.
+      "q_similarity_topk_pq_index",
+      (spark, dir) => {
+        val path = persistedPqIndex(spark, dir)
+        val queries = spark.read.parquet(path).filter(F.col("vec_id") < 10)
+          .select("vec_id", "codes")
+        Similarity.pqIndexTopK(spark, path, "vec_id", "codes",
+          queries, "vec_id", "codes", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""
+        WITH seeds AS (
+          SELECT embedding AS cv, row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS j
+          FROM embeddings
+          QUALIFY j < 64
+        ),
+        sub AS (SELECT unnest(range(0, 16)) AS s),
+        cd AS (
+          SELECT b.vec_id, sub.s, sd.j,
+            list_sum(list_transform(range(sub.s * 4 + 1, sub.s * 4 + 5),
+              i -> (b.embedding[i]::DOUBLE - sd.cv[i]::DOUBLE)
+                 * (b.embedding[i]::DOUBLE - sd.cv[i]::DOUBLE))) AS dist
+          FROM embeddings b, sub, seeds sd
+        ),
+        codes AS (
+          SELECT vec_id, list(code ORDER BY s) AS codes FROM (
+            SELECT vec_id, s, j AS code,
+              row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+            FROM cd
+          ) WHERE rn = 1 GROUP BY vec_id
+        ),
+        sdt AS (
+          SELECT sub.s, a.j AS j1, b.j AS j2,
+            list_sum(list_transform(range(sub.s * 4 + 1, sub.s * 4 + 5),
+              i -> (a.cv[i]::DOUBLE - b.cv[i]::DOUBLE)
+                 * (a.cv[i]::DOUBLE - b.cv[i]::DOUBLE))) AS dist
+          FROM sub, seeds a, seeds b
+        ),
+        sdtl AS (SELECT list(dist ORDER BY s, j1, j2) AS t FROM sdt),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+            round(list_sum(list_transform(range(1, 17),
+              s -> sdtl.t[(s - 1) * 4096 + c.codes[s] * 64 + q.codes[s] + 1])), 6)
+              AS pq_sdc_dist
+          FROM codes c
+          CROSS JOIN (SELECT vec_id, codes FROM codes WHERE vec_id < 10) q
+          CROSS JOIN sdtl
+          WHERE c.vec_id != q.vec_id
+        ),
+        ranked AS (
+          SELECT query_id, corpus_id, pq_sdc_dist,
+            row_number() OVER (PARTITION BY query_id ORDER BY pq_sdc_dist, corpus_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, corpus_id, pq_sdc_dist, rank::INTEGER AS rank
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
       """)
     ),

@@ -82,6 +82,15 @@ object VectorExpressions {
   def pqAdc(codes: Column, distTable: Column, ksub: Int): Column =
     ColumnBridge.column(
       PqAdcExpr(ColumnBridge.expression(codes), ColumnBridge.expression(distTable), ksub))
+
+  /** Symmetric-distance lookup between two CODE arrays:
+    * Σ_s sdt[s·ksub² + a[s]·ksub + b[s]], ascending s — the persisted-index
+    * serving path where neither side carries floats; `sdt` is the constant
+    * m·ksub² centroid-pair distance table, shipped once per plan. */
+  def pqSdc(codesA: Column, codesB: Column, sdt: Array[Double], ksub: Int): Column =
+    ColumnBridge.column(
+      PqSdcExpr(ColumnBridge.expression(codesA), ColumnBridge.expression(codesB),
+        sdt.toSeq, ksub))
 }
 
 private[graft] trait VectorBinaryExpr extends BinaryExpression {
@@ -494,6 +503,53 @@ case class PqAdcExpr(left: Expression, right: Expression, ksub: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("pqAdc", this, classOf[PqAdcExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = $self.compute(
+         |  (org.apache.spark.sql.catalyst.util.ArrayData) $a,
+         |  (org.apache.spark.sql.catalyst.util.ArrayData) $b);""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** SDC lookup: Σ_s sdt[s·ksub² + a[s]·ksub + b[s]], ascending s. The
+  * centroid-pair table is a structural Seq (canonicalization-safe) read
+  * through a transient array in the hot loop, like the matrix kernels. */
+case class PqSdcExpr(left: Expression, right: Expression, sdt: Seq[Double], ksub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  @transient private lazy val t: Array[Double] = sdt.toArray
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects two array<int> code columns, got $other")
+    }
+
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    var sum = 0.0
+    var s = 0
+    val n = math.min(a.numElements(), b.numElements())
+    val k2 = ksub * ksub
+    while (s < n) {
+      sum += t(s * k2 + a.getInt(s) * ksub + b.getInt(s))
+      s += 1
+    }
+    sum
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqSdc", this, classOf[PqSdcExpr].getName)
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""${ev.value} = $self.compute(
          |  (org.apache.spark.sql.catalyst.util.ArrayData) $a,

@@ -1580,7 +1580,10 @@ object Lowering {
           if (lshParams.isDefined && !method.startsWith("lsh"))
             throw new LoweringException(
               s"similarity_topk: (planes, tables) only apply to lsh methods, not '$method'")
-          val df = lower(TableRef(corpus), ctx)
+          // LAZY: the path-based methods ('pq_index', 'lsh_int8_part') read
+          // `corpus` as a parquet PATH — resolving it as a table name here
+          // would prepend the base dir and fail before the match runs
+          lazy val df = lower(TableRef(corpus), ctx)
           val sim = method match {
             case "brute" => graft.operators.Similarity.bruteForceTopK(
               df, idCol, vecCol, df, idCol, vecCol, k.toInt)
@@ -1593,6 +1596,19 @@ object Lowering {
               df, idCol, vecCol, df, idCol, vecCol, k.toInt)
             case "pq" => graft.operators.Similarity.pqTopK(
               df, idCol, vecCol, df, idCol, vecCol, k.toInt)
+            case "pq_index" =>
+              // corpus must be a PATH to a persisted PQ index (written by
+              // Similarity.writePqIndex: codes parquet + "_codebook"
+              // sibling); vec_col names the CODES column. Self-kNN by
+              // symmetric distance — no float column in the serving path.
+              if (!corpus.matches("(?i).*\\.(parquet)$") && !corpus.contains("/"))
+                throw new LoweringException(
+                  "similarity_topk 'pq_index' expects a path to a persisted PQ " +
+                    "index (see Similarity.writePqIndex)")
+              val queries = ctx.spark.read.parquet(corpus)
+                .dropDuplicates(idCol).select(F.col(idCol), F.col(vecCol))
+              graft.operators.Similarity.pqIndexTopK(ctx.spark, corpus, idCol, vecCol,
+                queries, idCol, vecCol, k.toInt)
             case "lsh_int8" => graft.operators.Similarity.lshTopK(
               df, idCol, vecCol, df, idCol, vecCol, k.toInt,
               planes = planes, tables = tables, int8Scoring = true)
@@ -1620,7 +1636,7 @@ object Lowering {
                 planes = planes, tables = tables)
             case other => throw new LoweringException(
               s"similarity_topk: unknown method '$other' (expected brute, lsh, ivf, " +
-                "int8, pq, lsh_int8, int8_index, lsh_int8_index, lsh_int8_part)")
+                "int8, pq, pq_index, lsh_int8, int8_index, lsh_int8_index, lsh_int8_part)")
           }
           Plain(sim)
         case _ =>

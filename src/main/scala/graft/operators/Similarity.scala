@@ -144,6 +144,131 @@ object Similarity {
       .select("query_id", "corpus_id", "pq_dist", "rank")
   }
 
+  /** PQ index frame: corpus columns + the `codes` array — CTAS/parquet this
+    * once (offline at 100 TB), then query with [[pqIndexTopK]], whose scans
+    * read (id, codes) ONLY. Payload columns persisted alongside are pruned
+    * by the reader (PlanSpec gates it), so the ~21× byte saving is real
+    * I/O. [[writePqIndex]] persists the frame AND its codebook sibling. */
+  def buildPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      subspaces: Int = 16,
+      ksub: Int = 64
+  ): (DataFrame, Array[Array[Double]]) = {
+    val codebook = seededCentroidMatrix(
+      corpus.select(F.col(idCol), F.col(vecCol)), idCol, vecCol, ksub)
+    require(codebook.nonEmpty, "buildPqIndex: no non-null vectors to seed the codebook")
+    require(codebook.head.length % subspaces == 0,
+      s"buildPqIndex: dim ${codebook.head.length} not divisible into $subspaces subspaces")
+    (corpus.filter(F.col(vecCol).isNotNull).withColumn("codes",
+      graft.functions.VectorExpressions.pqEncode(F.col(vecCol), codebook, subspaces)),
+      codebook)
+  }
+
+  /** Persist the PQ index at `path` and its codebook at `path + "_codebook"`
+    * (rows (j, centroid)) — the pair [[pqIndexTopK]] reads back. */
+  def writePqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      subspaces: Int = 16,
+      ksub: Int = 64
+  ): Unit = {
+    val (idx, codebook) = buildPqIndex(corpus, idCol, vecCol, subspaces, ksub)
+    idx.write.mode("overwrite").parquet(path)
+    val spark = corpus.sparkSession
+    import scala.jdk.CollectionConverters._
+    val rows = codebook.zipWithIndex.map { case (c, j) =>
+      org.apache.spark.sql.Row(j, c.toSeq)
+    }.toSeq.asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false), nullable = false)))
+    spark.createDataFrame(rows, schema).repartition(1)
+      .write.mode("overwrite").parquet(path + "_codebook")
+  }
+
+  /** Centroid-pair symmetric-distance table, flattened (s, j1, j2):
+    * sdt[s·ksub² + j1·ksub + j2] = ‖slice_s(cb j1) − slice_s(cb j2)‖² —
+    * ascending-index double accumulation so the DuckDB oracle's ordered
+    * list_sum reproduces every entry bitwise. m·ksub² doubles (512 KB at
+    * the defaults), shipped once per plan. */
+  private[operators] def pqSdcTable(
+      codebook: Array[Array[Double]], subspaces: Int): Array[Double] = {
+    val ksub = codebook.length
+    val d = codebook.head.length
+    val dsub = d / subspaces
+    val out = new Array[Double](subspaces * ksub * ksub)
+    var s = 0
+    while (s < subspaces) {
+      var a = 0
+      while (a < ksub) {
+        var b = 0
+        while (b < ksub) {
+          var dist = 0.0
+          var i = s * dsub
+          val lim = (s + 1) * dsub
+          while (i < lim) {
+            val x = codebook(a)(i) - codebook(b)(i)
+            dist += x * x
+            i += 1
+          }
+          out(s * ksub * ksub + a * ksub + b) = dist
+          b += 1
+        }
+        a += 1
+      }
+      s += 1
+    }
+    out
+  }
+
+  /** Top-k over a PERSISTED PQ index by SYMMETRIC distance (SDC): both
+    * sides are code arrays read from the index — NO float column is read
+    * anywhere in the serving path (stronger than the int8 index, whose
+    * scoring still touches per-vector bytes of the full dimension). The
+    * ranking metric is the centroid-pair squared-L2 sum `pq_sdc_dist`
+    * (ASC, ties → corpus_id); the m·ksub² lookup table is built driver-side
+    * from the codebook sibling written by [[writePqIndex]]. */
+  def pqIndexTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      idCol: String,
+      codesCol: String,
+      queries: DataFrame,
+      queryId: String,
+      queryCodesCol: String,
+      k: Int = 10,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val codebook = spark.read.parquet(indexPath + "_codebook")
+      .orderBy("j").collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(codebook.nonEmpty, s"pqIndexTopK: empty codebook at ${indexPath}_codebook")
+    val idx = spark.read.parquet(indexPath)
+      .select(F.col(idCol).as("corpus_id"), F.col(codesCol).as("__c"))
+    val q = queries.select(F.col(queryId).as("query_id"), F.col(queryCodesCol).as("__qc"))
+    // subspace count comes from the code arrays; ksub from the codebook
+    val subspaces = idx.select(F.size(F.col("__c"))).head.getInt(0)
+    val sdt = pqSdcTable(codebook, subspaces)
+    var joined = idx.crossJoin(F.broadcast(q))
+    if (excludeSelf) joined = joined.filter(F.col("corpus_id") =!= F.col("query_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("pq_sdc_dist").asc, F.col("corpus_id").asc)
+    joined
+      .withColumn("pq_sdc_dist", F.round(
+        graft.functions.VectorExpressions.pqSdc(
+          F.col("__c"), F.col("__qc"), sdt, codebook.length), 6))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "corpus_id", "pq_sdc_dist", "rank")
+  }
+
   /** LSH-bucketed approximate top-k: candidates share a bucket in at least
     * one of `tables` hash tables; exact cosine ranks the candidates.
     * Recall grows with tables; cost stays ~O(candidates). */

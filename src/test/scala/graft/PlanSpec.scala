@@ -400,6 +400,31 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("persisted PQ index: float column is PRUNED; serving path is code-only") {
+    // The PQ index is written payload-bearing (embeddings frame + codes),
+    // and pqIndexTopK ranks by SYMMETRIC distance over the code arrays —
+    // so the serving scan must read (vec_id, codes) ONLY. At 100 TB the
+    // float column is ~21× the code bytes; an unpruned scan erases the
+    // entire compression win.
+    import org.apache.spark.sql.{functions => F}
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_planspec_pq_index").getAbsolutePath
+    graft.operators.Similarity.writePqIndex(
+      table("embeddings"), "vec_id", "embedding", path)
+    val queries = spark.read.parquet(path).filter(F.col("vec_id") < 10)
+      .select("vec_id", "codes")
+    val df = graft.operators.Similarity.pqIndexTopK(
+      spark, path, "vec_id", "codes", queries, "vec_id", "codes", k = 5)
+    val plan = planOf(df)
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(readSchemas.nonEmpty, s"no ReadSchema in plan:\n$plan")
+    readSchemas.foreach { rs =>
+      assert(!rs.contains("embedding"), s"PQ index scan reads the float column: $rs")
+      assert(rs.contains("codes"), s"PQ index scan misses codes: $rs")
+    }
+    assert(df.count() > 0)
+  }
+
   test("persisted minhash index: corpus text column is PRUNED from the index scan") {
     // Incremental dedup's whole point is that the corpus text is never
     // re-read: probing a payload-bearing persisted index (id, sig, text —
