@@ -118,6 +118,9 @@ object BenchScale {
     // region is the code-only index scan + SDC ranking — the 21×-smaller
     // read path must stay as flat as the int8-index row
     "q_similarity_topk_pq_index",
+    // IVF-PQ composition: candidates cut by nprobe/nlist (IVF) AND scored
+    // in O(m) code lookups (PQ) — the flattest composed shape in the family
+    "q_similarity_topk_ivf_pq",
     // bigram perplexity (r15): the unigram shuffle anatomy plus a
     // pair-keyed model groupBy and a second postings join — replica-tagged
     // tokens grow bigram types linearly with the corpus, so exponent ~1 is

@@ -4141,6 +4141,109 @@ object QueryCatalog {
       """)
     ),
     (
+      // IVF-PQ (Similarity.ivfPqTopK) — the canonical composed ANN (FAISS's
+      // workhorse shape): seeded coarse cells cut the CANDIDATE COUNT
+      // (nprobe/nlist of the corpus per query), PQ ADC cuts the
+      // per-candidate BYTES + ARITHMETIC. Cell assignment shares the
+      // ivf-seeded contract (rounded cosine, NaN→-1, first-max); the
+      // codebook shares pq's — so the whole composition is one FULL DuckDB
+      // oracle.
+      "q_similarity_topk_ivf_pq",
+      (spark, dir) => {
+        val embs = Tables.read(spark, dir, "embeddings")
+        val queries = embs.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+        Similarity.ivfPqTopK(embs, "vec_id", "embedding", queries, "vec_id", "embedding",
+          k = 5, nlist = 32, nprobe = 4, subspaces = 16, ksub = 64)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""
+        WITH cells AS (
+          SELECT embedding AS cvec,
+            row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS bucket
+          FROM embeddings
+          QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 32
+        ),
+        cos_ec AS (
+          SELECT e.vec_id, s.bucket,
+            COALESCE(NULLIF(${duckCosine("e.embedding", "s.cvec")}, 'NaN'::DOUBLE), -1.0) AS cs
+          FROM embeddings e CROSS JOIN cells s
+        ),
+        assign AS (
+          SELECT vec_id, bucket FROM cos_ec
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, bucket) = 1
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, bucket FROM cos_ec WHERE vec_id < 10
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, bucket) <= 4
+        ),
+        seeds AS (
+          SELECT embedding AS cv, row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS j
+          FROM embeddings
+          QUALIFY j < 64
+        ),
+        sub AS (SELECT unnest(range(0, 16)) AS s),
+        cdist AS (
+          SELECT b.vec_id, sub.s, sd.j,
+            list_sum(list_transform(range(sub.s * 4 + 1, sub.s * 4 + 5),
+              i -> (b.embedding[i]::DOUBLE - sd.cv[i]::DOUBLE)
+                 * (b.embedding[i]::DOUBLE - sd.cv[i]::DOUBLE))) AS dist
+          FROM embeddings b, sub, seeds sd
+        ),
+        codes AS (
+          SELECT vec_id, list(code ORDER BY s) AS codes FROM (
+            SELECT vec_id, s, j AS code,
+              row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+            FROM cdist
+          ) WHERE rn = 1 GROUP BY vec_id
+        ),
+        qd AS (
+          SELECT q.vec_id AS query_id, sub.s, sd.j,
+            list_sum(list_transform(range(sub.s * 4 + 1, sub.s * 4 + 5),
+              i -> (q.embedding[i]::DOUBLE - sd.cv[i]::DOUBLE)
+                 * (q.embedding[i]::DOUBLE - sd.cv[i]::DOUBLE))) AS dist
+          FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q, sub, seeds sd
+        ),
+        qdl AS (SELECT query_id, list(dist ORDER BY s, j) AS dt FROM qd GROUP BY query_id),
+        cand AS (
+          SELECT p.query_id, a.vec_id AS corpus_id
+          FROM assign a JOIN probes p USING (bucket)
+          WHERE a.vec_id != p.query_id
+        ),
+        scored AS (
+          SELECT cnd.query_id, cnd.corpus_id,
+            round(list_sum(list_transform(range(1, 17),
+              s -> qdl.dt[(s - 1) * 64 + c.codes[s] + 1])), 6) AS pq_dist
+          FROM cand cnd
+          JOIN codes c ON c.vec_id = cnd.corpus_id
+          JOIN qdl ON qdl.query_id = cnd.query_id
+        ),
+        ranked AS (
+          SELECT query_id, corpus_id, pq_dist,
+            row_number() OVER (PARTITION BY query_id ORDER BY pq_dist, corpus_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, corpus_id, pq_dist, rank::INTEGER AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+      """)
+    ),
+    (
+      // The ann_pq_index WRITER on the language surface (index parquet +
+      // codebook sibling are two outputs, which a plain CTAS of a returned
+      // frame cannot express — so the table function writes and returns a
+      // 1-row summary). The CONTENT of what it writes is bitwise-verified
+      // by q_similarity_topk_pq_index's full oracle; this row pins the
+      // summary contract (row count = non-null vectors, quantizer shape).
+      "q_ann_pq_index",
+      wv("""
+        from ann_pq_index('embeddings', 'vec_id', 'embedding', '/tmp/graft_pq_idx_wv', 16, 64)
+      """),
+      Some("""
+        SELECT '/tmp/graft_pq_idx_wv' AS path, count(*)::BIGINT AS rows,
+               16 AS subspaces, 64 AS ksub
+        FROM embeddings WHERE embedding IS NOT NULL
+      """)
+    ),
+    (
       // Property gate for q_similarity_topk_pq: a sampled (Lloyd-free)
       // codebook is recall-shaped, not exactness-shaped — recall@5 vs
       // brute force above a 0.3 floor (measured 0.40 at sf0.001 AND

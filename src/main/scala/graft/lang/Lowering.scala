@@ -28,8 +28,8 @@ object Lowering {
     * twice in r13/r14. Add a dispatch case ⇒ the spec forces the name in
     * here ⇒ LSP + playground pick it up structurally. */
   val nativeTableFunctions: Seq[String] = Seq(
-    "ann_int8_index", "ann_lsh_postings", "bpe_count", "bpe_stats", "bpe_train",
-    "build_vocab",
+    "ann_int8_index", "ann_lsh_postings", "ann_pq_index",
+    "bpe_count", "bpe_stats", "bpe_train", "build_vocab",
     "contaminated_docs", "contaminated_vecs", "contamination_report",
     "decode_audio", "decode_images", "decode_video",
     "decontaminate", "decontaminate_semantic",
@@ -44,6 +44,18 @@ object Lowering {
     "token_stats", "vocab_profile", "weighted_mix",
     "wv_schemas", "wv_tables"
   )
+
+  /** ann_pq_index side-effecting write + 1-row summary: path, row count of
+    * the written index, and the quantizer shape. */
+  private def pqIndexWriteSummary(ctx: Context, corpus: String, idCol: String,
+      vecCol: String, path: String, subspaces: Int, ksub: Int): DataFrame = {
+    graft.operators.Similarity.writePqIndex(
+      lower(TableRef(corpus), ctx), idCol, vecCol, path, subspaces, ksub)
+    val n = ctx.spark.read.parquet(path).count()
+    val s = ctx.spark
+    import s.implicits._
+    Seq((path, n, subspaces, ksub)).toDF("path", "rows", "subspaces", "ksub")
+  }
 
   final case class Context(
       spark: SparkSession,
@@ -1592,6 +1604,8 @@ object Lowering {
               planes = planes, tables = tables)
             case "ivf" => graft.operators.Similarity.ivfSeededTopK(
               df, idCol, vecCol, df, idCol, vecCol, k.toInt)
+            case "ivf_pq" => graft.operators.Similarity.ivfPqTopK(
+              df, idCol, vecCol, df, idCol, vecCol, k.toInt)
             case "int8" => graft.operators.Similarity.int8BruteForceTopK(
               df, idCol, vecCol, df, idCol, vecCol, k.toInt)
             case "pq" => graft.operators.Similarity.pqTopK(
@@ -1636,7 +1650,8 @@ object Lowering {
                 planes = planes, tables = tables)
             case other => throw new LoweringException(
               s"similarity_topk: unknown method '$other' (expected brute, lsh, ivf, " +
-                "int8, pq, pq_index, lsh_int8, int8_index, lsh_int8_index, lsh_int8_part)")
+                "int8, pq, pq_index, ivf_pq, lsh_int8, int8_index, lsh_int8_index, " +
+                "lsh_int8_part)")
           }
           Plain(sim)
         case _ =>
@@ -1661,6 +1676,29 @@ object Lowering {
           throw new LoweringException(
             "ann_int8_index expects (corpus, id_col, vec_col) literals, " +
               "e.g. ann_int8_index('embeddings', 'vec_id', 'embedding')")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "ann_pq_index" =>
+      // ann_pq_index('corpus', 'id_col', 'vec_col', '/out/path'[, subspaces,
+      // ksub]) — WRITES the persisted PQ index (payload-bearing codes
+      // parquet + "_codebook" sibling; Similarity.writePqIndex — two
+      // outputs, which a plain CTAS of a returned frame cannot express) and
+      // returns a 1-row summary. Query the path with
+      // similarity_topk('<path>', '<id_col>', 'codes', k, 'pq_index').
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(vecCol: String),
+            Some(path: String)) =>
+          Plain(pqIndexWriteSummary(ctx, corpus, idCol, vecCol, path, 16, 64))
+        case List(Some(corpus: String), Some(idCol: String), Some(vecCol: String),
+            Some(path: String), Some(m: Long), Some(ks: Long))
+            if m >= 1 && ks >= 2 =>
+          Plain(pqIndexWriteSummary(ctx, corpus, idCol, vecCol, path, m.toInt, ks.toInt))
+        case _ =>
+          throw new LoweringException(
+            "ann_pq_index expects (corpus, id_col, vec_col, out_path[, subspaces, ksub]) " +
+              "literals, e.g. ann_pq_index('embeddings', 'vec_id', 'embedding', " +
+              "'/tmp/pq_idx', 16, 64)")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

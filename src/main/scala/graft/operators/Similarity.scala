@@ -269,6 +269,64 @@ object Similarity {
       .select("query_id", "corpus_id", "pq_sdc_dist", "rank")
   }
 
+  /** IVF-PQ — the canonical composed ANN at extreme scale (FAISS's
+    * workhorse): a seeded coarse quantizer routes each query to its
+    * `nprobe` nearest cells, and candidates are ranked by PQ ADC lookups
+    * instead of float math. Cost per query ≈ |corpus|·nprobe/nlist
+    * candidates × O(m) adds over m-int codes — both the candidate COUNT
+    * (IVF) and the per-candidate BYTES+ARITHMETIC (PQ) are cut.
+    *
+    * Both quantizers use the deterministic seeded-centroid idiom (cells
+    * share [[ivfSeededTopK]]'s exact assignment contract — rounded cosine
+    * scale 6, NaN→-1.0, first-max tie-break; the PQ codebook shares
+    * [[pqTopK]]'s), so the whole composition has a full DuckDB oracle. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int = 10,
+      nlist: Int = 32,
+      nprobe: Int = 4,
+      subspaces: Int = 16,
+      ksub: Int = 64,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val c = corpus.select(F.col(corpusId).as("corpus_id"), F.col(corpusVec).as("__cv"))
+    val cells = seededCentroidMatrix(c, "corpus_id", "__cv", nlist)
+    val codebook = seededCentroidMatrix(c, "corpus_id", "__cv", ksub)
+    require(codebook.nonEmpty && codebook.head.length % subspaces == 0,
+      s"ivfPqTopK: dim not divisible into $subspaces subspaces")
+    val enc = seededAssign(c, "__cv", cells)
+      .select(F.col("corpus_id"), F.col("bucket"),
+        graft.functions.VectorExpressions.pqEncode(F.col("__cv"), codebook, subspaces)
+          .as("__codes"))
+    val q = queries.select(F.col(queryId).as("query_id"), F.col(queryVec).as("__qv"))
+      .filter(F.col("__qv").isNotNull)
+      .withColumn("__dt",
+        graft.functions.VectorExpressions.pqDistTable(F.col("__qv"), codebook, subspaces))
+    val probes = q
+      .withColumn("__ca", graft.functions.VectorExpressions.matrixCosine(
+        F.col("__qv"), cells, scale = 6, nanValue = -1.0))
+      .withColumn("__p", F.explode(F.slice(F.sort_array(
+        F.transform(F.col("__ca"), (cs, i) =>
+          F.struct((-cs).as("nc"), i.cast("long").as("bucket")))), 1, nprobe)))
+      .select(F.col("query_id"), F.col("__dt"), F.col("__p").getField("bucket").as("bucket"))
+    var cand = enc.join(F.broadcast(probes), Seq("bucket")).drop("bucket")
+    if (excludeSelf) cand = cand.filter(F.col("corpus_id") =!= F.col("query_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("pq_dist").asc, F.col("corpus_id").asc)
+    cand
+      .withColumn("pq_dist", F.round(
+        graft.functions.VectorExpressions.pqAdc(
+          F.col("__codes"), F.col("__dt"), codebook.length), 6))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "corpus_id", "pq_dist", "rank")
+  }
+
   /** LSH-bucketed approximate top-k: candidates share a bucket in at least
     * one of `tables` hash tables; exact cosine ranks the candidates.
     * Recall grows with tables; cost stays ~O(candidates). */

@@ -49,8 +49,9 @@ class TableFunctionRegistrySpec extends AnyFunSuite {
   test("the LLM-operator teaching set has a demo per operator") {
     val text = graft.server.Playground.demos.map(_._2).mkString("\n")
     val teachingSet = Seq("similarity_topk", "split_by_cluster", "dedup_semantic",
-      "perplexity_score", "select_token_budget", "contamination_report",
-      "vocab_profile", "bpe_count", "build_vocab", "bpe_train")
+      "perplexity_score", "perplexity_score_bigram", "select_token_budget",
+      "contamination_report", "vocab_profile", "bpe_count", "bpe_stats",
+      "build_vocab", "bpe_train")
     teachingSet.foreach { fn =>
       assert(text.contains(s"$fn("), s"no playground demo exercises $fn")
     }
