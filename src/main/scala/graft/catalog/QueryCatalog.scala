@@ -4918,9 +4918,46 @@ object QueryCatalog {
         order by rank
       """),
       Some("""
-        SELECT token, CAST(c AS BIGINT) AS pair_count, CAST(r AS INTEGER) AS rank
-        FROM (VALUES ('aa', 6, 1), ('ab', 4, 2), ('aaab', 3, 3)) AS t(token, c, r)
+        SELECT token, l AS "left", r AS "right", CAST(c AS BIGINT) AS pair_count,
+               CAST(rk AS INTEGER) AS rank
+        FROM (VALUES ('aa', 'a', 'a', 6, 1), ('ab', 'a', 'b', 4, 2),
+                     ('aaab', 'aa', 'ab', 3, 3)) AS t(token, l, r, c, rk)
         ORDER BY rank
+      """)
+    ),
+    (
+      // TRUE rank-ordered BPE inference (Bpe.withMergeCount via
+      // bpe_count_merges(...)): replay the trained (left, right, rank)
+      // merges within each canonical word — the exact HF/sentencepiece
+      // encode, vs bpe_count's greedy longest-match approximation. The
+      // planted merge set is the classic divergence case: on 'abcd',
+      // greedy over the derived vocab {bc, bcd, ab} takes 'ab' first and
+      // pays 3 tokens; replay merges (b,c) then (bc,d) → [a, bcd] = 2
+      // (BpeSpec asserts the divergence pairwise). Closed-form VALUES
+      // oracle (hand-derived counts).
+      "q_bpe_count_merges",
+      wv("""
+        model bpe_merges = {
+          from [['b', 'c', 1], ['bc', 'd', 2], ['a', 'b', 3]] as m(left, right, rank)
+        }
+        model bpe_mcorpus = {
+          from [
+            [1, 'abcd'],
+            [2, 'abc bcd'],
+            [3, 'xyz'],
+            [4, 'ab'],
+            [5, 'ABCD'],
+            [6, '!!! ...']
+          ] as c(id, text)
+        }
+        from bpe_count_merges('bpe_mcorpus', 'text', 'bpe_merges')
+        select id, n_bpe_merge_tokens
+        order by id
+      """),
+      Some("""
+        SELECT id, CAST(n AS BIGINT) AS n_bpe_merge_tokens FROM (VALUES
+          (1, 2), (2, 3), (3, 3), (4, 1), (5, 2), (6, 0)
+        ) AS t(id, n) ORDER BY id
       """)
     ),
     (

@@ -48,6 +48,11 @@ object BpeExpressions {
   def bpeFallbackBytes(text: Column, vocab: Seq[String]): Column =
     ColumnBridge.column(
       BpeFallbackExpr(ColumnBridge.expression(text), BpeTrie.fromStrings(vocab)))
+
+  /** Tokens under rank-ordered merge replay (true BPE inference) of the
+    * canonical word-array column `words` — see [[BpeMergeCountExpr]]. */
+  def bpeMergeCount(words: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeMergeCountExpr(ColumnBridge.expression(words), merges))
 }
 
 /** Frozen byte-trie over the vocab: per node a sorted byte→child table
@@ -233,6 +238,99 @@ case class BpeSegmentExpr(child: Expression, trie: BpeTrie) extends UnaryExpress
     val gad = classOf[GenericArrayData].getName
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = new $gad((Object[]) $trieRef.segment($c.getBytes()));")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Tokens under TRUE rank-ordered BPE inference (the HF/sentencepiece
+  * encode): replay the trained merges in rank order within each word.
+  * Differs from the greedy longest-match of [[BpeCountExpr]] exactly where
+  * greedy's maximal munch blocks a later, lower-rank merge (e.g. merges
+  * (b,c) < (bc,d) < (a,b) on "abcd": greedy over the derived vocab takes
+  * "ab" and pays 3 tokens; replay yields [a, bcd] = 2).
+  *
+  * Input is the canonical WORD ARRAY (graft.functions.TextFunctions.tokens
+  * — the ONE shared tokenizer; merges never cross word boundaries, the
+  * trainer's convention), so the count is the sum over words of the encoded
+  * symbol count; bytes outside words (punctuation/whitespace) are not in
+  * the trainer's universe and are not counted.
+  *
+  * Encode loop: repeatedly merge the LOWEST-RANK adjacent pair present,
+  * all occurrences left-to-right non-overlapping — equivalent to replaying
+  * ranks 1..R in order because a merge can only CREATE pairs of strictly
+  * higher rank (the pair's right/left symbol must itself exist first).
+  * Same scale shape as the trie counter: merges map shipped once per plan
+  * via addReferenceObj, pure codegen'd scan, no shuffle/join/UDF. */
+case class BpeMergeCountExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val pairRank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.putIfAbsent(a + " " + b, Integer.valueOf(i))
+    }
+    m
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects an array<string> word column, got $other")
+    }
+
+  private def encodedLen(word: String): Int = {
+    if (word.isEmpty) return 0
+    var syms = new java.util.ArrayList[String](word.length)
+    var ci = 0
+    while (ci < word.length) { syms.add(String.valueOf(word.charAt(ci))); ci += 1 }
+    var continue = true
+    while (continue && syms.size > 1) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.size - 1) {
+        val r = pairRank.get(syms.get(i) + " " + syms.get(i + 1))
+        if (r != null && r.intValue() < bestRank) bestRank = r.intValue()
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) continue = false
+      else {
+        val (a, b) = merges(bestRank)
+        val out = new java.util.ArrayList[String](syms.size)
+        i = 0
+        while (i < syms.size) {
+          if (i < syms.size - 1 && syms.get(i) == a && syms.get(i + 1) == b) {
+            out.add(a + b); i += 2 // left-to-right non-overlapping
+          } else { out.add(syms.get(i)); i += 1 }
+        }
+        syms = out
+      }
+    }
+    syms.size
+  }
+
+  def compute(arr: ArrayData): Long = {
+    var total = 0L
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) total += encodedLen(arr.getUTF8String(i).toString)
+      i += 1
+    }
+    total
+  }
+
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bpeMergeCount", this, classOf[BpeMergeCountExpr].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $self.compute((org.apache.spark.sql.catalyst.util.ArrayData) $a);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

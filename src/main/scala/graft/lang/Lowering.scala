@@ -29,7 +29,7 @@ object Lowering {
     * here ⇒ LSP + playground pick it up structurally. */
   val nativeTableFunctions: Seq[String] = Seq(
     "ann_int8_index", "ann_lsh_postings", "ann_pq_index",
-    "bpe_count", "bpe_stats", "bpe_train", "build_vocab",
+    "bpe_count", "bpe_count_merges", "bpe_stats", "bpe_train", "build_vocab",
     "contaminated_docs", "contaminated_vecs", "contamination_report",
     "decode_audio", "decode_images", "decode_video",
     "decontaminate", "decontaminate_semantic",
@@ -1264,6 +1264,26 @@ object Lowering {
             "bpe_count expects (corpus, text_col, vocab_rel) literals — vocab_rel " +
               "is a relation with a `token` string column, e.g. " +
               "bpe_count('documents', 'text', 'my_vocab')")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "bpe_count_merges" =>
+      // bpe_count_merges('corpus', 'text_col', 'merges_rel') — corpus +
+      // n_bpe_merge_tokens: TRUE rank-ordered BPE inference
+      // (Bpe.withMergeCount, functions/BpeMergeCountExpr) replaying the
+      // merges relation (bpe_train's (left, right, rank) shape) within each
+      // canonical word. Greedy bpe_count approximates this from the vocab
+      // alone; this is the exact count when the merge list exists.
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(textCol: String), Some(mergesRel: String)) =>
+          val merges = graft.operators.Bpe.loadMerges(lower(TableRef(mergesRel), ctx))
+          Plain(graft.operators.Bpe.withMergeCount(
+            lower(TableRef(corpus), ctx), textCol, merges))
+        case _ =>
+          throw new LoweringException(
+            "bpe_count_merges expects (corpus, text_col, merges_rel) literals — " +
+              "merges_rel has (left, right, rank) columns (bpe_train's output), e.g. " +
+              "bpe_count_merges('documents', 'text', 'my_merges')")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

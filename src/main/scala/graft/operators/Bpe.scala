@@ -44,6 +44,34 @@ object Bpe {
       outCol: String = "n_bpe_tokens"): DataFrame =
     df.withColumn(outCol, BpeExpressions.bpeCount(F.col(textCol), vocab))
 
+  /** Hard cap on merge rules collected to the driver (matches BpeTrain's
+    * nMerges bound). */
+  val MaxMerges: Int = 65536
+
+  /** Driver-side load of a MERGES relation (bpe_train's output shape):
+    * (left, right) pairs in ascending `rank` order. */
+  def loadMerges(mergesDf: DataFrame): Seq[(String, String)] = {
+    val n = mergesDf.count()
+    require(n <= MaxMerges, s"merges has $n entries — exceeds the $MaxMerges cap")
+    mergesDf.select(F.col("left").cast("string"), F.col("right").cast("string"),
+        F.col("rank").cast("int"))
+      .filter(F.col("left").isNotNull && F.col("right").isNotNull)
+      .orderBy("rank")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
+  /** Corpus + `n_bpe_merge_tokens`: TRUE rank-ordered BPE inference over
+    * the canonical word stream (null text counts 0). The greedy trie
+    * counter approximates this from the vocab alone; this is the exact
+    * merge-replay count when the merge list is available — they diverge
+    * exactly where maximal munch blocks a lower-rank merge. */
+  def withMergeCount(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)], outCol: String = "n_bpe_merge_tokens"): DataFrame =
+    df.withColumn(outCol,
+      F.when(F.col(textCol).isNull, F.lit(0L))
+        .otherwise(BpeExpressions.bpeMergeCount(
+          graft.functions.TextFunctions.tokens(F.col(textCol)), merges)))
+
   /** Tokenizer-fitness report — the numbers that decide whether a vocab
     * FITS a corpus before committing a training run to it:
     *

@@ -28,7 +28,10 @@ import org.apache.spark.sql.{functions => F}
   * [[graft.functions.TextFunctions.tokens]] stream (pure ASCII, so merged
   * tokens are always valid strings); merges never cross word boundaries.
   *
-  * Output: (token, pair_count, rank) — one row per merge in merge order;
+  * Output: (token, left, right, pair_count, rank) — one row per merge in
+  * merge order; (left, right) is the merged PAIR itself (what rank-ordered
+  * inference — [[graft.functions.BpeMergeCountExpr]] — replays; the
+  * concatenated `token` alone is ambiguous: "abc" could be a+bc or ab+c);
   * `pair_count` is the weighted pair frequency at merge time (a
   * non-increasing sequence: a merge can only create pairs no more
   * frequent than itself — gated in BpeSpec). Feeding the `token` column
@@ -60,7 +63,7 @@ object BpeTrain {
     // driver merge loop over the bounded word table
     var words: Array[(Array[String], Long)] =
       wc.map { case (w, c) => (w.map(_.toString).toArray, c) }
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var m = 0
     var done = false
     while (m < nMerges && !done) {
@@ -76,7 +79,7 @@ object BpeTrain {
       if (pairCounts.isEmpty) done = true
       else {
         val ((a, b), cnt) = pairCounts.minBy { case ((x, y), c) => (-c, x, y) }
-        merges += ((a + b, cnt))
+        merges += ((a, b, cnt))
         words = words.map { case (syms, c) =>
           if (syms.length < 2) (syms, c)
           else {
@@ -94,12 +97,16 @@ object BpeTrain {
       }
     }
     import scala.jdk.CollectionConverters._
-    val rows = merges.zipWithIndex.map { case ((t, c), i) =>
-      org.apache.spark.sql.Row(t, c, i + 1)
+    val rows = merges.zipWithIndex.map { case ((a, b, c), i) =>
+      org.apache.spark.sql.Row(a + b, a, b, c, i + 1)
     }
     spark.createDataFrame(rows.asJava,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("left",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("right",
           org.apache.spark.sql.types.StringType, nullable = false),
         org.apache.spark.sql.types.StructField("pair_count",
           org.apache.spark.sql.types.LongType, nullable = false),

@@ -211,6 +211,16 @@ object Playground {
         |from bpe_stats('documents', 'text', 'my_vocab')
         |agg docs = _.count, bytes = n_bytes.sum,
         |    oov_bytes = fallback_bytes.sum, bpe_tokens = n_bpe_tokens.sum""".stripMargin,
+    "llm_bpe_merge_replay" ->
+      """-- TRUE rank-ordered BPE inference: learn merges from the corpus,
+        |-- then count by replaying them in rank order (the HF/sentencepiece
+        |-- encode). Greedy bpe_count approximates this from the vocab
+        |-- alone; they diverge where maximal munch blocks a lower-rank merge.
+        |model my_merges = {
+        |  from bpe_train('documents', 'text', 50)
+        |}
+        |from bpe_count_merges('documents', 'text', 'my_merges')
+        |agg docs = _.count, merge_tokens = n_bpe_merge_tokens.sum""".stripMargin,
     "llm_bpe_count" ->
       """-- count in TOKENIZER tokens, not words: byte-level greedy
         |-- longest-match against a vocab relation (single-byte fallback
@@ -231,7 +241,8 @@ object Playground {
     Set("join_asof", "llm_similarity_topk", "llm_split_by_cluster", "llm_dedup_semantic",
       "llm_perplexity_score", "llm_perplexity_bigram", "llm_token_budget",
       "llm_contamination_report",
-      "llm_vocab_profile", "llm_bpe_count", "llm_bpe_stats", "llm_bpe_train")
+      "llm_vocab_profile", "llm_bpe_count", "llm_bpe_stats", "llm_bpe_train",
+      "llm_bpe_merge_replay")
 
   private def jsStr(s: String): String =
     "\"" + s.flatMap {

@@ -183,13 +183,15 @@ class BpeSpec extends SparkTestBase {
     // hand-derived sequence (the q_bpe_train oracle): aa(6) → ab(4) → aaab(3)
     val planted = Seq((1L, "aaab aaab"), (2L, "aaab ab")).toDF("id", "text")
     val merges = BpeTrain.bpeTrain(planted, "text", 3).orderBy("rank").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
-    assert(merges == Seq(("aa", 6L, 1), ("ab", 4L, 2), ("aaab", 3L, 3)))
+      .map(r => (r.getAs[String]("token"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_count"), r.getAs[Int]("rank"))).toSeq
+    assert(merges == Seq(("aa", "a", "a", 6L, 1), ("ab", "a", "b", 4L, 2),
+      ("aaab", "aa", "ab", 3L, 3)))
     // tied pair counts: (x,y) and (x,z) both at 2 — the lexicographically
     // smaller pair merges first, deterministically
     val tied = Seq((1L, "xy xz"), (2L, "xy xz")).toDF("id", "text")
     val t = BpeTrain.bpeTrain(tied, "text", 2).orderBy("rank").collect()
-      .map(r => (r.getString(0), r.getInt(2))).toSeq
+      .map(r => (r.getAs[String]("token"), r.getAs[Int]("rank"))).toSeq
     assert(t == Seq(("xy", 1), ("xz", 2)))
     // merges stop early when no pairs remain (requesting more is safe)
     val tiny = Seq((1L, "ab")).toDF("id", "text")
@@ -199,7 +201,8 @@ class BpeSpec extends SparkTestBase {
   test("bpe_train on the corpus: non-increasing merge counts, composes into bpe_count") {
     val merges = BpeTrain.bpeTrain(docs, "text", 40)
     val seq = merges.orderBy("rank").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("pair_count"),
+        r.getAs[Int]("rank"))).toSeq
     assert(seq.size == 40)
     assert(seq.map(_._3) == (1 to 40), "ranks dense in merge order")
     // a merge can only create pairs no more frequent than itself
@@ -212,6 +215,44 @@ class BpeSpec extends SparkTestBase {
     val counted = Bpe.withCount(docs, "text", vocab)
     assert(counted.filter(F.col("n_bpe_tokens") >=
       F.octet_length(F.col("text"))).count() == 0, "learned merges never fire")
+  }
+
+  test("merge replay: diverges from greedy exactly as constructed; trainer-consistent") {
+    import spark.implicits._
+    // the classic divergence: greedy over the DERIVED vocab takes 'ab'
+    // first on 'abcd' (maximal munch) and pays 3; rank-ordered replay
+    // merges (b,c) then (bc,d) -> [a, bcd] = 2
+    val merges = Seq(("b", "c"), ("bc", "d"), ("a", "b"))
+    val vocab = merges.map { case (a, b) => a + b } // {bc, bcd, ab}
+    val one = Seq((1L, "abcd")).toDF("id", "text")
+    val greedy = Bpe.withCount(one, "text", vocab).head.getAs[Long]("n_bpe_tokens")
+    val replay = Bpe.withMergeCount(one, "text", merges)
+      .head.getAs[Long]("n_bpe_merge_tokens")
+    assert(greedy == 3L && replay == 2L, s"greedy $greedy replay $replay")
+    // trainer consistency: encoding the trainer's own corpus with its own
+    // merges reproduces the hand-derived final symbol counts (every word
+    // of the q_bpe_train planted corpus collapses to ONE token)
+    val planted = Seq((1L, "aaab aaab"), (2L, "aaab ab")).toDF("id", "text")
+    val learned = Bpe.loadMerges(BpeTrain.bpeTrain(planted, "text", 3))
+    val counts = Bpe.withMergeCount(planted, "text", learned)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getAs[Long]("n_bpe_merge_tokens")))
+    assert(counts.toSeq == Seq((1L, 2L), (2L, 2L)), counts.mkString(","))
+    // with NO merges the count is the character count of the word stream;
+    // replay count never exceeds it and is deterministic
+    val base = docs.limit(30).select(F.col("doc_id"), F.col("text"))
+    val zero = Bpe.withMergeCount(base, "text", Nil)
+    val chars = base.select(F.col("doc_id"),
+      F.aggregate(graft.functions.TextFunctions.tokens(F.col("text")),
+        F.lit(0L), (acc, w) => acc + F.length(w)).as("nc"))
+    val joined = zero.join(chars, "doc_id")
+    assert(joined.filter(F.col("n_bpe_merge_tokens") =!= F.col("nc")).count() == 0)
+    val learned40 = Bpe.loadMerges(BpeTrain.bpeTrain(docs, "text", 40))
+    val a = Bpe.withMergeCount(base, "text", learned40)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_bpe_merge_tokens")).toMap
+    val b = Bpe.withMergeCount(base, "text", learned40)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_bpe_merge_tokens")).toMap
+    assert(a == b)
+    assert(a.nonEmpty && joined.count() > 0)
   }
 
   test("budget + packing accept the BPE counter: unit swaps, anatomy unchanged") {
