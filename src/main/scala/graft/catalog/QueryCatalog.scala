@@ -2965,6 +2965,51 @@ object QueryCatalog {
       """)
     ),
     (
+      // Temperature-scaled domain mixing (Sampling.mixByTemperature via
+      // mix_by_temperature(...)): the GPT-3/PaLM multinomial-temperature
+      // recipe — target composition q_d ∝ p_d^alpha, realized as per-doc
+      // weights q_d/p_d through the deterministic md5-threshold mixer.
+      // DETERMINISTIC oracle: DuckDB recomputes the weights with the SAME
+      // operation sequence (shares from exact integer counts, Σ p^α as an
+      // ascending-domain ordered list_sum, pow → /z → /p → round 6dp) and
+      // replays the weightedMix copies logic.
+      "q_mix_temperature",
+      wv("""
+        from mix_by_temperature('documents', 'lang', 'doc_id', 0.5)
+        select doc_id, lang, copy
+        order by doc_id, copy
+      """),
+      Some("""
+        WITH dc AS (
+          SELECT lang, count(*)::DOUBLE AS c
+          FROM documents WHERE lang IS NOT NULL GROUP BY lang
+        ),
+        tot AS (SELECT coalesce(sum(c), 0) AS n FROM dc),
+        zz AS (
+          SELECT list_sum(list(pow(c / (SELECT n FROM tot), 0.5) ORDER BY lang)) AS z
+          FROM dc
+        ),
+        w AS (
+          SELECT lang,
+            round(pow(c / (SELECT n FROM tot), 0.5) / (SELECT z FROM zz)
+                  / (c / (SELECT n FROM tot)), 6) AS wt
+          FROM dc
+        ),
+        cp AS (
+          SELECT d.doc_id, d.lang,
+            CAST(floor(w.wt) AS INT) +
+            CASE WHEN substring(md5('graft-mix' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+                    < printf('%04x', LEAST(65535,
+                        CAST(round((w.wt - floor(w.wt)) * 65536) AS INT)))
+                 THEN 1 ELSE 0 END AS copies
+          FROM documents d JOIN w USING (lang)
+        )
+        SELECT cp.doc_id, cp.lang, gs.copy::INT AS copy
+        FROM cp, LATERAL (SELECT unnest(generate_series(1, cp.copies)) AS copy) gs
+        ORDER BY doc_id, copy
+      """)
+    ),
+    (
       "q_corpus_shuffle", // deterministic global shuffle (one ranged sort)
       (spark, dir) => {
         val docs = Tables.read(spark, dir, "documents")

@@ -35,7 +35,7 @@ object Lowering {
     "decontaminate", "decontaminate_semantic",
     "dedup_incremental", "dedup_incremental_pairs", "dedup_semantic",
     "dedup_spans", "duckdb_functions", "each_top_k", "jdbc",
-    "minhash_index", "pack_sequences", "parquet_metadata",
+    "minhash_index", "mix_by_temperature", "pack_sequences", "parquet_metadata",
     "perplexity_score", "perplexity_score_bigram", "range", "resize_images",
     "select_token_budget",
     "similarity_topk",
@@ -1187,6 +1187,24 @@ object Lowering {
           throw new LoweringException(
             s"$name expects (corpus, eval, id_col, vec_col, threshold[, nlist]) literals, e.g. " +
               s"$name('embeddings', 'evalvecs', 'vec_id', 'embedding', 0.95)")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "mix_by_temperature" =>
+      // mix_by_temperature('corpus', 'domain_col', 'id_col', alpha) — the
+      // GPT-3/PaLM multinomial temperature recipe: target composition
+      // q_d ∝ p_d^alpha, realized as deterministic per-doc weights
+      // q_d/p_d through weightedMix (Sampling.mixByTemperature)
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(domainCol: String),
+            Some(idCol: String), Some(alpha: Number))
+            if alpha.doubleValue() > 0.0 && alpha.doubleValue() <= 10.0 =>
+          Plain(graft.operators.Sampling.mixByTemperature(
+            lower(TableRef(corpus), ctx), domainCol, idCol, alpha.doubleValue()))
+        case _ =>
+          throw new LoweringException(
+            "mix_by_temperature expects (corpus, domain_col, id_col, alpha in (0,10]) " +
+              "literals, e.g. mix_by_temperature('documents', 'lang', 'doc_id', 0.5)")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

@@ -314,6 +314,51 @@ object Sampling {
     * scan — any worker recomputes the same mixture at 100 TB. The emitted
     * `copy` column (1-based replica index) keeps upsampled duplicates
     * distinguishable downstream (e.g. for a later global shuffle). */
+  /** Temperature-scaled domain mixing — the standard LLM data-mixing
+    * recipe (sample domains ∝ share^alpha, the multinomial temperature of
+    * GPT-3/PaLM-style multilingual/multi-domain training): target
+    * composition q_d = p_d^α / Σ_e p_e^α over the observed doc-count
+    * shares p_d, realized by per-doc weights w_d = q_d / p_d fed to
+    * [[weightedMix]]'s deterministic md5-threshold machinery (α < 1
+    * upweights rare domains above 1 — duplication — and shrinks dominant
+    * ones; α = 1 is ~identity).
+    *
+    * Determinism across engines: the domain-count table is collected
+    * driver-side (bounded — domains are a vocabulary-class set, capped at
+    * `maxDomains`), Σ p^α accumulates in ASCENDING DOMAIN order, and each
+    * weight is rounded to 6 dp before thresholding, so the DuckDB oracle
+    * (ordered list_sum + the same pow/divide/round sequence) reproduces
+    * every weight bitwise. One tiny groupBy + the weightedMix scan — no
+    * corpus-sized collect. */
+  def mixByTemperature(
+      df: DataFrame,
+      domainCol: String,
+      idCol: String,
+      alpha: Double,
+      seed: String = "graft-mix",
+      maxDomains: Int = 100000
+  ): DataFrame = {
+    require(alpha > 0.0 && alpha <= 10.0, "alpha in (0, 10]")
+    val counts = df.filter(F.col(domainCol).isNotNull)
+      .groupBy(domainCol).agg(F.count(F.lit(1)).as("__c"))
+      .orderBy(domainCol)
+      .collect().map(r => (r.get(0).toString, r.getLong(1)))
+    require(counts.nonEmpty, "mixByTemperature: no non-null domains")
+    require(counts.length <= maxDomains,
+      s"mixByTemperature: ${counts.length} domains exceeds the $maxDomains cap")
+    val n = counts.map(_._2).sum.toDouble
+    // ascending-domain accumulation (the collect is already domain-ordered)
+    val z = counts.foldLeft(0.0) { case (acc, (_, c)) => acc + math.pow(c / n, alpha) }
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val weights = counts.map { case (d, c) =>
+      val p = c / n
+      d -> round6(math.pow(p, alpha) / z / p)
+    }.toMap
+    weightedMix(df, domainCol, idCol, weights, seed)
+  }
+
   def weightedMix(
       df: DataFrame,
       domainCol: String,

@@ -188,6 +188,14 @@ object Playground {
         |model evalset = { from documents where doc_id < 3 }
         |from contamination_report('trainset', 'evalset', 'doc_id', 'text', 4)
         |order by doc_id""".stripMargin,
+    "llm_mix_temperature" ->
+      """-- GPT-3/PaLM-style temperature mixing: re-balance domains toward
+        |-- share^alpha (alpha<1 upsamples rare languages/domains,
+        |-- shrinks dominant ones) — deterministic across runs AND engines
+        |from mix_by_temperature('documents', 'lang', 'doc_id', 0.5)
+        |group by lang
+        |agg docs = _.count
+        |order by lang""".stripMargin,
     "llm_vocab_profile" ->
       """-- one-row Zipf health check before committing to tokenizer /
         |-- filter settings: top-100 coverage near 1 = boilerplate soup,
@@ -240,7 +248,7 @@ object Playground {
   val sqlRefusingDemos: Set[String] =
     Set("join_asof", "llm_similarity_topk", "llm_split_by_cluster", "llm_dedup_semantic",
       "llm_perplexity_score", "llm_perplexity_bigram", "llm_token_budget",
-      "llm_contamination_report",
+      "llm_contamination_report", "llm_mix_temperature",
       "llm_vocab_profile", "llm_bpe_count", "llm_bpe_stats", "llm_bpe_train",
       "llm_bpe_merge_replay")
 

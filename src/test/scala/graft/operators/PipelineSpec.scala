@@ -697,6 +697,39 @@ class PipelineSpec extends SparkTestBase {
     assert(math.abs(m.toDouble / n - 1.5) < 0.2, s"en rate ${m.toDouble / n} far from 1.5")
   }
 
+  test("temperature mix: composition flattens toward alpha, deterministic") {
+    val before = docs.filter(F.col("lang").isNotNull)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nBefore = before.values.sum.toDouble
+    val mixed = Sampling.mixByTemperature(docs, "lang", "doc_id", alpha = 0.5)
+    val after = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nAfter = after.values.sum.toDouble
+    // every observed domain survives, and the mix moves each domain's
+    // share toward the alpha=0.5 target: rare domains UP, dominant DOWN
+    assert(after.keySet == before.keySet)
+    val (rare, common) = (before.minBy(_._2)._1, before.maxBy(_._2)._1)
+    assert(after(rare) / nAfter > before(rare) / nBefore,
+      s"rare domain $rare share did not rise")
+    assert(after(common) / nAfter < before(common) / nBefore,
+      s"dominant domain $common share did not fall")
+    // realized share tracks the closed-form target q = p^a / sum p^a
+    val z = before.toSeq.sortBy(_._1)
+      .map { case (_, c) => math.pow(c / nBefore, 0.5) }.sum
+    before.foreach { case (d, c) =>
+      val q = math.pow(c / nBefore, 0.5) / z
+      assert(math.abs(after(d) / nAfter - q) < 0.05,
+        s"$d realized ${after(d) / nAfter} vs target $q")
+    }
+    // deterministic across plans
+    val again = Sampling.mixByTemperature(docs, "lang", "doc_id", alpha = 0.5)
+    assert(mixed.exceptAll(again).count() == 0 && again.exceptAll(mixed).count() == 0)
+    // alpha ~ 1 is ~identity in size (weights collapse to ~1.0)
+    val id = Sampling.mixByTemperature(docs, "lang", "doc_id", alpha = 1.0)
+    assert(math.abs(id.count() - nBefore) / nBefore < 0.01)
+  }
+
   test("deterministic shuffle: stable order, differs from input order") {
     val ids1 = Sampling.deterministicShuffle(docs, "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).toSeq
