@@ -4889,6 +4889,48 @@ object QueryCatalog {
       """)
     ),
     (
+      // Quality-first token-budget cut (Sampling.selectTokenBudgetBy via
+      // select_token_budget_by(...)): keep the HIGHEST-scoring docs whose
+      // cumulative token count fits the budget — the cut production
+      // pipelines actually run (a random prefix burns budget on
+      // low-quality text). Distributed as a range-bucketed prefix-sum
+      // whose output is independent of where the sampled range boundaries
+      // land; ties break by id. The stand-in score here is char length
+      // (any numeric column works); the oracle is ONE global window over
+      // (quality DESC NULLS LAST, doc_id) — equality proves the ranged
+      // decomposition is the global quality-ordered cumsum.
+      "q_select_token_budget_by",
+      wv("""
+        model scored_docs = {
+          from documents
+          select doc_id, text, quality = text.length
+        }
+        from select_token_budget_by('scored_docs', 'doc_id', 'text', 15000, 'quality')
+        select doc_id, n_tokens, cum_tokens
+        order by doc_id
+      """),
+      Some("""
+        WITH scored AS (
+          SELECT doc_id, text, len(text) AS quality FROM documents
+        ),
+        c AS (
+          SELECT doc_id, quality,
+            CASE WHEN text IS NULL THEN 0
+                 ELSE len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                          x -> len(x) > 0)) END AS n_tokens
+          FROM scored
+        ),
+        cum AS (
+          SELECT doc_id, n_tokens,
+            sum(n_tokens) OVER (ORDER BY quality DESC NULLS LAST, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM c
+        )
+        SELECT doc_id, n_tokens::BIGINT AS n_tokens, cum_tokens::BIGINT AS cum_tokens
+        FROM cum WHERE cum_tokens <= 15000 ORDER BY doc_id
+      """)
+    ),
+    (
       // Deterministic token-budget prefix selection
       // (Sampling.selectTokenBudget via select_token_budget(...)): keep the
       // md5-ordered corpus prefix whose cumulative token count fits the

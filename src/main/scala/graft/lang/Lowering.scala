@@ -37,7 +37,7 @@ object Lowering {
     "dedup_spans", "duckdb_functions", "each_top_k", "jdbc",
     "minhash_index", "mix_by_temperature", "pack_sequences", "parquet_metadata",
     "perplexity_score", "perplexity_score_bigram", "range", "resize_images",
-    "select_token_budget",
+    "select_token_budget", "select_token_budget_by",
     "similarity_topk",
     "split_by_cluster", "split_by_cluster_pairs",
     "split_by_cluster_pairs_stats", "split_by_cluster_stats",
@@ -1836,6 +1836,31 @@ object Lowering {
             "select_token_budget expects (corpus, id_col, text_col, budget_tokens" +
               "[, vocab_rel]) literals, e.g. " +
               "select_token_budget('documents', 'doc_id', 'text', 50000)")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "select_token_budget_by" =>
+      // select_token_budget_by('corpus', 'id_col', 'text_col', budget,
+      // 'order_col'[, vocab_rel]) — the QUALITY-FIRST budget cut
+      // (Sampling.selectTokenBudgetBy): keep the highest-`order_col` docs
+      // whose cumulative token count fits the budget; range-bucketed
+      // prefix-sum, boundary-independent output, no single-partition window
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
+            Some(budget: Long), Some(orderCol: String)) =>
+          Plain(graft.operators.Sampling.selectTokenBudgetBy(
+            lower(TableRef(corpus), ctx), idCol, textCol, budget, orderCol))
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
+            Some(budget: Long), Some(orderCol: String), Some(vocabRel: String)) =>
+          val vocab = graft.operators.Bpe.loadVocab(lower(TableRef(vocabRel), ctx))
+          Plain(graft.operators.Sampling.selectTokenBudgetBy(
+            lower(TableRef(corpus), ctx), idCol, textCol, budget, orderCol,
+            tokenCounter = Some(graft.operators.Bpe.counter(vocab))))
+        case _ =>
+          throw new LoweringException(
+            "select_token_budget_by expects (corpus, id_col, text_col, budget_tokens, " +
+              "order_col[, vocab_rel]) literals, e.g. " +
+              "select_token_budget_by('documents', 'doc_id', 'text', 50000, 'quality')")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

@@ -289,6 +289,61 @@ object Sampling {
     df.join(kept, Seq(idCol))
   }
 
+  /** Quality-ordered token-budget selection — [[selectTokenBudget]] with
+    * the md5 order swapped for (orderCol DESC, id ASC): keep the
+    * HIGHEST-scoring docs whose cumulative token count fits the budget,
+    * the "quality-first cut" production pipelines actually run (a random
+    * prefix burns budget on low-quality text).
+    *
+    * Distributed decomposition: repartitionByRange on the order key makes
+    * every partition a CONTIGUOUS RANGE of the global order, so global
+    * cumsum = partition offset + partition-local window — and crucially the
+    * OUTPUT is independent of where the sampled range boundaries land (any
+    * contiguous bucketing yields the same global cumsum), so the sampled
+    * partitioner cannot perturb determinism. The ranged narrow frame is
+    * checkpointed with its partition ids materialized; totals collect is
+    * 256 longs; no SinglePartition stage (PlanSpec-gated like the md5
+    * form). Ties in orderCol break by id, so the DuckDB oracle's single
+    * global window reproduces the selection exactly. */
+  def selectTokenBudgetBy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budgetTokens: Long,
+      orderCol: String,
+      tokenCounter: Option[Column => Column] = None
+  ): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be >= 0")
+    val counted = tokenCounter.map(c => c(F.col(textCol)).cast("long")).getOrElse(
+      F.size(graft.functions.TextFunctions.tokens(F.col(textCol))).cast("long"))
+    val nTok = F.when(F.col(textCol).isNull, F.lit(0L)).otherwise(counted)
+    val ranged = df.select(
+        F.col(idCol),
+        F.col(orderCol).as("__q"),
+        nTok.as("n_tokens"))
+      .repartitionByRange(256, F.col("__q").desc_nulls_last, F.col(idCol).asc)
+      .withColumn("__b", F.spark_partition_id())
+      .localCheckpoint(true)
+    val totals: Map[Int, Long] = ranged.groupBy("__b")
+      .agg(F.coalesce(F.sum("n_tokens"), F.lit(0L)).as("__t"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val offsets: Seq[(Int, Long)] = totals.toSeq.sortBy(_._1)
+      .scanLeft((-1, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
+      .sliding(2).collect { case Seq((_, acc), (b, _)) => (b, acc) }.toSeq
+    val offCol = F.element_at(
+      F.map(offsets.flatMap { case (b, o) => Seq(F.lit(b), F.lit(o)) }: _*),
+      F.col("__b"))
+    val w = Window.partitionBy(F.col("__b"))
+      .orderBy(F.col("__q").desc_nulls_last, F.col(idCol).asc)
+    val kept = ranged
+      .withColumn("cum_tokens", F.sum(F.col("n_tokens")).over(w) + offCol)
+      .filter(F.col("cum_tokens") <= budgetTokens)
+      .select(F.col(idCol), F.col("n_tokens"), F.col("cum_tokens"))
+    df.join(kept, Seq(idCol))
+  }
+
   /** Deterministic global shuffle: total order by the hash key. At scale
     * this is exactly one range-partitioned sort — the standard "shuffle the
     * corpus once before sharding to trainers" step, reproducible across

@@ -188,6 +188,16 @@ object Playground {
         |model evalset = { from documents where doc_id < 3 }
         |from contamination_report('trainset', 'evalset', 'doc_id', 'text', 4)
         |order by doc_id""".stripMargin,
+    "llm_token_budget_quality" ->
+      """-- the QUALITY-FIRST budget cut: keep the highest-scoring docs
+        |-- that fit N training tokens (a random prefix burns budget on
+        |-- low-quality text). Any numeric column orders the cut.
+        |model scored = {
+        |  from documents
+        |  select doc_id, text, quality = text.length
+        |}
+        |from select_token_budget_by('scored', 'doc_id', 'text', 15000, 'quality')
+        |agg docs_kept = _.count, tokens_kept = n_tokens.sum""".stripMargin,
     "llm_mix_temperature" ->
       """-- GPT-3/PaLM-style temperature mixing: re-balance domains toward
         |-- share^alpha (alpha<1 upsamples rare languages/domains,
@@ -248,7 +258,7 @@ object Playground {
   val sqlRefusingDemos: Set[String] =
     Set("join_asof", "llm_similarity_topk", "llm_split_by_cluster", "llm_dedup_semantic",
       "llm_perplexity_score", "llm_perplexity_bigram", "llm_token_budget",
-      "llm_contamination_report", "llm_mix_temperature",
+      "llm_contamination_report", "llm_mix_temperature", "llm_token_budget_quality",
       "llm_vocab_profile", "llm_bpe_count", "llm_bpe_stats", "llm_bpe_train",
       "llm_bpe_merge_replay")
 

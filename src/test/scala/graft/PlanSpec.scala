@@ -400,6 +400,17 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("quality-ordered token budget: range decomposition, NO single-partition window") {
+    // the naive spelling is ONE global window ordered by quality — an
+    // Exchange SinglePartition pushing the whole corpus through one task.
+    // The operator must decompose into range buckets + driver offsets.
+    val df = graft.catalog.QueryCatalog.queries("q_select_token_budget_by")(spark, sfDir)
+    val plan = planOf(df)
+    assert(!plan.contains("SinglePartition"),
+      s"global-window single-partition stage in the plan:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("persisted PQ index: float column is PRUNED; serving path is code-only") {
     // The PQ index is written payload-bearing (embeddings frame + codes),
     // and pqIndexTopK ranks by SYMMETRIC distance over the code arrays —

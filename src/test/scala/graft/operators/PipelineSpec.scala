@@ -697,6 +697,35 @@ class PipelineSpec extends SparkTestBase {
     assert(math.abs(m.toDouble / n - 1.5) < 0.2, s"en rate ${m.toDouble / n} far from 1.5")
   }
 
+  test("quality-ordered budget: equals the naive global quality cumsum") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val scored = docs.select(F.col("doc_id"), F.col("text"),
+      F.length(F.col("text")).as("q"))
+    val budget = 15000L
+    val got = Sampling.selectTokenBudgetBy(scored, "doc_id", "text", budget, "q")
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nTok = F.when(F.col("text").isNull, F.lit(0L))
+      .otherwise(F.size(graft.functions.TextFunctions.tokens(F.col("text"))).cast("long"))
+    val naive = scored
+      .withColumn("cum", F.sum(nTok).over(
+        W.orderBy(F.col("q").desc_nulls_last, F.col("doc_id").asc)))
+      .filter(F.col("cum") <= budget)
+      .select("doc_id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive, s"ranged decomposition diverges: ${got.size} vs ${naive.size} docs")
+    // the cut keeps a PREFIX of the (q desc, id) order, so no dropped doc
+    // may outscore a kept one
+    val kept = Sampling.selectTokenBudgetBy(scored, "doc_id", "text", budget, "q")
+      .select("doc_id")
+    val dropped = scored.join(kept, Seq("doc_id"), "left_anti")
+    assert(dropped.count() > 0, "budget cut nothing — the gate is vacuous")
+    val keptMin = scored.join(kept, "doc_id").agg(F.min("q")).head.getInt(0)
+    val droppedMax = dropped.agg(F.max("q")).head.getInt(0)
+    assert(droppedMax <= keptMin,
+      s"dropped doc outscores kept: $droppedMax > $keptMin")
+  }
+
   test("temperature mix: composition flattens toward alpha, deterministic") {
     val before = docs.filter(F.col("lang").isNotNull)
       .groupBy("lang").count().collect()
