@@ -121,6 +121,13 @@ object BenchScale {
     // IVF-PQ composition: candidates cut by nprobe/nlist (IVF) AND scored
     // in O(m) code lookups (PQ) — the flattest composed shape in the family
     "q_similarity_topk_ivf_pq",
+    // quality-first budget (r15): one range shuffle + bucket windows — the
+    // gate that the boundary-independent range decomposition scales in
+    // rows like the md5 form
+    "q_select_token_budget_by",
+    // merge-replay BPE (r15): pure codegen'd scan like bpe_count, with the
+    // per-word encode loop as the only extra term
+    "q_bpe_count_merges",
     // bigram perplexity (r15): the unigram shuffle anatomy plus a
     // pair-keyed model groupBy and a second postings join — replica-tagged
     // tokens grow bigram types linearly with the corpus, so exponent ~1 is
