@@ -4637,6 +4637,50 @@ object QueryCatalog {
       """)
     ),
     (
+      // Semantic benchmark-contamination audit (Decontamination.
+      // contaminationReportSemantic via contamination_report_semantic(...)):
+      // the embedding-space TRANSPOSE of contaminated_vecs and the sibling
+      // of the n-gram contamination_report — per EVAL vector, how many
+      // corpus vectors sit within the cosine threshold and the closest one
+      // found; zero rows KEPT via a left join back to the eval ids ("this
+      // benchmark item is clean" is the point). Shares contaminated_vecs'
+      // exact centroid-pruned candidate machinery (one private helper, so
+      // the flag and audit directions cannot drift). Non-vacuous both ways
+      // at sf0.01/t=0.35: 51 clean + 74 leaking eval rows.
+      "q_contamination_report_semantic",
+      wv("""
+        model evalvecs = {
+          from embeddings
+          where vec_id % 4 = 0
+        }
+        model corpusvecs = {
+          from embeddings
+          where vec_id % 4 != 0
+        }
+        from contamination_report_semantic('corpusvecs', 'evalvecs', 'vec_id', 'embedding', 0.35)
+        order by vec_id
+      """),
+      Some("""
+        WITH scored AS (
+          SELECT e.vec_id,
+            round(
+              list_sum(list_transform(range(1, len(c.embedding) + 1), i -> c.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+              (sqrt(list_sum(list_transform(range(1, len(c.embedding) + 1), i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))) *
+               sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6) AS cos
+          FROM embeddings c, embeddings e
+          WHERE c.vec_id % 4 <> 0 AND e.vec_id % 4 = 0),
+        agg AS (
+          SELECT vec_id, count(*)::BIGINT AS leaking_docs, max(cos) AS max_cos_sim
+          FROM scored WHERE cos >= 0.35 GROUP BY vec_id)
+        SELECT e.vec_id,
+          coalesce(a.leaking_docs, 0)::BIGINT AS leaking_docs,
+          a.max_cos_sim
+        FROM (SELECT vec_id FROM embeddings WHERE vec_id % 4 = 0) e
+        LEFT JOIN agg a ON a.vec_id = e.vec_id
+        ORDER BY e.vec_id
+      """)
+    ),
+    (
       // CAPSTONE: the full curation pipeline in one oracle-checked query —
       // decontaminate (vs an eval set) → quality floor (rounded score, so
       // the threshold compare is ulp-stable across engines) → exact dedup

@@ -31,6 +31,7 @@ object Lowering {
     "ann_int8_index", "ann_lsh_postings", "ann_pq_index",
     "bpe_count", "bpe_count_merges", "bpe_stats", "bpe_train", "build_vocab",
     "contaminated_docs", "contaminated_vecs", "contamination_report",
+    "contamination_report_semantic",
     "decode_audio", "decode_images", "decode_video",
     "decontaminate", "decontaminate_semantic",
     "dedup_incremental", "dedup_incremental_pairs", "dedup_semantic",
@@ -1187,6 +1188,36 @@ object Lowering {
           throw new LoweringException(
             s"$name expects (corpus, eval, id_col, vec_col, threshold[, nlist]) literals, e.g. " +
               s"$name('embeddings', 'evalvecs', 'vec_id', 'embedding', 0.95)")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "contamination_report_semantic" =>
+      // contamination_report_semantic('corpus', 'eval', 'id_col',
+      // 'vec_col', threshold[, nlist]) — the embedding-space audit
+      // transpose (Decontamination.contaminationReportSemantic): per EVAL
+      // row, how many corpus vectors sit within threshold cosine and the
+      // closest one; zero rows kept. Shares contaminated_vecs' exact
+      // centroid-pruned candidate machinery.
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(eval: String), Some(idCol: String),
+            Some(vecCol: String), Some(thr: Number), rest @ _*)
+            if rest.lengthCompare(1) <= 0 =>
+          val nlist = rest.headOption match {
+            case Some(Some(n: Long)) if n > 0 => n.toInt
+            case None => 32
+            case other => throw new LoweringException(
+              s"contamination_report_semantic: nlist must be a positive integer " +
+                s"literal, got '$other'")
+          }
+          Plain(graft.operators.Decontamination.contaminationReportSemantic(
+            lower(TableRef(corpus), ctx), idCol, vecCol,
+            lower(TableRef(eval), ctx), idCol, vecCol, thr.doubleValue(), nlist))
+        case _ =>
+          throw new LoweringException(
+            "contamination_report_semantic expects (corpus, eval, id_col, vec_col, " +
+              "threshold[, nlist]) literals, e.g. " +
+              "contamination_report_semantic('corpusvecs', 'evalvecs', 'vec_id', " +
+              "'embedding', 0.95)")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

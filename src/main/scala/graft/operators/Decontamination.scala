@@ -179,17 +179,34 @@ object Decontamination {
         .agg(
           F.sum(F.col("__w")).as("contaminated_matches"),
           F.max(F.col("__cos")).as("max_cos_sim"))
-    // Loose thresholds take the (compacted) brute pass without even
-    // seeding centroids: below t = 0.5 the match ball has radius
-    // d_t = √(2−2t) ≥ 1 — wider than typical bucket radii on spread
-    // embeddings, so the necessary-condition bounds admit ~every
-    // (row, bucket) pair and the centroid pass + per-bucket explode is
-    // pure overhead (measured +60% on the sf0.1 oracle rows at t=0.35).
-    // Both paths are exact; the gate is a deterministic speed decision.
-    // Real decontamination thresholds (≥0.9) take the pruned path below.
+    scored(candidatePairs(c, e, threshold, nlist))
+  }
+
+  /** Shared candidate generation for the semantic audit family: the exact
+    * centroid-bound pruned (corpus × eval) candidate set, or the
+    * broadcast-brute cross join when pruning cannot pay (loose threshold /
+    * unseedable eval side). `e` carries a non-null `__ev` vector column
+    * plus any payload columns (compaction weight, eval id) — payload rides
+    * through untouched, so [[contaminatedVecs]] and
+    * [[contaminationReportSemantic]] share this machinery bit-for-bit and
+    * the bounds cannot drift between the flag and audit directions.
+    *
+    * Loose thresholds take the brute pass without even seeding centroids:
+    * below t = 0.5 the match ball has radius d_t = √(2−2t) ≥ 1 — wider
+    * than typical bucket radii on spread embeddings, so the
+    * necessary-condition bounds admit ~every (row, bucket) pair and the
+    * centroid pass + per-bucket explode is pure overhead (measured +60%
+    * on the sf0.1 oracle rows at t=0.35). Both paths are exact; the gate
+    * is a deterministic speed decision. */
+  private def candidatePairs(
+      c: DataFrame,
+      e: DataFrame,
+      threshold: Double,
+      nlist: Int
+  ): DataFrame = {
     if (threshold < 0.5)
-      return scored(c.crossJoin(F.broadcast(e)))
-    // (2) seeded centroids over the distinct eval vectors (deterministic
+      return c.crossJoin(F.broadcast(e))
+    // seeded centroids over the eval vectors (deterministic
     // md5-of-rendering order; selection only affects SPEED — results are
     // exact for any centroid set). Vectors with null elements can't seed
     // (driver map) but still score through their assigned bucket.
@@ -208,7 +225,7 @@ object Decontamination {
     if (cm.isEmpty)
       // no seedable eval vectors: the original broadcast-brute pass (the
       // eval side is empty or degenerate — tiny either way)
-      return scored(c.crossJoin(F.broadcast(e)))
+      return c.crossJoin(F.broadcast(e))
     // per-bucket radius from the MINIMUM member-to-own-centroid cosine;
     // every slack is safe-side: member cosines are 6 dp-rounded (±5e-7,
     // absorbed by −1e-6), zero-norm members pin to −1 (radius 2 = the
@@ -247,9 +264,50 @@ object Decontamination {
         i => F.element_at(F.col("__cents"), (i + 1).cast("int")) >=
           F.element_at(thrCol, (i + 1).cast("int")))))
       .drop("__cents")
-    scored(withBuckets.join(
-      F.broadcast(assigned.select(F.col("bucket"), F.col("__ev"), F.col("__w"))),
-      Seq("bucket")))
+    withBuckets.join(F.broadcast(assigned.drop("__cb")), Seq("bucket"))
+      .drop("bucket")
+  }
+
+  /** Semantic benchmark-contamination audit — the transpose of
+    * [[contaminatedVecs]] (the embedding-space sibling of
+    * [[contaminationReport]]): for each EVAL row, how many corpus vectors
+    * sit within `threshold` cosine, and the closest one found. Zero rows
+    * are kept (a left join back to the eval ids) — "this benchmark item is
+    * clean" is the point of the audit.
+    *
+    * Same anatomy as the flag direction via the shared [[candidatePairs]]:
+    * the corpus never shuffles, the eval side broadcasts, centroid-bound
+    * pruning is exact. A corpus row reaches an eval row through exactly
+    * ONE bucket (each eval row has one assignment), so the per-eval count
+    * needs no dedup. */
+  def contaminationReportSemantic(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      eval: DataFrame,
+      evalId: String,
+      evalVec: String,
+      threshold: Double = 0.95,
+      nlist: Int = 32
+  ): DataFrame = {
+    // internal renames: corpus and eval commonly share the id column NAME
+    // (both 'vec_id'), which would be ambiguous after the candidate join
+    val c = corpus.select(F.col(corpusVec).as("__cv"))
+    val e = eval.select(F.col(evalId).as("__reid"), F.col(evalVec).as("__ev"))
+      .filter(F.col("__ev").isNotNull)
+    val agg = candidatePairs(c, e, threshold, nlist)
+      .withColumn("__cos",
+        F.round(graft.functions.VectorExpressions.cosineSimilarity(
+          F.col("__cv"), F.col("__ev")), 6))
+      .filter(F.col("__cos") >= threshold)
+      .groupBy(F.col("__reid"))
+      .agg(
+        F.count(F.lit(1)).as("leaking_docs"),
+        F.max(F.col("__cos")).as("max_cos_sim"))
+      .withColumnRenamed("__reid", evalId)
+    eval.select(F.col(evalId)).join(agg, Seq(evalId), "left")
+      .withColumn("leaking_docs", F.coalesce(F.col("leaking_docs"), F.lit(0L)))
+      .select(evalId, "leaking_docs", "max_cos_sim")
   }
 
   /** The corpus minus semantically contaminated rows. Same anti-join

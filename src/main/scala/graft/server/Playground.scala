@@ -198,6 +198,16 @@ object Playground {
         |}
         |from select_token_budget_by('scored', 'doc_id', 'text', 15000, 'quality')
         |agg docs_kept = _.count, tokens_kept = n_tokens.sum""".stripMargin,
+    "llm_contamination_semantic" ->
+      """-- embedding-space contamination audit (paraphrase-robust twin of
+        |-- the n-gram report): per eval vector, how many corpus vectors
+        |-- sit within the cosine threshold — zeros kept, "this benchmark
+        |-- item is clean" is the point
+        |model evalvecs = { from embeddings where vec_id % 4 = 0 }
+        |model corpusvecs = { from embeddings where vec_id % 4 != 0 }
+        |from contamination_report_semantic('corpusvecs', 'evalvecs', 'vec_id', 'embedding', 0.35)
+        |order by leaking_docs desc, vec_id
+        |limit 10""".stripMargin,
     "llm_mix_temperature" ->
       """-- GPT-3/PaLM-style temperature mixing: re-balance domains toward
         |-- share^alpha (alpha<1 upsamples rare languages/domains,
@@ -258,7 +268,8 @@ object Playground {
   val sqlRefusingDemos: Set[String] =
     Set("join_asof", "llm_similarity_topk", "llm_split_by_cluster", "llm_dedup_semantic",
       "llm_perplexity_score", "llm_perplexity_bigram", "llm_token_budget",
-      "llm_contamination_report", "llm_mix_temperature", "llm_token_budget_quality",
+      "llm_contamination_report", "llm_contamination_semantic", "llm_mix_temperature",
+      "llm_token_budget_quality",
       "llm_vocab_profile", "llm_bpe_count", "llm_bpe_stats", "llm_bpe_train",
       "llm_bpe_merge_replay")
 

@@ -50,7 +50,8 @@ class TableFunctionRegistrySpec extends AnyFunSuite {
     val text = graft.server.Playground.demos.map(_._2).mkString("\n")
     val teachingSet = Seq("similarity_topk", "split_by_cluster", "dedup_semantic",
       "perplexity_score", "perplexity_score_bigram", "select_token_budget",
-      "contamination_report", "vocab_profile", "mix_by_temperature",
+      "contamination_report", "contamination_report_semantic", "vocab_profile",
+      "mix_by_temperature",
       "bpe_count", "bpe_count_merges", "bpe_stats", "build_vocab", "bpe_train")
     teachingSet.foreach { fn =>
       assert(text.contains(s"$fn("), s"no playground demo exercises $fn")

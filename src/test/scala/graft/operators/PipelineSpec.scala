@@ -510,6 +510,45 @@ class PipelineSpec extends SparkTestBase {
     assert(flagged.filter(F.col("contaminated_matches") > evalN).count() == 0)
   }
 
+  test("semantic contamination report: transpose of the flag, zeros kept, pruned == brute") {
+    val embs = table("embeddings")
+    val eval = embs.filter(F.col("vec_id") % 4 === 0)
+    val corpus = embs.filter(F.col("vec_id") % 4 =!= 0)
+    def brute(thr: Double) =
+      corpus.select(F.col("embedding").as("__cv"))
+        .crossJoin(F.broadcast(
+          eval.select(F.col("vec_id").as("eid"), F.col("embedding").as("__ev"))))
+        .withColumn("__cos", F.round(
+          graft.functions.VectorExpressions.cosineSimilarity(F.col("__cv"), F.col("__ev")), 6))
+        .filter(F.col("__cos") >= thr)
+        .groupBy("eid")
+        .agg(F.count(F.lit(1)).as("leaking_docs"), F.max("__cos").as("max_cos_sim"))
+    // pruned path (selective thresholds) and brute path (loose) both equal
+    // the reference per-eval aggregation — the shared candidatePairs helper
+    // is exact in BOTH directions
+    Seq(0.95, 0.8, 0.35).foreach { thr =>
+      val rep = Decontamination.contaminationReportSemantic(
+        corpus, "vec_id", "embedding", eval, "vec_id", "embedding", threshold = thr)
+      val ref = eval.select(F.col("vec_id"))
+        .join(brute(thr).withColumnRenamed("eid", "vec_id"), Seq("vec_id"), "left")
+        .withColumn("leaking_docs", F.coalesce(F.col("leaking_docs"), F.lit(0L)))
+      assert(rep.except(ref).count() == 0 && ref.except(rep).count() == 0,
+        s"report != brute transpose at threshold $thr")
+      // one row per eval id, zeros included
+      assert(rep.count() == eval.count())
+    }
+    // the audit and the flag direction agree on TOTAL leak mass: sum of
+    // per-eval leaking_docs == sum of per-corpus contaminated_matches
+    val repTotal = Decontamination.contaminationReportSemantic(
+        corpus, "vec_id", "embedding", eval, "vec_id", "embedding", threshold = 0.35)
+      .agg(F.sum("leaking_docs")).head.getLong(0)
+    val flagTotal = Decontamination.contaminatedVecs(
+        corpus, "vec_id", "embedding", eval, "embedding", threshold = 0.35)
+      .agg(F.sum("contaminated_matches")).head.getLong(0)
+    assert(repTotal == flagTotal, s"audit total $repTotal != flag total $flagTotal")
+    assert(repTotal > 0, "no contamination in testdata — vacuous gate")
+  }
+
   test("semantic decontamination pruning is EXACT: pruned pass == brute pass, dup weights counted") {
     val embs = table("embeddings")
     // duplicate-heavy eval (each vector 3x — repeated benchmark items):
