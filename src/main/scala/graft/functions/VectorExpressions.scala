@@ -389,10 +389,13 @@ private[graft] trait PqVectorExpr extends MatrixVectorExpr {
     dist
   }
 
-  protected def dsubOf(arr: ArrayData): Int = {
-    val d = arr.numElements()
-    require(subspaces > 0 && d % subspaces == 0,
-      s"vector dim $d is not divisible into $subspaces subspaces")
+  /** Subspace width from the CODEBOOK dim (a plan-time constant validated
+    * by the operators) — never from the row: a single ragged vector must
+    * degrade through the clamped slice loops, not crash the job. */
+  @transient protected lazy val dsub: Int = {
+    val d = m.headOption.map(_.length).getOrElse(0)
+    require(subspaces > 0 && d > 0 && d % subspaces == 0,
+      s"codebook dim $d is not divisible into $subspaces subspaces")
     d / subspaces
   }
 }
@@ -406,7 +409,6 @@ case class PqEncodeExpr(child: Expression, matrix: Seq[Seq[Double]], subspaces: 
   override def nullable: Boolean = child.nullable
 
   def compute(arr: ArrayData): ArrayData = {
-    val dsub = dsubOf(arr)
     val out = new Array[Int](subspaces)
     var s = 0
     while (s < subspaces) {
@@ -444,7 +446,6 @@ case class PqDistTableExpr(child: Expression, matrix: Seq[Seq[Double]], subspace
   override def nullable: Boolean = child.nullable
 
   def compute(arr: ArrayData): ArrayData = {
-    val dsub = dsubOf(arr)
     val out = new Array[Double](subspaces * m.length)
     var s = 0
     while (s < subspaces) {
