@@ -121,6 +121,13 @@ object BenchScale {
     // IVF-PQ composition: candidates cut by nprobe/nlist (IVF) AND scored
     // in O(m) code lookups (PQ) — the flattest composed shape in the family
     "q_similarity_topk_ivf_pq",
+    // semantic audit transpose (r15): corpus-side scan through the shared
+    // pruned candidate machinery, per-eval agg — the corpus term is the
+    // whole cost (eval side fixed), exponent ~ the flag direction's
+    "q_contamination_report_semantic",
+    // temperature mix (r15): one bounded domain groupBy + the weightedMix
+    // scan (filter + explode over the corpus) — expect ~flat
+    "q_mix_temperature",
     // quality-first budget (r15): one range shuffle + bucket windows — the
     // gate that the boundary-independent range decomposition scales in
     // rows like the md5 form
