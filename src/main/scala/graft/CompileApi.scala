@@ -79,9 +79,15 @@ object CompileApi {
     compileOnlyWith(graft.lang.Lowering.Context(spark, resolver, dir), text)
   }
 
-  /** Action-free compile against a caller-held context (session reuse). */
-  def compileOnlyWith(ctx: graft.lang.Lowering.Context, text: String): org.apache.spark.sql.DataFrame = {
+  /** Action-free compile against a caller-held context (session reuse).
+    * Lowers with `analysisOnly` set so natives with lowering-time side
+    * effects (ann_pq_index's parquet write) return schema-only frames —
+    * an LSP hover or schema probe must never write to disk. */
+  def compileOnlyWith(ctx0: graft.lang.Lowering.Context, text: String): org.apache.spark.sql.DataFrame = {
     import graft.lang._
+    // copy shares the mutable maps (models/vals/…) with the caller's ctx,
+    // so session-reuse state still accumulates where callers expect it
+    val ctx = ctx0.copy(analysisOnly = true)
     val stmts = Parser.parseStatements(text)
     // write-effecting statements lower EAGERLY (save/delete/… execute inside
     // lowerStatements) — compile-only must refuse them rather than run them

@@ -508,6 +508,63 @@ object QueryCatalog {
       path
     })
 
+  /** DuckDB re-derivation of [[Similarity.trainedPqCodebook]] — the
+    * per-subspace Lloyd loop UNROLLED as a CTE chain ending in
+    * `tcb(s, j, cv1..cv<dsub>)`. Every float op mirrors the Scala trainer
+    * bit-for-bit: seeded (md5, id) sample order; init = first ksub sample
+    * slices; assignment = ascending-index squared-L2 with (dist, j)
+    * lexicographic argmin (`min([dist, j])` — ties → smallest j, the
+    * trainer's strict `<`); update = per-dimension list_sum over the
+    * rid-ordered assigned values (sequential double accumulation = the
+    * trainer's ascending-rank loop) divided once; empty cluster keeps its
+    * previous centroid (COALESCE). Slices ride as SCALAR cv-columns, not
+    * lists — ~3× faster in DuckDB with identical arithmetic. Constants come
+    * from Similarity so trainer and oracle can never drift. */
+  private def trainedPqCbCte(m: Int, ksub: Int, dsub: Int): String = {
+    val sampleN = Similarity.PqTrainSample
+    val iters = Similarity.PqTrainIters
+    val vcols = (1 to dsub).map(i => s"embedding[s * $dsub + $i]::DOUBLE AS v$i").mkString(", ")
+    def dist(va: String, cb: String) = (1 to dsub).map(i =>
+      s"($va.v$i - $cb.cv$i) * ($va.v$i - $cb.cv$i)").mkString(" + ")
+    val c0cols = (1 to dsub).map(i => s"v$i AS cv$i").mkString(", ")
+    val head =
+      s"""samp AS (
+         |  SELECT embedding, row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rid
+         |  FROM embeddings
+         |  QUALIFY rid <= $sampleN
+         |),
+         |sub AS (SELECT unnest(range(0, $m)) AS s),
+         |sv AS (SELECT rid, s, $vcols FROM samp, sub),
+         |c0 AS (SELECT s, rid - 1 AS j, $c0cols FROM sv WHERE rid <= $ksub)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      val anyv = (1 to dsub).map(i => s"any_value(sv.v$i) AS v$i").mkString(", ")
+      val means = (1 to dsub).map(i =>
+        s"list_sum(list(v$i ORDER BY rid)) / count(*) AS cv$i").mkString(", ")
+      val coal = (1 to dsub).map(i => s"COALESCE(u.cv$i, p.cv$i) AS cv$i").mkString(", ")
+      s"""a$t AS (
+         |  SELECT sv.s, sv.rid, $anyv,
+         |    min([${dist("sv", "c")}, c.j::DOUBLE])[2]::BIGINT AS j
+         |  FROM sv JOIN c${t - 1} c USING (s)
+         |  GROUP BY sv.s, sv.rid
+         |),
+         |u$t AS (SELECT s, j, $means FROM a$t GROUP BY s, j),
+         |c$t AS (
+         |  SELECT p.s, p.j, $coal
+         |  FROM c${t - 1} p LEFT JOIN u$t u ON u.s = p.s AND u.j = p.j
+         |)""".stripMargin
+    }
+    (head +: rounds :+ s"tcb AS (SELECT * FROM c$iters)").mkString(",\n")
+  }
+
+  /** Squared-L2 between `alias.embedding`'s slice `cb.s` and codebook row
+    * `cb` — the explicit ascending-index sum (== the kernels' accumulation
+    * order; == list_sum over the index-ordered transform). */
+  private def trainedPqSliceDist(alias: String, cb: String, dsub: Int): String =
+    (1 to dsub).map { i =>
+      val x = s"($alias.embedding[$cb.s * $dsub + $i]::DOUBLE - $cb.cv$i)"
+      s"$x * $x"
+    }.mkString(" + ")
+
   private val int8IndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private def persistedInt8Index(spark: SparkSession, dir: String): String =
     int8IndexPaths.getOrElseUpdate(dir, {
@@ -4314,6 +4371,187 @@ object QueryCatalog {
       },
       Some("""
         SELECT true AS recall_floor_met, CAST(0 AS BIGINT) AS nondeterministic_rows
+      """)
+    ),
+    (
+      // TRAINED-codebook PQ (Similarity.pqTopK(trained=true) via
+      // similarity_topk(..., 'pq_trained')) — the production ANN tier the
+      // seeded variant teaches toward: per-subspace Lloyd k-means over the
+      // seeded 512-row sample, PQ32x8 shape (FAISS's standard byte-code
+      // quantizer). Recall@5 0.90/0.92 vs brute at sf0.01/sf0.001 (the
+      // seeded tier: 0.40), gated >= 0.7 in the _property row. STILL a
+      // FULL bitwise oracle: the Lloyd loop is deterministic ascending-rank
+      // arithmetic, so DuckDB replays the training itself (trainedPqCbCte
+      // unrolls the iterations) and re-derives codebook -> codes -> ADC.
+      "q_similarity_topk_pq_trained",
+      (spark, dir) => {
+        val embs = Tables.read(spark, dir, "embeddings")
+        val queries = embs.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+        Similarity.pqTopK(embs, "vec_id", "embedding", queries, "vec_id", "embedding",
+          k = 5, subspaces = Similarity.PqTrainedSubspaces,
+          ksub = Similarity.PqTrainedKsub, trained = true)
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        val m = Similarity.PqTrainedSubspaces
+        val ksub = Similarity.PqTrainedKsub
+        val dsub = 64 / m
+        s"""
+        WITH ${trainedPqCbCte(m, ksub, dsub)},
+        codes AS (
+          SELECT vec_id, list(code ORDER BY s) AS codes FROM (
+            SELECT b.vec_id, t.s AS s,
+              min([${trainedPqSliceDist("b", "t", dsub)}, t.j::DOUBLE])[2]::BIGINT AS code
+            FROM embeddings b CROSS JOIN tcb t
+            GROUP BY b.vec_id, t.s
+          ) GROUP BY vec_id
+        ),
+        qd AS (
+          SELECT q.vec_id AS query_id, t.s, t.j,
+            ${trainedPqSliceDist("q", "t", dsub)} AS dist
+          FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q, tcb t
+        ),
+        qdl AS (SELECT query_id, list(dist ORDER BY s, j) AS dt FROM qd GROUP BY query_id),
+        scored AS (
+          SELECT qdl.query_id, c.vec_id AS corpus_id,
+            round(list_sum(list_transform(range(1, ${m + 1}),
+              s -> qdl.dt[(s - 1) * $ksub + c.codes[s] + 1])), 6) AS pq_dist
+          FROM codes c CROSS JOIN qdl
+          WHERE c.vec_id != qdl.query_id
+        ),
+        ranked AS (
+          SELECT query_id, corpus_id, pq_dist,
+            row_number() OVER (PARTITION BY query_id ORDER BY pq_dist, corpus_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, corpus_id, pq_dist, rank::INTEGER AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """
+      }
+    ),
+    (
+      // Property gate for the trained tier: recall@5 vs float brute force
+      // >= 0.7 (the r15 verdict's bar for "production-grade PQ"; measured
+      // 0.90 at sf0.01, 0.92 at sf0.001) plus bitwise determinism across
+      // two independently-built plans (the Lloyd trainer is seeded and
+      // exact, so two runs produce identical codebooks).
+      "q_similarity_pq_trained_property",
+      (spark, dir) => {
+        val embs = Tables.read(spark, dir, "embeddings")
+        val queries = embs.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+        val brute = Similarity.bruteForceTopK(embs, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5)
+        def trained() = Similarity.pqTopK(embs, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5,
+          subspaces = Similarity.PqTrainedSubspaces,
+          ksub = Similarity.PqTrainedKsub, trained = true)
+        val pq = trained()
+        val recall = brute.join(pq, Seq("query_id", "corpus_id"), "left_semi")
+          .agg((F.count(F.lit(1)) / F.lit(50.0) >= 0.7).as("recall_floor_met"))
+        val again = trained()
+        val deterministic = pq.exceptAll(again).union(again.exceptAll(pq))
+          .agg(F.count(F.lit(1)).as("nondeterministic_rows"))
+        recall.crossJoin(deterministic)
+      },
+      Some("""
+        SELECT true AS recall_floor_met, CAST(0 AS BIGINT) AS nondeterministic_rows
+      """)
+    ),
+    (
+      // IVF-PQ with the TRAINED codebook (similarity_topk(...,
+      // 'ivf_pq_trained')): seeded coarse cells cut candidates, trained
+      // PQ32x8 ADC ranks them. At these parameters the trained tier's
+      // recall equals the FLOAT ivf recall (0.48/0.40 at sf0.01/0.001 ==
+      // ivfSeededTopK's) — the PQ compression step is recall-FREE; all
+      // residual loss is IVF probe loss. Full bitwise oracle: ivf_pq's
+      // cell/probe CTEs + the replayed Lloyd training.
+      "q_similarity_topk_ivf_pq_trained",
+      (spark, dir) => {
+        val embs = Tables.read(spark, dir, "embeddings")
+        val queries = embs.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
+        Similarity.ivfPqTopK(embs, "vec_id", "embedding", queries, "vec_id", "embedding",
+          k = 5, nlist = 32, nprobe = 4, subspaces = Similarity.PqTrainedSubspaces,
+          ksub = Similarity.PqTrainedKsub, trained = true)
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        val m = Similarity.PqTrainedSubspaces
+        val ksub = Similarity.PqTrainedKsub
+        val dsub = 64 / m
+        s"""
+        WITH cells AS (
+          SELECT embedding AS cvec,
+            row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS bucket
+          FROM embeddings
+          QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 32
+        ),
+        cos_ec AS (
+          SELECT e.vec_id, s.bucket,
+            COALESCE(NULLIF(${duckCosine("e.embedding", "s.cvec")}, 'NaN'::DOUBLE), -1.0) AS cs
+          FROM embeddings e CROSS JOIN cells s
+        ),
+        assign AS (
+          SELECT vec_id, bucket FROM cos_ec
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, bucket) = 1
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, bucket FROM cos_ec WHERE vec_id < 10
+          QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, bucket) <= 4
+        ),
+        ${trainedPqCbCte(m, ksub, dsub)},
+        codes AS (
+          SELECT vec_id, list(code ORDER BY s) AS codes FROM (
+            SELECT b.vec_id, t.s AS s,
+              min([${trainedPqSliceDist("b", "t", dsub)}, t.j::DOUBLE])[2]::BIGINT AS code
+            FROM embeddings b CROSS JOIN tcb t
+            GROUP BY b.vec_id, t.s
+          ) GROUP BY vec_id
+        ),
+        qd AS (
+          SELECT q.vec_id AS query_id, t.s, t.j,
+            ${trainedPqSliceDist("q", "t", dsub)} AS dist
+          FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q, tcb t
+        ),
+        qdl AS (SELECT query_id, list(dist ORDER BY s, j) AS dt FROM qd GROUP BY query_id),
+        cand AS (
+          SELECT p.query_id, a.vec_id AS corpus_id
+          FROM assign a JOIN probes p USING (bucket)
+          WHERE a.vec_id != p.query_id
+        ),
+        scored AS (
+          SELECT cnd.query_id, cnd.corpus_id,
+            round(list_sum(list_transform(range(1, ${m + 1}),
+              s -> qdl.dt[(s - 1) * $ksub + c.codes[s] + 1])), 6) AS pq_dist
+          FROM cand cnd
+          JOIN codes c ON c.vec_id = cnd.corpus_id
+          JOIN qdl ON qdl.query_id = cnd.query_id
+        ),
+        ranked AS (
+          SELECT query_id, corpus_id, pq_dist,
+            row_number() OVER (PARTITION BY query_id ORDER BY pq_dist, corpus_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, corpus_id, pq_dist, rank::INTEGER AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """
+      }
+    ),
+    (
+      // The ann_pq_index writer's 'trained' mode on the language surface —
+      // same two-output write with the Lloyd-trained codebook. Summary
+      // contract pinned here; the trained codebook arithmetic itself is
+      // bitwise-pinned by q_similarity_topk_pq_trained.
+      "q_ann_pq_index_trained",
+      wv(s"""
+        from ann_pq_index('embeddings', 'vec_id', 'embedding',
+          '/tmp/graft_pq_idx_trained_wv', ${Similarity.PqTrainedSubspaces},
+          ${Similarity.PqTrainedKsub}, 'trained')
+      """),
+      Some(s"""
+        SELECT '/tmp/graft_pq_idx_trained_wv' AS path, count(*)::BIGINT AS rows,
+               ${Similarity.PqTrainedSubspaces} AS subspaces,
+               ${Similarity.PqTrainedKsub} AS ksub
+        FROM embeddings WHERE embedding IS NOT NULL
       """)
     ),
     (

@@ -492,8 +492,18 @@ case class PqAdcExpr(left: Expression, right: Expression, ksub: Int)
     var sum = 0.0
     var s = 0
     val n = codes.numElements()
+    val dtLen = dt.numElements()
     while (s < n) {
-      sum += dt.getDouble(s * ksub + codes.getInt(s))
+      val code = codes.getInt(s)
+      // externally-supplied code columns (pqIndexTopK accepts any parquet)
+      // can disagree with the codebook's ksub/m — fail with the mismatch
+      // named instead of a raw AIOOBE out of codegen'd code (ADVICE r15)
+      if (code < 0 || code >= ksub || s * ksub + code >= dtLen)
+        throw new IllegalArgumentException(
+          s"pq_adc: code $code at subspace $s is out of range for ksub=$ksub " +
+            s"(distance table has $dtLen entries) — codes and codebook were " +
+            "built with different subspaces/ksub")
+      sum += dt.getDouble(s * ksub + code)
       s += 1
     }
     sum
@@ -540,7 +550,18 @@ case class PqSdcExpr(left: Expression, right: Expression, sdt: Seq[Double], ksub
     val n = math.min(a.numElements(), b.numElements())
     val k2 = ksub * ksub
     while (s < n) {
-      sum += t(s * k2 + a.getInt(s) * ksub + b.getInt(s))
+      val ca = a.getInt(s)
+      val cb = b.getInt(s)
+      // the min() bound on n tolerates length skew, but a code ≥ ksub means
+      // the codes were built against a different codebook — the clamped
+      // lookup would silently read a WRONG table entry (ADVICE r15)
+      if (ca < 0 || ca >= ksub || cb < 0 || cb >= ksub ||
+          s * k2 + ca * ksub + cb >= t.length)
+        throw new IllegalArgumentException(
+          s"pq_sdc: codes ($ca, $cb) at subspace $s are out of range for " +
+            s"ksub=$ksub (table has ${t.length} entries) — codes and codebook " +
+            "were built with different subspaces/ksub")
+      sum += t(s * k2 + ca * ksub + cb)
       s += 1
     }
     sum

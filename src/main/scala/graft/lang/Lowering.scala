@@ -47,14 +47,21 @@ object Lowering {
   )
 
   /** ann_pq_index side-effecting write + 1-row summary: path, row count of
-    * the written index, and the quantizer shape. */
+    * the written index, and the quantizer shape. Analysis-only contexts
+    * (LSP schema probes, compile-only) get the summary SCHEMA with no rows
+    * — lowering a script for hover/completion must not write to the
+    * user-supplied path as a planning side effect (ADVICE r15). */
   private def pqIndexWriteSummary(ctx: Context, corpus: String, idCol: String,
-      vecCol: String, path: String, subspaces: Int, ksub: Int): DataFrame = {
-    graft.operators.Similarity.writePqIndex(
-      lower(TableRef(corpus), ctx), idCol, vecCol, path, subspaces, ksub)
-    val n = ctx.spark.read.parquet(path).count()
+      vecCol: String, path: String, subspaces: Int, ksub: Int,
+      trained: Boolean): DataFrame = {
     val s = ctx.spark
     import s.implicits._
+    if (ctx.analysisOnly)
+      return Seq.empty[(String, Long, Int, Int)].toDF("path", "rows", "subspaces", "ksub")
+    graft.operators.Similarity.writePqIndex(
+      lower(TableRef(corpus), ctx), idCol, vecCol, path, subspaces, ksub,
+      trained = trained)
+    val n = ctx.spark.read.parquet(path).count()
     Seq((path, n, subspaces, ksub)).toDF("path", "rows", "subspaces", "ksub")
   }
 
@@ -108,7 +115,12 @@ object Lowering {
       jumps: mutable.ListBuffer[(Option[String], String)] = mutable.ListBuffer.empty,
       /** Name of the flow stage currently lowering in this context, set by
         * FlowRunner so jump requests can be attributed to their stage. */
-      stageName: Option[String] = None
+      stageName: Option[String] = None,
+      /** Analysis-only lowering (LSP schema probes, compile-only API,
+        * playground validation): natives whose LOWERING has a side effect
+        * (ann_pq_index writes parquet) must return a schema-equivalent
+        * frame instead of executing the effect (ADVICE r15). */
+      analysisOnly: Boolean = false
   )
 
   /** Lowering result: either a plain DataFrame or a "grouped" relation —
@@ -1210,7 +1222,7 @@ object Lowering {
                 s"literal, got '$other'")
           }
           Plain(graft.operators.Decontamination.contaminationReportSemantic(
-            lower(TableRef(corpus), ctx), idCol, vecCol,
+            lower(TableRef(corpus), ctx), vecCol,
             lower(TableRef(eval), ctx), idCol, vecCol, thr.doubleValue(), nlist))
         case _ =>
           throw new LoweringException(
@@ -1675,19 +1687,39 @@ object Lowering {
               df, idCol, vecCol, df, idCol, vecCol, k.toInt)
             case "ivf_pq" => graft.operators.Similarity.ivfPqTopK(
               df, idCol, vecCol, df, idCol, vecCol, k.toInt)
+            case "ivf_pq_trained" => graft.operators.Similarity.ivfPqTopK(
+              df, idCol, vecCol, df, idCol, vecCol, k.toInt,
+              subspaces = graft.operators.Similarity.PqTrainedSubspaces,
+              ksub = graft.operators.Similarity.PqTrainedKsub, trained = true)
             case "int8" => graft.operators.Similarity.int8BruteForceTopK(
               df, idCol, vecCol, df, idCol, vecCol, k.toInt)
             case "pq" => graft.operators.Similarity.pqTopK(
               df, idCol, vecCol, df, idCol, vecCol, k.toInt)
+            case "pq_trained" =>
+              // Lloyd-trained PQ32x8 codebook (Similarity.trainedPqCodebook)
+              // — the production PQ tier: recall@5 ≥ 0.7 property-gated;
+              // same serving plan as 'pq' (codes scan + per-query ADC table)
+              graft.operators.Similarity.pqTopK(
+                df, idCol, vecCol, df, idCol, vecCol, k.toInt,
+                subspaces = graft.operators.Similarity.PqTrainedSubspaces,
+                ksub = graft.operators.Similarity.PqTrainedKsub, trained = true)
             case "pq_index" =>
               // corpus must be a PATH to a persisted PQ index (written by
               // Similarity.writePqIndex: codes parquet + "_codebook"
               // sibling); vec_col names the CODES column. Self-kNN by
               // symmetric distance — no float column in the serving path.
-              if (!corpus.matches("(?i).*\\.(parquet)$") && !corpus.contains("/"))
-                throw new LoweringException(
-                  "similarity_topk 'pq_index' expects a path to a persisted PQ " +
-                    "index (see Similarity.writePqIndex)")
+              // Validated by the real contract — the codebook sibling must
+              // be readable — not by path shape (a '/'-free relative path
+              // is valid; a '/'-bearing table name is not; ADVICE r15).
+              try ctx.spark.read.parquet(corpus + "_codebook").schema
+              catch {
+                case e: org.apache.spark.sql.AnalysisException =>
+                  throw new LoweringException(
+                    s"similarity_topk 'pq_index' expects a path to a persisted " +
+                      s"PQ index: codes parquet at '$corpus' plus its codebook " +
+                      s"sibling at '${corpus}_codebook' (write both with " +
+                      s"ann_pq_index / Similarity.writePqIndex) — ${e.getMessage}")
+              }
               val queries = ctx.spark.read.parquet(corpus)
                 .dropDuplicates(idCol).select(F.col(idCol), F.col(vecCol))
               graft.operators.Similarity.pqIndexTopK(ctx.spark, corpus, idCol, vecCol,
@@ -1719,8 +1751,8 @@ object Lowering {
                 planes = planes, tables = tables)
             case other => throw new LoweringException(
               s"similarity_topk: unknown method '$other' (expected brute, lsh, ivf, " +
-                "int8, pq, pq_index, ivf_pq, lsh_int8, int8_index, lsh_int8_index, " +
-                "lsh_int8_part)")
+                "int8, pq, pq_trained, pq_index, ivf_pq, ivf_pq_trained, lsh_int8, " +
+                "int8_index, lsh_int8_index, lsh_int8_part)")
           }
           Plain(sim)
         case _ =>
@@ -1758,16 +1790,24 @@ object Lowering {
       args.map(constValue) match {
         case List(Some(corpus: String), Some(idCol: String), Some(vecCol: String),
             Some(path: String)) =>
-          Plain(pqIndexWriteSummary(ctx, corpus, idCol, vecCol, path, 16, 64))
+          Plain(pqIndexWriteSummary(ctx, corpus, idCol, vecCol, path, 16, 64,
+            trained = false))
         case List(Some(corpus: String), Some(idCol: String), Some(vecCol: String),
-            Some(path: String), Some(m: Long), Some(ks: Long))
-            if m >= 1 && ks >= 2 =>
-          Plain(pqIndexWriteSummary(ctx, corpus, idCol, vecCol, path, m.toInt, ks.toInt))
+            Some(path: String), Some(m: Long), Some(ks: Long), rest @ _*)
+            if m >= 1 && ks >= 2 && rest.lengthCompare(1) <= 0 =>
+          val trained = rest.headOption match {
+            case Some(Some("trained")) => true
+            case Some(Some("seeded")) | None => false
+            case other => throw new LoweringException(
+              s"ann_pq_index: codebook mode must be 'trained' or 'seeded', got '$other'")
+          }
+          Plain(pqIndexWriteSummary(ctx, corpus, idCol, vecCol, path, m.toInt, ks.toInt,
+            trained))
         case _ =>
           throw new LoweringException(
-            "ann_pq_index expects (corpus, id_col, vec_col, out_path[, subspaces, ksub]) " +
-              "literals, e.g. ann_pq_index('embeddings', 'vec_id', 'embedding', " +
-              "'/tmp/pq_idx', 16, 64)")
+            "ann_pq_index expects (corpus, id_col, vec_col, out_path[, subspaces, ksub" +
+              "[, 'trained'|'seeded']]) literals, e.g. ann_pq_index('embeddings', " +
+              "'vec_id', 'embedding', '/tmp/pq_idx', 16, 64)")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

@@ -279,10 +279,11 @@ object Decontamination {
     * the corpus never shuffles, the eval side broadcasts, centroid-bound
     * pruning is exact. A corpus row reaches an eval row through exactly
     * ONE bucket (each eval row has one assignment), so the per-eval count
-    * needs no dedup. */
+    * needs no dedup. The corpus side is consumed as vectors only — corpus
+    * ids neither influence nor appear in the output (the audit aggregates
+    * per EVAL row), so no corpus id column is taken (ADVICE r15). */
   def contaminationReportSemantic(
       corpus: DataFrame,
-      corpusId: String,
       corpusVec: String,
       eval: DataFrame,
       evalId: String,

@@ -42,4 +42,9 @@ class PropertyGateSpec extends SparkTestBase {
     val r = row("q_similarity_pq_property")
     assert(r.getBoolean(0) && r.getLong(1) == 0L, r.toString)
   }
+
+  test("TRAINED PQ top-k: recall@5 clears the 0.7 floor; bitwise deterministic") {
+    val r = row("q_similarity_pq_trained_property")
+    assert(r.getBoolean(0) && r.getLong(1) == 0L, r.toString)
+  }
 }

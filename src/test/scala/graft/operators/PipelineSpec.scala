@@ -528,7 +528,7 @@ class PipelineSpec extends SparkTestBase {
     // is exact in BOTH directions
     Seq(0.95, 0.8, 0.35).foreach { thr =>
       val rep = Decontamination.contaminationReportSemantic(
-        corpus, "vec_id", "embedding", eval, "vec_id", "embedding", threshold = thr)
+        corpus, "embedding", eval, "vec_id", "embedding", threshold = thr)
       val ref = eval.select(F.col("vec_id"))
         .join(brute(thr).withColumnRenamed("eid", "vec_id"), Seq("vec_id"), "left")
         .withColumn("leaking_docs", F.coalesce(F.col("leaking_docs"), F.lit(0L)))
@@ -540,7 +540,7 @@ class PipelineSpec extends SparkTestBase {
     // the audit and the flag direction agree on TOTAL leak mass: sum of
     // per-eval leaking_docs == sum of per-corpus contaminated_matches
     val repTotal = Decontamination.contaminationReportSemantic(
-        corpus, "vec_id", "embedding", eval, "vec_id", "embedding", threshold = 0.35)
+        corpus, "embedding", eval, "vec_id", "embedding", threshold = 0.35)
       .agg(F.sum("leaking_docs")).head.getLong(0)
     val flagTotal = Decontamination.contaminatedVecs(
         corpus, "vec_id", "embedding", eval, "embedding", threshold = 0.35)
