@@ -29,6 +29,15 @@ object Bench {
   private[graft] case class QResult(name: String, median: Double, runs: Seq[Double], failed: Boolean,
       retimed: Option[Double] = None)
 
+  /** The row's EFFECTIVE seconds: min(median, retimed). The retime pass is
+    * a self-DEFENSE against load-inflated medians — r15's artifact showed
+    * the unclamped substitution doing the opposite (q_tpcds_q22 "retimed"
+    * 1.47 s UP to 2.16 s when ambient load ramped mid-retime, loadavg
+    * 1.90→6.13), so a retime can only ever LOWER a row's effective number;
+    * both raw values stay stamped in the artifact (r15 verdict #1). */
+  private[graft] def effectiveSec(r: QResult): Double =
+    r.retimed.fold(r.median)(math.min(_, r.median))
+
   /** One forked suite run: per-query results, per-chunk load stamps, and
     * which chunk each query ran in (provenance for BenchSettle's floors). */
   private[graft] case class SuiteRun(results: Seq[QResult], chunkLoads: Seq[String],
@@ -369,13 +378,13 @@ object Bench {
     val loadAfter = loadavg()
     val failures = results2.count(_.failed)
     val total = results2.map(_.median).sum
-    val totalRetimed = results2.map(r => r.retimed.getOrElse(r.median)).sum
+    val totalRetimed = results2.map(effectiveSec).sum
     // control rows: never-changing queries whose ratio-to-floor calibrates
     // ambient load for cross-round comparison (geomean stamped as
     // control_ratio; 1.0 = as quiet as the settled run that set the floors)
     val controlRatios: Seq[(String, Double)] = controlRows.flatMap { n =>
       results2.find(r => r.name == n && !r.failed).flatMap(r =>
-        floors.get(n).filter(_ > 0).map(f => n -> r.retimed.getOrElse(r.median) / f))
+        floors.get(n).filter(_ > 0).map(f => n -> effectiveSec(r) / f))
     }
     val controlRatio: Option[Double] =
       if (controlRatios.isEmpty) None

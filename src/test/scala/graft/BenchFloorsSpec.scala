@@ -49,6 +49,19 @@ class BenchFloorsSpec extends AnyFunSuite {
       Map("q_a" -> 1.0))
   }
 
+  test("a worse retime can never raise a row's effective number") {
+    // the r15 regression scenario: q_tpcds_q22 median 1.47 s, retime child
+    // ran as ambient load ramped 1.90→6.13 and measured 2.16 s — the
+    // unclamped substitution REPLACED the better number with the worse one
+    val loaded = Bench.QResult("q_tpcds_q22", 1.47, Seq(1.47), failed = false,
+      retimed = Some(2.16))
+    assert(Bench.effectiveSec(loaded) == 1.47)
+    // the intended direction still works: a quiet retime lowers it
+    val quiet = loaded.copy(retimed = Some(0.90))
+    assert(Bench.effectiveSec(quiet) == 0.90)
+    assert(Bench.effectiveSec(loaded.copy(retimed = None)) == 1.47)
+  }
+
   test("control rows are real suite queries with oracle entries") {
     // a control row that drifts out of the suite would silently drop from
     // the control_ratio stamp
