@@ -19,6 +19,19 @@ import org.apache.spark.sql.{functions => F}
   * IDENTICAL to scanning the corpus per merge, at the cost of one scan
   * total.
   *
+  * The merge loop itself is INCREMENTAL (the HF-tokenizers trainer shape;
+  * r15 verdict #2): pair counts live in a map updated only for the words
+  * that actually CONTAIN the merged pair (a pair → word-indices posting
+  * map bounds the touch set), and the arg-max pair comes from a
+  * lazy-deletion heap — every count change pushes a fresh entry, stale
+  * entries are discarded against the live map on pop. Per merge the work
+  * is O(affected words × word length + heap ops), not O(Σ|word_syms|):
+  * the r15 naive loop recounted EVERY pair each merge, which at the caps
+  * (64K merges × 1M types) meant ~10¹¹ driver operations while the
+  * cluster idled. Output is bit-identical to the naive recount loop
+  * (BpeSpec gates equality on planted + fuzz corpora, and wall-clock at
+  * 4K merges over 100K word types).
+  *
   * Determinism: the merged pair each round is the max by
   * (count, then lexicographically smallest pair) — reference trainers
   * break ties by insertion order, which is corpus-order-dependent; the
@@ -60,7 +73,51 @@ object BpeTrain {
       .limit(maxWordTypes)
       .collect().map(r => r.getString(0) -> r.getLong(1))
 
-    // driver merge loop over the bounded word table
+    val merges = mergeLoopIncremental(wc, nMerges)
+    import scala.jdk.CollectionConverters._
+    val rows = merges.zipWithIndex.map { case ((a, b, c), i) =>
+      org.apache.spark.sql.Row(a + b, a, b, c, i + 1)
+    }
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("left",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("right",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("pair_count",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+  }
+
+  /** Apply one merge left-to-right non-overlapping; returns the input
+    * array unchanged (same reference) when the pair is absent. */
+  private def applyMerge(syms: Array[String], a: String, b: String): Array[String] = {
+    var has = false
+    var i = 0
+    while (!has && i < syms.length - 1) {
+      if (syms(i) == a && syms(i + 1) == b) has = true
+      i += 1
+    }
+    if (!has) syms
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < syms.length) {
+        if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+          out += a + b; j += 2 // left-to-right non-overlapping
+        } else { out += syms(j); j += 1 }
+      }
+      out.toArray
+    }
+  }
+
+  /** The r15 full-recount loop — O(nMerges × Σ|word_syms|), kept ONLY as
+    * the equality reference for BpeSpec's bit-identical gate. */
+  private[graft] def mergeLoopNaive(
+      wc: Array[(String, Long)], nMerges: Int): Seq[(String, String, Long)] = {
     var words: Array[(Array[String], Long)] =
       wc.map { case (w, c) => (w.map(_.toString).toArray, c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
@@ -80,37 +137,107 @@ object BpeTrain {
       else {
         val ((a, b), cnt) = pairCounts.minBy { case ((x, y), c) => (-c, x, y) }
         merges += ((a, b, cnt))
-        words = words.map { case (syms, c) =>
-          if (syms.length < 2) (syms, c)
-          else {
-            val out = scala.collection.mutable.ArrayBuffer.empty[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
-                out += a + b; i += 2 // left-to-right non-overlapping
-              } else { out += syms(i); i += 1 }
-            }
-            (out.toArray, c)
+        words = words.map { case (syms, c) => (applyMerge(syms, a, b), c) }
+        m += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Incremental trainer: exact pair counts maintained across merges, only
+    * the words containing the merged pair are touched. Heap entries are
+    * (count, pair) snapshots; a pair's LIVE count always has an entry (one
+    * is pushed on every change), so discarding entries whose count
+    * disagrees with the map on pop yields the true (count desc, pair asc)
+    * arg-max. Bit-identical to [[mergeLoopNaive]]. */
+  private[graft] def mergeLoopIncremental(
+      wc: Array[(String, Long)], nMerges: Int): Seq[(String, String, Long)] = {
+    val words: Array[Array[String]] = wc.map(_._1.map(_.toString).toArray)
+    val freq: Array[Long] = wc.map(_._2)
+    val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    // pair → indices of words that contained the pair at SOME point (lazily
+    // maintained — stale members are harmless: reprocessing a word that no
+    // longer holds the pair is a no-op)
+    val pairWords = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+
+    def addContribs(wi: Int, touched: scala.collection.mutable.HashSet[(String, String)]): Unit = {
+      val syms = words(wi)
+      val c = freq(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        pairCounts.update(k, pairCounts.getOrElse(k, 0L) + c)
+        pairWords.getOrElseUpdate(k, scala.collection.mutable.HashSet.empty) += wi
+        if (touched ne null) touched += k
+        i += 1
+      }
+    }
+    def subContribs(wi: Int, touched: scala.collection.mutable.HashSet[(String, String)]): Unit = {
+      val syms = words(wi)
+      val c = freq(wi)
+      var i = 0
+      while (i < syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        val nv = pairCounts.getOrElse(k, 0L) - c
+        if (nv == 0L) pairCounts.remove(k) else pairCounts.update(k, nv)
+        touched += k
+        i += 1
+      }
+    }
+
+    var wi = 0
+    while (wi < words.length) { addContribs(wi, null); wi += 1 }
+
+    // max-heap on (count, then lexicographically SMALLEST pair)
+    final case class Entry(count: Long, a: String, b: String)
+    val ord: Ordering[Entry] = new Ordering[Entry] {
+      def compare(x: Entry, y: Entry): Int = {
+        val c = java.lang.Long.compare(x.count, y.count)
+        if (c != 0) c
+        else {
+          val ca = y.a.compareTo(x.a)
+          if (ca != 0) ca else y.b.compareTo(x.b)
+        }
+      }
+    }
+    val heap = scala.collection.mutable.PriorityQueue.empty[Entry](ord)
+    pairCounts.foreach { case ((a, b), c) => heap.enqueue(Entry(c, a, b)) }
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var m = 0
+    var done = false
+    while (m < nMerges && !done) {
+      // pop to the first LIVE entry
+      var sel: Entry = null
+      while (sel == null && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (pairCounts.getOrElse((e.a, e.b), 0L) == e.count) sel = e
+      }
+      if (sel == null) done = true
+      else {
+        val (a, b) = (sel.a, sel.b)
+        merges += ((a, b, sel.count))
+        val touched = scala.collection.mutable.HashSet.empty[(String, String)]
+        val affected = pairWords.remove((a, b))
+          .getOrElse(scala.collection.mutable.HashSet.empty)
+        affected.foreach { w =>
+          val merged = applyMerge(words(w), a, b)
+          if (merged ne words(w)) {
+            subContribs(w, touched)
+            words(w) = merged
+            addContribs(w, touched)
           }
+        }
+        // every occurrence of (a,b) was merged away by the resubs above, so
+        // its live count is 0 and the cur > 0 guard below never re-pushes it
+        touched.foreach { k =>
+          val cur = pairCounts.getOrElse(k, 0L)
+          if (cur > 0L) heap.enqueue(Entry(cur, k._1, k._2))
         }
         m += 1
       }
     }
-    import scala.jdk.CollectionConverters._
-    val rows = merges.zipWithIndex.map { case ((a, b, c), i) =>
-      org.apache.spark.sql.Row(a + b, a, b, c, i + 1)
-    }
-    spark.createDataFrame(rows.asJava,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("token",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("left",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("right",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("pair_count",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("rank",
-          org.apache.spark.sql.types.IntegerType, nullable = false))))
+    merges.toSeq
   }
 }

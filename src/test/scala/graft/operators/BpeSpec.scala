@@ -255,6 +255,51 @@ class BpeSpec extends SparkTestBase {
     assert(a.nonEmpty && joined.count() > 0)
   }
 
+  test("incremental trainer ≡ naive recount loop: planted, tied, and fuzz corpora") {
+    // the r15 verdict #2 gate: the incremental (HF-tokenizers-shaped) loop
+    // must be BIT-identical to the full-recount reference on every input —
+    // same merges, same order, same pair_count at merge time
+    def check(wc: Array[(String, Long)], nMerges: Int): Unit = {
+      val naive = BpeTrain.mergeLoopNaive(wc, nMerges)
+      val inc = BpeTrain.mergeLoopIncremental(wc, nMerges)
+      assert(inc == naive, s"diverged on ${wc.take(5).toSeq}…: $inc vs $naive")
+    }
+    // planted (the q_bpe_train oracle corpus shape) and the tie corpus
+    check(Array("abab" -> 3L, "abc" -> 2L, "cab" -> 1L), 5)
+    check(Array("xy" -> 2L, "yx" -> 2L, "xx" -> 1L), 3)
+    // degenerate: single chars only (no pairs → zero merges both ways)
+    check(Array("a" -> 5L, "b" -> 3L), 4)
+    // deterministic fuzz: random words over a small alphabet force dense
+    // tie-breaking and pair re-creation across merges
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val wc = Array.fill(200)(
+        (1 to (2 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+          -> (1L + rnd.nextInt(9)))
+        .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }.toArray
+      check(wc, 50)
+    }
+  }
+
+  test("incremental trainer wall-clock: 4K merges over 100K word types") {
+    // the scale posture the incremental loop exists for: the naive loop's
+    // full recount at this size would take minutes; the incremental loop
+    // must finish in seconds (bound is generous vs ~2 s measured to stay
+    // load-robust, but far below the naive loop's cost)
+    val rnd = new scala.util.Random(7)
+    val wc = Array.tabulate(100000) { i =>
+      val w = (1 to (3 + rnd.nextInt(10)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      w -> (1L + 1000000L / (i + 1)) // Zipf-ish
+    }.groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }.toArray
+    val t0 = System.nanoTime()
+    val merges = BpeTrain.mergeLoopIncremental(wc, 4096)
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"4096 merges over ${wc.length} types: $sec%.1f s")
+    assert(merges.size == 4096, s"only ${merges.size} merges")
+    assert(sec < 60.0, f"incremental trainer too slow: $sec%.1f s")
+  }
+
   test("budget + packing accept the BPE counter: unit swaps, anatomy unchanged") {
     val vocab = Seq("the", "and", "ing", "tion")
     val counter = Bpe.counter(vocab)
