@@ -5330,6 +5330,67 @@ object QueryCatalog {
       """)
     ),
     (
+      // GPT-2 pre-tokenization mode of bpe_train (the optional 'gpt2'
+      // trailing literal): contractions split ('t), letter runs keep ONE
+      // leading space, punctuation runs group, case kept — what HF
+      // byte-level tokenizers segment before merging, vs the lowercased
+      // [a-z0-9]+ word stream. Closed-form VALUES oracle, hand-derived:
+      // pretypes don:1 't:2 ' stop':2 ' don':1 Stop:1 !!:1 → round 1 ties
+      // (t,o)/(o,p) at 3 → lexicographic (o,p); round 2 (t,op)@3; round 3
+      // five pairs tied at 2 → (' ','s') (space sorts lowest). The same
+      // corpus under 'words' trains a DIFFERENT sequence (BpeSpec pins the
+      // divergence pairwise).
+      "q_bpe_train_gpt2",
+      wv("""
+        model gpt2_corpus = {
+          from [
+            [1, "don\'t stop don\'t"],
+            [2, "Stop!! stop"]
+          ] as c(id, text)
+        }
+        from bpe_train('gpt2_corpus', 'text', 3, 1048576, 'gpt2')
+        order by rank
+      """),
+      Some("""
+        SELECT token, l AS "left", r AS "right", CAST(c AS BIGINT) AS pair_count,
+               CAST(rk AS INTEGER) AS rank
+        FROM (VALUES ('op', 'o', 'p', 3, 1), ('top', 't', 'op', 3, 2),
+                     (' s', ' ', 's', 2, 3)) AS t(token, l, r, c, rk)
+        ORDER BY rank
+      """)
+    ),
+    (
+      // Merge replay over GPT-2 pre-tokens (bpe_count_merges(...,'gpt2')):
+      // space-BEARING symbols (' stop' carries its leading space; a
+      // whitespace-run pretoken is all spaces) replay unambiguously via
+      // the length-prefixed pair key. Hand-derived VALUES oracle:
+      // doc1 [don]['t][ stop]: 3 + 2 + ([ ,s,t,o,p]→[ ,st,op]→[ st,op]=2)
+      // = 7; doc2 [stop][  ][ stop]: [st,op]=2 + ((' ',' ') merges → 1) +
+      // 2 = 5; doc3 [STOP]: case kept, no merges apply = 4.
+      "q_bpe_count_merges_gpt2",
+      wv("""
+        model gpt2_merges = {
+          from [['s', 't', 1], [' ', 'st', 2], ['o', 'p', 3], [' ', ' ', 4]]
+            as m(left, right, rank)
+        }
+        model gpt2_mcorpus = {
+          from [
+            [1, "don\'t stop"],
+            [2, "stop  stop"],
+            [3, "STOP"]
+          ] as c(id, text)
+        }
+        from bpe_count_merges('gpt2_mcorpus', 'text', 'gpt2_merges', 'gpt2')
+        select id, n_bpe_merge_tokens
+        order by id
+      """),
+      Some("""
+        SELECT id, CAST(n AS BIGINT) AS n_bpe_merge_tokens FROM (VALUES
+          (1, 7), (2, 5), (3, 4)
+        ) AS t(id, n) ORDER BY id
+      """)
+    ),
+    (
       // BPE token counting over the real corpus (Bpe/BpeExpressions via
       // bpe_count(...)): byte-level greedy longest-match against a vocab
       // relation. EXECUTABLE oracle: the vocab tokens are chosen pairwise

@@ -268,10 +268,16 @@ case class BpeMergeCountExpr(child: Expression, merges: Seq[(String, String)])
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
 
+  /** Pair key: left-length-prefixed concatenation — unambiguous even when
+    * symbols CONTAIN spaces (GPT-2 pretok mode: " stop" carries its leading
+    * space, whitespace-run pretokens are all spaces — a "a b"-style
+    * separator key would conflate ("  "," ") with (" ","  ")). */
+  private def pairKey(a: String, b: String): String = a.length + ":" + a + b
+
   @transient private lazy val pairRank: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
     merges.zipWithIndex.foreach { case ((a, b), i) =>
-      m.putIfAbsent(a + " " + b, Integer.valueOf(i))
+      m.putIfAbsent(pairKey(a, b), Integer.valueOf(i))
     }
     m
   }
@@ -295,7 +301,7 @@ case class BpeMergeCountExpr(child: Expression, merges: Seq[(String, String)])
       var bestRank = Int.MaxValue
       var i = 0
       while (i < syms.size - 1) {
-        val r = pairRank.get(syms.get(i) + " " + syms.get(i + 1))
+        val r = pairRank.get(pairKey(syms.get(i), syms.get(i + 1)))
         if (r != null && r.intValue() < bestRank) bestRank = r.intValue()
         i += 1
       }

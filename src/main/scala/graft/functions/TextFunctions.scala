@@ -25,6 +25,26 @@ object TextFunctions {
   def tokens(text: Column): Column =
     F.filter(F.split(F.lower(text), "[^a-z0-9]+"), t => F.length(t) > 0)
 
+  /** The GPT-2 pre-tokenization regex (Radford et al. 2019, the public
+    * encoder.py pattern): contractions split off ('s 't 're 've 'm 'll
+    * 'd), letter/digit runs keep ONE leading space, punctuation runs
+    * group, case and whitespace are KEPT — this is what HF byte-level BPE
+    * tokenizers segment before merging, vs [[tokens]]' lowercased
+    * `[a-z0-9]+` stream. Java regex (the lookahead `\s+(?!\S)` keeps
+    * trailing-whitespace runs off the following word's leading space). */
+  val gpt2PretokenPattern: String =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+
+  /** GPT-2 pre-token stream of a text column — the optional `'gpt2'`
+    * pretok mode of bpe_train / bpe_count_merges. Merges then apply
+    * WITHIN these pre-tokens (never across), exactly like the canonical
+    * word stream; the merge alphabet stays characters (the byte→unicode
+    * remap of full byte-level BPE changes nothing about segmentation or
+    * counts for valid UTF-8 text). */
+  def gpt2Pretokens(text: Column): Column =
+    F.filter(F.regexp_extract_all(text, F.lit(gpt2PretokenPattern), F.lit(0)),
+      t => F.length(t) > 0)
+
   /** Token count under the engine's canonical tokenizer: LOWERCASED
     * ALPHANUMERIC RUNS (`[a-z0-9]+`), not whitespace words — hyphenated,
     * punctuated, or accented text yields more tokens than a whitespace

@@ -1336,15 +1336,25 @@ object Lowering {
       // canonical word. Greedy bpe_count approximates this from the vocab
       // alone; this is the exact count when the merge list exists.
       args.map(constValue) match {
-        case List(Some(corpus: String), Some(textCol: String), Some(mergesRel: String)) =>
+        case List(Some(corpus: String), Some(textCol: String), Some(mergesRel: String),
+            rest @ _*) if rest.lengthCompare(1) <= 0 =>
+          // optional trailing pretok mode: 'gpt2' replays merges within
+          // GPT-2 pre-tokens (MUST match the mode the merges were trained
+          // with — a mismatched stream silently segments differently)
+          val pretok = rest.headOption match {
+            case Some(Some(p: String)) if p == "gpt2" || p == "words" => p
+            case None => "words"
+            case other => throw new LoweringException(
+              s"bpe_count_merges: pretok must be 'gpt2' or 'words', got '$other'")
+          }
           val merges = graft.operators.Bpe.loadMerges(lower(TableRef(mergesRel), ctx))
           Plain(graft.operators.Bpe.withMergeCount(
-            lower(TableRef(corpus), ctx), textCol, merges))
+            lower(TableRef(corpus), ctx), textCol, merges, pretok = pretok))
         case _ =>
           throw new LoweringException(
-            "bpe_count_merges expects (corpus, text_col, merges_rel) literals — " +
-              "merges_rel has (left, right, rank) columns (bpe_train's output), e.g. " +
-              "bpe_count_merges('documents', 'text', 'my_merges')")
+            "bpe_count_merges expects (corpus, text_col, merges_rel[, 'gpt2'|'words']) " +
+              "literals — merges_rel has (left, right, rank) columns (bpe_train's " +
+              "output), e.g. bpe_count_merges('documents', 'text', 'my_merges')")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
@@ -1936,12 +1946,16 @@ object Lowering {
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "bpe_train" =>
-      // bpe_train('corpus', 'text_col', n_merges[, max_word_types]) —
-      // exact BPE merge learning (BpeTrain.bpeTrain): ONE corpus scan to
-      // the word-frequency table, then the merge loop runs exactly over
-      // that bounded table driver-side; deterministic lexicographic
-      // tie-break. Output (token, pair_count, rank) feeds bpe_count /
-      // select_token_budget / pack_sequences as their vocab_rel.
+      // bpe_train('corpus', 'text_col', n_merges[, max_word_types
+      // [, 'gpt2'|'words']]) — exact BPE merge learning
+      // (BpeTrain.bpeTrain): ONE corpus scan to the word-frequency table,
+      // then the incremental merge loop runs exactly over that bounded
+      // table driver-side; deterministic lexicographic tie-break. The
+      // optional pretok mode 'gpt2' segments with the GPT-2 pattern
+      // (contractions, leading spaces, punctuation runs, case kept) so
+      // trained vocabs match what HF tokenizers learn. Output (token,
+      // pair_count, rank) feeds bpe_count / select_token_budget /
+      // pack_sequences as their vocab_rel.
       args.map(constValue) match {
         case List(Some(corpus: String), Some(textCol: String), Some(n: Long)) =>
           Plain(graft.operators.BpeTrain.bpeTrain(
@@ -1950,10 +1964,15 @@ object Lowering {
             Some(maxTypes: Long)) =>
           Plain(graft.operators.BpeTrain.bpeTrain(
             lower(TableRef(corpus), ctx), textCol, n.toInt, maxTypes.toInt))
+        case List(Some(corpus: String), Some(textCol: String), Some(n: Long),
+            Some(maxTypes: Long), Some(pretok: String))
+            if pretok == "gpt2" || pretok == "words" =>
+          Plain(graft.operators.BpeTrain.bpeTrain(
+            lower(TableRef(corpus), ctx), textCol, n.toInt, maxTypes.toInt, pretok))
         case _ =>
           throw new LoweringException(
-            "bpe_train expects (corpus, text_col, n_merges[, max_word_types]) " +
-              "literals, e.g. bpe_train('documents', 'text', 200)")
+            "bpe_train expects (corpus, text_col, n_merges[, max_word_types" +
+              "[, 'gpt2'|'words']]) literals, e.g. bpe_train('documents', 'text', 200)")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

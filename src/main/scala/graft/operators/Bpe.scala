@@ -66,11 +66,12 @@ object Bpe {
     * merge-replay count when the merge list is available — they diverge
     * exactly where maximal munch blocks a lower-rank merge. */
   def withMergeCount(df: DataFrame, textCol: String,
-      merges: Seq[(String, String)], outCol: String = "n_bpe_merge_tokens"): DataFrame =
+      merges: Seq[(String, String)], outCol: String = "n_bpe_merge_tokens",
+      pretok: String = "words"): DataFrame =
     df.withColumn(outCol,
       F.when(F.col(textCol).isNull, F.lit(0L))
         .otherwise(BpeExpressions.bpeMergeCount(
-          graft.functions.TextFunctions.tokens(F.col(textCol)), merges)))
+          BpeTrain.pretokStream(textCol, pretok), merges)))
 
   /** Tokenizer-fitness report — the numbers that decide whether a vocab
     * FITS a corpus before committing a training run to it:

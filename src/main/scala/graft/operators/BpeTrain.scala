@@ -53,11 +53,24 @@ import org.apache.spark.sql.{functions => F}
   */
 object BpeTrain {
 
+  /** Pre-tokenizer selection shared with [[Bpe.withMergeCount]]: the
+    * canonical lowercased word stream, or the GPT-2 pattern (contractions
+    * split, leading space attached, punctuation runs, case kept) — what
+    * HF byte-level tokenizers segment before merging. */
+  private[graft] def pretokStream(textCol: String, pretok: String): org.apache.spark.sql.Column =
+    pretok match {
+      case "words" => graft.functions.TextFunctions.tokens(F.col(textCol))
+      case "gpt2" => graft.functions.TextFunctions.gpt2Pretokens(F.col(textCol))
+      case other => throw new IllegalArgumentException(
+        s"pretok must be 'words' or 'gpt2', got '$other'")
+    }
+
   def bpeTrain(
       df: DataFrame,
       textCol: String,
       nMerges: Int,
-      maxWordTypes: Int = 1 << 20
+      maxWordTypes: Int = 1 << 20,
+      pretok: String = "words"
   ): DataFrame = {
     require(nMerges > 0 && nMerges <= 65536, "nMerges in 1..65536")
     require(maxWordTypes > 0 && maxWordTypes <= (1 << 20),
@@ -67,7 +80,7 @@ object BpeTrain {
     // cap drops the rarest types — at a realistic Zipf tail those carry a
     // vanishing share of pair mass)
     val wc: Array[(String, Long)] = df
-      .select(F.explode(graft.functions.TextFunctions.tokens(F.col(textCol))).as("w"))
+      .select(F.explode(pretokStream(textCol, pretok)).as("w"))
       .groupBy("w").agg(F.count(F.lit(1)).as("cnt"))
       .orderBy(F.col("cnt").desc, F.col("w"))
       .limit(maxWordTypes)

@@ -281,6 +281,60 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("gpt2 pretokenizer: contractions, leading spaces, punctuation runs, case kept") {
+    val rows = Seq(
+      "don't stop don't" -> Seq("don", "'t", " stop", " don", "'t"),
+      "Stop!! stop" -> Seq("Stop", "!!", " stop"),
+      // double space: all-but-last space is its own run, last glues to 'b'
+      "a  b" -> Seq("a", " ", " b"),
+      "x9y" -> Seq("x", "9", "y"), // letter/digit runs split
+      "hi  " -> Seq("hi", "  "), // trailing whitespace is one run
+      "it's we're I'll" -> Seq("it", "'s", " we", "'re", " I", "'ll")
+    )
+    val df = spark.createDataFrame(rows.map(r => Tuple1(r._1))).toDF("text")
+      .withColumn("pt", graft.functions.TextFunctions.gpt2Pretokens(F.col("text")))
+    val got = df.select("pt").collect().map(_.getSeq[String](0).toSeq)
+    rows.map(_._2).zip(got).foreach { case (exp, g) =>
+      assert(g == exp, s"expected $exp got $g")
+    }
+  }
+
+  test("bpe_train 'gpt2' pretok: planted merges diverge from the word stream as constructed") {
+    val s = spark
+    import s.implicits._
+    val planted = Seq((1, "don't stop don't"), (2, "Stop!! stop")).toDF("id", "text")
+    // hand-derived: pretypes don:1 't:2 ' stop':2 ' don':1 Stop:1 !!:1
+    // round 1: (t,o) and (o,p) both 3 → lexicographic (o,p) wins, 'op'@3
+    // round 2: (t,op)@3 → 'top'  round 3: five pairs tied at 2 → (' ','s')
+    val gpt2 = BpeTrain.bpeTrain(planted, "text", 3, pretok = "gpt2")
+      .orderBy("rank").collect()
+    assert(gpt2.map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq ==
+      Seq(("o", "p", 3L), ("t", "op", 3L), (" ", "s", 2L)), gpt2.mkString(", "))
+    // the word stream lowercases and strips ' ', '!', casing: same corpus
+    // trains a DIFFERENT merge sequence (don/t/stop × counts: stop:3 ...)
+    val words = BpeTrain.bpeTrain(planted, "text", 3).orderBy("rank").collect()
+    assert(words.map(_.getString(0)).toSeq !=
+      gpt2.map(_.getString(0)).toSeq, "gpt2 and word-stream merges must diverge")
+  }
+
+  test("bpe_count_merges 'gpt2': space-bearing symbols replay unambiguously") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1, "don't stop"), (2, "stop  stop"), (3, "STOP")).toDF("id", "text")
+    // merges over gpt2 pretokens incl. a space-led symbol and an all-space
+    // pair — the length-prefixed pair key keeps (' ','s')+('t','o')
+    // distinct from any space-separator collision
+    val merges = Seq(("s", "t"), (" ", "st"), ("o", "p"), (" ", " "))
+    val got = Bpe.withMergeCount(corpus, "text", merges, pretok = "gpt2")
+      .orderBy("id").select("n_bpe_merge_tokens").collect().map(_.getLong(0))
+    // doc1: [don]['t][ stop] → don(3) + 't(2) + ' stop'→[ ,s,t,o,p]→
+    //   [ ,st,op]→[ st,op]→2 → 7
+    // doc2: [stop][  ][ stop] → [st,op]=2 + ['  ']→(' ',' ') merged→1 +
+    //   [ st,op]=2 → 5
+    // doc3: [STOP] → no merges (case kept) → 4
+    assert(got.toSeq == Seq(7L, 5L, 4L), got.mkString(","))
+  }
+
   test("incremental trainer wall-clock: 4K merges over 100K word types") {
     // the scale posture the incremental loop exists for: the naive loop's
     // full recount at this size would take minutes; the incremental loop
