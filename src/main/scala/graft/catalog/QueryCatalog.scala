@@ -5171,6 +5171,72 @@ object QueryCatalog {
       """)
     ),
     (
+      // Interpolated KNESER-NEY smoothing (CorpusStats.bigramNllKn via
+      // perplexity_score_bigram(..., 'kn')): the quality-reference
+      // smoothing next to Stupid Backoff — discounted bigram hits
+      // interpolate with CONTINUATION probability (N1+(·w)/N1+(··):
+      // "Francisco" is frequent but follows almost nothing — KN's
+      // insight), weights from the proper context counts c(v·)/N1+(v·).
+      // FULL oracle: DuckDB refits unigram/bigram/type statistics from the
+      // same positional pair stream and mirrors the probability expression
+      // operation-for-operation; +5e-9/4dp rounding as the whole NLL
+      // family.
+      "q_perplexity_bigram_kn",
+      wv("""
+        from perplexity_score_bigram('documents', 'doc_id', 'text', 'kn', 0.75, 2)
+        order by doc_id
+      """),
+      Some("""
+        WITH tokl AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ts
+          FROM documents
+        ),
+        p2 AS (
+          SELECT doc_id,
+                 CASE WHEN i = 1 THEN NULL ELSE ts[i - 1] END AS prev,
+                 ts[i] AS cur
+          FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM tokl)
+        ),
+        uni AS (SELECT cur AS t, count(*)::BIGINT AS uc FROM p2 GROUP BY cur),
+        tot AS (SELECT coalesce(sum(uc), 0)::BIGINT AS n FROM uni),
+        biall AS (
+          SELECT prev, cur, count(*)::BIGINT AS bc
+          FROM p2 WHERE prev IS NOT NULL GROUP BY prev, cur
+        ),
+        cx AS (SELECT prev, sum(bc)::BIGINT AS ctx, count(*)::BIGINT AS n1f
+               FROM biall GROUP BY prev),
+        cont AS (SELECT cur, count(*)::BIGINT AS n1p FROM biall GROUP BY cur),
+        ntt AS (SELECT count(*)::BIGINT AS nt FROM biall),
+        bi AS (SELECT prev, cur, bc FROM biall WHERE bc >= 2),
+        scored AS (
+          SELECT p.doc_id,
+            CASE WHEN p.prev IS NULL
+                   THEN ln((SELECT n FROM tot)::DOUBLE) - ln(u.uc::DOUBLE)
+                 ELSE -ln(
+                   greatest(coalesce(b.bc::DOUBLE, 0.0) - 0.75, 0.0) / c.ctx::DOUBLE
+                   + (0.75 * c.n1f::DOUBLE / c.ctx::DOUBLE)
+                     * (ct.n1p::DOUBLE / (SELECT nt FROM ntt)::DOUBLE))
+            END AS nll
+          FROM p2 p
+          JOIN uni u ON u.t = p.cur
+          LEFT JOIN bi b ON b.prev = p.prev AND b.cur = p.cur
+          LEFT JOIN cx c ON c.prev = p.prev
+          LEFT JOIN cont ct ON ct.cur = p.cur
+        ),
+        per AS (
+          SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(nll) AS s
+          FROM scored GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+          coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+          round(CASE WHEN p.n_tokens > 0
+                THEN p.s / p.n_tokens + 5e-9 END, 4) AS avg_nll
+        FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+        ORDER BY d.doc_id
+      """)
+    ),
+    (
       // Quality-first token-budget cut (Sampling.selectTokenBudgetBy via
       // select_token_budget_by(...)): keep the HIGHEST-scoring docs whose
       // cumulative token count fits the budget — the cut production

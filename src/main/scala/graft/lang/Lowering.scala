@@ -2048,10 +2048,30 @@ object Lowering {
             if alpha.doubleValue() > 0.0 && alpha.doubleValue() <= 1.0 && minCount >= 1 =>
           Plain(graft.operators.CorpusStats.bigramNll(
             lower(TableRef(corpus), ctx), idCol, textCol, alpha.doubleValue(), minCount))
+        // 'kn' mode: interpolated Kneser-Ney (CorpusStats.bigramNllKn) —
+        // the quality-reference smoothing next to web-scale Stupid
+        // Backoff; the trailing numbers are (discount in (0,1), min_count)
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
+            Some("kn"), rest @ _*) if rest.lengthCompare(2) <= 0 =>
+          val (discount, minCount) = rest.toList match {
+            case Nil => (0.75, 2L)
+            case List(Some(dd: Number))
+                if dd.doubleValue() > 0.0 && dd.doubleValue() < 1.0 =>
+              (dd.doubleValue(), 2L)
+            case List(Some(dd: Number), Some(mc: Long))
+                if dd.doubleValue() > 0.0 && dd.doubleValue() < 1.0 && mc >= 1 =>
+              (dd.doubleValue(), mc)
+            case other => throw new LoweringException(
+              s"perplexity_score_bigram 'kn': trailing args must be (discount in " +
+                s"(0,1)[, min_count >= 1]) literals, got '$other'")
+          }
+          Plain(graft.operators.CorpusStats.bigramNllKn(
+            lower(TableRef(corpus), ctx), idCol, textCol, discount, minCount))
         case _ =>
           throw new LoweringException(
             "perplexity_score_bigram expects (corpus, id_col, text_col[, alpha in (0,1], " +
-              "min_count >= 1]) literals, e.g. " +
+              "min_count >= 1]) or (corpus, id_col, text_col, 'kn'[, discount, " +
+              "min_count]) literals, e.g. " +
               "perplexity_score_bigram('documents', 'doc_id', 'text', 0.4, 2)")
       }
 

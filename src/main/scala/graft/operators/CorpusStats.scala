@@ -216,17 +216,12 @@ object CorpusStats {
     * Output: (idCol, n_tokens, avg_nll) — same contract and +5e-9/4dp
     * rounding convention as [[unigramNll]], so the DuckDB oracle
     * recomputes bit-identical values from string tokens. */
-  def bigramNll(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      alpha: Double = 0.4,
-      minCount: Long = 2L
-  ): DataFrame = {
-    require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1]")
-    require(minCount >= 1L, "minCount >= 1")
-    val pairs = df
-      .select(
+  /** (id, __prev, __cur) positional pair stream built INSIDE the per-doc
+    * token array (no shuffle, no per-doc window); token-free docs keep a
+    * (null, null) row so the per-doc contract survives the joins. Shared
+    * by [[bigramNll]] and [[bigramNllKn]]. */
+  private def bigramPairs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
         F.col(idCol),
         graft.functions.TextFunctions.tokens(F.col(textCol)).as("__toks"))
       .select(
@@ -238,6 +233,17 @@ object CorpusStats {
             "CASE WHEN i = 0 THEN CAST(NULL AS STRING) ELSE __toks[i-1] END AS prev, " +
             "t AS cur))")).as("__p"))
       .select(F.col(idCol), F.col("__p.prev").as("__prev"), F.col("__p.cur").as("__cur"))
+
+  def bigramNll(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      alpha: Double = 0.4,
+      minCount: Long = 2L
+  ): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1]")
+    require(minCount >= 1L, "minCount >= 1")
+    val pairs = bigramPairs(df, idCol, textCol)
     val uni = pairs.filter(F.col("__cur").isNotNull)
       .groupBy("__cur").agg(F.count(F.lit(1)).as("__uc"))
     val total = uni.agg(F.coalesce(F.sum("__uc"), F.lit(0L)).as("__n"))
@@ -261,6 +267,82 @@ object CorpusStats {
           .otherwise( // backoff: −ln(alpha · uc/N)
             F.log(F.col("__n").cast("double")) - F.log(F.col("__uc").cast("double")) -
               F.lit(math.log(alpha))))
+      .groupBy(F.col(idCol))
+      .agg(
+        F.count(F.col("__cur")).as("n_tokens"),
+        F.sum(F.col("__nll")).as("__s"))
+      .withColumn("avg_nll",
+        F.when(F.col("n_tokens") > 0,
+          F.round(F.col("__s") / F.col("n_tokens") + F.lit(5e-9), 4)))
+      .select(idCol, "n_tokens", "avg_nll")
+  }
+
+  /** Bigram-LM mean NLL with interpolated KNESER-NEY smoothing (Kneser &
+    * Ney 1995; the Chen & Goodman 1998 interpolated form) — the QUALITY
+    * reference next to [[bigramNll]]'s web-scale Stupid Backoff. Per
+    * position i > 1:
+    *
+    *   P(w|v) = max(c(v w) − D, 0) / c(v ·)
+    *          + (D · N1+(v ·) / c(v ·)) · (N1+(· w) / N1+(· ·))
+    *
+    * where c(v ·) is v's CONTEXT count (occurrences followed by a token —
+    * the proper KN denominator, not the unigram count), N1+(v ·) the
+    * distinct continuations of v, N1+(· w) the distinct contexts of w (the
+    * continuation probability — KN's insight: "Francisco" is frequent but
+    * follows almost nothing), N1+(· ·) the bigram type count. The first
+    * token scores unigram MLE like the SB path. Self-fit totality: every
+    * non-first w has N1+(· w) ≥ 1 and every context v has N1+(v ·) ≥ 1, so
+    * all branches are finite without extra smoothing.
+    *
+    * Pruning: the DISCOUNTED HIT term uses the `minCount`-pruned bigram
+    * table (the 100 TB bound on bigram types — a pruned-away bigram falls
+    * through to pure continuation mass, the standard pruned-KN
+    * approximation); the type statistics (context/continuation/type
+    * counts) come from the UNPRUNED type table via two map-side-collapsing
+    * aggregations whose RESULTS are vocab-sized.
+    *
+    * Output contract and +5e-9/4dp rounding exactly as [[bigramNll]]; the
+    * DuckDB oracle refits the whole model and mirrors the probability
+    * expression operation-for-operation. */
+  def bigramNllKn(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75,
+      minCount: Long = 2L
+  ): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, "discount in (0, 1)")
+    require(minCount >= 1L, "minCount >= 1")
+    val pairs = bigramPairs(df, idCol, textCol)
+    val uni = pairs.filter(F.col("__cur").isNotNull)
+      .groupBy("__cur").agg(F.count(F.lit(1)).as("__uc"))
+    val total = uni.agg(F.coalesce(F.sum("__uc"), F.lit(0L)).as("__n"))
+    val biAll = pairs.filter(F.col("__prev").isNotNull)
+      .groupBy("__prev", "__cur").agg(F.count(F.lit(1)).as("__bc"))
+    // context stats per prev: c(v ·) and N1+(v ·); continuation stats per
+    // cur: N1+(· w); scalar N1+(· ·) — all from the unpruned type table
+    val ctx = biAll.groupBy("__prev").agg(
+      F.sum("__bc").as("__ctx"), F.count(F.lit(1)).as("__n1f"))
+    val cont = biAll.groupBy("__cur").agg(F.count(F.lit(1)).as("__n1p"))
+    val ntypes = biAll.agg(F.count(F.lit(1)).as("__nt"))
+    val bi = biAll.filter(F.col("__bc") >= minCount)
+    val d = F.lit(discount)
+    pairs
+      .join(uni, Seq("__cur"), "left")
+      .join(bi, Seq("__prev", "__cur"), "left")
+      .join(ctx, Seq("__prev"), "left")
+      .join(cont, Seq("__cur"), "left")
+      .crossJoin(F.broadcast(total))
+      .crossJoin(F.broadcast(ntypes))
+      .withColumn("__nll",
+        F.when(F.col("__cur").isNull, F.lit(null).cast("double"))
+          .when(F.col("__prev").isNull, // first token: unigram MLE, SB-identical
+            F.log(F.col("__n").cast("double")) - F.log(F.col("__uc").cast("double")))
+          .otherwise(-F.log(
+            F.greatest(F.coalesce(F.col("__bc").cast("double"), F.lit(0.0)) - d, F.lit(0.0))
+              / F.col("__ctx").cast("double")
+              + (d * F.col("__n1f").cast("double") / F.col("__ctx").cast("double"))
+              * (F.col("__n1p").cast("double") / F.col("__nt").cast("double")))))
       .groupBy(F.col(idCol))
       .agg(
         F.count(F.col("__cur")).as("n_tokens"),

@@ -436,6 +436,54 @@ class PipelineSpec extends SparkTestBase {
       withEmpty.head.isNullAt(2))
   }
 
+  test("Kneser-Ney bigram NLL: closed forms, discount live, salad separation") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // model: uni a:3 b:1 c:1, N=5; types (a,a)(a,b)(a,c) all count 1 →
+    // ctx(a)=3, N1+(a·)=3, N1+(·w)=1 each, N1+(··)=3.
+    // minCount=2 prunes all hits → every non-first position is pure
+    // continuation mass: p = (0.75·3/3)·(1/3) = 0.25 → NLL = ln4;
+    // first token: ln5−ln3.
+    //   doc1 = (ln5−ln3 + 2·ln4)/3 = 1.0945   doc2 = (ln5−ln3+ln4)/2 = 0.9486
+    val pruned = CorpusStats.bigramNllKn(tiny, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(pruned.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 3L, 1.0945), (2L, 2L, 0.9486)), pruned.mkString(", "))
+    // minCount=1 keeps the hits: p = (1−0.75)/3 + 0.25·(1/3) = 1/3 → ln3
+    //   doc1 = (ln5−ln3 + 2·ln3)/3 = 0.9027   doc2 = (ln5−ln3+ln3)/2 = 0.8047
+    val hits = CorpusStats.bigramNllKn(tiny, "doc_id", "text", minCount = 1L)
+      .orderBy("doc_id").collect()
+    assert(hits.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 3L, 0.9027), (2L, 2L, 0.8047)), hits.mkString(", "))
+    // the discount is live: smaller D shifts mass to the hit term — the
+    // all-hit doc scores LOWER (hits cost less), closed-form at D=0.5:
+    // p = (1−0.5)/3 + (0.5·3/3)·(1/3) = 1/3 → same here by construction;
+    // use an asymmetric corpus where the shift is visible
+    val rep = Seq((1L, "x y x y x y"), (2L, "x z")).toDF("doc_id", "text")
+    val d75 = CorpusStats.bigramNllKn(rep, "doc_id", "text", minCount = 1L)
+    val d25 = CorpusStats.bigramNllKn(rep, "doc_id", "text", discount = 0.25, minCount = 1L)
+    def nll(fr: org.apache.spark.sql.DataFrame, id: Long): Double =
+      fr.filter(F.col("doc_id") === id).head.getDouble(2)
+    assert(nll(d25, 1L) < nll(d75, 1L),
+      "smaller discount must score the repetition doc lower (hit-dominated)")
+    // same token multiset, natural repetition vs word salad: KN separates
+    // them exactly like SB (salad's distinct bigrams get pruned to
+    // continuation mass; natural's repeated bigrams stay discounted hits)
+    val natural = (888881L, Seq.fill(3)("zqa zqb zqc zqd").mkString(" "))
+    val salad = (888882L, "zqa zqb zqc zqd zqb zqa zqc zqb zqd zqc zqa zqd")
+    val base = docs.limit(30).select("doc_id", "text")
+    val scored = CorpusStats.bigramNllKn(
+      base.union(Seq(natural, salad).toDF("doc_id", "text")), "doc_id", "text")
+    assert(nll(scored, 888882L) > nll(scored, 888881L),
+      s"word salad must out-score natural order under KN")
+    // token-free docs keep their row
+    val withEmpty = CorpusStats.bigramNllKn(
+      base.union(Seq((888883L, "!!! ...")).toDF("doc_id", "text")), "doc_id", "text")
+      .filter(F.col("doc_id") === 888883L).collect()
+    assert(withEmpty.length == 1 && withEmpty.head.getLong(1) == 0L &&
+      withEmpty.head.isNullAt(2))
+  }
+
   test("vocab profile: closed-form tiny corpus, coverage bounds on testdata") {
     import spark.implicits._
     // "a a b" + "a c": total 5, distinct 3, hapax 2 (b, c); top-1 = a → 3/5
