@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 import graft.{Graft, Tables}
-import graft.operators.{Dedup, Similarity, Multimodal, Sampling, Decontamination, Packing, CorpusStats}
+import graft.operators.{Dedup, Similarity, Multimodal, Sampling, Decontamination, Packing, CorpusStats, QualityClassifier}
 import graft.functions.TextFunctions
 
 /** The operator-inventory query catalog: one named query per implemented
@@ -564,6 +564,66 @@ object QueryCatalog {
       val x = s"($alias.embedding[$cb.s * $dsub + $i]::DOUBLE - $cb.cv$i)"
       s"$x * $x"
     }.mkString(" + ")
+
+  /** DuckDB re-derivation of [[QualityClassifier.train]] — the fixed-
+    * iteration logistic GD unrolled as CTEs (the trainedPqCbCte
+    * precedent). `posValues`/`negValues` are SQL VALUES bodies (id, text)
+    * matching the wv-planted labeled models. Emits CTEs ending in
+    * `qwt<Iters>` (b, w) + `qbs<Iters>` (bias); every float op mirrors
+    * the driver loop: docs ordered (y, id::VARCHAR, text), token buckets
+    * in position order, margins/gradients as ordered list_sums, update
+    * w − Lr·(g/n). Assumes labeled docs are non-null, non-token-free
+    * (true for the planted sets). */
+  private def qualityClassifierCte(posValues: String, negValues: String): String = {
+    val lr = QualityClassifier.Lr
+    val hx = "'0123456789abcdef'"
+    val head =
+      s"""qlab AS (
+         |  SELECT 0 AS y, id::VARCHAR AS id, text FROM (VALUES $negValues) AS n(id, text)
+         |  UNION ALL
+         |  SELECT 1 AS y, id::VARCHAR AS id, text FROM (VALUES $posValues) AS p(id, text)
+         |),
+         |qn AS (SELECT count(*)::DOUBLE AS n FROM qlab WHERE text IS NOT NULL),
+         |qltok AS (
+         |  SELECT y, id, text, pos,
+         |    (strpos($hx, substr(md5(ts[pos]), 1, 1)) - 1) * 256
+         |    + (strpos($hx, substr(md5(ts[pos]), 2, 1)) - 1) * 16
+         |    + (strpos($hx, substr(md5(ts[pos]), 3, 1)) - 1) AS b
+         |  FROM (SELECT y, id, text, ts, unnest(range(1, len(ts) + 1)) AS pos
+         |        FROM (SELECT y, id, text, list_filter(
+         |                string_split_regex(lower(text), '[^a-z0-9]+'),
+         |                x -> len(x) > 0) AS ts
+         |              FROM qlab))
+         |),
+         |qwt0 AS (SELECT DISTINCT b, 0.0 AS w FROM qltok),
+         |qbs0 AS (SELECT 0.0 AS bias)""".stripMargin
+    val rounds = (1 to QualityClassifier.Iters).map { t =>
+      s"""qmg$t AS (
+         |  SELECT lt.y, lt.id, lt.text,
+         |    (SELECT bias FROM qbs${t - 1})
+         |      + coalesce(list_sum(list(w.w ORDER BY lt.pos)), 0.0) AS marg
+         |  FROM qltok lt JOIN qwt${t - 1} w ON w.b = lt.b
+         |  GROUP BY lt.y, lt.id, lt.text
+         |),
+         |qer$t AS (SELECT y, id, text, 1.0 / (1.0 + exp(-marg)) - y AS err FROM qmg$t),
+         |qgr$t AS (
+         |  SELECT lt.b, list_sum(list(e.err ORDER BY e.y, e.id, e.text, lt.pos)) AS g
+         |  FROM qltok lt
+         |  JOIN qer$t e ON e.y = lt.y AND e.id = lt.id AND e.text = lt.text
+         |  GROUP BY lt.b
+         |),
+         |qwt$t AS (
+         |  SELECT w.b, w.w - $lr * (g.g / (SELECT n FROM qn)) AS w
+         |  FROM qwt${t - 1} w JOIN qgr$t g ON g.b = w.b
+         |),
+         |qbs$t AS (
+         |  SELECT (SELECT bias FROM qbs${t - 1})
+         |    - $lr * ((SELECT list_sum(list(err ORDER BY y, id, text)) FROM qer$t)
+         |             / (SELECT n FROM qn)) AS bias
+         |)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
 
   private val int8IndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private def persistedInt8Index(spark: SparkSession, dir: String): String =
@@ -5235,6 +5295,79 @@ object QueryCatalog {
         FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
         ORDER BY d.doc_id
       """)
+    ),
+    (
+      // Classifier-based quality filter (QualityClassifier via
+      // quality_classifier_score(...)): logistic regression over hashed
+      // token unigrams (3-hex-char md5 buckets — portable arithmetic),
+      // trained by 5 fixed GD rounds on planted reference-vs-boilerplate
+      // sets in pinned order, scored over the real corpus with the
+      // plan-shipped weight vector. FULL oracle: DuckDB replays the
+      // training (qualityClassifierCte unrolls the rounds) and scores
+      // with ordered list_sums — hash-equal end to end.
+      "q_quality_classifier",
+      wv("""
+        model good_docs = {
+          from [
+            [1, 'the quick brown fox jumps over the lazy dog near the river bank'],
+            [2, 'a study of language models requires diverse natural text sources'],
+            [3, 'scientists observed the comet through powerful telescopes last night'],
+            [4, 'history books describe the long journey across the mountain passes']
+          ] as p(doc_id, text)
+        }
+        model boiler_docs = {
+          from [
+            [11, 'click here subscribe now buy cheap deals free shipping click here'],
+            [12, 'cookie policy accept terms privacy settings login register login'],
+            [13, 'copyright all rights reserved contact us sitemap faq home home'],
+            [14, 'sale sale discount offer expires soon act now limited stock sale']
+          ] as n(doc_id, text)
+        }
+        from quality_classifier_score('documents', 'doc_id', 'text',
+          'good_docs', 'boiler_docs')
+        order by doc_id
+      """),
+      Some {
+        val pos = """
+          (1, 'the quick brown fox jumps over the lazy dog near the river bank'),
+          (2, 'a study of language models requires diverse natural text sources'),
+          (3, 'scientists observed the comet through powerful telescopes last night'),
+          (4, 'history books describe the long journey across the mountain passes')"""
+        val neg = """
+          (11, 'click here subscribe now buy cheap deals free shipping click here'),
+          (12, 'cookie policy accept terms privacy settings login register login'),
+          (13, 'copyright all rights reserved contact us sitemap faq home home'),
+          (14, 'sale sale discount offer expires soon act now limited stock sale')"""
+        val T = QualityClassifier.Iters
+        s"""
+        WITH ${qualityClassifierCte(pos, neg)},
+        qdtok AS (
+          SELECT doc_id, pos,
+            (strpos('0123456789abcdef', substr(md5(ts[pos]), 1, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(md5(ts[pos]), 2, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(ts[pos]), 3, 1)) - 1) AS b
+          FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS pos
+                FROM (SELECT doc_id, list_filter(
+                        string_split_regex(lower(text), '[^a-z0-9]+'),
+                        x -> len(x) > 0) AS ts
+                      FROM documents))
+        ),
+        qdmar AS (
+          SELECT t.doc_id,
+            (SELECT bias FROM qbs$T)
+              + coalesce(list_sum(list(coalesce(w.w, 0.0) ORDER BY t.pos)), 0.0) AS marg
+          FROM qdtok t LEFT JOIN qwt$T w ON w.b = t.b
+          GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+          CASE WHEN d.text IS NULL THEN NULL
+               ELSE round(1.0 / (1.0 + exp(-(coalesce(m.marg, (SELECT bias FROM qbs$T)))))
+                          + 5e-9, 4)
+          END AS quality_prob
+        FROM documents d LEFT JOIN qdmar m ON m.doc_id = d.doc_id
+        ORDER BY d.doc_id
+        """
+      }
     ),
     (
       // Quality-first token-budget cut (Sampling.selectTokenBudgetBy via

@@ -37,7 +37,8 @@ object Lowering {
     "dedup_incremental", "dedup_incremental_pairs", "dedup_semantic",
     "dedup_spans", "duckdb_functions", "each_top_k", "jdbc",
     "minhash_index", "mix_by_temperature", "pack_sequences", "parquet_metadata",
-    "perplexity_score", "perplexity_score_bigram", "range", "resize_images",
+    "perplexity_score", "perplexity_score_bigram", "quality_classifier_score",
+    "range", "resize_images",
     "select_token_budget", "select_token_budget_by",
     "similarity_topk",
     "split_by_cluster", "split_by_cluster_pairs",
@@ -2073,6 +2074,28 @@ object Lowering {
               "min_count >= 1]) or (corpus, id_col, text_col, 'kn'[, discount, " +
               "min_count]) literals, e.g. " +
               "perplexity_score_bigram('documents', 'doc_id', 'text', 0.4, 2)")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "quality_classifier_score" =>
+      // quality_classifier_score('corpus', 'id_col', 'text_col',
+      // 'pos_rel', 'neg_rel') — logistic quality classifier over hashed
+      // token features (QualityClassifier): trained driver-side on the
+      // BOUNDED pos/neg labeled sets with fixed iterations and pinned
+      // order (deterministic, oracle-replayable), scored as one
+      // plan-shipped-weights pass over the corpus. The GPT-3/LLaMA third
+      // net after heuristics and perplexity.
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
+            Some(posRel: String), Some(negRel: String)) =>
+          Plain(graft.operators.QualityClassifier.qualityClassifierScore(
+            lower(TableRef(corpus), ctx), idCol, textCol,
+            lower(TableRef(posRel), ctx), lower(TableRef(negRel), ctx)))
+        case _ =>
+          throw new LoweringException(
+            "quality_classifier_score expects (corpus, id_col, text_col, pos_rel, " +
+              "neg_rel) literals, e.g. quality_classifier_score('documents', " +
+              "'doc_id', 'text', 'good_docs', 'boilerplate_docs')")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

@@ -484,6 +484,47 @@ class PipelineSpec extends SparkTestBase {
       withEmpty.head.isNullAt(2))
   }
 
+  test("quality classifier: separates boilerplate from reference text, deterministic") {
+    import spark.implicits._
+    // labeled sets: reference-style prose vs boilerplate soup (disjoint
+    // token sets → hashed features separate cleanly in 5 GD rounds)
+    val pos = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "a study of language models requires diverse natural text sources"),
+      (3L, "scientists observed the comet through powerful telescopes last night"),
+      (4L, "history books describe the long journey across the mountain passes")
+    ).toDF("doc_id", "text")
+    val neg = Seq(
+      (11L, "click here subscribe now buy cheap deals free shipping click here"),
+      (12L, "cookie policy accept terms privacy settings login register login"),
+      (13L, "copyright all rights reserved contact us sitemap faq home home"),
+      (14L, "sale sale discount offer expires soon act now limited stock sale")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (101L, "the fox jumps over the river near the mountain passes"),
+      (102L, "subscribe now free deals click here buy now"),
+      (103L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val scored = QualityClassifier.qualityClassifierScore(
+      corpus, "doc_id", "text", pos, neg)
+      .orderBy("doc_id").collect()
+    val proseP = scored(0).getDouble(1)
+    val spamP = scored(1).getDouble(1)
+    assert(proseP > 0.5 && spamP < 0.5 && proseP > spamP,
+      s"separation failed: prose=$proseP spam=$spamP")
+    assert(scored(2).isNullAt(1), "null text must score null")
+    // the labeled docs themselves separate (train-set sanity)
+    val self = QualityClassifier.qualityClassifierScore(
+      pos.union(neg), "doc_id", "text", pos, neg).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(self).min > Seq(11L, 12L, 13L, 14L).map(self).max,
+      s"train-set separation failed: $self")
+    // bitwise determinism across two independent train+score plans
+    val again = QualityClassifier.qualityClassifierScore(
+      corpus, "doc_id", "text", pos, neg).orderBy("doc_id").collect()
+    assert(scored.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("vocab profile: closed-form tiny corpus, coverage bounds on testdata") {
     import spark.implicits._
     // "a a b" + "a c": total 5, distinct 3, hapax 2 (b, c); top-1 = a → 3/5
