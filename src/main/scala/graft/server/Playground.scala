@@ -260,6 +260,51 @@ object Playground {
         |}
         |from bpe_count('documents', 'text', 'my_vocab')
         |agg docs = _.count, bpe_tokens = n_bpe_tokens.sum""".stripMargin,
+    "llm_ann_pq" ->
+      """-- product-quantization ANN: vectors stored as small subspace
+        |-- CODES (a ~21x byte cut), ranked by O(m) table lookups instead
+        |-- of float math. 'pq' = seeded teaching codebook (bitwise
+        |-- oracle-friendly); 'pq_trained' = per-subspace k-means PQ32x8
+        |-- (recall@5 ~0.9 vs ~0.4); 'ivf_pq' / 'ivf_pq_trained' compose
+        |-- coarse cells (candidate cut) with PQ (byte cut) — FAISS's
+        |-- workhorse. Persist with ann_pq_index(...), serve float-free
+        |-- with similarity_topk('<path>', ..., 'pq_index').
+        |from similarity_topk('embeddings', 'vec_id', 'embedding', 3, 'pq_trained')
+        |where query_id < 5
+        |order by query_id, rank""".stripMargin,
+    "llm_perplexity_kn" ->
+      """-- Kneser-Ney smoothing: the QUALITY-reference bigram LM next to
+        |-- web-scale Stupid Backoff. Discounted bigram hits interpolate
+        |-- with CONTINUATION probability — "Francisco" is frequent but
+        |-- follows almost nothing, so KN scores it low outside "San _".
+        |from perplexity_score_bigram('documents', 'doc_id', 'text', 'kn', 0.75, 2)
+        |order by avg_nll desc
+        |limit 10""".stripMargin,
+    "llm_quality_classifier" ->
+      """-- the GPT-3/LLaMA-style quality classifier (the third net after
+        |-- heuristics and perplexity): logistic regression over hashed
+        |-- token features, trained on reference-vs-boilerplate seed sets,
+        |-- scored over the whole corpus in one pass.
+        |model good_docs = {
+        |  from [[1, 'careful natural prose about science and history']] as p(doc_id, text)
+        |}
+        |model boiler_docs = {
+        |  from [[2, 'click here subscribe buy now free deals']] as n(doc_id, text)
+        |}
+        |from quality_classifier_score('documents', 'doc_id', 'text',
+        |  'good_docs', 'boiler_docs')
+        |order by quality_prob desc
+        |limit 10""".stripMargin,
+    "llm_bpe_gpt2" ->
+      """-- GPT-2 pre-tokenization mode: contractions split ('t), letter
+        |-- runs keep one leading space, punctuation runs group, case kept
+        |-- — trained vocabs match what HF byte-level tokenizers learn,
+        |-- vs the lowercased [a-z0-9]+ word stream.
+        |model gpt2_merges = {
+        |  from bpe_train('documents', 'text', 30, 1048576, 'gpt2')
+        |}
+        |from gpt2_merges
+        |order by rank""".stripMargin,
   )
 
   /** Demos whose table functions have no SQL spelling: the dialect preview
@@ -271,7 +316,8 @@ object Playground {
       "llm_contamination_report", "llm_contamination_semantic", "llm_mix_temperature",
       "llm_token_budget_quality",
       "llm_vocab_profile", "llm_bpe_count", "llm_bpe_stats", "llm_bpe_train",
-      "llm_bpe_merge_replay")
+      "llm_bpe_merge_replay", "llm_ann_pq", "llm_perplexity_kn",
+      "llm_quality_classifier", "llm_bpe_gpt2")
 
   private def jsStr(s: String): String =
     "\"" + s.flatMap {
