@@ -139,7 +139,24 @@ object BenchScale {
     // pair-keyed model groupBy and a second postings join — replica-tagged
     // tokens grow bigram types linearly with the corpus, so exponent ~1 is
     // the gate that the pruned-model join chain scales in rows, not pairs²
-    "q_perplexity_bigram")
+    "q_perplexity_bigram",
+    // trained PQ (r16): training is a BOUNDED driver sample (512 rows at
+    // any corpus size), so the exponent measures encode (linear scan) +
+    // fixed-query ADC only — expect the seeded pq row's ~flat shape
+    "q_similarity_topk_pq_trained",
+    "q_similarity_topk_ivf_pq_trained",
+    // Kneser-Ney (r16): the bigram anatomy + two extra type-table
+    // aggregations (vocab-sized results) — exponent should track
+    // q_perplexity_bigram's ~1
+    "q_perplexity_bigram_kn",
+    // quality classifier (r16): training on the planted labeled set is
+    // corpus-independent; scoring is one plan-shipped-weights scan —
+    // expect ~1 in corpus rows with no shuffle term
+    "q_quality_classifier",
+    // GPT-2-pretok trainer/replay (r16): same one-scan word-table /
+    // codegen'd-scan shapes as the words-stream rows
+    "q_bpe_train_gpt2",
+    "q_bpe_count_merges_gpt2")
 
   private def loadavg(): String = BenchGuard.loadavg()
 
