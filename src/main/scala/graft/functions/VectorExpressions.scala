@@ -21,6 +21,46 @@ import org.apache.spark.sql.types._
   * zero-fills nulls. (The older zip_with/aggregate HOF propagated null
   * elements to a null result; these expressions improve on that.)
   */
+/** Plan-constant double matrix for the fused vector expressions — an
+  * OPAQUE holder instead of a structural Seq[Seq[Double]] field:
+  *
+  *   - SHORT toString: a 32×256×64 trained PQ codebook printed its 16K
+  *     doubles into EVERY plan render — AQE re-plans at each stage
+  *     boundary at RUN time, so plan stringification/canonicalization of
+  *     giant inline literals was charged to every job (r16 profile:
+  *     multi-second constant overhead on the trained-PQ rows);
+  *   - hash-first content equality: Catalyst semanticEquals /
+  *     canonicalization keep today's value semantics at O(1) for the
+  *     common non-equal case;
+  *   - primitive-block Java serialization (vs 16K boxed Doubles per task).
+  */
+final class DoubleMatrix(val rows: Array[Array[Double]]) extends Serializable {
+  override lazy val hashCode: Int =
+    java.util.Arrays.deepHashCode(rows.asInstanceOf[Array[AnyRef]])
+  override def equals(o: Any): Boolean = o match {
+    case other: DoubleMatrix =>
+      (this eq other) || (hashCode == other.hashCode &&
+        rows.length == other.rows.length && {
+          var i = 0
+          var same = true
+          while (same && i < rows.length) {
+            same = java.util.Arrays.equals(rows(i), other.rows(i))
+            i += 1
+          }
+          same
+        })
+    case _ => false
+  }
+  override def toString: String =
+    s"matrix(${rows.length}x${rows.headOption.map(_.length).getOrElse(0)}" +
+      s"#${Integer.toHexString(hashCode)})"
+}
+
+object DoubleMatrix {
+  def apply(rows: Array[Array[Double]]): DoubleMatrix = new DoubleMatrix(rows)
+  def flat(values: Array[Double]): DoubleMatrix = new DoubleMatrix(Array(values))
+}
+
 object VectorExpressions {
 
   /** cosine(a, b) as a fused single-pass expression: dot, ‖a‖², ‖b‖² in one
@@ -47,7 +87,7 @@ object VectorExpressions {
     // SUM(CASE ... ELSE 0)
     F.coalesce(
       ColumnBridge.column(
-        MatrixSignatureExpr(ColumnBridge.expression(vec), matrix.map(_.toSeq).toSeq)),
+        MatrixSignatureExpr(ColumnBridge.expression(vec), DoubleMatrix(matrix))),
       F.lit(0L))
   }
 
@@ -57,7 +97,7 @@ object VectorExpressions {
   def matrixCosine(vec: Column, matrix: Array[Array[Double]],
       scale: Int, nanValue: Double): Column =
     ColumnBridge.column(
-      MatrixCosineExpr(ColumnBridge.expression(vec), matrix.map(_.toSeq).toSeq,
+      MatrixCosineExpr(ColumnBridge.expression(vec), DoubleMatrix(matrix),
         scale, nanValue))
 
   /** Product-quantization code array: the vector is split into `subspaces`
@@ -67,14 +107,14 @@ object VectorExpressions {
     * dot-product trees. */
   def pqEncode(vec: Column, codebook: Array[Array[Double]], subspaces: Int): Column =
     ColumnBridge.column(
-      PqEncodeExpr(ColumnBridge.expression(vec), codebook.map(_.toSeq).toSeq, subspaces))
+      PqEncodeExpr(ColumnBridge.expression(vec), DoubleMatrix(codebook), subspaces))
 
   /** Per-query ADC distance table: dt[s·ksub + j] = ‖slice_s(vec) −
     * slice_s(codebook(j))‖², in (s, j) order — computed ONCE per query and
     * reused across every corpus code row. */
   def pqDistTable(vec: Column, codebook: Array[Array[Double]], subspaces: Int): Column =
     ColumnBridge.column(
-      PqDistTableExpr(ColumnBridge.expression(vec), codebook.map(_.toSeq).toSeq, subspaces))
+      PqDistTableExpr(ColumnBridge.expression(vec), DoubleMatrix(codebook), subspaces))
 
   /** Asymmetric-distance lookup: Σ_s dt[s·ksub + codes[s]] in ascending-s
     * order — O(subspaces) adds per (query, doc) pair instead of O(dim)
@@ -90,7 +130,17 @@ object VectorExpressions {
   def pqSdc(codesA: Column, codesB: Column, sdt: Array[Double], ksub: Int): Column =
     ColumnBridge.column(
       PqSdcExpr(ColumnBridge.expression(codesA), ColumnBridge.expression(codesB),
-        sdt.toSeq, ksub))
+        DoubleMatrix.flat(sdt), ksub))
+
+  /** Direct asymmetric PQ distance (table-free): same doubles as
+    * pqDistTable + pqAdc, computed straight from (codes, query vector) —
+    * used when dsub is small enough that carrying the m·ksub-double table
+    * per candidate row costs more than recomputing the slice distances. */
+  def pqAdcDirect(codes: Column, qvec: Column,
+      codebook: Array[Array[Double]], subspaces: Int): Column =
+    ColumnBridge.column(
+      PqAdcDirectExpr(ColumnBridge.expression(codes), ColumnBridge.expression(qvec),
+        DoubleMatrix(codebook), subspaces))
 }
 
 private[graft] trait VectorBinaryExpr extends BinaryExpression {
@@ -202,9 +252,9 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   * matter how large the matrix is (the inline-literal formulation hit
   * Janino's method-size splitting and multi-second compile times). */
 private[graft] trait MatrixVectorExpr extends UnaryExpression {
-  def matrix: Seq[Seq[Double]]
+  def matrix: DoubleMatrix
 
-  @transient protected lazy val m: Array[Array[Double]] = matrix.map(_.toArray).toArray
+  @transient protected lazy val m: Array[Array[Double]] = matrix.rows
 
   @transient protected lazy val childElemType: DataType = child.dataType match {
     case ArrayType(t, _) => t
@@ -234,7 +284,7 @@ private[graft] trait MatrixVectorExpr extends UnaryExpression {
   * propagates (the `matrixSignature` Column wrapper coalesces to 0L,
   * matching the unfused `when(dot > 0, 1).otherwise(0)` form and the
   * DuckDB oracle's `SUM(CASE WHEN ... THEN pw ELSE 0 END)`). */
-case class MatrixSignatureExpr(child: Expression, matrix: Seq[Seq[Double]])
+case class MatrixSignatureExpr(child: Expression, matrix: DoubleMatrix)
     extends MatrixVectorExpr {
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
@@ -276,7 +326,7 @@ case class MatrixSignatureExpr(child: Expression, matrix: Seq[Seq[Double]])
   * bit-identical to the unfused `F.round(F.nanvl(...))` column block; the
   * vector's full-length self-norm matches `CosineSimilarityExpr`'s
   * longer-tail semantics. Null vector → null array. */
-case class MatrixCosineExpr(child: Expression, matrix: Seq[Seq[Double]],
+case class MatrixCosineExpr(child: Expression, matrix: DoubleMatrix,
     scale: Int, nanValue: Double)
     extends MatrixVectorExpr {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -373,16 +423,34 @@ case class DotProductExpr(left: Expression, right: Expression)
 /** Shared squared-L2 slice distance for the PQ expressions: slice `s` of
   * the input vector against slice `s` of codebook row `w`, index-order
   * double accumulation, null elements zero-filled (the file's shared
-  * convention). */
+  * convention). Callers materialize the row vector ONCE via [[toDoubles]]
+  * — reading elements through the per-type getElem inside the
+  * subspaces×ksub loop was a megamorphic branch per element and dominated
+  * encode wall-clock at the 32×256 trained shape (r16 profile: ~66 M
+  * dispatched reads per 2 K-row encode). */
 private[graft] trait PqVectorExpr extends MatrixVectorExpr {
   def subspaces: Int
 
-  protected def sliceDist(arr: ArrayData, w: Array[Double], s: Int, dsub: Int): Double = {
+  /** One pass: ArrayData → primitive double[], nulls zero-filled — the
+    * same per-element conversions getElem performs, so downstream
+    * arithmetic is bitwise unchanged. */
+  protected def toDoubles(arr: ArrayData): Array[Double] = {
+    val n = arr.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      v(i) = if (arr.isNullAt(i)) 0.0 else getElem(arr, i)
+      i += 1
+    }
+    v
+  }
+
+  protected def sliceDist(v: Array[Double], w: Array[Double], s: Int, dsub: Int): Double = {
     var dist = 0.0
     var i = s * dsub
-    val lim = math.min(math.min((s + 1) * dsub, arr.numElements()), w.length)
+    val lim = math.min(math.min((s + 1) * dsub, v.length), w.length)
     while (i < lim) {
-      val x = (if (arr.isNullAt(i)) 0.0 else getElem(arr, i)) - w(i)
+      val x = v(i) - w(i)
       dist += x * x
       i += 1
     }
@@ -403,12 +471,13 @@ private[graft] trait PqVectorExpr extends MatrixVectorExpr {
 /** PQ encode: array<int> of length `subspaces`, code[s] = argmin_j of the
   * per-slice squared L2 (ties → smallest j — matches the oracle's
   * row_number ORDER BY dist, j). */
-case class PqEncodeExpr(child: Expression, matrix: Seq[Seq[Double]], subspaces: Int)
+case class PqEncodeExpr(child: Expression, matrix: DoubleMatrix, subspaces: Int)
     extends PqVectorExpr {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
   def compute(arr: ArrayData): ArrayData = {
+    val v = toDoubles(arr)
     val out = new Array[Int](subspaces)
     var s = 0
     while (s < subspaces) {
@@ -416,7 +485,7 @@ case class PqEncodeExpr(child: Expression, matrix: Seq[Seq[Double]], subspaces: 
       var bestDist = Double.PositiveInfinity
       var j = 0
       while (j < m.length) {
-        val dist = sliceDist(arr, m(j), s, dsub)
+        val dist = sliceDist(v, m(j), s, dsub)
         if (dist < bestDist) { bestDist = dist; best = j }
         j += 1
       }
@@ -440,18 +509,19 @@ case class PqEncodeExpr(child: Expression, matrix: Seq[Seq[Double]], subspaces: 
 
 /** PQ ADC distance table: array<double> of length subspaces × ksub in
   * (s, j) order — built once per QUERY vector. */
-case class PqDistTableExpr(child: Expression, matrix: Seq[Seq[Double]], subspaces: Int)
+case class PqDistTableExpr(child: Expression, matrix: DoubleMatrix, subspaces: Int)
     extends PqVectorExpr {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = child.nullable
 
   def compute(arr: ArrayData): ArrayData = {
+    val v = toDoubles(arr)
     val out = new Array[Double](subspaces * m.length)
     var s = 0
     while (s < subspaces) {
       var j = 0
       while (j < m.length) {
-        out(s * m.length + j) = sliceDist(arr, m(j), s, dsub)
+        out(s * m.length + j) = sliceDist(v, m(j), s, dsub)
         j += 1
       }
       s += 1
@@ -469,6 +539,103 @@ case class PqDistTableExpr(child: Expression, matrix: Seq[Seq[Double]], subspace
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** DIRECT asymmetric PQ distance: Σ_s ‖qvec_slice_s − cb(codes[s])_slice_s‖²,
+  * ascending s with ascending-index inner accumulation — the EXACT doubles
+  * the table path produces (each dt entry is this same sliceDist; the ADC
+  * sum adds them in the same s order), so the two kernels are bitwise
+  * interchangeable and share one oracle. Used when dsub is small: the
+  * per-query table only pays when dsub ≫ 1 arithmetic-wise, while carrying
+  * the m·ksub-double table as a JOIN COLUMN costs m·ksub·8 bytes of row
+  * materialization per candidate (64 KB/row at 32×256 — the r16 profile
+  * showed that dominating pq_trained wall-clock); this kernel carries only
+  * the dim-float query vector. */
+case class PqAdcDirectExpr(left: Expression, right: Expression,
+    matrix: DoubleMatrix, subspaces: Int) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  @transient private lazy val m: Array[Array[Double]] = matrix.rows
+  @transient private lazy val dsub: Int = {
+    val d = m.headOption.map(_.length).getOrElse(0)
+    require(subspaces > 0 && d > 0 && d % subspaces == 0,
+      s"codebook dim $d is not divisible into $subspaces subspaces")
+    d / subspaces
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(et, _))
+          if et == DoubleType || et == FloatType ||
+            et == IntegerType || et == LongType || et == ShortType || et == ByteType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects (array<int> codes, array<numeric> query vector), got $other")
+    }
+
+  @transient private lazy val qElemType: DataType =
+    right.dataType.asInstanceOf[ArrayType].elementType
+
+  private def elem(arr: ArrayData, i: Int): Double = qElemType match {
+    case DoubleType => arr.getDouble(i)
+    case FloatType => arr.getFloat(i).toDouble
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case ShortType => arr.getShort(i).toDouble
+    case ByteType => arr.getByte(i).toDouble
+  }
+
+  def compute(codes: ArrayData, qv: ArrayData): Double = {
+    // materialize once: nulls zero-fill (the file's shared convention —
+    // what keeps this kernel bitwise-equal to the table path's sliceDist)
+    val qn = qv.numElements()
+    val v = new Array[Double](qn)
+    var vi = 0
+    while (vi < qn) {
+      v(vi) = if (qv.isNullAt(vi)) 0.0 else elem(qv, vi)
+      vi += 1
+    }
+    var sum = 0.0
+    var s = 0
+    val n = codes.numElements()
+    while (s < n) {
+      val code = codes.getInt(s)
+      if (code < 0 || code >= m.length)
+        throw new IllegalArgumentException(
+          s"pq_adc_direct: code $code at subspace $s is out of range for " +
+            s"ksub=${m.length} — codes and codebook were built with different " +
+            "subspaces/ksub")
+      val cent = m(code)
+      var dist = 0.0
+      var i = s * dsub
+      val lim = math.min((s + 1) * dsub, math.min(qn, cent.length))
+      while (i < lim) {
+        val x = v(i) - cent(i)
+        dist += x * x
+        i += 1
+      }
+      sum += dist
+      s += 1
+    }
+    sum
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqAdcDirect", this, classOf[PqAdcDirectExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = $self.compute(
+         |  (org.apache.spark.sql.catalyst.util.ArrayData) $a,
+         |  (org.apache.spark.sql.catalyst.util.ArrayData) $b);""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** ADC lookup: Σ_s dt[s·ksub + codes[s]], ascending s (the same operand
@@ -528,12 +695,12 @@ case class PqAdcExpr(left: Expression, right: Expression, ksub: Int)
 /** SDC lookup: Σ_s sdt[s·ksub² + a[s]·ksub + b[s]], ascending s. The
   * centroid-pair table is a structural Seq (canonicalization-safe) read
   * through a transient array in the hot loop, like the matrix kernels. */
-case class PqSdcExpr(left: Expression, right: Expression, sdt: Seq[Double], ksub: Int)
+case class PqSdcExpr(left: Expression, right: Expression, sdt: DoubleMatrix, ksub: Int)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = left.nullable || right.nullable
 
-  @transient private lazy val t: Array[Double] = sdt.toArray
+  @transient private lazy val t: Array[Double] = sdt.rows(0)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {

@@ -122,8 +122,11 @@ object Similarity {
     val dsub = d / subspaces
     val k = math.min(ksub, sample.length) // degrade gracefully like pqTopK
     val codebook = Array.ofDim[Double](k, d)
-    var s = 0
-    while (s < subspaces) {
+    // subspaces train INDEPENDENTLY (each reads its own slice columns and
+    // writes its own codebook slice) — run them on a bounded pool; the
+    // per-subspace arithmetic is the sequential loop below, so the result
+    // is bit-identical to the serial order (determinism spec-gated)
+    def trainSubspace(s: Int): Unit = {
       val off = s * dsub
       var cents: Array[Array[Double]] =
         Array.tabulate(k)(j => java.util.Arrays.copyOfRange(sample(j), off, off + dsub))
@@ -184,8 +187,13 @@ object Similarity {
         System.arraycopy(cents(j2), 0, codebook(j2), off, dsub)
         j2 += 1
       }
-      s += 1
     }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(subspaces, Runtime.getRuntime.availableProcessors()))
+    try (0 until subspaces).map(s => pool.submit(new Runnable {
+      override def run(): Unit = trainSubspace(s)
+    })).foreach(_.get())
+    finally pool.shutdown()
     codebook
   }
 
@@ -260,8 +268,21 @@ object Similarity {
     pqTopKWithCodebook(c, q, codebook, subspaces, k, excludeSelf)
   }
 
-  /** The PQ serving core shared by the seeded and trained tiers: encode the
-    * corpus against `codebook`, per-query ADC table, broadcast rank. */
+  /** Distance-kernel crossover: below this subspace width the per-query
+    * ADC table stops paying — the table's O(m) lookups save at most
+    * dsub× arithmetic over direct slice distances, while CARRYING the
+    * m·ksub-double table as a broadcast-join column costs m·ksub·8 bytes
+    * of row materialization per candidate (64 KB/row at the trained
+    * 32×256 shape — profiled dominating pq_trained wall-clock in r16,
+    * ~3.5 s → ~0.9 s). The two kernels produce bitwise-identical doubles
+    * (each dt entry IS the direct sliceDist, summed in the same s order),
+    * so the choice is invisible to results and oracles. */
+  private val PqDirectKernelMaxDsub = 8
+
+  /** The PQ serving core shared by the seeded and trained tiers: encode
+    * the corpus against `codebook`; rank by asymmetric distance — via the
+    * per-query ADC table when dsub is wide, or the table-free direct
+    * kernel when dsub ≤ [[PqDirectKernelMaxDsub]] (bitwise equal). */
   private[graft] def pqTopKWithCodebook(
       c: DataFrame,
       q: DataFrame,
@@ -274,21 +295,28 @@ object Similarity {
     require(codebook.head.length % subspaces == 0,
       s"pqTopK: dim ${codebook.head.length} not divisible into $subspaces subspaces")
     val kActual = codebook.length // corpus smaller than ksub degrades gracefully
+    val dsub = codebook.head.length / subspaces
     val enc = c.filter(F.col("__cv").isNotNull)
       .select(F.col("corpus_id"),
         graft.functions.VectorExpressions.pqEncode(F.col("__cv"), codebook, subspaces)
           .as("__codes"))
-    val qdt = q.filter(F.col("__qv").isNotNull)
-      .select(F.col("query_id"),
-        graft.functions.VectorExpressions.pqDistTable(F.col("__qv"), codebook, subspaces)
-          .as("__dt"))
-    var joined = enc.crossJoin(F.broadcast(qdt))
+    val direct = dsub <= PqDirectKernelMaxDsub
+    val qSide =
+      if (direct) q.filter(F.col("__qv").isNotNull)
+      else q.filter(F.col("__qv").isNotNull)
+        .select(F.col("query_id"),
+          graft.functions.VectorExpressions.pqDistTable(F.col("__qv"), codebook, subspaces)
+            .as("__dt"))
+    var joined = enc.crossJoin(F.broadcast(qSide))
     if (excludeSelf) joined = joined.filter(F.col("corpus_id") =!= F.col("query_id"))
+    val dist =
+      if (direct) graft.functions.VectorExpressions.pqAdcDirect(
+        F.col("__codes"), F.col("__qv"), codebook, subspaces)
+      else graft.functions.VectorExpressions.pqAdc(F.col("__codes"), F.col("__dt"), kActual)
     val w = Window.partitionBy("query_id")
       .orderBy(F.col("pq_dist").asc, F.col("corpus_id").asc)
     joined
-      .withColumn("pq_dist", F.round(
-        graft.functions.VectorExpressions.pqAdc(F.col("__codes"), F.col("__dt"), kActual), 6))
+      .withColumn("pq_dist", F.round(dist, 6))
       .withColumn("rank", F.row_number().over(w))
       .filter(F.col("rank") <= k)
       .select("query_id", "corpus_id", "pq_dist", "rank")
@@ -476,25 +504,33 @@ object Similarity {
       .select(F.col("corpus_id"), F.col("bucket"),
         graft.functions.VectorExpressions.pqEncode(F.col("__cv"), codebook, subspaces)
           .as("__codes"))
-    val q = queries.select(F.col(queryId).as("query_id"), F.col(queryVec).as("__qv"))
+    val dsub = codebook.head.length / subspaces
+    val direct = dsub <= PqDirectKernelMaxDsub // same crossover as pqTopKWithCodebook
+    val q0 = queries.select(F.col(queryId).as("query_id"), F.col(queryVec).as("__qv"))
       .filter(F.col("__qv").isNotNull)
-      .withColumn("__dt",
+    val q =
+      if (direct) q0
+      else q0.withColumn("__dt",
         graft.functions.VectorExpressions.pqDistTable(F.col("__qv"), codebook, subspaces))
+    val carry = if (direct) F.col("__qv") else F.col("__dt")
     val probes = q
       .withColumn("__ca", graft.functions.VectorExpressions.matrixCosine(
         F.col("__qv"), cells, scale = 6, nanValue = -1.0))
       .withColumn("__p", F.explode(F.slice(F.sort_array(
         F.transform(F.col("__ca"), (cs, i) =>
           F.struct((-cs).as("nc"), i.cast("long").as("bucket")))), 1, nprobe)))
-      .select(F.col("query_id"), F.col("__dt"), F.col("__p").getField("bucket").as("bucket"))
+      .select(F.col("query_id"), carry, F.col("__p").getField("bucket").as("bucket"))
     var cand = enc.join(F.broadcast(probes), Seq("bucket")).drop("bucket")
     if (excludeSelf) cand = cand.filter(F.col("corpus_id") =!= F.col("query_id"))
+    val dist =
+      if (direct) graft.functions.VectorExpressions.pqAdcDirect(
+        F.col("__codes"), F.col("__qv"), codebook, subspaces)
+      else graft.functions.VectorExpressions.pqAdc(
+        F.col("__codes"), F.col("__dt"), codebook.length)
     val w = Window.partitionBy("query_id")
       .orderBy(F.col("pq_dist").asc, F.col("corpus_id").asc)
     cand
-      .withColumn("pq_dist", F.round(
-        graft.functions.VectorExpressions.pqAdc(
-          F.col("__codes"), F.col("__dt"), codebook.length), 6))
+      .withColumn("pq_dist", F.round(dist, 6))
       .withColumn("rank", F.row_number().over(w))
       .filter(F.col("rank") <= k)
       .select("query_id", "corpus_id", "pq_dist", "rank")
