@@ -156,7 +156,13 @@ object BenchScale {
     // GPT-2-pretok trainer/replay (r16): same one-scan word-table /
     // codegen'd-scan shapes as the words-stream rows
     "q_bpe_train_gpt2",
-    "q_bpe_count_merges_gpt2")
+    "q_bpe_count_merges_gpt2",
+    // prototypicality (r16): nlist-bounded collect + ONE shuffle-free
+    // fused-kernel projection — the flattest possible shape (pure scan)
+    "q_prototypicality",
+    // DSIR (r16): two bucket-keyed groupBys with ≤4096-row results
+    // broadcast back + one doc-keyed aggregation — expect ~1 in rows
+    "q_dsir_weight")
 
   private def loadavg(): String = BenchGuard.loadavg()
 

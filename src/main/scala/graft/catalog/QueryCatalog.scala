@@ -5297,6 +5297,90 @@ object QueryCatalog {
       """)
     ),
     (
+      // SSL-prototypes pruning metric (Similarity.prototypicalityScore via
+      // prototypicality_score(...)): cosine of each embedding to its OWN
+      // seeded-cluster prototype — Sorscher et al. 2022's data-pruning
+      // axis (high = prototypical/easy, low = hard/outlier). FULL bitwise
+      // oracle: the assignment IS the ivf-seeded cell CTE (same rounded-6
+      // cosine, NaN→-1, (cs DESC, bucket) first-max), plus the max itself.
+      "q_prototypicality",
+      wv("""
+        from prototypicality_score('embeddings', 'vec_id', 'embedding', 32)
+        order by vec_id
+      """),
+      Some(s"""
+        WITH cells AS (
+          SELECT embedding AS cvec,
+            row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS bucket
+          FROM embeddings
+          QUALIFY row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= 32
+        ),
+        cos_ec AS (
+          SELECT e.vec_id, s.bucket,
+            COALESCE(NULLIF(${duckCosine("e.embedding", "s.cvec")}, 'NaN'::DOUBLE), -1.0) AS cs
+          FROM embeddings e CROSS JOIN cells s
+        )
+        SELECT vec_id, bucket::BIGINT AS cluster, cs AS proto_cos FROM cos_ec
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, bucket) = 1
+        ORDER BY vec_id
+      """)
+    ),
+    (
+      // DSIR importance weight (Sampling.dsirWeight via dsir_weight(...)):
+      // hashed-unigram multinomials (the classifier's 3-hex-md5 buckets,
+      // Laplace-smoothed) fit on a target slice and on the raw corpus;
+      // per-doc Σ ln(p_target/p_raw) — Xie et al. 2023's
+      // make-it-look-like-the-target selector. DETERMINISTIC oracle:
+      // DuckDB refits both models with the same bucket arithmetic and the
+      // same (c+1)/(N+B) expression shape; the per-doc sum rounds via the
+      // shared +5e-9/4dp convention.
+      "q_dsir_weight",
+      wv("""
+        model dsir_target = { from documents where doc_id < 50 }
+        from dsir_weight('documents', 'doc_id', 'text', 'dsir_target')
+        order by doc_id
+      """),
+      Some {
+        val hx = "'0123456789abcdef'"
+        def bucket(tok: String) =
+          s"""(strpos($hx, substr(md5($tok), 1, 1)) - 1) * 256
+             | + (strpos($hx, substr(md5($tok), 2, 1)) - 1) * 16
+             | + (strpos($hx, substr(md5($tok), 3, 1)) - 1)""".stripMargin
+        s"""
+        WITH rtok AS (
+          SELECT doc_id, ${bucket("t")} AS b FROM (
+            SELECT doc_id, unnest(list_filter(
+              string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS t
+            FROM documents)
+        ),
+        ttok AS (SELECT b FROM rtok WHERE doc_id < 50),
+        tcnt AS (SELECT b, count(*)::BIGINT AS c FROM ttok GROUP BY b),
+        rcnt AS (SELECT b, count(*)::BIGINT AS c FROM rtok GROUP BY b),
+        tn AS (SELECT coalesce(sum(c), 0)::DOUBLE AS n FROM tcnt),
+        rn AS (SELECT coalesce(sum(c), 0)::DOUBLE AS n FROM rcnt),
+        tmod AS (SELECT b, ln((c::DOUBLE + 1.0) / ((SELECT n FROM tn) + 4096.0)) AS lnt
+                 FROM tcnt),
+        rmod AS (SELECT b, ln((c::DOUBLE + 1.0) / ((SELECT n FROM rn) + 4096.0)) AS lnr
+                 FROM rcnt),
+        scored AS (
+          SELECT k.doc_id,
+            coalesce(t.lnt, ln(1.0 / ((SELECT n FROM tn) + 4096.0)))
+            - coalesce(r.lnr, ln(1.0 / ((SELECT n FROM rn) + 4096.0))) AS lr
+          FROM rtok k
+          LEFT JOIN tmod t USING (b)
+          LEFT JOIN rmod r USING (b)
+        ),
+        per AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(lr) AS s
+                FROM scored GROUP BY doc_id)
+        SELECT d.doc_id,
+          coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+          round(CASE WHEN p.n_tokens > 0 THEN p.s + 5e-9 END, 4) AS dsir_weight
+        FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+        ORDER BY d.doc_id
+        """
+      }
+    ),
+    (
       // Classifier-based quality filter (QualityClassifier via
       // quality_classifier_score(...)): logistic regression over hashed
       // token unigrams (3-hex-char md5 buckets — portable arithmetic),

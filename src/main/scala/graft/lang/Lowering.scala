@@ -35,9 +35,10 @@ object Lowering {
     "decode_audio", "decode_images", "decode_video",
     "decontaminate", "decontaminate_semantic",
     "dedup_incremental", "dedup_incremental_pairs", "dedup_semantic",
-    "dedup_spans", "duckdb_functions", "each_top_k", "jdbc",
+    "dedup_spans", "dsir_weight", "duckdb_functions", "each_top_k", "jdbc",
     "minhash_index", "mix_by_temperature", "pack_sequences", "parquet_metadata",
-    "perplexity_score", "perplexity_score_bigram", "quality_classifier_score",
+    "perplexity_score", "perplexity_score_bigram", "prototypicality_score",
+    "quality_classifier_score",
     "range", "resize_images",
     "select_token_budget", "select_token_budget_by",
     "similarity_topk",
@@ -2074,6 +2075,56 @@ object Lowering {
               "min_count >= 1]) or (corpus, id_col, text_col, 'kn'[, discount, " +
               "min_count]) literals, e.g. " +
               "perplexity_score_bigram('documents', 'doc_id', 'text', 0.4, 2)")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "dsir_weight" =>
+      // dsir_weight('corpus', 'id_col', 'text_col', 'target_rel'
+      // [, 'target_text_col']) — DSIR log importance weight
+      // (Sampling.dsirWeight): hashed-unigram multinomials fit on target
+      // and raw corpus, per-doc Σ ln(p_target/p_raw). High = looks like
+      // the target; compose with select_token_budget_by for the cut.
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
+            Some(targetRel: String), rest @ _*) if rest.lengthCompare(1) <= 0 =>
+          val targetText = rest.headOption match {
+            case Some(Some(t: String)) => t
+            case None => textCol
+            case other => throw new LoweringException(
+              s"dsir_weight: target_text_col must be a string literal, got '$other'")
+          }
+          Plain(graft.operators.Sampling.dsirWeight(
+            lower(TableRef(corpus), ctx), idCol, textCol,
+            lower(TableRef(targetRel), ctx), targetText))
+        case _ =>
+          throw new LoweringException(
+            "dsir_weight expects (corpus, id_col, text_col, target_rel" +
+              "[, target_text_col]) literals, e.g. dsir_weight('documents', " +
+              "'doc_id', 'text', 'reference_docs')")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "prototypicality_score" =>
+      // prototypicality_score('corpus', 'id_col', 'vec_col'[, nlist]) —
+      // SSL-prototypes pruning metric (Similarity.prototypicalityScore):
+      // cosine of each embedding to its own seeded-cluster prototype; high
+      // = prototypical/easy, low = hard/outlier (Sorscher et al. 2022's
+      // pruning axis).
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(vecCol: String),
+            rest @ _*) if rest.lengthCompare(1) <= 0 =>
+          val nlist = rest.headOption match {
+            case Some(Some(n: Long)) if n > 0 => n.toInt
+            case None => 32
+            case other => throw new LoweringException(
+              s"prototypicality_score: nlist must be a positive integer literal, got '$other'")
+          }
+          Plain(graft.operators.Similarity.prototypicalityScore(
+            lower(TableRef(corpus), ctx), idCol, vecCol, nlist))
+        case _ =>
+          throw new LoweringException(
+            "prototypicality_score expects (corpus, id_col, vec_col[, nlist]) " +
+              "literals, e.g. prototypicality_score('embeddings', 'vec_id', 'embedding', 32)")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

@@ -440,4 +440,88 @@ object Sampling {
       .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("__copies"))))
       .drop("__copies")
   }
+
+  /** DSIR importance weight (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling") — the principled "make the corpus
+    * look like the target" selector: fit hashed-unigram multinomials on
+    * the TARGET set and on the RAW corpus (Laplace-smoothed over the
+    * [[graft.operators.QualityClassifier.Buckets]] hashed buckets — the
+    * same portable 3-hex-md5 bucketing as the quality classifier), and
+    * score every raw doc by its log importance weight
+    *
+    *   dsir_weight(doc) = Σ_tokens [ln p_target(b(t)) − ln p_raw(b(t))]
+    *
+    * — high weight = "looks like the target distribution". DSIR proper
+    * then resamples with Gumbel noise; here selection stays deterministic
+    * and composable: feed the column to `select_token_budget_by` (the
+    * quality-first budget cut) or a plain threshold filter.
+    *
+    * Plan shape at 100 TB: two bucket-keyed groupBys whose RESULTS are
+    * ≤ 4096 rows each (broadcast back to the postings), one postings
+    * aggregation per doc — no corpus-sized collect, no window. Both
+    * ln-probability tables are joined as one 4096-row broadcast, so the
+    * scoring pass is a single shuffle on the doc id.
+    *
+    * Output: (idCol, n_tokens, dsir_weight) — weight rounded via the
+    * shared +5e-9/4dp convention (per-position lnp values are fixed
+    * doubles; only the per-doc sum order is engine-dependent); token-free
+    * docs keep their row with n_tokens 0 and a null weight (the NLL-family
+    * contract). */
+  def dsirWeight(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      targetTextCol: String
+  ): DataFrame = {
+    val buckets = graft.operators.QualityClassifier.Buckets
+    def bucketed(df: DataFrame, text: String): DataFrame =
+      df.select(F.explode(
+          graft.functions.TextFunctions.tokens(F.col(text))).as("__t"))
+        .select(graft.operators.QualityClassifier.bucketCol(F.col("__t")).as("__b"))
+        .groupBy("__b").agg(F.count(F.lit(1)).as("__c"))
+    // ln p(b) = ln((c_b + 1) / (N + B)) — Laplace over the full bucket
+    // domain, so buckets unseen in either model still score finitely via
+    // the smoothed floor ln(1 / (N + B)). The totals are two scalar
+    // aggregations collected driver-side (one long each — the bounded
+    // class), so the floor rides as a plan literal instead of through a
+    // null-bearing join.
+    val tCounts = bucketed(target, targetTextCol)
+    val rCounts = bucketed(corpus, textCol)
+    def totalOf(counts: DataFrame): Double =
+      counts.agg(F.coalesce(F.sum("__c"), F.lit(0L))).head.getLong(0).toDouble
+    val tN = totalOf(tCounts)
+    val rN = totalOf(rCounts)
+    def lnModel(counts: DataFrame, n: Double, out: String): DataFrame =
+      counts.select(F.col("__b"),
+        F.log((F.col("__c").cast("double") + F.lit(1.0)) /
+          (F.lit(n) + F.lit(buckets.toDouble))).as(out))
+    val tModel = lnModel(tCounts, tN, "__lnt")
+    val rModel = lnModel(rCounts, rN, "__lnr")
+    def lnFloor(n: Double): Column =
+      F.log(F.lit(1.0) / (F.lit(n) + F.lit(buckets.toDouble)))
+    val tok = corpus.select(
+      F.col(idCol),
+      F.explode_outer(
+        graft.functions.TextFunctions.tokens(F.col(textCol))).as("__t"))
+      .withColumn("__b",
+        F.when(F.col("__t").isNotNull,
+          graft.operators.QualityClassifier.bucketCol(F.col("__t"))))
+    tok
+      .join(F.broadcast(tModel), Seq("__b"), "left")
+      .join(F.broadcast(rModel), Seq("__b"), "left")
+      .withColumn("__lr",
+        F.when(F.col("__t").isNull, F.lit(null).cast("double"))
+          .otherwise(
+            F.coalesce(F.col("__lnt"), lnFloor(tN)) -
+            F.coalesce(F.col("__lnr"), lnFloor(rN))))
+      .groupBy(F.col(idCol))
+      .agg(
+        F.count(F.col("__t")).as("n_tokens"),
+        F.sum(F.col("__lr")).as("__s"))
+      .withColumn("dsir_weight",
+        F.when(F.col("n_tokens") > 0,
+          F.round(F.col("__s") + F.lit(5e-9), 4)))
+      .select(idCol, "n_tokens", "dsir_weight")
+  }
 }

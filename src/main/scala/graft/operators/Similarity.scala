@@ -738,6 +738,37 @@ object Similarity {
       df.columns.map(F.col) :+ F.explode(F.array(buckets: _*)).as("bucket"): _*)
   }
 
+  /** Prototypicality score (Sorscher et al. 2022, "Beyond neural scaling
+    * laws: beating power law scaling via data pruning" — the
+    * SSL-prototypes metric): cluster the embeddings with the seeded coarse
+    * quantizer and score every vector by its cosine to its OWN cluster
+    * prototype. High score = prototypical/easy (close to its cluster
+    * center), low = hard/outlier; the paper's recipe prunes EASY examples
+    * when data is abundant and hard ones when scarce — both are a filter
+    * or a `select_token_budget_by` ordering away from this column.
+    *
+    * Determinism contract = [[ivfSeededTopK]]'s cell assignment verbatim
+    * (seeded (md5, id) centroids, rounded-6 cosine, NaN→-1, first-max):
+    * the DuckDB oracle IS the ivf assign CTE plus the max itself — fully
+    * bitwise. Scale anatomy: nlist-row bounded collect + ONE shuffle-free
+    * fused-kernel projection over the corpus; no join, no window. */
+  def prototypicalityScore(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 32
+  ): DataFrame = {
+    val c = corpus.select(F.col(idCol), F.col(vecCol).as("__cv"))
+      .filter(F.col("__cv").isNotNull)
+    val cells = seededCentroidMatrix(c, idCol, "__cv", nlist)
+    c.withColumn("__ca", graft.functions.VectorExpressions.matrixCosine(
+        F.col("__cv"), cells, scale = 6, nanValue = -1.0))
+      .select(F.col(idCol),
+        (F.array_position(F.col("__ca"), F.array_max(F.col("__ca"))) - 1)
+          .as("cluster"),
+        F.array_max(F.col("__ca")).as("proto_cos"))
+  }
+
   /** Assign every row its argmax-cosine centroid bucket (cos DESC, bucket
     * ASC tie-break; NaN pinned to -1.0) — one shuffle-free fused-kernel
     * projection. Output: input columns + `bucket`. */

@@ -295,6 +295,23 @@ object Playground {
         |  'good_docs', 'boiler_docs')
         |order by quality_prob desc
         |limit 10""".stripMargin,
+    "llm_prototypicality" ->
+      """-- SSL-prototypes data pruning (Sorscher et al. 2022): score each
+        |-- embedding by cosine to its own cluster prototype. High =
+        |-- prototypical/easy, low = hard/outlier; prune easy examples when
+        |-- data is abundant, hard ones when scarce.
+        |from prototypicality_score('embeddings', 'vec_id', 'embedding', 32)
+        |order by proto_cos
+        |limit 10""".stripMargin,
+    "llm_dsir" ->
+      """-- DSIR (Xie et al. 2023): importance weight = how much a doc
+        |-- looks like the TARGET distribution, from hashed-unigram models
+        |-- fit on target vs raw corpus. Feed the column to
+        |-- select_token_budget_by for the principled budget cut.
+        |model reference_docs = { from documents where doc_id < 50 }
+        |from dsir_weight('documents', 'doc_id', 'text', 'reference_docs')
+        |order by dsir_weight desc
+        |limit 10""".stripMargin,
     "llm_bpe_gpt2" ->
       """-- GPT-2 pre-tokenization mode: contractions split ('t), letter
         |-- runs keep one leading space, punctuation runs group, case kept
@@ -317,7 +334,7 @@ object Playground {
       "llm_token_budget_quality",
       "llm_vocab_profile", "llm_bpe_count", "llm_bpe_stats", "llm_bpe_train",
       "llm_bpe_merge_replay", "llm_ann_pq", "llm_perplexity_kn",
-      "llm_quality_classifier", "llm_bpe_gpt2")
+      "llm_quality_classifier", "llm_bpe_gpt2", "llm_prototypicality", "llm_dsir")
 
   private def jsStr(s: String): String =
     "\"" + s.flatMap {

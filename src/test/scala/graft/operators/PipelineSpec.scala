@@ -525,6 +525,54 @@ class PipelineSpec extends SparkTestBase {
     assert(scored.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("prototypicality: seeds score exactly 1.0, assignment matches the ivf contract") {
+    val embs = table("embeddings")
+    val scored = Similarity.prototypicalityScore(embs, "vec_id", "embedding", nlist = 32)
+    assert(scored.count() == embs.filter(F.col("embedding").isNotNull).count())
+    // every score is a rounded-6 cosine in [-1, 1]
+    assert(scored.filter(F.col("proto_cos") > 1.0 || F.col("proto_cos") < -1.0).count() == 0)
+    // the 32 seed vectors ARE their clusters' prototypes: cos(v, v) = 1
+    val seedIds = embs.filter(F.col("embedding").isNotNull)
+      .withColumn("__m", F.md5(F.col("vec_id").cast("string").cast("binary")))
+      .orderBy("__m", "vec_id").limit(32).select("vec_id")
+    val seedScores = scored.join(seedIds, Seq("vec_id"), "left_semi")
+      .select("proto_cos").collect().map(_.getDouble(0))
+    assert(seedScores.length == 32 && seedScores.forall(_ == 1.0),
+      s"seed self-cosines must be exactly 1.0: ${seedScores.take(5).mkString(",")}")
+    // exactly one row per vector, cluster ids within [0, 32)
+    assert(scored.filter(F.col("cluster") < 0 || F.col("cluster") >= 32).count() == 0)
+  }
+
+  test("DSIR: self-target weights are exactly zero; target-likeness separates; nulls kept") {
+    import spark.implicits._
+    val base = docs.select("doc_id", "text")
+    // target == corpus → both models identical → every token's log-ratio
+    // is EXACTLY 0.0 → every weight 0.0 (closed form, no tolerance)
+    val self = Sampling.dsirWeight(base, "doc_id", "text", base, "text")
+    assert(self.filter(F.col("n_tokens") > 0 && F.col("dsir_weight") =!= 0.0).count() == 0,
+      "self-target DSIR weights must be exactly 0.0")
+    // separation: a doc made of target-only vocabulary must outweigh a doc
+    // of boilerplate vocabulary absent from the target
+    val target = Seq(
+      (1L, "galaxy spectrum quasar redshift telescope photon nebula"),
+      (2L, "quasar photon galaxy telescope spectrum nebula redshift")
+    ).toDF("doc_id", "text")
+    val corpus = base.union(Seq(
+      (990001L, "galaxy quasar photon spectrum telescope"),
+      (990002L, "click subscribe buy cheap deals now unsubscribe"),
+      (990003L, "!!! ...")
+    ).toDF("doc_id", "text"))
+    val w = Sampling.dsirWeight(corpus, "doc_id", "text", target, "text")
+    def of(id: Long) = w.filter(F.col("doc_id") === id).head
+    assert(of(990001L).getDouble(2) > of(990002L).getDouble(2),
+      s"target-like ${of(990001L)} must outweigh boilerplate ${of(990002L)}")
+    // token-free doc keeps its row: n_tokens 0, null weight
+    assert(of(990003L).getLong(1) == 0L && of(990003L).isNullAt(2))
+    // bitwise determinism across two plans
+    val again = Sampling.dsirWeight(corpus, "doc_id", "text", target, "text")
+    assert(w.exceptAll(again).count() == 0 && again.exceptAll(w).count() == 0)
+  }
+
   test("vocab profile: closed-form tiny corpus, coverage bounds on testdata") {
     import spark.implicits._
     // "a a b" + "a c": total 5, distinct 3, hapax 2 (b, c); top-1 = a → 3/5
