@@ -161,8 +161,10 @@ object BenchScale {
     // fused-kernel projection — the flattest possible shape (pure scan)
     "q_prototypicality",
     // DSIR (r16): two bucket-keyed groupBys with ≤4096-row results
-    // broadcast back + one doc-keyed aggregation — expect ~1 in rows
-    "q_dsir_weight")
+    // broadcast back + one doc-keyed aggregation — expect ~1 in rows;
+    // the _sample row adds only a TakeOrdered top-k on the same plan
+    "q_dsir_weight",
+    "q_dsir_sample")
 
   private def loadavg(): String = BenchGuard.loadavg()
 

@@ -5381,6 +5381,70 @@ object QueryCatalog {
       }
     ),
     (
+      // DSIR's Gumbel-top-k RESAMPLING step (Sampling.dsirSample via
+      // dsir_sample(...)): keep the k docs with the largest
+      // dsir_weight + seeded Gumbel noise — samples ∝ importance weight
+      // without replacement (the paper's actual selection). The noise is
+      // engine-portable (u from 4 md5 hex chars, g = −ln(−ln u)) and the
+      // base weight is the ROUNDED dsir column, so the full ordering is
+      // deterministic: the oracle recomputes weights, noise, and the
+      // top-100 cut, hash-equal.
+      "q_dsir_sample",
+      wv("""
+        model dsir_target2 = { from documents where doc_id < 50 }
+        from dsir_sample('documents', 'doc_id', 'text', 'dsir_target2', 100)
+        order by sample_key desc, doc_id
+      """),
+      Some {
+        val hx = "'0123456789abcdef'"
+        def bucket(tok: String) =
+          s"""(strpos($hx, substr(md5($tok), 1, 1)) - 1) * 256
+             | + (strpos($hx, substr(md5($tok), 2, 1)) - 1) * 16
+             | + (strpos($hx, substr(md5($tok), 3, 1)) - 1)""".stripMargin
+        val u =
+          s"""(((strpos($hx, substr(md5('dsir' || doc_id::VARCHAR), 1, 1)) - 1) * 4096
+             |  + (strpos($hx, substr(md5('dsir' || doc_id::VARCHAR), 2, 1)) - 1) * 256
+             |  + (strpos($hx, substr(md5('dsir' || doc_id::VARCHAR), 3, 1)) - 1) * 16
+             |  + (strpos($hx, substr(md5('dsir' || doc_id::VARCHAR), 4, 1)) - 1))::DOUBLE
+             | + 0.5) / 65536.0""".stripMargin
+        s"""
+        WITH rtok AS (
+          SELECT doc_id, ${bucket("t")} AS b FROM (
+            SELECT doc_id, unnest(list_filter(
+              string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS t
+            FROM documents)
+        ),
+        ttok AS (SELECT b FROM rtok WHERE doc_id < 50),
+        tcnt AS (SELECT b, count(*)::BIGINT AS c FROM ttok GROUP BY b),
+        rcnt AS (SELECT b, count(*)::BIGINT AS c FROM rtok GROUP BY b),
+        tn AS (SELECT coalesce(sum(c), 0)::DOUBLE AS n FROM tcnt),
+        rn AS (SELECT coalesce(sum(c), 0)::DOUBLE AS n FROM rcnt),
+        tmod AS (SELECT b, ln((c::DOUBLE + 1.0) / ((SELECT n FROM tn) + 4096.0)) AS lnt
+                 FROM tcnt),
+        rmod AS (SELECT b, ln((c::DOUBLE + 1.0) / ((SELECT n FROM rn) + 4096.0)) AS lnr
+                 FROM rcnt),
+        scored AS (
+          SELECT k.doc_id,
+            coalesce(t.lnt, ln(1.0 / ((SELECT n FROM tn) + 4096.0)))
+            - coalesce(r.lnr, ln(1.0 / ((SELECT n FROM rn) + 4096.0))) AS lr
+          FROM rtok k
+          LEFT JOIN tmod t USING (b)
+          LEFT JOIN rmod r USING (b)
+        ),
+        per AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                  round(sum(lr) + 5e-9, 4) AS dsir_weight
+                FROM scored GROUP BY doc_id),
+        keyed AS (
+          SELECT doc_id, n_tokens, dsir_weight,
+            round(dsir_weight + -ln(-ln($u)) + 5e-9, 6) AS sample_key
+          FROM per
+        )
+        SELECT doc_id, n_tokens, dsir_weight, sample_key
+        FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 100
+        """
+      }
+    ),
+    (
       // Classifier-based quality filter (QualityClassifier via
       // quality_classifier_score(...)): logistic regression over hashed
       // token unigrams (3-hex-char md5 buckets — portable arithmetic),

@@ -35,7 +35,7 @@ object Lowering {
     "decode_audio", "decode_images", "decode_video",
     "decontaminate", "decontaminate_semantic",
     "dedup_incremental", "dedup_incremental_pairs", "dedup_semantic",
-    "dedup_spans", "dsir_weight", "duckdb_functions", "each_top_k", "jdbc",
+    "dedup_spans", "dsir_sample", "dsir_weight", "duckdb_functions", "each_top_k", "jdbc",
     "minhash_index", "mix_by_temperature", "pack_sequences", "parquet_metadata",
     "perplexity_score", "perplexity_score_bigram", "prototypicality_score",
     "quality_classifier_score",
@@ -2101,6 +2101,33 @@ object Lowering {
             "dsir_weight expects (corpus, id_col, text_col, target_rel" +
               "[, target_text_col]) literals, e.g. dsir_weight('documents', " +
               "'doc_id', 'text', 'reference_docs')")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "dsir_sample" =>
+      // dsir_sample('corpus', 'id_col', 'text_col', 'target_rel', k
+      // [, 'seed']) — DSIR's Gumbel-top-k importance RESAMPLING
+      // (Sampling.dsirSample): keep the k docs with the largest
+      // dsir_weight + seeded portable Gumbel noise (samples ∝ the
+      // importance weights, without replacement).
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
+            Some(targetRel: String), Some(k: Long), rest @ _*)
+            if k > 0 && rest.lengthCompare(1) <= 0 =>
+          val seed = rest.headOption match {
+            case Some(Some(s: String)) => s
+            case None => "dsir"
+            case other => throw new LoweringException(
+              s"dsir_sample: seed must be a string literal, got '$other'")
+          }
+          Plain(graft.operators.Sampling.dsirSample(
+            lower(TableRef(corpus), ctx), idCol, textCol,
+            lower(TableRef(targetRel), ctx), textCol, k.toInt, seed))
+        case _ =>
+          throw new LoweringException(
+            "dsir_sample expects (corpus, id_col, text_col, target_rel, k[, seed]) " +
+              "literals, e.g. dsir_sample('documents', 'doc_id', 'text', " +
+              "'reference_docs', 100)")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

@@ -467,6 +467,40 @@ object Sampling {
     * doubles; only the per-doc sum order is engine-dependent); token-free
     * docs keep their row with n_tokens 0 and a null weight (the NLL-family
     * contract). */
+  /** DSIR's actual SELECTION step — Gumbel-top-k importance resampling
+    * (Xie et al. 2023 §2; Gumbel-top-k samples k items ∝ exp(log-weight)
+    * without replacement): key = dsir_weight + Gumbel noise, keep the k
+    * largest keys. The noise is SEEDED AND ENGINE-PORTABLE: u ∈ (0,1)
+    * derives from 4 md5 hex chars of the seed-prefixed id
+    * (u = (v + 0.5)/65536 — the +0.5 keeps ln(u) finite), g = −ln(−ln u),
+    * and the key rounds via the shared +5e-9/6dp convention so the DuckDB
+    * oracle reproduces the exact ordering. The base weight is the already
+    * ROUNDED [[dsirWeight]] column — the rounding is what absorbs the
+    * per-doc sum-order noise BEFORE the noise-add, keeping the key
+    * deterministic across engines.
+    *
+    * Scale anatomy: [[dsirWeight]]'s plan + one TakeOrdered top-k — no
+    * extra shuffle beyond the existing doc-keyed aggregation. */
+  def dsirSample(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      targetTextCol: String,
+      k: Int,
+      seed: String = "dsir"
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = dsirWeight(corpus, idCol, textCol, target, targetTextCol)
+      .filter(F.col("dsir_weight").isNotNull) // token-free docs can't be sampled
+    val u = (F.conv(F.substring(key(seed, F.col(idCol)), 1, 4), 16, 10)
+      .cast("double") + F.lit(0.5)) / F.lit(65536.0)
+    w.withColumn("sample_key",
+        F.round(F.col("dsir_weight") + -F.log(-F.log(u)) + F.lit(5e-9), 6))
+      .orderBy(F.col("sample_key").desc, F.col(idCol))
+      .limit(k)
+  }
+
   def dsirWeight(
       corpus: DataFrame,
       idCol: String,

@@ -312,6 +312,13 @@ object Playground {
         |from dsir_weight('documents', 'doc_id', 'text', 'reference_docs')
         |order by dsir_weight desc
         |limit 10""".stripMargin,
+    "llm_dsir_sample" ->
+      """-- DSIR's actual selection step: Gumbel-top-k importance
+        |-- resampling — keep k docs with probability proportional to
+        |-- exp(dsir_weight), deterministic via seeded portable noise.
+        |model reference_docs = { from documents where doc_id < 50 }
+        |from dsir_sample('documents', 'doc_id', 'text', 'reference_docs', 10)
+        |order by sample_key desc""".stripMargin,
     "llm_bpe_gpt2" ->
       """-- GPT-2 pre-tokenization mode: contractions split ('t), letter
         |-- runs keep one leading space, punctuation runs group, case kept
@@ -334,7 +341,8 @@ object Playground {
       "llm_token_budget_quality",
       "llm_vocab_profile", "llm_bpe_count", "llm_bpe_stats", "llm_bpe_train",
       "llm_bpe_merge_replay", "llm_ann_pq", "llm_perplexity_kn",
-      "llm_quality_classifier", "llm_bpe_gpt2", "llm_prototypicality", "llm_dsir")
+      "llm_quality_classifier", "llm_bpe_gpt2", "llm_prototypicality", "llm_dsir",
+      "llm_dsir_sample")
 
   private def jsStr(s: String): String =
     "\"" + s.flatMap {

@@ -573,6 +573,37 @@ class PipelineSpec extends SparkTestBase {
     assert(w.exceptAll(again).count() == 0 && again.exceptAll(w).count() == 0)
   }
 
+  test("DSIR Gumbel-top-k: size bound, seed is live, weight dominates noise, deterministic") {
+    val base = docs.select("doc_id", "text")
+    val target = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    val eligible = Sampling.dsirWeight(base, "doc_id", "text", target, "text")
+      .filter(F.col("dsir_weight").isNotNull).count()
+    // k >= eligible → everything with a weight comes back; k small → k rows
+    assert(Sampling.dsirSample(base, "doc_id", "text", target, "text",
+      k = eligible.toInt + 50).count() == eligible)
+    val s10 = Sampling.dsirSample(base, "doc_id", "text", target, "text", k = 10)
+    assert(s10.count() == 10)
+    // determinism across two independent plans
+    val again = Sampling.dsirSample(base, "doc_id", "text", target, "text", k = 10)
+    assert(s10.exceptAll(again).count() == 0 && again.exceptAll(s10).count() == 0)
+    // the seed is live: a different seed reshuffles the Gumbel noise
+    val other = Sampling.dsirSample(base, "doc_id", "text", target, "text",
+      k = 10, seed = "other")
+    assert(other.exceptAll(s10).count() > 0, "seed change must perturb the sample")
+    // weights dominate the noise when they actually spread: docs built
+    // from target-exclusive vocabulary carry weights tens of nats above
+    // the corpus (Gumbel noise is O(1), bounded by the 16-bit u grid at
+    // ~11), so ALL of them must make a k=20 cut over ~500 docs
+    import spark.implicits._
+    val sciText = Seq.fill(30)("galaxy quasar redshift photon").mkString(" ")
+    val target2 = Seq((1L, sciText), (2L, sciText)).toDF("doc_id", "text")
+    val planted = (1 to 5).map(i => (990000L + i, sciText))
+    val corpus2 = base.union(planted.toDF("doc_id", "text"))
+    val s20 = Sampling.dsirSample(corpus2, "doc_id", "text", target2, "text", k = 20)
+    assert(s20.filter(F.col("doc_id") >= 990000L).count() == 5,
+      "all five high-weight planted docs must be sampled")
+  }
+
   test("vocab profile: closed-form tiny corpus, coverage bounds on testdata") {
     import spark.implicits._
     // "a a b" + "a c": total 5, distinct 3, hapax 2 (b, c); top-1 = a → 3/5
