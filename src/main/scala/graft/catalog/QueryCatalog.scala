@@ -5381,6 +5381,68 @@ object QueryCatalog {
       }
     ),
     (
+      // DSIR with the paper's FULL feature set (Xie et al. 2023 §3:
+      // hashed n-grams — unigrams AND adjacent pairs in one bucket bag):
+      // dsir_weight(..., 'bigram'). n_tokens still counts unigram
+      // positions; the weight sums over all hashed features. Same
+      // deterministic refit oracle, the feature stream extended by the
+      // space-joined pair list built inside the per-doc token array.
+      "q_dsir_weight_bigram",
+      wv("""
+        model dsir_target3 = { from documents where doc_id < 50 }
+        from dsir_weight('documents', 'doc_id', 'text', 'dsir_target3', 'bigram')
+        order by doc_id
+      """),
+      Some {
+        val hx = "'0123456789abcdef'"
+        def bucket(tok: String) =
+          s"""(strpos($hx, substr(md5($tok), 1, 1)) - 1) * 256
+             | + (strpos($hx, substr(md5($tok), 2, 1)) - 1) * 16
+             | + (strpos($hx, substr(md5($tok), 3, 1)) - 1)""".stripMargin
+        s"""
+        WITH tokl AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ts
+          FROM documents
+        ),
+        rfeat AS (
+          SELECT doc_id, unnest(ts) AS f, true AS u FROM tokl
+          UNION ALL
+          SELECT doc_id, unnest(list_transform(range(2, len(ts) + 1),
+            i -> ts[i - 1] || ' ' || ts[i])) AS f, false AS u
+          FROM tokl
+        ),
+        rtok AS (SELECT doc_id, u, ${bucket("f")} AS b FROM rfeat),
+        ttok AS (SELECT b FROM rtok WHERE doc_id < 50),
+        tcnt AS (SELECT b, count(*)::BIGINT AS c FROM ttok GROUP BY b),
+        rcnt AS (SELECT b, count(*)::BIGINT AS c FROM rtok GROUP BY b),
+        tn AS (SELECT coalesce(sum(c), 0)::DOUBLE AS n FROM tcnt),
+        rn AS (SELECT coalesce(sum(c), 0)::DOUBLE AS n FROM rcnt),
+        tmod AS (SELECT b, ln((c::DOUBLE + 1.0) / ((SELECT n FROM tn) + 4096.0)) AS lnt
+                 FROM tcnt),
+        rmod AS (SELECT b, ln((c::DOUBLE + 1.0) / ((SELECT n FROM rn) + 4096.0)) AS lnr
+                 FROM rcnt),
+        scored AS (
+          SELECT k.doc_id, k.u,
+            coalesce(t.lnt, ln(1.0 / ((SELECT n FROM tn) + 4096.0)))
+            - coalesce(r.lnr, ln(1.0 / ((SELECT n FROM rn) + 4096.0))) AS lr
+          FROM rtok k
+          LEFT JOIN tmod t USING (b)
+          LEFT JOIN rmod r USING (b)
+        ),
+        per AS (SELECT doc_id,
+                  sum(CASE WHEN u THEN 1 ELSE 0 END)::BIGINT AS n_tokens,
+                  sum(lr) AS s
+                FROM scored GROUP BY doc_id)
+        SELECT d.doc_id,
+          coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+          round(CASE WHEN p.n_tokens > 0 THEN p.s + 5e-9 END, 4) AS dsir_weight
+        FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+        ORDER BY d.doc_id
+        """
+      }
+    ),
+    (
       // DSIR's Gumbel-top-k RESAMPLING step (Sampling.dsirSample via
       // dsir_sample(...)): keep the k docs with the largest
       // dsir_weight + seeded Gumbel noise — samples ∝ importance weight

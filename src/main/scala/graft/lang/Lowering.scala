@@ -2080,27 +2080,36 @@ object Lowering {
     case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "dsir_weight" =>
       // dsir_weight('corpus', 'id_col', 'text_col', 'target_rel'
-      // [, 'target_text_col']) — DSIR log importance weight
-      // (Sampling.dsirWeight): hashed-unigram multinomials fit on target
-      // and raw corpus, per-doc Σ ln(p_target/p_raw). High = looks like
-      // the target; compose with select_token_budget_by for the cut.
+      // [, 'target_text_col'][, 'unigram'|'bigram']) — DSIR log importance
+      // weight (Sampling.dsirWeight): hashed-n-gram multinomials fit on
+      // target and raw corpus, per-doc Σ ln(p_target/p_raw); 'bigram'
+      // adds hashed adjacent pairs to the feature bag (the paper's
+      // feature set). High = looks like the target; compose with
+      // select_token_budget_by for the cut.
       args.map(constValue) match {
         case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
-            Some(targetRel: String), rest @ _*) if rest.lengthCompare(1) <= 0 =>
-          val targetText = rest.headOption match {
-            case Some(Some(t: String)) => t
-            case None => textCol
+            Some(targetRel: String), rest @ _*) if rest.lengthCompare(2) <= 0 =>
+          // a trailing 'unigram'/'bigram' literal is the feature mode; any
+          // other single trailing string is the target text column
+          val (targetText, feats) = rest.toList match {
+            case Nil => (textCol, "unigram")
+            case List(Some(f: String)) if f == "unigram" || f == "bigram" =>
+              (textCol, f)
+            case List(Some(t: String)) => (t, "unigram")
+            case List(Some(t: String), Some(f: String))
+                if f == "unigram" || f == "bigram" => (t, f)
             case other => throw new LoweringException(
-              s"dsir_weight: target_text_col must be a string literal, got '$other'")
+              s"dsir_weight: trailing args must be ([target_text_col,] " +
+                s"'unigram'|'bigram') literals, got '$other'")
           }
           Plain(graft.operators.Sampling.dsirWeight(
             lower(TableRef(corpus), ctx), idCol, textCol,
-            lower(TableRef(targetRel), ctx), targetText))
+            lower(TableRef(targetRel), ctx), targetText, feats))
         case _ =>
           throw new LoweringException(
             "dsir_weight expects (corpus, id_col, text_col, target_rel" +
-              "[, target_text_col]) literals, e.g. dsir_weight('documents', " +
-              "'doc_id', 'text', 'reference_docs')")
+              "[, target_text_col][, 'unigram'|'bigram']) literals, e.g. " +
+              "dsir_weight('documents', 'doc_id', 'text', 'reference_docs')")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

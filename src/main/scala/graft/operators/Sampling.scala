@@ -488,10 +488,11 @@ object Sampling {
       target: DataFrame,
       targetTextCol: String,
       k: Int,
-      seed: String = "dsir"
+      seed: String = "dsir",
+      features: String = "unigram"
   ): DataFrame = {
     require(k > 0, "k must be positive")
-    val w = dsirWeight(corpus, idCol, textCol, target, targetTextCol)
+    val w = dsirWeight(corpus, idCol, textCol, target, targetTextCol, features)
       .filter(F.col("dsir_weight").isNotNull) // token-free docs can't be sampled
     val u = (F.conv(F.substring(key(seed, F.col(idCol)), 1, 4), 16, 10)
       .cast("double") + F.lit(0.5)) / F.lit(65536.0)
@@ -501,18 +502,43 @@ object Sampling {
       .limit(k)
   }
 
+  /** Feature array for DSIR's hashed-n-gram bag: structs (f, u) where
+    * `u` flags unigram features — 'unigram' mode = tokens only; 'bigram'
+    * mode = tokens PLUS space-joined adjacent pairs hashed into the SAME
+    * bucket space (the paper's actual feature set; Xie et al. 2023 §3).
+    * Built inside the per-doc array — no shuffle, no window. `toks` MUST
+    * be a materialized column REFERENCE, not the tokenize expression: an
+    * element_at over the inline subtree re-tokenizes the whole text per
+    * lambda element (O(tokens²) per doc — 16 s vs 2 s at sf0.1). */
+  private def dsirFeatures(toks: Column, features: String): Column =
+    features match {
+      case "unigram" =>
+        F.transform(toks, t => F.struct(t.as("f"), F.lit(true).as("u")))
+      case "bigram" =>
+        val unis = F.transform(toks, t => F.struct(t.as("f"), F.lit(true).as("u")))
+        val bis = F.when(F.size(toks) > 1,
+            F.transform(F.sequence(F.lit(1), F.size(toks) - 1), i =>
+              F.struct(F.concat(F.element_at(toks, i), F.lit(" "),
+                F.element_at(toks, i + 1)).as("f"), F.lit(false).as("u"))))
+          .otherwise(F.array().cast("array<struct<f:string,u:boolean>>"))
+        F.concat(unis, bis)
+      case other => throw new IllegalArgumentException(
+        s"dsir features must be 'unigram' or 'bigram', got '$other'")
+    }
+
   def dsirWeight(
       corpus: DataFrame,
       idCol: String,
       textCol: String,
       target: DataFrame,
-      targetTextCol: String
+      targetTextCol: String,
+      features: String = "unigram"
   ): DataFrame = {
     val buckets = graft.operators.QualityClassifier.Buckets
     def bucketed(df: DataFrame, text: String): DataFrame =
-      df.select(F.explode(
-          graft.functions.TextFunctions.tokens(F.col(text))).as("__t"))
-        .select(graft.operators.QualityClassifier.bucketCol(F.col("__t")).as("__b"))
+      df.select(graft.functions.TextFunctions.tokens(F.col(text)).as("__toks"))
+        .select(F.explode(dsirFeatures(F.col("__toks"), features)).as("__s"))
+        .select(graft.operators.QualityClassifier.bucketCol(F.col("__s.f")).as("__b"))
         .groupBy("__b").agg(F.count(F.lit(1)).as("__c"))
     // ln p(b) = ln((c_b + 1) / (N + B)) — Laplace over the full bucket
     // domain, so buckets unseen in either model still score finitely via
@@ -535,9 +561,11 @@ object Sampling {
     def lnFloor(n: Double): Column =
       F.log(F.lit(1.0) / (F.lit(n) + F.lit(buckets.toDouble)))
     val tok = corpus.select(
-      F.col(idCol),
-      F.explode_outer(
-        graft.functions.TextFunctions.tokens(F.col(textCol))).as("__t"))
+        F.col(idCol),
+        graft.functions.TextFunctions.tokens(F.col(textCol)).as("__toks"))
+      .select(F.col(idCol),
+        F.explode_outer(dsirFeatures(F.col("__toks"), features)).as("__s"))
+      .select(F.col(idCol), F.col("__s.f").as("__t"), F.col("__s.u").as("__u"))
       .withColumn("__b",
         F.when(F.col("__t").isNotNull,
           graft.operators.QualityClassifier.bucketCol(F.col("__t"))))
@@ -551,7 +579,9 @@ object Sampling {
             F.coalesce(F.col("__lnr"), lnFloor(rN))))
       .groupBy(F.col(idCol))
       .agg(
-        F.count(F.col("__t")).as("n_tokens"),
+        // n_tokens counts UNIGRAM positions in every mode (the canonical
+        // token count); the weight sums over ALL hashed features
+        F.sum(F.when(F.col("__u"), 1L).otherwise(0L)).as("n_tokens"),
         F.sum(F.col("__lr")).as("__s"))
       .withColumn("dsir_weight",
         F.when(F.col("n_tokens") > 0,

@@ -573,6 +573,29 @@ class PipelineSpec extends SparkTestBase {
     assert(w.exceptAll(again).count() == 0 && again.exceptAll(w).count() == 0)
   }
 
+  test("DSIR 'bigram' features see token ORDER the unigram bag cannot") {
+    import spark.implicits._
+    // same token multiset, different order: unigram weights identical,
+    // bigram weights differ (the in-order doc shares the target's pairs)
+    val target = Seq((1L, "alpha beta gamma delta alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (11L, "alpha beta gamma delta"),
+      (12L, "delta gamma beta alpha")
+    ).toDF("doc_id", "text")
+    def wOf(feats: String, id: Long): Double =
+      Sampling.dsirWeight(corpus, "doc_id", "text", target, "text", feats)
+        .filter(F.col("doc_id") === id).head.getDouble(2)
+    assert(wOf("unigram", 11L) == wOf("unigram", 12L),
+      "unigram bag must be order-blind")
+    assert(wOf("bigram", 11L) > wOf("bigram", 12L),
+      "bigram bag must favor the doc sharing the target's pair order")
+    // n_tokens still counts unigram positions in bigram mode
+    val nb = Sampling.dsirWeight(corpus, "doc_id", "text", target, "text", "bigram")
+      .filter(F.col("doc_id") === 11L).head.getLong(1)
+    assert(nb == 4L, s"n_tokens must stay the token count, got $nb")
+  }
+
   test("DSIR Gumbel-top-k: size bound, seed is live, weight dominates noise, deterministic") {
     val base = docs.select("doc_id", "text")
     val target = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
