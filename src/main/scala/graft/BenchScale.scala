@@ -164,7 +164,10 @@ object BenchScale {
     // broadcast back + one doc-keyed aggregation — expect ~1 in rows;
     // the _sample row adds only a TakeOrdered top-k on the same plan
     "q_dsir_weight",
-    "q_dsir_sample")
+    "q_dsir_sample",
+    // heavy-hitter n-grams (r16): one gram-keyed groupBy over a 3x-wider
+    // posting stream + TakeOrdered — the build_vocab shape, exponent ~1
+    "q_top_ngrams")
 
   private def loadavg(): String = BenchGuard.loadavg()
 

@@ -5580,6 +5580,36 @@ object QueryCatalog {
       }
     ),
     (
+      // Heavy-hitter n-grams (CorpusStats.topNgrams via top_ngrams(...)):
+      // the C4/Gopher boilerplate-template discovery pass — top-k
+      // space-joined trigram counts, (count desc, ngram) rank. EXECUTABLE
+      // oracle: DuckDB rebuilds the trigram stream positionally from the
+      // same token lists.
+      "q_top_ngrams",
+      wv("""
+        from top_ngrams('documents', 'text', 3, 25)
+        order by rank
+      """),
+      Some("""
+        WITH tokl AS (
+          SELECT list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS ts
+          FROM documents
+        ),
+        g AS (
+          SELECT unnest(list_transform(range(1, len(ts) - 1),
+            i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS ngram
+          FROM tokl WHERE len(ts) >= 3
+        ),
+        c AS (SELECT ngram, count(*)::BIGINT AS cnt FROM g GROUP BY ngram),
+        r AS (
+          SELECT ngram, cnt,
+            CAST(row_number() OVER (ORDER BY cnt DESC, ngram) AS INTEGER) AS rank
+          FROM c)
+        SELECT ngram, cnt, rank FROM r WHERE rank <= 25 ORDER BY rank
+      """)
+    ),
+    (
       // Quality-first token-budget cut (Sampling.selectTokenBudgetBy via
       // select_token_budget_by(...)): keep the HIGHEST-scoring docs whose
       // cumulative token count fits the budget — the cut production

@@ -44,7 +44,7 @@ object Lowering {
     "similarity_topk",
     "split_by_cluster", "split_by_cluster_pairs",
     "split_by_cluster_pairs_stats", "split_by_cluster_stats",
-    "token_stats", "vocab_profile", "weighted_mix",
+    "token_stats", "top_ngrams", "vocab_profile", "weighted_mix",
     "wv_schemas", "wv_tables"
   )
 
@@ -1992,6 +1992,23 @@ object Lowering {
           throw new LoweringException(
             "build_vocab expects (corpus, text_col, size) literals, e.g. " +
               "build_vocab('documents', 'text', 1000)")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "top_ngrams" =>
+      // top_ngrams('corpus', 'text_col', n, k) — heavy-hitter n-grams
+      // (CorpusStats.topNgrams): the k most frequent space-joined n-grams,
+      // (count desc, ngram) rank — the C4/Gopher boilerplate-template
+      // discovery pass (feed offenders back as filters or dedup keys).
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(textCol: String), Some(n: Long),
+            Some(k: Long)) if n >= 1 && n <= 8 && k > 0 =>
+          Plain(graft.operators.CorpusStats.topNgrams(
+            lower(TableRef(corpus), ctx), textCol, n.toInt, k.toInt))
+        case _ =>
+          throw new LoweringException(
+            "top_ngrams expects (corpus, text_col, n in 1..8, k) literals, " +
+              "e.g. top_ngrams('documents', 'text', 3, 25)")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

@@ -130,6 +130,45 @@ object CorpusStats {
         .orderBy(F.col("cnt").desc, F.col("token"))))
   }
 
+  /** Heavy-hitter n-grams — the boilerplate-template discovery pass from
+    * the C4/Gopher corpus analyses: the k most frequent space-joined
+    * n-grams over the canonical token stream, (count desc, ngram) rank.
+    * A template ("click here to subscribe") surfaces as a high-count long
+    * n-gram; the standard move is to feed the offenders back as filter
+    * patterns or dedup keys. Generalizes [[buildVocab]] (n = 1).
+    *
+    * Shape: n-grams build inside the per-doc token array against the
+    * MATERIALIZED array column (element_at over an inline tokenize
+    * subtree re-tokenizes per lambda element — the r16 DSIR lesson), one
+    * gram-keyed groupBy (map-side partial agg over Zipf-hot keys),
+    * TakeOrdered + ranking window over the k-bounded cut only. */
+  def topNgrams(
+      df: DataFrame,
+      textCol: String,
+      n: Int,
+      k: Int
+  ): DataFrame = {
+    require(n >= 1 && n <= 8, "n in 1..8")
+    require(k > 0 && k <= graft.operators.Bpe.MaxVocab,
+      s"k in 1..${graft.operators.Bpe.MaxVocab}")
+    val tc = F.col("__toks")
+    val grams =
+      if (n == 1) tc
+      else F.when(F.size(tc) >= n,
+          F.transform(F.sequence(F.lit(1), F.size(tc) - (n - 1)), i =>
+            F.concat_ws(" ", (0 until n).map(j => F.element_at(tc, i + j)): _*)))
+        .otherwise(F.array().cast("array<string>"))
+    val counts = df
+      .select(graft.functions.TextFunctions.tokens(F.col(textCol)).as("__toks"))
+      .select(F.explode(grams).as("ngram"))
+      .groupBy("ngram").agg(F.count(F.lit(1)).as("cnt"))
+      .orderBy(F.col("cnt").desc, F.col("ngram"))
+      .limit(k)
+    counts.withColumn("rank",
+      F.row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(F.col("cnt").desc, F.col("ngram"))))
+  }
+
   /** Unigram-LM negative log-likelihood per document — the relational form
     * of the CCNet/Gopher perplexity quality filter: fit the unigram model
     * p(w) = count(w)/N on the corpus itself, score every doc by the mean

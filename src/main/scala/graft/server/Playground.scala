@@ -319,6 +319,12 @@ object Playground {
         |model reference_docs = { from documents where doc_id < 50 }
         |from dsir_sample('documents', 'doc_id', 'text', 'reference_docs', 10)
         |order by sample_key desc""".stripMargin,
+    "llm_top_ngrams" ->
+      """-- boilerplate-template discovery (the C4/Gopher corpus
+        |-- analyses): the most frequent n-grams ARE the templates — feed
+        |-- offenders back as filter patterns or dedup keys.
+        |from top_ngrams('documents', 'text', 3, 15)
+        |order by rank""".stripMargin,
     "llm_bpe_gpt2" ->
       """-- GPT-2 pre-tokenization mode: contractions split ('t), letter
         |-- runs keep one leading space, punctuation runs group, case kept
@@ -342,7 +348,7 @@ object Playground {
       "llm_vocab_profile", "llm_bpe_count", "llm_bpe_stats", "llm_bpe_train",
       "llm_bpe_merge_replay", "llm_ann_pq", "llm_perplexity_kn",
       "llm_quality_classifier", "llm_bpe_gpt2", "llm_prototypicality", "llm_dsir",
-      "llm_dsir_sample")
+      "llm_dsir_sample", "llm_top_ngrams")
 
   private def jsStr(s: String): String =
     "\"" + s.flatMap {

@@ -627,6 +627,23 @@ class PipelineSpec extends SparkTestBase {
       "all five high-weight planted docs must be sampled")
   }
 
+  test("top_ngrams: closed-form trigrams, n=1 equals build_vocab, short docs dropped") {
+    import spark.implicits._
+    val tiny = Seq("a b c a b c", "a b", "x").toDF("text")
+    // trigrams: doc1 → (a b c)(b c a)(c a b)(a b c) → 'a b c':2, others 1;
+    // docs 2-3 are shorter than n and contribute nothing
+    val tri = CorpusStats.topNgrams(tiny, "text", n = 3, k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(tri.toSeq == Seq(("a b c", 2L, 1), ("b c a", 1L, 2), ("c a b", 1L, 3)),
+      tri.mkString(", "))
+    // n = 1 is exactly build_vocab (same counts, same rank rule)
+    val uni = CorpusStats.topNgrams(docs, "text", n = 1, k = 25)
+      .withColumnRenamed("ngram", "token")
+    val vocab = CorpusStats.buildVocab(docs, "text", size = 25)
+    assert(uni.exceptAll(vocab).count() == 0 && vocab.exceptAll(uni).count() == 0)
+  }
+
   test("vocab profile: closed-form tiny corpus, coverage bounds on testdata") {
     import spark.implicits._
     // "a a b" + "a c": total 5, distinct 3, hapax 2 (b, c); top-1 = a → 3/5
