@@ -52,9 +52,24 @@ object Bench {
   private[graft] val controlRows: Seq[String] =
     Seq("q_count", "q_agg_pricing_summary", "q_decontaminate_flag")
 
-  /** The measurement core: warm run + `runs` timed runs per query, median
-    * reported, full GC every 25 queries outside timed regions. */
-  private def runQueries(spark: SparkSession, sfDir: String, runs: Int,
+  /** Variance defense for multi-second rows: a row whose settled floor
+    * exceeds [[HeavyRowFloorSec]] is timed [[HeavyRowRuns]] times instead
+    * of the suite default — the dedup/cluster family showed 2x
+    * intra-chunk spread with median-of-3 four rounds straight ([10.96,
+    * 9.05, 5.37] within ONE chunk in r16), triggering retimes and
+    * false-alarm regression headlines that a median-of-5 settles for
+    * ~40 s of extra suite time. Applied identically by Bench and
+    * BenchSettle (both run through [[runQueries]]), so floors and
+    * measurements stay like-for-like. */
+  private[graft] val HeavyRowFloorSec = 2.0
+  private[graft] val HeavyRowRuns = 5
+  private[graft] def runsFor(base: Int, floor: Option[Double]): Int =
+    if (floor.exists(_ > HeavyRowFloorSec)) base.max(HeavyRowRuns) else base
+
+  /** The measurement core: warm run + per-query timed runs (`runsOf`,
+    * floors-aware — see [[runsFor]]), median reported, full GC every 25
+    * queries outside timed regions. */
+  private def runQueries(spark: SparkSession, sfDir: String, runsOf: String => Int,
       selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Seq[QResult] = {
     var sinceGc = 0
     selected.map { case (name, fn) =>
@@ -72,7 +87,7 @@ object Bench {
       val warm = once()
       val timed: Seq[Double] =
         if (warm.isEmpty) Nil
-        else (1 to runs).flatMap(_ => once())
+        else (1 to runsOf(name)).flatMap(_ => once())
       val sec =
         if (timed.nonEmpty) timed.sorted.apply(timed.size / 2) // median (upper for even n)
         else warm.getOrElse(0.0)
@@ -176,10 +191,15 @@ object Bench {
       .map(_.trim).filter(_.nonEmpty)
     val byName = SparkEntry.queries
     val sel = names.flatMap(n => byName.get(n).map(n -> _))
+    // heavy rows (settled floor > HeavyRowFloorSec) get HeavyRowRuns timed
+    // runs — the child inherits the parent's cwd, so the floors file
+    // resolves here too; floorless rows keep the suite default
+    val floors = referenceFloorsFile(sfDir)
+    val runsOf = (n: String) => runsFor(runs, floors.get(n))
     val loadBefore = loadavg()
     val spark = openSession(cpus)
     warmUp(spark, sfDir)
-    val rs = runQueries(spark, sfDir, runs, sel)
+    val rs = runQueries(spark, sfDir, runsOf, sel)
     val loadAfter = loadavg()
     val json =
       s"""{"load_before":"$loadBefore","load_after":"$loadAfter",""" +
@@ -271,6 +291,10 @@ object Bench {
       chunkSize: Int, forking: Boolean): SuiteRun = {
     val selected = selectedQueries()
     val chunks = selected.grouped(chunkSize).toSeq
+    // in-process fallback paths apply the same floors-aware run count the
+    // forked children do (runsFor), keeping medians like-for-like
+    val fallbackFloors = referenceFloorsFile(sfDir)
+    val runsOf = (n: String) => runsFor(runs, fallbackFloors.get(n))
 
     // lazily-created session for legacy mode / per-chunk fallback only
     var fallbackSpark: Option[SparkSession] = None
@@ -301,10 +325,10 @@ object Bench {
           val have = rs.map(_.name).toSet
           val missing = chunk.filterNot { case (n, _) => have.contains(n) }
           if (missing.isEmpty) rs
-          else rs ++ runQueries(sparkFallback(), sfDir, runs, missing)
+          else rs ++ runQueries(sparkFallback(), sfDir, runsOf, missing)
         case None =>
           chunkLoads += "fallback"
-          runQueries(sparkFallback(), sfDir, runs, chunk)
+          runQueries(sparkFallback(), sfDir, runsOf, chunk)
       }
     }
     fallbackSpark.foreach(_.stop())

@@ -167,7 +167,11 @@ object BenchScale {
     "q_dsir_sample",
     // heavy-hitter n-grams (r16): one gram-keyed groupBy over a 3x-wider
     // posting stream + TakeOrdered — the build_vocab shape, exponent ~1
-    "q_top_ngrams")
+    "q_top_ngrams",
+    // bloom-pruned exact dedup (r17): two corpus scans + a shuffle of only
+    // the bloom-hit tail — expect ~1 in rows with a small constant; the
+    // point vs q_dedup_exact is the exchange VOLUME, not wall-clock at sf0.1
+    "q_dedup_bloom")
 
   private def loadavg(): String = BenchGuard.loadavg()
 

@@ -25,9 +25,19 @@ object QueryCatalog {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Raw flow-language text of every wv-built entry, keyed by the builder
+    * closure's identity — lets [[queryWvTexts]] recover a name → text map
+    * from `all` without restructuring the entry tuples. Populated during
+    * single-threaded object init. */
+  private val wvTextOf = new java.util.IdentityHashMap[Q, String]()
+
   /** Build a query entry from flow-language text. */
-  private def wv(text: String): Q =
-    (spark, dir) => Graft.query(spark, text, Tables.resolver(spark, dir), basePath = dir)
+  private def wv(text: String): Q = {
+    val q: Q =
+      (spark, dir) => Graft.query(spark, text, Tables.resolver(spark, dir), basePath = dir)
+    wvTextOf.put(q, text)
+    q
+  }
 
   /** Build a query entry from SQL text, run through the SQL front-end
     * (Spark SQL with the testdata registered as views). The oracle is the
@@ -570,10 +580,11 @@ object QueryCatalog {
     * precedent). `posValues`/`negValues` are SQL VALUES bodies (id, text)
     * matching the wv-planted labeled models. Emits CTEs ending in
     * `qwt<Iters>` (b, w) + `qbs<Iters>` (bias); every float op mirrors
-    * the driver loop: docs ordered (y, id::VARCHAR, text), token buckets
-    * in position order, margins/gradients as ordered list_sums, update
-    * w − Lr·(g/n). Assumes labeled docs are non-null, non-token-free
-    * (true for the planted sets). */
+    * the driver loop: docs ordered (y, id::VARCHAR, md5(text)) — the md5
+    * tie-break is what the driver collects instead of the text itself —
+    * token buckets in position order, margins/gradients as ordered
+    * list_sums, update w − Lr·(g/n). Assumes labeled docs are non-null,
+    * non-token-free (true for the planted sets). */
   private def qualityClassifierCte(posValues: String, negValues: String): String = {
     val lr = QualityClassifier.Lr
     val hx = "'0123456789abcdef'"
@@ -585,12 +596,12 @@ object QueryCatalog {
          |),
          |qn AS (SELECT count(*)::DOUBLE AS n FROM qlab WHERE text IS NOT NULL),
          |qltok AS (
-         |  SELECT y, id, text, pos,
+         |  SELECT y, id, th, pos,
          |    (strpos($hx, substr(md5(ts[pos]), 1, 1)) - 1) * 256
          |    + (strpos($hx, substr(md5(ts[pos]), 2, 1)) - 1) * 16
          |    + (strpos($hx, substr(md5(ts[pos]), 3, 1)) - 1) AS b
-         |  FROM (SELECT y, id, text, ts, unnest(range(1, len(ts) + 1)) AS pos
-         |        FROM (SELECT y, id, text, list_filter(
+         |  FROM (SELECT y, id, th, ts, unnest(range(1, len(ts) + 1)) AS pos
+         |        FROM (SELECT y, id, md5(text) AS th, list_filter(
          |                string_split_regex(lower(text), '[^a-z0-9]+'),
          |                x -> len(x) > 0) AS ts
          |              FROM qlab))
@@ -599,17 +610,17 @@ object QueryCatalog {
          |qbs0 AS (SELECT 0.0 AS bias)""".stripMargin
     val rounds = (1 to QualityClassifier.Iters).map { t =>
       s"""qmg$t AS (
-         |  SELECT lt.y, lt.id, lt.text,
+         |  SELECT lt.y, lt.id, lt.th,
          |    (SELECT bias FROM qbs${t - 1})
          |      + coalesce(list_sum(list(w.w ORDER BY lt.pos)), 0.0) AS marg
          |  FROM qltok lt JOIN qwt${t - 1} w ON w.b = lt.b
-         |  GROUP BY lt.y, lt.id, lt.text
+         |  GROUP BY lt.y, lt.id, lt.th
          |),
-         |qer$t AS (SELECT y, id, text, 1.0 / (1.0 + exp(-marg)) - y AS err FROM qmg$t),
+         |qer$t AS (SELECT y, id, th, 1.0 / (1.0 + exp(-marg)) - y AS err FROM qmg$t),
          |qgr$t AS (
-         |  SELECT lt.b, list_sum(list(e.err ORDER BY e.y, e.id, e.text, lt.pos)) AS g
+         |  SELECT lt.b, list_sum(list(e.err ORDER BY e.y, e.id, e.th, lt.pos)) AS g
          |  FROM qltok lt
-         |  JOIN qer$t e ON e.y = lt.y AND e.id = lt.id AND e.text = lt.text
+         |  JOIN qer$t e ON e.y = lt.y AND e.id = lt.id AND e.th = lt.th
          |  GROUP BY lt.b
          |),
          |qwt$t AS (
@@ -618,12 +629,27 @@ object QueryCatalog {
          |),
          |qbs$t AS (
          |  SELECT (SELECT bias FROM qbs${t - 1})
-         |    - $lr * ((SELECT list_sum(list(err ORDER BY y, id, text)) FROM qer$t)
+         |    - $lr * ((SELECT list_sum(list(err ORDER BY y, id, th)) FROM qer$t)
          |             / (SELECT n FROM qn)) AS bias
          |)""".stripMargin
     }
     (head +: rounds).mkString(",\n")
   }
+
+  /** Build-once-per-(JVM, corpus dir) 4-file staging of the documents
+    * table for the streaming-source rows: the testdata tables are single
+    * parquet FILES, and Spark's FileStreamSource requires a directory —
+    * a multi-file one also makes maxFilesPerTrigger=1 produce genuine
+    * multiple micro-batches. */
+  private val stagedDocsDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def stagedDocsDir(spark: SparkSession, dir: String): String =
+    stagedDocsDirs.getOrElseUpdate(dir, {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_docs_stream_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      Tables.read(spark, dir, "documents").repartition(4)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
 
   private val int8IndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private def persistedInt8Index(spark: SparkSession, dir: String): String =
@@ -2339,6 +2365,58 @@ object QueryCatalog {
       """)
     ),
     (
+      // Streaming parity for the STATELESS SCORER family (r16 verdict #6):
+      // the documents corpus is re-read as a genuine Structured Streaming
+      // file source and scored micro-batch by micro-batch through
+      // Subscribe.scoredAppend — the scorer (CorpusStats.unigramNllAgainst)
+      // runs against a unigram model fit ONCE on the static corpus, so the
+      // union of the per-batch outputs must equal the one-shot batch run.
+      // The oracle is therefore q_perplexity_score's batch SQL verbatim:
+      // micro-batching must be invisible in the rows.
+      "q_subscribe_scored",
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        val model = graft.operators.CorpusStats.unigramModel(docs, "text")
+        // the testdata table is a single parquet FILE; the streaming file
+        // source wants a directory of files — stage the corpus once per
+        // (JVM, dir) as a 4-file directory so maxFilesPerTrigger=1 yields
+        // genuine multiple micro-batches
+        val staged = stagedDocsDir(spark, dir)
+        val out = java.nio.file.Files.createTempDirectory("graft_sub_scored_out").toString
+        val ck = java.nio.file.Files.createTempDirectory("graft_sub_scored_ck").toString
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staged)
+        graft.streaming.Subscribe.scoredAppend(stream, out, ck,
+          batch => graft.operators.CorpusStats.unigramNllAgainst(
+            batch, "doc_id", "text", model))
+          .awaitTermination()
+        spark.read.parquet(out)
+          .select("doc_id", "n_tokens", "avg_nll")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS t
+          FROM documents
+        ),
+        model AS (SELECT t, count(*)::DOUBLE AS c FROM tok GROUP BY t),
+        tot AS (SELECT coalesce(sum(c), 0) AS n FROM model),
+        per AS (
+          SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(ln(c)) AS slc
+          FROM tok JOIN model USING (t)
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+          coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+          round(CASE WHEN p.n_tokens > 0
+                THEN ln((SELECT n FROM tot)) - p.slc / p.n_tokens + 5e-9 END, 4) AS avg_nll
+        FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+        ORDER BY d.doc_id
+      """)
+    ),
+    (
       // Hivemall-style each_top_k as a language table function (the one
       // executable UDTF pattern in the reference's hive corpus): top-k rows
       // per group by score, rank() keeping boundary ties — same algebra as
@@ -3269,6 +3347,25 @@ object QueryCatalog {
         val docs = Tables.read(spark, dir, "documents")
         Dedup.exactGroups(docs, "doc_id", "text").orderBy("keep_id")
       },
+      Some("""
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+               min(doc_id) AS keep_id, count(*) AS dup_count
+        FROM documents GROUP BY 1 ORDER BY keep_id
+      """)
+    ),
+    (
+      // Bloom-pruned exact dedup (Dedup.bloomExactGroups via
+      // dedup_bloom(...)): the Dolma-style memory-bounded tier — a
+      // "seen-twice" bloom pair routes definitively-unique fingerprints
+      // AROUND the shuffle (no exchange on that branch; PlanSpec gates
+      // it), and only bloom hits go through the exact groupBy recheck.
+      // The bloom only PRUNES, so the oracle is q_dedup_exact's SQL
+      // verbatim — any fpp must reproduce exact dedup bitwise.
+      "q_dedup_bloom",
+      wv("""
+        from dedup_bloom('documents', 'doc_id', 'text', 0.01)
+        order by keep_id
+      """),
       Some("""
         SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
                min(doc_id) AS keep_id, count(*) AS dup_count
@@ -4449,7 +4546,8 @@ object QueryCatalog {
         val queries = embs.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
         Similarity.pqTopK(embs, "vec_id", "embedding", queries, "vec_id", "embedding",
           k = 5, subspaces = Similarity.PqTrainedSubspaces,
-          ksub = Similarity.PqTrainedKsub, trained = true)
+          ksub = Similarity.PqTrainedKsub, trained = true,
+          trainSample = Similarity.PqTrainSample)
           .orderBy("query_id", "rank")
       },
       Some {
@@ -4531,7 +4629,8 @@ object QueryCatalog {
         val queries = embs.filter(F.col("vec_id") < 10).select("vec_id", "embedding")
         Similarity.ivfPqTopK(embs, "vec_id", "embedding", queries, "vec_id", "embedding",
           k = 5, nlist = 32, nprobe = 4, subspaces = Similarity.PqTrainedSubspaces,
-          ksub = Similarity.PqTrainedKsub, trained = true)
+          ksub = Similarity.PqTrainedKsub, trained = true,
+          trainSample = Similarity.PqTrainSample)
           .orderBy("query_id", "rank")
       },
       Some {
@@ -4854,6 +4953,86 @@ object QueryCatalog {
         ),
         ev AS (SELECT doc_id, g FROM ngr WHERE doc_id < 3),
         co AS (SELECT doc_id AS cid, g FROM ngr WHERE doc_id >= 3),
+        hits AS (
+          SELECT ev.doc_id, count(DISTINCT cid) AS leaking_docs,
+                 count(DISTINCT ev.g) AS shared_ngrams
+          FROM ev JOIN co USING (g) GROUP BY ev.doc_id)
+        SELECT d.doc_id,
+          coalesce(h.leaking_docs, 0)::BIGINT AS leaking_docs,
+          coalesce(h.shared_ngrams, 0)::BIGINT AS shared_ngrams
+        FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 3) d
+        LEFT JOIN hits h USING (doc_id)
+        ORDER BY d.doc_id
+      """)
+    ),
+    (
+      // The 'gpt3' preset literal (= 13-gram, Brown et al. 2020 appendix C
+      // — the GPT-3 eval-decontamination convention) accepted wherever the
+      // family takes n. Corpus = ALL documents here, so each eval doc's
+      // own corpus copy guarantees nonzero leak rows at full 13-gram
+      // overlap — the preset's arity is what the oracle pins (w[i:i+12]).
+      "q_contamination_report_gpt3",
+      wv("""
+        model trainset = {
+          from documents
+        }
+        model evalset = {
+          from documents
+          where doc_id < 3
+        }
+        from contamination_report('trainset', 'evalset', 'doc_id', 'text', 'gpt3')
+        order by doc_id
+      """),
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+          FROM documents
+        ),
+        ngr AS (
+          SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS g
+          FROM tok, LATERAL (SELECT unnest(range(1, len(w) - 11)) AS i) r
+        ),
+        ev AS (SELECT doc_id, g FROM ngr WHERE doc_id < 3),
+        co AS (SELECT doc_id AS cid, g FROM ngr),
+        hits AS (
+          SELECT ev.doc_id, count(DISTINCT cid) AS leaking_docs,
+                 count(DISTINCT ev.g) AS shared_ngrams
+          FROM ev JOIN co USING (g) GROUP BY ev.doc_id)
+        SELECT d.doc_id,
+          coalesce(h.leaking_docs, 0)::BIGINT AS leaking_docs,
+          coalesce(h.shared_ngrams, 0)::BIGINT AS shared_ngrams
+        FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 3) d
+        LEFT JOIN hits h USING (doc_id)
+        ORDER BY d.doc_id
+      """)
+    ),
+    (
+      // The 'palm' preset literal (= 8-gram, Chowdhery et al. 2022's
+      // contamination analysis) — same shape at the other standard arity
+      // (w[i:i+7]).
+      "q_contamination_report_palm",
+      wv("""
+        model trainset = {
+          from documents
+        }
+        model evalset = {
+          from documents
+          where doc_id < 3
+        }
+        from contamination_report('trainset', 'evalset', 'doc_id', 'text', 'palm')
+        order by doc_id
+      """),
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+          FROM documents
+        ),
+        ngr AS (
+          SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+          FROM tok, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) r
+        ),
+        ev AS (SELECT doc_id, g FROM ngr WHERE doc_id < 3),
+        co AS (SELECT doc_id AS cid, g FROM ngr),
         hits AS (
           SELECT ev.doc_id, count(DISTINCT cid) AS leaking_docs,
                  count(DISTINCT ev.g) AS shared_ngrams
@@ -6041,4 +6220,12 @@ object QueryCatalog {
 
   def oracleSql: Map[String, String] =
     all.collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
+
+  /** wv-surface rows' raw flow-language text by row name — the operator
+    * reference page (server/OperatorDocs) derives its operator →
+    * oracle-row mapping structurally from this (never hand-maintained).
+    * API-built rows (direct DataFrame closures) have no text and are
+    * absent. */
+  lazy val queryWvTexts: Map[String, String] =
+    all.flatMap { case (n, q, _) => Option(wvTextOf.get(q)).map(n -> _) }.toMap
 }

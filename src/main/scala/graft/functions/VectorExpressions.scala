@@ -693,8 +693,10 @@ case class PqAdcExpr(left: Expression, right: Expression, ksub: Int)
 }
 
 /** SDC lookup: Σ_s sdt[s·ksub² + a[s]·ksub + b[s]], ascending s. The
-  * centroid-pair table is a structural Seq (canonicalization-safe) read
-  * through a transient array in the hot loop, like the matrix kernels. */
+  * centroid-pair table rides in a [[DoubleMatrix]] opaque holder
+  * (hash-first equality, short toString — AQE re-planning never
+  * stringifies or deep-compares the m·ksub² doubles) and is read through
+  * a transient array in the hot loop, like the matrix kernels. */
 case class PqSdcExpr(left: Expression, right: Expression, sdt: DoubleMatrix, ksub: Int)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType

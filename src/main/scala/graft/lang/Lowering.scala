@@ -34,7 +34,7 @@ object Lowering {
     "contamination_report_semantic",
     "decode_audio", "decode_images", "decode_video",
     "decontaminate", "decontaminate_semantic",
-    "dedup_incremental", "dedup_incremental_pairs", "dedup_semantic",
+    "dedup_bloom", "dedup_incremental", "dedup_incremental_pairs", "dedup_semantic",
     "dedup_spans", "dsir_sample", "dsir_weight", "duckdb_functions", "each_top_k", "jdbc",
     "minhash_index", "mix_by_temperature", "pack_sequences", "parquet_metadata",
     "perplexity_score", "perplexity_score_bigram", "prototypicality_score",
@@ -48,6 +48,27 @@ object Lowering {
     "wv_schemas", "wv_tables"
   )
 
+  /** Industry-standard n-gram presets for the decontamination family, so
+    * users don't re-derive the conventions: 'gpt3' = 13-gram overlap
+    * (Brown et al. 2020 appendix C — the GPT-3 eval-decontamination
+    * n-gram), 'palm' = 8-gram overlap (Chowdhery et al. 2022's
+    * contamination analysis). Accepted anywhere the family takes n
+    * (contaminated_docs / decontaminate / contamination_report). */
+  val contaminationPresets: Map[String, Int] = Map("gpt3" -> 13, "palm" -> 8)
+
+  private def contaminationN(name: String, v: Any): Int = v match {
+    case n: Long if n >= 1 => n.toInt
+    case s: String => contaminationPresets.getOrElse(s.toLowerCase,
+      throw new LoweringException(
+        s"$name: unknown n-gram preset '$s' — expected " +
+          contaminationPresets.toSeq.sortBy(_._1)
+            .map { case (k, n) => s"'$k' (= $n)" }.mkString(", ") +
+          " or a positive integer n"))
+    case other => throw new LoweringException(
+      s"$name: n must be a positive integer literal or a preset " +
+        s"('gpt3' = 13, 'palm' = 8), got '$other'")
+  }
+
   /** ann_pq_index side-effecting write + 1-row summary: path, row count of
     * the written index, and the quantizer shape. Analysis-only contexts
     * (LSP schema probes, compile-only) get the summary SCHEMA with no rows
@@ -55,14 +76,15 @@ object Lowering {
     * user-supplied path as a planning side effect (ADVICE r15). */
   private def pqIndexWriteSummary(ctx: Context, corpus: String, idCol: String,
       vecCol: String, path: String, subspaces: Int, ksub: Int,
-      trained: Boolean): DataFrame = {
+      trained: Boolean,
+      trainSample: Int = graft.operators.Similarity.PqTrainSampleDefault): DataFrame = {
     val s = ctx.spark
     import s.implicits._
     if (ctx.analysisOnly)
       return Seq.empty[(String, Long, Int, Int)].toDF("path", "rows", "subspaces", "ksub")
     graft.operators.Similarity.writePqIndex(
       lower(TableRef(corpus), ctx), idCol, vecCol, path, subspaces, ksub,
-      trained = trained)
+      trained = trained, trainSample = trainSample)
     val n = ctx.spark.read.parquet(path).count()
     Seq((path, n, subspaces, ksub)).toDF("path", "rows", "subspaces", "ksub")
   }
@@ -1127,22 +1149,26 @@ object Lowering {
       //   decontaminate('corpus', 'eval', 'id_col', 'text_col', n)
       // corpus/eval are relation names resolved through the same rules as
       // `from <name>` — tables, files, and in-scope models all work, so
-      // `model evalset = { … }` composes directly.
+      // `model evalset = { … }` composes directly. n accepts the
+      // industry-standard presets alongside an integer (see
+      // contaminationN: 'gpt3' = 13, 'palm' = 8).
       args.map(constValue) match {
         case List(Some(corpus: String), Some(eval: String), Some(idCol: String),
-            Some(textCol: String), Some(n: Long)) =>
+            Some(textCol: String), Some(n)) =>
           val c = lower(TableRef(corpus), ctx)
           val e = lower(TableRef(eval), ctx)
+          val nn = contaminationN(name, n)
           Plain(
             if (name.toLowerCase == "contaminated_docs")
               graft.operators.Decontamination
-                .contaminatedDocs(c, idCol, textCol, e, textCol, n.toInt)
+                .contaminatedDocs(c, idCol, textCol, e, textCol, nn)
             else
               graft.operators.Decontamination
-                .decontaminate(c, idCol, textCol, e, textCol, n.toInt))
+                .decontaminate(c, idCol, textCol, e, textCol, nn))
         case _ =>
           throw new LoweringException(
-            s"$name expects (corpus, eval, id_col, text_col, n) literals, e.g. " +
+            s"$name expects (corpus, eval, id_col, text_col, n) literals — n an " +
+              s"integer or a preset ('gpt3' = 13, 'palm' = 8) — e.g. " +
               s"$name('documents', 'evalset', 'doc_id', 'text', 13)")
       }
 
@@ -1150,17 +1176,19 @@ object Lowering {
         name.toLowerCase == "contamination_report" =>
       // contamination_report('corpus', 'eval', 'id_col', 'text_col', n) —
       // the benchmark-health transpose (Decontamination.contaminationReport):
-      // per EVAL doc, how many corpus docs share an n-gram with it
+      // per EVAL doc, how many corpus docs share an n-gram with it. n
+      // accepts the standard presets ('gpt3' = 13, 'palm' = 8).
       args.map(constValue) match {
         case List(Some(corpus: String), Some(eval: String), Some(idCol: String),
-            Some(textCol: String), Some(n: Long)) =>
+            Some(textCol: String), Some(n)) =>
           Plain(graft.operators.Decontamination.contaminationReport(
             lower(TableRef(corpus), ctx), idCol, textCol,
-            lower(TableRef(eval), ctx), idCol, textCol, n.toInt))
+            lower(TableRef(eval), ctx), idCol, textCol, contaminationN(name, n)))
         case _ =>
           throw new LoweringException(
-            "contamination_report expects (corpus, eval, id_col, text_col, n) literals, " +
-              "e.g. contamination_report('trainset', 'evalset', 'doc_id', 'text', 13)")
+            "contamination_report expects (corpus, eval, id_col, text_col, n) literals " +
+              "— n an integer or a preset ('gpt3' = 13, 'palm' = 8) — e.g. " +
+              "contamination_report('trainset', 'evalset', 'doc_id', 'text', 'gpt3')")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
@@ -1374,6 +1402,31 @@ object Lowering {
             "bpe_stats expects (corpus, text_col, vocab_rel) literals — vocab_rel " +
               "is a relation with a `token` string column, e.g. " +
               "bpe_stats('documents', 'text', 'my_vocab')")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "dedup_bloom" =>
+      // dedup_bloom('corpus', 'id_col', 'text_col'[, fpp]) — bloom-pruned
+      // EXACT dedup (operators/Dedup.bloomExactGroups): a "seen-twice"
+      // bloom pair routes definitively-unique rows around the shuffle;
+      // only bloom hits go through the exact groupBy recheck. Same rows
+      // as exact dedup for ANY fpp (the bloom only prunes).
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
+            rest @ _*) if rest.lengthCompare(1) <= 0 =>
+          val fpp = rest.headOption match {
+            case Some(Some(d: java.lang.Double)) => d.doubleValue()
+            case Some(Some(n: Number)) => n.doubleValue()
+            case None => 0.01
+            case other => throw new LoweringException(
+              s"dedup_bloom: fpp must be a number literal in (0, 1), got '$other'")
+          }
+          Plain(graft.operators.Dedup.bloomExactGroups(
+            lower(TableRef(corpus), ctx), idCol, textCol, fpp))
+        case _ =>
+          throw new LoweringException(
+            "dedup_bloom expects (corpus, id_col, text_col[, fpp]) literals, " +
+              "e.g. dedup_bloom('documents', 'doc_id', 'text', 0.01)")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
@@ -1671,15 +1724,29 @@ object Lowering {
             case other => throw new LoweringException(
               s"similarity_topk: method must be a string literal, got '$other'")
           }
-          // optional trailing (planes, tables) for the lsh-family methods —
-          // they MUST match the values the index/postings were built with
-          // (mismatched probes silently miss buckets)
-          val lshParams: Option[(Int, Int)] = rest.drop(1).toList match {
+          // optional trailing args: (planes, tables) for the lsh-family
+          // methods — they MUST match the values the index/postings were
+          // built with (mismatched probes silently miss buckets) — or a
+          // single train_sample integer for the trained-codebook methods
+          // (Lloyd sample bound; default Similarity.PqTrainSampleDefault,
+          // effectively min(16384, corpus))
+          val trailing = rest.drop(1).toList
+          val isTrainedMethod = method == "pq_trained" || method == "ivf_pq_trained"
+          val trainSample: Int = trailing match {
+            case List(Some(n: Long)) if isTrainedMethod && n >= 1 => n.toInt
+            case List(x) if isTrainedMethod => throw new LoweringException(
+              s"similarity_topk: '$method' takes an optional positive train_sample " +
+                s"integer literal as its trailing arg, got '$x'")
+            case _ => graft.operators.Similarity.PqTrainSampleDefault
+          }
+          val lshParams: Option[(Int, Int)] = trailing match {
             case Nil => None
+            case List(Some(_: Long)) if isTrainedMethod => None
             case List(Some(p: Long), Some(t: Long)) => Some((p.toInt, t.toInt))
             case other => throw new LoweringException(
               s"similarity_topk: trailing args must be (planes, tables) integer " +
-                s"literals, got '$other'")
+                s"literals (lsh methods) or a train_sample integer (trained " +
+                s"methods), got '$other'")
           }
           val (planes, tables) = lshParams.getOrElse((10, 4))
           if (lshParams.isDefined && !method.startsWith("lsh"))
@@ -1702,7 +1769,8 @@ object Lowering {
             case "ivf_pq_trained" => graft.operators.Similarity.ivfPqTopK(
               df, idCol, vecCol, df, idCol, vecCol, k.toInt,
               subspaces = graft.operators.Similarity.PqTrainedSubspaces,
-              ksub = graft.operators.Similarity.PqTrainedKsub, trained = true)
+              ksub = graft.operators.Similarity.PqTrainedKsub, trained = true,
+              trainSample = trainSample)
             case "int8" => graft.operators.Similarity.int8BruteForceTopK(
               df, idCol, vecCol, df, idCol, vecCol, k.toInt)
             case "pq" => graft.operators.Similarity.pqTopK(
@@ -1714,7 +1782,8 @@ object Lowering {
               graft.operators.Similarity.pqTopK(
                 df, idCol, vecCol, df, idCol, vecCol, k.toInt,
                 subspaces = graft.operators.Similarity.PqTrainedSubspaces,
-                ksub = graft.operators.Similarity.PqTrainedKsub, trained = true)
+                ksub = graft.operators.Similarity.PqTrainedKsub, trained = true,
+                trainSample = trainSample)
             case "pq_index" =>
               // corpus must be a PATH to a persisted PQ index (written by
               // Similarity.writePqIndex: codes parquet + "_codebook"
@@ -1806,20 +1875,29 @@ object Lowering {
             trained = false))
         case List(Some(corpus: String), Some(idCol: String), Some(vecCol: String),
             Some(path: String), Some(m: Long), Some(ks: Long), rest @ _*)
-            if m >= 1 && ks >= 2 && rest.lengthCompare(1) <= 0 =>
+            if m >= 1 && ks >= 2 && rest.lengthCompare(2) <= 0 =>
           val trained = rest.headOption match {
             case Some(Some("trained")) => true
             case Some(Some("seeded")) | None => false
             case other => throw new LoweringException(
               s"ann_pq_index: codebook mode must be 'trained' or 'seeded', got '$other'")
           }
+          // optional trailing Lloyd train_sample (trained mode only;
+          // default Similarity.PqTrainSampleDefault = min(16384, corpus))
+          val trainSample = rest.drop(1).headOption match {
+            case Some(Some(n: Long)) if trained && n >= 1 => n.toInt
+            case None => graft.operators.Similarity.PqTrainSampleDefault
+            case other => throw new LoweringException(
+              s"ann_pq_index: train_sample must be a positive integer literal " +
+                s"following the 'trained' mode, got '$other'")
+          }
           Plain(pqIndexWriteSummary(ctx, corpus, idCol, vecCol, path, m.toInt, ks.toInt,
-            trained))
+            trained, trainSample))
         case _ =>
           throw new LoweringException(
             "ann_pq_index expects (corpus, id_col, vec_col, out_path[, subspaces, ksub" +
-              "[, 'trained'|'seeded']]) literals, e.g. ann_pq_index('embeddings', " +
-              "'vec_id', 'embedding', '/tmp/pq_idx', 16, 64)")
+              "[, 'trained'|'seeded'[, train_sample]]]) literals, e.g. " +
+              "ann_pq_index('embeddings', 'vec_id', 'embedding', '/tmp/pq_idx', 16, 64)")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
@@ -2107,7 +2185,10 @@ object Lowering {
         case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
             Some(targetRel: String), rest @ _*) if rest.lengthCompare(2) <= 0 =>
           // a trailing 'unigram'/'bigram' literal is the feature mode; any
-          // other single trailing string is the target text column
+          // other single trailing string is the target text column. A
+          // target column literally NAMED 'unigram'/'bigram' is shadowed
+          // in the one-arg form — use the unambiguous two-arg form
+          // (target_text_col, features), e.g. (..., 'unigram', 'unigram')
           val (targetText, feats) = rest.toList match {
             case Nil => (textCol, "unigram")
             case List(Some(f: String)) if f == "unigram" || f == "bigram" =>
@@ -2117,7 +2198,10 @@ object Lowering {
                 if f == "unigram" || f == "bigram" => (t, f)
             case other => throw new LoweringException(
               s"dsir_weight: trailing args must be ([target_text_col,] " +
-                s"'unigram'|'bigram') literals, got '$other'")
+                s"'unigram'|'bigram') literals, got '$other'. A single trailing " +
+                "string equal to 'unigram'/'bigram' is always read as the feature " +
+                "mode — for a target text column with that literal name, pass the " +
+                "two-arg form (target_text_col, features)")
           }
           Plain(graft.operators.Sampling.dsirWeight(
             lower(TableRef(corpus), ctx), idCol, textCol,
@@ -2132,28 +2216,36 @@ object Lowering {
     case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "dsir_sample" =>
       // dsir_sample('corpus', 'id_col', 'text_col', 'target_rel', k
-      // [, 'seed']) — DSIR's Gumbel-top-k importance RESAMPLING
-      // (Sampling.dsirSample): keep the k docs with the largest
+      // [, 'seed'[, 'target_text_col']]) — DSIR's Gumbel-top-k importance
+      // RESAMPLING (Sampling.dsirSample): keep the k docs with the largest
       // dsir_weight + seeded portable Gumbel noise (samples ∝ the
-      // importance weights, without replacement).
+      // importance weights, without replacement). target_text_col defaults
+      // to text_col (dsir_weight parity; positional after seed, so the two
+      // string args never shadow each other).
       args.map(constValue) match {
         case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
             Some(targetRel: String), Some(k: Long), rest @ _*)
-            if k > 0 && rest.lengthCompare(1) <= 0 =>
+            if k > 0 && rest.lengthCompare(2) <= 0 =>
           val seed = rest.headOption match {
             case Some(Some(s: String)) => s
             case None => "dsir"
             case other => throw new LoweringException(
               s"dsir_sample: seed must be a string literal, got '$other'")
           }
+          val targetText = rest.drop(1).headOption match {
+            case Some(Some(t: String)) => t
+            case None => textCol
+            case other => throw new LoweringException(
+              s"dsir_sample: target_text_col must be a string literal, got '$other'")
+          }
           Plain(graft.operators.Sampling.dsirSample(
             lower(TableRef(corpus), ctx), idCol, textCol,
-            lower(TableRef(targetRel), ctx), textCol, k.toInt, seed))
+            lower(TableRef(targetRel), ctx), targetText, k.toInt, seed))
         case _ =>
           throw new LoweringException(
-            "dsir_sample expects (corpus, id_col, text_col, target_rel, k[, seed]) " +
-              "literals, e.g. dsir_sample('documents', 'doc_id', 'text', " +
-              "'reference_docs', 100)")
+            "dsir_sample expects (corpus, id_col, text_col, target_rel, k" +
+              "[, seed[, target_text_col]]) literals, e.g. dsir_sample('documents', " +
+              "'doc_id', 'text', 'reference_docs', 100)")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

@@ -195,13 +195,37 @@ object CorpusStats {
       df: DataFrame,
       idCol: String,
       textCol: String
+  ): DataFrame =
+    unigramNllAgainst(df, idCol, textCol, unigramModel(df, textCol))
+
+  /** The model half of [[unigramNll]] alone: (token `__tok`, count
+    * `__cnt`) over the corpus token stream. Exposed so a STREAM can be
+    * scored against a model fit ONCE on a static corpus
+    * ([[graft.streaming.Subscribe.scoredAppend]] — the scorer family's
+    * streaming-parity path): the fit is the stateful corpus pass; scoring
+    * against it is stateless per document, so micro-batched scoring
+    * reproduces the batch run row for row. */
+  def unigramModel(df: DataFrame, textCol: String): DataFrame =
+    df.select(
+        F.explode(graft.functions.TextFunctions.tokens(F.col(textCol))).as("__tok"))
+      .groupBy("__tok").agg(F.count(F.lit(1)).as("__cnt"))
+
+  /** The scoring half of [[unigramNll]]: per-doc mean NLL of `docs`
+    * against a pre-fit [[unigramModel]] (self-fit when called through
+    * [[unigramNll]] — identical arithmetic, so the split is invisible to
+    * the oracles). Tokens absent from the model (possible when docs ⊄ fit
+    * corpus) count in n_tokens but contribute no log term — the OOV
+    * convention that keeps the score total without smoothing. */
+  def unigramNllAgainst(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: DataFrame
   ): DataFrame = {
-    val tok = df.select(
+    val tok = docs.select(
       F.col(idCol),
       F.explode_outer(
         graft.functions.TextFunctions.tokens(F.col(textCol))).as("__tok"))
-    val model = tok.filter(F.col("__tok").isNotNull)
-      .groupBy("__tok").agg(F.count(F.lit(1)).as("__cnt"))
     val total = model.agg(F.coalesce(F.sum("__cnt"), F.lit(0L)).as("__n"))
     tok.join(model, Seq("__tok"), "left")
       .groupBy(F.col(idCol))

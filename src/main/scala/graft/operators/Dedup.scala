@@ -98,6 +98,94 @@ object Dedup {
       .agg(F.min(F.col(idCol)).as("keep_id"), F.count(F.lit(1)).as("dup_count"))
 
   // ---------------------------------------------------------------------------
+  // Bloom-pruned exact dedup
+  // ---------------------------------------------------------------------------
+
+  /** Bloom bit budget: 2^29 bits = 64 MiB serialized per filter. Enough
+    * for 1% fpp up to ~56M expected items (9.6 bits/item); past that the
+    * EFFECTIVE fpp rises and the recheck absorbs more rows — pruning
+    * degrades gracefully, results stay exact. The blob rides in the
+    * stage's task binary (torrent-broadcast once per stage). */
+  private[graft] val MaxBloomBits: Long = 1L << 29
+
+  private def bloomSer(b: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    b.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Memory-bounded EXACT dedup with a bloom-pruned shuffle — the
+    * Dolma-style tier of the exact family (Soldaini et al. 2024 dedup
+    * documents through a bloom over normalized hashes). Same output
+    * contract as [[exactGroups]] (fingerprint, keep_id, dup_count; the
+    * oracle row reuses q_dedup_exact's SQL verbatim), different anatomy:
+    *
+    *   - one aggregation pass builds an equal-shape bloom PAIR
+    *     (B1 = "seen", B2 = "seen ≥ 2×"): within a partition a
+    *     fingerprint hitting B1 goes into B2; at merges
+    *     B2 ∪= B1ₐ ∩ B1ᵦ — all bitwise OR/AND on same-shape filters, so
+    *     B2 can only OVER-approximate the duplicated set (bloom false
+    *     positives, never negatives);
+    *   - the probe pass routes each row by one codegen'd
+    *     [[graft.functions.BloomFunctions.mightContain]] test: a miss is
+    *     DEFINITIVELY unique and is emitted shuffle-free as its own
+    *     singleton group; hits (true dups + ~fpp·n false positives) go
+    *     through the exact groupBy recheck.
+    *
+    * So where [[exactGroups]] shuffles all n (fingerprint, id) rows, this
+    * shuffles only the duplicated tail — at a typical few-% dup rate the
+    * exchange shrinks ~25–100× for two extra corpus scans (build + the
+    * count when `expectedItems` is not supplied). The bloom is bounded at
+    * [[MaxBloomBits]] regardless of corpus size. Because the bloom only
+    * PRUNES, fpp is a pure space/shuffle knob — any fpp returns exactly
+    * [[exactGroups]]'s rows. */
+  def bloomExactGroups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      fpp: Double = 0.01,
+      expectedItems: Option[Long] = None
+  ): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"dedup_bloom: fpp must be in (0, 1), got $fpp")
+    import org.apache.spark.util.sketch.BloomFilter
+    val keyed = df.select(
+      fpOrUnique(TextFunctions.fingerprint(F.col(textCol)), F.col(idCol)).as("fingerprint"),
+      F.col(idCol))
+    val n = expectedItems.getOrElse(df.count()).max(1L)
+    val numBits = BloomFilter.optimalNumOfBits(n, fpp).min(MaxBloomBits).max(64L)
+    val parts = keyed.select("fingerprint").rdd.mapPartitions { it =>
+      val b1 = BloomFilter.create(n, numBits)
+      val b2 = BloomFilter.create(n, numBits)
+      it.foreach { r =>
+        val b = r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (b1.mightContainBinary(b)) b2.putBinary(b) else b1.putBinary(b)
+      }
+      Iterator.single((bloomSer(b1), bloomSer(b2)))
+    }
+    if (parts.getNumPartitions == 0) return exactGroups(df, idCol, textCol)
+    val (_, b2Bytes) = parts.treeReduce({ (a, b) =>
+      val b1a = BloomFilter.readFrom(a._1)
+      val b1b = BloomFilter.readFrom(b._1)
+      val b2 = BloomFilter.readFrom(a._2)
+      b2.mergeInPlace(BloomFilter.readFrom(b._2))
+      val inter = BloomFilter.readFrom(a._1) // fresh copy — intersect mutates
+      inter.intersectInPlace(b1b)
+      b2.mergeInPlace(inter)
+      b1a.mergeInPlace(b1b)
+      (bloomSer(b1a), bloomSer(b2))
+    }, depth = 2)
+    val dupCand = graft.functions.BloomFunctions.mightContain(
+      F.col("fingerprint"), new graft.functions.BytesBlob(b2Bytes))
+    val uniques = keyed.filter(!dupCand)
+      .select(F.col("fingerprint"), F.col(idCol).as("keep_id"),
+        F.lit(1L).as("dup_count"))
+    val rechecked = keyed.filter(dupCand)
+      .groupBy("fingerprint")
+      .agg(F.min(F.col(idCol)).as("keep_id"), F.count(F.lit(1)).as("dup_count"))
+    uniques.unionAll(rechecked)
+  }
+
+  // ---------------------------------------------------------------------------
   // MinHash + LSH
   // ---------------------------------------------------------------------------
 

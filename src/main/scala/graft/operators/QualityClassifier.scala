@@ -15,8 +15,9 @@ import org.apache.spark.sql.{functions => F}
   * compute identically (Spark `conv(substr(md5,1,3),16,10)`, DuckDB
   * strpos-on-hex). Training is FIXED-ITERATION batch gradient descent
   * ([[Iters]] rounds, rate [[Lr]], zero init) over the labeled set,
-  * run driver-side in a fully pinned order — docs by (label, id, text),
-  * tokens by position — so every float op is replayable: the DuckDB
+  * run driver-side in a fully pinned order — docs by (label, id,
+  * md5(text)), tokens by position — so every float op is replayable: the
+  * DuckDB
   * oracle re-derives the exact weights by unrolling the training loop in
   * SQL (the bpe_train / trained-PQ precedent), and two Spark runs are
   * bitwise identical.
@@ -40,8 +41,18 @@ object QualityClassifier {
   val Iters: Int = 5
   val Lr: Double = 0.5
 
-  /** Driver-collect cap on pos+neg labeled docs. */
+  /** Driver-collect cap on pos+neg labeled docs (rows), enforced IN THE
+    * PLAN (a `limit(cap + 1)` per side) and checked with one small
+    * aggregate job BEFORE `collect()` — an oversized labeled relation
+    * fails with the named error without ever materializing on the
+    * driver. */
   val MaxLabeled: Int = 100000
+
+  /** Byte bound on the collected feature payload (4 bytes per token
+    * bucket across all labeled docs) — the row cap alone would admit
+    * 100K multi-page docs; this caps the driver heap regardless of doc
+    * length. Checked in the same pre-collect aggregate. */
+  val MaxLabeledBytes: Long = 256L << 20
 
   /** Portable token bucket, Scala side: parse the first 3 lowercase-hex
     * chars of md5(token). MUST stay identical to [[bucketCol]] and the
@@ -59,33 +70,56 @@ object QualityClassifier {
 
   /** Train the logistic scorer on (pos = label 1, neg = label 0) and
     * return (weights dense over [[Buckets]], bias). Deterministic: docs
-    * ordered (label, id, text), token buckets in position order, margins
-    * and gradients accumulated sequentially in that order, update
-    * w -= Lr * (grad / n) mirrored verbatim by the oracle SQL. */
+    * ordered (label, id, md5(text)), token buckets in position order,
+    * margins and gradients accumulated sequentially in that order, update
+    * w -= Lr * (grad / n) mirrored verbatim by the oracle SQL.
+    *
+    * Driver-safety contract: what crosses to the driver is
+    * (id, md5(text), bucket array) ONLY — never the text (a multi-page
+    * doc contributes 4 bytes per token, not its characters; the md5 is
+    * the deterministic sort tie-break the text used to provide). The row
+    * cap is pushed into the plan as `limit(maxLabeled + 1)` and both
+    * bounds are verified by one small aggregate job BEFORE `collect()`. */
   private[graft] def train(
       pos: DataFrame,
       neg: DataFrame,
       idCol: String,
-      textCol: String
+      textCol: String,
+      maxLabeled: Int = MaxLabeled,
+      maxLabeledBytes: Long = MaxLabeledBytes
   ): (Array[Double], Double) = {
-    def collectDocs(df: DataFrame, y: Int): Array[(Int, String, String, Array[Int])] =
+    def prep(df: DataFrame, y: Int): DataFrame =
       df.select(
+          F.lit(y).as("__y"),
           F.col(idCol).cast("string").as("__id"),
-          F.col(textCol).cast("string").as("__text"),
-          graft.functions.TextFunctions.tokens(F.col(textCol)).as("__toks"))
-        .filter(F.col("__text").isNotNull)
-        .collect()
-        .map { r =>
-          val toks = if (r.isNullAt(2)) Array.empty[String]
-            else r.getSeq[String](2).toArray
-          (y, r.getString(0), r.getString(1), toks.map(bucketOf))
-        }
-    val docs = (collectDocs(neg, 0) ++ collectDocs(pos, 1))
-      .sortBy { case (y, id, text, _) => (y, id, text) }
-    require(docs.nonEmpty, "quality_classifier_score: empty labeled set")
-    require(docs.length <= MaxLabeled,
-      s"quality_classifier_score: ${docs.length} labeled docs exceed the " +
-        s"$MaxLabeled driver-collect cap")
+          F.md5(F.col(textCol).cast("string").cast("binary")).as("__th"),
+          F.transform(
+            graft.functions.TextFunctions.tokens(F.col(textCol)),
+            t => bucketCol(t)).as("__bks"))
+        .filter(F.col("__th").isNotNull)
+        .limit(maxLabeled + 1)
+    val labeled = prep(neg, 0).unionAll(prep(pos, 1))
+    // bounds BEFORE any driver materialization: one tiny aggregate row
+    val bounds = labeled.agg(
+      F.count(F.lit(1)).as("n"),
+      F.coalesce(F.sum(F.size(F.col("__bks")).cast("long")), F.lit(0L)).as("toks")
+    ).head()
+    val nDocs = bounds.getLong(0)
+    val featBytes = bounds.getLong(1) * 4L
+    require(nDocs > 0, "quality_classifier_score: empty labeled set")
+    require(nDocs <= maxLabeled,
+      s"quality_classifier_score: more than $maxLabeled labeled docs " +
+        "exceed the driver-collect cap (enforced pre-collect)")
+    require(featBytes <= maxLabeledBytes,
+      s"quality_classifier_score: $featBytes labeled feature bytes exceed " +
+        s"the $maxLabeledBytes driver-collect byte cap (enforced pre-collect)")
+    val docs = labeled.collect()
+      .map { r =>
+        val bks = if (r.isNullAt(3)) Array.empty[Int]
+          else r.getSeq[Int](3).toArray
+        (r.getInt(0), r.getString(1), r.getString(2), bks)
+      }
+      .sortBy { case (y, id, th, _) => (y, id, th) }
     val n = docs.length.toDouble
     val w = new Array[Double](Buckets)
     var w0 = 0.0

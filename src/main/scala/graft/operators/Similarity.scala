@@ -55,11 +55,24 @@ object Similarity {
   def hyperplaneSignature(vec: Column, planes: Int, dim: Int = 64, seed: Long = 7L): Column =
     graft.functions.VectorExpressions.matrixSignature(vec, hyperplanes(dim, planes, seed))
 
-  /** Trained-codebook PQ defaults: Lloyd sample size and iteration count.
-    * QueryCatalog's DuckDB oracle generator reads THESE constants when it
-    * unrolls the training loop in SQL — change them only together with a
-    * fresh oracle run. */
+  /** PINNED Lloyd sample size for the bitwise-oracle rows: QueryCatalog's
+    * DuckDB oracle generator reads THIS constant when it unrolls the
+    * training loop in SQL, and the pinned catalog rows pass it explicitly
+    * — change it only together with a fresh oracle run. NOT the serving
+    * default (see [[PqTrainSampleDefault]]). */
   private[graft] val PqTrainSample = 512
+
+  /** Default Lloyd training sample for the trained-PQ tier: FAISS practice
+    * wants ~10–40× ksub training points per subspace quantizer; 16384 =
+    * 64× at ksub 256. The effective sample is min(this, corpus) — the
+    * seeded-order `limit` returns the whole corpus when it is smaller —
+    * so small test corpora train on everything while a 100 TB corpus still
+    * collects a bounded 16384 × dim doubles (8 MB at dim 64) on the
+    * driver. Overridable per call ([[pqTopK]] `trainSample`) and on the
+    * language surface (trailing integer of the 'pq_trained' /
+    * 'ivf_pq_trained' methods; optional last arg of ann_pq_index). */
+  val PqTrainSampleDefault = 16384
+
   private[graft] val PqTrainIters = 4
 
   /** The trained tier's quantizer shape: PQ32x8 (FAISS's standard byte-code
@@ -258,12 +271,14 @@ object Similarity {
       subspaces: Int = 16,
       ksub: Int = 64,
       excludeSelf: Boolean = true,
-      trained: Boolean = false
+      trained: Boolean = false,
+      trainSample: Int = PqTrainSampleDefault
   ): DataFrame = {
     val c = corpus.select(F.col(corpusId).as("corpus_id"), F.col(corpusVec).as("__cv"))
     val q = queries.select(F.col(queryId).as("query_id"), F.col(queryVec).as("__qv"))
     val codebook =
-      if (trained) trainedPqCodebook(c, "corpus_id", "__cv", ksub, subspaces)
+      if (trained) trainedPqCodebook(c, "corpus_id", "__cv", ksub, subspaces,
+        sampleN = trainSample)
       else seededCentroidMatrix(c, "corpus_id", "__cv", ksub)
     pqTopKWithCodebook(c, q, codebook, subspaces, k, excludeSelf)
   }
@@ -333,11 +348,13 @@ object Similarity {
       vecCol: String,
       subspaces: Int = 16,
       ksub: Int = 64,
-      trained: Boolean = false
+      trained: Boolean = false,
+      trainSample: Int = PqTrainSampleDefault
   ): (DataFrame, Array[Array[Double]]) = {
     val cv = corpus.select(F.col(idCol), F.col(vecCol))
     val codebook =
-      if (trained) trainedPqCodebook(cv, idCol, vecCol, ksub, subspaces)
+      if (trained) trainedPqCodebook(cv, idCol, vecCol, ksub, subspaces,
+        sampleN = trainSample)
       else seededCentroidMatrix(cv, idCol, vecCol, ksub)
     require(codebook.nonEmpty, "buildPqIndex: no non-null vectors to seed the codebook")
     require(codebook.head.length % subspaces == 0,
@@ -356,9 +373,11 @@ object Similarity {
       path: String,
       subspaces: Int = 16,
       ksub: Int = 64,
-      trained: Boolean = false
+      trained: Boolean = false,
+      trainSample: Int = PqTrainSampleDefault
   ): Unit = {
-    val (idx, codebook) = buildPqIndex(corpus, idCol, vecCol, subspaces, ksub, trained)
+    val (idx, codebook) =
+      buildPqIndex(corpus, idCol, vecCol, subspaces, ksub, trained, trainSample)
     idx.write.mode("overwrite").parquet(path)
     val spark = corpus.sparkSession
     import scala.jdk.CollectionConverters._
@@ -491,12 +510,14 @@ object Similarity {
       subspaces: Int = 16,
       ksub: Int = 64,
       excludeSelf: Boolean = true,
-      trained: Boolean = false
+      trained: Boolean = false,
+      trainSample: Int = PqTrainSampleDefault
   ): DataFrame = {
     val c = corpus.select(F.col(corpusId).as("corpus_id"), F.col(corpusVec).as("__cv"))
     val cells = seededCentroidMatrix(c, "corpus_id", "__cv", nlist)
     val codebook =
-      if (trained) trainedPqCodebook(c, "corpus_id", "__cv", ksub, subspaces)
+      if (trained) trainedPqCodebook(c, "corpus_id", "__cv", ksub, subspaces,
+        sampleN = trainSample)
       else seededCentroidMatrix(c, "corpus_id", "__cv", ksub)
     require(codebook.nonEmpty && codebook.head.length % subspaces == 0,
       s"ivfPqTopK: dim not divisible into $subspaces subspaces")

@@ -157,6 +157,14 @@ object Playground {
         |group by label
         |agg kept = _.count
         |order by label""".stripMargin,
+    "llm_dedup_bloom" ->
+      """-- bloom-pruned EXACT dedup (the Dolma recipe): a "seen-twice"
+        |-- bloom routes unique docs around the shuffle; only bloom hits
+        |-- go through the exact recheck. Same rows as exact dedup.
+        |from dedup_bloom('documents', 'doc_id', 'text', 0.01)
+        |group by dup_count
+        |agg groups = _.count
+        |order by dup_count""".stripMargin,
     "llm_perplexity_score" ->
       """-- CCNet-style quality filter: fit a unigram LM on the corpus
         |-- itself, score each doc by mean token negative-log-likelihood.
@@ -342,6 +350,7 @@ object Playground {
     * run path executes them natively. ServerSpec gates both behaviors. */
   val sqlRefusingDemos: Set[String] =
     Set("join_asof", "llm_similarity_topk", "llm_split_by_cluster", "llm_dedup_semantic",
+      "llm_dedup_bloom",
       "llm_perplexity_score", "llm_perplexity_bigram", "llm_token_budget",
       "llm_contamination_report", "llm_contamination_semantic", "llm_mix_temperature",
       "llm_token_budget_quality",

@@ -573,6 +573,24 @@ object Server {
       }
     })
 
+    // generated native-table-function reference (OperatorDocs: registry +
+    // dispatch-probed signatures + oracle rows + scale exponents — nothing
+    // hand-maintained). JSON twin at /api/v1/operators for tools.
+    http.createContext("/api/v1/operators", handler { ex =>
+      val ops = OperatorDocs.build(spark, dir).map(d => Map(
+        "name" -> d.name, "args" -> d.args, "example" -> d.example,
+        "schema" -> d.schema, "oracleRows" -> d.oracleRows,
+        "scaleExponents" -> d.scaleExponents))
+      send(ex, 200, Map("operators" -> ops))
+    })
+    http.createContext("/operators", handler { ex =>
+      val bytes = OperatorDocs.page(spark, dir).getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    })
+
     // playground page (reference wvlet-ui-playground: demo-query navigator
     // + live compile-preview + result viewer, served over the same API)
     http.createContext("/playground", handler { ex =>

@@ -215,6 +215,36 @@ object Subscribe {
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
+  /** Stateless-scorer composition for streams — the scorer family's
+    * (quality_classifier_score, perplexity_*, dsir_weight) streaming
+    * parity path, mirroring [[dedupIncrementalAppend]]: each micro-batch
+    * is scored by a BATCH scorer and written through the idempotent
+    * per-batch sink. The scorer's model state must not depend on the
+    * stream — plan-shipped constants (classifier weights, DSIR bucket
+    * tables) or stream-static joins against a model fit ONCE on a static
+    * corpus ([[graft.operators.CorpusStats.unigramModel]] →
+    * `unigramNllAgainst`) — so scoring a corpus in N micro-batches
+    * produces exactly the rows of scoring it in one batch
+    * (batch-equivalence spec-gated in SubscribeSpec; the q_subscribe_scored
+    * oracle re-derives the scores from the batch SQL). */
+  def scoredAppend(
+      stream: DataFrame,
+      outPath: String,
+      checkpointPath: String,
+      scorer: DataFrame => DataFrame,
+      availableNow: Boolean = true
+  ): StreamingQuery = {
+    require(stream.isStreaming,
+      "scoredAppend requires a streaming DataFrame (readStream)")
+    val w = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(scorer(batch), batchId, outPath)
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
   /** Idempotent micro-batch sink: each batch lands in its own
     * `__batch_id=<id>` partition via dynamic partition overwrite, so an
     * at-least-once foreachBatch RETRY overwrites its own partition instead

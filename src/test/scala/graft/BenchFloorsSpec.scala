@@ -39,9 +39,21 @@ class BenchFloorsSpec extends AnyFunSuite {
 
   test("provenance string fields are never floors") {
     // "run"/"load" values are strings — must not be picked up; "settled"
-    // is a number but its key is not q_-prefixed
-    val json = """{"floors":{"q_a":{"floor":2.0,"run":"2026-08-15T21:00:00Z","load":"9.9;9.9","settled":9.9}}}"""
+    // and "prev" are numbers but their keys are not q_-prefixed
+    val json = """{"floors":{"q_a":{"floor":2.0,"run":"2026-08-15T21:00:00Z","load":"9.9;9.9","settled":9.9,"prev":7.7}}}"""
     assert(Bench.referenceFloors(json) == Map("q_a" -> 2.0))
+  }
+
+  test("heavy rows (floor > 2 s) are timed 5 times; light rows keep the base") {
+    // the dedup/cluster family's 2x intra-chunk spread with median-of-3
+    // triggered retimes four rounds straight — rows with multi-second
+    // floors get median-of-5 (r16 verdict #3)
+    assert(Bench.runsFor(3, Some(4.99)) == 5)   // q_dedup_ngram_jaccard class
+    assert(Bench.runsFor(3, Some(12.11)) == 5)
+    assert(Bench.runsFor(3, Some(2.0)) == 3)    // boundary: strictly greater
+    assert(Bench.runsFor(3, Some(0.3)) == 3)
+    assert(Bench.runsFor(3, None) == 3)         // floorless rows keep base
+    assert(Bench.runsFor(7, Some(9.0)) == 7)    // explicit higher base wins
   }
 
   test("malformed values are dropped, not defaulted") {

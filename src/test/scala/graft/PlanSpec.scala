@@ -172,6 +172,22 @@ class PlanSpec extends SparkTestBase {
       s"mixing must be stateless per-row work, found a shuffle:\n${planOf(df)}")
   }
 
+  test("bloom dedup: the unique branch bypasses the shuffle entirely") {
+    // the whole point of the bloom tier: definitively-unique rows are
+    // emitted as singleton groups with NO exchange — only the bloom-hit
+    // recheck branch shuffles (one pruned groupBy). A second exchange
+    // would mean the corpus-wide shuffle crept back in.
+    val df = graft.operators.Dedup.bloomExactGroups(table("documents"), "doc_id", "text")
+    val plan = planOf(df)
+    val exchanges = plan.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges == 1,
+      s"expected exactly one exchange (the pruned recheck groupBy), got $exchanges:\n$plan")
+    assert(plan.contains("Union"), s"expected unique ∪ recheck branches:\n$plan")
+    // the probe is a codegen'd expression, not a UDF
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
+      s"bloom probe must stay native:\n$plan")
+  }
+
   test("packing cumsum window is shard-partitioned, never global") {
     // a window without PARTITION BY serializes the whole corpus onto one
     // task — the exact failure mode the md5-prefix shard exists to prevent

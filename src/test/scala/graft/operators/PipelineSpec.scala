@@ -70,6 +70,30 @@ class PipelineSpec extends SparkTestBase {
     assert(groups.filter(F.col("dup_count") === 2).count() == 3)
   }
 
+  test("bloom dedup: exactly exactGroups' rows at any fpp, nulls stay unique") {
+    import spark.implicits._
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("keep_id", "fingerprint").collect().map(_.toString).toSeq
+    val base = docs.select("doc_id", "text")
+    val withDup = base.limit(10).union(base.limit(3))
+      .union(Seq((777001L, null.asInstanceOf[String]),
+        (777002L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val expected = canon(Dedup.exactGroups(withDup, "doc_id", "text"))
+    // default fpp: bloom prunes, results identical; the two null-text rows
+    // must NOT collapse into one group
+    val bloomed = canon(Dedup.bloomExactGroups(withDup, "doc_id", "text"))
+    assert(bloomed == expected, "bloom tier diverged from exact dedup")
+    assert(expected.count(_.contains("__null__")) == 2, "null rows must stay unique")
+    // a saturated bloom (fpp ~ 1 via huge expectedItems vs tiny bits) can
+    // only send MORE rows to the recheck — never change the answer
+    val saturated = canon(Dedup.bloomExactGroups(withDup, "doc_id", "text",
+      fpp = 0.9, expectedItems = Some(5L)))
+    assert(saturated == expected, "saturated bloom changed the answer")
+    // and over the real corpus: bloom == exact, row for row
+    assert(canon(Dedup.bloomExactGroups(docs, "doc_id", "text")) ==
+      canon(Dedup.exactGroups(docs, "doc_id", "text")))
+  }
+
   test("minhash LSH finds a planted near-duplicate") {
     import spark.implicits._
     val base = docs.limit(20).select("doc_id", "text")
@@ -523,6 +547,36 @@ class PipelineSpec extends SparkTestBase {
     val again = QualityClassifier.qualityClassifierScore(
       corpus, "doc_id", "text", pos, neg).orderBy("doc_id").collect()
     assert(scored.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("quality classifier: caps fire pre-collect with named errors") {
+    import spark.implicits._
+    // the Scala-side reference bucket arithmetic stays ≡ the Column side
+    // (bucketOf is the documented spec of bucketCol + the oracle strpos math)
+    val toks = Seq("the", "fox", "Zebra", "a1b2", "ünïcode", "x")
+    val viaCol = toks.toDF("t")
+      .select(QualityClassifier.bucketCol(F.col("t")).as("b"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(viaCol == toks.map(QualityClassifier.bucketOf),
+      "bucketCol diverged from bucketOf")
+    // row cap: 6 labeled docs against a cap of 4 — the named error must
+    // fire from the pre-collect aggregate (the plan carries limit(cap+1),
+    // so even a huge relation would never reach the driver)
+    val pos = (1L to 3L).map(i => (i, s"alpha beta doc $i")).toDF("doc_id", "text")
+    val neg = (11L to 13L).map(i => (i, s"spam spam doc $i")).toDF("doc_id", "text")
+    val rowErr = intercept[IllegalArgumentException] {
+      QualityClassifier.train(pos, neg, "doc_id", "text", maxLabeled = 4)
+    }
+    assert(rowErr.getMessage.contains("driver-collect cap"), rowErr.getMessage)
+    // byte cap: tiny byte budget trips on the feature payload
+    val byteErr = intercept[IllegalArgumentException] {
+      QualityClassifier.train(pos, neg, "doc_id", "text", maxLabeledBytes = 8L)
+    }
+    assert(byteErr.getMessage.contains("byte cap"), byteErr.getMessage)
+    // at the caps' defaults the same sets train fine (guards are bounds,
+    // not behavior changes)
+    val (w, _) = QualityClassifier.train(pos, neg, "doc_id", "text")
+    assert(w.exists(_ != 0.0))
   }
 
   test("prototypicality: seeds score exactly 1.0, assignment matches the ivf contract") {

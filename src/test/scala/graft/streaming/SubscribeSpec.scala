@@ -84,6 +84,52 @@ class SubscribeSpec extends SparkTestBase {
       staged.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList)
   }
 
+  test("stateless scorers compose with micro-batches: N-batch output == one batch run") {
+    import spark.implicits._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def writeDocs(dir: String, name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(s"$dir/$name")
+    val in = Files.createTempDirectory("scored_in").toString
+    writeDocs(in, "b1", Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a study of language models requires diverse text"),
+      (3L, "")))
+    writeDocs(in, "b2", Seq(
+      (4L, "the lazy dog sleeps near the river"),
+      (5L, "language models study diverse natural text sources")))
+    val corpus = spark.read.schema(docSchema).parquet(s"$in/*")
+    // scorer 1: unigram NLL against a model fit ONCE on the static corpus
+    val model = graft.operators.CorpusStats.unigramModel(corpus, "text")
+    // scorer 2: quality classifier — weights are plan constants
+    val pos = Seq((101L, "reference prose about science and history")).toDF("doc_id", "text")
+    val neg = Seq((201L, "click here buy now subscribe free deals")).toDF("doc_id", "text")
+    val (w, b) = graft.operators.QualityClassifier.train(pos, neg, "doc_id", "text")
+    def scorer(batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      graft.operators.CorpusStats.unigramNllAgainst(batch, "doc_id", "text", model)
+        .join(graft.operators.QualityClassifier.score(batch, "doc_id", "text", w, b),
+          Seq("doc_id"))
+    val out = Files.createTempDirectory("scored_out").toString
+    val ck = Files.createTempDirectory("scored_ck").toString
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
+    Subscribe.scoredAppend(stream, out, ck, scorer).awaitTermination()
+    val streamed = spark.read.parquet(out)
+    // genuinely micro-batched: the two input files landed in ≥ 2 batches
+    assert(streamed.select("__batch_id").distinct().count() >= 2,
+      "expected at least two micro-batches")
+    val got = streamed.drop("__batch_id").orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    val want = scorer(corpus).orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(got == want, s"micro-batched scoring diverged:\n$got\nvs\n$want")
+    // a non-streaming frame is refused loudly
+    val err = intercept[IllegalArgumentException] {
+      Subscribe.scoredAppend(corpus, out, ck, scorer)
+    }
+    assert(err.getMessage.contains("readStream"))
+  }
+
   test("dedupStream: duplicate keys within the watermark emit once, state evicts") {
     val in = Files.createTempDirectory("dds_in").toString
     val out = Files.createTempDirectory("dds_out").toString
