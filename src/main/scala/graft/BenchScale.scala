@@ -171,7 +171,11 @@ object BenchScale {
     // bloom-pruned exact dedup (r17): two corpus scans + a shuffle of only
     // the bloom-hit tail — expect ~1 in rows with a small constant; the
     // point vs q_dedup_exact is the exchange VOLUME, not wall-clock at sf0.1
-    "q_dedup_bloom")
+    "q_dedup_bloom",
+    // BM25 retrieval (r17): postings + df groupBys (token-keyed partial
+    // agg), broadcast query terms, per-query window over only term-sharing
+    // docs — expect ~1 in corpus rows at a fixed query set
+    "q_bm25_topk")
 
   private def loadavg(): String = BenchGuard.loadavg()
 

@@ -2376,7 +2376,11 @@ object QueryCatalog {
       "q_subscribe_scored",
       (spark, dir) => {
         val docs = Tables.read(spark, dir, "documents")
-        val model = graft.operators.CorpusStats.unigramModel(docs, "text")
+        // cache the ONCE-fit model: every micro-batch joins against it, and
+        // without the cache each batch would re-run the corpus fit (at
+        // 100 TB the model would be CTAS'd; CacheManager dedups by plan,
+        // so repeated invocations share one bounded entry per dir)
+        val model = graft.operators.CorpusStats.unigramModel(docs, "text").cache()
         // the testdata table is a single parquet FILE; the streaming file
         // source wants a directory of files — stage the corpus once per
         // (JVM, dir) as a 4-file directory so maxFilesPerTrigger=1 yields
@@ -5046,6 +5050,65 @@ object QueryCatalog {
       """)
     ),
     (
+      // Okapi BM25 retrieval (Retrieval.bm25TopK via bm25_topk(...)):
+      // per eval/query doc, the k lexically-closest corpus docs — the
+      // retrieval-based contamination/data-selection net between n-gram
+      // overlap and embeddings. Lucene's non-negative idf; DISTINCT query
+      // terms; every float input is an exact integer aggregate, so the
+      // DuckDB oracle recomputes identical doubles (Σ-order noise absorbed
+      // by the shared +5e-9/4dp rounding). Self-retrieval sanity falls out:
+      // each query's own corpus copy ranks first.
+      "q_bm25_topk",
+      wv("""
+        model evalset = {
+          from documents
+          where doc_id < 3
+        }
+        from bm25_topk('documents', 'doc_id', 'text', 'evalset', 5)
+        order by query_id, rank
+      """),
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+          FROM documents WHERE text IS NOT NULL
+        ),
+        post AS (
+          SELECT doc_id, t, count(*)::DOUBLE AS tf
+          FROM (SELECT doc_id, unnest(w) AS t FROM tok) GROUP BY doc_id, t
+        ),
+        dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM tok),
+        st AS (SELECT count(*)::DOUBLE AS n, avg(dl::DOUBLE) AS avgdl FROM dl),
+        idf AS (
+          SELECT t,
+            ln(1 + ((SELECT n FROM st) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+          FROM post GROUP BY t
+        ),
+        q AS (
+          SELECT DISTINCT doc_id AS query_id, t
+          FROM (SELECT doc_id, unnest(w) AS t FROM tok WHERE doc_id < 3)
+        ),
+        terms AS (
+          SELECT q.query_id, p.doc_id AS corpus_id,
+            i.idf * (p.tf * (1.2 + 1)) /
+              (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (SELECT avgdl FROM st))) AS term
+          FROM q JOIN post p USING (t) JOIN idf i USING (t)
+          JOIN dl d ON d.doc_id = p.doc_id
+        ),
+        scored AS (
+          SELECT query_id, corpus_id, round(sum(term) + 5e-9, 4) AS bm25
+          FROM terms GROUP BY query_id, corpus_id
+        ),
+        ranked AS (
+          SELECT query_id, corpus_id, bm25,
+            row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, corpus_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, corpus_id, bm25, rank::INTEGER AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+      """)
+    ),
+    (
       // Semantic decontamination (Decontamination.contaminatedVecs via the
       // contaminated_vecs(...) table function): corpus vectors too close in
       // embedding space to ANY eval vector — the paraphrase-robust second
@@ -5945,6 +6008,42 @@ object QueryCatalog {
         SELECT id, CAST(n AS BIGINT) AS n_bpe_merge_tokens FROM (VALUES
           (1, 2), (2, 3), (3, 3), (4, 1), (5, 2), (6, 0)
         ) AS t(id, n) ORDER BY id
+      """)
+    ),
+    (
+      // The actual TOKENIZE surface (Bpe.encode via bpe_encode(...)): the
+      // final rank-ordered merge-replay symbol sequence per doc — what a
+      // user ships to training after bpe_train. Same planted fixture as
+      // q_bpe_count_merges, whose counts these sequences' lengths must
+      // equal (closed-form: 'abcd'→[a,bcd], 'abc bcd'→[a,bc,bcd],
+      // 'xyz'→[x,y,z], 'ab'→[ab], 'ABCD' lowercased→[a,bcd], '!!! ...'→[]).
+      "q_bpe_encode",
+      wv("""
+        model bpe_merges = {
+          from [['b', 'c', 1], ['bc', 'd', 2], ['a', 'b', 3]] as m(left, right, rank)
+        }
+        model bpe_mcorpus = {
+          from [
+            [1, 'abcd'],
+            [2, 'abc bcd'],
+            [3, 'xyz'],
+            [4, 'ab'],
+            [5, 'ABCD'],
+            [6, '!!! ...']
+          ] as c(id, text)
+        }
+        from bpe_encode('bpe_mcorpus', 'id', 'text', 'bpe_merges')
+        order by id
+      """),
+      Some("""
+        SELECT id, toks AS bpe_tokens, CAST(n AS BIGINT) AS n_bpe_tokens FROM (VALUES
+          (1, ['a', 'bcd'], 2),
+          (2, ['a', 'bc', 'bcd'], 3),
+          (3, ['x', 'y', 'z'], 3),
+          (4, ['ab'], 1),
+          (5, ['a', 'bcd'], 2),
+          (6, []::VARCHAR[], 0)
+        ) AS t(id, toks, n) ORDER BY id
       """)
     ),
     (

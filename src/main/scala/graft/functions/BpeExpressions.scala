@@ -53,6 +53,13 @@ object BpeExpressions {
     * canonical word-array column `words` — see [[BpeMergeCountExpr]]. */
   def bpeMergeCount(words: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeMergeCountExpr(ColumnBridge.expression(words), merges))
+
+  /** Full rank-ordered merge-replay ENCODING of a canonical word-array
+    * column: the final symbol sequence across all words, in order — see
+    * [[BpeMergeEncodeExpr]]. size(encode) == bpeMergeCount by
+    * construction (spec-gated). */
+  def bpeMergeEncode(words: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeMergeEncodeExpr(ColumnBridge.expression(words), merges))
 }
 
 /** Frozen byte-trie over the vocab: per node a sorted byte→child table
@@ -268,20 +275,6 @@ case class BpeMergeCountExpr(child: Expression, merges: Seq[(String, String)])
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
 
-  /** Pair key: left-length-prefixed concatenation — unambiguous even when
-    * symbols CONTAIN spaces (GPT-2 pretok mode: " stop" carries its leading
-    * space, whitespace-run pretokens are all spaces — a "a b"-style
-    * separator key would conflate ("  "," ") with (" ","  ")). */
-  private def pairKey(a: String, b: String): String = a.length + ":" + a + b
-
-  @transient private lazy val pairRank: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer]()
-    merges.zipWithIndex.foreach { case ((a, b), i) =>
-      m.putIfAbsent(pairKey(a, b), Integer.valueOf(i))
-    }
-    m
-  }
-
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(StringType, _) =>
@@ -291,8 +284,58 @@ case class BpeMergeCountExpr(child: Expression, merges: Seq[(String, String)])
           s"expects an array<string> word column, got $other")
     }
 
-  private def encodedLen(word: String): Int = {
-    if (word.isEmpty) return 0
+  @transient private lazy val pairRank = BpeMergeReplay.rankIndex(merges)
+
+  private def encodedLen(word: String): Int =
+    BpeMergeReplay.encodeWord(word, merges, pairRank).size
+
+  def compute(arr: ArrayData): Long = {
+    var total = 0L
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) total += encodedLen(arr.getUTF8String(i).toString)
+      i += 1
+    }
+    total
+  }
+
+  override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bpeMergeCount", this, classOf[BpeMergeCountExpr].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $self.compute((org.apache.spark.sql.catalyst.util.ArrayData) $a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The rank-ordered BPE merge-replay kernel, shared by the count and
+  * encode expressions: chars → repeatedly apply the LOWEST-rank adjacent
+  * pair present, left-to-right non-overlapping — exactly the HF
+  * tokenizers inference loop the trainer's merges are meant for. */
+object BpeMergeReplay {
+
+  /** Pair key: left-length-prefixed concatenation — unambiguous even when
+    * symbols CONTAIN spaces (GPT-2 pretok mode: " stop" carries its leading
+    * space, whitespace-run pretokens are all spaces — a "a b"-style
+    * separator key would conflate ("  "," ") with (" ","  ")). */
+  def pairKey(a: String, b: String): String = a.length + ":" + a + b
+
+  def rankIndex(merges: Seq[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.putIfAbsent(pairKey(a, b), Integer.valueOf(i))
+    }
+    m
+  }
+
+  /** Final symbol sequence of one canonical word under the merges. */
+  def encodeWord(word: String, merges: Seq[(String, String)],
+      pairRank: java.util.HashMap[String, Integer]): java.util.ArrayList[String] = {
+    val empty = new java.util.ArrayList[String](0)
+    if (word.isEmpty) return empty
     var syms = new java.util.ArrayList[String](word.length)
     var ci = 0
     while (ci < word.length) { syms.add(String.valueOf(word.charAt(ci))); ci += 1 }
@@ -318,23 +361,50 @@ case class BpeMergeCountExpr(child: Expression, merges: Seq[(String, String)])
         syms = out
       }
     }
-    syms.size
+    syms
   }
+}
 
-  def compute(arr: ArrayData): Long = {
-    var total = 0L
+/** Full merge-replay ENCODING of a canonical word-array column: the final
+  * symbol sequences of all words, concatenated in word order — the actual
+  * tokenization surface behind bpe_encode (BpeMergeCountExpr counts the
+  * same sequence; length equality is spec-gated). Null word elements are
+  * skipped like the counter's. */
+case class BpeMergeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val pairRank = BpeMergeReplay.rankIndex(merges)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expects an array<string> word column, got $other")
+    }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val out = new java.util.ArrayList[UTF8String]()
     var i = 0
     while (i < arr.numElements()) {
-      if (!arr.isNullAt(i)) total += encodedLen(arr.getUTF8String(i).toString)
+      if (!arr.isNullAt(i)) {
+        val syms = BpeMergeReplay.encodeWord(
+          arr.getUTF8String(i).toString, merges, pairRank)
+        var j = 0
+        while (j < syms.size) { out.add(UTF8String.fromString(syms.get(j))); j += 1 }
+      }
       i += 1
     }
-    total
+    new GenericArrayData(out.toArray)
   }
 
   override protected def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val self = ctx.addReferenceObj("bpeMergeCount", this, classOf[BpeMergeCountExpr].getName)
+    val self = ctx.addReferenceObj("bpeMergeEncode", this, classOf[BpeMergeEncodeExpr].getName)
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = $self.compute((org.apache.spark.sql.catalyst.util.ArrayData) $a);")
   }

@@ -28,8 +28,8 @@ object Lowering {
     * twice in r13/r14. Add a dispatch case ⇒ the spec forces the name in
     * here ⇒ LSP + playground pick it up structurally. */
   val nativeTableFunctions: Seq[String] = Seq(
-    "ann_int8_index", "ann_lsh_postings", "ann_pq_index",
-    "bpe_count", "bpe_count_merges", "bpe_stats", "bpe_train", "build_vocab",
+    "ann_int8_index", "ann_lsh_postings", "ann_pq_index", "bm25_topk",
+    "bpe_count", "bpe_count_merges", "bpe_encode", "bpe_stats", "bpe_train", "build_vocab",
     "contaminated_docs", "contaminated_vecs", "contamination_report",
     "contamination_report_semantic",
     "decode_audio", "decode_images", "decode_video",
@@ -1385,6 +1385,63 @@ object Lowering {
             "bpe_count_merges expects (corpus, text_col, merges_rel[, 'gpt2'|'words']) " +
               "literals — merges_rel has (left, right, rank) columns (bpe_train's " +
               "output), e.g. bpe_count_merges('documents', 'text', 'my_merges')")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "bpe_encode" =>
+      // bpe_encode('corpus', 'id_col', 'text_col', 'merges_rel'
+      // [, 'gpt2'|'words']) — the actual TOKENIZE surface (Bpe.encode):
+      // (id, bpe_tokens array<string>, n_bpe_tokens) under rank-ordered
+      // merge replay — what ships to training after bpe_train. The pretok
+      // mode MUST match the one the merges were trained with.
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
+            Some(mergesRel: String), rest @ _*) if rest.lengthCompare(1) <= 0 =>
+          val pretok = rest.headOption match {
+            case Some(Some(p: String)) if p == "gpt2" || p == "words" => p
+            case None => "words"
+            case other => throw new LoweringException(
+              s"bpe_encode: pretok must be 'gpt2' or 'words', got '$other'")
+          }
+          val merges = graft.operators.Bpe.loadMerges(lower(TableRef(mergesRel), ctx))
+          Plain(graft.operators.Bpe.encode(
+            lower(TableRef(corpus), ctx), idCol, textCol, merges, pretok))
+        case _ =>
+          throw new LoweringException(
+            "bpe_encode expects (corpus, id_col, text_col, merges_rel" +
+              "[, 'gpt2'|'words']) literals — merges_rel has (left, right, rank) " +
+              "columns (bpe_train's output), e.g. " +
+              "bpe_encode('documents', 'doc_id', 'text', 'my_merges')")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "bm25_topk" =>
+      // bm25_topk('corpus', 'id_col', 'text_col', 'queries_rel', k[, k1, b])
+      // — Okapi BM25 retrieval (operators/Retrieval.bm25TopK): per query
+      // doc, the k corpus docs with the highest lexical relevance — the
+      // retrieval-based contamination/data-selection net. The queries
+      // relation shares the id/text column names (a planted model or an
+      // eval table); query terms are DISTINCT (qtf = 1).
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
+            Some(queriesRel: String), Some(k: Long), rest @ _*)
+            if k >= 1 && rest.lengthCompare(2) <= 0 =>
+          def num(v: Option[Any], what: String, dflt: Double): Double = v match {
+            case Some(d: java.lang.Double) => d.doubleValue()
+            case Some(n: Number) => n.doubleValue()
+            case None => dflt
+            case other => throw new LoweringException(
+              s"bm25_topk: $what must be a number literal, got '$other'")
+          }
+          val k1 = num(rest.headOption.flatten, "k1", 1.2)
+          val b = num(rest.drop(1).headOption.flatten, "b", 0.75)
+          Plain(graft.operators.Retrieval.bm25TopK(
+            lower(TableRef(corpus), ctx), idCol, textCol,
+            lower(TableRef(queriesRel), ctx), idCol, textCol, k.toInt, k1, b))
+        case _ =>
+          throw new LoweringException(
+            "bm25_topk expects (corpus, id_col, text_col, queries_rel, k[, k1, b]) " +
+              "literals, e.g. bm25_topk('documents', 'doc_id', 'text', 'evalset', 5)")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

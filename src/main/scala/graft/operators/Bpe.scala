@@ -73,6 +73,24 @@ object Bpe {
         .otherwise(BpeExpressions.bpeMergeCount(
           BpeTrain.pretokStream(textCol, pretok), merges)))
 
+  /** The actual TOKENIZE surface: (id, bpe_tokens, n_bpe_tokens) — the
+    * final merge-replay symbol sequence per document (what a user ships
+    * to training after bpe_train), same inference loop as
+    * [[withMergeCount]] (size(bpe_tokens) == its count by construction,
+    * spec-gated). Null text → null tokens, count 0 (the counter's
+    * convention). One codegen'd pass; the merge list rides with the plan
+    * (loadMerges' [[MaxMerges]]-capped collect). */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], pretok: String = "words"): DataFrame =
+    df.select(
+      F.col(idCol),
+      F.when(F.col(textCol).isNull, F.lit(null).cast("array<string>"))
+        .otherwise(BpeExpressions.bpeMergeEncode(
+          BpeTrain.pretokStream(textCol, pretok), merges)).as("bpe_tokens"),
+      F.when(F.col(textCol).isNull, F.lit(0L))
+        .otherwise(BpeExpressions.bpeMergeCount(
+          BpeTrain.pretokStream(textCol, pretok), merges)).as("n_bpe_tokens"))
+
   /** Tokenizer-fitness report — the numbers that decide whether a vocab
     * FITS a corpus before committing a training run to it:
     *

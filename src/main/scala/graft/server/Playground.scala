@@ -257,6 +257,27 @@ object Playground {
         |}
         |from bpe_count_merges('documents', 'text', 'my_merges')
         |agg docs = _.count, merge_tokens = n_bpe_merge_tokens.sum""".stripMargin,
+    "llm_bpe_encode" ->
+      """-- the actual TOKENIZE step: learn merges, then emit each doc's
+        |-- final symbol sequence (rank-ordered merge replay — what ships
+        |-- to training). size(bpe_tokens) == bpe_count_merges' count.
+        |model my_merges = {
+        |  from bpe_train('documents', 'text', 50)
+        |}
+        |from bpe_encode('documents', 'doc_id', 'text', 'my_merges')
+        |select doc_id, n_bpe_tokens, bpe_tokens
+        |order by doc_id
+        |limit 10""".stripMargin,
+    "llm_bm25" ->
+      """-- Okapi BM25 retrieval: the k corpus docs most lexically relevant
+        |-- to each query/eval doc — the retrieval-based contamination and
+        |-- data-selection net between n-gram overlap and embeddings.
+        |model evalset = {
+        |  from documents
+        |  where doc_id < 3
+        |}
+        |from bm25_topk('documents', 'doc_id', 'text', 'evalset', 5)
+        |order by query_id, rank""".stripMargin,
     "llm_bpe_count" ->
       """-- count in TOKENIZER tokens, not words: byte-level greedy
         |-- longest-match against a vocab relation (single-byte fallback
@@ -355,7 +376,7 @@ object Playground {
       "llm_contamination_report", "llm_contamination_semantic", "llm_mix_temperature",
       "llm_token_budget_quality",
       "llm_vocab_profile", "llm_bpe_count", "llm_bpe_stats", "llm_bpe_train",
-      "llm_bpe_merge_replay", "llm_ann_pq", "llm_perplexity_kn",
+      "llm_bpe_merge_replay", "llm_bpe_encode", "llm_bm25", "llm_ann_pq", "llm_perplexity_kn",
       "llm_quality_classifier", "llm_bpe_gpt2", "llm_prototypicality", "llm_dsir",
       "llm_dsir_sample", "llm_top_ngrams")
 

@@ -188,6 +188,22 @@ class PlanSpec extends SparkTestBase {
       s"bloom probe must stay native:\n$plan")
   }
 
+  test("bm25: query terms broadcast into the postings join, no cartesian") {
+    // the corpus side is postings (token-keyed groupBy); the small query
+    // side must broadcast into it — a shuffled or cartesian corpus×query
+    // plan would be the 100 TB killer
+    val docs = table("documents")
+    val queries = docs.filter(org.apache.spark.sql.functions.col("doc_id") < 3)
+      .select("doc_id", "text")
+    val df = graft.operators.Retrieval.bm25TopK(
+      docs, "doc_id", "text", queries, "doc_id", "text", 5)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), s"bm25 cross-joined:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"query side not broadcast:\n$plan")
+    // partial/final aggregation for the postings/df fits
+    assert(plan.contains("HashAggregate"), s"no hash aggregation:\n$plan")
+  }
+
   test("packing cumsum window is shard-partitioned, never global") {
     // a window without PARTITION BY serializes the whole corpus onto one
     // task — the exact failure mode the md5-prefix shard exists to prevent

@@ -255,6 +255,39 @@ class BpeSpec extends SparkTestBase {
     assert(a.nonEmpty && joined.count() > 0)
   }
 
+  test("bpe_encode: sequence length == merge count, concat reconstructs the stream") {
+    // the encode surface and the counter run the SAME replay kernel — pin
+    // it over the real corpus in both pretok modes: size(tokens) equals
+    // n_bpe_merge_tokens row for row, and the concatenated symbols spell
+    // exactly the concatenated pre-tokens (lossless tokenization)
+    val corpus = docs.limit(120)
+    Seq("words", "gpt2").foreach { pretok =>
+      val merges = Bpe.loadMerges(
+        BpeTrain.bpeTrain(corpus, "text", nMerges = 40, pretok = pretok))
+      val enc = Bpe.encode(corpus, "doc_id", "text", merges, pretok)
+      val counted = Bpe.withMergeCount(corpus, "text", merges, pretok = pretok)
+        .select(F.col("doc_id"), F.col("n_bpe_merge_tokens"))
+      val joined = enc.join(counted, Seq("doc_id"))
+      val bad = joined.filter(
+        F.coalesce(F.size(F.col("bpe_tokens")), F.lit(0)).cast("long") =!=
+          F.col("n_bpe_merge_tokens")).count()
+      assert(bad == 0, s"[$pretok] encode length diverged from merge count")
+      val lossy = enc
+        .join(corpus.select("doc_id", "text"), Seq("doc_id"))
+        .filter(F.col("text").isNotNull)
+        .filter(F.array_join(F.col("bpe_tokens"), "") =!=
+          F.array_join(BpeTrain.pretokStream("text", pretok), ""))
+        .count()
+      assert(lossy == 0, s"[$pretok] tokenization not lossless over the pretok stream")
+    }
+    // null text → null tokens, count 0 (the counter's convention)
+    import spark.implicits._
+    val withNull = Seq((900001L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val m = Seq(("a", "b"))
+    val r = Bpe.encode(withNull, "doc_id", "text", m).collect().head
+    assert(r.isNullAt(1) && r.getLong(2) == 0L)
+  }
+
   test("incremental trainer ≡ naive recount loop: planted, tied, and fuzz corpora") {
     // the r15 verdict #2 gate: the incremental (HF-tokenizers-shaped) loop
     // must be BIT-identical to the full-recount reference on every input —

@@ -94,6 +94,46 @@ class PipelineSpec extends SparkTestBase {
       canon(Dedup.exactGroups(docs, "doc_id", "text")))
   }
 
+  test("bm25: rare-term routing, duplicate ties, positivity, determinism") {
+    import spark.implicits._
+    // NOTE: "self ranks first" is NOT a BM25 invariant — length
+    // normalization (b = 0.75) can legitimately rank a shorter doc
+    // carrying the query's rare terms above the query's own longer copy
+    // (observed on the synthetic corpus). Pin what IS guaranteed instead.
+    val planted = Seq(
+      (910001L, "zqqzv zqqzv zqqzv"), // unique term: only candidate is itself
+      (910002L, "the corpus shares these common words"),
+      (910003L, "the corpus shares these common words") // exact dup of 910002
+    ).toDF("doc_id", "text")
+    val corpus = docs.select("doc_id", "text").union(planted)
+    val q1 = planted.filter(F.col("doc_id") === 910001L)
+    val r1 = Retrieval.bm25TopK(corpus, "doc_id", "text", q1, "doc_id", "text", k = 5)
+      .collect()
+    // the query's only term occurs in exactly one corpus doc — itself
+    assert(r1.length == 1 && r1.head.getLong(1) == 910001L && r1.head.getInt(3) == 1,
+      s"rare-term routing failed: ${r1.mkString(", ")}")
+    // exact duplicates score identically; the tie breaks to the smaller id
+    val q2 = planted.filter(F.col("doc_id") === 910002L)
+    val r2 = Retrieval.bm25TopK(corpus, "doc_id", "text", q2, "doc_id", "text", k = 5)
+      .collect()
+    val dupRows = r2.filter(r => r.getLong(1) == 910002L || r.getLong(1) == 910003L)
+    assert(dupRows.length == 2 &&
+      dupRows.map(_.getDouble(2)).distinct.length == 1 &&
+      dupRows.minBy(_.getInt(3)).getLong(1) == 910002L,
+      s"duplicate tie handling failed: ${dupRows.mkString(", ")}")
+    // corpus-wide run: scores strictly positive (Lucene non-negative idf),
+    // ranks dense 1..k, deterministic across two independent plans
+    val queries = docs.filter(F.col("doc_id") < 3).select("doc_id", "text")
+    val r = Retrieval.bm25TopK(docs, "doc_id", "text", queries, "doc_id", "text", k = 5)
+      .collect()
+    assert(r.forall(_.getDouble(2) > 0.0), "non-positive bm25 score")
+    assert(Seq(0L, 1L, 2L).forall(q =>
+      r.filter(_.getLong(0) == q).map(_.getInt(3)).sorted.toSeq == (1 to 5)))
+    val again = Retrieval.bm25TopK(docs, "doc_id", "text",
+      queries, "doc_id", "text", k = 5).collect()
+    assert(r.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("minhash LSH finds a planted near-duplicate") {
     import spark.implicits._
     val base = docs.limit(20).select("doc_id", "text")
