@@ -175,7 +175,10 @@ object BenchScale {
     // BM25 retrieval (r17): postings + df groupBys (token-keyed partial
     // agg), broadcast query terms, per-query window over only term-sharing
     // docs — expect ~1 in corpus rows at a fixed query set
-    "q_bm25_topk")
+    "q_bm25_topk",
+    // persisted-index twin: the fit is untimed (per-JVM memo), the timed
+    // region is a partition-pruned postings probe — the sub-linear shape
+    "q_bm25_topk_index")
 
   private def loadavg(): String = BenchGuard.loadavg()
 

@@ -651,6 +651,19 @@ object QueryCatalog {
       path
     })
 
+  /** Build-once-per-(JVM, corpus dir) persisted BM25 index over the
+    * documents table — the q_bm25_topk_index rows query it with a
+    * partition-pruned postings scan. */
+  private val bm25IndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def persistedBm25Index(spark: SparkSession, dir: String): String =
+    bm25IndexPaths.getOrElseUpdate(dir, {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bm25_index_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      graft.operators.Retrieval.writeBm25Index(
+        Tables.read(spark, dir, "documents"), "doc_id", "text", path)
+      path
+    })
+
   private val int8IndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private def persistedInt8Index(spark: SparkSession, dir: String): String =
     int8IndexPaths.getOrElseUpdate(dir, {
@@ -5067,6 +5080,81 @@ object QueryCatalog {
         from bm25_topk('documents', 'doc_id', 'text', 'evalset', 5)
         order by query_id, rank
       """),
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+          FROM documents WHERE text IS NOT NULL
+        ),
+        post AS (
+          SELECT doc_id, t, count(*)::DOUBLE AS tf
+          FROM (SELECT doc_id, unnest(w) AS t FROM tok) GROUP BY doc_id, t
+        ),
+        dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM tok),
+        st AS (SELECT count(*)::DOUBLE AS n, avg(dl::DOUBLE) AS avgdl FROM dl),
+        idf AS (
+          SELECT t,
+            ln(1 + ((SELECT n FROM st) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+          FROM post GROUP BY t
+        ),
+        q AS (
+          SELECT DISTINCT doc_id AS query_id, t
+          FROM (SELECT doc_id, unnest(w) AS t FROM tok WHERE doc_id < 3)
+        ),
+        terms AS (
+          SELECT q.query_id, p.doc_id AS corpus_id,
+            i.idf * (p.tf * (1.2 + 1)) /
+              (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (SELECT avgdl FROM st))) AS term
+          FROM q JOIN post p USING (t) JOIN idf i USING (t)
+          JOIN dl d ON d.doc_id = p.doc_id
+        ),
+        scored AS (
+          SELECT query_id, corpus_id, round(sum(term) + 5e-9, 4) AS bm25
+          FROM terms GROUP BY query_id, corpus_id
+        ),
+        ranked AS (
+          SELECT query_id, corpus_id, bm25,
+            row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, corpus_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, corpus_id, bm25, rank::INTEGER AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+      """)
+    ),
+    (
+      // The bm25_index writer on the language surface: three-output write
+      // (tok_grp-partitioned postings + _df + _meta siblings) + a 1-row
+      // summary — postings count = distinct (doc, token) pairs, which the
+      // oracle recomputes from the raw corpus.
+      "q_bm25_index",
+      wv("""
+        from bm25_index('documents', 'doc_id', 'text', '/tmp/graft_bm25_idx_wv')
+      """),
+      Some("""
+        SELECT '/tmp/graft_bm25_idx_wv' AS path, count(*)::BIGINT AS postings
+        FROM (
+          SELECT DISTINCT doc_id, t FROM (
+            SELECT doc_id, unnest(list_filter(
+              string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS t
+            FROM documents WHERE text IS NOT NULL)
+        )
+      """)
+    ),
+    (
+      // BM25 over the PERSISTED index (Retrieval.bm25IndexTopK): the
+      // postings scan is partition-pruned to the query terms' tok_grp
+      // buckets (PlanSpec gates PartitionFilters) and the idf table is the
+      // model-sized _df sibling — identical arithmetic to the flat scorer,
+      // so the oracle is q_bm25_topk's SQL verbatim (bitwise-equal rows).
+      "q_bm25_topk_index",
+      (spark, dir) => {
+        val path = persistedBm25Index(spark, dir)
+        val evalset = Tables.read(spark, dir, "documents")
+          .filter(F.col("doc_id") < 3).select("doc_id", "text")
+        graft.operators.Retrieval.bm25IndexTopK(
+          spark, path, evalset, "doc_id", "text", k = 5)
+          .orderBy("query_id", "rank")
+      },
       Some("""
         WITH tok AS (
           SELECT doc_id, list_filter(

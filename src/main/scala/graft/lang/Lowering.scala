@@ -28,7 +28,8 @@ object Lowering {
     * twice in r13/r14. Add a dispatch case ⇒ the spec forces the name in
     * here ⇒ LSP + playground pick it up structurally. */
   val nativeTableFunctions: Seq[String] = Seq(
-    "ann_int8_index", "ann_lsh_postings", "ann_pq_index", "bm25_topk",
+    "ann_int8_index", "ann_lsh_postings", "ann_pq_index",
+    "bm25_index", "bm25_topk", "bm25_topk_index",
     "bpe_count", "bpe_count_merges", "bpe_encode", "bpe_stats", "bpe_train", "build_vocab",
     "contaminated_docs", "contaminated_vecs", "contamination_report",
     "contamination_report_semantic",
@@ -1442,6 +1443,70 @@ object Lowering {
           throw new LoweringException(
             "bm25_topk expects (corpus, id_col, text_col, queries_rel, k[, k1, b]) " +
               "literals, e.g. bm25_topk('documents', 'doc_id', 'text', 'evalset', 5)")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "bm25_index" =>
+      // bm25_index('corpus', 'id_col', 'text_col', '/out/path') — WRITES
+      // the persisted BM25 index (tok_grp-partitioned postings + "_df" +
+      // "_meta" siblings; Retrieval.writeBm25Index — a three-output write
+      // a plain CTAS cannot express) and returns a 1-row summary. Query
+      // the path with bm25_topk_index(...). Analysis-only contexts get the
+      // summary schema with no rows (the ann_pq_index contract).
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
+            Some(path: String)) =>
+          val s = ctx.spark
+          import s.implicits._
+          if (ctx.analysisOnly)
+            Plain(Seq.empty[(String, Long)].toDF("path", "postings"))
+          else {
+            graft.operators.Retrieval.writeBm25Index(
+              lower(TableRef(corpus), ctx), idCol, textCol, path)
+            val n = ctx.spark.read.parquet(path).count()
+            Plain(Seq((path, n)).toDF("path", "postings"))
+          }
+        case _ =>
+          throw new LoweringException(
+            "bm25_index expects (corpus, id_col, text_col, out_path) literals, " +
+              "e.g. bm25_index('documents', 'doc_id', 'text', '/tmp/bm25_idx')")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "bm25_topk_index" =>
+      // bm25_topk_index('/index/path', 'queries_rel', 'id_col', 'text_col',
+      // k[, k1, b]) — BM25 over the PERSISTED index written by
+      // bm25_index(...): the postings scan is partition-pruned to the
+      // query terms' buckets; results are bitwise the flat bm25_topk's.
+      args.map(constValue) match {
+        case List(Some(path: String), Some(queriesRel: String), Some(idCol: String),
+            Some(textCol: String), Some(k: Long), rest @ _*)
+            if k >= 1 && rest.lengthCompare(2) <= 0 =>
+          def num(v: Option[Any], what: String, dflt: Double): Double = v match {
+            case Some(d: java.lang.Double) => d.doubleValue()
+            case Some(n: Number) => n.doubleValue()
+            case None => dflt
+            case other => throw new LoweringException(
+              s"bm25_topk_index: $what must be a number literal, got '$other'")
+          }
+          val k1 = num(rest.headOption.flatten, "k1", 1.2)
+          val b = num(rest.drop(1).headOption.flatten, "b", 0.75)
+          try ctx.spark.read.parquet(path + "_meta").schema
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new LoweringException(
+                s"bm25_topk_index expects a path to a persisted BM25 index " +
+                  s"(postings at '$path' plus '_df'/'_meta' siblings — write them " +
+                  s"with bm25_index / Retrieval.writeBm25Index) — ${e.getMessage}")
+          }
+          Plain(graft.operators.Retrieval.bm25IndexTopK(
+            ctx.spark, path, lower(TableRef(queriesRel), ctx), idCol, textCol,
+            k.toInt, k1, b))
+        case _ =>
+          throw new LoweringException(
+            "bm25_topk_index expects (index_path, queries_rel, id_col, text_col, k" +
+              "[, k1, b]) literals, e.g. bm25_topk_index('/tmp/bm25_idx', 'evalset', " +
+              "'doc_id', 'text', 5)")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

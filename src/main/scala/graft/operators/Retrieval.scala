@@ -90,4 +90,109 @@ object Retrieval {
       .filter(F.col("rank") <= k)
       .select("query_id", "corpus_id", "bm25", "rank")
   }
+
+  // ---------------------------------------------------------------------------
+  // Persisted BM25 index (the int8/PQ-index pattern for retrieval)
+  // ---------------------------------------------------------------------------
+
+  /** Postings partition-bucket count: `tok_grp = crc32(token) % 64` keeps
+    * directories FS-block-sized while a probe over any realistic query
+    * set touches a strict subset — the bucket values are engine-internal
+    * (results are identical to the flat scorer, so the oracle never sees
+    * them). */
+  val IndexTokGroups = 64
+
+  private def tokGrp(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    F.pmod(F.crc32(tok.cast("binary")), F.lit(IndexTokGroups.toLong)).cast("int")
+
+  /** Write the persisted BM25 index: postings at `path` partitioned by
+    * `tok_grp` — (corpus_id, __tok, __tf, __dl), doc length DENORMALIZED
+    * onto every posting so the query path never re-joins a doc table —
+    * plus a `path + "_df"` token→document-frequency sibling and a 1-row
+    * `path + "_meta"` (n, avgdl). Build is offline (CTAS-class); queries
+    * go through [[bm25IndexTopK]], whose postings scan is PRUNED to the
+    * probe buckets (PlanSpec gates PartitionFilters). */
+  def writeBm25Index(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String
+  ): Unit = {
+    val docs = corpus.filter(F.col(textCol).isNotNull)
+      .select(F.col(idCol).as("corpus_id"),
+        graft.functions.TextFunctions.tokens(F.col(textCol)).as("__toks"))
+    val dl = docs.select(F.col("corpus_id"), F.size(F.col("__toks")).cast("long").as("__dl"))
+    val postings = docs
+      .select(F.col("corpus_id"), F.explode(F.col("__toks")).as("__tok"))
+      .groupBy("corpus_id", "__tok")
+      .agg(F.count(F.lit(1)).as("__tf"))
+      .join(dl, Seq("corpus_id"))
+      .withColumn("tok_grp", tokGrp(F.col("__tok")))
+    postings.write.mode("overwrite").partitionBy("tok_grp").parquet(path)
+    // df sibling from the WRITTEN postings (self-consistent even if the
+    // corpus changes between the two writes)
+    val written = corpus.sparkSession.read.parquet(path)
+    written.groupBy("__tok").agg(F.count(F.lit(1)).as("__df"))
+      .write.mode("overwrite").parquet(path + "_df")
+    dl.agg(
+        F.count(F.lit(1)).as("n"),
+        F.avg(F.col("__dl").cast("double")).as("avgdl"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(path + "_meta")
+  }
+
+  /** Top-k BM25 over a PERSISTED index: the postings scan reads ONLY the
+    * partitions of the query terms' buckets (a bounded ≤
+    * [[IndexTokGroups]]-value driver collect feeds a static partition
+    * filter), the idf table is the model-sized `_df` sibling, and (n,
+    * avgdl) come from the 1-row meta — identical arithmetic to
+    * [[bm25TopK]], so results are bitwise the flat scorer's (spec-gated;
+    * the oracle row reuses q_bm25_topk's SQL). */
+  def bm25IndexTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      queryId: String,
+      queryText: String,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(k >= 1, s"bm25_topk_index: k must be >= 1, got $k")
+    val meta = spark.read.parquet(indexPath + "_meta").head()
+    val n = meta.getLong(meta.fieldIndex("n"))
+    val avgdl = meta.getDouble(meta.fieldIndex("avgdl"))
+    val idf = spark.read.parquet(indexPath + "_df")
+      .select(F.col("__tok"),
+        F.log(F.lit(1.0) +
+          (F.lit(n.toDouble) - F.col("__df") + F.lit(0.5)) /
+            (F.col("__df") + F.lit(0.5))).as("__idf"))
+    val qTerms = queries.filter(F.col(queryText).isNotNull)
+      .select(F.col(queryId).as("query_id"),
+        F.explode(graft.functions.TextFunctions.tokens(F.col(queryText))).as("__tok"))
+      .distinct()
+    // probe buckets: a ≤IndexTokGroups-value driver collect (the bounded
+    // class) → STATIC partition filter, so the scan lists/opens only the
+    // probe directories
+    val grps = qTerms.select(tokGrp(F.col("__tok")).as("g")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val post = spark.read.parquet(indexPath)
+      .filter(F.col("tok_grp").isin(grps.map(Integer.valueOf).toSeq: _*))
+    val terms = post
+      .join(F.broadcast(qTerms), Seq("__tok"))
+      .join(idf, Seq("__tok"))
+      .select(F.col("query_id"), F.col("corpus_id"),
+        (F.col("__idf") * (F.col("__tf") * (F.lit(k1) + 1.0)) /
+          (F.col("__tf") + F.lit(k1) *
+            (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.lit(avgdl))))
+          .as("__term"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(F.col("bm25").desc, F.col("corpus_id").asc)
+    terms
+      .groupBy("query_id", "corpus_id")
+      .agg(F.round(F.sum("__term") + F.lit(5e-9), 4).as("bm25"))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "corpus_id", "bm25", "rank")
+  }
 }

@@ -204,6 +204,24 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("HashAggregate"), s"no hash aggregation:\n$plan")
   }
 
+  test("bm25 persisted index: postings scan pruned to the probe buckets") {
+    val docs = table("documents")
+    val path = java.nio.file.Files.createTempDirectory("bm25_idx_plan").toString + "/idx"
+    graft.operators.Retrieval.writeBm25Index(docs, "doc_id", "text", path)
+    // a single short query touches a strict subset of the 64 tok_grp
+    // buckets — the postings scan must carry a static PartitionFilters
+    // entry on tok_grp (directory pruning, the lsh_int8_part contract)
+    val q = docs.filter(org.apache.spark.sql.functions.col("doc_id") === 0)
+      .select("doc_id", "text")
+    val df = graft.operators.Retrieval.bm25IndexTopK(spark, path, q, "doc_id", "text", 5)
+    val plan = planOf(df)
+    val pf = plan.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("tok_grp")).getOrElse("")
+    assert(pf.contains("IN") || pf.contains("in("),
+      s"postings scan not partition-pruned:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("packing cumsum window is shard-partitioned, never global") {
     // a window without PARTITION BY serializes the whole corpus onto one
     // task — the exact failure mode the md5-prefix shard exists to prevent

@@ -134,6 +134,22 @@ class PipelineSpec extends SparkTestBase {
     assert(r.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("bm25 persisted index: bitwise the flat scorer's rows") {
+    val path = java.nio.file.Files.createTempDirectory("bm25_idx").toString + "/idx"
+    Retrieval.writeBm25Index(docs, "doc_id", "text", path)
+    val queries = docs.filter(F.col("doc_id") < 3).select("doc_id", "text")
+    val flat = Retrieval.bm25TopK(docs, "doc_id", "text",
+        queries, "doc_id", "text", k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val idx = Retrieval.bm25IndexTopK(spark, path, queries, "doc_id", "text", k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(idx == flat, "index serving diverged from the flat scorer")
+    // the meta sibling really is 1 row and the postings carry dl denormalized
+    assert(spark.read.parquet(path + "_meta").count() == 1)
+    assert(spark.read.parquet(path).columns.toSet ==
+      Set("corpus_id", "__tok", "__tf", "__dl", "tok_grp"))
+  }
+
   test("minhash LSH finds a planted near-duplicate") {
     import spark.implicits._
     val base = docs.limit(20).select("doc_id", "text")
