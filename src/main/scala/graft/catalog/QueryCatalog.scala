@@ -4606,10 +4606,14 @@ object QueryCatalog {
     ),
     (
       // Property gate for the trained tier: recall@5 vs float brute force
-      // >= 0.7 (the r15 verdict's bar for "production-grade PQ"; measured
-      // 0.90 at sf0.01, 0.92 at sf0.001) plus bitwise determinism across
-      // two independently-built plans (the Lloyd trainer is seeded and
-      // exact, so two runs produce identical codebooks).
+      // >= 0.7 (the r15 verdict's bar for "production-grade PQ") plus
+      // bitwise determinism across two independently-built plans (the
+      // Lloyd trainer is seeded and exact, so two runs produce identical
+      // codebooks). Since r17 this row trains at the SERVING default —
+      // PqTrainSampleDefault = min(16384, corpus), i.e. the whole corpus
+      // at the test SFs — so the gate measures the quality users get; the
+      // 512-sample teaching tier stays pinned by the bitwise rows above
+      // (which pass trainSample explicitly).
       "q_similarity_pq_trained_property",
       (spark, dir) => {
         val embs = Tables.read(spark, dir, "embeddings")
@@ -5119,6 +5123,45 @@ object QueryCatalog {
         )
         SELECT query_id, corpus_id, bm25, rank::INTEGER AS rank
         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+      """)
+    ),
+    (
+      // Per-doc top-k tf-idf keywords (Retrieval.keywordsTfidf via
+      // keywords_tfidf(...)): idf = ln(N/df) over non-null docs, score
+      // tf·idf with the shared +5e-9/4dp rounding, ties (tfidf desc,
+      // token) — every float input an exact integer aggregate, full
+      // DuckDB recompute.
+      "q_keywords_tfidf",
+      wv("""
+        from keywords_tfidf('documents', 'doc_id', 'text', 3)
+        order by doc_id, rank
+      """),
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+          FROM documents WHERE text IS NOT NULL
+        ),
+        post AS (
+          SELECT doc_id, t AS token, count(*)::BIGINT AS tf
+          FROM (SELECT doc_id, unnest(w) AS t FROM tok) GROUP BY doc_id, t
+        ),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM tok),
+        idf AS (
+          SELECT token, ln((SELECT n FROM nn) / count(*)) AS idf
+          FROM post GROUP BY token
+        ),
+        scored AS (
+          SELECT p.doc_id, p.token, round(p.tf * i.idf + 5e-9, 4) AS tfidf
+          FROM post p JOIN idf i USING (token)
+        ),
+        ranked AS (
+          SELECT doc_id, token, tfidf,
+            row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+          FROM scored
+        )
+        SELECT doc_id, token, tfidf, rank::INTEGER AS rank
+        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
       """)
     ),
     (

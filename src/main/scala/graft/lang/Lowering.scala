@@ -37,6 +37,7 @@ object Lowering {
     "decontaminate", "decontaminate_semantic",
     "dedup_bloom", "dedup_incremental", "dedup_incremental_pairs", "dedup_semantic",
     "dedup_spans", "dsir_sample", "dsir_weight", "duckdb_functions", "each_top_k", "jdbc",
+    "keywords_tfidf",
     "minhash_index", "mix_by_temperature", "pack_sequences", "parquet_metadata",
     "perplexity_score", "perplexity_score_bigram", "prototypicality_score",
     "quality_classifier_score",
@@ -1507,6 +1508,29 @@ object Lowering {
             "bm25_topk_index expects (index_path, queries_rel, id_col, text_col, k" +
               "[, k1, b]) literals, e.g. bm25_topk_index('/tmp/bm25_idx', 'evalset', " +
               "'doc_id', 'text', 5)")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "keywords_tfidf" =>
+      // keywords_tfidf('corpus', 'id_col', 'text_col'[, k]) — per-doc
+      // top-k tf-idf terms (Retrieval.keywordsTfidf): the classic
+      // doc-labeling/boilerplate-spotting view; idf = ln(N/df), ties
+      // (tfidf desc, token).
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
+            rest @ _*) if rest.lengthCompare(1) <= 0 =>
+          val k = rest.headOption match {
+            case Some(Some(n: Long)) if n >= 1 => n.toInt
+            case None => 5
+            case other => throw new LoweringException(
+              s"keywords_tfidf: k must be a positive integer literal, got '$other'")
+          }
+          Plain(graft.operators.Retrieval.keywordsTfidf(
+            lower(TableRef(corpus), ctx), idCol, textCol, k))
+        case _ =>
+          throw new LoweringException(
+            "keywords_tfidf expects (corpus, id_col, text_col[, k]) literals, " +
+              "e.g. keywords_tfidf('documents', 'doc_id', 'text', 5)")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

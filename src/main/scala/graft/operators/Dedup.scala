@@ -153,7 +153,16 @@ object Dedup {
       F.col(idCol))
     val n = expectedItems.getOrElse(df.count()).max(1L)
     val numBits = BloomFilter.optimalNumOfBits(n, fpp).min(MaxBloomBits).max(64L)
-    val parts = keyed.select("fingerprint").rdd.mapPartitions { it =>
+    // the build pass ships ONE serialized bloom pair per partition through
+    // the treeReduce — on a very wide corpus scan (thousands of input
+    // splits) that traffic would dominate, so cap the builder at 64
+    // coalesced partitions (no shuffle; each task reads more splits, and
+    // the per-task work is a pure scan + hash)
+    val fpRdd = {
+      val r = keyed.select("fingerprint").rdd
+      if (r.getNumPartitions > 64) r.coalesce(64) else r
+    }
+    val parts = fpRdd.mapPartitions { it =>
       val b1 = BloomFilter.create(n, numBits)
       val b2 = BloomFilter.create(n, numBits)
       it.foreach { r =>

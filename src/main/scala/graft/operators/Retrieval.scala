@@ -91,6 +91,43 @@ object Retrieval {
       .select("query_id", "corpus_id", "bm25", "rank")
   }
 
+  /** Per-document top-k tf-idf keywords — the classic corpus-analysis /
+    * doc-labeling / boilerplate-spotting view (a template token that
+    * appears everywhere scores idf ln(N/N) = 0; a doc's distinctive terms
+    * float to the top). tf = raw in-doc count, idf = ln(N / df) over
+    * non-null-text docs, score rounded via the shared +5e-9/4dp
+    * convention; ties (tfidf desc, token asc). One postings groupBy + one
+    * df groupBy + a per-doc window over the doc's own DISTINCT terms —
+    * nothing corpus-quadratic, nothing collected. Output (idCol, token,
+    * tfidf, rank). */
+  def keywordsTfidf(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5
+  ): DataFrame = {
+    require(k >= 1, s"keywords_tfidf: k must be >= 1, got $k")
+    val docs = corpus.filter(F.col(textCol).isNotNull)
+      .select(F.col(idCol),
+        graft.functions.TextFunctions.tokens(F.col(textCol)).as("__toks"))
+    val postings = docs
+      .select(F.col(idCol), F.explode(F.col("__toks")).as("token"))
+      .groupBy(idCol, "token")
+      .agg(F.count(F.lit(1)).as("__tf"))
+    val total = docs.agg(F.count(F.lit(1)).as("__n"))
+    val df = postings.groupBy("token").agg(F.count(F.lit(1)).as("__df"))
+    val idf = df.crossJoin(F.broadcast(total))
+      .select(F.col("token"),
+        F.log(F.col("__n").cast("double") / F.col("__df")).as("__idf"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(F.col("tfidf").desc, F.col("token").asc)
+    postings.join(idf, Seq("token"))
+      .withColumn("tfidf", F.round(F.col("__tf") * F.col("__idf") + F.lit(5e-9), 4))
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select(F.col(idCol), F.col("token"), F.col("tfidf"), F.col("rank"))
+  }
+
   // ---------------------------------------------------------------------------
   // Persisted BM25 index (the int8/PQ-index pattern for retrieval)
   // ---------------------------------------------------------------------------

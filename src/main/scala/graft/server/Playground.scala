@@ -278,6 +278,13 @@ object Playground {
         |}
         |from bm25_topk('documents', 'doc_id', 'text', 'evalset', 5)
         |order by query_id, rank""".stripMargin,
+    "llm_keywords" ->
+      """-- per-doc tf-idf keywords: a template token that appears in
+        |-- every doc scores ln(N/N) = 0, so each doc's DISTINCTIVE terms
+        |-- float to the top — labeling and boilerplate-spotting in one.
+        |from keywords_tfidf('documents', 'doc_id', 'text', 3)
+        |where doc_id < 5
+        |order by doc_id, rank""".stripMargin,
     "llm_bpe_count" ->
       """-- count in TOKENIZER tokens, not words: byte-level greedy
         |-- longest-match against a vocab relation (single-byte fallback
@@ -376,7 +383,8 @@ object Playground {
       "llm_contamination_report", "llm_contamination_semantic", "llm_mix_temperature",
       "llm_token_budget_quality",
       "llm_vocab_profile", "llm_bpe_count", "llm_bpe_stats", "llm_bpe_train",
-      "llm_bpe_merge_replay", "llm_bpe_encode", "llm_bm25", "llm_ann_pq", "llm_perplexity_kn",
+      "llm_bpe_merge_replay", "llm_bpe_encode", "llm_bm25", "llm_keywords",
+      "llm_ann_pq", "llm_perplexity_kn",
       "llm_quality_classifier", "llm_bpe_gpt2", "llm_prototypicality", "llm_dsir",
       "llm_dsir_sample", "llm_top_ngrams")
 
@@ -447,7 +455,8 @@ object Playground {
 </style>
 </head>
 <body>
-<h1>graft playground <a href="/">console &rarr;</a></h1>
+<h1>graft playground <a href="/">console &rarr;</a>
+<a href="/operators">operator reference &rarr;</a></h1>
 <div class="layout">
 <nav id="nav"><h2>examples</h2><div id="demos"></div></nav>
 <main>
