@@ -526,14 +526,23 @@ object Sampling {
         s"dsir features must be 'unigram' or 'bigram', got '$other'")
     }
 
-  def dsirWeight(
+  /** The DSIR fit alone: target/raw hashed-feature bucket models (ln p
+    * with Laplace smoothing) plus their totals — the stateful corpus/
+    * target passes. Exposed so a STREAM can be scored against models fit
+    * ONCE ([[graft.streaming.Subscribe.scoredAppend]]); [[dsirWeight]] is
+    * dsirWeightAgainst(corpus, fit(corpus, target)) by construction, so
+    * the split is invisible to the oracles. */
+  final case class DsirModel(
+      tModel: DataFrame, rModel: DataFrame, tN: Double, rN: Double,
+      features: String)
+
+  def dsirFit(
       corpus: DataFrame,
-      idCol: String,
       textCol: String,
       target: DataFrame,
       targetTextCol: String,
       features: String = "unigram"
-  ): DataFrame = {
+  ): DsirModel = {
     val buckets = graft.operators.QualityClassifier.Buckets
     def bucketed(df: DataFrame, text: String): DataFrame =
       df.select(graft.functions.TextFunctions.tokens(F.col(text)).as("__toks"))
@@ -556,11 +565,40 @@ object Sampling {
       counts.select(F.col("__b"),
         F.log((F.col("__c").cast("double") + F.lit(1.0)) /
           (F.lit(n) + F.lit(buckets.toDouble))).as(out))
-    val tModel = lnModel(tCounts, tN, "__lnt")
-    val rModel = lnModel(rCounts, rN, "__lnr")
+    DsirModel(lnModel(tCounts, tN, "__lnt"), lnModel(rCounts, rN, "__lnr"),
+      tN, rN, features)
+  }
+
+  def dsirWeight(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      target: DataFrame,
+      targetTextCol: String,
+      features: String = "unigram"
+  ): DataFrame =
+    dsirWeightAgainst(corpus, idCol, textCol,
+      dsirFit(corpus, textCol, target, targetTextCol, features))
+
+  /** The scoring half: per-doc DSIR log importance weight of `docs`
+    * against a pre-fit [[DsirModel]] — stateless per document (two
+    * broadcast bucket joins, one doc-keyed aggregation), so micro-batched
+    * scoring reproduces the batch run row for row. */
+  def dsirWeightAgainst(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: DsirModel
+  ): DataFrame = {
+    val buckets = graft.operators.QualityClassifier.Buckets
+    val features = model.features
+    val tModel = model.tModel
+    val rModel = model.rModel
+    val tN = model.tN
+    val rN = model.rN
     def lnFloor(n: Double): Column =
       F.log(F.lit(1.0) / (F.lit(n) + F.lit(buckets.toDouble)))
-    val tok = corpus.select(
+    val tok = docs.select(
         F.col(idCol),
         graft.functions.TextFunctions.tokens(F.col(textCol)).as("__toks"))
       .select(F.col(idCol),

@@ -118,6 +118,24 @@ class ServerSpec extends SparkTestBase {
     }
   }
 
+  test("operators endpoints serve the generated reference over HTTP") {
+    val (code, resp) = http("GET", "/api/v1/operators")
+    assert(code == 200, s"got $resp")
+    val ops = resp("operators").asInstanceOf[Seq[Map[String, Any]]]
+    assert(ops.map(_("name").asInstanceOf[String]) ==
+      graft.lang.Lowering.nativeTableFunctions,
+      "JSON operator list diverged from the registry")
+    assert(ops.forall(_("args").asInstanceOf[String].nonEmpty))
+    // the HTML page renders and carries every native
+    val conn = URI.create(s"$base/operators").toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val html = new String(conn.getInputStream.readAllBytes(), UTF_8)
+    assert(conn.getResponseCode == 200)
+    graft.lang.Lowering.nativeTableFunctions.foreach(n =>
+      assert(html.contains(s"<code>$n</code>"), s"page missing $n"))
+  }
+
   test("tables endpoint lists the served dir's tables with column types") {
     val (code, resp) = http("GET", "/api/v1/tables")
     assert(code == 200, s"got $resp")

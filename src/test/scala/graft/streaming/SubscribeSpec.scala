@@ -106,9 +106,16 @@ class SubscribeSpec extends SparkTestBase {
     val pos = Seq((101L, "reference prose about science and history")).toDF("doc_id", "text")
     val neg = Seq((201L, "click here buy now subscribe free deals")).toDF("doc_id", "text")
     val (w, b) = graft.operators.QualityClassifier.train(pos, neg, "doc_id", "text")
+    // scorer 3: DSIR importance weight against models fit ONCE on the
+    // static corpus + a reference target (the r16 verdict's third scorer)
+    val dsirModel = graft.operators.Sampling.dsirFit(corpus, "text", pos, "text")
     def scorer(batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       graft.operators.CorpusStats.unigramNllAgainst(batch, "doc_id", "text", model)
         .join(graft.operators.QualityClassifier.score(batch, "doc_id", "text", w, b),
+          Seq("doc_id"))
+        .join(graft.operators.Sampling
+            .dsirWeightAgainst(batch, "doc_id", "text", dsirModel)
+            .select(F.col("doc_id"), F.col("dsir_weight")),
           Seq("doc_id"))
     val out = Files.createTempDirectory("scored_out").toString
     val ck = Files.createTempDirectory("scored_ck").toString
