@@ -3390,6 +3390,48 @@ object QueryCatalog {
       """)
     ),
     (
+      // Exact INCREMENTAL dedup against the corpus
+      // (Dedup.bloomDedupAgainst via dedup_bloom_against(...)): batch =
+      // 30 corpus docs (every one a guaranteed hit, dup_of = itself as
+      // the min corpus id with that fingerprint) + a planted novel doc +
+      // a planted null-text doc (never a dup — null carries no content
+      // evidence). The bloom only prunes; the oracle is a plain SQL
+      // fingerprint join.
+      "q_dedup_bloom_against",
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = Tables.read(spark, dir, "documents")
+        val batch = docs.filter(F.col("doc_id") < 30).select("doc_id", "text")
+          .union(Seq(
+            (900001L, "completely novel crawl document zzz qqq vvv"),
+            (900002L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+        Dedup.bloomDedupAgainst(docs, batch, "doc_id", "text").orderBy("doc_id")
+      },
+      Some("""
+        WITH batch AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 30
+          UNION ALL
+          SELECT * FROM (VALUES
+            (900001, 'completely novel crawl document zzz qqq vvv'),
+            (900002, NULL)) v(doc_id, text)
+        ),
+        cfp AS (
+          SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp, doc_id
+          FROM documents WHERE text IS NOT NULL
+        ),
+        m AS (SELECT fp, min(doc_id) AS dup_of FROM cfp GROUP BY fp),
+        bfp AS (
+          SELECT doc_id,
+            CASE WHEN text IS NULL THEN NULL
+                 ELSE md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) END AS fp
+          FROM batch
+        )
+        SELECT b.doc_id, (m.dup_of IS NOT NULL) AS is_dup, m.dup_of
+        FROM bfp b LEFT JOIN m ON m.fp = b.fp
+        ORDER BY b.doc_id
+      """)
+    ),
+    (
       // Exact-substring dedup (Lee et al. 2021 approximated with stride-1
       // 8-token span fingerprints): tokens covered by a span repeated in
       // ≥2 distinct docs are removed. Oracle recomputes span membership on

@@ -35,7 +35,8 @@ object Lowering {
     "contamination_report_semantic",
     "decode_audio", "decode_images", "decode_video",
     "decontaminate", "decontaminate_semantic",
-    "dedup_bloom", "dedup_incremental", "dedup_incremental_pairs", "dedup_semantic",
+    "dedup_bloom", "dedup_bloom_against",
+    "dedup_incremental", "dedup_incremental_pairs", "dedup_semantic",
     "dedup_spans", "dsir_sample", "dsir_weight", "duckdb_functions", "each_top_k", "jdbc",
     "keywords_tfidf",
     "minhash_index", "mix_by_temperature", "pack_sequences", "parquet_metadata",
@@ -1573,6 +1574,34 @@ object Lowering {
           throw new LoweringException(
             "dedup_bloom expects (corpus, id_col, text_col[, fpp]) literals, " +
               "e.g. dedup_bloom('documents', 'doc_id', 'text', 0.01)")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "dedup_bloom_against" =>
+      // dedup_bloom_against('corpus', 'batch', 'id_col', 'text_col'
+      // [, fpp]) — exact INCREMENTAL dedup of a new batch against an
+      // existing corpus (Dedup.bloomDedupAgainst): a corpus-membership
+      // bloom prunes the batch, an exact broadcast recheck kills the
+      // false positives; the corpus is scanned twice, shuffled never.
+      // Output per batch row: (id, is_dup, dup_of).
+      args.map(constValue) match {
+        case List(Some(corpus: String), Some(batch: String), Some(idCol: String),
+            Some(textCol: String), rest @ _*) if rest.lengthCompare(1) <= 0 =>
+          val fpp = rest.headOption match {
+            case Some(Some(d: java.lang.Double)) => d.doubleValue()
+            case Some(Some(n: Number)) => n.doubleValue()
+            case None => 0.01
+            case other => throw new LoweringException(
+              s"dedup_bloom_against: fpp must be a number literal in (0, 1), got '$other'")
+          }
+          Plain(graft.operators.Dedup.bloomDedupAgainst(
+            lower(TableRef(corpus), ctx), lower(TableRef(batch), ctx),
+            idCol, textCol, fpp))
+        case _ =>
+          throw new LoweringException(
+            "dedup_bloom_against expects (corpus, batch, id_col, text_col[, fpp]) " +
+              "literals, e.g. dedup_bloom_against('documents', 'newbatch', " +
+              "'doc_id', 'text', 0.01)")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

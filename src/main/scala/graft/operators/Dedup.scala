@@ -194,6 +194,71 @@ object Dedup {
     uniques.unionAll(rechecked)
   }
 
+  /** Exact INCREMENTAL dedup of a new batch against an existing corpus —
+    * the actual Dolma deployment shape (is this crawl doc already in the
+    * corpus?), and the place the bloom pays most: the corpus is SCANNED
+    * twice (membership-bloom build + the exact recheck) but never
+    * shuffled and never collected; only the batch's bloom HITS (true dups
+    * + ~fpp·|batch| false positives) reach the recheck, which probes the
+    * corpus with a broadcast hash join on the candidate fingerprints and
+    * reduces to a candidate-sized match table. Results are EXACT — the
+    * bloom admits no false negatives and false positives die in the
+    * recheck join — so the oracle is a plain SQL fingerprint join.
+    *
+    * Null-text batch rows are NEVER duplicates (null carries no content
+    * evidence — the [[fpOrUnique]] principle), and null-text corpus rows
+    * contribute no fingerprints.
+    *
+    * Output: one row per batch row — (idCol, is_dup, dup_of) with dup_of
+    * = the smallest corpus id sharing the normalized fingerprint (null
+    * when novel). */
+  def bloomDedupAgainst(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      fpp: Double = 0.01,
+      expectedItems: Option[Long] = None
+  ): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"dedup_bloom_against: fpp must be in (0, 1), got $fpp")
+    import org.apache.spark.util.sketch.BloomFilter
+    val cKeyed = corpus.filter(F.col(textCol).isNotNull)
+      .select(TextFunctions.fingerprint(F.col(textCol)).as("__fp"), F.col(idCol))
+    val n = expectedItems.getOrElse(corpus.count()).max(1L)
+    val numBits = BloomFilter.optimalNumOfBits(n, fpp).min(MaxBloomBits).max(64L)
+    val fpRdd = {
+      val r = cKeyed.select("__fp").rdd
+      if (r.getNumPartitions > 64) r.coalesce(64) else r
+    }
+    val parts = fpRdd.mapPartitions { it =>
+      val bf = BloomFilter.create(n, numBits)
+      it.foreach(r =>
+        bf.putBinary(r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      Iterator.single(bloomSer(bf))
+    }
+    val bKeyed = batch.select(F.col(idCol),
+      F.when(F.col(textCol).isNotNull, TextFunctions.fingerprint(F.col(textCol)))
+        .as("__fp"))
+    if (parts.getNumPartitions == 0)
+      return bKeyed.select(F.col(idCol), F.lit(false).as("is_dup"),
+        F.lit(null).cast(bKeyed.schema(idCol).dataType).as("dup_of"))
+    val bloomBytes = parts.treeReduce({ (a, b) =>
+      val bf = BloomFilter.readFrom(a)
+      bf.mergeInPlace(BloomFilter.readFrom(b))
+      bloomSer(bf)
+    }, depth = 2)
+    val hit = graft.functions.BloomFunctions.mightContain(
+      F.col("__fp"), new graft.functions.BytesBlob(bloomBytes))
+    val cand = bKeyed.filter(F.col("__fp").isNotNull && hit)
+      .select("__fp").distinct()
+    // exact recheck: corpus scan + BROADCAST of the candidate fingerprints
+    // (no corpus shuffle; the groupBy reduces a candidate-sized frame)
+    val matches = cKeyed.join(F.broadcast(cand), Seq("__fp"))
+      .groupBy("__fp").agg(F.min(F.col(idCol)).as("dup_of"))
+    bKeyed.join(F.broadcast(matches), Seq("__fp"), "left")
+      .select(F.col(idCol), F.col("dup_of").isNotNull.as("is_dup"), F.col("dup_of"))
+  }
+
   // ---------------------------------------------------------------------------
   // MinHash + LSH
   // ---------------------------------------------------------------------------

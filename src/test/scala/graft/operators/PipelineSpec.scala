@@ -94,6 +94,41 @@ class PipelineSpec extends SparkTestBase {
       canon(Dedup.exactGroups(docs, "doc_id", "text")))
   }
 
+  test("bloom incremental dedup: corpus hits flagged, novel kept, nulls never dup") {
+    import spark.implicits._
+    val corpus = docs.select("doc_id", "text")
+    val batch = corpus.filter(F.col("doc_id") < 10)
+      .union(Seq(
+        (800001L, "a genuinely novel crawl document qqxz"),
+        (800002L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val r = Dedup.bloomDedupAgainst(corpus, batch, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r.length == 12)
+    // the 10 corpus-drawn docs are exact hits; dup_of = the smallest
+    // corpus id with the same fingerprint (itself unless an exact twin
+    // with a smaller id exists — either way non-null)
+    r.filter(_.getLong(0) < 10).foreach { row =>
+      assert(row.getBoolean(1) && !row.isNullAt(2), s"missed corpus hit: $row")
+    }
+    val novel = r.find(_.getLong(0) == 800001L).get
+    assert(!novel.getBoolean(1) && novel.isNullAt(2), s"novel doc flagged: $novel")
+    val nul = r.find(_.getLong(0) == 800002L).get
+    assert(!nul.getBoolean(1) && nul.isNullAt(2), "null text must never be a dup")
+    // a saturated bloom only sends MORE rows to the exact recheck
+    val sat = Dedup.bloomDedupAgainst(corpus, batch, "doc_id", "text",
+      fpp = 0.9, expectedItems = Some(5L)).orderBy("doc_id").collect()
+    assert(sat.map(_.toString).toSeq == r.map(_.toString).toSeq,
+      "saturated bloom changed the answer")
+    // the recheck probes the corpus with BROADCAST candidate joins — the
+    // corpus rows themselves never shuffle (exchanges are candidate-sized:
+    // the candidate distinct + the match groupBy)
+    val plan = Dedup.bloomDedupAgainst(corpus, batch, "doc_id", "text")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val shuffles = plan.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+    assert(shuffles <= 2, s"corpus-sized shuffle crept in ($shuffles exchanges):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"recheck not broadcast:\n$plan")
+  }
+
   test("bm25: rare-term routing, duplicate ties, positivity, determinism") {
     import spark.implicits._
     // NOTE: "self ranks first" is NOT a BM25 invariant — length
