@@ -178,7 +178,13 @@ object BenchScale {
     "q_bm25_topk",
     // persisted-index twin: the fit is untimed (per-JVM memo), the timed
     // region is a partition-pruned postings probe — the sub-linear shape
-    "q_bm25_topk_index")
+    "q_bm25_topk_index",
+    // incremental bloom dedup (r17): two corpus scans, zero corpus
+    // shuffle — expect ~1 in corpus rows at a fixed batch
+    "q_dedup_bloom_against",
+    // per-doc tf-idf keywords (r17): postings + df groupBys + a per-doc
+    // window — the token-keyed ~linear shape
+    "q_keywords_tfidf")
 
   private def loadavg(): String = BenchGuard.loadavg()
 
