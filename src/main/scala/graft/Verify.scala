@@ -27,8 +27,19 @@ object Verify {
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.forall(_.contains(name))) {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        try {
+          val df = fn(spark, sfDir)
+          // catalog invariant: the driver comparator hash-sorts EVERY
+          // column — a non-scalar column crashes it (r17's q_bpe_encode),
+          // so fail loudly here, before the driver ever sees the row
+          val bad = graft.catalog.QueryCatalog.nonScalarColumns(df.schema)
+          if (bad.nonEmpty)
+            throw new IllegalStateException(
+              s"non-scalar output column(s) [${bad.mkString(", ")}] — the driver " +
+                "comparator cannot sort arrays/structs; serialize through " +
+                "array_join (q_array_funcs convention)")
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        }
         catch { case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
           failed(name) = msg

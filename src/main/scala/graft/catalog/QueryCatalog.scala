@@ -498,6 +498,21 @@ object QueryCatalog {
     """
   }
 
+  /** Collision-resistant key for the staged /tmp artifacts below: md5 of
+    * the ABSOLUTE corpus dir + the JVM pid. `dir.hashCode` hex (the old
+    * key) collides across distinct dirs and is shared by concurrent JVMs
+    * staging different testdata into the same /tmp path while each JVM's
+    * TrieMap believes the artifact is its own — silent cross-
+    * contamination (ADVICE r17). The pid bound means artifacts are never
+    * shared across processes; within one JVM the TrieMap still makes
+    * every stage build-once. */
+  private def stageKey(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.take(8).map(b => f"$b%02x").mkString + "_p" + ProcessHandle.current().pid()
+  }
+
   /** Build-once-per-(JVM, corpus dir) persisted int8 ANN index: CTAS of
     * [[Similarity.buildInt8Index]] over the embeddings table, parquet under
     * java.io.tmpdir. The write is the offline index-build step; index
@@ -512,7 +527,7 @@ object QueryCatalog {
   private def persistedPqIndex(spark: SparkSession, dir: String): String =
     pqIndexPaths.getOrElseUpdate(dir, {
       val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_pq_index_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+        "graft_pq_index_" + stageKey(dir)).getAbsolutePath
       Similarity.writePqIndex(
         Tables.read(spark, dir, "embeddings"), "vec_id", "embedding", path)
       path
@@ -645,7 +660,7 @@ object QueryCatalog {
   private def stagedDocsDir(spark: SparkSession, dir: String): String =
     stagedDocsDirs.getOrElseUpdate(dir, {
       val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_docs_stream_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+        "graft_docs_stream_" + stageKey(dir)).getAbsolutePath
       Tables.read(spark, dir, "documents").repartition(4)
         .write.mode("overwrite").parquet(path)
       path
@@ -658,9 +673,31 @@ object QueryCatalog {
   private def persistedBm25Index(spark: SparkSession, dir: String): String =
     bm25IndexPaths.getOrElseUpdate(dir, {
       val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_bm25_index_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+        "graft_bm25_index_" + stageKey(dir)).getAbsolutePath
       graft.operators.Retrieval.writeBm25Index(
         Tables.read(spark, dir, "documents"), "doc_id", "text", path)
+      path
+    })
+
+  /** Build-once-per-(JVM, corpus dir) INCREMENTALLY-MAINTAINED BM25
+    * index: built over the corpus three-quarters of documents
+    * (doc_id % 4 != 0), then the remaining quarter APPENDED via
+    * bm25_index_append — never re-reading the corpus. Serving over it
+    * must be bitwise a full rebuild over ALL documents, so the
+    * q_bm25_index_append oracle is q_bm25_topk_index's full-recompute
+    * SQL verbatim. */
+  private val bm25AppendIdxPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def appendedBm25Index(spark: SparkSession, dir: String): String =
+    bm25AppendIdxPaths.getOrElseUpdate(dir, {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bm25_appidx_" + stageKey(dir)).getAbsolutePath
+      val docs = Tables.read(spark, dir, "documents")
+      graft.operators.Retrieval.writeBm25Index(
+        docs.filter(F.col("doc_id") % 4 =!= 0), "doc_id", "text", path)
+      graft.operators.Retrieval.bm25IndexAppend(
+        spark, path,
+        docs.filter(F.col("doc_id") % 4 === 0).select("doc_id", "text"),
+        "doc_id", "text")
       path
     })
 
@@ -668,7 +705,7 @@ object QueryCatalog {
   private def persistedInt8Index(spark: SparkSession, dir: String): String =
     int8IndexPaths.getOrElseUpdate(dir, {
       val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_int8_index_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+        "graft_int8_index_" + stageKey(dir)).getAbsolutePath
       Similarity.buildInt8Index(Tables.read(spark, dir, "embeddings"), "vec_id", "embedding")
         .write.mode("overwrite").parquet(path)
       path
@@ -685,7 +722,7 @@ object QueryCatalog {
   private def persistedMinhashIndex(spark: SparkSession, dir: String): String =
     minhashIdxPaths.getOrElseUpdate(dir, {
       val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_minhash_index_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+        "graft_minhash_index_" + stageKey(dir)).getAbsolutePath
       val corpus = Tables.read(spark, dir, "documents").filter(F.col("doc_id") % 4 =!= 0)
       graft.operators.Dedup.buildMinhashIndex(corpus, "doc_id", "text", 64, 2)
         .join(corpus.select("doc_id", "text"), Seq("doc_id"))
@@ -942,7 +979,7 @@ object QueryCatalog {
   private def persistedLshInt8Index(spark: SparkSession, dir: String): String =
     lshIndexPaths.getOrElseUpdate(dir, {
       val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_lsh_int8_index_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+        "graft_lsh_int8_index_" + stageKey(dir)).getAbsolutePath
       val idx = spark.read.parquet(persistedInt8Index(spark, dir))
       Similarity.lshInt8IndexPostings(idx, "vec_id", "q8", planes = 8, tables = 6)
         .write.mode("overwrite").partitionBy("bucket_grp").parquet(path)
@@ -956,7 +993,7 @@ object QueryCatalog {
   private def persistedIvfInt8Index(spark: SparkSession, dir: String): String =
     ivfIndexPaths.getOrElseUpdate(dir, {
       val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_ivf_int8_index_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+        "graft_ivf_int8_index_" + stageKey(dir)).getAbsolutePath
       val idx = spark.read.parquet(persistedInt8Index(spark, dir))
       Similarity.writeIvfInt8Index(idx, "vec_id", "q8", path, nlist = 32)
       path
@@ -5282,6 +5319,67 @@ object QueryCatalog {
       """)
     ),
     (
+      // INCREMENTAL index maintenance (Retrieval.bm25IndexAppend via
+      // bm25_index_append(...)): the index is built over 3/4 of the
+      // corpus, the remaining quarter APPENDED — batch postings land
+      // inside their tok_grp partitions, _df gains the batch's token doc
+      // counts, _meta advances (n, dl_sum) by exact integer arithmetic —
+      // and the corpus is never re-read (RetrievalSpec gates that the
+      // pre-append index files are byte-identical afterwards). Serving
+      // over the appended index must be BITWISE a full rebuild over
+      // corpus ∪ batch, so the oracle is q_bm25_topk_index's
+      // full-recompute SQL over ALL documents, verbatim.
+      "q_bm25_index_append",
+      (spark, dir) => {
+        val path = appendedBm25Index(spark, dir)
+        val evalset = Tables.read(spark, dir, "documents")
+          .filter(F.col("doc_id") < 3).select("doc_id", "text")
+        graft.operators.Retrieval.bm25IndexTopK(
+          spark, path, evalset, "doc_id", "text", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS w
+          FROM documents WHERE text IS NOT NULL
+        ),
+        post AS (
+          SELECT doc_id, t, count(*)::DOUBLE AS tf
+          FROM (SELECT doc_id, unnest(w) AS t FROM tok) GROUP BY doc_id, t
+        ),
+        dl AS (SELECT doc_id, len(w)::BIGINT AS dl FROM tok),
+        st AS (SELECT count(*)::DOUBLE AS n, avg(dl::DOUBLE) AS avgdl FROM dl),
+        idf AS (
+          SELECT t,
+            ln(1 + ((SELECT n FROM st) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+          FROM post GROUP BY t
+        ),
+        q AS (
+          SELECT DISTINCT doc_id AS query_id, t
+          FROM (SELECT doc_id, unnest(w) AS t FROM tok WHERE doc_id < 3)
+        ),
+        terms AS (
+          SELECT q.query_id, p.doc_id AS corpus_id,
+            i.idf * (p.tf * (1.2 + 1)) /
+              (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (SELECT avgdl FROM st))) AS term
+          FROM q JOIN post p USING (t) JOIN idf i USING (t)
+          JOIN dl d ON d.doc_id = p.doc_id
+        ),
+        scored AS (
+          SELECT query_id, corpus_id, round(sum(term) + 5e-9, 4) AS bm25
+          FROM terms GROUP BY query_id, corpus_id
+        ),
+        ranked AS (
+          SELECT query_id, corpus_id, bm25,
+            row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, corpus_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, corpus_id, bm25, rank::INTEGER AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+      """)
+    ),
+    (
       // Semantic decontamination (Decontamination.contaminatedVecs via the
       // contaminated_vecs(...) table function): corpus vectors too close in
       // embedding space to ANY eval vector — the paraphrase-robust second
@@ -6190,6 +6288,10 @@ object QueryCatalog {
       // q_bpe_count_merges, whose counts these sequences' lengths must
       // equal (closed-form: 'abcd'→[a,bcd], 'abc bcd'→[a,bc,bcd],
       // 'xyz'→[x,y,z], 'ab'→[ab], 'ABCD' lowercased→[a,bcd], '!!! ...'→[]).
+      // bpe_tokens ships through the driver comparator as a '|'-joined
+      // STRING (the q_array_funcs convention — the comparator's pandas
+      // lexsort cannot hash a raw array column); BpeSpec still gates the
+      // raw array surface (length parity + lossless concat).
       "q_bpe_encode",
       wv("""
         model bpe_merges = {
@@ -6206,10 +6308,12 @@ object QueryCatalog {
           ] as c(id, text)
         }
         from bpe_encode('bpe_mcorpus', 'id', 'text', 'bpe_merges')
+        select id, bpe_tokens = bpe_tokens.array_join('|'), n_bpe_tokens
         order by id
       """),
       Some("""
-        SELECT id, toks AS bpe_tokens, CAST(n AS BIGINT) AS n_bpe_tokens FROM (VALUES
+        SELECT id, coalesce(array_to_string(toks, '|'), '') AS bpe_tokens,
+               CAST(n AS BIGINT) AS n_bpe_tokens FROM (VALUES
           (1, ['a', 'bcd'], 2),
           (2, ['a', 'bc', 'bcd'], 3),
           (3, ['x', 'y', 'z'], 3),
@@ -6492,6 +6596,24 @@ object QueryCatalog {
 
   def oracleSql: Map[String, String] =
     all.collect { case (n, _, Some(sql)) => n -> sql.trim }.toMap
+
+  /** Columns the driver's comparator cannot hash-sort: its pandas lexsort
+    * runs over EVERY output column (sorted by name), and an array/struct/
+    * map value is an unhashable ndarray there — the crash that turned
+    * q_bpe_encode red in r17 despite correct rows. Every oracle row must
+    * therefore emit only scalar columns (serialize arrays through
+    * array_join — the q_array_funcs convention). Checked in Verify (all
+    * rows, execution schemas) and CatalogInvariantSpec (wv rows,
+    * analysis-only). */
+  def nonScalarColumns(schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    schema.fields.collect {
+      case f if (f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType => true
+        case _ => false
+      }) => s"${f.name}: ${f.dataType.simpleString}"
+    }.toSeq
 
   /** wv-surface rows' raw flow-language text by row name — the operator
     * reference page (server/OperatorDocs) derives its operator →

@@ -29,7 +29,7 @@ object Lowering {
     * here ⇒ LSP + playground pick it up structurally. */
   val nativeTableFunctions: Seq[String] = Seq(
     "ann_int8_index", "ann_lsh_postings", "ann_pq_index",
-    "bm25_index", "bm25_topk", "bm25_topk_index",
+    "bm25_index", "bm25_index_append", "bm25_topk", "bm25_topk_index",
     "bpe_count", "bpe_count_merges", "bpe_encode", "bpe_stats", "bpe_train", "build_vocab",
     "contaminated_docs", "contaminated_vecs", "contamination_report",
     "contamination_report_semantic",
@@ -1475,6 +1475,45 @@ object Lowering {
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "bm25_index_append" =>
+      // bm25_index_append('/index/path', 'batch', 'id_col', 'text_col') —
+      // INCREMENTAL maintenance of a persisted BM25 index
+      // (Retrieval.bm25IndexAppend): the batch's postings are appended
+      // into their tok_grp partitions and the _df/_meta siblings advance
+      // by exact arithmetic, so serving over the appended index is
+      // bitwise a full rebuild over corpus ∪ batch — without re-reading
+      // the corpus (cost scales with |batch|). Returns the bm25_index
+      // 1-row summary over the updated index; analysis-only contexts get
+      // the summary schema with no rows (the bm25_index contract).
+      args.map(constValue) match {
+        case List(Some(path: String), Some(batch: String), Some(idCol: String),
+            Some(textCol: String)) =>
+          val s = ctx.spark
+          import s.implicits._
+          if (ctx.analysisOnly)
+            Plain(Seq.empty[(String, Long)].toDF("path", "postings"))
+          else {
+            try ctx.spark.read.parquet(path + "_meta").schema
+            catch {
+              case e: org.apache.spark.sql.AnalysisException =>
+                throw new LoweringException(
+                  s"bm25_index_append expects a path to a persisted BM25 index " +
+                    s"(postings at '$path' plus '_df'/'_meta' siblings — write them " +
+                    s"with bm25_index / Retrieval.writeBm25Index) — ${e.getMessage}")
+            }
+            graft.operators.Retrieval.bm25IndexAppend(
+              ctx.spark, path, lower(TableRef(batch), ctx), idCol, textCol)
+            val n = graft.operators.Retrieval.readPostings(ctx.spark, path).count()
+            Plain(Seq((path, n)).toDF("path", "postings"))
+          }
+        case _ =>
+          throw new LoweringException(
+            "bm25_index_append expects (index_path, batch, id_col, text_col) " +
+              "literals, e.g. bm25_index_append('/tmp/bm25_idx', 'newbatch', " +
+              "'doc_id', 'text')")
+      }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "bm25_topk_index" =>
       // bm25_topk_index('/index/path', 'queries_rel', 'id_col', 'text_col',
       // k[, k1, b]) — BM25 over the PERSISTED index written by
@@ -1553,14 +1592,18 @@ object Lowering {
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "dedup_bloom" =>
-      // dedup_bloom('corpus', 'id_col', 'text_col'[, fpp]) — bloom-pruned
-      // EXACT dedup (operators/Dedup.bloomExactGroups): a "seen-twice"
-      // bloom pair routes definitively-unique rows around the shuffle;
-      // only bloom hits go through the exact groupBy recheck. Same rows
-      // as exact dedup for ANY fpp (the bloom only prunes).
+      // dedup_bloom('corpus', 'id_col', 'text_col'[, fpp[, expected_items]])
+      // — bloom-pruned EXACT dedup (operators/Dedup.bloomExactGroups): a
+      // "seen-twice" bloom pair routes definitively-unique rows around the
+      // shuffle; only bloom hits go through the exact groupBy recheck.
+      // Same rows as exact dedup for ANY fpp/sizing (the bloom only
+      // prunes); expected_items overrides the plan-statistics row estimate
+      // the bloom is sized from (never a count job either way). Analysis-
+      // only contexts get the schema through the lazy exact plan — the
+      // eager bloom build must not run on a compile/LSP/docs probe.
       args.map(constValue) match {
         case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
-            rest @ _*) if rest.lengthCompare(1) <= 0 =>
+            rest @ _*) if rest.lengthCompare(2) <= 0 =>
           val fpp = rest.headOption match {
             case Some(Some(d: java.lang.Double)) => d.doubleValue()
             case Some(Some(n: Number)) => n.doubleValue()
@@ -1568,25 +1611,39 @@ object Lowering {
             case other => throw new LoweringException(
               s"dedup_bloom: fpp must be a number literal in (0, 1), got '$other'")
           }
-          Plain(graft.operators.Dedup.bloomExactGroups(
-            lower(TableRef(corpus), ctx), idCol, textCol, fpp))
+          val expected = rest.drop(1).headOption match {
+            case Some(Some(n: Long)) if n >= 1 => Some(n)
+            case None => None
+            case other => throw new LoweringException(
+              s"dedup_bloom: expected_items must be a positive integer literal, got '$other'")
+          }
+          if (ctx.analysisOnly)
+            Plain(graft.operators.Dedup.exactGroups(
+              lower(TableRef(corpus), ctx), idCol, textCol))
+          else
+            Plain(graft.operators.Dedup.bloomExactGroups(
+              lower(TableRef(corpus), ctx), idCol, textCol, fpp, expected))
         case _ =>
           throw new LoweringException(
-            "dedup_bloom expects (corpus, id_col, text_col[, fpp]) literals, " +
-              "e.g. dedup_bloom('documents', 'doc_id', 'text', 0.01)")
+            "dedup_bloom expects (corpus, id_col, text_col[, fpp[, expected_items]]) " +
+              "literals, e.g. dedup_bloom('documents', 'doc_id', 'text', 0.01)")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "dedup_bloom_against" =>
       // dedup_bloom_against('corpus', 'batch', 'id_col', 'text_col'
-      // [, fpp]) — exact INCREMENTAL dedup of a new batch against an
-      // existing corpus (Dedup.bloomDedupAgainst): a corpus-membership
-      // bloom prunes the batch, an exact broadcast recheck kills the
-      // false positives; the corpus is scanned twice, shuffled never.
+      // [, fpp[, expected_items]]) — exact INCREMENTAL dedup of a new
+      // batch against an existing corpus (Dedup.bloomDedupAgainst): a
+      // corpus-membership bloom prunes the batch, an exact broadcast
+      // recheck kills the false positives; the corpus is scanned twice,
+      // shuffled never. expected_items overrides the plan-statistics
+      // sizing estimate (results identical either way). Analysis-only
+      // contexts get the schema through the lazy exact join — the eager
+      // bloom build must not run on a compile/LSP/docs probe.
       // Output per batch row: (id, is_dup, dup_of).
       args.map(constValue) match {
         case List(Some(corpus: String), Some(batch: String), Some(idCol: String),
-            Some(textCol: String), rest @ _*) if rest.lengthCompare(1) <= 0 =>
+            Some(textCol: String), rest @ _*) if rest.lengthCompare(2) <= 0 =>
           val fpp = rest.headOption match {
             case Some(Some(d: java.lang.Double)) => d.doubleValue()
             case Some(Some(n: Number)) => n.doubleValue()
@@ -1594,14 +1651,25 @@ object Lowering {
             case other => throw new LoweringException(
               s"dedup_bloom_against: fpp must be a number literal in (0, 1), got '$other'")
           }
-          Plain(graft.operators.Dedup.bloomDedupAgainst(
-            lower(TableRef(corpus), ctx), lower(TableRef(batch), ctx),
-            idCol, textCol, fpp))
+          val expected = rest.drop(1).headOption match {
+            case Some(Some(n: Long)) if n >= 1 => Some(n)
+            case None => None
+            case other => throw new LoweringException(
+              s"dedup_bloom_against: expected_items must be a positive integer " +
+                s"literal, got '$other'")
+          }
+          if (ctx.analysisOnly)
+            Plain(graft.operators.Dedup.dedupAgainstExact(
+              lower(TableRef(corpus), ctx), lower(TableRef(batch), ctx), idCol, textCol))
+          else
+            Plain(graft.operators.Dedup.bloomDedupAgainst(
+              lower(TableRef(corpus), ctx), lower(TableRef(batch), ctx),
+              idCol, textCol, fpp, expected))
         case _ =>
           throw new LoweringException(
-            "dedup_bloom_against expects (corpus, batch, id_col, text_col[, fpp]) " +
-              "literals, e.g. dedup_bloom_against('documents', 'newbatch', " +
-              "'doc_id', 'text', 0.01)")
+            "dedup_bloom_against expects (corpus, batch, id_col, text_col" +
+              "[, fpp[, expected_items]]) literals, e.g. dedup_bloom_against(" +
+              "'documents', 'newbatch', 'doc_id', 'text', 0.01)")
       }
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&

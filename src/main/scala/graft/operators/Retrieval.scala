@@ -142,40 +142,161 @@ object Retrieval {
   private def tokGrp(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     F.pmod(F.crc32(tok.cast("binary")), F.lit(IndexTokGroups.toLong)).cast("int")
 
+  /** Schema of the written postings directory (tok_grp is the partition
+    * column) — supplied explicitly on every read-back so a DEGENERATE
+    * corpus (zero non-null-text docs ⇒ a partitioned write that emits no
+    * part files) reads back as a complete empty index instead of dying
+    * mid-write on schema inference (ADVICE r17). */
+  private def postingsSchema(idType: org.apache.spark.sql.types.DataType) =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("corpus_id", idType),
+      org.apache.spark.sql.types.StructField("__tok",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("__tf",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__dl",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tok_grp",
+        org.apache.spark.sql.types.IntegerType)))
+
+  /** Read back a persisted postings directory with the explicit schema
+    * (id type from the `_meta` sibling) — works even when the partitioned
+    * write emitted zero part files. */
+  def readPostings(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): DataFrame = {
+    val meta = spark.read.parquet(path + "_meta").head()
+    val idType = org.apache.spark.sql.types.DataType.fromDDL(
+      meta.getString(meta.fieldIndex("id_type")))
+    spark.read.schema(postingsSchema(idType)).parquet(path)
+  }
+
   /** Write the persisted BM25 index: postings at `path` partitioned by
     * `tok_grp` — (corpus_id, __tok, __tf, __dl), doc length DENORMALIZED
     * onto every posting so the query path never re-joins a doc table —
     * plus a `path + "_df"` token→document-frequency sibling and a 1-row
-    * `path + "_meta"` (n, avgdl). Build is offline (CTAS-class); queries
-    * go through [[bm25IndexTopK]], whose postings scan is PRUNED to the
-    * probe buckets (PlanSpec gates PartitionFilters). */
+    * `path + "_meta"` (n, avgdl, dl_sum, id_type). Build is offline
+    * (CTAS-class); queries go through [[bm25IndexTopK]], whose postings
+    * scan is PRUNED to the probe buckets (PlanSpec gates
+    * PartitionFilters).
+    *
+    * Consistency: the per-doc length frame `dl` is PERSISTED and
+    * materialized before any output write — postings join against that
+    * snapshot and `_meta` aggregates it, so the three outputs always
+    * describe one corpus state (a doc landing mid-build is excluded from
+    * all three; the old code recomputed meta from the live corpus and
+    * could silently disagree with the persisted postings — ADVICE r17).
+    * `_df` derives from the WRITTEN postings, the one durable
+    * materialization. `dl_sum` (exact long) + `n` in meta are what make
+    * [[bm25IndexAppend]]'s incremental avgdl bitwise a full rebuild's:
+    * doc lengths are integers, so double summation is exact in any
+    * order and avg ≡ dl_sum.toDouble / n. */
   def writeBm25Index(
       corpus: DataFrame,
       idCol: String,
       textCol: String,
       path: String
   ): Unit = {
+    val spark = corpus.sparkSession
+    val idType = corpus.schema(idCol).dataType
     val docs = corpus.filter(F.col(textCol).isNotNull)
       .select(F.col(idCol).as("corpus_id"),
         graft.functions.TextFunctions.tokens(F.col(textCol)).as("__toks"))
     val dl = docs.select(F.col("corpus_id"), F.size(F.col("__toks")).cast("long").as("__dl"))
-    val postings = docs
-      .select(F.col("corpus_id"), F.explode(F.col("__toks")).as("__tok"))
-      .groupBy("corpus_id", "__tok")
-      .agg(F.count(F.lit(1)).as("__tf"))
-      .join(dl, Seq("corpus_id"))
-      .withColumn("tok_grp", tokGrp(F.col("__tok")))
-    postings.write.mode("overwrite").partitionBy("tok_grp").parquet(path)
-    // df sibling from the WRITTEN postings (self-consistent even if the
-    // corpus changes between the two writes)
-    val written = corpus.sparkSession.read.parquet(path)
-    written.groupBy("__tok").agg(F.count(F.lit(1)).as("__df"))
-      .write.mode("overwrite").parquet(path + "_df")
-    dl.agg(
-        F.count(F.lit(1)).as("n"),
-        F.avg(F.col("__dl").cast("double")).as("avgdl"))
-      .repartition(1)
-      .write.mode("overwrite").parquet(path + "_meta")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      dl.count() // pin the snapshot BEFORE the first output write
+      val postings = docs
+        .select(F.col("corpus_id"), F.explode(F.col("__toks")).as("__tok"))
+        .groupBy("corpus_id", "__tok")
+        .agg(F.count(F.lit(1)).as("__tf"))
+        .join(dl, Seq("corpus_id"))
+        .withColumn("tok_grp", tokGrp(F.col("__tok")))
+      postings.write.mode("overwrite").partitionBy("tok_grp").parquet(path)
+      val written = spark.read.schema(postingsSchema(idType)).parquet(path)
+      written.groupBy("__tok").agg(F.count(F.lit(1)).as("__df"))
+        .write.mode("overwrite").parquet(path + "_df")
+      dl.agg(
+          F.count(F.lit(1)).as("n"),
+          F.avg(F.col("__dl").cast("double")).as("avgdl"),
+          F.coalesce(F.sum(F.col("__dl")), F.lit(0L)).as("dl_sum"))
+        .withColumn("id_type", F.lit(idType.catalogString))
+        .repartition(1)
+        .write.mode("overwrite").parquet(path + "_meta")
+    } finally dl.unpersist()
+  }
+
+  /** Incrementally merge a NEW batch of documents into a persisted BM25
+    * index — the recurring-crawl maintenance path (the index family was
+    * build-once before this; a nightly batch forced a full corpus
+    * rebuild). The batch's postings land as APPENDED files inside their
+    * tok_grp partitions (pre-existing index files are never touched —
+    * spec-gated), `_df` gains the batch's per-token doc counts, and
+    * `_meta` advances (n, dl_sum) by exact integer arithmetic — so
+    * [[bm25IndexTopK]] over the appended index is BITWISE a full rebuild
+    * over corpus ∪ batch (q_bm25_index_append reuses the full-recompute
+    * oracle SQL). The corpus is NEVER re-read: cost scales with |batch|,
+    * not |index|.
+    *
+    * Batch ids are assumed NEW (the crawl shape). A re-appended id is not
+    * merged into its prior postings — it scores as a separate doc, i.e.
+    * the rebuild-equivalent of corpus ⊎ batch as a bag union. */
+  def bm25IndexAppend(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String
+  ): Unit = {
+    val meta = spark.read.parquet(indexPath + "_meta").head()
+    val n = meta.getLong(meta.fieldIndex("n"))
+    val dlSum = meta.getLong(meta.fieldIndex("dl_sum"))
+    val idType = org.apache.spark.sql.types.DataType.fromDDL(
+      meta.getString(meta.fieldIndex("id_type")))
+    val docs = batch.filter(F.col(textCol).isNotNull)
+      .select(F.col(idCol).cast(idType).as("corpus_id"),
+        graft.functions.TextFunctions.tokens(F.col(textCol)).as("__toks"))
+    val dl = docs.select(F.col("corpus_id"), F.size(F.col("__toks")).cast("long").as("__dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val agg = dl.agg(
+        F.count(F.lit(1)).as("bn"),
+        F.coalesce(F.sum(F.col("__dl")), F.lit(0L)).as("bsum")).head()
+      val bn = agg.getLong(0)
+      val bSum = agg.getLong(1)
+      if (bn > 0) {
+        val postings = docs
+          .select(F.col("corpus_id"), F.explode(F.col("__toks")).as("__tok"))
+          .groupBy("corpus_id", "__tok")
+          .agg(F.count(F.lit(1)).as("__tf"))
+          .join(dl, Seq("corpus_id"))
+          .withColumn("tok_grp", tokGrp(F.col("__tok")))
+        postings.write.mode("append").partitionBy("tok_grp").parquet(indexPath)
+        // _df merge: model-sized union + re-sum, written to a staged
+        // sibling then swapped in (Spark cannot overwrite a path a live
+        // plan is still reading)
+        val bDf = postings.groupBy("__tok").agg(F.count(F.lit(1)).as("__df"))
+        val oldDf = spark.read.parquet(indexPath + "_df")
+        val merged = oldDf.unionAll(bDf)
+          .groupBy("__tok").agg(F.sum(F.col("__df")).as("__df"))
+        val staged = indexPath + "_df_staged"
+        merged.write.mode("overwrite").parquet(staged)
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val fs = new org.apache.hadoop.fs.Path(indexPath + "_df").getFileSystem(hconf)
+        fs.delete(new org.apache.hadoop.fs.Path(indexPath + "_df"), true)
+        fs.rename(new org.apache.hadoop.fs.Path(staged),
+          new org.apache.hadoop.fs.Path(indexPath + "_df"))
+      }
+      val n2 = n + bn
+      val dlSum2 = dlSum + bSum
+      val avgdl2: java.lang.Double = if (n2 == 0) null else dlSum2.toDouble / n2
+      import spark.implicits._
+      Seq((n2, Option(avgdl2).map(_.doubleValue()), dlSum2, idType.catalogString))
+        .toDF("n", "avgdl", "dl_sum", "id_type")
+        .repartition(1)
+        .write.mode("overwrite").parquet(indexPath + "_meta")
+    } finally dl.unpersist()
   }
 
   /** Top-k BM25 over a PERSISTED index: the postings scan reads ONLY the
@@ -198,6 +319,18 @@ object Retrieval {
     require(k >= 1, s"bm25_topk_index: k must be >= 1, got $k")
     val meta = spark.read.parquet(indexPath + "_meta").head()
     val n = meta.getLong(meta.fieldIndex("n"))
+    if (n == 0 || meta.isNullAt(meta.fieldIndex("avgdl"))) {
+      // index built over a corpus with zero non-null-text docs: degrade
+      // exactly like the flat scorer on an empty corpus — an empty
+      // (query_id, corpus_id, bm25, rank) frame, never an NPE (ADVICE r17)
+      val idType = org.apache.spark.sql.types.DataType.fromDDL(
+        meta.getString(meta.fieldIndex("id_type")))
+      return queries.limit(0)
+        .select(F.col(queryId).as("query_id"),
+          F.lit(null).cast(idType).as("corpus_id"),
+          F.lit(null).cast("double").as("bm25"),
+          F.lit(null).cast("int").as("rank"))
+    }
     val avgdl = meta.getDouble(meta.fieldIndex("avgdl"))
     val idf = spark.read.parquet(indexPath + "_df")
       .select(F.col("__tok"),
@@ -213,7 +346,10 @@ object Retrieval {
     // probe directories
     val grps = qTerms.select(tokGrp(F.col("__tok")).as("g")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val post = spark.read.parquet(indexPath)
+    val post = spark.read
+      .schema(postingsSchema(org.apache.spark.sql.types.DataType.fromDDL(
+        meta.getString(meta.fieldIndex("id_type")))))
+      .parquet(indexPath)
       .filter(F.col("tok_grp").isin(grps.map(Integer.valueOf).toSeq: _*))
     val terms = post
       .join(F.broadcast(qTerms), Seq("__tok"))
