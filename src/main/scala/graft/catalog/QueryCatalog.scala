@@ -2471,6 +2471,51 @@ object QueryCatalog {
       """)
     ),
     (
+      // Streaming EXACT incremental dedup-against (VERDICT r17 Next #5 —
+      // the round's two stars composed): the corpus-membership bloom is
+      // built ONCE over the static corpus three-quarters (doc_id % 4 != 0),
+      // then the WHOLE documents table streams through a genuine
+      // readStream (4-file staged dir, maxFilesPerTrigger=1) and each
+      // micro-batch probes that same bloom + exact broadcast recheck via
+      // Subscribe.dedupAgainstAppend. A row's (is_dup, dup_of) depends
+      // only on the static corpus, so micro-batching must be invisible:
+      // the oracle is the one-shot plain SQL fingerprint join.
+      "q_subscribe_dedup_against",
+      (spark, dir) => {
+        val docs = Tables.read(spark, dir, "documents")
+        val corpus = docs.filter(F.col("doc_id") % 4 =!= 0).select("doc_id", "text")
+        val staged = stagedDocsDir(spark, dir)
+        val out = java.nio.file.Files.createTempDirectory("graft_sub_dedup_out").toString
+        val ck = java.nio.file.Files.createTempDirectory("graft_sub_dedup_ck").toString
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staged)
+          .select("doc_id", "text")
+        graft.streaming.Subscribe.dedupAgainstAppend(
+          stream, corpus, "doc_id", "text", out, ck)
+          .awaitTermination()
+        spark.read.parquet(out)
+          .select("doc_id", "is_dup", "dup_of")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH cfp AS (
+          SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp, doc_id
+          FROM documents WHERE doc_id % 4 != 0 AND text IS NOT NULL
+        ),
+        m AS (SELECT fp, min(doc_id) AS dup_of FROM cfp GROUP BY fp),
+        bfp AS (
+          SELECT doc_id,
+            CASE WHEN text IS NULL THEN NULL
+                 ELSE md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) END AS fp
+          FROM documents
+        )
+        SELECT b.doc_id, (m.dup_of IS NOT NULL) AS is_dup, m.dup_of
+        FROM bfp b LEFT JOIN m ON m.fp = b.fp
+        ORDER BY b.doc_id
+      """)
+    ),
+    (
       // Hivemall-style each_top_k as a language table function (the one
       // executable UDTF pattern in the reference's hive corpus): top-k rows
       // per group by score, rank() keeping boundary ties — same algebra as

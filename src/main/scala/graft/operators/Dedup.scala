@@ -247,13 +247,33 @@ object Dedup {
       expectedItems: Option[Long] = None
   ): DataFrame = {
     require(fpp > 0.0 && fpp < 1.0, s"dedup_bloom_against: fpp must be in (0, 1), got $fpp")
+    bloomDedupAgainstWith(
+      corpus, buildCorpusBloom(corpus, textCol, fpp, expectedItems),
+      batch, idCol, textCol)
+  }
+
+  /** FIT half of [[bloomDedupAgainst]]: the corpus-membership bloom over
+    * normalized text fingerprints, serialized — the persistable
+    * cross-batch state a streaming deployment builds ONCE and probes
+    * every micro-batch with ([[graft.streaming.Subscribe.dedupAgainstAppend]]).
+    * None when the corpus has no partitions (probe degrades to
+    * everything-novel). Extracted from the r17 single-shot operator as a
+    * pure refactor — [[bloomDedupAgainst]] composes fit + score, so its
+    * rows are unchanged by construction. */
+  def buildCorpusBloom(
+      corpus: DataFrame,
+      textCol: String,
+      fpp: Double = 0.01,
+      expectedItems: Option[Long] = None
+  ): Option[Array[Byte]] = {
+    require(fpp > 0.0 && fpp < 1.0,
+      s"buildCorpusBloom: fpp must be in (0, 1), got $fpp")
     import org.apache.spark.util.sketch.BloomFilter
-    val cKeyed = corpus.filter(F.col(textCol).isNotNull)
-      .select(TextFunctions.fingerprint(F.col(textCol)).as("__fp"), F.col(idCol))
     val n = expectedItems.getOrElse(estimateRows(corpus)).max(1L)
     val numBits = BloomFilter.optimalNumOfBits(n, fpp).min(MaxBloomBits).max(64L)
     val fpRdd = {
-      val r = cKeyed.select("__fp").rdd
+      val r = corpus.filter(F.col(textCol).isNotNull)
+        .select(TextFunctions.fingerprint(F.col(textCol)).as("__fp")).rdd
       if (r.getNumPartitions > 64) r.coalesce(64) else r
     }
     val parts = fpRdd.mapPartitions { it =>
@@ -262,27 +282,47 @@ object Dedup {
         bf.putBinary(r.getString(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       Iterator.single(bloomSer(bf))
     }
-    val bKeyed = batch.select(F.col(idCol),
-      F.when(F.col(textCol).isNotNull, TextFunctions.fingerprint(F.col(textCol)))
-        .as("__fp"))
-    if (parts.getNumPartitions == 0)
-      return bKeyed.select(F.col(idCol), F.lit(false).as("is_dup"),
-        F.lit(null).cast(bKeyed.schema(idCol).dataType).as("dup_of"))
-    val bloomBytes = parts.treeReduce({ (a, b) =>
+    if (parts.getNumPartitions == 0) None
+    else Some(parts.treeReduce({ (a, b) =>
       val bf = BloomFilter.readFrom(a)
       bf.mergeInPlace(BloomFilter.readFrom(b))
       bloomSer(bf)
-    }, depth = 2)
-    val hit = graft.functions.BloomFunctions.mightContain(
-      F.col("__fp"), new graft.functions.BytesBlob(bloomBytes))
-    val cand = bKeyed.filter(F.col("__fp").isNotNull && hit)
-      .select("__fp").distinct()
-    // exact recheck: corpus scan + BROADCAST of the candidate fingerprints
-    // (no corpus shuffle; the groupBy reduces a candidate-sized frame)
-    val matches = cKeyed.join(F.broadcast(cand), Seq("__fp"))
-      .groupBy("__fp").agg(F.min(F.col(idCol)).as("dup_of"))
-    bKeyed.join(F.broadcast(matches), Seq("__fp"), "left")
-      .select(F.col(idCol), F.col("dup_of").isNotNull.as("is_dup"), F.col("dup_of"))
+    }, depth = 2))
+  }
+
+  /** SCORE half of [[bloomDedupAgainst]]: probe the batch against a
+    * PRE-BUILT corpus bloom, then the exact broadcast recheck against the
+    * corpus. Per invocation the corpus is scanned once (the recheck) and
+    * shuffled never; the bloom rides the plan as a task-binary constant. */
+  def bloomDedupAgainstWith(
+      corpus: DataFrame,
+      bloomBytes: Option[Array[Byte]],
+      batch: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val cKeyed = corpus.filter(F.col(textCol).isNotNull)
+      .select(TextFunctions.fingerprint(F.col(textCol)).as("__fp"), F.col(idCol))
+    val bKeyed = batch.select(F.col(idCol),
+      F.when(F.col(textCol).isNotNull, TextFunctions.fingerprint(F.col(textCol)))
+        .as("__fp"))
+    bloomBytes match {
+      case None =>
+        bKeyed.select(F.col(idCol), F.lit(false).as("is_dup"),
+          F.lit(null).cast(bKeyed.schema(idCol).dataType).as("dup_of"))
+      case Some(bytes) =>
+        val hit = graft.functions.BloomFunctions.mightContain(
+          F.col("__fp"), new graft.functions.BytesBlob(bytes))
+        val cand = bKeyed.filter(F.col("__fp").isNotNull && hit)
+          .select("__fp").distinct()
+        // exact recheck: corpus scan + BROADCAST of the candidate
+        // fingerprints (no corpus shuffle; the groupBy reduces a
+        // candidate-sized frame)
+        val matches = cKeyed.join(F.broadcast(cand), Seq("__fp"))
+          .groupBy("__fp").agg(F.min(F.col(idCol)).as("dup_of"))
+        bKeyed.join(F.broadcast(matches), Seq("__fp"), "left")
+          .select(F.col(idCol), F.col("dup_of").isNotNull.as("is_dup"), F.col("dup_of"))
+    }
   }
 
   /** Fully-LAZY exact form of [[bloomDedupAgainst]] — identical rows and

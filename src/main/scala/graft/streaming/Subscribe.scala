@@ -245,6 +245,47 @@ object Subscribe {
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
+  /** Streaming EXACT incremental dedup against a static corpus — the
+    * Dolma crawl-ingest shape composed from the round's two halves:
+    * [[graft.operators.Dedup.buildCorpusBloom]] runs ONCE, before the
+    * stream starts (the persisted cross-batch state — every micro-batch
+    * probes the same corpus bloom, nothing is re-fit per batch), and each
+    * micro-batch goes through
+    * [[graft.operators.Dedup.bloomDedupAgainstWith]]: the codegen'd bloom
+    * probe plus the exact candidate-broadcast recheck against the corpus,
+    * written through the idempotent per-batch sink. Because a batch row's
+    * (is_dup, dup_of) depends only on the STATIC corpus, the union of the
+    * per-batch outputs equals the one-shot batch operator's rows for any
+    * micro-batch split (SubscribeSpec gates 2-batch ≡ 1-batch bitwise;
+    * the q_subscribe_dedup_against oracle is the plain SQL fingerprint
+    * join). */
+  def dedupAgainstAppend(
+      stream: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      outPath: String,
+      checkpointPath: String,
+      fpp: Double = 0.01,
+      expectedItems: Option[Long] = None,
+      availableNow: Boolean = true
+  ): StreamingQuery = {
+    require(stream.isStreaming,
+      "dedupAgainstAppend requires a streaming DataFrame (readStream)")
+    val bloom = graft.operators.Dedup.buildCorpusBloom(
+      corpus, textCol, fpp, expectedItems)
+    val w = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(
+          graft.operators.Dedup.bloomDedupAgainstWith(
+            corpus, bloom, batch, idCol, textCol),
+          batchId, outPath)
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
   /** Idempotent micro-batch sink: each batch lands in its own
     * `__batch_id=<id>` partition via dynamic partition overwrite, so an
     * at-least-once foreachBatch RETRY overwrites its own partition instead

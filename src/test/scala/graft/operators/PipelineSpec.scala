@@ -185,6 +185,151 @@ class PipelineSpec extends SparkTestBase {
       Set("corpus_id", "__tok", "__tf", "__dl", "tok_grp"))
   }
 
+  test("bm25 index append: bitwise a full rebuild, pre-append files untouched") {
+    val path = java.nio.file.Files.createTempDirectory("bm25_appidx").toString + "/idx"
+    val corpus = docs.filter(F.col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(F.col("doc_id") % 4 === 0).select("doc_id", "text")
+    Retrieval.writeBm25Index(corpus, "doc_id", "text", path)
+    // snapshot every data file of the index BEFORE the append
+    def listing(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.length()).toMap
+    }
+    val before = listing()
+    assert(before.nonEmpty)
+    Retrieval.bm25IndexAppend(spark, path, batch, "doc_id", "text")
+    val after = listing()
+    // the append NEVER rewrites the existing index: every pre-append file
+    // survives byte-identical; the batch lands as strictly new files
+    before.foreach { case (f, len) =>
+      assert(after.get(f).contains(len), s"pre-append index file changed: $f")
+    }
+    assert(after.size > before.size, "append added no postings files")
+    // serving over the appended index is BITWISE a full rebuild over
+    // corpus ∪ batch
+    val rebuilt = java.nio.file.Files.createTempDirectory("bm25_reidx").toString + "/idx"
+    Retrieval.writeBm25Index(docs, "doc_id", "text", rebuilt)
+    val queries = docs.filter(F.col("doc_id") < 3).select("doc_id", "text")
+    val a = Retrieval.bm25IndexTopK(spark, path, queries, "doc_id", "text", k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    val b = Retrieval.bm25IndexTopK(spark, rebuilt, queries, "doc_id", "text", k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(a == b, "appended index diverged from the full rebuild")
+    // meta advanced by exact arithmetic: n equals the rebuild's n and
+    // avgdl is bitwise the rebuild's double
+    val mA = spark.read.parquet(path + "_meta").head()
+    val mB = spark.read.parquet(rebuilt + "_meta").head()
+    assert(mA.getLong(mA.fieldIndex("n")) == mB.getLong(mB.fieldIndex("n")))
+    assert(java.lang.Double.doubleToLongBits(mA.getDouble(mA.fieldIndex("avgdl"))) ==
+      java.lang.Double.doubleToLongBits(mB.getDouble(mB.fieldIndex("avgdl"))),
+      "incremental avgdl not bitwise the rebuild's")
+  }
+
+  test("bm25 degenerate corpus: complete empty index, empty serving frame") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val allNull = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    for (corpus <- Seq(empty, allNull)) {
+      val path = java.nio.file.Files.createTempDirectory("bm25_degidx").toString + "/idx"
+      // the old writer died mid-write on schema inference here, leaving a
+      // partial index (postings dir without _df/_meta) — now all three
+      // siblings land
+      Retrieval.writeBm25Index(corpus, "doc_id", "text", path)
+      assert(Retrieval.readPostings(spark, path).count() == 0)
+      assert(spark.read.parquet(path + "_df").count() == 0)
+      val meta = spark.read.parquet(path + "_meta").head()
+      assert(meta.getLong(meta.fieldIndex("n")) == 0)
+      assert(meta.isNullAt(meta.fieldIndex("avgdl")))
+      // serving degrades exactly like the flat scorer: empty frame, same
+      // columns, no NPE
+      val queries = docs.filter(F.col("doc_id") < 3).select("doc_id", "text")
+      val served = Retrieval.bm25IndexTopK(spark, path, queries, "doc_id", "text", k = 5)
+      assert(served.columns.toSeq == Seq("query_id", "corpus_id", "bm25", "rank"))
+      assert(served.count() == 0)
+      // and append onto the empty index still serves = flat over batch only
+      Retrieval.bm25IndexAppend(spark, path, docs.select("doc_id", "text"),
+        "doc_id", "text")
+      val a = Retrieval.bm25IndexTopK(spark, path, queries, "doc_id", "text", k = 5)
+        .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+      val flat = Retrieval.bm25TopK(docs, "doc_id", "text", queries, "doc_id", "text",
+          k = 5)
+        .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+      assert(a == flat, "append onto an empty index diverged from the flat scorer")
+    }
+  }
+
+  /** Spark jobs started while `body` runs (listener-event drain bounded
+    * by a short poll — job-start events post within milliseconds). */
+  private def jobsDuring(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { body; Thread.sleep(600) } finally spark.sparkContext.removeSparkListener(l)
+    n.get()
+  }
+
+  test("bloom sizing runs no count job: plan-statistics estimate") {
+    // the estimate itself is job-free
+    val est = new Array[Long](1)
+    val jEst = jobsDuring { est(0) = Dedup.estimateRows(docs) }
+    assert(jEst == 0, s"estimateRows ran $jEst Spark job(s)")
+    assert(est(0) >= 1L)
+    // and the default-sized bloom path runs EXACTLY the jobs of the
+    // explicitly-sized one — no third corpus scan hides in the default
+    val jDefault = jobsDuring {
+      Dedup.bloomExactGroups(docs, "doc_id", "text").collect()
+    }
+    val jExplicit = jobsDuring {
+      Dedup.bloomExactGroups(docs, "doc_id", "text",
+        expectedItems = Some(est(0))).collect()
+    }
+    assert(jDefault == jExplicit,
+      s"default sizing ran extra jobs: $jDefault vs $jExplicit")
+  }
+
+  test("dedup_bloom analysis-only: schema probe runs no bloom-build jobs") {
+    docs.schema // warm the parquet footer read
+    // resolving a parquet table costs a footer-inference job of its own —
+    // the gate is RELATIVE: the dedup_bloom probe may run exactly the
+    // table-resolution jobs of a bare `from documents` compile, never the
+    // bloom build's scan/treeReduce/collect jobs (each ≥ 1 more)
+    val base = jobsDuring {
+      graft.CompileApi.compileOnly(spark, "from documents", sfDir, None).schema
+    }
+    val text = "from dedup_bloom('documents', 'doc_id', 'text', 0.01)"
+    val schema = new Array[org.apache.spark.sql.types.StructType](1)
+    val j = jobsDuring {
+      schema(0) = graft.CompileApi.compileOnly(spark, text, sfDir, None).schema
+    }
+    assert(j <= base, s"analysis-only dedup_bloom ran bloom jobs: $j vs base $base")
+    assert(schema(0).fieldNames.toSeq == Seq("fingerprint", "keep_id", "dup_count"))
+    val jA = jobsDuring {
+      val t = "from dedup_bloom_against('documents', 'documents', 'doc_id', 'text')"
+      schema(0) = graft.CompileApi.compileOnly(spark, t, sfDir, None).schema
+    }
+    assert(jA <= 2 * base,
+      s"analysis-only dedup_bloom_against ran bloom jobs: $jA vs base $base")
+    assert(schema(0).fieldNames.toSeq == Seq("doc_id", "is_dup", "dup_of"))
+  }
+
+  test("lazy exact dedup-against equals the bloom operator row-for-row") {
+    import spark.implicits._
+    val batch = docs.filter(F.col("doc_id") < 30).select("doc_id", "text")
+      .union(Seq((900001L, "novel zzz"), (900002L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val lazyRows = Dedup.dedupAgainstExact(docs, batch, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val bloomRows = Dedup.bloomDedupAgainst(docs, batch, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(lazyRows == bloomRows)
+  }
+
   test("minhash LSH finds a planted near-duplicate") {
     import spark.implicits._
     val base = docs.limit(20).select("doc_id", "text")

@@ -137,6 +137,55 @@ class SubscribeSpec extends SparkTestBase {
     assert(err.getMessage.contains("readStream"))
   }
 
+  test("streaming dedup-against: N-batch output == one-shot batch operator") {
+    import spark.implicits._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def writeDocs(dir: String, name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(s"$dir/$name")
+    val in = Files.createTempDirectory("sda_in").toString
+    // static corpus with an internal duplicate (dup_of must be the MIN id)
+    val corpus = Seq(
+      (10L, "alpha beta gamma"),
+      (11L, "delta epsilon zeta"),
+      (12L, "alpha beta gamma")).toDF("doc_id", "text")
+    writeDocs(in, "b1", Seq(
+      (1L, "Alpha  BETA gamma"), // normalized dup of corpus 10
+      (2L, "a completely novel crawl document"),
+      (3L, null.asInstanceOf[String]))) // null text: never a dup
+    writeDocs(in, "b2", Seq(
+      (4L, "delta epsilon zeta"),
+      (5L, "another novel one")))
+    val out = Files.createTempDirectory("sda_out").toString
+    val ck = Files.createTempDirectory("sda_ck").toString
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
+    Subscribe.dedupAgainstAppend(stream, corpus, "doc_id", "text", out, ck)
+      .awaitTermination()
+    val streamed = spark.read.parquet(out)
+    assert(streamed.select("__batch_id").distinct().count() >= 2,
+      "expected at least two micro-batches")
+    val got = streamed.drop("__batch_id").orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    val batchAll = spark.read.schema(docSchema).parquet(s"$in/*")
+    val want = graft.operators.Dedup
+      .bloomDedupAgainst(corpus, batchAll, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(got == want, s"micro-batched dedup-against diverged:\n$got\nvs\n$want")
+    // spot-check the semantics themselves, not just parity
+    val byId = streamed.collect().map(r => r.getLong(0) ->
+      (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(byId(1L) == (true, 10L), s"normalized dup missed: ${byId(1L)}")
+    assert(byId(3L) == (false, -1L), "null text flagged as dup")
+    assert(byId(4L) == (true, 11L) && byId(2L)._1 == false && byId(5L)._1 == false)
+    // a non-streaming frame is refused loudly
+    val err = intercept[IllegalArgumentException] {
+      Subscribe.dedupAgainstAppend(corpus, corpus, "doc_id", "text", out, ck)
+    }
+    assert(err.getMessage.contains("readStream"))
+  }
+
   test("dedupStream: duplicate keys within the watermark emit once, state evicts") {
     val in = Files.createTempDirectory("dds_in").toString
     val out = Files.createTempDirectory("dds_out").toString
