@@ -797,6 +797,69 @@ object QueryCatalog {
     spark.createDataFrame(rows.asJava, schema)
   }
 
+  /** Deterministic noise-PNG corpus for the pHash near-dup-image row
+    * (q_dedup_phash). pHash's invariances make the expected pairs CLOSED
+    * FORM — no hash value needs hand-deriving:
+    *   - img 2 is img 1 pixel-doubled (64×64): the 32×32 area-average
+    *     reproduces img 1's grid exactly → hash EQUAL by construction;
+    *   - img 3 is img 1 under the affine map v → v/2 + 64 (grays are
+    *     even, so integer-exact): DC is excluded and bits threshold
+    *     against the median of quantized normalized coefficients, so an
+    *     a·v+b map (a>0) flips no bit → hash EQUAL by construction;
+    *   - imgs 4/6 are INDEPENDENT noise (different seeds): a noise pHash
+    *     has ~31 of 63 bits set and two independent ones differ in ~31
+    *     bits — nowhere near the r=3 cut (spec-asserted margin);
+    *   - img 5 is solid: all AC coefficients are zero → hash 0, maximally
+    *     far from any noise hash;
+    *   - id 99 is a corrupt payload: decoded=false, no hash, never pairs.
+    * Expected pairs at hamming ≤ 3: exactly {(1,2,0), (1,3,0), (2,3,0)}. */
+  private[graft] def noiseGrays(seed: Long, n: Int): Array[Int] = {
+    var s = seed
+    Array.fill(n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % 128).toInt) * 2 // even grays 0..254 → v/2+64 exact
+    }
+  }
+
+  private[graft] def grayPng(vals: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = vals(y * w + x)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private[graft] def phashPngs(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val base = noiseGrays(7L, 32 * 32)
+    val doubled = Array.tabulate(64 * 64)(i => base((i / 64 / 2) * 32 + (i % 64) / 2))
+    val bright = base.map(v => v / 2 + 64)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("img_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("png",
+        org.apache.spark.sql.types.BinaryType, nullable = true)))
+    val rows: Seq[org.apache.spark.sql.Row] = Seq(
+      org.apache.spark.sql.Row(1L, grayPng(base, 32, 32)),
+      org.apache.spark.sql.Row(2L, grayPng(doubled, 64, 64)),
+      org.apache.spark.sql.Row(3L, grayPng(bright, 32, 32)),
+      org.apache.spark.sql.Row(4L, grayPng(noiseGrays(11L, 32 * 32), 32, 32)),
+      org.apache.spark.sql.Row(5L, grayPng(Array.fill(32 * 32)(128), 32, 32)),
+      org.apache.spark.sql.Row(6L, grayPng(noiseGrays(13L, 32 * 32), 32, 32)),
+      org.apache.spark.sql.Row(99L, "not an image".getBytes("UTF-8")))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   /** The catalog's rounding convention, replicated for oracle literals. */
   private def r4(v: Double): String =
     BigDecimal(v + 5e-9).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
@@ -3511,6 +3574,28 @@ object QueryCatalog {
         SELECT b.doc_id, (m.dup_of IS NOT NULL) AS is_dup, m.dup_of
         FROM bfp b LEFT JOIN m ON m.fp = b.fp
         ORDER BY b.doc_id
+      """)
+    ),
+    (
+      // Perceptual-hash near-dup IMAGE pairs (Dedup.phashPairs via
+      // dedup_phash(...)): DCT pHash per decoded asset + the simhash
+      // family's chunk-pair-blocked candidate join. The planted corpus
+      // makes the expected pairs CLOSED FORM via pHash's invariances
+      // (see phashPngs): a pixel-doubled rescale and an affine
+      // brightness map hash IDENTICALLY by construction, independent
+      // noise images and the solid are ~31 bits away, the corrupt
+      // payload never decodes — so the oracle is a literal VALUES table
+      // of the three hamming-0 pairs.
+      "q_dedup_phash",
+      (spark, dir) => {
+        Dedup.phashPairs(phashPngs(spark), "img_id", "png", maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        SELECT CAST(a AS BIGINT) AS id_a, CAST(b AS BIGINT) AS id_b,
+               CAST(h AS INTEGER) AS hamming
+        FROM (VALUES (1, 2, 0), (1, 3, 0), (2, 3, 0)) AS t(a, b, h)
+        ORDER BY id_a, id_b
       """)
     ),
     (

@@ -36,7 +36,7 @@ object Lowering {
     "decode_audio", "decode_images", "decode_video",
     "decontaminate", "decontaminate_semantic",
     "dedup_bloom", "dedup_bloom_against",
-    "dedup_incremental", "dedup_incremental_pairs", "dedup_semantic",
+    "dedup_incremental", "dedup_incremental_pairs", "dedup_phash", "dedup_semantic",
     "dedup_spans", "dsir_sample", "dsir_weight", "duckdb_functions", "each_top_k", "jdbc",
     "keywords_tfidf",
     "minhash_index", "mix_by_temperature", "pack_sequences", "parquet_metadata",
@@ -1083,6 +1083,126 @@ object Lowering {
     case _ => None
   }
 
+  // Case bodies extracted from lowerRel's dispatch — the match itself must
+  // stay under the JVM's 64 KB method-size limit, so newer natives keep
+  // their logic in private defs and the case arm is a one-line call.
+
+  private def lowerBm25IndexAppend(args: Seq[Expr], ctx: Context): LRes =
+    args.map(constValue) match {
+      case List(Some(path: String), Some(batch: String), Some(idCol: String),
+          Some(textCol: String)) =>
+        val s = ctx.spark
+        import s.implicits._
+        if (ctx.analysisOnly)
+          Plain(Seq.empty[(String, Long)].toDF("path", "postings"))
+        else {
+          try ctx.spark.read.parquet(path + "_meta").schema
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new LoweringException(
+                s"bm25_index_append expects a path to a persisted BM25 index " +
+                  s"(postings at '$path' plus '_df'/'_meta' siblings — write them " +
+                  s"with bm25_index / Retrieval.writeBm25Index) — ${e.getMessage}")
+          }
+          graft.operators.Retrieval.bm25IndexAppend(
+            ctx.spark, path, lower(TableRef(batch), ctx), idCol, textCol)
+          val n = graft.operators.Retrieval.readPostings(ctx.spark, path).count()
+          Plain(Seq((path, n)).toDF("path", "postings"))
+        }
+      case _ =>
+        throw new LoweringException(
+          "bm25_index_append expects (index_path, batch, id_col, text_col) " +
+            "literals, e.g. bm25_index_append('/tmp/bm25_idx', 'newbatch', " +
+            "'doc_id', 'text')")
+    }
+
+  private def lowerDedupPhash(args: Seq[Expr], ctx: Context): LRes =
+    args.map(constValue) match {
+      case List(Some(corpus: String), Some(idCol: String), Some(imageCol: String),
+          rest @ _*) if rest.lengthCompare(1) <= 0 =>
+        val r = rest.headOption match {
+          case Some(Some(n: Long)) if n >= 0 && n <= 14 => n.toInt
+          case None => 3
+          case other => throw new LoweringException(
+            s"dedup_phash: hamming_r must be an integer literal in [0, 14], got '$other'")
+        }
+        val src = lower(TableRef(corpus), ctx)
+        if (ctx.analysisOnly)
+          // the pairs machinery materializes eagerly (localCheckpoint +
+          // path-choice count) — schema probes get the lazy shape
+          Plain(src.limit(0).select(
+            F.col(idCol).cast("long").as("id_a"),
+            F.col(idCol).cast("long").as("id_b"),
+            F.lit(0).cast("int").as("hamming")))
+        else
+          Plain(graft.operators.Dedup.phashPairs(src, idCol, imageCol, r))
+      case _ =>
+        throw new LoweringException(
+          "dedup_phash expects (corpus, id_col, image_col[, hamming_r]) literals, " +
+            "e.g. dedup_phash('images', 'img_id', 'png', 3)")
+    }
+
+  private def lowerDedupBloom(args: Seq[Expr], ctx: Context): LRes =
+    args.map(constValue) match {
+      case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
+          rest @ _*) if rest.lengthCompare(2) <= 0 =>
+        val fpp = rest.headOption match {
+          case Some(Some(d: java.lang.Double)) => d.doubleValue()
+          case Some(Some(n: Number)) => n.doubleValue()
+          case None => 0.01
+          case other => throw new LoweringException(
+            s"dedup_bloom: fpp must be a number literal in (0, 1), got '$other'")
+        }
+        val expected = rest.drop(1).headOption match {
+          case Some(Some(n: Long)) if n >= 1 => Some(n)
+          case None => None
+          case other => throw new LoweringException(
+            s"dedup_bloom: expected_items must be a positive integer literal, got '$other'")
+        }
+        if (ctx.analysisOnly)
+          Plain(graft.operators.Dedup.exactGroups(
+            lower(TableRef(corpus), ctx), idCol, textCol))
+        else
+          Plain(graft.operators.Dedup.bloomExactGroups(
+            lower(TableRef(corpus), ctx), idCol, textCol, fpp, expected))
+      case _ =>
+        throw new LoweringException(
+          "dedup_bloom expects (corpus, id_col, text_col[, fpp[, expected_items]]) " +
+            "literals, e.g. dedup_bloom('documents', 'doc_id', 'text', 0.01)")
+    }
+
+  private def lowerDedupBloomAgainst(args: Seq[Expr], ctx: Context): LRes =
+    args.map(constValue) match {
+      case List(Some(corpus: String), Some(batch: String), Some(idCol: String),
+          Some(textCol: String), rest @ _*) if rest.lengthCompare(2) <= 0 =>
+        val fpp = rest.headOption match {
+          case Some(Some(d: java.lang.Double)) => d.doubleValue()
+          case Some(Some(n: Number)) => n.doubleValue()
+          case None => 0.01
+          case other => throw new LoweringException(
+            s"dedup_bloom_against: fpp must be a number literal in (0, 1), got '$other'")
+        }
+        val expected = rest.drop(1).headOption match {
+          case Some(Some(n: Long)) if n >= 1 => Some(n)
+          case None => None
+          case other => throw new LoweringException(
+            s"dedup_bloom_against: expected_items must be a positive integer " +
+              s"literal, got '$other'")
+        }
+        if (ctx.analysisOnly)
+          Plain(graft.operators.Dedup.dedupAgainstExact(
+            lower(TableRef(corpus), ctx), lower(TableRef(batch), ctx), idCol, textCol))
+        else
+          Plain(graft.operators.Dedup.bloomDedupAgainst(
+            lower(TableRef(corpus), ctx), lower(TableRef(batch), ctx),
+            idCol, textCol, fpp, expected))
+      case _ =>
+        throw new LoweringException(
+          "dedup_bloom_against expects (corpus, batch, id_col, text_col" +
+            "[, fpp[, expected_items]]) literals, e.g. dedup_bloom_against(" +
+            "'documents', 'newbatch', 'doc_id', 'text', 0.01)")
+    }
+
   private def lowerRel(rel: Relation, ctx: Context): LRes = rel match {
     case TableRef(name) =>
       ctx.models.get(name) match {
@@ -1485,33 +1605,7 @@ object Lowering {
       // the corpus (cost scales with |batch|). Returns the bm25_index
       // 1-row summary over the updated index; analysis-only contexts get
       // the summary schema with no rows (the bm25_index contract).
-      args.map(constValue) match {
-        case List(Some(path: String), Some(batch: String), Some(idCol: String),
-            Some(textCol: String)) =>
-          val s = ctx.spark
-          import s.implicits._
-          if (ctx.analysisOnly)
-            Plain(Seq.empty[(String, Long)].toDF("path", "postings"))
-          else {
-            try ctx.spark.read.parquet(path + "_meta").schema
-            catch {
-              case e: org.apache.spark.sql.AnalysisException =>
-                throw new LoweringException(
-                  s"bm25_index_append expects a path to a persisted BM25 index " +
-                    s"(postings at '$path' plus '_df'/'_meta' siblings — write them " +
-                    s"with bm25_index / Retrieval.writeBm25Index) — ${e.getMessage}")
-            }
-            graft.operators.Retrieval.bm25IndexAppend(
-              ctx.spark, path, lower(TableRef(batch), ctx), idCol, textCol)
-            val n = graft.operators.Retrieval.readPostings(ctx.spark, path).count()
-            Plain(Seq((path, n)).toDF("path", "postings"))
-          }
-        case _ =>
-          throw new LoweringException(
-            "bm25_index_append expects (index_path, batch, id_col, text_col) " +
-              "literals, e.g. bm25_index_append('/tmp/bm25_idx', 'newbatch', " +
-              "'doc_id', 'text')")
-      }
+      lowerBm25IndexAppend(args, ctx)
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "bm25_topk_index" =>
@@ -1601,33 +1695,7 @@ object Lowering {
       // the bloom is sized from (never a count job either way). Analysis-
       // only contexts get the schema through the lazy exact plan — the
       // eager bloom build must not run on a compile/LSP/docs probe.
-      args.map(constValue) match {
-        case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
-            rest @ _*) if rest.lengthCompare(2) <= 0 =>
-          val fpp = rest.headOption match {
-            case Some(Some(d: java.lang.Double)) => d.doubleValue()
-            case Some(Some(n: Number)) => n.doubleValue()
-            case None => 0.01
-            case other => throw new LoweringException(
-              s"dedup_bloom: fpp must be a number literal in (0, 1), got '$other'")
-          }
-          val expected = rest.drop(1).headOption match {
-            case Some(Some(n: Long)) if n >= 1 => Some(n)
-            case None => None
-            case other => throw new LoweringException(
-              s"dedup_bloom: expected_items must be a positive integer literal, got '$other'")
-          }
-          if (ctx.analysisOnly)
-            Plain(graft.operators.Dedup.exactGroups(
-              lower(TableRef(corpus), ctx), idCol, textCol))
-          else
-            Plain(graft.operators.Dedup.bloomExactGroups(
-              lower(TableRef(corpus), ctx), idCol, textCol, fpp, expected))
-        case _ =>
-          throw new LoweringException(
-            "dedup_bloom expects (corpus, id_col, text_col[, fpp[, expected_items]]) " +
-              "literals, e.g. dedup_bloom('documents', 'doc_id', 'text', 0.01)")
-      }
+      lowerDedupBloom(args, ctx)
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "dedup_bloom_against" =>
@@ -1641,36 +1709,7 @@ object Lowering {
       // contexts get the schema through the lazy exact join — the eager
       // bloom build must not run on a compile/LSP/docs probe.
       // Output per batch row: (id, is_dup, dup_of).
-      args.map(constValue) match {
-        case List(Some(corpus: String), Some(batch: String), Some(idCol: String),
-            Some(textCol: String), rest @ _*) if rest.lengthCompare(2) <= 0 =>
-          val fpp = rest.headOption match {
-            case Some(Some(d: java.lang.Double)) => d.doubleValue()
-            case Some(Some(n: Number)) => n.doubleValue()
-            case None => 0.01
-            case other => throw new LoweringException(
-              s"dedup_bloom_against: fpp must be a number literal in (0, 1), got '$other'")
-          }
-          val expected = rest.drop(1).headOption match {
-            case Some(Some(n: Long)) if n >= 1 => Some(n)
-            case None => None
-            case other => throw new LoweringException(
-              s"dedup_bloom_against: expected_items must be a positive integer " +
-                s"literal, got '$other'")
-          }
-          if (ctx.analysisOnly)
-            Plain(graft.operators.Dedup.dedupAgainstExact(
-              lower(TableRef(corpus), ctx), lower(TableRef(batch), ctx), idCol, textCol))
-          else
-            Plain(graft.operators.Dedup.bloomDedupAgainst(
-              lower(TableRef(corpus), ctx), lower(TableRef(batch), ctx),
-              idCol, textCol, fpp, expected))
-        case _ =>
-          throw new LoweringException(
-            "dedup_bloom_against expects (corpus, batch, id_col, text_col" +
-              "[, fpp[, expected_items]]) literals, e.g. dedup_bloom_against(" +
-              "'documents', 'newbatch', 'doc_id', 'text', 0.01)")
-      }
+      lowerDedupBloomAgainst(args, ctx)
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "dedup_spans" =>
@@ -1690,6 +1729,16 @@ object Lowering {
             "dedup_spans expects (corpus, id_col, text_col[, span_len, min_docs]) " +
               "literals, e.g. dedup_spans('documents', 'doc_id', 'text', 8, 2)")
       }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "dedup_phash" =>
+      // dedup_phash('corpus', 'id_col', 'image_col'[, hamming_r]) —
+      // near-duplicate IMAGE pairs via DCT perceptual hash
+      // (Dedup.phashPairs): one javax.imageio decode pass to a 63-bit
+      // pHash per asset, then the simhash family's chunk-pair-blocked
+      // candidate join — exact recall within hamming_r below the bucket
+      // cap, no cartesian. Output (id_a, id_b, hamming).
+      lowerDedupPhash(args, ctx)
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "dedup_semantic" =>

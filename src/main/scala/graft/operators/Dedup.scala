@@ -735,37 +735,56 @@ object Dedup {
       maxBucketSize: Int = 1000,
       denseSigLimit: Long = -1L // -1 → cores-aware default (denseSigLimitFor)
   ): DataFrame = {
+    hammingPairs(simhashTable(df, idCol, textCol), idCol, "simhash",
+      maxHamming, maxBucketSize, denseSigLimit)
+  }
+
+  /** Generic near-duplicate pairs over ANY 64-bit hash column — the
+    * chunk-pair-blocked + dense-broadcast machinery [[simhashPairs]]
+    * built, extracted so every hash family shares it (text simhash;
+    * image pHash via [[phashPairs]]). Input: one (id, hash) row per
+    * item; output (id_a, id_b, hamming), id_a < id_b.
+    *
+    * Path selection on DISTINCT-signature count. A dense near-dup corpus
+    * (many docs, few distinct signatures — boilerplate storms, template
+    * farms) is the blocked path's worst case: every true pair re-surfaces
+    * from each of its agreeing chunk combos (up to C(numChunks,2) join rows
+    * per pair), so join volume is multiplicity × true pairs. With few
+    * distinct signatures the exact answer is cheaper at signature
+    * granularity: broadcast the distinct-signature list (8 bytes each, ≤
+    * 512 KB at the default limit), compare all signature pairs with a
+    * codegen'd bit_count filter (D²/2 comparisons, embarrassingly
+    * parallel), and only then expand members — each qualifying doc pair is
+    * produced exactly ONCE, uncapped, exact. Blocking remains the
+    * large-D path: distinct signatures grow ~linearly with a diverse
+    * corpus while the dense path's D²/2 comparisons grow quadratically.
+    * The gate is cores-aware and MEASURED, not analytical — see
+    * [[denseSigLimitFor]] / BENCH_SIMHASH_GATE.json (dense was still 3×
+    * faster, and exact, at 1.5× the old fixed 64Ki limit). */
+  def hammingPairs(
+      table: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int,
+      maxBucketSize: Int = 1000,
+      denseSigLimit: Long = -1L // -1 → cores-aware default (denseSigLimitFor)
+  ): DataFrame = {
     require(maxHamming >= 0, "maxHamming must be >= 0")
     require(maxHamming <= 14,
       "chunk-pair blocking needs numChunks = maxHamming + 2 <= 16 (>=4-bit chunks); " +
         "beyond hamming 14 the pigeonhole guarantee breaks")
-    if (maxHamming == 0) return simhashExactPairs(df, idCol, textCol, maxBucketSize)
-    // Path selection on DISTINCT-signature count. A dense near-dup corpus
-    // (many docs, few distinct signatures — boilerplate storms, template
-    // farms) is the blocked path's worst case: every true pair re-surfaces
-    // from each of its agreeing chunk combos (up to C(numChunks,2) join rows
-    // per pair), so join volume is multiplicity × true pairs. With few
-    // distinct signatures the exact answer is cheaper at signature
-    // granularity: broadcast the distinct-signature list (8 bytes each, ≤
-    // 512 KB at the default limit), compare all signature pairs with a
-    // codegen'd bit_count filter (D²/2 comparisons, embarrassingly
-    // parallel), and only then expand members — each qualifying doc pair is
-    // produced exactly ONCE, uncapped, exact. Blocking remains the
-    // large-D path: distinct signatures grow ~linearly with a diverse
-    // corpus while the dense path's D²/2 comparisons grow quadratically.
-    // The gate is cores-aware and MEASURED, not analytical — see
-    // [[denseSigLimitFor]] / BENCH_SIMHASH_GATE.json (dense was still 3×
-    // faster, and exact, at 1.5× the old fixed 64Ki limit).
-    // (id, simhash) is read multiple times by either path (and the path
+    if (maxHamming == 0) return hammingExactPairs(table, idCol, hashCol, maxBucketSize)
+    // (id, hash) is read multiple times by either path (and the path
     // choice itself needs a count) — materialize ONCE; n × 16-byte rows.
     // Released before returning (the result checkpoint cuts its lineage).
-    val m = simhashTable(df, idCol, textCol).localCheckpoint(true)
+    val m = table.select(F.col(idCol), F.col(hashCol).as("simhash"))
+      .localCheckpoint(true)
     val nDistinct = m.select("simhash").distinct().count()
     val gate =
       if (denseSigLimit >= 0) denseSigLimit
-      else denseSigLimitFor(df.sparkSession.sparkContext.defaultParallelism)
+      else denseSigLimitFor(table.sparkSession.sparkContext.defaultParallelism)
     System.err.println(
-      s"[dedup] simhashPairs: $nDistinct distinct signatures → " +
+      s"[dedup] hammingPairs($hashCol): $nDistinct distinct signatures → " +
         (if (nDistinct <= gate) "dense broadcast-signature path"
          else s"banded chunk-pair path (limit $gate)"))
     if (nDistinct <= gate) {
@@ -773,7 +792,7 @@ object Dedup {
       // explicit numbered repartition on the streamed side: the distinct
       // output is a few hundred KB, which AQE would coalesce into ONE
       // partition and serialize the D²/2 comparisons onto a single core
-      val parts0 = df.sparkSession.sparkContext.defaultParallelism
+      val parts0 = table.sparkSession.sparkContext.defaultParallelism
       val sigPairs = m.select(F.col("simhash").as("sim_a")).distinct()
         .repartition(parts0)
         .crossJoin(F.broadcast(m.select(F.col("simhash").as("sim_b")).distinct()))
@@ -822,7 +841,7 @@ object Dedup {
     // checkpointed — m's blocks (n × 16 bytes) stay pinned until driver GC,
     // the one bounded residual of the path-choice count job
     val withSim = m
-    val parts = df.sparkSession.sparkContext.defaultParallelism
+    val parts = table.sparkSession.sparkContext.defaultParallelism
     val posts = withSim.select(
       F.col(idCol), F.col("simhash"),
       F.explode(F.array(keyCols: _*)).as("bucket")
@@ -860,15 +879,15 @@ object Dedup {
   /** maxHamming = 0 degenerates to exact-duplicate detection on the full
     * 64-bit simhash: block on the fingerprint itself (one shuffle, uniform
     * 8-byte keys), no chunking or witness logic needed. */
-  private def simhashExactPairs(
-      df: DataFrame,
+  private def hammingExactPairs(
+      table: DataFrame,
       idCol: String,
-      textCol: String,
+      hashCol: String,
       maxBucketSize: Int
   ): DataFrame = {
-    val parts = df.sparkSession.sparkContext.defaultParallelism
-    val posts = simhashTable(df, idCol, textCol)
-      .select(F.col(idCol), F.col("simhash"))
+    val parts = table.sparkSession.sparkContext.defaultParallelism
+    val posts = table
+      .select(F.col(idCol), F.col(hashCol).as("simhash"))
       .repartition(parts, F.col("simhash"))
     val capped = capBuckets(posts, maxBucketSize, "simhash")
     val l = capped.select(F.col("simhash"), F.col(idCol).as("id_a"))
@@ -877,6 +896,28 @@ object Dedup {
       .filter(F.col("id_a") < F.col("id_b"))
       .withColumn("hamming", F.lit(0))
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** Near-duplicate IMAGE pairs via perceptual hash — the LAION-style
+    * pipeline tier the text family lacked (VERDICT r17 Next #6): one
+    * [[Multimodal.phashImages]] decode pass (imperative codec kernel)
+    * produces the 63-bit DCT pHash per asset, then the SAME
+    * chunk-pair-blocked candidate machinery as text simhash
+    * ([[hammingPairs]]) finds all pairs within `maxHamming` — no
+    * cartesian, exact recall below the bucket cap. Undecodable payloads
+    * carry no hash and can never pair. Output (id_a, id_b, hamming). */
+  def phashPairs(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000,
+      denseSigLimit: Long = -1L
+  ): DataFrame = {
+    val hashes = graft.operators.Multimodal.phashImages(df, idCol, payloadCol)
+      .filter(F.col("decoded") && F.col("phash").isNotNull)
+      .select(F.col("img_id").as(idCol), F.col("phash"))
+    hammingPairs(hashes, idCol, "phash", maxHamming, maxBucketSize, denseSigLimit)
   }
 
   // ---------------------------------------------------------------------------

@@ -129,6 +129,159 @@ object Multimodal {
     }, schema)
   }
 
+  /** DCT grid edge for [[phashImages]] (classic pHash: 32×32 luminance →
+    * 8×8 low-frequency block). */
+  val PhashGrid = 32
+  private val PhashBlock = 8
+
+  /** Cosine table for the 32×32 DCT-II, via StrictMath so hashes are
+    * BIT-IDENTICAL across JVMs/platforms (Math.cos is allowed to differ
+    * by an ulp per platform — enough to flip a threshold bit). */
+  private lazy val phashCos: Array[Array[Double]] = {
+    val n = PhashGrid
+    Array.tabulate(n, n)((u, x) =>
+      StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / (2.0 * n)))
+  }
+
+  /** Output schema of [[phashImages]]: 63-bit perceptual hash per asset
+    * (bit 63 unused); `decoded=false` rows carry a NULL hash. */
+  val phashSchema: StructType = StructType(Seq(
+    StructField("img_id", LongType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("phash", LongType, nullable = true)
+  ))
+
+  /** Perceptual hash (classic DCT pHash — the LAION-style near-dup-image
+    * key) over a binary image column: decode (javax.imageio), area-average
+    * to a 32×32 luminance grid, 2D DCT-II, take the 8×8 low-frequency
+    * block EXCLUDING the DC term (63 coefficients), threshold each against
+    * the block's lower median → one bit per coefficient.
+    *
+    * Excluding DC and thresholding against the median makes the hash
+    * EXACTLY invariant under affine pixel maps v → a·v + b (a > 0):
+    * brightness/contrast changes cannot move a bit. Coefficients are
+    * normalized by the block's max |coef| and quantized to 1e-4 before
+    * the median compare, so the float noise an affine map introduces
+    * (≤ ~1e-12 relative) can never flip a bit either; integer-factor
+    * rescales reproduce the 32×32 grid exactly and hash identically.
+    * A solid image has an all-zero block → hash 0.
+    *
+    * Same [[mapMediaPartitions]] kernel shape as [[decodeImages]] — the
+    * imperative-codec operator class Catalyst cannot express; everything
+    * DOWNSTREAM of the hash (banding, candidate join, hamming filter) is
+    * codegen'd relational work in [[Dedup.phashPairs]]. */
+  def phashImages(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      targetPartitions: Int = 0
+  ): DataFrame = {
+    val in = df.select(F.col(idCol).cast("long"), F.col(payloadCol).cast("binary"))
+    mapMediaPartitions(in, targetPartitions)({ rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val img =
+          if (bytes == null || bytes.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Throwable => null }
+        if (img == null) Row(id, false, null)
+        else Row(id, true, phashOf(img))
+      }
+    }, phashSchema)
+  }
+
+  /** The hash kernel on a decoded image — exposed for spec-side
+    * closed-form checks. */
+  private[graft] def phashOf(img: java.awt.image.BufferedImage): Long = {
+    val n = PhashGrid
+    val w = img.getWidth
+    val h = img.getHeight
+    // area-average to n×n with integer block boundaries: an exact
+    // pixel-doubled rescale averages constant blocks, reproducing the
+    // base grid bit-for-bit
+    val g = new Array[Double](n * n)
+    var y = 0
+    while (y < n) {
+      val y0 = y * h / n
+      val y1 = math.max(y0 + 1, (y + 1) * h / n)
+      var x = 0
+      while (x < n) {
+        val x0 = x * w / n
+        val x1 = math.max(x0 + 1, (x + 1) * w / n)
+        var s = 0.0
+        var yy = y0
+        while (yy < math.min(y1, h)) {
+          var xx = x0
+          while (xx < math.min(x1, w)) {
+            val rgb = img.getRGB(xx, yy)
+            s += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+            xx += 1
+          }
+          yy += 1
+        }
+        val cnt = (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0)
+        g(y * n + x) = if (cnt > 0) s / cnt else 0.0
+        x += 1
+      }
+      y += 1
+    }
+    // a flat grid has ALL AC coefficients mathematically zero, but float
+    // cosine sums leave ~1e-13 residue that max-normalization would
+    // amplify into noise bits — the grid's dynamic range is the exact,
+    // affine-invariant flatness test (0 for any solid image)
+    var gmin = g(0)
+    var gmax = g(0)
+    g.foreach { v => if (v < gmin) gmin = v; if (v > gmax) gmax = v }
+    if (gmax == gmin) return 0L
+    // 2D DCT-II of the low-frequency block only (8×8 of a 32×32 grid):
+    // separable row pass for u < 8, then column pass — O(n²·block)
+    val rowPass = new Array[Double](PhashBlock * n) // [u][y]
+    var u = 0
+    while (u < PhashBlock) {
+      var yy = 0
+      while (yy < n) {
+        var s = 0.0
+        var x = 0
+        while (x < n) { s += g(yy * n + x) * phashCos(u)(x); x += 1 }
+        rowPass(u * n + yy) = s
+        yy += 1
+      }
+      u += 1
+    }
+    val coefs = new Array[Double](PhashBlock * PhashBlock)
+    var v = 0
+    while (v < PhashBlock) {
+      u = 0
+      while (u < PhashBlock) {
+        var s = 0.0
+        var yy = 0
+        while (yy < n) { s += rowPass(u * n + yy) * phashCos(v)(yy); yy += 1 }
+        coefs(v * PhashBlock + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    // 63 AC coefficients (skip DC at index 0): normalize, quantize,
+    // threshold against the lower median
+    val ac = java.util.Arrays.copyOfRange(coefs, 1, coefs.length)
+    var maxAbs = 0.0
+    ac.foreach(c => maxAbs = math.max(maxAbs, math.abs(c)))
+    if (maxAbs == 0.0) return 0L
+    val quant = ac.map(c => math.round(c / maxAbs * 1e4))
+    val sorted = quant.clone()
+    java.util.Arrays.sort(sorted)
+    val med = sorted(31) // lower median of 63
+    var hash = 0L
+    var i = 0
+    while (i < 63) {
+      if (quant(i) > med) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
   /** Metadata schema carried beside every binary media column. */
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),

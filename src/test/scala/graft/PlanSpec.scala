@@ -222,6 +222,45 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("phash pairs: banded path blocks on chunk-pair keys, no cartesian") {
+    // forcing denseSigLimit=0 exercises the chunk-pair-blocked path (the
+    // one that runs at corpus scale) — candidates must come from an
+    // equi-join on packed bucket keys, never an all-pairs product, and
+    // the hamming filter must be the codegen'd bit_count, not a UDF
+    val pngs = graft.catalog.QueryCatalog.phashPngs(spark)
+    val df = graft.operators.Dedup.phashPairs(
+      pngs, "img_id", "png", maxHamming = 3, denseSigLimit = 0)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), s"phash pairs cross-joined:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
+      s"hamming filter must stay native:\n$plan")
+  }
+
+  test("bm25 index append: the append job reads the batch, never the index") {
+    // the maintenance path's 100 TB contract — cost scales with |batch|:
+    // the appended postings' plan must scan only batch-derived data
+    val docs = table("documents")
+    val path = java.nio.file.Files.createTempDirectory("bm25_app_plan").toString + "/idx"
+    graft.operators.Retrieval.writeBm25Index(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 4 =!= 0),
+      "doc_id", "text", path)
+    val before = spark.read.parquet(path + "_meta").head().getLong(0)
+    graft.operators.Retrieval.bm25IndexAppend(spark, path,
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 4 === 0)
+        .select("doc_id", "text"),
+      "doc_id", "text")
+    val after = spark.read.parquet(path + "_meta").head().getLong(0)
+    assert(after > before, "append did not advance meta n")
+    // spot-gate: an appended-index serve still partition-prunes
+    val q = docs.filter(org.apache.spark.sql.functions.col("doc_id") === 0)
+      .select("doc_id", "text")
+    val plan = planOf(
+      graft.operators.Retrieval.bm25IndexTopK(spark, path, q, "doc_id", "text", 5))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("tok_grp")),
+      s"appended index lost partition pruning:\n$plan")
+  }
+
   test("packing cumsum window is shard-partitioned, never global") {
     // a window without PARTITION BY serializes the whole corpus onto one
     // task — the exact failure mode the md5-prefix shard exists to prevent

@@ -1261,6 +1261,14 @@ class LangSpec extends SparkTestBase {
       count
     """).collect()(0).getLong(0)
     assert(undecodable == total)
+    // perceptual-hash image dedup as a table function: text payloads never
+    // decode, so no asset carries a hash and the pair set is empty — the
+    // plumbing (dispatch, schema, decode-exclusion) is what this pins
+    val phash = wv("""
+      from dedup_phash('documents', 'doc_id', 'text', 3)
+    """)
+    assert(phash.columns.toSeq == Seq("id_a", "id_b", "hamming"))
+    assert(phash.count() == 0)
   }
 
   test("each_top_k: bare identifiers and model relations") {

@@ -330,6 +330,46 @@ class PipelineSpec extends SparkTestBase {
     assert(lazyRows == bloomRows)
   }
 
+  test("pHash: scale/brightness invariance, noise distance, corrupt excluded") {
+    val pngs = graft.catalog.QueryCatalog.phashPngs(spark)
+    val hashes = Multimodal.phashImages(pngs, "img_id", "png").collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    // decode states: all real PNGs decode, the corrupt payload does not
+    assert((1L to 6L).forall(hashes(_)._1) && !hashes(99L)._1)
+    val h = (id: Long) => hashes(id)._2
+    // the closed-form invariances the oracle row leans on
+    assert(h(1) == h(2), "pixel-doubled rescale changed the hash")
+    assert(h(1) == h(3), "affine brightness map changed the hash")
+    assert(h(5) == 0L, "solid image has nonzero AC hash")
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // a noise pHash thresholds 63 coefficients against their lower median
+    // → ~31 bits set; independent noise images sit ~31 bits apart
+    assert(java.lang.Long.bitCount(h(1)) >= 20, s"noise hash too sparse: ${h(1)}")
+    for ((a, b) <- Seq((1L, 4L), (1L, 6L), (4L, 6L), (1L, 5L), (4L, 5L)))
+      assert(hamming(h(a), h(b)) > 10,
+        s"independent images too close: ($a, $b) = ${hamming(h(a), h(b))}")
+    // pairs at r=3: exactly the three invariance pairs, from BOTH candidate
+    // paths (dense broadcast and banded chunk-pair), and at r=0 alike
+    for (limit <- Seq(-1L, 0L); r <- Seq(0, 3)) {
+      val pairs = Dedup.phashPairs(pngs, "img_id", "png",
+          maxHamming = r, denseSigLimit = limit)
+        .orderBy("id_a", "id_b").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSeq
+      assert(pairs == Seq((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0)),
+        s"phashPairs(r=$r, denseSigLimit=$limit) = $pairs")
+    }
+  }
+
+  test("pHash hashes are identical across independent plan executions") {
+    val pngs = graft.catalog.QueryCatalog.phashPngs(spark)
+    val once = Multimodal.phashImages(pngs, "img_id", "png")
+      .orderBy("img_id").collect().map(_.toString).toSeq
+    val again = Multimodal.phashImages(pngs, "img_id", "png")
+      .orderBy("img_id").collect().map(_.toString).toSeq
+    assert(once == again)
+  }
+
   test("minhash LSH finds a planted near-duplicate") {
     import spark.implicits._
     val base = docs.limit(20).select("doc_id", "text")
