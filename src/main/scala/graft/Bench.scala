@@ -63,6 +63,11 @@ object Bench {
     * measurements stay like-for-like. */
   private[graft] val HeavyRowFloorSec = 2.0
   private[graft] val HeavyRowRuns = 5
+
+  /** Floors below this are micro-rows: scheduling jitter dominates their
+    * medians, so ratio-to-floor is noise, not signal — stamped without
+    * the `floor_ratio` field (r17 verdict #8). */
+  private[graft] val MicroFloorSec = 0.3
   private[graft] def runsFor(base: Int, floor: Option[Double]): Int =
     if (floor.exists(_ > HeavyRowFloorSec)) base.max(HeavyRowRuns) else base
 
@@ -133,9 +138,17 @@ object Bench {
       val retime = r.retimed.map(v => s""","retimed":${s3(v)}""").getOrElse("")
       // floor + floor_ratio stamped per row where a floor exists: rows
       // above 1.5x floor but under the 0.25 s absolute retime gate used to
-      // read as unexplained — the ratio makes the artifact self-describing
-      val floor = floors.get(r.name).filter(_ > 0).map(f =>
-        s""","floor":${s3(f)},"floor_ratio":${s3(r.median / f)}""").getOrElse("")
+      // read as unexplained — the ratio makes the artifact self-describing.
+      // Micro-rows (floor < MicroFloorSec) keep the floor but NOT the
+      // ratio: their absolute deltas sit below the retime significance
+      // gate, so a 0.07 s floor reading 0.29 s stamps "4.1x" noise into
+      // every artifact (r17: 13 such rows, all deltas < 0.55 s) — the >2x
+      // list must stay a real signal
+      val floor = floors.get(r.name).filter(_ > 0).map { f =>
+        val ratio =
+          if (f >= MicroFloorSec) s""","floor_ratio":${s3(r.median / f)}""" else ""
+        s""","floor":${s3(f)}$ratio"""
+      }.getOrElse("")
       s""""${r.name}":{"median":${s3(r.median)},"runs":[${r.runs.map(s3).mkString(",")}]$retime$floor}"""
     }.mkString("{", ",", "}")
 

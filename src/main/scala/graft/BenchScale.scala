@@ -184,7 +184,15 @@ object BenchScale {
     "q_dedup_bloom_against",
     // per-doc tf-idf keywords (r17): postings + df groupBys + a per-doc
     // window — the token-keyed ~linear shape
-    "q_keywords_tfidf")
+    "q_keywords_tfidf",
+    // incremental index maintenance (r18): build over 3/4 + append 1/4 is
+    // memoized per dir (untimed); the timed region is the partition-pruned
+    // serve over the appended index — must stay the bm25_topk_index shape
+    "q_bm25_index_append",
+    // streaming dedup-against (r18): corpus bloom fit once + a readStream
+    // micro-batch loop of bloom probe + candidate-broadcast recheck —
+    // expect ~1 in corpus rows (two scans per batch, zero corpus shuffle)
+    "q_subscribe_dedup_against")
 
   private def loadavg(): String = BenchGuard.loadavg()
 

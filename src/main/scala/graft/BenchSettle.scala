@@ -154,7 +154,39 @@ object BenchSettle {
       s"{\n$meta,\n  \"floors\": {\n$body\n  }\n}\n")
     val lowered = ok.count(r => old.get(r.name).exists(_.floor > r.median))
     val added = ok.count(r => !old.contains(r.name))
+    // settle-log sibling (r17 verdict #7): one JSON line per settle run
+    // naming exactly the subset it EXECUTED and the floors it CHANGED, so
+    // the floors file's sparsity of fresh `run` stamps is self-explaining
+    // without TUNING forensics. BenchFloorsSpec pins log ≡ stamps: every
+    // floor stamped with this run's timestamp must appear in `executed`.
+    val changedNames = ok.map(_.name).filter(n =>
+      merged.get(n).exists(f => old.get(n).forall(_.floor != f.floor))).sorted
+    val logEntry =
+      s"""{"run":"$stamp","sf":"$sfDir","mode":"${if (replace) "replace" else "min"}",""" +
+        s""""only":"${onlyFilter.getOrElse("")}","n_executed":${ok.size},""" +
+        s""""executed":[${ok.map(_.name).sorted.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""changed":[${changedNames.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""added":$added,"lowered":$lowered,"failures":${failed.size}}"""
+    Files.writeString(Paths.get("BENCH_SETTLE_LOG.jsonl"),
+      logEntry + "\n", java.nio.charset.StandardCharsets.UTF_8,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     println(s"""{"metric":"settle","n_floors":${merged.size},"added":$added,"lowered":$lowered,""" +
       s""""failures":${failed.size},"total_sec":${s3(ok.map(_.median).sum)},"sf":"$sfDir"}""")
   }
+
+  /** Parse the settle log's (run stamp → executed set) pairs — shared by
+    * BenchFloorsSpec's log ≡ stamps gate. */
+  private[graft] def settleLogRuns(jsonl: String): Seq[(String, Set[String])] =
+    jsonl.linesIterator.filter(_.trim.nonEmpty).toSeq.flatMap { line =>
+      for {
+        run <- """"run"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
+        ex <- """"executed"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(line).map(_.group(1))
+      } yield run -> """"(q_[a-z0-9_]+)"""".r.findAllMatchIn(ex).map(_.group(1)).toSet
+    }
+
+  /** Floor name → `run` provenance stamp from a floors file — the other
+    * half of the log ≡ stamps gate. */
+  private[graft] def floorRunStamps(json: String): Map[String, String] =
+    (""""(q_[a-z0-9_]+)"\s*:\s*\{\s*"floor"\s*:\s*[0-9][0-9.eE+\-]*\s*,\s*"run"\s*:\s*"([^"]*)"""").r
+      .findAllMatchIn(json).map(m => m.group(1) -> m.group(2)).toMap
 }

@@ -74,6 +74,47 @@ class BenchFloorsSpec extends AnyFunSuite {
     assert(Bench.effectiveSec(loaded.copy(retimed = None)) == 1.47)
   }
 
+  test("settle log parses and agrees with the floors file's run stamps") {
+    // synthetic round-trip of the parsers
+    val log =
+      """{"run":"2026-08-16T20:00:00Z","sf":"/root/testdata/sf0.1","mode":"min","only":"q_a,q_b","n_executed":2,"executed":["q_a","q_b"],"changed":["q_a"],"added":1,"lowered":0,"failures":0}
+        |{"run":"2026-08-16T21:00:00Z","sf":"/root/testdata/sf0.1","mode":"replace","only":"","n_executed":1,"executed":["q_c"],"changed":["q_c"],"added":0,"lowered":1,"failures":0}
+        |""".stripMargin
+    val runs = BenchSettle.settleLogRuns(log)
+    assert(runs == Seq(
+      "2026-08-16T20:00:00Z" -> Set("q_a", "q_b"),
+      "2026-08-16T21:00:00Z" -> Set("q_c")))
+    val floors =
+      """{"floors":{
+        |  "q_a": {"floor":1.0,"run":"2026-08-16T20:00:00Z","load":"1;1","settled":1.0},
+        |  "q_c": {"floor":2.0,"run":"2026-08-16T21:00:00Z","load":"1;1"}
+        |}}""".stripMargin
+    assert(BenchSettle.floorRunStamps(floors) ==
+      Map("q_a" -> "2026-08-16T20:00:00Z", "q_c" -> "2026-08-16T21:00:00Z"))
+  }
+
+  test("log ≡ stamps over the repo's actual artifacts") {
+    // every floor whose `run` stamp corresponds to a logged settle run
+    // must be listed in that run's executed subset — a floor the log
+    // cannot explain means hand edits or a logging gap
+    val logPath = java.nio.file.Paths.get("BENCH_SETTLE_LOG.jsonl")
+    val floorsPath = java.nio.file.Paths.get("BENCH_REFERENCE.json")
+    if (java.nio.file.Files.exists(logPath) && java.nio.file.Files.exists(floorsPath)) {
+      val byRun = BenchSettle.settleLogRuns(java.nio.file.Files.readString(logPath))
+        .groupMapReduce(_._1)(_._2)(_ ++ _)
+      val stamps = BenchSettle.floorRunStamps(java.nio.file.Files.readString(floorsPath))
+      val orphans = stamps.collect {
+        case (name, run) if byRun.contains(run) && !byRun(run).contains(name) => s"$name@$run"
+      }
+      assert(orphans.isEmpty,
+        s"floors stamped to a logged run that did not execute them: ${orphans.mkString(", ")}")
+    }
+  }
+
+  test("micro-rows keep their floor but not a ratio in the detail artifact") {
+    assert(Bench.MicroFloorSec == 0.3)
+  }
+
   test("control rows are real suite queries with oracle entries") {
     // a control row that drifts out of the suite would silently drop from
     // the control_ratio stamp
