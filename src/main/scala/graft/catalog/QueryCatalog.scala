@@ -730,6 +730,31 @@ object QueryCatalog {
       path
     })
 
+  /** Build-once-per-(JVM, corpus dir) INCREMENTALLY-MAINTAINED MinHash
+    * index: built (payload-bearing, text alongside) over HALF the corpus
+    * (doc_id % 4 ∈ {1, 2}), then the remaining corpus quarter
+    * (doc_id % 4 == 3) APPENDED via Dedup.minhashIndexAppend — signature
+    * rows are deterministic per doc, so the appended index is
+    * row-identical to [[persistedMinhashIndex]] (the full doc_id % 4 != 0
+    * build) and q_minhash_index_append reuses
+    * q_dedup_incremental_pairs's oracle SQL verbatim. */
+  private val minhashAppendIdxPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def appendedMinhashIndex(spark: SparkSession, dir: String): String =
+    minhashAppendIdxPaths.getOrElseUpdate(dir, {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_minhash_appidx_" + stageKey(dir)).getAbsolutePath
+      val docs = Tables.read(spark, dir, "documents")
+      val half = docs.filter(F.col("doc_id") % 4 =!= 0 && F.col("doc_id") % 4 =!= 3)
+      graft.operators.Dedup.buildMinhashIndex(half, "doc_id", "text", 64, 2)
+        .join(half.select("doc_id", "text"), Seq("doc_id"))
+        .write.mode("overwrite").parquet(path)
+      graft.operators.Dedup.minhashIndexAppend(
+        spark, path,
+        docs.filter(F.col("doc_id") % 4 === 3).select("doc_id", "text"),
+        "doc_id", "text")
+      path
+    })
+
   /** Deterministic synthetic PNG corpus for the REAL-decode rows
     * (q_multimodal_decode / q_multimodal_resize): 12 images whose pixel
     * statistics have CLOSED FORMS — solid grays (id % 3 == 0, value
@@ -4067,6 +4092,29 @@ object QueryCatalog {
       "q_dedup_incremental_pairs",
       (spark, dir) => {
         val idx = spark.read.parquet(persistedMinhashIndex(spark, dir))
+        val batch = Tables.read(spark, dir, "documents").filter(F.col("doc_id") % 4 === 0)
+        graft.operators.Dedup.minhashIndexPairs(batch, "doc_id", "text", idx, threshold = 0.5)
+          .orderBy("batch_id", "corpus_id")
+      },
+      Some(s"""
+        WITH $dedupIncrementalEstCte
+        SELECT batch_id, corpus_id, est_jaccard
+        FROM est WHERE est_jaccard >= 0.5
+        ORDER BY batch_id, corpus_id
+      """)
+    ),
+    (
+      // INCREMENTAL maintenance of the MinHash index
+      // (Dedup.minhashIndexAppend via minhash_index_append(...)): the
+      // index is built over HALF the corpus, the remaining corpus quarter
+      // APPENDED (payload column riding along, pre-append files untouched
+      // — spec-gated), and the probe batch deduped against the appended
+      // index. Signature rows are deterministic per doc, so the appended
+      // index ≡ the full build row-for-row and the oracle is
+      // q_dedup_incremental_pairs's full DuckDB recompute verbatim.
+      "q_minhash_index_append",
+      (spark, dir) => {
+        val idx = spark.read.parquet(appendedMinhashIndex(spark, dir))
         val batch = Tables.read(spark, dir, "documents").filter(F.col("doc_id") % 4 === 0)
         graft.operators.Dedup.minhashIndexPairs(batch, "doc_id", "text", idx, threshold = 0.5)
           .orderBy("batch_id", "corpus_id")

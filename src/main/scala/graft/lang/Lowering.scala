@@ -39,7 +39,8 @@ object Lowering {
     "dedup_incremental", "dedup_incremental_pairs", "dedup_phash", "dedup_semantic",
     "dedup_spans", "dsir_sample", "dsir_weight", "duckdb_functions", "each_top_k", "jdbc",
     "keywords_tfidf",
-    "minhash_index", "mix_by_temperature", "pack_sequences", "parquet_metadata",
+    "minhash_index", "minhash_index_append",
+    "mix_by_temperature", "pack_sequences", "parquet_metadata",
     "perplexity_score", "perplexity_score_bigram", "prototypicality_score",
     "quality_classifier_score",
     "range", "resize_images",
@@ -1116,6 +1117,42 @@ object Lowering {
             "'doc_id', 'text')")
     }
 
+  private def lowerMinhashIndexAppend(args: Seq[Expr], ctx: Context): LRes =
+    args.map(constValue) match {
+      case List(Some(path: String), Some(batch: String), Some(idCol: String),
+          Some(textCol: String), rest @ _*) if rest.lengthCompare(2) <= 0 =>
+        val (k, sh) = rest.toList match {
+          case Nil => (64, 2)
+          case List(Some(kk: Long), Some(s: Long)) if kk >= 1 && s >= 1 =>
+            (kk.toInt, s.toInt)
+          case other => throw new LoweringException(
+            s"minhash_index_append: trailing args must be (num_hashes, shingle) " +
+              s"positive integer literals, got '$other'")
+        }
+        val s = ctx.spark
+        import s.implicits._
+        if (ctx.analysisOnly)
+          Plain(Seq.empty[(String, Long)].toDF("path", "rows"))
+        else {
+          try ctx.spark.read.parquet(path).schema
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new LoweringException(
+                s"minhash_index_append expects a path to a persisted MinHash index " +
+                  s"(build it with minhash_index / Dedup.buildMinhashIndex) — ${e.getMessage}")
+          }
+          graft.operators.Dedup.minhashIndexAppend(
+            ctx.spark, path, lower(TableRef(batch), ctx), idCol, textCol, k, sh)
+          val n = ctx.spark.read.parquet(path).count()
+          Plain(Seq((path, n)).toDF("path", "rows"))
+        }
+      case _ =>
+        throw new LoweringException(
+          "minhash_index_append expects (index_path, batch, id_col, text_col" +
+            "[, num_hashes, shingle]) literals, e.g. minhash_index_append(" +
+            "'/tmp/mh_idx', 'newbatch', 'doc_id', 'text')")
+    }
+
   private def lowerDedupPhash(args: Seq[Expr], ctx: Context): LRes =
     args.map(constValue) match {
       case List(Some(corpus: String), Some(idCol: String), Some(imageCol: String),
@@ -1927,6 +1964,17 @@ object Lowering {
             "minhash_index expects (corpus, id_col, text_col[, num_hashes, shingle]) " +
               "literals, e.g. minhash_index('documents', 'doc_id', 'text', 64, 2)")
       }
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "minhash_index_append" =>
+      // minhash_index_append('/index/path', 'batch', 'id_col', 'text_col'
+      // [, num_hashes, shingle]) — INCREMENTAL maintenance of a persisted
+      // MinHash index (Dedup.minhashIndexAppend): the batch's signature
+      // rows (payload columns riding along) append to the index parquet —
+      // row-identical to a full rebuild over corpus ∪ batch, corpus never
+      // re-read. Returns a 1-row summary; analysis-only contexts get the
+      // summary schema with no rows (the bm25_index contract).
+      lowerMinhashIndexAppend(args, ctx)
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
         (name.toLowerCase == "dedup_incremental" ||

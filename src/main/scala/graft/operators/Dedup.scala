@@ -549,6 +549,54 @@ object Dedup {
       F.array((0 until numHashes).map(j => F.col(s"__m$j")): _*).as("sig"))
   }
 
+  /** Incrementally append a NEW batch's signature rows to a persisted
+    * MinHash index — the recurring-crawl maintenance path for the dedup
+    * index family (the bm25_index_append twin; the index was build-once
+    * before this, so a nightly batch forced a full corpus re-shingle).
+    * Signatures are deterministic per doc (fixed-seed hash params), so an
+    * appended index is ROW-IDENTICAL to a full rebuild over
+    * corpus ∪ batch — probes (dedup_incremental[_pairs]) give bitwise the
+    * rebuild's answers, and the corpus is never re-read (cost scales with
+    * |batch|). Pre-existing index files are never touched (spec-gated).
+    *
+    * Payload-bearing indexes (extra corpus columns CTAS'd alongside
+    * (id, sig)) are supported: every extra column must exist on the batch
+    * or the append fails with a named error. `numHashes` must match the
+    * index's signature width — checked against one index row (bounded
+    * driver read). */
+  def minhashIndexAppend(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      shingleSize: Int = 2
+  ): Unit = {
+    val idx = spark.read.parquet(indexPath)
+    val idxCols = idx.schema.fieldNames.toSeq
+    require(idxCols.contains("sig"),
+      s"minhash_index_append: '$indexPath' has no 'sig' column — not a MinHash index " +
+        s"(build one with minhash_index / Dedup.buildMinhashIndex)")
+    idx.select(F.size(F.col("sig")).as("k")).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == numHashes,
+        s"minhash_index_append: index signatures have ${r.getInt(0)} components " +
+          s"but num_hashes is $numHashes — probe compatibility would break")
+    }
+    val idName = idxCols.head
+    val sigs = buildMinhashIndex(batch, idCol, textCol, numHashes, shingleSize)
+    val joined = sigs.join(batch, Seq(idCol))
+    val out = idxCols.map {
+      case n if n == idName => F.col(idCol).as(n)
+      case "sig" => F.col("sig")
+      case n =>
+        require(batch.columns.contains(n),
+          s"minhash_index_append: index carries payload column '$n' the batch lacks")
+        F.col(n)
+    }
+    joined.select(out: _*).write.mode("append").parquet(indexPath)
+  }
+
   /** (batch_id, corpus_id, est_jaccard) near-dup links from a NEW batch of
     * documents into a persisted signature index (see
     * [[buildMinhashIndex]]). The batch is shingled fresh — the only text

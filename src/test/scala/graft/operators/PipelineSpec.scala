@@ -330,6 +330,49 @@ class PipelineSpec extends SparkTestBase {
     assert(lazyRows == bloomRows)
   }
 
+  test("minhash index append: row-identical to a full rebuild, files untouched") {
+    val path = java.nio.file.Files.createTempDirectory("mh_appidx").toString + "/idx"
+    val half = docs.filter(F.col("doc_id") % 4 =!= 0 && F.col("doc_id") % 4 =!= 3)
+    // payload-bearing build (text rides along) over half the corpus
+    Dedup.buildMinhashIndex(half, "doc_id", "text", 64, 2)
+      .join(half.select("doc_id", "text"), Seq("doc_id"))
+      .write.mode("overwrite").parquet(path)
+    def listing(): Map[String, Long] = {
+      new java.io.File(path).listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.length()).toMap
+    }
+    val before = listing()
+    val quarter = docs.filter(F.col("doc_id") % 4 === 3).select("doc_id", "text")
+    Dedup.minhashIndexAppend(spark, path, quarter, "doc_id", "text")
+    val after = listing()
+    before.foreach { case (f, len) =>
+      assert(after.get(f).contains(len), s"pre-append index file changed: $f")
+    }
+    assert(after.size > before.size, "append added no files")
+    // appended index rows ≡ a full rebuild over corpus ∪ batch (signatures
+    // are deterministic per doc)
+    val full = docs.filter(F.col("doc_id") % 4 =!= 0)
+    val rebuilt = Dedup.buildMinhashIndex(full, "doc_id", "text", 64, 2)
+      .join(full.select("doc_id", "text"), Seq("doc_id"))
+      .select("doc_id", "sig", "text")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val appended = spark.read.parquet(path)
+      .select("doc_id", "sig", "text")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(appended == rebuilt, "appended index diverged from the full rebuild")
+    // named errors: signature-width mismatch and missing payload column
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.minhashIndexAppend(spark, path, quarter, "doc_id", "text", numHashes = 32)
+    }
+    assert(e1.getMessage.contains("components"))
+    val e2 = intercept[IllegalArgumentException] {
+      // a batch without the index's payload column must fail by name
+      Dedup.minhashIndexAppend(spark, path,
+        quarter.withColumnRenamed("text", "body"), "doc_id", "body")
+    }
+    assert(e2.getMessage.contains("payload column 'text'"))
+  }
+
   test("pHash: scale/brightness invariance, noise distance, corrupt excluded") {
     val pngs = graft.catalog.QueryCatalog.phashPngs(spark)
     val hashes = Multimodal.phashImages(pngs, "img_id", "png").collect()
