@@ -192,7 +192,11 @@ object BenchScale {
     // streaming dedup-against (r18): corpus bloom fit once + a readStream
     // micro-batch loop of bloom probe + candidate-broadcast recheck —
     // expect ~1 in corpus rows (two scans per batch, zero corpus shuffle)
-    "q_subscribe_dedup_against")
+    "q_subscribe_dedup_against",
+    // int8 index maintenance (r18): build+append memoized per dir
+    // (untimed); the timed region is the quantized serve over the
+    // appended index — must track q_similarity_topk_int8_index's shape
+    "q_ann_int8_index_append")
 
   private def loadavg(): String = BenchGuard.loadavg()
 

@@ -701,6 +701,27 @@ object QueryCatalog {
       path
     })
 
+  /** Build-once-per-(JVM, corpus dir) INCREMENTALLY-MAINTAINED int8 ANN
+    * index: built over the odd vec_ids, even vec_ids APPENDED via
+    * ann_int8_index_append — int8 quantization is per-row deterministic,
+    * so the appended index is row-identical to [[persistedInt8Index]] and
+    * the serving row reuses the full int8 oracle SQL verbatim. */
+  private val int8AppendIdxPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def appendedInt8Index(spark: SparkSession, dir: String): String =
+    int8AppendIdxPaths.getOrElseUpdate(dir, {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_int8_appidx_" + stageKey(dir)).getAbsolutePath
+      val embs = Tables.read(spark, dir, "embeddings")
+      Similarity.buildInt8Index(
+          embs.filter(F.col("vec_id") % 2 === 1), "vec_id", "embedding")
+        .write.mode("overwrite").parquet(path)
+      Similarity.int8IndexAppend(
+        spark, path,
+        embs.filter(F.col("vec_id") % 2 === 0).select("vec_id", "embedding"),
+        "vec_id", "embedding")
+      path
+    })
+
   private val int8IndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private def persistedInt8Index(spark: SparkSession, dir: String): String =
     int8IndexPaths.getOrElseUpdate(dir, {
@@ -882,6 +903,30 @@ object QueryCatalog {
       org.apache.spark.sql.Row(5L, grayPng(Array.fill(32 * 32)(128), 32, 32)),
       org.apache.spark.sql.Row(6L, grayPng(noiseGrays(13L, 32 * 32), 32, 32)),
       org.apache.spark.sql.Row(99L, "not an image".getBytes("UTF-8")))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** Batch side for the INCREMENTAL image-dedup row
+    * (q_dedup_phash_against): ids 101/102 are a pixel-doubled rescale and
+    * an affine brightness variant of corpus image 1 (hash-identical by
+    * the [[phashPngs]] invariance arguments), 103 is independent noise
+    * (novel), 199 is corrupt. Expected links at hamming ≤ 3: exactly
+    * {(101,1,0), (102,1,0)}. */
+  private[graft] def phashBatchPngs(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val base = noiseGrays(7L, 32 * 32)
+    val doubled = Array.tabulate(64 * 64)(i => base((i / 64 / 2) * 32 + (i % 64) / 2))
+    val bright = base.map(v => v / 2 + 64)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("img_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("png",
+        org.apache.spark.sql.types.BinaryType, nullable = true)))
+    val rows: Seq[org.apache.spark.sql.Row] = Seq(
+      org.apache.spark.sql.Row(101L, grayPng(doubled, 64, 64)),
+      org.apache.spark.sql.Row(102L, grayPng(bright, 32, 32)),
+      org.apache.spark.sql.Row(103L, grayPng(noiseGrays(17L, 32 * 32), 32, 32)),
+      org.apache.spark.sql.Row(199L, "still not an image".getBytes("UTF-8")))
     spark.createDataFrame(rows.asJava, schema)
   }
 
@@ -3624,6 +3669,33 @@ object QueryCatalog {
       """)
     ),
     (
+      // INCREMENTAL image dedup (Dedup.phashAgainst via
+      // dedup_phash_against(...)): a new batch of images links into the
+      // static corpus — single-chunk pigeonhole blocking over the pHash,
+      // codegen'd bit_count verify, first-clean-chunk witness dedup. The
+      // batch plants a pixel-doubled rescale and an affine brightness
+      // variant of corpus image 1 (hash-identical by construction — the
+      // same invariance arguments as q_dedup_phash), independent noise,
+      // and a corrupt payload: expected links are exactly the two
+      // hamming-0 rows.
+      "q_dedup_phash_against",
+      (spark, dir) => {
+        // corpus drops imgs 2/3 (hash-identical variants of 1 by design —
+        // keeping them would triple every link)
+        val corpus = phashPngs(spark)
+          .filter(!F.col("img_id").isin(2L, 3L))
+        Dedup.phashAgainst(
+          corpus, phashBatchPngs(spark), "img_id", "png", maxHamming = 3)
+          .orderBy("batch_id", "corpus_id")
+      },
+      Some("""
+        SELECT CAST(b AS BIGINT) AS batch_id, CAST(c AS BIGINT) AS corpus_id,
+               CAST(h AS INTEGER) AS hamming
+        FROM (VALUES (101, 1, 0), (102, 1, 0)) AS t(b, c, h)
+        ORDER BY batch_id, corpus_id
+      """)
+    ),
+    (
       // Exact-substring dedup (Lee et al. 2021 approximated with stride-1
       // 8-token span fingerprints): tokens covered by a span repeated in
       // ≥2 distinct docs are removed. Oracle recomputes span membership on
@@ -4420,6 +4492,22 @@ object QueryCatalog {
       "q_similarity_topk_int8_index",
       (spark, dir) => {
         val idx = spark.read.parquet(persistedInt8Index(spark, dir))
+        val queries = idx.filter(F.col("vec_id") < 10)
+        Similarity.int8IndexTopK(idx, "vec_id", "q8", queries, "vec_id", "q8", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(int8TopkOracleSql)
+    ),
+    (
+      // INCREMENTAL maintenance of the int8 ANN index
+      // (Similarity.int8IndexAppend via ann_int8_index_append(...)): the
+      // index is built over the odd vec_ids and the evens APPENDED —
+      // per-row-deterministic quantization makes the appended index
+      // row-identical to the full build, so serving over it reuses the
+      // full int8 oracle SQL verbatim (bitwise).
+      "q_ann_int8_index_append",
+      (spark, dir) => {
+        val idx = spark.read.parquet(appendedInt8Index(spark, dir))
         val queries = idx.filter(F.col("vec_id") < 10)
         Similarity.int8IndexTopK(idx, "vec_id", "q8", queries, "vec_id", "q8", k = 5)
           .orderBy("query_id", "rank")

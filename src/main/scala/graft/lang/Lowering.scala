@@ -28,7 +28,7 @@ object Lowering {
     * twice in r13/r14. Add a dispatch case ⇒ the spec forces the name in
     * here ⇒ LSP + playground pick it up structurally. */
   val nativeTableFunctions: Seq[String] = Seq(
-    "ann_int8_index", "ann_lsh_postings", "ann_pq_index",
+    "ann_int8_index", "ann_int8_index_append", "ann_lsh_postings", "ann_pq_index",
     "bm25_index", "bm25_index_append", "bm25_topk", "bm25_topk_index",
     "bpe_count", "bpe_count_merges", "bpe_encode", "bpe_stats", "bpe_train", "build_vocab",
     "contaminated_docs", "contaminated_vecs", "contamination_report",
@@ -36,7 +36,8 @@ object Lowering {
     "decode_audio", "decode_images", "decode_video",
     "decontaminate", "decontaminate_semantic",
     "dedup_bloom", "dedup_bloom_against",
-    "dedup_incremental", "dedup_incremental_pairs", "dedup_phash", "dedup_semantic",
+    "dedup_incremental", "dedup_incremental_pairs",
+    "dedup_phash", "dedup_phash_against", "dedup_semantic",
     "dedup_spans", "dsir_sample", "dsir_weight", "duckdb_functions", "each_top_k", "jdbc",
     "keywords_tfidf",
     "minhash_index", "minhash_index_append",
@@ -1179,6 +1180,56 @@ object Lowering {
             "e.g. dedup_phash('images', 'img_id', 'png', 3)")
     }
 
+  private def lowerDedupPhashAgainst(args: Seq[Expr], ctx: Context): LRes =
+    args.map(constValue) match {
+      case List(Some(corpus: String), Some(batch: String), Some(idCol: String),
+          Some(imageCol: String), rest @ _*) if rest.lengthCompare(1) <= 0 =>
+        val r = rest.headOption match {
+          case Some(Some(n: Long)) if n >= 0 && n <= 15 => n.toInt
+          case None => 3
+          case other => throw new LoweringException(
+            s"dedup_phash_against: hamming_r must be an integer literal in [0, 15], " +
+              s"got '$other'")
+        }
+        val c = lower(TableRef(corpus), ctx)
+        val b = lower(TableRef(batch), ctx)
+        Plain(graft.operators.Dedup.phashAgainst(c, b, idCol, imageCol, r))
+      case _ =>
+        throw new LoweringException(
+          "dedup_phash_against expects (corpus, batch, id_col, image_col" +
+            "[, hamming_r]) literals, e.g. dedup_phash_against('images', " +
+            "'new_images', 'img_id', 'png', 3)")
+    }
+
+  private def lowerInt8IndexAppend(args: Seq[Expr], ctx: Context): LRes =
+    args.map(constValue) match {
+      case List(Some(path: String), Some(batch: String), Some(idCol: String),
+          Some(vecCol: String)) =>
+        val s = ctx.spark
+        import s.implicits._
+        if (ctx.analysisOnly)
+          Plain(Seq.empty[(String, Long)].toDF("path", "rows"))
+        else {
+          try ctx.spark.read.parquet(path).schema
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new LoweringException(
+                s"ann_int8_index_append expects a path to a persisted int8 ANN index " +
+                  s"(build it with ann_int8_index / Similarity.buildInt8Index) — " +
+                  s"${e.getMessage}")
+          }
+          graft.operators.Similarity.int8IndexAppend(
+            ctx.spark, path, lower(TableRef(batch), ctx), idCol, vecCol)
+          val n = ctx.spark.read.parquet(path).count()
+          Plain(Seq((path, n)).toDF("path", "rows"))
+        }
+      case _ =>
+        throw new LoweringException(
+          "ann_int8_index_append expects (index_path, batch, id_col, vec_col) " +
+            "literals, e.g. ann_int8_index_append('/tmp/int8_idx', 'newvecs', " +
+            "'vec_id', 'embedding')")
+    }
+
   private def lowerDedupBloom(args: Seq[Expr], ctx: Context): LRes =
     args.map(constValue) match {
       case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
@@ -1776,6 +1827,26 @@ object Lowering {
       // candidate join — exact recall within hamming_r below the bucket
       // cap, no cartesian. Output (id_a, id_b, hamming).
       lowerDedupPhash(args, ctx)
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "dedup_phash_against" =>
+      // dedup_phash_against('corpus', 'batch', 'id_col', 'image_col'
+      // [, hamming_r]) — INCREMENTAL image dedup (Dedup.phashAgainst):
+      // near-dup links from a new image batch into the static corpus via
+      // single-chunk pigeonhole blocking over the pHash — exact recall
+      // within hamming_r below the bucket cap, no cartesian. Output
+      // (batch_id, corpus_id, hamming).
+      lowerDedupPhashAgainst(args, ctx)
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "ann_int8_index_append" =>
+      // ann_int8_index_append('/index/path', 'batch', 'id_col', 'vec_col')
+      // — INCREMENTAL maintenance of a persisted int8 ANN index
+      // (Similarity.int8IndexAppend): per-row-deterministic quantization
+      // makes the appended index row-identical to a full rebuild; the
+      // corpus is never re-read. Returns a 1-row summary; analysis-only
+      // contexts get the summary schema with no rows.
+      lowerInt8IndexAppend(args, ctx)
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "dedup_semantic" =>

@@ -968,6 +968,81 @@ object Dedup {
     hammingPairs(hashes, idCol, "phash", maxHamming, maxBucketSize, denseSigLimit)
   }
 
+  /** Incremental image dedup: near-dup links from a NEW batch of images
+    * into a static corpus — the LAION-ingest twin of
+    * [[bloomDedupAgainst]]/[[minhashIndexPairs]]. Both sides hash through
+    * [[Multimodal.phashImages]]; candidates come from single-chunk
+    * blocking (split the 64-bit hash into maxHamming+1 chunks — two
+    * hashes within maxHamming differ in ≤ maxHamming chunks, so at least
+    * one chunk agrees: pigeonhole, exact recall below the bucket cap),
+    * verified with the codegen'd bit_count. Each qualifying pair is
+    * emitted from its FIRST agreeing chunk only (computable from the xor
+    * — no dedup shuffle). Output (batch_id, corpus_id, hamming);
+    * undecodable payloads on either side never pair. */
+  def phashAgainst(
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      "dedup_phash_against: hamming_r must be in [0, 15] (single-chunk blocking " +
+        "needs numChunks = hamming_r + 1 <= 16)")
+    def hashes(df: DataFrame, outId: String): DataFrame =
+      graft.operators.Multimodal.phashImages(df, idCol, payloadCol)
+        .filter(F.col("decoded") && F.col("phash").isNotNull)
+        .select(F.col("img_id").as(outId), F.col("phash"))
+    if (maxHamming == 0) {
+      // hamming 0 = hash equality: block on the full hash directly (the
+      // packed chunk key cannot carry a 64-bit chunk next to its index
+      // bits, and no witness logic is needed — one agreeing "chunk")
+      val p0 = batch.sparkSession.sparkContext.defaultParallelism
+      val c0 = capBuckets(
+        hashes(corpus, "corpus_id").repartition(p0, F.col("phash")),
+        maxBucketSize, "phash")
+      return hashes(batch, "batch_id").join(c0, Seq("phash"))
+        .select(F.col("batch_id"), F.col("corpus_id"), F.lit(0).as("hamming"))
+    }
+    val numChunks = maxHamming + 1
+    val bounds = (0 to numChunks).map(i => i * 64 / numChunks)
+    def chunk(col: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column = {
+      val width = bounds(i + 1) - bounds(i)
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      F.shiftrightunsigned(col, bounds(i)).bitwiseAND(F.lit(mask))
+    }
+    // one posting per chunk: key packs (chunk idx, chunk value) into a long
+    // (chunk values are < 2^(64/numChunks) ≤ 2^32 for numChunks ≥ 2; the
+    // idx rides the top bits)
+    def postings(df: DataFrame, idName: String, hashName: String): DataFrame = {
+      val keys = (0 until numChunks).map(i =>
+        F.lit(i.toLong) * F.lit(1L << 40) + chunk(F.col(hashName), i))
+      df.select(F.col(idName), F.col(hashName),
+        F.explode(F.array(keys: _*)).as("bucket"))
+    }
+    val parts = batch.sparkSession.sparkContext.defaultParallelism
+    val cPost = capBuckets(
+      postings(hashes(corpus, "corpus_id"), "corpus_id", "phash")
+        .withColumnRenamed("phash", "__hc")
+        .repartition(parts, F.col("bucket")),
+      maxBucketSize, "bucket")
+    val bPost = postings(hashes(batch, "batch_id"), "batch_id", "phash")
+      .withColumnRenamed("phash", "__hb")
+      .repartition(parts, F.col("bucket"))
+    val xorc = F.col("__hb").bitwiseXOR(F.col("__hc"))
+    // canonical witness: emit the pair only from its first clean chunk
+    val firstClean = (1 until numChunks).foldLeft(
+      F.when(chunk(xorc, 0) === 0L, F.lit(0L))) {
+      case (acc, i) => acc.when(chunk(xorc, i) === 0L, F.lit(i.toLong))
+    }
+    bPost.join(cPost, Seq("bucket"))
+      .withColumn("hamming", F.bit_count(xorc))
+      .filter(F.col("hamming") <= maxHamming)
+      .filter(F.shiftrightunsigned(F.col("bucket"), 40) === firstClean)
+      .select("batch_id", "corpus_id", "hamming")
+  }
+
   // ---------------------------------------------------------------------------
   // Exact n-gram Jaccard (oracle-checkable)
   // ---------------------------------------------------------------------------

@@ -976,6 +976,43 @@ object Similarity {
       .select(F.col(idCol), F.col("__q8s").as("scale"),
         quantizeInt8(F.col(vecCol), F.col("__q8s")).as("q8"))
 
+  /** Incrementally append a NEW batch's quantized rows to a persisted int8
+    * ANN index — the maintenance path completing the persisted-family
+    * story (bm25_index_append / minhash_index_append twins). int8
+    * quantization is PER-ROW deterministic (scale = the row's own
+    * max-abs), so an appended index is row-identical to a full rebuild
+    * over corpus ∪ batch and every serving path gives bitwise the
+    * rebuild's answers; the corpus is never re-read. Payload-bearing
+    * indexes are supported (extra columns must exist on the batch — named
+    * error otherwise); pre-existing index files are never touched
+    * (spec-gated). */
+  def int8IndexAppend(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): Unit = {
+    val idx = spark.read.parquet(indexPath)
+    val idxCols = idx.schema.fieldNames.toSeq
+    require(idxCols.contains("scale") && idxCols.contains("q8"),
+      s"ann_int8_index_append: '$indexPath' has no (scale, q8) columns — not an " +
+        s"int8 ANN index (build one with ann_int8_index / Similarity.buildInt8Index)")
+    val idName = idxCols.head
+    val quantized = buildInt8Index(batch, idCol, vecCol)
+    val joined = quantized.join(batch, Seq(idCol))
+    val out = idxCols.map {
+      case n if n == idName => F.col(idCol).as(n)
+      case "scale" => F.col("scale")
+      case "q8" => F.col("q8")
+      case n =>
+        require(batch.columns.contains(n),
+          s"ann_int8_index_append: index carries payload column '$n' the batch lacks")
+        F.col(n)
+    }
+    joined.select(out: _*).write.mode("append").parquet(indexPath)
+  }
+
   /** Exact (within quantization) cosine top-k over a PERSISTED int8 index:
     * both sides are pre-quantized `array<tinyint>` columns — no float
     * vector is read or re-quantized at query time. Scores are identical to

@@ -1269,6 +1269,11 @@ class LangSpec extends SparkTestBase {
     """)
     assert(phash.columns.toSeq == Seq("id_a", "id_b", "hamming"))
     assert(phash.count() == 0)
+    val phashAg = wv("""
+      from dedup_phash_against('documents', 'documents', 'doc_id', 'text', 3)
+    """)
+    assert(phashAg.columns.toSeq == Seq("batch_id", "corpus_id", "hamming"))
+    assert(phashAg.count() == 0)
   }
 
   test("each_top_k: bare identifiers and model relations") {

@@ -404,6 +404,60 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("int8 index append: row-identical to a full rebuild, files untouched") {
+    val path = java.nio.file.Files.createTempDirectory("i8_appidx").toString + "/idx"
+    val odd = embs.filter(F.col("vec_id") % 2 === 1)
+    val even = embs.filter(F.col("vec_id") % 2 === 0).select("vec_id", "embedding")
+    Similarity.buildInt8Index(odd, "vec_id", "embedding")
+      .write.mode("overwrite").parquet(path)
+    def listing(): Map[String, Long] =
+      new java.io.File(path).listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.length()).toMap
+    val before = listing()
+    Similarity.int8IndexAppend(spark, path, even, "vec_id", "embedding")
+    val after = listing()
+    before.foreach { case (f, len) =>
+      assert(after.get(f).contains(len), s"pre-append index file changed: $f")
+    }
+    assert(after.size > before.size)
+    // per-row-deterministic quantization ⇒ appended ≡ rebuilt, bitwise
+    val rebuilt = Similarity.buildInt8Index(embs, "vec_id", "embedding")
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    val appended = spark.read.parquet(path)
+      .select("vec_id", "scale", "q8")
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(appended == rebuilt, "appended int8 index diverged from the rebuild")
+    // a non-index path fails by name
+    val bogus = java.nio.file.Files.createTempDirectory("i8_bogus").toString + "/x"
+    embs.select("vec_id", "embedding").write.parquet(bogus)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.int8IndexAppend(spark, bogus, even, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("not an"))
+  }
+
+  test("pHash against: batch variants link to corpus, novel/corrupt never") {
+    val corpus = graft.catalog.QueryCatalog.phashPngs(spark)
+      .filter(!F.col("img_id").isin(2L, 3L))
+    val batch = graft.catalog.QueryCatalog.phashBatchPngs(spark)
+    val links = Dedup.phashAgainst(corpus, batch, "img_id", "png", maxHamming = 3)
+      .orderBy("batch_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(links == Seq((101L, 1L, 0), (102L, 1L, 0)),
+      s"unexpected links: $links")
+    // r=0 equality blocking gives the same links (they are hamming 0)
+    val links0 = Dedup.phashAgainst(corpus, batch, "img_id", "png", maxHamming = 0)
+      .orderBy("batch_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(links0 == links)
+    // a corpus variant NOT dropped would multiply links — the full fixture
+    // (imgs 1/2/3 hash-identical) must link each batch variant three ways
+    val all = Dedup.phashAgainst(
+        graft.catalog.QueryCatalog.phashPngs(spark), batch, "img_id", "png", 3)
+      .collect()
+    assert(all.length == 6, s"expected 2 variants x 3 identical corpus images: ${all.length}")
+  }
+
   test("pHash hashes are identical across independent plan executions") {
     val pngs = graft.catalog.QueryCatalog.phashPngs(spark)
     val once = Multimodal.phashImages(pngs, "img_id", "png")
