@@ -196,7 +196,11 @@ object BenchScale {
     // int8 index maintenance (r18): build+append memoized per dir
     // (untimed); the timed region is the quantized serve over the
     // appended index — must track q_similarity_topk_int8_index's shape
-    "q_ann_int8_index_append")
+    "q_ann_int8_index_append",
+    // PQ index maintenance (r18): frozen-codebook append memoized per dir
+    // (untimed); the timed region is SDC serving over code rows only —
+    // the pq_index shape
+    "q_ann_pq_index_append")
 
   private def loadavg(): String = BenchGuard.loadavg()
 

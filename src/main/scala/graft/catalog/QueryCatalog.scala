@@ -722,6 +722,27 @@ object QueryCatalog {
       path
     })
 
+  /** Build-once-per-(JVM, corpus dir) INCREMENTALLY-MAINTAINED PQ index:
+    * built over the odd vec_ids (codebook SEEDED FROM THE ODDS), the
+    * evens appended with that FROZEN codebook (Similarity.pqIndexAppend —
+    * the FAISS add() semantic). The q_ann_pq_index_append oracle is the
+    * SDC full recompute with its seeds CTE restricted to the odd ids —
+    * exactly what "base-corpus codebook over corpus ∪ batch" means. */
+  private val pqAppendIdxPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def appendedPqIndex(spark: SparkSession, dir: String): String =
+    pqAppendIdxPaths.getOrElseUpdate(dir, {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_pq_appidx_" + stageKey(dir)).getAbsolutePath
+      val embs = Tables.read(spark, dir, "embeddings")
+      Similarity.writePqIndex(
+        embs.filter(F.col("vec_id") % 2 === 1), "vec_id", "embedding", path)
+      Similarity.pqIndexAppend(
+        spark, path,
+        embs.filter(F.col("vec_id") % 2 === 0), // full frame: payload rides along
+        "vec_id", "embedding")
+      path
+    })
+
   private val int8IndexPaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private def persistedInt8Index(spark: SparkSession, dir: String): String =
     int8IndexPaths.getOrElseUpdate(dir, {
@@ -4717,6 +4738,73 @@ object QueryCatalog {
         WITH seeds AS (
           SELECT embedding AS cv, row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS j
           FROM embeddings
+          QUALIFY j < 64
+        ),
+        sub AS (SELECT unnest(range(0, 16)) AS s),
+        cd AS (
+          SELECT b.vec_id, sub.s, sd.j,
+            list_sum(list_transform(range(sub.s * 4 + 1, sub.s * 4 + 5),
+              i -> (b.embedding[i]::DOUBLE - sd.cv[i]::DOUBLE)
+                 * (b.embedding[i]::DOUBLE - sd.cv[i]::DOUBLE))) AS dist
+          FROM embeddings b, sub, seeds sd
+        ),
+        codes AS (
+          SELECT vec_id, list(code ORDER BY s) AS codes FROM (
+            SELECT vec_id, s, j AS code,
+              row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+            FROM cd
+          ) WHERE rn = 1 GROUP BY vec_id
+        ),
+        sdt AS (
+          SELECT sub.s, a.j AS j1, b.j AS j2,
+            list_sum(list_transform(range(sub.s * 4 + 1, sub.s * 4 + 5),
+              i -> (a.cv[i]::DOUBLE - b.cv[i]::DOUBLE)
+                 * (a.cv[i]::DOUBLE - b.cv[i]::DOUBLE))) AS dist
+          FROM sub, seeds a, seeds b
+        ),
+        sdtl AS (SELECT list(dist ORDER BY s, j1, j2) AS t FROM sdt),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+            round(list_sum(list_transform(range(1, 17),
+              s -> sdtl.t[(s - 1) * 4096 + c.codes[s] * 64 + q.codes[s] + 1])), 6)
+              AS pq_sdc_dist
+          FROM codes c
+          CROSS JOIN (SELECT vec_id, codes FROM codes WHERE vec_id < 10) q
+          CROSS JOIN sdtl
+          WHERE c.vec_id != q.vec_id
+        ),
+        ranked AS (
+          SELECT query_id, corpus_id, pq_sdc_dist,
+            row_number() OVER (PARTITION BY query_id ORDER BY pq_sdc_dist, corpus_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, corpus_id, pq_sdc_dist, rank::INTEGER AS rank
+        FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+      """)
+    ),
+    (
+      // INCREMENTAL maintenance of the PQ index with the FROZEN persisted
+      // codebook (Similarity.pqIndexAppend via ann_pq_index_append(...)) —
+      // the FAISS add() semantic: a rebuild would reseed the codebook, so
+      // the incremental contract is "corpus ∪ batch encoded with the BASE
+      // corpus' codebook", and the oracle is the SDC full recompute with
+      // its seeds CTE restricted to the odd (base) ids. Centroids
+      // round-trip parquet bit-exactly, so batch codes are bitwise a
+      // driver re-encode and the whole row is hash-strict.
+      "q_ann_pq_index_append",
+      (spark, dir) => {
+        val path = appendedPqIndex(spark, dir)
+        val queries = spark.read.parquet(path).filter(F.col("vec_id") < 10)
+          .select("vec_id", "codes")
+        Similarity.pqIndexTopK(spark, path, "vec_id", "codes",
+          queries, "vec_id", "codes", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""
+        WITH seeds AS (
+          SELECT embedding AS cv, row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS j
+          FROM embeddings
+          WHERE vec_id % 2 = 1
           QUALIFY j < 64
         ),
         sub AS (SELECT unnest(range(0, 16)) AS s),

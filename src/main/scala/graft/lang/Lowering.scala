@@ -28,7 +28,8 @@ object Lowering {
     * twice in r13/r14. Add a dispatch case ⇒ the spec forces the name in
     * here ⇒ LSP + playground pick it up structurally. */
   val nativeTableFunctions: Seq[String] = Seq(
-    "ann_int8_index", "ann_int8_index_append", "ann_lsh_postings", "ann_pq_index",
+    "ann_int8_index", "ann_int8_index_append", "ann_lsh_postings",
+    "ann_pq_index", "ann_pq_index_append",
     "bm25_index", "bm25_index_append", "bm25_topk", "bm25_topk_index",
     "bpe_count", "bpe_count_merges", "bpe_encode", "bpe_stats", "bpe_train", "build_vocab",
     "contaminated_docs", "contaminated_vecs", "contamination_report",
@@ -1230,6 +1231,35 @@ object Lowering {
             "'vec_id', 'embedding')")
     }
 
+  private def lowerPqIndexAppend(args: Seq[Expr], ctx: Context): LRes =
+    args.map(constValue) match {
+      case List(Some(path: String), Some(batch: String), Some(idCol: String),
+          Some(vecCol: String)) =>
+        val s = ctx.spark
+        import s.implicits._
+        if (ctx.analysisOnly)
+          Plain(Seq.empty[(String, Long)].toDF("path", "rows"))
+        else {
+          try ctx.spark.read.parquet(path + "_codebook").schema
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new LoweringException(
+                s"ann_pq_index_append expects a path to a persisted PQ index " +
+                  s"(codes at '$path' plus the '_codebook' sibling — build them " +
+                  s"with ann_pq_index / Similarity.writePqIndex) — ${e.getMessage}")
+          }
+          graft.operators.Similarity.pqIndexAppend(
+            ctx.spark, path, lower(TableRef(batch), ctx), idCol, vecCol)
+          val n = ctx.spark.read.parquet(path).count()
+          Plain(Seq((path, n)).toDF("path", "rows"))
+        }
+      case _ =>
+        throw new LoweringException(
+          "ann_pq_index_append expects (index_path, batch, id_col, vec_col) " +
+            "literals, e.g. ann_pq_index_append('/tmp/pq_idx', 'newvecs', " +
+            "'vec_id', 'embedding')")
+    }
+
   private def lowerDedupBloom(args: Seq[Expr], ctx: Context): LRes =
     args.map(constValue) match {
       case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
@@ -1847,6 +1877,17 @@ object Lowering {
       // corpus is never re-read. Returns a 1-row summary; analysis-only
       // contexts get the summary schema with no rows.
       lowerInt8IndexAppend(args, ctx)
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "ann_pq_index_append" =>
+      // ann_pq_index_append('/index/path', 'batch', 'id_col', 'vec_col') —
+      // INCREMENTAL maintenance of a persisted PQ index with the FROZEN
+      // persisted codebook (Similarity.pqIndexAppend — the FAISS add()
+      // semantic: a rebuild would reseed the codebook; the incremental
+      // contract is corpus ∪ batch encoded with the base corpus'
+      // codebook). Returns a 1-row summary; analysis-only contexts get
+      // the summary schema with no rows.
+      lowerPqIndexAppend(args, ctx)
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "dedup_semantic" =>

@@ -441,6 +441,54 @@ object Similarity {
     * ranking metric is the centroid-pair squared-L2 sum `pq_sdc_dist`
     * (ASC, ties → corpus_id); the m·ksub² lookup table is built driver-side
     * from the codebook sibling written by [[writePqIndex]]. */
+  /** Incrementally append a NEW batch to a persisted PQ index with the
+    * FROZEN persisted codebook — the FAISS `add()` semantic and the last
+    * member of the index family to get a maintenance path. Unlike the
+    * int8/MinHash appends (per-row-deterministic ⇒ rebuild-identical), a
+    * PQ rebuild over corpus ∪ batch would RESEED the codebook from the
+    * grown corpus and re-code everything; the serving-correct incremental
+    * contract is instead: appended index ≡ an index over corpus ∪ batch
+    * encoded with the BASE corpus' codebook (what every vector-DB add()
+    * does — the q_ann_pq_index_append oracle recomputes exactly that,
+    * seeds restricted to the base corpus). Centroid doubles round-trip
+    * parquet bit-exactly, so batch codes equal a driver-side re-encode.
+    * Payload columns ride along (named error when the batch lacks one);
+    * pre-existing index files are never touched (spec-gated). */
+  def pqIndexAppend(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): Unit = {
+    val cbDf = spark.read.parquet(indexPath + "_codebook")
+    val cbRows = cbDf.orderBy("j").collect()
+    require(cbRows.nonEmpty,
+      s"ann_pq_index_append: empty codebook at ${indexPath}_codebook — not a PQ " +
+        s"index (build one with ann_pq_index / Similarity.writePqIndex)")
+    val codebook = cbRows.map(_.getSeq[Double](1).toArray)
+    val subspaces =
+      if (cbDf.columns.contains("m")) cbRows.head.getInt(cbRows.head.fieldIndex("m"))
+      else 16
+    val idx = spark.read.parquet(indexPath)
+    val idxCols = idx.schema.fieldNames.toSeq
+    require(idxCols.contains("codes"),
+      s"ann_pq_index_append: '$indexPath' has no 'codes' column — not a PQ index")
+    val idName = idxCols.head
+    val coded = batch.filter(F.col(vecCol).isNotNull).withColumn("codes",
+      graft.functions.VectorExpressions.pqEncode(F.col(vecCol), codebook, subspaces))
+    val out = idxCols.map {
+      case n if n == idName => F.col(idCol).as(n)
+      case "codes" => F.col("codes")
+      case n if n == vecCol => F.col(vecCol)
+      case n =>
+        require(batch.columns.contains(n),
+          s"ann_pq_index_append: index carries payload column '$n' the batch lacks")
+        F.col(n)
+    }
+    coded.select(out: _*).write.mode("append").parquet(indexPath)
+  }
+
   def pqIndexTopK(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,

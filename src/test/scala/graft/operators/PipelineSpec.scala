@@ -436,6 +436,41 @@ class PipelineSpec extends SparkTestBase {
     assert(e.getMessage.contains("not an"))
   }
 
+  test("pq index append: frozen-codebook codes, files untouched") {
+    val path = java.nio.file.Files.createTempDirectory("pq_appidx").toString + "/idx"
+    val odd = embs.filter(F.col("vec_id") % 2 === 1)
+    val even = embs.filter(F.col("vec_id") % 2 === 0) // full frame: payload rides
+    Similarity.writePqIndex(odd, "vec_id", "embedding", path)
+    def listing(): Map[String, Long] =
+      new java.io.File(path).listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.length()).toMap
+    val before = listing()
+    val cbBefore = spark.read.parquet(path + "_codebook")
+      .orderBy("j").collect().map(_.toString).toSeq
+    Similarity.pqIndexAppend(spark, path, even, "vec_id", "embedding")
+    val after = listing()
+    before.foreach { case (f, len) =>
+      assert(after.get(f).contains(len), s"pre-append index file changed: $f")
+    }
+    assert(after.size > before.size)
+    // the codebook is FROZEN: byte-identical after the append
+    val cbAfter = spark.read.parquet(path + "_codebook")
+      .orderBy("j").collect().map(_.toString).toSeq
+    assert(cbAfter == cbBefore, "append mutated the codebook")
+    // appended codes ≡ a fresh encode of corpus ∪ batch with the BASE
+    // codebook (the FAISS add() contract — persisted centroids round-trip
+    // parquet bit-exactly)
+    val (_, cb) = Similarity.buildPqIndex(odd, "vec_id", "embedding")
+    val expect = embs.filter(F.col("embedding").isNotNull).withColumn("codes",
+        graft.functions.VectorExpressions.pqEncode(F.col("embedding"), cb, 16))
+      .select(F.col("vec_id"), F.col("codes").cast("string"))
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    val got = spark.read.parquet(path)
+      .select(F.col("vec_id"), F.col("codes").cast("string"))
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(got == expect, "appended codes diverged from a frozen-codebook re-encode")
+  }
+
   test("pHash against: batch variants link to corpus, novel/corrupt never") {
     val corpus = graft.catalog.QueryCatalog.phashPngs(spark)
       .filter(!F.col("img_id").isin(2L, 3L))
