@@ -200,7 +200,11 @@ object BenchScale {
     // PQ index maintenance (r18): frozen-codebook append memoized per dir
     // (untimed); the timed region is SDC serving over code rows only —
     // the pq_index shape
-    "q_ann_pq_index_append")
+    "q_ann_pq_index_append",
+    // persisted-bloom probe (r18): filter read back (one driver row), so
+    // the timed region is batch probe + the exact candidate-broadcast
+    // recheck — one corpus scan, zero corpus shuffle, expect ~1
+    "q_dedup_bloom_against_index")
 
   private def loadavg(): String = BenchGuard.loadavg()
 

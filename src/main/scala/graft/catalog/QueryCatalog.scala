@@ -864,6 +864,29 @@ object QueryCatalog {
     spark.createDataFrame(rows.asJava, schema)
   }
 
+  /** Build-once-per-(JVM, corpus dir) persisted + APPENDED bloom index:
+    * filter built over HALF the corpus (doc_id % 4 ∈ {1, 2}), the
+    * remaining corpus quarter's fingerprints MERGED in via
+    * dedup_bloom_index_append. Same-shape OR is lossless, so probes
+    * against it (recheck corpus doc_id % 4 != 0) are exact — the
+    * q_dedup_bloom_against_index oracle is the plain SQL fingerprint
+    * join. */
+  private val bloomIdxPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def appendedBloomIndex(spark: SparkSession, dir: String): String =
+    bloomIdxPaths.getOrElseUpdate(dir, {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bloom_appidx_" + stageKey(dir)).getAbsolutePath
+      val docs = Tables.read(spark, dir, "documents")
+      graft.operators.Dedup.writeBloomIndex(
+        docs.filter(F.col("doc_id") % 4 =!= 0 && F.col("doc_id") % 4 =!= 3),
+        "doc_id", "text", path)
+      graft.operators.Dedup.bloomIndexAppend(
+        spark, path,
+        docs.filter(F.col("doc_id") % 4 === 3).select("doc_id", "text"),
+        "doc_id", "text")
+      path
+    })
+
   /** Deterministic noise-PNG corpus for the pHash near-dup-image row
     * (q_dedup_phash). pHash's invariances make the expected pairs CLOSED
     * FORM — no hash value needs hand-deriving:
@@ -3654,6 +3677,53 @@ object QueryCatalog {
         cfp AS (
           SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp, doc_id
           FROM documents WHERE text IS NOT NULL
+        ),
+        m AS (SELECT fp, min(doc_id) AS dup_of FROM cfp GROUP BY fp),
+        bfp AS (
+          SELECT doc_id,
+            CASE WHEN text IS NULL THEN NULL
+                 ELSE md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) END AS fp
+          FROM batch
+        )
+        SELECT b.doc_id, (m.dup_of IS NOT NULL) AS is_dup, m.dup_of
+        FROM bfp b LEFT JOIN m ON m.fp = b.fp
+        ORDER BY b.doc_id
+      """)
+    ),
+    (
+      // Probe of the PERSISTED + APPENDED bloom index
+      // (Dedup.bloomDedupAgainstIndex via dedup_bloom_against_index(...)):
+      // the filter is built over half the corpus, the remaining corpus
+      // quarter's fingerprints MERGED in (same-shape OR — lossless), and
+      // today's batch (the corpus quarter doc_id % 4 == 0 plus a planted
+      // novel doc and a planted null-text doc) probes it WITHOUT any
+      // bloom rebuild. The bloom only prunes and the recheck corpus is
+      // doc_id % 4 != 0, so the oracle is the plain SQL fingerprint join.
+      "q_dedup_bloom_against_index",
+      (spark, dir) => {
+        import spark.implicits._
+        val path = appendedBloomIndex(spark, dir)
+        val docs = Tables.read(spark, dir, "documents")
+        val corpus = docs.filter(F.col("doc_id") % 4 =!= 0).select("doc_id", "text")
+        val batch = docs.filter(F.col("doc_id") % 4 === 0).select("doc_id", "text")
+          .union(Seq(
+            (900001L, "completely novel crawl document zzz qqq vvv"),
+            (900002L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+        graft.operators.Dedup.bloomDedupAgainstIndex(
+          spark, path, corpus, batch, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH batch AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+          UNION ALL
+          SELECT * FROM (VALUES
+            (900001, 'completely novel crawl document zzz qqq vvv'),
+            (900002, NULL)) v(doc_id, text)
+        ),
+        cfp AS (
+          SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp, doc_id
+          FROM documents WHERE doc_id % 4 != 0 AND text IS NOT NULL
         ),
         m AS (SELECT fp, min(doc_id) AS dup_of FROM cfp GROUP BY fp),
         bfp AS (

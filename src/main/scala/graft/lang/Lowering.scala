@@ -36,7 +36,8 @@ object Lowering {
     "contamination_report_semantic",
     "decode_audio", "decode_images", "decode_video",
     "decontaminate", "decontaminate_semantic",
-    "dedup_bloom", "dedup_bloom_against",
+    "dedup_bloom", "dedup_bloom_against", "dedup_bloom_against_index",
+    "dedup_bloom_index", "dedup_bloom_index_append",
     "dedup_incremental", "dedup_incremental_pairs",
     "dedup_phash", "dedup_phash_against", "dedup_semantic",
     "dedup_spans", "dsir_sample", "dsir_weight", "duckdb_functions", "each_top_k", "jdbc",
@@ -1260,6 +1261,88 @@ object Lowering {
             "'vec_id', 'embedding')")
     }
 
+  private def lowerDedupBloomIndex(args: Seq[Expr], ctx: Context): LRes =
+    args.map(constValue) match {
+      case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
+          Some(path: String), rest @ _*) if rest.lengthCompare(2) <= 0 =>
+        val fpp = rest.headOption match {
+          case Some(Some(d: java.lang.Double)) => d.doubleValue()
+          case Some(Some(n: Number)) => n.doubleValue()
+          case None => 0.01
+          case other => throw new LoweringException(
+            s"dedup_bloom_index: fpp must be a number literal in (0, 1), got '$other'")
+        }
+        val expected = rest.drop(1).headOption match {
+          case Some(Some(n: Long)) if n >= 1 => Some(n)
+          case None => None
+          case other => throw new LoweringException(
+            s"dedup_bloom_index: expected_items must be a positive integer " +
+              s"literal, got '$other'")
+        }
+        val s = ctx.spark
+        import s.implicits._
+        if (ctx.analysisOnly)
+          Plain(Seq.empty[(String, Long)].toDF("path", "num_bits"))
+        else {
+          graft.operators.Dedup.writeBloomIndex(
+            lower(TableRef(corpus), ctx), idCol, textCol, path, fpp, expected)
+          val bits = ctx.spark.read.parquet(path).head().getLong(2)
+          Plain(Seq((path, bits)).toDF("path", "num_bits"))
+        }
+      case _ =>
+        throw new LoweringException(
+          "dedup_bloom_index expects (corpus, id_col, text_col, out_path" +
+            "[, fpp[, expected_items]]) literals, e.g. dedup_bloom_index(" +
+            "'documents', 'doc_id', 'text', '/tmp/bloom_idx')")
+    }
+
+  private def lowerDedupBloomIndexAppend(args: Seq[Expr], ctx: Context): LRes =
+    args.map(constValue) match {
+      case List(Some(path: String), Some(batch: String), Some(idCol: String),
+          Some(textCol: String)) =>
+        val s = ctx.spark
+        import s.implicits._
+        if (ctx.analysisOnly)
+          Plain(Seq.empty[(String, Long)].toDF("path", "num_bits"))
+        else {
+          try ctx.spark.read.parquet(path).schema
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new LoweringException(
+                s"dedup_bloom_index_append expects a path to a persisted bloom index " +
+                  s"(write it with dedup_bloom_index / Dedup.writeBloomIndex) — " +
+                  s"${e.getMessage}")
+          }
+          graft.operators.Dedup.bloomIndexAppend(
+            ctx.spark, path, lower(TableRef(batch), ctx), idCol, textCol)
+          val bits = ctx.spark.read.parquet(path).head().getLong(2)
+          Plain(Seq((path, bits)).toDF("path", "num_bits"))
+        }
+      case _ =>
+        throw new LoweringException(
+          "dedup_bloom_index_append expects (index_path, batch, id_col, text_col) " +
+            "literals, e.g. dedup_bloom_index_append('/tmp/bloom_idx', 'newbatch', " +
+            "'doc_id', 'text')")
+    }
+
+  private def lowerDedupBloomAgainstIndex(args: Seq[Expr], ctx: Context): LRes =
+    args.map(constValue) match {
+      case List(Some(path: String), Some(corpus: String), Some(batch: String),
+          Some(idCol: String), Some(textCol: String)) =>
+        if (ctx.analysisOnly)
+          Plain(graft.operators.Dedup.dedupAgainstExact(
+            lower(TableRef(corpus), ctx), lower(TableRef(batch), ctx), idCol, textCol))
+        else
+          Plain(graft.operators.Dedup.bloomDedupAgainstIndex(
+            ctx.spark, path, lower(TableRef(corpus), ctx),
+            lower(TableRef(batch), ctx), idCol, textCol))
+      case _ =>
+        throw new LoweringException(
+          "dedup_bloom_against_index expects (index_path, corpus, batch, id_col, " +
+            "text_col) literals, e.g. dedup_bloom_against_index('/tmp/bloom_idx', " +
+            "'documents', 'newbatch', 'doc_id', 'text')")
+    }
+
   private def lowerDedupBloom(args: Seq[Expr], ctx: Context): LRes =
     args.map(constValue) match {
       case List(Some(corpus: String), Some(idCol: String), Some(textCol: String),
@@ -1828,6 +1911,35 @@ object Lowering {
       // bloom build must not run on a compile/LSP/docs probe.
       // Output per batch row: (id, is_dup, dup_of).
       lowerDedupBloomAgainst(args, ctx)
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "dedup_bloom_index" =>
+      // dedup_bloom_index('corpus', 'id_col', 'text_col', '/out/path'
+      // [, fpp[, expected_items]]) — persist the corpus-membership bloom
+      // as a durable APPENDABLE artifact (Dedup.writeBloomIndex): one
+      // parquet row (bloom, n, num_bits, fpp). Recurring crawls probe it
+      // via dedup_bloom_against_index without rebuilding the filter and
+      // maintain it via dedup_bloom_index_append. Analysis-only contexts
+      // get the summary schema with no rows.
+      lowerDedupBloomIndex(args, ctx)
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "dedup_bloom_index_append" =>
+      // dedup_bloom_index_append('/index/path', 'batch', 'id_col',
+      // 'text_col') — merge the batch's fingerprints into the persisted
+      // bloom (Dedup.bloomIndexAppend): one batch-sized scan, no corpus
+      // re-read; same-shape OR is lossless, so the appended filter equals
+      // a fresh build over corpus ∪ batch at the stored shape.
+      lowerDedupBloomIndexAppend(args, ctx)
+
+    case ModelRef(name, args) if !ctx.models.contains(name) &&
+        name.toLowerCase == "dedup_bloom_against_index" =>
+      // dedup_bloom_against_index('/index/path', 'corpus', 'batch',
+      // 'id_col', 'text_col') — dedup_bloom_against probing the PERSISTED
+      // bloom (Dedup.bloomDedupAgainstIndex): the filter is read back (one
+      // driver row), the exact recheck broadcasts candidates against the
+      // recheck corpus. Output per batch row: (id, is_dup, dup_of).
+      lowerDedupBloomAgainstIndex(args, ctx)
 
     case ModelRef(name, args) if !ctx.models.contains(name) &&
         name.toLowerCase == "dedup_spans" =>

@@ -271,6 +271,20 @@ object Dedup {
     import org.apache.spark.util.sketch.BloomFilter
     val n = expectedItems.getOrElse(estimateRows(corpus)).max(1L)
     val numBits = BloomFilter.optimalNumOfBits(n, fpp).min(MaxBloomBits).max(64L)
+    buildCorpusBloomShaped(corpus, textCol, n, numBits)
+  }
+
+  /** [[buildCorpusBloom]] at an EXPLICIT (n, numBits) shape — same-shape
+    * filters are merge-compatible, which is what the persisted bloom
+    * index's append path needs: a batch bloom built at the stored shape
+    * ORs into the stored blob losslessly. */
+  private def buildCorpusBloomShaped(
+      corpus: DataFrame,
+      textCol: String,
+      n: Long,
+      numBits: Long
+  ): Option[Array[Byte]] = {
+    import org.apache.spark.util.sketch.BloomFilter
     val fpRdd = {
       val r = corpus.filter(F.col(textCol).isNotNull)
         .select(TextFunctions.fingerprint(F.col(textCol)).as("__fp")).rdd
@@ -288,6 +302,113 @@ object Dedup {
       bf.mergeInPlace(BloomFilter.readFrom(b))
       bloomSer(bf)
     }, depth = 2))
+  }
+
+  /** Persist the corpus-membership bloom as a durable, APPENDABLE index —
+    * the fifth persisted artifact family (BM25/MinHash/int8/PQ get their
+    * postings/signatures/codes; the bloom dedup tier gets its filter).
+    * One parquet row: (bloom binary — null for an empty corpus, n,
+    * num_bits, fpp). A recurring crawl then probes via
+    * [[bloomDedupAgainstIndex]] WITHOUT rebuilding the bloom (the old
+    * per-session build scan), and maintains it via [[bloomIndexAppend]] —
+    * blooms of one shape OR together losslessly, so the appended filter
+    * is EXACTLY the filter a fresh build over corpus ∪ batch at the same
+    * shape would produce (spec-gated byte-identical). Sizing comes from
+    * plan statistics / `expectedItems` as in [[bloomExactGroups]]; an
+    * appended index keeps its ORIGINAL shape (the standard bloom trade:
+    * effective fpp rises as items exceed the original estimate — results
+    * stay exact because the recheck decides). */
+  def writeBloomIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      fpp: Double = 0.01,
+      expectedItems: Option[Long] = None
+  ): Unit = {
+    require(fpp > 0.0 && fpp < 1.0,
+      s"dedup_bloom_index: fpp must be in (0, 1), got $fpp")
+    import org.apache.spark.util.sketch.BloomFilter
+    val n = expectedItems.getOrElse(estimateRows(corpus)).max(1L)
+    val numBits = BloomFilter.optimalNumOfBits(n, fpp).min(MaxBloomBits).max(64L)
+    val blob = buildCorpusBloomShaped(corpus, textCol, n, numBits).orNull
+    val spark = corpus.sparkSession
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bloom",
+        org.apache.spark.sql.types.BinaryType, nullable = true),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("num_bits",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("fpp",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(
+        Seq(org.apache.spark.sql.Row(blob, n, numBits, fpp)).asJava, schema)
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  private def readBloomIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String
+  ): (Option[Array[Byte]], Long, Long, Double) = {
+    val row = spark.read.parquet(path).head()
+    val blob =
+      if (row.isNullAt(row.fieldIndex("bloom"))) None
+      else Some(row.getAs[Array[Byte]](row.fieldIndex("bloom")))
+    (blob, row.getLong(row.fieldIndex("n")),
+      row.getLong(row.fieldIndex("num_bits")),
+      row.getDouble(row.fieldIndex("fpp")))
+  }
+
+  /** Merge a NEW batch's fingerprints into a persisted bloom index — the
+    * nightly maintenance step: one batch-sized scan, no corpus re-read.
+    * The batch bloom is built at the STORED shape, so the OR is lossless
+    * and order-independent (build(a)∪build(b) ≡ build(a ∪ b), a bitwise
+    * bloom identity at fixed shape). */
+  def bloomIndexAppend(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String
+  ): Unit = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val (blob, n, numBits, fpp) = readBloomIndex(spark, path)
+    val batchBlob = buildCorpusBloomShaped(batch, textCol, n, numBits)
+    val merged: Option[Array[Byte]] = (blob, batchBlob) match {
+      case (Some(a), Some(b)) =>
+        val bf = BloomFilter.readFrom(a)
+        bf.mergeInPlace(BloomFilter.readFrom(b))
+        Some(bloomSer(bf))
+      case (a, b) => a.orElse(b)
+    }
+    import scala.jdk.CollectionConverters._
+    val schema = spark.read.parquet(path).schema
+    spark.createDataFrame(
+        Seq(org.apache.spark.sql.Row(merged.orNull, n, numBits, fpp)).asJava, schema)
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** [[bloomDedupAgainst]] probing a PERSISTED bloom index: the filter is
+    * read back (one driver row — the bounded class) instead of rebuilt,
+    * so a recurring crawl pays only its own probe + the exact
+    * candidate-broadcast recheck against the recheck corpus. The corpus
+    * argument is the EXACTNESS source — it must cover every document the
+    * bloom was built/appended over, or a pruned true-dup would surface as
+    * novel. */
+  def bloomDedupAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val (blob, _, _, _) = readBloomIndex(spark, path)
+    bloomDedupAgainstWith(corpus, blob, batch, idCol, textCol)
   }
 
   /** SCORE half of [[bloomDedupAgainst]]: probe the batch against a

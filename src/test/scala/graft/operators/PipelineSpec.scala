@@ -436,6 +436,48 @@ class PipelineSpec extends SparkTestBase {
     assert(e.getMessage.contains("not an"))
   }
 
+  test("bloom index: append is lossless and probes equal the one-shot operator") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("bloom_idx").toString + "/idx"
+    val half = docs.filter(F.col("doc_id") % 4 =!= 0 && F.col("doc_id") % 4 =!= 3)
+    val quarter = docs.filter(F.col("doc_id") % 4 === 3).select("doc_id", "text")
+    val corpus = docs.filter(F.col("doc_id") % 4 =!= 0).select("doc_id", "text")
+    // pin the shape explicitly so the fresh-build comparison is same-shape
+    Dedup.writeBloomIndex(half, "doc_id", "text", path, expectedItems = Some(4096L))
+    Dedup.bloomIndexAppend(spark, path, quarter, "doc_id", "text")
+    // OR at one shape is lossless: the appended blob is BYTE-IDENTICAL to
+    // a fresh build over corpus ∪ batch at the same shape
+    val rebuilt = java.nio.file.Files.createTempDirectory("bloom_re").toString + "/idx"
+    Dedup.writeBloomIndex(corpus, "doc_id", "text", rebuilt, expectedItems = Some(4096L))
+    val a = spark.read.parquet(path).head()
+    val b = spark.read.parquet(rebuilt).head()
+    assert(java.util.Arrays.equals(a.getAs[Array[Byte]](0), b.getAs[Array[Byte]](0)),
+      "appended bloom != fresh build at the same shape")
+    assert(a.getLong(2) == b.getLong(2), "shape drifted across the append")
+    // probing the persisted index equals the one-shot operator's rows
+    val batch = docs.filter(F.col("doc_id") % 4 === 0).select("doc_id", "text")
+      .union(Seq((900001L, "novel zzz"), (900002L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val viaIndex = Dedup.bloomDedupAgainstIndex(spark, path, corpus, batch,
+      "doc_id", "text").orderBy("doc_id").collect().map(_.toString).toSeq
+    val oneShot = Dedup.bloomDedupAgainst(corpus, batch, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(viaIndex == oneShot, "persisted-bloom probe diverged from the one-shot operator")
+    // an EMPTY-corpus index probes everything-novel, and appending onto it
+    // then re-probing finds the appended docs (null/empty blob branches)
+    val emptyDf = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val empty = java.nio.file.Files.createTempDirectory("bloom_mt").toString + "/idx"
+    Dedup.writeBloomIndex(emptyDf, "doc_id", "text", empty, expectedItems = Some(64L))
+    val preProbe = Dedup.bloomDedupAgainstIndex(spark, empty, emptyDf, quarter,
+      "doc_id", "text").collect()
+    assert(preProbe.forall(!_.getBoolean(1)), "empty bloom index flagged a dup")
+    Dedup.bloomIndexAppend(spark, empty, quarter, "doc_id", "text")
+    val postProbe = Dedup.bloomDedupAgainstIndex(spark, empty, quarter, quarter,
+      "doc_id", "text").collect()
+    assert(postProbe.forall(_.getBoolean(1)),
+      "append onto an empty bloom index lost the batch fingerprints")
+  }
+
   test("pq index append: frozen-codebook codes, files untouched") {
     val path = java.nio.file.Files.createTempDirectory("pq_appidx").toString + "/idx"
     val odd = embs.filter(F.col("vec_id") % 2 === 1)
