@@ -3738,6 +3738,42 @@ object QueryCatalog {
       """)
     ),
     (
+      // Streaming IMAGE ingest dedup (Subscribe.phashAgainstAppend —
+      // the LAION loop): the corpus (imgs 1/4/5/6 + corrupt) is pHashed
+      // ONCE; the batch pngs stream through a genuine 2-file readStream
+      // (maxFilesPerTrigger=1 → one micro-batch per file) and each batch
+      // runs decode + chunk-blocked join + bit_count verify. Links depend
+      // only on the static corpus hashes, so micro-batching must be
+      // invisible: the oracle is q_dedup_phash_against's closed-form
+      // VALUES verbatim.
+      "q_subscribe_phash_against",
+      (spark, dir) => {
+        val corpus = phashPngs(spark).filter(!F.col("img_id").isin(2L, 3L))
+        val batch = phashBatchPngs(spark)
+        val in = java.nio.file.Files.createTempDirectory("graft_spa_in").toString
+        batch.filter(F.col("img_id").isin(101L, 103L))
+          .coalesce(1).write.parquet(s"$in/b1")
+        batch.filter(F.col("img_id").isin(102L, 199L))
+          .coalesce(1).write.parquet(s"$in/b2")
+        val out = java.nio.file.Files.createTempDirectory("graft_spa_out").toString
+        val ck = java.nio.file.Files.createTempDirectory("graft_spa_ck").toString
+        val stream = spark.readStream.schema(batch.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
+        graft.streaming.Subscribe.phashAgainstAppend(
+          stream, corpus, "img_id", "png", out, ck)
+          .awaitTermination()
+        spark.read.parquet(out)
+          .select("batch_id", "corpus_id", "hamming")
+          .orderBy("batch_id", "corpus_id")
+      },
+      Some("""
+        SELECT CAST(b AS BIGINT) AS batch_id, CAST(c AS BIGINT) AS corpus_id,
+               CAST(h AS INTEGER) AS hamming
+        FROM (VALUES (101, 1, 0), (102, 1, 0)) AS t(b, c, h)
+        ORDER BY batch_id, corpus_id
+      """)
+    ),
+    (
       // Perceptual-hash near-dup IMAGE pairs (Dedup.phashPairs via
       // dedup_phash(...)): DCT pHash per decoded asset + the simhash
       // family's chunk-pair-blocked candidate join. The planted corpus

@@ -1107,6 +1107,26 @@ object Dedup {
       payloadCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000
+  ): DataFrame =
+    phashAgainstHashes(
+      graft.operators.Multimodal.phashImages(corpus, idCol, payloadCol)
+        .filter(F.col("decoded") && F.col("phash").isNotNull)
+        .select(F.col("img_id").as("corpus_id"), F.col("phash")),
+      batch, idCol, payloadCol, maxHamming, maxBucketSize)
+
+  /** [[phashAgainst]] with the corpus side PRE-HASHED — a (corpus_id,
+    * phash) frame. The split is what the streaming ingest loop needs: the
+    * corpus decode (the expensive half) runs ONCE and the per-micro-batch
+    * cost is the batch's own decode + the chunk-blocked join
+    * ([[graft.streaming.Subscribe.phashAgainstAppend]]). Composes with
+    * [[phashAgainst]] by construction (it routes through here). */
+  def phashAgainstHashes(
+      corpusHashes: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000
   ): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       "dedup_phash_against: hamming_r must be in [0, 15] (single-chunk blocking " +
@@ -1121,7 +1141,7 @@ object Dedup {
       // bits, and no witness logic is needed — one agreeing "chunk")
       val p0 = batch.sparkSession.sparkContext.defaultParallelism
       val c0 = capBuckets(
-        hashes(corpus, "corpus_id").repartition(p0, F.col("phash")),
+        corpusHashes.repartition(p0, F.col("phash")),
         maxBucketSize, "phash")
       return hashes(batch, "batch_id").join(c0, Seq("phash"))
         .select(F.col("batch_id"), F.col("corpus_id"), F.lit(0).as("hamming"))
@@ -1144,7 +1164,7 @@ object Dedup {
     }
     val parts = batch.sparkSession.sparkContext.defaultParallelism
     val cPost = capBuckets(
-      postings(hashes(corpus, "corpus_id"), "corpus_id", "phash")
+      postings(corpusHashes, "corpus_id", "phash")
         .withColumnRenamed("phash", "__hc")
         .repartition(parts, F.col("bucket")),
       maxBucketSize, "bucket")

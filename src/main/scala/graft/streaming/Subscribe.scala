@@ -286,6 +286,47 @@ object Subscribe {
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
+  /** Streaming IMAGE ingest dedup — the LAION-shaped loop composing the
+    * round's image pieces the way [[dedupAgainstAppend]] composes the
+    * text pieces: the corpus side is pHashed ONCE, before the stream
+    * starts (the decode is the expensive half — a (corpus_id, phash)
+    * frame persisted across micro-batches), and every micro-batch of new
+    * image payloads runs [[graft.operators.Dedup.phashAgainstHashes]]:
+    * its own decode + the chunk-blocked candidate join + bit_count
+    * verify, written through the idempotent per-batch sink. Links depend
+    * only on the STATIC corpus hashes, so the union of per-batch outputs
+    * equals the one-shot batch operator for any split (SubscribeSpec
+    * gates it bitwise). */
+  def phashAgainstAppend(
+      stream: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      outPath: String,
+      checkpointPath: String,
+      maxHamming: Int = 3,
+      availableNow: Boolean = true
+  ): StreamingQuery = {
+    require(stream.isStreaming,
+      "phashAgainstAppend requires a streaming DataFrame (readStream)")
+    val corpusHashes = graft.operators.Multimodal
+      .phashImages(corpus, idCol, payloadCol)
+      .filter(F.col("decoded") && F.col("phash").isNotNull)
+      .select(F.col("img_id").as("corpus_id"), F.col("phash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpusHashes.count() // decode the corpus ONCE, before the first trigger
+    val w = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(
+          graft.operators.Dedup.phashAgainstHashes(
+            corpusHashes, batch, idCol, payloadCol, maxHamming),
+          batchId, outPath)
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
   /** Idempotent micro-batch sink: each batch lands in its own
     * `__batch_id=<id>` partition via dynamic partition overwrite, so an
     * at-least-once foreachBatch RETRY overwrites its own partition instead

@@ -186,6 +186,40 @@ class SubscribeSpec extends SparkTestBase {
     assert(err.getMessage.contains("readStream"))
   }
 
+  test("streaming image dedup: N-batch pHash links == one-shot batch operator") {
+    val corpus = graft.catalog.QueryCatalog.phashPngs(spark)
+      .filter(!org.apache.spark.sql.functions.col("img_id").isin(2L, 3L))
+    val batch = graft.catalog.QueryCatalog.phashBatchPngs(spark)
+    val in = Files.createTempDirectory("spa_in").toString
+    // two files → two micro-batches at maxFilesPerTrigger=1
+    // one LINKING image per file — a batch yielding zero links writes no
+    // partition, which would make the two-micro-batch assertion vacuous
+    batch.filter(org.apache.spark.sql.functions.col("img_id").isin(101L, 103L))
+      .coalesce(1).write.parquet(s"$in/b1")
+    batch.filter(org.apache.spark.sql.functions.col("img_id").isin(102L, 199L))
+      .coalesce(1).write.parquet(s"$in/b2")
+    val out = Files.createTempDirectory("spa_out").toString
+    val ck = Files.createTempDirectory("spa_ck").toString
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
+    Subscribe.phashAgainstAppend(stream, corpus, "img_id", "png", out, ck)
+      .awaitTermination()
+    val streamed = spark.read.parquet(out)
+    assert(streamed.select("__batch_id").distinct().count() >= 2,
+      "expected at least two micro-batches")
+    val got = streamed.drop("__batch_id").orderBy("batch_id", "corpus_id")
+      .collect().map(_.toString).toSeq
+    val want = graft.operators.Dedup
+      .phashAgainst(corpus, batch, "img_id", "png", maxHamming = 3)
+      .orderBy("batch_id", "corpus_id").collect().map(_.toString).toSeq
+    assert(got == want, s"micro-batched image dedup diverged:\n$got\nvs\n$want")
+    assert(got.nonEmpty, "fixture produced no links — the gate is vacuous")
+    val err = intercept[IllegalArgumentException] {
+      Subscribe.phashAgainstAppend(batch, corpus, "img_id", "png", out, ck)
+    }
+    assert(err.getMessage.contains("readStream"))
+  }
+
   test("dedupStream: duplicate keys within the watermark emit once, state evicts") {
     val in = Files.createTempDirectory("dds_in").toString
     val out = Files.createTempDirectory("dds_out").toString
