@@ -309,6 +309,10 @@ object Subscribe {
   ): StreamingQuery = {
     require(stream.isStreaming,
       "phashAgainstAppend requires a streaming DataFrame (readStream)")
+    // BOUNDED cross-batch state: n × 16-byte (id, hash) rows, spilling to
+    // disk — lives for the session like the dedupIncrementalAppendPath
+    // index cache; callers running many corpora through one session can
+    // unpersist after the query terminates
     val corpusHashes = graft.operators.Multimodal
       .phashImages(corpus, idCol, payloadCol)
       .filter(F.col("decoded") && F.col("phash").isNotNull)
