@@ -38,6 +38,61 @@ object Tables {
     *     DESCRIBE); epoch/watermark call sites coerce via EpochTime,
     *     gated in NtzRobustnessSpec */
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Memoized per (session, dir, name, dir fingerprint) — optimization r18
+    // (guide §1): a fresh spark.read.parquet re-reads the footer and builds
+    // a new file index EVERY time (~60-90 ms/table locally), and catalog
+    // queries construct 1-4 table reads per bench run — ~0.2 s of pure
+    // metadata re-derivation per row. The fingerprint (file count + bytes +
+    // newest mtime, the same signal the persisted-index caches trust)
+    // invalidates on any rewrite of the dir, so DML/CTAS refreshes are
+    // never served a stale file listing. Only the READ PLAN is memoized —
+    // every query still scans parquet at execution.
+    val memo = readMemo.computeIfAbsent(spark,
+      _ => scala.collection.concurrent.TrieMap.empty[(String, String), (String, DataFrame)])
+    val fp = directoryFingerprint(spark, dir).getOrElse("__missing__")
+    memo.get((dir, name)) match {
+      case Some((`fp`, df)) => df
+      case _ =>
+        val df = readFresh(spark, dir, name)
+        memo.put((dir, name), (fp, df))
+        df
+    }
+  }
+
+  private val readMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[(String, String), (String, DataFrame)]]())
+
+  /** Memoized raw parquet read of an arbitrary path (single file or dir),
+    * fingerprint-gated exactly like [[read]] — for the persisted-index and
+    * reference-corpus read sites that pay a fresh footer+file-index pass
+    * per query construction. */
+  def readPath(spark: SparkSession, path: String): DataFrame = {
+    val memo = readMemo.computeIfAbsent(spark,
+      _ => scala.collection.concurrent.TrieMap.empty[(String, String), (String, DataFrame)])
+    val fp = pathFingerprint(spark, path)
+    memo.get(("__path__", path)) match {
+      case Some((`fp`, df)) => df
+      case _ =>
+        val df = spark.read.parquet(path)
+        memo.put(("__path__", path), (fp, df))
+        df
+    }
+  }
+
+  private def pathFingerprint(spark: SparkSession, path: String): String = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) "__missing__"
+    else {
+      val st = fs.getFileStatus(hPath)
+      if (st.isDirectory) directoryFingerprint(spark, path).getOrElse("__empty__")
+      else s"${st.getLen}:${st.getModificationTime}"
+    }
+  }
+
+  private def readFresh(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.find(_.name == "ts") match {
       case Some(f) if f.dataType.typeName == "long" =>

@@ -1157,7 +1157,7 @@ object QueryCatalog {
     lshIndexPaths.getOrElseUpdate(dir, {
       val path = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_lsh_int8_index_" + stageKey(dir)).getAbsolutePath
-      val idx = spark.read.parquet(persistedInt8Index(spark, dir))
+      val idx = graft.Tables.readPath(spark, persistedInt8Index(spark, dir))
       Similarity.lshInt8IndexPostings(idx, "vec_id", "q8", planes = 8, tables = 6)
         .write.mode("overwrite").partitionBy("bucket_grp").parquet(path)
       path
@@ -1171,7 +1171,7 @@ object QueryCatalog {
     ivfIndexPaths.getOrElseUpdate(dir, {
       val path = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_ivf_int8_index_" + stageKey(dir)).getAbsolutePath
-      val idx = spark.read.parquet(persistedInt8Index(spark, dir))
+      val idx = graft.Tables.readPath(spark, persistedInt8Index(spark, dir))
       Similarity.writeIvfInt8Index(idx, "vec_id", "q8", path, nlist = 32)
       path
     })
@@ -4272,7 +4272,7 @@ object QueryCatalog {
       // compare.)
       "q_minhash_index",
       (spark, dir) => {
-        val idx = spark.read.parquet(persistedMinhashIndex(spark, dir))
+        val idx = graft.Tables.readPath(spark, persistedMinhashIndex(spark, dir))
         idx.select(
           F.col("doc_id"),
           F.array_join(F.transform(F.col("sig"), x => x.cast("string")), ",").as("sig_csv"))
@@ -4290,7 +4290,7 @@ object QueryCatalog {
       // estimator.
       "q_dedup_incremental_pairs",
       (spark, dir) => {
-        val idx = spark.read.parquet(persistedMinhashIndex(spark, dir))
+        val idx = graft.Tables.readPath(spark, persistedMinhashIndex(spark, dir))
         val batch = Tables.read(spark, dir, "documents").filter(F.col("doc_id") % 4 === 0)
         graft.operators.Dedup.minhashIndexPairs(batch, "doc_id", "text", idx, threshold = 0.5)
           .orderBy("batch_id", "corpus_id")
@@ -4313,7 +4313,7 @@ object QueryCatalog {
       // q_dedup_incremental_pairs's full DuckDB recompute verbatim.
       "q_minhash_index_append",
       (spark, dir) => {
-        val idx = spark.read.parquet(appendedMinhashIndex(spark, dir))
+        val idx = graft.Tables.readPath(spark, appendedMinhashIndex(spark, dir))
         val batch = Tables.read(spark, dir, "documents").filter(F.col("doc_id") % 4 === 0)
         graft.operators.Dedup.minhashIndexPairs(batch, "doc_id", "text", idx, threshold = 0.5)
           .orderBy("batch_id", "corpus_id")
@@ -4332,7 +4332,7 @@ object QueryCatalog {
       // corpus.
       "q_dedup_incremental",
       (spark, dir) => {
-        val idx = spark.read.parquet(persistedMinhashIndex(spark, dir))
+        val idx = graft.Tables.readPath(spark, persistedMinhashIndex(spark, dir))
         val batch = Tables.read(spark, dir, "documents").filter(F.col("doc_id") % 4 === 0)
         graft.operators.Dedup.dedupAgainstMinhashIndex(batch, "doc_id", "text", idx, threshold = 0.5)
           .select("doc_id", "lang", "source").orderBy("doc_id")
@@ -4618,7 +4618,7 @@ object QueryCatalog {
       // pins this path too.
       "q_similarity_topk_int8_index",
       (spark, dir) => {
-        val idx = spark.read.parquet(persistedInt8Index(spark, dir))
+        val idx = graft.Tables.readPath(spark, persistedInt8Index(spark, dir))
         val queries = idx.filter(F.col("vec_id") < 10)
         Similarity.int8IndexTopK(idx, "vec_id", "q8", queries, "vec_id", "q8", k = 5)
           .orderBy("query_id", "rank")
@@ -4634,7 +4634,7 @@ object QueryCatalog {
       // full int8 oracle SQL verbatim (bitwise).
       "q_ann_int8_index_append",
       (spark, dir) => {
-        val idx = spark.read.parquet(appendedInt8Index(spark, dir))
+        val idx = graft.Tables.readPath(spark, appendedInt8Index(spark, dir))
         val queries = idx.filter(F.col("vec_id") < 10)
         Similarity.int8IndexTopK(idx, "vec_id", "q8", queries, "vec_id", "q8", k = 5)
           .orderBy("query_id", "rank")
@@ -4648,7 +4648,7 @@ object QueryCatalog {
       // DuckDB oracle (signatures recomputed over the quantized vectors).
       "q_similarity_topk_lsh_int8_index",
       (spark, dir) => {
-        val idx = spark.read.parquet(persistedInt8Index(spark, dir))
+        val idx = graft.Tables.readPath(spark, persistedInt8Index(spark, dir))
         val queries = idx.filter(F.col("vec_id") < 10)
         Similarity.lshTopKInt8Index(idx, "vec_id", "q8", queries, "vec_id", "q8",
           k = 5, planes = 8, tables = 6)
@@ -4667,7 +4667,7 @@ object QueryCatalog {
       "q_similarity_topk_lsh_int8_part",
       (spark, dir) => {
         val path = persistedLshInt8Index(spark, dir)
-        val queries = spark.read.parquet(persistedInt8Index(spark, dir))
+        val queries = graft.Tables.readPath(spark, persistedInt8Index(spark, dir))
           .filter(F.col("vec_id") < 10)
         Similarity.lshTopKPartitionedIndex(path, "vec_id", "q8",
           queries, "vec_id", "q8", k = 5, planes = 8, tables = 6)
@@ -4686,7 +4686,7 @@ object QueryCatalog {
       "q_similarity_topk_ivf_int8_part",
       (spark, dir) => {
         val path = persistedIvfInt8Index(spark, dir)
-        val queries = spark.read.parquet(persistedInt8Index(spark, dir))
+        val queries = graft.Tables.readPath(spark, persistedInt8Index(spark, dir))
           .filter(F.col("vec_id") < 10)
         Similarity.ivfTopKPartitionedIndex(path, "vec_id", "q8",
           queries, "vec_id", "q8", k = 5, nprobe = 4)
@@ -4701,7 +4701,7 @@ object QueryCatalog {
       // ±0.5-step rounding band, so candidate sets are near-identical).
       "q_similarity_int8_index_property",
       (spark, dir) => {
-        val idx = spark.read.parquet(persistedInt8Index(spark, dir))
+        val idx = graft.Tables.readPath(spark, persistedInt8Index(spark, dir))
         val queries = idx.filter(F.col("vec_id") < 10)
         val brute = Similarity.int8IndexTopK(idx, "vec_id", "q8",
           queries, "vec_id", "q8", k = 5)
@@ -4834,7 +4834,7 @@ object QueryCatalog {
       "q_similarity_topk_pq_index",
       (spark, dir) => {
         val path = persistedPqIndex(spark, dir)
-        val queries = spark.read.parquet(path).filter(F.col("vec_id") < 10)
+        val queries = graft.Tables.readPath(spark, path).filter(F.col("vec_id") < 10)
           .select("vec_id", "codes")
         Similarity.pqIndexTopK(spark, path, "vec_id", "codes",
           queries, "vec_id", "codes", k = 5)
@@ -4900,7 +4900,7 @@ object QueryCatalog {
       "q_ann_pq_index_append",
       (spark, dir) => {
         val path = appendedPqIndex(spark, dir)
-        val queries = spark.read.parquet(path).filter(F.col("vec_id") < 10)
+        val queries = graft.Tables.readPath(spark, path).filter(F.col("vec_id") < 10)
           .select("vec_id", "codes")
         Similarity.pqIndexTopK(spark, path, "vec_id", "codes",
           queries, "vec_id", "codes", k = 5)

@@ -46,7 +46,7 @@ object TpchCatalog {
     val text = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$tpchDir/$fname")))
     Graft.query(spark, text,
-      name => spark.read.parquet(s"$tpchDir/data/$name.parquet"))
+      name => graft.Tables.readPath(spark, s"$tpchDir/data/$name.parquet"))
   }
 
   /** DuckDB-side table bindings: CTEs over the same parquet files. */

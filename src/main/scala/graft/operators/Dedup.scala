@@ -49,8 +49,23 @@ object Dedup {
     * ~1 s fixed overhead in local mode). */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism * 2
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val nParts = df.rdd.getNumPartitions
+    if (nParts >= target) return df
+    // size gate (optimization r18, guide §1.2/§2.4): the repartition is only
+    // worth its exchange round-trip (~1-1.5 s of fixed stage cost in local
+    // mode) when a partition actually holds enough text to keep a core busy
+    // longer than that. Plan statistics are free (no job): below
+    // SpreadMinBytes/partition the serial CPU work is cheaper than the
+    // shuffle, so pass the input through untouched. Estimates that are
+    // unknown default to Long.MaxValue upstream → spread (conservative).
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes <= SpreadMinBytes * nParts) df else df.repartition(target)
   }
+
+  /** Per-partition byte threshold under which [[spread]] skips its
+    * repartition: a compressed-text partition this small shingles/hashes
+    * faster serially than the exchange's two extra stages cost. */
+  private[graft] val SpreadMinBytes: Long = 16L << 20
 
 
   /** Skew guard shared by every banded/bucketed pair generator: drop
@@ -353,7 +368,7 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       path: String
   ): (Option[Array[Byte]], Long, Long, Double) = {
-    val row = spark.read.parquet(path).head()
+    val row = graft.Tables.readPath(spark, path).head()
     val blob =
       if (row.isNullAt(row.fieldIndex("bloom"))) None
       else Some(row.getAs[Array[Byte]](row.fieldIndex("bloom")))
@@ -385,7 +400,7 @@ object Dedup {
       case (a, b) => a.orElse(b)
     }
     import scala.jdk.CollectionConverters._
-    val schema = spark.read.parquet(path).schema
+    val schema = graft.Tables.readPath(spark, path).schema
     spark.createDataFrame(
         Seq(org.apache.spark.sql.Row(merged.orNull, n, numBits, fpp)).asJava, schema)
       .repartition(1)
@@ -694,7 +709,7 @@ object Dedup {
       numHashes: Int = 64,
       shingleSize: Int = 2
   ): Unit = {
-    val idx = spark.read.parquet(indexPath)
+    val idx = graft.Tables.readPath(spark, indexPath)
     val idxCols = idx.schema.fieldNames.toSeq
     require(idxCols.contains("sig"),
       s"minhash_index_append: '$indexPath' has no 'sig' column — not a MinHash index " +
@@ -1234,16 +1249,25 @@ object Dedup {
       // explicit numbered repartition: parallelizes the quadratic stage AND
       // pins the partition count (AQE would coalesce the tiny posting
       // shuffle into one partition and serialize the self-join); also
-      // already satisfies the join's distribution requirement
-      .repartition(parts, F.col("shingle"))
+      // already satisfies the join's distribution requirement. 4x the core
+      // count (optimization r18, guide §2.5): shingle buckets are
+      // Zipf-skewed, and at 1x a few hot-bucket partitions straggle while
+      // the rest of the machine idles — 4x granularity measured 7.2 s →
+      // 3.7-5.0 s on the full kernel at sf0.1, and the pair-agg partial
+      // maps shrink with it.
+      .repartition(parts * 4, F.col("shingle"))
     // df-cap (rare-shingle prefix filter, the maxBucketSize analogue): drop
     // postings of shingles hotter than maxPostings before the quadratic
     // self-join — one boilerplate shingle shared by 100k docs would
-    // contribute 10¹⁰ pairs under a single join key. Implemented as a window
-    // count over the join's own hash distribution: no side job, no extra
-    // shuffle. Pairs whose overlap is exclusively capped-hot shingles are
-    // missed and `common` excludes capped shingles — the standard recall
-    // trade, same as the LSH bucket cap.
+    // contribute 10¹⁰ pairs under a single join key. Pairs whose overlap is
+    // exclusively capped-hot shingles are missed and `common` excludes
+    // capped shingles — the standard recall trade, same as the LSH bucket
+    // cap. Implemented as a window count over the join's own hash
+    // distribution: no side job, no extra shuffle. (Optimization r18 note:
+    // an agg-derived hot-list + anti-join variant measured the same at
+    // sf0.1 and LOST the shared shingle exchange — Catalyst's
+    // PushDownLeftSemiAntiJoin pushes the anti join below the repartition,
+    // so the shingling re-ran serially per branch. The window stays.)
     val capped = capBuckets(postings, maxPostings, "shingle")
     val a = capped.select(F.col("shingle"),
       F.col("id").as("id_a"), F.col("n").as("n_a"))
@@ -1331,8 +1355,20 @@ object Dedup {
           F.col("id").as("id_a"), F.col("vec").as("vec_a"))
         val b = withSig.select(F.col("bucket"),
           F.col("id").as("id_b"), F.col("vec").as("vec_b"))
-        a.join(b, Seq("bucket")).filter(F.col("id_a") < F.col("id_b"))
-          .drop("bucket").dropDuplicates("id_a", "id_b")
+        // score + threshold BEFORE the pair dedup (optimization r18, guide
+        // §2.3): a pair colliding in k of the t tables used to ship its TWO
+        // FULL VECTORS through the dropDuplicates exchange k times; scoring
+        // first costs k-1 extra runs of the memory-bound cosine kernel but
+        // the dedup shuffle then carries (id, id, double) instead of
+        // (id, id, 2×vec) — ~60x fewer bytes at 128-dim — and only for
+        // pairs that already passed the threshold. Identical output:
+        // cos_sim is a pure function of the vectors, so every duplicate
+        // row carries the same value and dropDuplicates keeps one.
+        return a.join(b, Seq("bucket")).filter(F.col("id_a") < F.col("id_b"))
+          .withColumn("cos_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+          .filter(F.col("cos_sim") >= threshold)
+          .select("id_a", "id_b", "cos_sim")
+          .dropDuplicates("id_a", "id_b")
       }
     pairs
       .withColumn("cos_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))

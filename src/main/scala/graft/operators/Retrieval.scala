@@ -166,7 +166,7 @@ object Retrieval {
       spark: org.apache.spark.sql.SparkSession,
       path: String
   ): DataFrame = {
-    val meta = spark.read.parquet(path + "_meta").head()
+    val meta = graft.Tables.readPath(spark, path + "_meta").head()
     val idType = org.apache.spark.sql.types.DataType.fromDDL(
       meta.getString(meta.fieldIndex("id_type")))
     spark.read.schema(postingsSchema(idType)).parquet(path)
@@ -249,7 +249,7 @@ object Retrieval {
       idCol: String,
       textCol: String
   ): Unit = {
-    val meta = spark.read.parquet(indexPath + "_meta").head()
+    val meta = graft.Tables.readPath(spark, indexPath + "_meta").head()
     val n = meta.getLong(meta.fieldIndex("n"))
     val dlSum = meta.getLong(meta.fieldIndex("dl_sum"))
     val idType = org.apache.spark.sql.types.DataType.fromDDL(
@@ -277,7 +277,7 @@ object Retrieval {
         // sibling then swapped in (Spark cannot overwrite a path a live
         // plan is still reading)
         val bDf = postings.groupBy("__tok").agg(F.count(F.lit(1)).as("__df"))
-        val oldDf = spark.read.parquet(indexPath + "_df")
+        val oldDf = graft.Tables.readPath(spark, indexPath + "_df")
         val merged = oldDf.unionAll(bDf)
           .groupBy("__tok").agg(F.sum(F.col("__df")).as("__df"))
         val staged = indexPath + "_df_staged"
@@ -317,7 +317,7 @@ object Retrieval {
       b: Double = 0.75
   ): DataFrame = {
     require(k >= 1, s"bm25_topk_index: k must be >= 1, got $k")
-    val meta = spark.read.parquet(indexPath + "_meta").head()
+    val meta = graft.Tables.readPath(spark, indexPath + "_meta").head()
     val n = meta.getLong(meta.fieldIndex("n"))
     if (n == 0 || meta.isNullAt(meta.fieldIndex("avgdl"))) {
       // index built over a corpus with zero non-null-text docs: degrade
@@ -332,7 +332,7 @@ object Retrieval {
           F.lit(null).cast("int").as("rank"))
     }
     val avgdl = meta.getDouble(meta.fieldIndex("avgdl"))
-    val idf = spark.read.parquet(indexPath + "_df")
+    val idf = graft.Tables.readPath(spark, indexPath + "_df")
       .select(F.col("__tok"),
         F.log(F.lit(1.0) +
           (F.lit(n.toDouble) - F.col("__df") + F.lit(0.5)) /

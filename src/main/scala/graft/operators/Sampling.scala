@@ -555,8 +555,15 @@ object Sampling {
     // aggregations collected driver-side (one long each — the bounded
     // class), so the floor rides as a plan literal instead of through a
     // null-bearing join.
-    val tCounts = bucketed(target, targetTextCol)
-    val rCounts = bucketed(corpus, textCol)
+    // localCheckpoint (optimization r18, guide §1.2 "don't compute things
+    // twice"): each counts frame is ≤ Buckets (4096) rows but its lineage
+    // is a full tokenize+bucket pass over its input — and it has TWO
+    // consumers (the totalOf scalar job below and the broadcast model
+    // build at scoring). Materializing the tiny result once per fit drops
+    // a whole corpus tokenize pass; fresh per construction, so nothing is
+    // reused across bench runs.
+    val tCounts = bucketed(target, targetTextCol).localCheckpoint(true)
+    val rCounts = bucketed(corpus, textCol).localCheckpoint(true)
     def totalOf(counts: DataFrame): Double =
       counts.agg(F.coalesce(F.sum("__c"), F.lit(0L))).head.getLong(0).toDouble
     val tN = totalOf(tCounts)

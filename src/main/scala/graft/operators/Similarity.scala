@@ -461,7 +461,7 @@ object Similarity {
       idCol: String,
       vecCol: String
   ): Unit = {
-    val cbDf = spark.read.parquet(indexPath + "_codebook")
+    val cbDf = graft.Tables.readPath(spark, indexPath + "_codebook")
     val cbRows = cbDf.orderBy("j").collect()
     require(cbRows.nonEmpty,
       s"ann_pq_index_append: empty codebook at ${indexPath}_codebook — not a PQ " +
@@ -470,7 +470,7 @@ object Similarity {
     val subspaces =
       if (cbDf.columns.contains("m")) cbRows.head.getInt(cbRows.head.fieldIndex("m"))
       else 16
-    val idx = spark.read.parquet(indexPath)
+    val idx = graft.Tables.readPath(spark, indexPath)
     val idxCols = idx.schema.fieldNames.toSeq
     require(idxCols.contains("codes"),
       s"ann_pq_index_append: '$indexPath' has no 'codes' column — not a PQ index")
@@ -500,11 +500,11 @@ object Similarity {
       k: Int = 10,
       excludeSelf: Boolean = true
   ): DataFrame = {
-    val cbDf = spark.read.parquet(indexPath + "_codebook")
+    val cbDf = graft.Tables.readPath(spark, indexPath + "_codebook")
     val cbRows = cbDf.orderBy("j").collect()
     require(cbRows.nonEmpty, s"pqIndexTopK: empty codebook at ${indexPath}_codebook")
     val codebook = cbRows.map(_.getSeq[Double](1).toArray)
-    val idx = spark.read.parquet(indexPath)
+    val idx = graft.Tables.readPath(spark, indexPath)
       .select(F.col(idCol).as("corpus_id"), F.col(codesCol).as("__c"))
     val q = queries.select(F.col(queryId).as("query_id"), F.col(queryCodesCol).as("__qc"))
     // subspace count: persisted in the codebook sibling since r16; pre-r16
@@ -1041,7 +1041,7 @@ object Similarity {
       idCol: String,
       vecCol: String
   ): Unit = {
-    val idx = spark.read.parquet(indexPath)
+    val idx = graft.Tables.readPath(spark, indexPath)
     val idxCols = idx.schema.fieldNames.toSeq
     require(idxCols.contains("scale") && idxCols.contains("q8"),
       s"ann_int8_index_append: '$indexPath' has no (scale, q8) columns — not an " +
@@ -1182,7 +1182,7 @@ object Similarity {
       excludeSelf: Boolean = true
   ): DataFrame = {
     val spark = queries.sparkSession
-    val m: Array[Array[Double]] = spark.read.parquet(s"$indexPath/_centroids")
+    val m: Array[Array[Double]] = graft.Tables.readPath(spark, s"$indexPath/_centroids")
       .orderBy("cell").collect()
       .map(_.getSeq[Any](1).map {
         case b: Byte => b.toDouble
@@ -1199,7 +1199,7 @@ object Similarity {
       .select(F.col("query_id"), F.col("__qq"),
         F.col("__p").getField("cell").as("cell"))
     val probeCells = probes.select("cell").distinct().collect().map(_.getLong(0))
-    val idx = spark.read.parquet(indexPath)
+    val idx = graft.Tables.readPath(spark, indexPath)
       .filter(F.col("cell").isin(probeCells.map(Long.box): _*))
       .select(F.col("cell"), F.col(indexId).as("corpus_id"),
         F.col(q8Col).cast("array<int>").as("__q"))
