@@ -47,25 +47,36 @@ object Dedup {
     * collapse parallelism. ×2 the core count balances variable doc lengths
     * without paying for excess tiny tasks (each extra shuffle stage has
     * ~1 s fixed overhead in local mode). */
-  private def spread(df: DataFrame): DataFrame = {
+  private def spread(df: DataFrame, minBytesPerPart: Long = 0L): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism * 2
     val nParts = df.rdd.getNumPartitions
     if (nParts >= target) return df
+    if (minBytesPerPart <= 0L) return df.repartition(target)
     // size gate (optimization r18, guide §1.2/§2.4): the repartition is only
     // worth its exchange round-trip (~1-1.5 s of fixed stage cost in local
     // mode) when a partition actually holds enough text to keep a core busy
     // longer than that. Plan statistics are free (no job): below
-    // SpreadMinBytes/partition the serial CPU work is cheaper than the
-    // shuffle, so pass the input through untouched. Estimates that are
-    // unknown default to Long.MaxValue upstream → spread (conservative).
+    // minBytesPerPart the serial CPU work is cheaper than the shuffle, so
+    // pass the input through untouched. The threshold is PER CALLER — it
+    // encodes that caller's measured CPU-per-byte (shingle hashing is
+    // cheap; 128-hash minhash signatures are ~64x hotter and keep the
+    // unconditional spread). Estimates that are unknown default to
+    // Long.MaxValue upstream → spread (conservative).
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (estBytes <= SpreadMinBytes * nParts) df else df.repartition(target)
+    if (estBytes <= minBytesPerPart * nParts) df else df.repartition(target)
   }
 
-  /** Per-partition byte threshold under which [[spread]] skips its
-    * repartition: a compressed-text partition this small shingles/hashes
-    * faster serially than the exchange's two extra stages cost. */
-  private[graft] val SpreadMinBytes: Long = 16L << 20
+  /** [[spread]] threshold for the bigram-shingle hash kernel (measured at
+    * sf0.1: the exchange round-trip cost ~1.5 s vs ~0.5 s of serial
+    * hashing on a 584 KB single-partition input). */
+  private[graft] val ShingleSpreadMinBytes: Long = 16L << 20
+
+  /** Embedding-table size (plan statistics) below which the LSH pair
+    * kernel keeps vectors ON the posting/candidate rows: under this the
+    * whole table is broadcast-class small and two re-attach joins cost
+    * more than the fat dedup exchange saves (measured ~0.9 s at sf0.1);
+    * above it candidates travel as ids only. */
+  private[graft] val PairVecCarryMaxBytes: Long = 256L << 20
 
 
   /** Skew guard shared by every banded/bucketed pair generator: drop
@@ -583,7 +594,10 @@ object Dedup {
       F.posexplode(F.array(bandHashes: _*)).as(Seq("band_idx", "band_hash")))
       // explicit numbered repartition: parallelizes the quadratic stage AND
       // pins the partition count — AQE would coalesce the tiny posting
-      // shuffle (a few MB) into one partition and serialize the self-join
+      // shuffle (a few MB) into one partition and serialize the self-join.
+      // (The ngram kernel's 4x-cores widening was MEASURED SLOWER here —
+      // band buckets are already cap-bounded at 1000 and the posting set
+      // is bands-fold smaller, so finer tasks are pure overhead.)
       .repartition(parts, F.col("band_idx"), F.col("band_hash"))
 
     // bucket-size guard: drop pathologically hot buckets (boilerplate
@@ -1029,8 +1043,10 @@ object Dedup {
     val posts = withSim.select(
       F.col(idCol), F.col("simhash"),
       F.explode(F.array(keyCols: _*)).as("bucket")
-      // explicit numbered repartition — see ngramJaccardPairs
-    ).repartition(parts, F.col("bucket"))
+      // explicit numbered repartition, 4x cores — see ngramJaccardPairs
+      // (bucket sizes are skewed; finer granularity spreads the quadratic
+      // per-bucket work, optimization r18)
+    ).repartition(parts * 4, F.col("bucket"))
     // bucket cap via window count over the join's own distribution (no side
     // job — see ngramJaccardPairs)
     val capped = capBuckets(posts, maxBucketSize, "bucket")
@@ -1234,7 +1250,7 @@ object Dedup {
     // below the spread repartition into the narrow scan, serializing the
     // expensive HOF evaluation onto one core (measured: 7 s of a 20 s run).
     // explode() drops empty arrays on its own, which is all the filter did.
-    val sh = spread(df).select(
+    val sh = spread(df, ShingleSpreadMinBytes).select(
       F.col(idCol).as("id"),
       graft.functions.TextHashExpressions.shingleHashes64(F.col(textCol), n).as("__sh"))
     // the per-doc shingle count rides ON the posting rows (8 bytes each):
@@ -1351,24 +1367,33 @@ object Dedup {
           (0 until tables).map(t =>
             Similarity.hyperplaneSignature(F.col("vec"), planes, dim = vecDim, seed = 11L + t)
               .bitwiseOR(F.lit(t.toLong << planes))): _*)))
-        val a = withSig.select(F.col("bucket"),
-          F.col("id").as("id_a"), F.col("vec").as("vec_a"))
-        val b = withSig.select(F.col("bucket"),
-          F.col("id").as("id_b"), F.col("vec").as("vec_b"))
-        // score + threshold BEFORE the pair dedup (optimization r18, guide
-        // §2.3): a pair colliding in k of the t tables used to ship its TWO
-        // FULL VECTORS through the dropDuplicates exchange k times; scoring
-        // first costs k-1 extra runs of the memory-bound cosine kernel but
-        // the dedup shuffle then carries (id, id, double) instead of
-        // (id, id, 2×vec) — ~60x fewer bytes at 128-dim — and only for
-        // pairs that already passed the threshold. Identical output:
-        // cos_sim is a pure function of the vectors, so every duplicate
-        // row carries the same value and dropDuplicates keeps one.
-        return a.join(b, Seq("bucket")).filter(F.col("id_a") < F.col("id_b"))
-          .withColumn("cos_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
-          .filter(F.col("cos_sim") >= threshold)
-          .select("id_a", "id_b", "cos_sim")
-          .dropDuplicates("id_a", "id_b")
+        // Candidate-generation shape is SIZE-ADAPTIVE (optimization r18,
+        // guide §2.3): the bucket self-join + dropDuplicates exchange carry
+        // both full vectors per row only while the embedding table is
+        // broadcast-class small (below PairVecCarryMaxBytes by plan
+        // statistics — at sf0.1 the fat-row form measured ~0.9 s faster
+        // because the ids-only form pays two extra re-attach join stages).
+        // Past the threshold the exchanges ship (bucket, id) / (id, id)
+        // only — ~60x fewer bytes at 128-dim, the minhashLshPairs
+        // re-attach shape — and the two vectors are re-attached ONCE per
+        // UNIQUE candidate pair by unhinted id-keyed joins AQE broadcasts
+        // when the candidate set fits. Cosine stays once per unique pair.
+        if (base.queryExecution.optimizedPlan.stats.sizeInBytes <= PairVecCarryMaxBytes) {
+          val a = withSig.select(F.col("bucket"),
+            F.col("id").as("id_a"), F.col("vec").as("vec_a"))
+          val b = withSig.select(F.col("bucket"),
+            F.col("id").as("id_b"), F.col("vec").as("vec_b"))
+          a.join(b, Seq("bucket")).filter(F.col("id_a") < F.col("id_b"))
+            .drop("bucket").dropDuplicates("id_a", "id_b")
+        } else {
+          val a = withSig.select(F.col("bucket"), F.col("id").as("id_a"))
+          val b = withSig.select(F.col("bucket"), F.col("id").as("id_b"))
+          a.join(b, Seq("bucket")).filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates("id_a", "id_b")
+            .join(base.select(F.col("id").as("id_a"), F.col("vec").as("vec_a")), Seq("id_a"))
+            .join(base.select(F.col("id").as("id_b"), F.col("vec").as("vec_b")), Seq("id_b"))
+        }
       }
     pairs
       .withColumn("cos_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
