@@ -14,8 +14,16 @@ object Tables {
 
   /** SparkSession configs needed to read the testdata (events.parquet uses
     * nanosecond timestamps, which Spark only reads as long). */
-  def sessionConfigs: Map[String, String] = Map(
+  def sessionConfigs: Map[String, String] = extraConfigs ++ Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // optimization r18 (guide §3.1): let AQE rewrite a sort-merge join to a
+    // shuffled-hash join at runtime when EVERY post-shuffle partition of
+    // the build side is under 64 MB — skips both sort passes. Scale-safe by
+    // construction: the decision is made per-partition from RUNTIME sizes
+    // (default 0 disables the rewrite), so 100 TB partitions above the
+    // threshold keep the spill-friendly SMJ. Interleaved A/B over the 10
+    // join-heaviest TPC-DS rows: 3/3 paired wins, ~2%.
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" -> "67108864",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.parquet.filterPushdown" -> "true",
     // ANSI double-quoted identifiers in raw SQL ("id" = identifier, not
@@ -23,6 +31,15 @@ object Tables {
     // the sql"…" escape hatch and the SQL front-end
     "spark.sql.ansi.doubleQuotedIdentifiers" -> "true"
   )
+
+  /** Experiment hook (optimization rounds): extra session configs from
+    * SPARK_GRAFT_EXTRA_CONF ("k=v;k=v"), applied BEFORE the fixed map so
+    * the data-compat configs can never be overridden. */
+  private def extraConfigs: Map[String, String] =
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) }
+      .toMap
 
   /** Read a table from `dir`, normalizing the event-time column's physical
     * flavor. The driver has regenerated testdata with different `ts`
