@@ -452,15 +452,34 @@ object Dedup {
     * PRE-BUILT corpus bloom, then the exact broadcast recheck against the
     * corpus. Per invocation the corpus is scanned once (the recheck) and
     * shuffled never; the bloom rides the plan as a task-binary constant. */
+  /** The corpus keyed for the exact recheck: (fingerprint, id) — the only
+    * corpus columns the dedup ever reads. Exposed so the STREAMING sink can
+    * compute+persist it once before the first trigger (the phashAgainst
+    * pattern) instead of re-fingerprinting the corpus text every
+    * micro-batch. */
+  def corpusFingerprints(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus.filter(F.col(textCol).isNotNull)
+      .select(TextFunctions.fingerprint(F.col(textCol)).as("__fp"), F.col(idCol))
+
   def bloomDedupAgainstWith(
       corpus: DataFrame,
       bloomBytes: Option[Array[Byte]],
       batch: DataFrame,
       idCol: String,
       textCol: String
+  ): DataFrame =
+    bloomDedupAgainstKeyed(
+      corpusFingerprints(corpus, idCol, textCol), bloomBytes, batch, idCol, textCol)
+
+  /** [[bloomDedupAgainstWith]] over a pre-keyed corpus (see
+    * [[corpusFingerprints]]). */
+  def bloomDedupAgainstKeyed(
+      cKeyed: DataFrame,
+      bloomBytes: Option[Array[Byte]],
+      batch: DataFrame,
+      idCol: String,
+      textCol: String
   ): DataFrame = {
-    val cKeyed = corpus.filter(F.col(textCol).isNotNull)
-      .select(TextFunctions.fingerprint(F.col(textCol)).as("__fp"), F.col(idCol))
     val bKeyed = batch.select(F.col(idCol),
       F.when(F.col(textCol).isNotNull, TextFunctions.fingerprint(F.col(textCol)))
         .as("__fp"))

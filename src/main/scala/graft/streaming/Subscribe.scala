@@ -207,6 +207,7 @@ object Subscribe {
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        tuneBatchShuffle(batch)
         writeBatchIdempotent(
           graft.operators.Dedup.dedupAgainstMinhashIndex(
             batch, idCol, textCol, index, threshold, numHashes, bands, shingleSize),
@@ -240,6 +241,7 @@ object Subscribe {
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        tuneBatchShuffle(batch)
         writeBatchIdempotent(scorer(batch), batchId, outPath)
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
@@ -274,13 +276,23 @@ object Subscribe {
       "dedupAgainstAppend requires a streaming DataFrame (readStream)")
     val bloom = graft.operators.Dedup.buildCorpusBloom(
       corpus, textCol, fpp, expectedItems)
+    // fingerprint the corpus ONCE, before the first trigger (optimization
+    // r19, the phashAgainstAppend pattern): every micro-batch's exact
+    // recheck joins the same STATIC (fingerprint, id) frame, and the lazy
+    // form re-ran the corpus scan + md5 per trigger. Bounded cross-batch
+    // state: two narrow columns per corpus row, MEMORY_AND_DISK with full
+    // lineage — same ownership caveats as the image-dedup corpus hashes.
+    val cKeyed = graft.operators.Dedup.corpusFingerprints(corpus, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cKeyed.count()
     val w = stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        tuneBatchShuffle(batch)
         writeBatchIdempotent(
-          graft.operators.Dedup.bloomDedupAgainstWith(
-            corpus, bloom, batch, idCol, textCol),
+          graft.operators.Dedup.bloomDedupAgainstKeyed(
+            cKeyed, bloom, batch, idCol, textCol),
           batchId, outPath)
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
@@ -323,12 +335,35 @@ object Subscribe {
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        tuneBatchShuffle(batch)
         writeBatchIdempotent(
           graft.operators.Dedup.phashAgainstHashes(
             corpusHashes, batch, idCol, payloadCol, maxHamming),
           batchId, outPath)
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
+  /** Scale the per-trigger shuffle width to the MICRO-BATCH, not the
+    * cluster (optimization r19, guide §2.2 / r18 verdict next-round #4):
+    * AQE is off inside streaming queries, so every conf-driven shuffle in a
+    * foreachBatch body (distinct, groupBy, join exchanges) used the
+    * session-wide `spark.sql.shuffle.partitions` — 32 partitions for a
+    * ~1k-row micro-batch, pure task-scheduling overhead repeated per
+    * trigger. foreachBatch hands each batch a CLONED session, so setting
+    * the conf here scopes to THIS stream only; sized from the batch's plan
+    * statistics at ~32 MB/partition, floored at 4 (corpus-side probe
+    * shuffles keep modest parallelism) and capped at defaultParallelism
+    * (a large batch behaves exactly as before). Batch-path queries never
+    * pass through here and keep the session default. */
+  private def tuneBatchShuffle(batch: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val cap = spark.sparkContext.defaultParallelism.toLong
+    val bytes = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target =
+      if (!bytes.isValidLong) cap
+      else math.max(4L, math.min(cap, bytes.toLong / (32L << 20) + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", target.toString)
   }
 
   /** Idempotent micro-batch sink: each batch lands in its own
@@ -393,6 +428,7 @@ object Subscribe {
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        tuneBatchShuffle(batch)
         val spark = batch.sparkSession
         val fp = indexFingerprint(spark, indexPath)
         // ownership at SparkContext granularity: foreachBatch hands each
